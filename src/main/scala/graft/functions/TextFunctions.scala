@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar surface (SURVEY.md §2.8 F2/F4/X-F and the
+  * training-data-pipeline extensions: language-ID, quality scoring, token
+  * counting, document fingerprinting).
+  *
+  * The reference's only text ops are tiktoken token *counting* used as a length
+  * guard (reference `vectrekker/main.py:170,175-178`) and a regex path filter
+  * (`main.py:135,140-141`). We generalize to a deterministic, SQL-expressible
+  * token model (whitespace split) so every derived statistic stays
+  * DuckDB-oracle-checkable, and add the standard LLM-corpus heuristics.
+  *
+  * Everything here is built from codegen'd built-ins (split / size / filter /
+  * aggregate / transform) — no UDFs, so the hot path stays in whole-stage
+  * codegen at scale.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer — the deterministic stand-in for tiktoken
+    * (reference `main.py:170`): only token *counts* are consumed by the
+    * pipeline guard, so the token model just has to be deterministic and
+    * cheap. Single-space split matches the fixture corpus exactly.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count approximation: whitespace tokens plus an extra
+    * token per 4 chars of long words (cl100k-style subword splitting rate).
+    * Deterministic and SQL-expressible.
+    */
+  def subwordCount(text: Column): Column =
+    aggregate(tokens(text), lit(0), (acc, w) => acc + greatest(lit(1), ceil(length(w) / 4.0).cast("int")))
+
+  /** Occurrences of an exact token. */
+  def tokenHits(text: Column, word: String): Column =
+    size(filter(tokens(text), t => t === lit(word)))
+
+  /** Language marker sets — tiny stopword lists per language. On real corpora
+    * these are the classic n-gram/stopword language-ID heuristic; they are
+    * deterministic functions of the text, so oracle-checkable.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "es" -> Seq("el", "la", "que", "es"),
+    "fr" -> Seq("le", "les", "et", "est"),
+    "zh" -> Seq("de", "shi", "zai", "he"),
+  )
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    markers.map(m => tokenHits(text, m)).reduce(_ + _)
+
+  /** Deterministic language guess: argmax over marker hits with fixed
+    * tie-break order (en, de, es, fr, zh) and 'und' (undetermined) when no
+    * marker fires at all.
+    */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, ms) => lang -> langScore(text, ms) }
+    val best   = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // NOTE: foldRight means earlier entries win ties (en first).
+  }
+
+  /** Quality score in [0,1]: length saturation + stopword-ratio signal —
+    * the shape of a classic rule-based corpus quality filter, deterministic
+    * and oracle-checkable. round() at the call site.
+    */
+  def qualityScore(text: Column): Column = {
+    val n       = tokenCount(text).cast("double")
+    val stops   = langScore(text, Seq("the", "and", "of", "is", "a")).cast("double")
+    val lenSat  = least(lit(1.0), n / 100.0)
+    val stopSig = least(lit(1.0), (stops / greatest(n, lit(1.0))) * 10.0)
+    least(lit(1.0), lit(0.1) + lit(0.6) * lenSat + lit(0.3) * stopSig)
+  }
+
+  /** Content fingerprint: first 16 hex chars of md5 — identical in DuckDB. */
+  def fingerprintMd5(text: Column): Column = substring(md5(text), 1, 16)
+
+  /** Rolling polynomial hash over tokens, word code = cheap arithmetic on
+    * first/last char + length. Stays below 2^63 (acc < p, p*31 + code << 2^63)
+    * so no overflow-semantics divergence across engines.
+    */
+  val RollP = 1000000007L
+  def wordCode(w: Column): Column =
+    ascii(substring(w, 1, 1)) * 10000 + length(w) * 100 + ascii(substring(reverse(w), 1, 1))
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, w) => pmod(acc * 31L + wordCode(w).cast("long"), lit(RollP)))
+
+  /** Distinct n-token shingles ("n-grams of words") — the unit set for
+    * Jaccard/MinHash dedup. Codegen'd: sequence + transform + slice.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks  = tokens(text)
+    val count = greatest(size(toks) - (n - 1), lit(0))
+    array_distinct(
+      transform(sequence(lit(1), count), i => concat_ws(" ", slice(toks, i, lit(n))))
+    )
+  }
+
+  /** Exact Jaccard similarity of two string-array *sets*. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni   = size(array_distinct(concat(a, b))).cast("double")
+    when(uni > 0, inter / uni).otherwise(lit(0.0))
+  }
+
+  /** MinHash signature: k minima of seeded 64-bit hashes over the shingle set.
+    * Seeding = prefixing the shingle with the hash index; xxhash64 is Spark's
+    * codegen'd 64-bit hash. Spark-only (not SQL-oracle-expressible) — the
+    * LSH *candidates* are verified with exact [[jaccard]], which is.
+    */
+  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(shingleSet, s => xxhash64(concat(j.cast("string"), lit("|"), s))))
+    )
+
+  /** 64-bit SimHash over tokens: per-bit majority vote of token hashes. */
+  def simhash64(text: Column): Column = {
+    val counters = aggregate(
+      tokens(text),
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (c, i) => c + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      }
+    )
+    aggregate(
+      zip_with(counters, sequence(lit(0), lit(63)),
+        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b)
+    )
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

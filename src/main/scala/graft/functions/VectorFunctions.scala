@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ARRAY<FLOAT>`/`ARRAY<DOUBLE>` columns.
+  *
+  * Implements the similarity-metric surface the reference delegates to its
+  * vector store (reference `vectrekker/main.py:23,166` — cosine metric;
+  * dot / euclidean are the standard metric set the config field ranges over).
+  *
+  * All functions are built from Spark higher-order functions
+  * (`zip_with` / `aggregate` / `transform`) rather than Scala UDFs, so they
+  * stay inside whole-stage codegen and never box rows — this is the difference
+  * between a scan-speed top-k and a serialization-bound one at 100 TB.
+  *
+  * Math is forced to Double: fixture embeddings are `ARRAY<FLOAT>` and
+  * float accumulation both loses precision and diverges from any SQL oracle
+  * computing in double.
+  */
+object VectorFunctions {
+
+  /** Cast an array column to array<double> for numerically stable math. */
+  def asDouble(a: Column): Column = a.cast("array<double>")
+
+  /** Sequential left-to-right dot product — deterministic accumulation order
+    * (matters for float-exact oracle comparison).
+    */
+  def dot(a: Column, b: Column): Column = {
+    val (ad, bd) = (asDouble(a), asDouble(b))
+    aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  }
+
+  def l2NormSq(a: Column): Column = {
+    val ad = asDouble(a)
+    aggregate(ad, lit(0.0), (acc, x) => acc + x * x)
+  }
+
+  def l2Norm(a: Column): Column = sqrt(l2NormSq(a))
+
+  /** Cosine similarity in [-1, 1]; null-safe division (0-norm => null). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  def euclidean(a: Column, b: Column): Column = {
+    val (ad, bd) = (asDouble(a), asDouble(b))
+    sqrt(aggregate(zip_with(ad, bd, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+  }
+
+  /** L2-normalize a vector (unit length); zero vectors pass through as zeros. */
+  def l2Normalize(a: Column): Column = {
+    val ad = asDouble(a)
+    val n  = l2Norm(a)
+    transform(ad, x => when(n > 0.0, x / n).otherwise(x))
+  }
+
+  /** Mean of an array of vectors is not needed column-wise here — centroids are
+    * computed relationally via posexplode + groupBy (SURVEY §2.4 X-A2) which
+    * distributes (per-(label,pos) partial aggregation, no vector-wide state).
+    */
+}

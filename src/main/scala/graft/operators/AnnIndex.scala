@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.MathFunctions.floorRound
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import scala.util.Random
+
+/** Approximate nearest-neighbor search via random-hyperplane LSH (SimHash for
+  * vectors). The scale path next to [[TopK]]'s brute-force baseline: corpus is
+  * bucketed once by sign-pattern against `nbits` fixed hyperplanes; a query
+  * probes only its own bucket, so per-query work drops from O(n) to O(n/2^b)
+  * expected, and the candidate join is a plain equi-join on the bucket id —
+  * co-partitionable and AQE-skew-handled at cluster scale.
+  *
+  * Hyperplanes are generated from a fixed seed => fully deterministic.
+  * Recall < 1 by construction (single-probe); raise `nbits` ↓ candidates,
+  * lower it ↑ recall.
+  */
+object AnnIndex {
+
+  /** Deterministic unit hyperplanes: nbits × dim from seeded Gaussian. */
+  def hyperplanes(nbits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(nbits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Bucket id: one sign bit per hyperplane, packed into a long. */
+  def bucketCol(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val vd = asDouble(vec)
+    planes.zipWithIndex.map { case (p, i) =>
+      val pl = array(p.map(lit): _*)
+      when(dot(vd, pl) >= 0.0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k cosine neighbors per query, same-bucket candidates
+    * only. Output: (q_id, c_id, score, rn).
+    */
+  def annTopK(queries: DataFrame, qIdCol: String, qVecCol: String,
+              corpus: DataFrame, cIdCol: String, cVecCol: String,
+              k: Int, nbits: Int, dim: Int, seed: Long = 42L,
+              roundTo: Int = 6): DataFrame = {
+    val planes = hyperplanes(nbits, dim, seed)
+    val cb = corpus.withColumn("__bucket", bucketCol(col(cVecCol), planes))
+    val qb = queries.withColumn("__bucket", bucketCol(col(qVecCol), planes))
+    val scored = cb.join(broadcast(qb), Seq("__bucket"))
+      .filter(col(qIdCol) =!= col(cIdCol))
+      .withColumn("score", floorRound(cosine(col(qVecCol), col(cVecCol)), roundTo))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(desc("score"), col(cIdCol))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(qIdCol), col(cIdCol), col("score"), col("rn"))
+      .orderBy(col(qIdCol), col("rn"))
+  }
+
+  /** Near-duplicate pairs by embedding cosine >= threshold, LSH-bucketed
+    * candidates (same-bucket only). The embedding-space analog of
+    * [[Dedup.minhashLshPairs]].
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, nbits: Int, dim: Int,
+                         seed: Long = 42L, roundTo: Int = 6): DataFrame = {
+    val planes = hyperplanes(nbits, dim, seed)
+    val b = df.select(col(idCol), col(vecCol)).withColumn("__bucket", bucketCol(col(vecCol), planes))
+    val l = b.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("__bucket"))
+    val r = b.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("__bucket"))
+    l.join(r, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", floorRound(cosine(col("vec_a"), col("vec_b")), roundTo))
+      .filter(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+      .orderBy("id_a", "id_b")
+  }
+}

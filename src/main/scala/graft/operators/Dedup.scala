@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.functions.MathFunctions.floorRound
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Deduplication family for LLM-corpus pipelines (SURVEY.md §2.8 X-D):
+  * exact, n-gram Jaccard (exact pairs), MinHash-LSH, SimHash.
+  *
+  * Scale design:
+  *  - [[exactDedup]] is one hash-shuffle on the content hash — the canonical
+  *    100 TB exact-dedup plan (hash first so the shuffle key is 16 bytes, not
+  *    the document).
+  *  - [[jaccardPairsExact]] enumerates O(n²) pairs — it exists as the *exact
+  *    verifier / oracle anchor* for small n. Never the scale path.
+  *  - [[minhashLshPairs]] is the scale path: signature (k seeded min-hashes) →
+  *    band explode → equi-join on (band, band-hash). Shuffle volume is
+  *    O(n · bands), candidates are only colliding pairs; exact Jaccard then
+  *    prunes false positives. This is the standard shingle→minhash→band→
+  *    bucket-join pipeline, expressed as joins Catalyst can plan (AQE handles
+  *    skewed buckets).
+  *  - [[simhashPairs]] uses 4×16-bit band buckets over a 64-bit SimHash —
+  *    guaranteed recall for hamming distance ≤ 3, heuristic beyond.
+  */
+object Dedup {
+
+  /** Keep one row per distinct value of `textCol` (lowest `idCol` wins). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  private def withShingles(df: DataFrame, idCol: String, textCol: String, n: Int) =
+    df.select(col(idCol), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** All pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
+    * O(n²) — exact verifier for small corpora; see [[minhashLshPairs]] for
+    * the scale path.
+    */
+  def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int, threshold: Double): DataFrame = {
+    val sh = withShingles(df, idCol, textCol, shingleSize)
+    val a  = sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b  = sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("jac", floorRound(jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash-LSH near-dup pairs: banding join for candidates, exact Jaccard
+    * verify. `numHashes` must be divisible by `bands`.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int, numHashes: Int, bands: Int,
+                      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sig = withShingles(df, idCol, textCol, shingleSize)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = sig
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("band_key", xxhash64(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
+    val l = banded.select(col(idCol).as("id_a"), col("sh").as("sh_a"), col("band"), col("band_key"))
+    val r = banded.select(col(idCol).as("id_b"), col("sh").as("sh_b"), col("band"), col("band_key"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jac", floorRound(jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` bits, candidates via 4×16-bit
+    * band buckets.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    val sh = df.select(col(idCol), simhash64(col(textCol)).as("sim"))
+    val banded = sh
+      .withColumn("band", explode(sequence(lit(0), lit(3))))
+      .withColumn("chunk", expr("shiftright(sim, band*16) & 65535"))
+    val l = banded.select(col(idCol).as("id_a"), col("sim").as("sim_a"), col("band"), col("chunk"))
+    val r = banded.select(col(idCol).as("id_b"), col("sim").as("sim_b"), col("band"), col("chunk"))
+    l.join(r, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sim_a", "sim_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming64(col("sim_a"), col("sim_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+}

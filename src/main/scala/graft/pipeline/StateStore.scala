@@ -1,0 +1,44 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** File-state cache (SURVEY.md §2.1 S4/S7): the Spark analog of the
+  * reference's SQLite table `files(path TEXT PRIMARY KEY, last_edit_time
+  * INTEGER)` (reference `vectrekker/main.py:96-102`) — a parquet-backed keyed
+  * state table.
+  *
+  * Writes go through a staging directory + atomic-ish swap so the store can be
+  * rewritten from a plan that read it (Spark cannot overwrite an input path
+  * in-flight). State is tiny relative to the corpus (one row per file), so a
+  * snapshot rewrite per sync is the right trade at any scale.
+  */
+final class StateStore(path: String) {
+
+  val schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("last_edit_time", LongType, nullable = false)))
+
+  def read(spark: SparkSession): DataFrame = {
+    val p  = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
+
+  /** Snapshot-overwrite with staging swap (safe when `df` reads this store). */
+  def write(df: DataFrame): Unit = {
+    val spark = df.sparkSession
+    val p     = new Path(path)
+    val tmp   = new Path(path + ".staging")
+    val old   = new Path(path + ".old")
+    val fs    = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    df.select("path", "last_edit_time").write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(p)) fs.rename(p, old)
+    fs.rename(tmp, p)
+    if (fs.exists(old)) fs.delete(old, true)
+  }
+}

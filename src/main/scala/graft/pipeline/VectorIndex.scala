@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import graft.operators.Upsert
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vector index table (SURVEY.md §2.1 S5/S6): the Spark analog of the
+  * reference's Pinecone index — create-if-absent DDL with a fixed dimension
+  * (reference `vectrekker/main.py:162-169`) and primary-key upsert
+  * (`main.py:185`).
+  *
+  * Storage is a parquet table `(id, embedding, metadata, version)`; the
+  * similarity metric is a property of the *search* operator
+  * ([[graft.operators.TopK]]), not of storage. Dimension is enforced at write
+  * (validation filter), matching the index-DDL dimension contract.
+  */
+final class VectorIndex(path: String, val dim: Int) {
+
+  val schema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("embedding", ArrayType(DoubleType), nullable = false),
+    StructField("metadata", MapType(StringType, StringType), nullable = true),
+    StructField("version", LongType, nullable = false)))
+
+  def read(spark: SparkSession): DataFrame = {
+    val p  = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
+
+  /** Rows whose embedding length violates the index dimension. */
+  def invalid(vectors: DataFrame): DataFrame =
+    vectors.filter(size(col("embedding")) =!= dim)
+
+  /** Last-writer-wins upsert of `vectors` (id, embedding, metadata, version);
+    * one key-shuffle, no per-row RPC (the reference does one upsert RPC per
+    * vector, `main.py:185`). Staging swap as in [[StateStore]].
+    */
+  def upsert(vectors: DataFrame): Unit = {
+    val spark  = vectors.sparkSession
+    val valid  = vectors.filter(size(col("embedding")) === dim)
+    val merged = Upsert.merge(read(spark), valid.select("id", "embedding", "metadata", "version"),
+      Seq("id"), "version")
+    val p   = new Path(path)
+    val tmp = new Path(path + ".staging")
+    val old = new Path(path + ".old")
+    val fs  = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(p)) fs.rename(p, old)
+    fs.rename(tmp, p)
+    if (fs.exists(old)) fs.delete(old, true)
+  }
+}

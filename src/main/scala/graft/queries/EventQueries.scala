@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.MathFunctions.{floorRound => fr, floorRoundSql => frs}
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** Event-stream-shaped batch queries over the `events` fixture (SURVEY.md §2.8
+  * X-F): time-bucket aggregation, JSON field extraction, per-entity stats,
+  * sliding windows.
+  *
+  * Time buckets are emitted as formatted strings — `events.ts` is
+  * ns-precision; string buckets sidestep engine-specific timestamp precision
+  * in the oracle compare (SURVEY §7 risk 4).
+  */
+object EventQueries {
+  private val hourStr = date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00")
+
+  def all: ListMap[String, Q] = ListMap(
+    "q12_events_hourly" -> Q(
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(hourStr.as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), fr(sum("value"), 2).as("total_value"))
+          .orderBy("hour", "event_type")
+      },
+      Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
+             |  count(*) AS n, ${frs("sum(value)", 2)} AS total_value
+             |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    "q13_events_json" -> Q(
+      (s, dir) => {
+        Tables.events(s, dir)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy((col("k") % 10).as("k_bucket"))
+          .agg(count(lit(1)).as("n"), fr(avg("value"), 4).as("avg_value"))
+          .orderBy("k_bucket")
+      },
+      Some(s"""SELECT CAST(json_extract_string(props,'$$.k') AS BIGINT) % 10 AS k_bucket,
+             |  count(*) AS n, ${frs("avg(value)", 4)} AS avg_value
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    "q14_user_activity" -> Q(
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            countDistinct("event_type").as("n_types"),
+            fr(sum("value"), 2).as("total_value"),
+            date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("last_seen"))
+          .orderBy("user_id")
+      },
+      Some(s"""SELECT user_id, count(*) AS n_events, count(DISTINCT event_type) AS n_types,
+             |  ${frs("sum(value)", 2)} AS total_value,
+             |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    "q15_events_sliding_window" -> Q(
+      (s, dir) => {
+        // 2h windows sliding by 1h: each event lands in exactly two windows.
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:00").as("win_start"),
+            col("event_type"), col("n"))
+          .orderBy("win_start", "event_type")
+      },
+      Some("""SELECT strftime(ws, '%Y-%m-%d %H:00') AS win_start, event_type, count(*) AS n
+             |FROM (
+             |  SELECT date_trunc('hour', ts) AS ws, event_type FROM events
+             |  UNION ALL
+             |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events)
+             |GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+  )
+}

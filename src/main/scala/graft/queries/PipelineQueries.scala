@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.operators.Upsert
+import graft.pipeline.Delta
+import graft.streaming.StreamingAgg
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** The reference's own pipeline semantics exercised on the relational
+  * fixtures so they stay DuckDB-oracle-checkable: keyed upsert
+  * (SURVEY.md §2.3 C1, reference `vectrekker/main.py:113-123,185`),
+  * incremental mtime delta (J1+P2, `main.py:143-147`), the streaming analog
+  * (§2.7), and the multimodal binary-column plumbing.
+  */
+object PipelineQueries {
+
+  def all: ListMap[String, Q] = ListMap(
+    "q29_upsert_merge" -> Q(
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val base = cust.select(col("c_custkey"), col("c_acctbal")).withColumn("version", lit(1L))
+        val upd = cust.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), (col("c_acctbal") + lit(100.0)).as("c_acctbal"))
+          .withColumn("version", lit(2L))
+        Upsert.merge(base, upd, Seq("c_custkey"), "version")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal, version FROM (
+             |  SELECT c_custkey, c_acctbal, version,
+             |    row_number() OVER (PARTITION BY c_custkey ORDER BY version DESC, src DESC) AS rn
+             |  FROM (
+             |    SELECT c_custkey, c_acctbal, CAST(1 AS BIGINT) AS version, 0 AS src FROM customer
+             |    UNION ALL
+             |    SELECT c_custkey, c_acctbal + CAST(100.0 AS DOUBLE), CAST(2 AS BIGINT), 1
+             |    FROM customer WHERE c_custkey % 10 = 0))
+             |WHERE rn = 1 ORDER BY c_custkey""".stripMargin)),
+
+    "q30_incremental_delta" -> Q(
+      (s, dir) => {
+        // orders as the "scan": key = o_orderkey, mtime = epoch(o_orderdate).
+        // cache covers keys %3=0; odd keys among them are stale by 10s.
+        val scan = Tables.orders(s, dir).select(
+          col("o_orderkey").as("key"),
+          unix_timestamp(col("o_orderdate")).as("mtime"))
+        val cache = scan.filter(col("key") % 3 === 0)
+          .select(col("key"), (col("mtime") - (col("key") % 2) * 10).as("last_edit_time"))
+        Delta.changed(scan, cache, keyCol = "key", mtimeCol = "mtime")
+          .orderBy("key")
+      },
+      Some("""WITH scan AS (
+             |  SELECT o_orderkey AS key, CAST(epoch(o_orderdate) AS BIGINT) AS mtime FROM orders),
+             |cache AS (
+             |  SELECT key, mtime - (key % 2) * 10 AS last_edit_time FROM scan WHERE key % 3 = 0)
+             |SELECT s.key, s.mtime FROM scan s LEFT JOIN cache c ON s.key = c.key
+             |WHERE s.mtime > coalesce(c.last_edit_time, 0)
+             |ORDER BY s.key""".stripMargin)),
+
+    "q31_stream_monthly" -> Q(
+      (s, dir) => StreamingAgg.monthlyOrderStats(s, dir),
+      Some(s"""SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
+             |  ${graft.functions.MathFunctions.floorRoundSql("sum(o_totalprice)", 2)} AS total
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    "q32_multimodal_meta" -> Q(
+      (s, dir) => Multimodal.extractMeta(s, Tables.documents(s, dir)).orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  1 + CAST(octet_length(encode(text)) AS BIGINT) % 64 AS fake_width,
+             |  1 + CAST(octet_length(encode(text)) AS BIGINT) % 37 AS fake_height,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(generate_series(1, length(text)),
+             |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+             |    (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+  )
+}

@@ -1,0 +1,199 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.MathFunctions.{floorRound => fr, floorRoundSql => frs}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** Relational operator coverage over the TPC-H-ish fixtures (SURVEY.md §2.3
+  * X-J, §2.4 X-A1, §2.5, §2.6): scans, filters, inner/semi/anti joins,
+  * broadcast star joins, hash aggregation, rollup, windows, top-k.
+  *
+  * Scale notes (local[32] tests, 1000-executor design):
+  *  - dimension tables (region/nation/customer/part/supplier) are broadcast —
+  *    the fact table (lineitem/orders) never shuffles for the star joins;
+  *  - aggregations are partial (map-side combine) by construction (groupBy.agg
+  *    with algebraic aggregates);
+  *  - top-k uses orderBy+limit => TakeOrderedAndProject (per-partition heaps),
+  *    not a full sort;
+  *  - every query output carries a total order + floor-rounded float keys
+  *    (engine-stable, see [[graft.functions.MathFunctions]]).
+  */
+object RelationalQueries {
+  private val revenue    = col("l_extendedprice") * (lit(1) - col("l_discount"))
+  private val revenueSql = "sum(l_extendedprice*(1-l_discount))"
+
+  def all: ListMap[String, Q] = ListMap(
+    "q01_pricing_summary" -> Q(
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            fr(sum("l_quantity"), 2).as("sum_qty"),
+            fr(sum("l_extendedprice"), 2).as("sum_base_price"),
+            fr(sum(revenue), 2).as("sum_disc_price"),
+            fr(avg("l_quantity"), 4).as("avg_qty"),
+            fr(avg("l_extendedprice"), 4).as("avg_price"),
+            fr(avg("l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+             |  ${frs("sum(l_quantity)", 2)} AS sum_qty,
+             |  ${frs("sum(l_extendedprice)", 2)} AS sum_base_price,
+             |  ${frs(revenueSql, 2)} AS sum_disc_price,
+             |  ${frs("avg(l_quantity)", 4)} AS avg_qty,
+             |  ${frs("avg(l_extendedprice)", 4)} AS avg_price,
+             |  ${frs("avg(l_discount)", 4)} AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    "q02_revenue_by_nation" -> Q(
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(fr(sum(revenue), 2).as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy("n_name")
+      },
+      Some(s"""SELECT n_name, ${frs(revenueSql, 2)} AS revenue, count(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    "q03_top_orders" -> Q(
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy("l_orderkey")
+          .agg(fr(sum(revenue), 2).as("order_revenue"))
+          .orderBy(desc("order_revenue"), col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, ${frs(revenueSql, 2)} AS order_revenue
+             |FROM lineitem GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10""".stripMargin)),
+
+    "q04_big_customers_semi" -> Q(
+      (s, dir) => {
+        val bigOrders = Tables.orders(s, dir).filter(col("o_totalprice") > 100000)
+        Tables.customer(s, dir)
+          .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+             |ORDER BY 1""".stripMargin)),
+
+    "q05_quiet_customers_anti" -> Q(
+      (s, dir) => {
+        // anti-join against a filtered build side: customers with no
+        // high-value order (threshold chosen so the result is non-trivial)
+        val bigOrders = Tables.orders(s, dir).filter(col("o_totalprice") > 350000)
+        Tables.customer(s, dir)
+          .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+             |ORDER BY 1""".stripMargin)),
+
+    "q06_top_orders_per_cust" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, dir)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders)
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    "q07_priority_stats" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            fr(sum("o_totalprice"), 2).as("total"),
+            fr(avg("o_totalprice"), 4).as("avg_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS n_orders,
+             |  ${frs("sum(o_totalprice)", 2)} AS total, ${frs("avg(o_totalprice)", 4)} AS avg_price
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    "q08_brand_revenue" -> Q(
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(fr(sum(revenue), 2).as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy("p_brand")
+      },
+      Some(s"""SELECT p_brand, ${frs(revenueSql, 2)} AS revenue, count(*) AS n_items
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    "q09_rollup_qty" -> Q(
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(fr(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+            col("sum_qty"), col("n"))
+          .orderBy("returnflag", "linestatus")
+      },
+      Some(s"""SELECT coalesce(l_returnflag,'ALL') AS returnflag, coalesce(l_linestatus,'ALL') AS linestatus,
+             |  ${frs("sum(l_quantity)", 2)} AS sum_qty, count(*) AS n
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY 1,2""".stripMargin)),
+
+    "q10_region_revenue" -> Q(
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(fr(sum(revenue), 2).as("revenue"), countDistinct("o_custkey").as("n_customers"))
+          .orderBy("r_name")
+      },
+      Some(s"""SELECT r_name, ${frs(revenueSql, 2)} AS revenue,
+             |  count(DISTINCT o_custkey) AS n_customers
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    "q11_top_customers_by_nation" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(desc("c_acctbal"), col("c_custkey"))
+        Tables.customer(s, dir)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .select("n_name", "c_custkey", "c_acctbal", "rn")
+          .orderBy("n_name", "rn")
+      },
+      Some("""SELECT n_name, c_custkey, c_acctbal, rn FROM (
+             |  SELECT c_custkey, c_nationkey, c_acctbal,
+             |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+             |  FROM customer) c
+             |JOIN nation ON c.c_nationkey = n_nationkey
+             |WHERE rn <= 3 ORDER BY n_name, rn""".stripMargin)),
+  )
+}

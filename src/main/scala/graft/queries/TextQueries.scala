@@ -1,0 +1,178 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.MathFunctions.{floorRound => fr, floorRoundSql => frs}
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** Text-analysis + dedup coverage over the `documents` fixture: corpus stats,
+  * exact dedup, token counting, language-ID, quality scoring, fingerprinting,
+  * n-gram Jaccard near-dup, MinHash-LSH and SimHash (SURVEY.md §2.8 X-F/X-D
+  * and the training-data-pipeline extensions).
+  *
+  * The direct pair-join Jaccard query (q22) is the *exact verifier* and oracle
+  * anchor; the LSH variants (q22b/q22c) are the scale path — candidate
+  * generation via banding join instead of O(n²) pairs.
+  */
+object TextQueries {
+
+  // ---- DuckDB oracle fragments (mirror TextFunctions exactly) ----
+  private def hitsSql(word: String): String =
+    s"len(list_filter(string_split(text,' '), t -> t = '$word'))"
+  private def scoreSql(markers: Seq[String]): String =
+    markers.map(hitsSql).mkString("(", " + ", ")")
+
+  private val langScoreCols = langMarkers.map { case (lang, ms) => s"s_$lang" -> scoreSql(ms) }
+  private val langIdOracle: String = {
+    val scoreSelect = langScoreCols.map { case (c, e) => s"$e AS $c" }.mkString(", ")
+    val best        = langScoreCols.map(_._1).mkString("greatest(", ", ", ")")
+    val cases = langMarkers.map { case (lang, _) =>
+      s"WHEN s_$lang = best AND best > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_guess,
+       |  s_en, s_de, s_es, s_fr, s_zh
+       |FROM (SELECT doc_id, $scoreSelect, $best AS best FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private val qualityOracle: String = {
+    val n     = "CAST(len(string_split(text,' ')) AS DOUBLE)"
+    val stops = "CAST((" + Seq("the", "and", "of", "is", "a").map(hitsSql).mkString(" + ") + ") AS DOUBLE)"
+    val qexpr =
+      s"""least(CAST(1.0 AS DOUBLE),
+         |  CAST(0.1 AS DOUBLE)
+         |  + CAST(0.6 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), $n / CAST(100.0 AS DOUBLE))
+         |  + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), ($stops / greatest($n, CAST(1.0 AS DOUBLE))) * CAST(10.0 AS DOUBLE)))""".stripMargin
+    s"""SELECT doc_id, ${frs(qexpr, 4)} AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  private val rollHashOracle: String =
+    """SELECT doc_id, substr(md5(text),1,16) AS fp16,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text,' '),
+      |        w -> CAST(ascii(substr(w,1,1))*10000 + length(w)*100 + ascii(substr(reverse(w),1,1)) AS BIGINT))),
+      |    (acc, x) -> (acc*31 + x) % 1000000007) AS roll_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val JaccardThreshold = 0.5
+
+  /** The exact O(n²) pair-join (q22) runs on a fixed doc_id sample so its cost
+    * is scale-invariant — it exists as the oracle anchor / exact verifier.
+    * The LSH variants (q22b/q22c) cover the full corpus at every scale.
+    */
+  val ExactPairSample = 500
+
+  private val jaccardOracle: String = {
+    val jacExpr = """CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    |      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)""".stripMargin
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(toks)-2, 0)),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+       |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+       |        WHERE doc_id < $ExactPairSample))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  ${frs(jacExpr, 4)} AS jac
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE ${frs(jacExpr, 4)} >= $JaccardThreshold
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  def all: ListMap[String, Q] = ListMap(
+    "q16_doc_stats" -> Q(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("total_chars"),
+            fr(avg("n_chars"), 2).as("avg_chars"))
+          .orderBy("lang", "source")
+      },
+      Some(s"""SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+             |  ${frs("avg(n_chars)", 2)} AS avg_chars
+             |FROM documents GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    "q17_dedup_exact" -> Q(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .groupBy(md5(col("text")).as("text_md5"))
+          .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keep_id"))
+          .orderBy("text_md5")
+      },
+      Some("""SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keep_id
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    "q18_token_count" -> Q(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            tokenCount(col("text")).cast("long").as("n_tokens"),
+            subwordCount(col("text")).cast("long").as("n_subwords"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(string_split(text,' '),
+             |      w -> CAST(greatest(1, CAST(ceil(length(w) / CAST(4.0 AS DOUBLE)) AS INTEGER)) AS BIGINT))),
+             |    (acc, x) -> acc + x) AS n_subwords
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "q19_lang_id" -> Q(
+      (s, dir) => {
+        val d      = Tables.documents(s, dir)
+        val scores = langMarkers.map { case (lang, ms) =>
+          langScore(col("text"), ms).cast("long").as(s"s_$lang")
+        }
+        d.select(Seq(col("doc_id"), langId(col("text")).as("lang_guess")) ++ scores: _*)
+          .orderBy("doc_id")
+      },
+      Some(langIdOracle)),
+
+    "q20_quality_score" -> Q(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"), fr(qualityScore(col("text")), 4).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some(qualityOracle)),
+
+    "q21_fingerprint" -> Q(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            fingerprintMd5(col("text")).as("fp16"),
+            rollingHash(col("text")).as("roll_hash"))
+          .orderBy("doc_id")
+      },
+      Some(rollHashOracle)),
+
+    "q22_trigram_jaccard" -> Q(
+      (s, dir) => Dedup.jaccardPairsExact(
+        Tables.documents(s, dir).filter(col("doc_id") < ExactPairSample), "doc_id", "text",
+        shingleSize = 3, threshold = JaccardThreshold),
+      Some(jaccardOracle)),
+
+    // Scale path: MinHash-LSH candidate generation (banding join, no O(n^2)
+    // pair enumeration). Hash functions are Spark xxhash64 — not expressible
+    // in the oracle; driver records the weaker rows-only check. Exactness of
+    // surviving pairs is still guarded by the jaccard >= threshold filter,
+    // which q22 verifies exactly.
+    "q22b_minhash_lsh_pairs" -> Q(
+      (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 16, threshold = JaccardThreshold),
+      None),
+
+    // SimHash near-dup: 64-bit signature; pairs within hamming distance 8 via
+    // band-bucket candidates (4x16-bit bands => guaranteed recall for d<=3,
+    // heuristic beyond). Rows-only (xxhash64-based).
+    "q22c_simhash_pairs" -> Q(
+      (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 8),
+      None),
+  )
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.MathFunctions.{floorRound => fr, floorRoundSql => frs}
+import graft.functions.VectorFunctions._
+import graft.operators.{AnnIndex, TopK}
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** Vector / similarity-search coverage over the `embeddings` fixture — the
+  * query-side capability the reference delegates to its vector store
+  * (reference `vectrekker/main.py:22-23,162-167`, cosine metric): centroids,
+  * single-query top-k, batch kNN join, and LSH-bucketed ANN.
+  */
+object VectorQueries {
+
+  def all: ListMap[String, Q] = ListMap(
+    "q23_centroids" -> Q(
+      (s, dir) => {
+        // Relational centroid: posexplode => per-(label,pos) partial agg —
+        // distributes with no vector-wide state (SURVEY §2.4 X-A2).
+        Tables.embeddings(s, dir)
+          .select(col("label"), posexplode(asDouble(col("embedding"))))
+          .groupBy("label", "pos")
+          .agg(fr(avg("col"), 6).as("mean_v"))
+          .select(col("label"), (col("pos") + 1).cast("long").as("pos"), col("mean_v"))
+          .orderBy("label", "pos")
+      },
+      Some(s"""SELECT label, pos, ${frs("avg(v)", 6)} AS mean_v FROM (
+             |  SELECT label, unnest(embedding::DOUBLE[]) AS v,
+             |    generate_subscripts(embedding, 1) AS pos
+             |  FROM embeddings)
+             |GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    "q24_cosine_topk" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        // O(1) driver-side fetch of the query parameter (not a data-plane collect)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(asDouble(col("embedding"))).head.getSeq[Double](0)
+        TopK.topK(emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", qv, k = 10)
+          .select("vec_id", "label", "score")
+      },
+      Some(s"""SELECT vec_id, label,
+             |  ${frs("list_cosine_similarity(embedding::DOUBLE[], (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0))", 6)} AS score
+             |FROM embeddings WHERE vec_id <> 0
+             |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)),
+
+    "q25_knn_join" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        TopK.knnJoin(queries, "q_id", "q_vec", emb.withColumnRenamed("vec_id", "c_id"), "c_id", "embedding", k = 3)
+          .withColumn("rn", col("rn").cast("long"))
+          .select("q_id", "c_id", "score", "rn")
+          .orderBy("q_id", "rn")
+      },
+      Some(s"""SELECT q_id, c_id, score, rn FROM (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             |    ${frs("list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])", 6)} AS score,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY ${frs("list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])", 6)} DESC, c.vec_id) AS rn
+             |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             |  WHERE q.vec_id < 10)
+             |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin)),
+
+    "q26_norm_stats" -> Q(
+      (s, dir) => {
+        Tables.embeddings(s, dir)
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            fr(avg(l2Norm(col("embedding"))), 6).as("avg_norm"),
+            fr(min(l2Norm(col("embedding"))), 6).as("min_norm"),
+            fr(max(l2Norm(col("embedding"))), 6).as("max_norm"))
+          .orderBy("label")
+      },
+      Some(s"""SELECT label, count(*) AS n,
+             |  ${frs("avg(n2)", 6)} AS avg_norm, ${frs("min(n2)", 6)} AS min_norm, ${frs("max(n2)", 6)} AS max_norm
+             |FROM (SELECT label, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |  list_transform(embedding::DOUBLE[], x -> x*x)), (acc, x) -> acc + x)) AS n2
+             |  FROM embeddings)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ANN: LSH-bucketed approximate top-k — the 100 TB path (bucket equi-join
+    // instead of full cross product). Deterministic (seeded hyperplanes) but
+    // hyperplane math is not practical to mirror in SQL => rows-only check;
+    // recall vs the exact q25 answer is unit-tested.
+    "q27_ann_lsh_topk" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        AnnIndex.annTopK(queries, "q_id", "q_vec",
+          emb.select(col("vec_id").as("c_id"), col("embedding")), "c_id", "embedding",
+          k = 3, nbits = 4, dim = 64)
+      },
+      None),
+
+    // Embedding-cosine near-dup pairs (LSH candidates). Rows-only.
+    // Threshold is fixture-calibrated: the synthetic embeddings are random
+    // (max pairwise cosine ~0.4), so 0.2 plays the role 0.95 would on a real
+    // corpus of near-duplicate embeddings.
+    "q28_embedding_near_dup" -> Q(
+      (s, dir) => AnnIndex.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.2, nbits = 4, dim = 64),
+      None),
+  )
+}

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import graft.functions.MathFunctions.floorRound
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Structured Streaming surface (SURVEY.md §2.7). The reference's
+  * "streaming" is a cron batch (reference `README.md:23-36`); the idiomatic
+  * Spark analog is the file source + `Trigger.AvailableNow` — incremental,
+  * exactly-once per micro-batch, and drained synchronously so results stay
+  * batch-comparable (and DuckDB-oracle-checkable).
+  */
+object StreamingAgg {
+  private val counter = new AtomicInteger(0)
+
+  /** Monthly order stats computed *through the streaming engine* over the
+    * orders fixture, drained with AvailableNow into a memory sink. Result is
+    * identical to the equivalent batch aggregation — that equivalence is the
+    * oracle check. (orders, not events: the streaming parquet source rejects
+    * the events table's TIMESTAMP(NANOS) ts column.)
+    */
+  def monthlyOrderStats(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/orders.parquet").schema
+    val sdf = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "orders.parquet")
+      .parquet(dir)
+    val agg = sdf
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"), floorRound(sum("o_totalprice"), 2).as("total"))
+    val name = s"graft_stream_monthly_${counter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("month")
+  }
+}
