@@ -97,10 +97,13 @@ object TextFunctions {
     */
   def shingles(text: Column, n: Int): Column = {
     val toks  = tokens(text)
-    val count = greatest(size(toks) - (n - 1), lit(0))
-    array_distinct(
-      transform(sequence(lit(1), count), i => concat_ws(" ", slice(toks, i, lit(n))))
-    )
+    val count = size(toks) - (n - 1)
+    // guard: sequence(1, 0) would step backwards ([1,0]) and slice(_, 0, _)
+    // throws under ANSI — short texts yield an empty shingle set instead
+    when(count >= 1,
+      array_distinct(
+        transform(sequence(lit(1), count), i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Exact Jaccard similarity of two string-array *sets*. */

@@ -38,9 +38,13 @@ object VectorFunctions {
 
   def l2Norm(a: Column): Column = sqrt(l2NormSq(a))
 
-  /** Cosine similarity in [-1, 1]; null-safe division (0-norm => null). */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity in [-1, 1]; null-safe division (0-norm => null —
+    * guarded so ANSI mode doesn't throw DIVIDE_BY_ZERO).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val np = l2Norm(a) * l2Norm(b)
+    when(np =!= 0.0, dot(a, b) / np)
+  }
 
   def euclidean(a: Column, b: Column): Column = {
     val (ad, bd) = (asDouble(a), asDouble(b))

@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.{AnnIndex, Dedup, TopK, Upsert}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  // ---- Upsert (C1 last-writer-wins, main.py:113-123,185 semantics) ----
+
+  private lazy val base = Seq(("a", 1.0, 1L), ("b", 2.0, 1L), ("c", 3.0, 1L)).toDF("id", "v", "version")
+  private lazy val upd  = Seq(("b", 20.0, 2L), ("d", 4.0, 2L)).toDF("id", "v", "version")
+
+  test("upsert: updates replace, inserts append, untouched rows survive") {
+    val m = Upsert.merge(base, upd, Seq("id"), "version")
+      .orderBy("id").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(m === Seq(("a", 1.0), ("b", 20.0), ("c", 3.0), ("d", 4.0)))
+  }
+
+  test("upsert: equal version -> update wins (INSERT OR REPLACE)") {
+    val updSameV = Seq(("b", 99.0, 1L)).toDF("id", "v", "version")
+    val m = Upsert.merge(base, updSameV, Seq("id"), "version")
+      .filter($"id" === "b").head.getDouble(1)
+    assert(m === 99.0)
+  }
+
+  test("upsert idempotency: merge(merge(s,d),d) == merge(s,d)") {
+    val once  = Upsert.merge(base, upd, Seq("id"), "version")
+    val twice = Upsert.merge(once, upd, Seq("id"), "version")
+    val a = once.orderBy("id").collect().toSeq
+    val b = twice.orderBy("id").collect().toSeq
+    assert(a === b)
+  }
+
+  // ---- Dedup ----
+
+  private lazy val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta"),       // exact dup of 1
+    (3L, "alpha beta gamma delta epsilon zeta eta iota"),        // near dup of 1
+    (4L, "completely different words nothing shared here at all"),
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps lowest id per distinct text") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text").select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 3L, 4L))
+  }
+
+  test("jaccardPairsExact finds exact and near dups above threshold") {
+    val pairs = Dedup.jaccardPairsExact(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhashLshPairs recovers the exact-dup pair with jac=1") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 32, 16, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 === 1.0))
+  }
+
+  test("simhashPairs: identical texts at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+  }
+
+  // ---- TopK ----
+
+  private lazy val corpus = Seq(
+    (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (3L, Array(0.0, 1.0)), (4L, Array(-1.0, 0.0)),
+  ).toDF("id", "v")
+
+  test("topK orders by cosine desc with id tiebreak") {
+    val r = TopK.topK(corpus, "v", "id", Seq(1.0, 0.0), 3).select("id").collect().map(_.getLong(0))
+    assert(r.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("knnJoin returns k per query, self excluded") {
+    val qs = corpus.filter($"id" <= 2).select($"id".as("q_id"), $"v".as("q_v"))
+    val r = TopK.knnJoin(qs, "q_id", "q_v", corpus.withColumnRenamed("id", "c_id"), "c_id", "v", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(r.count(_._1 == 1L) === 2)
+    assert(!r.exists(t => t._1 == t._2))
+    // nearest neighbor of 1 is 2 and vice versa
+    assert(r.contains((1L, 2L, 1)))
+    assert(r.contains((2L, 1L, 1)))
+  }
+
+  // ---- AnnIndex ----
+
+  test("ann buckets are deterministic and ann results are a subset of bucket-mates") {
+    val rnd = new scala.util.Random(11)
+    val data = (0L until 100L).map(i => (i, Array.fill(8)(rnd.nextGaussian()))).toDF("id", "v")
+    val qs = data.filter($"id" < 3).select($"id".as("q_id"), $"v".as("q_v"))
+    val r1 = AnnIndex.annTopK(qs, "q_id", "q_v", data.withColumnRenamed("id", "c_id"), "c_id", "v", 3, 4, 8).collect()
+    val r2 = AnnIndex.annTopK(qs, "q_id", "q_v", data.withColumnRenamed("id", "c_id"), "c_id", "v", 3, 4, 8).collect()
+    assert(r1.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq) // deterministic
+    assert(r1.nonEmpty)
+    r1.foreach(row => assert(row.getLong(3) <= 3))
+  }
+}

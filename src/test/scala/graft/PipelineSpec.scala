@@ -1,0 +1,114 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path}
+import java.nio.file.attribute.FileTime
+
+/** End-to-end tests of the vectrekker sync pipeline on a temp directory tree
+  * (FIXTURES.md §B): the reference's input domain.
+  */
+class PipelineSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def mkCorpus(): Path = {
+    val root = Files.createTempDirectory("graft_corpus")
+    Files.createDirectories(root.resolve("sub/nested"))
+    Files.writeString(root.resolve("a.md"), "alpha beta gamma")
+    Files.writeString(root.resolve("sub/b.md"), "delta epsilon zeta")
+    Files.writeString(root.resolve("sub/nested/c.md"), "eta theta iota")
+    Files.writeString(root.resolve("ignored.txt"), "not markdown")
+    root
+  }
+
+  private def touch(p: Path, epochSec: Long): Unit =
+    Files.setLastModifiedTime(p, FileTime.fromMillis(epochSec * 1000))
+
+  test("FileScan: recursive walk + regex filter + whole-file text + mtime") {
+    val root = mkCorpus()
+    val rows = FileScan.scan(spark, root.toString).collect()
+    assert(rows.length === 3) // .txt filtered out
+    val byName = rows.map(r => r.getString(0).split('/').last -> r.getString(2)).toMap
+    assert(byName("a.md") === "alpha beta gamma")
+    assert(byName("c.md") === "eta theta iota")
+    rows.foreach(r => assert(r.getLong(1) > 0))
+  }
+
+  test("Delta: missing => 0, strict >") {
+    val scan  = Seq(("p1", 100L), ("p2", 100L), ("p3", 100L)).toDF("path", "mtime")
+    val cache = Seq(("p1", 100L), ("p2", 50L)).toDF("path", "last_edit_time")
+    val changed = Delta.changed(scan, cache).select("path").collect().map(_.getString(0)).sorted
+    assert(changed.toSeq === Seq("p2", "p3")) // p1 equal -> not stale; p3 missing -> 0
+  }
+
+  test("Delta.deleted finds tombstones") {
+    val scan  = Seq(("p1", 100L)).toDF("path", "mtime")
+    val cache = Seq(("p1", 100L), ("gone", 50L)).toDF("path", "last_edit_time")
+    val del = Delta.deleted(scan, cache).select("path").collect().map(_.getString(0))
+    assert(del.toSeq === Seq("gone"))
+  }
+
+  test("StateStore: empty read, write, staged rewrite from own read") {
+    val dir   = Files.createTempDirectory("graft_state").resolve("state").toString
+    val store = new StateStore(dir)
+    assert(store.read(spark).count() === 0)
+    store.write(Seq(("p1", 10L)).toDF("path", "last_edit_time"))
+    assert(store.read(spark).head.getLong(1) === 10L)
+    // rewrite derived from its own read (staging swap must handle this)
+    store.write(store.read(spark).withColumn("last_edit_time", col("last_edit_time") + 1))
+    assert(store.read(spark).head.getLong(1) === 11L)
+  }
+
+  test("VectorIndex: dimension validation + keyed upsert") {
+    val dir = Files.createTempDirectory("graft_index").resolve("index").toString
+    val idx = new VectorIndex(dir, 2)
+    val v1 = Seq(
+      ("a", Seq(1.0, 0.0), Map.empty[String, String], 1L),
+      ("bad", Seq(1.0, 0.0, 3.0), Map.empty[String, String], 1L),
+    ).toDF("id", "embedding", "metadata", "version")
+    idx.upsert(v1)
+    assert(idx.read(spark).count() === 1) // 'bad' rejected by dim check
+    idx.upsert(Seq(("a", Seq(0.0, 1.0), Map.empty[String, String], 2L)).toDF("id", "embedding", "metadata", "version"))
+    val row = idx.read(spark).filter($"id" === "a").head
+    assert(row.getSeq[Double](1) === Seq(0.0, 1.0))
+    assert(idx.read(spark).count() === 1)
+  }
+
+  test("Sync end-to-end: full index, empty re-run, single-file re-index, dry run") {
+    val root   = mkCorpus()
+    val state  = Files.createTempDirectory("graft_s").resolve("state").toString
+    val index  = Files.createTempDirectory("graft_i").resolve("index").toString
+    // pin mtimes well in the past so the re-touch below is a clean bump
+    Seq("a.md", "sub/b.md", "sub/nested/c.md").foreach(f => touch(root.resolve(f), 1000000L))
+    val sync = new Sync(root.toString, state, index, HashingEmbedder(8))
+
+    val r1 = sync.run(spark)
+    assert(r1.scanned === 3 && r1.changed === 3 && r1.indexed === 3)
+    assert(new VectorIndex(index, 8).read(spark).count() === 3)
+
+    val r2 = sync.run(spark) // incremental invariant: nothing changed
+    assert(r2.changed === 0 && r2.indexed === 0)
+
+    touch(root.resolve("a.md"), 1000010L) // strict > : newer mtime
+    val r3 = sync.run(spark)
+    assert(r3.changed === 1 && r3.indexed === 1)
+
+    touch(root.resolve("sub/b.md"), 1000020L)
+    val r4 = sync.run(spark, dryRun = true) // correct dry-run (ref bug fixed)
+    assert(r4.changed === 1 && r4.indexed === 0)
+    val r5 = sync.run(spark)
+    assert(r5.changed === 1 && r5.indexed === 1) // dry run left it stale
+  }
+
+  test("Sync: over-long documents are filtered, not crashed (P3)") {
+    val root  = Files.createTempDirectory("graft_long")
+    Files.writeString(root.resolve("long.md"), Seq.fill(9000)("w").mkString(" "))
+    Files.writeString(root.resolve("ok.md"), "short doc")
+    val state = Files.createTempDirectory("graft_s2").resolve("state").toString
+    val index = Files.createTempDirectory("graft_i2").resolve("index").toString
+    val r = new Sync(root.toString, state, index, HashingEmbedder(8)).run(spark)
+    assert(r.changed === 2 && r.skippedTooLong === 1 && r.indexed === 1)
+  }
+}

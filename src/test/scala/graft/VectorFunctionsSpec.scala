@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorFunctionsSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def vec(xs: Double*) = xs.toArray
+
+  private lazy val df = Seq(
+    (1L, vec(1, 0, 0), vec(0, 1, 0)),
+    (2L, vec(1, 2, 3), vec(1, 2, 3)),
+    (3L, vec(1, 1, 0), vec(1, 0, 0)),
+    (4L, vec(0, 0, 0), vec(1, 2, 3)),
+  ).toDF("id", "a", "b")
+
+  test("dot product") {
+    val r = df.select($"id", dot($"a", $"b").as("d")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r(1) === 0.0)
+    assert(r(2) === 14.0)
+    assert(r(3) === 1.0)
+  }
+
+  test("cosine: orthogonal=0, identical=1, 45deg") {
+    val r = df.select($"id", cosine($"a", $"b").as("c")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+    assert(math.abs(r(1)) < 1e-12)
+    assert(math.abs(r(2) - 1.0) < 1e-12)
+    assert(math.abs(r(3) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("cosine is in [-1,1] and cos(v,v)=1 for random vectors") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((Array.fill(16)(rnd.nextGaussian()), Array.fill(16)(rnd.nextGaussian())))
+    val d = rows.toDF("a", "b")
+    val cs = d.select(cosine($"a", $"b").as("c"), cosine($"a", $"a").as("self")).collect()
+    cs.foreach { r =>
+      assert(r.getDouble(0) >= -1.0 - 1e-9 && r.getDouble(0) <= 1.0 + 1e-9)
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
+    }
+  }
+
+  test("euclidean distance") {
+    val r = df.filter($"id" === 1).select(euclidean($"a", $"b")).head.getDouble(0)
+    assert(math.abs(r - math.sqrt(2)) < 1e-12)
+  }
+
+  test("l2Normalize produces unit vectors; zero vector passes through") {
+    val r = df.select($"id", l2Norm(l2Normalize($"a")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r(2) - 1.0) < 1e-12)
+    assert(r(4) === 0.0) // zero vector stays zero
+  }
+}
