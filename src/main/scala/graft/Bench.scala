@@ -13,6 +13,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen/parquet-reader warmup on the smoke-scale fixture so the
+    // first measured query doesn't pay one-time class-loading costs
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .selectExpr("sum(l_quantity)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>

@@ -106,23 +106,34 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Exact Jaccard similarity of two string-array *sets*. */
+  /** Exact Jaccard similarity of two *sets* (arrays with distinct elements,
+    * e.g. [[shingles]] output). |A∪B| = |A|+|B|-|A∩B| — avoids materializing
+    * the union array per pair (half the per-pair cost on the hot dedup path).
+    */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    val uni   = size(array_distinct(concat(a, b))).cast("double")
+    val uni   = (size(a) + size(b)).cast("double") - inter
     when(uni > 0, inter / uni).otherwise(lit(0.0))
   }
 
-  /** MinHash signature: k minima of seeded 64-bit hashes over the shingle set.
-    * Seeding = prefixing the shingle with the hash index; xxhash64 is Spark's
-    * codegen'd 64-bit hash. Spark-only (not SQL-oracle-expressible) — the
-    * LSH *candidates* are verified with exact [[jaccard]], which is.
+  /** 64-bit hash per shingle — computed once, then re-hashed cheaply per
+    * MinHash function (strings are hashed exactly once).
     */
+  def shingleHashes(shingleSet: Column): Column =
+    transform(shingleSet, s => xxhash64(s))
+
+  /** MinHash signature: k minima of seeded 64-bit hashes over the shingle set.
+    * Seeding = hashing (seed, shingle-hash) pairs with xxhash64 — long-only
+    * inputs, so the per-function cost is a few ns, not a string hash.
+    * Spark-only (not SQL-oracle-expressible) — the LSH *candidates* are
+    * verified with exact [[jaccard]], which is.
+    */
+  def minhashSignatureFromHashes(hashes: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(j =>
+      array_min(transform(hashes, h => xxhash64(lit(j), h)))): _*)
+
   def minhashSignature(shingleSet: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shingleSet, s => xxhash64(concat(j.cast("string"), lit("|"), s))))
-    )
+    minhashSignatureFromHashes(shingleHashes(shingleSet), numHashes)
 
   /** 64-bit SimHash over tokens: per-bit majority vote of token hashes. */
   def simhash64(text: Column): Column = {

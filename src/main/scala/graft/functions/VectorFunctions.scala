@@ -46,6 +46,17 @@ object VectorFunctions {
     when(np =!= 0.0, dot(a, b) / np)
   }
 
+  /** Pairwise cosine from precomputed squared norms — identical arithmetic to
+    * [[cosine]] (`dot / (sqrt(nsqA) * sqrt(nsqB))`, same op order, so results
+    * are bit-identical), but the O(dim) norm reductions run once per row
+    * instead of once per pair. On an n×m candidate join this cuts the vector
+    * math by ~3× — the difference that matters at 100 TB pair counts.
+    */
+  def cosineFromNormSq(a: Column, b: Column, nsqA: Column, nsqB: Column): Column = {
+    val np = sqrt(nsqA) * sqrt(nsqB)
+    when(np =!= 0.0, dot(a, b) / np)
+  }
+
   def euclidean(a: Column, b: Column): Column = {
     val (ad, bd) = (asDouble(a), asDouble(b))
     sqrt(aggregate(zip_with(ad, bd, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))

@@ -45,10 +45,13 @@ object AnnIndex {
               roundTo: Int = 6): DataFrame = {
     val planes = hyperplanes(nbits, dim, seed)
     val cb = corpus.withColumn("__bucket", bucketCol(col(cVecCol), planes))
+      .withColumn("__nsq_c", l2NormSq(col(cVecCol)))
     val qb = queries.withColumn("__bucket", bucketCol(col(qVecCol), planes))
+      .withColumn("__nsq_q", l2NormSq(col(qVecCol)))
     val scored = cb.join(broadcast(qb), Seq("__bucket"))
       .filter(col(qIdCol) =!= col(cIdCol))
-      .withColumn("score", floorRound(cosine(col(qVecCol), col(cVecCol)), roundTo))
+      .withColumn("score", floorRound(
+        cosineFromNormSq(col(qVecCol), col(cVecCol), col("__nsq_q"), col("__nsq_c")), roundTo))
     val w = Window.partitionBy(col(qIdCol)).orderBy(desc("score"), col(cIdCol))
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
@@ -64,12 +67,15 @@ object AnnIndex {
                          threshold: Double, nbits: Int, dim: Int,
                          seed: Long = 42L, roundTo: Int = 6): DataFrame = {
     val planes = hyperplanes(nbits, dim, seed)
-    val b = df.select(col(idCol), col(vecCol)).withColumn("__bucket", bucketCol(col(vecCol), planes))
-    val l = b.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("__bucket"))
-    val r = b.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("__bucket"))
+    val b = df.select(col(idCol), col(vecCol))
+      .withColumn("__bucket", bucketCol(col(vecCol), planes))
+      .withColumn("__nsq", l2NormSq(col(vecCol)))
+    val l = b.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("__bucket"), col("__nsq").as("__nsq_a"))
+    val r = b.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("__bucket"), col("__nsq").as("__nsq_b"))
     l.join(r, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("score", floorRound(cosine(col("vec_a"), col("vec_b")), roundTo))
+      .withColumn("score", floorRound(
+        cosineFromNormSq(col("vec_a"), col("vec_b"), col("__nsq_a"), col("__nsq_b")), roundTo))
       .filter(col("score") >= threshold)
       .select("id_a", "id_b", "score")
       .orderBy("id_a", "id_b")

@@ -32,9 +32,16 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Shingle sets represented by their 64-bit hashes: Jaccard over the hash
+    * sets equals string-set Jaccard up to 64-bit collisions (≈1e-11 across a
+    * 5k-doc corpus), and per-pair intersection over longs is ~10× cheaper
+    * than over strings — the dominant cost of pair verification.
+    */
   private def withShingles(df: DataFrame, idCol: String, textCol: String, n: Int) =
     df.select(col(idCol), shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .withColumn("hs", shingleHashes(col("sh")))
+      .drop("sh")
 
   /** All pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
     * O(n²) — exact verifier for small corpora; see [[minhashLshPairs]] for
@@ -42,11 +49,14 @@ object Dedup {
     */
   def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int, threshold: Double): DataFrame = {
-    val sh = withShingles(df, idCol, textCol, shingleSize)
-    val a  = sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val b  = sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    // cache: both sides of the self-join read this small relation; without
+    // it the whole shingle+hash pipeline executes twice (aliased self-join
+    // branches don't share exchanges)
+    val sh = withShingles(df, idCol, textCol, shingleSize).cache()
+    val a  = sh.select(col(idCol).as("id_a"), col("hs").as("hs_a"))
+    val b  = sh.select(col(idCol).as("id_b"), col("hs").as("hs_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("jac", floorRound(jaccard(col("sh_a"), col("sh_b")), 4))
+      .withColumn("jac", floorRound(jaccard(col("hs_a"), col("hs_b")), 4))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
       .orderBy("id_a", "id_b")
@@ -61,17 +71,24 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     val sig = withShingles(df, idCol, textCol, shingleSize)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("sig", minhashSignatureFromHashes(col("hs"), numHashes))
+      .cache() // self-joined below — avoid recomputing signatures per branch
     val banded = sig
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("band_key", xxhash64(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
-    val l = banded.select(col(idCol).as("id_a"), col("sh").as("sh_a"), col("band"), col("band_key"))
-    val r = banded.select(col(idCol).as("id_b"), col("sh").as("sh_b"), col("band"), col("band_key"))
-    l.join(r, Seq("band", "band_key"))
+    // candidate generation over slim (id, band, band_key) rows only — the
+    // per-band duplicates are dropped BEFORE the (heavy) shingle-hash arrays
+    // are attached, so the dedup shuffle moves 16-byte rows, not kilobytes
+    val slim = banded.select(col(idCol), col("band"), col("band_key"))
+    val cand = slim.toDF("id_a", "band", "band_key")
+      .join(slim.toDF("id_b", "band", "band_key"), Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-      .withColumn("jac", floorRound(jaccard(col("sh_a"), col("sh_b")), 4))
+    cand
+      .join(sig.select(col(idCol).as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(sig.select(col(idCol).as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("jac", floorRound(jaccard(col("hs_a"), col("hs_b")), 4))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
       .orderBy("id_a", "id_b")
@@ -82,7 +99,7 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
-    val sh = df.select(col(idCol), simhash64(col(textCol)).as("sim"))
+    val sh = df.select(col(idCol), simhash64(col(textCol)).as("sim")).cache()
     val banded = sh
       .withColumn("band", explode(sequence(lit(0), lit(3))))
       .withColumn("chunk", expr("shiftright(sim, band*16) & 65535"))

@@ -31,9 +31,15 @@ object TopK {
     */
   def topK(corpus: DataFrame, vecCol: String, idCol: String,
            query: Seq[Double], k: Int, roundTo: Int = 6): DataFrame = {
-    val scored = corpus
-      .withColumn("score", floorRound(cosine(col(vecCol), vecLit(query)), roundTo))
-    scored
+    // query-side norm folded to a literal on the driver (same IEEE value the
+    // in-plan sqrt would produce, but not recomputed per corpus row)
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val score = {
+      val np = sqrt(l2NormSq(col(vecCol))) * lit(qNorm)
+      when(np =!= 0.0, dot(col(vecCol), vecLit(query)) / np)
+    }
+    corpus
+      .withColumn("score", floorRound(score, roundTo))
       .orderBy(desc("score"), col(idCol))
       .limit(k) // -> TakeOrderedAndProject, no full sort
   }
@@ -48,9 +54,13 @@ object TopK {
   def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
               corpus: DataFrame, cIdCol: String, cVecCol: String,
               k: Int, roundTo: Int = 6): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    // per-side squared norms computed once per row, not per pair
+    val q2 = queries.withColumn("__nsq_q", l2NormSq(col(qVecCol)))
+    val c2 = corpus.withColumn("__nsq_c", l2NormSq(col(cVecCol)))
+    val scored = c2.crossJoin(broadcast(q2))
       .filter(col(qIdCol) =!= col(cIdCol))
-      .withColumn("score", floorRound(cosine(col(qVecCol), col(cVecCol)), roundTo))
+      .withColumn("score", floorRound(
+        cosineFromNormSq(col(qVecCol), col(cVecCol), col("__nsq_q"), col("__nsq_c")), roundTo))
     val w = Window.partitionBy(col(qIdCol)).orderBy(desc("score"), col(cIdCol))
     scored
       .withColumn("rn", row_number().over(w))

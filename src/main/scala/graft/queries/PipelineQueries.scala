@@ -74,5 +74,24 @@ object PipelineQueries {
              |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
              |    (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // The reference's embed step (main.py:180-183) as a batch query: the
+    // pluggable HashingEmbedder over the document corpus. xxhash64-based =>
+    // rows-only check; dimension/normalization invariants are unit-tested.
+    "q35_embed_documents" -> Q(
+      (s, dir) => {
+        import graft.functions.MathFunctions.floorRound
+        import graft.functions.VectorFunctions.l2Norm
+        val emb = graft.pipeline.HashingEmbedder(64)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), emb.embed(col("text")).as("embedding"))
+          .select(
+            col("doc_id"),
+            size(col("embedding")).cast("long").as("dim"),
+            floorRound(l2Norm(col("embedding")), 6).as("norm"),
+            floorRound(array_max(col("embedding")), 6).as("max_component"))
+          .orderBy("doc_id")
+      },
+      None),
   )
 }

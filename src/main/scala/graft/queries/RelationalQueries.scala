@@ -195,5 +195,37 @@ object RelationalQueries {
              |  FROM customer) c
              |JOIN nation ON c.c_nationkey = n_nationkey
              |WHERE rn <= 3 ORDER BY n_name, rn""".stripMargin)),
+
+    "q33_setops" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val big  = o.filter(col("o_totalprice") > 400000).select(col("o_custkey").as("c_custkey"))
+        val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+        val low  = o.filter(col("o_totalprice") < 50000).select(col("o_custkey").as("c_custkey"))
+        big.union(auto).distinct().except(low).orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM (
+             |  SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+             |  UNION
+             |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+             |  EXCEPT
+             |  SELECT o_custkey FROM orders WHERE o_totalprice < 50000)
+             |ORDER BY 1""".stripMargin)),
+
+    "q34_cube_revenue" -> Q(
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(fr(sum(revenue), 2).as("revenue"), count(lit(1)).as("n"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+            col("revenue"), col("n"))
+          .orderBy("returnflag", "linestatus")
+      },
+      Some(s"""SELECT coalesce(l_returnflag,'ALL') AS returnflag, coalesce(l_linestatus,'ALL') AS linestatus,
+             |  ${frs(revenueSql, 2)} AS revenue, count(*) AS n
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY 1,2""".stripMargin)),
   )
 }
