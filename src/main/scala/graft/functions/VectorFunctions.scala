@@ -19,9 +19,26 @@ import org.apache.spark.sql.functions._
   * computing in double.
   */
 object VectorFunctions {
+  import graft.functions.expressions.{CosineSimilarity, DotProduct}
+  import org.apache.spark.sql.{GraftSqlBridge => ExpressionUtils}
 
   /** Cast an array column to array<double> for numerically stable math. */
   def asDouble(a: Column): Column = a.cast("array<double>")
+
+  /** Fused single-pass dot product (native codegen Expression — no
+    * intermediate array per pair, unlike the HOF form). Bit-identical to
+    * [[dot]].
+    */
+  def dotFused(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(
+      ExpressionUtils.expression(asDouble(a)), ExpressionUtils.expression(asDouble(b))))
+
+  /** Fused single-pass cosine (native codegen Expression). Bit-identical to
+    * [[cosine]] — same accumulation order, `dot/(sqrt(na)*sqrt(nb))`.
+    */
+  def cosineFused(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSimilarity(
+      ExpressionUtils.expression(asDouble(a)), ExpressionUtils.expression(asDouble(b))))
 
   /** Sequential left-to-right dot product — deterministic accumulation order
     * (matters for float-exact oracle comparison).
@@ -54,7 +71,7 @@ object VectorFunctions {
     */
   def cosineFromNormSq(a: Column, b: Column, nsqA: Column, nsqB: Column): Column = {
     val np = sqrt(nsqA) * sqrt(nsqB)
-    when(np =!= 0.0, dot(a, b) / np)
+    when(np =!= 0.0, dotFused(a, b) / np)
   }
 
   def euclidean(a: Column, b: Column): Column = {

@@ -42,6 +42,26 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("fused kernels are bit-identical to the HOF forms") {
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(100)((Array.fill(64)(rnd.nextGaussian()), Array.fill(64)(rnd.nextGaussian())))
+    val d = rows.toDF("a", "b")
+    val cmp = d.select(
+      cosine($"a", $"b").as("c_hof"), cosineFused($"a", $"b").as("c_fused"),
+      dot($"a", $"b").as("d_hof"), dotFused($"a", $"b").as("d_fused")).collect()
+    cmp.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1)) // exact, not approx
+      assert(r.getDouble(2) === r.getDouble(3))
+    }
+  }
+
+  test("fused kernels: null on length mismatch, null on zero norm") {
+    val d = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0), Array(0.0, 0.0)))
+      .toDF("a", "b", "z")
+    val r = d.select(cosineFused($"a", $"b"), cosineFused($"a", $"z"), dotFused($"a", $"b")).head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("euclidean distance") {
     val r = df.filter($"id" === 1).select(euclidean($"a", $"b")).head.getDouble(0)
     assert(math.abs(r - math.sqrt(2)) < 1e-12)
