@@ -74,5 +74,27 @@ object EventQueries {
              |  UNION ALL
              |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events)
              |GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    "q36_sessionize" -> Q(
+      (s, dir) => graft.streaming.Sessionize.batch(s, dir, gapMinutes = 30),
+      Some(SessionizeOracle)),
   )
+
+  /** Mirror of Sessionize.batch: 30-minute gap sessions via lag + running sum. */
+  val SessionizeOracle: String =
+    """WITH e AS (SELECT user_id, ts, event_id, epoch_us(ts) AS us FROM events),
+      |g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+      |      THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+      |  FROM g)
+      |SELECT user_id, sess_id, count(*) AS n_events,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+      |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 }

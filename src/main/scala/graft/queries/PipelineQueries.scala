@@ -58,6 +58,12 @@ object PipelineQueries {
              |WHERE s.mtime > coalesce(c.last_edit_time, 0)
              |ORDER BY s.key""".stripMargin)),
 
+    // Stateful streaming sessionization (flatMapGroupsWithState, AvailableNow)
+    // — same oracle as the batch q36: the streaming result must equal it.
+    "q37_stream_sessions" -> Q(
+      (s, dir) => graft.streaming.Sessionize.streaming(s, dir, gapMinutes = 30),
+      Some(EventQueries.SessionizeOracle)),
+
     "q31_stream_monthly" -> Q(
       (s, dir) => StreamingAgg.monthlyOrderStats(s, dir),
       Some(s"""SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
