@@ -1,0 +1,29 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table helpers: pre-shuffle data once at write time so repeated
+  * joins/aggregations on the bucket key run shuffle-free. At 100 TB this is
+  * the difference between re-shuffling a fact table per query and reading
+  * co-located buckets.
+  */
+object Bucketing {
+
+  /** Persist `df` as a bucketed (+ sorted) managed parquet table. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
+  /** True when the physical plan of `df` contains no shuffle exchange —
+    * the property bucketed co-located joins buy.
+    */
+  def isShuffleFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("ShuffleExchange") &&
+      !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+}
