@@ -9,14 +9,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Persist `df` as a bucketed (+ sorted) managed parquet table. */
+  /** Persist `df` as a bucketed (+ sorted) managed parquet table. Drops any
+    * previous table AND its leftover warehouse location (an in-memory catalog
+    * from a prior JVM forgets the table but leaves the files, which
+    * saveAsTable then refuses to overwrite).
+    */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath.stripSuffix("/") + "/" + table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+  }
 
   /** True when the physical plan of `df` contains no shuffle exchange —
     * the property bucketed co-located joins buy.
