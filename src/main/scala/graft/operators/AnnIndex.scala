@@ -59,6 +59,54 @@ object AnnIndex {
       .orderBy(col(qIdCol), col("rn"))
   }
 
+  /** IVF (inverted-file) ANN: corpus is partitioned into `nlist` coarse cells
+    * (nearest deterministic centroid); a query scores only the `nprobe`
+    * nearest cells' members. Next to the hyperplane LSH variant this is the
+    * other classic ANN scale path: candidate selection is an equi-join on the
+    * cell id, per-query work O(n · nprobe / nlist).
+    *
+    * Coarse centroids are the `nlist` lowest-id corpus vectors (deterministic,
+    * no iterative training — a k-means refinement would slot in here without
+    * changing the query plan). Cell assignment uses
+    * argmin(|c|² − 2·v·c) ≡ argmin squared-L2, computed as `nlist` fused dot
+    * products per row, map-only.
+    */
+  def ivfTopK(queries: DataFrame, qIdCol: String, qVecCol: String,
+              corpus: DataFrame, cIdCol: String, cVecCol: String,
+              k: Int, nlist: Int, nprobe: Int, roundTo: Int = 6): DataFrame = {
+    import graft.functions.VectorFunctions.dotFused
+    require(nprobe <= nlist, "nprobe must be <= nlist")
+    val cents: Array[(Int, Seq[Double])] = corpus
+      .select(col(cIdCol), asDouble(col(cVecCol)).as("v"))
+      .orderBy(col(cIdCol)).limit(nlist)
+      .collect().zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) }
+
+    def centLit(c: Seq[Double]): Column = array(c.map(lit): _*)
+    def cellScores(vec: Column): Column = array(cents.map { case (i, c) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dotFused(vec, centLit(c))).as("d"), lit(i).as("i"))
+    }: _*)
+    def cellOf(vec: Column): Column = array_min(cellScores(vec)).getField("i")
+
+    val cb = corpus
+      .withColumn("__cell", cellOf(col(cVecCol)))
+      .withColumn("__nsq_c", l2NormSq(col(cVecCol)))
+    val qb = queries
+      .withColumn("__probe", explode(slice(sort_array(cellScores(col(qVecCol))), 1, nprobe)))
+      .withColumn("__cell", col("__probe.i"))
+      .withColumn("__nsq_q", l2NormSq(col(qVecCol)))
+      .drop("__probe")
+    val scored = cb.join(broadcast(qb), Seq("__cell"))
+      .filter(col(qIdCol) =!= col(cIdCol))
+      .withColumn("score", floorRound(
+        cosineFromNormSq(col(qVecCol), col(cVecCol), col("__nsq_q"), col("__nsq_c")), roundTo))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(desc("score"), col(cIdCol))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(qIdCol), col(cIdCol), col("score"), col("rn"))
+      .orderBy(col(qIdCol), col("rn"))
+  }
+
   /** Near-duplicate pairs by embedding cosine >= threshold, LSH-bucketed
     * candidates (same-bucket only). The embedding-space analog of
     * [[Dedup.minhashLshPairs]].

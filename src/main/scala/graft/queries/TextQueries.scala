@@ -167,6 +167,21 @@ object TextQueries {
         shingleSize = 3, numHashes = 32, bands = 16, threshold = JaccardThreshold),
       None),
 
+    // Chunking — the reference's acknowledged TODO (main.py:177): long docs
+    // become overlapping 64-token windows (stride 48). Map-only explode.
+    "q38_chunk_documents" -> Q(
+      (s, dir) => graft.operators.Chunker.chunk(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 64, overlap = 16).orderBy("doc_id", "chunk_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |c AS (SELECT doc_id, toks,
+             |  unnest(generate_series(0,
+             |    CAST(floor((greatest(0, len(toks)-64) + 47) / CAST(48 AS DOUBLE)) AS BIGINT))) AS chunk_id
+             |  FROM t)
+             |SELECT doc_id, chunk_id,
+             |  array_to_string(toks[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text,
+             |  CAST(len(toks[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT) AS n_tokens
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // SimHash near-dup: 64-bit signature; pairs within hamming distance 8 via
     // band-bucket candidates (4x16-bit bands => guaranteed recall for d<=3,
     // heuristic beyond). Rows-only (xxhash64-based).

@@ -98,6 +98,41 @@ object VectorQueries {
       },
       None),
 
+    // Exact all-pairs cosine >= threshold on a fixed-size sample — the oracle
+    // anchor for embedding-space near-dup (q28 is the LSH scale path).
+    "q39_cosine_pairs_exact" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 500)
+          .select(col("vec_id"), col("embedding"))
+          .withColumn("__nsq", l2NormSq(col("embedding")))
+        val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"), col("__nsq").as("__nsq_a"))
+        val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"), col("__nsq").as("__nsq_b"))
+        a.join(b, col("id_a") < col("id_b"))
+          .withColumn("score", fr(cosineFromNormSq(col("vec_a"), col("vec_b"), col("__nsq_a"), col("__nsq_b")), 6))
+          .filter(col("score") >= 0.2)
+          .select("id_a", "id_b", "score")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  ${frs("list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])", 6)} AS score
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE a.vec_id < 500 AND b.vec_id < 500
+             |  AND ${frs("list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])", 6)} >= 0.2
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // IVF ANN: coarse-quantized candidate cells, nprobe-cell probing. The
+    // second classic ANN scale path next to hyperplane LSH (q27). Rows-only.
+    "q40_ann_ivf_topk" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        AnnIndex.ivfTopK(queries, "q_id", "q_vec",
+          emb.select(col("vec_id").as("c_id"), col("embedding")), "c_id", "embedding",
+          k = 3, nlist = 16, nprobe = 4)
+      },
+      None),
+
     // Embedding-cosine near-dup pairs (LSH candidates). Rows-only.
     // Threshold is fixture-calibrated: the synthetic embeddings are random
     // (max pairwise cosine ~0.4), so 0.2 plays the role 0.95 would on a real
