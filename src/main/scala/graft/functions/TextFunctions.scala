@@ -128,9 +128,11 @@ object TextFunctions {
     * Spark-only (not SQL-oracle-expressible) — the LSH *candidates* are
     * verified with exact [[jaccard]], which is.
     */
-  def minhashSignatureFromHashes(hashes: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(j =>
-      array_min(transform(hashes, h => xxhash64(lit(j), h)))): _*)
+  def minhashSignatureFromHashes(hashes: Column, numHashes: Int): Column = {
+    import graft.functions.expressions.MinHashSignature
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    B.column(MinHashSignature(B.expression(hashes), numHashes))
+  }
 
   def minhashSignature(shingleSet: Column, numHashes: Int): Column =
     minhashSignatureFromHashes(shingleHashes(shingleSet), numHashes)

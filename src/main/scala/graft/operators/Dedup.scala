@@ -32,16 +32,30 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Shingle sets represented by their 64-bit hashes: Jaccard over the hash
-    * sets equals string-set Jaccard up to 64-bit collisions (≈1e-11 across a
-    * 5k-doc corpus), and per-pair intersection over longs is ~10× cheaper
-    * than over strings — the dominant cost of pair verification.
+  /** Shingle sets represented by their SORTED 64-bit hashes: Jaccard over the
+    * hash sets equals string-set Jaccard up to 64-bit collisions (≈1e-11
+    * across a 5k-doc corpus). Sorting once per row lets every pair use the
+    * allocation-free merge-walk kernel
+    * [[graft.functions.expressions.SortedIntersectionCount]] instead of a
+    * hash-set build per pair — the dominant cost of pair verification.
     */
   private def withShingles(df: DataFrame, idCol: String, textCol: String, n: Int) =
     df.select(col(idCol), shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("hs", shingleHashes(col("sh")))
+      .withColumn("hs", sort_array(shingleHashes(col("sh"))))
       .drop("sh")
+
+  /** Jaccard over sorted hash arrays via the fused merge-walk kernel; same
+    * integer inter/union counts as [[graft.functions.TextFunctions.jaccard]],
+    * so oracle parity is unchanged.
+    */
+  private def jaccardSorted(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    import graft.functions.expressions.SortedIntersectionCount
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    val inter = B.column(SortedIntersectionCount(B.expression(a), B.expression(b))).cast("double")
+    val uni   = (size(a) + size(b)).cast("double") - inter
+    when(uni > 0, inter / uni).otherwise(lit(0.0))
+  }
 
   /** All pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
     * O(n²) — exact verifier for small corpora; see [[minhashLshPairs]] for
@@ -56,7 +70,7 @@ object Dedup {
     val a  = sh.select(col(idCol).as("id_a"), col("hs").as("hs_a"))
     val b  = sh.select(col(idCol).as("id_b"), col("hs").as("hs_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("jac", floorRound(jaccard(col("hs_a"), col("hs_b")), 4))
+      .withColumn("jac", floorRound(jaccardSorted(col("hs_a"), col("hs_b")), 4))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
       .orderBy("id_a", "id_b")
@@ -88,7 +102,7 @@ object Dedup {
     cand
       .join(sig.select(col(idCol).as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
       .join(sig.select(col(idCol).as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
-      .withColumn("jac", floorRound(jaccard(col("hs_a"), col("hs_b")), 4))
+      .withColumn("jac", floorRound(jaccardSorted(col("hs_a"), col("hs_b")), 4))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
       .orderBy("id_a", "id_b")
