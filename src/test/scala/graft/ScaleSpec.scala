@@ -30,6 +30,19 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     assert(top.getLong(0) === 1L && top.getLong(1) === 900L)
   }
 
+  test("partitioned sink: filters prune partitions at the scan") {
+    import graft.sources.PartitionedSink
+    val out = java.nio.file.Files.createTempDirectory("graft_part").resolve("events").toString
+    PartitionedSink.writePartitioned(
+      Tables.events(spark, sfDir).select("event_id", "user_id", "value", "event_type"),
+      out, Seq("event_type"))
+    val pruned = spark.read.parquet(out).filter(col("event_type") === "error")
+    assert(PartitionedSink.isPartitionPruned(pruned),
+      pruned.queryExecution.executedPlan.toString.take(2000))
+    val want = Tables.events(spark, sfDir).filter(col("event_type") === "error").count()
+    assert(pruned.count() === want)
+  }
+
   test("bucketed co-located join plans without a shuffle") {
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice")
     val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
