@@ -37,7 +37,8 @@ final class Sync(
     val guarded = delta.withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
     val ok      = guarded.filter(col("n_tokens") < maxTokens)
     val changed = delta.count()
-    val tooLong = changed - ok.count()
+    val okCount = ok.count()
+    val tooLong = changed - okCount
 
     if (changed == 0 || dryRun) { // empty-delta early exit (main.py:149-151)
       delta.unpersist()
@@ -50,9 +51,8 @@ final class Sync(
       map().cast("map<string,string>").as("metadata"), // reference metadata is always {}
       col("mtime").as("version"))
     index.upsert(vectors)                   // action 1: index first …
-    val indexed = ok.count()
     state.write(scan.select(col("path"), col("mtime").as("last_edit_time")))
     delta.unpersist()                       // … action 2: cache snapshot after
-    Report(scanned, changed, tooLong, indexed, dryRun)
+    Report(scanned, changed, tooLong, okCount, dryRun)
   }
 }
