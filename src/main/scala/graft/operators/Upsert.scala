@@ -20,6 +20,9 @@ object Upsert {
     * base on equal version — `INSERT OR REPLACE` semantics).
     *
     * Both inputs must share a schema containing `keyCols` + `versionCol`.
+    * Determinism contract: within each input, (key, version) pairs must be
+    * unique — two updates for the same key at the same version have no
+    * defined winner (same as any last-writer-wins store).
     */
   def merge(base: DataFrame, updates: DataFrame,
             keyCols: Seq[String], versionCol: String): DataFrame = {

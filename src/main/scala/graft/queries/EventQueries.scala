@@ -75,6 +75,32 @@ object EventQueries {
              |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events)
              |GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
 
+    // Conversion funnel: users whose first purchase follows their first
+    // signup. min-over-conditional + count aggregation; single-row output.
+    "q42_funnel" -> Q(
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+          .agg(
+            count(col("first_signup")).as("n_signup"),
+            count(when(col("first_purchase") > col("first_signup"), lit(1))).as("n_converted"))
+          .select(col("n_signup"), col("n_converted"),
+            fr(col("n_converted").cast("double") / col("n_signup").cast("double"), 4).as("conversion"))
+      },
+      Some(s"""SELECT n_signup, n_converted,
+             |  ${frs("CAST(n_converted AS DOUBLE) / CAST(n_signup AS DOUBLE)", 4)} AS conversion
+             |FROM (
+             |  SELECT count(first_signup) AS n_signup,
+             |    count(CASE WHEN first_purchase > first_signup THEN 1 END) AS n_converted
+             |  FROM (
+             |    SELECT user_id,
+             |      min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+             |      min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+             |    FROM events GROUP BY 1))""".stripMargin)),
+
     "q36_sessionize" -> Q(
       (s, dir) => graft.streaming.Sessionize.batch(s, dir, gapMinutes = 30),
       Some(SessionizeOracle)),

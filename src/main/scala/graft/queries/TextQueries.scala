@@ -167,6 +167,41 @@ object TextQueries {
         shingleSize = 3, numHashes = 32, bands = 16, threshold = JaccardThreshold),
       None),
 
+    // Corpus TF-IDF: top-5 terms per language by tf·ln(N/df). Exact integer
+    // tf/df/N feed identical double math in both engines => floorRound-stable.
+    "q41_tfidf_top_terms" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs  = Tables.documents(s, dir)
+        val terms = docs.select(col("lang"), col("doc_id"), explode(tokens(col("text"))).as("term"))
+        val tf    = terms.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+        val df_   = terms.distinct().groupBy("lang", "term").agg(count(lit(1)).as("df"))
+        val nDocs = docs.groupBy("lang").agg(countDistinct("doc_id").as("n_docs"))
+        val scored = tf.join(df_, Seq("lang", "term")).join(broadcast(nDocs), Seq("lang"))
+          .withColumn("score", fr(col("tf").cast("double") *
+            log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+        val w = Window.partitionBy("lang").orderBy(desc("score"), col("term"))
+        scored.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select("lang", "term", "tf", "df", "score", "rn")
+          .orderBy("lang", "rn")
+      },
+      Some(s"""WITH terms AS (
+             |  SELECT lang, doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+             |tf AS (SELECT lang, term, count(*) AS tf FROM terms GROUP BY 1,2),
+             |df AS (SELECT lang, term, count(*) AS df
+             |       FROM (SELECT DISTINCT lang, doc_id, term FROM terms) GROUP BY 1,2),
+             |nd AS (SELECT lang, count(DISTINCT doc_id) AS n_docs FROM documents GROUP BY 1),
+             |scored AS (
+             |  SELECT tf.lang, tf.term, tf.tf, df.df,
+             |    ${frs("CAST(tf.tf AS DOUBLE) * ln(CAST(nd.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))", 6)} AS score
+             |  FROM tf JOIN df ON tf.lang = df.lang AND tf.term = df.term
+             |  JOIN nd ON tf.lang = nd.lang)
+             |SELECT lang, term, tf, df, score, rn FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rn
+             |  FROM scored)
+             |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin)),
+
     // Chunking — the reference's acknowledged TODO (main.py:177): long docs
     // become overlapping 64-token windows (stride 48). Map-only explode.
     "q38_chunk_documents" -> Q(
