@@ -81,6 +81,22 @@ object PipelineQueries {
              |    (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Deletion propagation (the reference never deletes — SURVEY §2.7): cache
+    // entries whose source row vanished, via left-anti join.
+    "q43_deleted_tombstones" -> Q(
+      (s, dir) => {
+        val scan = Tables.orders(s, dir).filter(col("o_orderkey") % 5 =!= 0)
+          .select(col("o_orderkey").as("key"))
+        val cache = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("key"), unix_timestamp(col("o_orderdate")).as("last_edit_time"))
+        Delta.deleted(scan, cache, keyCol = "key").orderBy("key")
+      },
+      Some("""SELECT o_orderkey AS key, CAST(epoch(o_orderdate) AS BIGINT) AS last_edit_time
+             |FROM orders c
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM orders s WHERE s.o_orderkey = c.o_orderkey AND s.o_orderkey % 5 <> 0)
+             |ORDER BY 1""".stripMargin)),
+
     // The reference's embed step (main.py:180-183) as a batch query: the
     // pluggable HashingEmbedder over the document corpus. xxhash64-based =>
     // rows-only check; dimension/normalization invariants are unit-tested.
