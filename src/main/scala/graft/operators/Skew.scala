@@ -23,6 +23,12 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, keyCol: String,
                  salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt > 0, "salt must be positive")
+    // right rows are replicated `salt` times, so only left-preserving join
+    // types are sound — an unmatched right row would surface once per replica
+    val ok = Set("inner", "cross", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
+    require(ok.contains(joinType.toLowerCase.replace("_", "")) ||
+            ok.contains(joinType.toLowerCase),
+      s"saltedJoin supports left-preserving join types only, got $joinType")
     // deterministic scatter: hash of the whole left row, not rand() — keeps
     // results reproducible run to run
     val leftSalted = left.withColumn("__salt",

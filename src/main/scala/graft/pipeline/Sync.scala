@@ -32,8 +32,13 @@ final class Sync(
     val index = new VectorIndex(indexPath, embedder.dim)
 
     val scan = FileScan.scan(spark, rootDir, pathRegex)
+    // snapshot (path, mtime) ONCE: the state write below must record the
+    // mtimes this run actually saw — re-listing at write time could record a
+    // newer mtime for content that was embedded from the earlier read,
+    // silently losing that edit on the next run
+    val scanMeta = scan.select("path", "mtime").cache()
+    val scanned  = scanMeta.count() // materializes the snapshot
     val delta = Delta.changed(scan, state.read(spark)).cache() // two consumers
-    val scanned = scan.count()
     val guarded = delta.withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
     val ok      = guarded.filter(col("n_tokens") < maxTokens)
     val changed = delta.count()
@@ -41,7 +46,7 @@ final class Sync(
     val tooLong = changed - okCount
 
     if (changed == 0 || dryRun) { // empty-delta early exit (main.py:149-151)
-      delta.unpersist()
+      delta.unpersist(); scanMeta.unpersist()
       return Report(scanned, changed, tooLong, 0, dryRun)
     }
 
@@ -51,8 +56,14 @@ final class Sync(
       map().cast("map<string,string>").as("metadata"), // reference metadata is always {}
       col("mtime").as("version"))
     index.upsert(vectors)                   // action 1: index first …
-    state.write(scan.select(col("path"), col("mtime").as("last_edit_time")))
-    delta.unpersist()                       // … action 2: cache snapshot after
+    // … action 2: cache snapshot after — from the cached scan snapshot, minus
+    // too-long documents, so skipped docs resurface (and are re-reported) on
+    // every run instead of being silently dropped forever
+    val tooLongPaths = guarded.filter(col("n_tokens") >= maxTokens).select("path")
+    state.write(
+      scanMeta.join(tooLongPaths, Seq("path"), "left_anti")
+        .select(col("path"), col("mtime").as("last_edit_time")))
+    delta.unpersist(); scanMeta.unpersist()
     Report(scanned, changed, tooLong, okCount, dryRun)
   }
 }

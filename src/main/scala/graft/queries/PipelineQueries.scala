@@ -70,6 +70,9 @@ object PipelineQueries {
              |  ${graft.functions.MathFunctions.floorRoundSql("sum(o_totalprice)", 2)} AS total
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // NOTE: the stub checksum folds UTF-8 BYTES while the oracle folds ascii
+    // codepoints — equivalent only because the fixture corpus is pure ASCII
+    // (verified); a multi-byte fixture would need a byte-level oracle.
     "q32_multimodal_meta" -> Q(
       (s, dir) => Multimodal.extractMeta(s, Tables.documents(s, dir)).orderBy("doc_id"),
       Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -29,12 +29,15 @@ object Bucketing {
       .saveAsTable(table)
   }
 
-  /** True when the physical plan of `df` contains no shuffle exchange —
-    * the property bucketed co-located joins buy.
+  /** True when the physical plan of `df` contains no shuffle exchange of any
+    * kind (hash, range, or single-partition) — the property bucketed
+    * co-located joins buy. Broadcast exchanges are not shuffles and are
+    * excluded.
     */
   def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("ShuffleExchange") &&
-      !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+    "(?<!Broadcast)Exchange".r
+      .findFirstIn(df.queryExecution.executedPlan.toString)
+      .isEmpty
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 }

@@ -72,7 +72,11 @@ object Sessionize {
         (uid: Long, events: Iterator[SessionEvent], state: GroupState[SessionState]) => {
           val sdf = new java.text.SimpleDateFormat(fmt)
           sdf.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
-          val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          // full-microsecond epoch (getTime alone is ms-truncated — the batch
+          // form compares unix_micros, so the gap test must too)
+          def micros(t: Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           val first  = state.getOption.map(_.nextSessionId).getOrElse(1L)
           var sessId = first
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Timestamp, Timestamp)]
@@ -82,7 +86,7 @@ object Sessionize {
             sessId += 1; cur = scala.collection.mutable.ArrayBuffer.empty[SessionEvent]
           }
           sorted.foreach { e =>
-            if (cur.nonEmpty && (e.ts.getTime - cur.last.ts.getTime) * 1000L > gapUs) flush()
+            if (cur.nonEmpty && micros(e.ts) - micros(cur.last.ts) > gapUs) flush()
             cur += e
           }
           flush()

@@ -108,7 +108,12 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     Files.writeString(root.resolve("ok.md"), "short doc")
     val state = Files.createTempDirectory("graft_s2").resolve("state").toString
     val index = Files.createTempDirectory("graft_i2").resolve("index").toString
-    val r = new Sync(root.toString, state, index, HashingEmbedder(8)).run(spark)
+    val sync = new Sync(root.toString, state, index, HashingEmbedder(8))
+    val r = sync.run(spark)
     assert(r.changed === 2 && r.skippedTooLong === 1 && r.indexed === 1)
+    // skipped docs are excluded from the state snapshot, so they resurface
+    // (and are re-reported) on every run rather than vanishing silently
+    val r2 = sync.run(spark)
+    assert(r2.changed === 1 && r2.skippedTooLong === 1 && r2.indexed === 0)
   }
 }
