@@ -120,6 +120,55 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** The corpus-level dedup a training pipeline actually applies: drop every
+    * document that near-duplicates an earlier (lower-id) one. Policy matches
+    * the common greedy "keep first occurrence" rule: a doc survives iff it is
+    * not the higher-id member of any near-dup pair.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int, numHashes: Int, bands: Int,
+                         threshold: Double): DataFrame = {
+    val dupIds = minhashLshPairs(df, idCol, textCol, shingleSize, numHashes, bands, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  /** Near-dup clusters via iterative min-label propagation over the pair
+    * graph (connected components). Each iteration joins the current labels
+    * across edges and takes the min — converges in O(diameter) rounds;
+    * `maxIter` bounds runaway graphs. Returns (id, cluster) where cluster is
+    * the minimum member id of the component.
+    *
+    * At scale each round is one shuffle join on id; checkpointing every few
+    * rounds would truncate lineage for very deep graphs.
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected edge list (both directions) from (id_a, id_b) pairs
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("cluster"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .filter(col("cluster") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** SimHash near-dup pairs within `maxHamming` bits, candidates via 4×16-bit
     * band buckets.
     */

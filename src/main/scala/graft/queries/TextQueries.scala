@@ -217,6 +217,40 @@ object TextQueries {
              |  CAST(len(toks[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT) AS n_tokens
              |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // Corpus-level dedup: documents surviving greedy keep-first near-dup
+    // removal. Exact-pair semantics on the fixed sample => oracle-checkable.
+    "q44_dedup_corpus" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).filter(col("doc_id") < ExactPairSample)
+        val dupIds = Dedup.jaccardPairsExact(docs, "doc_id", "text", 3, JaccardThreshold)
+          .select(col("id_b").as("doc_id")).distinct()
+        docs.join(dupIds, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    generate_series(1, greatest(len(toks)-2, 0)),
+             |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+             |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+             |        WHERE doc_id < $ExactPairSample)),
+             |dups AS (
+             |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE ${frs("""CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)""".stripMargin, 4)} >= $JaccardThreshold)
+             |SELECT doc_id, lang, source, n_chars FROM documents
+             |WHERE doc_id < $ExactPairSample AND doc_id NOT IN (SELECT doc_id FROM dups)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Full-corpus LSH variant of the same policy (rows-only; recall bounded
+    // by the banding scheme, exact policy verified by q44).
+    "q45_dedup_corpus_lsh" -> Q(
+      (s, dir) => Dedup.dropNearDuplicates(Tables.documents(s, dir), "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 16, threshold = JaccardThreshold)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+      None),
+
     // SimHash near-dup: 64-bit signature; pairs within hamming distance 8 via
     // band-bucket candidates (4x16-bit bands => guaranteed recall for d<=3,
     // heuristic beyond). Rows-only (xxhash64-based).

@@ -66,6 +66,19 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
   }
 
+  test("dropNearDuplicates keeps first occurrence, drops later near-dups") {
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text", 3, 32, 16, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.contains(1L) && kept.contains(4L))
+    assert(!kept.contains(2L)) // exact dup of 1
+  }
+
+  test("clusters: min-label connected components over the pair graph") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   // ---- TopK ----
 
   private lazy val corpus = Seq(
