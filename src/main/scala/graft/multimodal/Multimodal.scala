@@ -12,6 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class MediaRecord(doc_id: Long, data: Array[Byte])
 final case class MediaMeta(doc_id: Long, n_bytes: Long, fake_width: Long,
                            fake_height: Long, checksum: Long)
+final case class MediaFrame(doc_id: Long, frame_id: Long, n_bytes: Long, checksum: Long)
 
 object Multimodal {
 
@@ -32,6 +33,26 @@ object Multimodal {
     docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("binary").as("data"))
       .as[MediaRecord]
       .mapPartitions(_.map(decodeStub))
+      .toDF()
+  }
+
+  /** Frame sampling: split each media blob into fixed-size byte frames (the
+    * video/audio analog of text chunking) — one output row per frame with a
+    * per-frame checksum. Explodes inside the partition iterator; no driver
+    * collect, no shuffle.
+    */
+  def sampleFrames(spark: SparkSession, docs: DataFrame, frameBytes: Int,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    require(frameBytes > 0)
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("binary").as("data"))
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        r.data.grouped(frameBytes).zipWithIndex.map { case (frame, i) =>
+          val checksum = frame.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+          MediaFrame(r.doc_id, i.toLong, frame.length.toLong, checksum)
+        }
+      })
       .toDF()
   }
 }

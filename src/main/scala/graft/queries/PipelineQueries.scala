@@ -100,6 +100,24 @@ object PipelineQueries {
              |  SELECT 1 FROM orders s WHERE s.o_orderkey = c.o_orderkey AND s.o_orderkey % 5 <> 0)
              |ORDER BY 1""".stripMargin)),
 
+    // Frame sampling over media blobs: 256-byte frames + per-frame rolling
+    // checksum. Oracle mirrors via substr windows over the (ASCII) text.
+    "q46_media_frames" -> Q(
+      (s, dir) => Multimodal.sampleFrames(s, Tables.documents(s, dir), frameBytes = 256)
+        .orderBy("doc_id", "frame_id"),
+      Some("""WITH f AS (
+             |  SELECT doc_id, text,
+             |    unnest(generate_series(0,
+             |      CAST(floor((length(text)-1) / CAST(256 AS DOUBLE)) AS BIGINT))) AS frame_id
+             |  FROM documents)
+             |SELECT doc_id, frame_id,
+             |  CAST(length(substr(text, CAST(frame_id*256+1 AS INTEGER), 256)) AS BIGINT) AS n_bytes,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(generate_series(1, length(substr(text, CAST(frame_id*256+1 AS INTEGER), 256))),
+             |      i -> CAST(ascii(substr(substr(text, CAST(frame_id*256+1 AS INTEGER), 256), CAST(i AS INTEGER), 1)) AS BIGINT))),
+             |    (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum
+             |FROM f ORDER BY doc_id, frame_id""".stripMargin)),
+
     // The reference's embed step (main.py:180-183) as a batch query: the
     // pluggable HashingEmbedder over the document corpus. xxhash64-based =>
     // rows-only check; dimension/normalization invariants are unit-tested.

@@ -196,6 +196,19 @@ object RelationalQueries {
              |JOIN nation ON c.c_nationkey = n_nationkey
              |WHERE rn <= 3 ORDER BY n_name, rn""".stripMargin)),
 
+    "q35b_median_acctbal" -> Q(
+      (s, dir) => {
+        Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n"),
+            fr(median(col("c_acctbal")), 4).as("median_bal"))
+          .orderBy("n_name")
+      },
+      Some(s"""SELECT n_name, count(*) AS n, ${frs("median(c_acctbal)", 4)} AS median_bal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     "q33_setops" -> Q(
       (s, dir) => {
         val o = Tables.orders(s, dir)
