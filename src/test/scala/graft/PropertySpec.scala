@@ -1,0 +1,92 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.operators.Upsert
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generative properties (SURVEY §5.3): ScalaCheck generators feed batches
+  * evaluated in single Spark jobs — one job per property, not per case.
+  */
+class PropertySpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    Iterator.iterate((Seed(seed), Option.empty[A])) { case (s, _) =>
+      val (v, s2) = (g.apply(Gen.Parameters.default, s), s.next)
+      (s2, v)
+    }.drop(1).take(n * 2).flatMap(_._2).take(n).toSeq
+
+  private val vecGen = Gen.listOfN(16, Gen.chooseNum(-10.0, 10.0))
+
+  test("property: cosine ∈ [-1,1], cos(v,v)=1, symmetry; euclidean symmetry + identity") {
+    val pairs = sample(Gen.zip(vecGen, vecGen), 200, 11L)
+    val df = pairs.map { case (a, b) => (a.toArray, b.toArray) }.toDF("a", "b")
+    val rows = df.select(
+      cosine($"a", $"b").as("cab"), cosine($"b", $"a").as("cba"),
+      cosine($"a", $"a").as("self"),
+      euclidean($"a", $"b").as("dab"), euclidean($"b", $"a").as("dba"),
+      euclidean($"a", $"a").as("dself")).collect()
+    rows.foreach { r =>
+      val (cab, cba) = (r.getDouble(0), r.getDouble(1))
+      assert(cab >= -1.0 - 1e-9 && cab <= 1.0 + 1e-9)
+      assert(math.abs(cab - cba) < 1e-12)
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+      assert(math.abs(r.getDouble(3) - r.getDouble(4)) < 1e-12)
+      assert(r.getDouble(5) === 0.0)
+    }
+  }
+
+  test("property: jaccard symmetry, bounds, identity") {
+    val setGen = Gen.listOf(Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(4))).map(_.distinct)
+    val pairs  = sample(Gen.zip(setGen, setGen), 200, 17L)
+    val df = pairs.map { case (a, b) => (a, b) }.toDF("a", "b")
+    val rows = df.select(
+      jaccard($"a", $"b").as("jab"), jaccard($"b", $"a").as("jba"),
+      jaccard($"a", $"a").as("self"), size($"a").as("na")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+      if (r.getInt(3) > 0) assert(r.getDouble(2) === 1.0)
+    }
+  }
+
+  test("property: upsert idempotency and key uniqueness on generated tables") {
+    val rowGen = Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(-100.0, 100.0))
+    val baseRows = sample(rowGen, 80, 23L).zipWithIndex
+      .map { case ((k, v), i) => (s"k$k", v, 1L) }.distinctBy(_._1)
+    val updRows = sample(rowGen, 40, 29L)
+      .map { case (k, v) => (s"k$k", v, 2L) }.distinctBy(_._1)
+    val base = baseRows.toDF("id", "v", "version")
+    val upd  = updRows.toDF("id", "v", "version")
+    val once  = Upsert.merge(base, upd, Seq("id"), "version")
+    val twice = Upsert.merge(once, upd, Seq("id"), "version")
+    assert(once.orderBy("id").collect().toSeq === twice.orderBy("id").collect().toSeq)
+    assert(once.groupBy("id").count().filter($"count" > 1).count() === 0)
+    // every update key present with version 2
+    val got = once.filter($"version" === 2L).select("id").collect().map(_.getString(0)).toSet
+    assert(got === updRows.map(_._1).toSet)
+  }
+
+  test("property: rollingHash stays in [0, p) and is stable across evaluation") {
+    val textGen = Gen.listOf(Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(6))).map(_.mkString(" "))
+    val texts   = sample(textGen, 150, 31L).filter(_.nonEmpty)
+    val df = texts.toDF("text")
+    val a = df.select(rollingHash($"text")).collect().map(_.getLong(0))
+    val b = df.select(rollingHash($"text")).collect().map(_.getLong(0))
+    assert(a.toSeq === b.toSeq)
+    a.foreach(h => assert(h >= 0 && h < RollP))
+  }
+
+  test("property: incremental-scan invariant — second delta is empty") {
+    // the reference's core contract (main.py:149-151): no changes => no work
+    val rows = sample(Gen.zip(Gen.identifier.map(_.take(8)), Gen.chooseNum(1L, 1e9.toLong)), 100, 37L)
+      .distinctBy(_._1).map { case (p, m) => (p, m) }
+    val scan = rows.toDF("path", "mtime")
+    val afterSync = scan.select($"path", $"mtime".as("last_edit_time"))
+    assert(graft.pipeline.Delta.changed(scan, afterSync).count() === 0)
+  }
+}
