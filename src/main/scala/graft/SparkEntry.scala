@@ -22,7 +22,7 @@ object SparkEntry {
     val dir = "/root/testdata/sf0.001"
     val emb = Tables.embeddings(spark, dir)
     val qv = emb.filter(col("vec_id") === 0)
-      .select(VectorFunctions.asDouble(col("embedding"))).head.getSeq[Double](0)
+      .select(VectorFunctions.asDouble(col("embedding"))).head().getSeq[Double](0)
     TopK.topK(emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", qv, k = 10)
       .join(Tables.documents(spark, dir), col("vec_id") === col("doc_id"))
       .select(col("vec_id"), col("score"), col("lang"),

@@ -82,7 +82,7 @@ object AnnIndex {
       .collect().zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) }
 
     def centLit(c: Seq[Double]): Column = array(c.map(lit): _*)
-    def cellScores(vec: Column): Column = array(cents.map { case (i, c) =>
+    def cellScores(vec: Column): Column = array(cents.toSeq.map { case (i, c) =>
       val c2 = c.map(x => x * x).sum
       struct((lit(c2) - lit(2.0) * dotFused(vec, centLit(c))).as("d"), lit(i).as("i"))
     }: _*)

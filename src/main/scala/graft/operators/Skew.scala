@@ -32,7 +32,7 @@ object Skew {
     // deterministic scatter: hash of the whole left row, not rand() — keeps
     // results reproducible run to run
     val leftSalted = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(salt)).cast("int"))
+      pmod(xxhash64(left.columns.toSeq.map(col): _*), lit(salt)).cast("int"))
     val rightSalted = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     leftSalted.join(rightSalted, Seq(keyCol, "__salt"), joinType).drop("__salt")

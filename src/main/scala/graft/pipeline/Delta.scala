@@ -22,7 +22,7 @@ object Delta {
   def changed(scan: DataFrame, cache: DataFrame,
               keyCol: String = "path", mtimeCol: String = "mtime",
               cachedCol: String = "last_edit_time"): DataFrame = {
-    val scanCols = scan.columns.map(col)
+    val scanCols = scan.columns.toSeq.map(col)
     scan.join(cache.select(col(keyCol), col(cachedCol)), Seq(keyCol), "left_outer")
       .filter(col(mtimeCol) > coalesce(col(cachedCol), lit(0L)))
       .select(scanCols: _*)

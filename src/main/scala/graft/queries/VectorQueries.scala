@@ -38,7 +38,7 @@ object VectorQueries {
         val emb = Tables.embeddings(s, dir)
         // O(1) driver-side fetch of the query parameter (not a data-plane collect)
         val qv = emb.filter(col("vec_id") === 0)
-          .select(asDouble(col("embedding"))).head.getSeq[Double](0)
+          .select(asDouble(col("embedding"))).head().getSeq[Double](0)
         TopK.topK(emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", qv, k = 10)
           .select("vec_id", "label", "score")
       },
