@@ -101,6 +101,54 @@ object EventQueries {
              |      min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
              |    FROM events GROUP BY 1))""".stripMargin)),
 
+    // Range join: events falling inside 6-hour windows anchored at sampled
+    // events. Bin-bucketed equi-join (1-hour bins), exact filter after.
+    "q48_range_join" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val intervals = ev.filter(col("event_id") % 199 === 0)
+          .select(col("event_id").as("anchor_id"),
+            col("ts").as("win_start"),
+            (col("ts") + expr("INTERVAL 6 HOURS")).as("win_end"))
+        val pairs = graft.operators.RangeJoin.pointsInIntervals(
+          ev.select("event_id", "ts"), "ts",
+          intervals, "win_start", "win_end", binSeconds = 3600L)
+        pairs.groupBy("anchor_id")
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy("anchor_id")
+      },
+      Some("""SELECT anchor_id, count(*) AS n_events
+             |FROM (SELECT event_id AS anchor_id, ts AS win_start,
+             |        ts + INTERVAL 6 HOUR AS win_end
+             |      FROM events WHERE event_id % 199 = 0) i
+             |JOIN events e ON e.ts >= i.win_start AND e.ts < i.win_end
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // As-of join: each purchase matched to the user's most recent
+    // at-or-before signup. Spark side = union + single window (one shuffle);
+    // oracle = DuckDB's native ASOF LEFT JOIN.
+    "q47_asof_join" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id", "value")
+        val signups = ev.filter(col("event_type") === "signup")
+          .select("user_id", "ts", "event_id")
+        graft.operators.AsOfJoin.asOf(purchases, signups, "user_id", "ts", "ts",
+            rightCols = Seq("ts"), tieCol = "event_id")
+          .select(col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+            col("event_id"), col("value"),
+            date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+             |     s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup')
+             |SELECT p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+             |  p.event_id, p.value, strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts
+             |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+             |ORDER BY p.user_id, p.event_id""".stripMargin)),
+
     "q36_sessionize" -> Q(
       (s, dir) => graft.streaming.Sessionize.batch(s, dir, gapMinutes = 30),
       Some(SessionizeOracle)),

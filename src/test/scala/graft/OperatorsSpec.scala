@@ -101,6 +101,25 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(r.contains((2L, 1L, 1)))
   }
 
+  // ---- AsOfJoin ----
+
+  test("asOf: latest right row at-or-before each left row, per key") {
+    import graft.operators.AsOfJoin
+    val trades = Seq((1L, 10L, 100L, 9.0), (1L, 25L, 101L, 9.5), (2L, 3L, 102L, 1.0))
+      .toDF("k", "t", "id", "px")
+    val quotes = Seq((1L, 10L, 200L, 8.8), (1L, 20L, 201L, 9.2), (2L, 5L, 202L, 0.9))
+      .toDF("k", "t", "id", "bid")
+    val got = AsOfJoin.asOf(trades, quotes, "k", "t", "t", Seq("t", "bid"), "id")
+      .select("k", "t", "asof_t", "asof_bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+    assert(got === Set(
+      (1L, 10L, 10L, 8.8),  // inclusive: equal timestamp matches
+      (1L, 25L, 20L, 9.2),  // latest at-or-before
+      (2L, 3L, -1L, -1.0))) // no quote yet -> nulls
+  }
+
   // ---- AnnIndex ----
 
   test("ann buckets are deterministic and ann results are a subset of bucket-mates") {
