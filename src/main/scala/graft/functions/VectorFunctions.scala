@@ -86,6 +86,21 @@ object VectorFunctions {
     transform(ad, x => when(n > 0.0, x / n).otherwise(x))
   }
 
+  /** Symmetric int8 quantization: q_i = round(x_i / scale * 127) with
+    * scale = max|x| — the standard storage/bandwidth optimization for
+    * embedding tables (4x smaller than float32, 8x than float64). Rounding is
+    * the engine-stable floor form. Returns (scale, q) as two columns via the
+    * helpers below; zero vectors quantize to zeros.
+    */
+  def quantScale(a: Column): Column = array_max(transform(asDouble(a), x => abs(x)))
+
+  def quantizeInt8(a: Column, scale: Column): Column =
+    transform(asDouble(a), x =>
+      when(scale > 0.0, floor(x / scale * lit(127.0) + lit(0.5)).cast("long")).otherwise(lit(0L)))
+
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, v => v.cast("double") / lit(127.0) * scale)
+
   /** Mean of an array of vectors is not needed column-wise here — centroids are
     * computed relationally via posexplode + groupBy (SURVEY §2.4 X-A2) which
     * distributes (per-(label,pos) partial aggregation, no vector-wide state).

@@ -107,6 +107,45 @@ object AnnIndex {
       .orderBy(col(qIdCol), col("rn"))
   }
 
+  /** Lloyd-iteration k-means refinement of the IVF coarse centroids:
+    * assignment is the same argmin(|c|²−2·v·c) expression, the update is a
+    * relational posexplode + per-(cell,pos) mean — one shuffle per iteration,
+    * centroids collected to the driver (k·dim doubles, tiny). Deterministic
+    * up to floating summation order; centroids are floor-rounded to 9 decimal
+    * places each iteration so cross-run assignment flips need a ~1e-9
+    * coincidence.
+    */
+  def kmeansCentroids(corpus: DataFrame, vecCol: String, idCol: String,
+                      k: Int, iters: Int): Array[Seq[Double]] = {
+    import graft.functions.VectorFunctions.dotFused
+    var cents: Array[Seq[Double]] = corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .orderBy(col(idCol)).limit(k)
+      .collect().map(_.getSeq[Double](1))
+    for (_ <- 1 to iters) {
+      def scores(vec: Column): Column = array(cents.toSeq.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * dotFused(vec, array(c.map(lit): _*))).as("d"), lit(i).as("i"))
+      }: _*)
+      val assigned = corpus
+        .select(asDouble(col(vecCol)).as("v"))
+        .withColumn("__cell", array_min(scores(col("v"))).getField("i"))
+      val means = assigned
+        .select(col("__cell"), posexplode(col("v")))
+        .groupBy("__cell", "pos")
+        .agg(floorRound(avg("col"), 9).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      cents = cents.indices.map { i =>
+        byCell.get(i) match {
+          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          case None       => cents(i) // empty cell keeps its centroid
+        }
+      }.toArray
+    }
+    cents
+  }
+
   /** Near-duplicate pairs by embedding cosine >= threshold, LSH-bucketed
     * candidates (same-bucket only). The embedding-space analog of
     * [[Dedup.minhashLshPairs]].

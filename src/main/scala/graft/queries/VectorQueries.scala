@@ -120,6 +120,39 @@ object VectorQueries {
              |  AND ${frs("list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])", 6)} >= 0.2
              |ORDER BY 1, 2""".stripMargin)),
 
+    // int8 quantization round-trip: scale, quantized range, and max
+    // reconstruction error per vector (scalar outputs => oracle-friendly).
+    "q49_quantization" -> Q(
+      (s, dir) => {
+        val v     = asDouble(col("embedding"))
+        val scale = quantScale(col("embedding"))
+        val q     = quantizeInt8(col("embedding"), scale)
+        val err   = array_max(zip_with(v, dequantizeInt8(q, scale), (x, d) => abs(x - d)))
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), fr(scale, 6).as("scale"),
+            array_min(q).as("q_min"), array_max(q).as("q_max"),
+            fr(err, 6).as("max_err"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH base AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS v,
+             |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
+             |  FROM embeddings),
+             |q AS (
+             |  SELECT vec_id, scale, v,
+             |    list_transform(v, x -> CASE WHEN scale > CAST(0.0 AS DOUBLE)
+             |      THEN CAST(floor(x / scale * CAST(127.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             |      ELSE CAST(0 AS BIGINT) END) AS qv
+             |  FROM base),
+             |err AS (
+             |  SELECT vec_id, max(abs(x - CAST(qq AS DOUBLE) / CAST(127.0 AS DOUBLE) * scale)) AS e
+             |  FROM (SELECT vec_id, scale, unnest(v) AS x, unnest(qv) AS qq FROM q)
+             |  GROUP BY 1)
+             |SELECT q.vec_id, ${frs("q.scale", 6)} AS scale,
+             |  list_min(qv) AS q_min, list_max(qv) AS q_max, ${frs("err.e", 6)} AS max_err
+             |FROM q JOIN err ON q.vec_id = err.vec_id
+             |ORDER BY q.vec_id""".stripMargin)),
+
     // IVF ANN: coarse-quantized candidate cells, nprobe-cell probing. The
     // second classic ANN scale path next to hyperplane LSH (q27). Rows-only.
     "q40_ann_ivf_topk" -> Q(

@@ -27,6 +27,22 @@ class ChunkerSpec extends AnyFunSuite with SparkTestSession {
     assert(out.count() >= Tables.documents(spark, sfDir).count()) // >= 1 chunk per doc
   }
 
+  test("kmeans refinement reduces mean within-cell distance vs initial centroids") {
+    val emb = Tables.embeddings(spark, sfDir)
+    def cost(cents: Array[Seq[Double]]): Double = {
+      import graft.functions.VectorFunctions._
+      val scores = array(cents.toSeq.map { c =>
+        val c2 = c.map(x => x * x).sum
+        lit(c2) - lit(2.0) * dotFused(asDouble(col("embedding")), array(c.map(lit): _*))
+      }: _*)
+      emb.select((array_min(scores) + l2NormSq(col("embedding"))).as("d2"))
+        .agg(avg("d2")).head().getDouble(0)
+    }
+    val init    = AnnIndex.kmeansCentroids(emb, "embedding", "vec_id", k = 8, iters = 0)
+    val refined = AnnIndex.kmeansCentroids(emb, "embedding", "vec_id", k = 8, iters = 3)
+    assert(cost(refined) < cost(init))
+  }
+
   test("IVF ANN: k rows per query, deterministic, decent agreement with brute force") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)
