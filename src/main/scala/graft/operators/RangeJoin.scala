@@ -25,9 +25,10 @@ object RangeJoin {
     val p = points.withColumn("__bin", floor(unix_timestamp(col(ptCol)) / binSeconds).cast("long"))
     val i = intervals
       .withColumn("__bin_start", floor(unix_timestamp(col(startCol)) / binSeconds).cast("long"))
-      // end is exclusive: a point exactly at `end` is outside, but the bin of
-      // (end - epsilon) must still be covered
-      .withColumn("__bin_end", floor((unix_timestamp(col(endCol)) - 1) / binSeconds).cast("long"))
+      // cover through the bin of `end` itself: ends with fractional seconds
+      // still admit points in the final sub-second sliver (end is exclusive —
+      // one spurious candidate bin is pruned by the exact filter below)
+      .withColumn("__bin_end", floor(unix_timestamp(col(endCol)) / binSeconds).cast("long"))
       .withColumn("__bin", explode(sequence(col("__bin_start"), greatest(col("__bin_start"), col("__bin_end")))))
       .drop("__bin_start", "__bin_end")
     p.join(i, Seq("__bin"))

@@ -40,6 +40,7 @@ object TopK {
     }
     corpus
       .withColumn("score", floorRound(score, roundTo))
+      .filter(col("score").isNotNull) // zero-norm rows don't compete
       .orderBy(desc("score"), col(idCol))
       .limit(k) // -> TakeOrderedAndProject, no full sort
   }
@@ -63,6 +64,7 @@ object TopK {
         cosineFromNormSq(col(qVecCol), col(cVecCol), col("__nsq_q"), col("__nsq_c")), roundTo))
     val w = Window.partitionBy(col(qIdCol)).orderBy(desc("score"), col(cIdCol))
     scored
+      .filter(col("score").isNotNull) // zero-norm rows don't compete
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col(qIdCol), col(cIdCol), col("score"), col("rn"))

@@ -51,7 +51,7 @@ object PipelineQueries {
           .orderBy("key")
       },
       Some("""WITH scan AS (
-             |  SELECT o_orderkey AS key, CAST(epoch(o_orderdate) AS BIGINT) AS mtime FROM orders),
+             |  SELECT o_orderkey AS key, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS mtime FROM orders),
              |cache AS (
              |  SELECT key, mtime - (key % 2) * 10 AS last_edit_time FROM scan WHERE key % 3 = 0)
              |SELECT s.key, s.mtime FROM scan s LEFT JOIN cache c ON s.key = c.key
@@ -94,7 +94,7 @@ object PipelineQueries {
           .select(col("o_orderkey").as("key"), unix_timestamp(col("o_orderdate")).as("last_edit_time"))
         Delta.deleted(scan, cache, keyCol = "key").orderBy("key")
       },
-      Some("""SELECT o_orderkey AS key, CAST(epoch(o_orderdate) AS BIGINT) AS last_edit_time
+      Some("""SELECT o_orderkey AS key, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS last_edit_time
              |FROM orders c
              |WHERE NOT EXISTS (
              |  SELECT 1 FROM orders s WHERE s.o_orderkey = c.o_orderkey AND s.o_orderkey % 5 <> 0)

@@ -12,8 +12,16 @@ import scala.collection.immutable.ListMap
 final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
 
 object Registry {
-  /** Insertion-ordered union of all query groups. */
-  def all: ListMap[String, Q] =
-    RelationalQueries.all ++ EventQueries.all ++ TextQueries.all ++
-      VectorQueries.all ++ PipelineQueries.all
+  /** Insertion-ordered union of all query groups. Duplicate ids across
+    * groups would silently drop the earlier query from the driver's verify
+    * set — fail fast instead.
+    */
+  def all: ListMap[String, Q] = {
+    val groups = Seq(RelationalQueries.all, EventQueries.all, TextQueries.all,
+      VectorQueries.all, PipelineQueries.all)
+    val merged = groups.reduce(_ ++ _)
+    require(merged.size == groups.map(_.size).sum,
+      s"duplicate query ids across groups: ${groups.flatMap(_.keys).groupBy(identity).collect { case (k, v) if v.size > 1 => k }.mkString(", ")}")
+    merged
+  }
 }

@@ -216,7 +216,7 @@ object RelationalQueries {
         val big  = o.filter(col("o_totalprice") > 400000).select(col("o_custkey").as("c_custkey"))
         val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
         val low  = o.filter(col("o_totalprice") < 50000).select(col("o_custkey").as("c_custkey"))
-        big.union(auto).distinct().except(low).orderBy("c_custkey")
+        big.union(auto).except(low).orderBy("c_custkey") // except is EXCEPT DISTINCT
       },
       Some("""SELECT c_custkey FROM (
              |  SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000

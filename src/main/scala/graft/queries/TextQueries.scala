@@ -79,7 +79,8 @@ object TextQueries {
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  ${frs(jacExpr, 4)} AS jac
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE ${frs(jacExpr, 4)} >= $JaccardThreshold
+       |WHERE len(a.s) > 0 AND len(b.s) > 0
+       |  AND ${frs(jacExpr, 4)} >= $JaccardThreshold
        |ORDER BY 1, 2""".stripMargin
   }
 
@@ -236,7 +237,8 @@ object TextQueries {
              |        WHERE doc_id < $ExactPairSample)),
              |dups AS (
              |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |  WHERE ${frs("""CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |  WHERE len(a.s) > 0 AND len(b.s) > 0
+             |  AND ${frs("""CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
              |      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)""".stripMargin, 4)} >= $JaccardThreshold)
              |SELECT doc_id, lang, source, n_chars FROM documents
              |WHERE doc_id < $ExactPairSample AND doc_id NOT IN (SELECT doc_id FROM dups)

@@ -45,6 +45,7 @@ object VectorQueries {
       Some(s"""SELECT vec_id, label,
              |  ${frs("list_cosine_similarity(embedding::DOUBLE[], (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0))", 6)} AS score
              |FROM embeddings WHERE vec_id <> 0
+             |  AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0
              |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)),
 
     "q25_knn_join" -> Q(
@@ -63,7 +64,9 @@ object VectorQueries {
              |    row_number() OVER (PARTITION BY q.vec_id
              |      ORDER BY ${frs("list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])", 6)} DESC, c.vec_id) AS rn
              |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-             |  WHERE q.vec_id < 10)
+             |  WHERE q.vec_id < 10
+             |    AND list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)) > 0
+             |    AND list_sum(list_transform(c.embedding::DOUBLE[], x -> x*x)) > 0)
              |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin)),
 
     "q26_norm_stats" -> Q(
@@ -105,6 +108,7 @@ object VectorQueries {
         val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 500)
           .select(col("vec_id"), col("embedding"))
           .withColumn("__nsq", l2NormSq(col("embedding")))
+          .cache() // self-joined below: avoid recomputing scan + norms per branch
         val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"), col("__nsq").as("__nsq_a"))
         val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"), col("__nsq").as("__nsq_b"))
         a.join(b, col("id_a") < col("id_b"))
@@ -117,6 +121,8 @@ object VectorQueries {
              |  ${frs("list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])", 6)} AS score
              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
              |WHERE a.vec_id < 500 AND b.vec_id < 500
+             |  AND list_sum(list_transform(a.embedding::DOUBLE[], x -> x*x)) > 0
+             |  AND list_sum(list_transform(b.embedding::DOUBLE[], x -> x*x)) > 0
              |  AND ${frs("list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])", 6)} >= 0.2
              |ORDER BY 1, 2""".stripMargin)),
 
@@ -124,14 +130,18 @@ object VectorQueries {
     // reconstruction error per vector (scalar outputs => oracle-friendly).
     "q49_quantization" -> Q(
       (s, dir) => {
-        val v     = asDouble(col("embedding"))
-        val scale = quantScale(col("embedding"))
-        val q     = quantizeInt8(col("embedding"), scale)
-        val err   = array_max(zip_with(v, dequantizeInt8(q, scale), (x, d) => abs(x - d)))
-        Tables.embeddings(s, dir)
-          .select(col("vec_id"), fr(scale, 6).as("scale"),
-            array_min(q).as("q_min"), array_max(q).as("q_max"),
-            fr(err, 6).as("max_err"))
+        // __scale/__q materialized as columns (referenced multiple times
+        // below) so CollapseProject doesn't inline + re-evaluate the O(dim)
+        // transforms per output column
+        val staged = Tables.embeddings(s, dir)
+          .select(col("vec_id"), asDouble(col("embedding")).as("__v"))
+          .withColumn("__scale", quantScale(col("__v")))
+          .withColumn("__q", quantizeInt8(col("__v"), col("__scale")))
+        staged
+          .select(col("vec_id"), fr(col("__scale"), 6).as("scale"),
+            array_min(col("__q")).as("q_min"), array_max(col("__q")).as("q_max"),
+            fr(array_max(zip_with(col("__v"), dequantizeInt8(col("__q"), col("__scale")),
+              (x, d) => abs(x - d))), 6).as("max_err"))
           .orderBy("vec_id")
       },
       Some(s"""WITH base AS (
