@@ -8,8 +8,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 
 import scala.util.Random
 
-/** Approximate nearest-neighbor search via random-hyperplane LSH (SimHash for
-  * vectors). The scale path next to [[TopK]]'s brute-force baseline: corpus is
+/** Approximate nearest-neighbor search via random-hyperplane LSH (Charikar,
+  * STOC 2002) and IVF coarse quantization (Jégou/Douze/Schmid, "Product
+  * quantization for nearest neighbor search", TPAMI 2011 — the inverted-file
+  * part, without PQ residuals).
+  * The scale path next to [[TopK]]'s brute-force baseline: corpus is
   * bucketed once by sign-pattern against `nbits` fixed hyperplanes; a query
   * probes only its own bucket, so per-query work drops from O(n) to O(n/2^b)
   * expected, and the candidate join is a plain equi-join on the bucket id —

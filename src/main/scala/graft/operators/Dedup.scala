@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
 /** Deduplication family for LLM-corpus pipelines (SURVEY.md §2.8 X-D):
-  * exact, n-gram Jaccard (exact pairs), MinHash-LSH, SimHash.
+  * exact, n-gram Jaccard (exact pairs), MinHash-LSH (Broder, "On the
+  * resemblance and containment of documents", 1997; banding per Leskovec/
+  * Rajaraman/Ullman, Mining of Massive Datasets ch. 3), SimHash (Charikar,
+  * "Similarity estimation techniques from rounding algorithms", STOC 2002).
   *
   * Scale design:
   *  - [[exactDedup]] is one hash-shuffle on the content hash — the canonical
@@ -120,18 +123,22 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Greedy "keep first occurrence" policy over any (id_a < id_b) pair set:
+    * a row survives iff it is not the higher-id member of any pair. Shared by
+    * the exact (q44) and LSH (q45) corpus-dedup paths so the policy cannot
+    * drift between them.
+    */
+  def keepFirst(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
   /** The corpus-level dedup a training pipeline actually applies: drop every
-    * document that near-duplicates an earlier (lower-id) one. Policy matches
-    * the common greedy "keep first occurrence" rule: a doc survives iff it is
-    * not the higher-id member of any near-dup pair.
+    * document that near-duplicates an earlier (lower-id) one.
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                          shingleSize: Int, numHashes: Int, bands: Int,
-                         threshold: Double): DataFrame = {
-    val dupIds = minhashLshPairs(df, idCol, textCol, shingleSize, numHashes, bands, threshold)
-      .select(col("id_b").as(idCol)).distinct()
-    df.join(dupIds, Seq(idCol), "left_anti")
-  }
+                         threshold: Double): DataFrame =
+    keepFirst(df, idCol,
+      minhashLshPairs(df, idCol, textCol, shingleSize, numHashes, bands, threshold))
 
   /** Near-dup clusters via iterative min-label propagation over the pair
     * graph (connected components). Each iteration joins the current labels

@@ -223,9 +223,8 @@ object TextQueries {
     "q44_dedup_corpus" -> Q(
       (s, dir) => {
         val docs = Tables.documents(s, dir).filter(col("doc_id") < ExactPairSample)
-        val dupIds = Dedup.jaccardPairsExact(docs, "doc_id", "text", 3, JaccardThreshold)
-          .select(col("id_b").as("doc_id")).distinct()
-        docs.join(dupIds, Seq("doc_id"), "left_anti")
+        Dedup.keepFirst(docs, "doc_id",
+            Dedup.jaccardPairsExact(docs, "doc_id", "text", 3, JaccardThreshold))
           .select("doc_id", "lang", "source", "n_chars")
           .orderBy("doc_id")
       },

@@ -62,6 +62,18 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTestSession {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("VectorSumAggregator: typed UDAF mean vector per group") {
+    import graft.functions.VectorSumAggregator
+    import org.apache.spark.sql.functions.udaf
+    val meanUdaf = udaf(VectorSumAggregator.meanVector)
+    val d = Seq((0, Seq(1.0, 3.0)), (0, Seq(3.0, 5.0)), (1, Seq(2.0, 2.0)))
+      .toDF("g", "v")
+    val got = d.groupBy("g").agg(meanUdaf($"v").as("mean"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(got(0) === Seq(2.0, 4.0))
+    assert(got(1) === Seq(2.0, 2.0))
+  }
+
   test("euclidean distance") {
     val r = df.filter($"id" === 1).select(euclidean($"a", $"b")).head.getDouble(0)
     assert(math.abs(r - math.sqrt(2)) < 1e-12)
