@@ -168,6 +168,26 @@ object TextQueries {
         shingleSize = 3, numHashes = 32, bands = 16, threshold = JaccardThreshold),
       None),
 
+    // Pivot: doc counts by source × language (fixed pivot values => stable
+    // schema; empty cells coalesced to 0 to match the CASE-count oracle).
+    "q50_pivot_lang" -> Q(
+      (s, dir) => {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        val p = Tables.documents(s, dir)
+          .groupBy("source")
+          .pivot("lang", langs)
+          .agg(count(lit(1)))
+        p.select(col("source") +: langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+          .orderBy("source")
+      },
+      Some("""SELECT source,
+             |  count(CASE WHEN lang = 'de' THEN 1 END) AS de,
+             |  count(CASE WHEN lang = 'en' THEN 1 END) AS en,
+             |  count(CASE WHEN lang = 'es' THEN 1 END) AS es,
+             |  count(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+             |  count(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Corpus TF-IDF: top-5 terms per language by tf·ln(N/df). Exact integer
     // tf/df/N feed identical double math in both engines => floorRound-stable.
     "q41_tfidf_top_terms" -> Q(
