@@ -45,16 +45,19 @@ object AnnIndex {
   def annTopK(queries: DataFrame, qIdCol: String, qVecCol: String,
               corpus: DataFrame, cIdCol: String, cVecCol: String,
               k: Int, nbits: Int, dim: Int, seed: Long = 42L,
-              roundTo: Int = 6): DataFrame = {
+              roundTo: Int = 6, excludeSelf: Boolean = true): DataFrame = {
+    // excludeSelf: set false when queries and corpus come from DIFFERENT
+    // tables whose ids coincidentally collide
     val planes = hyperplanes(nbits, dim, seed)
     val cb = corpus.withColumn("__bucket", bucketCol(col(cVecCol), planes))
       .withColumn("__nsq_c", l2NormSq(col(cVecCol)))
     val qb = queries.withColumn("__bucket", bucketCol(col(qVecCol), planes))
       .withColumn("__nsq_q", l2NormSq(col(qVecCol)))
     val scored = cb.join(broadcast(qb), Seq("__bucket"))
-      .filter(col(qIdCol) =!= col(cIdCol))
+      .filter(lit(!excludeSelf) || col(qIdCol) =!= col(cIdCol))
       .withColumn("score", floorRound(
         cosineFromNormSq(col(qVecCol), col(cVecCol), col("__nsq_q"), col("__nsq_c")), roundTo))
+      .filter(col("score").isNotNull) // zero-norm rows don't compete
     val w = Window.partitionBy(col(qIdCol)).orderBy(desc("score"), col(cIdCol))
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
@@ -76,7 +79,8 @@ object AnnIndex {
     */
   def ivfTopK(queries: DataFrame, qIdCol: String, qVecCol: String,
               corpus: DataFrame, cIdCol: String, cVecCol: String,
-              k: Int, nlist: Int, nprobe: Int, roundTo: Int = 6): DataFrame = {
+              k: Int, nlist: Int, nprobe: Int, roundTo: Int = 6,
+              excludeSelf: Boolean = true): DataFrame = {
     import graft.functions.VectorFunctions.dotFused
     require(nprobe <= nlist, "nprobe must be <= nlist")
     val cents: Array[(Int, Seq[Double])] = corpus
@@ -100,9 +104,10 @@ object AnnIndex {
       .withColumn("__nsq_q", l2NormSq(col(qVecCol)))
       .drop("__probe")
     val scored = cb.join(broadcast(qb), Seq("__cell"))
-      .filter(col(qIdCol) =!= col(cIdCol))
+      .filter(lit(!excludeSelf) || col(qIdCol) =!= col(cIdCol))
       .withColumn("score", floorRound(
         cosineFromNormSq(col(qVecCol), col(cVecCol), col("__nsq_q"), col("__nsq_c")), roundTo))
+      .filter(col("score").isNotNull) // zero-norm rows don't compete
     val w = Window.partitionBy(col(qIdCol)).orderBy(desc("score"), col(cIdCol))
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
@@ -160,6 +165,7 @@ object AnnIndex {
     val b = df.select(col(idCol), col(vecCol))
       .withColumn("__bucket", bucketCol(col(vecCol), planes))
       .withColumn("__nsq", l2NormSq(col(vecCol)))
+      .cache() // self-joined below: avoid recomputing buckets + norms per branch
     val l = b.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("__bucket"), col("__nsq").as("__nsq_a"))
     val r = b.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("__bucket"), col("__nsq").as("__nsq_b"))
     l.join(r, Seq("__bucket"))

@@ -26,19 +26,24 @@ object AsOfJoin {
   /** `rightCols` are carried from the right side (null when no right row is
     * at-or-before the left row). `tieCol` breaks equal timestamps
     * deterministically within each side.
+    *
+    * The right columns travel as ONE struct so the whole matched row is
+    * carried atomically — per-column carry with ignoreNulls would backfill a
+    * genuinely-null right column from an OLDER right row, mixing rows.
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String,
            leftTimeCol: String, rightTimeCol: String,
            rightCols: Seq[String], tieCol: String): DataFrame = {
     val leftCols = left.columns.toSeq
 
+    val rStruct = struct(rightCols.map(col): _*)
     val taggedRight = right.select(
-      Seq(col(keyCol), col(rightTimeCol).as("__t"), lit(0).as("__is_l"), col(tieCol).as("__tie")) ++
-        rightCols.map(c => col(c).as(s"__r_$c")) ++
+      Seq(col(keyCol), col(rightTimeCol).as("__t"), lit(0).as("__is_l"), col(tieCol).as("__tie"),
+        rStruct.as("__r")) ++
         leftCols.filterNot(_ == keyCol).map(c => lit(null).as(c)): _*)
     val taggedLeft = left.select(
-      Seq(col(keyCol), col(leftTimeCol).as("__t"), lit(1).as("__is_l"), col(tieCol).as("__tie")) ++
-        rightCols.map(c => lit(null).as(s"__r_$c")) ++
+      Seq(col(keyCol), col(leftTimeCol).as("__t"), lit(1).as("__is_l"), col(tieCol).as("__tie"),
+        lit(null).cast(right.select(rStruct).schema.head.dataType).as("__r")) ++
         leftCols.filterNot(_ == keyCol).map(col): _*)
 
     val w = Window.partitionBy(keyCol)
@@ -46,10 +51,11 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     taggedRight.unionByName(taggedLeft)
+      .withColumn("__last_r", last(col("__r"), ignoreNulls = true).over(w))
       .select(
         (Seq(col(keyCol), col("__is_l")) ++
           leftCols.filterNot(_ == keyCol).map(col) ++
-          rightCols.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"asof_$c"))): _*)
+          rightCols.map(c => col("__last_r").getField(c).as(s"asof_$c"))): _*)
       .filter(col("__is_l") === 1)
       .drop("__is_l")
   }

@@ -54,12 +54,14 @@ object TopK {
     */
   def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
               corpus: DataFrame, cIdCol: String, cVecCol: String,
-              k: Int, roundTo: Int = 6): DataFrame = {
+              k: Int, roundTo: Int = 6, excludeSelf: Boolean = true): DataFrame = {
+    // excludeSelf: set false when queries and corpus come from DIFFERENT
+    // tables whose ids coincidentally collide
     // per-side squared norms computed once per row, not per pair
     val q2 = queries.withColumn("__nsq_q", l2NormSq(col(qVecCol)))
     val c2 = corpus.withColumn("__nsq_c", l2NormSq(col(cVecCol)))
     val scored = c2.crossJoin(broadcast(q2))
-      .filter(col(qIdCol) =!= col(cIdCol))
+      .filter(lit(!excludeSelf) || col(qIdCol) =!= col(cIdCol))
       .withColumn("score", floorRound(
         cosineFromNormSq(col(qVecCol), col(cVecCol), col("__nsq_q"), col("__nsq_c")), roundTo))
     val w = Window.partitionBy(col(qIdCol)).orderBy(desc("score"), col(cIdCol))

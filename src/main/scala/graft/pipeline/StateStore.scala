@@ -27,18 +27,16 @@ final class StateStore(path: String) {
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
   }
 
-  /** Snapshot-overwrite with staging swap (safe when `df` reads this store). */
+  /** Snapshot-overwrite with staging swap (safe when `df` reads this store;
+    * renames checked + rollback via [[StagedSwap]]).
+    */
   def write(df: DataFrame): Unit = {
     val spark = df.sparkSession
     val p     = new Path(path)
     val tmp   = new Path(path + ".staging")
-    val old   = new Path(path + ".old")
     val fs    = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     df.select("path", "last_edit_time").write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(p)) fs.rename(p, old)
-    fs.rename(tmp, p)
-    if (fs.exists(old)) fs.delete(old, true)
+    StagedSwap.swap(fs, tmp, p, new Path(path + ".old"))
   }
 }

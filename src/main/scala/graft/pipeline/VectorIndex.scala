@@ -46,13 +46,9 @@ final class VectorIndex(path: String, val dim: Int) {
       Seq("id"), "version")
     val p   = new Path(path)
     val tmp = new Path(path + ".staging")
-    val old = new Path(path + ".old")
     val fs  = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(p)) fs.rename(p, old)
-    fs.rename(tmp, p)
-    if (fs.exists(old)) fs.delete(old, true)
+    StagedSwap.swap(fs, tmp, p, new Path(path + ".old"))
   }
 }

@@ -55,6 +55,9 @@ object Sessionize {
   def streaming(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
     val gapUs  = gapMinutes * 60L * 1000000L
+    // format in the session timezone so output strings match batch()'s
+    // date_format regardless of spark.sql.session.timeZone
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
     val raw = spark.readStream
       .schema(spark.read.parquet(s"$dir/events.parquet").schema)
       .option("pathGlobFilter", "events.parquet")
@@ -71,7 +74,7 @@ object Sessionize {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (uid: Long, events: Iterator[SessionEvent], state: GroupState[SessionState]) => {
           val sdf = new java.text.SimpleDateFormat(fmt)
-          sdf.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+          sdf.setTimeZone(java.util.TimeZone.getTimeZone(tz))
           // full-microsecond epoch (getTime alone is ms-truncated — the batch
           // form compares unix_micros, so the gap test must too)
           def micros(t: Timestamp): Long =

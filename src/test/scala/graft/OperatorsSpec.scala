@@ -120,6 +120,26 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
       (2L, 3L, -1L, -1.0))) // no quote yet -> nulls
   }
 
+  test("asOf: nullable right columns are carried atomically per matched row") {
+    import graft.operators.AsOfJoin
+    val trades = Seq((1L, 30L, 100L)).toDF("k", "t", "id")
+    val quotes = Seq(
+      (1L, 10L, 200L, Option(5.0), Option(6.0)),
+      (1L, 20L, 201L, Option(7.0), Option.empty[Double]), // latest quote: b is NULL
+    ).toDF("k", "t", "id", "a", "b")
+    val r = AsOfJoin.asOf(trades, quotes, "k", "t", "t", Seq("a", "b"), "id").head()
+    val (a, b) = (r.getAs[Any]("asof_a"), r.getAs[Any]("asof_b"))
+    assert(a === 7.0)
+    assert(b == null, "asof_b must be the latest row's NULL, not backfilled from an older row")
+  }
+
+  test("knnJoin excludeSelf=false keeps id-colliding cross-table neighbors") {
+    val qs = corpus.filter($"id" === 1).select($"id".as("q_id"), $"v".as("q_v"))
+    val r = TopK.knnJoin(qs, "q_id", "q_v", corpus.withColumnRenamed("id", "c_id"), "c_id", "v",
+      k = 1, excludeSelf = false).head()
+    assert(r.getLong(1) === 1L) // the identical vector (same id) is now eligible
+  }
+
   // ---- AnnIndex ----
 
   test("ann buckets are deterministic and ann results are a subset of bucket-mates") {
