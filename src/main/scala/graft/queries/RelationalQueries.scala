@@ -209,6 +209,41 @@ object RelationalQueries {
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // correlated-subquery shape: customers above their nation's average
+    // balance — decorrelated as a broadcast join against per-nation averages
+    "q51_above_avg_customers" -> Q(
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val natAvg = c.groupBy("c_nationkey").agg(avg("c_acctbal").as("nat_avg"))
+        c.join(broadcast(natAvg), Seq("c_nationkey"))
+          .filter(col("c_acctbal") > col("nat_avg"))
+          .select(col("c_custkey"), col("c_acctbal"), fr(col("nat_avg"), 4).as("nat_avg"))
+          .orderBy("c_custkey")
+      },
+      Some(s"""SELECT c_custkey, c_acctbal, ${frs("nat_avg", 4)} AS nat_avg FROM (
+             |  SELECT c_custkey, c_acctbal,
+             |    avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS nat_avg
+             |  FROM customer)
+             |WHERE c_acctbal > nat_avg ORDER BY c_custkey""".stripMargin)),
+
+    // date arithmetic: ship-latency histogram (days between order and ship)
+    "q52_ship_latency" -> Q(
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .withColumn("lat_days", datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+          // % (remainder, dividend sign) matches DuckDB's %; pmod would not
+          // for negative latencies
+          .groupBy((col("lat_days") - (col("lat_days") % 7)).as("lat_week"))
+          .agg(count(lit(1)).as("n"), fr(avg("l_quantity"), 4).as("avg_qty"))
+          .orderBy("lat_week")
+      },
+      Some(s"""SELECT lat_days - (lat_days % 7) AS lat_week, count(*) AS n,
+             |  ${frs("avg(l_quantity)", 4)} AS avg_qty
+             |FROM (SELECT CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS lat_days, l_quantity
+             |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     "q33_setops" -> Q(
       (s, dir) => {
         val o = Tables.orders(s, dir)
