@@ -168,6 +168,19 @@ object TextQueries {
         shingleSize = 3, numHashes = 32, bands = 16, threshold = JaccardThreshold),
       None),
 
+    // Deterministic stratified sampling: language-dependent keep rates via a
+    // SQL-expressible multiplicative hash (reproducible, shuffle-free).
+    "q53_stratified_sample" -> Q(
+      (s, dir) => graft.operators.Sampling.stratifiedSample(
+          Tables.documents(s, dir), "doc_id", "lang",
+          ratePercent = Map("en" -> 50, "de" -> 20), defaultPercent = 10)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source FROM documents
+             |WHERE (doc_id * 2654435761) % 100 <
+             |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 20 ELSE 10 END
+             |ORDER BY doc_id""".stripMargin)),
+
     // Pivot: doc counts by source × language (fixed pivot values => stable
     // schema; empty cells coalesced to 0 to match the CASE-count oracle).
     "q50_pivot_lang" -> Q(
