@@ -63,6 +63,16 @@ def main(sf_dir, out_dir):
         except Exception as e:
             print(f"ERROR {name}: {e}")
             n_fail += 1
+    # rows-only queries (no oracle entry): report row counts
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        if name == "oracle_sql.json" or name in oracle:
+            continue
+        try:
+            n = con.sql(f"SELECT count(*) FROM '{out_dir}/{name}/*.parquet'").fetchone()[0]
+            print(f"ROWS {name}: {n}")
+        except Exception as e:
+            print(f"ROWS {name}: ERROR {e}")
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
