@@ -13,21 +13,28 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen/parquet-reader warmup on the smoke-scale fixture so the
-    // first measured query doesn't pay one-time class-loading costs
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    // JVM/codegen/parquet-reader warmup so the first measured query doesn't
+    // pay one-time class-loading costs; guarded — warmup must never abort
+    // the benchmark
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .selectExpr("sum(l_quantity)").collect()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup skipped: ${e.getMessage}") }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      // noop sink forces FULL plan execution — count() would let the
+      // optimizer prune the projected expressions of map-only queries
+      val dt =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+              (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
       System.err.println(f"[bench] $name%-28s $dt%8.2f s")
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // failed queries carry -1 in the per-query map; total sums successes only
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,9 +1,10 @@
 package graft
 
+import graft.functions.GraftFunctions.{arity2, intLit}
 import graft.functions.expressions.{CosineSimilarity, DotProduct, MinHashSignature, SortedIntersectionCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Session-extension registration of the native graft kernels, for
   * config-driven wiring:
@@ -21,19 +22,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("graft_cosine"),
       info("graft_cosine", classOf[CosineSimilarity]),
-      (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))))
+      (es: Seq[Expression]) => { arity2("graft_cosine", es); CosineSimilarity(es.head, es(1)) }))
     e.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot", classOf[DotProduct]),
-      (es: Seq[Expression]) => DotProduct(es.head, es(1))))
+      (es: Seq[Expression]) => { arity2("graft_dot", es); DotProduct(es.head, es(1)) }))
     e.injectFunction((FunctionIdentifier("graft_sorted_intersect_count"),
       info("graft_sorted_intersect_count", classOf[SortedIntersectionCount]),
-      (es: Seq[Expression]) => SortedIntersectionCount(es.head, es(1))))
+      (es: Seq[Expression]) => { arity2("graft_sorted_intersect_count", es); SortedIntersectionCount(es.head, es(1)) }))
     e.injectFunction((FunctionIdentifier("graft_minhash"),
       info("graft_minhash", classOf[MinHashSignature]),
-      (es: Seq[Expression]) => es(1) match {
-        case Literal(k: Int, _) => MinHashSignature(es.head, k)
-        case other => throw new IllegalArgumentException(
-          s"graft_minhash numHashes must be an integer literal, got $other")
-      }))
+      (es: Seq[Expression]) => { arity2("graft_minhash", es)
+        MinHashSignature(es.head, intLit(es(1), "graft_minhash numHashes")) }))
   }
 }

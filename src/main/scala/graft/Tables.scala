@@ -24,8 +24,9 @@ object Tables {
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 only reads with
     * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench/test
-    * sessions). Normalize back to a proper timestamp here (ns -> µs floor
-    * division, matching DuckDB's ns->µs truncation).
+    * sessions). Normalize back to a proper timestamp here (`div` truncates
+    * toward zero — identical to DuckDB's ns->µs cast for the post-epoch
+    * timestamps these fixtures contain).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = table(spark, dir, "events")

@@ -137,16 +137,19 @@ object TextFunctions {
   def minhashSignature(shingleSet: Column, numHashes: Int): Column =
     minhashSignatureFromHashes(shingleHashes(shingleSet), numHashes)
 
-  /** 64-bit SimHash over tokens: per-bit majority vote of token hashes. */
+  /** 64-bit SimHash over tokens: per-bit majority vote of token hashes.
+    * Tokens are hashed ONCE up front (`transform`) and the aggregate runs
+    * over the hash array — HOF lambda bodies re-evaluate per element, so
+    * hashing inside the per-bit lambda would string-hash each token 64×.
+    */
   def simhash64(text: Column): Column = {
+    val tokenHashes = transform(tokens(text), t => xxhash64(t))
     val counters = aggregate(
-      tokens(text),
+      tokenHashes,
       array_repeat(lit(0), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
+      (acc, h) =>
         zip_with(acc, sequence(lit(0), lit(63)),
           (c, i) => c + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
-      }
     )
     aggregate(
       zip_with(counters, sequence(lit(0), lit(63)),

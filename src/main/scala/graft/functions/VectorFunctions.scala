@@ -79,11 +79,15 @@ object VectorFunctions {
     sqrt(aggregate(zip_with(ad, bd, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
   }
 
-  /** L2-normalize a vector (unit length); zero vectors pass through as zeros. */
+  /** L2-normalize a vector (unit length); zero vectors pass through as zeros.
+    * The norm is materialized via `array_repeat` (evaluated once per row) —
+    * referencing the norm aggregate inside the transform lambda would
+    * re-evaluate the O(dim) reduction per element (O(dim²) per vector).
+    */
   def l2Normalize(a: Column): Column = {
     val ad = asDouble(a)
-    val n  = l2Norm(a)
-    transform(ad, x => when(n > 0.0, x / n).otherwise(x))
+    zip_with(ad, array_repeat(l2Norm(a), size(ad)),
+      (x, n) => when(n > 0.0, x / n).otherwise(x))
   }
 
   /** Symmetric int8 quantization: q_i = round(x_i / scale * 127) with

@@ -22,6 +22,8 @@ object VectorSumAggregator {
       override def reduce(b: Buf, v: Seq[Double]): Buf =
         if (b.n == 0L) Buf(v.toArray, 1L)
         else {
+          require(v.length == b.sum.length,
+            s"vector length mismatch in group: ${v.length} vs ${b.sum.length}")
           var i = 0
           val s = b.sum
           while (i < s.length) { s(i) += v(i); i += 1 }
@@ -32,6 +34,8 @@ object VectorSumAggregator {
         if (a.n == 0L) b
         else if (b.n == 0L) a
         else {
+          require(a.sum.length == b.sum.length,
+            s"vector length mismatch in group: ${a.sum.length} vs ${b.sum.length}")
           var i = 0
           val s = a.sum
           while (i < s.length) { s(i) += b.sum(i); i += 1 }

@@ -17,6 +17,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * is exactly the mixing behavior wanted.
   */
 case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
+  require(numHashes > 0, s"numHashes must be positive, got $numHashes")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess

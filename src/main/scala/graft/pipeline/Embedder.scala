@@ -27,15 +27,13 @@ trait Embedder {
   */
 final case class HashingEmbedder(dim: Int = 64) extends Embedder {
   override def embed(text: Column): Column = {
-    val toks = TextFunctions.tokens(text)
-    val counts = aggregate(
-      toks,
-      array_repeat(lit(0.0), dim),
-      (acc, t) => {
-        val b = pmod(xxhash64(t), lit(dim.toLong)).cast("int")
-        zip_with(acc, sequence(lit(0), lit(dim - 1)),
-          (c, i) => c + when(i === b, lit(1.0)).otherwise(lit(0.0)))
-      })
-    VectorFunctions.l2Normalize(counts)
+    import graft.functions.expressions.BucketCountVector
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    // hash tokens to buckets ONCE (HOF lambda bodies re-evaluate per element),
+    // then count + L2-normalize in a fused single-pass kernel — the HOF
+    // formulation allocates a dim-length array per token
+    val buckets = transform(TextFunctions.tokens(text),
+      t => pmod(xxhash64(t), lit(dim.toLong)).cast("int"))
+    B.column(BucketCountVector(B.expression(buckets), dim))
   }
 }
