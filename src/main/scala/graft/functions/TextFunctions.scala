@@ -37,7 +37,12 @@ object TextFunctions {
 
   /** Occurrences of an exact token. */
   def tokenHits(text: Column, word: String): Column =
-    size(filter(tokens(text), t => t === lit(word)))
+    tokenHitsIn(tokens(text), word)
+
+  /** Same over a pre-split token array — stage the array once per row when
+    * probing many markers (each call over raw text re-splits it). */
+  def tokenHitsIn(toks: Column, word: String): Column =
+    size(filter(toks, t => t === lit(word)))
 
   /** Language marker sets — tiny stopword lists per language. On real corpora
     * these are the classic n-gram/stopword language-ID heuristic; they are
@@ -54,12 +59,18 @@ object TextFunctions {
   def langScore(text: Column, markers: Seq[String]): Column =
     markers.map(m => tokenHits(text, m)).reduce(_ + _)
 
+  def langScoreIn(toks: Column, markers: Seq[String]): Column =
+    markers.map(m => tokenHitsIn(toks, m)).reduce(_ + _)
+
   /** Deterministic language guess: argmax over marker hits with fixed
     * tie-break order (en, de, es, fr, zh) and 'und' (undetermined) when no
     * marker fires at all.
     */
-  def langId(text: Column): Column = {
-    val scores = langMarkers.map { case (lang, ms) => lang -> langScore(text, ms) }
+  def langId(text: Column): Column = langIdIn(tokens(text))
+
+  /** [[langId]] over a pre-split token array. */
+  def langIdIn(toks: Column): Column = {
+    val scores = langMarkers.map { case (lang, ms) => lang -> langScoreIn(toks, ms) }
     val best   = greatest(scores.map(_._2): _*)
     scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
       when(s === best && best > 0, lit(lang)).otherwise(acc)

@@ -125,11 +125,14 @@ object TextQueries {
 
     "q19_lang_id" -> Q(
       (s, dir) => {
-        val d      = Tables.documents(s, dir)
+        // stage the token array once: 20 marker probes over raw text would
+        // re-split it 20x per row
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("__toks"))
         val scores = langMarkers.map { case (lang, ms) =>
-          langScore(col("text"), ms).cast("long").as(s"s_$lang")
+          langScoreIn(col("__toks"), ms).cast("long").as(s"s_$lang")
         }
-        d.select(Seq(col("doc_id"), langId(col("text")).as("lang_guess")) ++ scores: _*)
+        d.select(Seq(col("doc_id"), langIdIn(col("__toks")).as("lang_guess")) ++ scores: _*)
           .orderBy("doc_id")
       },
       Some(langIdOracle)),
