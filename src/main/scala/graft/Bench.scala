@@ -19,7 +19,16 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .selectExpr("sum(l_quantity)").collect()
     catch { case e: Throwable => System.err.println(s"[bench] warmup skipped: ${e.getMessage}") }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional focus filter for local profiling: comma-separated name substrings
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.contains))
+    }
+    val results = selected.map { case (name, fn) =>
+      // each number must stand alone: operators cache() internally and the
+      // CacheManager matches by canonicalized plan, so without this a later
+      // query silently reuses an earlier query's materialized work
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       // noop sink forces FULL plan execution — count() would let the
       // optimizer prune the projected expressions of map-only queries

@@ -133,6 +133,18 @@ object TextFunctions {
   def shingleHashes(shingleSet: Column): Column =
     transform(shingleSet, s => xxhash64(s))
 
+  /** Sorted distinct shingle hashes straight from the text, fused into one
+    * codegen call ([[graft.functions.expressions.ShingleHashes]]). Values are
+    * bit-identical to `sort_array(array_distinct(transform(sequence(…),
+    * i => xxhash64(th(i), …))))` over `th = transform(tokens, xxhash64)` —
+    * but ~10× cheaper (the HOF tree was the dedup pipeline's hotspot).
+    */
+  def shingleHashesFused(text: Column, n: Int): Column = {
+    import graft.functions.expressions.ShingleHashes
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    B.column(ShingleHashes(B.expression(text), n))
+  }
+
   /** MinHash signature: k minima of seeded 64-bit hashes over the shingle set.
     * Seeding = hashing (seed, shingle-hash) pairs with xxhash64 — long-only
     * inputs, so the per-function cost is a few ns, not a string hash.

@@ -42,23 +42,15 @@ object Dedup {
     * [[graft.functions.expressions.SortedIntersectionCount]] instead of a
     * hash-set build per pair — the dominant cost of pair verification.
     */
-  private def withShingles(df: DataFrame, idCol: String, textCol: String, n: Int) = {
-    // hash tokens once; a shingle's hash is the hash of its n token hashes —
-    // no shingle *string* is ever materialized (saves ~n_tokens string
-    // concats + allocations per row vs hashing shingles(text, n) output).
-    // __th stays a materialized column: referenced n+ times below, so
-    // CollapseProject won't inline (and recompute) it per element.
-    val base = df.select(col(idCol), graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
-      .withColumn("__th", transform(col("__toks"), t => xxhash64(t)))
-    val cnt = size(col("__th")) - (n - 1)
-    base.withColumn("hs",
-        when(cnt >= 1,
-          sort_array(array_distinct(transform(sequence(lit(1), cnt),
-            i => xxhash64((0 until n).map(k => element_at(col("__th"), i + k)): _*)))))
-          .otherwise(array().cast("array<long>")))
+  private def withShingles(df: DataFrame, idCol: String, textCol: String, n: Int) =
+    // single fused kernel call per row (tokenize → token hash → rolling
+    // shingle hash → sort+dedup); the equivalent HOF column tree was the
+    // measured hotspot of the whole dedup family (~5 s of q22b's 9.5 s at
+    // sf0.1) — per-element element_at bound checks and a materialized index
+    // sequence add up over millions of shingles
+    df.select(col(idCol),
+        graft.functions.TextFunctions.shingleHashesFused(col(textCol), n).as("hs"))
       .filter(size(col("hs")) > 0)
-      .select(col(idCol), col("hs"))
-  }
 
   /** Jaccard over sorted hash arrays via the fused merge-walk kernel; same
     * integer inter/union counts as [[graft.functions.TextFunctions.jaccard]],

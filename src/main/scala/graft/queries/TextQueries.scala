@@ -94,7 +94,7 @@ object TextQueries {
             fr(avg("n_chars"), 2).as("avg_chars"))
           .orderBy("lang", "source")
       },
-      Some(s"""SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      Some(s"""SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
              |  ${frs("avg(n_chars)", 2)} AS avg_chars
              |FROM documents GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
 
