@@ -160,12 +160,24 @@ object TextFunctions {
   def minhashSignature(shingleSet: Column, numHashes: Int): Column =
     minhashSignatureFromHashes(shingleHashes(shingleSet), numHashes)
 
-  /** 64-bit SimHash over tokens: per-bit majority vote of token hashes.
-    * Tokens are hashed ONCE up front (`transform`) and the aggregate runs
-    * over the hash array — HOF lambda bodies re-evaluate per element, so
-    * hashing inside the per-bit lambda would string-hash each token 64×.
+  /** 64-bit SimHash over tokens: per-bit majority vote of token hashes,
+    * fused into one codegen call ([[graft.functions.expressions.SimHash64]]).
+    * Bit-identical to [[simhash64Hof]] (asserted in tests) at ~50× less
+    * per-row work.
     */
   def simhash64(text: Column): Column = {
+    import graft.functions.expressions.SimHash64
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    B.column(SimHash64(B.expression(text)))
+  }
+
+  /** Reference HOF formulation of [[simhash64]] — kept as the spec the fused
+    * kernel is tested against. Tokens are hashed ONCE up front (`transform`)
+    * and the aggregate runs over the hash array — HOF lambda bodies
+    * re-evaluate per element, so hashing inside the per-bit lambda would
+    * string-hash each token 64×.
+    */
+  def simhash64Hof(text: Column): Column = {
     val tokenHashes = transform(tokens(text), t => xxhash64(t))
     val counters = aggregate(
       tokenHashes,

@@ -12,8 +12,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * dim-length array per input element; this allocates one per row.
   * Out-of-range buckets are ignored (defensive), zero inputs yield the zero
   * vector (matching l2Normalize's zero-vector passthrough).
+  * `normalize = false` returns the raw counts (as doubles) — the
+  * pre-normalization view the q35 oracle checks with exact integer math.
   */
-case class BucketCountVector(child: Expression, dim: Int) extends UnaryExpression {
+case class BucketCountVector(child: Expression, dim: Int,
+                             normalize: Boolean = true) extends UnaryExpression {
   require(dim > 0, s"dim must be positive, got $dim")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -36,11 +39,13 @@ case class BucketCountVector(child: Expression, dim: Int) extends UnaryExpressio
       }
       i += 1
     }
-    var nsq = 0.0
-    var j   = 0
-    while (j < dim) { nsq += counts(j) * counts(j); j += 1 }
-    val norm = math.sqrt(nsq)
-    if (norm > 0.0) { j = 0; while (j < dim) { counts(j) /= norm; j += 1 } }
+    if (normalize) {
+      var nsq = 0.0
+      var j   = 0
+      while (j < dim) { nsq += counts(j) * counts(j); j += 1 }
+      val norm = math.sqrt(nsq)
+      if (norm > 0.0) { j = 0; while (j < dim) { counts(j) /= norm; j += 1 } }
+    }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
   }
 
@@ -62,10 +67,12 @@ case class BucketCountVector(child: Expression, dim: Int) extends UnaryExpressio
          |    if ($b >= 0 && $b < $dim) $counts[$b] += 1.0;
          |  }
          |}
-         |double $nsq = 0.0;
-         |for (int $j = 0; $j < $dim; $j++) { $nsq += $counts[$j] * $counts[$j]; }
-         |double $norm = java.lang.Math.sqrt($nsq);
-         |if ($norm > 0.0) { for (int $j = 0; $j < $dim; $j++) { $counts[$j] /= $norm; } }
+         |if ($normalize) {
+         |  double $nsq = 0.0;
+         |  for (int $j = 0; $j < $dim; $j++) { $nsq += $counts[$j] * $counts[$j]; }
+         |  double $norm = java.lang.Math.sqrt($nsq);
+         |  if ($norm > 0.0) { for (int $j = 0; $j < $dim; $j++) { $counts[$j] /= $norm; } }
+         |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($counts);
        """.stripMargin
     })

@@ -6,53 +6,92 @@ import graft.functions.MathFunctions.floorRound
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
-import scala.util.Random
-
 /** Approximate nearest-neighbor search via random-hyperplane LSH (Charikar,
   * STOC 2002) and IVF coarse quantization (Jégou/Douze/Schmid, "Product
   * quantization for nearest neighbor search", TPAMI 2011 — the inverted-file
   * part, without PQ residuals).
   * The scale path next to [[TopK]]'s brute-force baseline: corpus is
   * bucketed once by sign-pattern against `nbits` fixed hyperplanes; a query
-  * probes only its own bucket, so per-query work drops from O(n) to O(n/2^b)
-  * expected, and the candidate join is a plain equi-join on the bucket id —
+  * probes its own bucket plus the `nbits` hamming-1 neighbors (multiprobe),
+  * so per-query work drops from O(n) to O(n·(nbits+1)/2^nbits) expected, and
+  * the candidate join is a plain equi-join on the bucket id —
   * co-partitionable and AQE-skew-handled at cluster scale.
   *
-  * Hyperplanes are generated from a fixed seed => fully deterministic.
-  * Recall < 1 by construction (single-probe); raise `nbits` ↓ candidates,
-  * lower it ↑ recall.
+  * Hyperplane components are a fixed integer hash of (plane, dim) — fully
+  * deterministic AND expressible in plain SQL, which is what lets the ANN
+  * queries carry a DuckDB oracle (q27/q28). Recall < 1 by construction;
+  * [[autoNbits]] scales the bucket count with the corpus and multiprobe buys
+  * the recall back.
   */
 object AnnIndex {
 
-  /** Deterministic unit hyperplanes: nbits × dim from seeded Gaussian. */
-  def hyperplanes(nbits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
-    val rnd = new Random(seed)
-    Seq.fill(nbits)(Seq.fill(dim)(rnd.nextGaussian()))
+  /** Bucket-count policy: nbits = ceil(log2(n / targetBucket)) clamped to
+    * [minBits, maxBits] — expected bucket size tracks `targetBucket` instead
+    * of the fixed 2⁴ = 16 buckets that degenerates to O(n²/16) same-bucket
+    * joins at 100× corpus. The formula is mirrored in the q27/q28 oracle SQL
+    * (`greatest(minBits, least(maxBits, ceil(log2(count(*)/target))))`), so
+    * both engines derive the same nbits from the same table.
+    */
+  def autoNbits(n: Long, targetBucket: Int = 128,
+                minBits: Int = 4, maxBits: Int = 20): Int = {
+    val raw = math.ceil(math.log(math.max(n, 1).toDouble / targetBucket) / math.log(2.0)).toInt
+    math.max(minBits, math.min(maxBits, raw))
   }
 
-  /** Bucket id: one sign bit per hyperplane, packed into a long. */
+  /** Deterministic hyperplanes: component d of plane j is the centered
+    * integer hash `((k²·2654435761 + 97k + 12345) mod 1000003) − 501001` with
+    * `k = j·dim + d + 1`. The quadratic term breaks the affine structure a
+    * plain multiplicative hash would have across consecutive k; all
+    * intermediates stay < 2⁶³, so DuckDB BIGINT arithmetic reproduces the
+    * values exactly (the SQL-expressibility that buys the q27/q28 oracle —
+    * a seeded Gaussian would be marginally more spherical but unverifiable).
+    */
+  def hyperplanes(nbits: Int, dim: Int): Seq[Seq[Double]] =
+    Seq.tabulate(nbits) { j =>
+      Seq.tabulate(dim) { d =>
+        val k = j.toLong * dim + d + 1
+        ((k * k * 2654435761L + 97L * k + 12345L) % 1000003L - 501001L).toDouble
+      }
+    }
+
+  /** Bucket id: one sign bit per hyperplane, packed into a long. Uses the
+    * fused sequential dot kernel — bit-identical accumulation to the oracle's
+    * `list_inner_product`, so the sign (and hence the bucket) matches exactly.
+    */
   def bucketCol(vec: Column, planes: Seq[Seq[Double]]): Column = {
     val vd = asDouble(vec)
     planes.zipWithIndex.map { case (p, i) =>
       val pl = array(p.map(lit): _*)
-      when(dot(vd, pl) >= 0.0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      when(dotFused(vd, pl) >= 0.0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Approximate top-k cosine neighbors per query, same-bucket candidates
-    * only. Output: (q_id, c_id, score, rn).
+  /** The query-side multiprobe set: own bucket + each single-bit flip. A
+    * corpus row lives in exactly one bucket and two buckets differ in ≥1 bit,
+    * so exactly one probe can match a given candidate — no pair dedup needed.
+    */
+  def probesCol(bucket: Column, nbits: Int): Column =
+    array(bucket +: (0 until nbits).map(j => bucket.bitwiseXOR(lit(1L << j))): _*)
+
+  /** Approximate top-k cosine neighbors per query; candidates from the
+    * query's bucket plus its hamming-1 probes. Output: (q_id, c_id, score, rn).
     */
   def annTopK(queries: DataFrame, qIdCol: String, qVecCol: String,
               corpus: DataFrame, cIdCol: String, cVecCol: String,
-              k: Int, nbits: Int, dim: Int, seed: Long = 42L,
-              roundTo: Int = 6, excludeSelf: Boolean = true): DataFrame = {
+              k: Int, nbits: Int, dim: Int,
+              roundTo: Int = 6, excludeSelf: Boolean = true,
+              multiprobe: Boolean = true): DataFrame = {
     // excludeSelf: set false when queries and corpus come from DIFFERENT
     // tables whose ids coincidentally collide
-    val planes = hyperplanes(nbits, dim, seed)
+    val planes = hyperplanes(nbits, dim)
     val cb = corpus.withColumn("__bucket", bucketCol(col(cVecCol), planes))
       .withColumn("__nsq_c", l2NormSq(col(cVecCol)))
-    val qb = queries.withColumn("__bucket", bucketCol(col(qVecCol), planes))
+    val qb0 = queries.withColumn("__qbucket", bucketCol(col(qVecCol), planes))
       .withColumn("__nsq_q", l2NormSq(col(qVecCol)))
+    val qb =
+      if (multiprobe)
+        qb0.withColumn("__bucket", explode(probesCol(col("__qbucket"), nbits))).drop("__qbucket")
+      else qb0.withColumnRenamed("__qbucket", "__bucket")
     val scored = cb.join(broadcast(qb), Seq("__bucket"))
       .filter(lit(!excludeSelf) || col(qIdCol) =!= col(cIdCol))
       .withColumn("score", floorRound(
@@ -155,18 +194,24 @@ object AnnIndex {
   }
 
   /** Near-duplicate pairs by embedding cosine >= threshold, LSH-bucketed
-    * candidates (same-bucket only). The embedding-space analog of
-    * [[Dedup.minhashLshPairs]].
+    * candidates (same bucket or hamming-1 neighbors via multiprobe — exactly
+    * one probe can match a pair, so no dedup join is needed). The
+    * embedding-space analog of [[Dedup.minhashLshPairs]].
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nbits: Int, dim: Int,
-                         seed: Long = 42L, roundTo: Int = 6): DataFrame = {
-    val planes = hyperplanes(nbits, dim, seed)
+                         roundTo: Int = 6, multiprobe: Boolean = true): DataFrame = {
+    val planes = hyperplanes(nbits, dim)
     val b = df.select(col(idCol), col(vecCol))
       .withColumn("__bucket", bucketCol(col(vecCol), planes))
       .withColumn("__nsq", l2NormSq(col(vecCol)))
       .cache() // self-joined below: avoid recomputing buckets + norms per branch
-    val l = b.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("__bucket"), col("__nsq").as("__nsq_a"))
+    val l0 = b.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("__bucket"), col("__nsq").as("__nsq_a"))
+    val l =
+      if (multiprobe)
+        l0.withColumn("__probe", explode(probesCol(col("__bucket"), nbits)))
+          .drop("__bucket").withColumnRenamed("__probe", "__bucket")
+      else l0
     val r = b.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("__bucket"), col("__nsq").as("__nsq_b"))
     l.join(r, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))

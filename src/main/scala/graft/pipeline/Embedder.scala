@@ -1,9 +1,6 @@
 package graft.pipeline
 
-import graft.functions.TextFunctions
-import graft.functions.VectorFunctions
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions._
 
 /** Pluggable document embedder (SURVEY.md §2.8 F3).
   *
@@ -19,21 +16,32 @@ trait Embedder {
   def dim: Int
   /** Embed a text column into array<double> of length `dim`, L2-normalized. */
   def embed(text: Column): Column
+  /** Pre-normalization view of [[embed]] (raw feature weights); defaults to
+    * the normalized embedding for embedders without a meaningful raw stage.
+    */
+  def embedRaw(text: Column): Column = embed(text)
 }
 
-/** Deterministic feature-hashing embedder: token -> xxhash64 bucket in
-  * [0, dim); bucket counts, L2-normalized. O(dim · tokens) inside whole-stage
-  * codegen.
+/** Deterministic feature-hashing embedder: token -> polynomial-hash bucket in
+  * [0, dim); bucket counts, L2-normalized. Both stages are fused single-pass
+  * kernels, so embedding runs inside whole-stage codegen.
+  *
+  * The token hash is the SQL-expressible byte polynomial of
+  * [[graft.functions.expressions.PolyTokenBuckets]] (not xxhash64) so the
+  * full embedding pipeline has a DuckDB oracle (q35): deterministic
+  * feature hashing only needs a well-mixed hash, and checkability across
+  * engines is worth more than xxhash64's marginally better avalanche.
   */
 final case class HashingEmbedder(dim: Int = 64) extends Embedder {
-  override def embed(text: Column): Column = {
-    import graft.functions.expressions.BucketCountVector
-    import org.apache.spark.sql.{GraftSqlBridge => B}
-    // hash tokens to buckets ONCE (HOF lambda bodies re-evaluate per element),
-    // then count + L2-normalize in a fused single-pass kernel — the HOF
-    // formulation allocates a dim-length array per token
-    val buckets = transform(TextFunctions.tokens(text),
-      t => pmod(xxhash64(t), lit(dim.toLong)).cast("int"))
-    B.column(BucketCountVector(B.expression(buckets), dim))
-  }
+  import graft.functions.expressions.{BucketCountVector, PolyTokenBuckets}
+  import org.apache.spark.sql.{GraftSqlBridge => B}
+
+  override def embed(text: Column): Column =
+    B.column(BucketCountVector(PolyTokenBuckets(B.expression(text), dim), dim))
+
+  /** Raw bucket counts (array<double>, integer-valued) — exact integer math,
+    * the view the q35 oracle checks.
+    */
+  override def embedRaw(text: Column): Column =
+    B.column(BucketCountVector(PolyTokenBuckets(B.expression(text), dim), dim, normalize = false))
 }

@@ -119,22 +119,44 @@ object PipelineQueries {
              |FROM f ORDER BY doc_id, frame_id""".stripMargin)),
 
     // The reference's embed step (main.py:180-183) as a batch query: the
-    // pluggable HashingEmbedder over the document corpus. xxhash64-based =>
-    // rows-only check; dimension/normalization invariants are unit-tested.
+    // pluggable HashingEmbedder over the document corpus. The poly-hash
+    // bucket assignment is DuckDB-expressible, so the whole embedding
+    // pipeline is oracle-checked: raw_norm is exact integer math; the
+    // normalized max_component matches because FP division by a shared
+    // positive norm is monotone (max of quotients = quotient of max).
     "q35_embed_documents" -> Q(
       (s, dir) => {
         import graft.functions.MathFunctions.floorRound
         import graft.functions.VectorFunctions.l2Norm
         val emb = graft.pipeline.HashingEmbedder(64)
         Tables.documents(s, dir)
-          .select(col("doc_id"), emb.embed(col("text")).as("embedding"))
+          .select(col("doc_id"),
+            emb.embed(col("text")).as("embedding"),
+            emb.embedRaw(col("text")).as("__raw"))
           .select(
             col("doc_id"),
             size(col("embedding")).cast("long").as("dim"),
-            floorRound(l2Norm(col("embedding")), 6).as("norm"),
+            floorRound(l2Norm(col("__raw")), 6).as("raw_norm"),
             floorRound(array_max(col("embedding")), 6).as("max_component"))
           .orderBy("doc_id")
       },
-      None),
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+             |b AS (
+             |  SELECT doc_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(w)),
+             |        i -> CAST(ascii(substr(w, CAST(i AS INTEGER), 1)) AS BIGINT))),
+             |      (acc, x) -> (acc * 31 + x) % 1000000007) % 64 AS bucket
+             |  FROM tok),
+             |c AS (SELECT doc_id, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+             |st AS (
+             |  SELECT doc_id, sqrt(CAST(sum(n * n) AS DOUBLE)) AS nrm,
+             |    CAST(max(n) AS DOUBLE) AS mx
+             |  FROM c GROUP BY 1)
+             |SELECT doc_id, CAST(64 AS BIGINT) AS dim,
+             |  ${graft.functions.MathFunctions.floorRoundSql("nrm", 6)} AS raw_norm,
+             |  ${graft.functions.MathFunctions.floorRoundSql("mx / nrm", 6)} AS max_component
+             |FROM st ORDER BY doc_id""".stripMargin)),
   )
 }

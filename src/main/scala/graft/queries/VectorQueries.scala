@@ -87,19 +87,50 @@ object VectorQueries {
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ANN: LSH-bucketed approximate top-k — the 100 TB path (bucket equi-join
-    // instead of full cross product). Deterministic (seeded hyperplanes) but
-    // hyperplane math is not practical to mirror in SQL => rows-only check;
-    // recall vs the exact q25 answer is unit-tested.
+    // instead of full cross product). nbits scales with the corpus
+    // (AnnIndex.autoNbits) and the integer-hash hyperplanes are mirrored in
+    // SQL, so the approximate answer itself is oracle-checked; recall vs the
+    // exact q25 answer is additionally unit-tested.
     "q27_ann_lsh_topk" -> Q(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
+        // count() is one cheap metadata-ish job that fixes the bucket policy;
+        // the oracle derives the same nbits from the same table in SQL
+        val nbits = AnnIndex.autoNbits(emb.count())
         val queries = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
         AnnIndex.annTopK(queries, "q_id", "q_vec",
           emb.select(col("vec_id").as("c_id"), col("embedding")), "c_id", "embedding",
-          k = 3, nbits = 4, dim = 64)
+          k = 3, nbits = nbits, dim = 64)
       },
-      None),
+      Some(s"""WITH params AS (
+             |  SELECT greatest(4, least(20, CAST(ceil(log2(
+             |    CAST(count(*) AS DOUBLE) / CAST(128.0 AS DOUBLE))) AS INTEGER))) AS nbits
+             |  FROM embeddings),
+             |planes AS (
+             |  SELECT list(list_transform(generate_series(0, 63), d ->
+             |      CAST(((j*64+d+1)*(j*64+d+1) * 2654435761 + 97*(j*64+d+1) + 12345) % 1000003
+             |        - 501001 AS DOUBLE)) ORDER BY j) AS ws
+             |  FROM (SELECT unnest(generate_series(0, (SELECT nbits FROM params) - 1)) AS j)),
+             |buck AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS v,
+             |    list_sum(list_transform(generate_series(1, params.nbits),
+             |      j -> CASE WHEN list_inner_product(embedding::DOUBLE[], planes.ws[j]) >= CAST(0.0 AS DOUBLE)
+             |           THEN (CAST(1 AS BIGINT) << (j-1)) ELSE CAST(0 AS BIGINT) END)) AS bucket
+             |  FROM embeddings, planes, params),
+             |cand AS (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.v AS qv, c.v AS cv
+             |  FROM buck q JOIN buck c
+             |    ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id <> c.vec_id
+             |  WHERE q.vec_id < 10
+             |    AND list_sum(list_transform(q.v, x -> x*x)) > 0
+             |    AND list_sum(list_transform(c.v, x -> x*x)) > 0)
+             |SELECT q_id, c_id, score, rn FROM (
+             |  SELECT q_id, c_id, ${frs("list_cosine_similarity(qv, cv)", 6)} AS score,
+             |    row_number() OVER (PARTITION BY q_id
+             |      ORDER BY ${frs("list_cosine_similarity(qv, cv)", 6)} DESC, c_id) AS rn
+             |  FROM cand)
+             |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin)),
 
     // Exact all-pairs cosine >= threshold on a fixed-size sample — the oracle
     // anchor for embedding-space near-dup (q28 is the LSH scale path).
@@ -164,7 +195,9 @@ object VectorQueries {
              |ORDER BY q.vec_id""".stripMargin)),
 
     // IVF ANN: coarse-quantized candidate cells, nprobe-cell probing. The
-    // second classic ANN scale path next to hyperplane LSH (q27). Rows-only.
+    // second classic ANN scale path next to hyperplane LSH (q27). The coarse
+    // centroids are the nlist lowest-id corpus vectors, so cell assignment
+    // (argmin |c|²−2·v·c, tie-break by cell id) is exactly mirrorable in SQL.
     "q40_ann_ivf_topk" -> Q(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
@@ -174,15 +207,71 @@ object VectorQueries {
           emb.select(col("vec_id").as("c_id"), col("embedding")), "c_id", "embedding",
           k = 3, nlist = 16, nprobe = 4)
       },
-      None),
+      Some(s"""WITH cents AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+             |    embedding::DOUBLE[] AS cv,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(embedding::DOUBLE[], x -> x*x)), (a, x) -> a + x) AS c2
+             |  FROM embeddings ORDER BY vec_id LIMIT 16),
+             |assign AS (
+             |  SELECT vec_id, v, cell FROM (
+             |    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.ci AS cell,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(e.embedding::DOUBLE[], c.cv), c.ci) AS rn
+             |    FROM embeddings e CROSS JOIN cents c)
+             |  WHERE rn = 1),
+             |probes AS (
+             |  SELECT vec_id AS q_id, v AS qv, cell FROM (
+             |    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.ci AS cell,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(e.embedding::DOUBLE[], c.cv), c.ci) AS rn
+             |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10)
+             |  WHERE rn <= 4),
+             |cand AS (
+             |  SELECT p.q_id, a.vec_id AS c_id, p.qv, a.v AS cv
+             |  FROM probes p JOIN assign a ON p.cell = a.cell AND p.q_id <> a.vec_id
+             |  WHERE list_sum(list_transform(p.qv, x -> x*x)) > 0
+             |    AND list_sum(list_transform(a.v, x -> x*x)) > 0)
+             |SELECT q_id, c_id, score, rn FROM (
+             |  SELECT q_id, c_id, ${frs("list_cosine_similarity(qv, cv)", 6)} AS score,
+             |    row_number() OVER (PARTITION BY q_id
+             |      ORDER BY ${frs("list_cosine_similarity(qv, cv)", 6)} DESC, c_id) AS rn
+             |  FROM cand)
+             |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin)),
 
-    // Embedding-cosine near-dup pairs (LSH candidates). Rows-only.
+    // Embedding-cosine near-dup pairs (LSH candidates, multiprobe hamming-1).
     // Threshold is fixture-calibrated: the synthetic embeddings are random
     // (max pairwise cosine ~0.4), so 0.2 plays the role 0.95 would on a real
-    // corpus of near-duplicate embeddings.
+    // corpus of near-duplicate embeddings. Same SQL-expressible hyperplanes
+    // as q27 => oracle-checked.
     "q28_embedding_near_dup" -> Q(
-      (s, dir) => AnnIndex.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.2, nbits = 4, dim = 64),
-      None),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        AnnIndex.cosineNearDupPairs(emb, "vec_id", "embedding",
+          threshold = 0.2, nbits = AnnIndex.autoNbits(emb.count()), dim = 64)
+      },
+      Some(s"""WITH params AS (
+             |  SELECT greatest(4, least(20, CAST(ceil(log2(
+             |    CAST(count(*) AS DOUBLE) / CAST(128.0 AS DOUBLE))) AS INTEGER))) AS nbits
+             |  FROM embeddings),
+             |planes AS (
+             |  SELECT list(list_transform(generate_series(0, 63), d ->
+             |      CAST(((j*64+d+1)*(j*64+d+1) * 2654435761 + 97*(j*64+d+1) + 12345) % 1000003
+             |        - 501001 AS DOUBLE)) ORDER BY j) AS ws
+             |  FROM (SELECT unnest(generate_series(0, (SELECT nbits FROM params) - 1)) AS j)),
+             |buck AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS v,
+             |    list_sum(list_transform(generate_series(1, params.nbits),
+             |      j -> CASE WHEN list_inner_product(embedding::DOUBLE[], planes.ws[j]) >= CAST(0.0 AS DOUBLE)
+             |           THEN (CAST(1 AS BIGINT) << (j-1)) ELSE CAST(0 AS BIGINT) END)) AS bucket
+             |  FROM embeddings, planes, params)
+             |SELECT id_a, id_b, score FROM (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    ${frs("list_cosine_similarity(a.v, b.v)", 6)} AS score
+             |  FROM buck a JOIN buck b
+             |    ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 1
+             |  WHERE list_sum(list_transform(a.v, x -> x*x)) > 0
+             |    AND list_sum(list_transform(b.v, x -> x*x)) > 0)
+             |WHERE score >= CAST(0.2 AS DOUBLE) ORDER BY 1, 2""".stripMargin)),
   )
 }

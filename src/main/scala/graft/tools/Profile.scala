@@ -55,6 +55,13 @@ object Profile {
     time("sig cache materialize") {
       val c = sig.cache(); c.write.mode("overwrite").format("noop").save()
     }
+    // q22c stage profile
+    val simDf = docs.select(col("doc_id"), graft.functions.TextFunctions.simhash64(col("text")).as("sim"))
+    time("simhash(fused)")(simDf.write.mode("overwrite").format("noop").save())
+    val simHof = docs.select(col("doc_id"), graft.functions.TextFunctions.simhash64Hof(col("text")).as("sim"))
+    time("simhash(hof)")(simHof.write.mode("overwrite").format("noop").save())
+    time("full q22c")(graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", 8).write.mode("overwrite").format("noop").save())
+    spark.catalog.clearCache()
     time("full q22b (cache warm)")(graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 32, 16, 0.5).write.mode("overwrite").format("noop").save())
     spark.catalog.clearCache()
     time("full q22b (cold)")(graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 32, 16, 0.5).write.mode("overwrite").format("noop").save())

@@ -60,6 +60,34 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestSession {
     assert(r(1) > 0)
   }
 
+  // the fused kernels claim bit-identity with the HOF column trees they
+  // replaced — assert it on fixture docs plus adversarial edges (empty
+  // string, consecutive/leading/trailing spaces, multi-byte UTF-8)
+  private lazy val kernelProbe = {
+    val edges = Seq((9001L, ""), (9002L, "  a  b "), (9003L, "héllo wörld héllo"),
+      (9004L, "一 二 三 一"), (9005L, "x")).toDF("doc_id", "text")
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").limit(100).union(edges)
+  }
+
+  test("fused simhash64 is bit-identical to the HOF formulation") {
+    val bad = kernelProbe
+      .filter(not(simhash64($"text") <=> simhash64Hof($"text"))).count()
+    assert(bad === 0)
+  }
+
+  test("fused shingleHashes is bit-identical to the HOF formulation") {
+    val th  = transform(tokens($"text"), t => xxhash64(t))
+    val cnt = size(th) - 2
+    val hof = when(cnt >= 1,
+        sort_array(array_distinct(transform(sequence(lit(1), cnt),
+          i => xxhash64(element_at(th, i), element_at(th, i + 1), element_at(th, i + 2))))))
+      .otherwise(array().cast("array<long>"))
+    val bad = kernelProbe
+      .filter(not(shingleHashesFused($"text", 3) <=> hof)).count()
+    assert(bad === 0)
+  }
+
   test("subwordCount: at least one per token, more for long words") {
     val d = Seq(("ab cd", "internationalization hi")).toDF("x", "y")
     assert(d.select(subwordCount($"x")).head.getInt(0) === 2)
