@@ -158,7 +158,11 @@ object TextFunctions {
   }
 
   def minhashSignature(shingleSet: Column, numHashes: Int): Column =
-    minhashSignatureFromHashes(shingleHashes(shingleSet), numHashes)
+    // graft_minhash rejects nullable array elements at analysis; a coalesce
+    // inside the transform makes the element type provably non-null (null
+    // shingles cannot occur — the sentinel only exists to fix the type)
+    minhashSignatureFromHashes(
+      transform(shingleHashes(shingleSet), h => coalesce(h, lit(Long.MinValue))), numHashes)
 
   /** 64-bit SimHash over tokens: per-bit majority vote of token hashes,
     * fused into one codegen call ([[graft.functions.expressions.SimHash64]]).
@@ -195,4 +199,37 @@ object TextFunctions {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- SQL-expressible (oracle-checkable) dedup hash family ----
+  // Same pipeline shapes as the xxhash64 kernels above, but every hash is
+  // modular arithmetic below 2⁶³ (PolyHash), so the DuckDB oracle computes
+  // bit-identical values — this is what makes q22b/q22c/q45 hash-checkable
+  // rather than rows-only. Fused kernels: one codegen call per row.
+
+  /** Sorted distinct n-gram shingle hashes, polynomial family
+    * ([[graft.functions.expressions.PolyShingleHashes]]).
+    */
+  def shingleHashesPoly(text: Column, n: Int): Column = {
+    import graft.functions.expressions.PolyShingleHashes
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    B.column(PolyShingleHashes(B.expression(text), n))
+  }
+
+  /** MinHash signature via the affine family (a_j·h + b_j) mod P
+    * ([[graft.functions.expressions.PolyMinHashSignature]]).
+    */
+  def minhashSignaturePoly(hashes: Column, numHashes: Int): Column = {
+    import graft.functions.expressions.PolyMinHashSignature
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    B.column(PolyMinHashSignature(B.expression(hashes), numHashes))
+  }
+
+  /** 60-bit SimHash, polynomial family
+    * ([[graft.functions.expressions.SimHashPoly]]).
+    */
+  def simhashPoly(text: Column): Column = {
+    import graft.functions.expressions.SimHashPoly
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    B.column(SimHashPoly(B.expression(text)))
+  }
 }

@@ -20,7 +20,12 @@ case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpr
   require(numHashes > 0, s"numHashes must be positive, got $numHashes")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    // a null element slot would read undefined memory through the primitive
+    // accessor — reject at analysis instead of corrupting signatures at run
+    case ArrayType(LongType, true) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> with non-nullable elements " +
+        "(e.g. graft_shingle_hashes output; use filter(x, x -> x is not null) first)")
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<bigint> input, got ${other.simpleString}")
   }

@@ -1,0 +1,90 @@
+package graft.functions.expressions
+
+import org.apache.spark.unsafe.Platform
+
+/** Shared arithmetic for the SQL-expressible dedup hash family
+  * ([[PolyShingleHashes]], [[PolyMinHashSignature]], [[SimHashPoly]]).
+  *
+  * Every hash is modular arithmetic below 2⁶³ so the identical formula can be
+  * written in DuckDB SQL (the oracle gate) with no overflow-semantics
+  * divergence — the same playbook that bought q35 ([[PolyTokenBuckets]]) and
+  * q27/q28 (integer-hash hyperplanes) their oracles:
+  *
+  *  - token hash  `h = (h·31 + codepoint) mod P`, h₀ = 0 — DuckDB:
+  *    `list_reduce(list_prepend(0, list_transform(generate_series(1,length(w)),
+  *    i -> ascii(substr(w,i,1)))), (acc,x) -> (acc*31+x) % 1000000007)`;
+  *  - fold (shingles, band keys) `acc = (acc·R + x) mod P` with R = 1000003:
+  *    acc < P ≈ 2³⁰, acc·R < 2⁵⁰ — safe;
+  *  - per-function affine rehash `(a_j·h + b_j) mod P` with h < P:
+  *    a_j·h < P² ≈ 10¹⁸ < 2⁶³ — safe. a_j/b_j derive from j by fixed integer
+  *    formulas (glibc LCG multipliers as arbitrary public constants), so the
+  *    oracle SQL needs no literal table.
+  *
+  * Token hashing walks Unicode CODE POINTS, not raw bytes, to match DuckDB's
+  * character-indexed `ascii(substr(w,i,1))` on non-ASCII text too (byte-level
+  * hashing agrees only on ASCII corpora).
+  */
+object PolyHash {
+  val P: Long = 1000000007L
+  val R: Long = 1000003L
+
+  /** Affine multiplier for hash function j — never ≡ 0 (mod P) for any j ≥ 0
+    * below 2³¹ (1103515245 is coprime to P and (j+1)·1103515245+12345 ≡ 0
+    * first at j ≈ 9.06e8).
+    */
+  def a(j: Int): Long = ((j + 1).toLong * 1103515245L + 12345L) % P
+
+  def b(j: Int): Long = ((j + 1).toLong * 69069L + 1L) % P
+
+  /** Polynomial code-point hash of the UTF-8 byte slice [start, end). */
+  def tokenHash(base: AnyRef, off: Long, start: Int, end: Int): Long = {
+    var h = 0L
+    var i = start
+    while (i < end) {
+      val b0 = Platform.getByte(base, off + i) & 0xFF
+      var cp = 0
+      if (b0 < 0x80) { cp = b0; i += 1 }
+      else if ((b0 & 0xE0) == 0xC0) {
+        cp = ((b0 & 0x1F) << 6) | (Platform.getByte(base, off + i + 1) & 0x3F)
+        i += 2
+      } else if ((b0 & 0xF0) == 0xE0) {
+        cp = ((b0 & 0x0F) << 12) | ((Platform.getByte(base, off + i + 1) & 0x3F) << 6) |
+          (Platform.getByte(base, off + i + 2) & 0x3F)
+        i += 3
+      } else {
+        cp = ((b0 & 0x07) << 18) | ((Platform.getByte(base, off + i + 1) & 0x3F) << 12) |
+          ((Platform.getByte(base, off + i + 2) & 0x3F) << 6) |
+          (Platform.getByte(base, off + i + 3) & 0x3F)
+        i += 4
+      }
+      h = (h * 31L + cp) % P
+    }
+    h
+  }
+
+  /** Token hashes of a UTF-8 string split on 0x20 (matches `split(text, " ")`
+    * with limit -1: empty tokens kept, and a space byte cannot occur inside a
+    * multi-byte sequence).
+    */
+  def tokenHashes(base: AnyRef, off: Long, len: Int): Array[Long] = {
+    var spaces = 0
+    var i = 0
+    while (i < len) {
+      if (Platform.getByte(base, off + i) == 0x20) spaces += 1
+      i += 1
+    }
+    val th = new Array[Long](spaces + 1)
+    var t = 0
+    var start = 0
+    i = 0
+    while (i <= len) {
+      if (i == len || Platform.getByte(base, off + i) == 0x20) {
+        th(t) = tokenHash(base, off, start, i)
+        t += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    th
+  }
+}

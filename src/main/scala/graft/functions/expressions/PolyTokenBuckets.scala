@@ -6,7 +6,6 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
-import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-token feature-hash bucket ids, fused into one pass over the raw UTF-8
@@ -18,11 +17,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * token-for-token in DuckDB SQL
   * (`list_reduce(... ascii(substr(w,i,1)) ..., (acc,x) -> (acc*31+x) % 1000000007)`),
   * which turns the whole hashing-embedder pipeline into an oracle-checkable
-  * query (q35). Arithmetic stays below 2⁶³ (acc < 10⁹, ·31 + 255 < 2⁶³), so
-  * there is no overflow-semantics divergence between engines. Byte values are
-  * read unsigned; for ASCII corpora (the fixtures) byte == `ascii()` code
-  * point, which is the oracle's formulation — non-ASCII text is still
-  * deterministic, just byte-level rather than code-point-level.
+  * query (q35). Arithmetic stays below 2⁶³ (acc < 10⁹, ·31 + cp < 2⁶³), so
+  * there is no overflow-semantics divergence between engines. The hash walks
+  * Unicode CODE POINTS (via [[PolyHash.tokenHash]]), exactly the oracle's
+  * character-indexed `ascii(substr(w,i,1))` — so parity holds on non-ASCII
+  * text too, not just the ASCII fixtures.
   */
 case class PolyTokenBuckets(child: Expression, dim: Int) extends UnaryExpression {
   require(dim > 0, s"dim must be positive, got $dim")
@@ -49,34 +48,14 @@ case class PolyTokenBuckets(child: Expression, dim: Int) extends UnaryExpression
 }
 
 object PolyTokenBuckets {
-  private val P = 1000000007L
-
   def compute(s: UTF8String, dim: Int): ArrayData = {
-    val base = s.getBaseObject
-    val off  = s.getBaseOffset
-    val len  = s.numBytes
-    var spaces = 0
-    var i = 0
-    while (i < len) {
-      if (Platform.getByte(base, off + i) == 0x20) spaces += 1
-      i += 1
-    }
-    val out = new Array[Int](spaces + 1)
+    val th  = PolyHash.tokenHashes(s.getBaseObject, s.getBaseOffset, s.numBytes)
+    val out = new Array[Int](th.length)
     var t = 0
-    var h = 0L
-    i = 0
-    while (i < len) {
-      val b = Platform.getByte(base, off + i)
-      if (b == 0x20) {
-        out(t) = (h % dim).toInt
-        t += 1
-        h = 0L
-      } else {
-        h = (h * 31L + (b & 0xFF)) % P
-      }
-      i += 1
+    while (t < th.length) {
+      out(t) = (th(t) % dim).toInt
+      t += 1
     }
-    out(t) = (h % dim).toInt
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions._
 import graft.functions.MathFunctions.floorRound
+import graft.functions.expressions.PolyHash
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
@@ -17,14 +18,21 @@ import org.apache.spark.sql.DataFrame
   *    the document).
   *  - [[jaccardPairsExact]] enumerates O(n²) pairs — it exists as the *exact
   *    verifier / oracle anchor* for small n. Never the scale path.
-  *  - [[minhashLshPairs]] is the scale path: signature (k seeded min-hashes) →
+  *  - [[minhashLshPairs]] is the scale path: signature (k affine min-hashes) →
   *    band explode → equi-join on (band, band-hash). Shuffle volume is
   *    O(n · bands), candidates are only colliding pairs; exact Jaccard then
   *    prunes false positives. This is the standard shingle→minhash→band→
   *    bucket-join pipeline, expressed as joins Catalyst can plan (AQE handles
   *    skewed buckets).
-  *  - [[simhashPairs]] uses 4×16-bit band buckets over a 64-bit SimHash —
+  *  - [[simhashPairs]] uses 4×15-bit band buckets over a 60-bit SimHash —
   *    guaranteed recall for hamming distance ≤ 3, heuristic beyond.
+  *
+  * Hash family: every hash here is the SQL-expressible [[PolyHash]] modular
+  * family (token/shingle polynomial, affine minhash, parity-vote simhash), so
+  * the ENTIRE pipeline — candidates included — is mirrored in the DuckDB
+  * oracles of q22b/q22c/q45. The xxhash64 kernels (ShingleHashes /
+  * MinHashSignature / SimHash64) remain available as an alternative family
+  * with 64-bit collision resistance.
   */
 object Dedup {
 
@@ -35,21 +43,32 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Shingle sets represented by their SORTED 64-bit hashes: Jaccard over the
-    * hash sets equals string-set Jaccard up to 64-bit collisions (≈1e-11
-    * across a 5k-doc corpus). Sorting once per row lets every pair use the
-    * allocation-free merge-walk kernel
+  /** Shingle sets represented by their SORTED hashes: Jaccard over the hash
+    * sets equals string-set Jaccard up to hash collisions. Sorting once per
+    * row lets every pair use the allocation-free merge-walk kernel
     * [[graft.functions.expressions.SortedIntersectionCount]] instead of a
     * hash-set build per pair — the dominant cost of pair verification.
+    *
+    * Two hash families, chosen per pipeline:
+    *  - xxhash64 (64-bit) for the EXACT path ([[jaccardPairsExact]], q22/q44):
+    *    its oracle computes Jaccard over the literal *string* shingle sets, so
+    *    the hash-set Jaccard must equal the string-set Jaccard — collision
+    *    odds must be negligible (64-bit: ~1e-11 across the corpus);
+    *  - [[PolyHash]] mod-P (~30-bit) for the LSH paths ([[minhashLshPairs]],
+    *    q22b/q45): collisions are real (~5e-6 per 100-shingle pair) but the
+    *    oracle mirrors the SAME poly hashes in SQL, so both engines see
+    *    identical sets and parity is exact — this is what buys the LSH
+    *    pipeline a hash-checked oracle instead of a rows-only check.
     */
-  private def withShingles(df: DataFrame, idCol: String, textCol: String, n: Int) =
-    // single fused kernel call per row (tokenize → token hash → rolling
-    // shingle hash → sort+dedup); the equivalent HOF column tree was the
-    // measured hotspot of the whole dedup family (~5 s of q22b's 9.5 s at
-    // sf0.1) — per-element element_at bound checks and a materialized index
-    // sequence add up over millions of shingles
-    df.select(col(idCol),
-        graft.functions.TextFunctions.shingleHashesFused(col(textCol), n).as("hs"))
+  private def withShinglesXx(df: DataFrame, idCol: String, textCol: String, n: Int) =
+    // single fused kernel call per row (tokenize → token hash → shingle fold →
+    // sort+dedup); the equivalent HOF column tree was the measured hotspot of
+    // the whole dedup family (~5 s of q22b's 9.5 s at sf0.1)
+    df.select(col(idCol), shingleHashesFused(col(textCol), n).as("hs"))
+      .filter(size(col("hs")) > 0)
+
+  private def withShinglesPoly(df: DataFrame, idCol: String, textCol: String, n: Int) =
+    df.select(col(idCol), shingleHashesPoly(col(textCol), n).as("hs"))
       .filter(size(col("hs")) > 0)
 
   /** Jaccard over sorted hash arrays via the fused merge-walk kernel; same
@@ -73,7 +92,7 @@ object Dedup {
     // cache: both sides of the self-join read this small relation; without
     // it the whole shingle+hash pipeline executes twice (aliased self-join
     // branches don't share exchanges)
-    val sh = withShingles(df, idCol, textCol, shingleSize).cache()
+    val sh = withShinglesXx(df, idCol, textCol, shingleSize).cache()
     val a  = sh.select(col(idCol).as("id_a"), col("hs").as("hs_a"))
     val b  = sh.select(col(idCol).as("id_b"), col("hs").as("hs_b"))
     a.join(b, col("id_a") < col("id_b"))
@@ -83,6 +102,16 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Band key: fold the band's signature slice with (acc·R + x) mod P, seeded
+    * with band+1 so identical slices in different bands cannot collide into
+    * one bucket. Mirrored literally in the oracle SQL (list_reduce).
+    */
+  private def bandKey(sig: org.apache.spark.sql.Column, band: org.apache.spark.sql.Column,
+                      rows: Int): org.apache.spark.sql.Column =
+    aggregate(slice(sig, band * rows + 1, lit(rows)),
+      (band + 1).cast("long"),
+      (acc, x) => (acc * PolyHash.R + x) % PolyHash.P)
+
   /** MinHash-LSH near-dup pairs: banding join for candidates, exact Jaccard
     * verify. `numHashes` must be divisible by `bands`.
     */
@@ -91,12 +120,12 @@ object Dedup {
                       threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val sig = withShingles(df, idCol, textCol, shingleSize)
-      .withColumn("sig", minhashSignatureFromHashes(col("hs"), numHashes))
+    val sig = withShinglesPoly(df, idCol, textCol, shingleSize)
+      .withColumn("sig", minhashSignaturePoly(col("hs"), numHashes))
       .cache() // self-joined below — avoid recomputing signatures per branch
     val banded = sig
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("band_key", xxhash64(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
+      .withColumn("band_key", bandKey(col("sig"), col("band"), rows))
     // candidate generation over slim (id, band, band_key) rows only — the
     // per-band duplicates are dropped BEFORE the (heavy) shingle-hash arrays
     // are attached, so the dedup shuffle moves 16-byte rows, not kilobytes
@@ -138,45 +167,54 @@ object Dedup {
     * `maxIter` bounds runaway graphs. Returns (id, cluster) where cluster is
     * the minimum member id of the component.
     *
-    * At scale each round is one shuffle join on id; checkpointing every few
-    * rounds would truncate lineage for very deep graphs.
+    * Scale hygiene: each iteration would otherwise stack a join+aggregate on
+    * the previous plan, so lineage (and planning time) grows per round —
+    * `localCheckpoint()` every `checkpointEvery` rounds truncates it, and the
+    * convergence probe is a lazy `isEmpty` on the changed-label diff (stops
+    * at the first changed row instead of counting them). Checkpointed
+    * generations are never unpersisted (their lineage is gone — the blocks
+    * ARE the data; the ContextCleaner reclaims them once unreferenced);
+    * cached generations are unpersisted as soon as the next one lands.
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // undirected edge list (both directions) from (id_a, id_b) pairs
+  def clusters(pairs: DataFrame, maxIter: Int = 10, checkpointEvery: Int = 3): DataFrame = {
+    // undirected edge list (both directions) from (id_a, id_b) pairs;
+    // checkpointing here also truncates the (potentially deep) upstream LSH
+    // plan so every iteration replans against a leaf, not the whole pipeline
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
+    var labelsCheckpointed = false
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("cluster"))
-      val next = labels.union(viaNeighbor)
+      val propagated = labels.union(viaNeighbor)
         .groupBy("id").agg(min("cluster").as("cluster"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
-        .filter(col("cluster") =!= col("old")).limit(1).count()
-      labels.unpersist()
+      val checkpointNow = (iter + 1) % checkpointEvery == 0
+      val next = if (checkpointNow) propagated.localCheckpoint() else propagated.cache()
+      converged = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .filter(col("cluster") =!= col("old")).isEmpty
+      if (!labelsCheckpointed) labels.unpersist()
       labels = next
-      converged = changed == 0
+      labelsCheckpointed = checkpointNow
       iter += 1
     }
-    edges.unpersist()
     labels
   }
 
-  /** SimHash near-dup pairs within `maxHamming` bits, candidates via 4×16-bit
-    * band buckets.
+  /** SimHash near-dup pairs within `maxHamming` bits, candidates via 4×15-bit
+    * band buckets over the 60-bit poly SimHash.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
-    val sh = df.select(col(idCol), simhash64(col(textCol)).as("sim")).cache()
+    val sh = df.select(col(idCol), simhashPoly(col(textCol)).as("sim")).cache()
     val banded = sh
       .withColumn("band", explode(sequence(lit(0), lit(3))))
-      .withColumn("chunk", expr("shiftright(sim, band*16) & 65535"))
+      .withColumn("chunk", expr("shiftright(sim, band*15) & 32767"))
     val l = banded.select(col(idCol).as("id_a"), col("sim").as("sim_a"), col("band"), col("chunk"))
     val r = banded.select(col(idCol).as("id_b"), col("sim").as("sim_b"), col("band"), col("chunk"))
     l.join(r, Seq("band", "chunk"))

@@ -61,6 +61,111 @@ object TextQueries {
 
   val JaccardThreshold = 0.5
 
+  // ---- MinHash-LSH / SimHash oracle SQL (mirrors the PolyHash family) ----
+  // Every hash in Dedup's LSH pipelines is modular arithmetic below 2⁶³
+  // (graft.functions.expressions.PolyHash), so the WHOLE pipeline — token
+  // hash, shingle fold, affine min-hashes, band keys, candidate join, Jaccard
+  // verify — is re-derived here in DuckDB SQL. Constants mirror PolyHash:
+  // P=1000000007, R=1000003, a_j=((j+1)·1103515245+12345)%P,
+  // b_j=((j+1)·69069+1)%P. Token order is preserved by zipped unnest
+  // (tokens ∥ generate_series), the q35-proven per-character hashing pattern.
+  private val HP = "1000000007"
+  private val HR = "1000003"
+  private def affineSql(hashExpr: String, jExpr: String): String =
+    s"((((($jExpr)+1)*1103515245 + 12345) % $HP) * $hashExpr + ((($jExpr)+1)*69069 + 1) % $HP) % $HP"
+
+  /** Shared CTE chain: documents → ordered token hashes (th) → trigram
+    * shingle hashes (shl) → per-doc distinct shingle sets (sh) → 32 affine
+    * min-hashes (mh) → 16 band keys of 2 rows (bk) → candidate pairs (cand)
+    * → Jaccard-verified pairs (pairs). Mirrors Dedup.minhashLshPairs with
+    * shingleSize=3, numHashes=32, bands=16.
+    */
+  private val minhashPairsCtes: String = {
+    val jacExpr = """CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                    |      / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE)""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+       |    unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, pos,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, length(w)),
+       |        i -> CAST(ascii(substr(w, CAST(i AS INTEGER), 1)) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % $HP) AS h
+       |  FROM tok),
+       |shl AS (
+       |  SELECT a.doc_id,
+       |    (((a.h * $HR + b.h) % $HP) * $HR + c.h) % $HP AS sh
+       |  FROM th a JOIN th b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |            JOIN th c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+       |sh AS (SELECT doc_id, list_distinct(list(sh)) AS s FROM shl GROUP BY doc_id),
+       |mh AS (
+       |  SELECT doc_id, j, min(${affineSql("sh", "j")}) AS mh
+       |  FROM shl, (SELECT unnest(generate_series(0, 31)) AS j)
+       |  GROUP BY 1, 2),
+       |bk AS (
+       |  SELECT e.doc_id, e.j // 2 AS band,
+       |    ((((e.j // 2 + 1) * $HR + e.mh) % $HP) * $HR + o.mh) % $HP AS band_key
+       |  FROM mh e JOIN mh o ON e.doc_id = o.doc_id AND o.j = e.j + 1
+       |  WHERE e.j % 2 = 0),
+       |cand AS (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bk x JOIN bk y
+       |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b, ${frs(jacExpr, 4)} AS jac
+       |  FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+       |            JOIN sh sb ON cand.id_b = sb.doc_id)""".stripMargin
+  }
+
+  private val minhashLshOracle: String =
+    s"""$minhashPairsCtes
+       |SELECT id_a, id_b, jac FROM pairs
+       |WHERE jac >= $JaccardThreshold ORDER BY 1, 2""".stripMargin
+
+  private val dedupCorpusLshOracle: String =
+    s"""$minhashPairsCtes
+       |SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT id_b FROM pairs WHERE jac >= $JaccardThreshold)
+       |ORDER BY doc_id""".stripMargin
+
+  /** SimHashPoly mirror: 60 parity-voted bits per doc, 4×15-bit band buckets,
+    * hamming ≤ maxHamming. Matches Dedup.simhashPairs.
+    */
+  private def simhashOracle(maxHamming: Int): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+       |th AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, length(w)),
+       |        i -> CAST(ascii(substr(w, CAST(i AS INTEGER), 1)) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % $HP) AS h
+       |  FROM tok),
+       |v AS (
+       |  SELECT doc_id, j,
+       |    sum(CASE WHEN (${affineSql("h", "j")}) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM th, (SELECT unnest(generate_series(0, 59)) AS j)
+       |  GROUP BY 1, 2),
+       |sim AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS sim
+       |  FROM v GROUP BY 1),
+       |bk AS (
+       |  SELECT doc_id, sim, b, (sim >> CAST(b * 15 AS INTEGER)) & 32767 AS chunk
+       |  FROM sim, (SELECT unnest(generate_series(0, 3)) AS b)),
+       |cand AS (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       |    min(x.sim) AS sim_a, min(y.sim) AS sim_b
+       |  FROM bk x JOIN bk y
+       |    ON x.b = y.b AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= $maxHamming
+       |ORDER BY 1, 2""".stripMargin
+
   /** The exact O(n²) pair-join (q22) runs on a fixed doc_id sample so its cost
     * is scale-invariant — it exists as the oracle anchor / exact verifier.
     * The LSH variants (q22b/q22c) cover the full corpus at every scale.
@@ -162,14 +267,14 @@ object TextQueries {
       Some(jaccardOracle)),
 
     // Scale path: MinHash-LSH candidate generation (banding join, no O(n^2)
-    // pair enumeration). Hash functions are Spark xxhash64 — not expressible
-    // in the oracle; driver records the weaker rows-only check. Exactness of
-    // surviving pairs is still guarded by the jaccard >= threshold filter,
-    // which q22 verifies exactly.
+    // pair enumeration). The PolyHash family makes the ENTIRE pipeline —
+    // candidates included — oracle-checkable: the SQL re-derives token
+    // hashes, shingle folds, affine min-hashes, band keys, the candidate
+    // join, and the Jaccard verify, token for token.
     "q22b_minhash_lsh_pairs" -> Q(
       (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
         shingleSize = 3, numHashes = 32, bands = 16, threshold = JaccardThreshold),
-      None),
+      Some(minhashLshOracle)),
 
     // Deterministic stratified sampling: language-dependent keep rates via a
     // SQL-expressible multiplicative hash (reproducible, shuffle-free).
@@ -279,21 +384,22 @@ object TextQueries {
              |WHERE doc_id < $ExactPairSample AND doc_id NOT IN (SELECT doc_id FROM dups)
              |ORDER BY doc_id""".stripMargin)),
 
-    // Full-corpus LSH variant of the same policy (rows-only; recall bounded
-    // by the banding scheme, exact policy verified by q44).
+    // Full-corpus LSH variant of the same policy — oracle re-derives the full
+    // MinHash pipeline then anti-joins the higher-id pair members (recall
+    // bounded by the banding scheme, exact policy verified by q44).
     "q45_dedup_corpus_lsh" -> Q(
       (s, dir) => Dedup.dropNearDuplicates(Tables.documents(s, dir), "doc_id", "text",
           shingleSize = 3, numHashes = 32, bands = 16, threshold = JaccardThreshold)
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id"),
-      None),
+      Some(dedupCorpusLshOracle)),
 
-    // SimHash near-dup: 64-bit signature; pairs within hamming distance 8 via
-    // band-bucket candidates (4x16-bit bands => guaranteed recall for d<=3,
-    // heuristic beyond). Rows-only (xxhash64-based).
+    // SimHash near-dup: 60-bit parity-voted signature; pairs within hamming
+    // distance 8 via band-bucket candidates (4x15-bit bands => guaranteed
+    // recall for d<=3, heuristic beyond). Oracle-checked via SimHashPoly.
     "q22c_simhash_pairs" -> Q(
       (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 8),
-      None),
+      Some(simhashOracle(maxHamming = 8))),
   )
 }

@@ -79,6 +79,16 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("clusters: path graph deeper than 10 converges through checkpoints") {
+    // 16-node path 0-1-2-…-15 (diameter 15 > default maxIter): min-label
+    // propagation needs 15 rounds, crossing several localCheckpoint()
+    // boundaries — the lineage-truncation path must preserve correctness
+    val pairs = (0L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs, maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L to 15L).map(_ -> 0L).toMap)
+  }
+
   // ---- TopK ----
 
   private lazy val corpus = Seq(

@@ -88,6 +88,82 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestSession {
     assert(bad === 0)
   }
 
+  // ---- PolyHash family (the SQL-expressible dedup hashes) ----
+  // Reference implementations in plain Scala over CODE POINTS — the exact
+  // semantics the DuckDB oracles express with ascii(substr(w,i,1)). The
+  // kernels walk raw UTF-8 bytes, so the multi-byte rows assert the decode.
+  private val P = 1000000007L
+  private val R = 1000003L
+  private def refTokenHash(w: String): Long =
+    w.codePoints().toArray.foldLeft(0L)((acc, cp) => (acc * 31L + cp) % P)
+  private def refShingles(text: String, n: Int): Seq[Long] = {
+    val th = text.split(" ", -1).map(refTokenHash)
+    (0 to th.length - n).map { i =>
+      th.slice(i, i + n).foldLeft(0L)((acc, h) => (acc * R + h) % P)
+    }.distinct.sorted
+  }
+
+  test("PolyShingleHashes matches the code-point reference (incl. non-ASCII)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.expressions.PolyShingleHashes
+    val texts = Seq("", "  a  b ", "héllo wörld héllo étoile", "一 二 三 一 二",
+      "🦀 crab 🦀 crab x", "the quick brown fox jumps over the lazy dog", "x")
+    texts.foreach { t =>
+      val got = PolyShingleHashes.compute(UTF8String.fromString(t), 3).toLongArray().toSeq
+      assert(got === refShingles(t, 3), s"text=<$t>")
+      got.foreach(h => assert(h >= 0 && h < P))
+    }
+  }
+
+  test("PolyMinHashSignature matches the affine reference and the DataFrame path") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.expressions.{PolyHash, PolyShingleHashes, PolyMinHashSignature}
+    val t  = "a b c d e f g h i j"
+    val hs = refShingles(t, 3)
+    val expected = (0 until 8).map(j => hs.map(h => (PolyHash.a(j) * h + PolyHash.b(j)) % P).min)
+    val got = PolyMinHashSignature.compute(
+      PolyShingleHashes.compute(UTF8String.fromString(t), 3), 8).toLongArray().toSeq
+    assert(got === expected)
+    val viaDf = Seq(Tuple1(t)).toDF("text")
+      .select(minhashSignaturePoly(shingleHashesPoly($"text", 3), 8).as("sig"))
+      .head.getSeq[Long](0)
+    assert(viaDf === expected)
+  }
+
+  test("simhashPoly: 60-bit range, equal texts at hamming 0, parity-vote reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.expressions.{PolyHash, SimHashPoly}
+    val t = "the cat sat on the mat"
+    val votes = Array.fill(60)(0)
+    t.split(" ", -1).map(refTokenHash).foreach { h =>
+      (0 until 60).foreach { j =>
+        if (((PolyHash.a(j) * h + PolyHash.b(j)) % P & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+      }
+    }
+    val expected = (0 until 60).foldLeft(0L)((acc, j) => if (votes(j) > 0) acc | (1L << j) else acc)
+    assert(SimHashPoly.compute(UTF8String.fromString(t)) === expected)
+    val d = Seq(("a b c", "a b c")).toDF("x", "y")
+    val r = d.select(hamming64(simhashPoly($"x"), simhashPoly($"y"))).head.getInt(0)
+    assert(r === 0)
+    val v = d.select(simhashPoly($"x")).head.getLong(0)
+    assert(v >= 0 && v < (1L << 60))
+  }
+
+  test("minhash kernels reject nullable array elements at analysis") {
+    val df = Seq(Tuple1("a b c")).toDF("t")
+    // an array whose element type is nullable -> must be rejected at
+    // analysis, not read as undefined memory at run
+    val nullableHashes = array(lit(42L), lit(null).cast("long"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(minhashSignaturePoly(nullableHashes, 4)).head
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(minhashSignatureFromHashes(nullableHashes, 4)).head
+    }
+    // the convenience wrapper coalesces elements, so it stays analyzable
+    assert(df.select(minhashSignature(shingles($"t", 2), 4)).head.getSeq[Long](0).length === 4)
+  }
+
   test("subwordCount: at least one per token, more for long words") {
     val d = Seq(("ab cd", "internationalization hi")).toDF("x", "y")
     assert(d.select(subwordCount($"x")).head.getInt(0) === 2)
