@@ -44,7 +44,10 @@ object Bench {
       .mkString("{", ",", "}")
     // failed queries carry -1 in the per-query map; total sums successes only
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a SPARK_GRAFT_ONLY-filtered profiling run must be distinguishable from
+    // a full benchmark — mark it in the JSON
+    val filteredTag = only.map(f => s""","filtered":true,"filter":"${f.mkString(",")}"""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$filteredTag}""")
     spark.stop()
   }
 }

@@ -18,6 +18,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // operators cache() internally and never unpersist — without this the
+      // cached relations of all 56 queries accumulate in one executor heap
+      // (fine at sf0.01, memory pressure at sf0.1+). Bench does the same.
+      spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

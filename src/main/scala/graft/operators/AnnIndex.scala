@@ -25,17 +25,21 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object AnnIndex {
 
-  /** Bucket-count policy: nbits = ceil(log2(n / targetBucket)) clamped to
-    * [minBits, maxBits] — expected bucket size tracks `targetBucket` instead
-    * of the fixed 2⁴ = 16 buckets that degenerates to O(n²/16) same-bucket
-    * joins at 100× corpus. The formula is mirrored in the q27/q28 oracle SQL
-    * (`greatest(minBits, least(maxBits, ceil(log2(count(*)/target))))`), so
-    * both engines derive the same nbits from the same table.
+  /** Bucket-count policy: smallest b with targetBucket·2ᵇ ≥ n (i.e.
+    * ceil(log2(n/targetBucket))) clamped to [minBits, maxBits] — expected
+    * bucket size tracks `targetBucket` instead of the fixed 2⁴ = 16 buckets
+    * that degenerates to O(n²/16) same-bucket joins at 100× corpus.
+    *
+    * Pure INTEGER shifts, no libm: the q27/q28 oracles mirror this with
+    * `min(b) WHERE (128::BIGINT << b) >= count(*)` — a double-precision
+    * ceil(log2(…)) on both sides would hinge on two libm implementations
+    * agreeing to the last ulp at power-of-two corpus sizes.
     */
   def autoNbits(n: Long, targetBucket: Int = 128,
                 minBits: Int = 4, maxBits: Int = 20): Int = {
-    val raw = math.ceil(math.log(math.max(n, 1).toDouble / targetBucket) / math.log(2.0)).toInt
-    math.max(minBits, math.min(maxBits, raw))
+    var b = 0
+    while (b < maxBits && (targetBucket.toLong << b) < n) b += 1
+    math.max(minBits, b)
   }
 
   /** Deterministic hyperplanes: component d of plane j is the centered

@@ -9,15 +9,28 @@ import org.apache.spark.sql.{Column, DataFrame}
   * referential integrity). The standard trick for training-data subsetting
   * at 100 TB: a pure map-side filter, no shuffle.
   *
-  * The hash is a Knuth multiplicative mix of the numeric key — chosen over
-  * xxhash64 so the exact selection is expressible in plain SQL (the DuckDB
-  * oracle mirrors it literally).
+  * The hash is a two-round affine mix modulo a prime — chosen over xxhash64
+  * so the exact selection is expressible in plain SQL (the DuckDB oracle
+  * mirrors it literally, see [[hashBucketSql]]). The mod-prime rounds are
+  * what make the final `mod 100` fair: a bare Knuth multiply would make the
+  * bucket depend only on `key mod 100` (2654435761 ≡ 61 mod 100), biasing
+  * structured keys (all-even, multiples of 10), and would overflow — ANSI
+  * throw — for keys ≳3.5e9. Here every intermediate stays < P·1.2e9 < 2⁶³.
   */
 object Sampling {
+  private val P = 1000000007L
 
   /** Pseudo-random bucket in [0, 100) from a numeric key. */
-  def hashBucket(key: Column): Column =
-    pmod(key.cast("long") * lit(2654435761L), lit(100L))
+  def hashBucket(key: Column): Column = {
+    val h1 = pmod(key.cast("long"), lit(P))
+    val h2 = (h1 * lit(1103515245L) + lit(12345L)) % lit(P)
+    val h3 = (h2 * lit(69069L) + lit(1L)) % lit(P)
+    h3 % lit(100L)
+  }
+
+  /** DuckDB mirror of [[hashBucket]] — keep token-for-token in sync. */
+  def hashBucketSql(keyExpr: String): String =
+    s"((((($keyExpr % $P + $P) % $P) * 1103515245 + 12345) % $P * 69069 + 1) % $P) % 100"
 
   /** Keep ~`percent`% of rows, selected deterministically by key. */
   def hashSample(df: DataFrame, keyCol: String, percent: Int): DataFrame = {

@@ -55,20 +55,27 @@ object TopK {
   def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
               corpus: DataFrame, cIdCol: String, cVecCol: String,
               k: Int, roundTo: Int = 6, excludeSelf: Boolean = true): DataFrame = {
+    // the output carries both id columns, so they must be distinguishable
+    require(qIdCol != cIdCol,
+      s"knnJoin: query and corpus id columns must have distinct names (both '$qIdCol')")
     // excludeSelf: set false when queries and corpus come from DIFFERENT
     // tables whose ids coincidentally collide
-    // per-side squared norms computed once per row, not per pair
-    val q2 = queries.withColumn("__nsq_q", l2NormSq(col(qVecCol)))
-    val c2 = corpus.withColumn("__nsq_c", l2NormSq(col(cVecCol)))
+    // internal rename: same-named vector columns on the two sides would fail
+    // analysis after the cross join; per-side squared norms computed once per
+    // row, not per pair
+    val q2 = queries.select(col(qIdCol).as("__knn_qid"), col(qVecCol).as("__knn_qvec"))
+      .withColumn("__nsq_q", l2NormSq(col("__knn_qvec")))
+    val c2 = corpus.select(col(cIdCol).as("__knn_cid"), col(cVecCol).as("__knn_cvec"))
+      .withColumn("__nsq_c", l2NormSq(col("__knn_cvec")))
     val scored = c2.crossJoin(broadcast(q2))
-      .filter(lit(!excludeSelf) || col(qIdCol) =!= col(cIdCol))
+      .filter(lit(!excludeSelf) || col("__knn_qid") =!= col("__knn_cid"))
       .withColumn("score", floorRound(
-        cosineFromNormSq(col(qVecCol), col(cVecCol), col("__nsq_q"), col("__nsq_c")), roundTo))
-    val w = Window.partitionBy(col(qIdCol)).orderBy(desc("score"), col(cIdCol))
+        cosineFromNormSq(col("__knn_qvec"), col("__knn_cvec"), col("__nsq_q"), col("__nsq_c")), roundTo))
+    val w = Window.partitionBy(col("__knn_qid")).orderBy(desc("score"), col("__knn_cid"))
     scored
       .filter(col("score").isNotNull) // zero-norm rows don't compete
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select(col(qIdCol), col(cIdCol), col("score"), col("rn"))
+      .select(col("__knn_qid").as(qIdCol), col("__knn_cid").as(cIdCol), col("score"), col("rn"))
   }
 }

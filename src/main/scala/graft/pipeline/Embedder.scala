@@ -14,6 +14,15 @@ import org.apache.spark.sql.Column
   */
 trait Embedder {
   def dim: Int
+  /** Stable identifier of the embedding FUNCTION (family + version + dim).
+    * Persisted into the vector index it fills: vectors from different
+    * embedders are mutually meaningless, and a query embedded with embedder
+    * B against an index built with embedder A would silently return garbage
+    * neighbors — the index refuses the mix instead
+    * ([[VectorIndex.upsert]]). Bump the version part whenever the function's
+    * output changes for any input.
+    */
+  def id: String
   /** Embed a text column into array<double> of length `dim`, L2-normalized. */
   def embed(text: Column): Column
   /** Pre-normalization view of [[embed]] (raw feature weights); defaults to
@@ -35,6 +44,10 @@ trait Embedder {
 final case class HashingEmbedder(dim: Int = 64) extends Embedder {
   import graft.functions.expressions.{BucketCountVector, PolyTokenBuckets}
   import org.apache.spark.sql.{GraftSqlBridge => B}
+
+  // v2 = polynomial bucket hash (v1 was xxhash64); code-point iteration is
+  // output-identical on ASCII but not beyond, hence the explicit version
+  override def id: String = s"graft-hashing-v2:dim=$dim"
 
   override def embed(text: Column): Column =
     B.column(BucketCountVector(PolyTokenBuckets(B.expression(text), dim), dim))

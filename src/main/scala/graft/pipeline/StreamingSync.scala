@@ -36,7 +36,7 @@ final class StreamingSync(
     * number of micro-batches processed.
     */
   def runOnce(spark: SparkSession): Long = {
-    val index = new VectorIndex(indexPath, embedder.dim)
+    val index = new VectorIndex(indexPath, embedder.dim, Some(embedder.id))
     var batches = 0L
     val stream = spark.readStream
       .format("binaryFile")

@@ -29,7 +29,7 @@ final class Sync(
   def run(spark: SparkSession, dryRun: Boolean = false): Report = {
     import graft.functions.TextFunctions
     val state = new StateStore(statePath)
-    val index = new VectorIndex(indexPath, embedder.dim)
+    val index = new VectorIndex(indexPath, embedder.dim, Some(embedder.id))
 
     val scan = FileScan.scan(spark, rootDir, pathRegex)
     // snapshot (path, mtime) ONCE: the state write below must record the

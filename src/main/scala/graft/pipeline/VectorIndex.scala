@@ -16,13 +16,28 @@ import org.apache.spark.sql.functions._
   * ([[graft.operators.TopK]]), not of storage. Dimension is enforced at write
   * (validation filter), matching the index-DDL dimension contract.
   */
-final class VectorIndex(path: String, val dim: Int) {
+final class VectorIndex(path: String, val dim: Int, embedderId: Option[String] = None) {
 
   val schema: StructType = StructType(Seq(
     StructField("id", StringType, nullable = false),
     StructField("embedding", ArrayType(DoubleType), nullable = false),
     StructField("metadata", MapType(StringType, StringType), nullable = true),
     StructField("version", LongType, nullable = false)))
+
+  // underscore-prefixed => invisible to parquet directory scans (the
+  // _SUCCESS convention), so the marker can live inside the index dir and
+  // travel with it through the staged swap
+  private def markerIn(dir: Path) = new Path(dir, "_graft_embedder")
+
+  private def storedEmbedderId(fs: org.apache.hadoop.fs.FileSystem): Option[String] = {
+    val m = markerIn(new Path(path))
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
 
   def read(spark: SparkSession): DataFrame = {
     val p  = new Path(path)
@@ -40,15 +55,30 @@ final class VectorIndex(path: String, val dim: Int) {
     * vector, `main.py:185`). Staging swap as in [[StateStore]].
     */
   def upsert(vectors: DataFrame): Unit = {
-    val spark  = vectors.sparkSession
+    val spark = vectors.sparkSession
+    val p     = new Path(path)
+    val fs    = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // refuse to mix embedder generations: vectors hashed by a different
+    // function would cohabit one metric space and return garbage neighbors
+    // with no error anywhere downstream
+    embedderId.foreach { eid =>
+      storedEmbedderId(fs).foreach { stored =>
+        require(stored == eid,
+          s"vector index at $path was built by embedder '$stored' but this write uses '$eid'; " +
+            "rebuild the index (delete it) or keep the original embedder")
+      }
+    }
     val valid  = vectors.filter(size(col("embedding")) === dim)
     val merged = Upsert.merge(read(spark), valid.select("id", "embedding", "metadata", "version"),
       Seq("id"), "version")
-    val p   = new Path(path)
     val tmp = new Path(path + ".staging")
-    val fs  = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     merged.write.mode("overwrite").parquet(tmp.toString)
+    embedderId.foreach { eid =>
+      val out = fs.create(markerIn(tmp), true)
+      try out.write(eid.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     StagedSwap.swap(fs, tmp, p, new Path(path + ".old"))
   }
 }

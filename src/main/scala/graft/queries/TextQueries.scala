@@ -284,8 +284,8 @@ object TextQueries {
           ratePercent = Map("en" -> 50, "de" -> 20), defaultPercent = 10)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id"),
-      Some("""SELECT doc_id, lang, source FROM documents
-             |WHERE (doc_id * 2654435761) % 100 <
+      Some(s"""SELECT doc_id, lang, source FROM documents
+             |WHERE ${graft.operators.Sampling.hashBucketSql("doc_id")} <
              |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 20 ELSE 10 END
              |ORDER BY doc_id""".stripMargin)),
 

@@ -104,9 +104,9 @@ object VectorQueries {
           k = 3, nbits = nbits, dim = 64)
       },
       Some(s"""WITH params AS (
-             |  SELECT greatest(4, least(20, CAST(ceil(log2(
-             |    CAST(count(*) AS DOUBLE) / CAST(128.0 AS DOUBLE))) AS INTEGER))) AS nbits
-             |  FROM embeddings),
+             |  SELECT greatest(4, coalesce((
+             |    SELECT min(b) FROM (SELECT unnest(generate_series(0, 20)) AS b) bs
+             |    WHERE (CAST(128 AS BIGINT) << CAST(b AS INTEGER)) >= (SELECT count(*) FROM embeddings)), 20)) AS nbits),
              |planes AS (
              |  SELECT list(list_transform(generate_series(0, 63), d ->
              |      CAST(((j*64+d+1)*(j*64+d+1) * 2654435761 + 97*(j*64+d+1) + 12345) % 1000003
@@ -136,10 +136,13 @@ object VectorQueries {
     // anchor for embedding-space near-dup (q28 is the LSH scale path).
     "q39_cosine_pairs_exact" -> Q(
       (s, dir) => {
+        // deliberately NOT cached: 500 rows of nested arrays take the slow
+        // generic path through the columnar cache (measured ~half of this
+        // query's cost) — re-scanning the pruned parquet per join branch is
+        // cheaper than one cache round-trip
         val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 500)
           .select(col("vec_id"), col("embedding"))
           .withColumn("__nsq", l2NormSq(col("embedding")))
-          .cache() // self-joined below: avoid recomputing scan + norms per branch
         val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"), col("__nsq").as("__nsq_a"))
         val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"), col("__nsq").as("__nsq_b"))
         a.join(b, col("id_a") < col("id_b"))
@@ -251,9 +254,9 @@ object VectorQueries {
           threshold = 0.2, nbits = AnnIndex.autoNbits(emb.count()), dim = 64)
       },
       Some(s"""WITH params AS (
-             |  SELECT greatest(4, least(20, CAST(ceil(log2(
-             |    CAST(count(*) AS DOUBLE) / CAST(128.0 AS DOUBLE))) AS INTEGER))) AS nbits
-             |  FROM embeddings),
+             |  SELECT greatest(4, coalesce((
+             |    SELECT min(b) FROM (SELECT unnest(generate_series(0, 20)) AS b) bs
+             |    WHERE (CAST(128 AS BIGINT) << CAST(b AS INTEGER)) >= (SELECT count(*) FROM embeddings)), 20)) AS nbits),
              |planes AS (
              |  SELECT list(list_transform(generate_series(0, 63), d ->
              |      CAST(((j*64+d+1)*(j*64+d+1) * 2654435761 + 97*(j*64+d+1) + 12345) % 1000003

@@ -10,7 +10,14 @@ import java.sql.Timestamp
 import java.util.concurrent.atomic.AtomicInteger
 
 final case class SessionEvent(user_id: Long, ts: Timestamp, event_id: Long)
-final case class SessionState(nextSessionId: Long)
+
+/** Per-user state carried across micro-batches: the id of the CURRENT (still
+  * open) session plus its running summary. `openCount == 0` means no open
+  * session (fresh key). Timestamps are full-precision epoch micros so the
+  * cross-batch gap test is identical to the in-batch one.
+  */
+final case class SessionState(openSessId: Long, openCount: Long,
+                              openStartUs: Long, openEndUs: Long)
 final case class SessionOut(user_id: Long, sess_id: Long, n_events: Long,
                             session_start: String, session_end: String)
 
@@ -47,21 +54,40 @@ object Sessionize {
       .orderBy("user_id", "sess_id")
   }
 
-  /** Stateful streaming sessionization, drained synchronously. Sessions are
-    * emitted per micro-batch (gap closure across batches is approximated by
-    * the per-batch grouping — with AvailableNow + a single batch this is
-    * exact and equals [[batch]]).
+  /** Stateful streaming sessionization, drained synchronously. Exact across
+    * micro-batch boundaries: the open (trailing) session is buffered in
+    * [[SessionState]], so a later batch extends or closes it instead of
+    * splitting it. Each batch also emits the open session *provisionally*
+    * under its final session id — Append mode cannot retract, so a session
+    * spanning batches is emitted once per batch, each time with a larger
+    * event count; the post-stream reconciliation keeps the latest version
+    * (max n_events per (user_id, sess_id)). With a single batch this
+    * degenerates to exactly the one-shot behavior; with many batches it
+    * equals [[batch]] as long as files arrive in event-time order (the file
+    * source's modification-time order — true for append-style ingestion;
+    * out-of-order files are a watermark problem the fixture doesn't pose).
     */
-  def streaming(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+  def streaming(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
+    streamingFrom(spark, dir, schemaFrom = s"$dir/events.parquet",
+      glob = "events.parquet", gapMinutes = gapMinutes, maxFilesPerTrigger = None)
+
+  /** [[streaming]] with explicit source layout — lets tests drive a
+    * multi-file input one file per micro-batch (`maxFilesPerTrigger=1`) to
+    * exercise the cross-batch session carry.
+    */
+  def streamingFrom(spark: SparkSession, dir: String, schemaFrom: String,
+                    glob: String, gapMinutes: Int,
+                    maxFilesPerTrigger: Option[Int]): DataFrame = {
     import spark.implicits._
     val gapUs  = gapMinutes * 60L * 1000000L
     // format in the session timezone so output strings match batch()'s
     // date_format regardless of spark.sql.session.timeZone
     val tz = spark.sessionState.conf.sessionLocalTimeZone
-    val raw = spark.readStream
-      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val reader = spark.readStream
+      .schema(spark.read.parquet(schemaFrom).schema)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val raw = reader.parquet(dir)
     // normalize ts exactly like Tables.events (nanosAsLong => long nanos)
     val ev =
       (if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
@@ -79,23 +105,34 @@ object Sessionize {
           // form compares unix_micros, so the gap test must too)
           def micros(t: Timestamp): Long =
             Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          def toTs(us: Long): Timestamp = {
+            val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+            t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+            t
+          }
           val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          val first  = state.getOption.map(_.nextSessionId).getOrElse(1L)
-          var sessId = first
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Timestamp, Timestamp)]
-          var cur = scala.collection.mutable.ArrayBuffer.empty[SessionEvent]
-          def flush(): Unit = if (cur.nonEmpty) {
-            out += ((uid, sessId, cur.length.toLong, cur.head.ts, cur.last.ts))
-            sessId += 1; cur = scala.collection.mutable.ArrayBuffer.empty[SessionEvent]
-          }
+          val st = state.getOption.getOrElse(SessionState(1L, 0L, 0L, 0L))
+          var sessId   = st.openSessId
+          var curCount = st.openCount
+          var curStart = st.openStartUs
+          var curEnd   = st.openEndUs
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
           sorted.foreach { e =>
-            if (cur.nonEmpty && micros(e.ts) - micros(cur.last.ts) > gapUs) flush()
-            cur += e
+            val us = micros(e.ts)
+            if (curCount > 0 && us - curEnd > gapUs) {
+              // gap exceeded: the open session is final — emit and advance
+              out += ((sessId, curCount, curStart, curEnd))
+              sessId += 1; curCount = 0
+            }
+            if (curCount == 0) curStart = us
+            curCount += 1; curEnd = us
           }
-          flush()
-          state.update(SessionState(sessId))
-          out.iterator.map { case (u, s, n, st, en) =>
-            SessionOut(u, s, n, sdf.format(st), sdf.format(en))
+          // provisional emission of the still-open session (re-emitted with a
+          // larger count if a later batch extends it; reconciled downstream)
+          if (curCount > 0) out += ((sessId, curCount, curStart, curEnd))
+          state.update(SessionState(sessId, curCount, curStart, curEnd))
+          out.iterator.map { case (s, n, stUs, enUs) =>
+            SessionOut(uid, s, n, sdf.format(toTs(stUs)), sdf.format(toTs(enUs)))
           }
         })
 
@@ -107,7 +144,15 @@ object Sessionize {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).orderBy("user_id", "sess_id")
+    // reconciliation: a session emitted in k batches has k versions with
+    // strictly growing n_events — keep the latest (struct max orders by
+    // n_events first; start is fixed and end grows with the count)
+    spark.table(name)
+      .groupBy("user_id", "sess_id")
+      .agg(max(struct(col("n_events"), col("session_start"), col("session_end"))).as("__s"))
+      .select(col("user_id"), col("sess_id"), col("__s.n_events").as("n_events"),
+        col("__s.session_start").as("session_start"), col("__s.session_end").as("session_end"))
+      .orderBy("user_id", "sess_id")
   }
 
   /** Watermarked sliding-window counts through the streaming engine —

@@ -100,6 +100,30 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(r.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("hashBucket: mixes structured keys fairly and survives huge keys") {
+    import graft.operators.Sampling
+    // all-even keys (the residue-class trap a bare multiplicative hash falls
+    // into: 2654435761 ≡ 61 mod 100 makes the bucket a function of key%100)
+    val even = spark.range(0, 20000, 2).toDF("k")
+    val kept = even.filter(Sampling.hashBucket($"k") < 10).count()
+    assert(kept > 500 && kept < 1500, s"kept=$kept of 10000 even keys at 10%")
+    // multiples of 10
+    val tens = spark.range(0, 100000, 10).toDF("k")
+    val keptTens = tens.filter(Sampling.hashBucket($"k") < 10).count()
+    assert(keptTens > 500 && keptTens < 1500, s"kept=$keptTens of 10000 x10 keys at 10%")
+    // keys past 3.5e9 used to overflow (ANSI throw); now reduced mod P first
+    val big = Seq(4000000000L, Long.MaxValue, Long.MinValue, -7L).toDF("k")
+    val buckets = big.select(Sampling.hashBucket($"k")).collect().map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b < 100))
+  }
+
+  test("knnJoin requires distinct id column names") {
+    val e = intercept[IllegalArgumentException] {
+      TopK.knnJoin(corpus, "id", "v", corpus, "id", "v", 2)
+    }
+    assert(e.getMessage.contains("distinct names"))
+  }
+
   test("knnJoin returns k per query, self excluded") {
     val qs = corpus.filter($"id" <= 2).select($"id".as("q_id"), $"v".as("q_v"))
     val r = TopK.knnJoin(qs, "q_id", "q_v", corpus.withColumnRenamed("id", "c_id"), "c_id", "v", 2)

@@ -76,6 +76,22 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(idx.read(spark).count() === 1)
   }
 
+  test("VectorIndex refuses writes from a different embedder generation") {
+    val dir = Files.createTempDirectory("graft_index_e").resolve("index").toString
+    val rows = Seq(("a", Seq(1.0, 0.0), Map.empty[String, String], 1L))
+      .toDF("id", "embedding", "metadata", "version")
+    new VectorIndex(dir, 2, Some("embedder-v1")).upsert(rows)
+    // same embedder: fine
+    new VectorIndex(dir, 2, Some("embedder-v1")).upsert(rows)
+    // different embedder: mixed metric spaces -> hard refusal
+    val e = intercept[IllegalArgumentException] {
+      new VectorIndex(dir, 2, Some("embedder-v2")).upsert(rows)
+    }
+    assert(e.getMessage.contains("embedder"))
+    // unstamped (legacy) writers are not blocked
+    new VectorIndex(dir, 2).upsert(rows)
+  }
+
   test("Sync end-to-end: full index, empty re-run, single-file re-index, dry run") {
     val root   = mkCorpus()
     val state  = Files.createTempDirectory("graft_s").resolve("state").toString

@@ -12,6 +12,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(batch.nonEmpty)
   }
 
+  test("multi-batch streaming sessionization equals batch (open session carried)") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import org.apache.spark.sql.functions._
+    // split the events table into two TIME-ordered files; maxFilesPerTrigger=1
+    // makes each a separate micro-batch, so any session straddling the time
+    // midpoint crosses a batch boundary and must be carried through state
+    val ev  = Tables.events(spark, sfDir).select("user_id", "ts", "event_id").cache()
+    val mid = ev.agg(expr("percentile_approx(unix_micros(ts), 0.5)")).head.getLong(0)
+    val dir = Files.createTempDirectory("graft_mb")
+    def writeHalf(df: org.apache.spark.sql.DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_mb_w")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst  = dir.resolve(name)
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      // the file source orders batches by modification time — pin it so the
+      // earlier half is always batch 0
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtimeMs))
+    }
+    writeHalf(ev.filter(unix_micros(col("ts")) <= mid), "a_events.parquet", 1000000000000L)
+    writeHalf(ev.filter(unix_micros(col("ts")) > mid), "b_events.parquet", 1000000100000L)
+    val stream = Sessionize.streamingFrom(spark, dir.toString,
+        schemaFrom = dir.resolve("a_events.parquet").toString, glob = "*.parquet",
+        gapMinutes = 30, maxFilesPerTrigger = Some(1))
+      .collect().map(_.toSeq).toSet
+    val batch = Sessionize.batch(spark, sfDir).collect().map(_.toSeq).toSet
+    ev.unpersist()
+    assert(stream === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming monthly order stats equals batch aggregation") {
     import org.apache.spark.sql.functions._
     import graft.functions.MathFunctions.floorRound
