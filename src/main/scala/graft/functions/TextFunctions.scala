@@ -35,6 +35,18 @@ object TextFunctions {
   def subwordCount(text: Column): Column =
     aggregate(tokens(text), lit(0), (acc, w) => acc + greatest(lit(1), ceil(length(w) / 4.0).cast("int")))
 
+  /** Token count under the byte-level BPE tokenizer (GPT-2 algorithm,
+    * pluggable merge table — [[graft.functions.bpe.BpeTokenizer]]): the
+    * faithful analog of the reference's tiktoken `cl100k_base` length guard.
+    * Rows-only in the oracle gate (BPE is not SQL-expressible); the
+    * whitespace [[tokenCount]] stays the oracle path.
+    */
+  def bpeTokenCount(text: Column): Column = {
+    import graft.functions.expressions.BpeTokenCount
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    B.column(BpeTokenCount(B.expression(text)))
+  }
+
   /** Occurrences of an exact token. */
   def tokenHits(text: Column, word: String): Column =
     tokenHitsIn(tokens(text), word)

@@ -71,11 +71,28 @@ object TopK {
       .filter(lit(!excludeSelf) || col("__knn_qid") =!= col("__knn_cid"))
       .withColumn("score", floorRound(
         cosineFromNormSq(col("__knn_qvec"), col("__knn_cvec"), col("__nsq_q"), col("__nsq_c")), roundTo))
-    val w = Window.partitionBy(col("__knn_qid")).orderBy(desc("score"), col("__knn_cid"))
-    scored
       .filter(col("score").isNotNull) // zero-norm rows don't compete
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("__knn_qid").as(qIdCol), col("__knn_cid").as(cIdCol), col("score"), col("rn"))
+    if (corpus.schema(cIdCol).dataType == org.apache.spark.sql.types.LongType) {
+      // pre-reduced path: bounded top-k aggregation (ObjectHashAggregate with
+      // a partial pass) — each corpus partition reduces to ≤ k candidates per
+      // query BEFORE the shuffle, so the exchange moves k·partitions·queries
+      // rows instead of every scored pair. Same (score desc, id asc) order as
+      // the window formulation.
+      import graft.functions.expressions.TopKPairsAgg
+      import org.apache.spark.sql.{GraftSqlBridge => B}
+      val topk = B.column(TopKPairsAgg(
+        B.expression(col("score")), B.expression(col("__knn_cid")), k).toAggregateExpression())
+      scored.groupBy("__knn_qid").agg(topk.as("__top"))
+        .select(col("__knn_qid"), posexplode(col("__top")))
+        .select(col("__knn_qid").as(qIdCol), col("col.id").as(cIdCol),
+          col("col.score").as("score"), (col("pos") + 1).cast("int").as("rn"))
+    } else {
+      // generic id types: window formulation (shuffles all scored candidates)
+      val w = Window.partitionBy(col("__knn_qid")).orderBy(desc("score"), col("__knn_cid"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("__knn_qid").as(qIdCol), col("__knn_cid").as(cIdCol), col("score"), col("rn"))
+    }
   }
 }

@@ -228,6 +228,20 @@ object TextQueries {
              |    (acc, x) -> acc + x) AS n_subwords
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // BPE token counts — the reference's actual token model (tiktoken length
+    // guard). Rows-only by design: BPE's iterative rank-priority merges are
+    // not SQL-expressible; q18's whitespace model is the oracle-checked
+    // stand-in, and the BPE engine itself is property-tested (lossless
+    // round-trip, determinism, merge monotonicity).
+    "q18b_bpe_token_count" -> Q(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+          .orderBy("doc_id")
+      },
+      None),
+
     "q19_lang_id" -> Q(
       (s, dir) => {
         // stage the token array once: 20 marker probes over raw text would

@@ -76,6 +76,45 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(idx.read(spark).count() === 1)
   }
 
+  test("config + CLI lifecycle: TOML load, defaults, dry-run really writes nothing") {
+    import graft.pipeline.GraftConfig
+    val root  = mkCorpus()
+    val state = Files.createTempDirectory("graft_cs").resolve("state").toString
+    val index = Files.createTempDirectory("graft_ci").resolve("index").toString
+    val conf  = Files.createTempDirectory("graft_cc").resolve("config.toml")
+    Files.writeString(conf,
+      s"""# graft config (reference-config analog: main.py:19-53)
+         |[base]
+         |content_folder = "$root"
+         |max_tokens = 8191   # trailing comment
+         |
+         |[index]
+         |path = "$index"
+         |state_path = "$state"
+         |
+         |[embedder]
+         |dimension_size = 8
+         |""".stripMargin)
+    val cfg = GraftConfig.load(conf)
+    assert(cfg.contentFolder === root.toString)
+    assert(cfg.contentRegex === ".*\\.md$") // default survives
+    assert(cfg.dimensionSize === 8)
+    val sync = GraftConfig.sync(cfg)
+    // dry run: counts reported, NOTHING persisted (the reference's --dry-run
+    // bug — main.py:155-156 falls through and indexes anyway — fixed here)
+    val dry = sync.run(spark, dryRun = true)
+    assert(dry.dryRun && dry.changed === 3 && dry.indexed === 0)
+    assert(new VectorIndex(index, 8).read(spark).count() === 0)
+    // real run indexes everything the dry run predicted
+    val real = sync.run(spark)
+    assert(real.indexed === 3)
+    assert(new VectorIndex(index, 8).read(spark).count() === 3)
+    // typo'd keys fail loudly instead of silently using defaults
+    Files.writeString(conf, "[base]\ncontent_folder = \"x\"\ncontent_regx = \"oops\"\n[index]\npath=\"p\"\nstate_path=\"s\"\n")
+    val e = intercept[IllegalArgumentException] { GraftConfig.load(conf) }
+    assert(e.getMessage.contains("content_regx"))
+  }
+
   test("VectorIndex refuses writes from a different embedder generation") {
     val dir = Files.createTempDirectory("graft_index_e").resolve("index").toString
     val rows = Seq(("a", Seq(1.0, 0.0), Map.empty[String, String], 1L))

@@ -22,6 +22,35 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
 
   private val vecGen = Gen.listOfN(16, Gen.chooseNum(-10.0, 10.0))
 
+  test("property: byte-level BPE round-trips losslessly and counts consistently") {
+    import graft.functions.bpe.BpeTokenizer
+    val bpe = BpeTokenizer.default
+    // arbitrary unicode strings (ascii, accents, CJK, emoji, whitespace runs)
+    val strGen = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar.map(_.toString), 3 -> Gen.const(" "),
+      1 -> Gen.oneOf("é", "ß", "中", "文", "🦀", "\n", "\t", ",", ".", "'")
+    )).map(_.mkString)
+    val texts = sample(strGen, 300, 17L) :+ "" :+ "it's the user's choice" :+ "  leading and  double  spaces "
+    texts.foreach { t =>
+      val ids = bpe.encode(t)
+      assert(bpe.decode(ids) === t, s"round-trip failed for <$t>")                 // lossless
+      assert(ids.length === bpe.countTokens(t))                                    // count == encode length
+      assert(ids.length <= t.getBytes("UTF-8").length)                             // merges only shrink
+      assert(bpe.encode(t) === ids)                                                // deterministic
+      assert(ids.forall(id => id >= 0 && id < bpe.vocabSize))
+    }
+    // merges actually fire on English (vocab learned 'the', ' the', suffixes)
+    assert(bpe.countTokens("the data and the table") < "the data and the table".getBytes("UTF-8").length)
+    // the Column path agrees with the engine
+    val df = texts.filter(_.nonEmpty).toDF("text")
+    val viaCol = df.select(bpeTokenCount($"text")).collect().map(_.getInt(0)).toSeq
+    assert(viaCol === texts.filter(_.nonEmpty).map(bpe.countTokens))
+    // merges-file round-trip: serialize the learned table, reload, same output
+    val lines = bpe.merges.map { case (a, b) => s"$a $b" }
+    val reloaded = BpeTokenizer.fromMerges(Iterator("#version: miniature") ++ lines.iterator)
+    assert(reloaded.encode("the quick brown fox") === bpe.encode("the quick brown fox"))
+  }
+
   test("property: cosine ∈ [-1,1], cos(v,v)=1, symmetry; euclidean symmetry + identity") {
     val pairs = sample(Gen.zip(vecGen, vecGen), 200, 11L)
     val df = pairs.map { case (a, b) => (a.toArray, b.toArray) }.toDF("a", "b")

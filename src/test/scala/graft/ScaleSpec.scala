@@ -24,6 +24,26 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     assert(plain.size === 1000)
   }
 
+  test("knnJoin pre-reduces: partial top-k aggregate, no window over all pairs") {
+    import graft.operators.TopK
+    val corpus = (0L until 200L).map(i => (i, Array(math.cos(i * 0.1), math.sin(i * 0.1))))
+      .toDF("c_id", "c_v")
+    val queries = (0L until 5L).map(i => (i, Array(math.cos(i * 0.7), math.sin(i * 0.7))))
+      .toDF("q_id", "q_v")
+    val knn = TopK.knnJoin(queries, "q_id", "q_v", corpus, "c_id", "c_v", k = 4)
+    val plan = knn.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected partial top-k aggregate in:\n$plan")
+    assert(!plan.contains("Window"), s"expected no window over all scored pairs in:\n$plan")
+    // semantics unchanged vs the window formulation (the generic-id path)
+    val viaWindow = TopK.knnJoin(queries, "q_id", "q_v",
+        corpus.withColumn("c_id", format_string("%d", $"c_id")), "c_id", "c_v", k = 4)
+      .withColumn("c_id", $"c_id".cast("long"))
+      .select("q_id", "c_id", "score", "rn").collect().map(_.toSeq).toSet
+    val viaAgg = knn.select("q_id", "c_id", "score", "rn").collect().map(_.toSeq).toSet
+    assert(viaAgg === viaWindow)
+    assert(viaAgg.nonEmpty && viaAgg.size === 20) // 5 queries x k=4
+  }
+
   test("heavyHitters surfaces the hot key") {
     val left = ((1 to 900).map(i => (1L, i)) ++ (1 to 100).map(i => (i.toLong + 1, i))).toDF("k", "v")
     val top = Skew.heavyHitters(left, col("k"), 1).head
