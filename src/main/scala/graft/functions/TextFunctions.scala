@@ -212,6 +212,18 @@ object TextFunctions {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Duplicate-n-gram fraction: 1 − distinct/total n-grams — the Gopher-rule
+    * repetition signal (Rae et al. 2021 filter heavily-repetitive documents
+    * by exactly this family of ratios). Distinct counting rides the fused
+    * 64-bit shingle kernel (collision odds ~1e-11, far below the rounded
+    * output granularity); map-only, no shuffle.
+    */
+  def repetitionScore(text: Column, n: Int): Column = {
+    val total    = greatest(tokenCount(text) - (n - 1), lit(0)).cast("double")
+    val distinct = size(shingleHashesFused(text, n)).cast("double")
+    when(total > 0, lit(1.0) - distinct / total).otherwise(lit(0.0))
+  }
+
   // ---- SQL-expressible (oracle-checkable) dedup hash family ----
   // Same pipeline shapes as the xxhash64 kernels above, but every hash is
   // modular arithmetic below 2⁶³ (PolyHash), so the DuckDB oracle computes

@@ -415,5 +415,77 @@ object TextQueries {
       (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 8),
       Some(simhashOracle(maxHamming = 8))),
+
+    // PII scrub: regex redaction (emails -> IPv4 -> phone runs, fixed order).
+    // Patterns are RE2-safe so the oracle runs the LITERAL same regexes.
+    "q54_pii_scrub" -> Q(
+      (s, dir) => graft.operators.Cleaning.piiScrub(
+        Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id"),
+      Some {
+        val Seq((email, _), (ip, _), (phone, _)) = graft.operators.Cleaning.PiiRules
+        s"""SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+           |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+           |  regexp_replace(regexp_replace(regexp_replace(text,
+           |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g') AS clean_text
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // Benchmark decontamination: drop corpus docs sharing any 5-gram with
+    // the (small, broadcast) benchmark subset — the GPT-3-style n-gram
+    // collision rule (trigrams over the fixture's small vocabulary would
+    // flag nearly every doc). Oracle re-derives with literal string 5-grams.
+    "q55_decontaminate" -> Q(
+      (s, dir) => {
+        val docs   = Tables.documents(s, dir)
+        val bench  = docs.filter(col("doc_id") % 20 === 7)
+        val corpus = docs.filter(col("doc_id") % 20 =!= 7)
+        graft.operators.Decontaminate.decontaminate(corpus, "doc_id", "text", bench, "text", n = 5)
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT string_split(text,' ') AS toks FROM documents WHERE doc_id % 20 = 7),
+             |bs AS (
+             |  SELECT DISTINCT unnest(list_transform(
+             |    generate_series(1, greatest(len(toks)-4, 0)),
+             |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS g
+             |  FROM b),
+             |c AS (
+             |  SELECT doc_id, string_split(text,' ') AS toks FROM documents WHERE doc_id % 20 <> 7),
+             |cs AS (
+             |  SELECT doc_id, unnest(list_transform(
+             |    generate_series(1, greatest(len(toks)-4, 0)),
+             |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS g
+             |  FROM c),
+             |bad AS (SELECT DISTINCT cs.doc_id FROM cs JOIN bs USING (g))
+             |SELECT doc_id, lang, source FROM documents
+             |WHERE doc_id % 20 <> 7 AND doc_id NOT IN (SELECT doc_id FROM bad)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Repetition filter: duplicate-trigram fraction per document (the Gopher
+    // quality rule family) — map-only over the fused shingle kernel.
+    "q56_repetition" -> Q(
+      (s, dir) => {
+        val total    = greatest(tokenCount(col("text")) - 2, lit(0))
+        val distinct = size(shingleHashesFused(col("text"), 3))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            total.cast("long").as("n_trigrams"),
+            distinct.cast("long").as("n_distinct"),
+            fr(repetitionScore(col("text"), 3), 4).as("rep_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |s AS (
+             |  SELECT doc_id, greatest(len(toks)-2, 0) AS total,
+             |    len(list_distinct(list_transform(
+             |      generate_series(1, greatest(len(toks)-2, 0)),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS nd
+             |  FROM t)
+             |SELECT doc_id, CAST(total AS BIGINT) AS n_trigrams, CAST(nd AS BIGINT) AS n_distinct,
+             |  ${frs("CASE WHEN total > 0 THEN CAST(1.0 AS DOUBLE) - CAST(nd AS DOUBLE) / CAST(total AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END", 4)} AS rep_ratio
+             |FROM s ORDER BY doc_id""".stripMargin)),
   )
 }

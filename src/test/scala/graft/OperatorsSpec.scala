@@ -89,6 +89,51 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(got === (0L to 15L).map(_ -> 0L).toMap)
   }
 
+  test("piiScrub redacts emails, IPs, phone runs in rule order") {
+    import graft.operators.Cleaning
+    val d = Seq(
+      (1L, "contact bob.smith+x@corp-mail.co.uk or call +1 (555) 123-4567 now"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255 responded"),
+      (3L, "plain text with no pii at all"),
+    ).toDF("doc_id", "text")
+    val r = Cleaning.piiScrub(d, "doc_id", "text").orderBy("doc_id").collect()
+    assert(r(0).getLong(1) === 1 && r(0).getLong(3) === 1) // email + phone
+    assert(r(0).getString(4).contains("<EMAIL>") && r(0).getString(4).contains("<PHONE>"))
+    assert(r(1).getLong(2) === 2)                           // two IPs
+    assert(r(1).getString(4) === "server at <IP> and <IP> responded")
+    assert(r(2).getString(4) === "plain text with no pii at all")
+    // an IP is NOT additionally eaten by the phone rule (order contract)
+    assert(!r(1).getString(4).contains("<PHONE>"))
+  }
+
+  test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
+    import graft.operators.Decontaminate
+    val bench = Seq((100L, "the secret eval answer is here")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "totally unrelated words about spark plans"),
+      (2L, "leaked copy: the secret eval answer is here too"), // shares trigrams
+      (3L, "mentions secret eval once but not three in a row"),
+      (4L, "the secret eval"),                                  // exactly one shared trigram
+    ).toDF("doc_id", "text")
+    val kept = Decontaminate.decontaminate(corpus, "doc_id", "text", bench, "text", 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))
+    val bad = Decontaminate.contaminatedIds(corpus, "doc_id", "text", bench, "text", 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(bad === Set(2L, 4L))
+  }
+
+  test("repetitionScore: 0 for all-distinct, high for repeated n-grams") {
+    import graft.functions.TextFunctions.repetitionScore
+    val d = Seq(
+      ("a b c d e f", 0.0),            // 4 distinct trigrams of 4
+      ("x y x y x y x y", 4.0 / 6.0),  // 2 distinct trigrams of 6
+      ("a b", 0.0),                    // too short -> 0 by convention
+    ).toDF("text", "expected")
+    val bad = d.filter(abs(repetitionScore($"text", 3) - $"expected") > 1e-12).count()
+    assert(bad === 0)
+  }
+
   // ---- TopK ----
 
   private lazy val corpus = Seq(
