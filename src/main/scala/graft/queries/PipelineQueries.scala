@@ -70,6 +70,13 @@ object PipelineQueries {
              |  ${graft.functions.MathFunctions.floorRoundSql("sum(o_totalprice)", 2)} AS total
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Stateful streaming dedup (dropDuplicates through the engine's state
+    // store, exactly-once per key across micro-batches); oracle = batch
+    // DISTINCT equivalence.
+    "q59_stream_dedup" -> Q(
+      (s, dir) => StreamingAgg.distinctCustomers(s, dir),
+      Some("SELECT DISTINCT o_custkey FROM orders ORDER BY 1")),
+
     // NOTE: the stub checksum folds UTF-8 BYTES while the oracle folds ascii
     // codepoints — equivalent only because the fixture corpus is pure ASCII
     // (verified); a multi-byte fixture would need a byte-level oracle.

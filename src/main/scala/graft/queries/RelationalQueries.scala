@@ -226,6 +226,30 @@ object RelationalQueries {
              |  FROM customer)
              |WHERE c_acctbal > nat_avg ORDER BY c_custkey""".stripMargin)),
 
+    // analytic-window bundle: per-customer order sequence with lag deltas,
+    // quartiles, percent_rank — the classic OLAP window family in one query,
+    // all inside ONE window spec (one shuffle on o_custkey)
+    "q58_order_analytics" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        Tables.orders(s, dir).filter(col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderkey"),
+            row_number().over(w).cast("long").as("rn"),
+            fr(col("o_totalprice") - coalesce(lag("o_totalprice", 1).over(w), lit(0.0)), 2).as("price_delta"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            fr(percent_rank().over(w), 6).as("pr"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some(s"""SELECT o_custkey, o_orderkey,
+             |  row_number() OVER w AS rn,
+             |  ${frs("o_totalprice - coalesce(lag(o_totalprice, 1) OVER w, CAST(0.0 AS DOUBLE))", 2)} AS price_delta,
+             |  ntile(4) OVER w AS quartile,
+             |  ${frs("percent_rank() OVER w", 6)} AS pr
+             |FROM orders WHERE o_custkey < 100
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, rn""".stripMargin)),
+
     // date arithmetic: ship-latency histogram (days between order and ship)
     "q52_ship_latency" -> Q(
       (s, dir) => {

@@ -38,17 +38,20 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
-  private val qualityOracle: String = {
+  /** SQL mirror of TextFunctions.qualityScore — shared by q20 and the q57
+    * curation chain. */
+  private val qualityExprSql: String = {
     val n     = "CAST(len(string_split(text,' ')) AS DOUBLE)"
     val stops = "CAST((" + Seq("the", "and", "of", "is", "a").map(hitsSql).mkString(" + ") + ") AS DOUBLE)"
-    val qexpr =
-      s"""least(CAST(1.0 AS DOUBLE),
-         |  CAST(0.1 AS DOUBLE)
-         |  + CAST(0.6 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), $n / CAST(100.0 AS DOUBLE))
-         |  + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), ($stops / greatest($n, CAST(1.0 AS DOUBLE))) * CAST(10.0 AS DOUBLE)))""".stripMargin
-    s"""SELECT doc_id, ${frs(qexpr, 4)} AS quality
-       |FROM documents ORDER BY doc_id""".stripMargin
+    s"""least(CAST(1.0 AS DOUBLE),
+       |  CAST(0.1 AS DOUBLE)
+       |  + CAST(0.6 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), $n / CAST(100.0 AS DOUBLE))
+       |  + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), ($stops / greatest($n, CAST(1.0 AS DOUBLE))) * CAST(10.0 AS DOUBLE)))""".stripMargin
   }
+
+  private val qualityOracle: String =
+    s"""SELECT doc_id, ${frs(qualityExprSql, 4)} AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   private val rollHashOracle: String =
     """SELECT doc_id, substr(md5(text),1,16) AS fp16,
@@ -463,6 +466,57 @@ object TextQueries {
              |SELECT doc_id, lang, source FROM documents
              |WHERE doc_id % 20 <> 7 AND doc_id NOT IN (SELECT doc_id FROM bad)
              |ORDER BY doc_id""".stripMargin)),
+
+    // The composite curation chain a pre-training pipeline runs end-to-end:
+    // quality gate -> repetition gate -> exact dedup (keep-first) ->
+    // benchmark decontamination -> stratified sample. One oracle verifies
+    // the COMPOSITION (stage order included), not just the parts.
+    "q57_curate" -> Q(
+      (s, dir) => {
+        val docs   = Tables.documents(s, dir)
+        val bench  = docs.filter(col("doc_id") % 20 === 7)
+        val corpus = docs.filter(col("doc_id") % 20 =!= 7)
+        graft.operators.Curation.curate(corpus, "doc_id", "text", bench, "text", "lang")
+          .select("doc_id", "lang", "source", "quality", "rep_ratio")
+          .orderBy("doc_id")
+      },
+      Some {
+        val repCase = "CASE WHEN r.total > 0 THEN CAST(1.0 AS DOUBLE) - CAST(r.nd AS DOUBLE) / CAST(r.total AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+        val g5 = "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]"
+        s"""WITH base AS (
+           |  SELECT doc_id, lang, source, text, string_split(text,' ') AS toks
+           |  FROM documents WHERE doc_id % 20 <> 7),
+           |rep AS (
+           |  SELECT doc_id, greatest(len(toks)-2, 0) AS total,
+           |    len(list_distinct(list_transform(
+           |      generate_series(1, greatest(len(toks)-2, 0)),
+           |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS nd
+           |  FROM base),
+           |scored AS (
+           |  SELECT b.doc_id, b.lang, b.source, b.text,
+           |    ${frs(qualityExprSql, 4)} AS quality,
+           |    ${frs(repCase, 4)} AS rep_ratio
+           |  FROM base b JOIN rep r ON b.doc_id = r.doc_id),
+           |gated AS (SELECT * FROM scored WHERE quality >= 0.5 AND rep_ratio <= 0.2),
+           |deduped AS (
+           |  SELECT * FROM gated
+           |  WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY md5(text))),
+           |btoks AS (SELECT string_split(text,' ') AS toks FROM documents WHERE doc_id % 20 = 7),
+           |bs AS (
+           |  SELECT DISTINCT unnest(list_transform(
+           |    generate_series(1, greatest(len(toks)-4, 0)), $g5)) AS g
+           |  FROM btoks),
+           |ds AS (
+           |  SELECT doc_id, unnest(list_transform(
+           |    generate_series(1, greatest(len(toks)-4, 0)), $g5)) AS g
+           |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM deduped)),
+           |bad AS (SELECT DISTINCT ds.doc_id FROM ds JOIN bs USING (g))
+           |SELECT doc_id, lang, source, quality, rep_ratio FROM deduped
+           |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+           |  AND ${graft.operators.Sampling.hashBucketSql("doc_id")} <
+           |    CASE WHEN lang = 'en' THEN 80 ELSE 60 END
+           |ORDER BY doc_id""".stripMargin
+      }),
 
     // Repetition filter: duplicate-trigram fraction per document (the Gopher
     // quality rule family) — map-only over the fused shingle kernel.

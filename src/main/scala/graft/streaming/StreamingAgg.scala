@@ -41,4 +41,31 @@ object StreamingAgg {
     q.awaitTermination()
     spark.table(name).orderBy("month")
   }
+
+  /** Stateful streaming dedup: the distinct customer-key set computed
+    * THROUGH the streaming engine (`dropDuplicates` keeps a state-store
+    * entry per seen key and emits each key exactly once across ALL
+    * micro-batches — the streaming analog of exact dedup). Key-only output
+    * keeps the result deterministic and batch-comparable, which is the
+    * oracle check. Unbounded corpora would bound the state with
+    * `withWatermark` + `dropDuplicatesWithinWatermark`; AvailableNow over a
+    * fixture doesn't need it.
+    */
+  def distinctCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/orders.parquet").schema
+    val sdf = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "orders.parquet")
+      .parquet(dir)
+    val dedup = sdf.select(col("o_custkey")).dropDuplicates("o_custkey")
+    val name = s"graft_stream_dedup_${counter.incrementAndGet()}"
+    val q = dedup.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("o_custkey")
+  }
 }

@@ -123,6 +123,28 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(bad === Set(2L, 4L))
   }
 
+  test("curate applies gates, dedup, decontamination, and sampling in order") {
+    import graft.operators.Curation
+    val longText = (1 to 120).map(i => s"w$i").mkString(" ") + " the and of is a the and"
+    val corpus = Seq(
+      (1L, longText, "en"),                                     // survives everything
+      (2L, longText, "en"),                                     // exact dup of 1 -> dropped (keep-first)
+      (3L, "tiny", "en"),                                       // quality gate drops
+      (4L, Seq.fill(50)("spam ham").mkString(" "), "en"),       // repetition gate drops
+      (5L, "the eval secret answer is hidden right here ok " +
+        (1 to 110).map(i => s"u$i").mkString(" ") + " the and of is a", "en"), // contaminated
+    ).toDF("doc_id", "text", "lang")
+    val bench = Seq((9L, "the eval secret answer is hidden right here")).toDF("doc_id", "text")
+    val p = Curation.Params(ratePercent = Map("en" -> 100), defaultPercent = 100) // sampling keeps all
+    val kept = Curation.curate(corpus, "doc_id", "text", bench, "text", "lang", p)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L))
+    // sampling stage actually fires: 0% keeps nothing
+    val none = Curation.curate(corpus, "doc_id", "text", bench, "text", "lang",
+      p.copy(ratePercent = Map.empty, defaultPercent = 0))
+    assert(none.count() === 0)
+  }
+
   test("repetitionScore: 0 for all-distinct, high for repeated n-grams") {
     import graft.functions.TextFunctions.repetitionScore
     val d = Seq(
