@@ -13,12 +13,23 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen/parquet-reader warmup so the first measured query doesn't
-    // pay one-time class-loading costs; guarded — warmup must never abort
-    // the benchmark
-    try spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .selectExpr("sum(l_quantity)").collect()
-    catch { case e: Throwable => System.err.println(s"[bench] warmup skipped: ${e.getMessage}") }
+    // JVM/codegen/parquet-reader warmup so the first measured queries don't
+    // pay one-time costs (class loading, codegen compilation, broadcast and
+    // window machinery init — measured ~1 s on whichever query runs first).
+    // Tiny inputs only; guarded — warmup must never abort the benchmark.
+    try {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/lineitem.parquet").selectExpr("sum(l_quantity)").collect()
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey")).count()
+      spark.range(100).selectExpr(
+        "row_number() OVER (PARTITION BY id % 2 ORDER BY id) AS rn").count()
+      spark.range(1).select(
+        graft.functions.TextFunctions.shingleHashesFused(lit("a b c d"), 3),
+        graft.functions.TextFunctions.simhashPoly(lit("a b c d")),
+        graft.functions.VectorFunctions.cosine(array(lit(1.0), lit(0.0)), array(lit(0.0), lit(1.0)))).collect()
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup skipped: ${e.getMessage}") }
     // optional focus filter for local profiling: comma-separated name substrings
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
     val selected = SparkEntry.queries.filter { case (name, _) =>

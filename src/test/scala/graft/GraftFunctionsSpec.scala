@@ -19,4 +19,25 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestSession {
     assert(r.getInt(2) === 2)
     assert(r.getInt(3) === 16)
   }
+
+  test("text kernels and the top-k aggregate are callable from SQL text") {
+    GraftFunctions.register(spark)
+    Seq(("a b c d", 1L, 0.9), ("a b c d", 2L, 0.8), ("x y z w", 3L, 0.7))
+      .toDF("t", "id", "score").createOrReplaceTempView("docs")
+    val r = spark.sql(
+      """SELECT size(graft_shingle_hashes(t, 2)) AS sh,
+        |  graft_simhash64(t) = graft_simhash64(t) AS sim_det,
+        |  size(graft_poly_shingle_hashes(t, 2)) AS psh,
+        |  size(graft_poly_minhash(graft_poly_shingle_hashes(t, 2), 8)) AS pmh,
+        |  graft_simhash_poly(t) < pow(2, 60) AS sim60,
+        |  graft_bpe_count(t) AS bpe
+        |FROM docs LIMIT 1""".stripMargin).head
+    assert(r.getInt(0) === 3 && r.getInt(2) === 3 && r.getInt(3) === 8)
+    assert(r.getBoolean(1) && r.getBoolean(4))
+    assert(r.getInt(5) > 0)
+    // the aggregate registers too (analyzer wraps the raw AggregateFunction)
+    val top = spark.sql(
+      "SELECT graft_topk_pairs(score, id, 2) AS t FROM docs").head.getSeq[org.apache.spark.sql.Row](0)
+    assert(top.map(_.getLong(1)) === Seq(1L, 2L))
+  }
 }
