@@ -206,10 +206,16 @@ object AnnIndex {
                          threshold: Double, nbits: Int, dim: Int,
                          roundTo: Int = 6, multiprobe: Boolean = true): DataFrame = {
     val planes = hyperplanes(nbits, dim)
+    // deliberately NOT cached: the relation is nested float arrays, which
+    // take the slow generic path through the columnar cache; recomputing the
+    // bucket bits + norm per join branch (a few dot products per row over a
+    // pruned parquet scan) is slightly cheaper than the cache round-trip
+    // (q28 solo at sf0.1: ~4.0 s cached vs ~3.8 s recomputed — the dominant
+    // cost is the candidate-pair cosine verify either way) and avoids
+    // holding executor memory across the query
     val b = df.select(col(idCol), col(vecCol))
       .withColumn("__bucket", bucketCol(col(vecCol), planes))
       .withColumn("__nsq", l2NormSq(col(vecCol)))
-      .cache() // self-joined below: avoid recomputing buckets + norms per branch
     val l0 = b.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("__bucket"), col("__nsq").as("__nsq_a"))
     val l =
       if (multiprobe)

@@ -179,27 +179,39 @@ object Dedup {
   def clusters(pairs: DataFrame, maxIter: Int = 10, checkpointEvery: Int = 3): DataFrame = {
     // undirected edge list (both directions) from (id_a, id_b) pairs;
     // checkpointing here also truncates the (potentially deep) upstream LSH
-    // plan so every iteration replans against a leaf, not the whole pipeline
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // plan so every iteration replans against a leaf, not the whole pipeline.
+    // The pair plan is cached first: the union reads it through TWO branches,
+    // which would otherwise execute the (expensive) pair generation twice
+    val p = pairs.select(col("id_a"), col("id_b")).cache()
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint()
+    p.unpersist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
+    // the cached/checkpointed generation BACKING `labels` (labels itself is a
+    // projection over it, so unpersist must target this handle)
+    var backing: DataFrame = null
     var labelsCheckpointed = false
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .select(col("src").as("id"), col("cluster"))
-      val propagated = labels.union(viaNeighbor)
-        .groupBy("id").agg(min("cluster").as("cluster"))
+        .select(col("src").as("id"), col("cluster"), lit(0).as("__self"))
+      // change detection fused into the propagation aggregate: the __self tag
+      // recovers each node's previous label inside the same groupBy, so
+      // convergence needs no second join — just a scan of the materialized
+      // result (min(cluster) < previous ⇔ some label improved this round)
+      val propagated = labels.withColumn("__self", lit(1)).union(viaNeighbor)
+        .groupBy("id").agg(min("cluster").as("cluster"),
+          min(when(col("__self") === 1, col("cluster"))).as("__old"))
       val checkpointNow = (iter + 1) % checkpointEvery == 0
       val next = if (checkpointNow) propagated.localCheckpoint() else propagated.cache()
-      converged = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
-        .filter(col("cluster") =!= col("old")).isEmpty
-      if (!labelsCheckpointed) labels.unpersist()
-      labels = next
+      converged = next.filter(col("cluster") < col("__old")).isEmpty
+      if (backing != null && !labelsCheckpointed) backing.unpersist()
+      backing = next
+      labels = next.select("id", "cluster")
       labelsCheckpointed = checkpointNow
       iter += 1
     }

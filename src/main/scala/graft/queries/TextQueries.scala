@@ -419,6 +419,41 @@ object TextQueries {
         maxHamming = 8),
       Some(simhashOracle(maxHamming = 8))),
 
+    // Near-dup clusters: connected components over the exact-pair graph of
+    // the fixed 500-doc sample (min-label propagation, checkpointed). The
+    // oracle computes the same components via a recursive-CTE transitive
+    // closure — the one operator that was previously only unit-tested.
+    "q60_dedup_clusters" -> Q(
+      (s, dir) => {
+        val pairs = Dedup.jaccardPairsExact(
+          Tables.documents(s, dir).filter(col("doc_id") < ExactPairSample), "doc_id", "text",
+          shingleSize = 3, threshold = JaccardThreshold)
+        Dedup.clusters(pairs, maxIter = 20)
+          .select(col("id").cast("long").as("id"), col("cluster").cast("long").as("cluster"))
+          .orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    generate_series(1, greatest(len(toks)-2, 0)),
+             |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+             |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+             |        WHERE doc_id < $ExactPairSample)),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(a.s) > 0 AND len(b.s) > 0
+             |    AND ${frs("""CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)""".stripMargin, 4)} >= $JaccardThreshold),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM p
+             |  UNION SELECT id_b, id_a FROM p),
+             |reach(src, dst) AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+             |SELECT src AS id, least(src, min(dst)) AS cluster
+             |FROM reach GROUP BY src ORDER BY id""".stripMargin)),
+
     // PII scrub: regex redaction (emails -> IPv4 -> phone runs, fixed order).
     // Patterns are RE2-safe so the oracle runs the LITERAL same regexes.
     "q54_pii_scrub" -> Q(
