@@ -454,6 +454,28 @@ object TextQueries {
              |SELECT src AS id, least(src, min(dst)) AS cluster
              |FROM reach GROUP BY src ORDER BY id""".stripMargin)),
 
+    // Sequence packing: fill 512-token training bins per source shard
+    // (contiguous greedy, windowed cumsum — one shuffle on the shard key,
+    // never a global sort).
+    "q61_pack_sequences" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), tokenCount(col("text")).cast("long").as("n_tokens"))
+        graft.operators.Packing.packBins(docs, "source", "doc_id", "n_tokens", capacity = 512)
+          .orderBy("source", "doc_id")
+      },
+      Some("""SELECT doc_id, source, n_tokens,
+             |  CAST(floor(start / 512) AS BIGINT) AS bin_id,
+             |  CAST(start % 512 AS BIGINT) AS bin_offset
+             |FROM (
+             |  SELECT doc_id, source, n_tokens,
+             |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+             |  FROM (SELECT doc_id, source,
+             |          CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+             |        FROM documents))
+             |ORDER BY source, doc_id""".stripMargin)),
+
     // PII scrub: regex redaction (emails -> IPv4 -> phone runs, fixed order).
     // Patterns are RE2-safe so the oracle runs the LITERAL same regexes.
     "q54_pii_scrub" -> Q(

@@ -44,6 +44,35 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     assert(viaAgg.nonEmpty && viaAgg.size === 20) // 5 queries x k=4
   }
 
+  test("decontaminate plans as broadcast joins — the corpus never shuffles") {
+    import graft.operators.Decontaminate
+    val corpus = (0L until 50L).map(i => (i, s"w$i x$i y$i z$i q$i")).toDF("doc_id", "text")
+    val bench  = Seq((99L, "w7 x7 y7 z7 q7")).toDF("doc_id", "text")
+    val plan = Decontaminate.decontaminate(corpus, "doc_id", "text", bench, "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast semi join in:\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected anti join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for a join in:\n$plan")
+  }
+
+  test("packBins windows per shard — no single-partition global sort") {
+    import graft.operators.Packing
+    val docs = (0L until 100L).map(i => (i, s"s${i % 4}", 100L + i % 7)).toDF("doc_id", "shard", "n_tokens")
+    val packed = Packing.packBins(docs, "shard", "doc_id", "n_tokens", capacity = 512)
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected window in:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"global window would serialize the corpus:\n$plan")
+    // packing semantics: offsets advance by doc length, bins roll at capacity
+    val s0 = packed.filter($"shard" === "s0").orderBy("doc_id")
+      .select("n_tokens", "bin_id", "bin_offset").collect()
+    var start = 0L
+    s0.foreach { r =>
+      assert(r.getLong(1) === start / 512 && r.getLong(2) === start % 512)
+      start += r.getLong(0)
+    }
+  }
+
   test("heavyHitters surfaces the hot key") {
     val left = ((1 to 900).map(i => (1L, i)) ++ (1 to 100).map(i => (i.toLong + 1, i))).toDF("k", "v")
     val top = Skew.heavyHitters(left, col("k"), 1).head
