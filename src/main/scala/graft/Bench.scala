@@ -57,7 +57,13 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     // a SPARK_GRAFT_ONLY-filtered profiling run must be distinguishable from
     // a full benchmark — mark it in the JSON
-    val filteredTag = only.map(f => s""","filtered":true,"filter":"${f.mkString(",")}"""").getOrElse("")
+    val filteredTag = only.map { f =>
+      val esc = f.mkString(",").flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      }
+      s""","filtered":true,"filter":"$esc""""
+    }.getOrElse("")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$filteredTag}""")
     spark.stop()
   }

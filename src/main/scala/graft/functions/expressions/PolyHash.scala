@@ -36,27 +36,35 @@ object PolyHash {
 
   def b(j: Int): Long = ((j + 1).toLong * 69069L + 1L) % P
 
-  /** Polynomial code-point hash of the UTF-8 byte slice [start, end). */
+  /** Polynomial code-point hash of the UTF-8 byte slice [start, end).
+    * Malformed UTF-8 (truncated sequence, stray continuation byte, 0xF8+
+    * lead) falls back to hashing the single raw byte and advancing one —
+    * NEVER reading past `end` (the slice may abut unrelated heap memory in
+    * an UnsafeRow) and always deterministic, so reproducible-dedup and
+    * oracle-parity guarantees hold on arbitrary binary input too.
+    */
   def tokenHash(base: AnyRef, off: Long, start: Int, end: Int): Long = {
     var h = 0L
     var i = start
     while (i < end) {
       val b0 = Platform.getByte(base, off + i) & 0xFF
+      val len =
+        if (b0 < 0x80) 1
+        else if ((b0 & 0xE0) == 0xC0) 2
+        else if ((b0 & 0xF0) == 0xE0) 3
+        else if ((b0 & 0xF8) == 0xF0) 4
+        else 1 // invalid lead byte: treat as a bare byte
       var cp = 0
-      if (b0 < 0x80) { cp = b0; i += 1 }
-      else if ((b0 & 0xE0) == 0xC0) {
-        cp = ((b0 & 0x1F) << 6) | (Platform.getByte(base, off + i + 1) & 0x3F)
-        i += 2
-      } else if ((b0 & 0xF0) == 0xE0) {
-        cp = ((b0 & 0x0F) << 12) | ((Platform.getByte(base, off + i + 1) & 0x3F) << 6) |
-          (Platform.getByte(base, off + i + 2) & 0x3F)
-        i += 3
-      } else {
-        cp = ((b0 & 0x07) << 18) | ((Platform.getByte(base, off + i + 1) & 0x3F) << 12) |
-          ((Platform.getByte(base, off + i + 2) & 0x3F) << 6) |
-          (Platform.getByte(base, off + i + 3) & 0x3F)
-        i += 4
-      }
+      if (len == 1) { cp = b0; i += 1 }
+      else if (i + len <= end) {
+        cp = b0 & (0x7F >> len) // mask: 0x1F / 0x0F / 0x07
+        var k = 1
+        while (k < len) {
+          cp = (cp << 6) | (Platform.getByte(base, off + i + k) & 0x3F)
+          k += 1
+        }
+        i += len
+      } else { cp = b0; i += 1 } // truncated sequence at slice end
       h = (h * 31L + cp) % P
     }
     h

@@ -39,12 +39,17 @@ case class PolyMinHashSignature(child: Expression, numHashes: Int) extends Unary
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // empty input -> null (DuckDB's list_min([]) is NULL, and a sentinel
+  // signature would make ALL empty-set rows mutual LSH candidates)
+  override def nullable: Boolean = true
+
   override def nullSafeEval(v: Any): Any =
     PolyMinHashSignature.compute(v.asInstanceOf[ArrayData], numHashes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.expressions.PolyMinHashSignature.compute($a, $numHashes);")
+      s"""${ev.value} = graft.functions.expressions.PolyMinHashSignature.compute($a, $numHashes);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -65,9 +70,10 @@ object PolyMinHashSignature {
     * row keeps whole-stage codegen intact).
     */
   def compute(xs: ArrayData, numHashes: Int): ArrayData = {
+    val n = xs.numElements()
+    if (n == 0) return null // min over the empty set is undefined — see nullable
     val as = if (numHashes <= MaxCached) A else Array.tabulate(numHashes)(PolyHash.a)
     val bs = if (numHashes <= MaxCached) B else Array.tabulate(numHashes)(PolyHash.b)
-    val n    = xs.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {

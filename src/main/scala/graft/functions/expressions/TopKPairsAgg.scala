@@ -55,7 +55,11 @@ case class TopKPairsAgg(
   override def update(buf: ArrayBuffer[(Double, Long)], input: InternalRow): ArrayBuffer[(Double, Long)] = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null) {
+    // NaN scores are skipped: `better` would not be a strict weak order with
+    // NaN in play (TimSort can throw on an intransitive comparator), and a
+    // NaN similarity is never a meaningful neighbor (knnJoin also filters
+    // them before the aggregate — this guard covers direct SQL use)
+    if (s != null && i != null && !java.lang.Double.isNaN(s.asInstanceOf[Double])) {
       buf += ((s.asInstanceOf[Double], i.asInstanceOf[Long]))
       if (buf.length >= 4 * k) compact(buf)
     }

@@ -18,7 +18,9 @@ import org.apache.spark.sql.{Column, DataFrame}
   * throw — for keys ≳3.5e9. Here every intermediate stays < P·1.2e9 < 2⁶³.
   */
 object Sampling {
-  private val P = 1000000007L
+  // single-sourced with the dedup hash family — the SAME prime backs every
+  // SQL-expressible modular hash in the engine (and its oracle mirrors)
+  private val P = graft.functions.expressions.PolyHash.P
 
   /** Pseudo-random bucket in [0, 100) from a numeric key. */
   def hashBucket(key: Column): Column = {

@@ -71,7 +71,9 @@ object TopK {
       .filter(lit(!excludeSelf) || col("__knn_qid") =!= col("__knn_cid"))
       .withColumn("score", floorRound(
         cosineFromNormSq(col("__knn_qvec"), col("__knn_cvec"), col("__nsq_q"), col("__nsq_c")), roundTo))
-      .filter(col("score").isNotNull) // zero-norm rows don't compete
+      // zero-norm rows don't compete; NaN (a NaN vector component) neither —
+      // and both output paths must agree on that
+      .filter(col("score").isNotNull && !isnan(col("score")))
     if (corpus.schema(cIdCol).dataType == org.apache.spark.sql.types.LongType) {
       // pre-reduced path: bounded top-k aggregation (ObjectHashAggregate with
       // a partial pass) — each corpus partition reduces to ≤ k candidates per

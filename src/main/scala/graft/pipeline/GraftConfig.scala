@@ -63,7 +63,9 @@ object GraftConfig {
   private[pipeline] def parseToml(lines: Seq[String]): Map[String, Map[String, String]] = {
     val out = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.LinkedHashMap[String, String]]
     var current: Option[String] = None
-    lines.map(_.trim).zipWithIndex.foreach { case (line, i) =>
+    lines.map(_.trim).zipWithIndex.foreach { case (line0, i) =>
+      // a section header may carry a trailing comment: "[base]  # settings"
+      val line = if (line0.startsWith("[")) line0.split("#", 2).head.trim else line0
       if (line.isEmpty || line.startsWith("#")) ()
       else if (line.startsWith("[") && line.endsWith("]")) {
         val name = line.substring(1, line.length - 1).trim

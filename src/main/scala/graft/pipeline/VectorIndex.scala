@@ -74,7 +74,10 @@ final class VectorIndex(path: String, val dim: Int, embedderId: Option[String] =
     val tmp = new Path(path + ".staging")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     merged.write.mode("overwrite").parquet(tmp.toString)
-    embedderId.foreach { eid =>
+    // write the new marker — or CARRY the existing one when this writer is
+    // unstamped, so a legacy caller can't silently strip the protection off
+    // a previously stamped index (the swap replaces the whole directory)
+    embedderId.orElse(storedEmbedderId(fs)).foreach { eid =>
       val out = fs.create(markerIn(tmp), true)
       try out.write(eid.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()

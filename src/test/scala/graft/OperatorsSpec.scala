@@ -184,6 +184,27 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(buckets.forall(b => b >= 0 && b < 100))
   }
 
+  test("knnJoin NaN vectors: both paths agree (floorRound coerces NaN to 0.0)") {
+    val dirty = corpus.union(Seq((9L, Array(Double.NaN, 1.0))).toDF("id", "v"))
+    val qs = corpus.filter($"id" === 1).select($"id".as("q_id"), $"v".as("q_v"))
+    val agg = TopK.knnJoin(qs, "q_id", "q_v", dirty.withColumnRenamed("id", "c_id"), "c_id", "v", 10)
+      .select("c_id", "score").collect().map(r => r.getLong(0).toString -> r.getDouble(1)).toMap
+    val win = TopK.knnJoin(qs, "q_id", "q_v",
+        dirty.withColumn("c_id", format_string("%d", $"id")).drop("id"), "c_id", "v", 10)
+      .select("c_id", "score").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(agg === win)           // pre-reduced and window paths identical
+    assert(agg("9") === 0.0)      // NaN cosine floors deterministically to 0
+  }
+
+  test("graft_topk_pairs aggregate skips genuinely NaN scores (direct SQL use)") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq((1L, 0.9), (2L, Double.NaN), (3L, 0.7))
+      .toDF("id", "score").createOrReplaceTempView("nan_scores")
+    val top = spark.sql("SELECT graft_topk_pairs(score, id, 3) AS t FROM nan_scores")
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(top.map(_.getLong(1)) === Seq(1L, 3L)) // NaN row absent, order kept
+  }
+
   test("knnJoin requires distinct id column names") {
     val e = intercept[IllegalArgumentException] {
       TopK.knnJoin(corpus, "id", "v", corpus, "id", "v", 2)

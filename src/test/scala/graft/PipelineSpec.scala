@@ -95,6 +95,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
          |[embedder]
          |dimension_size = 8
          |""".stripMargin)
+    // section headers may carry trailing comments too
+    Files.writeString(conf, Files.readString(conf).replace("[base]", "[base]  # scan settings"))
     val cfg = GraftConfig.load(conf)
     assert(cfg.contentFolder === root.toString)
     assert(cfg.contentRegex === ".*\\.md$") // default survives
@@ -127,8 +129,13 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
       new VectorIndex(dir, 2, Some("embedder-v2")).upsert(rows)
     }
     assert(e.getMessage.contains("embedder"))
-    // unstamped (legacy) writers are not blocked
+    // unstamped (legacy) writers are not blocked — but must CARRY the
+    // existing marker through the swap rather than strip the protection
     new VectorIndex(dir, 2).upsert(rows)
+    val e2 = intercept[IllegalArgumentException] {
+      new VectorIndex(dir, 2, Some("embedder-v2")).upsert(rows)
+    }
+    assert(e2.getMessage.contains("embedder-v1"))
   }
 
   test("Sync end-to-end: full index, empty re-run, single-file re-index, dry run") {

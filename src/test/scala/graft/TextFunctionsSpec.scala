@@ -149,6 +149,37 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestSession {
     assert(v >= 0 && v < (1L << 60))
   }
 
+  test("poly kernels are safe and deterministic on malformed UTF-8 bytes") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.expressions.{PolyShingleHashes, SimHashPoly}
+    // lone lead byte, truncated 3-byte seq, stray continuation, invalid 0xFF
+    val bad = Seq(
+      Array(0xF0, 0x20, 0x61).map(_.toByte),
+      Array(0x61, 0xE2, 0x82).map(_.toByte),
+      Array(0x80, 0x20, 0x80, 0x80).map(_.toByte),
+      Array(0xFF, 0xFE, 0x61).map(_.toByte))
+    bad.foreach { bytes =>
+      val s  = UTF8String.fromBytes(bytes)
+      val h1 = PolyShingleHashes.compute(s, 1).toLongArray().toSeq
+      val h2 = PolyShingleHashes.compute(s, 1).toLongArray().toSeq
+      assert(h1 === h2) // no out-of-bounds reads -> stable values
+      h1.foreach(h => assert(h >= 0 && h < P))
+      assert(SimHashPoly.compute(s) === SimHashPoly.compute(s))
+    }
+  }
+
+  test("poly minhash of an empty hash set is null, not a sentinel signature") {
+    val df = Seq(Tuple1("x")).toDF("t")
+    // runtime-empty array with a provably non-null element type: a 2-token
+    // text has no trigram shingles
+    val empty = shingleHashesPoly(lit("a b"), 3)
+    val r = df.select(minhashSignaturePoly(empty, 4)).head
+    assert(r.isNullAt(0)) // sentinel minima would make all empty docs collide
+    // non-empty still works through the same codegen path
+    val ok = df.select(minhashSignaturePoly(array(lit(5L), lit(9L)), 4)).head.getSeq[Long](0)
+    assert(ok.length === 4)
+  }
+
   test("minhash kernels reject nullable array elements at analysis") {
     val df = Seq(Tuple1("a b c")).toDF("t")
     // an array whose element type is nullable -> must be rejected at
