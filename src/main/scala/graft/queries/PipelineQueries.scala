@@ -131,6 +131,43 @@ object PipelineQueries {
     // pipeline is oracle-checked: raw_norm is exact integer math; the
     // normalized max_component matches because FP division by a shared
     // positive norm is monotone (max of quotients = quotient of max).
+    // The reference's complete loop — embed the corpus, then cosine-search
+    // it (main.py's entire purpose) — as ONE oracle-checked query. Raw
+    // (integer-count) embeddings keep every intermediate exact: dot and
+    // norms are integer sums in both engines, so the only FP ops are one
+    // sqrt/multiply/divide chain, performed identically.
+    "q62_embed_search" -> Q(
+      (s, dir) => {
+        val emb  = graft.pipeline.HashingEmbedder(64)
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), emb.embedRaw(col("text")).as("vec"))
+        val qv = docs.filter(col("doc_id") === 0).select(col("vec")).head().getSeq[Double](0)
+        graft.operators.TopK.topK(docs.filter(col("doc_id") =!= 0), "vec", "doc_id", qv, k = 10)
+          .select(col("doc_id"), col("score"))
+      },
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+             |b AS (
+             |  SELECT doc_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(w)),
+             |        i -> CAST(ascii(substr(w, CAST(i AS INTEGER), 1)) AS BIGINT))),
+             |      (acc, x) -> (acc * 31 + x) % 1000000007) % 64 AS bucket
+             |  FROM tok),
+             |c AS (SELECT doc_id, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+             |norms AS (SELECT doc_id, sqrt(CAST(sum(n * n) AS DOUBLE)) AS nrm FROM c GROUP BY 1),
+             |q AS (SELECT bucket, n FROM c WHERE doc_id = 0),
+             |qn AS (SELECT nrm AS qnrm FROM norms WHERE doc_id = 0),
+             |dots AS (
+             |  SELECT c.doc_id, CAST(sum(c.n * q.n) AS DOUBLE) AS dot
+             |  FROM c JOIN q USING (bucket) WHERE c.doc_id <> 0 GROUP BY 1)
+             |SELECT n.doc_id,
+             |  ${graft.functions.MathFunctions.floorRoundSql(
+                   "coalesce(d.dot, CAST(0 AS DOUBLE)) / (n.nrm * qn.qnrm)", 6)} AS score
+             |FROM norms n LEFT JOIN dots d ON n.doc_id = d.doc_id, qn
+             |WHERE n.doc_id <> 0 AND n.nrm > 0
+             |ORDER BY score DESC, n.doc_id LIMIT 10""".stripMargin)),
+
     "q35_embed_documents" -> Q(
       (s, dir) => {
         import graft.functions.MathFunctions.floorRound
