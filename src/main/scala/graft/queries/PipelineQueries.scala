@@ -70,6 +70,15 @@ object PipelineQueries {
              |  ${graft.functions.MathFunctions.floorRoundSql("sum(o_totalprice)", 2)} AS total
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Stream-stream inner equi-join (symmetric join state across
+    // micro-batches); oracle = the equivalent batch join.
+    "q63_stream_stream_join" -> Q(
+      (s, dir) => StreamingAgg.streamStreamJoin(s, dir),
+      Some("""SELECT o_orderkey, o_custkey, l_linenumber, l_quantity
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE o_orderkey % 50 = 0
+             |ORDER BY o_orderkey, l_linenumber""".stripMargin)),
+
     // Stateful streaming dedup (dropDuplicates through the engine's state
     // store, exactly-once per key across micro-batches); oracle = batch
     // DISTINCT equivalence.

@@ -42,6 +42,41 @@ object StreamingAgg {
     spark.table(name).orderBy("month")
   }
 
+  /** Stream-stream inner equi-join through the streaming engine: both sides
+    * are file-source streams; matches accumulate in symmetric join state and
+    * emit in append mode as they pair up across micro-batches. (Unbounded
+    * corpora would add watermarks + a time-range condition to bound the
+    * state; AvailableNow over fixtures doesn't need one.) The oracle is the
+    * equivalent batch join.
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val oSchema = spark.read.parquet(s"$dir/orders.parquet").schema
+    val lSchema = spark.read.parquet(s"$dir/lineitem.parquet").schema
+    val o = spark.readStream.schema(oSchema)
+      .option("pathGlobFilter", "orders.parquet").parquet(dir)
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = spark.readStream.schema(lSchema)
+      .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+      // mirror the key predicate on BOTH inputs: rows that can never match
+      // must not enter the symmetric join state (an inner equi-join lets the
+      // same residual apply to each side)
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val joined = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select("o_orderkey", "o_custkey", "l_linenumber", "l_quantity")
+    val name = s"graft_stream_join_${counter.incrementAndGet()}"
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("o_orderkey", "l_linenumber")
+  }
+
   /** Stateful streaming dedup: the distinct customer-key set computed
     * THROUGH the streaming engine (`dropDuplicates` keeps a state-store
     * entry per seen key and emits each key exactly once across ALL
