@@ -454,6 +454,36 @@ object TextQueries {
              |SELECT src AS id, least(src, min(dst)) AS cluster
              |FROM reach GROUP BY src ORDER BY id""".stripMargin)),
 
+    // KMV distinct-count sketch over corpus trigram hashes — the sketch
+    // VALUE itself is oracle-checked (poly hashes reproduce in SQL), not
+    // just sanity-bounded like an HLL would be.
+    "q64_kmv_distinct" -> Q(
+      (s, dir) => graft.operators.Sketches.kmvDistinctNgrams(
+        Tables.documents(s, dir), "text", n = 3, k = 1024),
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+             |    unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+             |  FROM documents),
+             |th AS (
+             |  SELECT doc_id, pos,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(w)),
+             |        i -> CAST(ascii(substr(w, CAST(i AS INTEGER), 1)) AS BIGINT))),
+             |      (acc, x) -> (acc * 31 + x) % $HP) AS h
+             |  FROM tok),
+             |shl AS (
+             |  SELECT (((a.h * $HR + b.h) % $HP) * $HR + c.h) % $HP AS sh
+             |  FROM th a JOIN th b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |            JOIN th c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+             |d AS (SELECT DISTINCT sh FROM shl),
+             |kth AS (SELECT max(sh) AS h_k FROM (SELECT sh FROM d ORDER BY sh LIMIT 1024)),
+             |ex AS (SELECT count(*) AS exact_distinct FROM d)
+             |SELECT CAST(1024 AS BIGINT) AS k, h_k,
+             |  ${frs(s"CAST(1023 AS DOUBLE) * $HP / h_k", 4)} AS est_distinct,
+             |  exact_distinct,
+             |  ${frs(s"abs(CAST(1023 AS DOUBLE) * $HP / h_k - exact_distinct) / exact_distinct", 4)} AS rel_err
+             |FROM kth, ex""".stripMargin)),
+
     // Sequence packing: fill 512-token training bins per source shard
     // (contiguous greedy, windowed cumsum — one shuffle on the shard key,
     // never a global sort).
