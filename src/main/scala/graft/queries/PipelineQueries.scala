@@ -134,12 +134,6 @@ object PipelineQueries {
              |    (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum
              |FROM f ORDER BY doc_id, frame_id""".stripMargin)),
 
-    // The reference's embed step (main.py:180-183) as a batch query: the
-    // pluggable HashingEmbedder over the document corpus. The poly-hash
-    // bucket assignment is DuckDB-expressible, so the whole embedding
-    // pipeline is oracle-checked: raw_norm is exact integer math; the
-    // normalized max_component matches because FP division by a shared
-    // positive norm is monotone (max of quotients = quotient of max).
     // The reference's complete loop — embed the corpus, then cosine-search
     // it (main.py's entire purpose) — as ONE oracle-checked query. Raw
     // (integer-count) embeddings keep every intermediate exact: dot and
@@ -177,6 +171,12 @@ object PipelineQueries {
              |WHERE n.doc_id <> 0 AND n.nrm > 0
              |ORDER BY score DESC, n.doc_id LIMIT 10""".stripMargin)),
 
+    // The reference's embed step (main.py:180-183) as a batch query: the
+    // pluggable HashingEmbedder over the document corpus. The poly-hash
+    // bucket assignment is DuckDB-expressible, so the whole embedding
+    // pipeline is oracle-checked: raw_norm is exact integer math; the
+    // normalized max_component matches because FP division by a shared
+    // positive norm is monotone (max of quotients = quotient of max).
     "q35_embed_documents" -> Q(
       (s, dir) => {
         import graft.functions.MathFunctions.floorRound

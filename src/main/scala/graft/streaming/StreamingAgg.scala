@@ -16,30 +16,41 @@ import java.util.concurrent.atomic.AtomicInteger
 object StreamingAgg {
   private val counter = new AtomicInteger(0)
 
-  /** Monthly order stats computed *through the streaming engine* over the
-    * orders fixture, drained with AvailableNow into a memory sink. Result is
-    * identical to the equivalent batch aggregation — that equivalence is the
-    * oracle check. (orders, not events: the streaming parquet source rejects
-    * the events table's TIMESTAMP(NANOS) ts column.)
+  /** One fixture table as a file-source stream (schema probed from the same
+    * parquet — streaming sources need an explicit schema).
     */
-  def monthlyOrderStats(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/orders.parquet").schema
-    val sdf = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "orders.parquet")
+  private def streamTable(spark: SparkSession, dir: String, file: String): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(s"$dir/$file").schema)
+      .option("pathGlobFilter", file)
       .parquet(dir)
-    val agg = sdf
-      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
-      .agg(count(lit(1)).as("n"), floorRound(sum("o_totalprice"), 2).as("total"))
-    val name = s"graft_stream_monthly_${counter.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode("complete")
+
+  /** Drain a streaming frame synchronously through a memory sink with
+    * AvailableNow; returns the drained table.
+    */
+  private def drain(df: DataFrame, prefix: String, mode: String): DataFrame = {
+    val name = s"${prefix}_${counter.incrementAndGet()}"
+    val q = df.writeStream
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).orderBy("month")
+    df.sparkSession.table(name)
+  }
+
+  /** Monthly order stats computed *through the streaming engine* over the
+    * orders fixture. Result is identical to the equivalent batch aggregation
+    * — that equivalence is the oracle check. (orders, not events: the
+    * streaming parquet source rejects the events table's TIMESTAMP(NANOS)
+    * ts column.)
+    */
+  def monthlyOrderStats(spark: SparkSession, dir: String): DataFrame = {
+    val agg = streamTable(spark, dir, "orders.parquet")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"), floorRound(sum("o_totalprice"), 2).as("total"))
+    drain(agg, "graft_stream_monthly", "complete").orderBy("month")
   }
 
   /** Stream-stream inner equi-join through the streaming engine: both sides
@@ -50,15 +61,10 @@ object StreamingAgg {
     * equivalent batch join.
     */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val oSchema = spark.read.parquet(s"$dir/orders.parquet").schema
-    val lSchema = spark.read.parquet(s"$dir/lineitem.parquet").schema
-    val o = spark.readStream.schema(oSchema)
-      .option("pathGlobFilter", "orders.parquet").parquet(dir)
+    val o = streamTable(spark, dir, "orders.parquet")
       .filter(col("o_orderkey") % 50 === 0)
       .select(col("o_orderkey"), col("o_custkey"))
-    val l = spark.readStream.schema(lSchema)
-      .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+    val l = streamTable(spark, dir, "lineitem.parquet")
       // mirror the key predicate on BOTH inputs: rows that can never match
       // must not enter the symmetric join state (an inner equi-join lets the
       // same residual apply to each side)
@@ -66,15 +72,7 @@ object StreamingAgg {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     val joined = o.join(l, col("o_orderkey") === col("l_orderkey"))
       .select("o_orderkey", "o_custkey", "l_linenumber", "l_quantity")
-    val name = s"graft_stream_join_${counter.incrementAndGet()}"
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name).orderBy("o_orderkey", "l_linenumber")
+    drain(joined, "graft_stream_join", "append").orderBy("o_orderkey", "l_linenumber")
   }
 
   /** Stateful streaming dedup: the distinct customer-key set computed
@@ -87,20 +85,8 @@ object StreamingAgg {
     * fixture doesn't need it.
     */
   def distinctCustomers(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/orders.parquet").schema
-    val sdf = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "orders.parquet")
-      .parquet(dir)
-    val dedup = sdf.select(col("o_custkey")).dropDuplicates("o_custkey")
-    val name = s"graft_stream_dedup_${counter.incrementAndGet()}"
-    val q = dedup.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name).orderBy("o_custkey")
+    val dedup = streamTable(spark, dir, "orders.parquet")
+      .select(col("o_custkey")).dropDuplicates("o_custkey")
+    drain(dedup, "graft_stream_dedup", "append").orderBy("o_custkey")
   }
 }
