@@ -17,7 +17,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional focus filter (same contract as Bench): comma-separated name
+    // substrings — lets a local correctness spot-check dump one query
+    // instead of all of them. The driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.contains))
+    }
+    selected.foreach { case (name, fn) =>
       // operators cache() internally and never unpersist — without this the
       // cached relations of all 56 queries accumulate in one executor heap
       // (fine at sf0.01, memory pressure at sf0.1+). Bench does the same.
@@ -41,6 +48,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -33,13 +33,29 @@ final class BpeTokenizer(val merges: Vector[(String, String)]) extends Serializa
 
   @transient private lazy val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
 
-  /** symbol string -> token id (base alphabet then merges, GPT-2 scheme) */
+  /** symbol string -> token id (base alphabet then merges, GPT-2 scheme).
+    * Two merge rules can produce the SAME concatenation (e.g. (a,bc) and
+    * (ab,c) both yield "abc") — keep the EARLIEST rank's id so encode is
+    * deterministic and matches the published encoders' first-wins layout.
+    */
   @transient private lazy val vocab: Map[String, Int] = {
     val base = BpeTokenizer.byteAlphabet.zipWithIndex.map { case (c, i) => c.toString -> i }
     val merged = merges.zipWithIndex.map { case ((a, b), r) => (a + b) -> (256 + r) }
+    // toMap keeps the LAST entry per key; reverse the merge list so the
+    // earliest rank wins on collision (base keys are single chars, merged
+    // keys are >= 2 chars — the two never collide with each other)
+    (base ++ merged.reverse).toMap
+  }
+
+  /** id -> symbol string, TOTAL over all valid ids: every merge rank decodes
+    * to its concatenation even when a later rank shadowed it in [[vocab]] —
+    * decode of an arbitrary well-formed id sequence never throws.
+    */
+  @transient private lazy val inverse: Map[Int, String] = {
+    val base = BpeTokenizer.byteAlphabet.zipWithIndex.map { case (c, i) => i -> c.toString }
+    val merged = merges.zipWithIndex.map { case ((a, b), r) => (256 + r) -> (a + b) }
     (base ++ merged).toMap
   }
-  @transient private lazy val inverse: Map[Int, String] = vocab.map(_.swap)
 
   // per-pre-token memo — real corpora repeat pre-tokens heavily (GPT-2's
   // reference implementation does the same); bounded to keep executors honest

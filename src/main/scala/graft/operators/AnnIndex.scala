@@ -197,6 +197,29 @@ object AnnIndex {
     cents
   }
 
+  /** Johnson–Lindenstrauss random projection: dim → outDim via the same
+    * deterministic integer-hash plane family as the LSH buckets (JL needs
+    * only a sub-Gaussian projection matrix — the centered hash components
+    * qualify; Achlioptas, "Database-friendly random projections", PODS 2001
+    * shows even ±1 entries do). Components are scaled by 1/(|p_j|·√outDim)
+    * so projected L2 distances approximate original ones, and floor-rounded
+    * so the DuckDB oracle reproduces them bit-exactly.
+    *
+    * The scale story: map-only (one codegen'd projection per row, no
+    * shuffle), and downstream ANN / clustering / near-dup over the outDim
+    * columns costs dim/outDim less per distance — project once, search many.
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+                       outDim: Int, dim: Int, roundTo: Int = 6): DataFrame = {
+    val planes = hyperplanes(outDim, dim)
+    val vd = asDouble(col(vecCol))
+    val proj = array(planes.zipWithIndex.map { case (p, j) =>
+      val norm = math.sqrt(p.map(x => x * x).sum) * math.sqrt(outDim.toDouble)
+      floorRound(dotFused(vd, array(p.map(lit): _*)) / lit(norm), roundTo)
+    }: _*)
+    df.select(col(idCol), proj.as("proj"))
+  }
+
   /** Near-duplicate pairs by embedding cosine >= threshold, LSH-bucketed
     * candidates (same bucket or hamming-1 neighbors via multiprobe — exactly
     * one probe can match a pair, so no dedup join is needed). The
@@ -206,25 +229,33 @@ object AnnIndex {
                          threshold: Double, nbits: Int, dim: Int,
                          roundTo: Int = 6, multiprobe: Boolean = true): DataFrame = {
     val planes = hyperplanes(nbits, dim)
-    // deliberately NOT cached: the relation is nested float arrays, which
-    // take the slow generic path through the columnar cache; recomputing the
-    // bucket bits + norm per join branch (a few dot products per row over a
-    // pruned parquet scan) is slightly cheaper than the cache round-trip
-    // (q28 solo at sf0.1: ~4.0 s cached vs ~3.8 s recomputed — the dominant
-    // cost is the candidate-pair cosine verify either way) and avoids
-    // holding executor memory across the query
-    val b = df.select(col(idCol), col(vecCol))
-      .withColumn("__bucket", bucketCol(col(vecCol), planes))
-      .withColumn("__nsq", l2NormSq(col(vecCol)))
-    val l0 = b.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("__bucket"), col("__nsq").as("__nsq_a"))
+    // Slim-candidate pattern (same as Dedup.minhashLshPairs): the bucket id
+    // is computed ONCE on a two-column (id, bucket) relation and cached —
+    // two longs per row, so the columnar cache is cheap, unlike caching the
+    // nested float arrays. Without the cache barrier Catalyst collapses the
+    // probe projection into the bucket projection and substitutes the full
+    // nbits-dot-product bucket expression into every slot of the probe
+    // array, multiplying the per-row work by ~nbits (q28 at sf0.1 went
+    // 2.5 s → 25.9 s in BENCH_r03 when the barrier was dropped). Vectors are
+    // attached to the slim candidate pairs afterwards — at cluster scale the
+    // wide arrays shuffle once per side on the id, never on the bucket.
+    val slim = df.select(col(idCol).as("__id"), bucketCol(col(vecCol), planes).as("__bucket"))
+      .cache()
     val l =
       if (multiprobe)
-        l0.withColumn("__probe", explode(probesCol(col("__bucket"), nbits)))
-          .drop("__bucket").withColumnRenamed("__probe", "__bucket")
-      else l0
-    val r = b.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("__bucket"), col("__nsq").as("__nsq_b"))
-    l.join(r, Seq("__bucket"))
+        slim.select(col("__id").as("id_a"), explode(probesCol(col("__bucket"), nbits)).as("__bucket"))
+      else slim.select(col("__id").as("id_a"), col("__bucket"))
+    val r = slim.select(col("__id").as("id_b"), col("__bucket"))
+    val cand = l.join(r, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val v = df.select(col(idCol).as("__vid"), col(vecCol).as("__vec"))
+      .withColumn("__nsq", l2NormSq(col("__vec")))
+    cand
+      .join(v.select(col("__vid"), col("__vec").as("vec_a"), col("__nsq").as("__nsq_a")),
+            col("id_a") === col("__vid")).drop("__vid")
+      .join(v.select(col("__vid"), col("__vec").as("vec_b"), col("__nsq").as("__nsq_b")),
+            col("id_b") === col("__vid")).drop("__vid")
       .withColumn("score", floorRound(
         cosineFromNormSq(col("vec_a"), col("vec_b"), col("__nsq_a"), col("__nsq_b")), roundTo))
       .filter(col("score") >= threshold)

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.MathFunctions.floorRound
 import graft.functions.TextFunctions.{qualityScore, repetitionScore}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation — the chain an LLM pre-training data pipeline
@@ -40,5 +40,34 @@ object Curation {
     val deduped = Dedup.exactDedup(gated, idCol, textCol)
     val clean   = Decontaminate.decontaminate(deduped, idCol, textCol, benchmark, bTextCol, p.shingleSize)
     Sampling.stratifiedSample(clean, idCol, stratumCol, p.ratePercent, p.defaultPercent)
+  }
+
+  /** Per-key document cap — "at most `n` documents per domain/source", the
+    * standard web-corpus balancing step (a handful of giant domains would
+    * otherwise dominate the training mix). Keeps the top `n` rows per key by
+    * `orderCols` (ties broken by the caller's last order column; make it a
+    * unique id for determinism) and attaches their 1-based `rank`.
+    *
+    * Scale shape: a naive `row_number() OVER (PARTITION BY key)` sends EVERY
+    * row of a hot domain to one reducer — exactly the skew this operator
+    * exists to fight. Phase 1 ranks per (input-partition-id, key): the
+    * partition id acts as a salt, so its shuffle moves the same total bytes
+    * but spreads a hot key over all reducers, and each (salt, key) group
+    * keeps at most `n` rows. Phase 2 computes the exact global rank over
+    * that bounded survivor set — ≤ n·numPartitions rows per key, so the
+    * per-key reducer is safe no matter how large the domain. Same pre-reduce
+    * idiom as [[TopK.knnJoin]].
+    */
+  def capPerKey(df: DataFrame, keyCol: String, orderCols: Seq[Column], n: Int): DataFrame = {
+    require(n > 0, s"capPerKey needs n > 0, got $n")
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__salt"), col(keyCol)).orderBy(orderCols: _*)
+    val global = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    df.withColumn("__salt", spark_partition_id()) // input partition id, materialized pre-shuffle
+      .withColumn("__lr", row_number().over(local)).filter(col("__lr") <= n)
+      .drop("__lr", "__salt")
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .filter(col("rank") <= n)
   }
 }

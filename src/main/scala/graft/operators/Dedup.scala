@@ -215,6 +215,13 @@ object Dedup {
       labelsCheckpointed = checkpointNow
       iter += 1
     }
+    // Min-label propagation needs ~diameter rounds; exiting via maxIter means
+    // some component still carries PARTIALLY propagated labels — loudly
+    // visible, not a silently-wrong result (ADVICE r3).
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup").warn(
+        s"clusters() hit maxIter=$maxIter before converging — returned labels " +
+          "are partially propagated; raise maxIter above the pair-graph diameter")
     labels
   }
 

@@ -49,4 +49,42 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol)) < rate)
   }
+
+  /** Pseudo-uniform u ∈ (0, 1] from a numeric key — the same two-round
+    * mod-prime mix as [[hashBucket]], divided once by P. Integer arithmetic
+    * until the single division, so any IEEE engine (DuckDB included)
+    * reproduces the double bit-exactly.
+    */
+  def hashUniform(key: Column): Column = {
+    val h1 = pmod(key.cast("long"), lit(P))
+    val h2 = (h1 * lit(1103515245L) + lit(12345L)) % lit(P)
+    val h3 = (h2 * lit(69069L) + lit(1L)) % lit(P)
+    (h3 + lit(1L)).cast("double") / lit(P.toDouble)
+  }
+
+  /** DuckDB mirror of [[hashUniform]] — keep token-for-token in sync. */
+  def hashUniformSql(keyExpr: String): String =
+    s"CAST(((((($keyExpr % $P + $P) % $P) * 1103515245 + 12345) % $P * 69069 + 1) % $P + 1) AS DOUBLE) / CAST($P AS DOUBLE)"
+
+  /** Deterministic weighted sample WITHOUT replacement: keep the `k` rows
+    * with the smallest priority u(key)/weight — a fixed-priority variant of
+    * the Efraimidis–Spirakis A-ES reservoir scheme (u^(1/w) keys), using the
+    * ratio form so the whole computation stays log/pow-free and therefore
+    * bit-reproducible in plain SQL. Heavier rows get smaller priorities in
+    * expectation, so selection probability grows with weight, and the
+    * selection is stable across reruns and repartitioning.
+    *
+    * Plan shape: map-only priority computation + TakeOrderedAndProject —
+    * each partition keeps its local k, the driver merges P·k slim rows.
+    * No shuffle of the corpus at any scale.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String, k: Int,
+                     roundTo: Int = 12): DataFrame = {
+    require(k > 0, s"weightedSample needs k > 0, got $k")
+    val priority = hashUniform(col(keyCol)) / col(weightCol).cast("double")
+    df.filter(col(weightCol) > 0) // zero/negative weight = never sampled
+      .withColumn("priority", graft.functions.MathFunctions.floorRound(priority, roundTo))
+      .orderBy(col("priority"), col(keyCol))
+      .limit(k)
+  }
 }

@@ -33,14 +33,23 @@ object Sketches {
     val kth = hashes.orderBy("h").limit(k) // TakeOrderedAndProject
       .agg(max("h").as("h_k"))
     val exact = hashes.agg(count(lit(1)).as("exact_distinct"))
+    // Sketch-saturation guard (classic KMV): with fewer than k distinct
+    // hashes, h_k is just the overall max and (k-1)·P/h_k is a meaningless
+    // extrapolation — the sketch holds EVERY distinct hash, so report the
+    // exact count with zero error. Mirrored in the q64 oracle SQL.
+    val saturated = col("exact_distinct") < k
     kth.crossJoin(exact)
       .select(
         lit(k.toLong).as("k"),
         col("h_k"),
-        floorRound(lit((k - 1).toDouble) * PolyHash.P / col("h_k"), 4).as("est_distinct"),
+        when(saturated, col("exact_distinct").cast("double"))
+          .otherwise(floorRound(lit((k - 1).toDouble) * PolyHash.P / col("h_k"), 4))
+          .as("est_distinct"),
         col("exact_distinct"),
-        floorRound(
-          abs(lit((k - 1).toDouble) * PolyHash.P / col("h_k") - col("exact_distinct")) /
-            col("exact_distinct"), 4).as("rel_err"))
+        when(saturated, lit(0.0))
+          .otherwise(floorRound(
+            abs(lit((k - 1).toDouble) * PolyHash.P / col("h_k") - col("exact_distinct")) /
+              col("exact_distinct"), 4))
+          .as("rel_err"))
   }
 }

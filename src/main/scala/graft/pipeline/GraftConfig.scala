@@ -81,6 +81,12 @@ object GraftConfig {
             if (vt.startsWith("\"")) { // quoted: comment chars inside are literal
               val end = vt.indexOf('"', 1)
               require(end > 0, s"config line ${i + 1}: unterminated string")
+              // fail-loudly contract: anything after the closing quote other
+              // than a comment is a typo (e.g. a stray token, or an escape
+              // attempt — escapes are unsupported), not silently-ignored text
+              val rest = vt.substring(end + 1).trim
+              require(rest.isEmpty || rest.startsWith("#"),
+                s"config line ${i + 1}: unexpected text after closing quote: '$rest'")
               vt.substring(1, end)
             } else vt.split("#", 2).head.trim // bare: strip trailing comment
           out(sec).put(k.trim, value)

@@ -479,9 +479,11 @@ object TextQueries {
              |kth AS (SELECT max(sh) AS h_k FROM (SELECT sh FROM d ORDER BY sh LIMIT 1024)),
              |ex AS (SELECT count(*) AS exact_distinct FROM d)
              |SELECT CAST(1024 AS BIGINT) AS k, h_k,
-             |  ${frs(s"CAST(1023 AS DOUBLE) * $HP / h_k", 4)} AS est_distinct,
+             |  CASE WHEN exact_distinct < 1024 THEN CAST(exact_distinct AS DOUBLE)
+             |       ELSE ${frs(s"CAST(1023 AS DOUBLE) * $HP / h_k", 4)} END AS est_distinct,
              |  exact_distinct,
-             |  ${frs(s"abs(CAST(1023 AS DOUBLE) * $HP / h_k - exact_distinct) / exact_distinct", 4)} AS rel_err
+             |  CASE WHEN exact_distinct < 1024 THEN CAST(0 AS DOUBLE)
+             |       ELSE ${frs(s"abs(CAST(1023 AS DOUBLE) * $HP / h_k - exact_distinct) / exact_distinct", 4)} END AS rel_err
              |FROM kth, ex""".stripMargin)),
 
     // Sequence packing: fill 512-token training bins per source shard

@@ -116,6 +116,16 @@ object Sessionize {
           var curCount = st.openCount
           var curStart = st.openStartUs
           var curEnd   = st.openEndUs
+          // The exactness contract assumes batches arrive in event-time order
+          // (file-source mtime order). An event EARLIER than the carried
+          // open-session end would otherwise read as a negative gap and pull
+          // curEnd backwards — make the violation visible instead of silent,
+          // and clamp so the session end never regresses.
+          if (curCount > 0 && sorted.nonEmpty && micros(sorted.head.ts) < curEnd)
+            org.slf4j.LoggerFactory.getLogger("graft.streaming.Sessionize").warn(
+              s"out-of-order micro-batch for user $uid: earliest event " +
+                s"${micros(sorted.head.ts)}us precedes carried session end ${curEnd}us; " +
+                "session boundaries for this user may not match the batch operator")
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
           sorted.foreach { e =>
             val us = micros(e.ts)
@@ -124,8 +134,9 @@ object Sessionize {
               out += ((sessId, curCount, curStart, curEnd))
               sessId += 1; curCount = 0
             }
-            if (curCount == 0) curStart = us
-            curCount += 1; curEnd = us
+            if (curCount == 0) { curStart = us; curEnd = us }
+            else curEnd = math.max(curEnd, us) // clamp: never regress an open session's end
+            curCount += 1
           }
           // provisional emission of the still-open session (re-emitted with a
           // larger count if a later batch extends it; reconciled downstream)

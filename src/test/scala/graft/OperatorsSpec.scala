@@ -89,6 +89,27 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(got === (0L to 15L).map(_ -> 0L).toMap)
   }
 
+  test("clusters: maxIter cap returns partial labels without throwing (warned)") {
+    // path 0-…-6 needs ~6 rounds; maxIter=2 must exit cleanly via the warn
+    // path with labels only partially propagated (NOT all 0)
+    val pairs = (0L until 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs, maxIter = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 7)
+    assert(got(0L) === 0L)
+    assert(got.values.exists(_ != 0L)) // genuinely unconverged, not silently complete
+  }
+
+  test("KMV sketch saturation: fewer distinct hashes than k reports the exact count") {
+    import graft.operators.Sketches
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val row = Sketches.kmvDistinctNgrams(docs, "text", n = 3, k = 1024).head
+    val exact = row.getAs[Long]("exact_distinct")
+    assert(exact > 0 && exact < 1024)
+    assert(row.getAs[Double]("est_distinct") === exact.toDouble) // exact regime, no extrapolation
+    assert(row.getAs[Double]("rel_err") === 0.0)
+  }
+
   test("piiScrub redacts emails, IPs, phone runs in rule order") {
     import graft.operators.Cleaning
     val d = Seq(

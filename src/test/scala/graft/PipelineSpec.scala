@@ -115,6 +115,13 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     Files.writeString(conf, "[base]\ncontent_folder = \"x\"\ncontent_regx = \"oops\"\n[index]\npath=\"p\"\nstate_path=\"s\"\n")
     val e = intercept[IllegalArgumentException] { GraftConfig.load(conf) }
     assert(e.getMessage.contains("content_regx"))
+    // stray text after a quoted value fails loudly too (same philosophy) —
+    // but a trailing comment is fine
+    Files.writeString(conf, "[base]\ncontent_folder = \"x\" stray\n[index]\npath=\"p\"\nstate_path=\"s\"\n")
+    val e2 = intercept[IllegalArgumentException] { GraftConfig.load(conf) }
+    assert(e2.getMessage.contains("after closing quote"))
+    Files.writeString(conf, "[base]\ncontent_folder = \"x\" # a comment\n[index]\npath=\"p\"\nstate_path=\"s\"\n")
+    assert(GraftConfig.load(conf).contentFolder === "x")
   }
 
   test("VectorIndex refuses writes from a different embedder generation") {

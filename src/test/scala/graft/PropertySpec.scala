@@ -51,6 +51,17 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     assert(reloaded.encode("the quick brown fox") === bpe.encode("the quick brown fox"))
   }
 
+  test("BPE: colliding merge concatenations keep the first rank; decode is total over ids") {
+    import graft.functions.bpe.BpeTokenizer
+    // ranks: 0 (b,c)→"bc", 1 (a,bc)→"abc", 2 (a,b)→"ab", 3 (ab,c)→"abc":
+    // ranks 1 and 3 produce the SAME symbol string
+    val bpe = new BpeTokenizer(Vector(("b", "c"), ("a", "bc"), ("a", "b"), ("ab", "c")))
+    assert(bpe.encode("abc") === Vector(256 + 1)) // first-rank id wins the vocab slot
+    assert(bpe.decode(Seq(256 + 1)) === "abc")
+    assert(bpe.decode(Seq(256 + 3)) === "abc")    // shadowed id still decodes, no throw
+    assert(bpe.decode(bpe.encode("abcabc ab bc")) === "abcabc ab bc")
+  }
+
   test("property: cosine ∈ [-1,1], cos(v,v)=1, symmetry; euclidean symmetry + identity") {
     val pairs = sample(Gen.zip(vecGen, vecGen), 200, 11L)
     val df = pairs.map { case (a, b) => (a.toArray, b.toArray) }.toDF("a", "b")

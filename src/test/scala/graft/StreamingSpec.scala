@@ -44,6 +44,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(batch.nonEmpty)
   }
 
+  test("out-of-order micro-batch cannot regress an open session's end (clamped + warned)") {
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import java.sql.Timestamp
+    // batch 0 (earlier mtime): user 1 events at t=1000s and t=2000s → open
+    // session end 2000s. batch 1 (later mtime) violates the event-time-order
+    // contract with an event at t=1500s — BEFORE the carried end. The clamp
+    // must keep the session end at 2000s (and count the event), never pull
+    // it backwards to 1500s.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ooo")
+    def writeFile(rows: Seq[(Long, Timestamp, Long)], name: String, mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_ooo_w")
+      rows.toDF("user_id", "ts", "event_id").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst  = dir.resolve(name)
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtimeMs))
+    }
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    writeFile(Seq((1L, ts(1000), 1L), (1L, ts(2000), 2L)), "a_events.parquet", 1000000000000L)
+    writeFile(Seq((1L, ts(1500), 3L)), "b_events.parquet", 1000000100000L)
+    val got = Sessionize.streamingFrom(spark, dir.toString,
+        schemaFrom = dir.resolve("a_events.parquet").toString, glob = "*.parquet",
+        gapMinutes = 30, maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+    assert(got.length === 1)
+    val (_, _, n, start, end) = got.head
+    assert(n === 3)
+    assert(start === "1970-01-01 00:16:40") // t=1000s
+    assert(end === "1970-01-01 00:33:20")   // t=2000s — NOT regressed to 1500s
+  }
+
   test("streaming monthly order stats equals batch aggregation") {
     import org.apache.spark.sql.functions._
     import graft.functions.MathFunctions.floorRound
