@@ -48,26 +48,21 @@ object Curation {
     * `orderCols` (ties broken by the caller's last order column; make it a
     * unique id for determinism) and attaches their 1-based `rank`.
     *
-    * Scale shape: a naive `row_number() OVER (PARTITION BY key)` sends EVERY
-    * row of a hot domain to one reducer — exactly the skew this operator
-    * exists to fight. Phase 1 ranks per (input-partition-id, key): the
-    * partition id acts as a salt, so its shuffle moves the same total bytes
-    * but spreads a hot key over all reducers, and each (salt, key) group
-    * keeps at most `n` rows. Phase 2 computes the exact global rank over
-    * that bounded survivor set — ≤ n·numPartitions rows per key, so the
-    * per-key reducer is safe no matter how large the domain. Same pre-reduce
-    * idiom as [[TopK.knnJoin]].
+    * Scale shape: a bare window would send EVERY row of a hot domain to one
+    * reducer, but Catalyst's `InferWindowGroupLimit` (Spark 3.5+) rewrites
+    * `row_number() <= n` into a map-side WindowGroupLimit BEFORE the
+    * exchange — each map partition forwards at most `n` rows per key, so the
+    * hot key's reducer sees ≤ n·numPartitions rows no matter how large the
+    * domain (verify: the physical plan shows Sort→WindowGroupLimit→Exchange
+    * →…→Window). A hand-salted two-phase rank gives the identical per-key
+    * bound at the cost of a second full shuffle — don't hand-schedule what
+    * the optimizer already does.
     */
   def capPerKey(df: DataFrame, keyCol: String, orderCols: Seq[Column], n: Int): DataFrame = {
     require(n > 0, s"capPerKey needs n > 0, got $n")
-    val local = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__salt"), col(keyCol)).orderBy(orderCols: _*)
-    val global = org.apache.spark.sql.expressions.Window
+    val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(orderCols: _*)
-    df.withColumn("__salt", spark_partition_id()) // input partition id, materialized pre-shuffle
-      .withColumn("__lr", row_number().over(local)).filter(col("__lr") <= n)
-      .drop("__lr", "__salt")
-      .withColumn("rank", row_number().over(global).cast("long"))
+    df.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= n)
   }
 }

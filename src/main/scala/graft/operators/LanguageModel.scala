@@ -36,6 +36,10 @@ object LanguageModel {
     // adjacent pairs, order-preserving: bigram i = (tok[i], tok[i+1])
     val bigrams = df
       .select(col(idCol).as("id"), toks.as("__t"))
+      // sequence(1, size-1) DESCENDS for single-token docs (sequence(1,0) =
+      // [1,0] in Spark) and would index past the array — drop them here;
+      // they have no bigrams and no row in the output either way
+      .filter(size(col("__t")) >= 2)
       .select(col("id"), explode(
         transform(sequence(lit(1), size(col("__t")) - 1),
           i => struct(element_at(col("__t"), i).as("w1"),

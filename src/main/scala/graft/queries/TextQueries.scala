@@ -630,5 +630,52 @@ object TextQueries {
              |SELECT doc_id, CAST(total AS BIGINT) AS n_trigrams, CAST(nd AS BIGINT) AS n_distinct,
              |  ${frs("CASE WHEN total > 0 THEN CAST(1.0 AS DOUBLE) - CAST(nd AS DOUBLE) / CAST(total AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END", 4)} AS rep_ratio
              |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // Per-domain cap: at most 15 docs per source, longest first — the
+    // web-corpus balancing step. Spark side is the salted two-phase rank
+    // (skew-proof); the oracle is the plain window it must equal.
+    "q65_domain_cap" -> Q(
+      (s, dir) => graft.operators.Curation.capPerKey(
+          Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+          "source", Seq(col("n_chars").desc, col("doc_id")), n = 15)
+        .orderBy("source", "rank"),
+      Some("""SELECT doc_id, source, n_chars, rank FROM (
+             |  SELECT doc_id, source, n_chars,
+             |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+             |  FROM documents)
+             |WHERE rank <= 15 ORDER BY source, rank""".stripMargin)),
+
+    // Weighted sample: 100 docs, selection probability ∝ n_chars, fully
+    // deterministic (A-ES-style priority u(key)/weight, log-free so the
+    // priorities themselves are oracle-checked bit-exactly).
+    "q66_weighted_sample" -> Q(
+      (s, dir) => graft.operators.Sampling.weightedSample(
+        Tables.documents(s, dir).select("doc_id", "n_chars"),
+        "doc_id", "n_chars", k = 100),
+      Some(s"""SELECT doc_id, n_chars, priority FROM (
+             |  SELECT doc_id, n_chars,
+             |    ${frs(graft.operators.Sampling.hashUniformSql("doc_id") + " / CAST(n_chars AS DOUBLE)", 12)} AS priority
+             |  FROM documents WHERE n_chars > 0)
+             |ORDER BY priority, doc_id LIMIT 100""".stripMargin)),
+
+    // Corpus-trained bigram LM score — the perplexity-style fluency filter
+    // (kept in probability space: integer counts + IEEE divisions, so the
+    // score value itself is oracle-checked).
+    "q68_bigram_lm" -> Q(
+      (s, dir) => graft.operators.LanguageModel.bigramScore(
+        Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id"),
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+             |    unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+             |  FROM documents),
+             |bg AS (
+             |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+             |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+             |pc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+             |cc AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  ${frs("avg(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))", 6)} AS lm_score
+             |FROM bg JOIN pc USING (w1, w2) JOIN cc USING (w1)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -276,5 +276,33 @@ object VectorQueries {
              |  WHERE list_sum(list_transform(a.v, x -> x*x)) > 0
              |    AND list_sum(list_transform(b.v, x -> x*x)) > 0)
              |WHERE score >= CAST(0.2 AS DOUBLE) ORDER BY 1, 2""".stripMargin)),
+
+    // Johnson–Lindenstrauss random projection 64 → 16 dims (same integer-hash
+    // plane family as the LSH buckets, so every projected component is
+    // oracle-checked bit-exactly). One flat column per component keeps the
+    // whole projection in a single WholeStageCodegen span (no explode).
+    "q67_random_projection" -> Q(
+      (s, dir) => AnnIndex.randomProjectionWide(
+          Tables.embeddings(s, dir), "vec_id", "embedding", outDim = 16, dim = 64)
+        .orderBy("vec_id"),
+      Some {
+        // norm literals computed driver-side from the same plane family;
+        // Double.toString round-trips through DuckDB's parser to the same
+        // bits, so the division matches the Spark side exactly
+        val norms = AnnIndex.hyperplanes(16, 64)
+          .map(p => math.sqrt(p.map(x => x * x).sum) * math.sqrt(16.0))
+        val comps = norms.zipWithIndex.map { case (n, j) =>
+          frs(s"list_inner_product(embedding::DOUBLE[], planes.ws[${j + 1}]) / CAST($n AS DOUBLE)", 6) + s" AS c$j"
+        }.mkString(",\n           |  ")
+        s"""WITH planes AS (
+           |  SELECT list(list_transform(generate_series(0, 63), d ->
+           |      CAST(((j*64+d+1)*(j*64+d+1) * 2654435761 + 97*(j*64+d+1) + 12345) % 1000003
+           |        - 501001 AS DOUBLE)) ORDER BY j) AS ws
+           |  FROM (SELECT unnest(generate_series(0, 15)) AS j))
+           |SELECT vec_id,
+           |  $comps
+           |FROM embeddings, planes
+           |ORDER BY vec_id""".stripMargin
+      }),
   )
 }

@@ -110,6 +110,61 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(row.getAs[Double]("rel_err") === 0.0)
   }
 
+  test("capPerKey: salted two-phase rank equals the naive per-key window") {
+    import graft.operators.Curation
+    import org.apache.spark.sql.expressions.Window
+    // skewed: key "hot" has 60 of 70 rows; spread over 7 input partitions so
+    // the salted phase-1 genuinely runs per (partition, key)
+    val rows = (1L to 60L).map(i => ("hot", i, i % 13)) ++ (61L to 70L).map(i => ("cold", i, i % 7))
+    val df = rows.toDF("k", "id", "v").repartition(7)
+    val got = Curation.capPerKey(df, "k", Seq(col("v").desc, col("id")), n = 5)
+      .select("k", "id", "rank").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = df.withColumn("rank",
+        row_number().over(Window.partitionBy(col("k")).orderBy(col("v").desc, col("id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("k", "id", "rank").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.count(_._1 == "hot") === 5 && got.count(_._1 == "cold") === 5)
+  }
+
+  test("weightedSample: deterministic, weight-monotone selection, zero weights excluded") {
+    import graft.operators.Sampling
+    val df = (1L to 200L).map(i => (i, if (i % 50 == 0) 0L else i)).toDF("id", "w")
+    val a = Sampling.weightedSample(df, "id", "w", k = 30).collect().map(_.getLong(0)).toSeq
+    val b = Sampling.weightedSample(df, "id", "w", k = 30).collect().map(_.getLong(0)).toSeq
+    assert(a === b)           // stable across runs
+    assert(a.length === 30)
+    assert(!a.exists(_ % 50 == 0)) // zero-weight rows never sampled
+    // heavier rows are favored: mean weight of the sample beats the population mean
+    val sampled = df.filter(col("id").isin(a: _*)).agg(avg("w")).head.getDouble(0)
+    val popMean = df.filter(col("w") > 0).agg(avg("w")).head.getDouble(0)
+    assert(sampled > popMean)
+  }
+
+  test("randomProjection: 16 components, linear, zero maps to zero") {
+    import graft.operators.AnnIndex
+    val v = Array.tabulate(64)(i => (i % 7 - 3).toFloat)
+    val df = Seq((1L, v), (2L, v.map(_ * 2)), (3L, Array.fill(64)(0f))).toDF("id", "vec")
+    val got = AnnIndex.randomProjection(df, "id", "vec", outDim = 16, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got(1L).length === 16)
+    assert(got(3L).forall(_ === 0.0))
+    // linearity up to the 1e-6 rounding: proj(2v) ≈ 2·proj(v)
+    got(1L).zip(got(2L)).foreach { case (p1, p2) => assert(math.abs(p2 - 2 * p1) < 2e-6) }
+  }
+
+  test("bigramScore: mean conditional bigram probability on a tiny corpus") {
+    import graft.operators.LanguageModel
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo")).toDF("doc_id", "text")
+    val got = LanguageModel.bigramScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // bigrams: doc1 (a,b),(b,a),(a,b); doc2 (a,c). c(a,·)=3, c(b,·)=1.
+    // doc1: avg(2/3, 1/1, 2/3) = 7/9; doc2: 1/3. doc3 has no bigrams.
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) === ((3L, 0.777778)))
+    assert(got(2L) === ((1L, 0.333333)))
+  }
+
   test("piiScrub redacts emails, IPs, phone runs in rule order") {
     import graft.operators.Cleaning
     val d = Seq(

@@ -44,6 +44,22 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     assert(viaAgg.nonEmpty && viaAgg.size === 20) // 5 queries x k=4
   }
 
+  test("capPerKey pre-reduces map-side: WindowGroupLimit before the exchange") {
+    import graft.operators.Curation
+    val df = (1L to 500L).map(i => (s"k${i % 3}", i, i % 17)).toDF("k", "id", "v")
+      .repartition(5)
+    val capped = Curation.capPerKey(df, "k", Seq(col("v").desc, col("id")), n = 4)
+    val plan = capped.queryExecution.executedPlan.toString
+    // InferWindowGroupLimit must fire: each map partition forwards at most n
+    // rows per key, bounding the hot-key reducer at n·numPartitions rows
+    // InferWindowGroupLimit emits a Partial (map-side, pre-shuffle) and a
+    // Final (post-shuffle) group limit — the Partial is the pre-reduce
+    assert("""WindowGroupLimit .*Partial""".r.findFirstIn(plan).isDefined,
+      s"expected a map-side (Partial) WindowGroupLimit in:\n$plan")
+    assert("""WindowGroupLimit .*Final""".r.findFirstIn(plan).isDefined,
+      s"expected the post-shuffle (Final) WindowGroupLimit in:\n$plan")
+  }
+
   test("decontaminate plans as broadcast joins — the corpus never shuffles") {
     import graft.operators.Decontaminate
     val corpus = (0L until 50L).map(i => (i, s"w$i x$i y$i z$i q$i")).toDF("doc_id", "text")
