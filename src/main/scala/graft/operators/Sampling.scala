@@ -87,4 +87,23 @@ object Sampling {
       .orderBy(col("priority"), col(keyCol))
       .limit(k)
   }
+
+  /** [[weightedSample]] per stratum — `k` weighted winners within EACH group
+    * (language, source, …): the distributed reservoir of the per-language
+    * rebalancing step. Ranks by the same deterministic priority inside a
+    * per-stratum window; `InferWindowGroupLimit` bounds the shuffle at
+    * k·numPartitions rows per stratum (see [[Curation.capPerKey]]).
+    */
+  def weightedSamplePerStratum(df: DataFrame, keyCol: String, weightCol: String,
+                               stratumCol: String, k: Int,
+                               roundTo: Int = 12): DataFrame = {
+    require(k > 0, s"weightedSamplePerStratum needs k > 0, got $k")
+    val priority = hashUniform(col(keyCol)) / col(weightCol).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col("priority"), col(keyCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("priority", graft.functions.MathFunctions.floorRound(priority, roundTo))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -658,6 +658,24 @@ object TextQueries {
              |  FROM documents WHERE n_chars > 0)
              |ORDER BY priority, doc_id LIMIT 100""".stripMargin)),
 
+    // Per-language weighted reservoir: 10 weighted winners within each lang
+    // (the per-language rebalancing step; same log-free A-ES priority as
+    // q66, ranked inside a per-stratum window with map-side group limits).
+    "q69_weighted_stratified" -> Q(
+      (s, dir) => graft.operators.Sampling.weightedSamplePerStratum(
+          Tables.documents(s, dir).select("doc_id", "lang", "n_chars"),
+          "doc_id", "n_chars", "lang", k = 10)
+        .orderBy("lang", "rank"),
+      Some(s"""WITH p AS (
+             |  SELECT doc_id, lang, n_chars,
+             |    ${frs(graft.operators.Sampling.hashUniformSql("doc_id") + " / CAST(n_chars AS DOUBLE)", 12)} AS priority
+             |  FROM documents WHERE n_chars > 0)
+             |SELECT doc_id, lang, n_chars, priority, rank FROM (
+             |  SELECT doc_id, lang, n_chars, priority,
+             |    row_number() OVER (PARTITION BY lang ORDER BY priority, doc_id) AS rank
+             |  FROM p)
+             |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin)),
+
     // Corpus-trained bigram LM score — the perplexity-style fluency filter
     // (kept in probability space: integer counts + IEEE divisions, so the
     // score value itself is oracle-checked).

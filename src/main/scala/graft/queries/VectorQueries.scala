@@ -304,5 +304,48 @@ object VectorQueries {
            |FROM embeddings, planes
            |ORDER BY vec_id""".stripMargin
       }),
+
+    // "Project once, search many": exact kNN in the 16-dim PROJECTED space —
+    // each pair costs dim/outDim (4×) less than q25's 64-dim search, the JL
+    // payoff. Projected components are floor-rounded, so both engines search
+    // over IDENTICAL doubles and the ranking verifies exactly.
+    "q70_projected_knn" -> Q(
+      (s, dir) => {
+        val proj = AnnIndex.randomProjection(
+          Tables.embeddings(s, dir), "vec_id", "embedding", outDim = 16, dim = 64)
+        val queries = proj.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("proj").as("q_vec"))
+        TopK.knnJoin(queries, "q_id", "q_vec",
+            proj.withColumnRenamed("vec_id", "c_id"), "c_id", "proj", k = 5)
+          .withColumn("rn", col("rn").cast("long"))
+          .select("q_id", "c_id", "score", "rn")
+          .orderBy("q_id", "rn")
+      },
+      Some {
+        val norms = AnnIndex.hyperplanes(16, 64)
+          .map(p => math.sqrt(p.map(x => x * x).sum) * math.sqrt(16.0))
+        val comps = norms.zipWithIndex.map { case (n, j) =>
+          frs(s"list_inner_product(embedding::DOUBLE[], planes.ws[${j + 1}]) / CAST($n AS DOUBLE)", 6)
+        }.mkString(",\n           |    ")
+        s"""WITH planes AS (
+           |  SELECT list(list_transform(generate_series(0, 63), d ->
+           |      CAST(((j*64+d+1)*(j*64+d+1) * 2654435761 + 97*(j*64+d+1) + 12345) % 1000003
+           |        - 501001 AS DOUBLE)) ORDER BY j) AS ws
+           |  FROM (SELECT unnest(generate_series(0, 15)) AS j)),
+           |proj AS (
+           |  SELECT vec_id, list_value(
+           |    $comps) AS pv
+           |  FROM embeddings, planes)
+           |SELECT q_id, c_id, score, rn FROM (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           |    ${frs("list_cosine_similarity(q.pv, c.pv)", 6)} AS score,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY ${frs("list_cosine_similarity(q.pv, c.pv)", 6)} DESC, c.vec_id) AS rn
+           |  FROM proj q JOIN proj c ON c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 10
+           |    AND list_sum(list_transform(q.pv, x -> x*x)) > 0
+           |    AND list_sum(list_transform(c.pv, x -> x*x)) > 0)
+           |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+      }),
   )
 }

@@ -141,6 +141,22 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(sampled > popMean)
   }
 
+  test("weightedSamplePerStratum: k winners per group, consistent with the global sample order") {
+    import graft.operators.Sampling
+    val df = (1L to 120L).map(i => (i, i % 3 match { case 0 => "en"; case 1 => "de"; case _ => "fr" }, i))
+      .toDF("id", "lang", "w")
+    // output columns: id, lang, w, priority, rank
+    val got = Sampling.weightedSamplePerStratum(df, "id", "w", "lang", k = 4)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(4)))
+    assert(got.length === 12)
+    assert(got.groupBy(_._1).forall { case (_, g) => g.map(_._3).sorted.toSeq === Seq(1L, 2L, 3L, 4L) })
+    // the per-stratum winners are exactly the stratum's global-priority heads
+    val allRanked = Sampling.weightedSample(df, "id", "w", k = 120)
+      .collect().map(_.getLong(0))
+    val enHeads = allRanked.filter(_ % 3 == 0).take(4).toSet
+    assert(got.filter(_._1 == "en").map(_._2).toSet === enHeads)
+  }
+
   test("randomProjection: 16 components, linear, zero maps to zero") {
     import graft.operators.AnnIndex
     val v = Array.tabulate(64)(i => (i % 7 - 3).toFloat)
