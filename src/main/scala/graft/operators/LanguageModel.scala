@@ -45,6 +45,9 @@ object LanguageModel {
           i => struct(element_at(col("__t"), i).as("w1"),
                       element_at(col("__t"), i + 1).as("w2")))).as("bg"))
       .select(col("id"), col("bg.w1"), col("bg.w2"))
+      // three consumers (pair counts, context counts, the scoring join) —
+      // without the barrier each re-scans the corpus and re-explodes
+      .cache()
     val pairCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
     val ctxCounts  = bigrams.groupBy("w1").agg(count(lit(1)).as("__c1"))
     bigrams

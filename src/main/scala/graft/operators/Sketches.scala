@@ -4,7 +4,7 @@ import graft.functions.MathFunctions.floorRound
 import graft.functions.TextFunctions.shingleHashesPoly
 import graft.functions.expressions.PolyHash
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Distinct-count sketching via K-Minimum-Values (Bar-Yossef et al.,
   * "Counting distinct elements in a data stream", RANDOM 2002): with hashes
@@ -51,5 +51,46 @@ object Sketches {
             abs(lit((k - 1).toDouble) * PolyHash.P / col("h_k") - col("exact_distinct")) /
               col("exact_distinct"), 4))
           .as("rel_err"))
+  }
+
+  /** Count–min sketch (Cormode & Muthukrishnan, "An improved data stream
+    * summary: the count-min sketch and its applications", J. Algorithms 2005)
+    * over corpus tokens, with the estimate AUDITED against exact counts for
+    * the top-`topK` tokens: output (w, n, est, overcount) where
+    * `est = min over depth rows of counter[row][bucket_row(hash(w))]` and
+    * `overcount = est − n >= 0` (CMS never underestimates).
+    *
+    * The whole sketch is modular integer arithmetic over the [[PolyHash]]
+    * affine family, so the DuckDB oracle rebuilds the counter table and
+    * reproduces the ESTIMATES exactly — the sketch is verified, not just
+    * bounded. Plan shape: the counter table is a (depth·width)-row groupBy
+    * with map-side partial combine (shuffle bounded by depth·width, never
+    * the corpus); the audit joins only topK·depth slim rows.
+    */
+  def countMinTokens(df: DataFrame, textCol: String,
+                     depth: Int = 4, width: Int = 1024, topK: Int = 20): DataFrame = {
+    require(depth >= 1 && width >= 2, s"need depth >= 1 and width >= 2, got $depth/$width")
+    import graft.functions.TextFunctions.shingleHashesPoly
+    val toks = df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("h", element_at(shingleHashesPoly(col("w"), 1), 1))
+      .cache() // two consumers: the counter build and the exact heavy hitters
+    def bucket(j: Int, h: Column): Column =
+      ((lit(PolyHash.a(j)) * h + lit(PolyHash.b(j))) % lit(PolyHash.P)) % lit(width.toLong)
+    val counters = toks
+      .select(explode(array((0 until depth).map(j =>
+        struct(lit(j).as("j"), bucket(j, col("h")).as("bucket"))): _*)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val heavy = toks.groupBy("w", "h").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("w")).limit(topK)
+    heavy
+      .select(col("w"), col("h"), col("n"), explode(array((0 until depth).map(j =>
+        struct(lit(j).as("j"), bucket(j, col("h")).as("bucket"))): _*)).as("jb"))
+      .join(counters, col("jb.j") === counters("j") && col("jb.bucket") === counters("bucket"))
+      .groupBy("w", "n").agg(min("cnt").as("est"))
+      .select(col("w"), col("n"), col("est"), (col("est") - col("n")).as("overcount"))
+      .orderBy(desc("n"), col("w"))
   }
 }

@@ -299,5 +299,84 @@ object RelationalQueries {
       Some(s"""SELECT coalesce(l_returnflag,'ALL') AS returnflag, coalesce(l_linestatus,'ALL') AS linestatus,
              |  ${frs(revenueSql, 2)} AS revenue, count(*) AS n
              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY 1,2""".stripMargin)),
+
+    // FULL OUTER join with genuinely exclusive rows on BOTH sides (disjoint
+    // modulus filters) — the join type q04/q05's semi/anti and the star
+    // joins don't cover. Nullable columns ride through the compare (q58's
+    // lag nulls are precedent); the key is coalesced explicitly.
+    "q73_full_outer" -> Q(
+      (s, dir) => {
+        val c = Tables.customer(s, dir).filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey").as("ckey"), col("c_acctbal"))
+        val o = Tables.orders(s, dir).filter(col("o_custkey") % 5 === 0)
+          .groupBy(col("o_custkey").as("okey"))
+          .agg(count(lit(1)).as("n_orders"), fr(sum("o_totalprice"), 2).as("order_total"))
+        c.join(o, col("ckey") === col("okey"), "full_outer")
+          .select(
+            coalesce(col("ckey"), col("okey")).as("custkey"),
+            when(col("ckey").isNotNull && col("okey").isNotNull, "both")
+              .when(col("ckey").isNotNull, "customer_only")
+              .otherwise("orders_only").as("side"),
+            col("c_acctbal").as("acctbal"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            col("order_total"))
+          .orderBy("custkey")
+      },
+      Some(s"""WITH c AS (
+             |  SELECT c_custkey AS ckey, c_acctbal FROM customer WHERE c_custkey % 7 = 0),
+             |o AS (
+             |  SELECT o_custkey AS okey, count(*) AS n_orders,
+             |    ${frs("sum(o_totalprice)", 2)} AS order_total
+             |  FROM orders WHERE o_custkey % 5 = 0 GROUP BY 1)
+             |SELECT coalesce(ckey, okey) AS custkey,
+             |  CASE WHEN ckey IS NOT NULL AND okey IS NOT NULL THEN 'both'
+             |       WHEN ckey IS NOT NULL THEN 'customer_only'
+             |       ELSE 'orders_only' END AS side,
+             |  c_acctbal AS acctbal, coalesce(n_orders, 0) AS n_orders, order_total
+             |FROM c FULL JOIN o ON c.ckey = o.okey
+             |ORDER BY custkey""".stripMargin)),
+
+    // GROUPING SETS that are neither a rollup prefix chain nor a full cube
+    // ((flag,status), (status), ()) — the general form q09/q34 specialize.
+    "q74_grouping_sets" -> Q(
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupingSets(
+            Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+                Seq(col("l_linestatus")),
+                Seq()),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(fr(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+            col("sum_qty"), col("n"))
+          .orderBy("returnflag", "linestatus")
+      },
+      Some(s"""SELECT coalesce(l_returnflag,'ALL') AS returnflag, coalesce(l_linestatus,'ALL') AS linestatus,
+             |  ${frs("sum(l_quantity)", 2)} AS sum_qty, count(*) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+             |ORDER BY 1,2""".stripMargin)),
+
+    // Column profiling (ingestion data-quality summary): one pass, all
+    // per-column aggregates in a single Expand+aggregate, unpivoted to one
+    // row per column.
+    "q75_profile" -> Q(
+      (s, dir) => graft.operators.Profile.profile(
+        Tables.orders(s, dir),
+        Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority")),
+      Some {
+        def one(c: String, numeric: Boolean): String = {
+          val mn = if (numeric) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+          val mx = if (numeric) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+             |  $mn AS min_v, $mx AS max_v FROM orders""".stripMargin
+        }
+        Seq(one("o_orderkey", true), one("o_custkey", true), one("o_totalprice", true),
+            one("o_orderstatus", false), one("o_orderpriority", false))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      }),
   )
 }

@@ -676,6 +676,52 @@ object TextQueries {
              |  FROM p)
              |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin)),
 
+    // Corpus vocabulary heavy hitters: top-20 tokens by frequency. Partial
+    // (map-side) aggregation bounds the shuffle at the distinct-token count
+    // per partition; TakeOrderedAndProject merges P·20 slim rows — the
+    // exact-counting shape that replaces a Misra–Gries sketch when the
+    // domain (a vocabulary) is shuffle-safe.
+    "q71_heavy_hitters" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("w")).limit(20),
+      Some("""SELECT w, n FROM (
+             |  SELECT w, count(*) AS n FROM (
+             |    SELECT unnest(string_split(text,' ')) AS w FROM documents)
+             |  GROUP BY w)
+             |ORDER BY n DESC, w LIMIT 20""".stripMargin)),
+
+    // Count–min sketch over corpus tokens, audited against exact counts for
+    // the 20 heavy hitters — like q64's KMV, the sketch ESTIMATES themselves
+    // are oracle-checked (pure modular arithmetic in the PolyHash family).
+    "q72_count_min" -> Q(
+      (s, dir) => graft.operators.Sketches.countMinTokens(
+        Tables.documents(s, dir), "text", depth = 4, width = 1024, topK = 20),
+      Some(s"""WITH tok AS (
+             |  SELECT unnest(string_split(text,' ')) AS w FROM documents),
+             |th AS (
+             |  SELECT w,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(w)),
+             |        i -> CAST(ascii(substr(w, CAST(i AS INTEGER), 1)) AS BIGINT))),
+             |      (acc, x) -> (acc * 31 + x) % $HP) AS h
+             |  FROM tok WHERE w <> ''),
+             |js AS (SELECT unnest(generate_series(0, 3)) AS j),
+             |cms AS (
+             |  SELECT j, (${affineSql("h", "j")}) % 1024 AS bucket, count(*) AS cnt
+             |  FROM th, js GROUP BY 1, 2),
+             |hh AS (
+             |  SELECT w, h, count(*) AS n FROM th GROUP BY 1, 2
+             |  ORDER BY n DESC, w LIMIT 20)
+             |SELECT w, n, est, est - n AS overcount FROM (
+             |  SELECT hh.w, hh.n, min(cms.cnt) AS est
+             |  FROM hh JOIN js ON true
+             |       JOIN cms ON cms.j = js.j
+             |        AND cms.bucket = (${affineSql("hh.h", "js.j")}) % 1024
+             |  GROUP BY 1, 2)
+             |ORDER BY n DESC, w""".stripMargin)),
+
     // Corpus-trained bigram LM score — the perplexity-style fluency filter
     // (kept in probability space: integer counts + IEEE divisions, so the
     // score value itself is oracle-checked).

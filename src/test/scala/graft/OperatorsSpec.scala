@@ -181,6 +181,22 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(got(2L) === ((1L, 0.333333)))
   }
 
+  test("countMinTokens: never underestimates; a tiny width forces real overcounts") {
+    import graft.operators.Sketches
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c a a b")).toDF("doc_id", "text")
+    // width=2 crams 8 distinct tokens into 2 buckets per row — collisions
+    // are forced, so est > n must actually occur (and est >= n always)
+    val rows = Sketches.countMinTokens(docs, "text", depth = 2, width = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, n, est, over) => est >= n && over === est - n })
+    assert(rows.exists(_._4 > 0), "width=2 over 8 tokens must collide somewhere")
+    // generous width: every estimate exact
+    val wide = Sketches.countMinTokens(docs, "text", depth = 4, width = 4096, topK = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(wide.forall { case (n, est) => est === n })
+  }
+
   test("piiScrub redacts emails, IPs, phone runs in rule order") {
     import graft.operators.Cleaning
     val d = Seq(
