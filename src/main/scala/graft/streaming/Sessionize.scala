@@ -3,11 +3,10 @@ package graft.streaming
 import graft.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import java.sql.Timestamp
-import java.util.concurrent.atomic.AtomicInteger
 
 final case class SessionEvent(user_id: Long, ts: Timestamp, event_id: Long)
 
@@ -34,7 +33,6 @@ final case class SessionOut(user_id: Long, sess_id: Long, n_events: Long,
   * O(users) state, the batch form is stateless.
   */
 object Sessionize {
-  private val counter = new AtomicInteger(0)
   private val fmt     = "yyyy-MM-dd HH:mm:ss"
 
   def batch(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
@@ -147,18 +145,10 @@ object Sessionize {
           }
         })
 
-    val name = s"graft_sessions_${counter.incrementAndGet()}"
-    val q = sessions.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
     // reconciliation: a session emitted in k batches has k versions with
     // strictly growing n_events — keep the latest (struct max orders by
     // n_events first; start is fixed and end grows with the count)
-    spark.table(name)
+    StreamingAgg.drain(sessions.toDF(), "graft_sessions", "append")
       .groupBy("user_id", "sess_id")
       .agg(max(struct(col("n_events"), col("session_start"), col("session_end"))).as("__s"))
       .select(col("user_id"), col("sess_id"), col("__s.n_events").as("n_events"),
@@ -181,14 +171,6 @@ object Sessionize {
       .groupBy(window(col("o_orderdate"), "30 days", "15 days"))
       .agg(count(lit(1)).as("n"))
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("win_start"), col("n"))
-    val name = s"graft_wincounts_${counter.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name).orderBy("win_start")
+    StreamingAgg.drain(agg, "graft_wincounts", "append").orderBy("win_start")
   }
 }
