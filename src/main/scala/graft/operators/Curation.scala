@@ -65,4 +65,24 @@ object Curation {
     df.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= n)
   }
+
+  /** Per-group winsorization: clip `valueCol` to its group's
+    * [pLo, pHi] exact percentile band — the outlier-clipping step before
+    * length/score statistics feed a sampler. The band edges are
+    * floor-rounded BEFORE clipping so the clip thresholds (and hence the
+    * clipped values) are engine-stable and oracle-checkable.
+    *
+    * Plan shape: one exact-percentile aggregate per group (small result,
+    * broadcast back onto the stream) + a map-only clip — the corpus shuffles
+    * only into the percentile aggregate.
+    */
+  def winsorize(df: DataFrame, valueCol: String, groupCol: String,
+                pLo: Double, pHi: Double, roundTo: Int = 4): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, s"need 0 <= pLo < pHi <= 1, got $pLo/$pHi")
+    val stats = df.groupBy(groupCol).agg(
+      floorRound(percentile(col(valueCol), lit(pLo)), roundTo).as("lo"),
+      floorRound(percentile(col(valueCol), lit(pHi)), roundTo).as("hi"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn("clipped", least(greatest(col(valueCol).cast("double"), col("lo")), col("hi")))
+  }
 }

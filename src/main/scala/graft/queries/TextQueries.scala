@@ -722,6 +722,25 @@ object TextQueries {
              |  GROUP BY 1, 2)
              |ORDER BY n DESC, w""".stripMargin)),
 
+    // Per-language winsorization of document lengths (outlier clipping
+    // before length stats feed a sampler): clip n_chars to the language's
+    // exact [p05, p95] band; band edges rounded first so both engines clip
+    // at identical thresholds.
+    "q77_winsorize" -> Q(
+      (s, dir) => graft.operators.Curation.winsorize(
+          Tables.documents(s, dir).select("doc_id", "lang", "n_chars"),
+          "n_chars", "lang", pLo = 0.05, pHi = 0.95)
+        .select("doc_id", "lang", "n_chars", "lo", "hi", "clipped")
+        .orderBy("doc_id"),
+      Some(s"""WITH s AS (
+             |  SELECT lang,
+             |    ${frs("quantile_cont(n_chars, 0.05)", 4)} AS lo,
+             |    ${frs("quantile_cont(n_chars, 0.95)", 4)} AS hi
+             |  FROM documents GROUP BY lang)
+             |SELECT doc_id, lang, n_chars, lo, hi,
+             |  least(greatest(CAST(n_chars AS DOUBLE), lo), hi) AS clipped
+             |FROM documents JOIN s USING (lang) ORDER BY doc_id""".stripMargin)),
+
     // Corpus-trained bigram LM score — the perplexity-style fluency filter
     // (kept in probability space: integer counts + IEEE divisions, so the
     // score value itself is oracle-checked).

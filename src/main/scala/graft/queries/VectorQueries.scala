@@ -15,6 +15,35 @@ import scala.collection.immutable.ListMap
   */
 object VectorQueries {
 
+  /** Shared oracle CTE chain for the hyperplane-LSH ANN (q27, q76): corpus →
+    * auto-sized nbits (params) → integer-hash planes → sign-pattern buckets →
+    * hamming-≤1 candidate pairs for queries vec_id < 10. Mirrors
+    * [[AnnIndex.annTopK]] with multiprobe.
+    */
+  private val annLshCtes: String =
+    """WITH params AS (
+      |  SELECT greatest(4, coalesce((
+      |    SELECT min(b) FROM (SELECT unnest(generate_series(0, 20)) AS b) bs
+      |    WHERE (CAST(128 AS BIGINT) << CAST(b AS INTEGER)) >= (SELECT count(*) FROM embeddings)), 20)) AS nbits),
+      |planes AS (
+      |  SELECT list(list_transform(generate_series(0, 63), d ->
+      |      CAST(((j*64+d+1)*(j*64+d+1) * 2654435761 + 97*(j*64+d+1) + 12345) % 1000003
+      |        - 501001 AS DOUBLE)) ORDER BY j) AS ws
+      |  FROM (SELECT unnest(generate_series(0, (SELECT nbits FROM params) - 1)) AS j)),
+      |buck AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    list_sum(list_transform(generate_series(1, params.nbits),
+      |      j -> CASE WHEN list_inner_product(embedding::DOUBLE[], planes.ws[j]) >= CAST(0.0 AS DOUBLE)
+      |           THEN (CAST(1 AS BIGINT) << (j-1)) ELSE CAST(0 AS BIGINT) END)) AS bucket
+      |  FROM embeddings, planes, params),
+      |cand AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.v AS qv, c.v AS cv
+      |  FROM buck q JOIN buck c
+      |    ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 10
+      |    AND list_sum(list_transform(q.v, x -> x*x)) > 0
+      |    AND list_sum(list_transform(c.v, x -> x*x)) > 0)""".stripMargin
+
   def all: ListMap[String, Q] = ListMap(
     "q23_centroids" -> Q(
       (s, dir) => {
@@ -103,28 +132,7 @@ object VectorQueries {
           emb.select(col("vec_id").as("c_id"), col("embedding")), "c_id", "embedding",
           k = 3, nbits = nbits, dim = 64)
       },
-      Some(s"""WITH params AS (
-             |  SELECT greatest(4, coalesce((
-             |    SELECT min(b) FROM (SELECT unnest(generate_series(0, 20)) AS b) bs
-             |    WHERE (CAST(128 AS BIGINT) << CAST(b AS INTEGER)) >= (SELECT count(*) FROM embeddings)), 20)) AS nbits),
-             |planes AS (
-             |  SELECT list(list_transform(generate_series(0, 63), d ->
-             |      CAST(((j*64+d+1)*(j*64+d+1) * 2654435761 + 97*(j*64+d+1) + 12345) % 1000003
-             |        - 501001 AS DOUBLE)) ORDER BY j) AS ws
-             |  FROM (SELECT unnest(generate_series(0, (SELECT nbits FROM params) - 1)) AS j)),
-             |buck AS (
-             |  SELECT vec_id, embedding::DOUBLE[] AS v,
-             |    list_sum(list_transform(generate_series(1, params.nbits),
-             |      j -> CASE WHEN list_inner_product(embedding::DOUBLE[], planes.ws[j]) >= CAST(0.0 AS DOUBLE)
-             |           THEN (CAST(1 AS BIGINT) << (j-1)) ELSE CAST(0 AS BIGINT) END)) AS bucket
-             |  FROM embeddings, planes, params),
-             |cand AS (
-             |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.v AS qv, c.v AS cv
-             |  FROM buck q JOIN buck c
-             |    ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id <> c.vec_id
-             |  WHERE q.vec_id < 10
-             |    AND list_sum(list_transform(q.v, x -> x*x)) > 0
-             |    AND list_sum(list_transform(c.v, x -> x*x)) > 0)
+      Some(s"""$annLshCtes
              |SELECT q_id, c_id, score, rn FROM (
              |  SELECT q_id, c_id, ${frs("list_cosine_similarity(qv, cv)", 6)} AS score,
              |    row_number() OVER (PARTITION BY q_id
@@ -347,5 +355,55 @@ object VectorQueries {
            |    AND list_sum(list_transform(c.pv, x -> x*x)) > 0)
            |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
       }),
+
+    // ANN index-quality report: recall@3 of the LSH index against the exact
+    // top-3, per query — the evaluation every production ANN deployment
+    // ships with. Both sides are oracle-checked queries themselves, so the
+    // RECALL NUMBER is oracle-checked too.
+    "q76_ann_recall" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val nbits = AnnIndex.autoNbits(emb.count())
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val ann = AnnIndex.annTopK(queries, "q_id", "q_vec",
+            emb.select(col("vec_id").as("c_id"), col("embedding")), "c_id", "embedding",
+            k = 3, nbits = nbits, dim = 64)
+          .select(col("q_id"), col("c_id"), lit(1).as("__hit"))
+        val exact = TopK.knnJoin(queries, "q_id", "q_vec",
+            emb.withColumnRenamed("vec_id", "c_id"), "c_id", "embedding", k = 3)
+          .select("q_id", "c_id")
+        exact.join(ann, Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"),
+            fr(sum(coalesce(col("__hit"), lit(0))).cast("double") / lit(3.0), 4).as("recall"))
+          .orderBy("q_id")
+      },
+      Some(s"""$annLshCtes,
+             |ann AS (
+             |  SELECT q_id, c_id FROM (
+             |    SELECT q_id, c_id,
+             |      row_number() OVER (PARTITION BY q_id
+             |        ORDER BY ${frs("list_cosine_similarity(qv, cv)", 6)} DESC, c_id) AS rn
+             |    FROM cand)
+             |  WHERE rn <= 3),
+             |exact AS (
+             |  SELECT q_id, c_id FROM (
+             |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY ${frs("list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])", 6)} DESC, c.vec_id) AS rn
+             |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             |    WHERE q.vec_id < 10
+             |      AND list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)) > 0
+             |      AND list_sum(list_transform(c.embedding::DOUBLE[], x -> x*x)) > 0)
+             |  WHERE rn <= 3)
+             |SELECT q_id, count(*) AS n_exact,
+             |  CAST(sum(hit) AS BIGINT) AS n_hit,
+             |  ${frs("CAST(sum(hit) AS DOUBLE) / CAST(3.0 AS DOUBLE)", 4)} AS recall
+             |FROM (
+             |  SELECT e.q_id, CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+             |  FROM exact e LEFT JOIN ann a ON a.q_id = e.q_id AND a.c_id = e.c_id)
+             |GROUP BY q_id ORDER BY q_id""".stripMargin)),
   )
 }
