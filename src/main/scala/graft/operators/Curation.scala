@@ -60,6 +60,8 @@ object Curation {
     */
   def capPerKey(df: DataFrame, keyCol: String, orderCols: Seq[Column], n: Int): DataFrame = {
     require(n > 0, s"capPerKey needs n > 0, got $n")
+    require(!df.columns.contains("rank"),
+      "capPerKey emits a 'rank' column; rename or drop the input's existing 'rank' first")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(orderCols: _*)
     df.withColumn("rank", row_number().over(w).cast("long"))
@@ -79,6 +81,8 @@ object Curation {
   def winsorize(df: DataFrame, valueCol: String, groupCol: String,
                 pLo: Double, pHi: Double, roundTo: Int = 4): DataFrame = {
     require(0 <= pLo && pLo < pHi && pHi <= 1, s"need 0 <= pLo < pHi <= 1, got $pLo/$pHi")
+    Seq("lo", "hi", "clipped").foreach(c => require(!df.columns.contains(c),
+      s"winsorize emits a '$c' column; rename or drop the input's existing '$c' first"))
     val stats = df.groupBy(groupCol).agg(
       floorRound(percentile(col(valueCol), lit(pLo)), roundTo).as("lo"),
       floorRound(percentile(col(valueCol), lit(pHi)), roundTo).as("hi"))

@@ -216,12 +216,14 @@ object Dedup {
       iter += 1
     }
     // Min-label propagation needs ~diameter rounds; exiting via maxIter means
-    // some component still carries PARTIALLY propagated labels — loudly
-    // visible, not a silently-wrong result (ADVICE r3).
+    // the LAST iteration still improved a label, so convergence was never
+    // confirmed (the final round may or may not have been the last one
+    // needed) — loudly visible, not a silently-wrong result (ADVICE r3).
     if (!converged)
       org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup").warn(
-        s"clusters() hit maxIter=$maxIter before converging — returned labels " +
-          "are partially propagated; raise maxIter above the pair-graph diameter")
+        s"clusters() hit maxIter=$maxIter with labels still changing — " +
+          "convergence unconfirmed, components may carry partially propagated " +
+          "labels; raise maxIter above the pair-graph diameter")
     labels
   }
 

@@ -81,11 +81,18 @@ object Sampling {
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String, k: Int,
                      roundTo: Int = 12): DataFrame = {
     require(k > 0, s"weightedSample needs k > 0, got $k")
+    withPriority(df, keyCol, weightCol, roundTo)
+      .orderBy(col("priority"), col(keyCol))
+      .limit(k)
+  }
+
+  private def withPriority(df: DataFrame, keyCol: String, weightCol: String,
+                           roundTo: Int): DataFrame = {
+    require(!df.columns.contains("priority"),
+      "weighted sampling emits a 'priority' column; rename or drop the input's existing 'priority' first")
     val priority = hashUniform(col(keyCol)) / col(weightCol).cast("double")
     df.filter(col(weightCol) > 0) // zero/negative weight = never sampled
       .withColumn("priority", graft.functions.MathFunctions.floorRound(priority, roundTo))
-      .orderBy(col("priority"), col(keyCol))
-      .limit(k)
   }
 
   /** [[weightedSample]] per stratum — `k` weighted winners within EACH group
@@ -96,14 +103,10 @@ object Sampling {
     */
   def weightedSamplePerStratum(df: DataFrame, keyCol: String, weightCol: String,
                                stratumCol: String, k: Int,
-                               roundTo: Int = 12): DataFrame = {
-    require(k > 0, s"weightedSamplePerStratum needs k > 0, got $k")
-    val priority = hashUniform(col(keyCol)) / col(weightCol).cast("double")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol)).orderBy(col("priority"), col(keyCol))
-    df.filter(col(weightCol) > 0)
-      .withColumn("priority", graft.functions.MathFunctions.floorRound(priority, roundTo))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-  }
+                               roundTo: Int = 12): DataFrame =
+    // same priority column, ranked per stratum — the rank-cap idiom lives in
+    // ONE place (capPerKey), so any future window-limit workaround applies
+    // to both operators
+    Curation.capPerKey(withPriority(df, keyCol, weightCol, roundTo),
+      stratumCol, Seq(col("priority"), col(keyCol)), k)
 }

@@ -70,7 +70,6 @@ object Sketches {
   def countMinTokens(df: DataFrame, textCol: String,
                      depth: Int = 4, width: Int = 1024, topK: Int = 20): DataFrame = {
     require(depth >= 1 && width >= 2, s"need depth >= 1 and width >= 2, got $depth/$width")
-    import graft.functions.TextFunctions.shingleHashesPoly
     val toks = df
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")

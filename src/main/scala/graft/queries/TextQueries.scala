@@ -632,8 +632,9 @@ object TextQueries {
              |FROM s ORDER BY doc_id""".stripMargin)),
 
     // Per-domain cap: at most 15 docs per source, longest first — the
-    // web-corpus balancing step. Spark side is the salted two-phase rank
-    // (skew-proof); the oracle is the plain window it must equal.
+    // web-corpus balancing step. Spark side is a plain rank window that
+    // Catalyst's InferWindowGroupLimit pre-reduces map-side (see
+    // Curation.capPerKey + ScaleSpec); the oracle is the same window.
     "q65_domain_cap" -> Q(
       (s, dir) => graft.operators.Curation.capPerKey(
           Tables.documents(s, dir).select("doc_id", "source", "n_chars"),

@@ -38,21 +38,28 @@ object StreamingAgg {
     * real deployment with billions of keys raises it; the setting is
     * per-query (restored after the drain), so batch plans are untouched.
     */
+  // serializes the set→start→drain→restore window below: interleaved drains
+  // would otherwise read each other's overridden value as the "default" and
+  // leave the session conf permanently clobbered
+  private val drainLock = new Object
+
   private[streaming] def drain(df: DataFrame, prefix: String, mode: String,
                                statePartitions: Int = 8): DataFrame = {
     val spark = df.sparkSession
     val name = s"${prefix}_${counter.incrementAndGet()}"
-    val before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
-    try {
-      val q = df.writeStream
-        .outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    drainLock.synchronized {
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+      try {
+        val q = df.writeStream
+          .outputMode(mode)
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
     df.sparkSession.table(name)
   }
 

@@ -110,19 +110,20 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(row.getAs[Double]("rel_err") === 0.0)
   }
 
-  test("capPerKey: salted two-phase rank equals the naive per-key window") {
+  test("capPerKey: equals a driver-side reference top-n per key (skewed input)") {
     import graft.operators.Curation
-    import org.apache.spark.sql.expressions.Window
     // skewed: key "hot" has 60 of 70 rows; spread over 7 input partitions so
-    // the salted phase-1 genuinely runs per (partition, key)
+    // the map-side WindowGroupLimit genuinely runs per (partition, key).
+    // The expected set is computed in PLAIN SCALA (not another Spark window,
+    // which would share the implementation under test).
     val rows = (1L to 60L).map(i => ("hot", i, i % 13)) ++ (61L to 70L).map(i => ("cold", i, i % 7))
     val df = rows.toDF("k", "id", "v").repartition(7)
     val got = Curation.capPerKey(df, "k", Seq(col("v").desc, col("id")), n = 5)
       .select("k", "id", "rank").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    val want = df.withColumn("rank",
-        row_number().over(Window.partitionBy(col("k")).orderBy(col("v").desc, col("id"))).cast("long"))
-      .filter(col("rank") <= 5)
-      .select("k", "id", "rank").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = rows.groupBy(_._1).flatMap { case (_, g) =>
+      g.sortBy { case (_, id, v) => (-v, id) }.take(5)
+        .zipWithIndex.map { case ((k, id, _), i) => (k, id, (i + 1).toLong) }
+    }.toSet
     assert(got === want)
     assert(got.count(_._1 == "hot") === 5 && got.count(_._1 == "cold") === 5)
   }
@@ -179,6 +180,37 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(got.keySet === Set(1L, 2L))
     assert(got(1L) === ((3L, 0.777778)))
     assert(got(2L) === ((1L, 0.333333)))
+  }
+
+  test("winsorize: clips into the band, preserves rows, in-band values untouched") {
+    import graft.operators.Curation
+    val rows = (1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b", i * i % 97 + (if (i == 50) 10000L else 0L)))
+    val df = rows.toDF("id", "g", "v")
+    // join on the group col reorders to (g, id, v, lo, hi, clipped)
+    val got = Curation.winsorize(df, "v", "g", 0.1, 0.9)
+      .select("id", "v", "lo", "hi", "clipped")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.length === rows.length)  // clipping never drops rows
+    got.foreach { case (_, v, lo, hi, clipped) =>
+      assert(lo <= hi)
+      assert(clipped >= lo && clipped <= hi)
+      if (v >= lo && v <= hi) assert(clipped === v.toDouble) // in-band untouched
+    }
+    // the planted outlier (id=50, ~10000) actually got clipped down
+    val out = got.find(_._1 === 50L).get
+    assert(out._2 > out._4 && out._5 === out._4)
+  }
+
+  test("profile: counts match hand computation, non-numeric min/max are null") {
+    import graft.operators.Profile
+    val df = Seq((1L, Some("x"), 2.0), (2L, None, 4.0), (3L, Some("x"), 4.0), (4L, Some("y"), 8.0))
+      .toDF("id", "s", "d")
+    val got = Profile.profile(df, Seq("id", "s", "d"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(got("id") === ((4L, 0L, 4L, Some(1.0), Some(4.0))))
+    assert(got("s")  === ((4L, 1L, 2L, None, None))) // distinct ignores the null
+    assert(got("d")  === ((4L, 0L, 3L, Some(2.0), Some(8.0))))
   }
 
   test("countMinTokens: never underestimates; a tiny width forces real overcounts") {
