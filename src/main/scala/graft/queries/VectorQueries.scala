@@ -44,6 +44,38 @@ object VectorQueries {
       |    AND list_sum(list_transform(q.v, x -> x*x)) > 0
       |    AND list_sum(list_transform(c.v, x -> x*x)) > 0)""".stripMargin
 
+  /** Shared oracle CTE chain for the IVF ANN (q40, q78): 16 lowest-id coarse
+    * centroids → nearest-cell assignment (argmin |c|²−2·v·c, tie by cell id)
+    * → 4-cell probes for queries vec_id < 10 → candidate pairs. Mirrors
+    * [[AnnIndex.ivfTopK]] with nlist=16, nprobe=4.
+    */
+  private val annIvfCtes: String =
+    """WITH cents AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+      |    embedding::DOUBLE[] AS cv,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(embedding::DOUBLE[], x -> x*x)), (a, x) -> a + x) AS c2
+      |  FROM embeddings ORDER BY vec_id LIMIT 16),
+      |assign AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.ci AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(e.embedding::DOUBLE[], c.cv), c.ci) AS rn
+      |    FROM embeddings e CROSS JOIN cents c)
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS q_id, v AS qv, cell FROM (
+      |    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.ci AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(e.embedding::DOUBLE[], c.cv), c.ci) AS rn
+      |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10)
+      |  WHERE rn <= 4),
+      |cand AS (
+      |  SELECT p.q_id, a.vec_id AS c_id, p.qv, a.v AS cv
+      |  FROM probes p JOIN assign a ON p.cell = a.cell AND p.q_id <> a.vec_id
+      |  WHERE list_sum(list_transform(p.qv, x -> x*x)) > 0
+      |    AND list_sum(list_transform(a.v, x -> x*x)) > 0)""".stripMargin
+
   def all: ListMap[String, Q] = ListMap(
     "q23_centroids" -> Q(
       (s, dir) => {
@@ -218,31 +250,7 @@ object VectorQueries {
           emb.select(col("vec_id").as("c_id"), col("embedding")), "c_id", "embedding",
           k = 3, nlist = 16, nprobe = 4)
       },
-      Some(s"""WITH cents AS (
-             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
-             |    embedding::DOUBLE[] AS cv,
-             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             |      list_transform(embedding::DOUBLE[], x -> x*x)), (a, x) -> a + x) AS c2
-             |  FROM embeddings ORDER BY vec_id LIMIT 16),
-             |assign AS (
-             |  SELECT vec_id, v, cell FROM (
-             |    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.ci AS cell,
-             |      row_number() OVER (PARTITION BY e.vec_id
-             |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(e.embedding::DOUBLE[], c.cv), c.ci) AS rn
-             |    FROM embeddings e CROSS JOIN cents c)
-             |  WHERE rn = 1),
-             |probes AS (
-             |  SELECT vec_id AS q_id, v AS qv, cell FROM (
-             |    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.ci AS cell,
-             |      row_number() OVER (PARTITION BY e.vec_id
-             |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(e.embedding::DOUBLE[], c.cv), c.ci) AS rn
-             |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10)
-             |  WHERE rn <= 4),
-             |cand AS (
-             |  SELECT p.q_id, a.vec_id AS c_id, p.qv, a.v AS cv
-             |  FROM probes p JOIN assign a ON p.cell = a.cell AND p.q_id <> a.vec_id
-             |  WHERE list_sum(list_transform(p.qv, x -> x*x)) > 0
-             |    AND list_sum(list_transform(a.v, x -> x*x)) > 0)
+      Some(s"""$annIvfCtes
              |SELECT q_id, c_id, score, rn FROM (
              |  SELECT q_id, c_id, ${frs("list_cosine_similarity(qv, cv)", 6)} AS score,
              |    row_number() OVER (PARTITION BY q_id
@@ -381,6 +389,53 @@ object VectorQueries {
           .orderBy("q_id")
       },
       Some(s"""$annLshCtes,
+             |ann AS (
+             |  SELECT q_id, c_id FROM (
+             |    SELECT q_id, c_id,
+             |      row_number() OVER (PARTITION BY q_id
+             |        ORDER BY ${frs("list_cosine_similarity(qv, cv)", 6)} DESC, c_id) AS rn
+             |    FROM cand)
+             |  WHERE rn <= 3),
+             |exact AS (
+             |  SELECT q_id, c_id FROM (
+             |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY ${frs("list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])", 6)} DESC, c.vec_id) AS rn
+             |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             |    WHERE q.vec_id < 10
+             |      AND list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)) > 0
+             |      AND list_sum(list_transform(c.embedding::DOUBLE[], x -> x*x)) > 0)
+             |  WHERE rn <= 3)
+             |SELECT q_id, count(*) AS n_exact,
+             |  CAST(sum(hit) AS BIGINT) AS n_hit,
+             |  ${frs("CAST(sum(hit) AS DOUBLE) / CAST(3.0 AS DOUBLE)", 4)} AS recall
+             |FROM (
+             |  SELECT e.q_id, CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+             |  FROM exact e LEFT JOIN ann a ON a.q_id = e.q_id AND a.c_id = e.c_id)
+             |GROUP BY q_id ORDER BY q_id""".stripMargin)),
+
+    // Same recall audit for the IVF index (nlist=16, nprobe=4) — lets a user
+    // compare the two ANN structures' recall/cost on their own corpus.
+    "q78_ivf_recall" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val ivf = AnnIndex.ivfTopK(queries, "q_id", "q_vec",
+            emb.select(col("vec_id").as("c_id"), col("embedding")), "c_id", "embedding",
+            k = 3, nlist = 16, nprobe = 4)
+          .select(col("q_id"), col("c_id"), lit(1).as("__hit"))
+        val exact = TopK.knnJoin(queries, "q_id", "q_vec",
+            emb.withColumnRenamed("vec_id", "c_id"), "c_id", "embedding", k = 3)
+          .select("q_id", "c_id")
+        exact.join(ivf, Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"),
+            fr(sum(coalesce(col("__hit"), lit(0))).cast("double") / lit(3.0), 4).as("recall"))
+          .orderBy("q_id")
+      },
+      Some(s"""$annIvfCtes,
              |ann AS (
              |  SELECT q_id, c_id FROM (
              |    SELECT q_id, c_id,
