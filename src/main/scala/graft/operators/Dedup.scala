@@ -247,4 +247,38 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
   }
+
+  /** Corpus-level similarity matrix: n-gram Jaccard between the distinct
+    * shingle SETS of every pair of groups (sources, languages, snapshots) —
+    * the cross-corpus overlap report that decides whether two crawl
+    * snapshots, data vendors, or pipeline branches are near-copies before
+    * any training mix is weighted.
+    *
+    * Scale shape: shingling is map-only; the distinct (group, shingle) set is
+    * one hash shuffle bounded by distinct-shingle cardinality, and the pair
+    * intersection is an equi-join on the shingle key (co-partitioned with
+    * that shuffle) — never a doc×doc or group×group-materialized comparison.
+    * Output is G·(G−1)/2 rows for G groups.
+    */
+  def corpusSimilarity(df: DataFrame, textCol: String, groupCol: String,
+                       shingleSize: Int, roundTo: Int = 6): DataFrame = {
+    val ss = df
+      .select(col(groupCol).as("__g"), explode(shingleHashesPoly(col(textCol), shingleSize)).as("__sh"))
+      .distinct()
+      .cache() // three consumers: group sizes + both sides of the pair join
+    val sz = ss.groupBy("__g").agg(count(lit(1)).as("__n"))
+    val ix = ss.select(col("__g").as("source_a"), col("__sh"))
+      .join(ss.select(col("__g").as("source_b"), col("__sh")), Seq("__sh"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("__common"))
+    val pairs = sz.select(col("__g").as("source_a"), col("__n").as("n_a"))
+      .crossJoin(sz.select(col("__g").as("source_b"), col("__n").as("n_b")))
+      .filter(col("source_a") < col("source_b"))
+    pairs.join(ix, Seq("source_a", "source_b"), "left")
+      .withColumn("n_common", coalesce(col("__common"), lit(0L)))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_common"),
+        floorRound(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), roundTo).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -723,6 +723,45 @@ object TextQueries {
              |  GROUP BY 1, 2)
              |ORDER BY n DESC, w""".stripMargin)),
 
+    // Cross-source similarity matrix: trigram Jaccard between every pair of
+    // sources' distinct shingle sets — the "are these two corpora
+    // near-copies?" report, computed by shingle-key equi-join, never
+    // all-pairs docs.
+    "q79_source_similarity" -> Q(
+      (s, dir) => Dedup.corpusSimilarity(
+        Tables.documents(s, dir), "text", "source", shingleSize = 3),
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+             |    unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+             |  FROM documents),
+             |th AS (
+             |  SELECT doc_id, pos,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(w)),
+             |        i -> CAST(ascii(substr(w, CAST(i AS INTEGER), 1)) AS BIGINT))),
+             |      (acc, x) -> (acc * 31 + x) % $HP) AS h
+             |  FROM tok),
+             |shl AS (
+             |  SELECT a.doc_id, (((a.h * $HR + b.h) % $HP) * $HR + c.h) % $HP AS sh
+             |  FROM th a JOIN th b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |            JOIN th c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+             |ss AS (
+             |  SELECT DISTINCT d.source, s.sh
+             |  FROM shl s JOIN documents d USING (doc_id)),
+             |sz AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+             |ix AS (
+             |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+             |  FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT a.source AS source_a, b.source AS source_b, a.n AS n_a, b.n AS n_b
+             |  FROM sz a JOIN sz b ON a.source < b.source)
+             |SELECT source_a, source_b, n_a, n_b,
+             |  CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+             |  ${frs("CAST(coalesce(n_common, 0) AS DOUBLE) / CAST(n_a + n_b - coalesce(n_common, 0) AS DOUBLE)", 6)} AS jaccard
+             |FROM pairs LEFT JOIN ix USING (source_a, source_b)
+             |ORDER BY 1, 2""".stripMargin)),
+
     // Per-language winsorization of document lengths (outlier clipping
     // before length stats feed a sampler): clip n_chars to the language's
     // exact [p05, p95] band; band edges rounded first so both engines clip
