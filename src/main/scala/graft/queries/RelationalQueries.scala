@@ -359,6 +359,21 @@ object RelationalQueries {
              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
              |ORDER BY 1,2""".stripMargin)),
 
+    // Fuzzy name matching (entity resolution): part-name variants within
+    // edit distance 3, first-token blocking over the DISTINCT name
+    // dictionary — candidates and distances both oracle-checked (both
+    // engines implement textbook levenshtein).
+    "q80_fuzzy_name_join" -> Q(
+      (s, dir) => graft.operators.FuzzyJoin.nameVariants(
+        Tables.part(s, dir), "p_name", maxDist = 3),
+      Some("""WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+             |b AS (SELECT name, string_split(name, ' ')[1] AS blk FROM names)
+             |SELECT a.name AS name_a, c.name AS name_b,
+             |  CAST(levenshtein(a.name, c.name) AS BIGINT) AS dist
+             |FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+             |WHERE levenshtein(a.name, c.name) <= 3
+             |ORDER BY 1, 2""".stripMargin)),
+
     // Column profiling (ingestion data-quality summary): one pass, all
     // per-column aggregates in a single Expand+aggregate, unpivoted to one
     // row per column.
