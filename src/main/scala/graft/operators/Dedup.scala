@@ -117,7 +117,19 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int, numHashes: Int, bands: Int,
-                      threshold: Double): DataFrame = {
+                      threshold: Double): DataFrame =
+    lshCandidatesWithSets(df, idCol, textCol, shingleSize, numHashes, bands)
+      .withColumn("jac", floorRound(jaccardSorted(col("hs_a"), col("hs_b")), 4))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+      .orderBy("id_a", "id_b")
+
+  /** Banded-MinHash candidate pairs with both shingle sets attached:
+    * (id_a, id_b, hs_a, hs_b), id_a < id_b. Shared by the symmetric-Jaccard
+    * ([[minhashLshPairs]]) and containment ([[containmentPairs]]) verifiers.
+    */
+  private def lshCandidatesWithSets(df: DataFrame, idCol: String, textCol: String,
+                                    shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     val sig = withShinglesPoly(df, idCol, textCol, shingleSize)
@@ -138,9 +150,29 @@ object Dedup {
     cand
       .join(sig.select(col(idCol).as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
       .join(sig.select(col(idCol).as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
-      .withColumn("jac", floorRound(jaccardSorted(col("hs_a"), col("hs_b")), 4))
-      .filter(col("jac") >= threshold)
-      .select("id_a", "id_b", "jac")
+  }
+
+  /** Containment near-dup pairs: |A∩B| / min(|A|, |B|) >= threshold over the
+    * banded-MinHash candidates — the ASYMMETRIC variant that catches a short
+    * document embedded in a long one, where symmetric Jaccard stays low
+    * (Broder's containment measure, "On the resemblance and containment of
+    * documents", SEQUENCES 1997). Candidates still come from symmetric-
+    * Jaccard banding, the standard recall trade at extreme size ratios (a
+    * tiny doc inside a huge one may never share a band); the oracle mirrors
+    * the same candidate set, so verification is exact over it.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int, numHashes: Int, bands: Int,
+                       threshold: Double): DataFrame = {
+    import graft.functions.expressions.SortedIntersectionCount
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    val inter = B.column(SortedIntersectionCount(
+      B.expression(col("hs_a")), B.expression(col("hs_b")))).cast("double")
+    val minSize = least(size(col("hs_a")), size(col("hs_b"))).cast("double")
+    lshCandidatesWithSets(df, idCol, textCol, shingleSize, numHashes, bands)
+      .withColumn("containment", floorRound(inter / minSize, 4))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
       .orderBy("id_a", "id_b")
   }
 

@@ -75,6 +75,26 @@ object EventQueries {
              |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events)
              |GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
 
+    // Recency-weighted activity: per-user sum of 1/(1 + age_days) relative
+    // to the corpus's latest event — the time-decay scoring that weights
+    // fresh engagement without exp()/ln() (rational decay keeps both engines
+    // in plain IEEE arithmetic, so the score value is oracle-checked).
+    "q82_decay_score" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val anchor = ev.agg(max(unix_micros(col("ts"))).as("__anchor"))
+        ev.crossJoin(broadcast(anchor))
+          .withColumn("__decay", lit(1.0) / (lit(1.0) +
+            (col("__anchor") - unix_micros(col("ts"))).cast("double") / lit(86400000000.0)))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), fr(sum(col("__decay")), 4).as("recency_score"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH a AS (SELECT max(epoch_us(ts)) AS anchor FROM events)
+             |SELECT user_id, count(*) AS n_events,
+             |  ${frs("sum(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(a.anchor - epoch_us(ts) AS DOUBLE) / CAST(8.64E10 AS DOUBLE)))", 4)} AS recency_score
+             |FROM events, a GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Conversion funnel: users whose first purchase follows their first
     // signup. min-over-conditional + count aggregation; single-row output.
     "q42_funnel" -> Q(

@@ -293,6 +293,20 @@ object TextQueries {
         shingleSize = 3, numHashes = 32, bands = 16, threshold = JaccardThreshold),
       Some(minhashLshOracle)),
 
+    // Containment near-dup (Broder's asymmetric measure): |A∩B|/min(|A|,|B|)
+    // over the same banded candidates — catches a short doc embedded in a
+    // long one where symmetric Jaccard stays low.
+    "q81_containment_pairs" -> Q(
+      (s, dir) => Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.6),
+      Some(s"""$minhashPairsCtes
+             |SELECT id_a, id_b, containment FROM (
+             |  SELECT id_a, id_b,
+             |    ${frs("CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / CAST(least(len(sa.s), len(sb.s)) AS DOUBLE)", 4)} AS containment
+             |  FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+             |            JOIN sh sb ON cand.id_b = sb.doc_id)
+             |WHERE containment >= CAST(0.6 AS DOUBLE) ORDER BY 1, 2""".stripMargin)),
+
     // Deterministic stratified sampling: language-dependent keep rates via a
     // SQL-expressible multiplicative hash (reproducible, shuffle-free).
     "q53_stratified_sample" -> Q(
