@@ -158,6 +158,56 @@ object AnnIndex {
       .orderBy(col(qIdCol), col("rn"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", arXiv 2023):
+    * assign every embedding to an IVF coarse cell, generate cosine pairs only
+    * WITHIN each cell, and drop the higher-id member of every pair scoring
+    * `>= threshold` (keep-first, the same policy as [[Dedup.keepFirst]]).
+    * Returns the surviving rows of `df` plus their `cell` id.
+    *
+    * This is the embedding-space dedup that actually ships at corpus scale:
+    * candidate generation is an equi-join on the cell id, so pair work is
+    * O(n²/nlist) spread across nlist independent cells instead of one global
+    * O(n²) — and the cells are exactly the IVF partitions [[ivfTopK]] already
+    * maintains. Cell assignment mirrors [[ivfTopK]] (nlist lowest-id vectors
+    * as deterministic coarse centroids, argmin |c|²−2·v·c), so the whole
+    * operator is SQL-expressible and oracle-checked (q83).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nlist: Int, roundTo: Int = 6): DataFrame = {
+    import graft.functions.VectorFunctions.dotFused
+    val cents: Array[(Int, Seq[Double])] = df
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .orderBy(col(idCol)).limit(nlist)
+      .collect().zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) }
+    def cellScores(vec: Column): Column = array(cents.toSeq.map { case (i, c) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dotFused(vec, array(c.map(lit): _*))).as("d"), lit(i).as("i"))
+    }: _*)
+    // slim (id, cell) relation cached once — the cell expression is nlist
+    // fused dot products, so letting Catalyst substitute it into both sides
+    // of the self-join would double the assignment work (the q28 lesson)
+    val slim = df.select(col(idCol).as("__id"),
+        array_min(cellScores(asDouble(col(vecCol)))).getField("i").cast("long").as("cell"))
+      .cache()
+    val cand = slim.select(col("__id").as("id_a"), col("cell"))
+      .join(slim.select(col("__id").as("id_b"), col("cell")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+    val v = df.select(col(idCol).as("__vid"), col(vecCol).as("__vec"))
+      .withColumn("__nsq", l2NormSq(col("__vec")))
+    val drops = cand
+      .join(v.select(col("__vid"), col("__vec").as("__vec_a"), col("__nsq").as("__nsq_a")),
+            col("id_a") === col("__vid")).drop("__vid")
+      .join(v.select(col("__vid"), col("__vec").as("__vec_b"), col("__nsq").as("__nsq_b")),
+            col("id_b") === col("__vid")).drop("__vid")
+      .withColumn("__score", floorRound(
+        cosineFromNormSq(col("__vec_a"), col("__vec_b"), col("__nsq_a"), col("__nsq_b")), roundTo))
+      .filter(col("__score") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+      .join(slim.withColumnRenamed("__id", idCol), Seq(idCol))
+  }
+
   /** Lloyd-iteration k-means refinement of the IVF coarse centroids:
     * assignment is the same argmin(|c|²−2·v·c) expression, the update is a
     * relational posexplode + per-(cell,pos) mean — one shuffle per iteration,

@@ -89,4 +89,36 @@ object Curation {
     df.join(broadcast(stats), Seq(groupCol))
       .withColumn("clipped", least(greatest(col(valueCol).cast("double"), col("lo")), col("hi")))
   }
+
+  /** Robust per-group outlier detection via the median absolute deviation
+    * (Hampel's MAD rule; Leys et al., "Detecting outliers: do not use
+    * standard deviation around the mean, use absolute deviation around the
+    * median", JESP 2013): `robust_z = |x − median| / (1.4826·MAD)`, flag
+    * `robust_z > zMax`. Unlike a mean/stddev z-score, the thresholds
+    * themselves are immune to the outliers they detect — the right filter
+    * for heavy-tailed document-length distributions.
+    *
+    * Output: input columns + (med, mad, robust_z, is_outlier). `robust_z` is
+    * NULL (and is_outlier 0) for degenerate groups where MAD = 0. Exact
+    * medians keep the values oracle-checkable (q86); at 100 TB the two
+    * median aggregates are the only shuffles (approx_percentile slots in for
+    * a one-pass variant) and the stats broadcast back onto the stream.
+    */
+  def madOutliers(df: DataFrame, valueCol: String, groupCol: String,
+                  zMax: Double = 3.0, roundTo: Int = 4): DataFrame = {
+    Seq("med", "mad", "robust_z", "is_outlier").foreach(c => require(!df.columns.contains(c),
+      s"madOutliers emits a '$c' column; rename or drop the input's existing '$c' first"))
+    val med = df.groupBy(groupCol).agg(median(col(valueCol)).as("__med"))
+    val dev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("__ad", abs(col(valueCol) - col("__med")))
+    val mad = dev.groupBy(groupCol).agg(median(col("__ad")).as("__mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .withColumn("med", floorRound(col("__med"), roundTo))
+      .withColumn("mad", floorRound(col("__mad"), roundTo))
+      .withColumn("robust_z",
+        when(col("__mad") > 0,
+          floorRound(col("__ad") / (lit(1.4826) * col("__mad")), roundTo)))
+      .withColumn("is_outlier", when(col("robust_z") > zMax, 1L).otherwise(0L))
+      .drop("__med", "__ad", "__mad")
+  }
 }

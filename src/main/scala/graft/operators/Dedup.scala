@@ -313,4 +313,34 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common")).cast("double"), roundTo).as("jaccard"))
       .orderBy("source_a", "source_b")
   }
+
+  /** Sub-document exact dedup audit over fixed token windows (Lee et al.,
+    * "Deduplicating training data makes language models better", ACL 2022 —
+    * their exact-substring dedup, at window rather than suffix-array
+    * granularity): chunk every document into non-overlapping `chunkTokens`
+    * windows ([[Chunker.chunk]]), keep the globally FIRST occurrence of each
+    * distinct window (min (id, chunk_id)), and report per document how many
+    * of its windows already occurred earlier — the repeated-boilerplate
+    * signal document-level dedup cannot see.
+    *
+    * Output: (id, n_chunks, n_dup, dup_ratio). Plan shape at 100 TB:
+    * chunking is a map-only explode; first-occurrence is ONE shuffle on the
+    * window text (bounded by distinct-window cardinality after map-side
+    * partial min); the per-doc rollup shuffles slim (id, flag) rows. Window
+    * keys could hash to 16 bytes before the shuffle if window text is long.
+    */
+  def chunkDupStats(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, roundTo: Int = 4): DataFrame = {
+    val chunks = Chunker.chunk(df, idCol, textCol, chunkTokens, overlap = 0)
+    val firsts = chunks.groupBy("chunk_text")
+      .agg(min(struct(col(idCol), col("chunk_id"))).as("__first"))
+    chunks.join(firsts, Seq("chunk_text"))
+      .withColumn("__dup",
+        (struct(col(idCol), col("chunk_id")) =!= col("__first")).cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("__dup").cast("long").as("n_dup"),
+        floorRound(sum("__dup").cast("double") / count(lit(1)).cast("double"), roundTo)
+          .as("dup_ratio"))
+  }
 }

@@ -393,5 +393,26 @@ object RelationalQueries {
             one("o_orderstatus", false), one("o_orderpriority", false))
           .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
       }),
+
+    // Two-stage SALTED aggregation — the explicit skew playbook next to
+    // Skew.saltedJoin: stage 1 aggregates per (key, salt) so each hot key
+    // (3 return flags across all of lineitem — maximal skew) spreads over 16
+    // reducers; stage 2 merges 16 slim partials per key. The oracle IS the
+    // direct one-stage groupBy, proving the re-association exact (quantities
+    // are integral-valued doubles, so partial sums commute bit-exactly).
+    "q89_salted_agg" -> Q(
+      (s, dir) => {
+        val partial = Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_quantity"))
+          .withColumn("__salt", pmod(col("l_orderkey"), lit(16)))
+          .groupBy("l_returnflag", "__salt")
+          .agg(count(lit(1)).as("__n"), sum("l_quantity").as("__q"))
+        partial.groupBy("l_returnflag")
+          .agg(sum("__n").cast("long").as("n_rows"), sum("__q").cast("long").as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+             |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -814,5 +814,165 @@ object TextQueries {
              |  ${frs("avg(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))", 6)} AS lm_score
              |FROM bg JOIN pc USING (w1, w2) JOIN cc USING (w1)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Bloom-filter decontamination audit: the benchmark's 5-gram set folded
+    // into a 65536-bit / 4-probe broadcast filter, corpus probes it as a
+    // PURE MAP (no join, no shuffle on the corpus side) — next to q55's
+    // exact-join rule this is the 100 TB path, and the output audits the
+    // filter (bloom_hit vs exact_hit => visible false-positive rate). All
+    // probes are PolyHash modular arithmetic, so the filter CONTENTS are
+    // re-derived in SQL and the audit is oracle-checked.
+    "q84_bloom_decontaminate" -> Q(
+      (s, dir) => {
+        val docs   = Tables.documents(s, dir)
+        val bench  = docs.filter(col("doc_id") % 20 === 7)
+        val corpus = docs.filter(col("doc_id") % 20 =!= 7)
+        graft.operators.Decontaminate.bloomAudit(corpus, "doc_id", "text", bench, "text",
+          n = 5, mBits = 65536, kHash = 4).orderBy("doc_id")
+      },
+      Some {
+        val g5 = s"i -> (((((((hs[i]*$HR + hs[i+1]) % $HP) * $HR + hs[i+2]) % $HP) * $HR + hs[i+3]) % $HP) * $HR + hs[i+4]) % $HP"
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+           |    unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+           |  FROM documents),
+           |th AS (
+           |  SELECT doc_id, pos,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(generate_series(1, length(w)),
+           |        i -> CAST(ascii(substr(w, CAST(i AS INTEGER), 1)) AS BIGINT))),
+           |      (acc, x) -> (acc * 31 + x) % $HP) AS h
+           |  FROM tok),
+           |hl AS (SELECT doc_id, list(h ORDER BY pos) AS hs FROM th GROUP BY doc_id),
+           |g5 AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(
+           |    generate_series(1, greatest(len(hs)-4, 0)), $g5))) AS g
+           |  FROM hl),
+           |bgrams AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 20 = 7),
+           |js AS (SELECT unnest(generate_series(0, 3)) AS j),
+           |bits AS (SELECT DISTINCT (${affineSql("g", "j")}) % 65536 AS p FROM bgrams, js),
+           |cg AS (SELECT doc_id, g FROM g5 WHERE doc_id % 20 <> 7),
+           |probe AS (
+           |  SELECT cg.doc_id, cg.g, count(*) AS k_set
+           |  FROM cg CROSS JOIN js
+           |  JOIN bits ON bits.p = (${affineSql("cg.g", "js.j")}) % 65536
+           |  GROUP BY 1, 2),
+           |bloom AS (
+           |  SELECT doc_id, max(CASE WHEN k_set = 4 THEN 1 ELSE 0 END) AS bh
+           |  FROM probe GROUP BY 1),
+           |exact AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bgrams USING (g))
+           |SELECT d.doc_id, CAST(coalesce(b.bh, 0) AS BIGINT) AS bloom_hit,
+           |  CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS exact_hit
+           |FROM documents d
+           |LEFT JOIN bloom b ON d.doc_id = b.doc_id
+           |LEFT JOIN exact e ON d.doc_id = e.doc_id
+           |WHERE d.doc_id % 20 <> 7
+           |ORDER BY d.doc_id""".stripMargin
+      }),
+
+    // DSIR importance weights: mean target/raw likelihood ratio over hashed
+    // bigram features (8192 buckets, Laplace-smoothed) — the domain-matching
+    // sampler score, with lang='en' standing in as the target domain. Count
+    // tables are bounded by the bucket count (broadcast back), the corpus
+    // never self-joins.
+    "q85_dsir_weights" -> Q(
+      (s, dir) => graft.operators.Importance.importanceWeights(
+          Tables.documents(s, dir), "doc_id", "text",
+          isTarget = col("lang") === "en", buckets = 8192)
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+             |    unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+             |  FROM documents),
+             |th AS (
+             |  SELECT doc_id, pos,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(w)),
+             |        i -> CAST(ascii(substr(w, CAST(i AS INTEGER), 1)) AS BIGINT))),
+             |      (acc, x) -> (acc * 31 + x) % $HP) AS h
+             |  FROM tok),
+             |bgt AS (
+             |  SELECT a.doc_id, ((a.h * $HR + b.h) % $HP) % 8192 AS f,
+             |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS t
+             |  FROM th a JOIN th b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |       JOIN documents d ON a.doc_id = d.doc_id),
+             |tc AS (SELECT f, count(*) AS ct FROM bgt WHERE t = 1 GROUP BY 1),
+             |rc AS (SELECT f, count(*) AS cr FROM bgt GROUP BY 1),
+             |tot AS (SELECT CAST(sum(t) AS BIGINT) AS nt, count(*) AS nr FROM bgt)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  ${frs("avg(CAST((coalesce(ct, 0) + 1) * (nr + 8192) AS DOUBLE) / CAST((cr + 1) * (nt + 8192) AS DOUBLE))", 6)} AS dsir_weight
+             |FROM bgt LEFT JOIN tc USING (f) JOIN rc USING (f) CROSS JOIN tot
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Robust per-language length outliers: Hampel MAD rule (median ± 3·
+    // 1.4826·MAD) — thresholds immune to the outliers they detect, unlike a
+    // mean/stddev z-score on a heavy-tailed length distribution.
+    "q86_mad_outliers" -> Q(
+      (s, dir) => graft.operators.Curation.madOutliers(
+          Tables.documents(s, dir).select("doc_id", "lang", "n_chars"),
+          "n_chars", "lang", zMax = 3.0)
+        .select("doc_id", "lang", "n_chars", "med", "mad", "robust_z", "is_outlier")
+        .orderBy("doc_id"),
+      Some {
+        val rz = "ad / (CAST(1.4826 AS DOUBLE) * mad)"
+        s"""WITH m AS (SELECT lang, median(n_chars) AS med FROM documents GROUP BY 1),
+           |d AS (
+           |  SELECT doc_id, lang, n_chars, med, abs(n_chars - med) AS ad
+           |  FROM documents JOIN m USING (lang)),
+           |md AS (SELECT lang, median(ad) AS mad FROM d GROUP BY 1)
+           |SELECT doc_id, lang, n_chars, ${frs("med", 4)} AS med, ${frs("mad", 4)} AS mad,
+           |  CASE WHEN mad > 0 THEN ${frs(rz, 4)} END AS robust_z,
+           |  CAST(CASE WHEN mad > 0 AND ${frs(rz, 4)} > CAST(3.0 AS DOUBLE)
+           |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+           |FROM d JOIN md USING (lang) ORDER BY doc_id""".stripMargin
+      }),
+
+    // Vocabulary richness: type-token ratio + hapax fraction per document —
+    // the lexical-diversity quality signals (low TTR = boilerplate/spam).
+    // Pure integer ratios, two partial-aggregated shuffles.
+    "q87_vocab_richness" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("__c"))
+        .groupBy("doc_id")
+        .agg(sum("__c").cast("long").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("__c") === 1, 1L).otherwise(0L)).cast("long").as("n_hapax"))
+        .withColumn("ttr", fr(col("n_types").cast("double") / col("n_tokens").cast("double"), 4))
+        .withColumn("hapax_ratio", fr(col("n_hapax").cast("double") / col("n_types").cast("double"), 4))
+        .orderBy("doc_id"),
+      Some(s"""WITH c AS (
+             |  SELECT doc_id, w, count(*) AS c FROM (
+             |    SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+             |  GROUP BY 1, 2)
+             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+             |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+             |  ${frs("CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)", 4)} AS ttr,
+             |  ${frs("CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4)} AS hapax_ratio
+             |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Sub-document exact dedup audit: 50-token windows, global keep-first,
+    // per-doc duplicated-window fraction — the boilerplate signal that
+    // document-level dedup (q17/q44) cannot see.
+    "q88_chunk_dedup" -> Q(
+      (s, dir) => Dedup.chunkDupStats(
+          Tables.documents(s, dir), "doc_id", "text", chunkTokens = 50)
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |ch AS (
+             |  SELECT doc_id, i AS chunk_id,
+             |    array_to_string(toks[(50*i+1):(50*i+50)], ' ') AS chunk_text
+             |  FROM (SELECT doc_id, toks,
+             |          unnest(generate_series(0,
+             |            CAST(floor((greatest(len(toks)-50, 0)+49) / 50.0) AS BIGINT))) AS i
+             |        FROM t)),
+             |rk AS (
+             |  SELECT doc_id, chunk_id,
+             |    row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_id) AS rn
+             |  FROM ch)
+             |SELECT doc_id, count(*) AS n_chunks,
+             |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             |  ${frs("CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4)} AS dup_ratio
+             |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }

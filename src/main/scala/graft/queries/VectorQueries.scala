@@ -44,12 +44,12 @@ object VectorQueries {
       |    AND list_sum(list_transform(q.v, x -> x*x)) > 0
       |    AND list_sum(list_transform(c.v, x -> x*x)) > 0)""".stripMargin
 
-  /** Shared oracle CTE chain for the IVF ANN (q40, q78): 16 lowest-id coarse
-    * centroids → nearest-cell assignment (argmin |c|²−2·v·c, tie by cell id)
-    * → 4-cell probes for queries vec_id < 10 → candidate pairs. Mirrors
-    * [[AnnIndex.ivfTopK]] with nlist=16, nprobe=4.
+  /** Shared oracle CTEs for IVF cell ASSIGNMENT (q40, q78, q83): 16 lowest-id
+    * coarse centroids → nearest-cell assignment (argmin |c|²−2·v·c, tie by
+    * cell id). Mirrors [[AnnIndex.ivfTopK]] / [[AnnIndex.semanticDedup]] with
+    * nlist=16.
     */
-  private val annIvfCtes: String =
+  private val ivfAssignCtes: String =
     """WITH cents AS (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
       |    embedding::DOUBLE[] AS cv,
@@ -62,7 +62,13 @@ object VectorQueries {
       |      row_number() OVER (PARTITION BY e.vec_id
       |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(e.embedding::DOUBLE[], c.cv), c.ci) AS rn
       |    FROM embeddings e CROSS JOIN cents c)
-      |  WHERE rn = 1),
+      |  WHERE rn = 1)""".stripMargin
+
+  /** [[ivfAssignCtes]] + 4-cell probes for queries vec_id < 10 → candidate
+    * pairs (q40, q78). Mirrors [[AnnIndex.ivfTopK]] with nlist=16, nprobe=4.
+    */
+  private val annIvfCtes: String =
+    s"""$ivfAssignCtes,
       |probes AS (
       |  SELECT vec_id AS q_id, v AS qv, cell FROM (
       |    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.ci AS cell,
@@ -460,5 +466,27 @@ object VectorQueries {
              |  SELECT e.q_id, CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END AS hit
              |  FROM exact e LEFT JOIN ann a ON a.q_id = e.q_id AND a.c_id = e.c_id)
              |GROUP BY q_id ORDER BY q_id""".stripMargin)),
+
+    // SemDeDup semantic dedup: IVF-cell-scoped cosine pairs, keep-first drop.
+    // Candidate pairs are an equi-join on the cell id — O(n²/nlist) work in
+    // nlist independent cells, the embedding-space dedup that scales where a
+    // global pair join cannot. Threshold 0.2 is fixture-calibrated like q28.
+    "q83_semantic_dedup" -> Q(
+      (s, dir) => AnnIndex.semanticDedup(
+          Tables.embeddings(s, dir).select("vec_id", "label", "embedding"),
+          "vec_id", "embedding", threshold = 0.2, nlist = 16)
+        .select("vec_id", "label", "cell")
+        .orderBy("vec_id"),
+      Some(s"""$ivfAssignCtes,
+             |pairs AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+             |  WHERE list_sum(list_transform(a.v, x -> x*x)) > 0
+             |    AND list_sum(list_transform(b.v, x -> x*x)) > 0
+             |    AND ${frs("list_cosine_similarity(a.v, b.v)", 6)} >= CAST(0.2 AS DOUBLE))
+             |SELECT e.vec_id, e.label, s.cell
+             |FROM embeddings e JOIN assign s ON e.vec_id = s.vec_id
+             |WHERE e.vec_id NOT IN (SELECT id_b FROM pairs)
+             |ORDER BY e.vec_id""".stripMargin)),
   )
 }

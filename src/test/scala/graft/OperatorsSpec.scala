@@ -414,4 +414,88 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(r1.nonEmpty)
     r1.foreach(row => assert(row.getLong(3) <= 3))
   }
+
+  test("semanticDedup drops the higher-id member of each same-cell near-dup pair") {
+    // nlist=1 => one global cell => dedup is exact keep-first over all pairs
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0, 0.0)),
+      (2L, Array(1.0, 0.0, 0.0)),   // identical to 1 -> dropped
+      (3L, Array(0.0, 1.0, 0.0)),   // orthogonal -> kept
+      (4L, Array(0.9, 0.1, 0.0)),   // cosine ~0.99 with 1 -> dropped
+    ).toDF("id", "v")
+    val kept = AnnIndex.semanticDedup(vecs, "id", "v", threshold = 0.95, nlist = 1)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 3L))
+    // survivors within one cell are pairwise below threshold by construction
+    val cells = AnnIndex.semanticDedup(vecs, "id", "v", threshold = 0.95, nlist = 1)
+      .select("cell").distinct().count()
+    assert(cells === 1L)
+  }
+
+  // ---- Decontaminate: Bloom audit ----
+
+  test("bloomAudit: no false negatives, flags agree with the exact join") {
+    import graft.operators.Decontaminate
+    val bench = Seq((100L, "one two three four five six")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "one two three four five six seven"),            // shares a 5-gram
+      (2L, "totally unrelated words in this document here"), // clean
+      (3L, "zz one two three four five tail"),               // shares a 5-gram
+    ).toDF("doc_id", "text")
+    val r = Decontaminate.bloomAudit(corpus, "doc_id", "text", bench, "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // a Bloom filter can false-positive but never false-negative
+    r.values.foreach { case (bloom, exact) => assert(exact <= bloom) }
+    assert(r(1L)._2 === 1L && r(1L)._1 === 1L)
+    assert(r(3L)._2 === 1L && r(3L)._1 === 1L)
+    assert(r(2L)._2 === 0L)
+  }
+
+  // ---- Importance (DSIR) ----
+
+  test("importanceWeights: target-domain docs outweigh off-domain docs") {
+    import graft.operators.Importance
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog"),
+      (2L, "en", "the quick brown fox runs past the lazy dog"),
+      (3L, "de", "der schnelle braune fuchs springt ueber den hund"),
+      (4L, "en", "the quick brown fox jumps over the lazy dog"),
+    ).toDF("doc_id", "lang", "text")
+    val w = Importance.importanceWeights(docs, "doc_id", "text",
+        isTarget = $"lang" === "en", buckets = 1024)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.size === 4)
+    // English bigrams dominate the target counts => en docs score higher
+    assert(w(1L) > w(3L) && w(2L) > w(3L))
+    // identical docs get identical weights
+    assert(w(1L) === w(4L))
+  }
+
+  // ---- Curation.madOutliers ----
+
+  test("madOutliers flags the extreme value and only it; MAD=0 group yields null z") {
+    import graft.operators.Curation
+    // spread inliers: a constant majority would make MAD itself 0 (the
+    // degenerate case the null-z branch handles, tested via group b)
+    val rows = Seq(90, 95, 98, 100, 102, 105, 110, 10000).zipWithIndex
+      .map { case (v, i) => (i.toLong, "a", v) } ++ Seq((20L, "b", 5), (21L, "b", 5))
+    val df = rows.toDF("id", "g", "v")
+    val out = Curation.madOutliers(df, "v", "g").collect()
+      .map(r => r.getAs[Long]("id") -> (Option(r.getAs[Any]("robust_z")), r.getAs[Long]("is_outlier"))).toMap
+    assert(out(7L)._2 === 1L)                         // the 10000 in group a
+    (0L to 6L).foreach(i => assert(out(i)._2 === 0L)) // the spread inliers
+    assert(out(20L)._1.isEmpty && out(20L)._2 === 0L) // MAD=0 group: null z, not flagged
+  }
+
+  // ---- Dedup.chunkDupStats ----
+
+  test("chunkDupStats: duplicate doc's windows all count as dups, first doc's none") {
+    val longText = (1 to 120).map(i => s"w$i").mkString(" ") // 3 windows of 50
+    val d = Seq((1L, longText), (2L, longText), (3L, "unique words only here")).toDF("doc_id", "text")
+    val r = Dedup.chunkDupStats(d, "doc_id", "text", chunkTokens = 50)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(r(1L) === (3L, 0L)) // first occurrence of every window
+    assert(r(2L) === (3L, 3L)) // every window already seen in doc 1
+    assert(r(3L) === (1L, 0L))
+  }
 }
