@@ -40,6 +40,24 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < percent)
   }
 
+  /** Deterministic train/val/test assignment by key hash — the canonical
+    * dataset split: stable across runs and machines (pure [[hashBucket]]
+    * arithmetic, no RNG state), disjoint and exhaustive by construction,
+    * and map-only (each row decides its own split; at 100 TB the split is a
+    * partition-pruned filter, never a shuffle). Output: input + (bucket,
+    * split).
+    */
+  def assignSplit(df: DataFrame, keyCol: String,
+                  trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"need 0 < trainPct, 0 <= valPct, trainPct+valPct < 100, got $trainPct/$valPct")
+    df.withColumn("bucket", hashBucket(col(keyCol)))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
   /** Per-stratum rates: keep ~ratePercent(stratum)% of each stratum
     * (default for unlisted strata). */
   def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (type 2) interval construction from an event
+  * log (Kimball & Ross, The Data Warehouse Toolkit, 3rd ed., ch. 5 — the
+  * standard warehouse change-tracking shape): collapse each entity's event
+  * stream into state intervals `[valid_from, valid_to)` with an open
+  * `is_current` row per entity — the gaps-and-islands pattern done with two
+  * window passes (change detection via lag, interval close via lead).
+  *
+  * Plan shape at 100 TB: both windows share ONE partitioning (the entity
+  * key), so the whole operator is a single shuffle; no self-join, no
+  * cross-row explosion — strictly fewer rows out than in.
+  */
+object Scd {
+
+  /** One row per state RUN: consecutive equal `stateCol` values collapse
+    * into `[valid_from, valid_to)`; the last run per entity has a NULL
+    * valid_to and is_current = 1. `tsFormat` renders the bounds as strings
+    * (ns-precision timestamps compare engine-specifically; formatted bounds
+    * are oracle-stable).
+    */
+  def intervals(events: DataFrame, entityCol: String, tsCol: String,
+                tieCol: String, stateCol: String,
+                tsFormat: String = "yyyy-MM-dd HH:mm:ss"): DataFrame = {
+    val w = Window.partitionBy(entityCol).orderBy(tsCol, tieCol)
+    val changes = events
+      .select(col(entityCol), col(tsCol), col(tieCol), col(stateCol))
+      .withColumn("__prev", lag(col(stateCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(stateCol))
+    changes
+      .withColumn("__vt", lead(col(tsCol), 1).over(w))
+      .select(col(entityCol), col(stateCol),
+        date_format(col(tsCol), tsFormat).as("valid_from"),
+        date_format(col("__vt"), tsFormat).as("valid_to"),
+        col("__vt").isNull.cast("long").as("is_current"))
+  }
+}

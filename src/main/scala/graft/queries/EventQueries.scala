@@ -95,6 +95,30 @@ object EventQueries {
              |  ${frs("sum(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(a.anchor - epoch_us(ts) AS DOUBLE) / CAST(8.64E10 AS DOUBLE)))", 4)} AS recency_score
              |FROM events, a GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // SCD2 interval construction: each user's event stream collapsed into
+    // state runs [valid_from, valid_to) with one open is_current row — the
+    // warehouse change-tracking shape, two windows over ONE user_id shuffle.
+    "q90_scd2_intervals" -> Q(
+      (s, dir) => graft.operators.Scd.intervals(
+          Tables.events(s, dir), "user_id", "ts", "event_id", "event_type")
+        .orderBy("user_id", "valid_from", "event_type"),
+      Some("""WITH e AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |c AS (
+             |  SELECT user_id, ts, event_id, event_type FROM e
+             |  WHERE prev IS NULL OR prev <> event_type),
+             |i AS (
+             |  SELECT user_id, event_type, ts,
+             |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+             |  FROM c)
+             |SELECT user_id, event_type,
+             |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+             |  strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+             |  CAST(CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+             |FROM i ORDER BY user_id, valid_from, event_type""".stripMargin)),
+
     // Conversion funnel: users whose first purchase follows their first
     // signup. min-over-conditional + count aggregation; single-row output.
     "q42_funnel" -> Q(

@@ -974,5 +974,54 @@ object TextQueries {
              |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
              |  ${frs("CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4)} AS dup_ratio
              |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Canonical deterministic train/val/test split (80/10/10 by key hash):
+    // stable across runs and machines, disjoint+exhaustive by construction,
+    // map-only — the split every training pipeline applies before anything
+    // else touches the data.
+    "q91_train_split" -> Q(
+      (s, dir) => graft.operators.Sampling.assignSplit(
+          Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang,
+             |  ${graft.operators.Sampling.hashBucketSql("doc_id")} AS bucket,
+             |  CASE WHEN ${graft.operators.Sampling.hashBucketSql("doc_id")} < 80 THEN 'train'
+             |       WHEN ${graft.operators.Sampling.hashBucketSql("doc_id")} < 90 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Split-leakage audit: near-duplicate pairs (MinHash-LSH candidates,
+    // exact-Jaccard-verified) that CROSS a train/val/test boundary — the
+    // contamination a deterministic split cannot prevent and every
+    // benchmark-honest pipeline must report. Composition of q91's split and
+    // q22b's LSH pairs; the whole chain is oracle-checked.
+    "q92_split_leakage" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 16, threshold = JaccardThreshold)
+        val splits = graft.operators.Sampling.assignSplit(
+          docs.select("doc_id"), "doc_id").select("doc_id", "split")
+        pairs
+          .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")), Seq("id_a"))
+          .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")), Seq("id_b"))
+          .filter(col("split_a") =!= col("split_b"))
+          .select("id_a", "id_b", "jac", "split_a", "split_b")
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        def splitCase(k: String): String =
+          s"""CASE WHEN ${graft.operators.Sampling.hashBucketSql(k)} < 80 THEN 'train'
+             |       WHEN ${graft.operators.Sampling.hashBucketSql(k)} < 90 THEN 'val'
+             |       ELSE 'test' END""".stripMargin
+        s"""$minhashPairsCtes
+           |SELECT id_a, id_b, jac,
+           |  ${splitCase("id_a")} AS split_a,
+           |  ${splitCase("id_b")} AS split_b
+           |FROM pairs
+           |WHERE jac >= $JaccardThreshold
+           |  AND ${splitCase("id_a")} <> ${splitCase("id_b")}
+           |ORDER BY 1, 2""".stripMargin
+      }),
   )
 }

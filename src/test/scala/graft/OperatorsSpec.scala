@@ -487,6 +487,42 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(out(20L)._1.isEmpty && out(20L)._2 === 0L) // MAD=0 group: null z, not flagged
   }
 
+  // ---- Scd.intervals ----
+
+  test("scd2 intervals: runs collapse, bounds chain, one open row per entity") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "a"),
+      (1L, "2024-01-01 11:00:00", 2L, "a"),   // same state -> same run
+      (1L, "2024-01-01 12:00:00", 3L, "b"),   // change
+      (1L, "2024-01-01 13:00:00", 4L, "a"),   // change back (new run, not merged)
+      (2L, "2024-01-01 09:00:00", 5L, "x"),
+    ).toDF("user_id", "ts0", "event_id", "state")
+      .withColumn("ts", to_timestamp($"ts0")).drop("ts0")
+    val r = graft.operators.Scd.intervals(ev, "user_id", "ts", "event_id", "state")
+      .orderBy("user_id", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(r.toSeq === Seq(
+      (1L, "a", "2024-01-01 10:00:00", "2024-01-01 12:00:00", 0L),
+      (1L, "b", "2024-01-01 12:00:00", "2024-01-01 13:00:00", 0L),
+      (1L, "a", "2024-01-01 13:00:00", null, 1L),
+      (2L, "x", "2024-01-01 09:00:00", null, 1L)))
+  }
+
+  // ---- Sampling.assignSplit ----
+
+  test("assignSplit: disjoint, exhaustive, deterministic, ~80/10/10") {
+    import graft.operators.Sampling
+    val keys = (0L until 1000L).toDF("id")
+    val s1 = Sampling.assignSplit(keys, "id").collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val s2 = Sampling.assignSplit(keys, "id").collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(s1 === s2)                       // deterministic
+    assert(s1.size === 1000)                // exhaustive, one split per key
+    val counts = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts("val") > 50 && counts("val") < 150)
+    assert(counts("test") > 50 && counts("test") < 150)
+  }
+
   // ---- Dedup.chunkDupStats ----
 
   test("chunkDupStats: duplicate doc's windows all count as dups, first doc's none") {
