@@ -51,7 +51,18 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $dt%8.2f s")
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver keeps only the last ~2000 bytes of output and parses the
+    // JSON line out of that tail — with 96 queries, full names and
+    // 9-decimal doubles overflow it and the round's metrics are lost
+    // (BENCH_r01..r04 all have parsed:null). Compact keys (the unique
+    // "qNN"/"qNNx" prefix) + 3-decimal values keep the line ~1.3 KB; full
+    // names and timings are still on stderr for humans.
+    val shortKey: Map[String, String] = {
+      val pref = results.keys.map(k => k -> k.takeWhile(_ != '_')).toMap
+      val dup = pref.values.groupBy(identity).collect { case (p, v) if v.size > 1 => p }.toSet
+      pref.map { case (k, p) => k -> (if (dup(p)) k else p) }
+    }
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // failed queries carry -1 in the per-query map; total sums successes only
     val total = results.values.filter(_ >= 0).sum
@@ -64,7 +75,7 @@ object Bench {
       }
       s""","filtered":true,"filter":"$esc""""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$filteredTag}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"$filteredTag}""")
     spark.stop()
   }
 }
