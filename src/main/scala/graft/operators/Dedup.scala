@@ -176,6 +176,76 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Per-document novelty: the fraction of the document's distinct n-gram
+    * shingles whose FIRST corpus occurrence (minimum id) is this document —
+    * the redundancy-contribution score of incremental corpus curation (a doc
+    * whose shingles were all seen in earlier docs adds nothing; keep-first
+    * dedup at shingle granularity). Complements document-level dedup
+    * (q17/q44): a doc can be 0.3-novel without near-duplicating any single
+    * earlier doc.
+    *
+    * Plan shape: explode to (id, shingle-hash) rows, one 8-byte-key shuffle
+    * to find min(id) per hash, join back on the same key, re-aggregate per
+    * doc — both shuffles are partial-aggregated and bounded by the corpus
+    * shingle count, never quadratic. Documents shorter than `shingleSize`
+    * tokens have no shingles and are absent from the output (mirrored in the
+    * oracle).
+    */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String,
+                    shingleSize: Int): DataFrame = {
+    val sh = df.select(col(idCol), explode(shingleHashesPoly(col(textCol), shingleSize)).as("sh"))
+    val first = sh.groupBy("sh").agg(min(idCol).as("__first"))
+    sh.join(first, Seq("sh"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).cast("long").as("n_novel"))
+      .withColumn("novelty",
+        floorRound(col("n_novel").cast("double") / col("n_shingles").cast("double"), 4))
+  }
+
+  /** Sketch-accuracy audit for the MinHash estimator: per LSH candidate pair,
+    * the estimated Jaccard (fraction of agreeing signature components — the
+    * unbiased MinHash estimate, Broder 1997) next to the exact shingle-set
+    * Jaccard, with the absolute error. The audit the recall checks (q76/q78)
+    * are to ANN, this is to MinHash: it makes the estimator's variance
+    * (stddev ≈ sqrt(J(1−J)/k) ≈ 0.09 at k=32) VISIBLE instead of assumed,
+    * on the corpus the pipeline actually runs on.
+    *
+    * Same banding plan as [[minhashLshPairs]] (slim candidate dedup before
+    * the wide arrays attach); signatures ride along only for the surviving
+    * candidates.
+    */
+  def sketchJaccardAudit(df: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sig = withShinglesPoly(df, idCol, textCol, shingleSize)
+      .withColumn("sig", minhashSignaturePoly(col("hs"), numHashes))
+      .cache() // self-joined below — avoid recomputing signatures per branch
+    val banded = sig
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("band_key", bandKey(col("sig"), col("band"), rows))
+    val slim = banded.select(col(idCol), col("band"), col("band_key"))
+    val cand = slim.toDF("id_a", "band", "band_key")
+      .join(slim.toDF("id_b", "band", "band_key"), Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val matches = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    cand
+      .join(sig.select(col(idCol).as("id_a"), col("hs").as("hs_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col(idCol).as("id_b"), col("hs").as("hs_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jac", floorRound(matches.cast("double") / numHashes, 4))
+      .withColumn("exact_jac", floorRound(jaccardSorted(col("hs_a"), col("hs_b")), 4))
+      // error from the ROUNDED columns (identical expression tree in the
+      // oracle — re-rounding raw values could land on a different grid cell)
+      .withColumn("abs_err", floorRound(abs(col("est_jac") - col("exact_jac")), 4))
+      .select("id_a", "id_b", "est_jac", "exact_jac", "abs_err")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Greedy "keep first occurrence" policy over any (id_a < id_b) pair set:
     * a row survives iff it is not the higher-id member of any pair. Shared by
     * the exact (q44) and LSH (q45) corpus-dedup paths so the policy cannot

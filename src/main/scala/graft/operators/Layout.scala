@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.functions.MathFunctions.floorRound
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Physical-layout planning — the operators that decide how 100 TB lands on
+  * disk. Neither is a query over the data so much as a query over the
+  * data's SHAPE: [[compactionPlan]] groups small files into target-size
+  * writes (the small-files problem every long-running ingest accumulates),
+  * [[zorderAudit]] measures how much a space-filling-curve sort would
+  * tighten per-block min/max ranges (the statistic data-skipping prunes by).
+  */
+object Layout {
+
+  /** Compaction plan: within each partition, walk files in `orderCol` order
+    * accumulating `sizeCol`, and open a new output bin every time the
+    * cumulative size crosses a `targetBytes` boundary — i.e. bin k holds the
+    * files whose exclusive prefix sum lies in [k·target, (k+1)·target).
+    * Returns one row per planned bin: file count, total bytes, fill ratio.
+    *
+    * This is the planner of an Iceberg/Delta-style `OPTIMIZE`: deterministic
+    * (no bin-packing heuristic drift between runs), and distributed — the
+    * running sum is windowed PER PARTITION KEY, so planning parallelizes
+    * across partitions and never needs a global sort. Bins can exceed
+    * `targetBytes` by at most one file, the standard contiguous-coalesce
+    * trade that preserves file order within a bin (cheap rewrite, stable
+    * time-locality).
+    */
+  def compactionPlan(df: DataFrame, partCol: String, orderCol: String,
+                     sizeCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val w = Window.partitionBy(partCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(sizeCol)).over(w).cast("long"))
+      // exclusive prefix sum div target; quotient < 2^53 so the double
+      // division truncates exactly like integer division (mirrored as // in
+      // the oracle)
+      .withColumn("bin",
+        ((col("__cum") - col(sizeCol).cast("long")).cast("double") / targetBytes)
+          .cast("long"))
+      .groupBy(col(partCol), col("bin"))
+      .agg(count(lit(1)).cast("long").as("n_files"),
+        sum(col(sizeCol)).cast("long").as("bin_bytes"))
+      .withColumn("fill",
+        floorRound(col("bin_bytes").cast("double") / targetBytes, 4))
+      .orderBy(col(partCol), col("bin"))
+  }
+
+  /** 32-bit Morton (Z-order) code: bit i of `x` lands at position 2i, bit i
+    * of `y` at 2i+1, over the low 16 bits of each. Pure shifts and masks —
+    * mirrored literally in DuckDB SQL ([[zValue16Sql]]).
+    */
+  def zValue16(x: Column, y: Column): Column = {
+    val xm = pmod(x.cast("long"), lit(65536L))
+    val ym = pmod(y.cast("long"), lit(65536L))
+    (0 until 16).map { i =>
+      shiftleft(shiftright(xm, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(ym, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _) // disjoint bit positions: + is |
+  }
+
+  /** DuckDB mirror of [[zValue16]] — keep token-for-token in sync. */
+  def zValue16Sql(xExpr: String, yExpr: String): String = {
+    val xm = s"((($xExpr) % 65536 + 65536) % 65536)"
+    val ym = s"((($yExpr) % 65536 + 65536) % 65536)"
+    (0 until 16).map { i =>
+      s"((($xm >> $i) & 1) << ${2 * i}) + ((($ym >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Data-skipping effectiveness audit: lay the table out in row-key order vs
+    * Z-order over (`xCol`, `yCol`), cut each layout into blocks of
+    * `blockRows`, and report the average per-block min/max span of each
+    * dimension. Small spans = tight zone maps = point/range predicates prune
+    * most blocks; the natural layout is tight in at most one dimension, the
+    * Z-order layout is balanced-tight in both. One output row per layout.
+    *
+    * The audit ranks rows with a global `row_number` for determinism (and
+    * oracle parity) at fixture scale; a production Z-order WRITE of 100 TB
+    * is `repartitionByRange(zValue16(...))` + a per-partition local sort —
+    * same curve, no global window.
+    */
+  def zorderAudit(df: DataFrame, keyCol: String, xCol: String, yCol: String,
+                  blockRows: Int): DataFrame = {
+    require(blockRows >= 2, s"blockRows must be >= 2, got $blockRows")
+    val withZ = df.select(col(keyCol).as("k"), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .withColumn("z", zValue16(col("x"), col("y")))
+    def audit(layout: String, order: Seq[Column]): DataFrame =
+      withZ
+        .withColumn("__blk",
+          ((row_number().over(Window.orderBy(order: _*)) - 1) / blockRows).cast("long"))
+        .groupBy("__blk")
+        .agg((max("x") - min("x")).cast("long").as("xs"),
+          (max("y") - min("y")).cast("long").as("ys"))
+        .agg(count(lit(1)).cast("long").as("n_blocks"),
+          sum("xs").cast("long").as("sx"), sum("ys").cast("long").as("sy"))
+        .select(lit(layout).as("layout"), col("n_blocks"),
+          // exact integer sums divided once — no accumulation-order drift
+          floorRound(col("sx").cast("double") / col("n_blocks").cast("double"), 4)
+            .as("avg_x_span"),
+          floorRound(col("sy").cast("double") / col("n_blocks").cast("double"), 4)
+            .as("avg_y_span"))
+    audit("natural", Seq(col("k")))
+      .unionAll(audit("zorder", Seq(col("z"), col("k"))))
+      .orderBy("layout")
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.functions.MathFunctions.floorRound
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Keyword retrieval over the corpus — the lexical-search side of the engine,
+  * next to the vector side ([[TopK]], [[AnnIndex]]). The reference delegates
+  * retrieval entirely to its vector store (`/root/reference/vectrekker/
+  * main.py:162-167`); a corpus engine additionally needs the classic sparse
+  * ranker both as a baseline for embedding search and as the first stage of
+  * hybrid retrieval.
+  */
+object Retrieval {
+
+  /** Okapi BM25 (Robertson & Walker, SIGIR 1994; the SPARCK Jones/Robertson
+    * probabilistic weighting): per document,
+    *
+    *   score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *   idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *
+    * over a fixed query term set. Upgrades q41's TF-IDF from "characterize
+    * the corpus" to "rank it for a query" — length-normalized and
+    * saturating in tf, which raw TF-IDF is not.
+    *
+    * Scale design: the term filter is applied AT the token explode (map-side,
+    * selective — only query-term postings survive), document length and
+    * corpus stats (N, avgdl) are single-row/broadcast joins, and the final
+    * per-document score folds each term's contribution in a FIXED order
+    * (one conditional aggregate per term, summed left-to-right) so the
+    * floating-point result is reproducible regardless of partitioning — and
+    * identical to the DuckDB oracle's. Top-k is TakeOrderedAndProject.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8, s"bm25 wants 1..8 query terms, got ${terms.size}")
+    val toks = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+    // per-document length + corpus stats over ALL documents with tokens
+    val dl = toks.groupBy(idCol).agg(count(lit(1)).cast("long").as("dl")).cache()
+    val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val tf = toks.filter(col("w").isin(terms: _*))
+      .groupBy(idCol, "w").agg(count(lit(1)).cast("long").as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("long").as("df"))
+    val contrib = {
+      val idf = log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      val tfc = col("tf").cast("double") * (lit(k1) + lit(1.0)) /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+      idf * tfc
+    }
+    val scored = tf
+      .join(broadcast(dfreq), Seq("w"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("__c", contrib)
+    // fixed-order fold over per-term contributions: sum(CASE term_i) is a
+    // single value per doc, and the + chain is left-to-right in both engines
+    // — no aggregation-order nondeterminism in the double sum
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("w") === t, col("__c"))).as(s"__t$i")
+    }
+    val score = floorRound(
+      terms.indices.map(i => coalesce(col(s"__t$i"), lit(0.0))).reduce(_ + _), 4)
+    scored.groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_terms"), perTerm: _*)
+      .select(col(idCol), col("n_terms"), score.as("bm25"))
+      .orderBy(desc("bm25"), col(idCol))
+      .limit(topK)
+  }
+
+  /** DuckDB mirror of [[bm25]] — keep token-for-token in sync with the
+    * column expressions above (same literal types, same associativity).
+    */
+  def bm25Sql(table: String, idCol: String, textCol: String, terms: Seq[String],
+              k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val idf = s"ln(CAST(1.0 AS DOUBLE) + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+    val tfc = s"CAST(tf AS DOUBLE) * (CAST($k1 AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(tf AS DOUBLE) + CAST($k1 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST($b AS DOUBLE) + CAST($b AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))"
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN w = '$t' THEN c END) AS __t$i"
+    }.mkString(", ")
+    val scoreSum = terms.indices.map(i => s"coalesce(__t$i, CAST(0.0 AS DOUBLE))").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT $idCol, unnest(string_split($textCol, ' ')) AS w FROM $table),
+       |tf0 AS (SELECT $idCol, w FROM tok WHERE w <> ''),
+       |dl AS (SELECT $idCol, CAST(count(*) AS BIGINT) AS dl FROM tf0 GROUP BY 1),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+       |tf AS (
+       |  SELECT $idCol, w, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tf0 WHERE w IN ($termList) GROUP BY 1, 2),
+       |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.$idCol, tf.w, ($idf) * ($tfc) AS c
+       |  FROM tf JOIN dfreq USING (w) JOIN dl USING ($idCol) CROSS JOIN stats),
+       |agg AS (
+       |  SELECT $idCol, CAST(count(*) AS BIGINT) AS n_terms, $perTerm
+       |  FROM scored GROUP BY 1)
+       |SELECT $idCol, n_terms, ${graft.functions.MathFunctions.floorRoundSql(s"($scoreSum)", 4)} AS bm25
+       |FROM agg ORDER BY bm25 DESC, $idCol LIMIT $topK""".stripMargin
+  }
+}

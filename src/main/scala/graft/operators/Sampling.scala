@@ -22,17 +22,26 @@ object Sampling {
   // SQL-expressible modular hash in the engine (and its oracle mirrors)
   private val P = graft.functions.expressions.PolyHash.P
 
-  /** Pseudo-random bucket in [0, 100) from a numeric key. */
-  def hashBucket(key: Column): Column = {
+  /** Pseudo-random shard in [0, n) from a numeric key — the mixing hash
+    * behind every deterministic assignment in the engine (sampling buckets,
+    * dataset splits, output shards). */
+  def hashShard(key: Column, n: Int): Column = {
+    require(n >= 2, s"hashShard needs n >= 2, got $n")
     val h1 = pmod(key.cast("long"), lit(P))
     val h2 = (h1 * lit(1103515245L) + lit(12345L)) % lit(P)
     val h3 = (h2 * lit(69069L) + lit(1L)) % lit(P)
-    h3 % lit(100L)
+    h3 % lit(n.toLong)
   }
 
+  /** DuckDB mirror of [[hashShard]] — keep token-for-token in sync. */
+  def hashShardSql(keyExpr: String, n: Int): String =
+    s"((((($keyExpr % $P + $P) % $P) * 1103515245 + 12345) % $P * 69069 + 1) % $P) % $n"
+
+  /** Pseudo-random bucket in [0, 100) from a numeric key. */
+  def hashBucket(key: Column): Column = hashShard(key, 100)
+
   /** DuckDB mirror of [[hashBucket]] — keep token-for-token in sync. */
-  def hashBucketSql(keyExpr: String): String =
-    s"((((($keyExpr % $P + $P) % $P) * 1103515245 + 12345) % $P * 69069 + 1) % $P) % 100"
+  def hashBucketSql(keyExpr: String): String = hashShardSql(keyExpr, 100)
 
   /** Keep ~`percent`% of rows, selected deterministically by key. */
   def hashSample(df: DataFrame, keyCol: String, percent: Int): DataFrame = {
@@ -111,6 +120,37 @@ object Sampling {
     val priority = hashUniform(col(keyCol)) / col(weightCol).cast("double")
     df.filter(col(weightCol) > 0) // zero/negative weight = never sampled
       .withColumn("priority", graft.functions.MathFunctions.floorRound(priority, roundTo))
+  }
+
+  /** Output-shard assignment + balance audit: assign each row a deterministic
+    * shard via [[hashShard]] and report per-shard row counts, payload bytes,
+    * and the skew ratios against a perfectly uniform assignment. This is the
+    * check a training pipeline runs BEFORE writing n output shards: a skewed
+    * shard map means stragglers at write time and at training-data load time.
+    * Hash-sharding (vs. range or round-robin) keeps assignment stable across
+    * reruns and repartitioning, so incremental re-exports land rows in the
+    * same shard.
+    *
+    * Plan shape: map-only shard assignment, one n-row partial-aggregated
+    * groupBy, one broadcast single-row total — the corpus is never shuffled
+    * by anything wider than the 8-byte shard key.
+    */
+  def shardBalance(df: DataFrame, keyCol: String, sizeCol: String,
+                   nShards: Int): DataFrame = {
+    val perShard = df
+      .withColumn("shard", hashShard(col(keyCol), nShards))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"), sum(col(sizeCol)).cast("long").as("shard_bytes"))
+    val totals = df.agg(count(lit(1)).as("__rows"), sum(col(sizeCol)).cast("long").as("__bytes"))
+    import graft.functions.MathFunctions.floorRound
+    perShard.crossJoin(totals)
+      // skew = this shard's share × nShards (1.0 = perfectly uniform)
+      .withColumn("row_skew",
+        floorRound(col("n_rows").cast("double") * nShards / col("__rows").cast("double"), 4))
+      .withColumn("byte_skew",
+        floorRound(col("shard_bytes").cast("double") * nShards / col("__bytes").cast("double"), 4))
+      .select("shard", "n_rows", "shard_bytes", "row_skew", "byte_skew")
+      .orderBy("shard")
   }
 
   /** [[weightedSample]] per stratum — `k` weighted winners within EACH group

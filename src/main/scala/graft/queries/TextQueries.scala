@@ -83,10 +83,10 @@ object TextQueries {
     * → Jaccard-verified pairs (pairs). Mirrors Dedup.minhashLshPairs with
     * shingleSize=3, numHashes=32, bands=16.
     */
-  private val minhashPairsCtes: String = {
-    val jacExpr = """CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-                    |      / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE)""".stripMargin
-    s"""WITH tok AS (
+  /** tok → th → shl prefix alone (per-doc ordered trigram shingle hashes) —
+    * also the base of the novelty oracle (q93). */
+  private val shingleCtes: String =
+    s"""tok AS (
        |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
        |    unnest(generate_series(1, len(string_split(text,' ')))) AS pos
        |  FROM documents),
@@ -101,7 +101,14 @@ object TextQueries {
        |  SELECT a.doc_id,
        |    (((a.h * $HR + b.h) % $HP) * $HR + c.h) % $HP AS sh
        |  FROM th a JOIN th b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-       |            JOIN th c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+       |            JOIN th c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)""".stripMargin
+
+  /** [[shingleCtes]] extended through signatures, band keys and candidate
+    * pairs — the chain shared by the pair verify (q22b/q45/q92) and the
+    * sketch-accuracy audit (q94), which needs `mh` and `cand` but not the
+    * Jaccard tail. */
+  private val minhashCandCtes: String =
+    s"""WITH $shingleCtes,
        |sh AS (SELECT doc_id, list_distinct(list(sh)) AS s FROM shl GROUP BY doc_id),
        |mh AS (
        |  SELECT doc_id, j, min(${affineSql("sh", "j")}) AS mh
@@ -116,12 +123,20 @@ object TextQueries {
        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM bk x JOIN bk y
        |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Exact-Jaccard expression over the attached shingle sets — shared by the
+    * pairs tail and the q94 audit oracle. */
+  private val jacExpr: String =
+    """CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      |      / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE)""".stripMargin
+
+  private val minhashPairsCtes: String =
+    s"""$minhashCandCtes,
        |pairs AS (
        |  SELECT id_a, id_b, ${frs(jacExpr, 4)} AS jac
        |  FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
        |            JOIN sh sb ON cand.id_b = sb.doc_id)""".stripMargin
-  }
 
   private val minhashLshOracle: String =
     s"""$minhashPairsCtes
@@ -1023,5 +1038,54 @@ object TextQueries {
            |  AND ${splitCase("id_a")} <> ${splitCase("id_b")}
            |ORDER BY 1, 2""".stripMargin
       }),
+
+    // Per-doc n-gram novelty: fraction of a doc's distinct trigram shingles
+    // first seen (min doc_id) in that doc — the redundancy-contribution
+    // score; shingle-granular keep-first, where q44/q45 are doc-granular.
+    "q93_novelty" -> Q(
+      (s, dir) => Dedup.noveltyScores(
+          Tables.documents(s, dir), "doc_id", "text", shingleSize = 3)
+        .orderBy("doc_id"),
+      Some(s"""WITH $shingleCtes,
+             |sh0 AS (SELECT DISTINCT doc_id, sh FROM shl),
+             |fst AS (SELECT sh, min(doc_id) AS first_id FROM sh0 GROUP BY 1)
+             |SELECT doc_id, count(*) AS n_shingles,
+             |  CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |  ${frs("CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4)} AS novelty
+             |FROM sh0 JOIN fst USING (sh)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // MinHash estimator accuracy audit over the LSH candidates: estimated
+    // Jaccard (signature agreement fraction) vs exact shingle-set Jaccard —
+    // the sketch-error twin of the ANN recall audits (q76/q78).
+    "q94_sketch_jaccard_audit" -> Q(
+      (s, dir) => Dedup.sketchJaccardAudit(
+        Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 16),
+      Some(s"""$minhashCandCtes,
+             |est AS (
+             |  SELECT c.id_a, c.id_b,
+             |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS nm
+             |  FROM cand c JOIN mh a ON a.doc_id = c.id_a
+             |              JOIN mh b ON b.doc_id = c.id_b AND b.j = a.j
+             |  GROUP BY 1, 2),
+             |r AS (
+             |  SELECT e.id_a, e.id_b,
+             |    ${frs("CAST(nm AS DOUBLE) / 32", 4)} AS est_jac,
+             |    ${frs(jacExpr, 4)} AS exact_jac
+             |  FROM est e JOIN sh sa ON e.id_a = sa.doc_id
+             |             JOIN sh sb ON e.id_b = sb.doc_id)
+             |SELECT id_a, id_b, est_jac, exact_jac,
+             |  ${frs("abs(est_jac - exact_jac)", 4)} AS abs_err
+             |FROM r ORDER BY 1, 2""".stripMargin)),
+
+    // Okapi BM25 ranking for a fixed query-term set — lexical retrieval next
+    // to the vector search family; 'dup' is the one rare term in the fixture
+    // vocabulary (df≈5% vs ≈78%), so idf actually differentiates.
+    "q96_bm25" -> Q(
+      (s, dir) => graft.operators.Retrieval.bm25(
+        Tables.documents(s, dir), "doc_id", "text", Seq("dup", "vector", "query")),
+      Some(graft.operators.Retrieval.bm25Sql(
+        "documents", "doc_id", "text", Seq("dup", "vector", "query")))),
   )
 }

@@ -534,4 +534,106 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(r(2L) === (3L, 3L)) // every window already seen in doc 1
     assert(r(3L) === (1L, 0L))
   }
+
+  // ---- Dedup.noveltyScores ----
+
+  test("noveltyScores: first doc fully novel, exact dup fully redundant, short doc absent") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup: zero novelty
+      (3L, "totally different words entirely fresh"),
+      (4L, "one two")) // < 3 tokens: no trigram shingles
+      .toDF("doc_id", "text")
+    val r = Dedup.noveltyScores(d, "doc_id", "text", shingleSize = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) === (3L, 3L, 1.0))
+    assert(r(2L) === (3L, 0L, 0.0))
+    assert(r(3L)._3 === 1.0)
+    assert(!r.contains(4L))
+  }
+
+  // ---- Dedup.sketchJaccardAudit ----
+
+  test("sketchJaccardAudit: exact dup estimates jac=1 with zero error; est within sketch variance") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"))
+      .toDF("doc_id", "text")
+    val r = Dedup.sketchJaccardAudit(d, "doc_id", "text", 3, 32, 16)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> (x.getDouble(2), x.getDouble(3), x.getDouble(4))).toMap
+    val (est, exact, err) = r((1L, 2L))
+    assert(est === 1.0 && exact === 1.0 && err === 0.0)
+    // near-dup pair: estimate must be within 4 sketch stddevs (~0.36) of exact
+    r.get((1L, 3L)).foreach { case (e2, x2, d2) =>
+      assert(d2 <= 0.4, s"estimate $e2 too far from exact $x2")
+    }
+  }
+
+  // ---- Sampling.shardBalance ----
+
+  test("shardBalance: shards partition the input and skews average to 1") {
+    import graft.operators.Sampling
+    val df = (0L until 800L).map(i => (i, 100L)).toDF("id", "bytes")
+    val r = Sampling.shardBalance(df, "id", "bytes", nShards = 8).collect()
+    assert(r.map(_.getLong(0)).toSeq === (0L until 8L))         // every shard occupied
+    assert(r.map(_.getLong(1)).sum === 800L)                    // exhaustive
+    assert(r.map(_.getLong(2)).sum === 80000L)
+    val skews = r.map(_.getDouble(3))
+    assert(math.abs(skews.sum / 8 - 1.0) < 0.01)                // shares sum to ~nShards
+    assert(skews.forall(s => s > 0.5 && s < 1.5))               // mixing hash is fair
+  }
+
+  // ---- Retrieval.bm25 ----
+
+  test("bm25: rare term outranks common term; scores length-normalized and deterministic") {
+    import graft.operators.Retrieval
+    val d = Seq(
+      (1L, "needle common common common"),
+      (2L, "common common common common"),
+      (3L, "common needle needle filler"),
+      (4L, "other words entirely here")).toDF("doc_id", "text")
+    val r = Retrieval.bm25(d, "doc_id", "text", Seq("needle", "common"), topK = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    // docs containing the rare term beat the one with only the common term
+    assert(r(3L) > r(2L) && r(1L) > r(2L))
+    assert(!r.contains(4L)) // no query term -> no row
+    // tf saturation: doc 3 has needle×2 and should beat doc 1 (needle×1)
+    assert(r(3L) > r(1L))
+  }
+
+  // ---- Layout ----
+
+  test("compactionPlan: bins respect partition boundaries and cover every file once") {
+    import graft.operators.Layout
+    val files = Seq(
+      ("a", 1L, 400L), ("a", 2L, 400L), ("a", 3L, 400L),  // offsets 0/400/800: one bin
+      ("b", 4L, 2500L),                                   // single oversized file
+      ("b", 5L, 100L))
+      .toDF("part", "file_id", "bytes")
+    val r = Layout.compactionPlan(files, "part", "file_id", "bytes", targetBytes = 1000L)
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(r(("a", 0L)) === (3L, 1200L)) // 0,400,800 all start under 1000
+    assert(r(("b", 0L)) === (1L, 2500L)) // oversized file occupies bin 0 alone
+    assert(r(("b", 2L)) === (1L, 100L))  // next file starts at offset 2500 -> bin 2
+    assert(r.values.map(_._1).sum === 5L)
+  }
+
+  test("zValue16 interleaves bits; zorderAudit tightens both spans vs natural") {
+    import graft.operators.Layout
+    // z(1,0)=1, z(0,1)=2, z(3,3)=15, z(65535,65535)=2^32-1
+    val z = Seq((1L, 0L), (0L, 1L), (3L, 3L), (65535L, 65535L)).toDF("x", "y")
+      .select(Layout.zValue16($"x", $"y")).collect().map(_.getLong(0)).toSeq
+    assert(z === Seq(1L, 2L, 15L, (1L << 32) - 1))
+    // a grid where natural key order is x-major: natural blocks span all of y,
+    // z-order blocks stay local in both dims
+    val grid = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x * 32 + y, x, y))
+      .toDF("k", "x", "y")
+    val audit = Layout.zorderAudit(grid, "k", "x", "y", blockRows = 64)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    // natural blocks = 2 full x-rows (span 1 × 31); each aligned 64-z run is
+    // an 8×8 Morton tile (span 7 × 7): worst-dim span drops 31 -> 7
+    assert(audit("natural") === ((1.0, 31.0)))
+    assert(audit("zorder") === ((7.0, 7.0)))
+  }
 }
