@@ -41,4 +41,45 @@ object Cleaning {
       hits(col(textCol), PiiRules(1)._1).cast("long").as("n_ips"),
       hits(col(textCol), PiiRules(2)._1).cast("long").as("n_phones"),
       scrub(col(textCol)).as("clean_text"))
+
+  /** CCNet-style boilerplate removal at SEGMENT granularity: cut every
+    * document into fixed `windowTokens`-token segments ([[Chunker.chunk]],
+    * zero overlap), call a segment boilerplate when its exact text occurs in
+    * more than `maxDocs` DISTINCT documents (headers, footers, navigation,
+    * license blurbs), and rebuild each document from its surviving segments
+    * in order. Output: (id, n_chunks, n_dropped, clean_text) — clean_text is
+    * "" when every segment was boilerplate.
+    *
+    * This is the REMOVAL counterpart of [[Dedup.chunkDupStats]] (which only
+    * measures): document-level dedup keeps one copy of a shared footer per
+    * document pair; this deletes it everywhere once it crosses the document
+    * count threshold.
+    *
+    * Plan shape at 100 TB: chunking is a map-only explode; the hot-segment
+    * dictionary is one shuffle on segment text bounded by distinct-segment
+    * cardinality (count-distinct of ids partially aggregates), and at
+    * corpus scale the dictionary (segments in > maxDocs docs) is small —
+    * the join back is broadcastable. Reassembly shuffles (id, chunk) rows
+    * once. Segment keys could hash to 16 bytes before the shuffle if
+    * windows are long.
+    */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       windowTokens: Int, maxDocs: Int): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val chunks = Chunker.chunk(df, idCol, textCol, windowTokens, overlap = 0)
+    val hot = chunks.groupBy("chunk_text")
+      .agg(count_distinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") > maxDocs)
+      .select(col("chunk_text"), lit(1L).as("__hot"))
+    chunks.join(hot, Seq("chunk_text"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("__hot"), lit(0L))).cast("long").as("n_dropped"),
+        // collect_list skips nulls, so the when() keeps only clean segments;
+        // sort_array orders the structs by chunk_id (first field)
+        array_join(transform(
+          sort_array(collect_list(when(col("__hot").isNull,
+            struct(col("chunk_id"), col("chunk_text"))))),
+          s => s.getField("chunk_text")), " ").as("clean_text"))
+  }
 }

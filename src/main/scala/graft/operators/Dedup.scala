@@ -263,6 +263,50 @@ object Dedup {
     keepFirst(df, idCol,
       minhashLshPairs(df, idCol, textCol, shingleSize, numHashes, bands, threshold))
 
+  /** Incremental near-dup dedup: which DELTA documents survive against an
+    * existing corpus? A delta doc is dropped when it near-duplicates (MinHash
+    * band collision + exact-Jaccard ≥ threshold) ANY corpus doc — the corpus
+    * always wins, regardless of id order — or an earlier (lower-id) delta
+    * doc. This is the ingestion-time path at 100 TB: the standing corpus is
+    * NOT re-deduped (its band keys are a precomputable index; here they are
+    * derived inline), and candidate generation only ever joins delta band
+    * keys against it — cost scales with the delta, not the corpus.
+    */
+  def dedupDeltaAgainstCorpus(corpus: DataFrame, delta: DataFrame, idCol: String,
+                              textCol: String, shingleSize: Int, numHashes: Int,
+                              bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val tagged = corpus.select(col(idCol), col(textCol)).withColumn("__is_delta", lit(false))
+      .unionByName(delta.select(col(idCol), col(textCol)).withColumn("__is_delta", lit(true)))
+    val sig = tagged
+      .select(col(idCol), col("__is_delta"), shingleHashesPoly(col(textCol), shingleSize).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("sig", minhashSignaturePoly(col("hs"), numHashes))
+      .cache() // banded twice (probe + index side) and re-joined for verify
+    val banded = sig
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("band_key", bandKey(col("sig"), col("band"), rows))
+      .select(col(idCol), col("__is_delta"), col("band"), col("band_key"))
+    val probe = banded.filter(col("__is_delta"))
+      .select(col(idCol).as("id_b"), col("band"), col("band_key"))
+    val index = banded
+      .select(col(idCol).as("id_a"), col("__is_delta").as("__delta_a"), col("band"), col("band_key"))
+    val cand = probe.join(index, Seq("band", "band_key"))
+      .filter(col("id_a") =!= col("id_b") &&
+        (!col("__delta_a") || col("id_a") < col("id_b")))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val dropped = cand
+      .join(sig.select(col(idCol).as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(sig.select(col(idCol).as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("jac", floorRound(jaccardSorted(col("hs_a"), col("hs_b")), 4))
+      .filter(col("jac") >= threshold)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    delta.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Near-dup clusters via iterative min-label propagation over the pair
     * graph (connected components). Each iteration joins the current labels
     * across edges and takes the min — converges in O(diameter) rounds;

@@ -122,6 +122,50 @@ object Sampling {
       .withColumn("priority", graft.functions.MathFunctions.floorRound(priority, roundTo))
   }
 
+  /** Split-distribution drift audit: total-variation distance between the
+    * unigram token distributions of each pair of [[assignSplit]] splits —
+    * the check that a hash split didn't land train and test on measurably
+    * different text (it shouldn't; this PROVES it per corpus instead of
+    * assuming it). TV = ½·Σ_w |p_w − q_w| computed as the integer form
+    * Σ_w |c1_w·T2 − c2_w·T1| / (2·T1·T2): the numerator is an exact integer
+    * sum (order-free, so Spark's partition-parallel aggregation and the
+    * oracle's agree bit-for-bit), divided once at the end. Products stay
+    * below 2⁶³ while per-word counts < 2³¹ and split totals < 2³²; beyond
+    * that, pre-scale counts or accept double accumulation.
+    *
+    * Output: one row per split pair (split_a, split_b, n_words, tv_dist),
+    * n_words = |vocabulary union of the pair|. Plan shape: one token-count
+    * shuffle on (split, w), then per-pair joins on the vocabulary — bounded
+    * by distinct-word cardinality, never the corpus.
+    */
+  def splitDrift(df: DataFrame, idCol: String, textCol: String,
+                 trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    import graft.functions.MathFunctions.floorRound
+    val tok = assignSplit(df.select(col(idCol), col(textCol)), idCol, trainPct, valPct)
+      .select(col("split"), explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val counts = tok.groupBy("split", "w").agg(count(lit(1)).as("c")).cache()
+    val totals = tok.groupBy("split").agg(count(lit(1)).as("t")).cache()
+    def pair(a: String, b: String): DataFrame = {
+      val ca = counts.filter(col("split") === a).select(col("w"), col("c").as("ca"))
+      val cb = counts.filter(col("split") === b).select(col("w"), col("c").as("cb"))
+      val ta = totals.filter(col("split") === a).select(col("t").as("ta"))
+      val tb = totals.filter(col("split") === b).select(col("t").as("tb"))
+      ca.join(cb, Seq("w"), "full_outer")
+        .na.fill(0L, Seq("ca", "cb"))
+        .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+        .agg(count(lit(1)).as("n_words"),
+          sum(abs(col("ca") * col("tb") - col("cb") * col("ta"))).cast("long").as("__num"),
+          max("ta").as("__ta"), max("tb").as("__tb"))
+        .select(lit(a).as("split_a"), lit(b).as("split_b"), col("n_words"),
+          floorRound(col("__num").cast("double") /
+            (lit(2.0) * col("__ta").cast("double") * col("__tb").cast("double")), 6)
+            .as("tv_dist"))
+    }
+    pair("train", "val").unionByName(pair("train", "test")).unionByName(pair("val", "test"))
+      .orderBy("split_a", "split_b")
+  }
+
   /** Output-shard assignment + balance audit: assign each row a deterministic
     * shard via [[hashShard]] and report per-shard row counts, payload bytes,
     * and the skew ratios against a perfectly uniform assignment. This is the

@@ -103,11 +103,10 @@ object TextQueries {
        |  FROM th a JOIN th b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
        |            JOIN th c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)""".stripMargin
 
-  /** [[shingleCtes]] extended through signatures, band keys and candidate
-    * pairs — the chain shared by the pair verify (q22b/q45/q92) and the
-    * sketch-accuracy audit (q94), which needs `mh` and `cand` but not the
-    * Jaccard tail. */
-  private val minhashCandCtes: String =
+  /** [[shingleCtes]] extended through shingle sets, signatures and band keys
+    * — the prefix every LSH oracle shares; candidate joins differ per query
+    * (symmetric id<id for the pair family, corpus-vs-delta for q99). */
+  private val minhashBkCtes: String =
     s"""WITH $shingleCtes,
        |sh AS (SELECT doc_id, list_distinct(list(sh)) AS s FROM shl GROUP BY doc_id),
        |mh AS (
@@ -118,7 +117,13 @@ object TextQueries {
        |  SELECT e.doc_id, e.j // 2 AS band,
        |    ((((e.j // 2 + 1) * $HR + e.mh) % $HP) * $HR + o.mh) % $HP AS band_key
        |  FROM mh e JOIN mh o ON e.doc_id = o.doc_id AND o.j = e.j + 1
-       |  WHERE e.j % 2 = 0),
+       |  WHERE e.j % 2 = 0)""".stripMargin
+
+  /** [[minhashBkCtes]] plus the symmetric (id_a < id_b) candidate join —
+    * shared by the pair verify (q22b/q45/q92) and the sketch-accuracy audit
+    * (q94), which needs `mh` and `cand` but not the Jaccard tail. */
+  private val minhashCandCtes: String =
+    s"""$minhashBkCtes,
        |cand AS (
        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM bk x JOIN bk y
@@ -1087,5 +1092,100 @@ object TextQueries {
         Tables.documents(s, dir), "doc_id", "text", Seq("dup", "vector", "query")),
       Some(graft.operators.Retrieval.bm25Sql(
         "documents", "doc_id", "text", Seq("dup", "vector", "query")))),
+
+    // Incremental ingestion dedup: delta docs (doc_id % 10 = 0) that survive
+    // LSH near-dup checks against the standing corpus (corpus always wins,
+    // regardless of id order) and earlier delta docs — the daily-ingest path
+    // where the corpus is never re-deduped.
+    "q99_delta_dedup" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.dedupDeltaAgainstCorpus(
+            corpus = docs.filter(col("doc_id") % 10 =!= 0),
+            delta  = docs.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16,
+            threshold = JaccardThreshold)
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some(s"""$minhashBkCtes,
+             |cand AS (
+             |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+             |  FROM bk x JOIN bk y ON x.band = y.band AND x.band_key = y.band_key
+             |  WHERE y.doc_id % 10 = 0 AND x.doc_id <> y.doc_id
+             |    AND (x.doc_id % 10 <> 0 OR x.doc_id < y.doc_id)
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT id_a, id_b, ${frs(jacExpr, 4)} AS jac
+             |  FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+             |            JOIN sh sb ON cand.id_b = sb.doc_id)
+             |SELECT doc_id, lang, source, n_chars FROM documents
+             |WHERE doc_id % 10 = 0
+             |  AND doc_id NOT IN (SELECT id_b FROM pairs WHERE jac >= $JaccardThreshold)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // CCNet-style boilerplate scrub: 5-token segments occurring in > 1
+    // distinct docs are deleted EVERYWHERE and documents are rebuilt from
+    // the surviving segments in order — removal, where q88 only measures.
+    "q100_boilerplate_scrub" -> Q(
+      (s, dir) => graft.operators.Cleaning.stripBoilerplate(
+          Tables.documents(s, dir), "doc_id", "text",
+          windowTokens = 5, maxDocs = 1)
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |ch AS (
+             |  SELECT doc_id, i AS chunk_id,
+             |    array_to_string(toks[(5*i+1):(5*i+5)], ' ') AS chunk_text
+             |  FROM (SELECT doc_id, toks,
+             |          unnest(generate_series(0,
+             |            CAST(floor((greatest(len(toks)-5, 0)+4) / 5.0) AS BIGINT))) AS i
+             |        FROM t)),
+             |hot AS (
+             |  SELECT chunk_text FROM (
+             |    SELECT chunk_text, count(DISTINCT doc_id) AS d FROM ch GROUP BY 1)
+             |  WHERE d > 1),
+             |fl AS (
+             |  SELECT ch.doc_id, ch.chunk_id, ch.chunk_text,
+             |    CASE WHEN hot.chunk_text IS NOT NULL THEN 1 ELSE 0 END AS h
+             |  FROM ch LEFT JOIN hot USING (chunk_text))
+             |SELECT doc_id, count(*) AS n_chunks,
+             |  CAST(sum(h) AS BIGINT) AS n_dropped,
+             |  coalesce(array_to_string(list(chunk_text ORDER BY chunk_id) FILTER (WHERE h = 0), ' '), '') AS clean_text
+             |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Split-drift audit: exact-integer total-variation distance between the
+    // unigram distributions of every train/val/test pair — proof (not
+    // assumption) that the hash split is distributionally neutral.
+    "q101_split_drift" -> Q(
+      (s, dir) => graft.operators.Sampling.splitDrift(
+        Tables.documents(s, dir), "doc_id", "text"),
+      Some {
+        val bucket = graft.operators.Sampling.hashBucketSql("doc_id")
+        s"""WITH tok AS (
+           |  SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+           |              ELSE 'test' END AS split, w
+           |  FROM (SELECT $bucket AS b, unnest(string_split(text,' ')) AS w
+           |        FROM documents)
+           |  WHERE w <> ''),
+           |c AS (SELECT split, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+           |t AS (SELECT split, CAST(count(*) AS BIGINT) AS t FROM tok GROUP BY 1),
+           |p AS (SELECT * FROM (VALUES ('train','val'), ('train','test'), ('val','test')) AS v(sa, sb)),
+           |v AS (SELECT DISTINCT w FROM tok),
+           |j AS (
+           |  SELECT p.sa, p.sb, v.w, coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+           |  FROM p CROSS JOIN v
+           |  LEFT JOIN c ca ON ca.split = p.sa AND ca.w = v.w
+           |  LEFT JOIN c cb ON cb.split = p.sb AND cb.w = v.w
+           |  WHERE coalesce(ca.c, 0) > 0 OR coalesce(cb.c, 0) > 0),
+           |agg AS (
+           |  SELECT sa, sb, count(*) AS n_words,
+           |    CAST(sum(abs(ca * tb.t - cb * ta.t)) AS BIGINT) AS num,
+           |    max(ta.t) AS ta, max(tb.t) AS tb
+           |  FROM j JOIN t ta ON ta.split = j.sa JOIN t tb ON tb.split = j.sb
+           |  GROUP BY 1, 2)
+           |SELECT sa AS split_a, sb AS split_b, n_words,
+           |  ${frs("CAST(num AS DOUBLE) / (CAST(2.0 AS DOUBLE) * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))", 6)} AS tv_dist
+           |FROM agg ORDER BY split_a, split_b""".stripMargin
+      }),
   )
 }

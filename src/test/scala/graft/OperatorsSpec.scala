@@ -636,4 +636,66 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(audit("natural") === ((1.0, 31.0)))
     assert(audit("zorder") === ((7.0, 7.0)))
   }
+
+  // ---- Cleaning.stripBoilerplate ----
+
+  test("stripBoilerplate deletes shared segments everywhere, keeps order, empties fully-hot docs") {
+    import graft.operators.Cleaning
+    val footer = "standard footer text here"  // shared 5-token segment... (4 tokens + 1)
+    val d = Seq(
+      (1L, s"unique alpha words first one $footer extra"),    // footer at segment 1
+      (2L, s"other beta content second doc $footer extra"),   // footer at segment 1
+      (3L, footer))                                            // only the footer
+      .toDF("doc_id", "text")
+    // chunks of 5: doc1 = [unique alpha words first one][footer...extra? footer is 4 words + extra]
+    val r = Cleaning.stripBoilerplate(d, "doc_id", "text", windowTokens = 5, maxDocs = 1)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getString(3))).toMap
+    // segment "standard footer text here extra" occurs in docs 1 and 2 -> hot
+    assert(r(1L) === ((2L, 1L, "unique alpha words first one")))
+    assert(r(2L) === ((2L, 1L, "other beta content second doc")))
+    // doc 3's lone segment "standard footer text here" occurs only in doc 3
+    // (docs 1/2 have it fused with "extra") -> kept
+    assert(r(3L)._3 === footer)
+  }
+
+  test("stripBoilerplate: identical docs above threshold collapse to empty text") {
+    import graft.operators.Cleaning
+    val t = "one two three four five six seven"
+    val d = Seq((1L, t), (2L, t), (3L, t)).toDF("doc_id", "text")
+    val r = Cleaning.stripBoilerplate(d, "doc_id", "text", windowTokens = 5, maxDocs = 2)
+      .collect().map(x => x.getLong(0) -> x.getString(3)).toMap
+    assert(r.values.toSet === Set("")) // every segment in 3 > 2 docs
+  }
+
+  // ---- Dedup.dedupDeltaAgainstCorpus ----
+
+  test("dedupDeltaAgainstCorpus: corpus wins regardless of id order; delta keep-first applies") {
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"), // higher id than delta dup
+      (101L, "totally unrelated corpus content words here now"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),  // dups corpus 100 (corpus wins)
+      (2L, "fresh new delta document with novel token stream"),
+      (3L, "fresh new delta document with novel token stream"))// dups earlier delta 2
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupDeltaAgainstCorpus(corpus, delta, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(2L)) // 1 lost to corpus despite lower id; 3 lost to 2
+  }
+
+  // ---- Sampling.splitDrift ----
+
+  test("splitDrift: identical distributions give zero TV; disjoint vocabularies give TV=1") {
+    import graft.operators.Sampling
+    // every doc has the same text -> all splits have identical unigram dists
+    val same = (0L until 300L).map(i => (i, "x y z")).toDF("doc_id", "text")
+    val r = Sampling.splitDrift(same, "doc_id", "text")
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getDouble(3)).toMap
+    assert(r.size === 3)
+    assert(r.values.forall(_ === 0.0))
+    // three rows, fixed pair order
+    assert(r.keySet === Set(("train", "val"), ("train", "test"), ("val", "test")))
+  }
 }
