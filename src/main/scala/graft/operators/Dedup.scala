@@ -112,6 +112,30 @@ object Dedup {
       (band + 1).cast("long"),
       (acc, x) => (acc * PolyHash.R + x) % PolyHash.P)
 
+  /** Shingle hashes + LSH band keys for every row: (idCol, hs, band,
+    * band_key), one row per band. Pure map-side expressions (fused kernels +
+    * band explode), so it works identically over a batch relation and a
+    * structured stream — [[graft.streaming.StreamingDedup]] probes a static
+    * index built by this against a stream banded by this.
+    */
+  private[graft] def bandKeysFor(df: DataFrame, idCol: String, textCol: String,
+                                 shingleSize: Int, numHashes: Int,
+                                 bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    withShinglesPoly(df, idCol, textCol, shingleSize)
+      .withColumn("sig", minhashSignaturePoly(col("hs"), numHashes))
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("band_key", bandKey(col("sig"), col("band"), rows))
+      .select(col(idCol), col("hs"), col("band"), col("band_key"))
+  }
+
+  /** Exposed pair verifier for composition with [[bandKeysFor]]: exact
+    * Jaccard over sorted shingle-hash arrays (merge-walk kernel). */
+  private[graft] def jaccardOfSorted(a: org.apache.spark.sql.Column,
+                                     b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    jaccardSorted(a, b)
+
   /** MinHash-LSH near-dup pairs: banding join for candidates, exact Jaccard
     * verify. `numHashes` must be divisible by `bands`.
     */

@@ -148,6 +148,27 @@ object TextQueries {
        |SELECT id_a, id_b, jac FROM pairs
        |WHERE jac >= $JaccardThreshold ORDER BY 1, 2""".stripMargin
 
+  /** Incremental-dedup oracle — shared verbatim by the batch (q99) and
+    * streaming (q102) forms: delta docs (id % 10 = 0) survive unless a
+    * corpus doc (any id order) or an earlier delta doc near-duplicates them.
+    */
+  private val deltaDedupOracle: String =
+    s"""$minhashBkCtes,
+       |cand AS (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bk x JOIN bk y ON x.band = y.band AND x.band_key = y.band_key
+       |  WHERE y.doc_id % 10 = 0 AND x.doc_id <> y.doc_id
+       |    AND (x.doc_id % 10 <> 0 OR x.doc_id < y.doc_id)
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b, ${frs(jacExpr, 4)} AS jac
+       |  FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+       |            JOIN sh sb ON cand.id_b = sb.doc_id)
+       |SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id % 10 = 0
+       |  AND doc_id NOT IN (SELECT id_b FROM pairs WHERE jac >= $JaccardThreshold)
+       |ORDER BY doc_id""".stripMargin
+
   private val dedupCorpusLshOracle: String =
     s"""$minhashPairsCtes
        |SELECT doc_id, lang, source, n_chars FROM documents
@@ -1108,21 +1129,18 @@ object TextQueries {
           .select("doc_id", "lang", "source", "n_chars")
           .orderBy("doc_id")
       },
-      Some(s"""$minhashBkCtes,
-             |cand AS (
-             |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
-             |  FROM bk x JOIN bk y ON x.band = y.band AND x.band_key = y.band_key
-             |  WHERE y.doc_id % 10 = 0 AND x.doc_id <> y.doc_id
-             |    AND (x.doc_id % 10 <> 0 OR x.doc_id < y.doc_id)
-             |  GROUP BY 1, 2),
-             |pairs AS (
-             |  SELECT id_a, id_b, ${frs(jacExpr, 4)} AS jac
-             |  FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
-             |            JOIN sh sb ON cand.id_b = sb.doc_id)
-             |SELECT doc_id, lang, source, n_chars FROM documents
-             |WHERE doc_id % 10 = 0
-             |  AND doc_id NOT IN (SELECT id_b FROM pairs WHERE jac >= $JaccardThreshold)
-             |ORDER BY doc_id""".stripMargin)),
+      Some(deltaDedupOracle)),
+
+    // The SAME delta-dedup semantics through the streaming engine: arriving
+    // delta docs band map-side and probe the standing corpus index via a
+    // stream-static join (zero streaming state; post-drain reconciliation).
+    // Checked against the identical oracle as the batch q99.
+    "q102_stream_delta_dedup" -> Q(
+      (s, dir) => graft.streaming.StreamingDedup.deltaDedup(s, dir,
+          shingleSize = 3, numHashes = 32, bands = 16, threshold = JaccardThreshold)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+      Some(deltaDedupOracle)),
 
     // CCNet-style boilerplate scrub: 5-token segments occurring in > 1
     // distinct docs are deleted EVERYWHERE and documents are rebuilt from

@@ -488,5 +488,39 @@ object VectorQueries {
              |FROM embeddings e JOIN assign s ON e.vec_id = s.vec_id
              |WHERE e.vec_id NOT IN (SELECT id_b FROM pairs)
              |ORDER BY e.vec_id""".stripMargin)),
+
+    // Contrastive triplet mining: per anchor (vec_id % 50 = 0), top-5 cosine
+    // positives + 5 hash-picked negatives — the deterministic
+    // (anchor, pos, neg) feed of contrastive/distillation training.
+    "q103_contrastive_pairs" -> Q(
+      (s, dir) => graft.operators.Contrastive.minePairs(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        anchorMod = 50L, kPos = 5, kNeg = 5),
+      Some {
+        val pri = graft.operators.Sampling.hashUniformSql("(s.anchor_id * 1000003 + s.pair_id)")
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0),
+           |a AS (SELECT vec_id AS anchor_id, embedding AS av FROM e WHERE vec_id % 50 = 0),
+           |scored AS (
+           |  SELECT anchor_id, e.vec_id AS pair_id,
+           |    ${frs("list_cosine_similarity(e.embedding::DOUBLE[], av::DOUBLE[])", 6)} AS score
+           |  FROM a JOIN e ON e.vec_id <> anchor_id),
+           |pos AS (
+           |  SELECT anchor_id, pair_id, score,
+           |    row_number() OVER (PARTITION BY anchor_id ORDER BY score DESC, pair_id) AS pair_rank
+           |  FROM scored QUALIFY pair_rank <= 5),
+           |neg AS (
+           |  SELECT s.anchor_id, s.pair_id, s.score,
+           |    row_number() OVER (PARTITION BY s.anchor_id ORDER BY $pri, s.pair_id) AS pair_rank
+           |  FROM scored s
+           |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+           |    WHERE p.anchor_id = s.anchor_id AND p.pair_id = s.pair_id)
+           |  QUALIFY pair_rank <= 5)
+           |SELECT anchor_id, pair_id, 'pos' AS kind, CAST(pair_rank AS BIGINT) AS pair_rank, score FROM pos
+           |UNION ALL
+           |SELECT anchor_id, pair_id, 'neg' AS kind, CAST(pair_rank AS BIGINT) AS pair_rank, score FROM neg
+           |ORDER BY anchor_id, kind, pair_rank""".stripMargin
+      }),
   )
 }

@@ -19,7 +19,7 @@ object StreamingAgg {
   /** One fixture table as a file-source stream (schema probed from the same
     * parquet — streaming sources need an explicit schema).
     */
-  private def streamTable(spark: SparkSession, dir: String, file: String): DataFrame =
+  private[streaming] def streamTable(spark: SparkSession, dir: String, file: String): DataFrame =
     spark.readStream
       .schema(spark.read.parquet(s"$dir/$file").schema)
       .option("pathGlobFilter", file)

@@ -685,6 +685,26 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(kept === Seq(2L)) // 1 lost to corpus despite lower id; 3 lost to 2
   }
 
+  // ---- Contrastive.minePairs ----
+
+  test("minePairs: nearest vector ranks pos#1, negatives exclude positives, zero-norm excluded") {
+    import graft.operators.Contrastive
+    val d = Seq(
+      (0L, Array(1.0f, 0.0f)),      // anchor (0 % 4 == 0)
+      (1L, Array(0.9f, 0.1f)),      // nearest
+      (2L, Array(0.0f, 1.0f)),      // orthogonal
+      (3L, Array(-1.0f, 0.0f)),     // opposite
+      (5L, Array(0.0f, 0.0f)))      // zero-norm: excluded everywhere
+      .toDF("vec_id", "embedding")
+    val r = Contrastive.minePairs(d, "vec_id", "embedding", anchorMod = 4L, kPos = 1, kNeg = 2)
+      .collect().map(x => (x.getString(2), x.getLong(3)) -> x.getLong(1)).toMap
+    assert(r(("pos", 1L)) === 1L)                   // cosine-nearest is the positive
+    val negs = r.collect { case (("neg", _), id) => id }.toSet
+    assert(negs.subsetOf(Set(2L, 3L)))              // not the positive, not the anchor
+    assert(negs.size === 2)
+    assert(!r.values.toSet.contains(5L))            // zero-norm never mined
+  }
+
   // ---- Sampling.splitDrift ----
 
   test("splitDrift: identical distributions give zero TV; disjoint vocabularies give TV=1") {

@@ -12,6 +12,19 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(batch.nonEmpty)
   }
 
+  test("streaming delta dedup equals the batch operator on the same split") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val batch = graft.operators.Dedup.dedupDeltaAgainstCorpus(
+        docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val stream = graft.streaming.StreamingDedup.deltaDedup(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stream === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("multi-batch streaming sessionization equals batch (open session carried)") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
