@@ -27,19 +27,63 @@ object Curation {
       ratePercent: Map[String, Int] = Map("en" -> 80),
       defaultPercent: Int = 60)
 
-  /** Curate `corpus` against `benchmark`; returns surviving documents with
-    * their quality/repetition scores attached (rounded, oracle-stable).
-    */
-  def curate(corpus: DataFrame, idCol: String, textCol: String,
+  /** Every intermediate relation of the curation chain, for callers that
+    * need stage visibility ([[funnel]]) — `sampled` is the final output. */
+  final case class Stages(raw: DataFrame, gated: DataFrame, deduped: DataFrame,
+                          clean: DataFrame, sampled: DataFrame)
+
+  /** The chain as named stages; [[curate]] is its last stage. */
+  def stages(corpus: DataFrame, idCol: String, textCol: String,
              benchmark: DataFrame, bTextCol: String, stratumCol: String,
-             p: Params = Params()): DataFrame = {
+             p: Params = Params()): Stages = {
     val scored = corpus
       .withColumn("quality", floorRound(qualityScore(col(textCol)), 4))
       .withColumn("rep_ratio", floorRound(repetitionScore(col(textCol), 3), 4))
     val gated   = scored.filter(col("quality") >= p.minQuality && col("rep_ratio") <= p.maxRepetition)
     val deduped = Dedup.exactDedup(gated, idCol, textCol)
     val clean   = Decontaminate.decontaminate(deduped, idCol, textCol, benchmark, bTextCol, p.shingleSize)
-    Sampling.stratifiedSample(clean, idCol, stratumCol, p.ratePercent, p.defaultPercent)
+    val sampled = Sampling.stratifiedSample(clean, idCol, stratumCol, p.ratePercent, p.defaultPercent)
+    Stages(corpus, gated, deduped, clean, sampled)
+  }
+
+  /** Curate `corpus` against `benchmark`; returns surviving documents with
+    * their quality/repetition scores attached (rounded, oracle-stable).
+    */
+  def curate(corpus: DataFrame, idCol: String, textCol: String,
+             benchmark: DataFrame, bTextCol: String, stratumCol: String,
+             p: Params = Params()): DataFrame =
+    stages(corpus, idCol, textCol, benchmark, bTextCol, stratumCol, p).sampled
+
+  /** Per-stage attrition report of the curation chain: one row per stage
+    * (raw → gated → deduped → decontaminated → sampled) with surviving
+    * document count and the fraction retained vs raw — the pipeline-health
+    * summary every curation run should publish (a stage suddenly dropping
+    * 40% is a bug or a data shift; either way it should be VISIBLE, not
+    * buried in the final count).
+    *
+    * Intermediate stages are cached before counting, so the five counts
+    * execute the chain once, not five times (Spark's CacheManager matches
+    * downstream stages' subplans against the cached generations by
+    * canonicalized-plan equality).
+    */
+  def funnel(corpus: DataFrame, idCol: String, textCol: String,
+             benchmark: DataFrame, bTextCol: String, stratumCol: String,
+             p: Params = Params()): DataFrame = {
+    val st = stages(corpus, idCol, textCol, benchmark, bTextCol, stratumCol, p)
+    st.gated.cache(); st.deduped.cache(); st.clean.cache()
+    val parts = Seq(
+      "raw" -> st.raw, "gated" -> st.gated, "deduped" -> st.deduped,
+      "decontaminated" -> st.clean, "sampled" -> st.sampled)
+    val counts = parts.zipWithIndex.map { case ((name, df), i) =>
+      df.agg(count(lit(1)).cast("long").as("n_docs"))
+        .select(lit(i.toLong).as("stage_idx"), lit(name).as("stage"), col("n_docs"))
+    }.reduce(_ unionByName _)
+    val raw = counts.filter(col("stage") === "raw").select(col("n_docs").as("__raw"))
+    counts.crossJoin(broadcast(raw))
+      .withColumn("retained",
+        floorRound(col("n_docs").cast("double") / col("__raw").cast("double"), 6))
+      .select("stage_idx", "stage", "n_docs", "retained")
+      .orderBy("stage_idx")
   }
 
   /** Per-key document cap — "at most `n` documents per domain/source", the

@@ -68,4 +68,35 @@ object Importance {
         floorRound(avg(col("__ratio")), roundTo).as("dsir_weight"))
       .withColumnRenamed("id", idCol)
   }
+
+  /** Temperature-0.5 mixture reweighting across domains: the GPT-3-style
+    * rebalance π_d ∝ p_d^T that upweights small domains (T = 0.5 here, i.e.
+    * √p — chosen because sqrt is IEEE-correctly-rounded everywhere, so the
+    * whole computation is engine-reproducible; a general p^T needs libm pow
+    * and loses that). Output per domain: document count, current share,
+    * target mixture weight π_d, and the resampling rate π_d·N/n_d a sampler
+    * must apply (rates > 1 mean the domain repeats across epochs).
+    *
+    * The normalizer Σ_d √n_d is a float sum — summed as a SEQUENTIAL fold
+    * over the domain-sorted list (collect_list → sort_array → aggregate),
+    * so the accumulation order is fixed and the oracle's list_reduce
+    * reproduces it bit-for-bit. Domain cardinality is small by definition
+    * (it's a mixture), so the fold is a single tiny row.
+    */
+  def mixtureWeights(df: DataFrame, domainCol: String,
+                     roundTo: Int = 6): DataFrame = {
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).cast("long").as("n_docs"))
+    val totals = counts.agg(
+      sum("n_docs").cast("long").as("__n"),
+      aggregate(
+        sort_array(collect_list(struct(col(domainCol), sqrt(col("n_docs").cast("double")).as("w")))),
+        lit(0.0), (acc, s) => acc + s.getField("w")).as("__sw"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(domainCol), col("n_docs"),
+        floorRound(col("n_docs").cast("double") / col("__n").cast("double"), roundTo).as("share"),
+        floorRound(sqrt(col("n_docs").cast("double")) / col("__sw"), roundTo).as("mix_weight"),
+        floorRound(sqrt(col("n_docs").cast("double")) / col("__sw") * col("__n").cast("double") /
+          col("n_docs").cast("double"), roundTo).as("target_rate"))
+      .orderBy(domainCol)
+  }
 }

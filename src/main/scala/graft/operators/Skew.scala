@@ -46,4 +46,28 @@ object Skew {
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("key"))
       .limit(topN)
+
+  /** Join-key skew audit: the hottest `topN` keys with their corpus share,
+    * ratio to the MEDIAN per-key count, and the salt factor
+    * ceil(n / median) that [[saltedJoin]] would need to spread that key's
+    * rows across median-sized reducer slices — the pre-join report that
+    * decides between a plain shuffle join, AQE skew handling, and explicit
+    * salting. Exact median (the q77-proven percentile parity), single
+    * per-key aggregate, top-N via TakeOrderedAndProject.
+    */
+  def skewAudit(df: DataFrame, keyCol: Column, topN: Int = 10,
+                roundTo: Int = 6): DataFrame = {
+    import graft.functions.MathFunctions.floorRound
+    val counts = df.groupBy(keyCol.as("key")).agg(count(lit(1)).cast("long").as("n")).cache()
+    val stats = counts.agg(
+      sum("n").cast("long").as("__total"),
+      expr("percentile(n, 0.5)").as("__p50"))
+    counts.crossJoin(broadcast(stats))
+      .select(col("key"), col("n"),
+        floorRound(col("n").cast("double") / col("__total").cast("double"), roundTo).as("share"),
+        floorRound(col("n").cast("double") / col("__p50"), 4).as("hot_ratio"),
+        ceil(col("n").cast("double") / col("__p50")).cast("long").as("rec_salt"))
+      .orderBy(desc("n"), col("key"))
+      .limit(topN)
+  }
 }

@@ -196,6 +196,25 @@ object EventQueries {
     "q36_sessionize" -> Q(
       (s, dir) => graft.streaming.Sessionize.batch(s, dir, gapMinutes = 30),
       Some(SessionizeOracle)),
+
+    // Join-key skew audit over events.user_id: hottest keys, share, ratio to
+    // the median per-key count, and the ceil(n/median) salt factor a salted
+    // join would need — the pre-join planning report for Skew.saltedJoin.
+    "q105_skew_audit" -> Q(
+      (s, dir) => graft.operators.Skew.skewAudit(
+        Tables.events(s, dir), col("user_id"), topN = 10),
+      Some(s"""WITH c AS (
+             |  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1),
+             |s AS (
+             |  SELECT CAST(sum(n) AS BIGINT) AS total,
+             |    quantile_cont(n, 0.5) AS p50 FROM c)
+             |SELECT key, n,
+             |  ${frs("CAST(n AS DOUBLE) / CAST(total AS DOUBLE)", 6)} AS share,
+             |  ${frs("CAST(n AS DOUBLE) / p50", 4)} AS hot_ratio,
+             |  CAST(ceil(CAST(n AS DOUBLE) / p50) AS BIGINT) AS rec_salt
+             |FROM c CROSS JOIN s
+             |ORDER BY n DESC, key LIMIT 10""".stripMargin)),
   )
 
   /** Mirror of Sessionize.batch: 30-minute gap sessions via lag + running sum. */

@@ -148,6 +148,47 @@ object TextQueries {
        |SELECT id_a, id_b, jac FROM pairs
        |WHERE jac >= $JaccardThreshold ORDER BY 1, 2""".stripMargin
 
+  /** Curation-chain CTEs (base → scored → gated → deduped → bad), shared by
+    * the composite result check (q57) and the per-stage funnel (q106);
+    * mirrors Curation.stages with the q57 fixture split. */
+  private val curateCtes: String = {
+    val repCase = "CASE WHEN r.total > 0 THEN CAST(1.0 AS DOUBLE) - CAST(r.nd AS DOUBLE) / CAST(r.total AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+    val g5 = "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]"
+    s"""base AS (
+       |  SELECT doc_id, lang, source, text, string_split(text,' ') AS toks
+       |  FROM documents WHERE doc_id % 20 <> 7),
+       |rep AS (
+       |  SELECT doc_id, greatest(len(toks)-2, 0) AS total,
+       |    len(list_distinct(list_transform(
+       |      generate_series(1, greatest(len(toks)-2, 0)),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS nd
+       |  FROM base),
+       |scored AS (
+       |  SELECT b.doc_id, b.lang, b.source, b.text,
+       |    ${frs(qualityExprSql, 4)} AS quality,
+       |    ${frs(repCase, 4)} AS rep_ratio
+       |  FROM base b JOIN rep r ON b.doc_id = r.doc_id),
+       |gated AS (SELECT * FROM scored WHERE quality >= 0.5 AND rep_ratio <= 0.2),
+       |deduped AS (
+       |  SELECT * FROM gated
+       |  WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY md5(text))),
+       |btoks AS (SELECT string_split(text,' ') AS toks FROM documents WHERE doc_id % 20 = 7),
+       |bs AS (
+       |  SELECT DISTINCT unnest(list_transform(
+       |    generate_series(1, greatest(len(toks)-4, 0)), $g5)) AS g
+       |  FROM btoks),
+       |ds AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, greatest(len(toks)-4, 0)), $g5)) AS g
+       |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM deduped)),
+       |bad AS (SELECT DISTINCT ds.doc_id FROM ds JOIN bs USING (g))""".stripMargin
+  }
+
+  /** The q57 stratified-sampling predicate (en 80%, default 60%). */
+  private val curateSampleCond: String =
+    s"""${graft.operators.Sampling.hashBucketSql("doc_id")} <
+       |    CASE WHEN lang = 'en' THEN 80 ELSE 60 END""".stripMargin
+
   /** Incremental-dedup oracle — shared verbatim by the batch (q99) and
     * streaming (q102) forms: delta docs (id % 10 = 0) survive unless a
     * corpus doc (any id order) or an earlier delta doc near-duplicates them.
@@ -624,43 +665,37 @@ object TextQueries {
           .select("doc_id", "lang", "source", "quality", "rep_ratio")
           .orderBy("doc_id")
       },
-      Some {
-        val repCase = "CASE WHEN r.total > 0 THEN CAST(1.0 AS DOUBLE) - CAST(r.nd AS DOUBLE) / CAST(r.total AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
-        val g5 = "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]"
-        s"""WITH base AS (
-           |  SELECT doc_id, lang, source, text, string_split(text,' ') AS toks
-           |  FROM documents WHERE doc_id % 20 <> 7),
-           |rep AS (
-           |  SELECT doc_id, greatest(len(toks)-2, 0) AS total,
-           |    len(list_distinct(list_transform(
-           |      generate_series(1, greatest(len(toks)-2, 0)),
-           |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS nd
-           |  FROM base),
-           |scored AS (
-           |  SELECT b.doc_id, b.lang, b.source, b.text,
-           |    ${frs(qualityExprSql, 4)} AS quality,
-           |    ${frs(repCase, 4)} AS rep_ratio
-           |  FROM base b JOIN rep r ON b.doc_id = r.doc_id),
-           |gated AS (SELECT * FROM scored WHERE quality >= 0.5 AND rep_ratio <= 0.2),
-           |deduped AS (
-           |  SELECT * FROM gated
-           |  WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY md5(text))),
-           |btoks AS (SELECT string_split(text,' ') AS toks FROM documents WHERE doc_id % 20 = 7),
-           |bs AS (
-           |  SELECT DISTINCT unnest(list_transform(
-           |    generate_series(1, greatest(len(toks)-4, 0)), $g5)) AS g
-           |  FROM btoks),
-           |ds AS (
-           |  SELECT doc_id, unnest(list_transform(
-           |    generate_series(1, greatest(len(toks)-4, 0)), $g5)) AS g
-           |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM deduped)),
-           |bad AS (SELECT DISTINCT ds.doc_id FROM ds JOIN bs USING (g))
+      Some(s"""WITH $curateCtes
            |SELECT doc_id, lang, source, quality, rep_ratio FROM deduped
            |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
-           |  AND ${graft.operators.Sampling.hashBucketSql("doc_id")} <
-           |    CASE WHEN lang = 'en' THEN 80 ELSE 60 END
-           |ORDER BY doc_id""".stripMargin
-      }),
+           |  AND $curateSampleCond
+           |ORDER BY doc_id""".stripMargin)),
+
+    // Per-stage attrition of the q57 curation chain — the pipeline-health
+    // report: one row per stage with survivors and fraction retained vs raw.
+    "q106_curation_funnel" -> Q(
+      (s, dir) => {
+        val docs   = Tables.documents(s, dir)
+        val bench  = docs.filter(col("doc_id") % 20 === 7)
+        val corpus = docs.filter(col("doc_id") % 20 =!= 7)
+        graft.operators.Curation.funnel(corpus, "doc_id", "text", bench, "text", "lang")
+      },
+      Some(s"""WITH $curateCtes,
+           |funnel AS (
+           |  SELECT 0 AS stage_idx, 'raw' AS stage,
+           |    (SELECT count(*) FROM base) AS n_docs
+           |  UNION ALL SELECT 1, 'gated', (SELECT count(*) FROM gated)
+           |  UNION ALL SELECT 2, 'deduped', (SELECT count(*) FROM deduped)
+           |  UNION ALL SELECT 3, 'decontaminated',
+           |    (SELECT count(*) FROM deduped
+           |     WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+           |  UNION ALL SELECT 4, 'sampled',
+           |    (SELECT count(*) FROM deduped
+           |     WHERE doc_id NOT IN (SELECT doc_id FROM bad) AND $curateSampleCond))
+           |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+           |  CAST(n_docs AS BIGINT) AS n_docs,
+           |  ${frs("CAST(n_docs AS DOUBLE) / CAST((SELECT count(*) FROM base) AS DOUBLE)", 6)} AS retained
+           |FROM funnel ORDER BY stage_idx""".stripMargin)),
 
     // Repetition filter: duplicate-trigram fraction per document (the Gopher
     // quality rule family) — map-only over the fused shingle kernel.
@@ -1170,6 +1205,29 @@ object TextQueries {
              |  CAST(sum(h) AS BIGINT) AS n_dropped,
              |  coalesce(array_to_string(list(chunk_text ORDER BY chunk_id) FILTER (WHERE h = 0), ' '), '') AS clean_text
              |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Temperature-0.5 mixture reweighting across languages: current share,
+    // target π_d ∝ √p_d, and the per-domain resampling rate — the GPT-3-
+    // style rebalance that upweights small domains. The √n normalizer sums
+    // via a deterministic sequential fold (oracle: list_reduce), so the
+    // float result is engine-reproducible.
+    "q104_mixture_weights" -> Q(
+      (s, dir) => graft.operators.Importance.mixtureWeights(
+        Tables.documents(s, dir), "lang"),
+      Some(s"""WITH c AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+             |  FROM documents GROUP BY 1),
+             |t AS (
+             |  SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang)),
+             |      (acc, x) -> acc + x) AS sw
+             |  FROM c)
+             |SELECT lang, n_docs,
+             |  ${frs("CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE)", 6)} AS share,
+             |  ${frs("sqrt(CAST(n_docs AS DOUBLE)) / sw", 6)} AS mix_weight,
+             |  ${frs("sqrt(CAST(n_docs AS DOUBLE)) / sw * CAST(n AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)} AS target_rate
+             |FROM c CROSS JOIN t ORDER BY lang""".stripMargin)),
 
     // Split-drift audit: exact-integer total-variation distance between the
     // unigram distributions of every train/val/test pair — proof (not

@@ -685,6 +685,53 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(kept === Seq(2L)) // 1 lost to corpus despite lower id; 3 lost to 2
   }
 
+  // ---- Importance.mixtureWeights ----
+
+  test("mixtureWeights: sqrt temperature upweights the small domain; weights sum to 1") {
+    import graft.operators.Importance
+    val d = ((0L until 900L).map(i => (i, "big")) ++ (900L until 1000L).map(i => (i, "small")))
+      .toDF("id", "dom")
+    val r = Importance.mixtureWeights(d, "dom")
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4))).toMap
+    val (nb, shareB, wB, rateB) = r("big")
+    val (ns, shareS, wS, rateS) = r("small")
+    assert(nb === 900L && ns === 100L)
+    assert(math.abs(wB + wS - 1.0) < 1e-5)      // mixture normalizes
+    assert(wS > shareS && wB < shareB)          // sqrt pulls toward uniform
+    assert(rateS > 1.0 && rateB < 1.0)          // small domain repeats, big downsamples
+  }
+
+  // ---- Skew.skewAudit ----
+
+  test("skewAudit: hot key tops the list with ceil(n/median) salt") {
+    import graft.operators.Skew
+    // 10 keys with 10 rows each + one key with 100 rows: median 10, hot ratio 10
+    val rows = (0L until 10L).flatMap(k => Seq.fill(10)(k)) ++ Seq.fill(100)(99L)
+    val df = rows.toDF("k")
+    val top = Skew.skewAudit(df, $"k", topN = 3).collect()
+    assert(top.head.getLong(0) === 99L && top.head.getLong(1) === 100L)
+    assert(top.head.getLong(4) === 10L)         // rec_salt = ceil(100/10)
+    assert(top(1).getLong(4) === 1L)            // median-sized keys need no salt
+  }
+
+  // ---- Curation.funnel ----
+
+  test("funnel: stage counts are monotonically non-increasing and stage order is fixed") {
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, sfDir)
+    val bench  = docs.filter($"doc_id" % 20 === 7)
+    val corpus = docs.filter($"doc_id" % 20 =!= 7)
+    val f = Curation.funnel(corpus, "doc_id", "text", bench, "text", "lang").collect()
+    assert(f.map(_.getString(1)).toSeq ===
+      Seq("raw", "gated", "deduped", "decontaminated", "sampled"))
+    val counts = f.map(_.getLong(2)).toSeq
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a })
+    assert(f.head.getDouble(3) === 1.0) // raw retains 100%
+    // final stage equals the q57 curate row count
+    val curated = Curation.curate(corpus, "doc_id", "text", bench, "text", "lang").count()
+    assert(counts.last === curated)
+  }
+
   // ---- Contrastive.minePairs ----
 
   test("minePairs: nearest vector ranks pos#1, negatives exclude positives, zero-norm excluded") {
