@@ -86,6 +86,22 @@ object Curation {
       .orderBy("stage_idx")
   }
 
+  /** Curriculum phase assignment: split each group's documents into `phases`
+    * equal-size tiers by `valueCol` (ntile over the per-group window, ties
+    * broken by id for determinism) — the shortest-first / easiest-first
+    * ordering curriculum-training pipelines feed from. Per-group, not
+    * global: a 'zh' document's length percentile is judged against other
+    * 'zh' documents. Window per group key — the standard distributed
+    * per-group sort, never a global one.
+    */
+  def curriculumPhases(df: DataFrame, idCol: String, valueCol: String,
+                       groupCol: String, phases: Int): DataFrame = {
+    require(phases >= 2, s"curriculum needs >= 2 phases, got $phases")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol), col(idCol))
+    df.withColumn("phase", ntile(phases).over(w).cast("long"))
+  }
+
   /** Per-key document cap — "at most `n` documents per domain/source", the
     * standard web-corpus balancing step (a handful of giant domains would
     * otherwise dominate the training mix). Keeps the top `n` rows per key by

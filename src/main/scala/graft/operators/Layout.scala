@@ -82,22 +82,35 @@ object Layout {
     * is `repartitionByRange(zValue16(...))` + a per-partition local sort —
     * same curve, no global window.
     */
+  /** (k, x, y, z) projection shared by the layout audits. */
+  private def withZ(df: DataFrame, keyCol: String, xCol: String, yCol: String): DataFrame =
+    df.select(col(keyCol).as("k"), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .withColumn("z", zValue16(col("x"), col("y")))
+
+  /** Per-block (min, max) zone maps of both dimensions under a total order —
+    * block i = rows [i·blockRows, (i+1)·blockRows) of the sort. */
+  private def blockZoneMaps(z: DataFrame, layout: String, order: Seq[Column],
+                            blockRows: Int): DataFrame =
+    z.withColumn("__blk",
+        ((row_number().over(Window.orderBy(order: _*)) - 1) / blockRows).cast("long"))
+      .groupBy("__blk")
+      .agg(min("x").cast("long").as("mnx"), max("x").cast("long").as("mxx"),
+        min("y").cast("long").as("mny"), max("y").cast("long").as("mxy"))
+      .withColumn("layout", lit(layout))
+
   def zorderAudit(df: DataFrame, keyCol: String, xCol: String, yCol: String,
                   blockRows: Int): DataFrame = {
     require(blockRows >= 2, s"blockRows must be >= 2, got $blockRows")
-    val withZ = df.select(col(keyCol).as("k"), col(xCol).cast("long").as("x"),
-        col(yCol).cast("long").as("y"))
-      .withColumn("z", zValue16(col("x"), col("y")))
+    val z = withZ(df, keyCol, xCol, yCol)
     def audit(layout: String, order: Seq[Column]): DataFrame =
-      withZ
-        .withColumn("__blk",
-          ((row_number().over(Window.orderBy(order: _*)) - 1) / blockRows).cast("long"))
-        .groupBy("__blk")
-        .agg((max("x") - min("x")).cast("long").as("xs"),
-          (max("y") - min("y")).cast("long").as("ys"))
+      blockZoneMaps(z, layout, order, blockRows)
+        .select(col("layout"), (col("mxx") - col("mnx")).as("xs"),
+          (col("mxy") - col("mny")).as("ys"))
+        .groupBy("layout")
         .agg(count(lit(1)).cast("long").as("n_blocks"),
           sum("xs").cast("long").as("sx"), sum("ys").cast("long").as("sy"))
-        .select(lit(layout).as("layout"), col("n_blocks"),
+        .select(col("layout"), col("n_blocks"),
           // exact integer sums divided once — no accumulation-order drift
           floorRound(col("sx").cast("double") / col("n_blocks").cast("double"), 4)
             .as("avg_x_span"),
@@ -105,6 +118,38 @@ object Layout {
             .as("avg_y_span"))
     audit("natural", Seq(col("k")))
       .unionAll(audit("zorder", Seq(col("z"), col("k"))))
+      .orderBy("layout")
+  }
+
+  /** Data-skipping simulation — what [[zorderAudit]]'s spans MEAN for a scan:
+    * for a deterministic set of point probes on `xCol` (distinct values with
+    * x % probeMod == 0), the fraction of `blockRows`-row blocks a zone-map
+    * check (probe ∉ [min, max]) would skip, under the natural key order vs
+    * the Z-order. One row per layout: blocks, probes, and the average skip
+    * fraction — an exact integer count ratio, divided once.
+    *
+    * The blocks × probes cross join is zone-map METADATA sized (n/blockRows
+    * rows × a sampled probe set), never the data — at 100 TB this is the
+    * planner-side pruning estimate, not a scan.
+    */
+  def pruningSim(df: DataFrame, keyCol: String, xCol: String, yCol: String,
+                 blockRows: Int, probeMod: Long): DataFrame = {
+    require(blockRows >= 2 && probeMod >= 1,
+      s"need blockRows >= 2 and probeMod >= 1, got $blockRows/$probeMod")
+    val z = withZ(df, keyCol, xCol, yCol)
+    val probes = z.filter(col("x") % probeMod === 0).select(col("x").as("p")).distinct()
+    val maps = blockZoneMaps(z, "natural", Seq(col("k")), blockRows)
+      .unionByName(blockZoneMaps(z, "zorder", Seq(col("z"), col("k")), blockRows))
+    maps.crossJoin(broadcast(probes))
+      .groupBy("layout")
+      .agg(countDistinct(col("__blk")).cast("long").as("n_blocks"),
+        countDistinct(col("p")).cast("long").as("n_probes"),
+        sum(when(col("p") < col("mnx") || col("p") > col("mxx"), 1L).otherwise(0L))
+          .cast("long").as("__skipped"))
+      .withColumn("skip_frac",
+        floorRound(col("__skipped").cast("double") /
+          (col("n_blocks") * col("n_probes")).cast("double"), 6))
+      .select("layout", "n_blocks", "n_probes", "skip_frac")
       .orderBy("layout")
   }
 }

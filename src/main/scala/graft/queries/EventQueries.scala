@@ -215,6 +215,33 @@ object EventQueries {
              |  CAST(ceil(CAST(n AS DOUBLE) / p50) AS BIGINT) AS rec_salt
              |FROM c CROSS JOIN s
              |ORDER BY n DESC, key LIMIT 10""".stripMargin)),
+
+    // Hourly volume anomalies with EXACT arithmetic: z-scores from integer
+    // sums (n·S2 − S1² variance identity), so the doubles are partition-
+    // order-independent and bit-identical to the oracle — no streaming-
+    // moments drift.
+    "q108_hourly_anomaly" -> Q(
+      (s, dir) => graft.operators.Anomaly.countZScores(
+        Tables.events(s, dir), hourStr, zMax = 3.0),
+      Some {
+        val zCase =
+          s"""CASE WHEN k > 1 AND CAST(k*s2 - s1*s1 AS DOUBLE) > 0 THEN
+             |    ${frs("CAST(n_events*k - s1 AS DOUBLE) / (CAST(k AS DOUBLE) * sqrt(CAST(k*s2 - s1*s1 AS DOUBLE) / CAST(k*(k-1) AS DOUBLE)))", 4)}
+             |  END""".stripMargin
+        s"""WITH c AS (
+           |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
+           |    CAST(count(*) AS BIGINT) AS n_events
+           |  FROM events GROUP BY 1),
+           |s AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_events) AS BIGINT) AS s1,
+           |    CAST(sum(n_events*n_events) AS BIGINT) AS s2 FROM c),
+           |r AS (
+           |  SELECT bucket, n_events, $zCase AS z
+           |  FROM c CROSS JOIN s)
+           |SELECT bucket, n_events, z,
+           |  coalesce(CAST(abs(z) > CAST(3.0 AS DOUBLE) AS BIGINT), 0) AS is_anomaly
+           |FROM r ORDER BY bucket""".stripMargin
+      }),
   )
 
   /** Mirror of Sessionize.batch: 30-minute gap sessions via lag + running sum. */

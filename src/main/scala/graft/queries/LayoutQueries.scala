@@ -17,6 +17,7 @@ object LayoutQueries {
   private val ShardCount  = 16
   private val TargetBytes = 5000L
   private val BlockRows   = 64
+  private val ProbeMod    = 97L
 
   val all: ListMap[String, Q] = ListMap(
 
@@ -95,6 +96,39 @@ object LayoutQueries {
            |  ${frs("CAST(sy AS DOUBLE) / CAST(n_blocks AS DOUBLE)", 4)} AS avg_y_span
            |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
            |ORDER BY layout""".stripMargin
+      }),
+
+    // What q98's spans MEAN for a scan: fraction of 64-row blocks a zone-map
+    // check skips for point probes on o_custkey, natural vs Z-order — the
+    // planner-side pruning estimate over zone-map metadata, not a data scan.
+    "q107_pruning_sim" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"), to_date(lit("1992-01-01"))).as("o_day"))
+        Layout.pruningSim(o, "o_orderkey", "o_custkey", "o_day",
+          blockRows = BlockRows, probeMod = ProbeMod)
+      },
+      Some {
+        def blk(name: String, order: String): String =
+          s"SELECT '$name' AS layout, (row_number() OVER (ORDER BY $order) - 1) // $BlockRows AS blk, x FROM z"
+        s"""WITH src AS (
+           |  SELECT o_orderkey AS k, CAST(o_custkey AS BIGINT) AS x,
+           |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+           |  FROM orders),
+           |z AS (SELECT k, x, y, ${Layout.zValue16Sql("x", "y")} AS z FROM src),
+           |m AS (
+           |  SELECT layout, blk, min(x) AS mnx, max(x) AS mxx
+           |  FROM (${blk("natural", "k")} UNION ALL ${blk("zorder", "z, k")})
+           |  GROUP BY 1, 2),
+           |p AS (SELECT DISTINCT x AS p FROM z WHERE x % $ProbeMod = 0),
+           |j AS (
+           |  SELECT layout, blk, p,
+           |    CASE WHEN p < mnx OR p > mxx THEN 1 ELSE 0 END AS s
+           |  FROM m CROSS JOIN p)
+           |SELECT layout, CAST(count(DISTINCT blk) AS BIGINT) AS n_blocks,
+           |  CAST(count(DISTINCT p) AS BIGINT) AS n_probes,
+           |  ${frs("CAST(sum(s) AS DOUBLE) / CAST(count(DISTINCT blk) * count(DISTINCT p) AS DOUBLE)", 6)} AS skip_frac
+           |FROM j GROUP BY layout ORDER BY layout""".stripMargin
       }),
   )
 }

@@ -1206,6 +1206,18 @@ object TextQueries {
              |  coalesce(array_to_string(list(chunk_text ORDER BY chunk_id) FILTER (WHERE h = 0), ' '), '') AS clean_text
              |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Curriculum phase assignment: per-language length quartiles (ntile over
+    // the per-group window, id tie-break) — the shortest-first ordering a
+    // curriculum-training schedule feeds from.
+    "q109_curriculum" -> Q(
+      (s, dir) => graft.operators.Curation.curriculumPhases(
+          Tables.documents(s, dir).select("doc_id", "lang", "n_chars"),
+          "doc_id", "n_chars", "lang", phases = 4)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, n_chars,
+             |  CAST(ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS phase
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Temperature-0.5 mixture reweighting across languages: current share,
     // target π_d ∝ √p_d, and the per-domain resampling rate — the GPT-3-
     // style rebalance that upweights small domains. The √n normalizer sums

@@ -685,6 +685,54 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(kept === Seq(2L)) // 1 lost to corpus despite lower id; 3 lost to 2
   }
 
+  // ---- Layout.pruningSim ----
+
+  test("pruningSim: zorder blocks prune x-probes the x-major natural order cannot") {
+    import graft.operators.Layout
+    // y-major natural key: every natural block spans all of x -> zero pruning;
+    // zorder tiles are 8x8 -> a probe hits only tiles whose x-range covers it
+    val grid = (for (y <- 0L until 32L; x <- 0L until 32L) yield (y * 32 + x, x, y))
+      .toDF("k", "x", "y")
+    val r = Layout.pruningSim(grid, "k", "x", "y", blockRows = 64, probeMod = 8L)
+      .collect().map(row => row.getString(0) -> (row.getLong(1), row.getLong(2), row.getDouble(3))).toMap
+    assert(r("natural") === ((16L, 4L, 0.0)))   // no block can be skipped
+    val (zb, zp, zskip) = r("zorder")
+    assert(zb === 16L && zp === 4L)
+    assert(zskip === 0.75)                      // probe hits 4 of 16 column-tiles
+  }
+
+  // ---- Anomaly.countZScores ----
+
+  test("countZScores: burst bucket flags, uniform buckets don't, degenerate variance yields null z") {
+    import graft.operators.Anomaly
+    // 20 buckets of 10 events + one bucket of 300: clear outlier
+    val rows = (0L until 20L).flatMap(b => Seq.fill(10)(b)) ++ Seq.fill(300)(20L)
+    val r = Anomaly.countZScores(rows.toDF("b"), $"b", zMax = 3.0)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(3))).toMap
+    assert(r(20L) === ((300L, 1L)))             // the burst is anomalous
+    assert((0L until 20L).forall(b => r(b)._2 === 0L))
+    // all-equal counts: variance 0 -> null z, flag 0
+    val flat = (0L until 5L).flatMap(b => Seq.fill(7)(b)).toDF("b")
+    val fr = Anomaly.countZScores(flat, $"b").collect()
+    assert(fr.forall(row => row.isNullAt(2) && row.getLong(3) === 0L))
+  }
+
+  // ---- Curation.curriculumPhases ----
+
+  test("curriculumPhases: per-group quartiles are ordered by value and balanced") {
+    import graft.operators.Curation
+    val d = (0L until 40L).map(i => (i, if (i < 20) "a" else "b", i * 10)).toDF("id", "g", "v")
+    val r = Curation.curriculumPhases(d, "id", "v", "g", phases = 4)
+      .collect().map(x => (x.getString(1), x.getLong(0)) -> x.getLong(3)).toMap
+    // group a: ids 0..19 by value -> 5 per phase
+    assert(r(("a", 0L)) === 1L && r(("a", 4L)) === 1L)
+    assert(r(("a", 5L)) === 2L && r(("a", 19L)) === 4L)
+    // group b judged independently: its smallest value lands in phase 1
+    assert(r(("b", 20L)) === 1L)
+    val phaseCounts = r.toSeq.groupBy { case ((g, _), p) => (g, p) }.view.mapValues(_.size)
+    assert(phaseCounts.values.forall(_ === 5))
+  }
+
   // ---- Importance.mixtureWeights ----
 
   test("mixtureWeights: sqrt temperature upweights the small domain; weights sum to 1") {
