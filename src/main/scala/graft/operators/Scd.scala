@@ -38,4 +38,31 @@ object Scd {
         date_format(col("__vt"), tsFormat).as("valid_to"),
         col("__vt").isNull.cast("long").as("is_current"))
   }
+
+  /** Point-in-time join — the feature-store correctness primitive: each fact
+    * row joins the dimension version that was valid AT ITS TIMESTAMP
+    * (`valid_from <= ts < valid_to`, open row = null valid_to), never a
+    * later one — the leakage-free way to attach slowly-changing attributes
+    * to training examples. `dim` is an [[intervals]] output; facts that
+    * predate the entity's first interval keep a null state (left join).
+    *
+    * Bounds are compared as the same formatted strings [[intervals]] emits
+    * (lexicographic == chronological for this format), so fact and
+    * dimension sides agree engine-independently. Intervals partition each
+    * entity's timeline, so the join multiplicity is at most 1 by
+    * construction. Plan: an equi-join on the entity key with a residual
+    * range predicate — per-entity interval lists are small, the standard
+    * PIT shape.
+    */
+  def pitJoin(facts: DataFrame, dim: DataFrame, keyCol: String, tsCol: String,
+              tsFormat: String = "yyyy-MM-dd HH:mm:ss"): DataFrame = {
+    val f = facts.withColumn("fact_ts", date_format(col(tsCol), tsFormat))
+    val d = dim.withColumnRenamed(keyCol, "__dim_key")
+    f.join(d,
+      f(keyCol) === d("__dim_key") &&
+        col("fact_ts") >= col("valid_from") &&
+        (col("valid_to").isNull || col("fact_ts") < col("valid_to")),
+      "left")
+      .drop("__dim_key")
+  }
 }

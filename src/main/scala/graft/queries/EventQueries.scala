@@ -242,6 +242,71 @@ object EventQueries {
            |  coalesce(CAST(abs(z) > CAST(3.0 AS DOUBLE) AS BIGINT), 0) AS is_anomaly
            |FROM r ORDER BY bucket""".stripMargin
       }),
+
+    // Point-in-time join: each purchase attaches the account-status SCD2
+    // version (signup/error runs) valid AT ITS TIMESTAMP — the feature-store
+    // leakage-free attribute join; purchases before the first status row
+    // keep a null state.
+    "q110_pit_join" -> Q(
+      (s, dir) => {
+        val ev  = Tables.events(s, dir)
+        val dim = graft.operators.Scd.intervals(
+          ev.filter(col("event_type").isin("signup", "error")),
+          "user_id", "ts", "event_id", "event_type")
+        val facts = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "ts")
+        graft.operators.Scd.pitJoin(facts, dim, "user_id", "ts")
+          .select(col("user_id"), col("event_id"), col("fact_ts"),
+            col("event_type").as("state"), col("valid_from"))
+          .orderBy("user_id", "fact_ts", "event_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events WHERE event_type IN ('signup', 'error')),
+             |c AS (
+             |  SELECT user_id, ts, event_id, event_type FROM e
+             |  WHERE prev IS NULL OR prev <> event_type),
+             |d AS (
+             |  SELECT user_id, event_type AS state,
+             |    strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+             |    strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+             |      '%Y-%m-%d %H:%M:%S') AS valid_to
+             |  FROM c),
+             |f AS (
+             |  SELECT user_id, event_id,
+             |    strftime(ts, '%Y-%m-%d %H:%M:%S') AS fact_ts
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT f.user_id, f.event_id, f.fact_ts, d.state, d.valid_from
+             |FROM f LEFT JOIN d ON f.user_id = d.user_id
+             |  AND f.fact_ts >= d.valid_from
+             |  AND (d.valid_to IS NULL OR f.fact_ts < d.valid_to)
+             |ORDER BY f.user_id, f.fact_ts, f.event_id""".stripMargin)),
+
+    // Behavioral trigram mining: most common 3-step event-type sequences
+    // across user streams (lead-window n-grams, global count, top-20).
+    "q111_event_ngrams" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            lead("event_type", 1).over(w).as("__e2"),
+            lead("event_type", 2).over(w).as("__e3"))
+          .filter(col("__e2").isNotNull && col("__e3").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("__e2"), col("__e3")).as("trigram"))
+          .groupBy("trigram").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("trigram")).limit(20)
+      },
+      Some("""WITH g AS (
+             |  SELECT event_type || '>' ||
+             |    lead(event_type, 1) OVER w || '>' ||
+             |    lead(event_type, 2) OVER w AS trigram
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT trigram, count(*) AS n FROM g
+             |WHERE trigram IS NOT NULL
+             |GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20""".stripMargin)),
   )
 
   /** Mirror of Sessionize.batch: 30-minute gap sessions via lag + running sum. */

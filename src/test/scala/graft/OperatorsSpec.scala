@@ -685,6 +685,34 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(kept === Seq(2L)) // 1 lost to corpus despite lower id; 3 lost to 2
   }
 
+  // ---- Scd.pitJoin ----
+
+  test("pitJoin: facts attach the version valid at their ts, never a later one; pre-history is null") {
+    import graft.operators.Scd
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val status = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "active"),
+      (1L, ts("2024-03-01 00:00:00"), 2L, "suspended"),
+      (1L, ts("2024-05-01 00:00:00"), 3L, "active"))
+      .toDF("user_id", "ts", "event_id", "state")
+    val dim = Scd.intervals(status, "user_id", "ts", "event_id", "state")
+    val facts = Seq(
+      (1L, ts("2023-12-15 00:00:00"), 10L),  // before any interval -> null
+      (1L, ts("2024-02-15 00:00:00"), 11L),  // active era
+      (1L, ts("2024-03-15 00:00:00"), 12L),  // suspended era
+      (1L, ts("2024-06-01 00:00:00"), 13L))  // open current era
+      .toDF("user_id", "ts", "event_id")
+    val r = Scd.pitJoin(facts, dim, "user_id", "ts")
+      .collect().map(x => x.getLong(2) -> Option(x.getString(4))).toMap // event_id -> state
+    assert(r(10L) === None)
+    assert(r(11L) === Some("active"))
+    assert(r(12L) === Some("suspended"))
+    assert(r(13L) === Some("active"))
+    // multiplicity 1: every fact appears exactly once
+    assert(Scd.pitJoin(facts, dim, "user_id", "ts").count() === 4L)
+  }
+
   // ---- Layout.pruningSim ----
 
   test("pruningSim: zorder blocks prune x-probes the x-major natural order cannot") {
