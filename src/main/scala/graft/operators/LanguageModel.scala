@@ -59,4 +59,74 @@ object LanguageModel {
           .as("lm_score"))
       .withColumnRenamed("id", idCol)
   }
+
+  /** PMI collocation mining (Church & Hanks, "Word association norms, mutual
+    * information, and lexicography", Computational Linguistics 1990; the
+    * phrase-detection score of word2vec's phrase pass): for adjacent word
+    * pairs,
+    *
+    *   pmi(w1,w2) = ln( c(w1,w2) · N / (c(w1,·) · c(·,w2)) )
+    *
+    * with N the total bigram count, c(w1,·) the count of w1 in first
+    * position and c(·,w2) of w2 in second — high-PMI pairs co-occur far more
+    * than their marginals predict and are merge candidates for tokenizer
+    * vocabularies. Both products stay in exact BIGINT (each factor <= N, so
+    * the products are < N² ~ 10¹² at sf1); the only FP ops are one division
+    * and one ln, identical in both engines.
+    *
+    * Plan shape at 100 TB: map-only bigram explode, then three
+    * vocabulary-bounded aggregations (pair, first-position, second-position
+    * counts) with map-side partial combine; the marginal joins attach to the
+    * PAIR table (vocabulary-bounded, never the corpus stream) and broadcast
+    * under AQE. TakeOrderedAndProject for the top-k.
+    */
+  def collocations(df: DataFrame, textCol: String,
+                   minCount: Long = 5, topK: Int = 25, roundTo: Int = 6): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val bigrams = df
+      .select(toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(
+        transform(sequence(lit(1), size(col("__t")) - 1),
+          i => struct(element_at(col("__t"), i).as("w1"),
+                      element_at(col("__t"), i + 1).as("w2")))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .cache() // four consumers: N, pair counts, both marginals
+    val pairCounts  = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val firstCounts = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val secondCounts = bigrams.groupBy("w2").agg(count(lit(1)).as("c2"))
+    val total = bigrams.agg(count(lit(1)).as("n_total"))
+    pairCounts
+      .filter(col("c12") >= minCount)
+      .join(broadcast(firstCounts), Seq("w1"))
+      .join(broadcast(secondCounts), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("pmi", floorRound(
+        log((col("c12") * col("n_total")).cast("double") /
+            (col("c1") * col("c2")).cast("double")), roundTo))
+      .select("w1", "w2", "c12", "pmi")
+      .orderBy(desc("pmi"), col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** DuckDB mirror of [[collocations]] — keep token-for-token in sync. */
+  def collocationsSql(table: String, textCol: String,
+                      minCount: Long = 5, topK: Int = 25, roundTo: Int = 6): String = {
+    val fr = graft.functions.MathFunctions.floorRoundSql _
+    s"""WITH t AS (
+       |  SELECT string_split($textCol, ' ') AS toks FROM $table
+       |  WHERE len(string_split($textCol, ' ')) >= 2),
+       |bg AS (
+       |  SELECT toks[i] AS w1, toks[i+1] AS w2
+       |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t)),
+       |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+       |m1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+       |m2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM bg)
+       |SELECT w1, w2, c12,
+       |  ${fr("ln(CAST(c12 * n_total AS DOUBLE) / CAST(c1 * c2 AS DOUBLE))", roundTo)} AS pmi
+       |FROM pc JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN n
+       |WHERE c12 >= $minCount
+       |ORDER BY pmi DESC, w1, w2 LIMIT $topK""".stripMargin
+  }
 }

@@ -73,6 +73,37 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, "Reciprocal rank
+    * fusion outperforms Condorcet and individual rank learning methods",
+    * SIGIR 2009): fuse ranked lists by `Σ_i 1/(k + rank_i(d))`, the standard
+    * hybrid-retrieval combiner for lexical + vector rankings — rank-based,
+    * so the incomparable score scales of BM25 and cosine never touch.
+    *
+    * Each input must carry (`idCol`, `rank`) with ranks 1-based and
+    * deterministic (rank on a floor-rounded score with an id tiebreak).
+    * The fused sum folds left-to-right over the lists in the given order —
+    * no aggregation-order nondeterminism — and each term is one division of
+    * doubles of small integers, bit-identical across engines.
+    *
+    * Scale: inputs are top-k lists (k rows each), so the fusion join is
+    * trivially broadcastable no matter the corpus size behind the rankers.
+    */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], idCol: String,
+              kRrf: Int = 60, topK: Int = 10, roundTo: Int = 6): DataFrame = {
+    require(rankings.size >= 2, s"rrfFuse wants >= 2 ranked lists, got ${rankings.size}")
+    val tagged = rankings.map { case (tag, r) =>
+      r.select(col(idCol), col("rank").cast("long").as(s"r_$tag"))
+    }
+    val joined = tagged.reduce((x, y) => x.join(y, Seq(idCol), "full_outer"))
+    val rrf = rankings.map { case (tag, _) =>
+      coalesce(lit(1.0) / (lit(kRrf.toDouble) + col(s"r_$tag").cast("double")), lit(0.0))
+    }.reduce(_ + _)
+    joined
+      .withColumn("rrf", floorRound(rrf, roundTo))
+      .orderBy(desc("rrf"), col(idCol))
+      .limit(topK)
+  }
+
   /** DuckDB mirror of [[bm25]] — keep token-for-token in sync with the
     * column expressions above (same literal types, same associativity).
     */

@@ -92,4 +92,141 @@ object Sketches {
       .select(col("w"), col("n"), col("est"), (col("est") - col("n")).as("overcount"))
       .orderBy(desc("n"), col("w"))
   }
+
+  // ---- HyperLogLog (Flajolet, Fusy, Gandouet & Meunier, "HyperLogLog: the
+  // analysis of a near-optimal cardinality estimation algorithm", AofA 2007)
+  // over the PolyHash affine family. The usual objection to oracle-checking
+  // HLL — register layout and FP harmonic-mean order are implementation
+  // details — is removed by construction here:
+  //  - the hash is `(a0·(key mod P) + b0) mod P` (intermediates < 2^61);
+  //  - the register index is `h mod m` and the remaining-bit pattern
+  //    `w = h div m` has a FIXED bit budget W = bitlen((P-1) div m), so the
+  //    rank rho = W + 1 - bitlen(w) is pure integer comparison;
+  //  - the harmonic-mean denominator Σ 2^(−M_j) is scaled by 2^(W+1) and
+  //    summed as BIGINTs (max m·2^(W+1) ≪ 2^63) — NO floating-point
+  //    accumulation, so partition order cannot perturb the estimate;
+  //  - the only FP ops are one division (raw estimate) and one ln (the
+  //    small-range linear-counting branch), identical single expressions in
+  //    both engines.
+  //
+  // Plan shape at 100 TB: one m-row groupBy with map-side partial max — the
+  // shuffle moves at most m·partitions slim (bucket, rho) rows regardless of
+  // corpus size; the exact-count audit column is the only part that scales
+  // with cardinality (drop it in production use).
+
+  /** α_m · m² · 2^(W+1), the raw-estimate numerator, as one shared double. */
+  private def hllNumerator(m: Int, scaleBits: Int): Double =
+    0.7213 / (1.0 + 1.079 / m) * m.toDouble * m.toDouble *
+      java.lang.Math.pow(2.0, scaleBits.toDouble)
+
+  /** Bit length of the largest possible w = h div m (so w < 2^W always). */
+  private def hllW(m: Int): Int = 64 - java.lang.Long.numberOfLeadingZeros((PolyHash.P - 1) / m)
+
+  /** One-row HLL summary over the distinct values of `keyCol` (an integral
+    * column): registers m = 2^p, the zero-register count, the raw harmonic
+    * estimate, the corrected estimate (linear counting below 2.5·m when any
+    * register is empty), the exact distinct count, and the relative error.
+    */
+  def hllDistinct(df: DataFrame, keyCol: String, p: Int = 9): DataFrame = {
+    require(p >= 4 && p <= 14, s"HLL wants 4 <= p <= 14, got $p")
+    val m = 1 << p
+    val W = hllW(m) // bit budget of w = h div m; rho in [1, W+1]
+    // Affine maps compose to affine — sequential keys would put STRUCTURE in
+    // the leading-zero statistic (measured 2-10x rho bias). Two squaring
+    // rounds between affines break the linearity; every intermediate stays
+    // < P² < 2^60, so the identical formula runs in DuckDB.
+    val h = {
+      val t0 = (lit(PolyHash.a(0)) * pmod(col(keyCol).cast("long"), lit(PolyHash.P))
+        + lit(PolyHash.b(0))) % lit(PolyHash.P)
+      val t1 = (lit(PolyHash.a(1)) * ((t0 * t0) % lit(PolyHash.P))
+        + lit(PolyHash.b(1))) % lit(PolyHash.P)
+      (lit(PolyHash.a(2)) * ((t1 * t1) % lit(PolyHash.P))
+        + lit(PolyHash.b(2))) % lit(PolyHash.P)
+    }
+    val w = (col("__h") / m).cast("long") // floor: __h >= 0
+    // rho = W + 1 - bitlen(w) via an integer-threshold chain (no FP log).
+    // Ascending fold so the LARGEST threshold is the outermost when — the
+    // last-folded condition wins in a when/otherwise chain.
+    val bitlen = (1 to W).foldLeft(lit(0)) { (acc, bl) =>
+      when(col("__w") >= lit(1L << (bl - 1)), lit(bl)).otherwise(acc)
+    }
+    val regs = df
+      .select(h.as("__h"))
+      .select(col("__h"), w.as("__w"))
+      .select((col("__h") % m).as("bucket"), (lit(W + 1) - bitlen).as("rho"))
+      .groupBy("bucket").agg(max("rho").as("mj"))
+    // Σ 2^(W+1-M_j) over ALL m registers, in exact integer arithmetic:
+    // present registers contribute via shiftleft; absent ones (M_j = 0,
+    // never hit: rho >= 1 always) contribute 2^(W+1) each.
+    val sums = regs.agg(
+      // shiftleft with a COLUMN shift count only exists in SQL form (the
+      // Scala DSL overload takes a literal Int)
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${W + 1} - CAST(mj AS INT))")).as("__sp"),
+      count(lit(1)).as("__np"))
+    val exact = df.select(col(keyCol)).distinct()
+      .agg(count(lit(1)).as("exact_distinct"))
+    val sInt  = col("__sp") + (lit(m.toLong) - col("__np")) * lit(1L << (W + 1))
+    val vZero = (lit(m.toLong) - col("__np")).as("v_zero")
+    val raw   = lit(hllNumerator(m, W + 1)) / sInt.cast("double")
+    val est   = when(col("__raw") <= lit(2.5 * m) && col("v_zero") > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double")))
+      .otherwise(col("__raw"))
+    sums.crossJoin(exact)
+      .select(lit(m.toLong).as("m"), vZero, floorRound(raw, 4).as("raw_est"),
+        raw.as("__raw"), col("exact_distinct"))
+      .select(col("m"), col("v_zero"), col("raw_est"),
+        floorRound(est, 4).as("est_distinct"), col("exact_distinct"),
+        floorRound(abs(est - col("exact_distinct").cast("double"))
+          / col("exact_distinct").cast("double"), 4).as("rel_err"))
+  }
+
+  /** DuckDB mirror of [[hllDistinct]] — same hash, same integer register
+    * math, same single-division/single-ln FP tail. Keep token-for-token in
+    * sync with the column expressions above.
+    */
+  def hllSql(table: String, keyCol: String, p: Int = 9): String = {
+    val m = 1 << p
+    val W = hllW(m)
+    val a0 = PolyHash.a(0); val b0 = PolyHash.b(0); val P = PolyHash.P
+    val a1 = PolyHash.a(1); val b1 = PolyHash.b(1)
+    val a2 = PolyHash.a(2); val b2 = PolyHash.b(2)
+    val bitlen = (W to 1 by -1).map(bl =>
+      s"WHEN w >= ${1L << (bl - 1)} THEN $bl").mkString(" ", " ", " ELSE 0 ")
+    val num = hllNumerator(m, W + 1)
+    s"""WITH t0 AS (
+       |  SELECT ($a0 * ((($keyCol % $P) + $P) % $P) + $b0) % $P AS t0
+       |  FROM $table),
+       |t1 AS (SELECT ($a1 * ((t0 * t0) % $P) + $b1) % $P AS t1 FROM t0),
+       |h AS (SELECT ($a2 * ((t1 * t1) % $P) + $b2) % $P AS h FROM t1),
+       |hw AS (SELECT h, h // $m AS w FROM h),
+       |r AS (
+       |  SELECT h % $m AS bucket,
+       |    ${W + 1} - (CASE$bitlen END) AS rho
+       |  FROM hw),
+       |regs AS (SELECT bucket, max(rho) AS mj FROM r GROUP BY 1),
+       |s AS (
+       |  SELECT CAST(sum(CAST(1 AS BIGINT) << (${W + 1} - mj)) AS BIGINT) AS sp,
+       |    CAST(count(*) AS BIGINT) AS np FROM regs),
+       |x AS (SELECT CAST(count(DISTINCT $keyCol) AS BIGINT) AS exact_distinct FROM $table),
+       |e AS (
+       |  SELECT CAST($m AS BIGINT) AS m, CAST($m AS BIGINT) - np AS v_zero,
+       |    CAST($num AS DOUBLE) /
+       |      CAST(sp + (CAST($m AS BIGINT) - np) * ${1L << (W + 1)} AS DOUBLE) AS raw,
+       |    exact_distinct
+       |  FROM s CROSS JOIN x),
+       |c AS (
+       |  SELECT m, v_zero, raw,
+       |    CASE WHEN raw <= CAST(${2.5 * m} AS DOUBLE) AND v_zero > 0
+       |      THEN CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE) / CAST(v_zero AS DOUBLE))
+       |      ELSE raw END AS est,
+       |    exact_distinct
+       |  FROM e)
+       |SELECT m, v_zero, ${floorRoundSqlLocal("raw", 4)} AS raw_est,
+       |  ${floorRoundSqlLocal("est", 4)} AS est_distinct, exact_distinct,
+       |  ${floorRoundSqlLocal("abs(est - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE)", 4)} AS rel_err
+       |FROM c""".stripMargin
+  }
+
+  private def floorRoundSqlLocal(e: String, n: Int): String =
+    graft.functions.MathFunctions.floorRoundSql(e, n)
 }

@@ -307,6 +307,105 @@ object EventQueries {
              |SELECT trigram, count(*) AS n FROM g
              |WHERE trigram IS NOT NULL
              |GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20""".stripMargin)),
+
+    // Weekly cohort retention matrix: users bucketed by first-activity week,
+    // tracked by distinct-active share at each later week offset — the
+    // engagement (and data-freshness) report every events pipeline ships.
+    // Monday-truncated weeks agree between engines; offsets are exact day
+    // diffs of week-truncs (always multiples of 7).
+    "q113_retention_cohorts" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wk = date_trunc("week", col("ts"))
+        val weeks = Tables.events(s, dir).select(col("user_id"), wk.as("__wk"))
+        val cohorts = weeks.groupBy("user_id").agg(min("__wk").as("__cohort"))
+        val g = weeks
+          .join(cohorts, Seq("user_id"))
+          .groupBy(
+            date_format(col("__cohort"), "yyyy-MM-dd").as("cohort_week"),
+            (datediff(col("__wk").cast("date"), col("__cohort").cast("date")) / 7)
+              .cast("long").as("week_offset"))
+          .agg(countDistinct("user_id").as("n_users"))
+        val w = Window.partitionBy("cohort_week")
+        g.withColumn("cohort_size",
+            max(when(col("week_offset") === 0, col("n_users"))).over(w))
+          .withColumn("retention",
+            fr(col("n_users").cast("double") / col("cohort_size").cast("double"), 4))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some(s"""WITH e AS (
+             |  SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+             |c AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1),
+             |g AS (
+             |  SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_week,
+             |    CAST(date_diff('day', c.cohort, e.wk) // 7 AS BIGINT) AS week_offset,
+             |    CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+             |  FROM e JOIN c USING (user_id) GROUP BY 1, 2),
+             |w AS (
+             |  SELECT cohort_week, week_offset, n_users,
+             |    CAST(max(CASE WHEN week_offset = 0 THEN n_users END)
+             |      OVER (PARTITION BY cohort_week) AS BIGINT) AS cohort_size
+             |  FROM g)
+             |SELECT cohort_week, week_offset, n_users, cohort_size,
+             |  ${frs("CAST(n_users AS DOUBLE) / CAST(cohort_size AS DOUBLE)", 4)} AS retention
+             |FROM w ORDER BY 1, 2""".stripMargin)),
+
+    // HyperLogLog distinct sketches over a high-cardinality key (event_id —
+    // the harmonic-mean regime) and a low-cardinality key (user_id — the
+    // linear-counting correction regime), both ESTIMATES oracle-checked:
+    // integer register math over the PolyHash family, audited against the
+    // exact distinct counts. Completes the sketch family next to KMV (q64)
+    // and count-min (q72).
+    "q115_hll_distinct" -> Q(
+      (s, dir) => {
+        import graft.operators.Sketches
+        val ev = Tables.events(s, dir)
+        Sketches.hllDistinct(ev.select("event_id"), "event_id", p = 9)
+          .withColumn("key", lit("event_id"))
+          .unionByName(
+            Sketches.hllDistinct(ev.select("user_id"), "user_id", p = 9)
+              .withColumn("key", lit("user_id")))
+          .select("key", "m", "v_zero", "raw_est", "est_distinct",
+            "exact_distinct", "rel_err")
+          .orderBy("key")
+      },
+      Some {
+        import graft.operators.Sketches
+        s"""SELECT 'event_id' AS key, * FROM (${Sketches.hllSql("events", "event_id", p = 9)})
+           |UNION ALL
+           |SELECT 'user_id' AS key, * FROM (${Sketches.hllSql("events", "user_id", p = 9)})
+           |ORDER BY key""".stripMargin
+      }),
+
+    // First-order Markov transition matrix over per-user event sequences:
+    // P(next event type | event type) from lead-window pairs — the
+    // behavioral model behind q111's raw trigram counts. Probabilities are
+    // one division of exact BIGINT counts.
+    "q116_event_transitions" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = Tables.events(s, dir)
+          .select(col("event_type"), lead("event_type", 1).over(w).as("__next"))
+          .filter(col("__next").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("__next").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val byFrom = Window.partitionBy("from_type")
+        pairs
+          .withColumn("p",
+            fr(col("n").cast("double") / sum("n").over(byFrom).cast("double"), 4))
+          .orderBy("from_type", "to_type")
+      },
+      Some(s"""WITH g AS (
+             |  SELECT event_type AS from_type,
+             |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |c AS (
+             |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM g WHERE to_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |  ${frs("CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)", 4)} AS p
+             |FROM c ORDER BY 1, 2""".stripMargin)),
   )
 
   /** Mirror of Sessionize.batch: 30-minute gap sessions via lag + running sum. */

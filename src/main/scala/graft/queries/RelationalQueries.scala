@@ -414,5 +414,53 @@ object RelationalQueries {
       Some("""SELECT l_returnflag, count(*) AS n_rows,
              |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Trailing 7-day rolling revenue (RANGE frame on an integer day key, so
+    // calendar gaps shrink the frame instead of sliding over 7 rows).
+    // Revenue is converted to exact integer cents BEFORE any aggregation —
+    // every sum (daily and windowed) is BIGINT arithmetic, immune to
+    // partition/frame FP ordering; the only doubles are the final divisions.
+    // The day-grain window is a single partition by construction (~2.5k rows
+    // at any corpus scale — the daily rollup bounds it, not the data).
+    "q117_rolling_revenue" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+        val daily = Tables.orders(s, dir)
+          .select(col("o_orderdate").cast("date").as("__d"), cents.as("__c"))
+          .groupBy(col("__d"))
+          .agg(count(lit(1)).as("n_orders"), sum("__c").as("__rev_c"))
+          .withColumn("__dn", datediff(col("__d"), lit("1970-01-01").cast("date")))
+        val w = Window.orderBy("__dn").rangeBetween(-6, 0)
+        daily
+          .withColumn("__roll_c", sum("__rev_c").over(w))
+          .withColumn("__n7", count(lit(1)).over(w))
+          .select(
+            date_format(col("__d"), "yyyy-MM-dd").as("order_day"),
+            col("n_orders"),
+            fr(col("__rev_c").cast("double") / lit(100.0), 2).as("revenue"),
+            fr(col("__roll_c").cast("double") / lit(100.0), 2).as("roll7_revenue"),
+            col("__n7").as("n_days7"),
+            fr(col("__roll_c").cast("double") / (lit(100.0) * col("__n7").cast("double")), 4)
+              .as("roll7_avg"))
+          .orderBy("order_day")
+      },
+      Some(s"""WITH d AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS d,
+             |    CAST(count(*) AS BIGINT) AS n_orders,
+             |    CAST(sum(CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS rev_c
+             |  FROM orders GROUP BY 1),
+             |r AS (SELECT d, n_orders, rev_c, date_diff('day', DATE '1970-01-01', d) AS dn FROM d),
+             |w AS (
+             |  SELECT d, n_orders, rev_c,
+             |    CAST(sum(rev_c) OVER win AS BIGINT) AS roll_c,
+             |    CAST(count(*) OVER win AS BIGINT) AS n7
+             |  FROM r WINDOW win AS (ORDER BY dn RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+             |SELECT strftime(d, '%Y-%m-%d') AS order_day, n_orders,
+             |  ${frs("CAST(rev_c AS DOUBLE) / CAST(100.0 AS DOUBLE)", 2)} AS revenue,
+             |  ${frs("CAST(roll_c AS DOUBLE) / CAST(100.0 AS DOUBLE)", 2)} AS roll7_revenue,
+             |  n7 AS n_days7,
+             |  ${frs("CAST(roll_c AS DOUBLE) / (CAST(100.0 AS DOUBLE) * CAST(n7 AS DOUBLE))", 4)} AS roll7_avg
+             |FROM w ORDER BY 1""".stripMargin)),
   )
 }

@@ -1275,5 +1275,81 @@ object TextQueries {
            |  ${frs("CAST(num AS DOUBLE) / (CAST(2.0 AS DOUBLE) * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))", 6)} AS tv_dist
            |FROM agg ORDER BY split_a, split_b""".stripMargin
       }),
+
+    // Hybrid retrieval: BM25 (q96's lexical ranker) and embedding-cosine
+    // search (q62's vector ranker) fused by reciprocal-rank fusion — the
+    // standard two-tower retrieval combiner. Ranks are computed on
+    // floor-rounded scores with id tiebreaks, so both engines agree on every
+    // rank and therefore on every fused score exactly.
+    "q112_hybrid_rrf" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val lex = graft.operators.Retrieval.bm25(
+            docs, "doc_id", "text", Seq("dup", "vector", "query"), topK = 20)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(desc("bm25"), col("doc_id"))))
+          .select("doc_id", "rank")
+        val emb = graft.pipeline.HashingEmbedder(64)
+        val dv = docs.select(col("doc_id"), emb.embedRaw(col("text")).as("vec"))
+        val qv = dv.filter(col("doc_id") === 0).select(col("vec")).head().getSeq[Double](0)
+        val vec = graft.operators.TopK.topK(
+            dv.filter(col("doc_id") =!= 0), "vec", "doc_id", qv, k = 20)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
+          .select("doc_id", "rank")
+        graft.operators.Retrieval.rrfFuse(
+          Seq("lex" -> lex, "vec" -> vec), "doc_id", kRrf = 60, topK = 10)
+      },
+      Some {
+        val bmSql = graft.operators.Retrieval.bm25Sql(
+          "documents", "doc_id", "text", Seq("dup", "vector", "query"), topK = 20)
+        val rrfTerm = (r: String) =>
+          s"coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST($r AS DOUBLE)), CAST(0.0 AS DOUBLE))"
+        s"""WITH lex AS (
+           |  SELECT doc_id,
+           |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_lex
+           |  FROM ($bmSql)),
+           |v_tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+           |v_b AS (
+           |  SELECT doc_id,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(generate_series(1, length(w)),
+           |        i -> CAST(ascii(substr(w, CAST(i AS INTEGER), 1)) AS BIGINT))),
+           |      (acc, x) -> (acc * 31 + x) % 1000000007) % 64 AS bucket
+           |  FROM v_tok),
+           |v_c AS (SELECT doc_id, bucket, count(*) AS n FROM v_b GROUP BY 1, 2),
+           |v_norms AS (SELECT doc_id, sqrt(CAST(sum(n * n) AS DOUBLE)) AS nrm FROM v_c GROUP BY 1),
+           |v_q AS (SELECT bucket, n FROM v_c WHERE doc_id = 0),
+           |v_qn AS (SELECT nrm AS qnrm FROM v_norms WHERE doc_id = 0),
+           |v_dots AS (
+           |  SELECT c.doc_id, CAST(sum(c.n * q.n) AS DOUBLE) AS dot
+           |  FROM v_c c JOIN v_q q USING (bucket) WHERE c.doc_id <> 0 GROUP BY 1),
+           |v_sc AS (
+           |  SELECT n.doc_id,
+           |    ${frs("coalesce(d.dot, CAST(0 AS DOUBLE)) / (n.nrm * v_qn.qnrm)", 6)} AS score
+           |  FROM v_norms n LEFT JOIN v_dots d ON n.doc_id = d.doc_id, v_qn
+           |  WHERE n.doc_id <> 0 AND n.nrm > 0),
+           |vec AS (
+           |  SELECT doc_id,
+           |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_vec
+           |  FROM (SELECT * FROM v_sc ORDER BY score DESC, doc_id LIMIT 20)),
+           |f AS (
+           |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.r_lex, v.r_vec
+           |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+           |SELECT doc_id, r_lex, r_vec,
+           |  ${frs(rrfTerm("r_lex") + " + " + rrfTerm("r_vec"), 6)} AS rrf
+           |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+      }),
+
+    // PMI collocation mining — adjacent-pair pointwise mutual information
+    // against the positional marginals, the phrase-detection pass of
+    // tokenizer/vocabulary construction. Counts stay exact BIGINTs; the only
+    // FP is one division + one ln per surviving pair.
+    "q114_pmi_collocations" -> Q(
+      (s, dir) => graft.operators.LanguageModel.collocations(
+        Tables.documents(s, dir), "text", minCount = 5, topK = 25),
+      Some(graft.operators.LanguageModel.collocationsSql(
+        "documents", "text", minCount = 5, topK = 25))),
   )
 }

@@ -841,4 +841,87 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     // three rows, fixed pair order
     assert(r.keySet === Set(("train", "val"), ("train", "test"), ("val", "test")))
   }
+
+  // ---- Sketches.hllDistinct ----
+
+  test("HLL: high-cardinality keys land within the ~1.04/sqrt(m) error envelope") {
+    import graft.operators.Sketches
+    val df = spark.range(0, 20000).toDF("k")
+    val row = Sketches.hllDistinct(df, "k", p = 9).head
+    assert(row.getAs[Long]("exact_distinct") === 20000L)
+    // 3 standard errors at m=512 is ~14%
+    assert(row.getAs[Double]("rel_err") < 0.14,
+      s"rel_err ${row.getAs[Double]("rel_err")} outside envelope")
+  }
+
+  test("HLL: low cardinality takes the linear-counting branch and is near-exact") {
+    import graft.operators.Sketches
+    val df = spark.range(0, 75).toDF("k")
+    val row = Sketches.hllDistinct(df, "k", p = 9).head
+    assert(row.getAs[Long]("exact_distinct") === 75L)
+    assert(row.getAs[Long]("v_zero") > 0)
+    // linear counting at n << m is typically exact to a couple of counts
+    assert(row.getAs[Double]("rel_err") < 0.05)
+    // correction actually fired: corrected estimate differs from the raw one
+    assert(row.getAs[Double]("est_distinct") !== row.getAs[Double]("raw_est"))
+  }
+
+  test("HLL: duplicates do not move the estimate (distinct semantics)") {
+    import graft.operators.Sketches
+    val once  = Sketches.hllDistinct(spark.range(0, 500).toDF("k"), "k").head
+    val thrice = Sketches.hllDistinct(
+      spark.range(0, 500).union(spark.range(0, 500)).union(spark.range(0, 500)).toDF("k"), "k").head
+    assert(once.getAs[Double]("est_distinct") === thrice.getAs[Double]("est_distinct"))
+  }
+
+  // ---- LanguageModel.collocations ----
+
+  test("collocations: an always-adjacent pair outranks independent pairs") {
+    import graft.operators.LanguageModel
+    // "new york" always adjacent; "the" pairs with everything (low PMI)
+    val docs = (0L until 20L).map { i =>
+      (i, s"the new york times the a$i report the b$i story new york")
+    }.toDF("doc_id", "text")
+    val got = LanguageModel.collocations(docs, "text", minCount = 5, topK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // (york, times) is the strongest collocation: 'york' predicts 'times'
+    // perfectly AND both marginals are minimal — PMI rewards the rarer
+    // perfectly-predictive pair over the twice-as-frequent (new, york)
+    assert(got.head._1 === "york" && got.head._2 === "times",
+      s"expected (york, times) on top, got ${got.head}")
+    val pmiOf = got.map(g => (g._1, g._2) -> g._3).toMap
+    assert(pmiOf.contains(("new", "york")))
+    // pairs involving the near-uniform 'the' never beat the collocations
+    // (several pairs tie at ln(5.5) exactly in this fixture, hence <=)
+    val thePmis = got.collect { case (w1, w2, p) if w1 == "the" || w2 == "the" => p }
+    assert(thePmis.forall(_ <= pmiOf(("new", "york"))))
+    assert(thePmis.forall(_ < got.head._3))
+  }
+
+  test("collocations: pairs below minCount are filtered") {
+    import graft.operators.LanguageModel
+    val docs = Seq((1L, "rare pair common common common common common pair")).toDF("doc_id", "text")
+    val got = LanguageModel.collocations(docs, "text", minCount = 4, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(!got.contains(("rare", "pair")))
+    assert(got.contains(("common", "common"))) // 4 adjacent repeats survive
+  }
+
+  // ---- Retrieval.rrfFuse ----
+
+  test("rrfFuse: hand-computed fusion, including an id present in only one list") {
+    import graft.operators.Retrieval
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (10L, 2)).toDF("id", "rank")
+    val got = Retrieval.rrfFuse(Seq("a" -> a, "b" -> b), "id", kRrf = 60, topK = 10)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("rrf")).toMap
+    def t(r: Int) = 1.0 / (60.0 + r)
+    def fr6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got(10L) === fr6(t(1) + t(2)))
+    assert(got(20L) === fr6(t(2) + t(1)))
+    assert(got(30L) === fr6(t(3) + 0.0)) // absent from b: contributes 0, still surfaces
+    // symmetric ranks fuse to the same score; full-outer keeps all ids
+    assert(got(10L) === got(20L) && got.size === 3)
+  }
 }
