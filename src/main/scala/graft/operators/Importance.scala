@@ -52,11 +52,18 @@ object Importance {
                       element_at(col("__toks"), i + 1)))).as("__bg"))
       .select(col("id"), col("__t"),
         (element_at(shingleHashesPoly(col("__bg"), 2), 1) % lit(buckets.toLong)).as("__f"))
+    // Pre-reduce to per-doc DISTINCT features with multiplicities before any
+    // join (same playbook as LanguageModel.bigramScore): the count tables
+    // are sums of k over the reduced relation, and the scoring join never
+    // touches the per-occurrence stream. The per-occurrence mean ratio is
+    // recovered exactly as the k-weighted mean over distinct features.
+    val docFeat = feats
+      .groupBy("id", "__f").agg(count(lit(1)).as("__k"), max("__t").as("__t"))
       .cache() // consumers: target counts, raw counts, totals, scoring join
-    val tCnt = feats.filter(col("__t") === 1).groupBy("__f").agg(count(lit(1)).as("__ct"))
-    val rCnt = feats.groupBy("__f").agg(count(lit(1)).as("__cr"))
-    val tot  = feats.agg(sum(col("__t")).as("__nt"), count(lit(1)).as("__nr"))
-    feats
+    val tCnt = docFeat.filter(col("__t") === 1).groupBy("__f").agg(sum("__k").as("__ct"))
+    val rCnt = docFeat.groupBy("__f").agg(sum("__k").as("__cr"))
+    val tot  = docFeat.agg(sum(col("__t") * col("__k")).as("__nt"), sum("__k").as("__nr"))
+    docFeat
       .join(rCnt, Seq("__f"))
       .join(tCnt, Seq("__f"), "left")
       .crossJoin(tot)
@@ -64,8 +71,10 @@ object Importance {
         ((coalesce(col("__ct"), lit(0L)) + lit(1L)) * (col("__nr") + lit(buckets.toLong))).cast("double") /
           ((col("__cr") + lit(1L)) * (col("__nt") + lit(buckets.toLong))).cast("double"))
       .groupBy("id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        floorRound(avg(col("__ratio")), roundTo).as("dsir_weight"))
+      .agg(sum("__k").cast("long").as("n_bigrams"),
+        floorRound(
+          sum(col("__k").cast("double") * col("__ratio")) / sum("__k").cast("double"),
+          roundTo).as("dsir_weight"))
       .withColumnRenamed("id", idCol)
   }
 

@@ -45,17 +45,26 @@ object LanguageModel {
           i => struct(element_at(col("__t"), i).as("w1"),
                       element_at(col("__t"), i + 1).as("w2")))).as("bg"))
       .select(col("id"), col("bg.w1"), col("bg.w2"))
-      // three consumers (pair counts, context counts, the scoring join) —
-      // without the barrier each re-scans the corpus and re-explodes
-      .cache()
-    val pairCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
-    val ctxCounts  = bigrams.groupBy("w1").agg(count(lit(1)).as("__c1"))
-    bigrams
+    // Pre-reduce to per-doc DISTINCT bigrams with multiplicities before any
+    // join: the count tables derive from the reduced relation (sums of k),
+    // and the scoring join attaches to ~doc·distinct rows instead of every
+    // bigram instance — the instance stream is never materialized, cached,
+    // or shuffled twice. The per-doc mean over instances is recovered
+    // exactly as the k-weighted mean over distinct bigrams.
+    val docBg = bigrams
+      .groupBy("id", "w1", "w2").agg(count(lit(1)).as("__k"))
+      .cache() // three consumers: pair counts, the scoring join (ctx derives from pairs)
+    val pairCounts = docBg.groupBy("w1", "w2").agg(sum("__k").as("__c12"))
+    val ctxCounts  = pairCounts.groupBy("w1").agg(sum("__c12").as("__c1"))
+    docBg
       .join(pairCounts, Seq("w1", "w2"))
       .join(ctxCounts, Seq("w1"))
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        floorRound(avg(col("__c12").cast("double") / col("__c1").cast("double")), roundTo)
+      .agg(sum("__k").cast("long").as("n_bigrams"),
+        floorRound(
+          sum(col("__k").cast("double") *
+            (col("__c12").cast("double") / col("__c1").cast("double"))) /
+            sum("__k").cast("double"), roundTo)
           .as("lm_score"))
       .withColumnRenamed("id", idCol)
   }

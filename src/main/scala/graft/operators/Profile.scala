@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.MathFunctions.floorRound
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
@@ -41,5 +42,56 @@ object Profile {
         col(s"__max_$c").as("max_v"))
     }
     row.select(explode(array(structs: _*)).as("p")).select("p.*").orderBy("col_name")
+  }
+
+  /** Equal-width histogram of `valCol` per `keyCol` group, with GLOBAL bin
+    * edges (shared [min, max] across groups so group shapes are comparable —
+    * the distribution-drift view data profilers ship). Bin assignment is
+    * `least(nBins-1, floor((v - lo) / width))`: the identical IEEE
+    * expression in both engines, so edge-exact values bin identically; the
+    * top edge folds into the last bin. Degenerate input (hi == lo) puts
+    * everything in bin 0 rather than dividing by zero.
+    *
+    * Plan shape: one single-row global min/max broadcast back onto the
+    * stream (map-only bin assignment), one (groups × bins)-bounded groupBy
+    * with map-side partial combine. Never a sort, never a per-group scan.
+    */
+  def histogram(df: DataFrame, keyCol: String, valCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 2, s"histogram wants >= 2 bins, got $nBins")
+    val stats = df.agg(min(col(valCol)).cast("double").as("__lo"),
+      max(col(valCol)).cast("double").as("__hi"))
+    val width = (col("__hi") - col("__lo")) / lit(nBins.toDouble)
+    val bin = when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+      least(lit((nBins - 1).toLong),
+        floor((col(valCol).cast("double") - col("__lo")) / width).cast("long")))
+    df.crossJoin(broadcast(stats))
+      .select(col(keyCol), col("__lo"), bin.as("bin"),
+        (col("__hi") - col("__lo")).as("__span"))
+      .groupBy(col(keyCol), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        floorRound(first(col("__lo")) + col("bin").cast("double") *
+          (first(col("__span")) / lit(nBins.toDouble)), 6).as("bin_lo"))
+      .select(col(keyCol), col("bin"), col("bin_lo"), col("n"))
+      .orderBy(col(keyCol), col("bin"))
+  }
+
+  /** DuckDB mirror of [[histogram]] — keep token-for-token in sync. */
+  def histogramSql(table: String, keyCol: String, valCol: String, nBins: Int): String = {
+    val fr = graft.functions.MathFunctions.floorRoundSql _
+    s"""WITH s AS (
+       |  SELECT CAST(min($valCol) AS DOUBLE) AS lo, CAST(max($valCol) AS DOUBLE) AS hi
+       |  FROM $table),
+       |b AS (
+       |  SELECT $keyCol, lo, hi - lo AS span,
+       |    CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+       |      ELSE least(CAST(${nBins - 1} AS BIGINT),
+       |        CAST(floor((CAST($valCol AS DOUBLE) - lo) / ((hi - lo) / CAST($nBins AS DOUBLE))) AS BIGINT))
+       |    END AS bin
+       |  FROM $table CROSS JOIN s)
+       |SELECT $keyCol, bin,
+       |  ${fr(s"lo + CAST(bin AS DOUBLE) * (span / CAST($nBins AS DOUBLE))", 6)} AS bin_lo,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM b GROUP BY $keyCol, bin, lo, span
+       |ORDER BY $keyCol, bin""".stripMargin
   }
 }

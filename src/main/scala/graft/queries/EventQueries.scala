@@ -406,6 +406,47 @@ object EventQueries {
              |SELECT from_type, to_type, n,
              |  ${frs("CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)", 4)} AS p
              |FROM c ORDER BY 1, 2""".stripMargin)),
+
+    // Right-to-be-forgotten cascade: a deletion-request list (user_id % 97)
+    // erased from the raw event log AND a derived per-user profile store,
+    // with the per-table audit (rows before/removed/after, users actually
+    // hit) a GDPR deletion job must produce. Broadcast anti-join per table —
+    // the fact tables never shuffle.
+    "q120_user_erasure" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val requests = ev.select("user_id").filter(col("user_id") % 97 === 0)
+        val profiles = ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        graft.operators.Cleaning.eraseUsers(requests, "user_id",
+          Seq("events" -> (ev, "user_id"), "user_profiles" -> (profiles, "user_id")))
+      },
+      Some("""WITH req AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+             |prof AS (SELECT user_id FROM events GROUP BY user_id),
+             |ea AS (
+             |  SELECT 'events' AS table_name,
+             |    CAST(count(*) AS BIGINT) AS rows_before,
+             |    CAST(sum(CASE WHEN r.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS rows_removed,
+             |    CAST(count(DISTINCT CASE WHEN r.user_id IS NOT NULL THEN e.user_id END) AS BIGINT) AS users_hit
+             |  FROM events e LEFT JOIN req r ON e.user_id = r.user_id),
+             |pa AS (
+             |  SELECT 'user_profiles' AS table_name,
+             |    CAST(count(*) AS BIGINT) AS rows_before,
+             |    CAST(sum(CASE WHEN r.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS rows_removed,
+             |    CAST(count(DISTINCT CASE WHEN r.user_id IS NOT NULL THEN p.user_id END) AS BIGINT) AS users_hit
+             |  FROM prof p LEFT JOIN req r ON p.user_id = r.user_id)
+             |SELECT table_name, rows_before, rows_removed,
+             |  rows_before - rows_removed AS rows_after, users_hit
+             |FROM (SELECT * FROM ea UNION ALL SELECT * FROM pa)
+             |ORDER BY table_name""".stripMargin)),
+
+    // Equal-width value histogram per event type with GLOBAL bin edges —
+    // the distribution-drift profile view. Bin assignment is the identical
+    // IEEE expression in both engines (edge values bin identically).
+    "q121_value_histogram" -> Q(
+      (s, dir) => graft.operators.Profile.histogram(
+        Tables.events(s, dir).select("event_type", "value"),
+        "event_type", "value", nBins = 20),
+      Some(graft.operators.Profile.histogramSql("events", "event_type", "value", nBins = 20))),
   )
 
   /** Mirror of Sessionize.batch: 30-minute gap sessions via lag + running sum. */

@@ -257,6 +257,32 @@ object TextQueries {
     */
   val ExactPairSample = 500
 
+  /** Shared recursive-CTE prefix: exact-Jaccard near-dup pairs on the fixed
+    * sample → undirected edges → transitive closure (`reach`). q60 derives
+    * min-label components from it; q119 additionally picks a representative
+    * per component.
+    */
+  private lazy val clusterCtes: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(toks)-2, 0)),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+       |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+       |        WHERE doc_id < $ExactPairSample)),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(a.s) > 0 AND len(b.s) > 0
+       |    AND ${frs("""CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)""".stripMargin, 4)} >= $JaccardThreshold),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM p
+       |  UNION SELECT id_b, id_a FROM p),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
+
   private val jaccardOracle: String = {
     val jacExpr = """CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                     |      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)""".stripMargin
@@ -528,25 +554,7 @@ object TextQueries {
           .select(col("id").cast("long").as("id"), col("cluster").cast("long").as("cluster"))
           .orderBy("id")
       },
-      Some(s"""WITH RECURSIVE sh AS (
-             |  SELECT doc_id, list_distinct(list_transform(
-             |    generate_series(1, greatest(len(toks)-2, 0)),
-             |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
-             |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents
-             |        WHERE doc_id < $ExactPairSample)),
-             |p AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |  WHERE len(a.s) > 0 AND len(b.s) > 0
-             |    AND ${frs("""CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-             |      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)""".stripMargin, 4)} >= $JaccardThreshold),
-             |edges AS (
-             |  SELECT id_a AS src, id_b AS dst FROM p
-             |  UNION SELECT id_b, id_a FROM p),
-             |reach(src, dst) AS (
-             |  SELECT src, dst FROM edges
-             |  UNION
-             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      Some(s"""$clusterCtes
              |SELECT src AS id, least(src, min(dst)) AS cluster
              |FROM reach GROUP BY src ORDER BY id""".stripMargin)),
 
@@ -884,11 +892,14 @@ object TextQueries {
              |bg AS (
              |  SELECT a.doc_id, a.w AS w1, b.w AS w2
              |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
-             |pc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
-             |cc AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
-             |SELECT doc_id, count(*) AS n_bigrams,
-             |  ${frs("avg(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))", 6)} AS lm_score
-             |FROM bg JOIN pc USING (w1, w2) JOIN cc USING (w1)
+             |db AS (
+             |  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k
+             |  FROM bg GROUP BY 1, 2, 3),
+             |pc AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12 FROM db GROUP BY 1, 2),
+             |cc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM pc GROUP BY 1)
+             |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+             |  ${frs("sum(CAST(k AS DOUBLE) * (CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))) / CAST(sum(k) AS DOUBLE)", 6)} AS lm_score
+             |FROM db JOIN pc USING (w1, w2) JOIN cc USING (w1)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // Bloom-filter decontamination audit: the benchmark's 5-gram set folded
@@ -972,12 +983,15 @@ object TextQueries {
              |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS t
              |  FROM th a JOIN th b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
              |       JOIN documents d ON a.doc_id = d.doc_id),
-             |tc AS (SELECT f, count(*) AS ct FROM bgt WHERE t = 1 GROUP BY 1),
-             |rc AS (SELECT f, count(*) AS cr FROM bgt GROUP BY 1),
-             |tot AS (SELECT CAST(sum(t) AS BIGINT) AS nt, count(*) AS nr FROM bgt)
-             |SELECT doc_id, count(*) AS n_bigrams,
-             |  ${frs("avg(CAST((coalesce(ct, 0) + 1) * (nr + 8192) AS DOUBLE) / CAST((cr + 1) * (nt + 8192) AS DOUBLE))", 6)} AS dsir_weight
-             |FROM bgt LEFT JOIN tc USING (f) JOIN rc USING (f) CROSS JOIN tot
+             |db AS (
+             |  SELECT doc_id, f, CAST(count(*) AS BIGINT) AS k, max(t) AS t
+             |  FROM bgt GROUP BY 1, 2),
+             |tc AS (SELECT f, CAST(sum(k) AS BIGINT) AS ct FROM db WHERE t = 1 GROUP BY 1),
+             |rc AS (SELECT f, CAST(sum(k) AS BIGINT) AS cr FROM db GROUP BY 1),
+             |tot AS (SELECT CAST(sum(t * k) AS BIGINT) AS nt, CAST(sum(k) AS BIGINT) AS nr FROM db)
+             |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+             |  ${frs("sum(CAST(k AS DOUBLE) * (CAST((coalesce(ct, 0) + 1) * (nr + 8192) AS DOUBLE) / CAST((cr + 1) * (nt + 8192) AS DOUBLE))) / CAST(sum(k) AS DOUBLE)", 6)} AS dsir_weight
+             |FROM db LEFT JOIN tc USING (f) JOIN rc USING (f) CROSS JOIN tot
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // Robust per-language length outliers: Hampel MAD rule (median ± 3·
@@ -1351,5 +1365,60 @@ object TextQueries {
         Tables.documents(s, dir), "text", minCount = 5, topK = 25),
       Some(graft.operators.LanguageModel.collocationsSql(
         "documents", "text", minCount = 5, topK = 25))),
+
+    // Per-document unigram token entropy H = ln(n) − Σ c·ln(c) / n — the
+    // degenerate-text detector orthogonal to q56's repetition score (a doc
+    // of one repeated token has H = 0; natural prose sits near ln(n_types)).
+    // Counts are exact; the ln/divide tail is identical in both engines.
+    "q118_token_entropy" -> Q(
+      (s, dir) => {
+        val counts = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("__c"))
+        counts.groupBy("doc_id")
+          .agg(sum("__c").cast("long").as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            fr(log(sum("__c").cast("double")) -
+              sum(col("__c").cast("double") * log(col("__c").cast("double"))) /
+                sum("__c").cast("double"), 6).as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH c AS (
+             |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+             |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+             |  WHERE w <> '' GROUP BY 1, 2)
+             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |  CAST(count(*) AS BIGINT) AS n_types,
+             |  ${frs("ln(CAST(sum(c) AS DOUBLE)) - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE)", 6)} AS entropy
+             |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Canonicalization after clustering: q60's connected components, each
+    // reduced to the member with the most content (max n_chars, min-id tie)
+    // — the keep-one-per-duplicate-group step, with group sizes audited.
+    "q119_cluster_reps" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.jaccardPairsExact(
+          docs.filter(col("doc_id") < ExactPairSample), "doc_id", "text",
+          shingleSize = 3, threshold = JaccardThreshold)
+        val labels = Dedup.clusters(pairs, maxIter = 20)
+          .select(col("id").cast("long").as("id"), col("cluster").cast("long").as("cluster"))
+        Dedup.clusterRepresentatives(labels, docs, "doc_id", "n_chars")
+      },
+      Some(s"""$clusterCtes,
+             |cl AS (
+             |  SELECT src AS id, least(src, min(dst)) AS cluster
+             |  FROM reach GROUP BY src),
+             |jn AS (
+             |  SELECT cl.cluster, cl.id, d.n_chars
+             |  FROM cl JOIN documents d ON cl.id = d.doc_id),
+             |r AS (
+             |  SELECT cluster, id, n_chars,
+             |    row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, id) AS rn,
+             |    CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members
+             |  FROM jn)
+             |SELECT cluster, id AS rep_id, n_chars AS rep_weight, n_members
+             |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin)),
   )
 }

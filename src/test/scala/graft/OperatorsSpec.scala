@@ -924,4 +924,55 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     // symmetric ranks fuse to the same score; full-outer keeps all ids
     assert(got(10L) === got(20L) && got.size === 3)
   }
+
+  // ---- Profile.histogram ----
+
+  test("histogram: bins partition the range; edge values land deterministically") {
+    import graft.operators.Profile
+    val df = Seq(("a", 0.0), ("a", 5.0), ("a", 10.0), ("b", 10.0), ("b", 2.5))
+      .toDF("k", "v")
+    val got = Profile.histogram(df, "k", "v", nBins = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // range [0,10], width 2.5: 0.0->bin0, 2.5->bin1, 5.0->bin2, 10.0->top fold bin3
+    assert(got === Map(("a", 0L) -> 1L, ("a", 2L) -> 1L, ("a", 3L) -> 1L,
+      ("b", 1L) -> 1L, ("b", 3L) -> 1L))
+  }
+
+  test("histogram: degenerate single-value input goes to bin 0, no div-by-zero") {
+    import graft.operators.Profile
+    val df = Seq(("a", 7.0), ("b", 7.0), ("a", 7.0)).toDF("k", "v")
+    val got = Profile.histogram(df, "k", "v", nBins = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSet === Set(("a", 0L, 2L), ("b", 0L, 1L)))
+  }
+
+  // ---- Cleaning.eraseUsers ----
+
+  test("eraseUsers: per-table audit counts; duplicate requests don't double-count") {
+    import graft.operators.Cleaning
+    val events = Seq((1L, "x"), (1L, "y"), (2L, "x"), (3L, "z")).toDF("user_id", "e")
+    val profiles = events.groupBy("user_id").agg(count(lit(1)).as("n"))
+    // user 1 requested twice, user 9 has no rows anywhere
+    val requests = Seq(1L, 1L, 9L).toDF("user_id")
+    val got = Cleaning.eraseUsers(requests, "user_id",
+        Seq("events" -> (events, "user_id"), "user_profiles" -> (profiles, "user_id")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("events") === ((4L, 2L, 2L, 1L)))        // both rows of user 1
+    assert(got("user_profiles") === ((3L, 1L, 2L, 1L))) // one profile row
+  }
+
+  // ---- Dedup.clusterRepresentatives ----
+
+  test("clusterRepresentatives: max-weight wins, min-id breaks ties, sizes audited") {
+    import graft.operators.Dedup
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L)).toDF("id", "cluster")
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (7L, 5L), (8L, 5L))
+      .toDF("doc_id", "n_chars")
+    val got = Dedup.clusterRepresentatives(labels, docs, "doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) === ((2L, 30L, 3L))) // 2 and 3 tie on weight -> min id 2
+    assert(got(7L) === ((7L, 5L, 2L)))
+    assert(got.size === 2)
+  }
 }
