@@ -102,6 +102,50 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** All pairs (id_a < id_b) with shingle-set Jaccard >= threshold, via
+    * PREFIX FILTERING (Chaudhuri, Ganti & Kaushik, "A primitive operator for
+    * similarity joins in data cleaning", ICDE 2006; Xiao et al., "Efficient
+    * similarity joins for near duplicate detection", WWW 2008) — the EXACT
+    * similarity join that avoids O(n²) without the recall loss of banding:
+    * two sets with Jaccard >= t must share an element among the first
+    * |s| − ceil(t·|s|) + 1 elements of each set under any global total
+    * order (pigeonhole on the sorted-set suffix), so candidates come from an
+    * equi-join on exploded prefix tokens, plus the classic length filter
+    * t·|a| <= |b| <= |a|/t. Exact verification then runs only on candidates.
+    *
+    * Same output contract as [[jaccardPairsExact]] (which stays as the
+    * brute-force oracle anchor); this is the full-corpus scale path — the
+    * shuffle carries prefix postings (≈ (1−t) of the shingle stream), and
+    * candidate pairs are bounded by per-token posting-list sizes, never n².
+    */
+  def prefixJaccardJoin(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    val sets = withShinglesXx(df, idCol, textCol, shingleSize)
+      .filter(size(col("hs")) > 0)
+      .withColumn("__len", size(col("hs")))
+      .withColumn("__plen",
+        (col("__len").cast("double") - ceil(col("__len").cast("double") * lit(threshold))
+          + lit(1.0)).cast("int"))
+      .cache() // three consumers: both prefix-explode sides + the verify join
+    val pre = sets.select(col(idCol), col("__len"),
+      explode(slice(col("hs"), lit(1), col("__plen"))).as("__tok"))
+    val a = pre.select(col("__tok"), col(idCol).as("id_a"), col("__len").as("__la"))
+    val b = pre.select(col("__tok"), col(idCol).as("id_b"), col("__len").as("__lb"))
+    val cand = a.join(b, Seq("__tok"))
+      .filter(col("id_a") < col("id_b") &&
+        col("__lb").cast("double") >= ceil(col("__la").cast("double") * lit(threshold)) &&
+        col("__lb").cast("double") <= floor(col("__la").cast("double") / lit(threshold)))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sets.select(col(idCol).as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("jac", floorRound(jaccardSorted(col("hs_a"), col("hs_b")), 4))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Band key: fold the band's signature slice with (acc·R + x) mod P, seeded
     * with band+1 so identical slices in different bands cannot collide into
     * one bucket. Mirrored literally in the oracle SQL (list_reduce).

@@ -447,6 +447,68 @@ object EventQueries {
         Tables.events(s, dir).select("event_type", "value"),
         "event_type", "value", nBins = 20),
       Some(graft.operators.Profile.histogramSql("events", "event_type", "value", nBins = 20))),
+
+    // Exact quantile profile of value per event type — p25/p50/p75/p95 with
+    // linear interpolation (Spark percentile == DuckDB quantile_cont; the
+    // parity q35b's median already established, extended to a full profile).
+    "q122_value_quantiles" -> Q(
+      (s, dir) => {
+        val qs = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            qs.map { case (q, name) =>
+              fr(percentile(col("value"), lit(q)), 4).as(name)
+            }: _*)
+          .withColumn("iqr", fr(col("p75") - col("p25"), 4))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  ${frs("quantile_cont(value, 0.25)", 4)} AS p25,
+             |  ${frs("quantile_cont(value, 0.5)", 4)} AS p50,
+             |  ${frs("quantile_cont(value, 0.75)", 4)} AS p75,
+             |  ${frs("quantile_cont(value, 0.95)", 4)} AS p95,
+             |  ${frs(s"${frs("quantile_cont(value, 0.75)", 4)} - ${frs("quantile_cont(value, 0.25)", 4)}", 4)} AS iqr
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Time-bounded conversion: signups whose FIRST subsequent purchase lands
+    // within 7 days — q42's funnel with the window constraint production
+    // funnels actually use. Interval arithmetic is identical in both engines
+    // (timestamp + INTERVAL 7 DAY, microsecond-exact on these fixtures).
+    "q123_conversion_window" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val signups = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts").as("signup_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("__p_ts"))
+        signups.join(purchases, Seq("user_id"), "left")
+          .withColumn("__after", when(col("__p_ts") > col("signup_ts"), col("__p_ts")))
+          .groupBy("user_id", "signup_ts")
+          .agg(min("__after").as("__first_conv"))
+          .agg(count(lit(1)).as("n_signup"),
+            count(when(col("__first_conv") <= col("signup_ts") + expr("INTERVAL 7 DAYS"),
+              lit(1))).as("n_conv_7d"))
+          .select(col("n_signup"), col("n_conv_7d"),
+            fr(col("n_conv_7d").cast("double") / col("n_signup").cast("double"), 4)
+              .as("conv_rate_7d"))
+      },
+      Some(s"""WITH s AS (
+             |  SELECT user_id, min(ts) AS signup_ts FROM events
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |fc AS (
+             |  SELECT s.user_id, s.signup_ts,
+             |    min(CASE WHEN e.ts > s.signup_ts THEN e.ts END) AS first_conv
+             |  FROM s LEFT JOIN events e
+             |    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+             |  GROUP BY 1, 2),
+             |agg AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_signup,
+             |    CAST(count(CASE WHEN first_conv <= signup_ts + INTERVAL 7 DAY THEN 1 END) AS BIGINT) AS n_conv_7d
+             |  FROM fc)
+             |SELECT n_signup, n_conv_7d,
+             |  ${frs("CAST(n_conv_7d AS DOUBLE) / CAST(n_signup AS DOUBLE)", 4)} AS conv_rate_7d
+             |FROM agg""".stripMargin)),
   )
 
   /** Mirror of Sessionize.batch: 30-minute gap sessions via lag + running sum. */

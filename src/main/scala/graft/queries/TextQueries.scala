@@ -283,15 +283,18 @@ object TextQueries {
        |  UNION
        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
 
-  private val jaccardOracle: String = {
+  /** Brute-force exact-Jaccard pair oracle; `capped` restricts to the fixed
+    * q22 sample, uncapped verifies full-corpus algorithms (q125).
+    */
+  private def jaccardPairsOracle(capped: Boolean): String = {
     val jacExpr = """CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                     |      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)""".stripMargin
+    val capSql = if (capped) s"\n       |        WHERE doc_id < $ExactPairSample" else ""
     s"""WITH sh AS (
        |  SELECT doc_id, list_distinct(list_transform(
        |    generate_series(1, greatest(len(toks)-2, 0)),
        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
-       |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents
-       |        WHERE doc_id < $ExactPairSample))
+       |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents$capSql))
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  ${frs(jacExpr, 4)} AS jac
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -299,6 +302,8 @@ object TextQueries {
        |  AND ${frs(jacExpr, 4)} >= $JaccardThreshold
        |ORDER BY 1, 2""".stripMargin
   }
+
+  private lazy val jaccardOracle: String = jaccardPairsOracle(capped = true)
 
   def all: ListMap[String, Q] = ListMap(
     "q16_doc_stats" -> Q(
@@ -1420,5 +1425,37 @@ object TextQueries {
              |  FROM jn)
              |SELECT cluster, id AS rep_id, n_chars AS rep_weight, n_members
              |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin)),
+
+    // Near-dup graph degree distribution — the audit run before clustering:
+    // a heavy-tailed degree histogram (template/boilerplate hub documents)
+    // predicts giant components and connected-components blowup.
+    "q124_dupgraph_degrees" -> Q(
+      (s, dir) => {
+        val pairs = Dedup.jaccardPairsExact(
+          Tables.documents(s, dir).filter(col("doc_id") < ExactPairSample),
+          "doc_id", "text", shingleSize = 3, threshold = JaccardThreshold)
+        val deg = pairs.select(col("id_a").as("id"))
+          .union(pairs.select(col("id_b").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("degree"))
+        deg.groupBy("degree").agg(count(lit(1)).as("n_nodes")).orderBy("degree")
+      },
+      Some(s"""$clusterCtes,
+             |d AS (
+             |  SELECT id, CAST(count(*) AS BIGINT) AS degree
+             |  FROM (SELECT id_a AS id FROM p UNION ALL SELECT id_b FROM p)
+             |  GROUP BY 1)
+             |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Prefix-filtered EXACT similarity join over the FULL corpus — the
+    // algorithmic alternative to both q22 (brute force, capped sample) and
+    // q22b (LSH banding, approximate recall): candidates from a prefix-token
+    // posting join + length filter, then exact verification. The oracle is
+    // the brute-force join, so recall = 1 is VERIFIED, not assumed.
+    "q125_prefix_jaccard_join" -> Q(
+      (s, dir) => Dedup.prefixJaccardJoin(
+        Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, threshold = JaccardThreshold),
+      Some(jaccardPairsOracle(capped = false))),
   )
 }

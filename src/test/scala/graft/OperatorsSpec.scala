@@ -962,6 +962,27 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(got("user_profiles") === ((3L, 1L, 2L, 1L))) // one profile row
   }
 
+  // ---- Dedup.prefixJaccardJoin ----
+
+  test("prefixJaccardJoin: identical pairs to the brute-force join (recall 1, no extras)") {
+    import graft.operators.Dedup
+    // near-dup family (shared shingles), an unrelated doc, a short doc
+    val docs = (
+      (0L until 10L).map(i => (i, s"alpha beta gamma delta epsilon zeta token$i end")) ++
+      Seq((20L, "totally different words with no overlap at all here"),
+          (21L, "alpha beta gamma delta epsilon zeta shared end"),
+          (22L, "xy zz"))
+    ).toDF("doc_id", "text")
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = collectPairs(Dedup.jaccardPairsExact(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.4))
+    val pref = collectPairs(Dedup.prefixJaccardJoin(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.4))
+    assert(brute.nonEmpty)           // the fixture genuinely has near-dups
+    assert(pref === brute)           // exact same pairs AND scores
+  }
+
   // ---- Dedup.clusterRepresentatives ----
 
   test("clusterRepresentatives: max-weight wins, min-id breaks ties, sizes audited") {
