@@ -122,12 +122,12 @@ object Sketches {
   /** Bit length of the largest possible w = h div m (so w < 2^W always). */
   private def hllW(m: Int): Int = 64 - java.lang.Long.numberOfLeadingZeros((PolyHash.P - 1) / m)
 
-  /** One-row HLL summary over the distinct values of `keyCol` (an integral
-    * column): registers m = 2^p, the zero-register count, the raw harmonic
-    * estimate, the corrected estimate (linear counting below 2.5·m when any
-    * register is empty), the exact distinct count, and the relative error.
+  /** Map-only register stage: (bucket, rho) per input row. Works identically
+    * over a batch relation and a structured stream (no shuffle, no state) —
+    * the register MAX that follows commutes, which is exactly why HLL
+    * streams losslessly ([[graft.streaming.StreamingSketch]]).
     */
-  def hllDistinct(df: DataFrame, keyCol: String, p: Int = 9): DataFrame = {
+  def hllRegisterStage(df: DataFrame, keyCol: String, p: Int): DataFrame = {
     require(p >= 4 && p <= 14, s"HLL wants 4 <= p <= 14, got $p")
     val m = 1 << p
     val W = hllW(m) // bit budget of w = h div m; rho in [1, W+1]
@@ -150,11 +150,18 @@ object Sketches {
     val bitlen = (1 to W).foldLeft(lit(0)) { (acc, bl) =>
       when(col("__w") >= lit(1L << (bl - 1)), lit(bl)).otherwise(acc)
     }
-    val regs = df
-      .select(h.as("__h"))
+    df.select(h.as("__h"))
       .select(col("__h"), w.as("__w"))
       .select((col("__h") % m).as("bucket"), (lit(W + 1) - bitlen).as("rho"))
-      .groupBy("bucket").agg(max("rho").as("mj"))
+  }
+
+  /** Estimate tail over a materialized register table (bucket, mj) plus a
+    * one-row exact-count audit relation — shared by the batch and streaming
+    * forms.
+    */
+  def hllFinish(regs: DataFrame, exact: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    val W = hllW(m)
     // Σ 2^(W+1-M_j) over ALL m registers, in exact integer arithmetic:
     // present registers contribute via shiftleft; absent ones (M_j = 0,
     // never hit: rho >= 1 always) contribute 2^(W+1) each.
@@ -163,8 +170,6 @@ object Sketches {
       // Scala DSL overload takes a literal Int)
       sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${W + 1} - CAST(mj AS INT))")).as("__sp"),
       count(lit(1)).as("__np"))
-    val exact = df.select(col(keyCol)).distinct()
-      .agg(count(lit(1)).as("exact_distinct"))
     val sInt  = col("__sp") + (lit(m.toLong) - col("__np")) * lit(1L << (W + 1))
     val vZero = (lit(m.toLong) - col("__np")).as("v_zero")
     val raw   = lit(hllNumerator(m, W + 1)) / sInt.cast("double")
@@ -179,6 +184,17 @@ object Sketches {
         floorRound(abs(est - col("exact_distinct").cast("double"))
           / col("exact_distinct").cast("double"), 4).as("rel_err"))
   }
+
+  /** One-row HLL summary over the distinct values of `keyCol` (an integral
+    * column): registers m = 2^p, the zero-register count, the raw harmonic
+    * estimate, the corrected estimate (linear counting below 2.5·m when any
+    * register is empty), the exact distinct count, and the relative error.
+    */
+  def hllDistinct(df: DataFrame, keyCol: String, p: Int = 9): DataFrame =
+    hllFinish(
+      hllRegisterStage(df, keyCol, p).groupBy("bucket").agg(max("rho").as("mj")),
+      df.select(col(keyCol)).distinct().agg(count(lit(1)).as("exact_distinct")),
+      p)
 
   /** DuckDB mirror of [[hllDistinct]] — same hash, same integer register
     * math, same single-division/single-ln FP tail. Keep token-for-token in

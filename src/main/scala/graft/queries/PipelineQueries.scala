@@ -86,6 +86,16 @@ object PipelineQueries {
       (s, dir) => StreamingAgg.distinctCustomers(s, dir),
       Some("SELECT DISTINCT o_custkey FROM orders ORDER BY 1")),
 
+    // HLL distinct THROUGH THE STREAMING ENGINE: register max commutes
+    // across micro-batches, so bounded state (2^p rows) reproduces the batch
+    // sketch exactly — same oracle as the batch q115 event_id row, proving
+    // stream/batch parity for the sketch (where streaming count-distinct
+    // would need unbounded state).
+    "q126_stream_hll" -> Q(
+      (s, dir) => graft.streaming.StreamingSketch.hllDistinct(
+        s, dir, "events.parquet", "event_id", p = 9),
+      Some(graft.operators.Sketches.hllSql("events", "event_id", p = 9))),
+
     // NOTE: the stub checksum folds UTF-8 BYTES while the oracle folds ascii
     // codepoints — equivalent only because the fixture corpus is pure ASCII
     // (verified); a multi-byte fixture would need a byte-level oracle.

@@ -129,4 +129,29 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.nonEmpty) // no-data batch finalizes watermark-passed windows
     assert(rows.map(_.getLong(1)).forall(_ > 0))
   }
+
+  test("multi-batch streaming HLL equals the batch sketch (register max commutes)") {
+    import java.nio.file.{Files, StandardCopyOption}
+    import org.apache.spark.sql.functions._
+    // two files -> maxFilesPerTrigger=1 forces two micro-batches; keys are
+    // split arbitrarily (odd/even), so most registers see updates from BOTH
+    // batches and the final state must still equal the one-pass batch sketch
+    val ev = Tables.events(spark, sfDir).select("event_id")
+    val dir = Files.createTempDirectory("graft_hll_mb")
+    def writeHalf(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_hll_w")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    writeHalf(ev.filter(col("event_id") % 2 === 0), "a.parquet")
+    writeHalf(ev.filter(col("event_id") % 2 === 1), "b.parquet")
+    val streamed = graft.streaming.StreamingSketch.hllDistinctFrom(
+      spark, dir.toString, glob = "*.parquet",
+      schemaFrom = dir.resolve("a.parquet").toString,
+      keyCol = "event_id", p = 9, maxFilesPerTrigger = Some(1))
+      .head.toSeq
+    val batch = graft.operators.Sketches.hllDistinct(ev, "event_id", p = 9).head.toSeq
+    assert(streamed === batch)
+  }
 }
