@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 130-query benchmark generates hundreds of whole-stage-codegen classes;
+  // the JDK default 240 MB code cache fills mid-run, HotSpot silently stops
+  // JIT-compiling, and late CPU-bound queries run interpreted (measured:
+  // q68 2.6 s -> 7.6-15.9 s depending on where the cache filled; with 1g,
+  // no late-run inflation and the best full-bench total). Reservation is
+  // virtual address space, not committed memory.
+  "-XX:ReservedCodeCacheSize=1g",
 )

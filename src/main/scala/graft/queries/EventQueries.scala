@@ -448,6 +448,31 @@ object EventQueries {
         "event_type", "value", nBins = 20),
       Some(graft.operators.Profile.histogramSql("events", "event_type", "value", nBins = 20))),
 
+    // Equi-DEPTH deciles per event type (q121's complement: equal COUNT per
+    // bin, data-driven edges) — ntile over a deterministic (value, event_id)
+    // order, so ties split identically in both engines; per-bin count and
+    // exact [lo, hi] value range.
+    "q128_equidepth_deciles" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        Tables.events(s, dir)
+          .select(col("event_type"), col("value"), col("event_id"))
+          .withColumn("decile", ntile(10).over(w).cast("long"))
+          .groupBy("event_type", "decile")
+          .agg(count(lit(1)).as("n"),
+            fr(min("value"), 4).as("lo"), fr(max("value"), 4).as("hi"))
+          .orderBy("event_type", "decile")
+      },
+      Some(s"""WITH d AS (
+             |  SELECT event_type, value,
+             |    CAST(ntile(10) OVER (PARTITION BY event_type
+             |      ORDER BY value, event_id) AS BIGINT) AS decile
+             |  FROM events)
+             |SELECT event_type, decile, CAST(count(*) AS BIGINT) AS n,
+             |  ${frs("min(value)", 4)} AS lo, ${frs("max(value)", 4)} AS hi
+             |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Exact quantile profile of value per event type — p25/p50/p75/p95 with
     // linear interpolation (Spark percentile == DuckDB quantile_cont; the
     // parity q35b's median already established, extended to a full profile).

@@ -1457,5 +1457,47 @@ object TextQueries {
         Tables.documents(s, dir), "doc_id", "text",
         shingleSize = 3, threshold = JaccardThreshold),
       Some(jaccardPairsOracle(capped = false))),
+
+    // Skip-gram pair extraction (the word2vec/GloVe co-occurrence pass):
+    // (center, context) pairs at token distances 1 and 2, top-10 per
+    // distance — next to q114's adjacency-only PMI this is the windowed
+    // co-occurrence table embedding trainers actually consume. Map-only
+    // double explode, one vocab-bounded count shuffle, rank per distance.
+    "q127_skipgram_pairs" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = split(col("text"), " ")
+        val pairsAt = (d: Int) => Tables.documents(s, dir)
+          .select(toks.as("__t"))
+          .filter(size(col("__t")) > d)
+          .select(lit(d.toLong).as("d"), explode(
+            transform(sequence(lit(1), size(col("__t")) - d),
+              i => struct(element_at(col("__t"), i).as("w1"),
+                          element_at(col("__t"), i + d).as("w2")))).as("bg"))
+          .select(col("d"), col("bg.w1"), col("bg.w2"))
+        val counts = pairsAt(1).unionByName(pairsAt(2))
+          .groupBy("d", "w1", "w2").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("d").orderBy(desc("n"), col("w1"), col("w2"))
+        counts.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 10)
+          .orderBy("d", "rn")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+             |    unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+             |  FROM documents),
+             |pairs AS (
+             |  SELECT v.d, a.w AS w1, b.w AS w2
+             |  FROM tok a
+             |  CROSS JOIN (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT))) v(d)
+             |  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + v.d),
+             |c AS (
+             |  SELECT d, w1, w2, CAST(count(*) AS BIGINT) AS n
+             |  FROM pairs GROUP BY 1, 2, 3),
+             |r AS (
+             |  SELECT d, w1, w2, n,
+             |    CAST(row_number() OVER (PARTITION BY d ORDER BY n DESC, w1, w2) AS BIGINT) AS rn
+             |  FROM c)
+             |SELECT d, w1, w2, n, rn FROM r WHERE rn <= 10 ORDER BY d, rn""".stripMargin)),
   )
 }
