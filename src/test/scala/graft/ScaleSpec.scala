@@ -120,4 +120,33 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     // and the result is correct
     assert(joined.count() === o.count())
   }
+
+  test("prefixJaccardJoin: candidate generation is an equi-join — no cartesian in the plan") {
+    import graft.operators.Dedup
+    val docs = (0L until 60L).map(i => (i, s"alpha beta gamma delta t$i u${i % 7} end"))
+      .toDF("doc_id", "text")
+    val plan = Dedup.prefixJaccardJoin(docs, "doc_id", "text", 3, 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix join must never fall back to all-pairs:\n${plan.take(2000)}")
+  }
+
+  test("eraseUsers: every table joins the request list broadcast — fact side never shuffles") {
+    import graft.operators.Cleaning
+    val events = (1L to 400L).map(i => (i % 50, i)).toDF("user_id", "event_id")
+    val req = Seq(1L, 2L, 3L).toDF("user_id")
+    val audit = Cleaning.eraseUsers(req, "user_id", Seq("events" -> (events, "user_id")))
+    val plan = audit.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"), s"fact table must not shuffle for the join:\n${plan.take(2000)}")
+  }
+
+  test("HLL register stage is map-only: the only exchange is the m-bounded bucket aggregate") {
+    import graft.operators.Sketches
+    val regs = Sketches.hllRegisterStage(spark.range(0, 5000).toDF("k"), "k", p = 9)
+    assert(!regs.queryExecution.executedPlan.toString.contains("Exchange"),
+      "register computation must not shuffle")
+    val sketch = Sketches.hllDistinct(spark.range(0, 5000).toDF("k"), "k", p = 9)
+    assert(sketch.head.getAs[Long]("exact_distinct") === 5000L)
+  }
 }
