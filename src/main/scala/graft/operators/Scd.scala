@@ -65,4 +65,25 @@ object Scd {
       "left")
       .drop("__dim_key")
   }
+
+  /** CDC log → current-state snapshot (the Debezium/changelog materialization
+    * next to [[intervals]]' full history): keep each key's LATEST row under
+    * the deterministic `orderCols` order, and drop keys whose latest
+    * operation is a delete (`isDelete`). One window per key partition — at
+    * 100 TB this is a single shuffle on the key, with Spark's rank-limit
+    * pushdown (WindowGroupLimit) pre-reducing each map partition to one row
+    * per key before the exchange.
+    */
+  def cdcSnapshot(log: DataFrame, keyCol: String,
+                  orderCols: Seq[org.apache.spark.sql.Column],
+                  isDelete: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(orderCols.nonEmpty, "cdcSnapshot needs a deterministic order")
+    val w = Window.partitionBy(keyCol).orderBy(orderCols.map(_.desc): _*)
+    log
+      .withColumn("__is_del", isDelete)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col("__is_del"))
+      .drop("__rn", "__is_del")
+  }
 }

@@ -473,6 +473,29 @@ object EventQueries {
              |  ${frs("min(value)", 4)} AS lo, ${frs("max(value)", 4)} AS hi
              |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // CDC changelog -> current-state snapshot (Debezium-style
+    // materialization, the single-state complement of q90's SCD2 history):
+    // latest row per user under (ts, event_id) order, keys whose last op is
+    // a delete ('error' plays the tombstone) drop out entirely.
+    "q129_cdc_snapshot" -> Q(
+      (s, dir) => graft.operators.Scd.cdcSnapshot(
+          Tables.events(s, dir), "user_id",
+          orderCols = Seq(col("ts"), col("event_id")),
+          isDelete = col("event_type") === "error")
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+          col("event_type").as("last_type"), fr(col("value"), 4).as("last_value"))
+        .orderBy("user_id"),
+      Some(s"""WITH r AS (
+             |  SELECT user_id, ts, event_type, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events)
+             |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+             |  event_type AS last_type, ${frs("value", 4)} AS last_value
+             |FROM r WHERE rn = 1 AND event_type <> 'error'
+             |ORDER BY user_id""".stripMargin)),
+
     // Exact quantile profile of value per event type — p25/p50/p75/p95 with
     // linear interpolation (Spark percentile == DuckDB quantile_cont; the
     // parity q35b's median already established, extended to a full profile).

@@ -1499,5 +1499,26 @@ object TextQueries {
              |    CAST(row_number() OVER (PARTITION BY d ORDER BY n DESC, w1, w2) AS BIGINT) AS rn
              |  FROM c)
              |SELECT d, w1, w2, n, rn FROM r WHERE rn <= 10 ORDER BY d, rn""".stripMargin)),
+
+    // Per-language quality percentile ranks — the CDF transform that turns
+    // q20's raw quality score into the per-stratum relative cutoffs quality
+    // gates actually use (an absolute threshold penalizes whole languages).
+    // percent_rank = (rank-1)/(n-1) over exact integer ranks: ties share a
+    // rank in both engines, so partition order is irrelevant.
+    "q130_quality_percentile" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang").orderBy("quality")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), fr(qualityScore(col("text")), 4).as("quality"))
+          .withColumn("pct_rank", fr(percent_rank().over(w), 6))
+          .orderBy("lang", "doc_id")
+      },
+      Some(s"""WITH q AS (
+             |  SELECT doc_id, lang, ${frs(qualityExprSql, 4)} AS quality
+             |  FROM documents)
+             |SELECT doc_id, lang, quality,
+             |  ${frs("percent_rank() OVER (PARTITION BY lang ORDER BY quality)", 6)} AS pct_rank
+             |FROM q ORDER BY lang, doc_id""".stripMargin)),
   )
 }

@@ -983,6 +983,21 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(pref === brute)           // exact same pairs AND scores
   }
 
+  // ---- Scd.cdcSnapshot ----
+
+  test("cdcSnapshot: latest op wins; a trailing delete removes the key; re-insert after delete survives") {
+    import graft.operators.Scd
+    val log = Seq(
+      (1L, 10L, "U", 1.0), (1L, 20L, "U", 2.0),              // updates: keep latest
+      (2L, 10L, "U", 5.0), (2L, 30L, "D", 0.0),              // trailing delete: gone
+      (3L, 10L, "D", 0.0), (3L, 40L, "U", 7.0),              // re-insert after delete
+      (4L, 50L, "D", 0.0)                                    // only a delete: gone
+    ).toDF("k", "seq", "op", "v")
+    val got = Scd.cdcSnapshot(log, "k", Seq(col("seq")), col("op") === "D")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(got === Map(1L -> ((20L, 2.0)), 3L -> ((40L, 7.0))))
+  }
+
   // ---- Dedup.clusterRepresentatives ----
 
   test("clusterRepresentatives: max-weight wins, min-id breaks ties, sizes audited") {
