@@ -211,4 +211,59 @@ object Sampling {
     // to both operators
     Curation.capPerKey(withPriority(df, keyCol, weightCol, roundTo),
       stratumCol, Seq(col("priority"), col(keyCol)), k)
+
+  /** Token-budget mixing plan: per domain, select documents in a
+    * deterministic pseudo-random order (the engine's mixing hash — unbiased
+    * w.r.t. id/length structure) until the running token total would exceed
+    * the per-domain budget, and report the plan (docs and tokens selected,
+    * fill rate). This is the data-mixing step of training-corpus assembly —
+    * "give me ~N tokens per domain" — as a prefix-greedy cumulative-sum
+    * window, everything in exact integer arithmetic.
+    *
+    * Token counts are the chars/4 proxy `(chars + 3) div 4` (exact ceil in
+    * both engines); swap in real token counts upstream if available. One
+    * shuffle on the domain key; the window is per-domain with a cumulative
+    * ROWS frame.
+    */
+  def tokenBudgetMix(df: DataFrame, domainCol: String, idCol: String,
+                     charsCol: String, targetTokensPerDomain: Long,
+                     roundTo: Int = 4): DataFrame = {
+    require(targetTokensPerDomain > 0, s"budget must be positive, got $targetTokensPerDomain")
+    import org.apache.spark.sql.expressions.Window
+    val toks = ((col(charsCol) + lit(3L)) / lit(4L)).cast("long") // exact: values << 2^52
+    val w = Window.partitionBy(domainCol).orderBy(col("__pri"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(domainCol), col(idCol), toks.as("__tok"))
+      .withColumn("__pri", hashShard(col(idCol), 1000003))
+      .withColumn("__cum", sum("__tok").over(w))
+      .filter(col("__cum") <= targetTokensPerDomain)
+      .groupBy(domainCol)
+      .agg(count(lit(1)).as("n_docs"), sum("__tok").cast("long").as("tokens_selected"))
+      .withColumn("target_tokens", lit(targetTokensPerDomain))
+      .withColumn("fill", graft.functions.MathFunctions.floorRound(
+        col("tokens_selected").cast("double") / col("target_tokens").cast("double"), roundTo))
+      .orderBy(domainCol)
+  }
+
+  /** DuckDB mirror of [[tokenBudgetMix]] — keep token-for-token in sync. */
+  def tokenBudgetMixSql(table: String, domainCol: String, idCol: String,
+                        charsCol: String, targetTokensPerDomain: Long,
+                        roundTo: Int = 4): String = {
+    val fr = graft.functions.MathFunctions.floorRoundSql _
+    s"""WITH t AS (
+       |  SELECT $domainCol, $idCol, ($charsCol + 3) // 4 AS tok,
+       |    ${hashShardSql(idCol, 1000003)} AS pri
+       |  FROM $table),
+       |c AS (
+       |  SELECT $domainCol, tok,
+       |    CAST(sum(tok) OVER (PARTITION BY $domainCol ORDER BY pri, $idCol
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM t)
+       |SELECT $domainCol, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(tok) AS BIGINT) AS tokens_selected,
+       |  CAST($targetTokensPerDomain AS BIGINT) AS target_tokens,
+       |  ${fr(s"CAST(sum(tok) AS DOUBLE) / CAST($targetTokensPerDomain AS DOUBLE)", roundTo)} AS fill
+       |FROM c WHERE cum <= $targetTokensPerDomain
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

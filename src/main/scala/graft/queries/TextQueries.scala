@@ -1520,5 +1520,16 @@ object TextQueries {
              |SELECT doc_id, lang, quality,
              |  ${frs("percent_rank() OVER (PARTITION BY lang ORDER BY quality)", 6)} AS pct_rank
              |FROM q ORDER BY lang, doc_id""".stripMargin)),
+
+    // Token-budget mixing plan: ~1000 proxy-tokens per source domain,
+    // selected in deterministic pseudo-random order by a prefix-greedy
+    // cumulative window — the "assemble N tokens per domain" step of
+    // training-corpus mixing, with the fill-rate audit per domain.
+    "q131_token_budget_mix" -> Q(
+      (s, dir) => graft.operators.Sampling.tokenBudgetMix(
+        Tables.documents(s, dir), "source", "doc_id", "n_chars",
+        targetTokensPerDomain = 1000L),
+      Some(graft.operators.Sampling.tokenBudgetMixSql(
+        "documents", "source", "doc_id", "n_chars", targetTokensPerDomain = 1000L))),
   )
 }

@@ -983,6 +983,24 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(pref === brute)           // exact same pairs AND scores
   }
 
+  // ---- Sampling.tokenBudgetMix ----
+
+  test("tokenBudgetMix: budget never exceeded, monotone in budget, deterministic") {
+    import graft.operators.Sampling
+    val docs = (0L until 100L).map(i => (s"d${i % 4}", i, 40L + (i % 7) * 8L))
+      .toDF("source", "doc_id", "n_chars")
+    def run(b: Long) = Sampling.tokenBudgetMix(docs, "source", "doc_id", "n_chars", b)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val small = run(60L)
+    val big   = run(200L)
+    assert(small.values.forall(_._2 <= 60L))   // hard budget per domain
+    assert(big.values.forall(_._2 <= 200L))
+    small.keys.foreach { d =>                  // more budget -> superset selection
+      assert(big(d)._1 >= small(d)._1 && big(d)._2 >= small(d)._2)
+    }
+    assert(run(60L) === small)                 // rerun identical
+  }
+
   // ---- Scd.cdcSnapshot ----
 
   test("cdcSnapshot: latest op wins; a trailing delete removes the key; re-insert after delete survives") {
