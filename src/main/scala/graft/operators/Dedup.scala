@@ -121,8 +121,7 @@ object Dedup {
   def prefixJaccardJoin(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
-    val sets = withShinglesXx(df, idCol, textCol, shingleSize)
-      .filter(size(col("hs")) > 0)
+    val sets = withShinglesXx(df, idCol, textCol, shingleSize) // already drops empty shingle sets
       .withColumn("__len", size(col("hs")))
       .withColumn("__plen",
         (col("__len").cast("double") - ceil(col("__len").cast("double") * lit(threshold))

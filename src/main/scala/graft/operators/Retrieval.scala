@@ -91,6 +91,12 @@ object Retrieval {
   def rrfFuse(rankings: Seq[(String, DataFrame)], idCol: String,
               kRrf: Int = 60, topK: Int = 10, roundTo: Int = 6): DataFrame = {
     require(rankings.size >= 2, s"rrfFuse wants >= 2 ranked lists, got ${rankings.size}")
+    val dupTags = rankings.map(_._1).groupBy(identity).collect { case (t, v) if v.size > 1 => t }
+    require(dupTags.isEmpty, s"rrfFuse tags must be distinct, duplicated: ${dupTags.mkString(", ")}")
+    rankings.foreach { case (tag, r) =>
+      require(r.columns.contains("rank") && r.columns.contains(idCol),
+        s"ranking '$tag' must carry columns ($idCol, rank), has ${r.columns.mkString(", ")}")
+    }
     val tagged = rankings.map { case (tag, r) =>
       r.select(col(idCol), col("rank").cast("long").as(s"r_$tag"))
     }

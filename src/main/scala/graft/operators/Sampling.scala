@@ -233,13 +233,22 @@ object Sampling {
     val toks = ((col(charsCol) + lit(3L)) / lit(4L)).cast("long") // exact: values << 2^52
     val w = Window.partitionBy(domainCol).orderBy(col("__pri"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(domainCol), col(idCol), toks.as("__tok"))
+    val selected = df.select(col(domainCol), col(idCol), toks.as("__tok"))
       .withColumn("__pri", hashShard(col(idCol), 1000003))
       .withColumn("__cum", sum("__tok").over(w))
       .filter(col("__cum") <= targetTokensPerDomain)
       .groupBy(domainCol)
-      .agg(count(lit(1)).as("n_docs"), sum("__tok").cast("long").as("tokens_selected"))
-      .withColumn("target_tokens", lit(targetTokensPerDomain))
+      .agg(count(lit(1)).as("__n"), sum("__tok").cast("long").as("__sel"))
+    // EVERY domain appears in the plan — a domain whose very first document
+    // already exceeds the budget selects nothing, and that zero-fill row is
+    // precisely the one the consumer must see (silently omitting it would
+    // read as "covered")
+    df.select(col(domainCol)).distinct()
+      .join(selected, Seq(domainCol), "left")
+      .select(col(domainCol),
+        coalesce(col("__n"), lit(0L)).as("n_docs"),
+        coalesce(col("__sel"), lit(0L)).as("tokens_selected"),
+        lit(targetTokensPerDomain).as("target_tokens"))
       .withColumn("fill", graft.functions.MathFunctions.floorRound(
         col("tokens_selected").cast("double") / col("target_tokens").cast("double"), roundTo))
       .orderBy(domainCol)
@@ -258,12 +267,17 @@ object Sampling {
        |  SELECT $domainCol, tok,
        |    CAST(sum(tok) OVER (PARTITION BY $domainCol ORDER BY pri, $idCol
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-       |  FROM t)
-       |SELECT $domainCol, CAST(count(*) AS BIGINT) AS n_docs,
-       |  CAST(sum(tok) AS BIGINT) AS tokens_selected,
+       |  FROM t),
+       |sel AS (
+       |  SELECT $domainCol, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(tok) AS BIGINT) AS sel
+       |  FROM c WHERE cum <= $targetTokensPerDomain GROUP BY 1),
+       |doms AS (SELECT DISTINCT $domainCol FROM $table)
+       |SELECT $domainCol, coalesce(s.n, CAST(0 AS BIGINT)) AS n_docs,
+       |  coalesce(s.sel, CAST(0 AS BIGINT)) AS tokens_selected,
        |  CAST($targetTokensPerDomain AS BIGINT) AS target_tokens,
-       |  ${fr(s"CAST(sum(tok) AS DOUBLE) / CAST($targetTokensPerDomain AS DOUBLE)", roundTo)} AS fill
-       |FROM c WHERE cum <= $targetTokensPerDomain
-       |GROUP BY 1 ORDER BY 1""".stripMargin
+       |  ${fr(s"CAST(coalesce(s.sel, CAST(0 AS BIGINT)) AS DOUBLE) / CAST($targetTokensPerDomain AS DOUBLE)", roundTo)} AS fill
+       |FROM doms d LEFT JOIN sel s USING ($domainCol)
+       |ORDER BY 1""".stripMargin
   }
 }

@@ -114,10 +114,28 @@ object Sketches {
   // corpus size; the exact-count audit column is the only part that scales
   // with cardinality (drop it in production use).
 
-  /** α_m · m² · 2^(W+1), the raw-estimate numerator, as one shared double. */
-  private def hllNumerator(m: Int, scaleBits: Int): Double =
-    0.7213 / (1.0 + 1.079 / m) * m.toDouble * m.toDouble *
-      java.lang.Math.pow(2.0, scaleBits.toDouble)
+  /** Raw-estimate numerator, as one shared double: α_m · m² · 2·(M+1),
+    * where M = (P−1) div m is the maximum register payload w. The 2·(M+1)
+    * factor (instead of the power-of-two 2^(W+1)) folds in the range-bias
+    * correction: w is uniform on [0, M], not [0, 2^W), so
+    * P(rho >= r) = 2^(1−r) · 2^W/(M+1) — every register behaves as if it saw
+    * 2^W/(M+1) ≈ 1.074× the true cardinality, and dividing the numerator by
+    * exactly that constant removes the bias (simulated: +7.4% systematic →
+    * ±1σ noise around zero).
+    */
+  private def hllNumerator(m: Int): Double = {
+    val M = (PolyHash.P - 1) / m
+    0.7213 / (1.0 + 1.079 / m) * m.toDouble * m.toDouble * 2.0 * (M + 1).toDouble
+  }
+
+  /** Second prime limb for folding 64-bit keys into [0, P): keys congruent
+    * mod P alone would collapse deterministically (k and k+P identical in
+    * every register); mixing in the residue mod a SECOND prime pushes the
+    * collision domain to P·P2 ≈ 10^18 — the full practical key range. The
+    * estimable-cardinality envelope is n ≪ P (~10^9), as with any 30-bit
+    * register hash; beyond that, random hash-space saturation dominates.
+    */
+  private val P2 = 999999937L
 
   /** Bit length of the largest possible w = h div m (so w < 2^W always). */
   private def hllW(m: Int): Int = 64 - java.lang.Long.numberOfLeadingZeros((PolyHash.P - 1) / m)
@@ -134,10 +152,13 @@ object Sketches {
     // Affine maps compose to affine — sequential keys would put STRUCTURE in
     // the leading-zero statistic (measured 2-10x rho bias). Two squaring
     // rounds between affines break the linearity; every intermediate stays
-    // < P² < 2^60, so the identical formula runs in DuckDB.
+    // < P² < 2^60, so the identical formula runs in DuckDB. The first step
+    // folds the full 64-bit key through TWO prime residues (see [[P2]]).
     val h = {
-      val t0 = (lit(PolyHash.a(0)) * pmod(col(keyCol).cast("long"), lit(PolyHash.P))
-        + lit(PolyHash.b(0))) % lit(PolyHash.P)
+      val k = col(keyCol).cast("long")
+      val folded = (pmod(k, lit(PolyHash.P))
+        + lit(PolyHash.R) * pmod(k, lit(P2))) % lit(PolyHash.P)
+      val t0 = (lit(PolyHash.a(0)) * folded + lit(PolyHash.b(0))) % lit(PolyHash.P)
       val t1 = (lit(PolyHash.a(1)) * ((t0 * t0) % lit(PolyHash.P))
         + lit(PolyHash.b(1))) % lit(PolyHash.P)
       (lit(PolyHash.a(2)) * ((t1 * t1) % lit(PolyHash.P))
@@ -150,7 +171,9 @@ object Sketches {
     val bitlen = (1 to W).foldLeft(lit(0)) { (acc, bl) =>
       when(col("__w") >= lit(1L << (bl - 1)), lit(bl)).otherwise(acc)
     }
-    df.select(h.as("__h"))
+    df.filter(col(keyCol).isNotNull) // NULL is not a value: excluded from the
+      // sketch AND from the exact audit (count(DISTINCT) semantics)
+      .select(h.as("__h"))
       .select(col("__h"), w.as("__w"))
       .select((col("__h") % m).as("bucket"), (lit(W + 1) - bitlen).as("rho"))
   }
@@ -172,7 +195,7 @@ object Sketches {
       count(lit(1)).as("__np"))
     val sInt  = col("__sp") + (lit(m.toLong) - col("__np")) * lit(1L << (W + 1))
     val vZero = (lit(m.toLong) - col("__np")).as("v_zero")
-    val raw   = lit(hllNumerator(m, W + 1)) / sInt.cast("double")
+    val raw   = lit(hllNumerator(m)) / sInt.cast("double")
     val est   = when(col("__raw") <= lit(2.5 * m) && col("v_zero") > 0,
         lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double")))
       .otherwise(col("__raw"))
@@ -193,7 +216,8 @@ object Sketches {
   def hllDistinct(df: DataFrame, keyCol: String, p: Int = 9): DataFrame =
     hllFinish(
       hllRegisterStage(df, keyCol, p).groupBy("bucket").agg(max("rho").as("mj")),
-      df.select(col(keyCol)).distinct().agg(count(lit(1)).as("exact_distinct")),
+      df.filter(col(keyCol).isNotNull).select(col(keyCol)).distinct()
+        .agg(count(lit(1)).as("exact_distinct")),
       p)
 
   /** DuckDB mirror of [[hllDistinct]] — same hash, same integer register
@@ -208,10 +232,12 @@ object Sketches {
     val a2 = PolyHash.a(2); val b2 = PolyHash.b(2)
     val bitlen = (W to 1 by -1).map(bl =>
       s"WHEN w >= ${1L << (bl - 1)} THEN $bl").mkString(" ", " ", " ELSE 0 ")
-    val num = hllNumerator(m, W + 1)
-    s"""WITH t0 AS (
-       |  SELECT ($a0 * ((($keyCol % $P) + $P) % $P) + $b0) % $P AS t0
-       |  FROM $table),
+    val num = hllNumerator(m)
+    s"""WITH f AS (
+       |  SELECT (((($keyCol % $P) + $P) % $P)
+       |    + ${PolyHash.R} * ((($keyCol % $P2) + $P2) % $P2)) % $P AS f
+       |  FROM $table WHERE $keyCol IS NOT NULL),
+       |t0 AS (SELECT ($a0 * f + $b0) % $P AS t0 FROM f),
        |t1 AS (SELECT ($a1 * ((t0 * t0) % $P) + $b1) % $P AS t1 FROM t0),
        |h AS (SELECT ($a2 * ((t1 * t1) % $P) + $b2) % $P AS h FROM t1),
        |hw AS (SELECT h, h // $m AS w FROM h),

@@ -1467,15 +1467,23 @@ object TextQueries {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val toks = split(col("text"), " ")
-        val pairsAt = (d: Int) => Tables.documents(s, dir)
+        // ONE scan + tokenization emits both distances: each position i
+        // yields the d=1 struct and a d=2 struct whose w2 reads past the
+        // array end on the last position — try_element_at returns null there
+        // (ANSI element_at throws), filtered after the explode. Half the
+        // I/O of a per-distance union.
+        val pairAt = (d: Int) => (i: org.apache.spark.sql.Column) =>
+          struct(lit(d.toLong).as("d"),
+            element_at(col("__t"), i).as("w1"),
+            try_element_at(col("__t"), i + d).as("w2"))
+        val counts = Tables.documents(s, dir)
           .select(toks.as("__t"))
-          .filter(size(col("__t")) > d)
-          .select(lit(d.toLong).as("d"), explode(
-            transform(sequence(lit(1), size(col("__t")) - d),
-              i => struct(element_at(col("__t"), i).as("w1"),
-                          element_at(col("__t"), i + d).as("w2")))).as("bg"))
-          .select(col("d"), col("bg.w1"), col("bg.w2"))
-        val counts = pairsAt(1).unionByName(pairsAt(2))
+          .filter(size(col("__t")) >= 2)
+          .select(explode(concat(
+            transform(sequence(lit(1), size(col("__t")) - 1), pairAt(1)),
+            transform(sequence(lit(1), size(col("__t")) - 1), pairAt(2)))).as("bg"))
+          .select(col("bg.d").as("d"), col("bg.w1"), col("bg.w2"))
+          .filter(col("w2").isNotNull)
           .groupBy("d", "w1", "w2").agg(count(lit(1)).as("n"))
         val w = Window.partitionBy("d").orderBy(desc("n"), col("w1"), col("w2"))
         counts.withColumn("rn", row_number().over(w).cast("long"))

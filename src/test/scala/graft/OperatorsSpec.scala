@@ -1001,6 +1001,34 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(run(60L) === small)                 // rerun identical
   }
 
+  test("tokenBudgetMix: a domain whose first doc busts the budget still appears, zero-filled") {
+    import graft.operators.Sampling
+    val docs = Seq(
+      ("small", 1L, 40L), ("small", 2L, 40L),
+      ("huge", 3L, 9000L), ("huge", 4L, 9000L) // every doc > budget
+    ).toDF("source", "doc_id", "n_chars")
+    val got = Sampling.tokenBudgetMix(docs, "source", "doc_id", "n_chars", 100L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    assert(got.keySet === Set("small", "huge")) // the busted domain is NOT silently dropped
+    assert(got("huge") === ((0L, 0L, 0.0)))
+    assert(got("small")._2 === 20L)             // both 10-token docs fit
+  }
+
+  test("HLL: keys congruent mod P do not collapse; NULL keys are excluded from sketch and audit") {
+    import graft.operators.Sketches
+    val P = 1000000007L
+    // 400 keys in [0,200) ∪ [P, P+200): congruent pairs mod P — a single-prime
+    // hash would see only 200 distinct registerable values
+    val congruent = spark.range(0, 200).toDF("k")
+      .union(spark.range(0, 200).select((col("id") + P).as("k")))
+    val row = Sketches.hllDistinct(congruent, "k").head
+    assert(row.getAs[Long]("exact_distinct") === 400L)
+    assert(row.getAs[Double]("est_distinct") > 300.0) // far above the 200 a collapse would give
+    val withNulls = Seq[java.lang.Long](1L, 2L, null, 3L, null).toDF("k")
+    val r2 = Sketches.hllDistinct(withNulls, "k").head
+    assert(r2.getAs[Long]("exact_distinct") === 3L) // NULL is not a value
+  }
+
   // ---- Scd.cdcSnapshot ----
 
   test("cdcSnapshot: latest op wins; a trailing delete removes the key; re-insert after delete survives") {
