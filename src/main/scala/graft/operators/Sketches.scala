@@ -145,7 +145,8 @@ object Sketches {
     * the register MAX that follows commutes, which is exactly why HLL
     * streams losslessly ([[graft.streaming.StreamingSketch]]).
     */
-  def hllRegisterStage(df: DataFrame, keyCol: String, p: Int): DataFrame = {
+  def hllRegisterStage(df: DataFrame, keyCol: String, p: Int,
+                       carryCols: Seq[String] = Nil): DataFrame = {
     require(p >= 4 && p <= 14, s"HLL wants 4 <= p <= 14, got $p")
     val m = 1 << p
     val W = hllW(m) // bit budget of w = h div m; rho in [1, W+1]
@@ -171,41 +172,115 @@ object Sketches {
     val bitlen = (1 to W).foldLeft(lit(0)) { (acc, bl) =>
       when(col("__w") >= lit(1L << (bl - 1)), lit(bl)).otherwise(acc)
     }
+    val carry = carryCols.map(col)
     df.filter(col(keyCol).isNotNull) // NULL is not a value: excluded from the
       // sketch AND from the exact audit (count(DISTINCT) semantics)
-      .select(h.as("__h"))
-      .select(col("__h"), w.as("__w"))
-      .select((col("__h") % m).as("bucket"), (lit(W + 1) - bitlen).as("rho"))
+      .select(carry :+ h.as("__h"): _*)
+      .select(carry ++ Seq(col("__h"), w.as("__w")): _*)
+      .select(carry ++ Seq((col("__h") % m).as("bucket"), (lit(W + 1) - bitlen).as("rho")): _*)
   }
 
   /** Estimate tail over a materialized register table (bucket, mj) plus a
     * one-row exact-count audit relation — shared by the batch and streaming
     * forms.
     */
-  def hllFinish(regs: DataFrame, exact: DataFrame, p: Int): DataFrame = {
+  def hllFinish(regs: DataFrame, exact: DataFrame, p: Int,
+                groupCols: Seq[String] = Nil): DataFrame = {
     val m = 1 << p
     val W = hllW(m)
+    val gc = groupCols.map(col)
     // Σ 2^(W+1-M_j) over ALL m registers, in exact integer arithmetic:
     // present registers contribute via shiftleft; absent ones (M_j = 0,
     // never hit: rho >= 1 always) contribute 2^(W+1) each.
-    val sums = regs.agg(
-      // shiftleft with a COLUMN shift count only exists in SQL form (the
-      // Scala DSL overload takes a literal Int)
-      sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${W + 1} - CAST(mj AS INT))")).as("__sp"),
-      count(lit(1)).as("__np"))
+    // (shiftleft with a COLUMN shift count only exists in SQL form — the
+    // Scala DSL overload takes a literal Int)
+    val spAgg = sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${W + 1} - CAST(mj AS INT))")).as("__sp")
+    val npAgg = count(lit(1)).as("__np")
+    val sums =
+      if (groupCols.isEmpty) regs.agg(spAgg, npAgg)
+      else regs.groupBy(gc: _*).agg(spAgg, npAgg)
     val sInt  = col("__sp") + (lit(m.toLong) - col("__np")) * lit(1L << (W + 1))
     val vZero = (lit(m.toLong) - col("__np")).as("v_zero")
     val raw   = lit(hllNumerator(m)) / sInt.cast("double")
     val est   = when(col("__raw") <= lit(2.5 * m) && col("v_zero") > 0,
         lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double")))
       .otherwise(col("__raw"))
-    sums.crossJoin(exact)
-      .select(lit(m.toLong).as("m"), vZero, floorRound(raw, 4).as("raw_est"),
-        raw.as("__raw"), col("exact_distinct"))
-      .select(col("m"), col("v_zero"), col("raw_est"),
+    val joined =
+      if (groupCols.isEmpty) sums.crossJoin(exact)
+      else sums.join(exact, groupCols) // every group has >= 1 key row by construction
+    joined
+      .select(gc ++ Seq(lit(m.toLong).as("m"), vZero, floorRound(raw, 4).as("raw_est"),
+        raw.as("__raw"), col("exact_distinct")): _*)
+      .select(gc ++ Seq(col("m"), col("v_zero"), col("raw_est"),
         floorRound(est, 4).as("est_distinct"), col("exact_distinct"),
         floorRound(abs(est - col("exact_distinct").cast("double"))
-          / col("exact_distinct").cast("double"), 4).as("rel_err"))
+          / col("exact_distinct").cast("double"), 4).as("rel_err")): _*)
+  }
+
+  /** Per-group HLL: one sketch row per value of `groupCol` — the GROUPED
+    * approximate count-distinct that replaces an exact count(DISTINCT) whose
+    * state would be unbounded per group. Shuffle volume is at most
+    * groups × m slim (group, bucket, rho) rows after map-side partial max,
+    * independent of the key cardinality behind it.
+    */
+  def hllDistinctByKey(df: DataFrame, groupCol: String, keyCol: String,
+                       p: Int = 9): DataFrame = {
+    val regs = hllRegisterStage(df.select(groupCol, keyCol), keyCol, p,
+        carryCols = Seq(groupCol))
+      .groupBy(col(groupCol), col("bucket")).agg(max("rho").as("mj"))
+    val exact = df.filter(col(keyCol).isNotNull)
+      .groupBy(groupCol).agg(countDistinct(col(keyCol)).as("exact_distinct"))
+    hllFinish(regs, exact, p, groupCols = Seq(groupCol)).orderBy(groupCol)
+  }
+
+  /** DuckDB mirror of [[hllDistinctByKey]] — the [[hllSql]] pipeline with the
+    * group key carried through every stage.
+    */
+  def hllByKeySql(table: String, groupCol: String, keyCol: String, p: Int = 9): String = {
+    val m = 1 << p
+    val W = hllW(m)
+    val a0 = PolyHash.a(0); val b0 = PolyHash.b(0); val P = PolyHash.P
+    val a1 = PolyHash.a(1); val b1 = PolyHash.b(1)
+    val a2 = PolyHash.a(2); val b2 = PolyHash.b(2)
+    val bitlen = (W to 1 by -1).map(bl =>
+      s"WHEN w >= ${1L << (bl - 1)} THEN $bl").mkString(" ", " ", " ELSE 0 ")
+    val num = hllNumerator(m)
+    s"""WITH f AS (
+       |  SELECT $groupCol AS g, (((($keyCol % $P) + $P) % $P)
+       |    + ${PolyHash.R} * ((($keyCol % $P2) + $P2) % $P2)) % $P AS f
+       |  FROM $table WHERE $keyCol IS NOT NULL),
+       |t0 AS (SELECT g, ($a0 * f + $b0) % $P AS t0 FROM f),
+       |t1 AS (SELECT g, ($a1 * ((t0 * t0) % $P) + $b1) % $P AS t1 FROM t0),
+       |h AS (SELECT g, ($a2 * ((t1 * t1) % $P) + $b2) % $P AS h FROM t1),
+       |hw AS (SELECT g, h, h // $m AS w FROM h),
+       |r AS (
+       |  SELECT g, h % $m AS bucket,
+       |    ${W + 1} - (CASE$bitlen END) AS rho
+       |  FROM hw),
+       |regs AS (SELECT g, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+       |s AS (
+       |  SELECT g, CAST(sum(CAST(1 AS BIGINT) << (${W + 1} - mj)) AS BIGINT) AS sp,
+       |    CAST(count(*) AS BIGINT) AS np FROM regs GROUP BY 1),
+       |x AS (
+       |  SELECT $groupCol AS g, CAST(count(DISTINCT $keyCol) AS BIGINT) AS exact_distinct
+       |  FROM $table WHERE $keyCol IS NOT NULL GROUP BY 1),
+       |e AS (
+       |  SELECT s.g, CAST($m AS BIGINT) AS m, CAST($m AS BIGINT) - np AS v_zero,
+       |    CAST($num AS DOUBLE) /
+       |      CAST(sp + (CAST($m AS BIGINT) - np) * ${1L << (W + 1)} AS DOUBLE) AS raw,
+       |    exact_distinct
+       |  FROM s JOIN x ON s.g = x.g),
+       |c AS (
+       |  SELECT g, m, v_zero, raw,
+       |    CASE WHEN raw <= CAST(${2.5 * m} AS DOUBLE) AND v_zero > 0
+       |      THEN CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE) / CAST(v_zero AS DOUBLE))
+       |      ELSE raw END AS est,
+       |    exact_distinct
+       |  FROM e)
+       |SELECT g AS $groupCol, m, v_zero, ${floorRoundSqlLocal("raw", 4)} AS raw_est,
+       |  ${floorRoundSqlLocal("est", 4)} AS est_distinct, exact_distinct,
+       |  ${floorRoundSqlLocal("abs(est - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE)", 4)} AS rel_err
+       |FROM c ORDER BY 1""".stripMargin
   }
 
   /** One-row HLL summary over the distinct values of `keyCol` (an integral

@@ -377,6 +377,15 @@ object EventQueries {
            |ORDER BY key""".stripMargin
       }),
 
+    // GROUPED HLL: distinct users per event type as one sketch row per
+    // group — the approximate count-distinct that replaces per-group exact
+    // DISTINCT state at scale, with the exact audit beside it. Shuffle is
+    // groups × m slim register rows regardless of key cardinality.
+    "q132_hll_by_group" -> Q(
+      (s, dir) => graft.operators.Sketches.hllDistinctByKey(
+        Tables.events(s, dir), "event_type", "user_id", p = 9),
+      Some(graft.operators.Sketches.hllByKeySql("events", "event_type", "user_id", p = 9))),
+
     // First-order Markov transition matrix over per-user event sequences:
     // P(next event type | event type) from lead-window pairs — the
     // behavioral model behind q111's raw trigram counts. Probabilities are
