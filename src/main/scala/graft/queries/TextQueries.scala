@@ -1529,6 +1529,103 @@ object TextQueries {
              |  ${frs("percent_rank() OVER (PARTITION BY lang ORDER BY quality)", 6)} AS pct_rank
              |FROM q ORDER BY lang, doc_id""".stripMargin)),
 
+    // Per-source KL divergence from the corpus unigram distribution — the
+    // domain-shift diagnostic next to q101's split-level TV distance:
+    // KL(source || corpus) with add-one smoothing over the corpus vocab,
+    // every term ln((cs+1)/(ns+V) · (n+V)/(c+1)) of exact BIGINTs. Sources
+    // that diverge most from the mixture get flagged for reweighting.
+    "q133_source_kl" -> Q(
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+        val corpus = toks.groupBy("w").agg(count(lit(1)).as("__c"))
+        val vocab = corpus.agg(count(lit(1)).as("__v"), sum("__c").as("__n"))
+        val bySource = toks.groupBy("source", "w").agg(count(lit(1)).as("__cs"))
+        val srcTotals = bySource.groupBy("source").agg(sum("__cs").as("__ns"))
+        // smoothed probabilities: p_s = (cs+1)/(ns+V), p_c = (c+1)/(n+V);
+        // absent-in-source terms contribute nothing to the sum over the
+        // source's OWN tokens (KL is an expectation under p_s — zero-count
+        // vocab terms have zero weight in the plug-in estimator)
+        bySource
+          .join(corpus, Seq("w"))
+          .join(srcTotals, Seq("source"))
+          .crossJoin(vocab)
+          .withColumn("__term",
+            col("__cs").cast("double") / col("__ns").cast("double") *
+              log((col("__cs") + 1).cast("double") / (col("__ns") + col("__v")).cast("double") *
+                  ((col("__n") + col("__v")).cast("double") / (col("__c") + 1).cast("double"))))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_terms"), fr(sum("__term"), 6).as("kl_bits"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tok AS (
+             |  SELECT source, w FROM (
+             |    SELECT source, unnest(string_split(text,' ')) AS w FROM documents)
+             |  WHERE w <> ''),
+             |corpus AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+             |vocab AS (SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(c) AS BIGINT) AS n FROM corpus),
+             |bys AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cs FROM tok GROUP BY 1, 2),
+             |st AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM bys GROUP BY 1)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+             |  ${frs("""sum(CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE) *
+             |    ln(CAST(cs + 1 AS DOUBLE) / CAST(ns + v AS DOUBLE) *
+             |       (CAST(n + v AS DOUBLE) / CAST(c + 1 AS DOUBLE))))""".stripMargin, 6)} AS kl_bits
+             |FROM bys JOIN corpus USING (w) JOIN st USING (source) CROSS JOIN vocab
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // N-gram coverage curve: the share of total trigram MASS covered by the
+    // top-k most frequent trigrams, k ∈ {10, 100, 1000} — the Zipf-mass
+    // audit behind vocabulary/cache sizing (how much of the corpus do the
+    // head grams explain). Exact integer counts; rank ties broken by gram.
+    "q134_ngram_coverage" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // raw trigram OCCURRENCES (no per-doc dedup — this is a mass curve)
+        val grams = Tables.documents(s, dir)
+          .select(split(col("text"), " ").as("__t"))
+          .filter(size(col("__t")) >= 3)
+          .select(explode(transform(sequence(lit(1), size(col("__t")) - 2),
+            i => concat_ws(" ", element_at(col("__t"), i),
+              element_at(col("__t"), i + 1), element_at(col("__t"), i + 2)))).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("__c"))
+        val ranked = grams
+          .withColumn("__rk", row_number().over(Window.orderBy(desc("__c"), col("g"))).cast("long"))
+          .withColumn("__cum", sum("__c").over(
+            Window.orderBy(desc("__c"), col("g"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val totals = grams.agg(sum("__c").as("__tot"), count(lit(1)).as("n_distinct"))
+        import s.implicits._
+        val ks = Seq(10L, 100L, 1000L).toDF("k")
+        ranked
+          .crossJoin(totals)
+          .join(broadcast(ks), col("__rk") === col("k"))
+          .select(col("k"), col("n_distinct"), col("__cum").as("mass_covered"),
+            col("__tot").as("total_mass"),
+            fr(col("__cum").cast("double") / col("__tot").cast("double"), 6).as("coverage"))
+          .orderBy("k")
+      },
+      Some(s"""WITH g AS (
+             |  SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
+             |    SELECT unnest(list_transform(
+             |      generate_series(1, greatest(len(toks)-2, 0)),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+             |    FROM (SELECT string_split(text,' ') AS toks FROM documents))
+             |  GROUP BY 1),
+             |r AS (
+             |  SELECT g, c,
+             |    CAST(row_number() OVER (ORDER BY c DESC, g) AS BIGINT) AS rk,
+             |    CAST(sum(c) OVER (ORDER BY c DESC, g
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             |  FROM g),
+             |t AS (SELECT CAST(sum(c) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS n_distinct FROM g)
+             |SELECT k, n_distinct, cum AS mass_covered, tot AS total_mass,
+             |  ${frs("CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)", 6)} AS coverage
+             |FROM r CROSS JOIN t
+             |JOIN (VALUES (CAST(10 AS BIGINT)), (CAST(100 AS BIGINT)), (CAST(1000 AS BIGINT))) v(k)
+             |  ON rk = k
+             |ORDER BY k""".stripMargin)),
+
     // Token-budget mixing plan: ~1000 proxy-tokens per source domain,
     // selected in deterministic pseudo-random order by a prefix-greedy
     // cumulative window — the "assemble N tokens per domain" step of
