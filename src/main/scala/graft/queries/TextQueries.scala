@@ -1589,7 +1589,13 @@ object TextQueries {
             i => concat_ws(" ", element_at(col("__t"), i),
               element_at(col("__t"), i + 1), element_at(col("__t"), i + 2)))).as("g"))
           .groupBy("g").agg(count(lit(1)).as("__c"))
-        val ranked = grams
+        // Only ranks {10, 100, 1000} are consumed, so take the head with
+        // TakeOrderedAndProject (a parallel partial top-k, NOT a global
+        // sort) and rank/cumsum over the resulting <= 1000 rows. The window
+        // below is single-partition by construction — over a GlobalLimit of
+        // 1000 rows, not the billions-row distinct-gram table.
+        val top = grams.orderBy(desc("__c"), col("g")).limit(1000)
+        val ranked = top
           .withColumn("__rk", row_number().over(Window.orderBy(desc("__c"), col("g"))).cast("long"))
           .withColumn("__cum", sum("__c").over(
             Window.orderBy(desc("__c"), col("g"))
