@@ -35,7 +35,8 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.contains))
     }
-    val results = selected.map { case (name, fn) =>
+    // one timing protocol for the suite AND the noise sentinel below
+    def timeQuery(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // each number must stand alone: operators cache() internally and the
       // CacheManager matches by canonicalized plan, so without this a later
       // query silently reuses an earlier query's materialized work
@@ -43,14 +44,41 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink forces FULL plan execution — count() would let the
       // optimizer prune the projected expressions of map-only queries
-      val dt =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-              (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+            (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
+    }
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val sysLoadStart = osBean.getSystemLoadAverage
+    val results = selected.map { case (name, fn) =>
+      val dt = timeQuery(name, fn)
       System.err.println(f"[bench] $name%-28s $dt%8.2f s")
       name -> dt
     }
+    // Environment-noise sentinel: re-time the FIRST query at the END of the
+    // run and report the end/start ratio plus CPU-load readings. A quiet box
+    // gives ratio ≈ 1; machine contention during the run (the only honest
+    // explanation for a late query suddenly 3-6× slower) shows up as a large
+    // ratio and a high load average — so a contaminated headline number
+    // labels ITSELF instead of reading as a regression.
+    val noiseJson = (for {
+      (n0, fn0) <- selected.headOption
+      t0 <- results.get(n0).filter(_ > 0)
+    } yield {
+      val tEnd = timeQuery(n0, fn0)
+      val ratio = if (tEnd > 0) tEnd / t0 else -1.0
+      val sysLoadEnd = osBean.getSystemLoadAverage
+      val procCpu = osBean match {
+        // first sample can be NaN (needs two reads) — NaN would break the JSON
+        case b: com.sun.management.OperatingSystemMXBean =>
+          val v = b.getProcessCpuLoad; if (v.isNaN) -1.0 else v
+        case _ => -1.0
+      }
+      System.err.println(f"[bench] noise sentinel: $n0 ${t0}%.2f s -> $tEnd%.2f s " +
+        f"(ratio ${ratio}%.2f), sys load $sysLoadStart%.2f -> $sysLoadEnd%.2f")
+      f""","noise":{"probe":"${n0.takeWhile(_ != '_')}%s","t_run":$t0%.3f,"t_end":$tEnd%.3f,"ratio":$ratio%.2f,"sys_load_start":$sysLoadStart%.2f,"sys_load_end":$sysLoadEnd%.2f,"proc_cpu":$procCpu%.2f}"""
+    }).getOrElse("")
     // The driver keeps only the last ~2000 bytes of output and parses the
     // JSON line out of that tail — with 96 queries, full names and
     // 9-decimal doubles overflow it and the round's metrics are lost
@@ -75,7 +103,7 @@ object Bench {
       }
       s""","filtered":true,"filter":"$esc""""
     }.getOrElse("")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"$filteredTag}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"$noiseJson$filteredTag}""")
     spark.stop()
   }
 }

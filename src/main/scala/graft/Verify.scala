@@ -29,7 +29,10 @@ object Verify {
       // cached relations of all 56 queries accumulate in one executor heap
       // (fine at sf0.01, memory pressure at sf0.1+). Bench does the same.
       spark.catalog.clearCache()
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // no coalesce(1): a single-partition write funnels large results
+      // through one task (and one heap); the driver's DuckDB compare globs
+      // the directory, so a partitioned dump reads identically
+      try fn(spark, sfDir).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -56,6 +56,8 @@ object GraftFunctions {
     // registered builder into an AggregateExpression
     ("graft_topk_pairs", classOf[TopKPairsAgg],
       es => { arity("graft_topk_pairs", es, 3); TopKPairsAgg(es.head, es(1), intLit(es(2), "graft_topk_pairs k")) }),
+    ("graft_topk_grams", classOf[TopKGramsAgg],
+      es => { arity("graft_topk_grams", es, 4); TopKGramsAgg(es.head, es(1), es(2), intLit(es(3), "graft_topk_grams k")) }),
   )
 
   def register(spark: SparkSession): Unit = {

@@ -77,10 +77,10 @@ object Layout {
     * most blocks; the natural layout is tight in at most one dimension, the
     * Z-order layout is balanced-tight in both. One output row per layout.
     *
-    * The audit ranks rows with a global `row_number` for determinism (and
-    * oracle parity) at fixture scale; a production Z-order WRITE of 100 TB
-    * is `repartitionByRange(zValue16(...))` + a per-partition local sort —
-    * same curve, no global window.
+    * The audit ranks rows with an exact distributed row number (range
+    * partition + within-partition rank + per-partition offsets — see
+    * [[blockZoneMaps]]); a production Z-order WRITE of 100 TB is the same
+    * `repartitionByRange(zValue16(...))` + per-partition local sort.
     */
   /** (k, x, y, z) projection shared by the layout audits. */
   private def withZ(df: DataFrame, keyCol: String, xCol: String, yCol: String): DataFrame =
@@ -89,15 +89,39 @@ object Layout {
       .withColumn("z", zValue16(col("x"), col("y")))
 
   /** Per-block (min, max) zone maps of both dimensions under a total order —
-    * block i = rows [i·blockRows, (i+1)·blockRows) of the sort. */
+    * block i = rows [i·blockRows, (i+1)·blockRows) of the sort.
+    *
+    * The global row rank is computed DISTRIBUTED: range-partition on the sort
+    * key, rank within each partition, then add per-partition row offsets. The
+    * offsets come from a partition-count fetch (one row per shuffle
+    * partition — bounded parameter data, not a data-plane collect), so no
+    * single-partition window ever sees the table. `order` must be a total
+    * order (the callers tie-break on the unique key) — ranks are then exact
+    * and identical to a global `row_number`.
+    */
   private def blockZoneMaps(z: DataFrame, layout: String, order: Seq[Column],
-                            blockRows: Int): DataFrame =
-    z.withColumn("__blk",
-        ((row_number().over(Window.orderBy(order: _*)) - 1) / blockRows).cast("long"))
+                            blockRows: Int): DataFrame = {
+    val spark = z.sparkSession
+    import spark.implicits._
+    // persist pins the sampled range boundaries: the offset fetch and the
+    // ranking branch below must see the SAME partition assignment
+    val parted = z.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .persist()
+    val sizes = parted.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = sizes.map(_._1)
+      .zip(sizes.scanLeft(0L)(_ + _._2)) // exclusive prefix sum of sizes
+      .toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy("__pid").orderBy(order: _*)
+    parted.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__rn", row_number().over(w).cast("long") + col("__off"))
+      .withColumn("__blk", ((col("__rn") - 1) / blockRows).cast("long"))
       .groupBy("__blk")
       .agg(min("x").cast("long").as("mnx"), max("x").cast("long").as("mxx"),
         min("y").cast("long").as("mny"), max("y").cast("long").as("mxy"))
       .withColumn("layout", lit(layout))
+  }
 
   def zorderAudit(df: DataFrame, keyCol: String, xCol: String, yCol: String,
                   blockRows: Int): DataFrame = {

@@ -1465,7 +1465,6 @@ object TextQueries {
     // double explode, one vocab-bounded count shuffle, rank per distance.
     "q127_skipgram_pairs" -> Q(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val toks = split(col("text"), " ")
         // ONE scan + tokenization emits both distances: each position i
         // yields the d=1 struct and a d=2 struct whose w2 reads past the
@@ -1485,9 +1484,21 @@ object TextQueries {
           .select(col("bg.d").as("d"), col("bg.w1"), col("bg.w2"))
           .filter(col("w2").isNotNull)
           .groupBy("d", "w1", "w2").agg(count(lit(1)).as("n"))
-        val w = Window.partitionBy("d").orderBy(desc("n"), col("w1"), col("w2"))
-        counts.withColumn("rn", row_number().over(w).cast("long"))
-          .filter(col("rn") <= 10)
+        // Only the top-10 per distance is consumed, and d has 2 distinct
+        // values — a rank window partitioned by d would funnel the whole
+        // vocab²-bounded pair-count table through 2 tasks. The bounded
+        // top-k aggregate (ObjectHashAggregate with a map-side partial
+        // pass) forwards at most 10 rows per distance per partition, the
+        // same (n desc, w1, w2) order as the window formulation.
+        import graft.functions.expressions.TopKGramsAgg
+        import org.apache.spark.sql.{GraftSqlBridge => B}
+        val topk = B.column(TopKGramsAgg(
+          B.expression(col("n")), B.expression(col("w1")), B.expression(col("w2")), 10)
+          .toAggregateExpression())
+        counts.groupBy("d").agg(topk.as("__top"))
+          .select(col("d"), posexplode(col("__top")))
+          .select(col("d"), col("col.w1"), col("col.w2"), col("col.n").as("n"),
+            (col("pos") + 1).cast("long").as("rn"))
           .orderBy("d", "rn")
       },
       Some("""WITH tok AS (
@@ -1516,10 +1527,27 @@ object TextQueries {
     "q130_quality_percentile" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("lang").orderBy("quality")
-        Tables.documents(s, dir)
+        val q = Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"), fr(qualityScore(col("text")), 4).as("quality"))
-          .withColumn("pct_rank", fr(percent_rank().over(w), 6))
+        // Two-pass exact rank-by-aggregation: a per-lang percent_rank window
+        // buffers a whole language's ROWS in one task; instead rank the
+        // (lang, quality) COUNT table — its window input is bounded by the
+        // distinct 4-dp quality values per lang (≤ 10⁴+1), independent of
+        // corpus size — and a keyed join carries ranks back to rows.
+        // percent_rank = (rank-1)/(n-1) with rank = 1 + count strictly below
+        // (ties share the min rank, exactly the window function's contract).
+        val vc = q.groupBy("lang", "quality").agg(count(lit(1)).as("__c"))
+        val below = Window.partitionBy("lang").orderBy("quality")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ranked = vc.withColumn("__below", coalesce(sum("__c").over(below), lit(0L)))
+        val totals = vc.groupBy("lang").agg(sum("__c").as("__n"))
+        q.join(ranked.select("lang", "quality", "__below"), Seq("lang", "quality"))
+          .join(totals, Seq("lang"))
+          .withColumn("pct_rank", fr(
+            when(col("__n") > 1,
+              col("__below").cast("double") / (col("__n") - 1).cast("double"))
+              .otherwise(lit(0.0)), 6))
+          .select("doc_id", "lang", "quality", "pct_rank")
           .orderBy("lang", "doc_id")
       },
       Some(s"""WITH q AS (

@@ -11,12 +11,15 @@ import java.sql.Timestamp
 final case class SessionEvent(user_id: Long, ts: Timestamp, event_id: Long)
 
 /** Per-user state carried across micro-batches: the id of the CURRENT (still
-  * open) session plus its running summary. `openCount == 0` means no open
-  * session (fresh key). Timestamps are full-precision epoch micros so the
-  * cross-batch gap test is identical to the in-batch one.
+  * open) session plus its running summary, and the end of the most recently
+  * FINALIZED session (`Long.MinValue` = none) — the boundary that decides
+  * whether an out-of-order arrival can still be merged exactly. `openCount
+  * == 0` means no open session (fresh key). Timestamps are full-precision
+  * epoch micros so the cross-batch gap test is identical to the in-batch one.
   */
 final case class SessionState(openSessId: Long, openCount: Long,
-                              openStartUs: Long, openEndUs: Long)
+                              openStartUs: Long, openEndUs: Long,
+                              lastFinalEndUs: Long)
 final case class SessionOut(user_id: Long, sess_id: Long, n_events: Long,
                             session_start: String, session_end: String)
 
@@ -61,9 +64,16 @@ object Sessionize {
     * event count; the post-stream reconciliation keeps the latest version
     * (max n_events per (user_id, sess_id)). With a single batch this
     * degenerates to exactly the one-shot behavior; with many batches it
-    * equals [[batch]] as long as files arrive in event-time order (the file
-    * source's modification-time order — true for append-style ingestion;
-    * out-of-order files are a watermark problem the fixture doesn't pose).
+    * equals [[batch]] — including OUT-OF-ORDER arrivals, which merge exactly
+    * into the open session wherever the global sort would have placed them:
+    * inside its [start, end] span (count grows, extent fixed) or within
+    * `gap` BEFORE its start (the session extends backwards; reconciliation
+    * keeps the latest version). The one thing Append-mode streaming cannot
+    * do is rewrite a FINALIZED session — an arrival within `gap` of the last
+    * finalized end (it would merge into it) or > `gap` before the open start
+    * (it would insert a new session before an already-numbered one) fails
+    * the query with `IllegalStateException` rather than silently diverging
+    * from [[batch]]: a hard exactness contract, not a warn-and-drift.
     */
   def streaming(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
     streamingFrom(spark, dir, schemaFrom = s"$dir/events.parquet",
@@ -109,37 +119,53 @@ object Sessionize {
             t
           }
           val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          val st = state.getOption.getOrElse(SessionState(1L, 0L, 0L, 0L))
-          var sessId   = st.openSessId
-          var curCount = st.openCount
-          var curStart = st.openStartUs
-          var curEnd   = st.openEndUs
-          // The exactness contract assumes batches arrive in event-time order
-          // (file-source mtime order). An event EARLIER than the carried
-          // open-session end would otherwise read as a negative gap and pull
-          // curEnd backwards — make the violation visible instead of silent,
-          // and clamp so the session end never regresses.
-          if (curCount > 0 && sorted.nonEmpty && micros(sorted.head.ts) < curEnd)
-            org.slf4j.LoggerFactory.getLogger("graft.streaming.Sessionize").warn(
-              s"out-of-order micro-batch for user $uid: earliest event " +
-                s"${micros(sorted.head.ts)}us precedes carried session end ${curEnd}us; " +
-                "session boundaries for this user may not match the batch operator")
+          val st = state.getOption.getOrElse(SessionState(1L, 0L, 0L, 0L, Long.MinValue))
+          var sessId    = st.openSessId
+          var curCount  = st.openCount
+          var curStart  = st.openStartUs
+          var curEnd    = st.openEndUs
+          var lastFinal = st.lastFinalEndUs
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
           sorted.foreach { e =>
             val us = micros(e.ts)
-            if (curCount > 0 && us - curEnd > gapUs) {
-              // gap exceeded: the open session is final — emit and advance
-              out += ((sessId, curCount, curStart, curEnd))
-              sessId += 1; curCount = 0
+            if (curCount == 0) { curStart = us; curEnd = us; curCount = 1 }
+            else if (us > curEnd) {
+              if (us - curEnd > gapUs) {
+                // gap exceeded: the open session is final — emit and advance
+                out += ((sessId, curCount, curStart, curEnd))
+                lastFinal = curEnd
+                sessId += 1
+                curStart = us; curEnd = us; curCount = 1
+              } else { curEnd = us; curCount += 1 }
+            } else if (us >= curStart) {
+              // out-of-order arrival INSIDE the open session's span: the
+              // global sort would place it between existing events, where it
+              // can only shrink gaps — count it, extent unchanged. Exact.
+              curCount += 1
+            } else {
+              // out-of-order arrival BEFORE the open session's start.
+              if (lastFinal != Long.MinValue && us - lastFinal <= gapUs)
+                throw new IllegalStateException(
+                  s"sessionize exactness contract violated for user $uid: event at " +
+                    s"${us}us is within the $gapMinutes-minute gap of the FINALIZED " +
+                    s"session ending ${lastFinal}us — Append-mode streaming cannot " +
+                    "retract an emitted session; replay from a checkpoint before it")
+              if (curStart - us > gapUs)
+                throw new IllegalStateException(
+                  s"sessionize exactness contract violated for user $uid: event at " +
+                    s"${us}us forms a NEW session more than $gapMinutes minutes before " +
+                    s"the open session starting ${curStart}us, whose id is already " +
+                    "assigned — Append-mode streaming cannot renumber emitted sessions")
+              // within gap-reach of the open start: the global sort would put
+              // it at the session's head — extend backwards. Exact (the
+              // reconciliation keeps this larger version).
+              curStart = us; curCount += 1
             }
-            if (curCount == 0) { curStart = us; curEnd = us }
-            else curEnd = math.max(curEnd, us) // clamp: never regress an open session's end
-            curCount += 1
           }
           // provisional emission of the still-open session (re-emitted with a
           // larger count if a later batch extends it; reconciled downstream)
           if (curCount > 0) out += ((sessId, curCount, curStart, curEnd))
-          state.update(SessionState(sessId, curCount, curStart, curEnd))
+          state.update(SessionState(sessId, curCount, curStart, curEnd, lastFinal))
           out.iterator.map { case (s, n, stUs, enUs) =>
             SessionOut(uid, s, n, sdf.format(toTs(stUs)), sdf.format(toTs(enUs)))
           }

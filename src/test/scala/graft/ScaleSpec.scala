@@ -141,6 +141,33 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     assert(!plan.contains("SortMergeJoin"), s"fact table must not shuffle for the join:\n${plan.take(2000)}")
   }
 
+  test("q127 skip-gram top-k is a bounded aggregate — no rank window over the pair-count table") {
+    // a Window.partitionBy(d) with 2 distinct values would funnel the whole
+    // vocab²-bounded count table through 2 tasks; the TopKGramsAgg path
+    // pre-reduces map-side inside ObjectHashAggregate
+    val plan = SparkEntry.queries("q127_skipgram_pairs")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected bounded top-k aggregate in:\n${plan.take(3000)}")
+    assert(!plan.contains("Window"),
+      s"expected no rank window over the pair-count table in:\n${plan.take(3000)}")
+  }
+
+  test("q134 coverage curve ranks over a TakeOrderedAndProject head, not the full gram table") {
+    // the rank/cumsum window is single-partition BY CONSTRUCTION (over a
+    // 1000-row top-k head) — assert the bounded head is in the plan and the
+    // window sits above it, so the window never sees the full distinct-gram
+    // table
+    val plan = SparkEntry.queries("q134_ngram_coverage")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected parallel partial top-k (TakeOrderedAndProject) in:\n${plan.take(3000)}")
+    val wi = plan.indexOf("Window")
+    val ti = plan.indexOf("TakeOrderedAndProject")
+    assert(wi >= 0 && ti > wi,
+      s"expected the window ABOVE the bounded top-k head (window at $wi, head at $ti):\n${plan.take(3000)}")
+  }
+
   test("HLL register stage is map-only: the only exchange is the m-bounded bucket aggregate") {
     import graft.operators.Sketches
     val regs = Sketches.hllRegisterStage(spark.range(0, 5000).toDF("k"), "k", p = 9)
