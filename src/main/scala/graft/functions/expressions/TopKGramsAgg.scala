@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -31,11 +31,17 @@ case class TopKGramsAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[ArrayBuffer[(Long, UTF8String, UTF8String)]] {
+  extends TypedImperativeAggregate[ArrayBuffer[(Long, UTF8String, UTF8String)]]
+  with ImplicitCastInputTypes {
 
   require(k > 0, s"k must be positive, got $k")
 
   override def children: Seq[Expression] = Seq(n, w1, w2)
+  // update() casts to Long/UTF8String — declare it so a SQL call with an INT
+  // count or non-string key is coerced (or rejected) at analysis, not a
+  // ClassCastException at execution
+  // (Seq[DataType] <: Seq[AbstractDataType]; AbstractDataType is private[sql])
+  override def inputTypes: Seq[DataType] = Seq(LongType, StringType, StringType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("n", LongType), StructField("w1", StringType),

@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
@@ -29,11 +29,17 @@ case class TopKPairsAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]] {
+  extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]]
+  with ImplicitCastInputTypes {
 
   require(k > 0, s"k must be positive, got $k")
 
   override def children: Seq[Expression] = Seq(score, id)
+  // update() casts to Double/Long — declare it so a SQL call with e.g. a
+  // FLOAT score or INT id is coerced (or rejected) at analysis, not a
+  // ClassCastException at execution
+  // (Seq[DataType] <: Seq[AbstractDataType]; AbstractDataType is private[sql])
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("score", DoubleType), StructField("id", LongType))),

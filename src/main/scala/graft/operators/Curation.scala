@@ -64,24 +64,30 @@ object Curation {
     * Intermediate stages are cached before counting, so the five counts
     * execute the chain once, not five times (Spark's CacheManager matches
     * downstream stages' subplans against the cached generations by
-    * canonicalized-plan equality).
+    * canonicalized-plan equality). The counts themselves are bounded
+    * parameter data (five longs), so they are computed EAGERLY under
+    * try/finally and the caches released before returning — a lazy
+    * formulation would leak all three cached stages into the caller's
+    * executor storage for the result DataFrame's whole lifetime.
     */
   def funnel(corpus: DataFrame, idCol: String, textCol: String,
              benchmark: DataFrame, bTextCol: String, stratumCol: String,
              p: Params = Params()): DataFrame = {
     val st = stages(corpus, idCol, textCol, benchmark, bTextCol, stratumCol, p)
-    st.gated.cache(); st.deduped.cache(); st.clean.cache()
     val parts = Seq(
       "raw" -> st.raw, "gated" -> st.gated, "deduped" -> st.deduped,
       "decontaminated" -> st.clean, "sampled" -> st.sampled)
-    val counts = parts.zipWithIndex.map { case ((name, df), i) =>
-      df.agg(count(lit(1)).cast("long").as("n_docs"))
-        .select(lit(i.toLong).as("stage_idx"), lit(name).as("stage"), col("n_docs"))
-    }.reduce(_ unionByName _)
-    val raw = counts.filter(col("stage") === "raw").select(col("n_docs").as("__raw"))
-    counts.crossJoin(broadcast(raw))
+    st.gated.cache(); st.deduped.cache(); st.clean.cache()
+    val counts =
+      try parts.map { case (name, df) => (name, df.count()) }
+      finally { st.clean.unpersist(); st.deduped.unpersist(); st.gated.unpersist() }
+    val rawN = counts.head._2
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    counts.zipWithIndex.map { case ((name, n), i) => (i.toLong, name, n) }
+      .toDF("stage_idx", "stage", "n_docs")
       .withColumn("retained",
-        floorRound(col("n_docs").cast("double") / col("__raw").cast("double"), 6))
+        floorRound(col("n_docs").cast("double") / lit(rawN.toDouble), 6))
       .select("stage_idx", "stage", "n_docs", "retained")
       .orderBy("stage_idx")
   }

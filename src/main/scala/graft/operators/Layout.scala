@@ -3,7 +3,8 @@ package graft.operators
 import graft.functions.MathFunctions.floorRound
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 
 /** Physical-layout planning — the operators that decide how 100 TB lands on
   * disk. Neither is a query over the data so much as a query over the
@@ -78,7 +79,7 @@ object Layout {
     * Z-order layout is balanced-tight in both. One output row per layout.
     *
     * The audit ranks rows with an exact distributed row number (range
-    * partition + within-partition rank + per-partition offsets — see
+    * partition + within-partition sort + zipWithIndex — see
     * [[blockZoneMaps]]); a production Z-order WRITE of 100 TB is the same
     * `repartitionByRange(zValue16(...))` + per-partition local sort.
     */
@@ -91,33 +92,33 @@ object Layout {
   /** Per-block (min, max) zone maps of both dimensions under a total order —
     * block i = rows [i·blockRows, (i+1)·blockRows) of the sort.
     *
-    * The global row rank is computed DISTRIBUTED: range-partition on the sort
-    * key, rank within each partition, then add per-partition row offsets. The
-    * offsets come from a partition-count fetch (one row per shuffle
-    * partition — bounded parameter data, not a data-plane collect), so no
-    * single-partition window ever sees the table. `order` must be a total
-    * order (the callers tie-break on the unique key) — ranks are then exact
-    * and identical to a global `row_number`.
+    * The global row rank is computed DISTRIBUTED in one consistent lineage:
+    * range-partition on the sort key (explicit partition count — no runtime
+    * rewrite), sort within partitions, then `zipWithIndex` — Spark computes
+    * the per-partition offsets itself with a bounded count job (one long per
+    * partition) over the SAME RDD instance, whose range boundaries are
+    * sampled exactly once at construction. No persist, no cache-lifetime
+    * invariant, nothing left cached. (Two rejected variants: a persist()-
+    * based one collected offsets in a separate job against the CacheManager
+    * entry and silently mis-ranked if the cache was dropped between plan
+    * construction and execution; an in-plan two-branch one was defeated by
+    * column pruning, which splits the canonical exchange so each branch
+    * re-samples its own range boundaries.) `order` must be a total order
+    * (the callers tie-break on the unique key) — ranks are then exact and
+    * identical to a global `row_number`.
     */
   private def blockZoneMaps(z: DataFrame, layout: String, order: Seq[Column],
                             blockRows: Int): DataFrame = {
     val spark = z.sparkSession
-    import spark.implicits._
-    // persist pins the sampled range boundaries: the offset fetch and the
-    // ranking branch below must see the SAME partition assignment
-    val parted = z.repartitionByRange(order: _*)
-      .withColumn("__pid", spark_partition_id().cast("long"))
-      .persist()
-    val sizes = parted.groupBy("__pid").agg(count(lit(1)).as("__n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val offsets = sizes.map(_._1)
-      .zip(sizes.scanLeft(0L)(_ + _._2)) // exclusive prefix sum of sizes
-      .toSeq.toDF("__pid", "__off")
-    val w = Window.partitionBy("__pid").orderBy(order: _*)
-    parted.join(broadcast(offsets), Seq("__pid"))
-      .withColumn("__rn", row_number().over(w).cast("long") + col("__off"))
-      .withColumn("__blk", ((col("__rn") - 1) / blockRows).cast("long"))
-      .groupBy("__blk")
+    val n = spark.sessionState.conf.numShufflePartitions
+    val sorted = z.repartitionByRange(n, order: _*).sortWithinPartitions(order: _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField("__blk", LongType, nullable = false))
+    // zipWithIndex is 0-based and partition-ordered = exact global row_number - 1
+    val withBlk = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i / blockRows) },
+      schema)
+    withBlk.groupBy("__blk")
       .agg(min("x").cast("long").as("mnx"), max("x").cast("long").as("mxx"),
         min("y").cast("long").as("mny"), max("y").cast("long").as("mxy"))
       .withColumn("layout", lit(layout))

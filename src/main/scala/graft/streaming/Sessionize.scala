@@ -67,11 +67,14 @@ object Sessionize {
     * equals [[batch]] — including OUT-OF-ORDER arrivals, which merge exactly
     * into the open session wherever the global sort would have placed them:
     * inside its [start, end] span (count grows, extent fixed) or within
-    * `gap` BEFORE its start (the session extends backwards; reconciliation
-    * keeps the latest version). The one thing Append-mode streaming cannot
-    * do is rewrite a FINALIZED session — an arrival within `gap` of the last
-    * finalized end (it would merge into it) or > `gap` before the open start
-    * (it would insert a new session before an already-numbered one) fails
+    * `gap` BEFORE its start — including CHAIN-BRIDGED backfills, where a
+    * batch's later pre-start event brings the start within gap-reach of an
+    * earlier one (the session extends backwards; reconciliation keeps the
+    * latest version). The one thing Append-mode streaming cannot do is
+    * rewrite a FINALIZED session — an arrival within `gap` of the last
+    * finalized end (it would merge into it) or > `gap` before the
+    * (chain-extended) open start (it would insert a new session before an
+    * already-numbered one) fails
     * the query with `IllegalStateException` rather than silently diverging
     * from [[batch]]: a hard exactness contract, not a warn-and-drift.
     */
@@ -126,7 +129,39 @@ object Sessionize {
           var curEnd    = st.openEndUs
           var lastFinal = st.lastFinalEndUs
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-          sorted.foreach { e =>
+          // Out-of-order arrival BEFORE the open session's start: within
+          // gap-reach the global sort would put it at the session's head —
+          // extend backwards (reconciliation keeps the larger version).
+          // Otherwise the batch semantics are unreproducible in Append mode
+          // and the query fails loudly rather than silently diverging.
+          def extendBackward(us: Long): Unit = {
+            if (lastFinal != Long.MinValue && us - lastFinal <= gapUs)
+              throw new IllegalStateException(
+                s"sessionize exactness contract violated for user $uid: event at " +
+                  s"${us}us is within the $gapMinutes-minute gap of the FINALIZED " +
+                  s"session ending ${lastFinal}us — Append-mode streaming cannot " +
+                  "retract an emitted session; replay from a checkpoint before it")
+            if (curStart - us > gapUs)
+              throw new IllegalStateException(
+                s"sessionize exactness contract violated for user $uid: event at " +
+                  s"${us}us forms a NEW session more than $gapMinutes minutes before " +
+                  s"the open session starting ${curStart}us, whose id is already " +
+                  "assigned — Append-mode streaming cannot renumber emitted sessions")
+            curStart = us; curCount += 1
+          }
+          // Pre-start arrivals must be applied LATEST-FIRST: a batch [40, 60]
+          // against an open start of 100 (gap 50) is exactly mergeable — 60
+          // bridges to 100, then 40 bridges to 60 — but ascending order would
+          // test 40 against 100 and wrongly fail the contract. The global sort
+          // chains gaps pairwise, so the contract check must see each bridge
+          // before the next, i.e. descending. Sorted ascending, pre-start
+          // events form a prefix (later in-batch events can't precede a start
+          // the state carried in).
+          val (preStart, rest) =
+            if (curCount > 0) sorted.span(e => micros(e.ts) < curStart)
+            else (Seq.empty[SessionEvent], sorted)
+          preStart.reverseIterator.foreach(e => extendBackward(micros(e.ts)))
+          rest.foreach { e =>
             val us = micros(e.ts)
             if (curCount == 0) { curStart = us; curEnd = us; curCount = 1 }
             else if (us > curEnd) {
@@ -142,25 +177,7 @@ object Sessionize {
               // global sort would place it between existing events, where it
               // can only shrink gaps — count it, extent unchanged. Exact.
               curCount += 1
-            } else {
-              // out-of-order arrival BEFORE the open session's start.
-              if (lastFinal != Long.MinValue && us - lastFinal <= gapUs)
-                throw new IllegalStateException(
-                  s"sessionize exactness contract violated for user $uid: event at " +
-                    s"${us}us is within the $gapMinutes-minute gap of the FINALIZED " +
-                    s"session ending ${lastFinal}us — Append-mode streaming cannot " +
-                    "retract an emitted session; replay from a checkpoint before it")
-              if (curStart - us > gapUs)
-                throw new IllegalStateException(
-                  s"sessionize exactness contract violated for user $uid: event at " +
-                    s"${us}us forms a NEW session more than $gapMinutes minutes before " +
-                    s"the open session starting ${curStart}us, whose id is already " +
-                    "assigned — Append-mode streaming cannot renumber emitted sessions")
-              // within gap-reach of the open start: the global sort would put
-              // it at the session's head — extend backwards. Exact (the
-              // reconciliation keeps this larger version).
-              curStart = us; curCount += 1
-            }
+            } else extendBackward(us) // unreachable after the prefix pass
           }
           // provisional emission of the still-open session (re-emitted with a
           // larger count if a later batch extends it; reconciled downstream)

@@ -40,4 +40,19 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestSession {
       "SELECT graft_topk_pairs(score, id, 2) AS t FROM docs").head.getSeq[org.apache.spark.sql.Row](0)
     assert(top.map(_.getLong(1)) === Seq(1L, 2L))
   }
+
+  test("top-k aggregates implicitly cast narrower input types at analysis") {
+    GraftFunctions.register(spark)
+    // INT counts/ids and FLOAT scores: without declared inputTypes these
+    // reached update() as the wrong JVM types and threw ClassCastException
+    // at execution; ImplicitCastInputTypes coerces them during analysis
+    Seq((3, "b", "x", 1, 0.9f), (5, "a", "y", 2, 0.8f))
+      .toDF("n", "w1", "w2", "id", "score").createOrReplaceTempView("narrow_in")
+    val g = spark.sql("SELECT graft_topk_grams(n, w1, w2, 1) AS t FROM narrow_in")
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(g.map(r => (r.getLong(0), r.getString(1))) === Seq((5L, "a")))
+    val p = spark.sql("SELECT graft_topk_pairs(score, id, 1) AS t FROM narrow_in")
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(p.map(_.getLong(1)) === Seq(1L))
+  }
 }

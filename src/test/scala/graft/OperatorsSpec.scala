@@ -794,10 +794,17 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
 
   test("funnel: stage counts are monotonically non-increasing and stage order is fixed") {
     import graft.operators.Curation
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val docs = Tables.documents(spark, sfDir)
     val bench  = docs.filter($"doc_id" % 20 === 7)
     val corpus = docs.filter($"doc_id" % 20 =!= 7)
-    val f = Curation.funnel(corpus, "doc_id", "text", bench, "text", "lang").collect()
+    val funnelDf = Curation.funnel(corpus, "doc_id", "text", bench, "text", "lang")
+    // the stage caches that let the five counts share one chain execution
+    // must be released before funnel returns (delta-based: earlier tests'
+    // localCheckpoint blocks may still await GC)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(persistedBefore),
+      "funnel must not leave persisted RDDs behind")
+    val f = funnelDf.collect()
     assert(f.map(_.getString(1)).toSeq ===
       Seq("raw", "gated", "deduped", "decontaminated", "sampled"))
     val counts = f.map(_.getLong(2)).toSeq

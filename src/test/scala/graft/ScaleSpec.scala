@@ -168,6 +168,46 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
       s"expected the window ABOVE the bounded top-k head (window at $wi, head at $ti):\n${plan.take(3000)}")
   }
 
+  test("blockZoneMaps: in-plan offsets give exact global ranks (equals single-window reference), nothing stays persisted") {
+    import graft.operators.Layout
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    // spans multiple range partitions (4 shuffle partitions in tests), input
+    // arbitrarily pre-partitioned
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x * 64 + y, x, y))
+      .toDF("k", "x", "y").repartition(7)
+    val got = Layout.zorderAudit(grid, "k", "x", "y", blockRows = 128)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // reference: identical audit arithmetic with ranks from a TRUE global
+    // row_number (test-only single-partition window)
+    val z = grid.select($"k", $"x", $"y", Layout.zValue16($"x", $"y").as("z"))
+    def ref(layout: String, order: Seq[org.apache.spark.sql.Column]) = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+      val r = z.withColumn("__rn", row_number().over(w).cast("long"))
+        .withColumn("__blk", (($"__rn" - 1) / 128).cast("long"))
+        .groupBy("__blk")
+        .agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"))
+        .agg(count(lit(1)).cast("long").as("nb"), sum("xs").cast("long").as("sx"),
+          sum("ys").cast("long").as("sy")).head
+      def fr(v: Double) = math.floor(v * 1e4) / 1e4
+      layout -> ((r.getLong(0), fr(r.getLong(1).toDouble / r.getLong(0)),
+        fr(r.getLong(2).toDouble / r.getLong(0))))
+    }
+    assert(got === Map(ref("natural", Seq($"k")), ref("zorder", Seq($"z", $"k"))))
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(persistedBefore),
+      "blockZoneMaps must not leave persisted RDDs behind")
+  }
+
+  test("q98/q107 layout plans: no single-partition window or exchange, no cartesian") {
+    Seq("q98_zorder_audit", "q107_pruning_sim").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"),
+        s"$q: a single-partition window/exchange would serialize the table:\n${plan.take(3000)}")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: unexpected cartesian product:\n${plan.take(3000)}")
+    }
+  }
+
   test("HLL register stage is map-only: the only exchange is the m-bounded bucket aggregate") {
     import graft.operators.Sketches
     val regs = Sketches.hllRegisterStage(spark.range(0, 5000).toDF("k"), "k", p = 9)

@@ -57,37 +57,105 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(batch.nonEmpty)
   }
 
-  test("out-of-order micro-batch cannot regress an open session's end (clamped + warned)") {
+  /** Two-micro-batch sessionize fixture: writes each row-seq as one parquet
+    * file with a pinned mtime (the file source orders batches by mtime), runs
+    * streamingFrom with maxFilesPerTrigger=1 so each file is its own batch.
+    */
+  private def sessionizeTwoBatches(batch0: Seq[(Long, Long, Long)],
+                                   batch1: Seq[(Long, Long, Long)]) = {
     import java.nio.file.{Files, StandardCopyOption}
     import java.nio.file.attribute.FileTime
     import java.sql.Timestamp
-    // batch 0 (earlier mtime): user 1 events at t=1000s and t=2000s → open
-    // session end 2000s. batch 1 (later mtime) violates the event-time-order
-    // contract with an event at t=1500s — BEFORE the carried end. The clamp
-    // must keep the session end at 2000s (and count the event), never pull
-    // it backwards to 1500s.
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ooo")
-    def writeFile(rows: Seq[(Long, Timestamp, Long)], name: String, mtimeMs: Long): Unit = {
+    def writeFile(rows: Seq[(Long, Long, Long)], name: String, mtimeMs: Long): Unit = {
       val tmp = Files.createTempDirectory("graft_ooo_w")
-      rows.toDF("user_id", "ts", "event_id").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      rows.map { case (u, s, e) => (u, new Timestamp(s * 1000L), e) }
+        .toDF("user_id", "ts", "event_id")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
       val dst  = dir.resolve(name)
       Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(dst, FileTime.fromMillis(mtimeMs))
     }
-    def ts(s: Long) = new Timestamp(s * 1000L)
-    writeFile(Seq((1L, ts(1000), 1L), (1L, ts(2000), 2L)), "a_events.parquet", 1000000000000L)
-    writeFile(Seq((1L, ts(1500), 3L)), "b_events.parquet", 1000000100000L)
-    val got = Sessionize.streamingFrom(spark, dir.toString,
+    writeFile(batch0, "a_events.parquet", 1000000000000L)
+    writeFile(batch1, "b_events.parquet", 1000000100000L)
+    Sessionize.streamingFrom(spark, dir.toString,
         schemaFrom = dir.resolve("a_events.parquet").toString, glob = "*.parquet",
         gapMinutes = 30, maxFilesPerTrigger = Some(1))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+  }
+
+  /** The cause chain of a failed streaming query, searched for the exactness
+    * contract message.
+    */
+  private def contractViolation(t: Throwable): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).exists { c =>
+      c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("sessionize exactness contract violated")
+    }
+
+  test("out-of-order in-span arrival merges exactly (count grows, extent fixed)") {
+    // batch 0: open session [1000s, 2000s]. batch 1 arrives out of order at
+    // t=1500s — INSIDE the span, where the global sort would slot it between
+    // existing events. Exact merge: count 3, extent unchanged.
+    val got = sessionizeTwoBatches(
+      Seq((1L, 1000L, 1L), (1L, 2000L, 2L)), Seq((1L, 1500L, 3L)))
     assert(got.length === 1)
     val (_, _, n, start, end) = got.head
     assert(n === 3)
     assert(start === "1970-01-01 00:16:40") // t=1000s
     assert(end === "1970-01-01 00:33:20")   // t=2000s — NOT regressed to 1500s
+  }
+
+  test("chain-bridged backfill merges exactly (pre-start events applied latest-first)") {
+    // gap 30 min = 1800 s. batch 0: open session at t=10000s. batch 1:
+    // [7000, 8500] — 7000 is 3000 s before the open start (beyond gap on its
+    // own) but 8500 bridges it: 10000-8500=1500 ≤ gap, then 8500-7000=1500 ≤
+    // gap. Batch semantics merge all three into one session [7000, 10000];
+    // ascending-order contract checking would wrongly throw on 7000.
+    val got = sessionizeTwoBatches(
+      Seq((1L, 10000L, 1L)), Seq((1L, 7000L, 2L), (1L, 8500L, 3L)))
+    assert(got.length === 1)
+    val (_, _, n, start, end) = got.head
+    assert(n === 3)
+    assert(start === "1970-01-01 01:56:40") // t=7000s — chain-extended
+    assert(end === "1970-01-01 02:46:40")   // t=10000s
+  }
+
+  test("backward extension at exactly gap merges (boundary is inclusive, as in batch)") {
+    // batch semantics start a new session only when the gap is STRICTLY
+    // exceeded; a pre-start arrival at exactly gap (10000-8200 = 1800 s) must
+    // merge, not throw.
+    val got = sessionizeTwoBatches(
+      Seq((1L, 10000L, 1L)), Seq((1L, 8200L, 2L)))
+    assert(got.length === 1)
+    val (_, _, n, start, end) = got.head
+    assert(n === 2)
+    assert(start === "1970-01-01 02:16:40") // t=8200s
+    assert(end === "1970-01-01 02:46:40")   // t=10000s
+  }
+
+  test("arrival within gap of a FINALIZED session fails the exactness contract") {
+    // batch 0: t=1000s then t=3000s (2000 s > gap) → session [1000,1000]
+    // finalized, open session at 3000. batch 1: t=2700s — bridgeable to the
+    // open start (300 s) but ALSO within gap of the finalized end (1700 s ≤
+    // 1800): batch semantics would have merged everything into one session,
+    // which Append mode cannot retract → the query must fail loudly.
+    val ex = intercept[Throwable] {
+      sessionizeTwoBatches(Seq((1L, 1000L, 1L), (1L, 3000L, 2L)), Seq((1L, 2700L, 3L)))
+    }
+    assert(contractViolation(ex), s"expected contract violation, got: $ex")
+  }
+
+  test("arrival beyond gap before the open start fails the exactness contract") {
+    // batch 0: open session at t=10000s (nothing finalized). batch 1:
+    // t=5000s — 5000 s before the open start, no bridge: batch semantics
+    // would insert a NEW session before an already-numbered one.
+    val ex = intercept[Throwable] {
+      sessionizeTwoBatches(Seq((1L, 10000L, 1L)), Seq((1L, 5000L, 2L)))
+    }
+    assert(contractViolation(ex), s"expected contract violation, got: $ex")
   }
 
   test("streaming monthly order stats equals batch aggregation") {
