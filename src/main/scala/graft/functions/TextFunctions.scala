@@ -38,8 +38,9 @@ object TextFunctions {
   /** Token count under the byte-level BPE tokenizer (GPT-2 algorithm,
     * pluggable merge table — [[graft.functions.bpe.BpeTokenizer]]): the
     * faithful analog of the reference's tiktoken `cl100k_base` length guard.
-    * Rows-only in the oracle gate (BPE is not SQL-expressible); the
-    * whitespace [[tokenCount]] stays the oracle path.
+    * Oracle-checked via a recursive-CTE DuckDB merge loop sharing the Scala
+    * merge table (`TextQueries.bpeOracle`); the whitespace [[tokenCount]]
+    * stays the simpler oracle path.
     */
   def bpeTokenCount(text: Column): Column = {
     import graft.functions.expressions.BpeTokenCount

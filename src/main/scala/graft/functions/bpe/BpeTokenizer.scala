@@ -151,6 +151,12 @@ object BpeTokenizer {
   def byteToChar(b: Int): Char = byteToCharArr(b)
   def charToByte(c: Char): Byte = charToByteMap(c)
 
+  /** Byte-alphabet symbol -> the raw string it encodes (e.g. "Ġthe" ->
+    * " the") — the representation a SQL oracle operating on raw text needs.
+    */
+  def symbolToRaw(sym: String): String =
+    new String(sym.map(charToByte).toArray, java.nio.charset.StandardCharsets.UTF_8)
+
   /** Standard merges-file content: one `left right` pair per line, rank =
     * line order; `#`-prefixed header lines skipped — the format of OpenAI's
     * published `vocab.bpe` / HuggingFace `merges.txt`.

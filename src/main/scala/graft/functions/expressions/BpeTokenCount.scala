@@ -14,10 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * UDF) so the scan stage stays whole-stage-codegen'd; the BPE merge loop
   * runs in a static JVM helper with a per-executor pre-token memo.
   *
-  * Not SQL-expressible (BPE is an iterative rank-priority rewrite system) —
-  * queries built on it carry the driver's rows-only check; the whitespace
-  * token model ([[graft.functions.TextFunctions.tokens]]) remains the
-  * oracle-checked path.
+  * Oracle-checked: the DuckDB mirror is a recursive-CTE merge loop over the
+  * same merge table (generated from [[BpeTokenizer.default]] at query
+  * registration — see `TextQueries.bpeOracle`); the whitespace token model
+  * ([[graft.functions.TextFunctions.tokens]]) is the simpler oracle path.
   */
 case class BpeTokenCount(child: Expression) extends UnaryExpression {
 

@@ -158,6 +158,153 @@ object AnnIndex {
       .orderBy(col(qIdCol), col("rn"))
   }
 
+  /** Product-quantization codebooks: for subspace j (of `m`), the `ksub`
+    * lowest-id corpus vectors' j-th subvector slice — deterministic and
+    * SQL-expressible, the same no-training policy as [[ivfTopK]]'s coarse
+    * centroids (which is what lets q135 carry a DuckDB oracle).
+    * [[kmeansCentroids]] over a sliced subvector column slots in for trained
+    * codebooks without changing the query plan (exercised in OperatorsSpec).
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int, ksub: Int, dim: Int): Array[Array[Seq[Double]]] = {
+    val dsub = dim / m
+    val base = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .orderBy(col(idCol)).limit(ksub)
+      .collect().map(_.getSeq[Double](1))
+    Array.tabulate(m)(j => base.map(v => v.slice(j * dsub, (j + 1) * dsub)))
+  }
+
+  /** One-pass trained PQ codebooks: per-subspace k-means, all `m` subspaces
+    * in a SINGLE job per Lloyd iteration (assignments for every subspace
+    * computed row-parallel, then one per-(subspace, code, pos) mean
+    * aggregation; the collect is m·ksub·dsub doubles — bounded parameter
+    * data). Arithmetic is identical to running [[kmeansCentroids]] once per
+    * sliced subspace (asserted in OperatorsSpec) — this exists because m
+    * separate trainers cost 2·m sequential job launches, which dominate at
+    * interactive scale and waste scheduler round-trips at cluster scale.
+    * Init entries are the `ksub` lowest-id rows' slices; empty cells keep
+    * their entry; centroid components floor-round to 9 decimals per
+    * iteration (the SQL-mirror determinism contract).
+    */
+  def pqTrainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                       m: Int, ksub: Int, dim: Int, iters: Int): Array[Array[Seq[Double]]] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val base = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .orderBy(col(idCol)).limit(ksub)
+      .collect().map(_.getSeq[Double](1))
+    var cbs: Array[Array[Seq[Double]]] =
+      Array.tabulate(m)(j => base.map(_.slice(j * dsub, (j + 1) * dsub)))
+    import graft.functions.expressions.PqEncode
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    for (_ <- 1 to iters) {
+      // assignment via the native PqEncode kernel — the unrolled m·ksub
+      // expression formulation fails whole-stage compilation (see pqTopK)
+      val cbArr: Array[Array[Array[Double]]] = cbs.map(_.map(_.toArray))
+      val assigned = corpus
+        .select(B.column(PqEncode(B.expression(asDouble(col(vecCol))), cbArr)).as("__codes"),
+          asDouble(col(vecCol)).as("__v"))
+        .select(explode(array((0 until m).map(j =>
+          struct(lit(j).as("j"), col("__codes").getItem(j).as("code"),
+            slice(col("__v"), j * dsub + 1, dsub).as("sv"))): _*)).as("a"))
+        .select(col("a.j"), col("a.code"), posexplode(col("a.sv")))
+      val means = assigned.groupBy(col("j"), col("code"), col("pos"))
+        .agg(floorRound(avg("col"), 9).as("mc"))
+        .collect()
+      val byJC = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+      cbs = Array.tabulate(m) { j =>
+        cbs(j).indices.map { c =>
+          byJC.get((j, c)) match {
+            case Some(rows) => rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+            case None       => cbs(j)(c) // empty cell keeps its entry
+          }
+        }.toArray
+      }
+    }
+    cbs
+  }
+
+  /** IVF-PQ approximate nearest neighbor (Jégou/Douze/Schmid, TPAMI 2011):
+    * the 100-TB vector-search shape — coarse IVF cells bound the candidate
+    * set (equi-join on the cell id, no all-pairs), and candidates are scored
+    * by PRODUCT-QUANTIZED codes instead of raw vectors: each corpus vector is
+    * encoded once as `m` small codes (argmin codebook entry per subvector;
+    * uint8 semantics for ksub ≤ 256), and a query scores a candidate with `m`
+    * TABLE LOOKUPS into its precomputed asymmetric-distance table rather than
+    * a dim-wide dot product. At cluster scale the index is codes-only
+    * (m bytes/vector instead of 4·dim), the scan is memory-bandwidth-bound
+    * lookups, and the shuffle moves slim (cell, codes) rows — the raw vectors
+    * never travel.
+    *
+    * This is the no-residual IVFADC variant (codes quantize the vector
+    * itself, not v − centroid): recall trades a little vs residual encoding,
+    * but every stage stays deterministic and exactly SQL-mirrorable —
+    * codebooks are [[pqCodebooks]]'s lowest-id slices, so code assignment AND
+    * reconstructed distances verify in exact arithmetic (q135), and the
+    * recall audit vs the exact scan is itself oracle-checked (q136).
+    *
+    * Scores are reconstructed SQUARED L2 distances (smaller = closer);
+    * ranking ties break by candidate id.
+    */
+  def pqTopK(queries: DataFrame, qIdCol: String, qVecCol: String,
+             corpus: DataFrame, cIdCol: String, cVecCol: String,
+             k: Int, m: Int, ksub: Int, dim: Int,
+             nlist: Int, nprobe: Int, roundTo: Int = 6,
+             excludeSelf: Boolean = true,
+             codebooks: Option[Array[Array[Seq[Double]]]] = None): DataFrame = {
+    import graft.functions.VectorFunctions.dotFused
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(nprobe <= nlist, "nprobe must be <= nlist")
+    val dsub = dim / m
+    val cbs = codebooks.getOrElse(pqCodebooks(corpus, cIdCol, cVecCol, m, ksub, dim))
+    require(cbs.length == m && cbs.forall(cb => cb.length == ksub && cb.forall(_.length == dsub)),
+      s"codebooks must be m=$m groups of ksub=$ksub $dsub-dim entries (ADC offsets assume it)")
+
+    // coarse IVF cells — same deterministic centroids as ivfTopK
+    val cents: Array[(Int, Seq[Double])] = corpus
+      .select(col(cIdCol), asDouble(col(cVecCol)).as("v"))
+      .orderBy(col(cIdCol)).limit(nlist)
+      .collect().zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) }
+    def cellScores(vec: Column): Column = array(cents.toSeq.map { case (i, c) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dotFused(vec, array(c.map(lit): _*))).as("d"), lit(i).as("i"))
+    }: _*)
+
+    // Encoding and ADC table as native kernel expressions
+    // (functions.expressions.PqExpressions): the unrolled Column formulation
+    // (m·ksub struct/dot subtrees) blows past janino's method limits — the
+    // whole-stage compile FAILS (≈5 s per attempt) and execution falls back
+    // to interpreted. Same arithmetic, one compact codegen'd call per row.
+    import graft.functions.expressions.{PqAdcTable, PqEncode}
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    val cbArr: Array[Array[Array[Double]]] = cbs.map(_.map(_.toArray))
+    def codesCol(vec: Column): Column = B.column(PqEncode(B.expression(vec), cbArr))
+    def dtabCol(vec: Column): Column = B.column(PqAdcTable(B.expression(vec), cbArr))
+
+    val enc = corpus.select(col(cIdCol),
+      array_min(cellScores(asDouble(col(cVecCol)))).getField("i").as("__cell"),
+      codesCol(asDouble(col(cVecCol))).as("__codes"))
+    val qb = queries
+      .select(col(qIdCol),
+        slice(sort_array(cellScores(asDouble(col(qVecCol)))), 1, nprobe).as("__probes"),
+        dtabCol(asDouble(col(qVecCol))).as("__dtab"))
+      .withColumn("__probe", explode(col("__probes")))
+      .withColumn("__cell", col("__probe.i"))
+      .drop("__probes", "__probe")
+    // ADC scan: m lookups + adds per candidate — no vector arithmetic
+    val adist = (0 until m)
+      .map(j => element_at(col("__dtab"), col("__codes").getItem(j) + lit(j * ksub + 1)))
+      .reduce(_ + _)
+    val scored = enc.join(broadcast(qb), Seq("__cell"))
+      .filter(lit(!excludeSelf) || col(qIdCol) =!= col(cIdCol))
+      .withColumn("score", floorRound(adist, roundTo))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("score"), col(cIdCol))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(qIdCol), col(cIdCol), col("score"), col("rn"))
+      .orderBy(col(qIdCol), col("rn"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-efficient
     * learning at web-scale through semantic deduplication", arXiv 2023):
     * assign every embedding to an IVF coarse cell, generate cosine pairs only

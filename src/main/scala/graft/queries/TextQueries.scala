@@ -38,6 +38,67 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB mirror of the byte-level BPE token count
+    * ([[graft.functions.bpe.BpeTokenizer.default]]) as a recursive-CTE merge
+    * loop. The merge table is interpolated FROM the Scala tokenizer at
+    * registration time (raw-byte form, rank = list position), so both engines
+    * share one source of truth.
+    *
+    * Two deliberate reductions, both verified:
+    *
+    *  - Pre-tokenization: the fixture corpus is lowercase words joined by
+    *    single spaces (no digits, punctuation, multi-space runs, or leading/
+    *    trailing space — asserted over every SF), on which the full GPT-2
+    *    pattern reduces to its `' ?\p{L}+'` branch; RE2/DuckDB cannot express
+    *    the pattern's `(?!\S)` lookahead in general.
+    *  - Merge order: the CTE merges ONE pair per step — the leftmost
+    *    occurrence of the lowest-rank pair — where the tokenizer merges every
+    *    occurrence of that pair before rescanning. For a TRAINED table these
+    *    converge identically: a merge of rank r only creates pairs involving
+    *    its product symbol, whose ranks are necessarily > r, so the chosen
+    *    pair stays the minimum until all its occurrences are consumed
+    *    left-to-right in both formulations (property-tested in BpeSpec).
+    *
+    * Since the corpus is ASCII, the GPT-2 byte↔unicode mapping is a token-
+    * count-invariant bijection, so the SQL works on raw characters with the
+    * merge keys decoded to raw form ("Ġthe" -> " the").
+    */
+  private lazy val bpeOracle: String = {
+    import graft.functions.bpe.BpeTokenizer
+    val keys = BpeTokenizer.default.merges
+      .map { case (a, b) =>
+        // "\u001f" (chr(31)) separates the pair's sides: it appears in
+        // neither symbol, so (a,bc) and (ab,c) stay distinct keys
+        val raw = BpeTokenizer.symbolToRaw(a) + "\u001f" + BpeTokenizer.symbolToRaw(b)
+        "'" + raw.replace("'", "''") + "'"
+      }
+      .mkString("[", ",", "]")
+    s"""WITH RECURSIVE mk AS (SELECT $keys AS keys),
+       |pre AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, ' ?[a-z]+')) AS tok
+       |  FROM documents),
+       |init AS (
+       |  SELECT doc_id, list_transform(range(1, length(tok)+1), i -> tok[i]) AS syms
+       |  FROM pre),
+       |bpe AS (
+       |  SELECT doc_id, syms, FALSE AS done FROM init
+       |  UNION ALL
+       |  SELECT doc_id,
+       |    CASE WHEN best IS NULL THEN syms
+       |         ELSE list_slice(syms, 1, best.i - 1) || [syms[best.i] || syms[best.i+1]]
+       |              || list_slice(syms, best.i + 2, len(syms)) END AS syms,
+       |    best IS NULL AS done
+       |  FROM (
+       |    SELECT doc_id, syms,
+       |      list_sort(list_filter(
+       |        list_transform(range(1, len(syms)),
+       |          i -> {'r': list_position(keys, syms[i] || chr(31) || syms[i+1]), 'i': i}),
+       |        x -> x.r IS NOT NULL AND x.r > 0))[1] AS best
+       |    FROM bpe, mk WHERE NOT done))
+       |SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_bpe_tokens
+       |FROM bpe WHERE done GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** SQL mirror of TextFunctions.qualityScore — shared by q20 and the q57
     * curation chain. */
   private val qualityExprSql: String = {
@@ -345,9 +406,9 @@ object TextQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // BPE token counts — the reference's actual token model (tiktoken length
-    // guard). Rows-only by design: BPE's iterative rank-priority merges are
-    // not SQL-expressible; q18's whitespace model is the oracle-checked
-    // stand-in, and the BPE engine itself is property-tested (lossless
+    // guard), oracle-checked against a recursive-CTE DuckDB merge loop whose
+    // merge table is generated from the Scala tokenizer (see [[bpeOracle]]).
+    // The BPE engine itself is additionally property-tested (lossless
     // round-trip, determinism, merge monotonicity).
     "q18b_bpe_token_count" -> Q(
       (s, dir) => {
@@ -356,7 +417,7 @@ object TextQueries {
             bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
           .orderBy("doc_id")
       },
-      None),
+      Some(bpeOracle)),
 
     "q19_lang_id" -> Q(
       (s, dir) => {

@@ -82,6 +82,97 @@ object VectorQueries {
       |  WHERE list_sum(list_transform(p.qv, x -> x*x)) > 0
       |    AND list_sum(list_transform(a.v, x -> x*x)) > 0)""".stripMargin
 
+  private val PqM = 16    // subspaces (one small code each per vector)
+  private val PqDsub = 4  // dims per subspace (64 / PqM)
+  private val PqKsub = 16 // codebook entries per subspace (4-bit codes)
+
+  /** Trained PQ codebooks for q135/q136: per subspace j (of [[PqM]]), one
+    * Lloyd iteration of k-means over the corpus' subvector slices
+    * (k=[[PqKsub]], init = lowest-id slices —
+    * [[AnnIndex.kmeansCentroids]]' own policy). Centroid components are
+    * floor-rounded to 9 decimals per iteration, so the SQL mirror's
+    * independently-trained values coincide with these (a cross-engine avg
+    * would otherwise drift in the last ulp).
+    */
+  private def pqTrainedCodebooks(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): Array[Array[Seq[Double]]] =
+    AnnIndex.pqTrainCodebooks(Tables.embeddings(s, dir), "vec_id", "embedding",
+      m = PqM, ksub = PqKsub, dim = 64, iters = 1)
+
+  /** Shared oracle CTE chain for IVF-PQ (q135, q136): [[ivfAssignCtes]]'s
+    * coarse cells + the [[PqM]]×[[PqKsub]] product-quantization codebook —
+    * initialized from lowest-id subvector slices, then refined by ONE Lloyd
+    * iteration (assign → per-(subspace, code, pos) mean, floor-rounded to 9,
+    * empty cells keep their init entry) exactly mirroring
+    * [[AnnIndex.kmeansCentroids]](iters=1) — → corpus codes (argmin entry
+    * per subspace) → per-(query, subspace, entry) ADC terms → reconstructed
+    * squared-L2 distances for the probed candidates. Mirrors
+    * [[AnnIndex.pqTopK]] with nlist=16, nprobe=4, queries vec_id < 10; every
+    * float reduction is the sequential left fold both engines share.
+    */
+
+  private val pqCtes: String =
+    s"""$ivfAssignCtes,
+       |cbv AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pci, embedding::DOUBLE[] AS pcv
+       |  FROM embeddings ORDER BY vec_id LIMIT ${PqKsub}),
+       |subs0 AS (
+       |  SELECT j, pci, list_slice(pcv, j*$PqDsub+1, j*$PqDsub+$PqDsub) AS s,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(list_slice(pcv, j*$PqDsub+1, j*$PqDsub+$PqDsub), x -> x*x)), (a, x) -> a + x) AS c2
+       |  FROM cbv CROSS JOIN (SELECT unnest(generate_series(0, ${PqM - 1})) AS j) js),
+       |a1 AS (
+       |  SELECT vec_id, j, pci AS code, sv FROM (
+       |    SELECT a.vec_id, su.j, su.pci, list_slice(a.v, su.j*$PqDsub+1, su.j*$PqDsub+$PqDsub) AS sv,
+       |      row_number() OVER (PARTITION BY a.vec_id, su.j
+       |        ORDER BY su.c2 - CAST(2.0 AS DOUBLE)
+       |          * list_inner_product(list_slice(a.v, su.j*$PqDsub+1, su.j*$PqDsub+$PqDsub), su.s), su.pci) AS rn
+       |    FROM assign a CROSS JOIN subs0 su)
+       |  WHERE rn = 1),
+       |m1 AS (
+       |  SELECT j, code, pos, ${frs("avg(comp)", 9)} AS mc
+       |  FROM (SELECT j, code, unnest(sv) AS comp, generate_subscripts(sv, 1) AS pos FROM a1)
+       |  GROUP BY j, code, pos),
+       |subs AS (
+       |  SELECT s0.j, s0.pci, coalesce(m.ms, s0.s) AS s,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(coalesce(m.ms, s0.s), x -> x*x)), (a, x) -> a + x) AS c2
+       |  FROM subs0 s0 LEFT JOIN (
+       |    SELECT j, code, list(mc ORDER BY pos) AS ms FROM m1 GROUP BY j, code) m
+       |  ON m.j = s0.j AND m.code = s0.pci),
+       |codes AS (
+       |  SELECT vec_id, j, pci AS code FROM (
+       |    SELECT a.vec_id, su.j, su.pci,
+       |      row_number() OVER (PARTITION BY a.vec_id, su.j
+       |        ORDER BY su.c2 - CAST(2.0 AS DOUBLE)
+       |          * list_inner_product(list_slice(a.v, su.j*$PqDsub+1, su.j*$PqDsub+$PqDsub), su.s), su.pci) AS rn
+       |    FROM assign a CROSS JOIN subs su)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cell FROM (
+       |    SELECT e.vec_id, c.ci AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(e.embedding::DOUBLE[], c.cv), c.ci) AS rn
+       |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10)
+       |  WHERE rn <= 4),
+       |terms AS (
+       |  SELECT e.vec_id AS q_id, su.j, su.pci,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(list_slice(e.embedding::DOUBLE[], su.j*$PqDsub+1, su.j*$PqDsub+$PqDsub), x -> x*x)), (a, x) -> a + x)
+       |      + su.c2
+       |      - CAST(2.0 AS DOUBLE) * list_inner_product(list_slice(e.embedding::DOUBLE[], su.j*$PqDsub+1, su.j*$PqDsub+$PqDsub), su.s) AS t
+       |  FROM embeddings e CROSS JOIN subs su WHERE e.vec_id < 10),
+       |adist AS (
+       |  SELECT ca.q_id, ca.c_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t.t ORDER BY t.j)), (a, x) -> a + x) AS d
+       |  FROM (
+       |    SELECT p.q_id, a.vec_id AS c_id
+       |    FROM probes p JOIN assign a ON p.cell = a.cell
+       |    WHERE p.q_id <> a.vec_id) ca
+       |  JOIN codes co ON co.vec_id = ca.c_id
+       |  JOIN terms t ON t.q_id = ca.q_id AND t.j = co.j AND t.pci = co.code
+       |  GROUP BY ca.q_id, ca.c_id)""".stripMargin
+
   def all: ListMap[String, Q] = ListMap(
     "q23_centroids" -> Q(
       (s, dir) => {
@@ -521,6 +612,118 @@ object VectorQueries {
            |UNION ALL
            |SELECT anchor_id, pair_id, 'neg' AS kind, CAST(pair_rank AS BIGINT) AS pair_rank, score FROM neg
            |ORDER BY anchor_id, kind, pair_rank""".stripMargin
+      }),
+
+    // IVF-PQ: coarse-cell candidates scored by product-quantized codes via a
+    // per-query asymmetric distance table — m lookups+adds per candidate, no
+    // vector arithmetic in the scan. Scores are reconstructed SQUARED L2
+    // distances (ascending); code assignment and reconstruction verify in
+    // exact arithmetic against the DuckDB merge of the same codebooks.
+    "q135_pq_topk" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        AnnIndex.pqTopK(queries, "q_id", "q_vec",
+          emb.withColumnRenamed("vec_id", "c_id"), "c_id", "embedding",
+          k = 3, m = PqM, ksub = PqKsub, dim = 64, nlist = 16, nprobe = 4,
+          codebooks = Some(pqTrainedCodebooks(s, dir)))
+      },
+      Some(s"""$pqCtes
+             |SELECT q_id, c_id, score, rn FROM (
+             |  SELECT q_id, c_id, ${frs("d", 6)} AS score,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY ${frs("d", 6)}, c_id) AS rn
+             |  FROM adist)
+             |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin)),
+
+    // Recall@3 of the IVF-PQ index against the EXACT squared-L2 top-3 (the
+    // metric PQ approximates), measured two ways: raw ADC ranking, and the
+    // production IVFADC-R shape — ADC shortlist (32) reranked with exact
+    // distances, which recovers most of the quantization loss at the cost of
+    // 32 true distance computations per query. Both sides are oracle-checked,
+    // so the recall numbers are too. (The fixture embeddings are weakly
+    // clustered, near PQ's worst case — raw ADC recall is honestly low;
+    // rerank is the measured fix.)
+    "q136_pq_recall" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val short = AnnIndex.pqTopK(queries, "q_id", "q_vec",
+            emb.withColumnRenamed("vec_id", "c_id"), "c_id", "embedding",
+            k = 32, m = PqM, ksub = PqKsub, dim = 64, nlist = 16, nprobe = 4,
+            codebooks = Some(pqTrainedCodebooks(s, dir)))
+        val pqHits = short.filter(col("rn") <= 3)
+          .select(col("q_id"), col("c_id"), lit(1).as("__hit"))
+        val c = emb.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("cv"))
+          .withColumn("__c2", l2NormSq(col("cv")))
+        val q = queries.select(col("q_id"), asDouble(col("q_vec")).as("qv"))
+          .withColumn("__q2", l2NormSq(col("qv")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("d2"), col("c_id"))
+        def exactD2(df: org.apache.spark.sql.DataFrame) = df.withColumn("d2",
+          fr(col("__q2") + col("__c2") - lit(2.0) * dotFused(col("qv"), col("cv")), 6))
+        val rrHits = exactD2(short.select("q_id", "c_id")
+            .join(c, Seq("c_id")).join(broadcast(q), Seq("q_id")))
+          .withColumn("rr", row_number().over(w))
+          .filter(col("rr") <= 3)
+          .select(col("q_id"), col("c_id"), lit(1).as("__hit_rr"))
+        val exact = exactD2(c.join(broadcast(q), col("q_id") =!= col("c_id")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("q_id", "c_id")
+        exact.join(pqHits, Seq("q_id", "c_id"), "left")
+          .join(rrHits, Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"),
+            sum(coalesce(col("__hit_rr"), lit(0))).cast("long").as("n_hit_rr"),
+            fr(sum(coalesce(col("__hit"), lit(0))).cast("double") / lit(3.0), 4).as("recall"),
+            fr(sum(coalesce(col("__hit_rr"), lit(0))).cast("double") / lit(3.0), 4).as("recall_rr"))
+          .orderBy("q_id")
+      },
+      Some {
+        val sq = (v: String) =>
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($v, x -> x*x)), (a, x) -> a + x)"
+        val d2 = s"${sq("q.embedding::DOUBLE[]")} + ${sq("c.embedding::DOUBLE[]")}" +
+          " - CAST(2.0 AS DOUBLE) * list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
+        s"""$pqCtes,
+           |short AS (
+           |  SELECT q_id, c_id, rn FROM (
+           |    SELECT q_id, c_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY ${frs("d", 6)}, c_id) AS rn
+           |    FROM adist)
+           |  WHERE rn <= 32),
+           |rr AS (
+           |  SELECT q_id, c_id FROM (
+           |    SELECT s.q_id, s.c_id,
+           |      row_number() OVER (PARTITION BY s.q_id
+           |        ORDER BY ${frs(d2, 6)}, s.c_id) AS rrn
+           |    FROM short s JOIN embeddings q ON q.vec_id = s.q_id
+           |                 JOIN embeddings c ON c.vec_id = s.c_id)
+           |  WHERE rrn <= 3),
+           |exact AS (
+           |  SELECT q_id, c_id FROM (
+           |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${frs(d2, 6)}, c.vec_id) AS rn
+           |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+           |    WHERE q.vec_id < 10)
+           |  WHERE rn <= 3)
+           |SELECT q_id, count(*) AS n_exact,
+           |  CAST(sum(hit) AS BIGINT) AS n_hit,
+           |  CAST(sum(hit_rr) AS BIGINT) AS n_hit_rr,
+           |  ${frs("CAST(sum(hit) AS DOUBLE) / CAST(3.0 AS DOUBLE)", 4)} AS recall,
+           |  ${frs("CAST(sum(hit_rr) AS DOUBLE) / CAST(3.0 AS DOUBLE)", 4)} AS recall_rr
+           |FROM (
+           |  SELECT e.q_id,
+           |    CASE WHEN p.c_id IS NOT NULL THEN 1 ELSE 0 END AS hit,
+           |    CASE WHEN r.c_id IS NOT NULL THEN 1 ELSE 0 END AS hit_rr
+           |  FROM exact e
+           |  LEFT JOIN (SELECT q_id, c_id FROM short WHERE rn <= 3) p
+           |    ON p.q_id = e.q_id AND p.c_id = e.c_id
+           |  LEFT JOIN rr r ON r.q_id = e.q_id AND r.c_id = e.c_id)
+           |GROUP BY q_id ORDER BY q_id""".stripMargin
       }),
   )
 }

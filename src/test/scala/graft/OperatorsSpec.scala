@@ -815,6 +815,47 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(counts.last === curated)
   }
 
+  // ---- AnnIndex.pqTopK ----
+
+  test("pqTopK: archetype corpus reconstructs exactly — own copies rank first at distance 0") {
+    import graft.operators.AnnIndex
+    // 4 archetype vectors, each repeated 5×: the 4 lowest-id rows ARE the
+    // archetypes, so the ksub=4 codebook quantizes every corpus row exactly
+    // and the reconstructed distance to its own archetype query is 0.0
+    val arch = Seq(
+      Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 2.0, 0.0),
+      Array(0.0, 0.0, 3.0, 0.0, 1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 0.0, 0.0, 4.0, 0.0, 0.0, 0.0, 5.0))
+    val corpus  = (0 until 20).map(i => (i.toLong, arch(i % 4))).toDF("c_id", "v")
+    val queries = (0 until 4).map(i => (100L + i, arch(i))).toDF("q_id", "qv")
+    def check(cb: Option[Array[Array[Seq[Double]]]]): Unit = {
+      val top = AnnIndex.pqTopK(queries, "q_id", "qv", corpus, "c_id", "v",
+          k = 5, m = 2, ksub = 4, dim = 8, nlist = 2, nprobe = 2,
+          excludeSelf = false, codebooks = cb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(top.length === 20) // 4 queries × k=5
+      top.foreach { case (q, c, score) =>
+        assert(c % 4 === q - 100, s"query $q matched foreign archetype copy $c")
+        assert(score === 0.0, s"exactly-representable vector reconstructed at $score")
+      }
+    }
+    check(None) // lowest-id codebooks
+    // trained path: one Lloyd iteration over identical copies converges to
+    // the archetype slices — same exact reconstruction through the k-means
+    // machinery the production call sites use
+    val trained = AnnIndex.pqTrainCodebooks(corpus, "c_id", "v",
+      m = 2, ksub = 4, dim = 8, iters = 1)
+    check(Some(trained))
+    // the one-pass trainer is arithmetic-identical to per-subspace k-means
+    val perSubspace = Array.tabulate(2) { j =>
+      AnnIndex.kmeansCentroids(
+        corpus.select(col("c_id"), slice(col("v"), j * 4 + 1, 4).as("sub")),
+        "sub", "c_id", k = 4, iters = 1).map(_.toSeq)
+    }
+    assert(trained.map(_.toSeq).toSeq === perSubspace.map(_.toSeq).toSeq)
+  }
+
   // ---- Contrastive.minePairs ----
 
   test("minePairs: nearest vector ranks pos#1, negatives exclude positives, zero-norm excluded") {

@@ -51,6 +51,49 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     assert(reloaded.encode("the quick brown fox") === bpe.encode("the quick brown fox"))
   }
 
+  test("property: leftmost one-at-a-time merging equals merge-all BPE (q18b oracle invariant)") {
+    import graft.functions.bpe.BpeTokenizer
+    val bpe = BpeTokenizer.default
+    val ranks = bpe.merges.zipWithIndex.toMap
+    // The DuckDB oracle (TextQueries.bpeOracle) merges ONE pair per
+    // recursion step — the leftmost occurrence of the lowest-rank pair —
+    // where the tokenizer merges EVERY occurrence before rescanning. For a
+    // trained table (a merge of rank r only creates pairs involving its
+    // product, whose ranks are > r) both converge to the same fixpoint;
+    // this is the invariant q18b's oracle rests on.
+    def oneAtATime(pre: String): Int = {
+      var w = pre.getBytes("UTF-8").toVector
+        .map(b => BpeTokenizer.byteToChar(b & 0xFF).toString)
+      var go = w.length > 1
+      while (go) {
+        var bestRank = Int.MaxValue; var bestIdx = -1
+        for (i <- 0 until w.length - 1) {
+          val r = ranks.getOrElse((w(i), w(i + 1)), Int.MaxValue)
+          if (r < bestRank) { bestRank = r; bestIdx = i }
+        }
+        if (bestIdx < 0) go = false
+        else {
+          w = (w.take(bestIdx) :+ (w(bestIdx) + w(bestIdx + 1))) ++ w.drop(bestIdx + 2)
+          go = w.length > 1
+        }
+      }
+      w.length
+    }
+    // seed-alphabet words (merges fire heavily) + adversarial repeats where
+    // merge-all and one-at-a-time could diverge if the invariant were wrong
+    val strGen = Gen.listOf(Gen.frequency(
+      6 -> Gen.oneOf("the", "data", "and", "table", "tokenized", "everything"),
+      3 -> Gen.oneOf("a", "t", "h", "e", "s"),
+      1 -> Gen.oneOf("aaaa", "thethethe", "ttttt", "sss")
+    )).map(_.mkString(" "))
+    val texts = sample(strGen, 300, 23L) ++
+      Seq("the the the", "aaaaaaa", "thethethe ttt", "it's the user's 100 words, sure")
+    texts.foreach { t =>
+      val viaOne = BpeTokenizer.preTokenize(t).map(oneAtATime).sum
+      assert(viaOne === bpe.countTokens(t), s"merge-order divergence for <$t>")
+    }
+  }
+
   test("BPE: colliding merge concatenations keep the first rank; decode is total over ids") {
     import graft.functions.bpe.BpeTokenizer
     // ranks: 0 (b,c)→"bc", 1 (a,bc)→"abc", 2 (a,b)→"ab", 3 (ab,c)→"abc":

@@ -208,6 +208,13 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q135 IVF-PQ: candidates via cell equi-join — no all-pairs in the plan") {
+    val plan = SparkEntry.queries("q135_pq_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"PQ candidate generation must be keyed on the coarse cell:\n${plan.take(3000)}")
+  }
+
   test("HLL register stage is map-only: the only exchange is the m-bounded bucket aggregate") {
     import graft.operators.Sketches
     val regs = Sketches.hllRegisterStage(spark.range(0, 5000).toDF("k"), "k", p = 9)
