@@ -462,5 +462,127 @@ object RelationalQueries {
              |  n7 AS n_days7,
              |  ${frs("CAST(roll_c AS DOUBLE) / (CAST(100.0 AS DOUBLE) * CAST(n7 AS DOUBLE))", 4)} AS roll7_avg
              |FROM w ORDER BY 1""".stripMargin)),
+
+    // Data-quality gate (Deequ/expectations pattern): a constraint suite per
+    // table — null/range/set membership, key uniqueness, referential
+    // integrity — as one aggregation pass + broadcast anti-joins, reported as
+    // machine-checkable rows. Two checks FAIL on purpose and the report
+    // shows their exact violation fractions rather than hiding them: the
+    // l_discount range (fixture discounts span [0, 0.1]) and the
+    // (l_orderkey, l_linenumber) composite key, which the synthetic
+    // generator genuinely does not keep unique — a real data finding the
+    // gate surfaces.
+    "q137_data_quality" -> Q(
+      (s, dir) => {
+        import graft.operators.Validate._
+        val li = Tables.lineitem(s, dir)
+        val o  = Tables.orders(s, dir)
+        val c  = Tables.customer(s, dir)
+        validate("lineitem", li,
+          rowChecks = Seq(
+            NotNull("l_shipdate"),
+            InRange("l_quantity", 1, 50),
+            InRange("l_discount", 0, 0.05)),
+          uniques = Seq(UniqueKey(Seq("l_orderkey", "l_linenumber"))),
+          fks = Seq(ForeignKey("l_orderkey", o, "o_orderkey")))
+          .unionByName(validate("orders", o,
+            rowChecks = Seq(InSet("o_orderstatus", Seq("F", "O", "P"))),
+            uniques = Seq(UniqueKey(Seq("o_orderkey"))),
+            fks = Seq(ForeignKey("o_custkey", c, "c_custkey"))))
+          .orderBy("check")
+      },
+      Some {
+        def checkSql(name: String, viol: String, total: String, threshold: Double): String = {
+          val frac = frs(s"CAST(($viol) AS DOUBLE) / CAST(($total) AS DOUBLE)", 6)
+          s"""SELECT '$name' AS "check", CAST(($viol) AS BIGINT) AS violations,
+             |  CAST(($total) AS BIGINT) AS total, $frac AS viol_frac,
+             |  CAST($threshold AS DOUBLE) AS threshold,
+             |  CAST(CASE WHEN $frac <= CAST($threshold AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT) AS pass"""
+        }
+        val nLi = "SELECT count(*) FROM lineitem"
+        val nO  = "SELECT count(*) FROM orders"
+        Seq(
+          checkSql("lineitem/not_null:l_shipdate",
+            "SELECT sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) FROM lineitem", nLi, 0.0),
+          checkSql("lineitem/range:l_quantity",
+            "SELECT sum(CASE WHEN l_quantity IS NULL OR l_quantity < CAST(1.0 AS DOUBLE) OR l_quantity > CAST(50.0 AS DOUBLE) THEN 1 ELSE 0 END) FROM lineitem", nLi, 0.0),
+          checkSql("lineitem/range:l_discount",
+            "SELECT sum(CASE WHEN l_discount IS NULL OR l_discount < CAST(0.0 AS DOUBLE) OR l_discount > CAST(0.05 AS DOUBLE) THEN 1 ELSE 0 END) FROM lineitem", nLi, 0.0),
+          checkSql("lineitem/unique:l_orderkey+l_linenumber",
+            s"($nLi) - (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))", nLi, 0.0),
+          checkSql("lineitem/fk:l_orderkey->o_orderkey",
+            "SELECT count(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)", nLi, 0.0),
+          checkSql("orders/set:o_orderstatus",
+            "SELECT sum(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) FROM orders", nO, 0.0),
+          checkSql("orders/unique:o_orderkey",
+            s"($nO) - (SELECT count(DISTINCT o_orderkey) FROM orders)", nO, 0.0),
+          checkSql("orders/fk:o_custkey->c_custkey",
+            "SELECT count(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)", nO, 0.0),
+        ).mkString("", "\nUNION ALL\n", "\nORDER BY \"check\"").stripMargin
+      }),
+
+    // Snapshot diff: reconstruct the CDC changelog from two full snapshots
+    // (inverse of q129's changelog→snapshot). prev/next are deterministic
+    // slices of orders — %7/%3 membership makes inserts and deletes, a
+    // doubled o_totalprice on %5 keys makes single-column updates.
+    "q138_snapshot_diff" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val prev = o.filter(col("o_orderkey") % 7 =!= 0)
+        val next = o.filter(col("o_orderkey") % 3 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 5 === 0, col("o_totalprice") * lit(2.0))
+              .otherwise(col("o_totalprice")))
+        graft.operators.Diff.snapshotDiff(prev, next, Seq("o_orderkey"))
+      },
+      Some {
+        val valCols = Seq("o_custkey", "o_orderdate", "o_orderpriority",
+          "o_orderstatus", "o_totalprice") // sorted, mirrors snapshotDiff
+        val changed = valCols.map(c =>
+          s"CASE WHEN p.$c IS DISTINCT FROM n.$c THEN '$c' END").mkString(", ")
+        s"""WITH prev AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+           |next AS (
+           |  SELECT * REPLACE (
+           |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * CAST(2.0 AS DOUBLE)
+           |         ELSE o_totalprice END AS o_totalprice)
+           |  FROM orders WHERE o_orderkey % 3 <> 0)
+           |SELECT coalesce(p.o_orderkey, n.o_orderkey) AS o_orderkey,
+           |  CASE WHEN p.o_orderkey IS NULL THEN 'insert'
+           |       WHEN n.o_orderkey IS NULL THEN 'delete'
+           |       ELSE 'update' END AS change_type,
+           |  CASE WHEN p.o_orderkey IS NULL OR n.o_orderkey IS NULL THEN ''
+           |       ELSE array_to_string(list_filter([$changed], x -> x IS NOT NULL), ',')
+           |       END AS changed_cols
+           |FROM prev p FULL OUTER JOIN next n ON p.o_orderkey = n.o_orderkey
+           |WHERE p.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           |   OR array_to_string(list_filter([$changed], x -> x IS NOT NULL), ',') <> ''
+           |ORDER BY o_orderkey""".stripMargin
+      }),
+
+    // Incremental aggregate maintenance: the materialized per-priority order
+    // stats are built from an 80% "historical" slice, then two delta batches
+    // fold in — and the result must equal the from-scratch full recompute
+    // BIT EXACTLY (money summed as integer cents: order-independent), which
+    // is precisely what the oracle computes.
+    "q139_incremental_agg" -> Q(
+      (s, dir) => {
+        import graft.operators.Incremental
+        val o = Tables.orders(s, dir)
+          .withColumn("cents",
+            floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+        val hist   = o.filter(col("o_orderkey") % 10 < 8)
+        val delta1 = o.filter(col("o_orderkey") % 10 === 8)
+        val delta2 = o.filter(col("o_orderkey") % 10 === 9)
+        val state = Incremental.aggState(hist, Seq("o_orderpriority"), Seq("cents"))
+        val updated = Incremental.applyDelta(
+          Incremental.applyDelta(state, delta1, Seq("o_orderpriority"), Seq("cents")),
+          delta2, Seq("o_orderpriority"), Seq("cents"))
+        updated.select(col("o_orderpriority"), col("n"),
+            fr(col("sum_cents").cast("double") / lit(100.0), 2).as("total"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |  ${frs("CAST(sum(CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE) / CAST(100.0 AS DOUBLE)", 2)} AS total
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

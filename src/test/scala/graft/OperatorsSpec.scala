@@ -815,6 +815,76 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(counts.last === curated)
   }
 
+  // ---- Validate ----
+
+  test("validate: violation counts match hand computation across all constraint kinds") {
+    import graft.operators.Validate._
+    val fact = Seq(
+      (1L, 1L, Some("a"), 5.0),   // clean
+      (1L, 1L, Some("a"), 5.0),   // duplicate key
+      (2L, 1L, None, 5.0),        // null col
+      (3L, 1L, Some("z"), 5.0),   // out of set
+      (4L, 2L, Some("b"), 99.0),  // out of range + dangling fk (dim has 1)
+      (5L, 1L, Some("b"), -1.0))  // out of range (below)
+      .toDF("k1", "k2", "s", "v")
+    val dim = Seq(1L, 2L, 3L, 5L).toDF("dk") // 4 missing
+    val got = validate("t", fact,
+        rowChecks = Seq(NotNull("s"), InRange("v", 0, 10), InSet("s", Seq("a", "b"))),
+        uniques = Seq(UniqueKey(Seq("k1", "k2"))),
+        fks = Seq(ForeignKey("k1", dim, "dk", threshold = 0.2)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(5)))).toMap
+    assert(got("t/not_null:s") === ((1L, 6L, 0.166667, 0L)))
+    assert(got("t/range:v") === ((2L, 6L, 0.333333, 0L)))      // 99.0 and -1.0
+    assert(got("t/set:s") === ((2L, 6L, 0.333333, 0L)))        // null and "z"
+    assert(got("t/unique:k1+k2") === ((1L, 6L, 0.166667, 0L))) // one extra copy
+    // 1 dangling row of 6 = 0.166667 <= threshold 0.2 -> passes
+    assert(got("t/fk:k1->dk") === ((1L, 6L, 0.166667, 1L)))
+  }
+
+  // ---- Diff.snapshotDiff ----
+
+  test("snapshotDiff: inserts/deletes/updates with null-safe column comparison") {
+    import graft.operators.Diff
+    val prev = Seq(
+      (1L, Some("a"), Some(1.0)), (2L, Some("b"), Some(2.0)),
+      (3L, Some("c"), None), (4L, Some("d"), Some(4.0)))
+      .toDF("k", "s", "v")
+    val next = Seq(
+      (1L, Some("a"), Some(1.0)),          // unchanged -> dropped
+      (2L, Some("B"), Some(2.0)),          // s changed
+      (3L, Some("c"), Some(3.0)),          // v: NULL -> 3.0 (null-safe diff)
+      (5L, Some("e"), None))               // insert
+      .toDF("k", "s", "v")
+    val got = Diff.snapshotDiff(prev, next, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got === Array(
+      (2L, "update", "s"),
+      (3L, "update", "v"),
+      (4L, "delete", ""),
+      (5L, "insert", "")))
+  }
+
+  // ---- Incremental ----
+
+  test("incremental agg maintenance: any merge shape equals the full recompute") {
+    import graft.operators.Incremental._
+    val rows = (1L to 100L).map(i => (s"k${i % 3}", i, i * 7 % 13)).toDF("k", "a", "b")
+    val full = aggState(rows, Seq("k"), Seq("a", "b"))
+      .collect().map(_.toSeq).toSet
+    val parts = Seq($"a" % 4 === 0, $"a" % 4 === 1, $"a" % 4 === 2, $"a" % 4 === 3)
+      .map(p => rows.filter(p))
+    // sequential fold
+    val folded = parts.tail.foldLeft(aggState(parts.head, Seq("k"), Seq("a", "b")))(
+      (st, d) => applyDelta(st, d, Seq("k"), Seq("a", "b")))
+    assert(folded.collect().map(_.toSeq).toSet === full)
+    // hierarchical merge in a different order (monoid: shape must not matter)
+    val states = parts.map(aggState(_, Seq("k"), Seq("a", "b")))
+    val tree = merge(merge(states(3), states(1), Seq("k"), Seq("a", "b")),
+      merge(states(0), states(2), Seq("k"), Seq("a", "b")), Seq("k"), Seq("a", "b"))
+    assert(tree.collect().map(_.toSeq).toSet === full)
+  }
+
   // ---- AnnIndex.pqTopK ----
 
   test("pqTopK: archetype corpus reconstructs exactly — own copies rank first at distance 0") {
