@@ -142,4 +142,69 @@ object Retrieval {
        |SELECT $idCol, n_terms, ${graft.functions.MathFunctions.floorRoundSql(s"($scoreSum)", 4)} AS bm25
        |FROM agg ORDER BY bm25 DESC, $idCol LIMIT $topK""".stripMargin
   }
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein, "The use of
+    * MMR, diversity-based reranking", SIGIR 1998): greedily select `k` of the
+    * top-`shortK` relevance shortlist, each step maximizing
+    * `λ·rel − (1−λ)·max(sim to already-selected)` — the standard
+    * diversity-aware second stage of a retrieval pipeline (a pure relevance
+    * top-k returns near-duplicates of the best hit; MMR spends the slots on
+    * coverage).
+    *
+    * Scale shape: stage 1 is the distributed [[TopK.topK]]
+    * (TakeOrderedAndProject over the full corpus); the shortlist and its
+    * pairwise similarities are then BOUNDED PARAMETER DATA (shortK ≤ ~100
+    * rows, shortK² sims, both computed distributed and collected), and the
+    * greedy loop is O(k·shortK) driver arithmetic — the same
+    * parameters-not-data pattern as the IVF centroid fetches. Both λ and
+    * 1−λ are passed explicitly: deriving `1 − 0.7` at runtime yields
+    * 0.30000000000000004 and would diverge from an oracle's literal 0.3.
+    *
+    * Output: (sel_rank, vec_id, rel) in selection order — rel is the
+    * floor-rounded stage-1 relevance, so the whole selection is
+    * oracle-checkable (q141 mirrors the greedy loop as unrolled SQL stages).
+    */
+  def mmrRerank(corpus: DataFrame, idCol: String, vecCol: String,
+                query: Seq[Double], shortK: Int, k: Int,
+                lambda: Double, oneMinusLambda: Double,
+                roundTo: Int = 6): DataFrame = {
+    import graft.functions.VectorFunctions.{asDouble, cosineFromNormSq, l2NormSq}
+    require(k >= 1 && shortK >= k, s"need 1 <= k <= shortK, got k=$k shortK=$shortK")
+    require(math.abs(lambda + oneMinusLambda - 1.0) < 1e-12,
+      s"lambda ($lambda) and oneMinusLambda ($oneMinusLambda) must sum to 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val shortlist = TopK.topK(corpus.select(col(idCol), col(vecCol)), vecCol, idCol,
+        query, shortK, roundTo)
+      .select(col(idCol).cast("long").as("__id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val member = shortlist.map(_._1).toSeq.toDF("__mid")
+    val vecs = corpus.join(broadcast(member), col(idCol) === col("__mid"))
+      .select(col(idCol).cast("long").as("__vid"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__nsq", l2NormSq(col("__v")))
+    val sims: Map[(Long, Long), Double] = vecs.as("a")
+      .join(vecs.as("b"), col("a.__vid") < col("b.__vid"))
+      .select(col("a.__vid"), col("b.__vid"),
+        floorRound(cosineFromNormSq(col("a.__v"), col("b.__v"),
+          col("a.__nsq"), col("b.__nsq")), roundTo).as("__s"))
+      .collect().flatMap { r =>
+        val (x, y, s) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        Seq((x, y) -> s, (y, x) -> s)
+      }.toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val remaining = scala.collection.mutable.LinkedHashMap(shortlist.toSeq: _*)
+    while (selected.length < k && remaining.nonEmpty) {
+      val (bestId, bestRel) =
+        if (selected.isEmpty) remaining.maxBy { case (id, rel) => (rel, -id) }
+        else remaining.maxBy { case (id, rel) =>
+          val maxSim = selected.map(s => sims((id, s._1))).max
+          (lambda * rel - oneMinusLambda * maxSim, -id)
+        }
+      selected += ((bestId, bestRel))
+      remaining.remove(bestId)
+    }
+    selected.toSeq.zipWithIndex
+      .map { case ((id, rel), i) => (i + 1L, id, rel) }
+      .toDF("sel_rank", "vec_id", "rel")
+  }
 }

@@ -725,5 +725,101 @@ object VectorQueries {
            |  LEFT JOIN rr r ON r.q_id = e.q_id AND r.c_id = e.c_id)
            |GROUP BY q_id ORDER BY q_id""".stripMargin
       }),
+
+    // Metadata-filtered vector search (the filter+ANN composition every
+    // vector store ships): neighbors restricted to label = 3 via
+    // PRE-filtering — the IVF index (centroids, cells, candidates) is built
+    // over the filtered corpus, so probe work scales with the filtered size
+    // and recall does not collapse for selective filters the way
+    // post-filtering a fixed top-k does.
+    "q140_filtered_ann" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        AnnIndex.ivfTopK(queries, "q_id", "q_vec",
+          emb.filter(col("label") === 3)
+            .select(col("vec_id").as("c_id"), col("embedding")),
+          "c_id", "embedding", k = 3, nlist = 16, nprobe = 4)
+      },
+      Some(s"""WITH femb AS (SELECT * FROM embeddings WHERE label = 3),
+             |cents AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+             |    embedding::DOUBLE[] AS cv,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(embedding::DOUBLE[], x -> x*x)), (a, x) -> a + x) AS c2
+             |  FROM femb ORDER BY vec_id LIMIT 16),
+             |assign AS (
+             |  SELECT vec_id, v, cell FROM (
+             |    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.ci AS cell,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(e.embedding::DOUBLE[], c.cv), c.ci) AS rn
+             |    FROM femb e CROSS JOIN cents c)
+             |  WHERE rn = 1),
+             |probes AS (
+             |  SELECT vec_id AS q_id, v AS qv, cell FROM (
+             |    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.ci AS cell,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(e.embedding::DOUBLE[], c.cv), c.ci) AS rn
+             |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10)
+             |  WHERE rn <= 4),
+             |cand AS (
+             |  SELECT p.q_id, a.vec_id AS c_id, p.qv, a.v AS cv
+             |  FROM probes p JOIN assign a ON p.cell = a.cell AND p.q_id <> a.vec_id
+             |  WHERE list_sum(list_transform(p.qv, x -> x*x)) > 0
+             |    AND list_sum(list_transform(a.v, x -> x*x)) > 0)
+             |SELECT q_id, c_id, score, rn FROM (
+             |  SELECT q_id, c_id, ${frs("list_cosine_similarity(qv, cv)", 6)} AS score,
+             |    row_number() OVER (PARTITION BY q_id
+             |      ORDER BY ${frs("list_cosine_similarity(qv, cv)", 6)} DESC, c_id) AS rn
+             |  FROM cand)
+             |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin)),
+
+    // MMR diversified rerank: top-20 relevance shortlist for query vec 0,
+    // then 5 greedy λ=0.7 MMR selections. The oracle unrolls the greedy loop
+    // as SQL stages over the same floor-rounded relevance and similarity
+    // values, so the SELECTION ORDER itself is hash-checked.
+    "q141_mmr_rerank" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(asDouble(col("embedding"))).head().getSeq[Double](0)
+        graft.operators.Retrieval.mmrRerank(
+          emb.filter(col("vec_id") =!= 0).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", qv, shortK = 20, k = 5,
+          lambda = 0.7, oneMinusLambda = 0.3)
+      },
+      Some {
+        val k = 5
+        val stages = (1 to k).map { i =>
+          if (i == 1) "s1 AS (SELECT id, rel FROM shortlist ORDER BY rel DESC, id LIMIT 1)"
+          else {
+            val prev = (1 until i).map(j => s"SELECT id FROM s$j").mkString(" UNION ALL ")
+            s"""s$i AS (
+               |  SELECT c.id, c.rel FROM shortlist c
+               |  WHERE c.id NOT IN ($prev)
+               |  ORDER BY CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) *
+               |    (SELECT max(s.sim) FROM sims s WHERE s.a = c.id AND s.b IN ($prev)) DESC, c.id
+               |  LIMIT 1)"""
+          }
+        }.mkString(",\n")
+        val union = (1 to k).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS sel_rank, id AS vec_id, rel FROM s$i")
+          .mkString("\nUNION ALL\n")
+        s"""WITH shortlist AS (
+           |  SELECT vec_id AS id,
+           |    ${frs("list_cosine_similarity(embedding::DOUBLE[], (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0))", 6)} AS rel
+           |  FROM embeddings WHERE vec_id <> 0
+           |    AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0
+           |  ORDER BY rel DESC, vec_id LIMIT 20),
+           |sv AS (SELECT s.id, e.embedding::DOUBLE[] AS v
+           |       FROM shortlist s JOIN embeddings e ON e.vec_id = s.id),
+           |sims AS (
+           |  SELECT a.id AS a, b.id AS b, ${frs("list_cosine_similarity(a.v, b.v)", 6)} AS sim
+           |  FROM sv a JOIN sv b ON a.id <> b.id),
+           |$stages
+           |$union
+           |ORDER BY sel_rank""".stripMargin
+      }),
   )
 }

@@ -842,6 +842,30 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(got("t/fk:k1->dk") === ((1L, 6L, 0.166667, 1L)))
   }
 
+  // ---- Retrieval.mmrRerank ----
+
+  test("mmrRerank: skips the near-duplicate of the first pick in favor of a diverse hit") {
+    import graft.operators.Retrieval
+    // query (1,0,0); id 1 = best hit, id 2 = near-duplicate of id 1 (cos ≈
+    // 0.99997), id 3 = diverse but still relevant. Pure relevance top-2 is
+    // [1, 2]; MMR at λ=0.5 must pick [1, 3].
+    val corpus = Seq(
+      (1L, Array(0.9, 0.43, 0.0)),
+      (2L, Array(0.9, 0.43, 0.01)),
+      (3L, Array(0.85, -0.5, 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = Retrieval.mmrRerank(corpus, "vec_id", "embedding",
+        query = Seq(1.0, 0.0, 0.0), shortK = 3, k = 2,
+        lambda = 0.5, oneMinusLambda = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got === Array((1L, 1L), (2L, 3L)))
+    // and the pure-relevance order would indeed have been [1, 2]
+    val rel = graft.operators.TopK.topK(corpus, "embedding", "vec_id",
+        Seq(1.0, 0.0, 0.0), k = 2)
+      .collect().map(_.getLong(0))
+    assert(rel === Array(1L, 2L))
+  }
+
   // ---- Diff.snapshotDiff ----
 
   test("snapshotDiff: inserts/deletes/updates with null-safe column comparison") {
