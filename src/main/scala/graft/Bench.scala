@@ -94,21 +94,6 @@ object Bench {
       // mid-run contamination detector; r covers the endpoints.
       f""","noise":{"tw":$tWarm%.2f,"te":$tEnd%.2f,"r":$ratio%.2f,"ls":$sysLoadStart%.2f,"le":$sysLoadEnd%.2f,"lm":$loadMax%.2f}"""
     }).getOrElse("")
-    // The driver keeps only the last ~2000 bytes of output and parses the
-    // JSON line out of that tail — with 96 queries, full names and
-    // 9-decimal doubles overflow it and the round's metrics are lost
-    // (BENCH_r01..r04 all have parsed:null). Compact keys (the unique
-    // "qNN"/"qNNx" prefix) + 3-decimal values keep the line ~1.3 KB; full
-    // names and timings are still on stderr for humans.
-    val shortKey: Map[String, String] = {
-      val pref = results.keys.map(k => k -> k.takeWhile(_ != '_')).toMap
-      val dup = pref.values.groupBy(identity).collect { case (p, v) if v.size > 1 => p }.toSet
-      pref.map { case (k, p) => k -> (if (dup(p)) k else p) }
-    }
-    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    // failed queries carry -1 in the per-query map; total sums successes only
-    val total = results.values.filter(_ >= 0).sum
     // a SPARK_GRAFT_ONLY-filtered profiling run must be distinguishable from
     // a full benchmark — mark it in the JSON
     val filteredTag = only.map { f =>
@@ -118,7 +103,48 @@ object Bench {
       }
       s""","filtered":true,"filter":"$esc""""
     }.getOrElse("")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"$noiseJson$filteredTag}""")
+    val sfName = new java.io.File(sfDir).getName // basename: tail-window bytes matter
+    println(metricLine(results, sfName, noiseJson, filteredTag))
     spark.stop()
+  }
+
+  /** Compact per-query keys: the unique "qNN"/"qNNx" prefix, full name only
+    * on prefix collision.
+    */
+  private[graft] def shortKeys(names: Iterable[String]): Map[String, String] = {
+    val pref = names.map(k => k -> k.takeWhile(_ != '_')).toMap
+    val dup = pref.values.groupBy(identity).collect { case (p, v) if v.size > 1 => p }.toSet
+    pref.map { case (k, p) => k -> (if (dup(p)) k else p) }
+  }
+
+  /** The one stdout JSON line the driver parses. The driver keeps only the
+    * last ~2000 bytes of output and parses the line out of that tail — with
+    * 96 queries, full names and 9-decimal doubles overflowed it and the
+    * round's metrics were lost (BENCH_r01..r04 all have parsed:null).
+    * Compact keys (unique "qNN" prefixes) + 2-decimal values + basename sf
+    * keep the line ~1.8 KB at 146 queries; BenchFormatSpec asserts the
+    * WORST-CASE length stays inside the window as queries are added. Full
+    * names and sub-second precision are on stderr for humans.
+    */
+  /** Tiered timing width — precision where it matters, bounded bytes where
+    * it doesn't: 2 decimals under 10 s (the normal band), 1 decimal to
+    * 100 s, integral beyond (contaminated-run territory). Every value stays
+    * ≤ 4 chars below 1000 s, which is what keeps the worst-case line inside
+    * the tail window.
+    */
+  private def fmt(v: Double): String =
+    if (v < 0) "-1" // failed query marker
+    else if (v < 10) f"$v%.2f"
+    else if (v < 100) f"$v%.1f"
+    else f"$v%.0f"
+
+  private[graft] def metricLine(results: Map[String, Double], sfName: String,
+                                noiseJson: String, filteredTag: String): String = {
+    val shortKey = shortKeys(results.keys)
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    // failed queries carry -1 in the per-query map; total sums successes only
+    val total = results.values.filter(_ >= 0).sum
+    f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfName"$noiseJson$filteredTag}"""
   }
 }

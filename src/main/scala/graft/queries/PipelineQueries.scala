@@ -70,6 +70,20 @@ object PipelineQueries {
              |  ${graft.functions.MathFunctions.floorRoundSql("sum(o_totalprice)", 2)} AS total
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Streaming incremental view maintenance: foreachBatch folds each
+    // micro-batch into a keyed additive state via Incremental's monoid
+    // merge; the maintained view must equal the from-scratch recompute
+    // bit-exactly (cents), whatever the micro-batching — that recompute is
+    // the oracle. Complements q31 (engine-managed complete-mode state) with
+    // the externally-managed state-table pattern.
+    "q142_stream_incremental_agg" -> Q(
+      (s, dir) => graft.streaming.StreamingIncremental.monthlyOrderState(s, dir),
+      Some(s"""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  ${graft.functions.MathFunctions.floorRoundSql(
+                  "CAST(sum(CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE) / CAST(100.0 AS DOUBLE)", 2)} AS total
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Stream-stream inner equi-join (symmetric join state across
     // micro-batches); oracle = the equivalent batch join.
     "q63_stream_stream_join" -> Q(
@@ -84,6 +98,14 @@ object PipelineQueries {
     // DISTINCT equivalence.
     "q59_stream_dedup" -> Q(
       (s, dir) => StreamingAgg.distinctCustomers(s, dir),
+      Some("SELECT DISTINCT o_custkey FROM orders ORDER BY 1")),
+
+    // Watermark-BOUNDED streaming dedup (dropDuplicatesWithinWatermark):
+    // state holds a key only until the watermark passes it — the production
+    // shape for unbounded streams. Same oracle as q59: parity shows the
+    // bounded variant loses nothing here while capping state.
+    "q143_stream_dedup_bounded" -> Q(
+      (s, dir) => StreamingAgg.distinctCustomersBounded(s, dir),
       Some("SELECT DISTINCT o_custkey FROM orders ORDER BY 1")),
 
     // HLL distinct THROUGH THE STREAMING ENGINE: register max commutes

@@ -112,4 +112,26 @@ object StreamingAgg {
       .select(col("o_custkey")).dropDuplicates("o_custkey")
     drain(dedup, "graft_stream_dedup", "append").orderBy("o_custkey")
   }
+
+  /** [[distinctCustomers]] with BOUNDED state: `dropDuplicatesWithinWatermark`
+    * holds a key only until the watermark passes its event time, instead of
+    * forever — the production shape for unbounded streams, where plain
+    * `dropDuplicates` state grows with the distinct-key count of all time.
+    * The contract weakens accordingly: duplicates are only suppressed while
+    * the key is in state, so a key can re-emit after `delay` of event time —
+    * the output is distinct per (key, watermark window), deduplicated here
+    * to stay comparable with the batch DISTINCT oracle (parity shows the
+    * watermark variant LOSES nothing on this data while bounding state).
+    */
+  def distinctCustomersBounded(spark: SparkSession, dir: String,
+                               delay: String = "30 days"): DataFrame = {
+    val dedup = streamTable(spark, dir, "orders.parquet")
+      // parquet date -> TIMESTAMP_LTZ; watermarks require an event-time col
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .withWatermark("o_orderdate", delay)
+      .dropDuplicatesWithinWatermark("o_custkey")
+      .select(col("o_custkey"))
+    drain(dedup, "graft_stream_dedup_wm", "append")
+      .dropDuplicates("o_custkey").orderBy("o_custkey")
+  }
 }

@@ -158,6 +158,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(contractViolation(ex), s"expected contract violation, got: $ex")
   }
 
+  test("multi-batch streaming incremental agg equals the full recompute (monoid fold)") {
+    import java.nio.file.{Files, StandardCopyOption}
+    import org.apache.spark.sql.functions._
+    // two files -> maxFilesPerTrigger=1 forces two deltas; most months get
+    // contributions from BOTH batches, so the fold must actually merge
+    val o = Tables.orders(spark, sfDir)
+    val dir = Files.createTempDirectory("graft_inc_mb")
+    def writeHalf(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_inc_w")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    writeHalf(o.filter(col("o_orderkey") % 2 === 0), "a.parquet")
+    writeHalf(o.filter(col("o_orderkey") % 2 === 1), "b.parquet")
+    val streamed = graft.streaming.StreamingIncremental.monthlyOrderStateFrom(
+        spark, dir.toString, schemaFrom = dir.resolve("a.parquet").toString,
+        glob = "*.parquet", maxFilesPerTrigger = Some(1))
+      .collect().map(_.toSeq).toSet
+    val full = graft.streaming.StreamingIncremental.monthlyOrderState(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === full)
+    assert(full.nonEmpty)
+  }
+
   test("streaming monthly order stats equals batch aggregation") {
     import org.apache.spark.sql.functions._
     import graft.functions.MathFunctions.floorRound
