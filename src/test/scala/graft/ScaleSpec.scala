@@ -208,6 +208,40 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q140 filtered ANN: candidates via cell equi-join over the filtered corpus — no all-pairs") {
+    val plan = SparkEntry.queries("q140_filtered_ann")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"filtered ANN must stay keyed on the coarse cell:\n${plan.take(3000)}")
+  }
+
+  test("sorted parquet write: row-group stats prune a selective value filter at the scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // value-sorted layout + small row groups = tight per-group min/max; the
+    // pushed-down predicate then skips most groups INSIDE the files — the
+    // file-level analog of Layout.zorderAudit's block spans, proven against
+    // the actual scan metric rather than claimed
+    val out = java.nio.file.Files.createTempDirectory("graft_rg").resolve("ev").toString
+    // enough rows for many row groups (the sf0.001 fixtures fit in one)
+    val total = 200000L
+    val ev = spark.range(total).select($"id".as("event_id"), $"id".cast("double").as("value"))
+    ev.orderBy("value").coalesce(1)
+      .write.option("parquet.block.size", 64 * 1024)
+      .mode("overwrite").parquet(out)
+    val hi = total * 0.99
+    val scanned = spark.read.parquet(out).filter(col("value") >= hi)
+    // execute THIS queryExecution (count() would build its own, whose
+    // metrics this instance never sees)
+    val matched = scanned.collect().length.toLong
+    val scanExec = scanned.queryExecution.executedPlan
+      .collect { case s: FileSourceScanExec => s }.head
+    assert(scanExec.metadata("PushedFilters").contains("GreaterThanOrEqual"),
+      s"filter must reach the parquet scan: ${scanExec.metadata("PushedFilters")}")
+    val rowsRead = scanExec.metrics("numOutputRows").value
+    assert(matched <= rowsRead && rowsRead < total / 5,
+      s"expected row-group skipping: read $rowsRead of $total rows for $matched matches")
+  }
+
   test("q135 IVF-PQ: candidates via cell equi-join — no all-pairs in the plan") {
     val plan = SparkEntry.queries("q135_pq_topk")(spark, sfDir)
       .queryExecution.executedPlan.toString
