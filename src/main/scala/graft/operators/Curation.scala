@@ -86,8 +86,11 @@ object Curation {
     import spark.implicits._
     counts.zipWithIndex.map { case ((name, n), i) => (i.toLong, name, n) }
       .toDF("stage_idx", "stage", "n_docs")
+      // empty corpus: retention is undefined (0 of 0) — NULL, not a
+      // divide-by-zero crash under ANSI mode
       .withColumn("retained",
-        floorRound(col("n_docs").cast("double") / lit(rawN.toDouble), 6))
+        if (rawN == 0L) lit(null).cast("double")
+        else floorRound(col("n_docs").cast("double") / lit(rawN.toDouble), 6))
       .select("stage_idx", "stage", "n_docs", "retained")
       .orderBy("stage_idx")
   }

@@ -75,7 +75,9 @@ object Validate {
     import spark.implicits._
     val aggs =
       Seq(count(lit(1)).cast("long").as("__n")) ++
-      rowChecks.map(c => sum(c.violations).cast("long").as(c.name)) ++
+      // coalesce: sum over an EMPTY table is NULL, which would flow into the
+      // report as a boxed null Long and break the row encoder
+      rowChecks.map(c => coalesce(sum(c.violations), lit(0L)).cast("long").as(c.name)) ++
       uniques.map(u =>
         (count(lit(1)) - countDistinct(col(u.cols.head), u.cols.tail.map(col): _*))
           .cast("long").as(u.name))
@@ -92,9 +94,12 @@ object Validate {
       fkViolations.zip(fks).map { case ((nm, v), f) => (s"$table/$nm", v, f.threshold) }
     rows.toDF("check", "violations", "threshold")
       .withColumn("total", lit(n))
+      // empty table: fraction undefined (NULL), constraints pass vacuously
       .withColumn("viol_frac",
-        floorRound(col("violations").cast("double") / col("total").cast("double"), 6))
-      .withColumn("pass", (col("viol_frac") <= col("threshold")).cast("long"))
+        when(col("total") > 0,
+          floorRound(col("violations").cast("double") / col("total").cast("double"), 6)))
+      .withColumn("pass",
+        (col("total") === 0 || col("viol_frac") <= col("threshold")).cast("long"))
       .select("check", "violations", "total", "viol_frac", "threshold", "pass")
   }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input battery: EMPTY and single-row corpora through the major
+  * operators. A library caller hits these constantly (a fresh tenant, a
+  * filter that matched nothing, day-one incremental runs) — each must return
+  * a sane empty/singleton result, not throw from a head() on nothing or a
+  * division by zero.
+  */
+class EdgeCaseSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private lazy val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private lazy val oneDoc    = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+  private lazy val emptyVecs = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
+  private lazy val oneVec    = Seq((1L, Array(1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+
+  test("dedup family: empty and singleton corpora") {
+    import graft.operators.Dedup
+    assert(Dedup.exactDedup(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.exactDedup(oneDoc, "doc_id", "text").count() === 1)
+    assert(Dedup.minhashLshPairs(emptyDocs, "doc_id", "text", 3, 16, 8, 0.5).count() === 0)
+    assert(Dedup.minhashLshPairs(oneDoc, "doc_id", "text", 3, 16, 8, 0.5).count() === 0)
+    assert(Dedup.prefixJaccardJoin(emptyDocs, "doc_id", "text", 3, 0.4).count() === 0)
+    assert(Dedup.prefixJaccardJoin(oneDoc, "doc_id", "text", 3, 0.4).count() === 0)
+  }
+
+  test("cleaning/curation: empty and singleton corpora") {
+    import graft.operators.{Curation, Decontaminate}
+    assert(Decontaminate.decontaminate(emptyDocs, "doc_id", "text", oneDoc, "text", 3).count() === 0)
+    // empty BENCHMARK: nothing to collide with — corpus passes through
+    assert(Decontaminate.decontaminate(oneDoc, "doc_id", "text", emptyDocs, "text", 3).count() === 1)
+    val f = Curation.funnel(emptyDocs, "doc_id", "text", emptyDocs, "text", "doc_id")
+      .collect()
+    assert(f.length === 5 && f.forall(_.getLong(2) === 0L)) // all stages count 0
+  }
+
+  test("sampling and validation: empty input") {
+    import graft.operators.{Sampling, Validate}
+    assert(Sampling.stratifiedSample(emptyDocs, "doc_id", "text", Map("en" -> 80), 60).count() === 0)
+    val v = Validate.validate("t", emptyDocs,
+      rowChecks = Seq(Validate.NotNull("text"))).collect()
+    assert(v.length === 1 && v.head.getLong(1) === 0L) // 0 violations of 0 rows
+  }
+
+  test("vector search: empty and singleton corpora") {
+    import graft.operators.TopK
+    assert(TopK.topK(emptyVecs, "embedding", "vec_id", Seq(1.0, 0.0, 0.0, 0.0), 5).count() === 0)
+    assert(TopK.topK(oneVec, "embedding", "vec_id", Seq(1.0, 0.0, 0.0, 0.0), 5).count() === 1)
+    val q = oneVec.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    assert(TopK.knnJoin(q, "q_id", "q_vec",
+      emptyVecs.withColumnRenamed("vec_id", "c_id"), "c_id", "embedding", 3).count() === 0)
+    // self is the only corpus row and excludeSelf=true -> no neighbors
+    assert(TopK.knnJoin(q, "q_id", "q_vec",
+      oneVec.withColumnRenamed("vec_id", "c_id"), "c_id", "embedding", 3).count() === 0)
+  }
+
+  test("sketches: empty input reports zero, not a crash") {
+    import graft.operators.Sketches
+    val r = Sketches.hllDistinct(emptyDocs.select(col("doc_id").as("k")), "k", p = 9).collect()
+    assert(r.length === 1 && r.head.getAs[Long]("exact_distinct") === 0L)
+    assert(Sketches.kmvDistinctNgrams(emptyDocs, "text", 3, 64).count() === 1)
+  }
+
+  test("layout/diff/incremental: empty input") {
+    import graft.operators.{Diff, Incremental, Layout}
+    val e = Seq.empty[(Long, Long, Long)].toDF("k", "x", "y")
+    assert(Layout.zorderAudit(e, "k", "x", "y", blockRows = 4).count() === 0)
+    assert(Diff.snapshotDiff(emptyDocs, emptyDocs, Seq("doc_id")).count() === 0)
+    // insert-only diff from an empty previous snapshot
+    assert(Diff.snapshotDiff(emptyDocs, oneDoc, Seq("doc_id"))
+      .head.getString(1) === "insert")
+    val st = Incremental.aggState(oneDoc.withColumn("n_chars", length(col("text"))),
+      Seq("doc_id"), Seq("n_chars"))
+    assert(Incremental.applyDelta(st,
+      emptyDocs.withColumn("n_chars", length(col("text"))),
+      Seq("doc_id"), Seq("n_chars")).count() === 1)
+  }
+}
