@@ -1508,6 +1508,45 @@ object TextQueries {
              |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
              |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // PageRank centrality over the LSH near-dup graph (3 fixed iterations,
+    // symmetrized pairs): q124's degrees say how CONNECTED a document is,
+    // PageRank says how CENTRAL — the principled representative-selection
+    // signal for a duplicate community. The oracle unrolls the iterations
+    // over the same in-SQL LSH pair derivation.
+    "q144_dupgraph_pagerank" -> Q(
+      (s, dir) => {
+        val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+            shingleSize = 3, numHashes = 32, bands = 16, threshold = JaccardThreshold)
+          .select(col("id_a"), col("id_b"))
+        val edges = pairs.unionByName(
+          pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        graft.operators.Graph.pageRank(edges, "id_a", "id_b", iters = 3)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some {
+        val iters = 3
+        val stages = (1 to iters).map { i =>
+          s"""r$i AS (
+             |  SELECT e.dst AS id,
+             |    CAST(0.15 AS DOUBLE) / any_value(nn.n)
+             |      + CAST(0.85 AS DOUBLE) * sum(r.r / CAST(d.deg AS DOUBLE)) AS r
+             |  FROM edges e JOIN r${i - 1} r ON r.id = e.src
+             |               JOIN deg d ON d.id = e.src, nn
+             |  GROUP BY e.dst)"""
+        }.mkString(",\n")
+        s"""$minhashPairsCtes,
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs WHERE jac >= $JaccardThreshold
+           |  UNION ALL
+           |  SELECT id_b, id_a FROM pairs WHERE jac >= $JaccardThreshold),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+           |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+           |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes, nn),
+           |$stages
+           |SELECT id AS doc_id, ${frs("r", 6)} AS pr FROM r$iters ORDER BY doc_id""".stripMargin
+      }),
+
     // Prefix-filtered EXACT similarity join over the FULL corpus — the
     // algorithmic alternative to both q22 (brute force, capped sample) and
     // q22b (LSH banding, approximate recall): candidates from a prefix-token

@@ -842,6 +842,28 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(got("t/fk:k1->dk") === ((1L, 6L, 0.166667, 1L)))
   }
 
+  // ---- Graph.pageRank ----
+
+  test("pageRank: star-graph hand computation; mass conserved on symmetric graphs") {
+    import graft.operators.Graph
+    // K1,3 star, symmetrized: hub 0 <-> leaves 1,2,3. n=4, r0=0.25 each.
+    // After one iteration: hub = 0.15/4 + 0.85*(3*0.25/1) = 0.675,
+    // leaf = 0.15/4 + 0.85*(0.25/3) = 0.108333...
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+    val one = Graph.pageRank(edges, "src", "dst", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(one(0L) === 0.675)
+    Seq(1L, 2L, 3L).foreach(l => assert(one(l) === 0.108333))
+    // deeper iterations keep hub > leaves and conserve total mass ≈ 1
+    // (symmetric graph, no dangling nodes)
+    val three = Graph.pageRank(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(three(0L) > three(1L))
+    assert(math.abs(three.values.sum - 1.0) < 1e-4)
+  }
+
   // ---- Retrieval.mmrRerank ----
 
   test("mmrRerank: skips the near-duplicate of the first pick in favor of a diverse hit") {
