@@ -344,6 +344,29 @@ object TextQueries {
        |  UNION
        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
 
+  /** PageRank CTE chain over an `edges(src, dst)` CTE defined upstream:
+    * nodes, degree, uniform r0, then `iters` unrolled power iterations —
+    * mirrors [[graft.operators.Graph.pageRank]] (damping 0.85, teleport
+    * 0.15, every node with out-degree ≥ 1). Used by q144 (LSH graph) and
+    * q145 (capped exact-pair graph).
+    */
+  private def pageRankCtes(iters: Int): String = {
+    val stages = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS id,
+         |    CAST(0.15 AS DOUBLE) / any_value(nn.n)
+         |      + CAST(0.85 AS DOUBLE) * sum(r.r / CAST(d.deg AS DOUBLE)) AS r
+         |  FROM edges e JOIN r${i - 1} r ON r.id = e.src
+         |               JOIN deg d ON d.id = e.src, nn
+         |  GROUP BY e.dst)"""
+    }.mkString(",\n")
+    s"""prnodes AS (SELECT DISTINCT src AS id FROM edges),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM prnodes),
+       |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+       |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS r FROM prnodes, nn),
+       |$stages"""
+  }
+
   /** Brute-force exact-Jaccard pair oracle; `capped` restricts to the fixed
     * q22 sample, uncapped verifies full-corpus algorithms (q125).
     */
@@ -1523,29 +1546,48 @@ object TextQueries {
         graft.operators.Graph.pageRank(edges, "id_a", "id_b", iters = 3)
           .withColumnRenamed("id", "doc_id")
       },
-      Some {
-        val iters = 3
-        val stages = (1 to iters).map { i =>
-          s"""r$i AS (
-             |  SELECT e.dst AS id,
-             |    CAST(0.15 AS DOUBLE) / any_value(nn.n)
-             |      + CAST(0.85 AS DOUBLE) * sum(r.r / CAST(d.deg AS DOUBLE)) AS r
-             |  FROM edges e JOIN r${i - 1} r ON r.id = e.src
-             |               JOIN deg d ON d.id = e.src, nn
-             |  GROUP BY e.dst)"""
-        }.mkString(",\n")
-        s"""$minhashPairsCtes,
-           |edges AS (
-           |  SELECT id_a AS src, id_b AS dst FROM pairs WHERE jac >= $JaccardThreshold
-           |  UNION ALL
-           |  SELECT id_b, id_a FROM pairs WHERE jac >= $JaccardThreshold),
-           |nodes AS (SELECT DISTINCT src AS id FROM edges),
-           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-           |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
-           |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes, nn),
-           |$stages
-           |SELECT id AS doc_id, ${frs("r", 6)} AS pr FROM r$iters ORDER BY doc_id""".stripMargin
-      }),
+      Some(s"""$minhashPairsCtes,
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs WHERE jac >= $JaccardThreshold
+             |  UNION ALL
+             |  SELECT id_b, id_a FROM pairs WHERE jac >= $JaccardThreshold),
+             |${pageRankCtes(3)}
+             |SELECT id AS doc_id, ${frs("r", 6)} AS pr FROM r3 ORDER BY doc_id""".stripMargin)),
+
+    // PageRank-weighted canonicalization: q119 keeps each duplicate
+    // cluster's LONGEST member (max n_chars); this keeps its most CENTRAL
+    // one — the member most similar to the rest of its community, which is
+    // what "the canonical copy" usually means. Same capped exact-pair graph
+    // as q60/q119/q124, so clustering and centrality are computed over one
+    // edge set.
+    "q145_cluster_reps_pagerank" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.jaccardPairsExact(
+          docs.filter(col("doc_id") < ExactPairSample), "doc_id", "text",
+          shingleSize = 3, threshold = JaccardThreshold)
+        val labels = Dedup.clusters(pairs, maxIter = 20)
+          .select(col("id").cast("long").as("id"), col("cluster").cast("long").as("cluster"))
+        val edges = pairs.select(col("id_a"), col("id_b")).unionByName(
+          pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        val pr = graft.operators.Graph.pageRank(edges, "id_a", "id_b", iters = 3)
+        Dedup.clusterRepresentatives(labels, pr, "id", "pr")
+      },
+      Some(s"""$clusterCtes,
+             |cl AS (
+             |  SELECT src AS id, least(src, min(dst)) AS cluster
+             |  FROM reach GROUP BY src),
+             |${pageRankCtes(3)},
+             |jn AS (
+             |  SELECT cl.cluster, cl.id, ${frs("r3.r", 6)} AS pr
+             |  FROM cl JOIN r3 ON cl.id = r3.id),
+             |rr AS (
+             |  SELECT cluster, id, pr,
+             |    row_number() OVER (PARTITION BY cluster ORDER BY pr DESC, id) AS rn,
+             |    CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members
+             |  FROM jn)
+             |SELECT cluster, id AS rep_id, pr AS rep_weight, n_members
+             |FROM rr WHERE rn = 1 ORDER BY cluster""".stripMargin)),
 
     // Prefix-filtered EXACT similarity join over the FULL corpus — the
     // algorithmic alternative to both q22 (brute force, capped sample) and
