@@ -124,14 +124,32 @@ object StreamingAgg {
     * watermark variant LOSES nothing on this data while bounding state).
     */
   def distinctCustomersBounded(spark: SparkSession, dir: String,
-                               delay: String = "30 days"): DataFrame = {
-    val dedup = streamTable(spark, dir, "orders.parquet")
+                               delay: String = "30 days"): DataFrame =
+    boundedDedupDrain(spark, dir, schemaFrom = s"$dir/orders.parquet",
+      glob = "orders.parquet", delay = delay, maxFilesPerTrigger = None)
+      .dropDuplicates("o_custkey").orderBy("o_custkey")
+
+  /** The raw watermark-bounded dedup drain, BEFORE the final batch-side
+    * dropDuplicates — one row per (key, state residency window). Exposed so
+    * the loss case is testable: a key recurring after the watermark evicted
+    * it re-emits here (StreamingSpec pins that boundary), which is exactly
+    * why [[distinctCustomersBounded]] deduplicates the drained output before
+    * comparing against the batch DISTINCT oracle.
+    */
+  private[graft] def boundedDedupDrain(spark: SparkSession, dir: String,
+                                           schemaFrom: String, glob: String,
+                                           delay: String,
+                                           maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val reader = spark.readStream
+      .schema(spark.read.parquet(schemaFrom).schema)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val dedup = reader.parquet(dir)
       // parquet date -> TIMESTAMP_LTZ; watermarks require an event-time col
       .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
       .withWatermark("o_orderdate", delay)
       .dropDuplicatesWithinWatermark("o_custkey")
       .select(col("o_custkey"))
     drain(dedup, "graft_stream_dedup_wm", "append")
-      .dropDuplicates("o_custkey").orderBy("o_custkey")
   }
 }

@@ -183,6 +183,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(full.nonEmpty)
   }
 
+  test("watermark-bounded dedup: a key recurring after eviction re-emits (the weakened contract)") {
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import java.sql.Date
+    import spark.implicits._
+    // delay 30 days. batch 0: key 1 @ day 0 -> emits; state expiry day 30.
+    // batch 1: key 2 @ day 200 -> watermark advances to day 170, EVICTS key
+    // 1. batch 2: key 1 @ day 300 -> no state entry -> re-emits. The raw
+    // drain therefore holds key 1 TWICE — the price of bounded state, and
+    // why distinctCustomersBounded deduplicates before the DISTINCT oracle.
+    val dir = Files.createTempDirectory("graft_wm")
+    def writeFile(rows: Seq[(Long, Date)], name: String, mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_wm_w")
+      rows.toDF("o_custkey", "o_orderdate").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = dir.resolve(name)
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtimeMs))
+    }
+    def day(d: Int) = new Date(d * 86400000L)
+    writeFile(Seq((1L, day(0))), "a.parquet", 1000000000000L)
+    writeFile(Seq((2L, day(2000))), "b.parquet", 1000000100000L)
+    writeFile(Seq((1L, day(3000))), "c.parquet", 1000000200000L)
+    val raw = graft.streaming.StreamingAgg.boundedDedupDrain(
+        spark, dir.toString, schemaFrom = dir.resolve("a.parquet").toString,
+        glob = "*.parquet", delay = "30 days", maxFilesPerTrigger = Some(1))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(raw === Seq(1L, 1L, 2L)) // key 1 twice: once per state residency
+  }
+
   test("streaming monthly order stats equals batch aggregation") {
     import org.apache.spark.sql.functions._
     import graft.functions.MathFunctions.floorRound
