@@ -131,15 +131,30 @@ object StreamingAgg {
 
   /** The raw watermark-bounded dedup drain, BEFORE the final batch-side
     * dropDuplicates — one row per (key, state residency window). Exposed so
-    * the loss case is testable: a key recurring after the watermark evicted
-    * it re-emits here (StreamingSpec pins that boundary), which is exactly
-    * why [[distinctCustomersBounded]] deduplicates the drained output before
+    * the loss case is testable: a key recurring after eviction re-emits
+    * here (StreamingSpec pins that boundary), which is exactly why
+    * [[distinctCustomersBounded]] deduplicates the drained output before
     * comparing against the batch DISTINCT oracle.
+    *
+    * Eviction timing (measured on Spark 4.1.2, pinned by StreamingSpec):
+    * expired `dropDuplicatesWithinWatermark` state is NOT evicted during
+    * data-carrying micro-batches, even ones whose eviction watermark is far
+    * past the entry's expiry — physical removal happens in the trailing
+    * NO-DATA batch that the engine schedules when the watermark advanced
+    * (`shouldRunAnotherBatch`). Within a single AvailableNow run every file
+    * is discovered up front, so a recurrence always precedes that terminal
+    * batch and is suppressed (a suppressed duplicate also EXTENDS the
+    * entry's expiry to its own event time + delay). Observing re-emission
+    * therefore needs a checkpointed SECOND run after the first run's
+    * terminal batch evicted the key — pass `fileSink` (output dir,
+    * checkpoint dir) to span runs; the memory sink cannot recover from a
+    * checkpoint, so the spanning path writes parquet instead.
     */
   private[graft] def boundedDedupDrain(spark: SparkSession, dir: String,
                                            schemaFrom: String, glob: String,
                                            delay: String,
-                                           maxFilesPerTrigger: Option[Int]): DataFrame = {
+                                           maxFilesPerTrigger: Option[Int],
+                                           fileSink: Option[(String, String)] = None): DataFrame = {
     val reader = spark.readStream
       .schema(spark.read.parquet(schemaFrom).schema)
       .option("pathGlobFilter", glob)
@@ -150,6 +165,20 @@ object StreamingAgg {
       .withWatermark("o_orderdate", delay)
       .dropDuplicatesWithinWatermark("o_custkey")
       .select(col("o_custkey"))
-    drain(dedup, "graft_stream_dedup_wm", "append")
+    fileSink match {
+      case None => drain(dedup, "graft_stream_dedup_wm", "append")
+      case Some((outDir, ckpt)) =>
+        drainLock.synchronized {
+          val before = spark.conf.get("spark.sql.shuffle.partitions")
+          spark.conf.set("spark.sql.shuffle.partitions", 8)
+          try {
+            val q = dedup.writeStream.outputMode("append").format("parquet")
+              .option("path", outDir).option("checkpointLocation", ckpt)
+              .trigger(Trigger.AvailableNow()).start()
+            q.awaitTermination()
+          } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+        }
+        spark.read.parquet(outDir)
+    }
   }
 }

@@ -188,11 +188,23 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     import java.nio.file.attribute.FileTime
     import java.sql.Date
     import spark.implicits._
-    // delay 30 days. batch 0: key 1 @ day 0 -> emits; state expiry day 30.
-    // batch 1: key 2 @ day 200 -> watermark advances to day 170, EVICTS key
-    // 1. batch 2: key 1 @ day 300 -> no state entry -> re-emits. The raw
-    // drain therefore holds key 1 TWICE — the price of bounded state, and
-    // why distinctCustomersBounded deduplicates before the DISTINCT oracle.
+    // delay 30 days. Measured Spark 4.1.2 eviction timing (see the
+    // boundedDedupDrain docstring): expired dedup state is only evicted in
+    // the trailing NO-DATA batch the engine schedules once the watermark
+    // advanced — never mid-run while data batches remain — and a suppressed
+    // duplicate EXTENDS its entry's expiry. So within one AvailableNow run
+    // a recurrence can never observe eviction; the loss case needs TWO
+    // checkpointed runs.
+    // Key 1 starts at day 1, NOT day 0: the late-event filter drops rows
+    // with eventTime <= watermark, and the initial watermark is epoch 0 —
+    // a day-0 row never even enters state.
+    // Run 1: key 1 @ day 1 (emits, expiry day 31), key 2 @ day 2000
+    //   (emits; end-of-batch watermark day 1970) -> terminal no-data batch
+    //   EVICTS key 1.
+    // Run 2 (same checkpoint): key 1 @ day 3000 -> no state entry ->
+    //   RE-EMITS. Across runs key 1 appears TWICE — the price of bounded
+    //   state, and why distinctCustomersBounded deduplicates before the
+    //   DISTINCT oracle.
     val dir = Files.createTempDirectory("graft_wm")
     def writeFile(rows: Seq[(Long, Date)], name: String, mtimeMs: Long): Unit = {
       val tmp = Files.createTempDirectory("graft_wm_w")
@@ -204,14 +216,20 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       Files.setLastModifiedTime(dst, FileTime.fromMillis(mtimeMs))
     }
     def day(d: Int) = new Date(d * 86400000L)
-    writeFile(Seq((1L, day(0))), "a.parquet", 1000000000000L)
+    writeFile(Seq((1L, day(1))), "a.parquet", 1000000000000L)
     writeFile(Seq((2L, day(2000))), "b.parquet", 1000000100000L)
-    writeFile(Seq((1L, day(3000))), "c.parquet", 1000000200000L)
-    val raw = graft.streaming.StreamingAgg.boundedDedupDrain(
+    val ckpt = Files.createTempDirectory("graft_wm_ckpt").toString
+    val out = Files.createTempDirectory("graft_wm_out").toString
+    def drainRun() = graft.streaming.StreamingAgg.boundedDedupDrain(
         spark, dir.toString, schemaFrom = dir.resolve("a.parquet").toString,
-        glob = "*.parquet", delay = "30 days", maxFilesPerTrigger = Some(1))
+        glob = "*.parquet", delay = "30 days", maxFilesPerTrigger = Some(1),
+        fileSink = Some((out, ckpt)))
       .collect().map(_.getLong(0)).toSeq.sorted
-    assert(raw === Seq(1L, 1L, 2L)) // key 1 twice: once per state residency
+    val run1 = drainRun()
+    assert(run1 === Seq(1L, 2L)) // first residency of key 1; then evicted
+    writeFile(Seq((1L, day(3000))), "c.parquet", 1000000200000L)
+    val all = drainRun() // the file sink accumulates: run-1 rows + run 2's
+    assert(all === Seq(1L, 1L, 2L)) // key 1 RE-EMITS after eviction
   }
 
   test("streaming monthly order stats equals batch aggregation") {
