@@ -104,6 +104,9 @@ object Bench {
       s""","filtered":true,"filter":"$esc""""
     }.getOrElse("")
     val sfName = new java.io.File(sfDir).getName // basename: tail-window bytes matter
+    // per-query line first (sacrificial under tail clipping), parsed
+    // metric line LAST so the driver's 2000-byte tail always holds it whole
+    println(perQueryLine(results, sfName))
     println(metricLine(results, sfName, noiseJson, filteredTag))
     spark.stop()
   }
@@ -117,34 +120,45 @@ object Bench {
     pref.map { case (k, p) => k -> (if (dup(p)) k else p) }
   }
 
-  /** The one stdout JSON line the driver parses. The driver keeps only the
-    * last ~2000 bytes of output and parses the line out of that tail — with
-    * 96 queries, full names and 9-decimal doubles overflowed it and the
-    * round's metrics were lost (BENCH_r01..r04 all have parsed:null).
-    * Compact keys (unique "qNN" prefixes) + 2-decimal values + basename sf
-    * keep the line ~1.8 KB at 146 queries; BenchFormatSpec asserts the
-    * WORST-CASE length stays inside the window as queries are added. Full
-    * names and sub-second precision are on stderr for humans.
-    */
   /** Tiered timing width — precision where it matters, bounded bytes where
     * it doesn't: 2 decimals under 10 s (the normal band), 1 decimal to
-    * 100 s, integral beyond (contaminated-run territory). Every value stays
-    * ≤ 4 chars below 1000 s, which is what keeps the worst-case line inside
-    * the tail window.
+    * 100 s, integral beyond (contaminated-run territory). The tier is
+    * picked AFTER rounding: 9.995..10 must format "10.0", not "10.00" —
+    * every value stays ≤ 4 chars below 1000 s, which is what keeps the
+    * worst-case line bounded.
     */
   private def fmt(v: Double): String =
     if (v < 0) "-1" // failed query marker
-    else if (v < 10) f"$v%.2f"
-    else if (v < 100) f"$v%.1f"
+    else if (math.rint(v * 100) < 1000) f"$v%.2f"
+    else if (math.rint(v * 10) < 1000) f"$v%.1f"
     else f"$v%.0f"
+
+  /** The stdout JSON the driver parses. The driver keeps only the last
+    * ~2000 bytes of output and parses the metric line out of that tail —
+    * with 96 queries, full names and 9-decimal doubles overflowed it and
+    * the round's metrics were lost (BENCH_r01..r04 all have parsed:null).
+    * By round 8 even compact per-query keys had grown the single line to
+    * 1829/2000 bytes (~12 queries of headroom), so the output is now TWO
+    * lines: a per-query line FIRST (machine-readable when the log is kept
+    * whole; sacrificial if the tail clips it) and a compact parsed line
+    * LAST — {metric,value,unit,nq,sf,noise} ≤ ~300 bytes no matter how
+    * many queries exist. Full names and sub-second precision stay on
+    * stderr for humans.
+    */
+  private[graft] def perQueryLine(results: Map[String, Double], sfName: String): String = {
+    val shortKey = shortKeys(results.keys)
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    s"""{"perQuery":$qs,"sf":"$sfName"}"""
+  }
 
   private[graft] def metricLine(results: Map[String, Double], sfName: String,
                                 noiseJson: String, filteredTag: String): String = {
-    val shortKey = shortKeys(results.keys)
-    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    // failed queries carry -1 in the per-query map; total sums successes only
+    // failed queries carry -1 in the per-query map; total sums successes
+    // only, and nq/nfail make a partial run visible in the parsed line
     val total = results.values.filter(_ >= 0).sum
-    f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfName"$noiseJson$filteredTag}"""
+    val nFail = results.values.count(_ < 0)
+    f"""{"metric":"total","value":$total%.2f,"unit":"sec","nq":${results.size},"nfail":$nFail,"sf":"$sfName"$noiseJson$filteredTag}"""
   }
 }

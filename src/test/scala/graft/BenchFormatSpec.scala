@@ -2,28 +2,52 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Guards the driver-contract byte budget of Bench's metric line: the driver
-  * parses the line out of the LAST ~2000 bytes of output, and overflow
-  * silently loses the round's metrics (the BENCH_r01..r04 failure). Every
-  * added query grows the line, so this asserts the budget at pessimistic
-  * widths instead of discovering the clip one round too late.
+/** Guards the driver-contract byte budget of Bench's stdout: the driver
+  * parses the metric line out of the LAST ~2000 bytes of output, and
+  * overflow silently loses the round's metrics (the BENCH_r01..r04
+  * failure). Since round 9 the output is two lines — a sacrificial
+  * per-query line first, then the compact parsed line — so the parsed line
+  * must stay far inside the window REGARDLESS of query count, and the
+  * per-query values use tier-after-rounding widths (9.999 s must print
+  * "10.0", not the 5-char "10.00").
   */
 class BenchFormatSpec extends AnyFunSuite {
 
   private val worstNoise =
     ""","noise":{"tw":9999.99,"te":9999.99,"r":99.99,"ls":99.99,"le":99.99,"lm":99.99}"""
 
-  test("metric line fits the driver tail window even at worst-case timing widths") {
+  test("parsed metric line stays ≤500 bytes regardless of query count") {
     val names = SparkEntry.queries.keys.toSeq
-    // tiered formatting keeps every value ≤ 4 chars below 1000 s — probe the
-    // widest band of each tier plus an absurd contaminated run
-    for (v <- Seq(9.99, 99.9, 999.0)) {
-      val line = Bench.metricLine(names.map(_ -> v).toMap, "sf0.1", worstNoise, "")
-      info(s"${names.size} queries at $v -> ${line.length} bytes")
-      assert(line.length <= 1900,
-        s"metric line ${line.length} B with every query at $v s: compact keys/values " +
-          "further or the driver tail clips it and the round's metrics are lost")
+    // worst case: every query at a huge contaminated value + worst noise +
+    // a filter tag — the line no longer carries per-query values, so its
+    // length must be flat in the query count
+    val line = Bench.metricLine(names.map(_ -> 9999.99).toMap, "sf0.1",
+      worstNoise, ""","filtered":true,"filter":"q1,q2,q3"""")
+    info(s"${names.size} queries -> parsed line ${line.length} bytes")
+    assert(line.length <= 500,
+      s"parsed metric line ${line.length} B: must stay well inside the " +
+        "driver's 2000-byte tail window even as queries are added")
+  }
+
+  test("tiered fmt picks the tier AFTER rounding (boundary values stay ≤4 chars)") {
+    val names = SparkEntry.queries.keys.toSeq
+    // 9.999 rounds to 10.00 in the 2-decimal tier (5 chars) unless the
+    // tier is picked post-rounding; 99.99 likewise to 100.0. Probe the
+    // true worst case of each tier, not just comfortably-inside values.
+    for (v <- Seq(9.99, 9.999, 99.9, 99.99, 999.0, 999.9)) {
+      val line = Bench.perQueryLine(names.map(_ -> v).toMap, "sf0.1")
+      val widest = line.split("[:,]").filter(_.matches("[0-9.]+")).map(_.length).max
+      assert(widest <= 4, s"value $v formatted wider than 4 chars in $line")
     }
+  }
+
+  test("per-query line is machine-readable and bounded") {
+    val names = SparkEntry.queries.keys.toSeq
+    val line = Bench.perQueryLine(names.map(_ -> 999.9).toMap, "sf0.1")
+    info(s"${names.size} queries -> per-query line ${line.length} bytes")
+    // not driver-parsed (it may be tail-clipped), but kept sane for humans
+    // and whole-log tooling: ~12 bytes/query worst case
+    assert(line.length <= 16 * names.size + 64)
   }
 
   test("prefix-compressed query keys stay unique") {
