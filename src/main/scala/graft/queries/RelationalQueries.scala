@@ -534,6 +534,9 @@ object RelationalQueries {
             when(col("o_orderkey") % 5 === 0, col("o_totalprice") * lit(2.0))
               .otherwise(col("o_totalprice")))
         graft.operators.Diff.snapshotDiff(prev, next, Seq("o_orderkey"))
+          // q147 covers the applyable old/new value maps; this entry pins
+          // the classification + changed-column routing
+          .select("o_orderkey", "change_type", "changed_cols")
       },
       Some {
         val valCols = Seq("o_custkey", "o_orderdate", "o_orderpriority",
@@ -584,5 +587,153 @@ object RelationalQueries {
       Some(s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
              |  ${frs("CAST(sum(CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE) / CAST(100.0 AS DOUBLE)", 2)} AS total
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Weighted PageRank with dangling-mass redistribution over a directed
+    // weighted graph derived from customer: src = nation (0..24), dst =
+    // custkey mod 40 (0..39), weight = pair count. dst nodes 25..39 have
+    // in-edges but NO out-edges — genuinely dangling — which is exactly the
+    // case the symmetrized-only q144/q145 pageRank refuses (its out-degree
+    // guard); here their mass is redistributed uniformly each iteration.
+    "q146_pagerank_weighted" -> Q(
+      (s, dir) => {
+        val edges = Tables.customer(s, dir)
+          .groupBy(col("c_nationkey").cast("long").as("src"),
+                   (col("c_custkey") % 40).cast("long").as("dst"))
+          .agg(count(lit(1)).cast("double").as("w"))
+        graft.operators.Graph.pageRankWeighted(edges, "src", "dst", "w", iters = 3)
+      },
+      Some(s"""WITH edges AS (
+             |  SELECT CAST(c_nationkey AS BIGINT) AS src,
+             |         CAST(c_custkey % 40 AS BIGINT) AS dst,
+             |         CAST(count(*) AS DOUBLE) AS w
+             |  FROM customer GROUP BY 1, 2),
+             |${weightedPrCtes(3)}
+             |SELECT id, ${frs("r", 6)} AS pr FROM r3 ORDER BY id""".stripMargin)),
+
+    // Applyable snapshot diff: the changelog now carries old/new VALUES per
+    // changed column (full row for inserts/deletes), so a consumer can
+    // replay it without the source snapshots. Money is diffed as integer
+    // cents: BIGINT→string serialization is engine-identical, double
+    // formatting is not. The maps are serialized sorted-by-key for the
+    // hash compare; q148 then proves the replay reproduces `next` exactly.
+    "q147_diff_applyable" -> Q(
+      (s, dir) => {
+        val (prev, next) = diffCentsSnapshots(s, dir)
+        val d = graft.operators.Diff.snapshotDiff(prev, next, Seq("o_orderkey"))
+        def ser(m: String) = array_join(
+          transform(array_sort(map_keys(col(m))),
+            k => concat(k, lit("="), try_element_at(col(m), k))), ";")
+        d.select(col("o_orderkey"), col("change_type"), col("changed_cols"),
+          ser("old_vals").as("old_s"), ser("new_vals").as("new_s"))
+      },
+      Some(diffApplyableOracle)),
+
+    // ...and the round-trip: applying the diff onto `prev` must reproduce
+    // `next` EXACTLY — the oracle is simply `next` itself. This is the
+    // end-to-end applyability proof at fixture scale (PropertySpec pins it
+    // on adversarial small cases: NULL transitions, NULL-valued updates).
+    "q148_diff_roundtrip" -> Q(
+      (s, dir) => {
+        val (prev, next) = diffCentsSnapshots(s, dir)
+        val d = graft.operators.Diff.snapshotDiff(prev, next, Seq("o_orderkey"))
+        graft.operators.Diff.applyDiff(prev, d, Seq("o_orderkey"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""$diffSnapshotCtes
+             |SELECT * FROM next ORDER BY o_orderkey""".stripMargin)),
   )
+
+  /** Shared prev/next snapshot pair for q147/q148: orders with money as
+    * integer cents, ~1/3 deleted, ~1/7 inserted, two update channels
+    * (cents doubled on mod-5, status rewritten on mod-11).
+    */
+  private def diffCentsSnapshots(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_orderdate"),
+      floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+    val prev = o.filter(col("o_orderkey") % 7 =!= 0)
+    val next = o.filter(col("o_orderkey") % 3 =!= 0)
+      .withColumn("cents",
+        when(col("o_orderkey") % 5 === 0, col("cents") * 2).otherwise(col("cents")))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 11 === 0, lit("X")).otherwise(col("o_orderstatus")))
+    (prev, next)
+  }
+
+  private val diffSnapshotCtes: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+       |    CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+       |  FROM orders),
+       |prev AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+       |next AS (
+       |  SELECT o_orderkey, o_custkey,
+       |    CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+       |    o_orderdate,
+       |    CASE WHEN o_orderkey % 5 = 0 THEN cents * 2 ELSE cents END AS cents
+       |  FROM base WHERE o_orderkey % 3 <> 0)""".stripMargin
+
+  /** DuckDB mirror of q147: per-column 'name=value' fragments assembled in
+    * sorted-key order — identical bytes to Spark's serialized sorted map.
+    */
+  private val diffApplyableOracle: String = {
+    val valCols = Seq("cents", "o_custkey", "o_orderdate", "o_orderstatus") // sorted
+    def v(side: String, c: String) = s"'$c=' || CAST($side.$c AS VARCHAR)"
+    val changedNames = valCols.map(c =>
+      s"CASE WHEN p.$c IS DISTINCT FROM n.$c THEN '$c' END").mkString(", ")
+    def changedSer(side: String) = valCols.map(c =>
+      s"CASE WHEN p.$c IS DISTINCT FROM n.$c THEN ${v(side, c)} END").mkString(", ")
+    def allSer(side: String) = valCols.map(v(side, _)).mkString(" || ';' || ")
+    val changedCols = s"array_to_string(list_filter([$changedNames], x -> x IS NOT NULL), ',')"
+    s"""$diffSnapshotCtes
+       |SELECT coalesce(p.o_orderkey, n.o_orderkey) AS o_orderkey,
+       |  CASE WHEN p.o_orderkey IS NULL THEN 'insert'
+       |       WHEN n.o_orderkey IS NULL THEN 'delete'
+       |       ELSE 'update' END AS change_type,
+       |  CASE WHEN p.o_orderkey IS NULL OR n.o_orderkey IS NULL THEN ''
+       |       ELSE $changedCols END AS changed_cols,
+       |  CASE WHEN p.o_orderkey IS NULL THEN ''
+       |       WHEN n.o_orderkey IS NULL THEN ${allSer("p")}
+       |       ELSE array_to_string(list_filter([${changedSer("p")}], x -> x IS NOT NULL), ';')
+       |       END AS old_s,
+       |  CASE WHEN n.o_orderkey IS NULL THEN ''
+       |       WHEN p.o_orderkey IS NULL THEN ${allSer("n")}
+       |       ELSE array_to_string(list_filter([${changedSer("n")}], x -> x IS NOT NULL), ';')
+       |       END AS new_s
+       |FROM prev p FULL OUTER JOIN next n ON p.o_orderkey = n.o_orderkey
+       |WHERE p.o_orderkey IS NULL OR n.o_orderkey IS NULL OR $changedCols <> ''
+       |ORDER BY o_orderkey""".stripMargin
+  }
+
+  /** Weighted-PageRank CTE chain over an `edges(src, dst, w)` CTE defined
+    * upstream: full node set (src ∪ dst), weighted out-degree, uniform r0,
+    * then `iters` unrolled power iterations each with a dangling-mass
+    * aggregate — mirrors [[graft.operators.Graph.pageRankWeighted]]
+    * (damping 0.85, teleport 0.15) arithmetic-op-for-arithmetic-op so the
+    * doubles agree cross-engine before the final floor-round.
+    */
+  private def weightedPrCtes(iters: Int): String = {
+    val stages = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS id, sum(r.r * e.w / d.wd) AS c
+         |  FROM edges e JOIN r${i - 1} r ON r.id = e.src
+         |               JOIN wdeg d ON d.id = e.src
+         |  GROUP BY 1),
+         |d$i AS (
+         |  SELECT coalesce(sum(r.r), CAST(0 AS DOUBLE)) AS dm
+         |  FROM r${i - 1} r LEFT JOIN wdeg d ON d.id = r.id
+         |  WHERE d.id IS NULL),
+         |r$i AS (
+         |  SELECT p.id,
+         |    CAST(0.15 AS DOUBLE) / nn.n
+         |      + CAST(0.85 AS DOUBLE)
+         |        * (coalesce(c.c, CAST(0 AS DOUBLE)) + d$i.dm / nn.n) AS r
+         |  FROM prnodes p LEFT JOIN c$i c ON c.id = p.id, nn, d$i)"""
+    }.mkString(",\n")
+    s"""prnodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM prnodes),
+       |wdeg AS (SELECT src AS id, sum(w) AS wd FROM edges GROUP BY 1),
+       |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS r FROM prnodes, nn),
+       |$stages"""
+  }
 }

@@ -864,6 +864,31 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(three.values.sum - 1.0) < 1e-4)
   }
 
+  test("pageRankWeighted: weighted contributions + dangling mass redistributed, hand computation") {
+    import graft.operators.Graph
+    // 1 -(3)-> 2, 1 -(1)-> 3, 2 -(1)-> 3; node 3 is DANGLING. n=3, r0=1/3.
+    // wdeg(1)=4, wdeg(2)=1; dangling mass = r(3) = 1/3.
+    // r'(1) = 0.15/3 + 0.85*(0      + (1/3)/3) = 0.144444...
+    // r'(2) = 0.15/3 + 0.85*(1/3*3/4      + (1/3)/3) = 0.356944...
+    // r'(3) = 0.15/3 + 0.85*(1/3*1/4 + 1/3 + (1/3)/3) = 0.498611...
+    val edges = Seq((1L, 2L, 3.0), (1L, 3L, 1.0), (2L, 3L, 1.0)).toDF("src", "dst", "w")
+    val one = Graph.pageRankWeighted(edges, "src", "dst", "w", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(one(1L) === 0.144444)
+    assert(one(2L) === 0.356944)
+    assert(one(3L) === 0.498611)
+    // dangling redistribution conserves total mass ≈ 1 across iterations —
+    // exactly what the unguarded unweighted variant would silently leak
+    val three = Graph.pageRankWeighted(edges, "src", "dst", "w", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(three.values.sum - 1.0) < 1e-4)
+    // and the unweighted variant now refuses dangling graphs loudly
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), "src", "dst", iters = 1)
+    }
+    assert(ex.getMessage.contains("pageRankWeighted"))
+  }
+
   // ---- Retrieval.mmrRerank ----
 
   test("mmrRerank: skips the near-duplicate of the first pick in favor of a diverse hit") {
@@ -902,13 +927,56 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
       (3L, Some("c"), Some(3.0)),          // v: NULL -> 3.0 (null-safe diff)
       (5L, Some("e"), None))               // insert
       .toDF("k", "s", "v")
-    val got = Diff.snapshotDiff(prev, next, Seq("k"))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val rows = Diff.snapshotDiff(prev, next, Seq("k")).collect()
+    val got = rows.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     assert(got === Array(
       (2L, "update", "s"),
       (3L, "update", "v"),
       (4L, "delete", ""),
       (5L, "insert", "")))
+    // the changelog is applyable: old/new value maps — changed columns only
+    // for updates (NULL values kept: key present, value null), full row for
+    // inserts/deletes
+    val byKey = rows.map(r => r.getLong(0) ->
+      (r.getAs[Map[String, String]]("old_vals"), r.getAs[Map[String, String]]("new_vals"))).toMap
+    assert(byKey(2L) === ((Map("s" -> "b"), Map("s" -> "B"))))
+    assert(byKey(3L) === ((Map("v" -> null), Map("v" -> "3.0"))))
+    assert(byKey(4L) === ((Map("s" -> "d", "v" -> "4.0"), Map.empty)))
+    assert(byKey(5L) === ((Map.empty, Map("s" -> "e", "v" -> null))))
+  }
+
+  test("snapshotDiff: NULL-keyed rows classify as one insert + one delete (presence markers)") {
+    import graft.operators.Diff
+    // a NULL key never equi-joins: the same row on both sides must surface
+    // as one 'insert' AND one 'delete' — not two inserts (the old
+    // key-nullability inference misread the prev-only side)
+    val prev = Seq((Some(1L), "a"), (None, "z")).toDF("k", "s")
+    val next = Seq((Some(1L), "a"), (None, "z")).toDF("k", "s")
+    val got = Diff.snapshotDiff(prev, next, Seq("k"))
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1)))
+    assert(got.toSet === Set((-1L, "insert"), (-1L, "delete")))
+  }
+
+  test("applyDiff: replaying the changelog onto prev reproduces next exactly") {
+    import graft.operators.Diff
+    val prev = Seq(
+      (1L, Some("a"), Some(1.0)), (2L, Some("b"), Some(2.0)),
+      (3L, Some("c"), None), (4L, Some("d"), Some(4.0)),
+      (6L, Some("f"), Some(0.1)))
+      .toDF("k", "s", "v")
+    val next = Seq(
+      (1L, Some("a"), Some(1.0)),          // unchanged
+      (2L, Some("B"), Some(2.0)),          // update
+      (3L, Some("c"), Some(3.0)),          // NULL -> value update
+      (5L, Some("e"), None),               // insert with a NULL value
+      (6L, Some("f"), None))               // value -> NULL update
+      .toDF("k", "s", "v")
+    val d = Diff.snapshotDiff(prev, next, Seq("k"))
+    val applied = Diff.applyDiff(prev, d, Seq("k"))
+    assert(applied.collect().map(_.toSeq).toSet === next.collect().map(_.toSeq).toSet)
+    // same columns and types (nullability may widen through the outer join)
+    assert(applied.schema.map(f => (f.name, f.dataType)) ===
+      next.schema.map(f => (f.name, f.dataType)))
   }
 
   // ---- Incremental ----

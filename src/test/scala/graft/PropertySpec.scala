@@ -164,6 +164,21 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     a.foreach(h => assert(h >= 0 && h < RollP))
   }
 
+  test("property: snapshotDiff -> applyDiff round-trips to next on generated snapshots") {
+    // generated keyed tables with doubles (in-engine string round-trip),
+    // nullable strings, and overlapping-but-mutated key sets: the replayed
+    // changelog must reproduce `next` exactly, whatever the mutation mix
+    val rowGen = Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(-1e6, 1e6),
+      Gen.option(Gen.identifier.map(_.take(6))))
+    val prevRows = sample(rowGen, 120, 41L).distinctBy(_._1)
+    val nextRows = sample(rowGen, 120, 43L).distinctBy(_._1)
+    val prev = prevRows.toDF("k", "v", "s")
+    val next = nextRows.toDF("k", "v", "s")
+    val d = graft.operators.Diff.snapshotDiff(prev, next, Seq("k"))
+    val applied = graft.operators.Diff.applyDiff(prev, d, Seq("k"))
+    assert(applied.collect().map(_.toSeq).toSet === next.collect().map(_.toSeq).toSet)
+  }
+
   test("property: incremental-scan invariant — second delta is empty") {
     // the reference's core contract (main.py:149-151): no changes => no work
     val rows = sample(Gen.zip(Gen.identifier.map(_.take(8)), Gen.chooseNum(1L, 1e9.toLong)), 100, 37L)
