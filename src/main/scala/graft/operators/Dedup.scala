@@ -92,6 +92,7 @@ object Dedup {
     // cache: both sides of the self-join read this small relation; without
     // it the whole shingle+hash pipeline executes twice (aliased self-join
     // branches don't share exchanges)
+    // cache-lifetime: pinned by the returned plan — caller releases (see Caching)
     val sh = withShinglesXx(df, idCol, textCol, shingleSize).cache()
     val a  = sh.select(col(idCol).as("id_a"), col("hs").as("hs_a"))
     val b  = sh.select(col(idCol).as("id_b"), col("hs").as("hs_b"))
@@ -470,6 +471,7 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
+    // cache-lifetime: pinned by the returned plan — caller releases (see Caching)
     val sh = df.select(col(idCol), simhashPoly(col(textCol)).as("sim")).cache()
     val banded = sh
       .withColumn("band", explode(sequence(lit(0), lit(3))))
@@ -548,5 +550,55 @@ object Dedup {
         sum("__dup").cast("long").as("n_dup"),
         floorRound(sum("__dup").cast("double") / count(lit(1)).cast("double"), roundTo)
           .as("dup_ratio"))
+  }
+
+  /** Exact-substring duplicate spans (the ExactSubstr dedup family of Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022): for each document, the maximal character spans whose every
+    * `minLen`-char window also appears verbatim in at least one OTHER
+    * document. Output (id, span_start, span_len), 1-based start, one row
+    * per maximal span — the spans a pipeline would cut before training.
+    *
+    * Mechanics: stride-1 windows of length `minLen` (map-only explode) →
+    * windows seen in ≥ 2 distinct documents (one hash shuffle on the
+    * window) → per-doc adjacent-position runs merged into maximal spans
+    * (islands via `pos − row_number`, one keyed window). A shared run of
+    * length R ≥ minLen marks positions p..p+R−minLen, merging to exactly
+    * [p, p+R). Everything is equi-join/aggregate — no pair enumeration,
+    * no cartesian (ScaleSpec plan-asserts).
+    *
+    * Scale notes: window rows are O(total corpus bytes) — linear, the same
+    * tier as a tokenization pass, but with a corpus-sized shuffle; Lee et
+    * al.'s suffix-array construction or content-defined anchor sampling
+    * (windows only at rolling-hash-selected positions) is the 100 TB path
+    * and trades stride-1's exact guarantee for O(bytes/stride) shuffle
+    * volume. Production would also hash the 50-byte window to 8 bytes
+    * before shuffling (as [[exactDedup]] does md5); the raw window key is
+    * kept here so DuckDB oracles can mirror the pipeline string-for-string.
+    */
+  def exactSubstrSpans(df: DataFrame, idCol: String, textCol: String,
+                       minLen: Int): DataFrame = {
+    require(minLen >= 2, s"exactSubstrSpans needs minLen >= 2, got $minLen")
+    // sequence(1, 0) would step BACKWARDS ([1, 0]) — guard short docs
+    val nWin = length(col(textCol)) - (minLen - 1)
+    val w = df.select(col(idCol),
+        explode(when(nWin >= 1,
+            transform(sequence(lit(1), nWin),
+              i => struct(i.as("pos"), col(textCol).substr(i, lit(minLen)).as("win"))))
+          .otherwise(array().cast("array<struct<pos:int,win:string>>"))).as("pw"))
+      .select(col(idCol), col("pw.pos").as("pos"), col("pw.win").as("win"))
+    val dupWins = w.groupBy("win")
+      .agg(countDistinct(idCol).as("__nd")).filter(col("__nd") >= 2)
+      .select("win")
+    val marked = w.join(dupWins, Seq("win")).select(col(idCol), col("pos"))
+    val grp = col("pos") - row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(idCol).orderBy("pos"))
+    marked.withColumn("__g", grp)
+      .groupBy(col(idCol), col("__g"))
+      .agg(min("pos").as("__s"), max("pos").as("__e"))
+      .select(col(idCol),
+        col("__s").cast("long").as("span_start"),
+        (col("__e") - col("__s") + minLen).cast("long").as("span_len"))
+      .orderBy(idCol, "span_start")
   }
 }

@@ -1600,6 +1600,34 @@ object TextQueries {
         shingleSize = 3, threshold = JaccardThreshold),
       Some(jaccardPairsOracle(capped = false))),
 
+    // Exact-substring dedup (Lee et al. 2022's ExactSubstr family): maximal
+    // per-doc character spans whose every 50-char window appears verbatim
+    // in another document — the one dedup family (doc-level / chunk /
+    // near-dup / semantic all exist) that was missing. Capped to the q22
+    // sample so the stride-1 window set stays oracle-sized; the operator
+    // doc records the suffix-array / anchor-sampling 100 TB path.
+    "q149_exact_substr_spans" -> Q(
+      (s, dir) => Dedup.exactSubstrSpans(
+        Tables.documents(s, dir).filter(col("doc_id") < ExactPairSample),
+        "doc_id", "text", minLen = 50),
+      Some(s"""WITH d AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < $ExactPairSample),
+             |w AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS pos, substr(text, CAST(i AS BIGINT), 50) AS win
+             |  FROM d, UNNEST(range(1, greatest(length(text) - 49, 0) + 1)) AS t(i)),
+             |dup AS (
+             |  SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+             |marked AS (
+             |  SELECT w.doc_id, w.pos FROM w JOIN dup USING (win)),
+             |islands AS (
+             |  SELECT doc_id, pos,
+             |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+             |  FROM marked)
+             |SELECT doc_id, min(pos) AS span_start,
+             |  max(pos) - min(pos) + 50 AS span_len
+             |FROM islands GROUP BY doc_id, g
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
     // Skip-gram pair extraction (the word2vec/GloVe co-occurrence pass):
     // (center, context) pairs at token distances 1 and 2, top-10 per
     // distance — next to q114's adjacency-only PMI this is the windowed

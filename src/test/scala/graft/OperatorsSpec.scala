@@ -842,6 +842,60 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(got("t/fk:k1->dk") === ((1L, 6L, 0.166667, 1L)))
   }
 
+  test("validate: UniqueKey counts NULL keys as groups (SELECT DISTINCT semantics)") {
+    import graft.operators.Validate._
+    // keys: (1,a), (1,a), (NULL,b), (NULL,b), (NULL,c) -> 3 distinct groups,
+    // 5 rows -> 2 violations. A null-skipping countDistinct would see only
+    // group (1,a) and report 5 - 1 = 4.
+    val df = Seq(
+      (Some(1L), "a"), (Some(1L), "a"),
+      (None, "b"), (None, "b"), (None, "c"))
+      .toDF("k", "s")
+    val got = validate("t", df, uniques = Seq(UniqueKey(Seq("k", "s"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("t/unique:k+s") === 2L)
+  }
+
+  test("driftGate: only the abnormally-moving group flags; uniform growth is not drift") {
+    import graft.operators.Validate
+    // 10 groups; next doubles EVERY group (uniform -> no drift), except
+    // group 7 which grows 20x (drift) — z is over the delta distribution
+    val prev = (0 until 10).flatMap(g => Seq.fill(10)(g)).toDF("g")
+    val next = (0 until 10).flatMap(g => Seq.fill(if (g == 7) 200 else 20)(g)).toDF("g")
+    val got = Validate.driftGate(prev, next, "g", zMax = 2.0)
+      .collect().map(r => r.getInt(0) -> r.getLong(5)).toMap
+    assert(got(7) === 1L)
+    assert((0 until 10).filter(_ != 7).forall(got(_) === 0L))
+    // a group vanishing entirely is also drift: its delta is the outlier
+    val next2 = (0 until 10).filterNot(_ == 3).flatMap(g => Seq.fill(10)(g)).toDF("g")
+    val got2 = Validate.driftGate(prev, next2, "g", zMax = 2.0)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(5))).toList
+    assert(got2.find(_._1 == 3).exists(t => t._2 === 0L && t._3 === 1L))
+  }
+
+  // ---- Dedup.exactSubstrSpans ----
+
+  test("exactSubstrSpans: maximal cross-doc spans, exact-length boundary, within-doc repeats don't count") {
+    import graft.operators.Dedup
+    val sh60 = (0 until 60).map(i => ('a' + (i * 11) % 26).toChar).mkString
+    val sh50 = (0 until 50).map(i => ('a' + (i * 17) % 26).toChar).mkString
+    val docs = Seq(
+      (1L, "A" * 30 + sh60 + "X" * 20),           // shares sh60 with 2 and 6
+      (2L, "B" * 25 + sh60 + "Y" * 15),
+      (3L, "c" * 100),                            // self-repetitive but cross-doc unique
+      (4L, "D" * 10 + sh50 + "Z" * 5),            // shares exactly minLen chars
+      (5L, "E" * 12 + sh50),
+      (6L, "F" * 5 + sh60 + "G" * 30 + sh50 + "H" * 5), // TWO disjoint spans
+      (7L, "shrt"))                               // shorter than a window
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstrSpans(docs, "doc_id", "text", minLen = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got === Array(
+      (1L, 31L, 60L), (2L, 26L, 60L),
+      (4L, 11L, 50L), (5L, 13L, 50L),
+      (6L, 6L, 60L), (6L, 96L, 50L)))
+  }
+
   // ---- Graph.pageRank ----
 
   test("pageRank: star-graph hand computation; mass conserved on symmetric graphs") {

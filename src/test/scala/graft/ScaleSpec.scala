@@ -131,6 +131,28 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
       s"prefix join must never fall back to all-pairs:\n${plan.take(2000)}")
   }
 
+  test("materializeThenRelease: operator-internal caches do not outlive a one-shot evaluation") {
+    import graft.operators.{Caching, Dedup}
+    val docs = (0L until 30L).map(i => (i, s"alpha beta gamma delta body t${i % 5} u${i % 3} end"))
+      .toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val n = Caching.materializeThenRelease(spark)(
+      Dedup.jaccardPairsExact(docs, "doc_id", "text", 3, 0.2))(_.count())
+    assert(n > 0) // the evaluation really ran (and really pinned the cache)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.isEmpty, s"persistent RDDs leaked past the evaluation: $leaked")
+  }
+
+  test("exactSubstrSpans: window matching is an equi-join — no cartesian in the plan") {
+    import graft.operators.Dedup
+    val docs = (0L until 40L).map(i => (i, ("x" * 30) + s"doc $i body " + ("y" * 40)))
+      .toDF("doc_id", "text")
+    val plan = Dedup.exactSubstrSpans(docs, "doc_id", "text", minLen = 20)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"exact-substring matching must never fall back to all-pairs:\n${plan.take(2000)}")
+  }
+
   test("eraseUsers: every table joins the request list broadcast — fact side never shuffles") {
     import graft.operators.Cleaning
     val events = (1L to 400L).map(i => (i % 50, i)).toDF("user_id", "event_id")
