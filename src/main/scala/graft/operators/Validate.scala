@@ -46,8 +46,10 @@ object Validate {
   }
 
   /** Key-uniqueness constraint; violations = rows beyond one per distinct
-    * key. Key columns are assumed non-null (pair with [[NotNull]] — Spark's
-    * countDistinct skips rows with a null key column).
+    * key. NULL keys form their own groups (SQL `SELECT DISTINCT`
+    * semantics): the distinct count runs over a struct of the key columns,
+    * which Spark's countDistinct never null-skips — two (NULL, 'a') rows
+    * are one group with one violation, matching the DuckDB oracle.
     */
   final case class UniqueKey(cols: Seq[String], threshold: Double = 0.0) {
     val name = s"unique:${cols.mkString("+")}"
@@ -79,7 +81,9 @@ object Validate {
       // report as a boxed null Long and break the row encoder
       rowChecks.map(c => coalesce(sum(c.violations), lit(0L)).cast("long").as(c.name)) ++
       uniques.map(u =>
-        (count(lit(1)) - countDistinct(col(u.cols.head), u.cols.tail.map(col): _*))
+        // struct-wrapped: a bare multi-arg countDistinct SKIPS rows with any
+        // NULL key column and over-counts violations vs SELECT DISTINCT
+        (count(lit(1)) - countDistinct(struct(u.cols.map(col): _*)))
           .cast("long").as(u.name))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val n = row.getLong(0)
@@ -101,5 +105,46 @@ object Validate {
       .withColumn("pass",
         (col("total") === 0 || col("viol_frac") <= col("threshold")).cast("long"))
       .select("check", "violations", "total", "viol_frac", "threshold", "pass")
+  }
+
+  /** Drift gate between two snapshots of the same table: per-group row
+    * counts are profiled on each side, and each group's count DELTA is
+    * z-scored against the cross-group delta distribution — gating on
+    * "which groups moved abnormally vs everything else" instead of a
+    * static per-group threshold (a uniform 2× growth of every group is NOT
+    * drift; one nation losing half its rows while the rest hold still is).
+    * Same exact-integer moment machinery as [[Anomaly.countZScores]]
+    * (S1 = Σδ, S2 = Σδ² over k groups), so the z doubles are bit-stable
+    * across partitionings and the DuckDB oracle reproduces them (q150).
+    * Groups absent on one side profile as 0 there — an appearing or
+    * vanishing group is drift by construction, not a join miss.
+    *
+    * Scale shape: one count shuffle per side on the group key, a full-outer
+    * group-key join at group cardinality (parameter-sized), one broadcast
+    * single-row stats join. The snapshots themselves never pairwise join.
+    */
+  def driftGate(prev: DataFrame, next: DataFrame, groupCol: String,
+                zMax: Double = 3.0, roundTo: Int = 4): DataFrame = {
+    val p = prev.groupBy(col(groupCol)).agg(count(lit(1)).cast("long").as("prev_n"))
+    val nx = next.groupBy(col(groupCol)).agg(count(lit(1)).cast("long").as("next_n"))
+    val deltas = p.join(nx, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        coalesce(col("prev_n"), lit(0L)).as("prev_n"),
+        coalesce(col("next_n"), lit(0L)).as("next_n"))
+      .withColumn("delta", col("next_n") - col("prev_n"))
+    val stats = deltas.agg(
+      count(lit(1)).cast("long").as("__k"),
+      sum("delta").cast("long").as("__s1"),
+      sum(col("delta") * col("delta")).cast("long").as("__s2"))
+    val varNum = (col("__k") * col("__s2") - col("__s1") * col("__s1")).cast("double")
+    val den    = (col("__k") * (col("__k") - lit(1L))).cast("double")
+    val z      = floorRound(
+      (col("delta") * col("__k") - col("__s1")).cast("double") /
+        (col("__k").cast("double") * sqrt(varNum / den)), roundTo)
+    deltas.crossJoin(broadcast(stats))
+      .withColumn("z", when(col("__k") > 1 && varNum > 0, z))
+      .withColumn("is_drift", coalesce((abs(col("z")) > zMax).cast("long"), lit(0L)))
+      .select(groupCol, "prev_n", "next_n", "delta", "z", "is_drift")
+      .orderBy(groupCol)
   }
 }

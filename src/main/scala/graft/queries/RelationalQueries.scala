@@ -472,6 +472,45 @@ object RelationalQueries {
     // (l_orderkey, l_linenumber) composite key, which the synthetic
     // generator genuinely does not keep unique — a real data finding the
     // gate surfaces.
+    // Drift gate: each nation's customer-count delta between two snapshots
+    // is z-scored against the cross-nation delta distribution — the
+    // "gate on movement, not static thresholds" layer above q137. The next
+    // snapshot drops half of nation 13's customers while the other 24
+    // nations are unchanged, so exactly that group must flag.
+    "q150_drift_gate" -> Q(
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val next = c.filter(!(col("c_nationkey") === 13 && col("c_custkey") % 2 === 0))
+        graft.operators.Validate.driftGate(c, next, "c_nationkey", zMax = 3.0)
+      },
+      Some {
+        val zCase =
+          s"""CASE WHEN k > 1 AND CAST(k*s2 - s1*s1 AS DOUBLE) > 0 THEN
+             |    ${frs("CAST(delta*k - s1 AS DOUBLE) / (CAST(k AS DOUBLE) * sqrt(CAST(k*s2 - s1*s1 AS DOUBLE) / CAST(k*(k-1) AS DOUBLE)))", 4)}
+             |  END""".stripMargin
+        s"""WITH p AS (
+           |  SELECT c_nationkey AS g, CAST(count(*) AS BIGINT) AS prev_n
+           |  FROM customer GROUP BY 1),
+           |nx AS (
+           |  SELECT c_nationkey AS g, CAST(count(*) AS BIGINT) AS next_n
+           |  FROM customer WHERE NOT (c_nationkey = 13 AND c_custkey % 2 = 0)
+           |  GROUP BY 1),
+           |d AS (
+           |  SELECT coalesce(p.g, nx.g) AS g,
+           |    coalesce(prev_n, 0) AS prev_n, coalesce(next_n, 0) AS next_n,
+           |    coalesce(next_n, 0) - coalesce(prev_n, 0) AS delta
+           |  FROM p FULL OUTER JOIN nx ON p.g = nx.g),
+           |s AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(delta) AS BIGINT) AS s1,
+           |    CAST(sum(delta*delta) AS BIGINT) AS s2 FROM d),
+           |r AS (
+           |  SELECT g, prev_n, next_n, delta, $zCase AS z
+           |  FROM d CROSS JOIN s)
+           |SELECT g AS c_nationkey, prev_n, next_n, delta, z,
+           |  coalesce(CAST(abs(z) > CAST(3.0 AS DOUBLE) AS BIGINT), 0) AS is_drift
+           |FROM r ORDER BY c_nationkey""".stripMargin
+      }),
+
     "q137_data_quality" -> Q(
       (s, dir) => {
         import graft.operators.Validate._
