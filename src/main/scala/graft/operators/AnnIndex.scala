@@ -336,7 +336,7 @@ object AnnIndex {
     // of the self-join would double the assignment work (the q28 lesson)
     val slim = df.select(col(idCol).as("__id"),
         array_min(cellScores(asDouble(col(vecCol)))).getField("i").cast("long").as("cell"))
-      .cache()
+      .cache() // cache-lifetime: pinned by the returned plan — caller releases (see Caching)
     val cand = slim.select(col("__id").as("id_a"), col("cell"))
       .join(slim.select(col("__id").as("id_b"), col("cell")), Seq("cell"))
       .filter(col("id_a") < col("id_b"))
@@ -457,7 +457,7 @@ object AnnIndex {
     // attached to the slim candidate pairs afterwards — at cluster scale the
     // wide arrays shuffle once per side on the id, never on the bucket.
     val slim = df.select(col(idCol).as("__id"), bucketCol(col(vecCol), planes).as("__bucket"))
-      .cache()
+      .cache() // cache-lifetime: pinned by the returned plan — caller releases (see Caching)
     val l =
       if (multiprobe)
         slim.select(col("__id").as("id_a"), explode(probesCol(col("__bucket"), nbits)).as("__bucket"))

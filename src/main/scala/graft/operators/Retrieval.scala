@@ -38,6 +38,7 @@ object Retrieval {
       .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
     // per-document length + corpus stats over ALL documents with tokens
+    // cache-lifetime: pinned by the returned plan — caller releases (see Caching)
     val dl = toks.groupBy(idCol).agg(count(lit(1)).cast("long").as("dl")).cache()
     val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
       (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))

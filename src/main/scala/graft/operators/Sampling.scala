@@ -144,6 +144,7 @@ object Sampling {
     val tok = assignSplit(df.select(col(idCol), col(textCol)), idCol, trainPct, valPct)
       .select(col("split"), explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
+    // cache-lifetime: pinned by the returned plan — caller releases (see Caching)
     val counts = tok.groupBy("split", "w").agg(count(lit(1)).as("c")).cache()
     val totals = tok.groupBy("split").agg(count(lit(1)).as("t")).cache()
     def pair(a: String, b: String): DataFrame = {

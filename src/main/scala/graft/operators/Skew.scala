@@ -58,6 +58,7 @@ object Skew {
   def skewAudit(df: DataFrame, keyCol: Column, topN: Int = 10,
                 roundTo: Int = 6): DataFrame = {
     import graft.functions.MathFunctions.floorRound
+    // cache-lifetime: pinned by the returned plan — caller releases (see Caching)
     val counts = df.groupBy(keyCol.as("key")).agg(count(lit(1)).cast("long").as("n")).cache()
     val stats = counts.agg(
       sum("n").cast("long").as("__total"),
