@@ -252,6 +252,31 @@ object AnnIndex {
              nlist: Int, nprobe: Int, roundTo: Int = 6,
              excludeSelf: Boolean = true,
              codebooks: Option[Array[Array[Seq[Double]]]] = None): DataFrame = {
+    val (enc, qbOf, adist) =
+      pqParts(corpus, cIdCol, cVecCol, m, ksub, dim, nlist, nprobe, codebooks)
+    val qb = qbOf(queries, qIdCol, qVecCol)
+    val scored = enc.join(broadcast(qb), Seq("__cell"))
+      .filter(lit(!excludeSelf) || col(qIdCol) =!= col(cIdCol))
+      .withColumn("score", floorRound(adist, roundTo))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("score"), col(cIdCol))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(qIdCol), col(cIdCol), col("score"), col("rn"))
+      .orderBy(col(qIdCol), col("rn"))
+  }
+
+  /** The IVF-PQ plan pieces, shared verbatim between the batch top-k
+    * ([[pqTopK]], q135) and the streaming probe
+    * ([[graft.streaming.StreamingAnn]], q151): (encoded corpus with cell
+    * assignments, a query-banding builder usable on batch OR streaming
+    * query relations, the ADC distance column over the joined pair). One
+    * arithmetic, two execution topologies — which is exactly what makes
+    * stream ≡ batch provable row-for-row.
+    */
+  private[graft] def pqParts(corpus: DataFrame, cIdCol: String, cVecCol: String,
+      m: Int, ksub: Int, dim: Int, nlist: Int, nprobe: Int,
+      codebooks: Option[Array[Array[Seq[Double]]]])
+      : (DataFrame, (DataFrame, String, String) => DataFrame, Column) = {
     import graft.functions.VectorFunctions.dotFused
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     require(nprobe <= nlist, "nprobe must be <= nlist")
@@ -284,7 +309,7 @@ object AnnIndex {
     val enc = corpus.select(col(cIdCol),
       array_min(cellScores(asDouble(col(cVecCol)))).getField("i").as("__cell"),
       codesCol(asDouble(col(cVecCol))).as("__codes"))
-    val qb = queries
+    def qbOf(queries: DataFrame, qIdCol: String, qVecCol: String): DataFrame = queries
       .select(col(qIdCol),
         slice(sort_array(cellScores(asDouble(col(qVecCol)))), 1, nprobe).as("__probes"),
         dtabCol(asDouble(col(qVecCol))).as("__dtab"))
@@ -295,14 +320,7 @@ object AnnIndex {
     val adist = (0 until m)
       .map(j => element_at(col("__dtab"), col("__codes").getItem(j) + lit(j * ksub + 1)))
       .reduce(_ + _)
-    val scored = enc.join(broadcast(qb), Seq("__cell"))
-      .filter(lit(!excludeSelf) || col(qIdCol) =!= col(cIdCol))
-      .withColumn("score", floorRound(adist, roundTo))
-    val w = Window.partitionBy(col(qIdCol)).orderBy(col("score"), col(cIdCol))
-    scored.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col(qIdCol), col(cIdCol), col("score"), col("rn"))
-      .orderBy(col(qIdCol), col("rn"))
+    (enc, qbOf, adist)
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-efficient

@@ -111,6 +111,17 @@ object VectorQueries {
     * float reduction is the sequential left fold both engines share.
     */
 
+  /** Shared top-3 ADC ranking over [[pqCtes]] — the oracle of BOTH q135
+    * (batch) and q151 (streamed probe): one SQL, two execution topologies.
+    */
+  private lazy val pqTopKOracle: String =
+    s"""$pqCtes
+       |SELECT q_id, c_id, score, rn FROM (
+       |  SELECT q_id, c_id, ${frs("d", 6)} AS score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY ${frs("d", 6)}, c_id) AS rn
+       |  FROM adist)
+       |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+
   private val pqCtes: String =
     s"""$ivfAssignCtes,
        |cbv AS (
@@ -629,12 +640,19 @@ object VectorQueries {
           k = 3, m = PqM, ksub = PqKsub, dim = 64, nlist = 16, nprobe = 4,
           codebooks = Some(pqTrainedCodebooks(s, dir)))
       },
-      Some(s"""$pqCtes
-             |SELECT q_id, c_id, score, rn FROM (
-             |  SELECT q_id, c_id, ${frs("d", 6)} AS score,
-             |    row_number() OVER (PARTITION BY q_id ORDER BY ${frs("d", 6)}, c_id) AS rn
-             |  FROM adist)
-             |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin)),
+      Some(pqTopKOracle)),
+
+    // The same IVF-PQ probe through the STREAMING engine: queries arrive as
+    // a structured stream, probe the standing encoded corpus via a
+    // stream-static join (stateless ADC scoring, batch-side ranking of the
+    // drained candidates). Both topologies compose AnnIndex.pqParts, so the
+    // result must be row-identical to q135 — same oracle SQL proves stream
+    // ≡ batch.
+    "q151_stream_pq_probe" -> Q(
+      (s, dir) => graft.streaming.StreamingAnn.pqProbeTopK(
+        s, dir, k = 3, m = PqM, ksub = PqKsub, dim = 64, nlist = 16, nprobe = 4,
+        codebooks = Some(pqTrainedCodebooks(s, dir))),
+      Some(pqTopKOracle)),
 
     // Recall@3 of the IVF-PQ index against the EXACT squared-L2 top-3 (the
     // metric PQ approximates), measured two ways: raw ADC ranking, and the

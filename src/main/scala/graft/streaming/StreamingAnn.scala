@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.Tables
+import graft.functions.MathFunctions.floorRound
+import graft.operators.AnnIndex
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Streaming IVF-PQ probe — the serving topology of [[AnnIndex.pqTopK]]:
+  * query vectors arrive as a structured stream, their cell probes and ADC
+  * lookup tables are computed as pure map-side expressions (the PqEncode /
+  * PqAdcTable native kernels run unchanged inside the streaming plan), and
+  * candidates come from a stream-static join against the STANDING encoded
+  * corpus. No streaming state: per-candidate ADC scoring is stateless, and
+  * the per-query top-k ranking runs batch-side on the drained candidates —
+  * the same emit-then-reconcile pattern as [[StreamingDedup]].
+  *
+  * Because both topologies compose the IDENTICAL plan pieces
+  * ([[AnnIndex.pqParts]]: same centroids, same codebooks, same floor-rounded
+  * ADC arithmetic), the streamed result is row-for-row equal to the batch
+  * [[AnnIndex.pqTopK]] — which is exactly what q151's oracle (the q135 SQL)
+  * checks.
+  *
+  * At 100 TB the static side is the precomputed (cell, codes) index of the
+  * corpus (here derived inline from the fixture); each arriving query batch
+  * costs O(batch · nprobe) probe rows equi-joined against it — never a
+  * corpus rescan, never an all-pairs score.
+  */
+object StreamingAnn {
+
+  /** Top-k IVF-PQ neighbors for streamed queries (vec_id < 10 of the
+    * embeddings fixture) against the static full corpus; row-identical to
+    * the batch [[AnnIndex.pqTopK]] with the same parameters.
+    */
+  def pqProbeTopK(spark: SparkSession, dir: String,
+                  k: Int, m: Int, ksub: Int, dim: Int,
+                  nlist: Int, nprobe: Int, roundTo: Int = 6,
+                  codebooks: Option[Array[Array[Seq[Double]]]] = None): DataFrame = {
+    val corpus = Tables.embeddings(spark, dir).withColumnRenamed("vec_id", "c_id")
+    val (enc, qbOf, adist) =
+      AnnIndex.pqParts(corpus, "c_id", "embedding", m, ksub, dim, nlist, nprobe, codebooks)
+
+    val qStream = StreamingAgg.streamTable(spark, dir, "embeddings.parquet")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // stream-static equi-join on the probed cell; scoring is stateless
+    val scored = qbOf(qStream, "q_id", "q_vec")
+      .join(enc, Seq("__cell"))
+      .filter(col("q_id") =!= col("c_id")) // excludeSelf, as in q135
+      .withColumn("score", floorRound(adist, roundTo))
+      .select(col("q_id"), col("c_id"), col("score"))
+    val drained = StreamingAgg.drain(scored, "graft_stream_pq", "append")
+
+    // batch-side reconciliation: rank the drained candidate set per query
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score"), col("c_id"))
+    drained.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("score"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+}

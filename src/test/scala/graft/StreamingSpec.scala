@@ -232,6 +232,25 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(all === Seq(1L, 1L, 2L)) // key 1 RE-EMITS after eviction
   }
 
+  test("streaming IVF-PQ probe equals the batch pqTopK row-for-row") {
+    import graft.operators.AnnIndex
+    import org.apache.spark.sql.functions._
+    // untrained (deterministic first-rows) codebooks: the equality under
+    // test is stream-vs-batch topology, not codebook quality
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val batch = AnnIndex.pqTopK(queries, "q_id", "q_vec",
+        emb.withColumnRenamed("vec_id", "c_id"), "c_id", "embedding",
+        k = 3, m = 16, ksub = 16, dim = 64, nlist = 16, nprobe = 4)
+      .collect().map(_.toSeq)
+    val streamed = graft.streaming.StreamingAnn.pqProbeTopK(spark, sfDir,
+        k = 3, m = 16, ksub = 16, dim = 64, nlist = 16, nprobe = 4)
+      .collect().map(_.toSeq)
+    assert(streamed.toSeq === batch.toSeq)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming monthly order stats equals batch aggregation") {
     import org.apache.spark.sql.functions._
     import graft.functions.MathFunctions.floorRound
