@@ -127,7 +127,20 @@ object Validate {
                 zMax: Double = 3.0, roundTo: Int = 4): DataFrame = {
     val p = prev.groupBy(col(groupCol)).agg(count(lit(1)).cast("long").as("prev_n"))
     val nx = next.groupBy(col(groupCol)).agg(count(lit(1)).cast("long").as("next_n"))
-    val deltas = p.join(nx, Seq(groupCol), "full_outer")
+    driftGateFromCounts(p, nx, groupCol, zMax, roundTo)
+  }
+
+  /** [[driftGate]] on PRE-AGGREGATED per-group counts — `prevCounts`
+    * (groupCol, prev_n) and `nextCounts` (groupCol, next_n). This is the
+    * composition point for incrementally-maintained profiles: a streaming
+    * fold of per-batch counts ([[graft.streaming.StreamingDrift]], q152)
+    * gates through the identical arithmetic as the two-snapshot batch form
+    * (q150), so stream ≡ batch is provable under one oracle.
+    */
+  def driftGateFromCounts(prevCounts: DataFrame, nextCounts: DataFrame,
+                          groupCol: String, zMax: Double = 3.0,
+                          roundTo: Int = 4): DataFrame = {
+    val deltas = prevCounts.join(nextCounts, Seq(groupCol), "full_outer")
       .select(col(groupCol),
         coalesce(col("prev_n"), lit(0L)).as("prev_n"),
         coalesce(col("next_n"), lit(0L)).as("next_n"))
@@ -145,6 +158,59 @@ object Validate {
       .withColumn("z", when(col("__k") > 1 && varNum > 0, z))
       .withColumn("is_drift", coalesce((abs(col("z")) > zMax).cast("long"), lit(0L)))
       .select(groupCol, "prev_n", "next_n", "delta", "z", "is_drift")
+      .orderBy(groupCol)
+  }
+
+  /** Metric-HISTORY drift gate (the Deequ anomaly-detection-on-metric-series
+    * pattern, Schelter et al. 2018 §4.3): given an ordered series of ≥ 4
+    * snapshots, each group's LATEST count delta is z-scored against that
+    * group's OWN historical delta distribution — the orthogonal axis to
+    * [[driftGate]] (which compares groups against each other at one
+    * moment). A nation that always grows ~20% per snapshot and suddenly
+    * shrinks flags here even if every other nation moved too.
+    *
+    * Same exact-integer moment machinery (per-group S1 = Σd, S2 = Σd² over
+    * the history deltas), so the z doubles are bit-stable and the DuckDB
+    * oracle reproduces them (q153). Groups absent from a snapshot count 0
+    * there (dense group × snapshot grid), so appearing/vanishing groups
+    * produce real deltas, not join misses.
+    *
+    * Scale shape: one count shuffle per snapshot on the group key, a dense
+    * grid at (groups × snapshots) — parameter-sized — one lag window and
+    * one keyed aggregate over it. Snapshots never pairwise join.
+    */
+  def driftHistoryGate(snapshots: Seq[DataFrame], groupCol: String,
+                       zMax: Double = 3.0, roundTo: Int = 4): DataFrame = {
+    val k = snapshots.length
+    require(k >= 4,
+      s"driftHistoryGate needs >= 4 snapshots (>= 2 history deltas + the gated one), got $k")
+    val counts = snapshots.zipWithIndex.map { case (df, i) =>
+      df.groupBy(col(groupCol)).agg(count(lit(1)).cast("long").as("n"))
+        .withColumn("__i", lit(i))
+    }.reduce(_ unionByName _)
+    val grid = counts.select(col(groupCol)).distinct()
+      .withColumn("__i", explode(sequence(lit(0), lit(k - 1))))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol)).orderBy("__i")
+    val deltas = grid.join(counts, Seq(groupCol, "__i"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("d", col("n") - lag("n", 1).over(w))
+      .filter(col("__i") >= 1)
+    val hist = deltas.filter(col("__i") <= k - 2)
+      .groupBy(col(groupCol)).agg(
+        count(lit(1)).cast("long").as("__kh"),
+        sum("d").cast("long").as("__s1"),
+        sum(col("d") * col("d")).cast("long").as("__s2"))
+    val last = deltas.filter(col("__i") === k - 1)
+      .select(col(groupCol), col("n").as("latest_n"), col("d").as("last_delta"))
+    val varNum = (col("__kh") * col("__s2") - col("__s1") * col("__s1")).cast("double")
+    val den    = (col("__kh") * (col("__kh") - lit(1L))).cast("double")
+    val z      = floorRound(
+      (col("last_delta") * col("__kh") - col("__s1")).cast("double") /
+        (col("__kh").cast("double") * sqrt(varNum / den)), roundTo)
+    last.join(hist, Seq(groupCol))
+      .withColumn("z", when(col("__kh") > 1 && varNum > 0, z))
+      .withColumn("is_drift", coalesce((abs(col("z")) > zMax).cast("long"), lit(0L)))
+      .select(groupCol, "latest_n", "last_delta", "z", "is_drift")
       .orderBy(groupCol)
   }
 }

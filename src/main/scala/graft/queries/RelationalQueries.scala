@@ -483,30 +483,64 @@ object RelationalQueries {
         val next = c.filter(!(col("c_nationkey") === 13 && col("c_custkey") % 2 === 0))
         graft.operators.Validate.driftGate(c, next, "c_nationkey", zMax = 3.0)
       },
+      Some(driftGateOracle)),
+
+    // The same drift gate MID-INGEST: the next snapshot arrives as a
+    // structured stream, per-batch group counts fold into keyed monoid
+    // state (the q142 pattern), and the z-gate runs over the folded profile
+    // via the identical driftGateFromCounts arithmetic — q150's oracle SQL
+    // verbatim proves stream ≡ batch.
+    "q152_stream_drift_gate" -> Q(
+      (s, dir) => graft.streaming.StreamingDrift.nationDriftGate(s, dir, zMax = 3.0),
+      Some(driftGateOracle)),
+
+    // The orthogonal drift axis: each nation's LATEST delta gated against
+    // that nation's OWN history (Deequ's anomaly-detection-on-metric-series
+    // pattern) over a 5-snapshot growth series. Every nation grows ~20% per
+    // snapshot; the final snapshot drops a third of nation 7 — only a
+    // history-aware gate sees that as abnormal FOR THAT NATION.
+    "q153_drift_history_gate" -> Q(
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val snaps = (0 until 4).map(i => c.filter(col("c_custkey") % 20 < 4 * (i + 1))) :+
+          c.filter(!(col("c_nationkey") === 7 && col("c_custkey") % 3 === 0))
+        graft.operators.Validate.driftHistoryGate(snaps, "c_nationkey", zMax = 3.0)
+      },
       Some {
         val zCase =
-          s"""CASE WHEN k > 1 AND CAST(k*s2 - s1*s1 AS DOUBLE) > 0 THEN
-             |    ${frs("CAST(delta*k - s1 AS DOUBLE) / (CAST(k AS DOUBLE) * sqrt(CAST(k*s2 - s1*s1 AS DOUBLE) / CAST(k*(k-1) AS DOUBLE)))", 4)}
+          s"""CASE WHEN kh > 1 AND CAST(kh*s2 - s1*s1 AS DOUBLE) > 0 THEN
+             |    ${frs("CAST(last_delta*kh - s1 AS DOUBLE) / (CAST(kh AS DOUBLE) * sqrt(CAST(kh*s2 - s1*s1 AS DOUBLE) / CAST(kh*(kh-1) AS DOUBLE)))", 4)}
              |  END""".stripMargin
-        s"""WITH p AS (
-           |  SELECT c_nationkey AS g, CAST(count(*) AS BIGINT) AS prev_n
-           |  FROM customer GROUP BY 1),
-           |nx AS (
-           |  SELECT c_nationkey AS g, CAST(count(*) AS BIGINT) AS next_n
-           |  FROM customer WHERE NOT (c_nationkey = 13 AND c_custkey % 2 = 0)
-           |  GROUP BY 1),
+        val snapCtes = (0 until 4).map(i =>
+          s"""c$i AS (
+             |  SELECT c_nationkey AS g, CAST(count(*) AS BIGINT) AS n, $i AS i
+             |  FROM customer WHERE c_custkey % 20 < ${4 * (i + 1)} GROUP BY 1)""").mkString(",\n") +
+          s""",
+             |c4 AS (
+             |  SELECT c_nationkey AS g, CAST(count(*) AS BIGINT) AS n, 4 AS i
+             |  FROM customer WHERE NOT (c_nationkey = 7 AND c_custkey % 3 = 0) GROUP BY 1)"""
+        s"""WITH $snapCtes,
+           |cs AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2
+           |       UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4),
+           |grid AS (
+           |  SELECT g, CAST(t.i AS INTEGER) AS i
+           |  FROM (SELECT DISTINCT g FROM cs), UNNEST(range(0, 5)) AS t(i)),
+           |dense AS (
+           |  SELECT grid.g, grid.i, coalesce(cs.n, 0) AS n
+           |  FROM grid LEFT JOIN cs ON cs.g = grid.g AND cs.i = grid.i),
            |d AS (
-           |  SELECT coalesce(p.g, nx.g) AS g,
-           |    coalesce(prev_n, 0) AS prev_n, coalesce(next_n, 0) AS next_n,
-           |    coalesce(next_n, 0) - coalesce(prev_n, 0) AS delta
-           |  FROM p FULL OUTER JOIN nx ON p.g = nx.g),
-           |s AS (
-           |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(delta) AS BIGINT) AS s1,
-           |    CAST(sum(delta*delta) AS BIGINT) AS s2 FROM d),
+           |  SELECT * FROM (
+           |    SELECT g, i, n, n - lag(n) OVER (PARTITION BY g ORDER BY i) AS d
+           |    FROM dense) WHERE i >= 1),
+           |hist AS (
+           |  SELECT g, CAST(count(*) AS BIGINT) AS kh, CAST(sum(d) AS BIGINT) AS s1,
+           |    CAST(sum(d*d) AS BIGINT) AS s2
+           |  FROM d WHERE i <= 3 GROUP BY g),
+           |lastd AS (SELECT g, n AS latest_n, d AS last_delta FROM d WHERE i = 4),
            |r AS (
-           |  SELECT g, prev_n, next_n, delta, $zCase AS z
-           |  FROM d CROSS JOIN s)
-           |SELECT g AS c_nationkey, prev_n, next_n, delta, z,
+           |  SELECT l.g, latest_n, last_delta, $zCase AS z
+           |  FROM lastd l JOIN hist h ON h.g = l.g)
+           |SELECT g AS c_nationkey, latest_n, last_delta, z,
            |  coalesce(CAST(abs(z) > CAST(3.0 AS DOUBLE) AS BIGINT), 0) AS is_drift
            |FROM r ORDER BY c_nationkey""".stripMargin
       }),
@@ -681,6 +715,38 @@ object RelationalQueries {
       Some(s"""$diffSnapshotCtes
              |SELECT * FROM next ORDER BY o_orderkey""".stripMargin)),
   )
+
+  /** DuckDB mirror of the nation drift gate — the oracle of BOTH q150
+    * (batch two-snapshot) and q152 (streamed next snapshot): one SQL, two
+    * execution topologies. z uses the exact-integer moment sums of q108.
+    */
+  private lazy val driftGateOracle: String = {
+    val zCase =
+      s"""CASE WHEN k > 1 AND CAST(k*s2 - s1*s1 AS DOUBLE) > 0 THEN
+         |    ${frs("CAST(delta*k - s1 AS DOUBLE) / (CAST(k AS DOUBLE) * sqrt(CAST(k*s2 - s1*s1 AS DOUBLE) / CAST(k*(k-1) AS DOUBLE)))", 4)}
+         |  END""".stripMargin
+    s"""WITH p AS (
+       |  SELECT c_nationkey AS g, CAST(count(*) AS BIGINT) AS prev_n
+       |  FROM customer GROUP BY 1),
+       |nx AS (
+       |  SELECT c_nationkey AS g, CAST(count(*) AS BIGINT) AS next_n
+       |  FROM customer WHERE NOT (c_nationkey = 13 AND c_custkey % 2 = 0)
+       |  GROUP BY 1),
+       |d AS (
+       |  SELECT coalesce(p.g, nx.g) AS g,
+       |    coalesce(prev_n, 0) AS prev_n, coalesce(next_n, 0) AS next_n,
+       |    coalesce(next_n, 0) - coalesce(prev_n, 0) AS delta
+       |  FROM p FULL OUTER JOIN nx ON p.g = nx.g),
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(delta) AS BIGINT) AS s1,
+       |    CAST(sum(delta*delta) AS BIGINT) AS s2 FROM d),
+       |r AS (
+       |  SELECT g, prev_n, next_n, delta, $zCase AS z
+       |  FROM d CROSS JOIN s)
+       |SELECT g AS c_nationkey, prev_n, next_n, delta, z,
+       |  coalesce(CAST(abs(z) > CAST(3.0 AS DOUBLE) AS BIGINT), 0) AS is_drift
+       |FROM r ORDER BY c_nationkey""".stripMargin
+  }
 
   /** Shared prev/next snapshot pair for q147/q148: orders with money as
     * integer cents, ~1/3 deleted, ~1/7 inserted, two update channels

@@ -873,6 +873,25 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(got2.find(_._1 == 3).exists(t => t._2 === 0L && t._3 === 1L))
   }
 
+  test("driftHistoryGate: gates the latest delta against the group's OWN history; hand computation") {
+    import graft.operators.Validate
+    // group a: counts 10,20,30,40,50 — perfectly steady deltas (10,10,10,10)
+    //   -> history variance 0 -> z null -> no flag even though the last
+    //   delta "grew" (steadiness is not drift).
+    // group b: counts 10,20,31,40,5 — history deltas (10,11,9): kh=3,
+    //   s1=30, s2=302, var=(3·302−900)/6=1, std=1; last delta −35 ->
+    //   z=(−35·3−30)/(3·1)=−45 -> flag.
+    val snaps = Seq(
+      (10, 10), (20, 20), (30, 31), (40, 40), (50, 5)).map { case (na, nb) =>
+      (Seq.fill(na)("a") ++ Seq.fill(nb)("b")).toDF("g")
+    }
+    val got = Validate.driftHistoryGate(snaps, "g", zMax = 3.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)), r.getLong(4)))).toMap
+    assert(got("a") === ((50L, 10L, None, 0L)))
+    assert(got("b") === ((5L, -35L, Some(-45.0), 1L)))
+  }
+
   // ---- Dedup.exactSubstrSpans ----
 
   test("exactSubstrSpans: maximal cross-doc spans, exact-length boundary, within-doc repeats don't count") {

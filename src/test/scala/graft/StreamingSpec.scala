@@ -232,6 +232,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(all === Seq(1L, 1L, 2L)) // key 1 RE-EMITS after eviction
   }
 
+  test("multi-batch streaming drift gate equals the batch driftGate (monoid count fold)") {
+    import java.nio.file.{Files, StandardCopyOption}
+    import org.apache.spark.sql.functions._
+    // split customer into two files -> maxFilesPerTrigger=1 forces two
+    // deltas; most nations get counts from BOTH batches, so the fold must
+    // actually merge before the z-gate
+    val c = Tables.customer(spark, sfDir)
+    val dir = Files.createTempDirectory("graft_drift_mb")
+    def writeHalf(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_drift_w")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    writeHalf(c.filter(col("c_custkey") % 2 === 0), "a.parquet")
+    writeHalf(c.filter(col("c_custkey") % 2 === 1), "b.parquet")
+    val streamed = graft.streaming.StreamingDrift.nationDriftGateFrom(
+        spark, dir.toString, schemaFrom = dir.resolve("a.parquet").toString,
+        glob = "*.parquet", maxFilesPerTrigger = Some(1), zMax = 3.0)
+      .collect().map(_.toSeq)
+    val next = c.filter(!(col("c_nationkey") === 13 && col("c_custkey") % 2 === 0))
+    val batch = graft.operators.Validate.driftGate(c, next, "c_nationkey", zMax = 3.0)
+      .collect().map(_.toSeq)
+    assert(streamed.toSeq === batch.toSeq)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming IVF-PQ probe equals the batch pqTopK row-for-row") {
     import graft.operators.AnnIndex
     import org.apache.spark.sql.functions._
