@@ -110,6 +110,11 @@ object Graph {
         .select(col("id"),
           (lit(teleport / n) + lit(damping) *
             (coalesce(col("__c"), lit(0.0)) + col("__dm") / lit(n.toDouble))).as("__r"))
+        // the rank vector is referenced TWICE next iteration (contributions
+        // AND the dangling aggregate) — without materializing it the plan
+        // doubles per iteration. Checkpointing the node-count-sized vector
+        // each step is the standard Pregel superstep barrier.
+        .localCheckpoint()
     }
     ranks.select(col("id"), floorRound(col("__r"), roundTo).as("pr")).orderBy("id")
   }
