@@ -4,7 +4,7 @@ import graft.functions.TextFunctions._
 import graft.functions.MathFunctions.floorRound
 import graft.functions.expressions.PolyHash
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Deduplication family for LLM-corpus pipelines (SURVEY.md §2.8 X-D):
   * exact, n-gram Jaccard (exact pairs), MinHash-LSH (Broder, "On the
@@ -599,6 +599,77 @@ object Dedup {
       .select(col(idCol),
         col("__s").cast("long").as("span_start"),
         (col("__e") - col("__s") + minLen).cast("long").as("span_len"))
+      .orderBy(idCol, "span_start")
+  }
+
+  /** The hash-anchor modulus shared with the DuckDB oracle (same prime as
+    * the PolyHash family) and the 8-char anchor fingerprint width.
+    */
+  private val AnchorP = 1000000007L
+  private val AnchorK = 8
+
+  /** Content-defined position hash: an 8-char polynomial fingerprint at
+    * `pos` (Σ ascii·31^i mod P) — position-INDEPENDENT, so identical
+    * content yields identical anchors wherever it sits in a document.
+    * Sum < 8·127·31⁷ ≈ 2.8e13, far below 2⁶³ — no overflow-semantics
+    * divergence, mirrored term-for-term in SQL.
+    */
+  private def anchorHash(text: Column, pos: Column): Column =
+    pmod((1 to AnchorK).map(i =>
+      ascii(text.substr(pos + lit(i - 1), lit(1))).cast("long") *
+        lit(math.pow(31.0, i - 1).toLong)).reduce(_ + _), lit(AnchorP))
+
+  /** ANCHOR-SAMPLED exact-substring spans — the corpus-scale path whose
+    * exact counterpart is [[exactSubstrSpans]] (same contract, same output
+    * schema): windows are taken only at CONTENT-DEFINED anchor positions
+    * (where the 8-char fingerprint ≡ 0 mod `anchorEvery`), cutting window
+    * rows and shuffle volume by ~`anchorEvery`×. Because anchors are
+    * content-defined, a run shared verbatim between documents anchors at
+    * the SAME content offsets in both — the sampled windows still collide
+    * exactly; what is lost is coverage at the run's edges and runs that
+    * happen to contain no anchor (expected ≥ 1 anchor per `anchorEvery`
+    * positions; a ≥ minLen run at the default 50/8 carries ~6). The q155
+    * recall audit measures exactly that coverage against the exact spans.
+    *
+    * Spans are the union of the surviving windows ([pos, pos+minLen)
+    * interval merge via running-max islands), so span bounds are honest —
+    * never wider than the evidence.
+    */
+  def anchorSubstrSpans(df: DataFrame, idCol: String, textCol: String,
+                        minLen: Int, anchorEvery: Int): DataFrame = {
+    require(minLen > AnchorK, s"anchorSubstrSpans needs minLen > $AnchorK, got $minLen")
+    require(anchorEvery >= 1, s"anchorEvery must be >= 1, got $anchorEvery")
+    val W = org.apache.spark.sql.expressions.Window
+    val nWin = length(col(textCol)) - (minLen - 1)
+    val w = df.select(col(idCol),
+        explode(when(nWin >= 1,
+            filter(
+              transform(sequence(lit(1), nWin),
+                i => struct(i.as("pos"), col(textCol).substr(i, lit(minLen)).as("win"))),
+              pw => pmod(anchorHash(col(textCol), pw.getField("pos")),
+                lit(anchorEvery.toLong)) === 0))
+          .otherwise(array().cast("array<struct<pos:int,win:string>>"))).as("pw"))
+      .select(col(idCol), col("pw.pos").as("pos"), col("pw.win").as("win"))
+    val dupWins = w.groupBy("win")
+      .agg(countDistinct(idCol).as("__nd")).filter(col("__nd") >= 2)
+      .select("win")
+    val marked = w.join(dupWins, Seq("win")).select(col(idCol), col("pos"))
+    // interval union of [pos, pos+minLen): a new island starts when this
+    // window begins past the running max end of all previous windows
+    val ord = W.partitionBy(idCol).orderBy("pos")
+    val prevMaxEnd = max(col("pos") + minLen)
+      .over(ord.rowsBetween(W.unboundedPreceding, -1))
+    val islands = marked
+      .withColumn("__new",
+        // merge overlapping AND adjacent coverage (pos == prev end) — the
+        // same contiguity rule as exactSubstrSpans' consecutive positions
+        when(prevMaxEnd.isNull || col("pos") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("__g", sum("__new").over(ord))
+    islands.groupBy(col(idCol), col("__g"))
+      .agg(min("pos").as("__s"), max(col("pos") + minLen).as("__e"))
+      .select(col(idCol),
+        col("__s").cast("long").as("span_start"),
+        (col("__e") - col("__s")).cast("long").as("span_len"))
       .orderBy(idCol, "span_start")
   }
 }

@@ -389,6 +389,58 @@ object TextQueries {
 
   private lazy val jaccardOracle: String = jaccardPairsOracle(capped = true)
 
+  /** Exact-substring span pipeline as a CTE chain ending in `{prefix}spans`
+    * (doc_id, span_start, span_len) — mirrors [[Dedup.exactSubstrSpans]]
+    * (`anchored = false`: consecutive-position islands) or
+    * [[Dedup.anchorSubstrSpans]] (`anchored = true`: content-defined
+    * 8-char-fingerprint anchors, running-max interval merge). Shared by
+    * q149, q154 and the q155 coverage audit, which embeds BOTH chains.
+    */
+  private def substrSpanCtes(anchored: Boolean, prefix: String = ""): String = {
+    val p = prefix
+    // CAST the coefficients: 31^5 fits INT32, so DuckDB would otherwise
+    // multiply in 32-bit and overflow on ascii * 31^5
+    val anchorTerms = (0 until 8).map(j =>
+      s"ascii(substr(text, CAST(i AS BIGINT) + $j, 1)) * CAST(${math.pow(31.0, j).toLong} AS BIGINT)")
+      .mkString(" + ")
+    val anchorFilter =
+      if (anchored) s"\n       |  WHERE (($anchorTerms) % 1000000007) % 8 = 0".stripMargin
+      else ""
+    val spanTail =
+      if (!anchored)
+        s"""${p}islands AS (
+           |  SELECT doc_id, pos,
+           |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+           |  FROM ${p}marked),
+           |${p}spans AS (
+           |  SELECT doc_id, min(pos) AS span_start, max(pos) - min(pos) + 50 AS span_len
+           |  FROM ${p}islands GROUP BY doc_id, g)"""
+      else
+        s"""${p}isl AS (
+           |  SELECT doc_id, pos,
+           |    CASE WHEN max(pos + 50) OVER pw IS NULL OR pos > max(pos + 50) OVER pw
+           |         THEN 1 ELSE 0 END AS nw
+           |  FROM ${p}marked
+           |  WINDOW pw AS (PARTITION BY doc_id ORDER BY pos
+           |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+           |${p}grp AS (
+           |  SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+           |  FROM ${p}isl),
+           |${p}spans AS (
+           |  SELECT doc_id, min(pos) AS span_start, max(pos + 50) - min(pos) AS span_len
+           |  FROM ${p}grp GROUP BY doc_id, g)"""
+    s"""${p}d AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < $ExactPairSample),
+       |${p}w AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, substr(text, CAST(i AS BIGINT), 50) AS win
+       |  FROM ${p}d, UNNEST(range(1, greatest(length(text) - 49, 0) + 1)) AS t(i)$anchorFilter),
+       |${p}dup AS (
+       |  SELECT win FROM ${p}w GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+       |${p}marked AS (
+       |  SELECT w.doc_id, w.pos FROM ${p}w w JOIN ${p}dup USING (win)),
+       |$spanTail""".stripMargin
+  }
+
   def all: ListMap[String, Q] = ListMap(
     "q16_doc_stats" -> Q(
       (s, dir) => {
@@ -1610,23 +1662,46 @@ object TextQueries {
       (s, dir) => Dedup.exactSubstrSpans(
         Tables.documents(s, dir).filter(col("doc_id") < ExactPairSample),
         "doc_id", "text", minLen = 50),
-      Some(s"""WITH d AS (
-             |  SELECT doc_id, text FROM documents WHERE doc_id < $ExactPairSample),
-             |w AS (
-             |  SELECT doc_id, CAST(i AS BIGINT) AS pos, substr(text, CAST(i AS BIGINT), 50) AS win
-             |  FROM d, UNNEST(range(1, greatest(length(text) - 49, 0) + 1)) AS t(i)),
-             |dup AS (
-             |  SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
-             |marked AS (
-             |  SELECT w.doc_id, w.pos FROM w JOIN dup USING (win)),
-             |islands AS (
-             |  SELECT doc_id, pos,
-             |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
-             |  FROM marked)
-             |SELECT doc_id, min(pos) AS span_start,
-             |  max(pos) - min(pos) + 50 AS span_len
-             |FROM islands GROUP BY doc_id, g
+      Some(s"""WITH ${substrSpanCtes(anchored = false)}
+             |SELECT doc_id, span_start, span_len FROM spans
              |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // The corpus-scale path for q149: windows only at CONTENT-DEFINED
+    // anchor positions (8-char fingerprint ≡ 0 mod 8) — ~8× fewer window
+    // rows through the shuffle. Identical content anchors identically in
+    // every document, so sampled windows still collide exactly; q155
+    // audits what the sampling costs in span coverage.
+    "q154_anchor_substr_spans" -> Q(
+      (s, dir) => Dedup.anchorSubstrSpans(
+        Tables.documents(s, dir).filter(col("doc_id") < ExactPairSample),
+        "doc_id", "text", minLen = 50, anchorEvery = 8),
+      Some(s"""WITH ${substrSpanCtes(anchored = true)}
+             |SELECT doc_id, span_start, span_len FROM spans
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // Recall audit of the anchor-sampled spans against the exact spans:
+    // duplicated-character coverage ratio over the capped corpus — the
+    // honest price of the ~8× shuffle cut, measured (the q76/q78/q136
+    // pattern: the approximation AND its audit are both oracle-checked).
+    "q155_anchor_substr_recall" -> Q(
+      (s, dir) => {
+        val capped = Tables.documents(s, dir).filter(col("doc_id") < ExactPairSample)
+        val exact = Dedup.exactSubstrSpans(capped, "doc_id", "text", minLen = 50)
+          .agg(sum("span_len").cast("long").as("exact_chars"))
+        val anch = Dedup.anchorSubstrSpans(capped, "doc_id", "text", minLen = 50, anchorEvery = 8)
+          .agg(sum("span_len").cast("long").as("anchored_chars"))
+        exact.crossJoin(broadcast(anch))
+          .select(col("exact_chars"), col("anchored_chars"),
+            fr(col("anchored_chars").cast("double") / col("exact_chars").cast("double"), 4)
+              .as("coverage"))
+      },
+      Some(s"""WITH ${substrSpanCtes(anchored = false, prefix = "e_")},
+             |${substrSpanCtes(anchored = true, prefix = "a_")},
+             |ec AS (SELECT CAST(sum(span_len) AS BIGINT) AS exact_chars FROM e_spans),
+             |ac AS (SELECT CAST(sum(span_len) AS BIGINT) AS anchored_chars FROM a_spans)
+             |SELECT exact_chars, anchored_chars,
+             |  ${frs("CAST(anchored_chars AS DOUBLE) / CAST(exact_chars AS DOUBLE)", 4)} AS coverage
+             |FROM ec CROSS JOIN ac""".stripMargin)),
 
     // Skip-gram pair extraction (the word2vec/GloVe co-occurrence pass):
     // (center, context) pairs at token distances 1 and 2, top-10 per

@@ -915,6 +915,33 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
       (6L, 6L, 60L), (6L, 96L, 50L)))
   }
 
+  test("anchorSubstrSpans: spans are subsets of the exact spans; long shared runs found") {
+    import graft.operators.Dedup
+    val shared = (0 until 300).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val docs = Seq(
+      (1L, "A" * 31 + shared + "X" * 20),
+      (2L, "B" * 47 + shared + "Y" * 15),
+      (3L, "c" * 120)) // cross-doc unique -> no spans either way
+      .toDF("doc_id", "text")
+    val exact = Dedup.exactSubstrSpans(docs, "doc_id", "text", minLen = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val anch = Dedup.anchorSubstrSpans(docs, "doc_id", "text", minLen = 50, anchorEvery = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(anch.nonEmpty)
+    // soundness: every anchored span sits inside an exact span of its doc
+    anch.foreach { case (id, s, l) =>
+      assert(exact.exists { case (eid, es, el) => eid == id && s >= es && s + l <= es + el },
+        s"anchored span ($id,$s,$l) outside the exact spans ${exact.toSeq}")
+    }
+    assert(anch.forall(_._1 != 3L))
+    // coverage: a 300-char shared run has ~31 anchor candidates at mod 8 —
+    // both docs must recover most of it (deterministic for these strings)
+    Seq(1L, 2L).foreach { id =>
+      val cov = anch.filter(_._1 == id).map(_._3).sum
+      assert(cov >= 150, s"doc $id anchored coverage $cov below half the 300-char run")
+    }
+  }
+
   // ---- Graph.pageRank ----
 
   test("pageRank: star-graph hand computation; mass conserved on symmetric graphs") {
@@ -1070,6 +1097,20 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     val tree = merge(merge(states(3), states(1), Seq("k"), Seq("a", "b")),
       merge(states(0), states(2), Seq("k"), Seq("a", "b")), Seq("k"), Seq("a", "b"))
     assert(tree.collect().map(_.toSeq).toSet === full)
+  }
+
+  test("ivfAssign: standing + delta assignment equals the full rebuild (stable centroids)") {
+    import graft.operators.AnnIndex
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(4)(j => ((i * 7 + j * 3) % 11).toDouble)))
+      .toDF("vec_id", "embedding")
+    val corpus = vecs.filter($"vec_id" < 30)
+    val delta  = vecs.filter($"vec_id" >= 30)
+    val incremental = AnnIndex.ivfAssign(corpus, corpus, "vec_id", "embedding", nlist = 8)
+      .unionByName(AnnIndex.ivfAssign(delta, corpus, "vec_id", "embedding", nlist = 8))
+    val full = AnnIndex.ivfAssign(vecs, vecs, "vec_id", "embedding", nlist = 8)
+    assert(incremental.collect().map(_.toSeq).toSet === full.collect().map(_.toSeq).toSet)
+    assert(full.count() === 40L)
   }
 
   // ---- AnnIndex.pqTopK ----
