@@ -120,6 +120,32 @@ object AnnIndex {
     * argmin(|c|² − 2·v·c) ≡ argmin squared-L2, computed as `nlist` fused dot
     * products per row, map-only.
     */
+  /** Cell assignments (id, cell) for `df` against the deterministic coarse
+    * centroids of `centroidSource` (its `nlist` lowest-id vectors, the same
+    * policy as [[ivfTopK]]). Separating the centroid source from the
+    * assigned rows is what makes the index INCREMENTALLY MAINTAINABLE: a
+    * delta of new vectors is assigned against the STANDING centroids and
+    * unioned with the standing assignments — identical to a full rebuild
+    * whenever the centroid rows are stable (the lowest-id policy makes
+    * stability checkable: delta ids above the centroid range). q156 proves
+    * standing ∪ delta-assign ≡ full rebuild against the full-table oracle;
+    * the delta pass costs O(delta · nlist), never a corpus rescan.
+    */
+  def ivfAssign(df: DataFrame, centroidSource: DataFrame,
+                idCol: String, vecCol: String, nlist: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dotFused
+    val cents: Array[(Int, Seq[Double])] = centroidSource
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .orderBy(col(idCol)).limit(nlist)
+      .collect().zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) }
+    def cellScores(vec: Column): Column = array(cents.toSeq.map { case (i, c) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dotFused(vec, array(c.map(lit): _*))).as("d"), lit(i).as("i"))
+    }: _*)
+    df.select(col(idCol),
+      array_min(cellScores(asDouble(col(vecCol)))).getField("i").cast("long").as("cell"))
+  }
+
   def ivfTopK(queries: DataFrame, qIdCol: String, qVecCol: String,
               corpus: DataFrame, cIdCol: String, cVecCol: String,
               k: Int, nlist: Int, nprobe: Int, roundTo: Int = 6,

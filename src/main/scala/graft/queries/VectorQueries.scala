@@ -654,6 +654,24 @@ object VectorQueries {
         codebooks = Some(pqTrainedCodebooks(s, dir))),
       Some(pqTopKOracle)),
 
+    // Incremental IVF maintenance: the standing index (vec_id < 400) plus a
+    // delta assigned against the STANDING centroids must equal the full
+    // rebuild — the oracle IS the full-table assignment. Holds because the
+    // deterministic lowest-id centroids (ids 0..15) are untouched by the
+    // delta; the delta pass costs O(delta · nlist), never a corpus rescan.
+    "q156_ivf_incremental_assign" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val corpus = emb.filter(col("vec_id") < 400)
+        val delta  = emb.filter(col("vec_id") >= 400)
+        AnnIndex.ivfAssign(corpus, corpus, "vec_id", "embedding", nlist = 16)
+          .unionByName(AnnIndex.ivfAssign(delta, corpus, "vec_id", "embedding", nlist = 16))
+          .orderBy("vec_id")
+      },
+      Some(s"""$ivfAssignCtes
+             |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM assign
+             |ORDER BY vec_id""".stripMargin)),
+
     // Recall@3 of the IVF-PQ index against the EXACT squared-L2 top-3 (the
     // metric PQ approximates), measured two ways: raw ADC ranking, and the
     // production IVFADC-R shape — ADC shortlist (32) reranked with exact
