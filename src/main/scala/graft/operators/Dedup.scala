@@ -637,11 +637,24 @@ object Dedup {
     */
   def anchorSubstrSpans(df: DataFrame, idCol: String, textCol: String,
                         minLen: Int, anchorEvery: Int): DataFrame = {
-    require(minLen > AnchorK, s"anchorSubstrSpans needs minLen > $AnchorK, got $minLen")
+    val w = anchoredWindows(df, idCol, textCol, minLen, anchorEvery)
+    val dupWins = w.groupBy("win")
+      .agg(countDistinct(idCol).as("__nd")).filter(col("__nd") >= 2)
+      .select("win")
+    mergeWindowIntervals(
+      w.join(dupWins, Seq("win")).select(col(idCol), col("pos")), idCol, minLen)
+  }
+
+  /** The anchored (id, pos, win) window stream of [[anchorSubstrSpans]] —
+    * pure map-side (explode of a filtered transform), so it runs unchanged
+    * inside a STREAMING plan ([[graft.streaming.StreamingSubstr]]'s probe).
+    */
+  private[graft] def anchoredWindows(df: DataFrame, idCol: String, textCol: String,
+                                     minLen: Int, anchorEvery: Int): DataFrame = {
+    require(minLen > AnchorK, s"anchored windows need minLen > $AnchorK, got $minLen")
     require(anchorEvery >= 1, s"anchorEvery must be >= 1, got $anchorEvery")
-    val W = org.apache.spark.sql.expressions.Window
     val nWin = length(col(textCol)) - (minLen - 1)
-    val w = df.select(col(idCol),
+    df.select(col(idCol),
         explode(when(nWin >= 1,
             filter(
               transform(sequence(lit(1), nWin),
@@ -650,22 +663,24 @@ object Dedup {
                 lit(anchorEvery.toLong)) === 0))
           .otherwise(array().cast("array<struct<pos:int,win:string>>"))).as("pw"))
       .select(col(idCol), col("pw.pos").as("pos"), col("pw.win").as("win"))
-    val dupWins = w.groupBy("win")
-      .agg(countDistinct(idCol).as("__nd")).filter(col("__nd") >= 2)
-      .select("win")
-    val marked = w.join(dupWins, Seq("win")).select(col(idCol), col("pos"))
-    // interval union of [pos, pos+minLen): a new island starts when this
-    // window begins past the running max end of all previous windows
+  }
+
+  /** Interval union of [pos, pos+minLen) windows per id — maximal covered
+    * spans via running-max islands; merges overlapping AND adjacent
+    * coverage (pos == previous end), the same contiguity rule as
+    * [[exactSubstrSpans]]' consecutive positions.
+    */
+  private[graft] def mergeWindowIntervals(marked: DataFrame, idCol: String,
+                                          minLen: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
     val ord = W.partitionBy(idCol).orderBy("pos")
     val prevMaxEnd = max(col("pos") + minLen)
       .over(ord.rowsBetween(W.unboundedPreceding, -1))
-    val islands = marked
+    marked
       .withColumn("__new",
-        // merge overlapping AND adjacent coverage (pos == prev end) — the
-        // same contiguity rule as exactSubstrSpans' consecutive positions
         when(prevMaxEnd.isNull || col("pos") > prevMaxEnd, 1L).otherwise(0L))
       .withColumn("__g", sum("__new").over(ord))
-    islands.groupBy(col(idCol), col("__g"))
+      .groupBy(col(idCol), col("__g"))
       .agg(min("pos").as("__s"), max(col("pos") + minLen).as("__e"))
       .select(col(idCol),
         col("__s").cast("long").as("span_start"),

@@ -396,13 +396,37 @@ object TextQueries {
     * 8-char-fingerprint anchors, running-max interval merge). Shared by
     * q149, q154 and the q155 coverage audit, which embeds BOTH chains.
     */
+  /** The content-defined anchor predicate's hash terms — CAST the
+    * coefficients: 31^5 fits INT32, so DuckDB would otherwise multiply in
+    * 32-bit and overflow on ascii * 31^5. Shared by q154/q155/q157.
+    */
+  private val anchorTermsSql: String = (0 until 8).map(j =>
+    s"ascii(substr(text, CAST(i AS BIGINT) + $j, 1)) * CAST(${math.pow(31.0, j).toLong} AS BIGINT)")
+    .mkString(" + ")
+
+  /** Anchored-window island merge from a `{prefix}marked (doc_id, pos)`
+    * relation to `{prefix}spans` — the running-max interval union of
+    * [[graft.operators.Dedup.mergeWindowIntervals]]. Shared by the q154 and
+    * q157 oracles.
+    */
+  private def anchorSpanTail(p: String): String =
+    s"""${p}isl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN max(pos + 50) OVER pw IS NULL OR pos > max(pos + 50) OVER pw
+       |         THEN 1 ELSE 0 END AS nw
+       |  FROM ${p}marked
+       |  WINDOW pw AS (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |${p}grp AS (
+       |  SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+       |  FROM ${p}isl),
+       |${p}spans AS (
+       |  SELECT doc_id, min(pos) AS span_start, max(pos + 50) - min(pos) AS span_len
+       |  FROM ${p}grp GROUP BY doc_id, g)"""
+
   private def substrSpanCtes(anchored: Boolean, prefix: String = ""): String = {
     val p = prefix
-    // CAST the coefficients: 31^5 fits INT32, so DuckDB would otherwise
-    // multiply in 32-bit and overflow on ascii * 31^5
-    val anchorTerms = (0 until 8).map(j =>
-      s"ascii(substr(text, CAST(i AS BIGINT) + $j, 1)) * CAST(${math.pow(31.0, j).toLong} AS BIGINT)")
-      .mkString(" + ")
+    val anchorTerms = anchorTermsSql
     val anchorFilter =
       if (anchored) s"\n       |  WHERE (($anchorTerms) % 1000000007) % 8 = 0".stripMargin
       else ""
@@ -415,20 +439,7 @@ object TextQueries {
            |${p}spans AS (
            |  SELECT doc_id, min(pos) AS span_start, max(pos) - min(pos) + 50 AS span_len
            |  FROM ${p}islands GROUP BY doc_id, g)"""
-      else
-        s"""${p}isl AS (
-           |  SELECT doc_id, pos,
-           |    CASE WHEN max(pos + 50) OVER pw IS NULL OR pos > max(pos + 50) OVER pw
-           |         THEN 1 ELSE 0 END AS nw
-           |  FROM ${p}marked
-           |  WINDOW pw AS (PARTITION BY doc_id ORDER BY pos
-           |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
-           |${p}grp AS (
-           |  SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS g
-           |  FROM ${p}isl),
-           |${p}spans AS (
-           |  SELECT doc_id, min(pos) AS span_start, max(pos + 50) - min(pos) AS span_len
-           |  FROM ${p}grp GROUP BY doc_id, g)"""
+      else anchorSpanTail(p)
     s"""${p}d AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id < $ExactPairSample),
        |${p}w AS (
@@ -1702,6 +1713,35 @@ object TextQueries {
              |SELECT exact_chars, anchored_chars,
              |  ${frs("CAST(anchored_chars AS DOUBLE) / CAST(exact_chars AS DOUBLE)", 4)} AS coverage
              |FROM ec CROSS JOIN ac""".stripMargin)),
+
+    // Streaming ingest substring probe — the third stream-static probe
+    // (LSH q102, IVF-PQ q151, verbatim substrings here): delta docs
+    // (id % 10 = 0) stream in, their anchored windows probe the standing
+    // corpus's window index, and the drained hits interval-merge into the
+    // delta docs' duplicated spans. The oracle is the equivalent batch
+    // join, so stream ≡ batch is hash-proven.
+    "q157_stream_substr_probe" -> Q(
+      (s, dir) => graft.streaming.StreamingSubstr.deltaSubstrSpans(
+        s, dir, cap = ExactPairSample),
+      Some(s"""WITH cw AS (
+             |  SELECT substr(text, CAST(i AS BIGINT), 50) AS win
+             |  FROM (SELECT text FROM documents
+             |        WHERE doc_id < $ExactPairSample AND doc_id % 10 <> 0),
+             |       UNNEST(range(1, greatest(length(text) - 49, 0) + 1)) AS t(i)
+             |  WHERE (($anchorTermsSql) % 1000000007) % 8 = 0),
+             |dw AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |    substr(text, CAST(i AS BIGINT), 50) AS win
+             |  FROM (SELECT doc_id, text FROM documents
+             |        WHERE doc_id < $ExactPairSample AND doc_id % 10 = 0),
+             |       UNNEST(range(1, greatest(length(text) - 49, 0) + 1)) AS t(i)
+             |  WHERE (($anchorTermsSql) % 1000000007) % 8 = 0),
+             |marked AS (
+             |  SELECT DISTINCT dw.doc_id, dw.pos
+             |  FROM dw JOIN (SELECT DISTINCT win FROM cw) c USING (win)),
+             |${anchorSpanTail("")}
+             |SELECT doc_id, span_start, span_len FROM spans
+             |ORDER BY doc_id, span_start""".stripMargin)),
 
     // Skip-gram pair extraction (the word2vec/GloVe co-occurrence pass):
     // (center, context) pairs at token distances 1 and 2, top-10 per

@@ -259,6 +259,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(batch.nonEmpty)
   }
 
+  test("streaming substring probe equals the equivalent batch window join") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    val cap = 300
+    val streamed = graft.streaming.StreamingSubstr.deltaSubstrSpans(spark, sfDir, cap)
+      .collect().map(_.toSeq)
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < cap)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val delta  = docs.filter(col("doc_id") % 10 === 0)
+    val index = Dedup.anchoredWindows(corpus, "doc_id", "text", 50, 8)
+      .select("win").distinct()
+    val batch = Dedup.mergeWindowIntervals(
+        Dedup.anchoredWindows(delta, "doc_id", "text", 50, 8)
+          .join(index, Seq("win")).select(col("doc_id"), col("pos")).distinct(),
+        "doc_id", 50)
+      .collect().map(_.toSeq)
+    assert(streamed.toSeq === batch.toSeq)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming IVF-PQ probe equals the batch pqTopK row-for-row") {
     import graft.operators.AnnIndex
     import org.apache.spark.sql.functions._
