@@ -78,4 +78,29 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestSession {
       emptyDocs.withColumn("n_chars", length(col("text"))),
       Seq("doc_id"), Seq("n_chars")).count() === 1)
   }
+
+  test("round-9 operators: empty and singleton inputs") {
+    import graft.operators.{AnnIndex, Dedup, Diff, Graph, Validate}
+    // substring dedup: empty corpus, one doc (nothing cross-doc), short doc
+    assert(Dedup.exactSubstrSpans(emptyDocs, "doc_id", "text", 50).count() === 0)
+    assert(Dedup.exactSubstrSpans(oneDoc, "doc_id", "text", 50).count() === 0)
+    assert(Dedup.anchorSubstrSpans(emptyDocs, "doc_id", "text", 50, 8).count() === 0)
+    assert(Dedup.anchorSubstrSpans(oneDoc, "doc_id", "text", 50, 8).count() === 0)
+    // applyDiff with an empty changelog is the identity
+    val applied = Diff.applyDiff(oneDoc,
+      Diff.snapshotDiff(oneDoc, oneDoc, Seq("doc_id")), Seq("doc_id"))
+    assert(applied.collect().map(_.toSeq).toSeq === oneDoc.collect().map(_.toSeq).toSeq)
+    // drift gates: both sides empty -> no groups, no crash; empty history
+    // snapshots -> every group counts 0 there
+    val eg = Seq.empty[(Long, String)].toDF("g", "x")
+    assert(Validate.driftGate(eg, eg, "g").count() === 0)
+    assert(Validate.driftHistoryGate(
+      Seq(eg, eg, eg, oneDoc.select(col("doc_id").as("g"), col("text").as("x"))), "g")
+      .count() === 1)
+    // weighted PageRank on an empty edge list
+    val ee = Seq.empty[(Long, Long, Double)].toDF("src", "dst", "w")
+    assert(Graph.pageRankWeighted(ee, "src", "dst", "w", iters = 1).count() === 0)
+    // IVF assignment of an empty delta against a standing index
+    assert(AnnIndex.ivfAssign(emptyVecs, oneVec, "vec_id", "embedding", 4).count() === 0)
+  }
 }

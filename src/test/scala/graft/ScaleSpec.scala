@@ -151,6 +151,21 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"exact-substring matching must never fall back to all-pairs:\n${plan.take(2000)}")
+    // same guarantee on the anchor-sampled scale path
+    val aplan = Dedup.anchorSubstrSpans(docs, "doc_id", "text", minLen = 20, anchorEvery = 4)
+      .queryExecution.executedPlan.toString
+    assert(!aplan.contains("CartesianProduct") && !aplan.contains("BroadcastNestedLoopJoin"),
+      s"anchored matching must never fall back to all-pairs:\n${aplan.take(2000)}")
+  }
+
+  test("driftHistoryGate: snapshots never pairwise join — keyed joins only") {
+    import graft.operators.Validate
+    val snaps = (0 until 5).map(i =>
+      (0L until (20L + i)).map(v => v % 7).toDF("g"))
+    val plan = Validate.driftHistoryGate(snaps, "g")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"history gate must stay keyed:\n${plan.take(2000)}")
   }
 
   test("eraseUsers: every table joins the request list broadcast — fact side never shuffles") {
