@@ -654,13 +654,16 @@ object Dedup {
     require(minLen > AnchorK, s"anchored windows need minLen > $AnchorK, got $minLen")
     require(anchorEvery >= 1, s"anchorEvery must be >= 1, got $anchorEvery")
     val nWin = length(col(textCol)) - (minLen - 1)
+    // filter positions BEFORE building window strings: the anchor predicate
+    // reads 8 chars, the window copy is minLen chars — materializing
+    // windows first would allocate (anchorEvery−1)/anchorEvery of them
+    // only to drop them
     df.select(col(idCol),
         explode(when(nWin >= 1,
-            filter(
-              transform(sequence(lit(1), nWin),
-                i => struct(i.as("pos"), col(textCol).substr(i, lit(minLen)).as("win"))),
-              pw => pmod(anchorHash(col(textCol), pw.getField("pos")),
-                lit(anchorEvery.toLong)) === 0))
+            transform(
+              filter(sequence(lit(1), nWin),
+                i => pmod(anchorHash(col(textCol), i), lit(anchorEvery.toLong)) === 0),
+              i => struct(i.as("pos"), col(textCol).substr(i, lit(minLen)).as("win"))))
           .otherwise(array().cast("array<struct<pos:int,win:string>>"))).as("pw"))
       .select(col(idCol), col("pw.pos").as("pos"), col("pw.win").as("win"))
   }
