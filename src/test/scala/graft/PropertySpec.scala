@@ -179,6 +179,33 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     assert(applied.collect().map(_.toSeq).toSet === next.collect().map(_.toSeq).toSet)
   }
 
+  test("property: exactSubstrSpans equals a brute-force reference on random small docs") {
+    // {a,b}-alphabet docs make 5-char windows collide constantly — the
+    // operator's dup-window + island-merge pipeline must reproduce a
+    // position-by-position Scala reference exactly
+    val L = 5
+    val docGen = Gen.listOfN(25, Gen.oneOf('a', 'b')).map(_.mkString)
+    val texts = sample(docGen, 10, 47L) :+ "ab" // one doc shorter than a window
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val winSets = texts.zipWithIndex.map { case (t, i) =>
+      i -> (0 to t.length - L).map(p => t.substring(p, p + L)).toVector
+    }.toMap
+    val expected = texts.indices.flatMap { i =>
+      val pos = winSets(i).zipWithIndex.collect { case (w, p)
+        if winSets.exists { case (j, ws) => j != i && ws.contains(w) } => p + 1 }
+      val groups = pos.foldLeft(List.empty[List[Int]]) {
+        case (Nil, p)                      => List(List(p))
+        case (h :: t, p) if p == h.head + 1 => (p :: h) :: t
+        case (acc, p)                      => List(p) :: acc
+      }.map(_.reverse).reverse
+      groups.map(g => (i.toLong, g.head.toLong, (g.last - g.head + L).toLong))
+    }.toSet
+    val got = graft.operators.Dedup.exactSubstrSpans(docs, "doc_id", "text", L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty) // the generator really produced collisions
+  }
+
   test("property: incremental-scan invariant — second delta is empty") {
     // the reference's core contract (main.py:149-151): no changes => no work
     val rows = sample(Gen.zip(Gen.identifier.map(_.take(8)), Gen.chooseNum(1L, 1e9.toLong)), 100, 37L)
