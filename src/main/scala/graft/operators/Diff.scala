@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Snapshot diffing — derive the changelog a CDC stream would have carried
   * from two FULL table snapshots (the inverse of [[Scd]]'s
@@ -85,19 +85,44 @@ object Diff {
     * directions, so diff→apply ≡ next holds exactly for the primitive
     * types (PropertySpec); binary columns would be lossy and are rejected.
     *
-    * Keys must be non-null here: a NULL-keyed row cannot be matched back to
-    * its diff entry (the same reason it diffs as insert+delete).
+    * NULL-keyed rows are replayed too: they diff as one 'insert' plus one
+    * 'delete' (a NULL key never equi-joins), so the replay deletes them by
+    * FULL-ROW serialization instead of by key — for each distinct
+    * serialized (key, old_vals) delete group of size k, the k matching
+    * `prev` rows are removed (the rows are byte-identical under the
+    * serialization, so which k is immaterial — the multiset result is
+    * deterministic). Inserts append as usual. The serialization drops
+    * NULL-valued columns on both sides (mirroring the `old_vals` map
+    * fragments), so null-pattern agreement is part of the match.
     *
     * Scale shape: one keyed left join prev⋈diff plus a union of the
     * (typically small) insert slice — same bucketing story as the diff.
+    * The NULL-key leg joins only the NULL-keyed slices of both sides
+    * (normally ~empty; broadcast-sized whenever keys are near-complete).
     */
   def applyDiff(prev: DataFrame, diff: DataFrame, keyCols: Seq[String]): DataFrame = {
     val schema = prev.schema
     require(!schema.exists(_.dataType.typeName == "binary"),
       "applyDiff: binary columns do not round-trip through stringified diffs")
     val valCols = prev.columns.filterNot(keyCols.contains)
+    def keyIsNull = keyCols.map(k => col(k).isNull).reduce(_ || _)
+
+    // key serialization: NULL marked out-of-band (no '=' separator), so a
+    // literal NUL VALUE ("k=" + NUL) can never collide with NULL ("k" + NUL)
+    def keySer = concat_ws("\u0001", keyCols.map(k =>
+      concat(lit(k), when(col(k).isNull, lit("\u0000"))
+        .otherwise(concat(lit("="), col(k).cast("string"))))): _*)
+    // value serialization: one "c=v" fragment per NON-NULL column — the same
+    // drop-null-entries rule as the old_vals map, so both sides agree
+    def valSerFrom(value: String => Column) = array_join(filter(
+      array(valCols.map(c => when(value(c).isNotNull,
+        concat(lit(c), lit("="), value(c).cast("string")))).toSeq: _*),
+      x => x.isNotNull), ";")
+
+    // --- non-NULL-key rows: keyed left join, patch updates, drop deletes
     val d = diff.select(keyCols.map(col) :+ col("change_type") :+ col("new_vals"): _*)
-    val patched = prev.join(d, keyCols.toSeq, "left")
+      .filter(!keyIsNull)
+    val patched = prev.filter(!keyIsNull).join(d, keyCols.toSeq, "left")
       .filter(col("change_type").isNull || col("change_type") === "update")
       .select(prev.columns.map { c =>
         if (keyCols.contains(c)) col(c)
@@ -106,11 +131,26 @@ object Diff {
           .when(col("change_type") === "update", col(c))
           .otherwise(col(c)).as(c)
       }.toSeq: _*)
+
+    // --- NULL-key rows: multiset delete by serialized-row match
+    val nullDeletes = diff.filter(col("change_type") === "delete" && keyIsNull)
+      .select(concat_ws("", keySer,
+        valSerFrom(c => try_element_at(col("old_vals"), lit(c)))).as("__ser"))
+      .groupBy("__ser").agg(count(lit(1)).as("__n_del"))
+    val keptNull = prev.filter(keyIsNull)
+      .withColumn("__ser", concat_ws("", keySer, valSerFrom(col)))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__ser").orderBy(lit(1))))
+      .join(nullDeletes, Seq("__ser"), "left")
+      .filter(col("__n_del").isNull || col("__rn") > col("__n_del"))
+      .select(prev.columns.map(col).toSeq: _*)
+
+    // --- inserts (NULL-keyed included): rebuild from new_vals
     val inserts = diff.filter(col("change_type") === "insert")
       .select(prev.columns.map { c =>
         if (keyCols.contains(c)) col(c)
         else try_element_at(col("new_vals"), lit(c)).cast(schema(c).dataType).as(c)
       }.toSeq: _*)
-    patched.unionByName(inserts)
+    patched.unionByName(keptNull).unionByName(inserts)
   }
 }

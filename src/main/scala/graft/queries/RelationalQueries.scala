@@ -788,7 +788,11 @@ object RelationalQueries {
       s"CASE WHEN p.$c IS DISTINCT FROM n.$c THEN '$c' END").mkString(", ")
     def changedSer(side: String) = valCols.map(c =>
       s"CASE WHEN p.$c IS DISTINCT FROM n.$c THEN ${v(side, c)} END").mkString(", ")
-    def allSer(side: String) = valCols.map(v(side, _)).mkString(" || ';' || ")
+    // per-column fragments + list_filter (NOT `||` chaining): a NULL value
+    // must DROP its fragment — matching Spark's array_join-over-null-entries
+    // — not null the entire serialized row (ADVICE r9)
+    def allSer(side: String) =
+      s"array_to_string(list_filter([${valCols.map(v(side, _)).mkString(", ")}], x -> x IS NOT NULL), ';')"
     val changedCols = s"array_to_string(list_filter([$changedNames], x -> x IS NOT NULL), ',')"
     s"""$diffSnapshotCtes
        |SELECT coalesce(p.o_orderkey, n.o_orderkey) AS o_orderkey,

@@ -40,14 +40,22 @@ object StreamingDrift {
     val streamed = reader.parquet(dir)
       .filter(!(col("c_nationkey") === 13 && col("c_custkey") % 2 === 0))
       .select(col("c_nationkey"))
-    // group -> count; driver-held because the key space is bounded
+    // group -> count; driver-held because the key space is bounded.
+    // foreachBatch is at-least-once: a retried micro-batch must not
+    // double-count, so the fold is guarded by the last applied batchId
+    // (ADVICE r9) — the same idempotence contract a keyed MERGE state
+    // table gets from writing batchId alongside the delta.
     var state = Map.empty[Int, Long]
+    var lastApplied = -1L
     val q = streamed.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val delta = batch.groupBy("c_nationkey").agg(count(lit(1)).cast("long").as("n"))
-          .collect().map(r => (r.getInt(0), r.getLong(1)))
-        state = delta.foldLeft(state) { case (st, (g, n)) =>
-          st.updated(g, st.getOrElse(g, 0L) + n)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > lastApplied) {
+          val delta = batch.groupBy("c_nationkey").agg(count(lit(1)).cast("long").as("n"))
+            .collect().map(r => (r.getInt(0), r.getLong(1)))
+          state = delta.foldLeft(state) { case (st, (g, n)) =>
+            st.updated(g, st.getOrElse(g, 0L) + n)
+          }
+          lastApplied = batchId
         }
         ()
       }

@@ -179,6 +179,33 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     assert(applied.collect().map(_.toSeq).toSet === next.collect().map(_.toSeq).toSet)
   }
 
+  test("property: diff round-trip replays NULL-keyed rows as a multiset") {
+    // NULL keys never equi-join, so they diff as insert+delete pairs and
+    // applyDiff must replay them by full-row serialization — including
+    // COLLIDING identical NULL-key rows (delete k of n) and NULL-valued
+    // columns inside NULL-key rows (fragment-dropping serialization)
+    val rowGen = Gen.zip(Gen.option(Gen.chooseNum(0L, 20L)),
+      Gen.chooseNum(-100.0, 100.0), Gen.option(Gen.oneOf("x", "y", "z")))
+    def mk(seed: Long) = {
+      val rows = sample(rowGen, 80, seed)
+      val (nulls, keyed) = rows.partition(_._1.isEmpty)
+      keyed.distinctBy(_._1) ++ nulls
+    }
+    // two identical NULL-key rows in prev, one in next: exactly one survives
+    val dup = (Option.empty[Long], 1.5, Option("dup"))
+    val nullNull = (Option.empty[Long], 2.5, Option.empty[String])
+    val prevRows = mk(53L) ++ Seq(dup, dup, nullNull)
+    val nextRows = mk(59L) :+ dup
+    val prev = prevRows.toDF("k", "v", "s")
+    val next = nextRows.toDF("k", "v", "s")
+    val d = graft.operators.Diff.snapshotDiff(prev, next, Seq("k"))
+    val applied = graft.operators.Diff.applyDiff(prev, d, Seq("k"))
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    assert(multiset(applied) === multiset(next))
+    assert(prevRows.exists(_._1.isEmpty) && nextRows.exists(_._1.isEmpty))
+  }
+
   test("property: exactSubstrSpans equals a brute-force reference on random small docs") {
     // {a,b}-alphabet docs make 5-char windows collide constantly — the
     // operator's dup-window + island-merge pipeline must reproduce a
