@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver keeps the tail of `sbt runMain` output and
+// parses the metric JSON line out of it; sbt's default LoggedOutput wraps
+// every forked-JVM line as "[info] {...}", which defeats a line-level JSON
+// parse (BENCH_r01..r09 all landed parsed:null with the metric line intact
+// but prefixed). StdoutOutput passes the forked process's lines through
+// unmodified.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

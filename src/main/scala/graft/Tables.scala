@@ -22,18 +22,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 only reads with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench/test
-    * sessions). Normalize back to a proper timestamp here (`div` truncates
-    * toward zero — identical to DuckDB's ns->µs cast for the post-epoch
-    * timestamps these fixtures contain).
+  /** `events.ts` arrives in whatever resolution the fixture generator used:
+    * TIMESTAMP(NANOS) parquet (readable only with
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set in Verify/Bench/test
+    * sessions — lands as LongType nanos) or TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false (lands as TIMESTAMP_NTZ). Normalize both to a
+    * session-zoned TIMESTAMP: `div` truncates toward zero — identical to
+    * DuckDB's ns→µs cast for post-epoch timestamps — and the NTZ cast
+    * interprets wall-clock as UTC (all sessions pin
+    * `spark.sql.session.timeZone=UTC`), matching DuckDB's naive reading.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val df = table(spark, dir, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
-  }
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema(tsCol).dataType match {
+      case LongType =>
+        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(table(spark, dir, "events"))
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }

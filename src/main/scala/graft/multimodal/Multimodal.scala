@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata extracted per partition. The image/audio decode libraries are not
@@ -54,5 +54,109 @@ object Multimodal {
         }
       })
       .toDF()
+  }
+
+  /** 60-bit byte-level dHash (gradient perceptual hash) of a binary column
+    * ([[graft.functions.expressions.DHashBytes]], codegen'd).
+    */
+  def dHash(bytes: Column): Column = {
+    import graft.functions.expressions.DHashBytes
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    B.column(DHashBytes(B.expression(bytes)))
+  }
+
+  /** 60-bit byte-level aHash (average perceptual hash) of a binary column
+    * ([[graft.functions.expressions.AHashBytes]], codegen'd).
+    */
+  def aHash(bytes: Column): Column = {
+    import graft.functions.expressions.AHashBytes
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    B.column(AHashBytes(B.expression(bytes)))
+  }
+
+  /** Media near-dup pairs within `maxHamming` bits of byte-level dHash,
+    * candidates via 4×15-bit band buckets — the media-modality sibling of
+    * [[graft.operators.Dedup.simhashPairs]], same banding structure
+    * (guaranteed recall for distance ≤ 3, heuristic beyond).
+    *
+    * Scale shape: hashing is map-only codegen; candidates come from an
+    * equi-join on (band, chunk) — never an all-pairs comparison (the blob
+    * column is dropped before the join, so only 16-byte hash rows shuffle).
+    */
+  def mediaDupPairs(df: DataFrame, idCol: String, bytesCol: String,
+                    maxHamming: Int): DataFrame = {
+    import graft.functions.TextFunctions.hamming64
+    val hashed = df.select(col(idCol), dHash(col(bytesCol).cast("binary")).as("ph"))
+    val banded = hashed
+      .withColumn("band", explode(sequence(lit(0), lit(3))))
+      .withColumn("chunk", expr("shiftright(ph, band*15) & 32767"))
+    val l = banded.select(col(idCol).as("id_a"), col("ph").as("ph_a"), col("band"), col("chunk"))
+    val r = banded.select(col(idCol).as("id_b"), col("ph").as("ph_b"), col("band"), col("chunk"))
+    l.join(r, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ph_a", "ph_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming64(col("ph_a"), col("ph_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Caption↔frame (text↔media) join: per-document media-side frame stats
+    * (frame count, media bytes, duplicate-frame ratio from exact checksum
+    * collisions) joined with caption-side token counts — the per-record
+    * modality-alignment report a caption-supervised training pipeline gates
+    * on (a record whose media is all repeated frames, or whose caption is
+    * empty, is a curation reject).
+    *
+    * Scale shape: frame explode is map-only; the stats are one hash
+    * aggregation on doc_id; the caption join is keyed on the same doc_id, so
+    * AQE co-partitions both sides — no second shuffle of the media bytes
+    * (they are reduced to per-frame checksums before the aggregate).
+    */
+  def captionFrameStats(spark: SparkSession, docs: DataFrame, frameBytes: Int,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        mediaCol: String = "text"): DataFrame = {
+    import graft.functions.MathFunctions.floorRound
+    import graft.functions.TextFunctions.tokenCount
+    val frames = sampleFrames(spark, docs, frameBytes, idCol, mediaCol)
+    val mediaAgg = frames.groupBy("doc_id").agg(
+      count(lit(1)).as("n_frames"),
+      sum("n_bytes").as("media_bytes"),
+      countDistinct("checksum").as("distinct_frames"))
+    val captions = docs.select(col(idCol).cast("long").as("doc_id"),
+      col("source"), tokenCount(col(textCol)).cast("long").as("caption_tokens"))
+    captions.join(mediaAgg, Seq("doc_id"))
+      .withColumn("dup_frame_ratio",
+        floorRound(lit(1.0) - col("distinct_frames").cast("double") / col("n_frames").cast("double"), 6))
+      .select(col("doc_id").as(idCol), col("source"), col("caption_tokens"),
+        col("n_frames"), col("media_bytes"), col("distinct_frames"), col("dup_frame_ratio"))
+  }
+
+  /** Modality-aware curation: keep records whose caption AND media both pass,
+    * then drop perceptual near-duplicates (higher id loses, as in
+    * [[graft.operators.Dedup]]'s policies). Gates:
+    *   - caption: `caption_tokens >= minCaptionTokens`;
+    *   - media: `n_frames >= minFrames` and `dup_frame_ratio <= maxDupFrameRatio`
+    *     (a blob of repeated frames is decode junk);
+    *   - cross-record: no surviving record within `maxHamming` dHash bits of
+    *     a lower-id survivor (banded candidates, never all-pairs).
+    *
+    * The media-column analog of the q57 text curation funnel: same
+    * filter→anti-join shape with the quality scalar swapped for frame stats.
+    */
+  def curateMedia(spark: SparkSession, docs: DataFrame, frameBytes: Int,
+                  minCaptionTokens: Long, minFrames: Long, maxDupFrameRatio: Double,
+                  maxHamming: Int, idCol: String = "doc_id",
+                  textCol: String = "text", mediaCol: String = "text"): DataFrame = {
+    val stats = captionFrameStats(spark, docs, frameBytes, idCol, textCol, mediaCol)
+    val gated = stats
+      .filter(col("caption_tokens") >= minCaptionTokens &&
+        col("n_frames") >= minFrames &&
+        col("dup_frame_ratio") <= maxDupFrameRatio)
+    val gatedDocs = docs.join(gated.select(idCol), Seq(idCol))
+    val losers = mediaDupPairs(gatedDocs, idCol, mediaCol, maxHamming)
+      .select(col("id_b").as(idCol)).distinct()
+    gatedDocs.join(losers, Seq(idCol), "left_anti")
   }
 }

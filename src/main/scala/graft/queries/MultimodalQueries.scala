@@ -1,0 +1,210 @@
+package graft.queries
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** Multimodal-pillar queries: perceptual hashing of opaque media blobs,
+  * perceptual near-dup pairing, caption↔frame (text↔media) joins, and
+  * modality-aware curation. Media inputs derive from the fixture `documents`
+  * table — raw text bytes stand in for a decoded media signal, re-encoded
+  * "renditions" are simulated by in-place byte substitution (the
+  * length-preserving analog of pixel noise), and looped/padded blobs simulate
+  * decode junk with repeated frames. The caveat from q32 applies throughout:
+  * the Spark side hashes UTF-8 BYTES while the oracle indexes characters —
+  * equivalent only because the fixture corpus is pure ASCII.
+  */
+object MultimodalQueries {
+
+  private val frs = graft.functions.MathFunctions.floorRoundSql _
+
+  /** CTE chain `pos → byt → agg → grid → dens → adj → dh(id, dhash)`
+    * computing the 60-bit byte-level dHash of table `media(id, m)` — the SQL
+    * mirror of [[graft.functions.expressions.PerceptualHash.dhash]]: 61
+    * buckets via `(p*61)//n`, cross-multiplied adjacent-mean comparison.
+    * Dense 0..60 grid so `lead` always sees bucket k+1 even when a bucket is
+    * empty (short blobs).
+    */
+  private val dhashCtes: String =
+    """pos AS (
+      |  SELECT id, m, length(m) AS n, unnest(generate_series(0, length(m)-1)) AS p
+      |  FROM media WHERE length(m) > 0),
+      |byt AS (
+      |  SELECT id, n, (p * 61) // n AS bkt,
+      |    CAST(ascii(substr(m, CAST(p + 1 AS INTEGER), 1)) AS BIGINT) AS v
+      |  FROM pos),
+      |agg AS (
+      |  SELECT id, bkt, CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+      |  FROM byt GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT id, k FROM (SELECT DISTINCT id FROM agg),
+      |    (SELECT unnest(generate_series(0, 60)) AS k)),
+      |dens AS (
+      |  SELECT g.id, g.k, coalesce(a.s, 0) AS s, coalesce(a.c, 0) AS c
+      |  FROM grid g LEFT JOIN agg a ON a.id = g.id AND a.bkt = g.k),
+      |adj AS (
+      |  SELECT id, k, s, c,
+      |    lead(s) OVER (PARTITION BY id ORDER BY k) AS s2,
+      |    lead(c) OVER (PARTITION BY id ORDER BY k) AS c2
+      |  FROM dens),
+      |dh AS (
+      |  SELECT id, CAST(sum(CASE WHEN s * c2 > s2 * c
+      |    THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END) AS BIGINT) AS dhash
+      |  FROM adj WHERE k < 60 GROUP BY 1)""".stripMargin
+
+  /** CTE chain `bk → cand → pairs(id_a, id_b, hamming)`: 4×15-bit band
+    * candidates over `dh(id, dhash)` filtered to `maxHamming` — mirrors
+    * [[Multimodal.mediaDupPairs]]'s banding exactly (the oracle checks the
+    * operator's semantics INCLUDING its banding recall, as q22c does for
+    * SimHash).
+    */
+  private def bandPairCtes(maxHamming: Int): String =
+    s"""bk AS (
+       |  SELECT id, dhash, b, (dhash >> CAST(b * 15 AS INTEGER)) & 32767 AS chunk
+       |  FROM dh, (SELECT unnest(generate_series(0, 3)) AS b)),
+       |cand AS (
+       |  SELECT x.id AS id_a, y.id AS id_b, min(x.dhash) AS ha, min(y.dhash) AS hb
+       |  FROM bk x JOIN bk y ON x.b = y.b AND x.chunk = y.chunk AND x.id < y.id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       |  FROM cand WHERE bit_count(xor(ha, hb)) <= $maxHamming)""".stripMargin
+
+  /** Per-frame rolling checksum of `m` windowed at `fb` bytes — the SQL
+    * mirror of [[Multimodal.sampleFrames]]'s checksum (q46's oracle shape).
+    */
+  private def frameCtes(fb: Int): String =
+    s"""f AS (
+       |  SELECT id, m, unnest(generate_series(0,
+       |    CAST(floor((length(m)-1) / CAST($fb AS DOUBLE)) AS BIGINT))) AS frame_id
+       |  FROM media),
+       |fr AS (
+       |  SELECT id, frame_id,
+       |    CAST(length(substr(m, CAST(frame_id*$fb+1 AS INTEGER), $fb)) AS BIGINT) AS n_bytes,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, length(substr(m, CAST(frame_id*$fb+1 AS INTEGER), $fb))),
+       |        i -> CAST(ascii(substr(substr(m, CAST(frame_id*$fb+1 AS INTEGER), $fb), CAST(i AS INTEGER), 1)) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum
+       |  FROM f),
+       |ma AS (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS n_frames,
+       |    CAST(sum(n_bytes) AS BIGINT) AS media_bytes,
+       |    CAST(count(DISTINCT checksum) AS BIGINT) AS distinct_frames
+       |  FROM fr GROUP BY 1)""".stripMargin
+
+  /** The rendition corpus: two media renditions per document — the original
+    * bytes and a "re-encoded" copy with the first 4 bytes substituted
+    * in place (uppercased). Length-preserving, so bucket boundaries align
+    * and the perceptual hashes sit within hamming ≤ 2 of each other.
+    */
+  private val renditionCte: String =
+    """media AS (
+      |  SELECT doc_id * 2 AS id, text AS m, text AS caption, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1, upper(substr(text, 1, 4)) || substr(text, 5), text, source, n_chars
+      |  FROM documents)""".stripMargin
+
+  private def renditionDf(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = Tables.documents(s, dir)
+    d.select((col("doc_id") * 2).as("id"), col("text").as("m"),
+        col("text").as("caption"), col("source"), col("n_chars"))
+      .unionAll(d.select((col("doc_id") * 2 + 1).as("id"),
+        concat(upper(substring(col("text"), 1, 4)),
+          expr("substring(text, 5, length(text))")).as("m"),
+        col("text").as("caption"), col("source"), col("n_chars")))
+  }
+
+  def all: ListMap[String, Q] = ListMap(
+    // Perceptual hashes of the raw media signal: both the gradient (dHash)
+    // and average (aHash) 60-bit variants, hash-checked bit-for-bit.
+    "q158_media_dhash" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Multimodal.dHash(col("text").cast("binary")).as("dhash"),
+          Multimodal.aHash(col("text").cast("binary")).as("ahash"))
+        .orderBy("doc_id"),
+      Some(s"""WITH media AS (SELECT doc_id AS id, text AS m FROM documents),
+             |$dhashCtes,
+             |agg60 AS (
+             |  SELECT id, (p * 60) // n AS bkt, CAST(sum(CAST(ascii(substr(m, CAST(p + 1 AS INTEGER), 1)) AS BIGINT)) AS BIGINT) AS s,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM pos GROUP BY 1, 2),
+             |tot AS (
+             |  SELECT id, CAST(sum(s) AS BIGINT) AS ts, CAST(sum(c) AS BIGINT) AS tc
+             |  FROM agg60 GROUP BY 1),
+             |ah AS (
+             |  SELECT a.id, CAST(sum(CASE WHEN a.s * t.tc > t.ts * a.c
+             |    THEN (CAST(1 AS BIGINT) << CAST(a.bkt AS INTEGER)) ELSE 0 END) AS BIGINT) AS ahash
+             |  FROM agg60 a JOIN tot t ON a.id = t.id GROUP BY 1)
+             |SELECT d.doc_id, coalesce(dh.dhash, 0) AS dhash, coalesce(ah.ahash, 0) AS ahash
+             |FROM documents d
+             |LEFT JOIN dh ON dh.id = d.doc_id
+             |LEFT JOIN ah ON ah.id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Perceptual near-dup pairing across media renditions: every document
+    // appears as two byte-level renditions; the banded dHash join must
+    // recover each original↔re-encode pair (hamming ≤ 2 ≤ τ=3, within the
+    // 4×15 banding's guaranteed-recall radius) without any all-pairs scan.
+    "q159_media_dup_pairs" -> Q(
+      (s, dir) => Multimodal.mediaDupPairs(renditionDf(s, dir), "id", "m", maxHamming = 3),
+      Some(s"""WITH $renditionCte,
+             |$dhashCtes,
+             |${bandPairCtes(maxHamming = 3)}
+             |SELECT id_a, id_b, hamming FROM pairs ORDER BY 1, 2""".stripMargin)),
+
+    // Caption↔frame join: media = looped+padded renditions (rpad to 512,
+    // repeated 1 + doc_id % 3 times — simulated decode junk with exactly
+    // repeating frames), captions = the raw text. The per-record report
+    // joins frame-side stats (count, bytes, duplicate-frame ratio) with
+    // caption-side token counts on the shared key.
+    "q160_caption_frame_stats" -> Q(
+      (s, dir) => {
+        val med = Tables.documents(s, dir).select(
+          col("doc_id"), col("text"), col("source"),
+          expr("repeat(rpad(text, 512, ' '), CAST(1 + doc_id % 3 AS INT))").as("m"))
+        Multimodal.captionFrameStats(s, med, frameBytes = 256,
+          idCol = "doc_id", textCol = "text", mediaCol = "m")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH media AS (
+             |  SELECT doc_id AS id, text, source,
+             |    repeat(rpad(text, 512, ' '), CAST(1 + doc_id % 3 AS INTEGER)) AS m
+             |  FROM documents),
+             |${frameCtes(256)}
+             |SELECT d.id AS doc_id, d.source,
+             |  len(string_split(d.text, ' ')) AS caption_tokens,
+             |  ma.n_frames, ma.media_bytes, ma.distinct_frames,
+             |  ${frs("1 - CAST(ma.distinct_frames AS DOUBLE) / CAST(ma.n_frames AS DOUBLE)", 6)} AS dup_frame_ratio
+             |FROM media d JOIN ma ON ma.id = d.id
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Modality-aware curation over the rendition corpus: caption gate
+    // (≥ 20 tokens) + media gates (≥ 2 frames at 128 B, duplicate-frame
+    // ratio ≤ 0.5) + perceptual dedup (the higher-id rendition of every
+    // surviving dHash pair within τ=3 is dropped) — the media-column analog
+    // of the q57 text curation funnel.
+    "q161_media_curate" -> Q(
+      (s, dir) => Multimodal.curateMedia(s, renditionDf(s, dir), frameBytes = 128,
+          minCaptionTokens = 20, minFrames = 2, maxDupFrameRatio = 0.5,
+          maxHamming = 3, idCol = "id", textCol = "caption", mediaCol = "m")
+        .select("id", "source", "n_chars")
+        .orderBy("id"),
+      Some(s"""WITH $renditionCte,
+             |${frameCtes(128)},
+             |cap AS (SELECT id, len(string_split(caption, ' ')) AS toks FROM media),
+             |gated AS (
+             |  SELECT r.id FROM media r
+             |  JOIN ma ON ma.id = r.id JOIN cap ON cap.id = r.id
+             |  WHERE cap.toks >= 20 AND ma.n_frames >= 2
+             |    AND ${frs("1 - CAST(ma.distinct_frames AS DOUBLE) / CAST(ma.n_frames AS DOUBLE)", 6)} <= 0.5),
+             |gmedia AS (SELECT r.id, r.m FROM media r JOIN gated g ON g.id = r.id),
+             |${dhashCtes.replace("FROM media WHERE", "FROM gmedia WHERE")},
+             |${bandPairCtes(maxHamming = 3)}
+             |SELECT r.id, r.source, r.n_chars FROM media r JOIN gated g ON g.id = r.id
+             |WHERE r.id NOT IN (SELECT id_b FROM pairs)
+             |ORDER BY r.id""".stripMargin)),
+  )
+}

@@ -18,7 +18,7 @@ object Registry {
     */
   def all: ListMap[String, Q] = {
     val groups = Seq(RelationalQueries.all, EventQueries.all, TextQueries.all,
-      VectorQueries.all, PipelineQueries.all, LayoutQueries.all)
+      VectorQueries.all, PipelineQueries.all, LayoutQueries.all, MultimodalQueries.all)
     val merged = groups.reduce(_ ++ _)
     require(merged.size == groups.map(_.size).sum,
       s"duplicate query ids across groups: ${groups.flatMap(_.keys).groupBy(identity).collect { case (k, v) if v.size > 1 => k }.mkString(", ")}")

@@ -494,6 +494,16 @@ object RelationalQueries {
       (s, dir) => graft.streaming.StreamingDrift.nationDriftGate(s, dir, zMax = 3.0),
       Some(driftGateOracle)),
 
+    // The streaming gate on an UNBOUNDED group key: per-batch deltas MERGE
+    // into a parquet-backed key-partitioned state table (staged swap,
+    // batchId-in-table idempotence) instead of a driver-held map — the
+    // production shape when the group key is per-domain/per-host. Scenario
+    // mirrors q150 on 64 c_custkey buckets: half of bucket 7 vanishes from
+    // the streamed next snapshot, so exactly that bucket must flag.
+    "q162_stream_keyed_drift" -> Q(
+      (s, dir) => graft.streaming.StreamingDrift.keyedDriftGate(s, dir, zMax = 3.0, buckets = 64),
+      Some(keyedDriftOracle)),
+
     // The orthogonal drift axis: each nation's LATEST delta gated against
     // that nation's OWN history (Deequ's anomaly-detection-on-metric-series
     // pattern) over a 5-snapshot growth series. Every nation grows ~20% per
@@ -720,18 +730,18 @@ object RelationalQueries {
     * (batch two-snapshot) and q152 (streamed next snapshot): one SQL, two
     * execution topologies. z uses the exact-integer moment sums of q108.
     */
-  private lazy val driftGateOracle: String = {
+  /** Shared z-gate arithmetic over any prev/next count CTE pair — `p(g,
+    * prev_n)` and `nx(g, next_n)` supplied by the caller, output group
+    * column named `gOut`. q150/q152 (nation key) and q162 (custkey buckets)
+    * differ only in those three slots.
+    */
+  private def driftCountsOracle(pCte: String, nxCte: String, gOut: String): String = {
     val zCase =
       s"""CASE WHEN k > 1 AND CAST(k*s2 - s1*s1 AS DOUBLE) > 0 THEN
          |    ${frs("CAST(delta*k - s1 AS DOUBLE) / (CAST(k AS DOUBLE) * sqrt(CAST(k*s2 - s1*s1 AS DOUBLE) / CAST(k*(k-1) AS DOUBLE)))", 4)}
          |  END""".stripMargin
-    s"""WITH p AS (
-       |  SELECT c_nationkey AS g, CAST(count(*) AS BIGINT) AS prev_n
-       |  FROM customer GROUP BY 1),
-       |nx AS (
-       |  SELECT c_nationkey AS g, CAST(count(*) AS BIGINT) AS next_n
-       |  FROM customer WHERE NOT (c_nationkey = 13 AND c_custkey % 2 = 0)
-       |  GROUP BY 1),
+    s"""WITH p AS ($pCte),
+       |nx AS ($nxCte),
        |d AS (
        |  SELECT coalesce(p.g, nx.g) AS g,
        |    coalesce(prev_n, 0) AS prev_n, coalesce(next_n, 0) AS next_n,
@@ -743,10 +753,30 @@ object RelationalQueries {
        |r AS (
        |  SELECT g, prev_n, next_n, delta, $zCase AS z
        |  FROM d CROSS JOIN s)
-       |SELECT g AS c_nationkey, prev_n, next_n, delta, z,
+       |SELECT g AS $gOut, prev_n, next_n, delta, z,
        |  coalesce(CAST(abs(z) > CAST(3.0 AS DOUBLE) AS BIGINT), 0) AS is_drift
-       |FROM r ORDER BY c_nationkey""".stripMargin
+       |FROM r ORDER BY $gOut""".stripMargin
   }
+
+  private lazy val driftGateOracle: String = driftCountsOracle(
+    """
+      |  SELECT c_nationkey AS g, CAST(count(*) AS BIGINT) AS prev_n
+      |  FROM customer GROUP BY 1""".stripMargin,
+    """
+      |  SELECT c_nationkey AS g, CAST(count(*) AS BIGINT) AS next_n
+      |  FROM customer WHERE NOT (c_nationkey = 13 AND c_custkey % 2 = 0)
+      |  GROUP BY 1""".stripMargin,
+    gOut = "c_nationkey")
+
+  private lazy val keyedDriftOracle: String = driftCountsOracle(
+    """
+      |  SELECT c_custkey % 64 AS g, CAST(count(*) AS BIGINT) AS prev_n
+      |  FROM customer GROUP BY 1""".stripMargin,
+    """
+      |  SELECT c_custkey % 64 AS g, CAST(count(*) AS BIGINT) AS next_n
+      |  FROM customer WHERE c_custkey % 128 <> 7
+      |  GROUP BY 1""".stripMargin,
+    gOut = "g")
 
   /** Shared prev/next snapshot pair for q147/q148: orders with money as
     * integer cents, ~1/3 deleted, ~1/7 inserted, two update channels

@@ -99,12 +99,9 @@ object Sessionize {
       .option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val raw = reader.parquet(dir)
-    // normalize ts exactly like Tables.events (nanosAsLong => long nanos)
-    val ev =
-      (if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-       else raw)
-        .select(col("user_id"), col("ts"), col("event_id")).as[SessionEvent]
+    // normalize ts exactly like Tables.events (long nanos OR NTZ micros)
+    val ev = graft.Tables.normalizeTs(raw)
+      .select(col("user_id"), col("ts"), col("event_id")).as[SessionEvent]
 
     val sessions = ev
       .groupByKey(_.user_id)

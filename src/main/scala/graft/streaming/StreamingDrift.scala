@@ -67,4 +67,73 @@ object StreamingDrift {
     val nextCounts = state.toSeq.toDF("c_nationkey", "next_n")
     Validate.driftGateFromCounts(prevCounts, nextCounts, "c_nationkey", zMax)
   }
+
+  /** MERGE one micro-batch's keyed count delta into the parquet-backed state
+    * table at `statePath` (schema `g, next_n, batch_id`) — the unbounded-key
+    * state fold: the union+re-aggregate runs distributed, the staged swap
+    * ([[graft.pipeline.StagedSwap]]) makes the write safe against the plan
+    * reading its own input, and the applied batchId rides IN the state table
+    * (every row carries it; one swap = counts and marker move atomically),
+    * so a retried at-least-once micro-batch sees `batchId <= max(batch_id)`
+    * and skips — no double-count. The only `.collect()` is the 1-row
+    * batch-marker max (bounded parameter fetch).
+    */
+  def mergeCountDelta(spark: SparkSession, statePath: String,
+                      delta: DataFrame, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p  = new Path(statePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("next_n", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("batch_id", org.apache.spark.sql.types.LongType)))
+    val old =
+      if (fs.exists(p)) spark.read.schema(schema).parquet(statePath)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val lastApplied = old.agg(coalesce(max("batch_id"), lit(-1L))).head.getLong(0)
+    if (batchId > lastApplied) {
+      val merged = old.select(col("g"), col("next_n"))
+        .unionByName(delta.select(col("g"), col("next_n")))
+        .groupBy("g").agg(sum("next_n").as("next_n"))
+        .withColumn("batch_id", lit(batchId))
+      val tmp = new Path(statePath + ".staging")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      graft.pipeline.StagedSwap.swap(fs, tmp, p, new Path(statePath + ".old"))
+    }
+  }
+
+  /** The UNBOUNDED-key form of the streaming gate: the group key is a wide
+    * domain (here `c_custkey % buckets` standing in for per-domain / per-host
+    * counts), so per-batch deltas MERGE into a key-partitioned parquet state
+    * table via [[mergeCountDelta]] instead of folding into a driver-held
+    * map — no driver state grows with key cardinality, which is what makes
+    * the gate usable when the group key is unbounded. Scenario mirrors
+    * q150/q152: the streamed next snapshot drops the half of bucket 7 with
+    * `c_custkey % (2·buckets) = 7`, so exactly that bucket must flag.
+    */
+  def keyedDriftGate(spark: SparkSession, dir: String, zMax: Double = 3.0,
+                     buckets: Int = 64): DataFrame = {
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_drift_state").resolve("state").toString
+    val reader = spark.readStream
+      .schema(spark.read.parquet(s"$dir/customer.parquet").schema)
+      .option("pathGlobFilter", "customer.parquet")
+    val streamed = reader.parquet(dir)
+      .filter(col("c_custkey") % (2 * buckets) =!= 7)
+      .select((col("c_custkey") % buckets).as("g"))
+    val q = streamed.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = batch.groupBy("g").agg(count(lit(1)).cast("long").as("next_n"))
+        mergeCountDelta(spark, statePath, delta, batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val prevCounts = spark.read.option("pathGlobFilter", "customer.parquet").parquet(dir)
+      .groupBy((col("c_custkey") % buckets).as("g")).agg(count(lit(1)).cast("long").as("prev_n"))
+    val nextCounts = spark.read.parquet(statePath).select("g", "next_n")
+    Validate.driftGateFromCounts(prevCounts, nextCounts, "g", zMax)
+  }
 }

@@ -1,0 +1,98 @@
+package graft
+
+import graft.functions.expressions.PerceptualHash
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("dhash/ahash: empty and constant blobs hash to 0; output fits in 60 bits") {
+    assert(PerceptualHash.dhash(Array.emptyByteArray) === 0L)
+    assert(PerceptualHash.ahash(Array.emptyByteArray) === 0L)
+    // constant signal: every bucket mean equal, no strict > anywhere
+    val flat = Array.fill[Byte](300)(42)
+    assert(PerceptualHash.dhash(flat) === 0L)
+    assert(PerceptualHash.ahash(flat) === 0L)
+    val ramp = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
+    for (h <- Seq(PerceptualHash.dhash(ramp), PerceptualHash.ahash(ramp)))
+      assert(h >= 0L && h < (1L << 60))
+  }
+
+  test("dhash: strictly decreasing signal sets every gradient bit") {
+    // bucket means strictly decrease, so all 60 comparisons fire
+    val desc = Array.tabulate[Byte](244)(i => (243 - i).toByte)
+    assert(PerceptualHash.dhash(desc) === (1L << 60) - 1)
+  }
+
+  test("dhash: in-place substitution of a few bytes moves the hash only a few bits") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill[Byte](400)((rnd.nextInt(64) + 32).toByte)
+    val edited = base.clone()
+    var i = 0
+    while (i < 4) { edited(i) = (edited(i) + 20).toByte; i += 1 }
+    assert(ham(PerceptualHash.dhash(base), PerceptualHash.dhash(edited)) <= 4)
+  }
+
+  test("expression codegen matches the Scala kernel") {
+    val rows = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, ""), (3L, "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj"))
+    val df = rows.toDF("id", "t")
+    val got = df.select($"id", Multimodal.dHash($"t".cast("binary")).as("d"),
+        Multimodal.aHash($"t".cast("binary")).as("a"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = rows.map { case (id, t) =>
+      id -> (PerceptualHash.dhash(t.getBytes), PerceptualHash.ahash(t.getBytes)) }.toMap
+    assert(got === want)
+  }
+
+  test("mediaDupPairs: identical and near-identical blobs pair; banding finds them") {
+    val body = Array.tabulate(600)(i => ('a' + (i * 7 % 26)).toChar).mkString
+    val edited = "ZZZZ" + body.drop(4) // in-place head substitution
+    val df = Seq((1L, body), (2L, body), (3L, edited), (4L, "completely different " * 30))
+      .toDF("id", "m")
+    val pairs = Multimodal.mediaDupPairs(df, "id", "m", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((1L, 2L, 0L))) // exact copy
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 3L && h <= 3 }) // re-encode
+    assert(!pairs.exists { case (a, b, _) => b == 4L || a == 4L })
+  }
+
+  test("captionFrameStats: frame counts, bytes, and duplicate-frame ratio") {
+    // media: 64-byte frame repeated 3 times + caption of 5 tokens
+    val frame = "x" * 64
+    val df = Seq((10L, "one two three four five", frame * 3, "s1"),
+                 (11L, "a b", frame + ("y" * 64), "s2"))
+      .toDF("doc_id", "text", "m", "source")
+    val got = Multimodal.captionFrameStats(spark, df, frameBytes = 64,
+      idCol = "doc_id", textCol = "text", mediaCol = "m")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_frames") === 3L)
+    assert(got(0).getAs[Long]("distinct_frames") === 1L)
+    assert(got(0).getAs[Long]("caption_tokens") === 5L)
+    assert(got(0).getAs[Double]("dup_frame_ratio") > 0.6)
+    assert(got(1).getAs[Long]("n_frames") === 2L)
+    assert(got(1).getAs[Long]("distinct_frames") === 2L)
+    assert(got(1).getAs[Double]("dup_frame_ratio") === 0.0)
+  }
+
+  test("curateMedia: caption gate, frame gates, and perceptual dedup each drop their targets") {
+    val body = Array.tabulate(600)(i => ('a' + (i * 11 % 26)).toChar).mkString
+    val caption = "tok " * 30
+    val rows = Seq(
+      (1L, caption, body, "keep"),              // survives
+      (2L, caption, "QQQQ" + body.drop(4), "dup"), // perceptual dup of 1 → dropped
+      (3L, "short", body.reverse, "badcap"),    // caption gate
+      (4L, caption, "tiny", "smallmedia"),      // < 2 frames at 128 B
+      (5L, caption, ("z" * 128) * 4, "loopjunk")) // dup_frame_ratio 0.75 > 0.5
+      .toDF("id", "caption", "m", "source")
+    val kept = Multimodal.curateMedia(spark, rows, frameBytes = 128,
+        minCaptionTokens = 10, minFrames = 2, maxDupFrameRatio = 0.5,
+        maxHamming = 3, idCol = "id", textCol = "caption", mediaCol = "m")
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+  }
+}

@@ -241,4 +241,81 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     val afterSync = scan.select($"path", $"mtime".as("last_edit_time"))
     assert(graft.pipeline.Delta.changed(scan, afterSync).count() === 0)
   }
+
+  // directed edge-set generator over a small node universe; nonempty,
+  // distinct, no self-loops
+  private def edgeGen(nNodes: Int): Gen[Seq[(Long, Long)]] =
+    Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, nNodes - 1L), Gen.chooseNum(0L, nNodes - 1L)))
+      .map(_.filter { case (a, b) => a != b }.distinct)
+      .suchThat(_.nonEmpty)
+
+  test("property: pageRankWeighted mass conservation — ranks sum to 1 with dangling nodes") {
+    import graft.operators.Graph
+    for ((edges, i) <- sample(edgeGen(8), 4, 59L).zipWithIndex) {
+      val df = edges.map { case (a, b) => (a, b, 1.0 + (a + b) % 3) }.toDF("src", "dst", "w")
+      val prs = Graph.pageRankWeighted(df, "src", "dst", "w", iters = 6)
+        .collect().map(_.getDouble(1))
+      // dangling redistribution means NO mass leaks: Σpr = 1 up to the
+      // per-node 1e-6 rounding quantum
+      assert(math.abs(prs.sum - 1.0) <= prs.length * 1e-6,
+        s"graph $i: ranks sum to ${prs.sum}, edges=$edges")
+    }
+    // and the generator really exercises dangling nodes in at least one graph
+    val dangled = sample(edgeGen(8), 4, 59L).exists { edges =>
+      val outs = edges.map(_._1).toSet
+      edges.map(_._2).exists(d => !outs.contains(d))
+    }
+    assert(dangled, "generator produced no dangling node — weaken the seed or sizes")
+  }
+
+  test("property: pageRankWeighted is invariant under uniform weight scaling") {
+    import graft.operators.Graph
+    for (edges <- sample(edgeGen(8), 3, 61L)) {
+      val base = edges.map { case (a, b) => (a, b, 1.0 + (a * 7 + b) % 5) }
+      def run(scale: Double) = Graph.pageRankWeighted(
+          base.map { case (a, b, w) => (a, b, w * scale) }.toDF("src", "dst", "w"),
+          "src", "dst", "w", iters = 5)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val (r1, r4) = (run(1.0), run(4.0))
+      assert(r1.keySet === r4.keySet)
+      // contribution is w/Σw per source, so a global scale cancels exactly
+      // in the real-number algebra; FP division by a scaled sum can move a
+      // value one rounding quantum
+      for (k <- r1.keySet)
+        assert(math.abs(r1(k) - r4(k)) <= 1e-6, s"node $k: ${r1(k)} vs ${r4(k)}")
+    }
+  }
+
+  test("property: pageRank ≡ pageRankWeighted on unit-weight symmetrized graphs") {
+    import graft.operators.Graph
+    for (edges <- sample(edgeGen(7), 3, 67L)) {
+      val sym = (edges ++ edges.map(_.swap)).distinct
+      val plain = Graph.pageRank(sym.toDF("src", "dst"), "src", "dst", iters = 5)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val weighted = Graph.pageRankWeighted(
+          sym.map { case (a, b) => (a, b, 1.0) }.toDF("src", "dst", "w"),
+          "src", "dst", "w", iters = 5)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(plain.keySet === weighted.keySet)
+      // no dangling mass on a symmetrized graph, so the two recurrences are
+      // the same real-number map; allow one rounding quantum for the extra
+      // ×1.0/Σ1.0 arithmetic on the weighted path
+      for (k <- plain.keySet)
+        assert(math.abs(plain(k) - weighted(k)) <= 1e-6, s"node $k: ${plain(k)} vs ${weighted(k)}")
+    }
+  }
+
+  test("property: raising one edge's weight raises its target's rank") {
+    import graft.operators.Graph
+    // star-plus-cycle: node 0 points to 1 and 2; cycle keeps mass moving.
+    // Boosting 0→1's weight must strictly increase node 1's rank.
+    val cycle = Seq((1L, 0L, 1.0), (2L, 0L, 1.0))
+    def run(w01: Double) = Graph.pageRankWeighted(
+        (Seq((0L, 1L, w01), (0L, 2L, 1.0)) ++ cycle).toDF("src", "dst", "w"),
+        "src", "dst", "w", iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (lo, hi) = (run(1.0), run(3.0))
+    assert(hi(1L) > lo(1L))
+    assert(hi(2L) < lo(2L))
+  }
 }

@@ -158,6 +158,24 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
       s"anchored matching must never fall back to all-pairs:\n${aplan.take(2000)}")
   }
 
+  test("mediaDupPairs: perceptual pairing is a band equi-join — no all-pairs, blobs never join") {
+    import graft.multimodal.Multimodal
+    val blobs = (0L until 50L).map(i => (i, s"media blob body $i " * 20)).toDF("id", "m")
+    val plan = Multimodal.mediaDupPairs(blobs, "id", "m", maxHamming = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"media pairing must never fall back to all-pairs:\n${plan.take(2000)}")
+    // the curation chain inherits the same guarantee
+    val docs = (0L until 40L).map(i => (i, "cap " * 25, s"payload $i " * 30, "s"))
+      .toDF("id", "caption", "m", "source")
+    val cplan = Multimodal.curateMedia(spark, docs, frameBytes = 64,
+        minCaptionTokens = 5, minFrames = 1, maxDupFrameRatio = 1.0,
+        maxHamming = 3, idCol = "id", textCol = "caption", mediaCol = "m")
+      .queryExecution.executedPlan.toString
+    assert(!cplan.contains("CartesianProduct") && !cplan.contains("BroadcastNestedLoopJoin"),
+      s"media curation must never fall back to all-pairs:\n${cplan.take(2000)}")
+  }
+
   test("driftHistoryGate: snapshots never pairwise join — keyed joins only") {
     import graft.operators.Validate
     val snaps = (0 until 5).map(i =>

@@ -362,4 +362,23 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     val batch = graft.operators.Sketches.hllDistinct(ev, "event_id", p = 9).head.toSeq
     assert(streamed === batch)
   }
+
+  test("mergeCountDelta: keyed state-table fold is idempotent under batch replay") {
+    import spark.implicits._
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_merge_state").resolve("st").toString
+    def delta(rows: (Long, Long)*) = rows.toSeq.toDF("g", "next_n")
+    def snapshot(): Map[Long, Long] = spark.read.parquet(statePath)
+      .collect().map(r => r.getAs[Long]("g") -> r.getAs[Long]("next_n")).toMap
+    graft.streaming.StreamingDrift.mergeCountDelta(spark, statePath, delta(1L -> 5L, 2L -> 3L), 0L)
+    graft.streaming.StreamingDrift.mergeCountDelta(spark, statePath, delta(1L -> 2L, 3L -> 7L), 1L)
+    val after = snapshot()
+    assert(after === Map(1L -> 7L, 2L -> 3L, 3L -> 7L))
+    // at-least-once retry of an already-applied batch must be a no-op
+    graft.streaming.StreamingDrift.mergeCountDelta(spark, statePath, delta(1L -> 2L, 3L -> 7L), 1L)
+    assert(snapshot() === after)
+    // and a stale batch (id below the marker) must also be skipped
+    graft.streaming.StreamingDrift.mergeCountDelta(spark, statePath, delta(9L -> 9L), 0L)
+    assert(snapshot() === after)
+  }
 }
