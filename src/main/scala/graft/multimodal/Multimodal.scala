@@ -86,7 +86,10 @@ object Multimodal {
   def mediaDupPairs(df: DataFrame, idCol: String, bytesCol: String,
                     maxHamming: Int): DataFrame = {
     import graft.functions.TextFunctions.hamming64
-    val hashed = df.select(col(idCol), dHash(col(bytesCol).cast("binary")).as("ph"))
+    // cache-lifetime: pinned by the returned plan — caller releases (see
+    // Caching); both join sides read the hashed (id, ph) rows, and without
+    // the pin each side re-derives the blobs AND re-hashes them
+    val hashed = df.select(col(idCol), dHash(col(bytesCol).cast("binary")).as("ph")).cache()
     val banded = hashed
       .withColumn("band", explode(sequence(lit(0), lit(3))))
       .withColumn("chunk", expr("shiftright(ph, band*15) & 32767"))

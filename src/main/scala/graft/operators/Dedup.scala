@@ -602,6 +602,62 @@ object Dedup {
       .orderBy(idCol, "span_start")
   }
 
+  /** Fingerprinted exact-substring spans — [[exactSubstrSpans]]' contract
+    * (same spans, same output schema) with the corpus-scale key: instead of
+    * materializing and shuffling every `minLen`-char window STRING
+    * (O(n·minLen) bytes built map-side, ~minLen bytes per position
+    * shuffled), each position shuffles a 16-byte pair of independent
+    * Rabin–Karp rolling fingerprints ([[graft.functions.expressions.RollingWindowHashes]],
+    * one O(n) pass per base, mod 2⁶¹−1). At minLen = 50 that is a ~3.5×
+    * shuffle-byte cut and an O(minLen)→O(1) per-position map cost; the
+    * collision budget at 10¹⁴ windows is ~2·10⁻⁹ expected colliding pairs
+    * (documented in the expression), and the q163 oracle runs q149's
+    * string-keyed SQL verbatim, so fingerprint ≡ string is CHECKED on the
+    * fixture, not assumed.
+    *
+    * Why not a distributed suffix array (Lee et al.'s construction): with
+    * fixed minLen the SA's duplicated-position set collapses to "windows
+    * sharing a minLen-prefix", i.e. exactly this groupBy; a prefix-doubling
+    * rank build would pay ⌈log₂ minLen⌉ rounds × (self-join + re-rank)
+    * ≈ 18 shuffles of ~24-byte rows (~430 B/position) versus ONE shuffle of
+    * 16 B/position here — the SA wins only when maximal-repeat lengths are
+    * unbounded, which this operator's contract fixes a priori.
+    */
+  def fpSubstrSpans(df: DataFrame, idCol: String, textCol: String,
+                    minLen: Int): DataFrame = {
+    import graft.functions.expressions.RollingWindowHashes
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    require(minLen >= 2, s"fpSubstrSpans needs minLen >= 2, got $minLen")
+    def roll(base: Long) = B.column(
+      RollingWindowHashes(B.expression(col(textCol)), minLen, base))
+    val w = df.select(col(idCol),
+        posexplode(arrays_zip(roll(1000000007L).as("f1"), roll(998244353L).as("f2"))))
+      .select(col(idCol), (col("pos") + 1).as("pos"),
+        col("col.f1").as("f1"), col("col.f2").as("f2"))
+    val dupWins = w.groupBy("f1", "f2")
+      .agg(countDistinct(idCol).as("__nd")).filter(col("__nd") >= 2)
+      .select("f1", "f2")
+    val marked = w.join(dupWins, Seq("f1", "f2")).select(col(idCol), col("pos"))
+    mergeConsecutivePositions(marked, idCol, minLen)
+  }
+
+  /** Maximal spans from stride-1 duplicated positions: consecutive-position
+    * islands via `pos − row_number`, span [min, max+minLen) — shared by
+    * [[exactSubstrSpans]] and [[fpSubstrSpans]].
+    */
+  private def mergeConsecutivePositions(marked: DataFrame, idCol: String,
+                                        minLen: Int): DataFrame = {
+    val grp = col("pos") - row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(idCol).orderBy("pos"))
+    marked.withColumn("__g", grp)
+      .groupBy(col(idCol), col("__g"))
+      .agg(min("pos").as("__s"), max("pos").as("__e"))
+      .select(col(idCol),
+        col("__s").cast("long").as("span_start"),
+        (col("__e") - col("__s") + minLen).cast("long").as("span_len"))
+      .orderBy(idCol, "span_start")
+  }
+
   /** The hash-anchor modulus shared with the DuckDB oracle (same prime as
     * the PolyHash family) and the 8-char anchor fingerprint width.
     */

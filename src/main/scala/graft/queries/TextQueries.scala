@@ -1677,6 +1677,20 @@ object TextQueries {
              |SELECT doc_id, span_start, span_len FROM spans
              |ORDER BY doc_id, span_start""".stripMargin)),
 
+    // q149's contract with the production shuffle key: every position ships
+    // a 16-byte Rabin–Karp fingerprint pair (two independent 61-bit rolling
+    // hashes, one O(n) map pass each) instead of the 50-char window string.
+    // The oracle is q149's string-keyed SQL VERBATIM — fingerprint ≡ string
+    // is checked on the fixture, not assumed (collision budget ~2e-9
+    // expected colliding pairs at 1e14 windows, see RollingWindowHashes).
+    "q163_fp_substr_spans" -> Q(
+      (s, dir) => Dedup.fpSubstrSpans(
+        Tables.documents(s, dir).filter(col("doc_id") < ExactPairSample),
+        "doc_id", "text", minLen = 50),
+      Some(s"""WITH ${substrSpanCtes(anchored = false)}
+             |SELECT doc_id, span_start, span_len FROM spans
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
     // The corpus-scale path for q149: windows only at CONTENT-DEFINED
     // anchor positions (8-char fingerprint ≡ 0 mod 8) — ~8× fewer window
     // rows through the shuffle. Identical content anchors identically in

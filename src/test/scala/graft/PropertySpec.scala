@@ -233,6 +233,40 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     assert(expected.nonEmpty) // the generator really produced collisions
   }
 
+  test("property: fpSubstrSpans ≡ exactSubstrSpans on random collision-heavy docs") {
+    // the fingerprint shuffle key must reproduce the string-keyed spans
+    // exactly — same {a,b}-alphabet generator as the exactSubstrSpans pin,
+    // where 5-char windows collide constantly
+    val L = 5
+    val docGen = Gen.listOfN(25, Gen.oneOf('a', 'b')).map(_.mkString)
+    val texts = sample(docGen, 12, 53L) :+ "ab" :+ "" // short + empty edges
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def spans(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = spans(graft.operators.Dedup.exactSubstrSpans(docs, "doc_id", "text", L))
+    val fp = spans(graft.operators.Dedup.fpSubstrSpans(docs, "doc_id", "text", L))
+    assert(fp === exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("property: rolling window hashes equal per-window Horner recompute (unicode included)") {
+    import graft.functions.expressions.RollingWindowHashes._
+    import org.apache.spark.unsafe.types.UTF8String
+    val strGen = Gen.listOf(Gen.frequency(
+      6 -> Gen.oneOf('a', 'b', 'c').map(_.toString), 2 -> Gen.const(" "),
+      1 -> Gen.oneOf("é", "中", "🦀", "ß"))).map(_.mkString)
+    val B = 1000000007L
+    for (t <- sample(strGen, 60, 71L) ++ Seq("", "ab", "aaaa", "é中🦀ßé中🦀ß")) {
+      val cps = t.codePoints().toArray.map(_.toLong)
+      val L = 3
+      val want = (0 to cps.length - L).map { p =>
+        cps.slice(p, p + L).foldLeft(0L)((acc, c) => (mulmod(acc, B) + c) % M61)
+      }
+      val got = compute(UTF8String.fromString(t), L, B).toLongArray().toSeq
+      assert(got === want, s"mismatch for <$t>")
+    }
+  }
+
   test("property: incremental-scan invariant — second delta is empty") {
     // the reference's core contract (main.py:149-151): no changes => no work
     val rows = sample(Gen.zip(Gen.identifier.map(_.take(8)), Gen.chooseNum(1L, 1e9.toLong)), 100, 37L)

@@ -156,6 +156,11 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
       .queryExecution.executedPlan.toString
     assert(!aplan.contains("CartesianProduct") && !aplan.contains("BroadcastNestedLoopJoin"),
       s"anchored matching must never fall back to all-pairs:\n${aplan.take(2000)}")
+    // and on the fingerprint-keyed path
+    val fplan = Dedup.fpSubstrSpans(docs, "doc_id", "text", minLen = 20)
+      .queryExecution.executedPlan.toString
+    assert(!fplan.contains("CartesianProduct") && !fplan.contains("BroadcastNestedLoopJoin"),
+      s"fingerprint matching must never fall back to all-pairs:\n${fplan.take(2000)}")
   }
 
   test("mediaDupPairs: perceptual pairing is a band equi-join — no all-pairs, blobs never join") {
