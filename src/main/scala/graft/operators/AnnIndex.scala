@@ -349,6 +349,115 @@ object AnnIndex {
     (enc, qbOf, adist)
   }
 
+  /** RESIDUAL IVF-PQ (Jégou/Douze/Schmid, TPAMI 2011 §III — the IVFADC the
+    * paper actually specifies): codes quantize the residual `v −
+    * centroid(cell(v))` rather than the raw vector, so each codebook only
+    * has to cover the spread WITHIN a coarse cell instead of the whole
+    * space — the standard construction users expect, recovering recall on
+    * clustered corpora at identical index size. The query side pays one ADC
+    * table per PROBED CELL (the table is over `q − centroid(cell)`, which
+    * differs per cell) instead of one per query: m·ksub doubles × nprobe —
+    * still parameter-sized broadcast state.
+    *
+    * Every stage stays deterministic and SQL-mirrorable (q164): the coarse
+    * quantizer is byte-identical to [[pqParts]], the residual is one exact
+    * double subtraction, and training/encoding run the same kernels on the
+    * residual column.
+    */
+  def pqResidualTopK(queries: DataFrame, qIdCol: String, qVecCol: String,
+                     corpus: DataFrame, cIdCol: String, cVecCol: String,
+                     k: Int, m: Int, ksub: Int, dim: Int,
+                     nlist: Int, nprobe: Int, roundTo: Int = 6,
+                     excludeSelf: Boolean = true,
+                     codebooks: Option[Array[Array[Seq[Double]]]] = None): DataFrame = {
+    val (enc, qbOf, adist) =
+      pqResidualParts(corpus, cIdCol, cVecCol, m, ksub, dim, nlist, nprobe, codebooks)
+    val qb = qbOf(queries, qIdCol, qVecCol)
+    val scored = enc.join(broadcast(qb), Seq("__cell"))
+      .filter(lit(!excludeSelf) || col(qIdCol) =!= col(cIdCol))
+      .withColumn("score", floorRound(adist, roundTo))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("score"), col(cIdCol))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(qIdCol), col(cIdCol), col("score"), col("rn"))
+      .orderBy(col(qIdCol), col("rn"))
+  }
+
+  /** The residual corpus `(id, v − centroid(cell(v)))` under the
+    * deterministic lowest-id coarse centroids — the training input for
+    * residual codebooks ([[pqTrainCodebooks]] runs on it unchanged).
+    */
+  def pqResidualCorpus(corpus: DataFrame, idCol: String, vecCol: String,
+                       nlist: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dotFused
+    val cents: Array[(Int, Seq[Double])] = corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .orderBy(col(idCol)).limit(nlist)
+      .collect().zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) }
+    val centArr = array(cents.map { case (_, c) => array(c.map(lit): _*) }.toSeq: _*)
+    def cellScores(vec: Column): Column = array(cents.toSeq.map { case (i, c) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dotFused(vec, array(c.map(lit): _*))).as("d"), lit(i).as("i"))
+    }: _*)
+    val v = asDouble(col(vecCol))
+    corpus.select(col(idCol),
+      zip_with(v, element_at(centArr, array_min(cellScores(v)).getField("i") + 1),
+        (a, b) => a - b).as("__resid"))
+  }
+
+  /** Residual-encoding plan pieces — [[pqParts]]' shape with the residual
+    * subtraction spliced in on both sides of the join key.
+    */
+  private[graft] def pqResidualParts(corpus: DataFrame, cIdCol: String, cVecCol: String,
+      m: Int, ksub: Int, dim: Int, nlist: Int, nprobe: Int,
+      codebooks: Option[Array[Array[Seq[Double]]]])
+      : (DataFrame, (DataFrame, String, String) => DataFrame, Column) = {
+    import graft.functions.VectorFunctions.dotFused
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(nprobe <= nlist, "nprobe must be <= nlist")
+    val dsub = dim / m
+    val cbs = codebooks.getOrElse {
+      pqCodebooks(pqResidualCorpus(corpus, cIdCol, cVecCol, nlist),
+        cIdCol, "__resid", m, ksub, dim)
+    }
+    require(cbs.length == m && cbs.forall(cb => cb.length == ksub && cb.forall(_.length == dsub)),
+      s"codebooks must be m=$m groups of ksub=$ksub $dsub-dim entries (ADC offsets assume it)")
+    val cents: Array[(Int, Seq[Double])] = corpus
+      .select(col(cIdCol), asDouble(col(cVecCol)).as("v"))
+      .orderBy(col(cIdCol)).limit(nlist)
+      .collect().zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) }
+    val centArr = array(cents.map { case (_, c) => array(c.map(lit): _*) }.toSeq: _*)
+    def cellScores(vec: Column): Column = array(cents.toSeq.map { case (i, c) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dotFused(vec, array(c.map(lit): _*))).as("d"), lit(i).as("i"))
+    }: _*)
+    def resid(vec: Column, cell: Column): Column =
+      zip_with(vec, element_at(centArr, cell + 1), (a, b) => a - b)
+
+    import graft.functions.expressions.{PqAdcTable, PqEncode}
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    val cbArr: Array[Array[Array[Double]]] = cbs.map(_.map(_.toArray))
+    def codesCol(vec: Column): Column = B.column(PqEncode(B.expression(vec), cbArr))
+    def dtabCol(vec: Column): Column = B.column(PqAdcTable(B.expression(vec), cbArr))
+
+    val enc = corpus
+      .withColumn("__cell", array_min(cellScores(asDouble(col(cVecCol)))).getField("i"))
+      .select(col(cIdCol), col("__cell"),
+        codesCol(resid(asDouble(col(cVecCol)), col("__cell"))).as("__codes"))
+    def qbOf(queries: DataFrame, qIdCol: String, qVecCol: String): DataFrame = queries
+      .select(col(qIdCol),
+        slice(sort_array(cellScores(asDouble(col(qVecCol)))), 1, nprobe).as("__probes"),
+        asDouble(col(qVecCol)).as("__qv"))
+      .withColumn("__probe", explode(col("__probes")))
+      .withColumn("__cell", col("__probe.i"))
+      .withColumn("__dtab", dtabCol(resid(col("__qv"), col("__cell"))))
+      .drop("__probes", "__probe", "__qv")
+    val adist = (0 until m)
+      .map(j => element_at(col("__dtab"), col("__codes").getItem(j) + lit(j * ksub + 1)))
+      .reduce(_ + _)
+    (enc, qbOf, adist)
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-efficient
     * learning at web-scale through semantic deduplication", arXiv 2023):
     * assign every embedding to an IVF coarse cell, generate cosine pairs only

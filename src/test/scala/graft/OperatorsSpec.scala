@@ -1154,6 +1154,48 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(trained.map(_.toSeq).toSeq === perSubspace.map(_.toSeq).toSeq)
   }
 
+  test("pqResidualTopK: residual codes recover recall raw codes lose on a clustered corpus") {
+    import graft.operators.AnnIndex
+    // 4 tight clusters around far-apart centers: raw PQ must spend its
+    // 4-entry-per-subspace budget spanning the centers, residual PQ only
+    // has to cover the within-cluster offsets. Interleaved ids put one
+    // cluster member in each of the 4 lowest ids (the coarse centroids).
+    val centers = Seq(
+      Seq(100.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Seq(0.0, 100.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 100.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 0.0, 100.0, 0.0, 0.0, 0.0, 0.0))
+    val rows = (0 until 48).map { i =>
+      val c = centers(i % 4)
+      val off = (0 until 8).map(d => ((i * 31 + d * 7) % 11) * 0.3)
+      (i.toLong, c.zip(off).map { case (a, b) => a + b })
+    }
+    val corpus = rows.toDF("c_id", "v")
+    val queries = rows.take(8).map { case (i, v) => (i, v) }.toDF("q_id", "qv")
+    def recallOf(top: org.apache.spark.sql.DataFrame): Double = {
+      val got = top.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // exact squared-L2 top-3 per query (self excluded), ties by id
+      val exact = rows.take(8).flatMap { case (qi, qv) =>
+        rows.filter(_._1 != qi)
+          .map { case (ci, cv) => (ci, qv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum) }
+          .sortBy { case (ci, d) => (d, ci) }.take(3).map { case (ci, _) => (qi, ci) }
+      }.toSet
+      exact.count(got.contains).toDouble / exact.size
+    }
+    val raw = AnnIndex.pqTopK(queries, "q_id", "qv", corpus, "c_id", "v",
+      k = 3, m = 4, ksub = 4, dim = 8, nlist = 4, nprobe = 1,
+      codebooks = Some(AnnIndex.pqTrainCodebooks(corpus, "c_id", "v",
+        m = 4, ksub = 4, dim = 8, iters = 2)))
+    val res = AnnIndex.pqResidualTopK(queries, "q_id", "qv", corpus, "c_id", "v",
+      k = 3, m = 4, ksub = 4, dim = 8, nlist = 4, nprobe = 1,
+      codebooks = Some(AnnIndex.pqTrainCodebooks(
+        AnnIndex.pqResidualCorpus(corpus, "c_id", "v", nlist = 4),
+        "c_id", "__resid", m = 4, ksub = 4, dim = 8, iters = 2)))
+    val (rRaw, rRes) = (recallOf(raw), recallOf(res))
+    assert(rRes > rRaw, s"residual recall $rRes should beat raw $rRaw on clustered data")
+    assert(rRes >= 0.5, s"residual recall $rRes unexpectedly low")
+  }
+
   // ---- Contrastive.minePairs ----
 
   test("minePairs: nearest vector ranks pos#1, negatives exclude positives, zero-norm excluded") {
