@@ -692,13 +692,26 @@ object Dedup {
     * never wider than the evidence.
     */
   def anchorSubstrSpans(df: DataFrame, idCol: String, textCol: String,
-                        minLen: Int, anchorEvery: Int): DataFrame = {
-    val w = anchoredWindows(df, idCol, textCol, minLen, anchorEvery)
-    val dupWins = w.groupBy("win")
+                        minLen: Int, anchorEvery: Int): DataFrame =
+    spansFromAnchorIndex(
+      anchoredWindows(df, idCol, textCol, minLen, anchorEvery), idCol, minLen)
+
+  /** Duplicated spans from a standing anchored-window INDEX (rows `(id,
+    * pos, win)`, i.e. [[anchoredWindows]]' output, possibly persisted and
+    * incrementally appended): dup windows (≥ 2 distinct docs) → interval
+    * merge. Split out so an INCREMENTALLY MAINTAINED index — standing
+    * index unioned with a delta corpus's anchored windows, the q156
+    * delta-assignment pattern — provably yields the same spans as a full
+    * rebuild (q166): documents are immutable, so index maintenance under
+    * corpus append is exactly "append the delta's window rows"; no
+    * recomputation of the standing side, never a corpus rescan.
+    */
+  def spansFromAnchorIndex(index: DataFrame, idCol: String, minLen: Int): DataFrame = {
+    val dupWins = index.groupBy("win")
       .agg(countDistinct(idCol).as("__nd")).filter(col("__nd") >= 2)
       .select("win")
     mergeWindowIntervals(
-      w.join(dupWins, Seq("win")).select(col(idCol), col("pos")), idCol, minLen)
+      index.join(dupWins, Seq("win")).select(col(idCol), col("pos")), idCol, minLen)
   }
 
   /** The anchored (id, pos, win) window stream of [[anchorSubstrSpans]] —

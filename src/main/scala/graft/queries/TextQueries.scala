@@ -1704,6 +1704,28 @@ object TextQueries {
              |SELECT doc_id, span_start, span_len FROM spans
              |ORDER BY doc_id, span_start""".stripMargin)),
 
+    // Incremental maintenance of the anchored-window index (the q156
+    // delta-assignment pattern applied to the substring family): the
+    // standing index (docs % 10 != 0) is NOT recomputed — the delta docs'
+    // anchored windows are appended to it, and the spans from the merged
+    // index must equal the full-corpus rebuild, which is exactly what the
+    // oracle computes. Documents are immutable, so append IS the complete
+    // maintenance algebra; the delta pass costs O(delta bytes/anchorEvery).
+    "q166_substr_index_incremental" -> Q(
+      (s, dir) => {
+        val capped = Tables.documents(s, dir).filter(col("doc_id") < ExactPairSample)
+        val standing = Dedup.anchoredWindows(
+          capped.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          minLen = 50, anchorEvery = 8)
+        val deltaWins = Dedup.anchoredWindows(
+          capped.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          minLen = 50, anchorEvery = 8)
+        Dedup.spansFromAnchorIndex(standing.unionByName(deltaWins), "doc_id", minLen = 50)
+      },
+      Some(s"""WITH ${substrSpanCtes(anchored = true)}
+             |SELECT doc_id, span_start, span_len FROM spans
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
     // Recall audit of the anchor-sampled spans against the exact spans:
     // duplicated-character coverage ratio over the capped corpus — the
     // honest price of the ~8× shuffle cut, measured (the q76/q78/q136
