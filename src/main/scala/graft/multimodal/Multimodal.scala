@@ -136,6 +136,60 @@ object Multimodal {
         col("n_frames"), col("media_bytes"), col("distinct_frames"), col("dup_frame_ratio"))
   }
 
+  /** Temporal frame-alignment spans — the media analog of exact-substring
+    * dedup ([[graft.operators.Dedup.exactSubstrSpans]] at frame rather than
+    * character granularity): for every media pair sharing verbatim frames,
+    * the maximal runs of CONSECUTIVE frames at a CONSTANT temporal offset —
+    * shared intros/outros/segments between re-cut media, which whole-blob
+    * perceptual hashing ([[mediaDupPairs]]) cannot see.
+    *
+    * Output: (id_a, id_b, a_start, b_start, n_frames), id_a < id_b, frame
+    * ids 0-based, one row per maximal aligned run of length ≥ `minRun`.
+    *
+    * Scale shape: frames explode map-side; candidate pairs come from ONE
+    * equi-join on the frame checksum (never an all-pairs media join); a run
+    * is an island of consecutive `frame_a` within each (pair, offset) group
+    * — one keyed window. Skew: a frame appearing in k media yields O(k²)
+    * pair rows (the same degenerate-content blowup as substring dedup's
+    * shared windows); `maxDf` drops checksums seen in more than that many
+    * media first — the stop-frame filter (black frames, silence) a real
+    * media pipeline always applies.
+    */
+  def frameAlignSpans(spark: SparkSession, media: DataFrame, frameBytes: Int,
+                      minRun: Int, maxDf: Option[Int] = None,
+                      idCol: String = "doc_id", mediaCol: String = "m"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    val frames = sampleFrames(spark, media, frameBytes, idCol, mediaCol)
+      .select(col("doc_id"), col("frame_id"), col("checksum"))
+    val filtered = maxDf match {
+      case Some(cap) =>
+        val keep = frames.groupBy("checksum")
+          .agg(countDistinct("doc_id").as("__df")).filter(col("__df") <= cap)
+          .select("checksum")
+        frames.join(keep, Seq("checksum"))
+      case None => frames
+    }
+    val l = filtered.select(col("doc_id").as("id_a"), col("frame_id").as("fa"), col("checksum"))
+    val r = filtered.select(col("doc_id").as("id_b"), col("frame_id").as("fb"), col("checksum"))
+    val pairs = l.join(r, Seq("checksum"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("fa"), col("fb"),
+        (col("fa") - col("fb")).as("__off"))
+      // two identical frames WITHIN one media (a loop) would make (pair,
+      // offset, fa) non-unique and break the island arithmetic — dedup
+      .dropDuplicates("id_a", "id_b", "__off", "fa")
+    val w = Window.partitionBy("id_a", "id_b", "__off").orderBy("fa")
+    pairs
+      .withColumn("__g", col("fa") - row_number().over(w))
+      .groupBy("id_a", "id_b", "__off", "__g")
+      .agg(min("fa").as("a_start"), min("fb").as("b_start"),
+        count(lit(1)).as("n_frames"))
+      .filter(col("n_frames") >= minRun)
+      .select("id_a", "id_b", "a_start", "b_start", "n_frames")
+      .orderBy("id_a", "id_b", "a_start", "b_start")
+  }
+
   /** Modality-aware curation: keep records whose caption AND media both pass,
     * then drop perceptual near-duplicates (higher id loses, as in
     * [[graft.operators.Dedup]]'s policies). Gates:

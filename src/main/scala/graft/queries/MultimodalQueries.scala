@@ -116,6 +116,16 @@ object MultimodalQueries {
         col("text").as("caption"), col("source"), col("n_chars")))
   }
 
+  /** Media with shared trailer segments: 4 content frames (text padded to
+    * 512) + a 2-frame outro shared by every document in the same
+    * (source, doc_id % 25) group — simulated intro/outro reuse, the
+    * footage-level duplication [[Multimodal.frameAlignSpans]] targets.
+    */
+  private val TrailerMediaSpark: String =
+    "concat(rpad(text, 512, ' '), repeat(rpad(concat(source, '#', CAST(doc_id % 25 AS STRING)), 128, '.'), 2))"
+  private val TrailerMediaSql: String =
+    "rpad(text, 512, ' ') || repeat(rpad(source || '#' || CAST(doc_id % 25 AS VARCHAR), 128, '.'), 2)"
+
   def all: ListMap[String, Q] = ListMap(
     // Perceptual hashes of the raw media signal: both the gradient (dHash)
     // and average (aHash) 60-bit variants, hash-checked bit-for-bit.
@@ -192,19 +202,82 @@ object MultimodalQueries {
           maxHamming = 3, idCol = "id", textCol = "caption", mediaCol = "m")
         .select("id", "source", "n_chars")
         .orderBy("id"),
-      Some(s"""WITH $renditionCte,
+      curateOracle),
+
+    // Temporal frame alignment: maximal runs of consecutive frames shared
+    // at a constant offset between two media — the media analog of
+    // exact-substring dedup (segment-level footage reuse, invisible to
+    // whole-blob perceptual hashing). Candidates from ONE checksum
+    // equi-join; the stop-frame filter (maxDf) drops degenerate frames
+    // (here: the all-space padding frame short texts share) exactly like a
+    // stopword list. Every same-group pair must report its 2-frame outro.
+    "q167_media_frame_align" -> Q(
+      (s, dir) => {
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id"), expr(TrailerMediaSpark).as("m"))
+        Multimodal.frameAlignSpans(s, media, frameBytes = 128, minRun = 2,
+          maxDf = Some(60), idCol = "doc_id", mediaCol = "m")
+      },
+      Some(s"""WITH media AS (
+             |  SELECT doc_id AS id, $TrailerMediaSql AS m FROM documents),
              |${frameCtes(128)},
-             |cap AS (SELECT id, len(string_split(caption, ' ')) AS toks FROM media),
-             |gated AS (
-             |  SELECT r.id FROM media r
-             |  JOIN ma ON ma.id = r.id JOIN cap ON cap.id = r.id
-             |  WHERE cap.toks >= 20 AND ma.n_frames >= 2
-             |    AND ${frs("1 - CAST(ma.distinct_frames AS DOUBLE) / CAST(ma.n_frames AS DOUBLE)", 6)} <= 0.5),
-             |gmedia AS (SELECT r.id, r.m FROM media r JOIN gated g ON g.id = r.id),
-             |${dhashCtes.replace("FROM media WHERE", "FROM gmedia WHERE")},
-             |${bandPairCtes(maxHamming = 3)}
-             |SELECT r.id, r.source, r.n_chars FROM media r JOIN gated g ON g.id = r.id
-             |WHERE r.id NOT IN (SELECT id_b FROM pairs)
-             |ORDER BY r.id""".stripMargin)),
+             |keep AS (
+             |  SELECT checksum FROM fr GROUP BY checksum
+             |  HAVING count(DISTINCT id) <= 60),
+             |ff AS (SELECT fr.* FROM fr JOIN keep USING (checksum)),
+             |p AS (
+             |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.frame_id AS fa,
+             |    b.frame_id AS fb, a.frame_id - b.frame_id AS off
+             |  FROM ff a JOIN ff b ON a.checksum = b.checksum AND a.id < b.id),
+             |isl AS (
+             |  SELECT id_a, id_b, off, fa, fb,
+             |    fa - row_number() OVER (PARTITION BY id_a, id_b, off ORDER BY fa) AS g
+             |  FROM p),
+             |runs AS (
+             |  SELECT id_a, id_b, off, g, min(fa) AS a_start, min(fb) AS b_start,
+             |    CAST(count(*) AS BIGINT) AS n_frames
+             |  FROM isl GROUP BY 1, 2, 3, 4)
+             |SELECT id_a, id_b, a_start, b_start, n_frames FROM runs
+             |WHERE n_frames >= 2 ORDER BY id_a, id_b, a_start, b_start""".stripMargin)),
+
+    // The streaming ingest gate over the same frame index: delta media
+    // (doc_id % 10 == 0) arrive as a stream, frame checksums probe the
+    // standing corpus's frame index stream-static, drained hits merge into
+    // maximal duplicated frame runs — row-identical to the batch join the
+    // oracle computes (the q157 pattern, media modality).
+    "q168_stream_media_probe" -> Q(
+      (s, dir) => graft.streaming.StreamingMedia.deltaFrameSpans(
+        s, dir, cap = 500, frameBytes = 128, mediaExpr = TrailerMediaSpark),
+      Some(s"""WITH media AS (
+             |  SELECT doc_id AS id, $TrailerMediaSql AS m FROM documents
+             |  WHERE doc_id < 500),
+             |${frameCtes(128)},
+             |idx AS (SELECT DISTINCT checksum FROM fr WHERE id % 10 <> 0),
+             |hits AS (
+             |  SELECT DISTINCT f.id, f.frame_id AS pos
+             |  FROM fr f JOIN idx USING (checksum) WHERE f.id % 10 = 0),
+             |isl AS (
+             |  SELECT id, pos, pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS g
+             |  FROM hits)
+             |SELECT id AS doc_id, min(pos) AS span_start,
+             |  max(pos) - min(pos) + 1 AS span_len
+             |FROM isl GROUP BY id, g ORDER BY doc_id, span_start""".stripMargin)),
   )
+
+  /** q161's oracle: gates + perceptual dedup over the rendition corpus. */
+  private lazy val curateOracle: Option[String] =
+    Some(s"""WITH $renditionCte,
+           |${frameCtes(128)},
+           |cap AS (SELECT id, len(string_split(caption, ' ')) AS toks FROM media),
+           |gated AS (
+           |  SELECT r.id FROM media r
+           |  JOIN ma ON ma.id = r.id JOIN cap ON cap.id = r.id
+           |  WHERE cap.toks >= 20 AND ma.n_frames >= 2
+           |    AND ${frs("1 - CAST(ma.distinct_frames AS DOUBLE) / CAST(ma.n_frames AS DOUBLE)", 6)} <= 0.5),
+           |gmedia AS (SELECT r.id, r.m FROM media r JOIN gated g ON g.id = r.id),
+           |${dhashCtes.replace("FROM media WHERE", "FROM gmedia WHERE")},
+           |${bandPairCtes(maxHamming = 3)}
+           |SELECT r.id, r.source, r.n_chars FROM media r JOIN gated g ON g.id = r.id
+           |WHERE r.id NOT IN (SELECT id_b FROM pairs)
+           |ORDER BY r.id""".stripMargin)
 }

@@ -79,6 +79,43 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(got(1).getAs[Double]("dup_frame_ratio") === 0.0)
   }
 
+  test("frameAlignSpans: offset-consistent shared frame runs merge; stop-frames drop") {
+    val A = "a" * 64; val B = "b" * 64; val C = "c" * 64
+    val X = "x" * 64; val Y = "y" * 64; val Z = "z" * 64
+    // media 1: A B C X — media 2: Y A B C — shared run A,B,C at offset -1
+    // media 3: Z Z Z Z — no overlap with anyone
+    val df = Seq((1L, A + B + C + X), (2L, Y + A + B + C), (3L, Z * 4))
+      .toDF("doc_id", "m")
+    val runs = Multimodal.frameAlignSpans(spark, df, frameBytes = 64, minRun = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(runs.toSeq === Seq((1L, 2L, 0L, 1L, 3L))) // A@0 aligns A@1, run of 3
+    // a frame shared by every media is a stop-frame: with maxDf=2 the
+    // common S frame cannot create pairs, the A/B overlap still reports
+    val S = "s" * 64
+    val df2 = Seq((1L, S + A + B), (2L, S + A + B), (3L, S + Z))
+      .toDF("doc_id", "m")
+    val withStop = Multimodal.frameAlignSpans(spark, df2, frameBytes = 64, minRun = 2,
+        maxDf = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(withStop.toSeq === Seq((1L, 2L, 1L, 1L, 2L))) // A,B only; S filtered
+    // without the cap the S frame joins all three media pairwise
+    val noCap = Multimodal.frameAlignSpans(spark, df2, frameBytes = 64, minRun = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(noCap.toSet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("frameAlignSpans: repeated frames within one media do not break the island arithmetic") {
+    val A = "a" * 64; val B = "b" * 64
+    // media 1 loops A twice; media 2 has one A — offsets 0 and 1 both match,
+    // each a 1-frame run; the (1,2) pair at offset 0 must also carry the
+    // B-aligned run without double-counting
+    val df = Seq((1L, A + A + B), (2L, A + B + B)).toDF("doc_id", "m")
+    val runs = Multimodal.frameAlignSpans(spark, df, frameBytes = 64, minRun = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // offset 1: media1 frames (1=A, 2=B) align media2 frames (0=A, 1=B)
+    assert(runs.contains((1L, 2L, 1L, 0L, 2L)))
+  }
+
   test("curateMedia: caption gate, frame gates, and perceptual dedup each drop their targets") {
     val body = Array.tabulate(600)(i => ('a' + (i * 11 % 26)).toChar).mkString
     val caption = "tok " * 30

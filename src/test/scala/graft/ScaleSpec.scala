@@ -179,6 +179,13 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
       .queryExecution.executedPlan.toString
     assert(!cplan.contains("CartesianProduct") && !cplan.contains("BroadcastNestedLoopJoin"),
       s"media curation must never fall back to all-pairs:\n${cplan.take(2000)}")
+    // frame alignment: candidates come from the checksum equi-join only
+    val media = (0L until 30L).map(i => (i, s"frame payload $i " * 20)).toDF("doc_id", "m")
+    val fplan = Multimodal.frameAlignSpans(spark, media, frameBytes = 64, minRun = 2,
+        maxDf = Some(10))
+      .queryExecution.executedPlan.toString
+    assert(!fplan.contains("CartesianProduct") && !fplan.contains("BroadcastNestedLoopJoin"),
+      s"frame alignment must never fall back to all-pairs:\n${fplan.take(2000)}")
   }
 
   test("driftHistoryGate: snapshots never pairwise join — keyed joins only") {
