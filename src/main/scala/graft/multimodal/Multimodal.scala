@@ -160,8 +160,11 @@ object Multimodal {
                       idCol: String = "doc_id", mediaCol: String = "m"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    // cache-lifetime: pinned by the returned plan — caller releases (see
+    // Caching); the frame rows feed the df-cap aggregate AND both sides of
+    // the pair join — uncached, the media re-frames once per consumer
     val frames = sampleFrames(spark, media, frameBytes, idCol, mediaCol)
-      .select(col("doc_id"), col("frame_id"), col("checksum"))
+      .select(col("doc_id"), col("frame_id"), col("checksum")).cache()
     val filtered = maxDf match {
       case Some(cap) =>
         val keep = frames.groupBy("checksum")
@@ -179,6 +182,81 @@ object Multimodal {
       // two identical frames WITHIN one media (a loop) would make (pair,
       // offset, fa) non-unique and break the island arithmetic — dedup
       .dropDuplicates("id_a", "id_b", "__off", "fa")
+    val w = Window.partitionBy("id_a", "id_b", "__off").orderBy("fa")
+    pairs
+      .withColumn("__g", col("fa") - row_number().over(w))
+      .groupBy("id_a", "id_b", "__off", "__g")
+      .agg(min("fa").as("a_start"), min("fb").as("b_start"),
+        count(lit(1)).as("n_frames"))
+      .filter(col("n_frames") >= minRun)
+      .select("id_a", "id_b", "a_start", "b_start", "n_frames")
+      .orderBy("id_a", "id_b", "a_start", "b_start")
+  }
+
+  /** Per-frame media rows `(doc_id, frame_id, ph)` with a 60-bit dHash per
+    * frame — the perceptual frame index: [[sampleFrames]]' exact checksum
+    * replaced by a hash that tolerates small in-place byte noise, so
+    * re-encoded footage still collides. Map-only (explode + codegen'd hash
+    * per frame); the index is one slim row per frame.
+    */
+  def frameHashes(spark: SparkSession, media: DataFrame, frameBytes: Int,
+                  idCol: String = "doc_id", mediaCol: String = "m"): DataFrame = {
+    import spark.implicits._
+    require(frameBytes > 0)
+    media.select(col(idCol).cast("long").as("doc_id"), col(mediaCol).cast("binary").as("data"))
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        r.data.grouped(frameBytes).zipWithIndex.map { case (frame, i) =>
+          (r.doc_id, i.toLong, graft.functions.expressions.PerceptualHash.dhash(frame))
+        }
+      })
+      .toDF("doc_id", "frame_id", "ph")
+  }
+
+  /** PERCEPTUAL frame alignment — [[frameAlignSpans]] with tolerance: two
+    * frames match when their dHashes sit within `maxHamming` bits
+    * (candidates via the 4×15-bit band equi-join, never all-pairs), and
+    * matches merge into maximal offset-consistent runs exactly as the
+    * exact-checksum variant does. This is segment-level near-dup for
+    * re-encoded footage: byte-identical frames have hamming 0, lightly
+    * noised re-encodes stay within τ, unrelated frames don't band-collide.
+    *
+    * `maxDf` (stop-frame filter) counts media per BAND BUCKET: a frame
+    * whose bucket holds more than `maxDf` distinct media is dropped from
+    * that bucket before pairing — same skew bound as the exact variant.
+    */
+  def frameAlignSpansPerceptual(spark: SparkSession, media: DataFrame, frameBytes: Int,
+                                minRun: Int, maxHamming: Int, maxDf: Option[Int] = None,
+                                idCol: String = "doc_id", mediaCol: String = "m"): DataFrame = {
+    import graft.functions.TextFunctions.hamming64
+    import org.apache.spark.sql.expressions.Window
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    // cache-lifetime: pinned by the returned plan — caller releases (see
+    // Caching); both sides of the band join read the hashed frame rows
+    val fh = frameHashes(spark, media, frameBytes, idCol, mediaCol).cache()
+    val banded = fh
+      .withColumn("band", explode(sequence(lit(0), lit(3))))
+      .withColumn("chunk", expr("shiftright(ph, band*15) & 32767"))
+    val filtered = maxDf match {
+      case Some(cap) =>
+        val keep = banded.groupBy("band", "chunk")
+          .agg(countDistinct("doc_id").as("__df")).filter(col("__df") <= cap)
+          .select("band", "chunk")
+        banded.join(keep, Seq("band", "chunk"))
+      case None => banded
+    }
+    val l = filtered.select(col("doc_id").as("id_a"), col("frame_id").as("fa"),
+      col("ph").as("ph_a"), col("band"), col("chunk"))
+    val r = filtered.select(col("doc_id").as("id_b"), col("frame_id").as("fb"),
+      col("ph").as("ph_b"), col("band"), col("chunk"))
+    val pairs = l.join(r, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b", "fa", "fb")
+      .filter(hamming64(col("ph_a"), col("ph_b")) <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("fa"), col("fb"),
+        (col("fa") - col("fb")).as("__off"))
+    // (pair, off, fa) is unique after the band dedup — off + fa fix fb —
+    // so the islands below see each aligned frame exactly once
     val w = Window.partitionBy("id_a", "id_b", "__off").orderBy("fa")
     pairs
       .withColumn("__g", col("fa") - row_number().over(w))

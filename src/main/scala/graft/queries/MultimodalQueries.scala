@@ -126,6 +126,25 @@ object MultimodalQueries {
   private val TrailerMediaSql: String =
     "rpad(text, 512, ' ') || repeat(rpad(source || '#' || CAST(doc_id % 25 AS VARCHAR), 128, '.'), 2)"
 
+  /** [[TrailerMediaSpark]]'s perceptual sibling: the outro body is the
+    * md5 hex of the group key repeated as the pad fill — a pseudo-random
+    * per-group texture, so different groups' outros sit far apart in dHash
+    * (dot-padding, or even the raw key as fill, leaves all outros with the
+    * same gradient SHAPE and they collapse into one perceptual bucket) —
+    * and odd doc ids carry a 2-byte "re-encode" head ('xx' → 'XX'). Head
+    * noise only moves bucket 0, so mixed-parity pairs in a trailer group
+    * align PERCEPTUALLY (hamming ≤ 1) while never matching by checksum.
+    */
+  private val NoisedTrailerSpark: String =
+    "concat(rpad(text, 512, ' '), repeat(concat(" +
+      "CASE WHEN doc_id % 2 = 0 THEN 'xx' ELSE 'XX' END, " +
+      "rpad(md5(concat(source, '#', CAST(doc_id % 25 AS STRING))), 126, " +
+      "md5(concat(source, '#', CAST(doc_id % 25 AS STRING))))), 2))"
+  private val NoisedTrailerSql: String =
+    "rpad(text, 512, ' ') || repeat((CASE WHEN doc_id % 2 = 0 THEN 'xx' ELSE 'XX' END) || " +
+      "rpad(md5(source || '#' || CAST(doc_id % 25 AS VARCHAR)), 126, " +
+      "md5(source || '#' || CAST(doc_id % 25 AS VARCHAR))), 2)"
+
   def all: ListMap[String, Q] = ListMap(
     // Perceptual hashes of the raw media signal: both the gradient (dHash)
     // and average (aHash) 60-bit variants, hash-checked bit-for-bit.
@@ -262,6 +281,72 @@ object MultimodalQueries {
              |SELECT id AS doc_id, min(pos) AS span_start,
              |  max(pos) - min(pos) + 1 AS span_len
              |FROM isl GROUP BY id, g ORDER BY doc_id, span_start""".stripMargin)),
+    // PERCEPTUAL frame alignment: the q167 shape with per-frame dHashes and
+    // a hamming tolerance instead of exact checksums — odd-id documents
+    // carry a lightly "re-encoded" outro (two uppercased source chars), so
+    // mixed-parity pairs in the same trailer group align ONLY through the
+    // perceptual path. Stop-frames bound per band bucket.
+    "q169_media_frame_align_phash" -> Q(
+      (s, dir) => {
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id"), expr(NoisedTrailerSpark).as("m"))
+        Multimodal.frameAlignSpansPerceptual(s, media, frameBytes = 128,
+          minRun = 2, maxHamming = 3, maxDf = Some(60))
+      },
+      Some(s"""WITH med0 AS (
+             |  SELECT doc_id AS mid, $NoisedTrailerSql AS mm FROM documents),
+             |fmedia AS (
+             |  SELECT mid * 1024 + f AS id,
+             |    substr(mm, CAST(f*128+1 AS INTEGER), 128) AS m
+             |  FROM med0, UNNEST(range(0,
+             |    CAST(floor((length(mm)-1) / CAST(128 AS DOUBLE)) AS BIGINT) + 1)) AS t(f)),
+             |${dhashCtes.replace("FROM media WHERE", "FROM fmedia WHERE")},
+             |fbk AS (
+             |  SELECT id, dhash, b, (dhash >> CAST(b * 15 AS INTEGER)) & 32767 AS chunk
+             |  FROM dh, (SELECT unnest(generate_series(0, 3)) AS b)),
+             |fkeep AS (
+             |  SELECT b, chunk FROM fbk GROUP BY b, chunk
+             |  HAVING count(DISTINCT id // 1024) <= 60),
+             |fbf AS (SELECT fbk.* FROM fbk JOIN fkeep USING (b, chunk)),
+             |fp AS (
+             |  SELECT DISTINCT x.id // 1024 AS id_a, y.id // 1024 AS id_b,
+             |    x.id % 1024 AS fa, y.id % 1024 AS fb, x.dhash AS ha, y.dhash AS hb
+             |  FROM fbf x JOIN fbf y
+             |    ON x.b = y.b AND x.chunk = y.chunk AND x.id // 1024 < y.id // 1024),
+             |fm AS (
+             |  SELECT id_a, id_b, fa, fb, fa - fb AS off FROM fp
+             |  WHERE bit_count(xor(ha, hb)) <= 3),
+             |fisl AS (
+             |  SELECT id_a, id_b, off, fa, fb,
+             |    fa - row_number() OVER (PARTITION BY id_a, id_b, off ORDER BY fa) AS g
+             |  FROM fm),
+             |fruns AS (
+             |  SELECT id_a, id_b, off, g, min(fa) AS a_start, min(fb) AS b_start,
+             |    CAST(count(*) AS BIGINT) AS n_frames
+             |  FROM fisl GROUP BY 1, 2, 3, 4)
+             |SELECT id_a, id_b, a_start, b_start, n_frames FROM fruns
+             |WHERE n_frames >= 2 ORDER BY id_a, id_b, a_start, b_start""".stripMargin)),
+
+    // The perceptual INGEST GATE through the streaming engine: delta
+    // renditions (in-place head substitution) probe the standing corpus's
+    // banded whole-blob dHash index stream-static; every rendition must
+    // find its original within hamming 3 — the re-encoded-copy catch that
+    // exact frame checksums (q168) cannot make. Stream ≡ the batch band
+    // join the oracle computes.
+    "q170_stream_phash_probe" -> Q(
+      (s, dir) => graft.streaming.StreamingMedia.perceptualProbe(
+        s, dir, cap = 500, maxHamming = 3),
+      Some(s"""WITH $renditionCte,
+             |$dhashCtes,
+             |pbk AS (
+             |  SELECT id, dhash, b, (dhash >> CAST(b * 15 AS INTEGER)) & 32767 AS chunk
+             |  FROM dh, (SELECT unnest(generate_series(0, 3)) AS b))
+             |SELECT DISTINCT (y.id - 1) // 2 AS doc_id, x.id // 2 AS match_id,
+             |  CAST(bit_count(xor(y.dhash, x.dhash)) AS BIGINT) AS hamming
+             |FROM pbk x JOIN pbk y ON x.b = y.b AND x.chunk = y.chunk
+             |WHERE x.id % 2 = 0 AND y.id % 2 = 1
+             |  AND bit_count(xor(y.dhash, x.dhash)) <= 3
+             |ORDER BY doc_id, match_id""".stripMargin)),
   )
 
   /** q161's oracle: gates + perceptual dedup over the rendition corpus. */

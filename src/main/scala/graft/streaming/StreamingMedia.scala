@@ -49,4 +49,37 @@ object StreamingMedia {
     // gives maximal duplicated frame runs, span_len in frames
     Dedup.mergeWindowIntervals(drained, "doc_id", minLen = 1)
   }
+
+  /** PERCEPTUAL ingest gate: streamed delta media are "re-encoded"
+    * renditions (in-place head substitution of the fixture text), their
+    * whole-blob dHashes probe the standing corpus's BANDED perceptual index
+    * stream-static, and band hits within `maxHamming` bits report (delta
+    * doc, matched corpus doc, hamming) — the gate that catches a re-encoded
+    * copy of already-ingested footage where exact checksums
+    * ([[deltaFrameSpans]]) see nothing. Rendition ids are 2·doc+1, corpus
+    * ids 2·doc (the q159 rendition-corpus convention), mapped back to doc
+    * ids on output.
+    */
+  def perceptualProbe(spark: SparkSession, dir: String, cap: Int,
+                      maxHamming: Int): DataFrame = {
+    import graft.functions.TextFunctions.hamming64
+    def banded(df: DataFrame): DataFrame = df
+      .withColumn("band", explode(sequence(lit(0), lit(3))))
+      .withColumn("chunk", expr("shiftright(ph, band*15) & 32767"))
+    val idx = banded(Tables.documents(spark, dir).filter(col("doc_id") < cap)
+        .select((col("doc_id") * 2).as("id"),
+          Multimodal.dHash(col("text").cast("binary")).as("ph")))
+      .select(col("id").as("c_id"), col("ph").as("ph_c"), col("band"), col("chunk"))
+    val delta = StreamingAgg.streamTable(spark, dir, "documents.parquet")
+      .filter(col("doc_id") < cap)
+      .select((col("doc_id") * 2 + 1).as("id"),
+        Multimodal.dHash(concat(upper(substring(col("text"), 1, 4)),
+          expr("substring(text, 5, length(text))")).cast("binary")).as("ph"))
+    val hits = banded(delta).join(idx, Seq("band", "chunk"))
+      .select(expr("(id - 1) div 2").as("doc_id"), expr("c_id div 2").as("match_id"),
+        hamming64(col("ph"), col("ph_c")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    StreamingAgg.drain(hits, "graft_stream_phash", "append")
+      .distinct().orderBy("doc_id", "match_id")
+  }
 }

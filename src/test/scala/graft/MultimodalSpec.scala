@@ -116,6 +116,34 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(runs.contains((1L, 2L, 1L, 0L, 2L)))
   }
 
+  test("frameAlignSpansPerceptual: noised frames align within tolerance, exact variant misses them") {
+    // high-texture pseudo-random frames: independent frames sit far apart
+    // in hamming, an in-place 2-byte substitution moves only bucket 0
+    def rndFrame(seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      Array.fill(128)((33 + r.nextInt(90)).toChar).mkString
+    }
+    val noise = (s: String) => "ZZ" + s.drop(2)
+    val (fA, fB, fX, fQ) = (rndFrame(1), rndFrame(2), rndFrame(3), rndFrame(4))
+    val df = Seq((1L, fA + fB + fX), (2L, noise(fA) + noise(fB) + fQ))
+      .toDF("doc_id", "m")
+    val perceptual = Multimodal.frameAlignSpansPerceptual(spark, df, frameBytes = 128,
+        minRun = 2, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(perceptual.toSeq === Seq((1L, 2L, 0L, 0L, 2L))) // A,B run survives the noise
+    val exact = Multimodal.frameAlignSpans(spark, df, frameBytes = 128, minRun = 1)
+    assert(exact.count() === 0L) // checksums see nothing
+    // stop-frame cap: buckets shared by more media than maxDf drop out
+    val common = rndFrame(5)
+    val fE = rndFrame(6)
+    val df3 = Seq((1L, common + fE), (2L, common + noise(fE)), (3L, common + rndFrame(7)))
+      .toDF("doc_id", "m")
+    val capped = Multimodal.frameAlignSpansPerceptual(spark, df3, frameBytes = 128,
+        minRun = 1, maxHamming = 3, maxDf = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((1L, 2L))) // only the E≈noise(E) match; common frame filtered
+  }
+
   test("curateMedia: caption gate, frame gates, and perceptual dedup each drop their targets") {
     val body = Array.tabulate(600)(i => ('a' + (i * 11 % 26)).toChar).mkString
     val caption = "tok " * 30

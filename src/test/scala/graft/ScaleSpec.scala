@@ -186,6 +186,11 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
       .queryExecution.executedPlan.toString
     assert(!fplan.contains("CartesianProduct") && !fplan.contains("BroadcastNestedLoopJoin"),
       s"frame alignment must never fall back to all-pairs:\n${fplan.take(2000)}")
+    val pplan = Multimodal.frameAlignSpansPerceptual(spark, media, frameBytes = 64,
+        minRun = 2, maxHamming = 3, maxDf = Some(10))
+      .queryExecution.executedPlan.toString
+    assert(!pplan.contains("CartesianProduct") && !pplan.contains("BroadcastNestedLoopJoin"),
+      s"perceptual frame alignment must never fall back to all-pairs:\n${pplan.take(2000)}")
   }
 
   test("driftHistoryGate: snapshots never pairwise join — keyed joins only") {
