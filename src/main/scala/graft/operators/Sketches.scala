@@ -346,4 +346,110 @@ object Sketches {
 
   private def floorRoundSqlLocal(e: String, n: Int): String =
     graft.functions.MathFunctions.floorRoundSql(e, n)
+
+  // ---- Mergeable quantile sketch (fixed-bin histogram) ----
+
+  /** Fixed-bin histogram of `valueCol` over [lo, hi): bin = clamp(⌊(x−lo)/w⌋,
+    * 0, bins−1), one row per non-empty bin — the quantile-sketch state. The
+    * bin vector is a MONOID (counts add), so partial histograms merge
+    * across partitions, micro-batches, and shards without error — the
+    * property t-digest/GK sketches trade away and the reason a fixed grid
+    * is the right first quantile sketch for a 100 TB profile pass: one
+    * map-side-combined shuffle of ≤ `bins` rows, state size independent of
+    * row count. Bin edges are data-independent (lo/hi/bins are parameters),
+    * so the sketch is deterministic and SQL-mirrorable; accuracy is bounded
+    * by the bin width (audited in q173, not assumed).
+    */
+  /** The bin-assignment column shared by the batch and streaming forms. */
+  def histBinCol(value: Column, lo: Double, hi: Double, bins: Int): Column = {
+    require(bins >= 1 && hi > lo, s"need bins >= 1 and hi > lo, got $bins, [$lo, $hi)")
+    val w = (hi - lo) / bins
+    least(greatest(
+      floor((value.cast("double") - lit(lo)) / lit(w)).cast("long"),
+      lit(0L)), lit(bins - 1L))
+  }
+
+  def histogramCounts(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                      bins: Int): DataFrame =
+    df.select(histBinCol(col(valueCol), lo, hi, bins).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+
+  /** Quantile estimates from histogram state: for each q, the minimum bin
+    * whose cumulative count reaches ⌈q·n⌉, estimated as the bin's lower
+    * edge plus a uniform-within-bin interpolation — every step is integer
+    * comparisons plus one floor-rounded double expression, so the DuckDB
+    * oracle reproduces the estimate bit-for-bit.
+    */
+  def quantilesFromCounts(counts: DataFrame, lo: Double, hi: Double, bins: Int,
+                          qs: Seq[Double], roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = (hi - lo) / bins
+    val cum = counts
+      .withColumn("cum", sum("n").over(Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_before", col("cum") - col("n"))
+    val total = counts.agg(sum("n").as("total"))
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val qdf = qs.toDF("q")
+    // target rank = ceil(q·n); the hit bin is the first with cum >= target.
+    // parameter-sized join: |qs| × non-empty bins
+    qdf.crossJoin(broadcast(total))
+      .withColumn("target", ceil(col("q") * col("total")).cast("long"))
+      .join(cum, col("cum") >= col("target"))
+      .groupBy("q", "target", "total")
+      .agg(min_by(struct(col("bin"), col("n"), col("cum_before")), col("bin")).as("hit"))
+      .select(col("q"),
+        floorRound(lit(lo) + lit(w) * (col("hit.bin").cast("double") +
+          (col("target") - col("hit.cum_before")).cast("double") / col("hit.n").cast("double")),
+          roundTo).as("est"),
+        col("total").as("n"))
+      .orderBy("q")
+  }
+
+  /** One-call batch form: histogram + quantile finish. */
+  def histogramQuantiles(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                         bins: Int, qs: Seq[Double], roundTo: Int = 4): DataFrame =
+    quantilesFromCounts(histogramCounts(df, valueCol, lo, hi, bins),
+      lo, hi, bins, qs, roundTo)
+
+  /** The CTE chain behind [[histogramQuantilesSql]], ending in
+    * `qest(q, est, n)` — exposed so audit oracles can extend it.
+    */
+  def histogramQuantileCtes(table: String, valueCol: String, lo: Double, hi: Double,
+                            bins: Int, qs: Seq[Double], roundTo: Int = 4): String = {
+    val w = (hi - lo) / bins
+    val qList = qs.map(q => s"CAST($q AS DOUBLE)").mkString(", ")
+    s"""h AS (
+       |  SELECT least(greatest(CAST(floor((CAST($valueCol AS DOUBLE) - CAST($lo AS DOUBLE)) / CAST($w AS DOUBLE)) AS BIGINT),
+       |    CAST(0 AS BIGINT)), CAST(${bins - 1} AS BIGINT)) AS bin
+       |  FROM $table),
+       |c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY bin),
+       |cc AS (
+       |  SELECT bin, n,
+       |    CAST(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM c),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+       |qv AS (SELECT unnest(ARRAY[$qList]) AS q),
+       |hit AS (
+       |  SELECT q, target, total, min(bin) AS bin FROM (
+       |    SELECT qv.q, CAST(ceil(qv.q * t.total) AS BIGINT) AS target, t.total,
+       |      cc.bin, cc.cum
+       |    FROM qv CROSS JOIN t JOIN cc ON cc.cum >= CAST(ceil(qv.q * t.total) AS BIGINT))
+       |  GROUP BY q, target, total),
+       |qest AS (
+       |  SELECT hit.q,
+       |    ${floorRoundSqlLocal(
+             s"CAST($lo AS DOUBLE) + CAST($w AS DOUBLE) * (CAST(hit.bin AS DOUBLE)" +
+               " + CAST(hit.target - (cc.cum - cc.n) AS DOUBLE) / CAST(cc.n AS DOUBLE))",
+             roundTo)} AS est,
+       |    hit.total AS n
+       |  FROM hit JOIN cc ON cc.bin = hit.bin)""".stripMargin
+  }
+
+  /** The oracle SQL mirror of [[histogramQuantiles]] over `table.col`. */
+  def histogramQuantilesSql(table: String, valueCol: String, lo: Double, hi: Double,
+                            bins: Int, qs: Seq[Double], roundTo: Int = 4): String =
+    s"""WITH ${histogramQuantileCtes(table, valueCol, lo, hi, bins, qs, roundTo)}
+       |SELECT q, est, n FROM qest ORDER BY q""".stripMargin
 }

@@ -477,6 +477,90 @@ object RelationalQueries {
     // "gate on movement, not static thresholds" layer above q137. The next
     // snapshot drops half of nation 13's customers while the other 24
     // nations are unchanged, so exactly that group must flag.
+    // Mergeable quantile sketch (fixed-bin histogram): the profile
+    // statistic every 100 TB data-quality pass needs, as a monoid — bin
+    // counts add across partitions/shards/micro-batches, state ≤ bins
+    // rows. Estimates (bin edge + uniform-within-bin interpolation) are
+    // deterministic and fully SQL-mirrored; accuracy is AUDITED against
+    // the exact rank quantile in q173, not assumed.
+    "q171_quantile_sketch" -> Q(
+      (s, dir) => graft.operators.Sketches.histogramQuantiles(
+        Tables.lineitem(s, dir), "l_extendedprice",
+        lo = 0.0, hi = 110000.0, bins = 220, qs = Seq(0.5, 0.9, 0.99)),
+      Some(graft.operators.Sketches.histogramQuantilesSql(
+        "lineitem", "l_extendedprice", lo = 0.0, hi = 110000.0, bins = 220,
+        qs = Seq(0.5, 0.9, 0.99)))),
+
+    // The same sketch THROUGH THE STREAMING ENGINE: bin counts are
+    // additive, so the complete-mode streaming aggregation reaches the
+    // batch histogram exactly whatever the micro-batching — q171's oracle
+    // verbatim proves stream ≡ batch (the q126 HLL argument, for
+    // quantiles).
+    "q172_stream_quantile" -> Q(
+      (s, dir) => graft.streaming.StreamingSketch.histQuantiles(
+        s, dir, "lineitem.parquet", "l_extendedprice",
+        lo = 0.0, hi = 110000.0, bins = 220, qs = Seq(0.5, 0.9, 0.99)),
+      Some(graft.operators.Sketches.histogramQuantilesSql(
+        "lineitem", "l_extendedprice", lo = 0.0, hi = 110000.0, bins = 220,
+        qs = Seq(0.5, 0.9, 0.99)))),
+
+    // Accuracy audit: sketch estimate vs the EXACT rank quantile (min v
+    // with cumulative count ≥ ⌈q·n⌉ — pure comparisons, no interpolation
+    // ambiguity between engines). The target-rank value lies inside the
+    // sketch's hit bin by construction, so |est − exact| < bin width —
+    // within_bin pins that invariant as data, abs_err reports the real
+    // distance. (The exact side's cumsum runs over DISTINCT values — a
+    // bounded single-partition window, audit-tier cost, not a scale path.)
+    "q173_quantile_audit" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val (lo, hi, bins) = (0.0, 110000.0, 220)
+        val binW = (hi - lo) / bins
+        val qs = Seq(0.5, 0.9, 0.99)
+        val li = Tables.lineitem(s, dir)
+        val est = graft.operators.Sketches.histogramQuantiles(
+          li, "l_extendedprice", lo, hi, bins, qs)
+        import s.implicits._
+        val vals = li.groupBy(col("l_extendedprice").as("v")).agg(count(lit(1)).as("vn"))
+        val cum = vals.withColumn("cum", sum("vn").over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        val total = vals.agg(sum("vn").as("total"))
+        val exact = qs.toDF("q").crossJoin(broadcast(total))
+          .withColumn("target", ceil(col("q") * col("total")).cast("long"))
+          .join(cum, col("cum") >= col("target"))
+          .groupBy("q").agg(min("v").as("exact_q"))
+        est.join(exact, Seq("q"))
+          .select(col("q"), col("est"), col("exact_q"),
+            fr(abs(col("est") - col("exact_q")), 4).as("abs_err"),
+            (abs(col("est") - col("exact_q")) <= binW).cast("long").as("within_bin"))
+          .orderBy("q")
+      },
+      Some {
+        val (lo, hi, bins) = (0.0, 110000.0, 220)
+        val binW = (hi - lo) / bins
+        s"""WITH ${graft.operators.Sketches.histogramQuantileCtes(
+              "lineitem", "l_extendedprice", lo, hi, bins, Seq(0.5, 0.9, 0.99))},
+           |vals AS (
+           |  SELECT l_extendedprice AS v, CAST(count(*) AS BIGINT) AS vn
+           |  FROM lineitem GROUP BY 1),
+           |vcum AS (
+           |  SELECT v, vn,
+           |    CAST(sum(vn) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           |  FROM vals),
+           |vt AS (SELECT CAST(sum(vn) AS BIGINT) AS total FROM vals),
+           |ex AS (
+           |  SELECT q, min(v) AS exact_q FROM (
+           |    SELECT qq.q, CAST(ceil(qq.q * vt.total) AS BIGINT) AS target, vc.v, vc.cum
+           |    FROM (SELECT unnest(ARRAY[CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q) qq
+           |    CROSS JOIN vt JOIN vcum vc ON vc.cum >= CAST(ceil(qq.q * vt.total) AS BIGINT))
+           |  GROUP BY q)
+           |SELECT e.q, e.est, ex.exact_q,
+           |  ${frs("abs(e.est - ex.exact_q)", 4)} AS abs_err,
+           |  CAST(abs(e.est - ex.exact_q) <= CAST($binW AS DOUBLE) AS BIGINT) AS within_bin
+           |FROM qest e JOIN ex ON ex.q = e.q
+           |ORDER BY e.q""".stripMargin
+      }),
+
     "q150_drift_gate" -> Q(
       (s, dir) => {
         val c = Tables.customer(s, dir)

@@ -48,4 +48,26 @@ object StreamingSketch {
       .select(col(keyCol)).distinct().agg(count(lit(1)).as("exact_distinct"))
     Sketches.hllFinish(drained, exact, p)
   }
+
+  /** Histogram-quantile sketch over a fixture-table STREAM: bin counts are
+    * an additive monoid, so the engine-managed streaming aggregation (≤
+    * `bins` state rows, complete mode) reaches exactly the batch histogram
+    * whatever the micro-batching, and the quantile finish shares the batch
+    * oracle verbatim — the same stream ≡ batch argument as the HLL register
+    * max, for the profile statistic (percentiles) every data-quality pass
+    * needs.
+    */
+  def histQuantiles(spark: SparkSession, dir: String, file: String,
+                    valueCol: String, lo: Double, hi: Double, bins: Int,
+                    qs: Seq[Double]): DataFrame = {
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/$file").schema)
+      .option("pathGlobFilter", file)
+      .parquet(dir)
+    val counts = stream
+      .select(Sketches.histBinCol(col(valueCol), lo, hi, bins).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val drained = StreamingAgg.drain(counts, "graft_hist", "complete")
+    Sketches.quantilesFromCounts(drained, lo, hi, bins, qs)
+  }
 }

@@ -1196,6 +1196,28 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(rRes >= 0.5, s"residual recall $rRes unexpectedly low")
   }
 
+  test("histogramQuantiles: bin counts are a monoid; estimates stay within one bin of exact") {
+    import graft.operators.Sketches
+    val a = (1 to 50).map(_.toDouble).toDF("v")
+    val b = (51 to 100).map(_.toDouble).toDF("v")
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      Sketches.histogramCounts(df, "v", lo = 0.0, hi = 100.0, bins = 100)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // merge = pointwise sum of partial histograms (the property that makes
+    // the sketch shard/stream-safe)
+    val merged = (counts(a).keySet ++ counts(b).keySet).map { k =>
+      k -> (counts(a).getOrElse(k, 0L) + counts(b).getOrElse(k, 0L))
+    }.toMap
+    assert(merged === counts(a.unionByName(b)))
+    // uniform 1..100: the q=0.5 estimate lands within one bin of the exact
+    // rank-50 value, and the arithmetic is deterministic
+    val est = Sketches.histogramQuantiles(a.unionByName(b), "v",
+        lo = 0.0, hi = 100.0, bins = 100, qs = Seq(0.5, 0.99))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(math.abs(est(0.5) - 50.0) <= 1.0 + 1e-9)
+    assert(math.abs(est(0.99) - 99.0) <= 1.0 + 1e-9)
+  }
+
   // ---- Contrastive.minePairs ----
 
   test("minePairs: nearest vector ranks pos#1, negatives exclude positives, zero-norm excluded") {
