@@ -413,6 +413,74 @@ object Sketches {
     quantilesFromCounts(histogramCounts(df, valueCol, lo, hi, bins),
       lo, hi, bins, qs, roundTo)
 
+  /** Per-GROUP histogram quantiles — the per-domain/per-source profile
+    * column: one histogram per group key (state ≤ groups·bins rows, still
+    * one map-side-combined shuffle), quantiles finished per group with the
+    * same deterministic arithmetic. Output (group, q, est, n).
+    */
+  def groupedHistogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                                lo: Double, hi: Double, bins: Int,
+                                qs: Seq[Double], roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = (hi - lo) / bins
+    val counts = df
+      .select(col(groupCol).as("g"), histBinCol(col(valueCol), lo, hi, bins).as("bin"))
+      .groupBy("g", "bin").agg(count(lit(1)).as("n"))
+    val cum = counts
+      .withColumn("cum", sum("n").over(Window.partitionBy("g").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_before", col("cum") - col("n"))
+    val total = counts.groupBy("g").agg(sum("n").as("total"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = total.crossJoin(broadcast(qs.toDF("q")))
+      .withColumn("target", ceil(col("q") * col("total")).cast("long"))
+    targets.join(cum, Seq("g")).filter(col("cum") >= col("target"))
+      .groupBy("g", "q", "target", "total")
+      .agg(min_by(struct(col("bin"), col("n"), col("cum_before")), col("bin")).as("hit"))
+      .select(col("g").as(groupCol), col("q"),
+        floorRound(lit(lo) + lit(w) * (col("hit.bin").cast("double") +
+          (col("target") - col("hit.cum_before")).cast("double") / col("hit.n").cast("double")),
+          roundTo).as("est"),
+        col("total").as("n"))
+      .orderBy(groupCol, "q")
+  }
+
+  /** The oracle SQL mirror of [[groupedHistogramQuantiles]]. */
+  def groupedHistogramQuantilesSql(table: String, groupCol: String, valueCol: String,
+                                   lo: Double, hi: Double, bins: Int,
+                                   qs: Seq[Double], roundTo: Int = 4): String = {
+    val w = (hi - lo) / bins
+    val qList = qs.map(q => s"CAST($q AS DOUBLE)").mkString(", ")
+    s"""WITH h AS (
+       |  SELECT $groupCol AS g,
+       |    least(greatest(CAST(floor((CAST($valueCol AS DOUBLE) - CAST($lo AS DOUBLE)) / CAST($w AS DOUBLE)) AS BIGINT),
+       |    CAST(0 AS BIGINT)), CAST(${bins - 1} AS BIGINT)) AS bin
+       |  FROM $table),
+       |c AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY g, bin),
+       |cc AS (
+       |  SELECT g, bin, n,
+       |    CAST(sum(n) OVER (PARTITION BY g ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM c),
+       |t AS (SELECT g, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY g),
+       |tg AS (
+       |  SELECT t.g, qv.q, CAST(ceil(qv.q * t.total) AS BIGINT) AS target, t.total
+       |  FROM t CROSS JOIN (SELECT unnest(ARRAY[$qList]) AS q) qv),
+       |hit AS (
+       |  SELECT g, q, target, total, min(bin) AS bin FROM (
+       |    SELECT tg.g, tg.q, tg.target, tg.total, cc.bin
+       |    FROM tg JOIN cc ON cc.g = tg.g AND cc.cum >= tg.target)
+       |  GROUP BY g, q, target, total)
+       |SELECT hit.g AS $groupCol, hit.q,
+       |  ${floorRoundSqlLocal(
+           s"CAST($lo AS DOUBLE) + CAST($w AS DOUBLE) * (CAST(hit.bin AS DOUBLE)" +
+             " + CAST(hit.target - (cc.cum - cc.n) AS DOUBLE) / CAST(cc.n AS DOUBLE))",
+           roundTo)} AS est,
+       |  hit.total AS n
+       |FROM hit JOIN cc ON cc.g = hit.g AND cc.bin = hit.bin
+       |ORDER BY $groupCol, q""".stripMargin
+  }
+
   /** The CTE chain behind [[histogramQuantilesSql]], ending in
     * `qest(q, est, n)` — exposed so audit oracles can extend it.
     */

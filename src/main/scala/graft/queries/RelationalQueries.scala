@@ -504,6 +504,17 @@ object RelationalQueries {
         "lineitem", "l_extendedprice", lo = 0.0, hi = 110000.0, bins = 220,
         qs = Seq(0.5, 0.9, 0.99)))),
 
+    // Per-group quantile profile: one histogram per l_returnflag (the
+    // per-domain/per-source percentile column of a profiling pass) —
+    // state ≤ groups·bins rows, one shuffle, same deterministic finish.
+    "q174_group_quantiles" -> Q(
+      (s, dir) => graft.operators.Sketches.groupedHistogramQuantiles(
+        Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice",
+        lo = 0.0, hi = 110000.0, bins = 220, qs = Seq(0.5, 0.9, 0.99)),
+      Some(graft.operators.Sketches.groupedHistogramQuantilesSql(
+        "lineitem", "l_returnflag", "l_extendedprice",
+        lo = 0.0, hi = 110000.0, bins = 220, qs = Seq(0.5, 0.9, 0.99)))),
+
     // Accuracy audit: sketch estimate vs the EXACT rank quantile (min v
     // with cumulative count ≥ ⌈q·n⌉ — pure comparisons, no interpolation
     // ambiguity between engines). The target-rank value lies inside the
