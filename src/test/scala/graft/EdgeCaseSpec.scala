@@ -103,4 +103,44 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestSession {
     // IVF assignment of an empty delta against a standing index
     assert(AnnIndex.ivfAssign(emptyVecs, oneVec, "vec_id", "embedding", 4).count() === 0)
   }
+
+  test("round-10 operators: empty and singleton inputs") {
+    import graft.multimodal.Multimodal
+    import graft.operators.{Dedup, Sketches}
+    // fingerprint substring spans: empty corpus, one doc, doc shorter than
+    // the window
+    assert(Dedup.fpSubstrSpans(emptyDocs, "doc_id", "text", 50).count() === 0)
+    assert(Dedup.fpSubstrSpans(oneDoc, "doc_id", "text", 50).count() === 0)
+    assert(Dedup.fpSubstrSpans(
+      Seq((1L, "ab"), (2L, "ab")).toDF("doc_id", "text"), "doc_id", "text", 50).count() === 0)
+    // spans from an EMPTY standing index
+    assert(Dedup.spansFromAnchorIndex(
+      Seq.empty[(Long, Int, String)].toDF("doc_id", "pos", "win"), "doc_id", 50).count() === 0)
+    // media family: empty corpus, empty blob, one blob
+    val emptyMedia = Seq.empty[(Long, String)].toDF("doc_id", "m")
+    val oneMedia   = Seq((1L, "payload " * 40)).toDF("doc_id", "m")
+    val zeroBlob   = Seq((1L, "")).toDF("doc_id", "m")
+    assert(Multimodal.mediaDupPairs(emptyMedia, "doc_id", "m", 3).count() === 0)
+    assert(Multimodal.mediaDupPairs(oneMedia, "doc_id", "m", 3).count() === 0)
+    assert(Multimodal.frameAlignSpans(spark, emptyMedia, 64, 1).count() === 0)
+    assert(Multimodal.frameAlignSpans(spark, oneMedia, 64, 1).count() === 0)
+    assert(Multimodal.frameHashes(spark, zeroBlob, 64).count() === 0) // no frames, no crash
+    assert(Multimodal.frameAlignSpansPerceptual(spark, emptyMedia, 64, 1, 3).count() === 0)
+    assert(Multimodal.frameAlignSpansPerceptual(spark, oneMedia, 64, 1, 3).count() === 0)
+    // quantile sketch: empty input yields an empty profile (no division by
+    // zero on total = 0); a single value pins every quantile to its bin
+    val noVals = Seq.empty[Double].toDF("v")
+    assert(Sketches.histogramQuantiles(noVals, "v", 0.0, 100.0, 10, Seq(0.5)).count() === 0)
+    val oneVal = Seq(42.0).toDF("v")
+    val est = Sketches.histogramQuantiles(oneVal, "v", 0.0, 100.0, 10, Seq(0.5, 0.99))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(est.keySet === Set(0.5, 0.99))
+    est.values.foreach(e => assert(e >= 40.0 && e <= 50.0)) // inside 42's bin
+    // residual PQ over a singleton corpus (cells = the one vector)
+    import graft.operators.AnnIndex
+    val q1 = Seq((9L, Array(1.0, 0.0, 0.0, 0.0))).toDF("q_id", "qv")
+    val res = AnnIndex.pqResidualTopK(q1, "q_id", "qv", oneVec, "vec_id", "embedding",
+      k = 1, m = 2, ksub = 1, dim = 4, nlist = 1, nprobe = 1, excludeSelf = false)
+    assert(res.count() === 1)
+  }
 }
