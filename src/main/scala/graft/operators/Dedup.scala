@@ -664,16 +664,13 @@ object Dedup {
   private val AnchorP = 1000000007L
   private val AnchorK = 8
 
-  /** Content-defined position hash: an 8-char polynomial fingerprint at
-    * `pos` (Σ ascii·31^i mod P) — position-INDEPENDENT, so identical
-    * content yields identical anchors wherever it sits in a document.
-    * Sum < 8·127·31⁷ ≈ 2.8e13, far below 2⁶³ — no overflow-semantics
-    * divergence, mirrored term-for-term in SQL.
+  /** The anchor fingerprint (an 8-char polynomial, Σ ascii·31^i mod P —
+    * position-INDEPENDENT, so identical content yields identical anchors
+    * wherever it sits in a document) lives in the codegen'd rolling kernel
+    * [[graft.functions.expressions.AnchorPositions]]; the oracle mirrors it
+    * term-for-term in SQL (TextQueries.anchorTermsSql — every sum stays
+    * below 2⁶³, no overflow-semantics divergence).
     */
-  private def anchorHash(text: Column, pos: Column): Column =
-    pmod((1 to AnchorK).map(i =>
-      ascii(text.substr(pos + lit(i - 1), lit(1))).cast("long") *
-        lit(math.pow(31.0, i - 1).toLong)).reduce(_ + _), lit(AnchorP))
 
   /** ANCHOR-SAMPLED exact-substring spans — the corpus-scale path whose
     * exact counterpart is [[exactSubstrSpans]] (same contract, same output
@@ -720,20 +717,19 @@ object Dedup {
     */
   private[graft] def anchoredWindows(df: DataFrame, idCol: String, textCol: String,
                                      minLen: Int, anchorEvery: Int): DataFrame = {
+    import graft.functions.expressions.AnchorPositions
+    import org.apache.spark.sql.{GraftSqlBridge => B}
     require(minLen > AnchorK, s"anchored windows need minLen > $AnchorK, got $minLen")
     require(anchorEvery >= 1, s"anchorEvery must be >= 1, got $anchorEvery")
-    val nWin = length(col(textCol)) - (minLen - 1)
-    // filter positions BEFORE building window strings: the anchor predicate
-    // reads 8 chars, the window copy is minLen chars — materializing
-    // windows first would allocate (anchorEvery−1)/anchorEvery of them
-    // only to drop them
+    // anchor positions come from ONE rolling O(n) kernel pass (the HOF
+    // predicate it replaces evaluated 8 substr+ascii allocations at every
+    // position — see AnchorPositions for the congruence argument); window
+    // strings are still built only AT anchors, so the explode emits
+    // ~n/anchorEvery rows
+    val positions = B.column(AnchorPositions(B.expression(col(textCol)), minLen, anchorEvery))
     df.select(col(idCol),
-        explode(when(nWin >= 1,
-            transform(
-              filter(sequence(lit(1), nWin),
-                i => pmod(anchorHash(col(textCol), i), lit(anchorEvery.toLong)) === 0),
-              i => struct(i.as("pos"), col(textCol).substr(i, lit(minLen)).as("win"))))
-          .otherwise(array().cast("array<struct<pos:int,win:string>>"))).as("pw"))
+        explode(transform(positions,
+          i => struct(i.as("pos"), col(textCol).substr(i, lit(minLen)).as("win")))).as("pw"))
       .select(col(idCol), col("pw.pos").as("pos"), col("pw.win").as("win"))
   }
 

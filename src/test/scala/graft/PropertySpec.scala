@@ -267,6 +267,31 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("property: rolling anchor positions equal the direct 8-term fingerprint formula") {
+    import graft.functions.expressions.AnchorPositions
+    import org.apache.spark.unsafe.types.UTF8String
+    val strGen = Gen.listOf(Gen.frequency(
+      6 -> Gen.oneOf('a', 'b', 'c', ' ').map(_.toString),
+      1 -> Gen.oneOf("é", "中", "🦀"))).map(_.mkString)
+    val P = 1000000007L
+    for (t <- sample(strGen, 80, 83L) ++ Seq("", "short", "a" * 100)) {
+      val cps = t.codePoints().toArray
+      for ((minLen, every) <- Seq((9, 4), (12, 8), (20, 1))) {
+        val m = cps.length - minLen + 1
+        // the direct (non-rolling) definition the DuckDB oracles mirror:
+        // raw 31^i literals, sum, mod P, mod anchorEvery
+        val want = (1 to math.max(m, 0)).filter { p =>
+          val h = (0 until 8).map(i =>
+            cps(p - 1 + i).toLong * math.pow(31.0, i).toLong).sum % P
+          h % every == 0
+        }
+        val got = AnchorPositions.compute(UTF8String.fromString(t), minLen, every)
+          .toIntArray().toSeq
+        assert(got === want, s"mismatch for <$t> minLen=$minLen every=$every")
+      }
+    }
+  }
+
   test("property: incremental-scan invariant — second delta is empty") {
     // the reference's core contract (main.py:149-151): no changes => no work
     val rows = sample(Gen.zip(Gen.identifier.map(_.take(8)), Gen.chooseNum(1L, 1e9.toLong)), 100, 37L)
