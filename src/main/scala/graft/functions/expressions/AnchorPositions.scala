@@ -65,33 +65,13 @@ object AnchorPositions {
   }
 
   def compute(s: UTF8String, minLen: Int, anchorEvery: Int): ArrayData = {
-    val n = s.numChars()
+    // decode sized by the walk itself, NOT numChars() — the two disagree on
+    // malformed UTF-8 and numChars-sized buffers overran (see
+    // PolyHash.codePoints)
+    val cp = PolyHash.codePoints(s.getBytes)
+    val n = cp.length
     val m = n - minLen + 1
     if (m <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyIntArray)
-    // one decode pass: code points (same UTF-8 walk as PolyHash)
-    val cp = new Array[Int](n)
-    val bytes = s.getBytes
-    var i = 0
-    var ci = 0
-    while (i < bytes.length) {
-      val b0 = bytes(i) & 0xFF
-      val len =
-        if (b0 < 0x80) 1
-        else if ((b0 & 0xE0) == 0xC0) 2
-        else if ((b0 & 0xF0) == 0xE0) 3
-        else if ((b0 & 0xF8) == 0xF0) 4
-        else 1
-      var c = 0
-      if (len == 1) { c = b0; i += 1 }
-      else if (i + len <= bytes.length) {
-        c = b0 & (0x7F >> len)
-        var j = 1
-        while (j < len) { c = (c << 6) | (bytes(i + j) & 0x3F); j += 1 }
-        i += len
-      } else { c = b0; i += 1 }
-      cp(ci) = c
-      ci += 1
-    }
     // initial fingerprint over cp(0..7), then roll
     var h = 0L
     var j = K - 1

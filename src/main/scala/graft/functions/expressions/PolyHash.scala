@@ -70,6 +70,43 @@ object PolyHash {
     h
   }
 
+  /** Decode a UTF-8 byte array into code points with the same
+    * malformed-input fallback as [[tokenHash]] (truncated sequence or stray
+    * lead byte → the raw byte, advance one). The output is sized by the
+    * WALK's own count, never by `UTF8String.numChars()` — the two disagree
+    * on malformed input (numChars advances by the lead byte's implied
+    * length even when the sequence is truncated), and sizing by numChars
+    * overran kernel buffers (found in review, regression-tested). On
+    * malformed input the walk's char indexing may therefore differ from
+    * `substr`'s — both deterministic; genuinely binary corpora belong on
+    * the byte-level fingerprint paths.
+    */
+  def codePoints(bytes: Array[Byte]): Array[Int] = {
+    val out = new Array[Int](bytes.length) // ≥ 1 byte per code point
+    var i = 0
+    var n = 0
+    while (i < bytes.length) {
+      val b0 = bytes(i) & 0xFF
+      val len =
+        if (b0 < 0x80) 1
+        else if ((b0 & 0xE0) == 0xC0) 2
+        else if ((b0 & 0xF0) == 0xE0) 3
+        else if ((b0 & 0xF8) == 0xF0) 4
+        else 1
+      var cp = 0
+      if (len == 1) { cp = b0; i += 1 }
+      else if (i + len <= bytes.length) {
+        cp = b0 & (0x7F >> len)
+        var k = 1
+        while (k < len) { cp = (cp << 6) | (bytes(i + k) & 0x3F); k += 1 }
+        i += len
+      } else { cp = b0; i += 1 }
+      out(n) = cp
+      n += 1
+    }
+    if (n == bytes.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
   /** Token hashes of a UTF-8 string split on 0x20 (matches `split(text, " ")`
     * with limit -1: empty tokens kept, and a space byte cannot occur inside a
     * multi-byte sequence).

@@ -69,58 +69,37 @@ object RollingWindowHashes {
   }
 
   /** Rolling window hashes over the string's code points. Empty array when
-    * the string holds fewer than `winLen` code points.
+    * the string holds fewer than `winLen` code points. Decode is sized by
+    * the walk itself, NOT `numChars()` — the two disagree on malformed
+    * UTF-8 and numChars-sized buffers overran (see [[PolyHash.codePoints]]).
     */
   def compute(s: UTF8String, winLen: Int, base: Long): ArrayData = {
-    val n = s.numChars()
+    val cp = PolyHash.codePoints(s.getBytes)
+    val n = cp.length
     val m = n - winLen + 1
     if (m <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
-    // code-point decode in one pass (same UTF-8 walk as PolyHash, but
-    // keeping a circular buffer of the current window for the roll-out term)
-    val buf = new Array[Long](winLen)
     val out = new Array[Long](m)
     // pw = base^(winLen-1) mod M61
     var pw = 1L
     var k = 1
     while (k < winLen) { pw = mulmod(pw, base); k += 1 }
-    val bytes = s.getBytes
-    var i = 0 // byte index
-    var cpIdx = 0 // code-point index
     var h = 0L
-    while (i < bytes.length) {
-      val b0 = bytes(i) & 0xFF
-      val len =
-        if (b0 < 0x80) 1
-        else if ((b0 & 0xE0) == 0xC0) 2
-        else if ((b0 & 0xF0) == 0xE0) 3
-        else if ((b0 & 0xF8) == 0xF0) 4
-        else 1
-      var cp = 0
-      if (len == 1) { cp = b0; i += 1 }
-      else if (i + len <= bytes.length) {
-        cp = b0 & (0x7F >> len)
-        var j = 1
-        while (j < len) { cp = (cp << 6) | (bytes(i + j) & 0x3F); j += 1 }
-        i += len
-      } else { cp = b0; i += 1 }
-      val c = cp.toLong
-      if (cpIdx < winLen) {
-        buf(cpIdx) = c
-        h = mulmod(h, base) + c
-        h = (h & M61) + (h >>> 61); if (h >= M61) h -= M61
-        if (cpIdx == winLen - 1) out(0) = h
-      } else {
-        val slot = cpIdx % winLen
-        val cOut = buf(slot)
-        buf(slot) = c
-        // h = (h - cOut·pw)·base + c  (mod M61)
-        var t = h - mulmod(cOut, pw)
-        if (t < 0) t += M61
-        h = mulmod(t, base) + c
-        h = (h & M61) + (h >>> 61); if (h >= M61) h -= M61
-        out(cpIdx - winLen + 1) = h
-      }
-      cpIdx += 1
+    var i = 0
+    while (i < winLen) {
+      h = mulmod(h, base) + cp(i)
+      h = (h & M61) + (h >>> 61); if (h >= M61) h -= M61
+      i += 1
+    }
+    out(0) = h
+    var p = 1
+    while (p < m) {
+      // h = (h - cp(p-1)·pw)·base + cp(p+winLen-1)  (mod M61)
+      var t = h - mulmod(cp(p - 1), pw)
+      if (t < 0) t += M61
+      h = mulmod(t, base) + cp(p + winLen - 1)
+      h = (h & M61) + (h >>> 61); if (h >= M61) h -= M61
+      out(p) = h
+      p += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }

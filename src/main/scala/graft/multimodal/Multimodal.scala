@@ -74,6 +74,16 @@ object Multimodal {
     B.column(AHashBytes(B.expression(bytes)))
   }
 
+  /** 4×15-bit band/chunk explode over a `ph` hash column — the ONE banding
+    * definition every perceptual pairing site shares ([[mediaDupPairs]],
+    * [[frameAlignSpansPerceptual]], the streaming probe) and the DuckDB
+    * band CTEs mirror; recall radius (guaranteed ≤ 3 bits) changes HERE or
+    * nowhere.
+    */
+  private[graft] def banded(df: DataFrame): DataFrame = df
+    .withColumn("band", explode(sequence(lit(0), lit(3))))
+    .withColumn("chunk", expr("shiftright(ph, band*15) & 32767"))
+
   /** Media near-dup pairs within `maxHamming` bits of byte-level dHash,
     * candidates via 4×15-bit band buckets — the media-modality sibling of
     * [[graft.operators.Dedup.simhashPairs]], same banding structure
@@ -90,11 +100,9 @@ object Multimodal {
     // Caching); both join sides read the hashed (id, ph) rows, and without
     // the pin each side re-derives the blobs AND re-hashes them
     val hashed = df.select(col(idCol), dHash(col(bytesCol).cast("binary")).as("ph")).cache()
-    val banded = hashed
-      .withColumn("band", explode(sequence(lit(0), lit(3))))
-      .withColumn("chunk", expr("shiftright(ph, band*15) & 32767"))
-    val l = banded.select(col(idCol).as("id_a"), col("ph").as("ph_a"), col("band"), col("chunk"))
-    val r = banded.select(col(idCol).as("id_b"), col("ph").as("ph_b"), col("band"), col("chunk"))
+    val bk = banded(hashed)
+    val l = bk.select(col(idCol).as("id_a"), col("ph").as("ph_a"), col("band"), col("chunk"))
+    val r = bk.select(col(idCol).as("id_b"), col("ph").as("ph_b"), col("band"), col("chunk"))
     l.join(r, Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "ph_a", "ph_b")
@@ -234,16 +242,14 @@ object Multimodal {
     // cache-lifetime: pinned by the returned plan — caller releases (see
     // Caching); both sides of the band join read the hashed frame rows
     val fh = frameHashes(spark, media, frameBytes, idCol, mediaCol).cache()
-    val banded = fh
-      .withColumn("band", explode(sequence(lit(0), lit(3))))
-      .withColumn("chunk", expr("shiftright(ph, band*15) & 32767"))
+    val bk = banded(fh)
     val filtered = maxDf match {
       case Some(cap) =>
-        val keep = banded.groupBy("band", "chunk")
+        val keep = bk.groupBy("band", "chunk")
           .agg(countDistinct("doc_id").as("__df")).filter(col("__df") <= cap)
           .select("band", "chunk")
-        banded.join(keep, Seq("band", "chunk"))
-      case None => banded
+        bk.join(keep, Seq("band", "chunk"))
+      case None => bk
     }
     val l = filtered.select(col("doc_id").as("id_a"), col("frame_id").as("fa"),
       col("ph").as("ph_a"), col("band"), col("chunk"))

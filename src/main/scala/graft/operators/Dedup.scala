@@ -591,15 +591,7 @@ object Dedup {
       .agg(countDistinct(idCol).as("__nd")).filter(col("__nd") >= 2)
       .select("win")
     val marked = w.join(dupWins, Seq("win")).select(col(idCol), col("pos"))
-    val grp = col("pos") - row_number().over(
-      org.apache.spark.sql.expressions.Window.partitionBy(idCol).orderBy("pos"))
-    marked.withColumn("__g", grp)
-      .groupBy(col(idCol), col("__g"))
-      .agg(min("pos").as("__s"), max("pos").as("__e"))
-      .select(col(idCol),
-        col("__s").cast("long").as("span_start"),
-        (col("__e") - col("__s") + minLen).cast("long").as("span_len"))
-      .orderBy(idCol, "span_start")
+    mergeConsecutivePositions(marked, idCol, minLen)
   }
 
   /** Fingerprinted exact-substring spans — [[exactSubstrSpans]]' contract

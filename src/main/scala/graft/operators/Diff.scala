@@ -107,16 +107,27 @@ object Diff {
     val valCols = prev.columns.filterNot(keyCols.contains)
     def keyIsNull = keyCols.map(k => col(k).isNull).reduce(_ || _)
 
+    // delimiter escaping: a raw value containing ';'/'='/the control
+    // markers could make two DISTINCT rows serialize identically (e.g.
+    // a="x;b=y",b=NULL vs a="x",b="y" — found in review), and the multiset
+    // delete below would then remove an arbitrary one of them under a
+    // partial replay. Escaping backslash first makes the serialization
+    // injective. Column NAMES are schema identifiers and pass through raw.
+    def esc(c: Column): Column =
+      Seq("\\" -> "\\\\", ";" -> "\\;", "=" -> "\\=",
+          "\u0000" -> "\\\u0000", "\u0001" -> "\\\u0001")
+        .foldLeft(c) { case (acc, (s, r)) =>
+          call_function("replace", acc, lit(s), lit(r)) }
     // key serialization: NULL marked out-of-band (no '=' separator), so a
     // literal NUL VALUE ("k=" + NUL) can never collide with NULL ("k" + NUL)
     def keySer = concat_ws("\u0001", keyCols.map(k =>
       concat(lit(k), when(col(k).isNull, lit("\u0000"))
-        .otherwise(concat(lit("="), col(k).cast("string"))))): _*)
+        .otherwise(concat(lit("="), esc(col(k).cast("string")))))): _*)
     // value serialization: one "c=v" fragment per NON-NULL column — the same
     // drop-null-entries rule as the old_vals map, so both sides agree
     def valSerFrom(value: String => Column) = array_join(filter(
       array(valCols.map(c => when(value(c).isNotNull,
-        concat(lit(c), lit("="), value(c).cast("string")))).toSeq: _*),
+        concat(lit(c), lit("="), esc(value(c).cast("string"))))).toSeq: _*),
       x => x.isNotNull), ";")
 
     // --- non-NULL-key rows: keyed left join, patch updates, drop deletes

@@ -369,9 +369,18 @@ object Sketches {
       lit(0L)), lit(bins - 1L))
   }
 
+  /** NULL and NaN rows are EXCLUDED before binning — Spark's
+    * `greatest`/`least` skip null arguments, so an unguarded clamp would
+    * silently bucket every NULL into bin 0 and skew the percentiles (found
+    * in review; the SQL mirrors carry the same WHERE).
+    */
+  def histValueFilter(value: Column): Column =
+    value.isNotNull && !isnan(value.cast("double"))
+
   def histogramCounts(df: DataFrame, valueCol: String, lo: Double, hi: Double,
                       bins: Int): DataFrame =
-    df.select(histBinCol(col(valueCol), lo, hi, bins).as("bin"))
+    df.filter(histValueFilter(col(valueCol)))
+      .select(histBinCol(col(valueCol), lo, hi, bins).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
 
   /** Quantile estimates from histogram state: for each q, the minimum bin
@@ -384,11 +393,15 @@ object Sketches {
                           qs: Seq[Double], roundTo: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = (hi - lo) / bins
-    val cum = counts
+    // cache-lifetime: pinned by the returned plan — caller releases (see
+    // Caching); the cumsum window AND the total both read the counts, and
+    // uncached each re-runs the full upstream scan+aggregate
+    val c = counts.cache()
+    val cum = c
       .withColumn("cum", sum("n").over(Window.orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("cum_before", col("cum") - col("n"))
-    val total = counts.agg(sum("n").as("total"))
+    val total = c.agg(sum("n").as("total"))
     val spark = counts.sparkSession
     import spark.implicits._
     val qdf = qs.toDF("q")
@@ -423,9 +436,13 @@ object Sketches {
                                 qs: Seq[Double], roundTo: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = (hi - lo) / bins
+    // cache-lifetime: pinned by the returned plan — caller releases (see
+    // Caching); cumsum window and per-group totals both read the counts
     val counts = df
+      .filter(histValueFilter(col(valueCol)))
       .select(col(groupCol).as("g"), histBinCol(col(valueCol), lo, hi, bins).as("bin"))
       .groupBy("g", "bin").agg(count(lit(1)).as("n"))
+      .cache()
     val cum = counts
       .withColumn("cum", sum("n").over(Window.partitionBy("g").orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, 0)))
@@ -456,7 +473,8 @@ object Sketches {
        |  SELECT $groupCol AS g,
        |    least(greatest(CAST(floor((CAST($valueCol AS DOUBLE) - CAST($lo AS DOUBLE)) / CAST($w AS DOUBLE)) AS BIGINT),
        |    CAST(0 AS BIGINT)), CAST(${bins - 1} AS BIGINT)) AS bin
-       |  FROM $table),
+       |  FROM $table
+       |  WHERE $valueCol IS NOT NULL AND NOT isnan(CAST($valueCol AS DOUBLE))),
        |c AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY g, bin),
        |cc AS (
        |  SELECT g, bin, n,
@@ -491,7 +509,8 @@ object Sketches {
     s"""h AS (
        |  SELECT least(greatest(CAST(floor((CAST($valueCol AS DOUBLE) - CAST($lo AS DOUBLE)) / CAST($w AS DOUBLE)) AS BIGINT),
        |    CAST(0 AS BIGINT)), CAST(${bins - 1} AS BIGINT)) AS bin
-       |  FROM $table),
+       |  FROM $table
+       |  WHERE $valueCol IS NOT NULL AND NOT isnan(CAST($valueCol AS DOUBLE))),
        |c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY bin),
        |cc AS (
        |  SELECT bin, n,

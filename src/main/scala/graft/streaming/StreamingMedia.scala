@@ -63,9 +63,7 @@ object StreamingMedia {
   def perceptualProbe(spark: SparkSession, dir: String, cap: Int,
                       maxHamming: Int): DataFrame = {
     import graft.functions.TextFunctions.hamming64
-    def banded(df: DataFrame): DataFrame = df
-      .withColumn("band", explode(sequence(lit(0), lit(3))))
-      .withColumn("chunk", expr("shiftright(ph, band*15) & 32767"))
+    import graft.multimodal.Multimodal.banded
     val idx = banded(Tables.documents(spark, dir).filter(col("doc_id") < cap)
         .select((col("doc_id") * 2).as("id"),
           Multimodal.dHash(col("text").cast("binary")).as("ph")))

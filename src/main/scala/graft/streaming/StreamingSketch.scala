@@ -65,6 +65,7 @@ object StreamingSketch {
       .option("pathGlobFilter", file)
       .parquet(dir)
     val counts = stream
+      .filter(Sketches.histValueFilter(col(valueCol)))
       .select(Sketches.histBinCol(col(valueCol), lo, hi, bins).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
     val drained = StreamingAgg.drain(counts, "graft_hist", "complete")

@@ -1216,6 +1216,16 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
     assert(math.abs(est(0.5) - 50.0) <= 1.0 + 1e-9)
     assert(math.abs(est(0.99) - 99.0) <= 1.0 + 1e-9)
+    // NULL and NaN rows are excluded, not bucketed into bin 0 (review find:
+    // Spark's greatest/least skip null arguments, so an unguarded clamp
+    // sent every NULL to the smallest bin and dragged percentiles to lo)
+    val withNulls = (Seq.fill(50)(Option.empty[Double]) ++
+      Seq(Some(Double.NaN)) ++ (60 to 99).map(v => Some(v.toDouble))).toDF("v")
+    val estN = Sketches.histogramQuantiles(withNulls, "v",
+        lo = 0.0, hi = 100.0, bins = 100, qs = Seq(0.5))
+      .collect().map(r => (r.getDouble(1), r.getLong(2))).head
+    assert(estN._2 === 40L) // only the 40 real values count
+    assert(estN._1 >= 60.0 && estN._1 <= 100.0)
   }
 
   // ---- Contrastive.minePairs ----

@@ -292,6 +292,57 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("regression: kernels survive malformed UTF-8 (numChars disagrees with the decode walk)") {
+    import graft.functions.expressions.{AnchorPositions, PolyHash, RollingWindowHashes}
+    import org.apache.spark.unsafe.types.UTF8String
+    // 0xF0 starts a 4-byte sequence that is truncated by 'b','c' — numChars
+    // counts it as one char spanning past the end, the fallback walk emits
+    // three code points; numChars-sized buffers overran here (review find)
+    val bad = UTF8String.fromBytes(
+      (Array.fill[Byte](60)('a'.toByte) :+ 0xF0.toByte) ++ Array[Byte]('b', 'c'))
+    val cps = PolyHash.codePoints(bad.getBytes)
+    assert(cps.length === 63) // 60×'a' + 0xF0-as-raw-byte + 'b' + 'c'
+    for (trial <- 1 to 2) { // deterministic, no throw
+      assert(AnchorPositions.compute(bad, 9, 4).toIntArray().toSeq ===
+        AnchorPositions.compute(bad, 9, 4).toIntArray().toSeq, s"trial $trial")
+      assert(RollingWindowHashes.compute(bad, 50, 31L).toLongArray().length === 63 - 50 + 1)
+    }
+    // stray continuation + overlong-ish lead bytes, and a bare lead at EOF
+    val stray = UTF8String.fromBytes(Array[Byte](0x80.toByte, 'x', 0xC0.toByte))
+    assert(PolyHash.codePoints(stray.getBytes).length === 3)
+    assert(AnchorPositions.compute(stray, 9, 4).numElements() === 0) // shorter than minLen
+    assert(RollingWindowHashes.compute(stray, 2, 31L).toLongArray().length === 2)
+  }
+
+  test("regression: applyDiff serialization is injective under delimiter-bearing values") {
+    import graft.operators.Diff
+    // before escaping, (a="x;b=y", b=NULL) and (a="x", b="y") serialized
+    // identically and a NULL-key delete could remove the wrong row
+    val prev = Seq(
+      (Option.empty[Long], Option("x;b=y"), Option.empty[String]),
+      (Option.empty[Long], Option("x"), Option("y")),
+      (Option(1L), Option("keep"), Option("row")))
+      .toDF("k", "a", "b")
+    // next drops ONLY the (a="x", b="y") row
+    val next = Seq(
+      (Option.empty[Long], Option("x;b=y"), Option.empty[String]),
+      (Option(1L), Option("keep"), Option("row")))
+      .toDF("k", "a", "b")
+    val applied = Diff.applyDiff(prev, Diff.snapshotDiff(prev, next, Seq("k")), Seq("k"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(Option(_).map(_.toString).getOrElse("∅"))).toSeq
+        .sortBy(_.mkString("|"))
+    assert(canon(applied) === canon(next))
+    // and backslash-bearing values cannot forge an escape
+    val prev2 = Seq(
+      (Option.empty[Long], Option("""x\"""), Option(";y")),
+      (Option.empty[Long], Option("""x\;y"""), Option.empty[String]))
+      .toDF("k", "a", "b")
+    val next2 = prev2.limit(0)
+    val applied2 = Diff.applyDiff(prev2, Diff.snapshotDiff(prev2, next2, Seq("k")), Seq("k"))
+    assert(applied2.count() === 0)
+  }
+
   test("property: incremental-scan invariant — second delta is empty") {
     // the reference's core contract (main.py:149-151): no changes => no work
     val rows = sample(Gen.zip(Gen.identifier.map(_.take(8)), Gen.chooseNum(1L, 1e9.toLong)), 100, 37L)
