@@ -572,6 +572,42 @@ object RelationalQueries {
            |ORDER BY e.q""".stripMargin
       }),
 
+    // DISTRIBUTION drift via PSI over the quantile sketch's bin grid — the
+    // orthogonal axis to q150's count gate: dropping every negative
+    // balance SHIFTS the value distribution and must flag (psi ≈ 0.49),
+    // while halving the table on custkey parity keeps the distribution and
+    // must NOT (psi ≈ 0.01) even though it moves far more rows — PSI is
+    // count-invariant where the z-gate is distribution-blind.
+    "q175_psi_gate" -> Q(
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        def withMetric(df: org.apache.spark.sql.DataFrame, m: String) =
+          df.withColumn("metric", lit(m))
+            .select("metric", "psi", "n_prev", "n_next", "is_drift")
+        withMetric(graft.operators.Validate.psiGate(
+            c, c.filter(col("c_acctbal") >= 0), "c_acctbal",
+            lo = -1000.0, hi = 10000.0, bins = 20), "drop_negative_balances")
+          .unionByName(withMetric(graft.operators.Validate.psiGate(
+            c, c.filter(col("c_custkey") % 2 === 0), "c_acctbal",
+            lo = -1000.0, hi = 10000.0, bins = 20), "random_half"))
+          .orderBy("metric")
+      },
+      Some {
+        def one(nextWhere: String, label: String) =
+          graft.operators.Validate.psiGateSql(
+            "SELECT c_acctbal FROM customer",
+            s"SELECT c_acctbal FROM customer WHERE $nextWhere",
+            "c_acctbal", lo = -1000.0, hi = 10000.0, bins = 20)
+            .replaceFirst("(?s)^WITH ", "")
+        s"""SELECT metric, psi, n_prev, n_next, is_drift FROM (
+           |  SELECT 'drop_negative_balances' AS metric, * FROM (
+           |    WITH ${one("c_acctbal >= 0", "a")} )
+           |  UNION ALL
+           |  SELECT 'random_half', * FROM (
+           |    WITH ${one("c_custkey % 2 = 0", "b")} ))
+           |ORDER BY metric""".stripMargin
+      }),
+
     "q150_drift_gate" -> Q(
       (s, dir) => {
         val c = Tables.customer(s, dir)

@@ -1228,6 +1228,25 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(estN._1 >= 60.0 && estN._1 <= 100.0)
   }
 
+  test("psiGate: identical distributions score ~0; a shifted one flags; count-invariant") {
+    import graft.operators.Validate
+    val base = (1 to 1000).map(i => (i % 100).toDouble).toDF("v")
+    // identical snapshot: PSI exactly 0
+    val same = Validate.psiGate(base, base, "v", 0.0, 100.0, 10).head()
+    assert(same.getAs[Double]("psi") === 0.0)
+    assert(same.getAs[Long]("is_drift") === 0L)
+    // every value moved up by 50 (mod wrap): gross shift must flag
+    val shifted = base.select((col("v") + 50.0).as("v"))
+    val hit = Validate.psiGate(base, shifted, "v", 0.0, 160.0, 16).head()
+    assert(hit.getAs[Long]("is_drift") === 1L, s"psi=${hit.getAs[Double]("psi")}")
+    // dropping every other ROW (same distribution, half the count) must
+    // not flag — PSI is count-invariant
+    val quiet2 = Validate.psiGate(base,
+      (1 to 1000).filter(_ % 2 == 0).map(i => (i % 100).toDouble).toDF("v"),
+      "v", 0.0, 100.0, 10).head()
+    assert(quiet2.getAs[Long]("is_drift") === 0L, s"psi=${quiet2.getAs[Double]("psi")}")
+  }
+
   // ---- Contrastive.minePairs ----
 
   test("minePairs: nearest vector ranks pos#1, negatives exclude positives, zero-norm excluded") {
