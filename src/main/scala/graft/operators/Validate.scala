@@ -236,11 +236,23 @@ object Validate {
   def psiGate(prev: DataFrame, next: DataFrame, valueCol: String,
               lo: Double, hi: Double, bins: Int,
               threshold: Double = 0.25, minP: Double = 1e-6,
-              roundTo: Int = 6): DataFrame = {
-    val pc = Sketches.histogramCounts(prev, valueCol, lo, hi, bins)
-      .withColumnRenamed("n", "prev_n")
-    val nc = Sketches.histogramCounts(next, valueCol, lo, hi, bins)
-      .withColumnRenamed("n", "next_n")
+              roundTo: Int = 6): DataFrame =
+    psiGateFromCounts(
+      Sketches.histogramCounts(prev, valueCol, lo, hi, bins),
+      Sketches.histogramCounts(next, valueCol, lo, hi, bins),
+      threshold, minP, roundTo)
+
+  /** [[psiGate]] on PRE-AGGREGATED bin counts (`(bin, n)` per side) — the
+    * counts-level composition point, exactly as [[driftGateFromCounts]] is
+    * for the z-gate: a streaming fold of the next snapshot's histogram
+    * ([[graft.streaming.StreamingDrift.psiGate]], q176) gates through the
+    * identical arithmetic as the two-snapshot batch form (q175).
+    */
+  def psiGateFromCounts(prevCounts: DataFrame, nextCounts: DataFrame,
+                        threshold: Double = 0.25, minP: Double = 1e-6,
+                        roundTo: Int = 6): DataFrame = {
+    val pc = prevCounts.withColumnRenamed("n", "prev_n")
+    val nc = nextCounts.withColumnRenamed("n", "next_n")
     val joined = pc.join(nc, Seq("bin"), "full_outer")
       .select(coalesce(col("prev_n"), lit(0L)).as("pn"),
         coalesce(col("next_n"), lit(0L)).as("nn"))

@@ -608,6 +608,20 @@ object RelationalQueries {
            |ORDER BY metric""".stripMargin
       }),
 
+    // The PSI gate MID-INGEST: the next snapshot's bin counts fold through
+    // the engine's complete-mode aggregation (the q172 monoid argument) and
+    // gate against the static baseline via the identical psiGateFromCounts
+    // arithmetic — q175's shifted-metric oracle verbatim proves stream ≡
+    // batch for the distribution axis.
+    "q176_stream_psi_gate" -> Q(
+      (s, dir) => graft.streaming.StreamingDrift.psiGate(
+        s, dir, "c_acctbal", nextFilter = "c_acctbal >= 0",
+        lo = -1000.0, hi = 10000.0, bins = 20),
+      Some(graft.operators.Validate.psiGateSql(
+        "SELECT c_acctbal FROM customer",
+        "SELECT c_acctbal FROM customer WHERE c_acctbal >= 0",
+        "c_acctbal", lo = -1000.0, hi = 10000.0, bins = 20))),
+
     "q150_drift_gate" -> Q(
       (s, dir) => {
         val c = Tables.customer(s, dir)

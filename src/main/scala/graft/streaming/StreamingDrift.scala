@@ -103,6 +103,36 @@ object StreamingDrift {
     }
   }
 
+  /** The DISTRIBUTION-drift gate mid-ingest: the next snapshot streams in,
+    * its fixed-grid bin counts fold through the engine-managed complete-mode
+    * aggregation (bin counts are the same additive monoid the quantile
+    * sketch rides — ≤ bins state rows, batch boundaries invisible), and PSI
+    * runs over the drained histogram against the static baseline through
+    * [[Validate.psiGateFromCounts]] — identical arithmetic to the batch
+    * q175, which is why q176 passes its oracle SQL verbatim. Completes the
+    * gate matrix: count × {batch, stream, keyed-state, history} and now
+    * distribution × {batch, stream}.
+    */
+  def psiGate(spark: SparkSession, dir: String, valueCol: String,
+              nextFilter: String, lo: Double, hi: Double, bins: Int,
+              threshold: Double = 0.25): DataFrame = {
+    import graft.operators.Sketches
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(s"$dir/customer.parquet").schema)
+      .option("pathGlobFilter", "customer.parquet")
+      .parquet(dir)
+      .filter(expr(nextFilter))
+    val nextCounts = streamed
+      .filter(Sketches.histValueFilter(col(valueCol)))
+      .select(Sketches.histBinCol(col(valueCol), lo, hi, bins).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val drained = StreamingAgg.drain(nextCounts, "graft_stream_psi", "complete")
+    val prevCounts = Sketches.histogramCounts(
+      spark.read.option("pathGlobFilter", "customer.parquet").parquet(dir),
+      valueCol, lo, hi, bins)
+    Validate.psiGateFromCounts(prevCounts, drained, threshold)
+  }
+
   /** The UNBOUNDED-key form of the streaming gate: the group key is a wide
     * domain (here `c_custkey % buckets` standing in for per-domain / per-host
     * counts), so per-batch deltas MERGE into a key-partitioned parquet state
