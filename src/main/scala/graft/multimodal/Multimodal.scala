@@ -127,7 +127,8 @@ object Multimodal {
     */
   def captionFrameStats(spark: SparkSession, docs: DataFrame, frameBytes: Int,
                         idCol: String = "doc_id", textCol: String = "text",
-                        mediaCol: String = "text"): DataFrame = {
+                        mediaCol: String = "text",
+                        passthroughCols: Seq[String] = Seq("source")): DataFrame = {
     import graft.functions.MathFunctions.floorRound
     import graft.functions.TextFunctions.tokenCount
     val frames = sampleFrames(spark, docs, frameBytes, idCol, mediaCol)
@@ -135,13 +136,17 @@ object Multimodal {
       count(lit(1)).as("n_frames"),
       sum("n_bytes").as("media_bytes"),
       countDistinct("checksum").as("distinct_frames"))
-    val captions = docs.select(col(idCol).cast("long").as("doc_id"),
-      col("source"), tokenCount(col(textCol)).cast("long").as("caption_tokens"))
+    // Carried caption-side columns are a parameter (default `source`), not a
+    // hardcoded schema assumption — callers whose input lacks them pass Nil
+    // (ADVICE r10).
+    val carried = passthroughCols.map(col)
+    val captions = docs.select(col(idCol).cast("long").as("doc_id") +:
+      carried :+ tokenCount(col(textCol)).cast("long").as("caption_tokens"): _*)
     captions.join(mediaAgg, Seq("doc_id"))
       .withColumn("dup_frame_ratio",
         floorRound(lit(1.0) - col("distinct_frames").cast("double") / col("n_frames").cast("double"), 6))
-      .select(col("doc_id").as(idCol), col("source"), col("caption_tokens"),
-        col("n_frames"), col("media_bytes"), col("distinct_frames"), col("dup_frame_ratio"))
+      .select(col("doc_id").as(idCol) +: carried ++: Seq(col("caption_tokens"),
+        col("n_frames"), col("media_bytes"), col("distinct_frames"), col("dup_frame_ratio")): _*)
   }
 
   /** Temporal frame-alignment spans — the media analog of exact-substring

@@ -99,12 +99,15 @@ object MultimodalQueries {
     * in place (uppercased). Length-preserving, so bucket boundaries align
     * and the perceptual hashes sit within hamming ≤ 2 of each other.
     */
-  private val renditionCte: String =
-    """media AS (
-      |  SELECT doc_id * 2 AS id, text AS m, text AS caption, source, n_chars FROM documents
+  private def renditionCte(cap: Option[Int] = None): String = {
+    val filt = cap.map(c => s" WHERE doc_id < $c").getOrElse("")
+    s"""media AS (
+      |  SELECT doc_id * 2 AS id, text AS m, text AS caption, source, n_chars FROM documents$filt
       |  UNION ALL
       |  SELECT doc_id * 2 + 1, upper(substr(text, 1, 4)) || substr(text, 5), text, source, n_chars
-      |  FROM documents)""".stripMargin
+      |  FROM documents$filt)""".stripMargin
+  }
+  private val renditionCteAll: String = renditionCte()
 
   private def renditionDf(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val d = Tables.documents(s, dir)
@@ -179,7 +182,7 @@ object MultimodalQueries {
     // 4×15 banding's guaranteed-recall radius) without any all-pairs scan.
     "q159_media_dup_pairs" -> Q(
       (s, dir) => Multimodal.mediaDupPairs(renditionDf(s, dir), "id", "m", maxHamming = 3),
-      Some(s"""WITH $renditionCte,
+      Some(s"""WITH ${renditionCteAll},
              |$dhashCtes,
              |${bandPairCtes(maxHamming = 3)}
              |SELECT id_a, id_b, hamming FROM pairs ORDER BY 1, 2""".stripMargin)),
@@ -336,7 +339,7 @@ object MultimodalQueries {
     "q170_stream_phash_probe" -> Q(
       (s, dir) => graft.streaming.StreamingMedia.perceptualProbe(
         s, dir, cap = 500, maxHamming = 3),
-      Some(s"""WITH $renditionCte,
+      Some(s"""WITH ${renditionCte(Some(500))},
              |$dhashCtes,
              |pbk AS (
              |  SELECT id, dhash, b, (dhash >> CAST(b * 15 AS INTEGER)) & 32767 AS chunk
@@ -351,7 +354,7 @@ object MultimodalQueries {
 
   /** q161's oracle: gates + perceptual dedup over the rendition corpus. */
   private lazy val curateOracle: Option[String] =
-    Some(s"""WITH $renditionCte,
+    Some(s"""WITH ${renditionCteAll},
            |${frameCtes(128)},
            |cap AS (SELECT id, len(string_split(caption, ' ')) AS toks FROM media),
            |gated AS (

@@ -144,8 +144,8 @@ object StreamingDrift {
     */
   def keyedDriftGate(spark: SparkSession, dir: String, zMax: Double = 3.0,
                      buckets: Int = 64): DataFrame = {
-    val statePath = java.nio.file.Files
-      .createTempDirectory("graft_drift_state").resolve("state").toString
+    val stateRoot = java.nio.file.Files.createTempDirectory("graft_drift_state")
+    val statePath = stateRoot.resolve("state").toString
     val reader = spark.readStream
       .schema(spark.read.parquet(s"$dir/customer.parquet").schema)
       .option("pathGlobFilter", "customer.parquet")
@@ -164,6 +164,24 @@ object StreamingDrift {
     val prevCounts = spark.read.option("pathGlobFilter", "customer.parquet").parquet(dir)
       .groupBy((col("c_custkey") % buckets).as("g")).agg(count(lit(1)).cast("long").as("prev_n"))
     val nextCounts = spark.read.parquet(statePath).select("g", "next_n")
-    Validate.driftGateFromCounts(prevCounts, nextCounts, "g", zMax)
+    val gate = Validate.driftGateFromCounts(prevCounts, nextCounts, "g", zMax)
+    // Materialize the verdict (≤ `buckets` rows — a bounded parameter fetch,
+    // not a data-plane collect) so the returned plan no longer references
+    // the temp state table, then drop the whole temp root — state, the
+    // .staging scratch, and any .old swap remnant — instead of leaking one
+    // orphaned directory per invocation (ADVICE r10).
+    import scala.jdk.CollectionConverters._
+    val out = spark.createDataFrame(gate.collect().toSeq.asJava, gate.schema)
+    deleteRecursively(stateRoot)
+    out
+  }
+
+  /** Best-effort recursive delete of a local temp directory. */
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
+    }
   }
 }

@@ -37,9 +37,9 @@ object ShuffleProbe {
         shuffleWrite.set(0); shuffleRecords.set(0)
         val t0 = System.nanoTime()
         fn(spark, dir).write.mode("overwrite").format("noop").save()
-        // listener events are async — give the bus a beat to drain (scratch
-        // tool; a bounded sleep is fine here)
-        Thread.sleep(1000)
+        // listener events are async — drain the bus deterministically before
+        // reading the counters (a fixed sleep can under-report under load)
+        org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"[shuffle] $name%-28s ${shuffleWrite.get / 1048576.0}%10.2f MiB " +
           f"${shuffleRecords.get}%12d rows $dt%8.2f s")
