@@ -33,6 +33,18 @@ object VectorFunctions {
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(asDouble(a)), ExpressionUtils.expression(asDouble(b))))
 
+  /** Matrix × vector with a LITERAL row matrix (e.g. an OPQ rotation,
+    * [[graft.operators.Opq]]): output j = mat(j)·v, each row product the
+    * fused sequential dot — the identical accumulation DuckDB's
+    * `list_inner_product` performs, so a rotated chain stays oracle-exact.
+    * The matrix rides the plan as one nested array literal (parameter-sized:
+    * 64×64 doubles), broadcast with the closure — never a join.
+    */
+  def matVec(v: Column, mat: Array[Array[Double]]): Column = {
+    val rows = array(mat.map(r => array(r.map(lit): _*)): _*)
+    transform(sequence(lit(1), lit(mat.length)), j => dotFused(v, element_at(rows, j)))
+  }
+
   /** Fused single-pass cosine (native codegen Expression). Bit-identical to
     * [[cosine]] — same accumulation order, `dot/(sqrt(na)*sqrt(nb))`.
     */

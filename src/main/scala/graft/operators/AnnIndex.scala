@@ -149,13 +149,18 @@ object AnnIndex {
   def ivfTopK(queries: DataFrame, qIdCol: String, qVecCol: String,
               corpus: DataFrame, cIdCol: String, cVecCol: String,
               k: Int, nlist: Int, nprobe: Int, roundTo: Int = 6,
-              excludeSelf: Boolean = true): DataFrame = {
+              excludeSelf: Boolean = true,
+              coarseCentroids: Option[Array[Seq[Double]]] = None): DataFrame = {
     import graft.functions.VectorFunctions.dotFused
     require(nprobe <= nlist, "nprobe must be <= nlist")
-    val cents: Array[(Int, Seq[Double])] = corpus
-      .select(col(cIdCol), asDouble(col(cVecCol)).as("v"))
-      .orderBy(col(cIdCol)).limit(nlist)
-      .collect().zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) }
+    // coarseCentroids: trained cells (e.g. [[kmeansCentroids]]) — the
+    // lowest-id default keeps q40/q78-era oracles byte-stable.
+    val cents: Array[(Int, Seq[Double])] = coarseCentroids
+      .map(_.zipWithIndex.map { case (c, i) => i -> c })
+      .getOrElse(corpus
+        .select(col(cIdCol), asDouble(col(cVecCol)).as("v"))
+        .orderBy(col(cIdCol)).limit(nlist)
+        .collect().zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) })
 
     def centLit(c: Seq[Double]): Column = array(c.map(lit): _*)
     def cellScores(vec: Column): Column = array(cents.toSeq.map { case (i, c) =>
@@ -277,9 +282,11 @@ object AnnIndex {
              k: Int, m: Int, ksub: Int, dim: Int,
              nlist: Int, nprobe: Int, roundTo: Int = 6,
              excludeSelf: Boolean = true,
-             codebooks: Option[Array[Array[Seq[Double]]]] = None): DataFrame = {
+             codebooks: Option[Array[Array[Seq[Double]]]] = None,
+             coarseCentroids: Option[Array[Seq[Double]]] = None): DataFrame = {
     val (enc, qbOf, adist) =
-      pqParts(corpus, cIdCol, cVecCol, m, ksub, dim, nlist, nprobe, codebooks)
+      pqParts(corpus, cIdCol, cVecCol, m, ksub, dim, nlist, nprobe, codebooks,
+        coarseCentroids)
     val qb = qbOf(queries, qIdCol, qVecCol)
     val scored = enc.join(broadcast(qb), Seq("__cell"))
       .filter(lit(!excludeSelf) || col(qIdCol) =!= col(cIdCol))
@@ -301,7 +308,8 @@ object AnnIndex {
     */
   private[graft] def pqParts(corpus: DataFrame, cIdCol: String, cVecCol: String,
       m: Int, ksub: Int, dim: Int, nlist: Int, nprobe: Int,
-      codebooks: Option[Array[Array[Seq[Double]]]])
+      codebooks: Option[Array[Array[Seq[Double]]]],
+      coarseCentroids: Option[Array[Seq[Double]]] = None)
       : (DataFrame, (DataFrame, String, String) => DataFrame, Column) = {
     import graft.functions.VectorFunctions.dotFused
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
@@ -311,11 +319,13 @@ object AnnIndex {
     require(cbs.length == m && cbs.forall(cb => cb.length == ksub && cb.forall(_.length == dsub)),
       s"codebooks must be m=$m groups of ksub=$ksub $dsub-dim entries (ADC offsets assume it)")
 
-    // coarse IVF cells — same deterministic centroids as ivfTopK
-    val cents: Array[(Int, Seq[Double])] = corpus
-      .select(col(cIdCol), asDouble(col(cVecCol)).as("v"))
-      .orderBy(col(cIdCol)).limit(nlist)
-      .collect().zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) }
+    // coarse IVF cells — lowest-id default as ivfTopK, or trained centroids
+    val cents: Array[(Int, Seq[Double])] = coarseCentroids
+      .map(_.zipWithIndex.map { case (c, i) => i -> c })
+      .getOrElse(corpus
+        .select(col(cIdCol), asDouble(col(cVecCol)).as("v"))
+        .orderBy(col(cIdCol)).limit(nlist)
+        .collect().zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) })
     def cellScores(vec: Column): Column = array(cents.toSeq.map { case (i, c) =>
       val c2 = c.map(x => x * x).sum
       struct((lit(c2) - lit(2.0) * dotFused(vec, array(c.map(lit): _*))).as("d"), lit(i).as("i"))
@@ -369,9 +379,12 @@ object AnnIndex {
                      k: Int, m: Int, ksub: Int, dim: Int,
                      nlist: Int, nprobe: Int, roundTo: Int = 6,
                      excludeSelf: Boolean = true,
-                     codebooks: Option[Array[Array[Seq[Double]]]] = None): DataFrame = {
+                     codebooks: Option[Array[Array[Seq[Double]]]] = None,
+                     coarseCentroids: Option[Array[Seq[Double]]] = None,
+                     rotation: Option[Array[Array[Double]]] = None): DataFrame = {
     val (enc, qbOf, adist) =
-      pqResidualParts(corpus, cIdCol, cVecCol, m, ksub, dim, nlist, nprobe, codebooks)
+      pqResidualParts(corpus, cIdCol, cVecCol, m, ksub, dim, nlist, nprobe,
+        codebooks, coarseCentroids, rotation)
     val qb = qbOf(queries, qIdCol, qVecCol)
     val scored = enc.join(broadcast(qb), Seq("__cell"))
       .filter(lit(!excludeSelf) || col(qIdCol) =!= col(cIdCol))
@@ -388,12 +401,15 @@ object AnnIndex {
     * residual codebooks ([[pqTrainCodebooks]] runs on it unchanged).
     */
   def pqResidualCorpus(corpus: DataFrame, idCol: String, vecCol: String,
-                       nlist: Int): DataFrame = {
+                       nlist: Int,
+                       coarseCentroids: Option[Array[Seq[Double]]] = None): DataFrame = {
     import graft.functions.VectorFunctions.dotFused
-    val cents: Array[(Int, Seq[Double])] = corpus
-      .select(col(idCol), asDouble(col(vecCol)).as("v"))
-      .orderBy(col(idCol)).limit(nlist)
-      .collect().zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) }
+    val cents: Array[(Int, Seq[Double])] = coarseCentroids
+      .map(_.zipWithIndex.map { case (c, i) => i -> c })
+      .getOrElse(corpus
+        .select(col(idCol), asDouble(col(vecCol)).as("v"))
+        .orderBy(col(idCol)).limit(nlist)
+        .collect().zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) })
     val centArr = array(cents.map { case (_, c) => array(c.map(lit): _*) }.toSeq: _*)
     def cellScores(vec: Column): Column = array(cents.toSeq.map { case (i, c) =>
       val c2 = c.map(x => x * x).sum
@@ -410,29 +426,43 @@ object AnnIndex {
     */
   private[graft] def pqResidualParts(corpus: DataFrame, cIdCol: String, cVecCol: String,
       m: Int, ksub: Int, dim: Int, nlist: Int, nprobe: Int,
-      codebooks: Option[Array[Array[Seq[Double]]]])
+      codebooks: Option[Array[Array[Seq[Double]]]],
+      coarseCentroids: Option[Array[Seq[Double]]] = None,
+      rotation: Option[Array[Array[Double]]] = None)
       : (DataFrame, (DataFrame, String, String) => DataFrame, Column) = {
-    import graft.functions.VectorFunctions.dotFused
+    import graft.functions.VectorFunctions.{dotFused, matVec}
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     require(nprobe <= nlist, "nprobe must be <= nlist")
+    require(rotation.forall(r => r.length == dim && r.forall(_.length == dim)),
+      s"rotation must be $dim×$dim")
     val dsub = dim / m
     val cbs = codebooks.getOrElse {
-      pqCodebooks(pqResidualCorpus(corpus, cIdCol, cVecCol, nlist),
-        cIdCol, "__resid", m, ksub, dim)
+      val rc0 = pqResidualCorpus(corpus, cIdCol, cVecCol, nlist, coarseCentroids)
+      val rc = rotation.fold(rc0)(r =>
+        rc0.select(col(cIdCol), matVec(col("__resid"), r).as("__resid")))
+      pqCodebooks(rc, cIdCol, "__resid", m, ksub, dim)
     }
     require(cbs.length == m && cbs.forall(cb => cb.length == ksub && cb.forall(_.length == dsub)),
       s"codebooks must be m=$m groups of ksub=$ksub $dsub-dim entries (ADC offsets assume it)")
-    val cents: Array[(Int, Seq[Double])] = corpus
-      .select(col(cIdCol), asDouble(col(cVecCol)).as("v"))
-      .orderBy(col(cIdCol)).limit(nlist)
-      .collect().zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) }
+    val cents: Array[(Int, Seq[Double])] = coarseCentroids
+      .map(_.zipWithIndex.map { case (c, i) => i -> c })
+      .getOrElse(corpus
+        .select(col(cIdCol), asDouble(col(cVecCol)).as("v"))
+        .orderBy(col(cIdCol)).limit(nlist)
+        .collect().zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) })
     val centArr = array(cents.map { case (_, c) => array(c.map(lit): _*) }.toSeq: _*)
     def cellScores(vec: Column): Column = array(cents.toSeq.map { case (i, c) =>
       val c2 = c.map(x => x * x).sum
       struct((lit(c2) - lit(2.0) * dotFused(vec, array(c.map(lit): _*))).as("d"), lit(i).as("i"))
     }: _*)
-    def resid(vec: Column, cell: Column): Column =
-      zip_with(vec, element_at(centArr, cell + 1), (a, b) => a - b)
+    // OPQ composition point ([[Opq]]): the learned orthogonal rotation is
+    // applied to the RESIDUAL on both sides of the join — distances are
+    // rotation-invariant, so the ADC arithmetic downstream is untouched;
+    // only the space the codebooks quantize becomes variance-balanced.
+    def resid(vec: Column, cell: Column): Column = {
+      val r0 = zip_with(vec, element_at(centArr, cell + 1), (a, b) => a - b)
+      rotation.fold(r0)(rm => matVec(r0, rm))
+    }
 
     import graft.functions.expressions.{PqAdcTable, PqEncode}
     import org.apache.spark.sql.{GraftSqlBridge => B}

@@ -1,0 +1,192 @@
+package graft.operators
+
+/** Optimized Product Quantization — the learned rotation (Ge, He, Ke, Sun,
+  * "Optimized Product Quantization for Approximate Nearest Neighbor Search",
+  * CVPR 2013, §4 "parametric" solution): decorrelate the data with PCA, then
+  * allocate eigen-directions to PQ subspaces balancing the product of
+  * eigenvalues per subspace (equalizing subspace variances), so no codebook
+  * is forced to cover a disproportionate share of the corpus' spread. The
+  * rotation is orthogonal (rows are the reordered eigenvectors), so squared
+  * L2 distances — and therefore the IVFADC ranking ([[AnnIndex]]) — are
+  * preserved while the axis-aligned subspace split the codes quantize
+  * becomes variance-balanced.
+  *
+  * Everything here is PURE SCALA on parameter-sized data (a fixed training
+  * sample × a 64×64 eigenproblem) — no Spark, no I/O — which is what lets
+  * the trained rotation be embedded as shared literals in BOTH the Spark
+  * plan and the DuckDB oracle SQL: the training sample below is a pure
+  * function of row ids, so the rotation is scale-factor-independent and
+  * known before any data is read (quantizers trained on a bounded sample is
+  * the standard practice the paper itself follows).
+  *
+  * Determinism: cyclic Jacobi with a fixed sweep count and pivot order;
+  * eigenpairs sorted by (eigenvalue desc, index asc); greedy allocation with
+  * index tie-breaks. Java 17 floating arithmetic is strict, so the same
+  * inputs give bit-identical rotations on every run.
+  */
+object Opq {
+
+  /** The integer hash behind the clustered-embedding fixture: range
+    * [0, 1000002], all intermediates < 2^63 for k < 3·10^9 (the `k*k` is
+    * reduced mod 1000003 BEFORE the 2654435761 multiply — the overflow trap
+    * the [[AnnIndex.hyperplanes]] formula never hits because its k is small).
+    * Mirrored verbatim in Spark SQL and DuckDB SQL (VectorQueries' clustered
+    * fixture CTE).
+    */
+  def h(k: Long): Long =
+    (((k * k) % 1000003L) * 2654435761L + 97L * k + 12345L) % 1000003L
+
+  val Dim = 64
+  val NClust = 32
+  /** Dims 0..7 carry ±25013 noise, dims 8..63 ±1564 — the ANISOTROPY that
+    * makes the axis-aligned m=16/dsub=4 split pathological (subspaces 0–1
+    * absorb all the variance) and a variance-balancing rotation win.
+    */
+  val BigDims = 8
+
+  /** Component d of the clustered fixture vector for row id `i`: cluster
+    * center (cluster = i mod 32, centers uniform ±501001 per dim) plus
+    * anisotropic per-row noise. Integer-valued doubles ≤ ~5.3e5, so every
+    * un-rotated dot/distance in the ANN chains is EXACT in both engines.
+    */
+  def clusteredVector(i: Long): Array[Double] = Array.tabulate(Dim) { d =>
+    val hc = h((i % NClust) * Dim + d + 1)
+    val hn = h(2000003L + (i % 10000019L) * Dim + d + 1)
+    val noise = if (d < BigDims) hn % 50027L - 25013L else hn % 3129L - 1564L
+    ((hc - 501001L) + noise).toDouble
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: fixed pivot
+    * order (row-major upper triangle), fixed sweep count — deterministic.
+    * Returns (eigenvalues, eigenvector matrix V with eigenvectors as
+    * COLUMNS). Off-diagonal mass after ~12 sweeps on a 64×64 covariance is
+    * far below double precision.
+    */
+  def jacobiEigenSym(s0: Array[Array[Double]], sweeps: Int = 16): (Array[Double], Array[Array[Double]]) = {
+    val n = s0.length
+    val a = Array.tabulate(n, n)((i, j) => s0(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    while (sweep < sweeps) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0.0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** Ge et al. §4.2 eigenvalue allocation: eigen-directions sorted by
+    * variance descending go greedily to the subspace bucket with the
+    * smallest current log-variance-product that still has room — balancing
+    * the per-subspace variance products the quantization-error bound
+    * depends on. Returns the eigenvector indices in final row order
+    * (bucket-major), i.e. rotated dims j·dsub..j·dsub+dsub−1 form subspace j.
+    */
+  def eigenAllocation(lam: Array[Double], m: Int, dsub: Int): Array[Int] = {
+    val order = lam.indices.sortBy(i => (-lam(i), i))
+    val logSum = Array.fill(m)(0.0)
+    val cnt = Array.fill(m)(0)
+    val buckets = Array.fill(m)(List.empty[Int])
+    for (i <- order) {
+      val b = (0 until m).filter(cnt(_) < dsub)
+        .minBy(b => (logSum(b), b))
+      buckets(b) = i :: buckets(b)
+      cnt(b) += 1
+      logSum(b) += math.log(math.max(lam(i), 1e-12))
+    }
+    buckets.flatMap(_.reverse).toArray
+  }
+
+  /** Train the OPQ rotation from sample rows `xs` (assumed centered — pass
+    * residuals): covariance → Jacobi eigenbasis → eigenvalue allocation.
+    * Returns R as a row matrix (y = R·x, rows orthonormal).
+    */
+  def trainRotation(xs: Array[Array[Double]], m: Int, dsub: Int): Array[Array[Double]] = {
+    require(xs.nonEmpty && xs(0).length == m * dsub,
+      s"sample dim ${xs.headOption.map(_.length)} must equal m*dsub = ${m * dsub}")
+    val d = xs(0).length
+    val cov = Array.ofDim[Double](d, d)
+    for (x <- xs) {
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { cov(i)(j) += x(i) * x(j); j += 1 }
+        i += 1
+      }
+    }
+    val n = xs.length.toDouble
+    for (i <- 0 until d; j <- 0 until d) cov(i)(j) /= n
+    val (lam, vecs) = jacobiEigenSym(cov)
+    val alloc = eigenAllocation(lam, m, dsub)
+    alloc.map(e => Array.tabulate(d)(r => vecs(r)(e)))
+  }
+
+  /** The fixture rotation for the clustered-embedding ANN family: trained on
+    * the FIXED 256-row synthetic sample ids 0..255 of [[clusteredVector]]
+    * (present at every scale factor; a pure function of the id, so the
+    * rotation is SF-independent and both the Spark plan and the oracle SQL
+    * can carry it as identical literals), residualized against per-cluster
+    * sample means — the quantity residual-PQ actually encodes.
+    */
+  lazy val fixtureRotation: Array[Array[Double]] = {
+    val ids = 0 until (NClust * 8)
+    val xs = ids.map(i => clusteredVector(i.toLong)).toArray
+    val means = Array.ofDim[Double](NClust, Dim)
+    val counts = Array.fill(NClust)(0)
+    for (i <- ids) {
+      val c = i % NClust
+      counts(c) += 1
+      var d = 0
+      while (d < Dim) { means(c)(d) += xs(i)(d); d += 1 }
+    }
+    for (c <- 0 until NClust; d <- 0 until Dim) means(c)(d) /= counts(c)
+    val resid = ids.map { i =>
+      val c = i % NClust
+      Array.tabulate(Dim)(d => xs(i)(d) - means(c)(d))
+    }.toArray
+    trainRotation(resid, m = 16, dsub = 4)
+  }
+
+  /** DuckDB list-of-lists literal for a rotation matrix — `Double.toString`
+    * is the shortest round-trip form, so the oracle parses back the exact
+    * same doubles the Spark literals hold.
+    */
+  def sqlMatrixLiteral(mat: Array[Array[Double]]): String =
+    mat.map(_.mkString("[", ", ", "]")).mkString("[", ",\n      ", "]")
+}

@@ -274,6 +274,219 @@ object VectorQueries {
        |  JOIN terms t ON t.q_id = ca.q_id AND t.j = co.j AND t.pci = co.code
        |  GROUP BY ca.q_id, ca.c_id)""".stripMargin
 
+  // ──────────────── clustered fixture + trained-IVF + OPQ (q177/q178) ───────
+
+  /** Sequential-fold sum of squares — the shared accumulation order of
+    * [[graft.functions.VectorFunctions.l2NormSq]] / Scala `Seq.sum`.
+    */
+  private def sqSql(v: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($v, x -> x*x)), (a, x) -> a + x)"
+
+  /** The clustered-embedding corpus (round-10 verdict top task): 32 widely
+    * separated clusters DERIVED deterministically from `embeddings.vec_id`
+    * by integer hashing ([[graft.operators.Opq.h]]) — per-dim centers
+    * ±501001 (cluster = vec_id mod 32) plus anisotropic per-row noise
+    * (dims 0–7 ±25013, dims 8–63 ±1564). Derived, not stored (the
+    * rendition-corpus pattern): both engines GENERATE the same corpus from
+    * this shared formula, and every component is an integer-valued double,
+    * so cell assignments and un-rotated distances are EXACT in both. The
+    * noise anisotropy concentrates residual variance in PQ subspaces 0–1 —
+    * precisely the pathology OPQ's variance-balancing rotation targets
+    * (Ge et al., CVPR 2013 §1). q165 measured the null result on the
+    * near-uniform `embeddings` fixture; this corpus is where the residual
+    * and OPQ constructions can show their win.
+    */
+  private def hSql(k: String): String =
+    s"((($k)*($k) % 1000003) * 2654435761 + 97*($k) + 12345) % 1000003"
+  private val cvBody: String = {
+    // CAST to BIGINT up front: k*k reaches ~4.5e12 — silent int32 overflow
+    // territory if vec_id/d arrive as 32-bit ints.
+    val hc = hSql("(CAST(vec_id AS BIGINT) % 32)*64 + CAST(d AS BIGINT) + 1")
+    val hn = hSql("2000003 + (CAST(vec_id AS BIGINT) % 10000019)*64 + CAST(d AS BIGINT) + 1")
+    s"CAST(($hc - 501001) + (CASE WHEN d < 8 THEN $hn % 50027 - 25013 ELSE $hn % 3129 - 1564 END) AS DOUBLE)"
+  }
+  private val cfCte: String =
+    s"cf AS (SELECT vec_id, list_transform(generate_series(0, 63), d -> $cvBody) AS v FROM embeddings)"
+  private[graft] def clusteredDf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.embeddings(s, dir).select(col("vec_id"),
+      expr(s"transform(sequence(0, 63), d -> $cvBody)").as("cvec"))
+
+  /** Lloyd-trained coarse centroids + cell assignment, mirroring
+    * [[AnnIndex.kmeansCentroids]](k=32, iters=1) exactly: init = the 32
+    * lowest-id vectors, one assign → per-(cell,pos) mean (floor-rounded to
+    * 9, empty cells keep their init entry), then `asg` re-assigns the whole
+    * corpus against the REFINED centroids. Means are exact cross-engine
+    * because cf components are integer-valued (sum < 2^53 — order-free).
+    */
+  private val cfKmeansCtes: String =
+    s"""kinit AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv
+       |  FROM cf ORDER BY vec_id LIMIT 32),
+       |ka AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT f.vec_id, f.v, k.ci AS cell,
+       |      row_number() OVER (PARTITION BY f.vec_id
+       |        ORDER BY k.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(f.v, k.cv), k.ci) AS rn
+       |    FROM cf f CROSS JOIN (SELECT ci, cv, ${sqSql("cv")} AS c2 FROM kinit) k)
+       |  WHERE rn = 1),
+       |km AS (
+       |  SELECT cell, pos, ${frs("avg(comp)", 9)} AS mc
+       |  FROM (SELECT cell, unnest(v) AS comp, generate_subscripts(v, 1) AS pos FROM ka)
+       |  GROUP BY cell, pos),
+       |cents AS (
+       |  SELECT i.ci, coalesce(m.ms, i.cv) AS cv, ${sqSql("coalesce(m.ms, i.cv)")} AS c2
+       |  FROM kinit i LEFT JOIN (
+       |    SELECT cell, list(mc ORDER BY pos) AS ms FROM km GROUP BY cell) m
+       |  ON m.cell = i.ci),
+       |asg AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT f.vec_id, f.v, c.ci AS cell,
+       |      row_number() OVER (PARTITION BY f.vec_id
+       |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(f.v, c.cv), c.ci) AS rn
+       |    FROM cf f CROSS JOIN cents c)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** Raw-PQ chain over `cf` with the trained `cents` (prefix `p`): codebooks
+    * init from the 16 lowest-id vectors' slices + one Lloyd step, codes for
+    * the whole corpus, probes/ADC for queries vec_id < 20 — the [[pqCtes]]
+    * shape re-rooted on the clustered corpus.
+    */
+  private val cfRawChain: String = {
+    val sl = (v: String, j: String) => s"list_slice($v, $j*$PqDsub+1, $j*$PqDsub+$PqDsub)"
+    s"""pcbv AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pci, v AS pcv
+       |  FROM cf ORDER BY vec_id LIMIT $PqKsub),
+       |psubs0 AS (
+       |  SELECT j, pci, ${sl("pcv", "j")} AS s, ${sqSql(sl("pcv", "j"))} AS c2
+       |  FROM pcbv CROSS JOIN (SELECT unnest(generate_series(0, ${PqM - 1})) AS j) js),
+       |pa1 AS (
+       |  SELECT vec_id, j, pci AS code, sv FROM (
+       |    SELECT a.vec_id, su.j, su.pci, ${sl("a.v", "su.j")} AS sv,
+       |      row_number() OVER (PARTITION BY a.vec_id, su.j
+       |        ORDER BY su.c2 - CAST(2.0 AS DOUBLE)
+       |          * list_inner_product(${sl("a.v", "su.j")}, su.s), su.pci) AS rn
+       |    FROM cf a CROSS JOIN psubs0 su)
+       |  WHERE rn = 1),
+       |pm1 AS (
+       |  SELECT j, code, pos, ${frs("avg(comp)", 9)} AS mc
+       |  FROM (SELECT j, code, unnest(sv) AS comp, generate_subscripts(sv, 1) AS pos FROM pa1)
+       |  GROUP BY j, code, pos),
+       |psubs AS (
+       |  SELECT s0.j, s0.pci, coalesce(m.ms, s0.s) AS s, ${sqSql("coalesce(m.ms, s0.s)")} AS c2
+       |  FROM psubs0 s0 LEFT JOIN (
+       |    SELECT j, code, list(mc ORDER BY pos) AS ms FROM pm1 GROUP BY j, code) m
+       |  ON m.j = s0.j AND m.code = s0.pci),
+       |pcodes AS (
+       |  SELECT vec_id, j, pci AS code FROM (
+       |    SELECT a.vec_id, su.j, su.pci,
+       |      row_number() OVER (PARTITION BY a.vec_id, su.j
+       |        ORDER BY su.c2 - CAST(2.0 AS DOUBLE)
+       |          * list_inner_product(${sl("a.v", "su.j")}, su.s), su.pci) AS rn
+       |    FROM cf a CROSS JOIN psubs su)
+       |  WHERE rn = 1),
+       |pprobes AS (
+       |  SELECT vec_id AS q_id, cell FROM (
+       |    SELECT f.vec_id, c.ci AS cell,
+       |      row_number() OVER (PARTITION BY f.vec_id
+       |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(f.v, c.cv), c.ci) AS rn
+       |    FROM cf f CROSS JOIN cents c WHERE f.vec_id < 20)
+       |  WHERE rn <= 4),
+       |pterms AS (
+       |  SELECT f.vec_id AS q_id, su.j, su.pci,
+       |    ${sqSql(sl("f.v", "su.j"))} + su.c2
+       |      - CAST(2.0 AS DOUBLE) * list_inner_product(${sl("f.v", "su.j")}, su.s) AS t
+       |  FROM cf f CROSS JOIN psubs su WHERE f.vec_id < 20),
+       |padist AS (
+       |  SELECT ca.q_id, ca.c_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t.t ORDER BY t.j)), (a, x) -> a + x) AS d
+       |  FROM (
+       |    SELECT p.q_id, a.vec_id AS c_id
+       |    FROM pprobes p JOIN asg a ON p.cell = a.cell
+       |    WHERE p.q_id <> a.vec_id) ca
+       |  JOIN pcodes co ON co.vec_id = ca.c_id
+       |  JOIN pterms t ON t.q_id = ca.q_id AND t.j = co.j AND t.pci = co.code
+       |  GROUP BY ca.q_id, ca.c_id)""".stripMargin
+  }
+
+  /** Residual chain over `cf`/`cents` (prefix `px`), optionally rotating the
+    * residuals by the OPQ matrix in the `rmat` CTE — the
+    * [[pqResidualChain]] shape with the rotation spliced in IDENTICALLY on
+    * the corpus and query sides (rotation-invariant distances, so only the
+    * quantized space changes). Mirrors
+    * [[AnnIndex.pqResidualParts]](coarseCentroids = kmeans, rotation = R).
+    */
+  private def cfResidChain(px: String, rot: Boolean): String = {
+    val sl = (v: String, j: String) => s"list_slice($v, $j*$PqDsub+1, $j*$PqDsub+$PqDsub)"
+    val rotJoin = if (rot) " CROSS JOIN rmat rm" else ""
+    val rvExpr =
+      if (rot) "list_transform(generate_series(1, 64), rj -> list_inner_product(r0.rv0, rm.m[rj]))"
+      else "r0.rv0"
+    val qrvExpr =
+      if (rot) "list_transform(generate_series(1, 64), rj -> list_inner_product(q.qrv0, rm.m[rj]))"
+      else "q.qrv0"
+    s"""${px}rall AS (
+       |  SELECT r0.vec_id, r0.cell, $rvExpr AS rv
+       |  FROM (
+       |    SELECT a.vec_id, a.cell,
+       |      list_transform(generate_series(1, 64), i -> a.v[i] - c.cv[i]) AS rv0
+       |    FROM asg a JOIN cents c ON c.ci = a.cell) r0$rotJoin),
+       |${px}cbv AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pci, rv AS pcv
+       |  FROM ${px}rall ORDER BY vec_id LIMIT $PqKsub),
+       |${px}subs0 AS (
+       |  SELECT j, pci, ${sl("pcv", "j")} AS s, ${sqSql(sl("pcv", "j"))} AS c2
+       |  FROM ${px}cbv CROSS JOIN (SELECT unnest(generate_series(0, ${PqM - 1})) AS j) js),
+       |${px}a1 AS (
+       |  SELECT vec_id, j, pci AS code, sv FROM (
+       |    SELECT r.vec_id, su.j, su.pci, ${sl("r.rv", "su.j")} AS sv,
+       |      row_number() OVER (PARTITION BY r.vec_id, su.j
+       |        ORDER BY su.c2 - CAST(2.0 AS DOUBLE)
+       |          * list_inner_product(${sl("r.rv", "su.j")}, su.s), su.pci) AS rn
+       |    FROM ${px}rall r CROSS JOIN ${px}subs0 su)
+       |  WHERE rn = 1),
+       |${px}m1 AS (
+       |  SELECT j, code, pos, ${frs("avg(comp)", 9)} AS mc
+       |  FROM (SELECT j, code, unnest(sv) AS comp, generate_subscripts(sv, 1) AS pos FROM ${px}a1)
+       |  GROUP BY j, code, pos),
+       |${px}subs AS (
+       |  SELECT s0.j, s0.pci, coalesce(m.ms, s0.s) AS s, ${sqSql("coalesce(m.ms, s0.s)")} AS c2
+       |  FROM ${px}subs0 s0 LEFT JOIN (
+       |    SELECT j, code, list(mc ORDER BY pos) AS ms FROM ${px}m1 GROUP BY j, code) m
+       |  ON m.j = s0.j AND m.code = s0.pci),
+       |${px}codes AS (
+       |  SELECT vec_id, j, pci AS code FROM (
+       |    SELECT r.vec_id, su.j, su.pci,
+       |      row_number() OVER (PARTITION BY r.vec_id, su.j
+       |        ORDER BY su.c2 - CAST(2.0 AS DOUBLE)
+       |          * list_inner_product(${sl("r.rv", "su.j")}, su.s), su.pci) AS rn
+       |    FROM ${px}rall r CROSS JOIN ${px}subs su)
+       |  WHERE rn = 1),
+       |${px}probes AS (
+       |  SELECT q.q_id, q.cell, $qrvExpr AS qrv
+       |  FROM (
+       |    SELECT f.vec_id AS q_id, c.ci AS cell,
+       |      list_transform(generate_series(1, 64), i -> f.v[i] - c.cv[i]) AS qrv0,
+       |      row_number() OVER (PARTITION BY f.vec_id
+       |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(f.v, c.cv), c.ci) AS rn
+       |    FROM cf f CROSS JOIN cents c WHERE f.vec_id < 20) q$rotJoin
+       |  WHERE q.rn <= 4),
+       |${px}terms AS (
+       |  SELECT p.q_id, p.cell, su.j, su.pci,
+       |    ${sqSql(sl("p.qrv", "su.j"))} + su.c2
+       |      - CAST(2.0 AS DOUBLE) * list_inner_product(${sl("p.qrv", "su.j")}, su.s) AS t
+       |  FROM ${px}probes p CROSS JOIN ${px}subs su),
+       |${px}adist AS (
+       |  SELECT ca.q_id, ca.c_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t.t ORDER BY t.j)), (a, x) -> a + x) AS d
+       |  FROM (
+       |    SELECT p.q_id, p.cell, a.vec_id AS c_id
+       |    FROM ${px}probes p JOIN asg a ON p.cell = a.cell
+       |    WHERE p.q_id <> a.vec_id) ca
+       |  JOIN ${px}codes co ON co.vec_id = ca.c_id
+       |  JOIN ${px}terms t ON t.q_id = ca.q_id AND t.cell = ca.cell AND t.j = co.j AND t.pci = co.code
+       |  GROUP BY ca.q_id, ca.c_id)""".stripMargin
+  }
+
   def all: ListMap[String, Q] = ListMap(
     "q23_centroids" -> Q(
       (s, dir) => {
@@ -1051,6 +1264,152 @@ object VectorQueries {
            |$stages
            |$union
            |ORDER BY sel_rank""".stripMargin
+      }),
+
+    // IVF over the clustered corpus with LLOYD-TRAINED coarse centroids
+    // (replacing the lowest-id placeholder policy, verdict r10 task 1): the
+    // oracle independently re-trains the k-means step (init → assign →
+    // floor-rounded means → re-assign), so the trained quantizer itself is
+    // hash-checked, not just the search that uses it.
+    "q177_clustered_ivf_kmeans" -> Q(
+      (s, dir) => {
+        val cf = clusteredDf(s, dir)
+        val cents = AnnIndex.kmeansCentroids(cf, "cvec", "vec_id", k = 32, iters = 1)
+        val qs = cf.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("cvec").as("q_vec"))
+        AnnIndex.ivfTopK(qs, "q_id", "q_vec",
+          cf.select(col("vec_id").as("c_id"), col("cvec")), "c_id", "cvec",
+          k = 3, nlist = 32, nprobe = 4, coarseCentroids = Some(cents.map(_.toSeq)))
+      },
+      Some {
+        val cos = s"list_inner_product(p.qv, a.v) / (sqrt(${sqSql("p.qv")}) * sqrt(${sqSql("a.v")}))"
+        s"""WITH $cfCte,
+           |$cfKmeansCtes,
+           |qprobes AS (
+           |  SELECT q_id, cell, qv FROM (
+           |    SELECT f.vec_id AS q_id, f.v AS qv, c.ci AS cell,
+           |      row_number() OVER (PARTITION BY f.vec_id
+           |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(f.v, c.cv), c.ci) AS rn
+           |    FROM cf f CROSS JOIN cents c WHERE f.vec_id < 10)
+           |  WHERE rn <= 4)
+           |SELECT q_id, c_id, score, rn FROM (
+           |  SELECT q_id, c_id, score,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rn
+           |  FROM (
+           |    SELECT p.q_id, a.vec_id AS c_id, ${frs(cos, 6)} AS score
+           |    FROM qprobes p JOIN asg a ON p.cell = a.cell AND p.q_id <> a.vec_id))
+           |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+      }),
+
+    // The OPQ recall audit (verdict r10 "done" criterion): raw PQ vs
+    // residual PQ vs residual+OPQ under IDENTICAL trained coarse cells,
+    // probes, and code budget (m=16, ksub=16) on the clustered corpus,
+    // scored against the exact top-3. All three chains AND the exact
+    // reference are oracle-checked, so the per-query recall deltas are too.
+    // Measured at sf0.01 (500 rows, 20 queries): mean recall@3 raw 0.18 <
+    // residual 0.60 < residual+OPQ 0.88 (total hits 11/36/53 of 60;
+    // OpqSpec pins the strict aggregate ordering) — the inverse of q165's
+    // null result, on the corpus shape the construction targets.
+    "q178_opq_recall" -> Q(
+      (s, dir) => {
+        val cf = clusteredDf(s, dir)
+        val cents = AnnIndex.kmeansCentroids(cf, "cvec", "vec_id", k = 32, iters = 1)
+          .map(_.toSeq)
+        val corpus = cf.select(col("vec_id").as("c_id"), col("cvec"))
+        val queries = cf.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("cvec").as("q_vec"))
+        val rawCb = AnnIndex.pqTrainCodebooks(cf, "vec_id", "cvec",
+          m = PqM, ksub = PqKsub, dim = 64, iters = 1)
+        val residCorpus = AnnIndex.pqResidualCorpus(cf, "vec_id", "cvec",
+          nlist = 32, coarseCentroids = Some(cents))
+        val resCb = AnnIndex.pqTrainCodebooks(residCorpus, "vec_id", "__resid",
+          m = PqM, ksub = PqKsub, dim = 64, iters = 1)
+        val rot = graft.operators.Opq.fixtureRotation
+        val rotCorpus = residCorpus.select(col("vec_id"),
+          matVec(col("__resid"), rot).as("__resid"))
+        val opqCb = AnnIndex.pqTrainCodebooks(rotCorpus, "vec_id", "__resid",
+          m = PqM, ksub = PqKsub, dim = 64, iters = 1)
+        def top3(f: => org.apache.spark.sql.DataFrame, hit: String) =
+          f.select(col("q_id"), col("c_id"), lit(1).as(hit))
+        val raw3 = top3(AnnIndex.pqTopK(queries, "q_id", "q_vec", corpus, "c_id", "cvec",
+          k = 3, m = PqM, ksub = PqKsub, dim = 64, nlist = 32, nprobe = 4,
+          codebooks = Some(rawCb), coarseCentroids = Some(cents)), "__hit_raw")
+        val res3 = top3(AnnIndex.pqResidualTopK(queries, "q_id", "q_vec", corpus, "c_id", "cvec",
+          k = 3, m = PqM, ksub = PqKsub, dim = 64, nlist = 32, nprobe = 4,
+          codebooks = Some(resCb), coarseCentroids = Some(cents)), "__hit_res")
+        val opq3 = top3(AnnIndex.pqResidualTopK(queries, "q_id", "q_vec", corpus, "c_id", "cvec",
+          k = 3, m = PqM, ksub = PqKsub, dim = 64, nlist = 32, nprobe = 4,
+          codebooks = Some(opqCb), coarseCentroids = Some(cents),
+          rotation = Some(rot)), "__hit_opq")
+        val c = cf.select(col("vec_id").as("c_id"), asDouble(col("cvec")).as("cv"))
+          .withColumn("__c2", l2NormSq(col("cv")))
+        val q = queries.select(col("q_id"), asDouble(col("q_vec")).as("qv"))
+          .withColumn("__q2", l2NormSq(col("qv")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("d2"), col("c_id"))
+        val exact = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+          .withColumn("d2",
+            fr(col("__q2") + col("__c2") - lit(2.0) * dotFused(col("qv"), col("cv")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("q_id", "c_id")
+        exact.join(raw3, Seq("q_id", "c_id"), "left")
+          .join(res3, Seq("q_id", "c_id"), "left")
+          .join(opq3, Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("__hit_raw"), lit(0))).cast("long").as("n_hit_raw"),
+            sum(coalesce(col("__hit_res"), lit(0))).cast("long").as("n_hit_res"),
+            sum(coalesce(col("__hit_opq"), lit(0))).cast("long").as("n_hit_opq"),
+            fr(sum(coalesce(col("__hit_raw"), lit(0))).cast("double") / lit(3.0), 4).as("recall_raw"),
+            fr(sum(coalesce(col("__hit_res"), lit(0))).cast("double") / lit(3.0), 4).as("recall_res"),
+            fr(sum(coalesce(col("__hit_opq"), lit(0))).cast("double") / lit(3.0), 4).as("recall_opq"))
+          .orderBy("q_id")
+      },
+      Some {
+        val d2 = s"${sqSql("q.v")} + ${sqSql("c.v")}" +
+          " - CAST(2.0 AS DOUBLE) * list_inner_product(q.v, c.v)"
+        def top3Of(adist: String, name: String): String =
+          s"""$name AS (
+             |  SELECT q_id, c_id FROM (
+             |    SELECT q_id, c_id,
+             |      row_number() OVER (PARTITION BY q_id ORDER BY ${frs("d", 6)}, c_id) AS rn
+             |    FROM $adist)
+             |  WHERE rn <= 3)""".stripMargin
+        s"""WITH $cfCte,
+           |$cfKmeansCtes,
+           |rmat AS (SELECT CAST(${graft.operators.Opq.sqlMatrixLiteral(graft.operators.Opq.fixtureRotation)} AS DOUBLE[][]) AS m),
+           |$cfRawChain,
+           |${cfResidChain("r", rot = false)},
+           |${cfResidChain("o", rot = true)},
+           |${top3Of("padist", "rawt")},
+           |${top3Of("radist", "rest")},
+           |${top3Of("oadist", "opqt")},
+           |exact AS (
+           |  SELECT q_id, c_id FROM (
+           |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${frs(d2, 6)}, c.vec_id) AS rn
+           |    FROM cf q JOIN cf c ON c.vec_id <> q.vec_id
+           |    WHERE q.vec_id < 20)
+           |  WHERE rn <= 3)
+           |SELECT q_id, count(*) AS n_exact,
+           |  CAST(sum(hit_raw) AS BIGINT) AS n_hit_raw,
+           |  CAST(sum(hit_res) AS BIGINT) AS n_hit_res,
+           |  CAST(sum(hit_opq) AS BIGINT) AS n_hit_opq,
+           |  ${frs("CAST(sum(hit_raw) AS DOUBLE) / CAST(3.0 AS DOUBLE)", 4)} AS recall_raw,
+           |  ${frs("CAST(sum(hit_res) AS DOUBLE) / CAST(3.0 AS DOUBLE)", 4)} AS recall_res,
+           |  ${frs("CAST(sum(hit_opq) AS DOUBLE) / CAST(3.0 AS DOUBLE)", 4)} AS recall_opq
+           |FROM (
+           |  SELECT e.q_id,
+           |    CASE WHEN pr.c_id IS NOT NULL THEN 1 ELSE 0 END AS hit_raw,
+           |    CASE WHEN rr.c_id IS NOT NULL THEN 1 ELSE 0 END AS hit_res,
+           |    CASE WHEN oo.c_id IS NOT NULL THEN 1 ELSE 0 END AS hit_opq
+           |  FROM exact e
+           |  LEFT JOIN rawt pr ON pr.q_id = e.q_id AND pr.c_id = e.c_id
+           |  LEFT JOIN rest rr ON rr.q_id = e.q_id AND rr.c_id = e.c_id
+           |  LEFT JOIN opqt oo ON oo.q_id = e.q_id AND oo.c_id = e.c_id)
+           |GROUP BY q_id ORDER BY q_id""".stripMargin
       }),
   )
 }
