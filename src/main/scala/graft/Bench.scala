@@ -50,50 +50,80 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
     }
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val sysLoadStart = osBean.getSystemLoadAverage
-    // Environment-noise sentinel, part 1: time the probe (first) query
-    // BEFORE the suite, post-warmup and outside the totals. Run it twice and
-    // baseline on the SECOND: the first probe execution still pays the
-    // query's own codegen/footer-caching costs (measured 1.30 s vs 0.52 s
-    // steady-state), and baselining on a cold time conflated JIT warm-up
-    // with contamination (ratio 0.48 contaminated vs 0.29 quiet:
-    // indistinguishable). Warm-vs-warm, quiet really is ≈ 1.
-    val probeWarm = selected.headOption.map { case (n0, fn0) =>
-      timeQuery(n0, fn0); (n0, fn0, timeQuery(n0, fn0))
+    /** One full suite pass with the noise sentinel around it. Returns the
+      * per-query results, the sentinel's probe ratio (−1 when unavailable),
+      * and the formatted noise JSON fragment.
+      */
+    def runSuite(): (Map[String, Double], Double, String) = {
+      val sysLoadStart = osBean.getSystemLoadAverage
+      // Environment-noise sentinel, part 1: time the probe (first) query
+      // BEFORE the suite, post-warmup and outside the totals. Run it twice
+      // and baseline on the SECOND: the first probe execution still pays the
+      // query's own codegen/footer-caching costs (measured 1.30 s vs 0.52 s
+      // steady-state), and baselining on a cold time conflated JIT warm-up
+      // with contamination (ratio 0.48 contaminated vs 0.29 quiet:
+      // indistinguishable). Warm-vs-warm, quiet really is ≈ 1.
+      val probeWarm = selected.headOption.map { case (n0, fn0) =>
+        timeQuery(n0, fn0); (n0, fn0, timeQuery(n0, fn0))
+      }
+      // part 2: a monotonic start-offset per query plus a load-average
+      // sample AFTER EVERY QUERY (max reported) — a mid-run contention
+      // window (the actual r07 pattern: q54–q130 inflated, endpoints quiet)
+      // is invisible to start/end readings but cannot dodge per-query
+      // sampling. Offsets go to stderr (the driver's parsed tail has ~80
+      // bytes of headroom — see below); the max load + ratio go in the
+      // parsed JSON.
+      val runT0 = System.nanoTime()
+      var loadMax = sysLoadStart
+      val results = selected.map { case (name, fn) =>
+        val off = (System.nanoTime() - runT0) / 1e9
+        val dt = timeQuery(name, fn)
+        val load = osBean.getSystemLoadAverage
+        if (load > loadMax) loadMax = load
+        System.err.println(f"[bench] $name%-28s $dt%8.2f s  (t+$off%7.1f s, load $load%.2f)")
+        name -> dt
+      }
+      // part 3: re-time the probe at the END. ratio = end/warm-baseline; a
+      // quiet box gives ≈ 1, end-of-run contention shows up directly.
+      var probeRatio = -1.0
+      val noiseJson = (for {
+        (n0, fn0, tWarm) <- probeWarm
+        if tWarm > 0 && results.get(n0).exists(_ > 0)
+      } yield {
+        val tEnd = timeQuery(n0, fn0)
+        val ratio = if (tEnd > 0) tEnd / tWarm else -1.0
+        probeRatio = ratio
+        val sysLoadEnd = osBean.getSystemLoadAverage
+        if (sysLoadEnd > loadMax) loadMax = sysLoadEnd
+        System.err.println(f"[bench] noise sentinel: $n0 warm ${tWarm}%.2f s -> end $tEnd%.2f s " +
+          f"(ratio ${ratio}%.2f), sys load start $sysLoadStart%.2f end $sysLoadEnd%.2f max $loadMax%.2f")
+        // compact keys: tw=probe warm baseline, te=probe end re-time, r=ratio,
+        // ls/le/lm=load start/end/max(sampled after every query). lm is the
+        // mid-run contamination detector; r covers the endpoints.
+        f""","noise":{"tw":$tWarm%.2f,"te":$tEnd%.2f,"r":$ratio%.2f,"ls":$sysLoadStart%.2f,"le":$sysLoadEnd%.2f,"lm":$loadMax%.2f}"""
+      }).getOrElse("")
+      (results, probeRatio, noiseJson)
     }
-    // part 2: a monotonic start-offset per query plus a load-average sample
-    // AFTER EVERY QUERY (max reported) — a mid-run contention window (the
-    // actual r07 pattern: q54–q130 inflated, endpoints quiet) is invisible
-    // to start/end readings but cannot dodge per-query sampling. Offsets go
-    // to stderr (the driver's parsed tail has ~80 bytes of headroom — see
-    // below); the max load + ratio go in the parsed JSON.
-    val runT0 = System.nanoTime()
-    var loadMax = sysLoadStart
-    val results = selected.map { case (name, fn) =>
-      val off = (System.nanoTime() - runT0) / 1e9
-      val dt = timeQuery(name, fn)
-      val load = osBean.getSystemLoadAverage
-      if (load > loadMax) loadMax = load
-      System.err.println(f"[bench] $name%-28s $dt%8.2f s  (t+$off%7.1f s, load $load%.2f)")
-      name -> dt
-    }
-    // part 3: re-time the probe at the END. ratio = end/warm-baseline; a
-    // quiet box gives ≈ 1, end-of-run contention shows up directly.
-    val noiseJson = (for {
-      (n0, fn0, tWarm) <- probeWarm
-      if tWarm > 0 && results.get(n0).exists(_ > 0)
-    } yield {
-      val tEnd = timeQuery(n0, fn0)
-      val ratio = if (tEnd > 0) tEnd / tWarm else -1.0
-      val sysLoadEnd = osBean.getSystemLoadAverage
-      if (sysLoadEnd > loadMax) loadMax = sysLoadEnd
-      System.err.println(f"[bench] noise sentinel: $n0 warm ${tWarm}%.2f s -> end $tEnd%.2f s " +
-        f"(ratio ${ratio}%.2f), sys load start $sysLoadStart%.2f end $sysLoadEnd%.2f max $loadMax%.2f")
-      // compact keys: tw=probe warm baseline, te=probe end re-time, r=ratio,
-      // ls/le/lm=load start/end/max(sampled after every query). lm is the
-      // mid-run contamination detector; r covers the endpoints.
-      f""","noise":{"tw":$tWarm%.2f,"te":$tEnd%.2f,"r":$ratio%.2f,"ls":$sysLoadStart%.2f,"le":$sysLoadEnd%.2f,"lm":$loadMax%.2f}"""
-    }).getOrElse("")
+    // Sentinel GATE (three straight rounds of judge-vs-driver number
+    // disagreement were all traced to contaminated driver runs): when the
+    // probe ratio says the box was loud (> 1.5), sleep out the transient
+    // and re-run the whole suite ONCE, then publish whichever attempt has
+    // the cleaner sentinel — same output format, plus "retry" so a gated
+    // run is visible in the record.
+    val attempt1 = runSuite()
+    val dirtyAbove = 1.5
+    val (results, noiseJson, retried) =
+      if (attempt1._2 > dirtyAbove) {
+        System.err.println(f"[bench] sentinel dirty (probe ratio ${attempt1._2}%.2f > $dirtyAbove%.1f); " +
+          "sleeping 60 s and re-running the suite once")
+        Thread.sleep(60000)
+        val attempt2 = runSuite()
+        val best = // prefer a clean ratio; -1 (unavailable) loses to any measurement
+          if (attempt2._2 > 0 && (attempt1._2 <= 0 || attempt2._2 <= attempt1._2)) attempt2
+          else attempt1
+        (best._1, best._3, 1)
+      } else (attempt1._1, attempt1._3, 0)
+    val retryTag = if (retried > 0) s""","retry":$retried""" else ""
     // a SPARK_GRAFT_ONLY-filtered profiling run must be distinguishable from
     // a full benchmark — mark it in the JSON
     val filteredTag = only.map { f =>
@@ -107,7 +137,7 @@ object Bench {
     // per-query line first (sacrificial under tail clipping), parsed
     // metric line LAST so the driver's 2000-byte tail always holds it whole
     println(perQueryLine(results, sfName))
-    println(metricLine(results, sfName, noiseJson, filteredTag))
+    println(metricLine(results, sfName, noiseJson + retryTag, filteredTag))
     spark.stop()
   }
 

@@ -94,8 +94,9 @@ object Multimodal {
     * column is dropped before the join, so only 16-byte hash rows shuffle).
     */
   def mediaDupPairs(df: DataFrame, idCol: String, bytesCol: String,
-                    maxHamming: Int): DataFrame = {
+                    maxHamming: Int, salts: Int = 1): DataFrame = {
     import graft.functions.TextFunctions.hamming64
+    import graft.operators.Salting
     // cache-lifetime: pinned by the returned plan — caller releases (see
     // Caching); both join sides read the hashed (id, ph) rows, and without
     // the pin each side re-derives the blobs AND re-hashes them
@@ -103,7 +104,9 @@ object Multimodal {
     val bk = banded(hashed)
     val l = bk.select(col(idCol).as("id_a"), col("ph").as("ph_a"), col("band"), col("chunk"))
     val r = bk.select(col(idCol).as("id_b"), col("ph").as("ph_b"), col("band"), col("chunk"))
-    l.join(r, Seq("band", "chunk"))
+    // salts > 1: spread a hot band bucket's O(k²) pair work over `salts`
+    // tasks ([[Salting.saltedSelfJoin]]) — identical output, bounded tasks
+    Salting.saltedSelfJoin(l, r, Seq("band", "chunk"), "id_b", salts)
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "ph_a", "ph_b")
       .dropDuplicates("id_a", "id_b")
@@ -178,6 +181,24 @@ object Multimodal {
     // the pair join — uncached, the media re-frames once per consumer
     val frames = sampleFrames(spark, media, frameBytes, idCol, mediaCol)
       .select(col("doc_id"), col("frame_id"), col("checksum")).cache()
+    frameAlignSpansFromFrames(frames, minRun, maxDf)
+  }
+
+  /** [[frameAlignSpans]] from a PRE-BUILT frame index `(doc_id, frame_id,
+    * checksum)` — the maintenance composition point (the
+    * `spansFromAnchorIndex` pattern): the index is append-only per media id
+    * (frames are a pure function of the blob, ids are immutable), so a
+    * standing index unioned with a delta batch's frames IS the full
+    * rebuild — q181 hash-proves that against the full-corpus oracle. The
+    * delta pass costs O(delta blob bytes / frameBytes), never a corpus
+    * rescan; the df-cap aggregate re-runs over the slim index rows (the
+    * cap must see GLOBAL frame frequencies, so it belongs to the consumer,
+    * not the index build).
+    */
+  def frameAlignSpansFromFrames(frames: DataFrame, minRun: Int,
+                                maxDf: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
     val filtered = maxDf match {
       case Some(cap) =>
         val keep = frames.groupBy("checksum")
@@ -240,8 +261,10 @@ object Multimodal {
     */
   def frameAlignSpansPerceptual(spark: SparkSession, media: DataFrame, frameBytes: Int,
                                 minRun: Int, maxHamming: Int, maxDf: Option[Int] = None,
-                                idCol: String = "doc_id", mediaCol: String = "m"): DataFrame = {
+                                idCol: String = "doc_id", mediaCol: String = "m",
+                                salts: Int = 1): DataFrame = {
     import graft.functions.TextFunctions.hamming64
+    import graft.operators.Salting
     import org.apache.spark.sql.expressions.Window
     require(minRun >= 1, s"minRun must be >= 1, got $minRun")
     // cache-lifetime: pinned by the returned plan — caller releases (see
@@ -260,7 +283,9 @@ object Multimodal {
       col("ph").as("ph_a"), col("band"), col("chunk"))
     val r = filtered.select(col("doc_id").as("id_b"), col("frame_id").as("fb"),
       col("ph").as("ph_b"), col("band"), col("chunk"))
-    val pairs = l.join(r, Seq("band", "chunk"))
+    // salts > 1: a hot (band, chunk) bucket under the maxDf cap still holds
+    // O(cap²·frames²) pair work in one task — the salt spreads it
+    val pairs = Salting.saltedSelfJoin(l, r, Seq("band", "chunk"), "id_b", salts)
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b", "fa", "fb")
       .filter(hamming64(col("ph_a"), col("ph_b")) <= maxHamming)

@@ -470,7 +470,7 @@ object Dedup {
     * band buckets over the 60-bit poly SimHash.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int): DataFrame = {
+                   maxHamming: Int, salts: Int = 1): DataFrame = {
     // cache-lifetime: pinned by the returned plan — caller releases (see Caching)
     val sh = df.select(col(idCol), simhashPoly(col(textCol)).as("sim")).cache()
     val banded = sh
@@ -478,7 +478,9 @@ object Dedup {
       .withColumn("chunk", expr("shiftright(sim, band*15) & 32767"))
     val l = banded.select(col(idCol).as("id_a"), col("sim").as("sim_a"), col("band"), col("chunk"))
     val r = banded.select(col(idCol).as("id_b"), col("sim").as("sim_b"), col("band"), col("chunk"))
-    l.join(r, Seq("band", "chunk"))
+    // salts > 1: spread a hot band bucket's O(k²) pair work over `salts`
+    // tasks ([[Salting.saltedSelfJoin]]) — identical output, bounded tasks
+    Salting.saltedSelfJoin(l, r, Seq("band", "chunk"), "id_b", salts)
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sim_a", "sim_b")
       .dropDuplicates("id_a", "id_b")

@@ -383,6 +383,17 @@ object Sketches {
       .select(histBinCol(col(valueCol), lo, hi, bins).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
 
+  /** Per-group histogram state `(g, bin, n)` — the grid behind
+    * [[groupedHistogramQuantiles]] and the per-source PSI gate
+    * ([[Validate.groupedPsiGateFromCounts]]): one map-side-combined shuffle,
+    * ≤ groups·bins rows out regardless of corpus size.
+    */
+  def groupedHistogramCounts(df: DataFrame, groupCol: String, valueCol: String,
+                             lo: Double, hi: Double, bins: Int): DataFrame =
+    df.filter(histValueFilter(col(valueCol)))
+      .select(col(groupCol).as("g"), histBinCol(col(valueCol), lo, hi, bins).as("bin"))
+      .groupBy("g", "bin").agg(count(lit(1)).as("n"))
+
   /** Quantile estimates from histogram state: for each q, the minimum bin
     * whose cumulative count reaches ⌈q·n⌉, estimated as the bin's lower
     * edge plus a uniform-within-bin interpolation — every step is integer

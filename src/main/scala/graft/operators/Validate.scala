@@ -267,6 +267,91 @@ object Validate {
       .select("psi", "n_prev", "n_next", "is_drift")
   }
 
+  /** Per-GROUP PSI gate — the multi-source ingest form of [[psiGate]]
+    * (round-10 verdict task 7): one PSI per group key over that group's own
+    * histogram pair, so a distribution shift confined to ONE source/domain
+    * flags exactly that group while every other group reads 0. The count
+    * state is ≤ groups·bins rows per side (one map-side-combined shuffle
+    * each); the PSI finish is a keyed aggregate over that grid — the same
+    * 100 TB profile as the global gate, keyed.
+    *
+    * Groups with an EMPTY side are excluded (tp/tn > 0): PSI compares
+    * proportions and is undefined for a source that appears or vanishes
+    * outright — that event is the COUNT gate's job
+    * ([[driftGateFromCounts]], q162's keyed form).
+    */
+  def groupedPsiGate(prev: DataFrame, next: DataFrame, groupCol: String,
+                     valueCol: String, lo: Double, hi: Double, bins: Int,
+                     threshold: Double = 0.25, minP: Double = 1e-6,
+                     roundTo: Int = 6): DataFrame =
+    groupedPsiGateFromCounts(
+      Sketches.groupedHistogramCounts(prev, groupCol, valueCol, lo, hi, bins),
+      Sketches.groupedHistogramCounts(next, groupCol, valueCol, lo, hi, bins),
+      groupCol, threshold, minP, roundTo)
+
+  /** [[groupedPsiGate]] on pre-aggregated per-group bin counts
+    * (`(g, bin, n)` per side) — the counts-level composition point the
+    * streaming form folds into ([[graft.streaming.StreamingDrift]]), keyed
+    * exactly as [[psiGateFromCounts]] is global.
+    */
+  def groupedPsiGateFromCounts(prevCounts: DataFrame, nextCounts: DataFrame,
+                               groupCol: String, threshold: Double = 0.25,
+                               minP: Double = 1e-6, roundTo: Int = 6): DataFrame = {
+    val pc = prevCounts.withColumnRenamed("n", "prev_n")
+    val nc = nextCounts.withColumnRenamed("n", "next_n")
+    val joined = pc.join(nc, Seq("g", "bin"), "full_outer")
+      .select(col("g"), coalesce(col("prev_n"), lit(0L)).as("pn"),
+        coalesce(col("next_n"), lit(0L)).as("nn"))
+    val totals = joined.groupBy("g").agg(sum("pn").as("tp"), sum("nn").as("tn"))
+    joined.join(totals, Seq("g"))
+      .filter(col("tp") > 0 && col("tn") > 0)
+      .select(col("g"),
+        greatest(col("pn").cast("double") / col("tp").cast("double"), lit(minP)).as("p"),
+        greatest(col("nn").cast("double") / col("tn").cast("double"), lit(minP)).as("q"),
+        col("tp"), col("tn"))
+      .groupBy("g")
+      .agg(floorRound(sum((col("p") - col("q")) * log(col("p") / col("q"))), roundTo).as("psi"),
+        first("tp").as("n_prev"), first("tn").as("n_next"))
+      .withColumn("is_drift", (col("psi") > threshold).cast("long"))
+      .select(col("g").as(groupCol), col("psi"), col("n_prev"), col("n_next"), col("is_drift"))
+  }
+
+  /** The oracle SQL mirror of [[groupedPsiGate]]: baseline = `table`, next
+    * snapshot = `table WHERE nextWhere`.
+    */
+  def groupedPsiGateSql(table: String, groupCol: String, valueCol: String,
+                        nextWhere: String, lo: Double, hi: Double, bins: Int,
+                        threshold: Double = 0.25, minP: Double = 1e-6,
+                        roundTo: Int = 6): String = {
+    val w = (hi - lo) / bins
+    def binCte(name: String, where: String) =
+      s"""$name AS (
+         |  SELECT $groupCol AS g,
+         |    least(greatest(CAST(floor((CAST($valueCol AS DOUBLE) - CAST($lo AS DOUBLE)) / CAST($w AS DOUBLE)) AS BIGINT),
+         |    CAST(0 AS BIGINT)), CAST(${bins - 1} AS BIGINT)) AS bin
+         |  FROM $table
+         |  WHERE $valueCol IS NOT NULL AND NOT isnan(CAST($valueCol AS DOUBLE))$where)""".stripMargin
+    val frs = graft.functions.MathFunctions.floorRoundSql _
+    s"""WITH ${binCte("hp", "")},
+       |${binCte("hn", s" AND ($nextWhere)")},
+       |cp AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS pn FROM hp GROUP BY g, bin),
+       |cn AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS nn FROM hn GROUP BY g, bin),
+       |j AS (
+       |  SELECT coalesce(cp.g, cn.g) AS g, coalesce(cp.pn, 0) AS pn, coalesce(cn.nn, 0) AS nn
+       |  FROM cp FULL OUTER JOIN cn ON cp.g = cn.g AND cp.bin = cn.bin),
+       |t AS (SELECT g, CAST(sum(pn) AS BIGINT) AS tp, CAST(sum(nn) AS BIGINT) AS tn FROM j GROUP BY g),
+       |pq AS (
+       |  SELECT j.g,
+       |    greatest(CAST(pn AS DOUBLE) / CAST(tp AS DOUBLE), CAST($minP AS DOUBLE)) AS p,
+       |    greatest(CAST(nn AS DOUBLE) / CAST(tn AS DOUBLE), CAST($minP AS DOUBLE)) AS q,
+       |    tp, tn
+       |  FROM j JOIN t ON t.g = j.g WHERE tp > 0 AND tn > 0)
+       |SELECT g AS $groupCol, ${frs("sum((p - q) * ln(p / q))", roundTo)} AS psi,
+       |  CAST(min(tp) AS BIGINT) AS n_prev, CAST(min(tn) AS BIGINT) AS n_next,
+       |  CAST(${frs("sum((p - q) * ln(p / q))", roundTo)} > CAST($threshold AS DOUBLE) AS BIGINT) AS is_drift
+       |FROM pq GROUP BY g ORDER BY g""".stripMargin
+  }
+
   /** The oracle SQL mirror of [[psiGate]] over two snapshot subqueries. */
   def psiGateSql(prevSel: String, nextSel: String, valueCol: String,
                  lo: Double, hi: Double, bins: Int,

@@ -12,9 +12,11 @@ import scala.collection.immutable.ListMap
   * table — raw text bytes stand in for a decoded media signal, re-encoded
   * "renditions" are simulated by in-place byte substitution (the
   * length-preserving analog of pixel noise), and looped/padded blobs simulate
-  * decode junk with repeated frames. The caveat from q32 applies throughout:
-  * the Spark side hashes UTF-8 BYTES while the oracle indexes characters —
-  * equivalent only because the fixture corpus is pure ASCII.
+  * decode junk with repeated frames. Domain note: the Spark side hashes
+  * UTF-8 BYTES; most oracles here index CHARACTERS and coincide because the
+  * fixture corpus is pure ASCII — q184 pins the byte semantics themselves
+  * on a non-ASCII corpus with a byte-domain oracle (hex(encode(...))), so
+  * the equivalence is hash-checked rather than assumed.
   */
 object MultimodalQueries {
 
@@ -240,27 +242,30 @@ object MultimodalQueries {
         Multimodal.frameAlignSpans(s, media, frameBytes = 128, minRun = 2,
           maxDf = Some(60), idCol = "doc_id", mediaCol = "m")
       },
-      Some(s"""WITH media AS (
-             |  SELECT doc_id AS id, $TrailerMediaSql AS m FROM documents),
-             |${frameCtes(128)},
-             |keep AS (
-             |  SELECT checksum FROM fr GROUP BY checksum
-             |  HAVING count(DISTINCT id) <= 60),
-             |ff AS (SELECT fr.* FROM fr JOIN keep USING (checksum)),
-             |p AS (
-             |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.frame_id AS fa,
-             |    b.frame_id AS fb, a.frame_id - b.frame_id AS off
-             |  FROM ff a JOIN ff b ON a.checksum = b.checksum AND a.id < b.id),
-             |isl AS (
-             |  SELECT id_a, id_b, off, fa, fb,
-             |    fa - row_number() OVER (PARTITION BY id_a, id_b, off ORDER BY fa) AS g
-             |  FROM p),
-             |runs AS (
-             |  SELECT id_a, id_b, off, g, min(fa) AS a_start, min(fb) AS b_start,
-             |    CAST(count(*) AS BIGINT) AS n_frames
-             |  FROM isl GROUP BY 1, 2, 3, 4)
-             |SELECT id_a, id_b, a_start, b_start, n_frames FROM runs
-             |WHERE n_frames >= 2 ORDER BY id_a, id_b, a_start, b_start""".stripMargin)),
+      Some(frameAlignOracle)),
+
+    // Incremental maintenance of the frame index (the q166 algebra on the
+    // media modality, verdict r10 task 5): the standing corpus's frame
+    // index (doc_id % 10 != 0) plus the delta batch's freshly-framed rows
+    // must drive frameAlignSpansFromFrames to the EXACT full-rebuild
+    // answer — q167's oracle verbatim. Frames are a pure function of the
+    // blob and ids are immutable, so append IS the complete maintenance
+    // algebra; the delta pass costs O(delta bytes / frameBytes). The
+    // df-cap re-runs over the slim unioned index (it needs GLOBAL frame
+    // frequencies — a stop-frame can become one only after the delta).
+    "q181_frame_index_incremental" -> Q(
+      (s, dir) => {
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id"), expr(TrailerMediaSpark).as("m"))
+        def idx(part: org.apache.spark.sql.DataFrame) =
+          Multimodal.sampleFrames(s, part, frameBytes = 128, idCol = "doc_id", textCol = "m")
+            .select(col("doc_id"), col("frame_id"), col("checksum"))
+        val standing = idx(media.filter(col("doc_id") % 10 =!= 0))
+        val delta = idx(media.filter(col("doc_id") % 10 === 0))
+        Multimodal.frameAlignSpansFromFrames(standing.unionByName(delta),
+          minRun = 2, maxDf = Some(60))
+      },
+      Some(frameAlignOracle)),
 
     // The streaming ingest gate over the same frame index: delta media
     // (doc_id % 10 == 0) arrive as a stream, frame checksums probe the
@@ -330,6 +335,159 @@ object MultimodalQueries {
              |SELECT id_a, id_b, a_start, b_start, n_frames FROM fruns
              |WHERE n_frames >= 2 ORDER BY id_a, id_b, a_start, b_start""".stripMargin)),
 
+    // The NON-ASCII leg of the media family (verdict r10 task 8): the Spark
+    // side has always hashed UTF-8 BYTES; until now the oracles indexed
+    // CHARACTERS and agreed only because the fixture is pure ASCII. This
+    // corpus swaps 'a' → 'ä' (every occurrence becomes a 2-byte codepoint,
+    // shifting all downstream byte offsets), and the oracle re-derives the
+    // perceptual hashes in the BYTE domain (hex(encode(m)) + 2-hex-digit
+    // slices) — the file-header caveat is now a hash-checked equivalence
+    // instead of a comment.
+    "q184_utf8_media_dhash" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), expr("replace(text, 'a', 'ä')").as("m"))
+        .select(col("doc_id"),
+          Multimodal.dHash(col("m").cast("binary")).as("dhash"),
+          Multimodal.aHash(col("m").cast("binary")).as("ahash"))
+        .orderBy("doc_id"),
+      Some("""WITH media AS (
+             |  SELECT doc_id AS id, replace(text, 'a', 'ä') AS m FROM documents),
+             |bm AS (
+             |  SELECT id, hex(encode(m)) AS hx,
+             |    CAST(octet_length(encode(m)) AS BIGINT) AS n
+             |  FROM media),
+             |pos AS (
+             |  SELECT id, hx, n, unnest(generate_series(0, n - 1)) AS p
+             |  FROM bm WHERE n > 0),
+             |byt AS (
+             |  SELECT id, n, p,
+             |    CAST(('0x' || substr(hx, CAST(2 * p + 1 AS INTEGER), 2)) AS BIGINT) AS v
+             |  FROM pos),
+             |agg AS (
+             |  SELECT id, (p * 61) // n AS bkt, CAST(sum(v) AS BIGINT) AS s,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM byt GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT id, k FROM (SELECT DISTINCT id FROM agg),
+             |    (SELECT unnest(generate_series(0, 60)) AS k)),
+             |dens AS (
+             |  SELECT g.id, g.k, coalesce(a.s, 0) AS s, coalesce(a.c, 0) AS c
+             |  FROM grid g LEFT JOIN agg a ON a.id = g.id AND a.bkt = g.k),
+             |adj AS (
+             |  SELECT id, k, s, c,
+             |    lead(s) OVER (PARTITION BY id ORDER BY k) AS s2,
+             |    lead(c) OVER (PARTITION BY id ORDER BY k) AS c2
+             |  FROM dens),
+             |dh AS (
+             |  SELECT id, CAST(sum(CASE WHEN s * c2 > s2 * c
+             |    THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END) AS BIGINT) AS dhash
+             |  FROM adj WHERE k < 60 GROUP BY 1),
+             |agg60 AS (
+             |  SELECT id, (p * 60) // n AS bkt, CAST(sum(v) AS BIGINT) AS s,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM byt GROUP BY 1, 2),
+             |tot AS (
+             |  SELECT id, CAST(sum(s) AS BIGINT) AS ts, CAST(sum(c) AS BIGINT) AS tc
+             |  FROM agg60 GROUP BY 1),
+             |ah AS (
+             |  SELECT a.id, CAST(sum(CASE WHEN a.s * t.tc > t.ts * a.c
+             |    THEN (CAST(1 AS BIGINT) << CAST(a.bkt AS INTEGER)) ELSE 0 END) AS BIGINT) AS ahash
+             |  FROM agg60 a JOIN tot t ON a.id = t.id GROUP BY 1)
+             |SELECT d.doc_id, coalesce(dh.dhash, 0) AS dhash, coalesce(ah.ahash, 0) AS ahash
+             |FROM documents d
+             |LEFT JOIN dh ON dh.id = d.doc_id
+             |LEFT JOIN ah ON ah.id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // CROSS-MODAL retrieval (verdict r10 task 3): text finds media. A text
+    // query hash-embeds and retrieves the top-3 CAPTIONED media by caption
+    // cosine (the ANN text path, q62's exact-integer arithmetic), then the
+    // perceptual frame/blob index expands each hit to its caption-LESS
+    // renditions (hamming ≤ 3 band join) — the re-encoded copies a
+    // caption-only search can never see. Both stages and their composition
+    // are oracle-checked; candidates come from band equi-joins, never
+    // all-pairs, and only (id, hash) rows shuffle.
+    "q182_crossmodal_retrieval" -> Q(
+      (s, dir) => {
+        import graft.functions.MathFunctions.floorRound
+        import graft.functions.TextFunctions.hamming64
+        import graft.functions.VectorFunctions.cosineFused
+        import org.apache.spark.sql.expressions.Window
+        val emb = graft.pipeline.HashingEmbedder(64)
+        val docs = Tables.documents(s, dir)
+        // stage 1 — text→caption ANN: raw integer-count embeddings keep
+        // dot/norms exact (the q62 contract); captions live on the EVEN
+        // renditions only (re-encodes "lost" theirs)
+        val qs = docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("q_id"), emb.embedRaw(col("text")).as("qv"))
+        val cap = docs.select((col("doc_id") * 2).as("media_id"),
+          col("doc_id").as("cdoc"), emb.embedRaw(col("text")).as("cv"))
+        val w = Window.partitionBy("q_id").orderBy(desc("score"), col("media_id"))
+        val hits = cap.join(broadcast(qs), col("cdoc") =!= col("q_id"))
+          .withColumn("score", floorRound(cosineFused(col("cv"), col("qv")), 6))
+          .filter(col("score").isNotNull)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select("q_id", "rank", "media_id", "score")
+        // stage 2 — perceptual expansion: retrieved ids probe the banded
+        // whole-blob dHash index of the FULL rendition corpus
+        val dh = renditionDf(s, dir)
+          .select(col("id"), Multimodal.dHash(col("m").cast("binary")).as("ph"))
+        val bk = Multimodal.banded(dh)
+        val probe = hits.join(bk.withColumnRenamed("id", "media_id"), Seq("media_id"))
+        val cand = probe.join(
+          bk.select(col("id").as("rendition_id"), col("ph").as("ph_r"),
+            col("band"), col("chunk")),
+          Seq("band", "chunk"))
+          .filter(col("rendition_id") =!= col("media_id"))
+          .select("q_id", "rank", "media_id", "score", "rendition_id", "ph", "ph_r")
+          .dropDuplicates("q_id", "media_id", "rendition_id")
+          .withColumn("hamming", hamming64(col("ph"), col("ph_r")).cast("long"))
+          .filter(col("hamming") <= 3)
+        cand.select("q_id", "rank", "media_id", "score", "rendition_id", "hamming")
+          .orderBy("q_id", "rank", "rendition_id")
+      },
+      Some(s"""WITH ${renditionCteAll},
+             |$dhashCtes,
+             |tok AS (
+             |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+             |b0 AS (
+             |  SELECT doc_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(w)),
+             |        i -> CAST(ascii(substr(w, CAST(i AS INTEGER), 1)) AS BIGINT))),
+             |      (acc, x) -> (acc * 31 + x) % 1000000007) % 64 AS bucket
+             |  FROM tok),
+             |cnt AS (SELECT doc_id, bucket, count(*) AS n FROM b0 GROUP BY 1, 2),
+             |nrm AS (SELECT doc_id, sqrt(CAST(sum(n * n) AS DOUBLE)) AS nrm FROM cnt GROUP BY 1),
+             |qn AS (SELECT doc_id AS q_id, nrm AS qnrm FROM nrm WHERE doc_id < 5),
+             |dots AS (
+             |  SELECT q.doc_id AS q_id, c.doc_id AS cdoc, CAST(sum(c.n * q.n) AS DOUBLE) AS dot
+             |  FROM cnt c JOIN cnt q USING (bucket)
+             |  WHERE q.doc_id < 5 AND c.doc_id <> q.doc_id
+             |  GROUP BY 1, 2),
+             |hits AS (
+             |  SELECT q_id, rank, media_id, score FROM (
+             |    SELECT qn.q_id, n.doc_id * 2 AS media_id,
+             |      ${frs("coalesce(d.dot, CAST(0 AS DOUBLE)) / (n.nrm * qn.qnrm)", 6)} AS score,
+             |      row_number() OVER (PARTITION BY qn.q_id
+             |        ORDER BY ${frs("coalesce(d.dot, CAST(0 AS DOUBLE)) / (n.nrm * qn.qnrm)", 6)} DESC,
+             |          n.doc_id * 2) AS rank
+             |    FROM qn CROSS JOIN nrm n
+             |    LEFT JOIN dots d ON d.q_id = qn.q_id AND d.cdoc = n.doc_id
+             |    WHERE n.doc_id <> qn.q_id AND n.nrm > 0 AND qn.qnrm > 0)
+             |  WHERE rank <= 3),
+             |bk AS (
+             |  SELECT id, dhash, b, (dhash >> CAST(b * 15 AS INTEGER)) & 32767 AS chunk
+             |  FROM dh, (SELECT unnest(generate_series(0, 3)) AS b))
+             |SELECT DISTINCT h.q_id, h.rank, h.media_id, h.score, y.id AS rendition_id,
+             |  CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming
+             |FROM hits h
+             |JOIN bk x ON x.id = h.media_id
+             |JOIN bk y ON y.b = x.b AND y.chunk = x.chunk AND y.id <> h.media_id
+             |WHERE bit_count(xor(x.dhash, y.dhash)) <= 3
+             |ORDER BY q_id, rank, rendition_id""".stripMargin)),
+
     // The perceptual INGEST GATE through the streaming engine: delta
     // renditions (in-place head substitution) probe the standing corpus's
     // banded whole-blob dHash index stream-static; every rendition must
@@ -351,6 +509,32 @@ object MultimodalQueries {
              |  AND bit_count(xor(y.dhash, x.dhash)) <= 3
              |ORDER BY doc_id, match_id""".stripMargin)),
   )
+
+  /** One full-rebuild oracle for q167 (batch) and q181 (incrementally
+    * maintained index) — append-maintenance ≡ rebuild is the check.
+    */
+  private lazy val frameAlignOracle: String =
+    s"""WITH media AS (
+       |  SELECT doc_id AS id, $TrailerMediaSql AS m FROM documents),
+       |${frameCtes(128)},
+       |keep AS (
+       |  SELECT checksum FROM fr GROUP BY checksum
+       |  HAVING count(DISTINCT id) <= 60),
+       |ff AS (SELECT fr.* FROM fr JOIN keep USING (checksum)),
+       |p AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.frame_id AS fa,
+       |    b.frame_id AS fb, a.frame_id - b.frame_id AS off
+       |  FROM ff a JOIN ff b ON a.checksum = b.checksum AND a.id < b.id),
+       |isl AS (
+       |  SELECT id_a, id_b, off, fa, fb,
+       |    fa - row_number() OVER (PARTITION BY id_a, id_b, off ORDER BY fa) AS g
+       |  FROM p),
+       |runs AS (
+       |  SELECT id_a, id_b, off, g, min(fa) AS a_start, min(fb) AS b_start,
+       |    CAST(count(*) AS BIGINT) AS n_frames
+       |  FROM isl GROUP BY 1, 2, 3, 4)
+       |SELECT id_a, id_b, a_start, b_start, n_frames FROM runs
+       |WHERE n_frames >= 2 ORDER BY id_a, id_b, a_start, b_start""".stripMargin
 
   /** q161's oracle: gates + perceptual dedup over the rendition corpus. */
   private lazy val curateOracle: Option[String] =

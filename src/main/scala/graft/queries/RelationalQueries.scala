@@ -622,6 +622,34 @@ object RelationalQueries {
         "SELECT c_acctbal FROM customer WHERE c_acctbal >= 0",
         "c_acctbal", lo = -1000.0, hi = 10000.0, bins = 20))),
 
+    // PER-GROUP PSI (verdict r10 task 7): the distribution gate a
+    // multi-source ingest deploys — one PSI per nation over that nation's
+    // own balance histogram. The next snapshot drops nation 13's negative
+    // balances ONLY, so nation 13 flags on the distribution axis while its
+    // row count barely moves and every other nation reads psi = 0.
+    "q179_grouped_psi_gate" -> Q(
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val next = c.filter(!(col("c_nationkey") === 13 && col("c_acctbal") < 0))
+        graft.operators.Validate.groupedPsiGate(c, next, "c_nationkey",
+            "c_acctbal", lo = -1000.0, hi = 10000.0, bins = 20)
+          .orderBy("c_nationkey")
+      },
+      Some(groupedPsiOracle)),
+
+    // The same keyed gate MID-INGEST: the next snapshot streams, (nation,
+    // bin) counts fold through complete-mode engine state (≤ groups·bins
+    // rows), and the keyed PSI finish runs the identical arithmetic —
+    // q179's oracle verbatim proves stream ≡ batch for the grouped
+    // distribution axis (completing the gate matrix's last cell).
+    "q180_stream_grouped_psi" -> Q(
+      (s, dir) => graft.streaming.StreamingDrift.groupedPsiGate(
+          s, dir, "c_nationkey", "c_acctbal",
+          nextFilter = "NOT (c_nationkey = 13 AND c_acctbal < 0)",
+          lo = -1000.0, hi = 10000.0, bins = 20)
+        .orderBy("c_nationkey"),
+      Some(groupedPsiOracle)),
+
     "q150_drift_gate" -> Q(
       (s, dir) => {
         val c = Tables.customer(s, dir)
@@ -902,6 +930,13 @@ object RelationalQueries {
        |  coalesce(CAST(abs(z) > CAST(3.0 AS DOUBLE) AS BIGINT), 0) AS is_drift
        |FROM r ORDER BY $gOut""".stripMargin
   }
+
+  /** One oracle for q179 (batch) and q180 (stream) — stream ≡ batch. */
+  private lazy val groupedPsiOracle: String =
+    graft.operators.Validate.groupedPsiGateSql(
+      "customer", "c_nationkey", "c_acctbal",
+      nextWhere = "NOT (c_nationkey = 13 AND c_acctbal < 0)",
+      lo = -1000.0, hi = 10000.0, bins = 20)
 
   private lazy val driftGateOracle: String = driftCountsOracle(
     """

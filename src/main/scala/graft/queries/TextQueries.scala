@@ -1669,6 +1669,42 @@ object TextQueries {
     // near-dup / semantic all exist) that was missing. Capped to the q22
     // sample so the stride-1 window set stays oracle-sized; the operator
     // doc records the suffix-array / anchor-sampling 100 TB path.
+    // UNBOUNDED-length duplicate mining (verdict r10 task 2): for every
+    // position, the length of the longest substring starting there that
+    // occurs anywhere else — NO fixed minLen window, the quantity the
+    // fixed-window family (q149/q163) approximates from below. Computed by
+    // distributed prefix-doubling suffix ranks + a rank-table LCP walk
+    // (SuffixRank: O(n log L) slim shuffles, no suffix text moves); the
+    // oracle brute-forces every position pair on the capped corpus, so the
+    // exactness claim is hash-checked against the definition itself.
+    "q183_unbounded_dup_prefix" -> Q(
+      (s, dir) => {
+        val capped = Tables.documents(s, dir).filter(col("doc_id") < 8)
+          .select(col("doc_id"), substring(col("text"), 1, 128).as("t"))
+        graft.operators.SuffixRank.longestDupPrefix(s, capped, "doc_id", "t", minLen = 12)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, substr(text, 1, 128) AS t FROM documents WHERE doc_id < 8),
+             |p AS (
+             |  SELECT doc_id, t, unnest(generate_series(0, length(t) - 1)) AS pos FROM d),
+             |pr AS (
+             |  SELECT a.doc_id AS da, a.pos AS pa, a.t AS ta,
+             |         b.doc_id AS db, b.pos AS pb, b.t AS tb
+             |  FROM p a JOIN p b ON NOT (a.doc_id = b.doc_id AND a.pos = b.pos)),
+             |l AS (
+             |  SELECT da, pa,
+             |    coalesce(list_position(list_transform(
+             |        generate_series(1, least(length(ta) - pa, length(tb) - pb)),
+             |        i -> substr(ta, CAST(pa + i AS INTEGER), 1) = substr(tb, CAST(pb + i AS INTEGER), 1)),
+             |      false) - 1,
+             |      least(length(ta) - pa, length(tb) - pb)) AS lcp
+             |  FROM pr),
+             |best AS (
+             |  SELECT da AS doc_id, CAST(pa AS BIGINT) AS pos, CAST(max(lcp) AS BIGINT) AS lcp
+             |  FROM l GROUP BY 1, 2)
+             |SELECT doc_id, pos, lcp FROM best WHERE lcp >= 12
+             |ORDER BY doc_id, pos""".stripMargin)),
+
     "q149_exact_substr_spans" -> Q(
       (s, dir) => Dedup.exactSubstrSpans(
         Tables.documents(s, dir).filter(col("doc_id") < ExactPairSample),

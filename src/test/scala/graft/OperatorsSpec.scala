@@ -1496,4 +1496,34 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(got(7L) === ((7L, 5L, 2L)))
     assert(got.size === 2)
   }
+
+  // ---- SuffixRank.longestDupPrefix ----
+
+  test("longestDupPrefix: matches brute force on crafted repeats (unbounded lengths)") {
+    import graft.operators.SuffixRank
+    // repeats of several lengths, within AND across docs, incl. a full-doc copy
+    val docs = Seq(
+      (0L, "abcdefgh_abcdefgh_xy"),
+      (1L, "zz_abcdefgh_qq"),
+      (2L, "zz_abcdefgh_qq"), // identical to doc 1 — full-suffix matches
+      (3L, "unique-text-here")
+    ).toDF("doc_id", "t")
+    val got = SuffixRank.longestDupPrefix(spark, docs, "doc_id", "t", minLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force over every position pair
+    val texts = Map(0L -> "abcdefgh_abcdefgh_xy", 1L -> "zz_abcdefgh_qq",
+      2L -> "zz_abcdefgh_qq", 3L -> "unique-text-here")
+    def lcp(a: String, b: String): Long =
+      a.zip(b).takeWhile { case (x, y) => x == y }.length.toLong
+    val want = (for {
+      (da, ta) <- texts.toSeq; pa <- 0 until ta.length
+    } yield {
+      val best = (for {
+        (db, tb) <- texts.toSeq; pb <- 0 until tb.length
+        if (da, pa) != (db, pb)
+      } yield lcp(ta.substring(pa), tb.substring(pb))).max
+      (da, pa.toLong) -> best
+    }).filter(_._2 >= 3).toMap
+    assert(got === want)
+  }
 }

@@ -329,4 +329,25 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     val sketch = Sketches.hllDistinct(spark.range(0, 5000).toDF("k"), "k", p = 9)
     assert(sketch.head.getAs[Long]("exact_distinct") === 5000L)
   }
+
+  test("salted band joins: identical output on a hot-bucket corpus (all three sites)") {
+    import graft.multimodal.Multimodal
+    import graft.operators.Dedup
+    // 120 byte-identical "viral" blobs (one hot band bucket per band) + a
+    // quiet unique background — the skew shape the salt exists for
+    val corpus = spark.range(200).select(col("id"),
+      when(col("id") < 120, concat(lit("VIRAL"), lit("x" * 300)))
+        .otherwise(concat(md5(col("id").cast("string")), lit("y" * 40))).as("m"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(Multimodal.mediaDupPairs(corpus, "id", "m", maxHamming = 3, salts = 8))
+      === rows(Multimodal.mediaDupPairs(corpus, "id", "m", maxHamming = 3)))
+    assert(rows(Dedup.simhashPairs(corpus, "id", "m", maxHamming = 3, salts = 8))
+      === rows(Dedup.simhashPairs(corpus, "id", "m", maxHamming = 3)))
+    val media = spark.range(40).select(col("id"),
+      when(col("id") < 25, lit("F" * 256)).otherwise(concat(md5(col("id").cast("string")), lit("z" * 200))).as("m"))
+    assert(rows(Multimodal.frameAlignSpansPerceptual(spark, media, frameBytes = 64,
+        minRun = 2, maxHamming = 3, idCol = "id", salts = 8))
+      === rows(Multimodal.frameAlignSpansPerceptual(spark, media, frameBytes = 64,
+        minRun = 2, maxHamming = 3, idCol = "id")))
+  }
 }
