@@ -164,7 +164,14 @@ object Opq {
     * can carry it as identical literals), residualized against per-cluster
     * sample means — the quantity residual-PQ actually encodes.
     */
-  lazy val fixtureRotation: Array[Array[Double]] = {
+  lazy val fixtureRotation: Array[Array[Double]] =
+    trainRotation(residSample, m = 16, dsub = 4)
+
+  /** The fixed 256-row residualized training sample both fixture rotations
+    * share: ids 0..255 of [[clusteredVector]] minus their per-cluster
+    * sample mean — the quantity residual-PQ actually encodes.
+    */
+  private[graft] lazy val residSample: Array[Array[Double]] = {
     val ids = 0 until (NClust * 8)
     val xs = ids.map(i => clusteredVector(i.toLong)).toArray
     val means = Array.ofDim[Double](NClust, Dim)
@@ -176,11 +183,10 @@ object Opq {
       while (d < Dim) { means(c)(d) += xs(i)(d); d += 1 }
     }
     for (c <- 0 until NClust; d <- 0 until Dim) means(c)(d) /= counts(c)
-    val resid = ids.map { i =>
+    ids.map { i =>
       val c = i % NClust
       Array.tabulate(Dim)(d => xs(i)(d) - means(c)(d))
     }.toArray
-    trainRotation(resid, m = 16, dsub = 4)
   }
 
   /** DuckDB list-of-lists literal for a rotation matrix — `Double.toString`
@@ -189,4 +195,147 @@ object Opq {
     */
   def sqlMatrixLiteral(mat: Array[Array[Double]]): String =
     mat.map(_.mkString("[", ", ", "]")).mkString("[", ",\n      ", "]")
+
+  // ---- Non-parametric OPQ (Ge et al. §3, the alternating solution) ----
+
+  private def matVecA(r: Array[Array[Double]], x: Array[Double]): Array[Double] =
+    r.map { row =>
+      var s = 0.0; var i = 0
+      while (i < row.length) { s += row(i) * x(i); i += 1 }
+      s
+    }
+
+  /** Per-subspace Lloyd k-means over the SAMPLE rows, pure Scala and
+    * deterministic: centers init to the first `ksub` rows in sample order,
+    * fixed iteration count, nearest-center ties to the lowest index, empty
+    * cells keep their previous center — the same conventions as the
+    * DataFrame-side [[AnnIndex.pqTrainCodebooks]]. Returns m × ksub × dsub.
+    */
+  def pqCodebooksSample(ys: Array[Array[Double]], m: Int, dsub: Int, ksub: Int,
+                        iters: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m) { j =>
+      val sub = ys.map(y => java.util.Arrays.copyOfRange(y, j * dsub, (j + 1) * dsub))
+      var cents = Array.tabulate(ksub)(i => sub(math.min(i, sub.length - 1)).clone())
+      for (_ <- 1 to iters) {
+        val sums = Array.ofDim[Double](ksub, dsub)
+        val cnts = Array.fill(ksub)(0)
+        for (v <- sub) {
+          val c = nearestIdx(v, cents)
+          cnts(c) += 1
+          var d = 0
+          while (d < dsub) { sums(c)(d) += v(d); d += 1 }
+        }
+        cents = Array.tabulate(ksub)(c =>
+          if (cnts(c) > 0) Array.tabulate(dsub)(d => sums(c)(d) / cnts(c)) else cents(c))
+      }
+      cents
+    }
+
+  private def nearestIdx(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var i = 0
+      while (i < v.length) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c } // strict < keeps the lowest index
+      c += 1
+    }
+    best
+  }
+
+  /** Quantize a rotated row against per-subspace codebooks (nearest
+    * codeword per subspace, ties to the lowest index), concatenated back
+    * to a full-dimension reconstruction.
+    */
+  def quantizeRow(y: Array[Double], cbs: Array[Array[Array[Double]]],
+                  m: Int, dsub: Int): Array[Double] = {
+    val out = new Array[Double](m * dsub)
+    var j = 0
+    while (j < m) {
+      val v = java.util.Arrays.copyOfRange(y, j * dsub, (j + 1) * dsub)
+      val c = cbs(j)(nearestIdx(v, cbs(j)))
+      System.arraycopy(c, 0, out, j * dsub, dsub)
+      j += 1
+    }
+    out
+  }
+
+  /** Orthogonal Procrustes: argmin over orthogonal R of Σ‖R·xᵢ − yᵢ‖² is
+    * the orthogonal polar factor of B = Σ yᵢ·xᵢᵀ, i.e. R = B·(BᵀB)^{−1/2}
+    * (Schönemann 1966). (BᵀB)^{−1/2} comes from the same deterministic
+    * Jacobi eigensolver the parametric path uses; eigenvalues are floored
+    * at 1e−12·λmax so a (theoretical) rank-deficient B cannot produce NaNs
+    * — on the fixture sample B is comfortably full-rank.
+    */
+  def procrustes(xs: Array[Array[Double]], ys: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = xs(0).length
+    val b = Array.ofDim[Double](d, d)
+    for (i <- xs.indices) {
+      val x = xs(i); val y = ys(i)
+      var r = 0
+      while (r < d) {
+        val yr = y(r)
+        var c = 0
+        while (c < d) { b(r)(c) += yr * x(c); c += 1 }
+        r += 1
+      }
+    }
+    val btb = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- 0 until d) {
+      var s = 0.0
+      var k = 0
+      while (k < d) { s += b(k)(i) * b(k)(j); k += 1 }
+      btb(i)(j) = s
+    }
+    val (lam, v) = jacobiEigenSym(btb)
+    val floor = 1e-12 * lam.max.max(1e-300)
+    val invS = lam.map(l => 1.0 / math.sqrt(math.max(l, floor)))
+    // invsqrt = V·diag(invS)·Vᵀ ; R = B·invsqrt
+    val inv = Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0
+      var k = 0
+      while (k < d) { s += v(i)(k) * invS(k) * v(j)(k); k += 1 }
+      s
+    }
+    Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0
+      var k = 0
+      while (k < d) { s += b(i)(k) * inv(k)(j); k += 1 }
+      s
+    }
+  }
+
+  /** Non-parametric OPQ (Ge et al. §3): start from the parametric rotation,
+    * then alternate (1) train PQ codebooks in the rotated space, (2) solve
+    * the Procrustes problem R ← argmin ‖R·X − Ŷ‖² against the quantized
+    * reconstructions. Each step cannot increase the quantization error the
+    * code budget permits, so the alternation refines exactly the objective
+    * PQ distance estimation depends on. Pure driver-side math on the fixed
+    * sample — the result embeds as literals in Spark plan and oracle alike.
+    */
+  def trainRotationNP(xs: Array[Array[Double]], m: Int, dsub: Int, ksub: Int,
+                      kmIters: Int, altIters: Int): Array[Array[Double]] = {
+    var r = trainRotation(xs, m, dsub)
+    for (_ <- 1 to altIters) {
+      val ys = xs.map(x => matVecA(r, x))
+      val cbs = pqCodebooksSample(ys, m, dsub, ksub, kmIters)
+      val yhat = ys.map(y => quantizeRow(y, cbs, m, dsub))
+      r = procrustes(xs, yhat)
+    }
+    r
+  }
+
+  /** The non-parametric fixture rotation: SAME fixed 256-row residualized
+    * sample as [[fixtureRotation]] (so the two are directly comparable),
+    * 16 alternations at the q178 code budget (m=16, ksub=16). The inner
+    * codebook step uses kmIters=1 DELIBERATELY: the deployed chain
+    * ([[AnnIndex.pqTrainCodebooks]]) trains 1-Lloyd-iteration codebooks, and
+    * tuning the rotation against a 4-iteration inner loop minimizes an
+    * objective the deployment never evaluates (measured: the 4-iter-trained
+    * rotation had LOWER 4-iter sample error but HIGHER 1-iter error and
+    * lost corpus recall 51 vs 53; the 1-iter-matched rotation is the one
+    * that transfers).
+    */
+  lazy val fixtureRotationNP: Array[Array[Double]] =
+    trainRotationNP(residSample, m = 16, dsub = 4, ksub = 16, kmIters = 1, altIters = 16)
 }

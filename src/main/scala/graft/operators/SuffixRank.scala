@@ -1,13 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Distributed suffix ranking by PREFIX DOUBLING and the unbounded-length
-  * duplicate-prefix report built on it (round-10 verdict task 2 — the
-  * Lee et al. dedup quantity with NO fixed minLen: for every corpus
-  * position, the length of the longest substring starting there that also
-  * occurs anywhere else).
+  * duplicate analyses built on it (round-10 verdict task 2 and round-11
+  * backlog item 2 — the Lee et al. dedup quantities with NO fixed minLen).
   *
   * Algorithm (Manber–Myers prefix doubling, distributed as in Flick &
   * Aluru, "Parallel distributed memory construction of suffix and LCP
@@ -20,13 +18,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * total, versus the O(n·L) a suffix-string sort would move; that contrast
   * is the whole point of doubling at 100 TB.
   *
-  * The finish walks lexicographic NEIGHBOR pairs (final ranks are unique,
-  * ties broken by id — equal suffixes stay adjacent) back DOWN the rank
-  * tables: lcp(a, b) accumulates k for each power where the k-blocks at the
-  * current offset match (a standard O(log L) LCP query against the retained
-  * rank family). max(LCP with SA-prev, LCP with SA-next) IS the longest
-  * match with ANY other suffix — so no suffix text ever shuffles, only
-  * ranks.
+  * Two finishes are built on the rank family:
+  *
+  *  - [[longestDupPrefix]] walks lexicographic NEIGHBOR pairs back DOWN the
+  *    rank tables (a standard O(log L) LCP query), so no suffix text ever
+  *    shuffles — per-position longest-duplicate length, the quantity
+  *    ExactSubstr-style dedup consumes.
+  *  - [[maximalRepeats]] enumerates the REPEAT LEXICON: every maximal
+  *    repeat (Gusfield, "Algorithms on Strings, Trees and Sequences", §7.12:
+  *    a substring with ≥ 2 occurrences that can be extended neither left nor
+  *    right without losing one) with its occurrence count. Suffix-tree view:
+  *    right-maximal repeats are exactly the internal nodes, i.e. the LCP
+  *    intervals [a, b] whose depth ℓ equals min(lcp[a+1..b]); the
+  *    enumeration materializes those intervals from the adjacent-LCP array
+  *    with doubling sparse-min tables + a binary-descent extent walk
+  *    (O(log n) slim equi-joins), then filters left-maximality from the
+  *    members' preceding characters (the BWT column).
   *
   * Retaining all ⌈log₂ L⌉ rank tables costs O(n log L) rows — the published
   * space trade of rank-table LCP queries; the tables are slim longs and
@@ -77,30 +84,33 @@ object SuffixRank {
     tables.reverse
   }
 
-  /** `(doc_id, pos, lcp)` for every position whose longest duplicated
-    * prefix is ≥ `minLen` — unbounded length, exact. 0-based positions.
+  /** Suffix array from the FINAL rank table: final ranks are unique up to
+    * EQUAL suffixes; (r, doc, pos) makes the order total and keeps equal
+    * suffixes adjacent. Returns (doc, pos, sa) with `sa` the 0-based
+    * lexicographic index.
     */
-  def longestDupPrefix(spark: SparkSession, df: DataFrame, idCol: String,
-                       textCol: String, minLen: Int): DataFrame = {
-    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
-    val tables = rankTables(df, idCol, textCol)
-    val lens = df.select(col(idCol).cast("long").as("doc"),
-      length(col(textCol)).cast("long").as("len"))
+  private def suffixArray(spark: SparkSession, finalRanks: DataFrame): DataFrame = {
     import spark.implicits._
-    // lexicographic suffix order: final rank is unique up to EQUAL suffixes;
-    // (r, doc, pos) makes the order total and keeps equal suffixes adjacent
-    val finalRanks = tables.last._2
-    val sa = finalRanks.orderBy("r", "doc", "pos").rdd.zipWithIndex()
+    finalRanks.orderBy("r", "doc", "pos").rdd.zipWithIndex()
       .map { case (row, i) => (row.getLong(0), row.getLong(1), i) }
       .toDF("doc", "pos", "sa")
+  }
+
+  /** Adjacent-pair LCPs: one row per suffix-array index i ≥ 1, pairing the
+    * suffix at `sa = i` (the `_a` columns, keyed by `sa`) with its
+    * lexicographic predecessor at `sa = i − 1` (the `_b` columns), with the
+    * exact LCP accumulated by walking the powers DOWN the rank family: add
+    * k when both k-blocks at the current offset exist in full and share a
+    * rank — ≤ 2·log L slim equi-joins, no text.
+    */
+  private def adjacentLcp(sa: DataFrame, tables: Seq[(Int, DataFrame)],
+                          lens: DataFrame): DataFrame = {
     val a = sa.select(col("doc").as("doc_a"), col("pos").as("pos_a"), col("sa"))
-    val b = sa.select(col("doc").as("doc_b"), col("pos").as("pos_b"), (col("sa") - 1).as("sa"))
+    val b = sa.select(col("doc").as("doc_b"), col("pos").as("pos_b"), (col("sa") + 1).as("sa"))
     var pairs = a.join(b, Seq("sa"))
       .join(lens.select(col("doc").as("doc_a"), col("len").as("len_a")), Seq("doc_a"))
       .join(lens.select(col("doc").as("doc_b"), col("len").as("len_b")), Seq("doc_b"))
       .withColumn("lcp", lit(0L))
-    // walk the powers DOWN: add k when both k-blocks at the current offset
-    // exist in full and share a rank — ≤ 2·log L slim equi-joins, no text
     for ((k, ranks) <- tables.reverse) {
       val ra = ranks.select(col("doc").as("doc_a"), col("pos").as("__pa"), col("r").as("__ra"))
       val rb = ranks.select(col("doc").as("doc_b"), col("pos").as("__pb"), col("r").as("__rb"))
@@ -117,6 +127,19 @@ object SuffixRank {
             col("lcp") + k).otherwise(col("lcp")))
         .drop("__pa", "__pb", "__ra", "__rb")
     }
+    pairs
+  }
+
+  /** `(doc_id, pos, lcp)` for every position whose longest duplicated
+    * prefix is ≥ `minLen` — unbounded length, exact. 0-based positions.
+    */
+  def longestDupPrefix(spark: SparkSession, df: DataFrame, idCol: String,
+                       textCol: String, minLen: Int): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val tables = rankTables(df, idCol, textCol)
+    val lens = df.select(col(idCol).cast("long").as("doc"),
+      length(col(textCol)).cast("long").as("len"))
+    val pairs = adjacentLcp(suffixArray(spark, tables.last._2), tables, lens)
     // each neighbor pair bounds BOTH endpoints' best match; a position's
     // longest match with any other suffix is its max over ≤ 2 neighbors
     val contrib = pairs.select(col("doc_a").as("doc_id"), col("pos_a").as("pos"), col("lcp"))
@@ -125,5 +148,110 @@ object SuffixRank {
       .agg(max("lcp").as("lcp"))
       .filter(col("lcp") >= minLen)
       .orderBy("doc_id", "pos")
+  }
+
+  /** The repeat LEXICON: every maximal repeat of length ≥ `minLen` as
+    * `(repeat, len, n_occ, n_docs)`, ordered by the repeat text. A maximal
+    * repeat (Gusfield §7.12) occurs ≥ 2 times and is extendable neither
+    * right (two occurrences follow with different characters, or one ends
+    * its document) nor left (two occurrences are preceded by different
+    * characters, or one starts its document).
+    *
+    * Construction, all on the rank family — suffix TEXT never shuffles
+    * until the final one-row-per-repeat substring fetch:
+    *
+    *  1. suffix array + adjacent-LCP array (shared with
+    *     [[longestDupPrefix]]);
+    *  2. doubling sparse-min tables over the LCP sequence: level w holds
+    *     min(lcp[i..i+w)) for every full window — log n rounds of one slim
+    *     self-join each (the classic sparse table, built as a dataframe);
+    *  3. every i with lcp[i] ≥ minLen seeds a candidate at depth
+    *     ℓ = lcp[i]; a binary-descent walk over the min tables (≤ 2·log n
+    *     equi-joins) finds the maximal run of adjacent LCPs ≥ ℓ around i —
+    *     the LCP interval [a, b] of all suffixes sharing the ℓ-prefix.
+    *     min over the run is exactly ℓ (lcp[i] is in it), so two members
+    *     diverge AT depth ℓ: the interval is precisely a right-maximal
+    *     repeat, i.e. an internal suffix-tree node, and `n_occ = b − a + 1`
+    *     with no member listing;
+    *  4. left-maximality needs the members' preceding characters (the BWT
+    *     column): intervals explode to (interval, sa) pairs and equi-join
+    *     the suffix array — output-bound at Σ interval widths, the size of
+    *     the occurrence listing itself (the suffix-tree subtree-size sum;
+    *     `minLen` is the knob that bounds it on degenerate corpora). A
+    *     position-0 occurrence is its own sentinel (distinct from every
+    *     character), matching the end-of-document sentinel semantics the
+    *     suffix ranks already give right-extension.
+    *
+    * Scale: steps 1–3 shuffle O(n log L) slim longs total; step 4 is
+    * output-bound. Nothing is driver-side except the table-count loop
+    * bounds (two scalar aggregates).
+    */
+  def maximalRepeats(spark: SparkSession, df: DataFrame, idCol: String,
+                     textCol: String, minLen: Int): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val docs = df.select(col(idCol).cast("long").as("doc"), col(textCol).as("t"))
+    val tables = rankTables(df, idCol, textCol)
+    val lens = docs.select(col("doc"), length(col("t")).cast("long").as("len"))
+    // cache-lifetime: see Caching — the SA and LCP arrays back the min-table
+    // build, the extent walks, and the member join below. localCheckpoint
+    // (not cache) because the construction COMPOSES ~4·log n joins on top of
+    // these: without lineage truncation the logical plan tree grows
+    // multiplicatively per level (the PageRank lesson, Graph.scala) and
+    // Catalyst chokes on the composed tree long before any data moves.
+    val sa = suffixArray(spark, tables.last._2).localCheckpoint(true)
+    val lcp = adjacentLcp(sa, tables, lens)
+      .select(col("sa").as("i"), col("lcp")).localCheckpoint(true)
+    val nSuffix = sa.count()
+    // sparse-min tables: minTs head is the LARGEST window; inner self-joins
+    // keep only FULL windows, so a missing row below means "out of range"
+    var minTs: List[(Long, DataFrame)] =
+      List(1L -> lcp.select(col("i"), col("lcp").as("mn")))
+    var w = 1L
+    while (w * 2 < nSuffix) {
+      val cur = minTs.head._2
+      val next = cur.join(cur.select((col("i") - w).as("i"), col("mn").as("mn2")), Seq("i"))
+        .select(col("i"), least(col("mn"), col("mn2")).as("mn")).localCheckpoint(true)
+      w *= 2
+      minTs ::= (w -> next)
+    }
+    // binary descent: lp walks LEFT to the run start (window [lp−w, lp−1]
+    // all ≥ ℓ → jump), rp walks RIGHT to the run end (window [rp+1, rp+w])
+    var walk = lcp.filter(col("lcp") >= minLen)
+      .select(col("i"), col("lcp").as("ell"))
+      .withColumn("lp", col("i")).withColumn("rp", col("i"))
+    for ((wk, t) <- minTs) {
+      walk = walk
+        .join(t.select(col("i").as("__li"), col("mn").as("__lmn")),
+          col("__li") === col("lp") - wk, "left")
+        .withColumn("lp", when(col("__lmn") >= col("ell"), col("lp") - wk).otherwise(col("lp")))
+        .drop("__li", "__lmn")
+        .join(t.select(col("i").as("__ri"), col("mn").as("__rmn")),
+          col("__ri") === col("rp") + 1, "left")
+        .withColumn("rp", when(col("__rmn") >= col("ell"), col("rp") + wk).otherwise(col("rp")))
+        .drop("__ri", "__rmn")
+    }
+    // interval members are sa indices a..b (the run PLUS the left neighbor
+    // the first LCP entry compares against); distinct collapses the seeds
+    // that landed in the same interval
+    val iv = walk.select((col("lp") - 1).as("a"), col("rp").as("b"), col("ell")).distinct()
+    val members = iv.select(col("a"), col("b"), col("ell"),
+        explode(sequence(col("a"), col("b"))).as("m"))
+      .join(sa.select(col("sa").as("m"), col("doc"), col("pos")), Seq("m"))
+    val withPrev = members.join(docs, Seq("doc"))
+      .withColumn("__prev", when(col("pos") === 0, concat(lit("^"), col("doc")))
+        .otherwise(col("t").substr(col("pos").cast("int"), lit(1))))
+    val agg = withPrev.groupBy("a", "b", "ell")
+      .agg(countDistinct(col("__prev")).as("__np"), countDistinct(col("doc")).as("n_docs"))
+    // repeat text from ONE representative member (sa = a) — the only point
+    // where document text is read, one row per surviving interval
+    val reps = withPrev.filter(col("m") === col("a"))
+      .select(col("a"), col("b"), col("ell"),
+        col("t").substr((col("pos") + 1).cast("int"), col("ell").cast("int")).as("repeat"))
+    agg.filter(col("__np") >= 2)
+      .join(reps, Seq("a", "b", "ell"))
+      .select(col("repeat"), col("ell").cast("long").as("len"),
+        (col("b") - col("a") + 1).cast("long").as("n_occ"),
+        col("n_docs").cast("long").as("n_docs"))
+      .orderBy("repeat")
   }
 }

@@ -1705,6 +1705,48 @@ object TextQueries {
              |SELECT doc_id, pos, lcp FROM best WHERE lcp >= 12
              |ORDER BY doc_id, pos""".stripMargin)),
 
+    // The REPEAT LEXICON (round-11 backlog 2, the second SuffixRank finish):
+    // every MAXIMAL repeat (Gusfield §7.12 — ≥ 2 occurrences, extendable
+    // neither left nor right without losing one) with its length, occurrence
+    // count, and document spread. Computed as the LCP-interval enumeration
+    // over the distributed suffix ranks (doubling sparse-min tables + a
+    // binary-descent extent walk — only slim longs shuffle; document text is
+    // read once per surviving repeat). The oracle brute-forces EVERY
+    // substring of the capped corpus and applies the textbook definition
+    // directly — distinct preceding and following characters ≥ 2, with
+    // document boundaries as per-occurrence sentinels — so the suffix-tree
+    // interval construction is hash-checked against the definition itself.
+    // Same 8×128 cap as q183: the oracle is O(n²·L), the operator is not.
+    "q185_repeat_lexicon" -> Q(
+      (s, dir) => {
+        val capped = Tables.documents(s, dir).filter(col("doc_id") < 8)
+          .select(col("doc_id"), substring(col("text"), 1, 128).as("t"))
+        graft.operators.SuffixRank.maximalRepeats(s, capped, "doc_id", "t", minLen = 6)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, substr(text, 1, 128) AS t FROM documents WHERE doc_id < 8),
+             |ls AS (
+             |  SELECT doc_id, t, unnest(generate_series(6, length(t))) AS len FROM d),
+             |occ AS (
+             |  SELECT doc_id, t, len, unnest(generate_series(0, length(t) - len)) AS pos
+             |  FROM ls),
+             |feat AS (
+             |  SELECT substr(t, CAST(pos + 1 AS INTEGER), CAST(len AS INTEGER)) AS s,
+             |    doc_id,
+             |    CASE WHEN pos = 0 THEN '^' || doc_id
+             |         ELSE substr(t, CAST(pos AS INTEGER), 1) END AS prev,
+             |    CASE WHEN pos + len = length(t) THEN '$' || doc_id || ':' || pos
+             |         ELSE substr(t, CAST(pos + len + 1 AS INTEGER), 1) END AS nxt
+             |  FROM occ),
+             |grp AS (
+             |  SELECT s, count(*) AS n_occ, count(DISTINCT prev) AS np,
+             |         count(DISTINCT nxt) AS nn, count(DISTINCT doc_id) AS n_docs
+             |  FROM feat GROUP BY s)
+             |SELECT s AS repeat, CAST(length(s) AS BIGINT) AS len,
+             |       CAST(n_occ AS BIGINT) AS n_occ, CAST(n_docs AS BIGINT) AS n_docs
+             |FROM grp WHERE n_occ >= 2 AND np >= 2 AND nn >= 2
+             |ORDER BY repeat""".stripMargin)),
+
     "q149_exact_substr_spans" -> Q(
       (s, dir) => Dedup.exactSubstrSpans(
         Tables.documents(s, dir).filter(col("doc_id") < ExactPairSample),

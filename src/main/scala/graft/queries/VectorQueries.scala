@@ -415,9 +415,9 @@ object VectorQueries {
     * quantized space changes). Mirrors
     * [[AnnIndex.pqResidualParts]](coarseCentroids = kmeans, rotation = R).
     */
-  private def cfResidChain(px: String, rot: Boolean): String = {
+  private def cfResidChain(px: String, rot: Boolean, rmat: String = "rmat"): String = {
     val sl = (v: String, j: String) => s"list_slice($v, $j*$PqDsub+1, $j*$PqDsub+$PqDsub)"
-    val rotJoin = if (rot) " CROSS JOIN rmat rm" else ""
+    val rotJoin = if (rot) s" CROSS JOIN $rmat rm" else ""
     val rvExpr =
       if (rot) "list_transform(generate_series(1, 64), rj -> list_inner_product(r0.rv0, rm.m[rj]))"
       else "r0.rv0"
@@ -1409,6 +1409,103 @@ object VectorQueries {
            |  LEFT JOIN rawt pr ON pr.q_id = e.q_id AND pr.c_id = e.c_id
            |  LEFT JOIN rest rr ON rr.q_id = e.q_id AND rr.c_id = e.c_id
            |  LEFT JOIN opqt oo ON oo.q_id = e.q_id AND oo.c_id = e.c_id)
+           |GROUP BY q_id ORDER BY q_id""".stripMargin
+      }),
+
+    // Non-parametric OPQ refinement (round-11 backlog 1; Ge et al. §3): the
+    // alternating encode → Procrustes-polar loop, started from the
+    // parametric rotation, under the IDENTICAL trained cells / probes /
+    // code budget as q178, head-to-head against the parametric rotation on
+    // exact top-10 recall (recall@3 saturates at 53/60 for BOTH rotations —
+    // @10's 200-hit denominator resolves the difference). Both chains and
+    // the exact reference are oracle-checked (the two trained rotations
+    // ride along as shared 64×64 literals — pure functions of row ids,
+    // scale-factor-independent). Measured at sf0.01: NP cuts the 1-iter
+    // sample quantization error 23% (1.15e10 vs 1.50e10) and lifts
+    // recall@10 185→188 of 200 (0.925→0.940); OpqSpec pins both orderings.
+    "q186_opq_np_recall" -> Q(
+      (s, dir) => {
+        val cf = clusteredDf(s, dir)
+        val cents = AnnIndex.kmeansCentroids(cf, "cvec", "vec_id", k = 32, iters = 1)
+          .map(_.toSeq)
+        val corpus = cf.select(col("vec_id").as("c_id"), col("cvec"))
+        val queries = cf.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("cvec").as("q_vec"))
+        val residCorpus = AnnIndex.pqResidualCorpus(cf, "vec_id", "cvec",
+          nlist = 32, coarseCentroids = Some(cents))
+        def chain(rot: Array[Array[Double]], hit: String) = {
+          val rotCorpus = residCorpus.select(col("vec_id"),
+            matVec(col("__resid"), rot).as("__resid"))
+          val cb = AnnIndex.pqTrainCodebooks(rotCorpus, "vec_id", "__resid",
+            m = PqM, ksub = PqKsub, dim = 64, iters = 1)
+          AnnIndex.pqResidualTopK(queries, "q_id", "q_vec", corpus, "c_id", "cvec",
+            k = 10, m = PqM, ksub = PqKsub, dim = 64, nlist = 32, nprobe = 4,
+            codebooks = Some(cb), coarseCentroids = Some(cents),
+            rotation = Some(rot))
+            .select(col("q_id"), col("c_id"), lit(1).as(hit))
+        }
+        val par3 = chain(graft.operators.Opq.fixtureRotation, "__hit_opq")
+        val np3 = chain(graft.operators.Opq.fixtureRotationNP, "__hit_np")
+        val c = cf.select(col("vec_id").as("c_id"), asDouble(col("cvec")).as("cv"))
+          .withColumn("__c2", l2NormSq(col("cv")))
+        val q = queries.select(col("q_id"), asDouble(col("q_vec")).as("qv"))
+          .withColumn("__q2", l2NormSq(col("qv")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("d2"), col("c_id"))
+        val exact = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+          .withColumn("d2",
+            fr(col("__q2") + col("__c2") - lit(2.0) * dotFused(col("qv"), col("cv")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select("q_id", "c_id")
+        exact.join(par3, Seq("q_id", "c_id"), "left")
+          .join(np3, Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("__hit_opq"), lit(0))).cast("long").as("n_hit_opq"),
+            sum(coalesce(col("__hit_np"), lit(0))).cast("long").as("n_hit_np"),
+            fr(sum(coalesce(col("__hit_opq"), lit(0))).cast("double") / lit(10.0), 4).as("recall_opq"),
+            fr(sum(coalesce(col("__hit_np"), lit(0))).cast("double") / lit(10.0), 4).as("recall_np"))
+          .orderBy("q_id")
+      },
+      Some {
+        val d2 = s"${sqSql("q.v")} + ${sqSql("c.v")}" +
+          " - CAST(2.0 AS DOUBLE) * list_inner_product(q.v, c.v)"
+        def top10Of(adist: String, name: String): String =
+          s"""$name AS (
+             |  SELECT q_id, c_id FROM (
+             |    SELECT q_id, c_id,
+             |      row_number() OVER (PARTITION BY q_id ORDER BY ${frs("d", 6)}, c_id) AS rn
+             |    FROM $adist)
+             |  WHERE rn <= 10)""".stripMargin
+        s"""WITH $cfCte,
+           |$cfKmeansCtes,
+           |rmat AS (SELECT CAST(${graft.operators.Opq.sqlMatrixLiteral(graft.operators.Opq.fixtureRotation)} AS DOUBLE[][]) AS m),
+           |rmatnp AS (SELECT CAST(${graft.operators.Opq.sqlMatrixLiteral(graft.operators.Opq.fixtureRotationNP)} AS DOUBLE[][]) AS m),
+           |${cfResidChain("o", rot = true)},
+           |${cfResidChain("n", rot = true, rmat = "rmatnp")},
+           |${top10Of("oadist", "opqt")},
+           |${top10Of("nadist", "npt")},
+           |exact AS (
+           |  SELECT q_id, c_id FROM (
+           |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${frs(d2, 6)}, c.vec_id) AS rn
+           |    FROM cf q JOIN cf c ON c.vec_id <> q.vec_id
+           |    WHERE q.vec_id < 20)
+           |  WHERE rn <= 10)
+           |SELECT q_id, count(*) AS n_exact,
+           |  CAST(sum(hit_opq) AS BIGINT) AS n_hit_opq,
+           |  CAST(sum(hit_np) AS BIGINT) AS n_hit_np,
+           |  ${frs("CAST(sum(hit_opq) AS DOUBLE) / CAST(10.0 AS DOUBLE)", 4)} AS recall_opq,
+           |  ${frs("CAST(sum(hit_np) AS DOUBLE) / CAST(10.0 AS DOUBLE)", 4)} AS recall_np
+           |FROM (
+           |  SELECT e.q_id,
+           |    CASE WHEN oo.c_id IS NOT NULL THEN 1 ELSE 0 END AS hit_opq,
+           |    CASE WHEN nn.c_id IS NOT NULL THEN 1 ELSE 0 END AS hit_np
+           |  FROM exact e
+           |  LEFT JOIN opqt oo ON oo.q_id = e.q_id AND oo.c_id = e.c_id
+           |  LEFT JOIN npt nn ON nn.q_id = e.q_id AND nn.c_id = e.c_id)
            |GROUP BY q_id ORDER BY q_id""".stripMargin
       }),
   )

@@ -1526,4 +1526,40 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     }).filter(_._2 >= 3).toMap
     assert(got === want)
   }
+
+  test("maximalRepeats: matches the textbook definition brute-forced on crafted docs") {
+    import graft.operators.SuffixRank
+    // nested repeats ("abcab" contains repeat "ab"), cross-doc repeats, a
+    // full-doc copy (doc-boundary sentinels on both sides), and a repeat
+    // whose every occurrence shares a left context (NOT left-maximal)
+    val texts = Map(
+      0L -> "abcabxabcaby",
+      1L -> "zzabcabzz",
+      2L -> "zzabcabzz",
+      3L -> "qqqqq",
+      4L -> "w_samepre_1_samepre_2")
+    val docs = texts.toSeq.toDF("doc_id", "t")
+    val minLen = 2
+    val got = SuffixRank.maximalRepeats(spark, docs, "doc_id", "t", minLen)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // brute force: every substring, occurrence counts, and the left/right
+    // extension test with per-occurrence boundary sentinels
+    val occs = for {
+      (d, t) <- texts.toSeq; len <- minLen to t.length; p <- 0 to t.length - len
+    } yield (t.substring(p, p + len), d, p, len)
+    val want = occs.groupBy(_._1).toSeq.flatMap { case (s, os) =>
+      val prevs = os.map { case (_, d, p, _) => if (p == 0) s"^$d" else texts(d).charAt(p - 1).toString }
+      val nexts = os.map { case (_, d, p, len) =>
+        if (p + len == texts(d).length) s"$$$d:$p" else texts(d).charAt(p + len).toString }
+      if (os.size >= 2 && prevs.distinct.size >= 2 && nexts.distinct.size >= 2)
+        Some((s, s.length.toLong, os.size.toLong, os.map(_._2).distinct.size.toLong))
+      else None
+    }.sortBy(_._1)
+    assert(got.toSeq === want)
+    // sanity on the fixture's intent: "abcab" and "ab" both survive (nested
+    // maximal repeats), "samepre_" does not (all occurrences follow "_")
+    assert(want.exists(_._1 == "abcab") && want.exists(_._1 == "ab"))
+    assert(want.exists(_._1 == "_samepre_")) // boundary-extended form survives
+    assert(!want.exists(_._1 == "samepre")) // bare form: every prev is '_'
+  }
 }

@@ -89,6 +89,69 @@ class OpqSpec extends AnyFunSuite with SparkTestSession {
     assert(cf.count() >= 256) // the rotation's training-sample ids exist at every SF
   }
 
+  test("non-parametric OPQ: orthogonal, deterministic, beats parametric on the deployed objective") {
+    val rp = Opq.fixtureRotation
+    val rn = Opq.fixtureRotationNP
+    val n = rn.length
+    for (i <- 0 until n; j <- 0 until n) {
+      val d = (0 until n).map(k => rn(i)(k) * rn(j)(k)).sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9, s"R·Rᵀ not I at ($i,$j)")
+    }
+    // retraining reproduces the exact same matrix (strict-fp determinism)
+    val rn2 = Opq.trainRotationNP(Opq.residSample, m = 16, dsub = 4, ksub = 16,
+      kmIters = 1, altIters = 16)
+    for (i <- 0 until n; j <- 0 until n)
+      assert(math.abs(rn(i)(j) - rn2(i)(j)) < 1e-12)
+    // sample quantization error under the DEPLOYED protocol (1-Lloyd-iter
+    // codebooks, the AnnIndex.pqTrainCodebooks convention): NP < parametric
+    def dot(r: Array[Double], x: Array[Double]) = r.zip(x).map { case (a, b) => a * b }.sum
+    def err(r: Array[Array[Double]]): Double = {
+      val ys = Opq.residSample.map(x => r.map(dot(_, x)))
+      val cbs = Opq.pqCodebooksSample(ys, 16, 4, 16, iters = 1)
+      ys.map { y =>
+        val q = Opq.quantizeRow(y, cbs, 16, 4)
+        y.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum
+    }
+    val (ep, en) = (err(rp), err(rn))
+    assert(en < ep, s"NP must cut the 1-iter sample quantization error: np=$en par=$ep")
+    assert(en < 0.85 * ep, s"measured margin was ~23%; np=$en par=$ep has drifted")
+  }
+
+  test("clustered corpus: recall@10 NP-OPQ >= parametric OPQ (q186 audit)") {
+    val out = SparkEntry.queries("q186_opq_np_recall")(spark, sfDir).collect()
+    assert(out.length == 20)
+    val hitPar = out.map(_.getAs[Long]("n_hit_opq")).sum
+    val hitNp = out.map(_.getAs[Long]("n_hit_np")).sum
+    assert(hitNp >= hitPar, s"NP refinement must not lose recall: np=$hitNp par=$hitPar")
+    assert(hitNp > 180, s"recall@10 collapsed: np=$hitNp of 200")
+  }
+
+  test("procrustes recovers a known rotation exactly") {
+    // y = Q·x for a fixed orthogonal Q (a Givens product) — argmin must be Q
+    val rnd = new scala.util.Random(7)
+    val d = 16
+    var q = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def rotate(m: Array[Array[Double]], a: Int, b: Int, th: Double): Array[Array[Double]] = {
+      val (c, s) = (math.cos(th), math.sin(th))
+      m.map { row =>
+        val out = row.clone()
+        out(a) = c * row(a) - s * row(b)
+        out(b) = s * row(a) + c * row(b)
+        out
+      }
+    }
+    for (_ <- 1 to 30) {
+      val (a, b) = (rnd.nextInt(d), rnd.nextInt(d))
+      if (a != b) q = rotate(q, a, b, rnd.nextDouble() * 3) // a == b degenerates
+    }
+    val xs = Array.fill(64)(Array.fill(d)(rnd.nextDouble() * 10 - 5))
+    val ys = xs.map(x => q.map(row => row.zip(x).map { case (a, b) => a * b }.sum))
+    val r = Opq.procrustes(xs, ys)
+    for (i <- 0 until d; j <- 0 until d)
+      assert(math.abs(r(i)(j) - q(i)(j)) < 1e-8, s"R != Q at ($i,$j)")
+  }
+
   test("kmeans centroids land on the planted cluster means (clustered fixture)") {
     val cf = graft.queries.VectorQueries.clusteredDf(spark, sfDir)
     val cents = AnnIndex.kmeansCentroids(cf, "cvec", "vec_id", k = 32, iters = 1)
