@@ -352,6 +352,127 @@ object Validate {
        |FROM pq GROUP BY g ORDER BY g""".stripMargin
   }
 
+  /** Two-sample KOLMOGOROV–SMIRNOV drift gate — the third axis of the gate
+    * matrix: [[driftGate]] sees COUNT shifts, [[psiGate]] sees BINNED-MASS
+    * shifts, and the KS statistic D = sup_v |F_prev(v) − F_next(v)| is the
+    * bin-free sup-norm on the empirical CDFs (Smirnov, "Table for estimating
+    * the goodness of fit of empirical distributions", Ann. Math. Stat. 1948)
+    * — it flags a pure location/scale shift at full resolution, with no grid
+    * to choose and no smoothing floor.
+    *
+    * Exact, not binned: D is evaluated at every DISTINCT value (the CDFs
+    * only step there). The distinct-value relation is data-sized, so the
+    * running counts come from [[Scan.cumSums]] — the two-pass
+    * range-partitioned prefix scan — never a single-partition window. One
+    * count shuffle (value-keyed, map-side combined) + one range exchange;
+    * the final max is a scalar aggregate.
+    *
+    * Determinism: cum counts are exact longs; D is a max (order-independent)
+    * of |long/long − long/long| IEEE doubles, floor-rounded — the DuckDB
+    * oracle ([[ksGateSql]]) reproduces it bit-for-bit.
+    */
+  def ksGate(prev: DataFrame, next: DataFrame, valueCol: String,
+             threshold: Double, roundTo: Int = 6, scanParts: Int = 32): DataFrame = {
+    val v = col(valueCol).cast("double")
+    def side(df: DataFrame, pn: Int, nn: Int) = df
+      .filter(v.isNotNull && !isnan(v))
+      .select(v.as("v"), lit(pn.toLong).as("pn"), lit(nn.toLong).as("nn"))
+    val counts = side(prev, 1, 0).unionByName(side(next, 0, 1))
+      .groupBy("v").agg(sum("pn").as("pn"), sum("nn").as("nn"))
+    ksFinish(Scan.cumSums(counts, Seq("v"), Seq("pn", "nn"), scanParts),
+      threshold, roundTo)
+  }
+
+  /** [[ksGate]] on a pre-binned histogram grid — the STREAMING form's
+    * arithmetic: bin counts fold through complete-mode engine state exactly
+    * as [[psiGateFromCounts]]'s do, and the binned CDF max runs over ≤ bins
+    * rows (parameter-sized, so the plain cumulative window is the right
+    * tool here — see [[Scan]] for when it is not). Binned D converges to
+    * exact D from below as the grid refines; the streaming query's oracle
+    * is the batch binned SQL, so stream ≡ batch is what gets checked.
+    */
+  def ksGateFromBinnedCounts(prevCounts: DataFrame, nextCounts: DataFrame,
+                             threshold: Double, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pc = prevCounts.withColumnRenamed("n", "prev_n")
+    val nc = nextCounts.withColumnRenamed("n", "next_n")
+    val joined = pc.join(nc, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("prev_n"), lit(0L)).as("pn"),
+        coalesce(col("next_n"), lit(0L)).as("nn"))
+    val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    ksFinish(joined
+      .withColumn("cum_pn", sum("pn").over(w))
+      .withColumn("cum_nn", sum("nn").over(w)),
+      threshold, roundTo)
+  }
+
+  /** Shared KS finish over (cum_pn, cum_nn) running counts: totals, CDF
+    * gap, max, verdict. */
+  private def ksFinish(cum: DataFrame, threshold: Double, roundTo: Int): DataFrame = {
+    val totals = cum.agg(max("cum_pn").as("tp"), max("cum_nn").as("tn"))
+    cum.crossJoin(broadcast(totals))
+      .agg(floorRound(max(abs(col("cum_pn").cast("double") / col("tp").cast("double") -
+        col("cum_nn").cast("double") / col("tn").cast("double"))), roundTo).as("ks"),
+        first("tp").as("n_prev"), first("tn").as("n_next"))
+      .withColumn("is_drift", (col("ks") > threshold).cast("long"))
+      .select("ks", "n_prev", "n_next", "is_drift")
+  }
+
+  /** The oracle SQL mirror of [[ksGate]] (exact, distinct-value CDFs). */
+  def ksGateSql(prevSel: String, nextSel: String, valueCol: String,
+                threshold: Double, roundTo: Int = 6): String = {
+    val frs = graft.functions.MathFunctions.floorRoundSql _
+    def sideCte(name: String, sel: String, pn: Int, nn: Int) =
+      s"""$name AS (
+         |  SELECT CAST($valueCol AS DOUBLE) AS v, CAST($pn AS BIGINT) AS pn, CAST($nn AS BIGINT) AS nn
+         |  FROM ($sel)
+         |  WHERE $valueCol IS NOT NULL AND NOT isnan(CAST($valueCol AS DOUBLE)))""".stripMargin
+    s"""WITH ${sideCte("sp", prevSel, 1, 0)},
+       |${sideCte("sn", nextSel, 0, 1)},
+       |c AS (
+       |  SELECT v, CAST(sum(pn) AS BIGINT) AS pn, CAST(sum(nn) AS BIGINT) AS nn
+       |  FROM (SELECT * FROM sp UNION ALL SELECT * FROM sn) GROUP BY v),
+       |cum AS (
+       |  SELECT sum(pn) OVER (ORDER BY v) AS cp, sum(nn) OVER (ORDER BY v) AS cn
+       |  FROM c),
+       |t AS (SELECT CAST(max(cp) AS BIGINT) AS tp, CAST(max(cn) AS BIGINT) AS tn FROM cum)
+       |SELECT ${frs("max(abs(CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE) - CAST(cn AS DOUBLE) / CAST(tn AS DOUBLE)))", roundTo)} AS ks,
+       |  CAST(min(tp) AS BIGINT) AS n_prev, CAST(min(tn) AS BIGINT) AS n_next,
+       |  CAST(${frs("max(abs(CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE) - CAST(cn AS DOUBLE) / CAST(tn AS DOUBLE)))", roundTo)} > CAST($threshold AS DOUBLE) AS BIGINT) AS is_drift
+       |FROM cum CROSS JOIN t""".stripMargin
+  }
+
+  /** The oracle SQL mirror of [[ksGateFromBinnedCounts]] over two snapshot
+    * subqueries on [[Sketches.histBinCol]]'s grid.
+    */
+  def ksBinnedSql(prevSel: String, nextSel: String, valueCol: String,
+                  lo: Double, hi: Double, bins: Int,
+                  threshold: Double, roundTo: Int = 6): String = {
+    val w = (hi - lo) / bins
+    val frs = graft.functions.MathFunctions.floorRoundSql _
+    def binCte(name: String, sel: String) =
+      s"""$name AS (
+         |  SELECT least(greatest(CAST(floor((CAST($valueCol AS DOUBLE) - CAST($lo AS DOUBLE)) / CAST($w AS DOUBLE)) AS BIGINT),
+         |    CAST(0 AS BIGINT)), CAST(${bins - 1} AS BIGINT)) AS bin
+         |  FROM ($sel)
+         |  WHERE $valueCol IS NOT NULL AND NOT isnan(CAST($valueCol AS DOUBLE)))""".stripMargin
+    s"""WITH ${binCte("hp", prevSel)},
+       |${binCte("hn", nextSel)},
+       |cp AS (SELECT bin, CAST(count(*) AS BIGINT) AS pn FROM hp GROUP BY bin),
+       |cn AS (SELECT bin, CAST(count(*) AS BIGINT) AS nn FROM hn GROUP BY bin),
+       |j AS (
+       |  SELECT coalesce(cp.bin, cn.bin) AS bin, coalesce(cp.pn, 0) AS pn, coalesce(cn.nn, 0) AS nn
+       |  FROM cp FULL OUTER JOIN cn ON cp.bin = cn.bin),
+       |cum AS (
+       |  SELECT sum(pn) OVER (ORDER BY bin) AS cp, sum(nn) OVER (ORDER BY bin) AS cn
+       |  FROM j),
+       |t AS (SELECT CAST(max(cp) AS BIGINT) AS tp, CAST(max(cn) AS BIGINT) AS tn FROM cum)
+       |SELECT ${frs("max(abs(CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE) - CAST(cn AS DOUBLE) / CAST(tn AS DOUBLE)))", roundTo)} AS ks,
+       |  CAST(min(tp) AS BIGINT) AS n_prev, CAST(min(tn) AS BIGINT) AS n_next,
+       |  CAST(${frs("max(abs(CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE) - CAST(cn AS DOUBLE) / CAST(tn AS DOUBLE)))", roundTo)} > CAST($threshold AS DOUBLE) AS BIGINT) AS is_drift
+       |FROM cum CROSS JOIN t""".stripMargin
+  }
+
   /** The oracle SQL mirror of [[psiGate]] over two snapshot subqueries. */
   def psiGateSql(prevSel: String, nextSel: String, valueCol: String,
                  lo: Double, hi: Double, bins: Int,

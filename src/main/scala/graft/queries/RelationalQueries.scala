@@ -650,6 +650,61 @@ object RelationalQueries {
         .orderBy("c_nationkey"),
       Some(groupedPsiOracle)),
 
+    // KOLMOGOROV–SMIRNOV drift — the BIN-FREE third axis of the gate
+    // matrix (count z-gate / binned PSI / sup-norm CDF): exact D over every
+    // distinct value, running CDFs from the two-pass range-partitioned
+    // prefix scan (Scan.cumSums — no single-partition window on a
+    // data-sized relation). Same scenario pair as q175 so the axes are
+    // directly comparable: dropping negative balances moves 8% of CDF mass
+    // (D = 0.0813, flags at 0.05) while halving on custkey parity — a far
+    // larger ROW change — reads D = 0.0167 and must not flag.
+    "q187_ks_gate" -> Q(
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        def withMetric(df: org.apache.spark.sql.DataFrame, m: String) =
+          df.withColumn("metric", lit(m))
+            .select("metric", "ks", "n_prev", "n_next", "is_drift")
+        withMetric(graft.operators.Validate.ksGate(
+            c, c.filter(col("c_acctbal") >= 0), "c_acctbal",
+            threshold = 0.05), "drop_negative_balances")
+          .unionByName(withMetric(graft.operators.Validate.ksGate(
+            c, c.filter(col("c_custkey") % 2 === 0), "c_acctbal",
+            threshold = 0.05), "random_half"))
+          .orderBy("metric")
+      },
+      Some {
+        def one(nextWhere: String) =
+          graft.operators.Validate.ksGateSql(
+            "SELECT c_acctbal FROM customer",
+            s"SELECT c_acctbal FROM customer WHERE $nextWhere",
+            "c_acctbal", threshold = 0.05)
+            .replaceFirst("(?s)^WITH ", "")
+        s"""SELECT metric, ks, n_prev, n_next, is_drift FROM (
+           |  SELECT 'drop_negative_balances' AS metric, * FROM (
+           |    WITH ${one("c_acctbal >= 0")} )
+           |  UNION ALL
+           |  SELECT 'random_half', * FROM (
+           |    WITH ${one("c_custkey % 2 = 0")} ))
+           |ORDER BY metric""".stripMargin
+      }),
+
+    // The KS gate MID-INGEST: the next snapshot's bin counts fold through
+    // complete-mode engine state (the q176 monoid) and the BINNED KS runs
+    // against the static baseline — the batch binned SQL is the oracle, so
+    // stream ≡ batch is the checked claim. Binned D under-estimates exact D
+    // (sup over grid points only): 20 bins read 0.0802 for the 0.0813 shift
+    // — still >> the 0.05 threshold, which is the resolution statement a
+    // deployed grid must satisfy.
+    "q188_stream_ks_gate" -> Q(
+      (s, dir) => graft.streaming.StreamingDrift.ksGate(
+        s, dir, "c_acctbal", nextFilter = "c_acctbal >= 0",
+        lo = -1000.0, hi = 10000.0, bins = 20, threshold = 0.05),
+      Some(graft.operators.Validate.ksBinnedSql(
+        "SELECT c_acctbal FROM customer",
+        "SELECT c_acctbal FROM customer WHERE c_acctbal >= 0",
+        "c_acctbal", lo = -1000.0, hi = 10000.0, bins = 20,
+        threshold = 0.05))),
+
     "q150_drift_gate" -> Q(
       (s, dir) => {
         val c = Tables.customer(s, dir)

@@ -133,6 +133,35 @@ object StreamingDrift {
     Validate.psiGateFromCounts(prevCounts, drained, threshold)
   }
 
+  /** The KOLMOGOROV–SMIRNOV gate MID-INGEST — the sup-norm CDF axis of the
+    * gate matrix streamed: the next snapshot's fixed-grid bin counts fold
+    * through the same complete-mode additive monoid as [[psiGate]]'s, and
+    * the binned KS statistic runs against the static baseline through
+    * [[Validate.ksGateFromBinnedCounts]] — identical arithmetic to the
+    * batch binned form, so the stream query passes the batch binned oracle
+    * ([[Validate.ksBinnedSql]]) verbatim. State ≤ bins rows; the gate
+    * publishes one row however long the ingest runs.
+    */
+  def ksGate(spark: SparkSession, dir: String, valueCol: String,
+             nextFilter: String, lo: Double, hi: Double, bins: Int,
+             threshold: Double): DataFrame = {
+    import graft.operators.Sketches
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(s"$dir/customer.parquet").schema)
+      .option("pathGlobFilter", "customer.parquet")
+      .parquet(dir)
+      .filter(expr(nextFilter))
+    val nextCounts = streamed
+      .filter(Sketches.histValueFilter(col(valueCol)))
+      .select(Sketches.histBinCol(col(valueCol), lo, hi, bins).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val drained = StreamingAgg.drain(nextCounts, "graft_stream_ks", "complete")
+    val prevCounts = Sketches.histogramCounts(
+      spark.read.option("pathGlobFilter", "customer.parquet").parquet(dir),
+      valueCol, lo, hi, bins)
+    Validate.ksGateFromBinnedCounts(prevCounts, drained, threshold)
+  }
+
   /** The PER-GROUP distribution gate MID-INGEST (round-10 verdict task 7):
     * the next snapshot streams in, its (group, bin) counts fold through the
     * engine's complete-mode aggregation (state ≤ groups·bins rows — the
