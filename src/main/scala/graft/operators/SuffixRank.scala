@@ -107,10 +107,21 @@ object SuffixRank {
                           lens: DataFrame): DataFrame = {
     val a = sa.select(col("doc").as("doc_a"), col("pos").as("pos_a"), col("sa"))
     val b = sa.select(col("doc").as("doc_b"), col("pos").as("pos_b"), (col("sa") + 1).as("sa"))
-    var pairs = a.join(b, Seq("sa"))
+    val pairs = a.join(b, Seq("sa"))
       .join(lens.select(col("doc").as("doc_a"), col("len").as("len_a")), Seq("doc_a"))
       .join(lens.select(col("doc").as("doc_b"), col("len").as("len_b")), Seq("doc_b"))
-      .withColumn("lcp", lit(0L))
+    pairLcp(pairs, tables)
+  }
+
+  /** The rank-table LCP walk on ARBITRARY suffix pairs: accumulate k into
+    * `lcp` whenever both k-blocks at the current offset exist in full and
+    * share a rank, largest power first — ≤ 2·log L slim equi-joins, no
+    * text. Input needs (doc_a, pos_a, len_a, doc_b, pos_b, len_b); extra
+    * columns ride through. Shared by the adjacent-pair LCP array and the
+    * cross-corpus side-neighbor probes.
+    */
+  private def pairLcp(pairs0: DataFrame, tables: Seq[(Int, DataFrame)]): DataFrame = {
+    var pairs = pairs0.withColumn("lcp", lit(0L))
     for ((k, ranks) <- tables.reverse) {
       val ra = ranks.select(col("doc").as("doc_a"), col("pos").as("__pa"), col("r").as("__ra"))
       val rb = ranks.select(col("doc").as("doc_b"), col("pos").as("__pb"), col("r").as("__rb"))
@@ -253,5 +264,63 @@ object SuffixRank {
         (col("b") - col("a") + 1).cast("long").as("n_occ"),
         col("n_docs").cast("long").as("n_docs"))
       .orderBy("repeat")
+  }
+
+  /** CROSS-CORPUS contamination spans — the third SuffixRank finish: for
+    * every position of every `test` document, the length of the longest
+    * substring starting there that occurs ANYWHERE in the `train` corpus.
+    * Unbounded length, exact — the quantity a Lee-et-al-style
+    * decontamination audit actually wants (the fixed-n Bloom gate,
+    * [[Decontaminate]], answers "does any n-gram collide"; this answers
+    * "HOW LONG is the longest shared span", which is what separates a
+    * quoted benchmark answer from an incidental 13-gram).
+    *
+    * Construction: rank the UNION corpus (test doc ids are interleaved to
+    * odd, train to even — sides stay disjoint whatever ids the caller
+    * holds), take the suffix array, and give every test suffix its nearest
+    * train NEIGHBOR on each side of the SA order via [[Scan.runningLast]]
+    * (two two-pass prefix scans — no single-partition window). Because LCP
+    * to a suffix only decreases with SA distance, the longest match of a
+    * test suffix against the whole train SET is the max of its LCP to
+    * those ≤ 2 neighbors (Gusfield §7.14.4's matching-statistics argument
+    * on the generalized suffix array) — each probed by the [[pairLcp]]
+    * rank walk, never by text comparison.
+    *
+    * Scale: everything is the q183 profile (O(n log L) slim shuffles for
+    * ranks + SA) plus two prefix scans and one ≤ 2·|test-positions| pair
+    * walk. Returns `(doc_id, pos, lcp)` over TEST ids, `lcp >= minLen`.
+    */
+  def crossCorpusOverlap(spark: SparkSession, train: DataFrame, test: DataFrame,
+                         idCol: String, textCol: String, minLen: Int,
+                         scanParts: Int = 32): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    def tagged(df: DataFrame, side: Int) = df.select(
+      (col(idCol).cast("long") * 2 + side).as(idCol), col(textCol))
+    val union = tagged(train, 0).unionByName(tagged(test, 1))
+    val tables = rankTables(union, idCol, textCol)
+    val lens = union.select(col(idCol).as("doc"),
+      length(col(textCol)).cast("long").as("len"))
+    val sa = suffixArray(spark, tables.last._2).localCheckpoint(true)
+    val sided = sa.withColumn("__train_sa",
+      when(col("doc") % 2 === 0, col("sa")))
+    val withPrev = Scan.runningLast(sided, Seq("sa"), "__train_sa", scanParts)
+      .withColumnRenamed("prev___train_sa", "__lo")
+      .withColumn("__neg", -col("sa"))
+    val withBoth = Scan.runningLast(withPrev, Seq("__neg"), "__train_sa", scanParts)
+      .withColumnRenamed("prev___train_sa", "__hi")
+    val testSuffixes = withBoth.filter(col("doc") % 2 === 1)
+      .select(col("doc").as("doc_a"), col("pos").as("pos_a"), col("__lo"), col("__hi"))
+    def probe(nbr: String) = testSuffixes.filter(col(nbr).isNotNull)
+      .join(sa.select(col("sa").as(nbr), col("doc").as("doc_b"), col("pos").as("pos_b")), Seq(nbr))
+      .select("doc_a", "pos_a", "doc_b", "pos_b")
+    val pairs = probe("__lo").unionByName(probe("__hi"))
+      .join(lens.select(col("doc").as("doc_a"), col("len").as("len_a")), Seq("doc_a"))
+      .join(lens.select(col("doc").as("doc_b"), col("len").as("len_b")), Seq("doc_b"))
+    pairLcp(pairs, tables)
+      .groupBy(col("doc_a"), col("pos_a"))
+      .agg(max("lcp").as("lcp"))
+      .filter(col("lcp") >= minLen)
+      .select(((col("doc_a") - 1) / 2).cast("long").as("doc_id"), col("pos_a").as("pos"), col("lcp"))
+      .orderBy("doc_id", "pos")
   }
 }

@@ -1747,6 +1747,49 @@ object TextQueries {
              |FROM grp WHERE n_occ >= 2 AND np >= 2 AND nn >= 2
              |ORDER BY repeat""".stripMargin)),
 
+    // CROSS-CORPUS contamination spans (the third SuffixRank finish): for
+    // every position of every TEST document, the length of the longest
+    // substring starting there that appears anywhere in the TRAIN corpus —
+    // unbounded length, exact. The fixed-n Bloom decontamination (q101
+    // family) answers "does any n-gram collide"; this answers "how LONG is
+    // the longest shared span", the quantity that separates a quoted
+    // benchmark answer from an incidental n-gram. Computed on the union
+    // suffix array: each test suffix probes its nearest train neighbor on
+    // each SA side (two Scan.runningLast prefix scans) and walks the rank
+    // tables — the matching-statistics argument, so recall is structural,
+    // not sampled. Oracle: the q183 brute force restricted to cross-side
+    // pairs, same 128-char cap (the oracle is O(n²·L); the operator isn't).
+    "q189_cross_corpus_contamination" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), substring(col("text"), 1, 128).as("t"))
+        graft.operators.SuffixRank.crossCorpusOverlap(s,
+          d.filter(col("doc_id") < 8),
+          d.filter(col("doc_id") >= 8 && col("doc_id") < 12),
+          "doc_id", "t", minLen = 12)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, substr(text, 1, 128) AS t FROM documents WHERE doc_id < 12),
+             |p AS (
+             |  SELECT doc_id, t, unnest(generate_series(0, length(t) - 1)) AS pos FROM d),
+             |pr AS (
+             |  SELECT a.doc_id AS da, a.pos AS pa, a.t AS ta,
+             |         b.doc_id AS db, b.pos AS pb, b.t AS tb
+             |  FROM p a JOIN p b ON a.doc_id >= 8 AND b.doc_id < 8),
+             |l AS (
+             |  SELECT da, pa,
+             |    coalesce(list_position(list_transform(
+             |        generate_series(1, least(length(ta) - pa, length(tb) - pb)),
+             |        i -> substr(ta, CAST(pa + i AS INTEGER), 1) = substr(tb, CAST(pb + i AS INTEGER), 1)),
+             |      false) - 1,
+             |      least(length(ta) - pa, length(tb) - pb)) AS lcp
+             |  FROM pr),
+             |best AS (
+             |  SELECT da AS doc_id, CAST(pa AS BIGINT) AS pos, CAST(max(lcp) AS BIGINT) AS lcp
+             |  FROM l GROUP BY 1, 2)
+             |SELECT doc_id, pos, lcp FROM best WHERE lcp >= 12
+             |ORDER BY doc_id, pos""".stripMargin)),
+
     "q149_exact_substr_spans" -> Q(
       (s, dir) => Dedup.exactSubstrSpans(
         Tables.documents(s, dir).filter(col("doc_id") < ExactPairSample),

@@ -1562,4 +1562,39 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(want.exists(_._1 == "_samepre_")) // boundary-extended form survives
     assert(!want.exists(_._1 == "samepre")) // bare form: every prev is '_'
   }
+
+  test("crossCorpusOverlap: matches cross-side brute force, ignores within-side dups") {
+    import graft.operators.SuffixRank
+    // train carries a benchmark answer; test doc 10 quotes a 16-char span of
+    // it, test doc 11 only shares short incidental fragments PLUS a long
+    // span duplicated WITHIN test (must NOT count — only train matches do).
+    // Overlapping ids across corpora (10 appears in both) exercise the
+    // side-disjoint id interleaving.
+    val train = Seq(
+      (10L, "the_answer_is_42_obviously"),
+      (11L, "pack_my_box_with_jugs")
+    ).toDF("doc_id", "t")
+    val test = Seq(
+      (10L, "xx_the_answer_is_42_yy"),
+      (11L, "same_long_span_here+same_long_span_here")
+    ).toDF("doc_id", "t")
+    val got = SuffixRank.crossCorpusOverlap(spark, train, test, "doc_id", "t", minLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val trainT = Map(10L -> "the_answer_is_42_obviously", 11L -> "pack_my_box_with_jugs")
+    val testT = Map(10L -> "xx_the_answer_is_42_yy", 11L -> "same_long_span_here+same_long_span_here")
+    def lcp(a: String, b: String): Long =
+      a.zip(b).takeWhile { case (x, y) => x == y }.length.toLong
+    val want = (for {
+      (da, ta) <- testT.toSeq; pa <- 0 until ta.length
+    } yield {
+      val best = (for {
+        (_, tb) <- trainT.toSeq; pb <- 0 until tb.length
+      } yield lcp(ta.substring(pa), tb.substring(pb))).max
+      (da, pa.toLong) -> best
+    }).filter(_._2 >= 4).toMap
+    assert(got === want)
+    // the quoted span is found at full length; the within-test duplicate is not
+    assert(got((10L, 3L)) === 17L) // "the_answer_is_42_" (train continues "obv", test "yy")
+    assert(!got.contains((11L, 0L)) || got((11L, 0L)) < 15L)
+  }
 }
