@@ -177,6 +177,19 @@ object TextFunctions {
     minhashSignatureFromHashes(
       transform(shingleHashes(shingleSet), h => coalesce(h, lit(Long.MinValue))), numHashes)
 
+  /** Unicode NFC normalization (UAX #15) as a codegen'd scalar
+    * ([[graft.functions.expressions.NfcNormalize]]) — the canonicalization
+    * byte-exact dedup needs before hashing: precomposed and
+    * combining-sequence spellings of the same text are byte-distinct until
+    * normalized. Pure-ASCII rows return the input object unchanged (byte
+    * scan, no allocation). DuckDB's `nfc_normalize` mirrors it.
+    */
+  def nfc(text: Column): Column = {
+    import graft.functions.expressions.NfcNormalize
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    B.column(NfcNormalize(B.expression(text)))
+  }
+
   /** 64-bit SimHash over tokens: per-bit majority vote of token hashes,
     * fused into one codegen call ([[graft.functions.expressions.SimHash64]]).
     * Bit-identical to [[simhash64Hof]] (asserted in tests) at ~50× less

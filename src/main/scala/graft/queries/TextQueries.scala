@@ -476,6 +476,38 @@ object TextQueries {
       Some("""SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keep_id
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // NORMALIZATION-aware exact dedup: q17 keyed on md5 of the Unicode NFC
+    // form (UAX #15, the codegen'd NfcNormalize kernel) over a corpus where
+    // every document exists in two canonically-equivalent, byte-DISTINCT
+    // renditions — one ending precomposed (U+00E9), one with a combining
+    // acute (e + U+0301). Byte-exact dedup keeps all renditions apart
+    // (n_byte_distinct = 2 per group); NFC-keyed dedup merges exactly the
+    // equivalent pairs — checked against DuckDB's own UAX #15 implementation
+    // (nfc_normalize), so the cross-engine equivalence of the normal forms
+    // is itself part of the oracle check.
+    "q190_nfc_dedup" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val corpus = d.select((col("doc_id") * 2).as("rid"),
+            concat(col("text"), lit(" caf\u00e9")).as("t")) // precomposed
+          .unionByName(d.select((col("doc_id") * 2 + 1).as("rid"),
+            concat(col("text"), lit(" cafe\u0301")).as("t"))) // combining
+        corpus.groupBy(md5(graft.functions.TextFunctions.nfc(col("t"))).as("norm_hash"))
+          .agg(count(lit(1)).as("n_renditions"),
+            countDistinct(md5(col("t"))).as("n_byte_distinct"),
+            min("rid").as("keep_rid"))
+          .orderBy("norm_hash")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id * 2 AS rid, text || ' caf' || chr(233) AS t FROM documents
+             |  UNION ALL
+             |  SELECT doc_id * 2 + 1, text || ' cafe' || chr(769) FROM documents)
+             |SELECT md5(nfc_normalize(t)) AS norm_hash,
+             |  count(*) AS n_renditions,
+             |  CAST(count(DISTINCT md5(t)) AS BIGINT) AS n_byte_distinct,
+             |  min(rid) AS keep_rid
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     "q18_token_count" -> Q(
       (s, dir) => {
         Tables.documents(s, dir)

@@ -200,4 +200,23 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestSession {
     assert(d.select(subwordCount($"x")).head.getInt(0) === 2)
     assert(d.select(subwordCount($"y")).head.getInt(0) === 6) // ceil(20/4)=5 + 1
   }
+
+  test("nfc: merges canonical equivalents, identity on ASCII and NFC input") {
+    val rows = Seq(
+      ("cafe\u0301", "caf\u00e9"),        // combining acute -> precomposed
+      ("A\u030Angstrom", "\u00c5ngstrom"), // combining ring -> precomposed U+00C5
+      ("plain ascii!", "plain ascii!"),    // fast path: unchanged
+      ("caf\u00e9", "caf\u00e9")           // already NFC: unchanged
+    ).toDF("raw", "want")
+    val got = rows.select(nfc($"raw").as("got"), $"want").collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1)))
+    // byte-distinct before, byte-equal after — the dedup-key property
+    val pair = Seq(("cafe\u0301", "caf\u00e9")).toDF("a", "b")
+      .select(md5($"a").as("ha"), md5($"b").as("hb"),
+        md5(nfc($"a")).as("na"), md5(nfc($"b")).as("nb")).head
+    assert(pair.getString(0) !== pair.getString(1))
+    assert(pair.getString(2) === pair.getString(3))
+    // null passes through
+    assert(rows.select(nfc(lit(null).cast("string"))).head.isNullAt(0))
+  }
 }
