@@ -56,20 +56,46 @@ object SuffixRank {
       .select(col("doc"), col("pos"), col("nr").as("r"))
   }
 
+  /** Lineage cut with HONEST statistics: eager localCheckpoint (truncates
+    * the logical tree to a leaf) + cache + count (materializes the
+    * InMemoryRelation so its stats come from the MEASURED cached bytes).
+    *
+    * Both halves matter, and each alone is a trap this module hit:
+    *  - cache() alone keeps the full analyzed tree. Table k's plan
+    *    references table k/2's twice (cur + shifted), so the tree DOUBLES
+    *    per doubling round — ~2^log L copies of the base scan by the last
+    *    table — and the plan STRING Spark renders for every action's
+    *    execution event OOMs the driver on the composed finishes.
+    *  - localCheckpoint alone truncates the tree but PRESERVES the origin
+    *    plan's statistics on the LogicalRDD leaf. Size estimates multiply
+    *    up a join tree, so each checkpoint generation inherits and then
+    *    re-multiplies the previous generation's inflated sizeInBytes —
+    *    after the doubling rounds the leaves claim ~10^7-BIT BigInt sizes,
+    *    and every later stats lookup (join selection, runtime-filter
+    *    injection) spends MINUTES in BigInteger multiplication. The
+    *    materialized cache resets every generation's stats to measured
+    *    small numbers, which also keeps the broadcast-vs-SMJ choice sane.
+    */
+  private def cutLineage(df: DataFrame): DataFrame = {
+    val cut = df.localCheckpoint(true).cache()
+    cut.count() // materialize the IMR so computeStats sees measured bytes
+    cut
+  }
+
   /** All rank tables k = 1, 2, 4, … up to the first power ≥ maxLen, as
-    * (k, ranks(doc, pos, r)) in ascending k. Each table is cached; caller
-    * releases via [[Caching]] conventions (the tables back every LCP probe).
+    * (k, ranks(doc, pos, r)) in ascending k. Each table is lineage-cut
+    * ([[cutLineage]]); each was going to be materialized by the next
+    * round's zipWithIndex anyway, so the eager cut costs no extra pass.
     */
   def rankTables(df: DataFrame, idCol: String, textCol: String): Seq[(Int, DataFrame)] = {
     val docs = df.select(col(idCol).cast("long").as("doc"), col(textCol).as("t"))
     val maxLen = docs.agg(coalesce(max(length(col("t"))), lit(0))).head.getInt(0)
     require(maxLen > 0, "corpus is empty")
     // k = 1: the character code itself is already an order-preserving rank
-    val first = docs
+    val first = cutLineage(docs
       .select(col("doc"), posexplode(split(col("t"), "")))
       .filter(col("col") =!= "") // split("") may emit a trailing empty token
-      .select(col("doc"), col("pos").cast("long").as("pos"), ascii(col("col")).cast("long").as("r"))
-      .cache()
+      .select(col("doc"), col("pos").cast("long").as("pos"), ascii(col("col")).cast("long").as("r")))
     var tables = List(1 -> first)
     var k = 1
     while (k < maxLen) {
@@ -77,7 +103,7 @@ object SuffixRank {
       val shifted = cur.select(col("doc"), (col("pos") - k).as("pos"), col("r").as("r2"))
       val keyed = cur.join(shifted, Seq("doc", "pos"), "left")
         .select(col("doc"), col("pos"), col("r"), coalesce(col("r2"), lit(-1L)).as("r2"))
-      val next = denseRank(keyed).cache()
+      val next = cutLineage(denseRank(keyed))
       k *= 2
       tables ::= (k -> next)
     }
@@ -209,9 +235,9 @@ object SuffixRank {
     // these: without lineage truncation the logical plan tree grows
     // multiplicatively per level (the PageRank lesson, Graph.scala) and
     // Catalyst chokes on the composed tree long before any data moves.
-    val sa = suffixArray(spark, tables.last._2).localCheckpoint(true)
-    val lcp = adjacentLcp(sa, tables, lens)
-      .select(col("sa").as("i"), col("lcp")).localCheckpoint(true)
+    val sa = cutLineage(suffixArray(spark, tables.last._2))
+    val lcp = cutLineage(adjacentLcp(sa, tables, lens)
+      .select(col("sa").as("i"), col("lcp")))
     val nSuffix = sa.count()
     // sparse-min tables: minTs head is the LARGEST window; inner self-joins
     // keep only FULL windows, so a missing row below means "out of range"
@@ -220,8 +246,8 @@ object SuffixRank {
     var w = 1L
     while (w * 2 < nSuffix) {
       val cur = minTs.head._2
-      val next = cur.join(cur.select((col("i") - w).as("i"), col("mn").as("mn2")), Seq("i"))
-        .select(col("i"), least(col("mn"), col("mn2")).as("mn")).localCheckpoint(true)
+      val next = cutLineage(cur.join(cur.select((col("i") - w).as("i"), col("mn").as("mn2")), Seq("i"))
+        .select(col("i"), least(col("mn"), col("mn2")).as("mn")))
       w *= 2
       minTs ::= (w -> next)
     }
@@ -290,6 +316,61 @@ object SuffixRank {
     * ranks + SA) plus two prefix scans and one ≤ 2·|test-positions| pair
     * walk. Returns `(doc_id, pos, lcp)` over TEST ids, `lcp >= minLen`.
     */
+  /** The decontamination DECISION layer on [[crossCorpusOverlap]]: each
+    * qualifying position p contaminates the character interval
+    * [p, p + lcp(p)); overlapping intervals union into maximal MASK SPANS
+    * per test document — the ranges a pipeline blanks (or drops the doc
+    * over) before training. Interval union is the classic island walk:
+    * per-doc ordered running max of span ends marks island starts; the
+    * window partitions by document, so parallelism is per-doc and the
+    * partition size is bounded by document length — never corpus-sized.
+    * Returns `(doc_id, span_start, span_len)`.
+    */
+  def contaminationMask(spark: SparkSession, train: DataFrame, test: DataFrame,
+                        idCol: String, textCol: String, minLen: Int,
+                        scanParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hits = crossCorpusOverlap(spark, train, test, idCol, textCol, minLen, scanParts)
+      .withColumn("end", col("pos") + col("lcp"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    hits
+      .withColumn("__new", (max("end").over(prevEnd).isNull ||
+        col("pos") > max("end").over(prevEnd)).cast("long"))
+      .withColumn("__island", sum("__new").over(byDoc))
+      .groupBy("doc_id", "__island")
+      .agg(min("pos").as("span_start"), (max("end") - min("pos")).as("span_len"))
+      .select("doc_id", "span_start", "span_len")
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** Corpus-health summary of [[contaminationMask]]: per test document the
+    * masked character count, length, contamination fraction, and the
+    * drop/keep verdict at `maxFrac` — the report a decontamination gate
+    * publishes. Documents with NO contamination appear with zero mass
+    * (left join against the full test corpus), so the report covers the
+    * whole corpus, not just the flagged tail.
+    */
+  def contaminationRate(spark: SparkSession, train: DataFrame, test: DataFrame,
+                        idCol: String, textCol: String, minLen: Int,
+                        maxFrac: Double, roundTo: Int = 4,
+                        scanParts: Int = 32): DataFrame = {
+    import graft.functions.MathFunctions.floorRound
+    val spans = contaminationMask(spark, train, test, idCol, textCol, minLen, scanParts)
+    val masked = spans.groupBy("doc_id")
+      .agg(sum("span_len").as("masked_chars"), count(lit(1)).as("n_spans"))
+    test.select(col(idCol).cast("long").as("doc_id"),
+        length(col(textCol)).cast("long").as("doc_len"))
+      .join(masked, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("doc_len"),
+        coalesce(col("masked_chars"), lit(0L)).as("masked_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+      .withColumn("frac", floorRound(
+        col("masked_chars").cast("double") / col("doc_len").cast("double"), roundTo))
+      .withColumn("drop_doc", (col("frac") > maxFrac).cast("long"))
+      .orderBy("doc_id")
+  }
+
   def crossCorpusOverlap(spark: SparkSession, train: DataFrame, test: DataFrame,
                          idCol: String, textCol: String, minLen: Int,
                          scanParts: Int = 32): DataFrame = {
@@ -300,7 +381,7 @@ object SuffixRank {
     val tables = rankTables(union, idCol, textCol)
     val lens = union.select(col(idCol).as("doc"),
       length(col(textCol)).cast("long").as("len"))
-    val sa = suffixArray(spark, tables.last._2).localCheckpoint(true)
+    val sa = cutLineage(suffixArray(spark, tables.last._2))
     val sided = sa.withColumn("__train_sa",
       when(col("doc") % 2 === 0, col("sa")))
     val withPrev = Scan.runningLast(sided, Seq("sa"), "__train_sa", scanParts)

@@ -418,6 +418,80 @@ object Validate {
       .select("ks", "n_prev", "n_next", "is_drift")
   }
 
+  /** Per-GROUP binned KS — the multi-source form completing the KS row of
+    * the gate matrix (count × {batch,stream,keyed,history}, PSI ×
+    * {batch,stream,grouped×2}, KS × {exact batch, stream binned, grouped}):
+    * one D per group over that group's own binned CDF pair. The cumulative
+    * window partitions BY GROUP over the fixed grid, so each partition is
+    * ≤ bins rows — parameter-sized, the legitimate window case. Groups
+    * with an empty side are excluded (a vanishing source is the COUNT
+    * gate's job, same contract as [[groupedPsiGateFromCounts]]).
+    */
+  def groupedKsGate(prev: DataFrame, next: DataFrame, groupCol: String,
+                    valueCol: String, lo: Double, hi: Double, bins: Int,
+                    threshold: Double, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pc = Sketches.groupedHistogramCounts(prev, groupCol, valueCol, lo, hi, bins)
+      .withColumnRenamed("n", "prev_n")
+    val nc = Sketches.groupedHistogramCounts(next, groupCol, valueCol, lo, hi, bins)
+      .withColumnRenamed("n", "next_n")
+    val joined = pc.join(nc, Seq("g", "bin"), "full_outer")
+      .select(col("g"), col("bin"), coalesce(col("prev_n"), lit(0L)).as("pn"),
+        coalesce(col("next_n"), lit(0L)).as("nn"))
+    val w = Window.partitionBy("g").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = joined
+      .withColumn("cp", sum("pn").over(w))
+      .withColumn("cn", sum("nn").over(w))
+    val totals = cum.groupBy("g").agg(max("cp").as("tp"), max("cn").as("tn"))
+    cum.join(totals, Seq("g"))
+      .filter(col("tp") > 0 && col("tn") > 0)
+      .groupBy("g")
+      .agg(floorRound(max(abs(col("cp").cast("double") / col("tp").cast("double") -
+        col("cn").cast("double") / col("tn").cast("double"))), roundTo).as("ks"),
+        first("tp").as("n_prev"), first("tn").as("n_next"))
+      .withColumn("is_drift", (col("ks") > threshold).cast("long"))
+      .select(col("g").as(groupCol), col("ks"), col("n_prev"), col("n_next"), col("is_drift"))
+  }
+
+  /** The oracle SQL mirror of [[groupedKsGate]]: baseline = `table`, next
+    * snapshot = `table WHERE nextWhere`.
+    */
+  def groupedKsGateSql(table: String, groupCol: String, valueCol: String,
+                       nextWhere: String, lo: Double, hi: Double, bins: Int,
+                       threshold: Double, roundTo: Int = 6): String = {
+    val w = (hi - lo) / bins
+    val frs = graft.functions.MathFunctions.floorRoundSql _
+    def binCte(name: String, where: String) =
+      s"""$name AS (
+         |  SELECT $groupCol AS g,
+         |    least(greatest(CAST(floor((CAST($valueCol AS DOUBLE) - CAST($lo AS DOUBLE)) / CAST($w AS DOUBLE)) AS BIGINT),
+         |    CAST(0 AS BIGINT)), CAST(${bins - 1} AS BIGINT)) AS bin
+         |  FROM $table
+         |  WHERE $valueCol IS NOT NULL AND NOT isnan(CAST($valueCol AS DOUBLE))$where)""".stripMargin
+    val d = "abs(CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE) - CAST(cn AS DOUBLE) / CAST(tn AS DOUBLE))"
+    s"""WITH ${binCte("hp", "")},
+       |${binCte("hn", s" AND ($nextWhere)")},
+       |cp0 AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS pn FROM hp GROUP BY g, bin),
+       |cn0 AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS nn FROM hn GROUP BY g, bin),
+       |j AS (
+       |  SELECT coalesce(cp0.g, cn0.g) AS g, coalesce(cp0.bin, cn0.bin) AS bin,
+       |    coalesce(cp0.pn, 0) AS pn, coalesce(cn0.nn, 0) AS nn
+       |  FROM cp0 FULL OUTER JOIN cn0 ON cp0.g = cn0.g AND cp0.bin = cn0.bin),
+       |cum AS (
+       |  SELECT g,
+       |    sum(pn) OVER (PARTITION BY g ORDER BY bin) AS cp,
+       |    sum(nn) OVER (PARTITION BY g ORDER BY bin) AS cn
+       |  FROM j),
+       |t AS (SELECT g, CAST(max(cp) AS BIGINT) AS tp, CAST(max(cn) AS BIGINT) AS tn
+       |      FROM cum GROUP BY g)
+       |SELECT cum.g AS $groupCol, ${frs(s"max($d)", roundTo)} AS ks,
+       |  CAST(min(tp) AS BIGINT) AS n_prev, CAST(min(tn) AS BIGINT) AS n_next,
+       |  CAST(${frs(s"max($d)", roundTo)} > CAST($threshold AS DOUBLE) AS BIGINT) AS is_drift
+       |FROM cum JOIN t ON t.g = cum.g WHERE tp > 0 AND tn > 0
+       |GROUP BY cum.g ORDER BY cum.g""".stripMargin
+  }
+
   /** The oracle SQL mirror of [[ksGate]] (exact, distinct-value CDFs). */
   def ksGateSql(prevSel: String, nextSel: String, valueCol: String,
                 threshold: Double, roundTo: Int = 6): String = {

@@ -705,6 +705,25 @@ object RelationalQueries {
         "c_acctbal", lo = -1000.0, hi = 10000.0, bins = 20,
         threshold = 0.05))),
 
+    // Per-GROUP binned KS — the last cell of the gate matrix's KS row
+    // (exact batch q187 / streamed binned q188 / grouped here): one D per
+    // nation over that nation's own binned balance CDFs. Nation 13 drops
+    // its negative balances only, so it alone crosses 0.05 while every
+    // other nation reads D = 0 — the per-source read the grouped PSI
+    // (q179) gives on the mass axis, here on the sup-norm axis.
+    "q193_grouped_ks_gate" -> Q(
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val next = c.filter(!(col("c_nationkey") === 13 && col("c_acctbal") < 0))
+        graft.operators.Validate.groupedKsGate(c, next, "c_nationkey",
+            "c_acctbal", lo = -1000.0, hi = 10000.0, bins = 20, threshold = 0.05)
+          .orderBy("c_nationkey")
+      },
+      Some(graft.operators.Validate.groupedKsGateSql(
+        "customer", "c_nationkey", "c_acctbal",
+        nextWhere = "NOT (c_nationkey = 13 AND c_acctbal < 0)",
+        lo = -1000.0, hi = 10000.0, bins = 20, threshold = 0.05))),
+
     "q150_drift_gate" -> Q(
       (s, dir) => {
         val c = Tables.customer(s, dir)

@@ -135,6 +135,53 @@ object TextQueries {
   // (tokens ∥ generate_series), the q35-proven per-character hashing pattern.
   private val HP = "1000000007"
   private val HR = "1000003"
+
+  /** Shared CTE chain of the cross-corpus contamination family
+    * (q189/q191/q192): brute-force per-position longest cross-side match on
+    * the capped corpus (train = doc_id < 8, test = 8..11, first 128 chars).
+    * Ends at `best` (doc_id, pos, lcp) — UNFILTERED; each query applies its
+    * own minLen cut.
+    */
+  private val crossCorpusCtes: String =
+    """d AS (
+      |  SELECT doc_id, substr(text, 1, 128) AS t FROM documents WHERE doc_id < 12),
+      |p AS (
+      |  SELECT doc_id, t, unnest(generate_series(0, length(t) - 1)) AS pos FROM d),
+      |pr AS (
+      |  SELECT a.doc_id AS da, a.pos AS pa, a.t AS ta,
+      |         b.doc_id AS db, b.pos AS pb, b.t AS tb
+      |  FROM p a JOIN p b ON a.doc_id >= 8 AND b.doc_id < 8),
+      |l AS (
+      |  SELECT da, pa,
+      |    coalesce(list_position(list_transform(
+      |        generate_series(1, least(length(ta) - pa, length(tb) - pb)),
+      |        i -> substr(ta, CAST(pa + i AS INTEGER), 1) = substr(tb, CAST(pb + i AS INTEGER), 1)),
+      |      false) - 1,
+      |      least(length(ta) - pa, length(tb) - pb)) AS lcp
+      |  FROM pr),
+      |best AS (
+      |  SELECT da AS doc_id, CAST(pa AS BIGINT) AS pos, CAST(max(lcp) AS BIGINT) AS lcp
+      |  FROM l GROUP BY 1, 2)""".stripMargin
+
+  /** The island walk over `best` (q191/q192): positions with lcp ≥ 12 span
+    * [pos, pos+lcp); running per-doc max of ends marks island starts. Ends
+    * at `isl2` (doc_id, pos, e, island).
+    */
+  private val maskSpanCtes: String =
+    """sp AS (
+      |  SELECT doc_id, pos, pos + lcp AS e FROM best WHERE lcp >= 12),
+      |isl AS (
+      |  SELECT doc_id, pos, e,
+      |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |         OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         THEN 1 ELSE 0 END AS nw
+      |  FROM sp),
+      |isl2 AS (
+      |  SELECT doc_id, pos, e,
+      |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM isl)""".stripMargin
   private def affineSql(hashExpr: String, jExpr: String): String =
     s"((((($jExpr)+1)*1103515245 + 12345) % $HP) * $hashExpr + ((($jExpr)+1)*69069 + 1) % $HP) % $HP"
 
@@ -1800,27 +1847,65 @@ object TextQueries {
           d.filter(col("doc_id") >= 8 && col("doc_id") < 12),
           "doc_id", "t", minLen = 12)
       },
-      Some("""WITH d AS (
-             |  SELECT doc_id, substr(text, 1, 128) AS t FROM documents WHERE doc_id < 12),
-             |p AS (
-             |  SELECT doc_id, t, unnest(generate_series(0, length(t) - 1)) AS pos FROM d),
-             |pr AS (
-             |  SELECT a.doc_id AS da, a.pos AS pa, a.t AS ta,
-             |         b.doc_id AS db, b.pos AS pb, b.t AS tb
-             |  FROM p a JOIN p b ON a.doc_id >= 8 AND b.doc_id < 8),
-             |l AS (
-             |  SELECT da, pa,
-             |    coalesce(list_position(list_transform(
-             |        generate_series(1, least(length(ta) - pa, length(tb) - pb)),
-             |        i -> substr(ta, CAST(pa + i AS INTEGER), 1) = substr(tb, CAST(pb + i AS INTEGER), 1)),
-             |      false) - 1,
-             |      least(length(ta) - pa, length(tb) - pb)) AS lcp
-             |  FROM pr),
-             |best AS (
-             |  SELECT da AS doc_id, CAST(pa AS BIGINT) AS pos, CAST(max(lcp) AS BIGINT) AS lcp
-             |  FROM l GROUP BY 1, 2)
+      Some(s"""WITH $crossCorpusCtes
              |SELECT doc_id, pos, lcp FROM best WHERE lcp >= 12
              |ORDER BY doc_id, pos""".stripMargin)),
+
+    // The decontamination DECISION layer (q189's consumer): qualifying
+    // positions contaminate [pos, pos + lcp); overlapping intervals union
+    // into maximal mask spans per test doc — the ranges a pipeline blanks
+    // before training. Island walk: per-doc running max of span ends marks
+    // island starts; window partitions by document, so partition size is
+    // bounded by DOCUMENT length, never corpus size.
+    "q191_contamination_mask" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), substring(col("text"), 1, 128).as("t"))
+        graft.operators.SuffixRank.contaminationMask(s,
+          d.filter(col("doc_id") < 8),
+          d.filter(col("doc_id") >= 8 && col("doc_id") < 12),
+          "doc_id", "t", minLen = 12)
+      },
+      Some(s"""WITH $crossCorpusCtes,
+             |$maskSpanCtes
+             |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             |  CAST(max(e) - min(pos) AS BIGINT) AS span_len
+             |FROM isl2 GROUP BY doc_id, island
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // The corpus-health REPORT over the mask: per test doc the masked
+    // character mass, contamination fraction, and the drop/keep verdict —
+    // clean docs included with zero mass (left join), because a gate that
+    // only lists offenders can't certify the rest.
+    "q192_contamination_rate" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), substring(col("text"), 1, 128).as("t"))
+        graft.operators.SuffixRank.contaminationRate(s,
+          d.filter(col("doc_id") < 8),
+          d.filter(col("doc_id") >= 8 && col("doc_id") < 12),
+          "doc_id", "t", minLen = 12, maxFrac = 0.3)
+      },
+      Some(s"""WITH $crossCorpusCtes,
+             |$maskSpanCtes,
+             |spans AS (
+             |  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             |    CAST(max(e) - min(pos) AS BIGINT) AS span_len
+             |  FROM isl2 GROUP BY doc_id, island),
+             |mk AS (
+             |  SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS masked_chars,
+             |    CAST(count(*) AS BIGINT) AS n_spans
+             |  FROM spans GROUP BY doc_id),
+             |alldocs AS (
+             |  SELECT doc_id, CAST(length(substr(text, 1, 128)) AS BIGINT) AS doc_len
+             |  FROM documents WHERE doc_id >= 8 AND doc_id < 12)
+             |SELECT a.doc_id, a.doc_len,
+             |  coalesce(mk.masked_chars, 0) AS masked_chars,
+             |  coalesce(mk.n_spans, 0) AS n_spans,
+             |  ${frs("CAST(coalesce(mk.masked_chars, 0) AS DOUBLE) / CAST(a.doc_len AS DOUBLE)", 4)} AS frac,
+             |  CAST(${frs("CAST(coalesce(mk.masked_chars, 0) AS DOUBLE) / CAST(a.doc_len AS DOUBLE)", 4)} > CAST(0.3 AS DOUBLE) AS BIGINT) AS drop_doc
+             |FROM alldocs a LEFT JOIN mk ON mk.doc_id = a.doc_id
+             |ORDER BY a.doc_id""".stripMargin)),
 
     "q149_exact_substr_spans" -> Q(
       (s, dir) => Dedup.exactSubstrSpans(

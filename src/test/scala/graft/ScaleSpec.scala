@@ -350,4 +350,31 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
       === rows(Multimodal.frameAlignSpansPerceptual(spark, media, frameBytes = 64,
         minRun = 2, maxHamming = 3, idCol = "id")))
   }
+
+  test("exact KS gate: no single-partition window anywhere in the plan") {
+    import graft.operators.Validate
+    // the whole point of Scan.cumSums is that the data-sized CDF never
+    // funnels through Window.orderBy-with-no-partition; a regression would
+    // reintroduce exactly that operator, so assert its absence
+    val prev = spark.range(0, 2000).select((col("id") % 97).cast("double").as("v"))
+    val next = spark.range(0, 2000).select((col("id") % 89).cast("double").as("v"))
+    val gate = Validate.ksGate(prev, next, "v", threshold = 0.1, scanParts = 8)
+    val plan = gate.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"exact KS must not plan a window:\n${plan.take(2000)}")
+    assert(gate.head.getLong(1) === 2000L)
+  }
+
+  test("crossCorpusOverlap: candidate pairs come from SA neighbors — no cartesian") {
+    import graft.operators.SuffixRank
+    val train = (0L until 6L).map(i => (i, s"shared_fragment_$i common_tail piece")).toDF("doc_id", "t")
+    val test = (0L until 3L).map(i => (i, s"probe_$i common_tail piece")).toDF("doc_id", "t")
+    val df = SuffixRank.crossCorpusOverlap(spark, train, test, "doc_id", "t", minLen = 5, scanParts = 4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cross-corpus probe must never fall back to all-pairs:\n${plan.take(2000)}")
+    // and the planted common tail is found from every test doc (several
+    // positions inside the span qualify; the claim is per-doc coverage)
+    assert(df.filter(col("lcp") >= lit(" common_tail piece".length))
+      .select("doc_id").distinct().count() === 3L)
+  }
 }
