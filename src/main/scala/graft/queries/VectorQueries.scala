@@ -307,9 +307,16 @@ object VectorQueries {
   }
   private val cfCte: String =
     s"cf AS (SELECT vec_id, list_transform(generate_series(0, 63), d -> $cvBody) AS v FROM embeddings)"
+  // cache-lifetime: the OPQ/IVF audit chains (q177/q178/q186) read this
+  // corpus from ~10 sequential training/probe/ground-truth consumers, and
+  // the 64-expression hash synthesis is the single hottest subtree of both
+  // audits (measured: q178 15.7 s / q186 18.1 s regenerating per consumer).
+  // One cached copy is ~1 MB at sf0.1; the bench's per-query clearCache
+  // bounds the lifetime.
   private[graft] def clusteredDf(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.embeddings(s, dir).select(col("vec_id"),
       expr(s"transform(sequence(0, 63), d -> $cvBody)").as("cvec"))
+      .cache()
 
   /** Lloyd-trained coarse centroids + cell assignment, mirroring
     * [[AnnIndex.kmeansCentroids]](k=32, iters=1) exactly: init = the 32
@@ -1321,7 +1328,7 @@ object VectorQueries {
         val rawCb = AnnIndex.pqTrainCodebooks(cf, "vec_id", "cvec",
           m = PqM, ksub = PqKsub, dim = 64, iters = 1)
         val residCorpus = AnnIndex.pqResidualCorpus(cf, "vec_id", "cvec",
-          nlist = 32, coarseCentroids = Some(cents))
+          nlist = 32, coarseCentroids = Some(cents)).cache() // 4 consumers
         val resCb = AnnIndex.pqTrainCodebooks(residCorpus, "vec_id", "__resid",
           m = PqM, ksub = PqKsub, dim = 64, iters = 1)
         val rot = graft.operators.Opq.fixtureRotation
@@ -1432,7 +1439,7 @@ object VectorQueries {
         val queries = cf.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("cvec").as("q_vec"))
         val residCorpus = AnnIndex.pqResidualCorpus(cf, "vec_id", "cvec",
-          nlist = 32, coarseCentroids = Some(cents))
+          nlist = 32, coarseCentroids = Some(cents)).cache() // both chains rotate it
         def chain(rot: Array[Array[Double]], hit: String) = {
           val rotCorpus = residCorpus.select(col("vec_id"),
             matVec(col("__resid"), rot).as("__resid"))

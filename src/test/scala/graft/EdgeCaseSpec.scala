@@ -143,4 +143,35 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestSession {
       k = 1, m = 2, ksub = 1, dim = 4, nlist = 1, nprobe = 1, excludeSelf = false)
     assert(res.count() === 1)
   }
+
+  test("round-11 operators: degenerate inputs for the KS/contamination family") {
+    import graft.operators.{Scan, SuffixRank, Validate}
+    // KS gate: empty-vs-empty must not crash; identical sides read 0; a
+    // side that is entirely NULL/NaN contributes nothing
+    val noVals = Seq.empty[Double].toDF("v")
+    val vals = Seq(1.0, 2.0, 3.0).toDF("v")
+    assert(Validate.ksGate(noVals, noVals, "v", threshold = 0.1).count() === 1)
+    val withJunk = Seq(Some(1.0), Some(2.0), Some(3.0), None, Some(Double.NaN))
+      .toDF("v")
+    val r = Validate.ksGate(vals, withJunk, "v", threshold = 0.1).head
+    assert(r.getDouble(0) === 0.0 && r.getLong(2) === 3L) // junk rows dropped
+    // grouped KS: a group present on one side only is excluded, not a NaN
+    val gPrev = Seq((1L, 1.0), (1L, 2.0), (2L, 5.0)).toDF("g", "v")
+    val gNext = Seq((1L, 1.0), (1L, 2.0)).toDF("g", "v")
+    val gr = Validate.groupedKsGate(gPrev, gNext, "g", "v", 0.0, 10.0, 4, 0.1)
+      .collect()
+    assert(gr.map(_.getLong(0)).toSet === Set(1L))
+    assert(gr.head.getDouble(1) === 0.0)
+    // prefix scans: empty input
+    assert(Scan.runningLast(Seq.empty[(Long, Option[Long])].toDF("k", "p"),
+      Seq("k"), "p", parts = 3).count() === 0)
+    // cross-corpus overlap: disjoint alphabets -> no spans; empty test side
+    val train = Seq((1L, "aaaa bbbb")).toDF("doc_id", "t")
+    val test = Seq((1L, "cccc dddd")).toDF("doc_id", "t")
+    assert(SuffixRank.crossCorpusOverlap(spark, train, test, "doc_id", "t", 2).count() === 0)
+    assert(SuffixRank.contaminationMask(spark, train, test, "doc_id", "t", 2).count() === 0)
+    // rate report still covers the clean doc with zero mass
+    val rate = SuffixRank.contaminationRate(spark, train, test, "doc_id", "t", 2, 0.5).head
+    assert(rate.getLong(2) === 0L && rate.getLong(5) === 0L) // masked_chars, drop_doc
+  }
 }
