@@ -428,4 +428,71 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     assert(hi(1L) > lo(1L))
     assert(hi(2L) < lo(2L))
   }
+
+  test("property: longestDupPrefix equals brute force on random {a,b} corpora") {
+    import graft.operators.SuffixRank
+    // tiny alphabet → constant collisions at every length; random lengths
+    // exercise the shorter-sorts-first sentinel and the doubling boundary
+    val docGen = Gen.chooseNum(1, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+    val texts = sample(docGen, 6, 71L)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "t")
+    def lcp(a: String, b: String): Long =
+      a.zip(b).takeWhile { case (x, y) => x == y }.length.toLong
+    val want = (for {
+      (ta, da) <- texts.zipWithIndex; pa <- 0 until ta.length
+    } yield {
+      val best = (for {
+        (tb, db) <- texts.zipWithIndex; pb <- 0 until tb.length
+        if (da, pa) != (db, pb)
+      } yield lcp(ta.substring(pa), tb.substring(pb))).max
+      (da.toLong, pa.toLong) -> best
+    }).filter(_._2 >= 2).toMap
+    val got = SuffixRank.longestDupPrefix(spark, docs, "doc_id", "t", minLen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+    assert(want.nonEmpty) // the generator really produced repeats
+  }
+
+  test("property: crossCorpusOverlap equals cross-side brute force on random corpora") {
+    import graft.operators.SuffixRank
+    val docGen = Gen.chooseNum(1, 18).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+    val trainT = sample(docGen, 4, 83L)
+    val testT = sample(docGen, 3, 89L)
+    val train = trainT.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "t")
+    val test = testT.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "t")
+    def lcp(a: String, b: String): Long =
+      a.zip(b).takeWhile { case (x, y) => x == y }.length.toLong
+    val want = (for {
+      (ta, da) <- testT.zipWithIndex; pa <- 0 until ta.length
+    } yield {
+      val best = (for { tb <- trainT; pb <- 0 until tb.length }
+        yield lcp(ta.substring(pa), tb.substring(pb))).max
+      (da.toLong, pa.toLong) -> best
+    }).filter(_._2 >= 2).toMap
+    val got = SuffixRank.crossCorpusOverlap(spark, train, test, "doc_id", "t", minLen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
+  test("property: nfc is idempotent and preserves canonical equivalence classes") {
+    import graft.functions.TextFunctions.nfc
+    import java.text.Normalizer
+    // strings mixing ASCII, precomposed accents, and combining marks
+    val strGen = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString), 2 -> Gen.const(" "),
+      2 -> Gen.oneOf("\u00e9", "e\u0301", "\u00c5", "A\u030a", "\u00f1", "n\u0303"),
+      1 -> Gen.oneOf("\u4e2d", "\ud83e\udd80", "\u0301") // lone combining mark edge
+    )).map(_.mkString)
+    val texts = sample(strGen, 200, 97L) :+ "" :+ "\u0301"
+    val df = texts.toDF("raw")
+    val got = df.select(nfc($"raw").as("n1"), nfc(nfc($"raw")).as("n2"), $"raw").collect()
+    got.foreach { r =>
+      val (n1, n2, raw) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(n1 === Normalizer.normalize(raw, Normalizer.Form.NFC)) // matches the JDK reference
+      assert(n2 === n1)                                             // idempotent
+    }
+  }
 }
