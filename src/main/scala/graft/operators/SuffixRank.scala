@@ -229,12 +229,10 @@ object SuffixRank {
     val docs = df.select(col(idCol).cast("long").as("doc"), col(textCol).as("t"))
     val tables = rankTables(df, idCol, textCol)
     val lens = docs.select(col("doc"), length(col("t")).cast("long").as("len"))
-    // cache-lifetime: see Caching — the SA and LCP arrays back the min-table
-    // build, the extent walks, and the member join below. localCheckpoint
-    // (not cache) because the construction COMPOSES ~4·log n joins on top of
-    // these: without lineage truncation the logical plan tree grows
-    // multiplicatively per level (the PageRank lesson, Graph.scala) and
-    // Catalyst chokes on the composed tree long before any data moves.
+    // the SA and LCP arrays back the min-table build, the extent walks, and
+    // the member join below — the construction COMPOSES ~4·log n joins on
+    // top of them, so both need the full lineage cut (tree truncation AND
+    // measured stats; see cutLineage for why each half matters).
     val sa = cutLineage(suffixArray(spark, tables.last._2))
     val lcp = cutLineage(adjacentLcp(sa, tables, lens)
       .select(col("sa").as("i"), col("lcp")))
