@@ -533,8 +533,11 @@ object RelationalQueries {
           li, "l_extendedprice", lo, hi, bins, qs)
         import s.implicits._
         val vals = li.groupBy(col("l_extendedprice").as("v")).agg(count(lit(1)).as("vn"))
-        val cum = vals.withColumn("cum", sum("vn").over(Window.orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, 0)))
+        // exact ground truth over the DISTINCT-VALUE relation — data-sized,
+        // so the running count comes from the two-pass range-partitioned
+        // prefix scan, not a single-partition window (the ksGate rule)
+        val cum = graft.operators.Scan.cumSums(vals, Seq("v"), Seq("vn"), parts = 32)
+          .withColumnRenamed("cum_vn", "cum")
         val total = vals.agg(sum("vn").as("total"))
         val exact = qs.toDF("q").crossJoin(broadcast(total))
           .withColumn("target", ceil(col("q") * col("total")).cast("long"))
