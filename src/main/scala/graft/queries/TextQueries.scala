@@ -141,6 +141,13 @@ object TextQueries {
     * the capped corpus (train = doc_id < 8, test = 8..11, first 128 chars).
     * Ends at `best` (doc_id, pos, lcp) — UNFILTERED; each query applies its
     * own minLen cut.
+    *
+    * `nullif(list_position(...), 0)` is load-bearing: when a match runs
+    * clean to the length cap the compare list contains NO false, and
+    * DuckDB's list_position returns 0 (not NULL) for not-found — without
+    * the nullif the coalesce never fires and the lcp reads −1 instead of
+    * the full length. sf0.01 never produces a full-to-boundary match, so
+    * only the sf0.1 sweep caught it (q183 14 vs 12 rows).
     */
   private val crossCorpusCtes: String =
     """d AS (
@@ -153,10 +160,10 @@ object TextQueries {
       |  FROM p a JOIN p b ON a.doc_id >= 8 AND b.doc_id < 8),
       |l AS (
       |  SELECT da, pa,
-      |    coalesce(list_position(list_transform(
+      |    coalesce(nullif(list_position(list_transform(
       |        generate_series(1, least(length(ta) - pa, length(tb) - pb)),
       |        i -> substr(ta, CAST(pa + i AS INTEGER), 1) = substr(tb, CAST(pb + i AS INTEGER), 1)),
-      |      false) - 1,
+      |      false), 0) - 1,
       |      least(length(ta) - pa, length(tb) - pb)) AS lcp
       |  FROM pr),
       |best AS (
@@ -1772,10 +1779,10 @@ object TextQueries {
              |  FROM p a JOIN p b ON NOT (a.doc_id = b.doc_id AND a.pos = b.pos)),
              |l AS (
              |  SELECT da, pa,
-             |    coalesce(list_position(list_transform(
+             |    coalesce(nullif(list_position(list_transform(
              |        generate_series(1, least(length(ta) - pa, length(tb) - pb)),
              |        i -> substr(ta, CAST(pa + i AS INTEGER), 1) = substr(tb, CAST(pb + i AS INTEGER), 1)),
-             |      false) - 1,
+             |      false), 0) - 1,
              |      least(length(ta) - pa, length(tb) - pb)) AS lcp
              |  FROM pr),
              |best AS (
