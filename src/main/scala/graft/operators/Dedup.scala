@@ -220,6 +220,49 @@ object Dedup {
       .join(sig.select(col(idCol).as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
   }
 
+  /** CROSS-CORPUS near-duplicate contamination: test documents whose
+    * shingle-set Jaccard against ANY train document clears `threshold` —
+    * the near-dup leg of the decontamination matrix. The verbatim legs
+    * (fixed-n Bloom, unbounded suffix spans) miss contamination that was
+    * lightly EDITED on the way into the training set; resemblance over
+    * shingle sets (Broder 1997) is the standard detector for that class.
+    *
+    * Same banded-MinHash shape as [[minhashLshPairs]], with the candidate
+    * join ACROSS sides (test band keys probe train band keys) instead of
+    * the symmetric id < id self-join — so at 100 TB the train side is a
+    * precomputed band-key index and each test batch costs its own bands
+    * only, never a train rescan. Returns (test_id, train_id, jac).
+    */
+  def crossCorpusNearDupPairs(train: DataFrame, test: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleSize: Int, numHashes: Int, bands: Int,
+                              threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    def side(df: DataFrame) = withShinglesPoly(df, idCol, textCol, shingleSize)
+      .withColumn("sig", minhashSignaturePoly(col("hs"), numHashes))
+      .cache() // band branch + verify branch below
+    val tr = side(train)
+    val te = side(test)
+    def bandsOf(s: DataFrame, out: String) = s
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("band_key", bandKey(col("sig"), col("band"), rows))
+      .select(col(idCol).as(out), col("band"), col("band_key"))
+    // slim (id, band, key) rows through the candidate shuffle; shingle-hash
+    // arrays attach only after per-pair dedup (the minhashLshPairs rule)
+    val cand = bandsOf(te, "test_id")
+      .join(bandsOf(tr, "train_id"), Seq("band", "band_key"))
+      .select("test_id", "train_id")
+      .dropDuplicates("test_id", "train_id")
+    cand
+      .join(te.select(col(idCol).as("test_id"), col("hs").as("hs_a")), Seq("test_id"))
+      .join(tr.select(col(idCol).as("train_id"), col("hs").as("hs_b")), Seq("train_id"))
+      .withColumn("jac", floorRound(jaccardSorted(col("hs_a"), col("hs_b")), 4))
+      .filter(col("jac") >= threshold)
+      .select("test_id", "train_id", "jac")
+      .orderBy("test_id", "train_id")
+  }
+
   /** Containment near-dup pairs: |A∩B| / min(|A|, |B|) >= threshold over the
     * banded-MinHash candidates — the ASYMMETRIC variant that catches a short
     * document embedded in a long one, where symmetric Jaccard stays low

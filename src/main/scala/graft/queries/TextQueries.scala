@@ -1914,6 +1914,35 @@ object TextQueries {
              |FROM alldocs a LEFT JOIN mk ON mk.doc_id = a.doc_id
              |ORDER BY a.doc_id""".stripMargin)),
 
+    // The NEAR-DUP leg of the decontamination matrix: test docs (doc_id %
+    // 5 = 0) whose shingle-Jaccard against ANY train doc clears the q22b
+    // threshold — catches contamination that was lightly EDITED on the way
+    // into the corpus, which the verbatim legs (fixed-n Bloom q101,
+    // unbounded suffix spans q189) structurally miss. Same banded-MinHash
+    // pipeline as q22b with the candidate join ACROSS sides; signatures
+    // are per-doc, so the oracle reuses the q22b CTE prefix verbatim and
+    // only the candidate join changes.
+    "q194_cross_corpus_neardup" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.operators.Dedup.crossCorpusNearDupPairs(
+          d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16,
+          threshold = JaccardThreshold)
+      },
+      Some(s"""$minhashBkCtes,
+             |cand AS (
+             |  SELECT x.doc_id AS test_id, y.doc_id AS train_id
+             |  FROM bk x JOIN bk y ON x.band = y.band AND x.band_key = y.band_key
+             |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT test_id, train_id, ${frs(jacExpr, 4)} AS jac
+             |  FROM cand JOIN sh sa ON cand.test_id = sa.doc_id
+             |            JOIN sh sb ON cand.train_id = sb.doc_id)
+             |SELECT test_id, train_id, jac FROM pairs
+             |WHERE jac >= $JaccardThreshold ORDER BY 1, 2""".stripMargin)),
+
     "q149_exact_substr_spans" -> Q(
       (s, dir) => Dedup.exactSubstrSpans(
         Tables.documents(s, dir).filter(col("doc_id") < ExactPairSample),

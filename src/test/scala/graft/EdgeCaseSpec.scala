@@ -173,5 +173,18 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestSession {
     // rate report still covers the clean doc with zero mass
     val rate = SuffixRank.contaminationRate(spark, train, test, "doc_id", "t", 2, 0.5).head
     assert(rate.getLong(2) === 0L && rate.getLong(5) === 0L) // masked_chars, drop_doc
+    // cross-corpus near-dup: empty sides, and a verbatim copy across sides
+    // is found while an unrelated doc is not
+    import graft.operators.Dedup
+    val trDocs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val teDocs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "completely different words entirely here now ok yes")).toDF("doc_id", "text")
+    val cross = Dedup.crossCorpusNearDupPairs(trDocs, teDocs, "doc_id", "text", 3, 32, 16, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cross.toSeq === Seq((1L, 1L)))
+    assert(Dedup.crossCorpusNearDupPairs(emptyDocs, teDocs, "doc_id", "text", 3, 32, 16, 0.5)
+      .count() === 0)
+    assert(Dedup.crossCorpusNearDupPairs(trDocs, emptyDocs, "doc_id", "text", 3, 32, 16, 0.5)
+      .count() === 0)
   }
 }
