@@ -349,14 +349,57 @@ object AnnIndex {
       .select(col(qIdCol),
         slice(sort_array(cellScores(asDouble(col(qVecCol)))), 1, nprobe).as("__probes"),
         dtabCol(asDouble(col(qVecCol))).as("__dtab"))
-      .withColumn("__probe", explode(col("__probes")))
-      .withColumn("__cell", col("__probe.i"))
-      .drop("__probes", "__probe")
+      // posexplode, not explode: the probe's 0-based position is the cell's
+      // rank in the query's probe order — `__probe_rn` = pos + 1, the knob
+      // the nprobe frontier sweep (q197) slices on
+      .select(col(qIdCol), col("__dtab"), posexplode(col("__probes")))
+      .withColumn("__cell", col("col.i"))
+      .withColumn("__probe_rn", (col("pos") + 1).cast("long"))
+      .drop("pos", "col")
     // ADC scan: m lookups + adds per candidate — no vector arithmetic
     val adist = (0 until m)
       .map(j => element_at(col("__dtab"), col("__codes").getItem(j) + lit(j * ksub + 1)))
       .reduce(_ + _)
     (enc, qbOf, adist)
+  }
+
+  /** ALL scored IVF-PQ candidates within the `nprobe` nearest cells, each
+    * tagged with its probing cell's rank in the query's probe order — the
+    * single relation every operating point of a recall-vs-cost sweep
+    * (q197) slices: the nprobe = p point is `probe_rn <= p`, so the sweep
+    * re-ranks one cached slim table instead of re-scanning the index per
+    * point. Returns (qIdCol, cIdCol, score, probe_rn).
+    */
+  def pqCandidates(queries: DataFrame, qIdCol: String, qVecCol: String,
+                   corpus: DataFrame, cIdCol: String, cVecCol: String,
+                   m: Int, ksub: Int, dim: Int, nlist: Int, nprobe: Int,
+                   roundTo: Int = 6, excludeSelf: Boolean = true,
+                   codebooks: Option[Array[Array[Seq[Double]]]] = None,
+                   coarseCentroids: Option[Array[Seq[Double]]] = None): DataFrame = {
+    val (enc, qbOf, adist) =
+      pqParts(corpus, cIdCol, cVecCol, m, ksub, dim, nlist, nprobe, codebooks,
+        coarseCentroids)
+    enc.join(broadcast(qbOf(queries, qIdCol, qVecCol)), Seq("__cell"))
+      .filter(lit(!excludeSelf) || col(qIdCol) =!= col(cIdCol))
+      .withColumn("score", floorRound(adist, roundTo))
+      .select(col(qIdCol), col(cIdCol), col("score"), col("__probe_rn").as("probe_rn"))
+  }
+
+  /** [[pqCandidates]] for the residual (optionally OPQ-rotated) chain. */
+  def pqResidualCandidates(queries: DataFrame, qIdCol: String, qVecCol: String,
+                           corpus: DataFrame, cIdCol: String, cVecCol: String,
+                           m: Int, ksub: Int, dim: Int, nlist: Int, nprobe: Int,
+                           roundTo: Int = 6, excludeSelf: Boolean = true,
+                           codebooks: Option[Array[Array[Seq[Double]]]] = None,
+                           coarseCentroids: Option[Array[Seq[Double]]] = None,
+                           rotation: Option[Array[Array[Double]]] = None): DataFrame = {
+    val (enc, qbOf, adist) =
+      pqResidualParts(corpus, cIdCol, cVecCol, m, ksub, dim, nlist, nprobe,
+        codebooks, coarseCentroids, rotation)
+    enc.join(broadcast(qbOf(queries, qIdCol, qVecCol)), Seq("__cell"))
+      .filter(lit(!excludeSelf) || col(qIdCol) =!= col(cIdCol))
+      .withColumn("score", floorRound(adist, roundTo))
+      .select(col(qIdCol), col(cIdCol), col("score"), col("__probe_rn").as("probe_rn"))
   }
 
   /** RESIDUAL IVF-PQ (Jégou/Douze/Schmid, TPAMI 2011 §III — the IVFADC the
@@ -478,10 +521,12 @@ object AnnIndex {
       .select(col(qIdCol),
         slice(sort_array(cellScores(asDouble(col(qVecCol)))), 1, nprobe).as("__probes"),
         asDouble(col(qVecCol)).as("__qv"))
-      .withColumn("__probe", explode(col("__probes")))
-      .withColumn("__cell", col("__probe.i"))
+      // posexplode for the probe-rank column — see pqParts.qbOf
+      .select(col(qIdCol), col("__qv"), posexplode(col("__probes")))
+      .withColumn("__cell", col("col.i"))
+      .withColumn("__probe_rn", (col("pos") + 1).cast("long"))
       .withColumn("__dtab", dtabCol(resid(col("__qv"), col("__cell"))))
-      .drop("__probes", "__probe", "__qv")
+      .drop("pos", "col", "__qv")
     val adist = (0 until m)
       .map(j => element_at(col("__dtab"), col("__codes").getItem(j) + lit(j * ksub + 1)))
       .reduce(_ + _)

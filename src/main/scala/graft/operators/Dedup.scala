@@ -232,6 +232,13 @@ object Dedup {
     * the symmetric id < id self-join — so at 100 TB the train side is a
     * precomputed band-key index and each test batch costs its own bands
     * only, never a train rescan. Returns (test_id, train_id, jac).
+    *
+    * CACHE CONTRACT: both signature frames are `cache()`d (the band branch
+    * and the verify branch each read them) with no unpersist handle —
+    * a long-lived session calling this repeatedly must
+    * `spark.catalog.clearCache()` between calls (the Verify/Bench mains
+    * already do, per-query), or the cached signatures accumulate in
+    * executor storage.
     */
   def crossCorpusNearDupPairs(train: DataFrame, test: DataFrame,
                               idCol: String, textCol: String,
@@ -768,6 +775,72 @@ object Dedup {
         explode(transform(positions,
           i => struct(i.as("pos"), col(textCol).substr(i, lit(minLen)).as("win")))).as("pw"))
       .select(col(idCol), col("pw.pos").as("pos"), col("pw.win").as("win"))
+  }
+
+  /** SemDeDup with the PAPER'S keep rule (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication",
+    * 2023, arXiv:2303.09540): cluster the corpus into k cells, compare
+    * pairs only WITHIN a cell, and for every pair above the cosine
+    * threshold keep the member with the LOWER similarity to its cell
+    * centroid (§2's diversity-preserving rule; ties break to the lower
+    * id). Complements [[AnnIndex.semanticDedup]] (q83), which runs the
+    * simpler keep-FIRST policy over untrained lowest-id cells and returns
+    * only the survivors; this variant runs over TRAINED centroids
+    * ([[AnnIndex.kmeansCentroids]]) and reports the full verdict table.
+    *
+    * Clustering is the tractability device, exactly as published: the
+    * pairwise term is Σ|cell|², bounded by n²/k for balanced cells — k is
+    * the knob that keeps a 100 TB corpus's comparisons feasible, and the
+    * cell self-join is a plain equi-join on `cell` (no all-pairs shuffle;
+    * vectors travel only into their own cell's bucket). Cell assignment
+    * uses the same argmin(c² − 2·q·c, tie → lower index) convention as
+    * [[AnnIndex.ivfTopK]], so centroids trained by
+    * [[AnnIndex.kmeansCentroids]] slot in directly.
+    *
+    * Returns one row per input: (vec_id, cell, cent_sim, is_dup) — is_dup=1
+    * marks members a semantic-dedup pass would DROP. Similarities are
+    * floor-rounded to `roundTo` BEFORE the threshold/keep comparisons, so
+    * the decision boundary is oracle-reproducible.
+    */
+  def semDeDup(df: DataFrame, idCol: String, vecCol: String,
+               centroids: Seq[Seq[Double]], tau: Double,
+               roundTo: Int = 6): DataFrame = {
+    import graft.functions.VectorFunctions.{asDouble, cosineFromNormSq, cosineFused, dotFused, l2NormSq}
+    def centLit(c: Seq[Double]): Column = array(c.map(lit): _*)
+    val centsArr = array(centroids.map(centLit): _*)
+    def cellScores(vec: Column): Column = array(centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dotFused(vec, centLit(c))).as("d"), lit(i).as("i"))
+    }: _*)
+    // norms once per ROW, not per pair (cosineFromNormSq is bit-identical
+    // to cosineFused, so the saving never moves a decision boundary)
+    val assigned = df
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("cell", array_min(cellScores(col("v"))).getField("i").cast("long"))
+      .withColumn("nsq", l2NormSq(col("v")))
+      .withColumn("cent_sim", floorRound(
+        cosineFused(col("v"), element_at(centsArr, (col("cell") + 1).cast("int"))), roundTo))
+      .cache() // cache-lifetime: both pair sides + the final left join read
+               // the k-way argmin assignment; see Caching
+    val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"),
+      col("nsq").as("nsq_a"), col("cent_sim").as("cs_a"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"),
+      col("nsq").as("nsq_b"), col("cent_sim").as("cs_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("sim", floorRound(cosineFromNormSq(col("v_a"), col("v_b"),
+        col("nsq_a"), col("nsq_b")), roundTo))
+      .filter(col("sim") >= tau)
+      // the paper's keep rule: x drops when a τ-similar y is KEPT over it —
+      // y sits FARTHER from the centroid (lower cent_sim), ties to lower id
+      .filter(col("cs_b") < col("cs_a") ||
+        (col("cs_b") === col("cs_a") && col("id_b") < col("id_a")))
+      .select(col("id_a").as("id")).distinct()
+    assigned
+      .join(dropped.withColumn("__dup", lit(1L)), Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("cell"), col("cent_sim"),
+        coalesce(col("__dup"), lit(0L)).as("is_dup"))
+      .orderBy("vec_id")
   }
 
   /** Interval union of [pos, pos+minLen) windows per id — maximal covered

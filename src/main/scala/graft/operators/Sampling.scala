@@ -122,6 +122,61 @@ object Sampling {
       .withColumn("priority", graft.functions.MathFunctions.floorRound(priority, roundTo))
   }
 
+  /** TEMPERATURE-weighted source mixing (r11 verdict task 7) — the one
+    * curation knob a pretraining pipeline tunes that sampling-by-rate
+    * doesn't express: per-source inclusion mass p_s ∝ n_s^α, α ∈ (0, 1] —
+    * α = 1 is natural/proportional mixing, α → 0 flattens toward uniform
+    * (the multilingual sampling temperature of Arivazhagan et al.,
+    * "Massively multilingual neural machine translation in the wild",
+    * 2019 §5; the same exponent family as GPT-3-style dataset weights).
+    * Given per-source sizes and a TOTAL document budget, allocates exact
+    * integer quotas by LARGEST REMAINDER (Hamilton's method): floor the
+    * ideal shares, then hand the leftover units to the largest fractional
+    * parts (ties to source order) — quotas sum to the budget EXACTLY, by
+    * construction.
+    *
+    * Cross-engine determinism: weights are integerized up front
+    * (⌊n^α · 10⁶⌋ — with α = 0.5 the power is `sqrt`, IEEE-correctly-
+    * rounded in every engine), so the weight total is an exact integer sum
+    * (order-free), the ideal share is one double division of exact
+    * integers, and the floor/fraction ranking can never disagree between
+    * engines. Precondition: budget · max(w_scaled) < 2⁵³ (holds through
+    * petabyte-scale source counts at any sane budget). The ranking window
+    * is global but PARAMETER-sized — sources are a config-scale list, the
+    * legitimate single-partition window case (see [[Scan]] for when it is
+    * not).
+    *
+    * Input: one row per source with its document count. Output: (source,
+    * n, quota), quota summing to `budget`.
+    */
+  def temperatureMix(counts: DataFrame, sourceCol: String, nCol: String,
+                     alpha: Double, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val nD = col("n").cast("double")
+    val wRaw = if (alpha == 0.5) sqrt(nD) else pow(nD, lit(alpha))
+    val scaled = counts
+      .select(col(sourceCol).as("source"), col(nCol).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("w", floor(wRaw * lit(1000000.0)).cast("long"))
+    val tot = scaled.agg(sum("w").as("tw"))
+    val based = scaled.crossJoin(broadcast(tot))
+      .withColumn("ideal",
+        (lit(budget) * col("w")).cast("double") / col("tw").cast("double"))
+      .withColumn("base", floor(col("ideal")).cast("long"))
+      .withColumn("frac", col("ideal") - floor(col("ideal")))
+    val deficit = based.agg((lit(budget) - sum("base")).as("deficit"))
+    based
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("frac"), col("source"))))
+      .crossJoin(broadcast(deficit))
+      .select(col("source"), col("n"),
+        (col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+          .as("quota"))
+      .orderBy("source")
+  }
+
   /** Split-distribution drift audit: total-variation distance between the
     * unigram token distributions of each pair of [[assignSplit]] splits —
     * the check that a hash split didn't land train and test on measurably

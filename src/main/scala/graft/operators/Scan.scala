@@ -48,10 +48,31 @@ object Scan {
       .repartitionByRange(parts, orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
       .cache()
+    // fail with a clear message, not an executor-side NPE mid-scan: the
+    // per-row getLong below has no null path (runningLast, which DOES
+    // accept nulls, is the primitive for nullable payloads). The type check
+    // is driver-side; nulls can only be caught per-row (Spark marks agg
+    // outputs nullable even when the data never is, so a schema-nullability
+    // require would reject every groupBy-sum caller).
+    valueCols.foreach { v =>
+      require(df.schema(v).dataType == LongType,
+        s"Scan.cumSums value column '$v' must be LongType, got ${df.schema(v).dataType}")
+    }
     val vIdx = valueCols.map(sorted.schema.fieldIndex).toArray
+    val vNames = valueCols.toArray
+    def checkNull(r: Row): Unit = {
+      var j = 0
+      while (j < vIdx.length) {
+        if (r.isNullAt(vIdx(j))) throw new IllegalArgumentException(
+          s"Scan.cumSums value column '${vNames(j)}' contains a null — " +
+            "coalesce nulls to 0 (or a domain sentinel) before scanning")
+        j += 1
+      }
+    }
     val partials = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
       val acc = new Array[Long](vIdx.length)
       it.foreach { r =>
+        checkNull(r)
         var j = 0
         while (j < vIdx.length) { acc(j) += r.getLong(vIdx(j)); j += 1 }
       }

@@ -44,16 +44,31 @@ object SuffixRank {
   /** Per-round dense re-rank: distinct (r, r2) keys → range-sorted →
     * zipWithIndex (two slim jobs) → joined back. Ranks are dense longs,
     * order-preserving over the pair keys.
+    *
+    * SKEW: the DISTINCT is safe on degenerate corpora (map-side partial
+    * aggregation collapses repeats before the shuffle), but the join back
+    * hashes every position with the same (r, r2) to ONE reducer — an
+    * all-same-character corpus funnels the whole round through a single
+    * task. `salt > 1` splits that hot key: the big (position) side salts by
+    * a position hash, the one-row-per-key index side explodes ×salt — the
+    * classic replicate-the-small-side salted join, row-identical by
+    * construction (each position still meets exactly its own key's index
+    * row; ScaleSpec asserts it, SkewProbe measures the task spread).
     */
-  private def denseRank(keyed: DataFrame): DataFrame = {
+  private def denseRank(keyed: DataFrame, salt: Int): DataFrame = {
     val spark = keyed.sparkSession
     import spark.implicits._
     val indexed = keyed.select("r", "r2").distinct().orderBy("r", "r2")
       .rdd.zipWithIndex()
       .map { case (row, i) => (row.getLong(0), row.getLong(1), i) }
       .toDF("r", "r2", "nr")
-    keyed.join(indexed, Seq("r", "r2"))
-      .select(col("doc"), col("pos"), col("nr").as("r"))
+    val joined =
+      if (salt <= 1) keyed.join(indexed, Seq("r", "r2"))
+      else keyed
+        .withColumn("__salt", pmod(hash(col("doc"), col("pos")), lit(salt)))
+        .join(indexed.withColumn("__salt",
+          explode(sequence(lit(0), lit(salt - 1)))), Seq("r", "r2", "__salt"))
+    joined.select(col("doc"), col("pos"), col("nr").as("r"))
   }
 
   /** Lineage cut with HONEST statistics: eager localCheckpoint (truncates
@@ -86,8 +101,12 @@ object SuffixRank {
     * (k, ranks(doc, pos, r)) in ascending k. Each table is lineage-cut
     * ([[cutLineage]]); each was going to be materialized by the next
     * round's zipWithIndex anyway, so the eager cut costs no extra pass.
+    * `saltRank > 1` salts each round's re-rank join against hot-key skew
+    * (massively repeated prefixes — see [[denseRank]]); the default 1 is
+    * right for natural corpora, where (r, r2) keys spread.
     */
-  def rankTables(df: DataFrame, idCol: String, textCol: String): Seq[(Int, DataFrame)] = {
+  def rankTables(df: DataFrame, idCol: String, textCol: String,
+                 saltRank: Int = 1): Seq[(Int, DataFrame)] = {
     val docs = df.select(col(idCol).cast("long").as("doc"), col(textCol).as("t"))
     val maxLen = docs.agg(coalesce(max(length(col("t"))), lit(0))).head.getInt(0)
     require(maxLen > 0, "corpus is empty")
@@ -103,7 +122,7 @@ object SuffixRank {
       val shifted = cur.select(col("doc"), (col("pos") - k).as("pos"), col("r").as("r2"))
       val keyed = cur.join(shifted, Seq("doc", "pos"), "left")
         .select(col("doc"), col("pos"), col("r"), coalesce(col("r2"), lit(-1L)).as("r2"))
-      val next = cutLineage(denseRank(keyed))
+      val next = cutLineage(denseRank(keyed, saltRank))
       k *= 2
       tables ::= (k -> next)
     }
@@ -171,9 +190,10 @@ object SuffixRank {
     * prefix is ≥ `minLen` — unbounded length, exact. 0-based positions.
     */
   def longestDupPrefix(spark: SparkSession, df: DataFrame, idCol: String,
-                       textCol: String, minLen: Int): DataFrame = {
+                       textCol: String, minLen: Int,
+                       saltRank: Int = 1): DataFrame = {
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
-    val tables = rankTables(df, idCol, textCol)
+    val tables = rankTables(df, idCol, textCol, saltRank)
     val lens = df.select(col(idCol).cast("long").as("doc"),
       length(col(textCol)).cast("long").as("len"))
     val pairs = adjacentLcp(suffixArray(spark, tables.last._2), tables, lens)
@@ -326,10 +346,19 @@ object SuffixRank {
     */
   def contaminationMask(spark: SparkSession, train: DataFrame, test: DataFrame,
                         idCol: String, textCol: String, minLen: Int,
-                        scanParts: Int = 32): DataFrame = {
+                        scanParts: Int = 32): DataFrame =
+    maskSpansFromHits(
+      crossCorpusOverlap(spark, train, test, idCol, textCol, minLen, scanParts))
+
+  /** The island walk of [[contaminationMask]] decoupled from the build:
+    * `hits` is a (doc_id, pos, lcp) overlap table — either freshly computed
+    * by [[crossCorpusOverlap]] or loaded from a materialized artifact
+    * ([[graft.pipeline.ArtifactStore]]), which is how a standing pipeline
+    * runs every finish over ONE suffix-index build instead of three.
+    */
+  def maskSpansFromHits(hits0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hits = crossCorpusOverlap(spark, train, test, idCol, textCol, minLen, scanParts)
-      .withColumn("end", col("pos") + col("lcp"))
+    val hits = hits0.withColumn("end", col("pos") + col("lcp"))
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val prevEnd = byDoc.rowsBetween(Window.unboundedPreceding, -1)
     hits
@@ -352,9 +381,20 @@ object SuffixRank {
   def contaminationRate(spark: SparkSession, train: DataFrame, test: DataFrame,
                         idCol: String, textCol: String, minLen: Int,
                         maxFrac: Double, roundTo: Int = 4,
-                        scanParts: Int = 32): DataFrame = {
+                        scanParts: Int = 32): DataFrame =
+    rateFromHits(
+      crossCorpusOverlap(spark, train, test, idCol, textCol, minLen, scanParts),
+      test, idCol, textCol, maxFrac, roundTo)
+
+  /** The rate report decoupled from the build (see [[maskSpansFromHits]]):
+    * spans union from `hits`, then the per-document report against the full
+    * `test` corpus.
+    */
+  def rateFromHits(hits: DataFrame, test: DataFrame, idCol: String,
+                   textCol: String, maxFrac: Double,
+                   roundTo: Int = 4): DataFrame = {
     import graft.functions.MathFunctions.floorRound
-    val spans = contaminationMask(spark, train, test, idCol, textCol, minLen, scanParts)
+    val spans = maskSpansFromHits(hits)
     val masked = spans.groupBy("doc_id")
       .agg(sum("span_len").as("masked_chars"), count(lit(1)).as("n_spans"))
     test.select(col(idCol).cast("long").as("doc_id"),
@@ -369,6 +409,13 @@ object SuffixRank {
       .orderBy("doc_id")
   }
 
+  /** Side tagging packs (id, side) into one long as `id*2 + side` — ids must
+    * satisfy |id| < Long.MaxValue/2 or the tag overflows silently. Negative
+    * ids are supported: side recovery uses `pmod` (Spark's `%` keeps the
+    * dividend's sign, so a plain `% 2 === 1` would drop negative odd tags),
+    * and the id recovery `(doc − 1) / 2` is exact because the dividend is
+    * always even.
+    */
   def crossCorpusOverlap(spark: SparkSession, train: DataFrame, test: DataFrame,
                          idCol: String, textCol: String, minLen: Int,
                          scanParts: Int = 32): DataFrame = {
@@ -381,13 +428,13 @@ object SuffixRank {
       length(col(textCol)).cast("long").as("len"))
     val sa = cutLineage(suffixArray(spark, tables.last._2))
     val sided = sa.withColumn("__train_sa",
-      when(col("doc") % 2 === 0, col("sa")))
+      when(pmod(col("doc"), lit(2L)) === 0, col("sa")))
     val withPrev = Scan.runningLast(sided, Seq("sa"), "__train_sa", scanParts)
       .withColumnRenamed("prev___train_sa", "__lo")
       .withColumn("__neg", -col("sa"))
     val withBoth = Scan.runningLast(withPrev, Seq("__neg"), "__train_sa", scanParts)
       .withColumnRenamed("prev___train_sa", "__hi")
-    val testSuffixes = withBoth.filter(col("doc") % 2 === 1)
+    val testSuffixes = withBoth.filter(pmod(col("doc"), lit(2L)) === 1)
       .select(col("doc").as("doc_a"), col("pos").as("pos_a"), col("__lo"), col("__hi"))
     def probe(nbr: String) = testSuffixes.filter(col(nbr).isNotNull)
       .join(sa.select(col("sa").as(nbr), col("doc").as("doc_b"), col("pos").as("pos_b")), Seq(nbr))

@@ -374,10 +374,30 @@ object Validate {
   def ksGate(prev: DataFrame, next: DataFrame, valueCol: String,
              threshold: Double, roundTo: Int = 6, scanParts: Int = 32): DataFrame = {
     val v = col(valueCol).cast("double")
-    def side(df: DataFrame, pn: Int, nn: Int) = df
+    def cnt(df: DataFrame) = df
       .filter(v.isNotNull && !isnan(v))
-      .select(v.as("v"), lit(pn.toLong).as("pn"), lit(nn.toLong).as("nn"))
-    val counts = side(prev, 1, 0).unionByName(side(next, 0, 1))
+      .groupBy(v.as("v")).agg(count(lit(1)).as("n"))
+    ksGateFromValueCounts(cnt(prev), cnt(next), threshold, roundTo, scanParts)
+  }
+
+  /** EXACT KS from precomputed per-DISTINCT-VALUE count tables (v, n) —
+    * the arithmetic [[ksGate]] delegates to, split out so a STREAMING
+    * ingest can fold the next side's value counts through engine state
+    * ([[graft.streaming.StreamingDrift.ksGateExact]]) and still finish
+    * with the exact sup-norm D: merge the two count tables, two-pass
+    * prefix-scan the running counts ([[Scan.cumSums]] — the distinct-value
+    * relation is data-sized, never a single-partition window), max the CDF
+    * gap. Counts are a monoid, so the folded stream table equals the batch
+    * count table regardless of micro-batching — which is why the stream
+    * query passes the exact BATCH oracle ([[ksGateSql]]) verbatim.
+    */
+  def ksGateFromValueCounts(prevCounts: DataFrame, nextCounts: DataFrame,
+                            threshold: Double, roundTo: Int = 6,
+                            scanParts: Int = 32): DataFrame = {
+    val counts = prevCounts
+      .select(col("v"), col("n").cast("long").as("pn"), lit(0L).as("nn"))
+      .unionByName(nextCounts
+        .select(col("v"), lit(0L).as("pn"), col("n").cast("long").as("nn")))
       .groupBy("v").agg(sum("pn").as("pn"), sum("nn").as("nn"))
     ksFinish(Scan.cumSums(counts, Seq("v"), Seq("pn", "nn"), scanParts),
       threshold, roundTo)
@@ -407,14 +427,21 @@ object Validate {
   }
 
   /** Shared KS finish over (cum_pn, cum_nn) running counts: totals, CDF
-    * gap, max, verdict. */
+    * gap, max, verdict. An EMPTY side (tp or tn = 0) would make cp/tp NaN,
+    * and `NaN > threshold` is true in Spark SQL — so the guard nulls both
+    * `ks` and `is_drift` when either side is empty (matching
+    * [[groupedKsGate]]'s exclude-empty-sides contract); a vanishing source
+    * is the count gate's job, not KS's.
+    */
   private def ksFinish(cum: DataFrame, threshold: Double, roundTo: Int): DataFrame = {
     val totals = cum.agg(max("cum_pn").as("tp"), max("cum_nn").as("tn"))
     cum.crossJoin(broadcast(totals))
       .agg(floorRound(max(abs(col("cum_pn").cast("double") / col("tp").cast("double") -
-        col("cum_nn").cast("double") / col("tn").cast("double"))), roundTo).as("ks"),
+        col("cum_nn").cast("double") / col("tn").cast("double"))), roundTo).as("__ks"),
         first("tp").as("n_prev"), first("tn").as("n_next"))
-      .withColumn("is_drift", (col("ks") > threshold).cast("long"))
+      .withColumn("ks", when(col("n_prev") > 0 && col("n_next") > 0, col("__ks")))
+      .withColumn("is_drift",
+        when(col("ks").isNotNull, (col("ks") > threshold).cast("long")))
       .select("ks", "n_prev", "n_next", "is_drift")
   }
 

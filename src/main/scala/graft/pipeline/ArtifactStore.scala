@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet-backed ARTIFACT cache — the materialize-once / consume-many
+  * pattern for expensive shared indexes (round-11 verdict task 1: the
+  * generalized suffix-rank contamination hits that q189/q191/q192 each
+  * rebuilt from scratch).
+  *
+  * A real pipeline builds its heavy index ONCE and runs every finish over
+  * the materialized copy — the same mtime-diff incrementality that is the
+  * reference pipeline's one real optimization (vectrekker `main.py:143-147`:
+  * re-embed only what changed), applied to the heaviest index in this repo.
+  * The artifact is keyed by (input dir, operator parameters); content is a
+  * DETERMINISTIC function of the key (range-sorted zipWithIndex ranks, no
+  * randomness), so a cache hit from a previous session is byte-equivalent
+  * to a rebuild and the load-vs-build choice can never change a result —
+  * only its cost. Builds log one line so a benchmark run that paid the
+  * build is distinguishable from one that loaded.
+  *
+  * Durability contract: artifacts live under `java.io.tmpdir` (override
+  * with GRAFT_ARTIFACT_DIR) — session-scratch tier, same as the streaming
+  * checkpoint roots, NOT a curated data lake. Writes are staged and
+  * atomically promoted ([[StagedSwap]]); presence of the directory with its
+  * `_SUCCESS` marker is the only validity test, so a killed build leaves a
+  * `.tmp` that the next build clears, never a half-readable live dir.
+  * All mutation is `synchronized` — sbt runs test suites concurrently in
+  * one JVM and two suites may race to build the same key.
+  */
+object ArtifactStore {
+
+  /** Root directory for an artifact named `name` derived from inputs at
+    * `dir` — the caller bakes every semantic parameter into `name` (and
+    * bumps a version suffix when the builder's semantics change), so a
+    * stale artifact can never satisfy a new key.
+    */
+  def rootFor(dir: String, name: String): String = {
+    val base = sys.env.getOrElse("GRAFT_ARTIFACT_DIR",
+      sys.props("java.io.tmpdir") + "/graft-artifacts")
+    s"$base/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/$name"
+  }
+
+  private def fs(spark: SparkSession): FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  private def isLive(f: FileSystem, root: String): Boolean =
+    f.exists(new Path(root, "_SUCCESS"))
+
+  /** Read the artifact at `root`, materializing `build` first if absent.
+    * The build is written to a staging dir and atomically promoted, so
+    * concurrent readers in other processes either see the full artifact or
+    * none (and then build their own — wasted work, never a torn read).
+    */
+  def loadOrBuild(spark: SparkSession, root: String)(build: => DataFrame): DataFrame =
+    synchronized {
+      val f = fs(spark)
+      if (!isLive(f, root)) {
+        val tmp = new Path(root + ".tmp")
+        if (f.exists(tmp) && !f.delete(tmp, true))
+          sys.error(s"ArtifactStore: could not clear stale staging dir $tmp")
+        // scalastyle:off println
+        println(s"[artifact] building $root")
+        // scalastyle:on println
+        build.write.mode("overwrite").parquet(tmp.toString)
+        StagedSwap.swap(f, tmp, new Path(root), new Path(root + ".old"))
+      }
+      spark.read.parquet(root)
+    }
+
+  /** Append-only BATCH layout for incrementally-maintained artifacts:
+    * each batch is its own subdirectory `b<id>`, written staged + promoted,
+    * skipped when already live. Content per batch is deterministic, so
+    * skip-if-present IS the idempotence guarantee (a re-run of the same
+    * maintenance plan is a no-op, exactly like the reference's mtime
+    * short-circuit).
+    */
+  def appendBatchIfAbsent(spark: SparkSession, root: String, batchId: Long)(
+      build: => DataFrame): Unit = synchronized {
+    val f = fs(spark)
+    val live = s"$root/b$batchId"
+    if (!isLive(f, live)) {
+      val tmp = new Path(live + ".tmp")
+      if (f.exists(tmp) && !f.delete(tmp, true))
+        sys.error(s"ArtifactStore: could not clear stale staging dir $tmp")
+      // scalastyle:off println
+      println(s"[artifact] building batch $live")
+      // scalastyle:on println
+      build.write.mode("overwrite").parquet(tmp.toString)
+      StagedSwap.swap(f, tmp, new Path(live), new Path(live + ".old"))
+    }
+  }
+
+  /** Union of every live batch under `root`, in batch-id order (order is
+    * cosmetic — consumers aggregate). Fails loudly on zero batches: an
+    * empty maintained index is a pipeline bug, not an empty result.
+    */
+  def readBatches(spark: SparkSession, root: String): DataFrame = synchronized {
+    val f = fs(spark)
+    val rootPath = new Path(root)
+    require(f.exists(rootPath), s"ArtifactStore: no batches at $root")
+    val dirs = f.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("b\\d+") &&
+        isLive(f, s.getPath.toString))
+      .sortBy(_.getPath.getName.drop(1).toLong)
+    require(dirs.nonEmpty, s"ArtifactStore: no live batches at $root")
+    dirs.map(d => spark.read.parquet(d.getPath.toString)).reduce(_ unionByName _)
+  }
+}
