@@ -520,8 +520,8 @@ object RelationalQueries {
     // ambiguity between engines). The target-rank value lies inside the
     // sketch's hit bin by construction, so |est − exact| < bin width —
     // within_bin pins that invariant as data, abs_err reports the real
-    // distance. (The exact side's cumsum runs over DISTINCT values — a
-    // bounded single-partition window, audit-tier cost, not a scale path.)
+    // distance. (The exact side's cumsum runs over DISTINCT values via the
+    // two-pass range-partitioned prefix scan — see Scan.cumSums below.)
     "q173_quantile_audit" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -707,6 +707,23 @@ object RelationalQueries {
         "SELECT c_acctbal FROM customer WHERE c_acctbal >= 0",
         "c_acctbal", lo = -1000.0, hi = 10000.0, bins = 20,
         threshold = 0.05))),
+
+    // The EXACT KS gate MID-INGEST (r11 verdict task 5) — q188 streamed the
+    // BINNED trade; this streams the bin-free exact form: per-distinct-value
+    // counts fold through complete-mode state (bounded by the value DOMAIN
+    // — ≤ 1.1M keys for a fixed-point currency column at ANY ingest volume;
+    // StreamingDrift.ksGateExact documents when the binned form stays the
+    // right trade), and the exact sup-norm D finishes over the drained
+    // count table via the same two-pass prefix scan as the batch gate. The
+    // oracle is q187's EXACT-batch SQL builder on the same scenario,
+    // verbatim — stream ≡ exact batch, D = 0.0813 (vs binned 0.0802).
+    "q198_stream_ks_exact" -> Q(
+      (s, dir) => graft.streaming.StreamingDrift.ksGateExact(
+        s, dir, "c_acctbal", nextFilter = "c_acctbal >= 0", threshold = 0.05),
+      Some(graft.operators.Validate.ksGateSql(
+        "SELECT c_acctbal FROM customer",
+        "SELECT c_acctbal FROM customer WHERE c_acctbal >= 0",
+        "c_acctbal", threshold = 0.05))),
 
     // Per-GROUP binned KS — the last cell of the gate matrix's KS row
     // (exact batch q187 / streamed binned q188 / grouped here): one D per

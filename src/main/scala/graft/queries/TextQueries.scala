@@ -5,6 +5,7 @@ import graft.functions.MathFunctions.{floorRound => fr, floorRoundSql => frs}
 import graft.functions.TextFunctions._
 import graft.operators.Dedup
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import scala.collection.immutable.ListMap
 
@@ -149,26 +150,92 @@ object TextQueries {
     * the full length. sf0.01 never produces a full-to-boundary match, so
     * only the sf0.1 sweep caught it (q183 14 vs 12 rows).
     */
+  /** ONE brute-force LCP CTE builder behind every suffix-family oracle
+    * (q183/q189/q191/q192/q195 — round-11 verdict task 8: the q183 copy
+    * diverging from this chain is how the `nullif` boundary bug had to be
+    * hunted twice). `docFilter` bounds the corpus, `pairCond` selects which
+    * (a, b) suffix pairs compete (self-dedup excludes the identity pair;
+    * cross-corpus restricts to test×train).
+    */
+  private def lcpBruteCtes(docFilter: String, pairCond: String): String =
+    s"""d AS (
+       |  SELECT doc_id, substr(text, 1, 128) AS t FROM documents WHERE $docFilter),
+       |p AS (
+       |  SELECT doc_id, t, unnest(generate_series(0, length(t) - 1)) AS pos FROM d),
+       |pr AS (
+       |  SELECT a.doc_id AS da, a.pos AS pa, a.t AS ta,
+       |         b.doc_id AS db, b.pos AS pb, b.t AS tb
+       |  FROM p a JOIN p b ON $pairCond),
+       |l AS (
+       |  SELECT da, pa,
+       |    coalesce(nullif(list_position(list_transform(
+       |        generate_series(1, least(length(ta) - pa, length(tb) - pb)),
+       |        i -> substr(ta, CAST(pa + i AS INTEGER), 1) = substr(tb, CAST(pb + i AS INTEGER), 1)),
+       |      false), 0) - 1,
+       |      least(length(ta) - pa, length(tb) - pb)) AS lcp
+       |  FROM pr),
+       |best AS (
+       |  SELECT da AS doc_id, CAST(pa AS BIGINT) AS pos, CAST(max(lcp) AS BIGINT) AS lcp
+       |  FROM l GROUP BY 1, 2)""".stripMargin
+
   private val crossCorpusCtes: String =
-    """d AS (
-      |  SELECT doc_id, substr(text, 1, 128) AS t FROM documents WHERE doc_id < 12),
-      |p AS (
-      |  SELECT doc_id, t, unnest(generate_series(0, length(t) - 1)) AS pos FROM d),
-      |pr AS (
-      |  SELECT a.doc_id AS da, a.pos AS pa, a.t AS ta,
-      |         b.doc_id AS db, b.pos AS pb, b.t AS tb
-      |  FROM p a JOIN p b ON a.doc_id >= 8 AND b.doc_id < 8),
-      |l AS (
-      |  SELECT da, pa,
-      |    coalesce(nullif(list_position(list_transform(
-      |        generate_series(1, least(length(ta) - pa, length(tb) - pb)),
-      |        i -> substr(ta, CAST(pa + i AS INTEGER), 1) = substr(tb, CAST(pb + i AS INTEGER), 1)),
-      |      false), 0) - 1,
-      |      least(length(ta) - pa, length(tb) - pb)) AS lcp
-      |  FROM pr),
-      |best AS (
-      |  SELECT da AS doc_id, CAST(pa AS BIGINT) AS pos, CAST(max(lcp) AS BIGINT) AS lcp
-      |  FROM l GROUP BY 1, 2)""".stripMargin
+    lcpBruteCtes("doc_id < 12", "a.doc_id >= 8 AND b.doc_id < 8")
+
+  /** The q192/q195 rate-report oracle: full-rebuild brute force → island
+    * walk → per-doc mass, fraction, verdict. Shared verbatim by the batch
+    * rebuild (q192) and the incrementally-maintained artifact (q195) — the
+    * maintained path matching THIS rebuild oracle is the maintenance ≡
+    * rebuild check.
+    */
+  private lazy val contamRateOracle: String =
+    s"""WITH $crossCorpusCtes,
+       |$maskSpanCtes,
+       |spans AS (
+       |  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |    CAST(max(e) - min(pos) AS BIGINT) AS span_len
+       |  FROM isl2 GROUP BY doc_id, island),
+       |mk AS (
+       |  SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS masked_chars,
+       |    CAST(count(*) AS BIGINT) AS n_spans
+       |  FROM spans GROUP BY doc_id),
+       |alldocs AS (
+       |  SELECT doc_id, CAST(length(substr(text, 1, 128)) AS BIGINT) AS doc_len
+       |  FROM documents WHERE doc_id >= 8 AND doc_id < 12)
+       |SELECT a.doc_id, a.doc_len,
+       |  coalesce(mk.masked_chars, 0) AS masked_chars,
+       |  coalesce(mk.n_spans, 0) AS n_spans,
+       |  ${frs("CAST(coalesce(mk.masked_chars, 0) AS DOUBLE) / CAST(a.doc_len AS DOUBLE)", 4)} AS frac,
+       |  CAST(${frs("CAST(coalesce(mk.masked_chars, 0) AS DOUBLE) / CAST(a.doc_len AS DOUBLE)", 4)} > CAST(0.3 AS DOUBLE) AS BIGINT) AS drop_doc
+       |FROM alldocs a LEFT JOIN mk ON mk.doc_id = a.doc_id
+       |ORDER BY a.doc_id""".stripMargin
+
+  /** The 128-char capped corpus split every contamination query shares:
+    * train = doc_id < 8, test = 8..11. */
+  private def contamCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 128).as("t"))
+
+  /** MATERIALIZED contamination hits — the generalized suffix-rank overlap
+    * table (doc_id, pos, lcp over test ids) built ONCE per input dir and
+    * consumed by all three finishes (q189 spans, q191 mask, q192 rate):
+    * round-11 verdict task 1. Whichever query runs first pays the
+    * O(n log L) suffix-rank build and stages the parquet artifact; the
+    * other two load it. Content is deterministic in (dir, params) — the
+    * key bakes in corpus split, char cap, and minLen, with a version tag
+    * to bump on semantic change — so load-vs-build can never change a
+    * result, only its cost (ArtifactStore contract).
+    */
+  private def contamHits(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.ArtifactStore
+    ArtifactStore.loadOrBuild(s,
+      ArtifactStore.rootFor(dir, "contam_hits_tr8_te8-12_c128_m12_v1")) {
+      val d = contamCorpus(s, dir)
+      graft.operators.SuffixRank.crossCorpusOverlap(s,
+        d.filter(col("doc_id") < 8),
+        d.filter(col("doc_id") >= 8 && col("doc_id") < 12),
+        "doc_id", "t", minLen = 12)
+    }
+  }
 
   /** The island walk over `best` (q191/q192): positions with lcp ≥ 12 span
     * [pos, pos+lcp); running per-doc max of ends marks island starts. Ends
@@ -1769,25 +1836,8 @@ object TextQueries {
           .select(col("doc_id"), substring(col("text"), 1, 128).as("t"))
         graft.operators.SuffixRank.longestDupPrefix(s, capped, "doc_id", "t", minLen = 12)
       },
-      Some("""WITH d AS (
-             |  SELECT doc_id, substr(text, 1, 128) AS t FROM documents WHERE doc_id < 8),
-             |p AS (
-             |  SELECT doc_id, t, unnest(generate_series(0, length(t) - 1)) AS pos FROM d),
-             |pr AS (
-             |  SELECT a.doc_id AS da, a.pos AS pa, a.t AS ta,
-             |         b.doc_id AS db, b.pos AS pb, b.t AS tb
-             |  FROM p a JOIN p b ON NOT (a.doc_id = b.doc_id AND a.pos = b.pos)),
-             |l AS (
-             |  SELECT da, pa,
-             |    coalesce(nullif(list_position(list_transform(
-             |        generate_series(1, least(length(ta) - pa, length(tb) - pb)),
-             |        i -> substr(ta, CAST(pa + i AS INTEGER), 1) = substr(tb, CAST(pb + i AS INTEGER), 1)),
-             |      false), 0) - 1,
-             |      least(length(ta) - pa, length(tb) - pb)) AS lcp
-             |  FROM pr),
-             |best AS (
-             |  SELECT da AS doc_id, CAST(pa AS BIGINT) AS pos, CAST(max(lcp) AS BIGINT) AS lcp
-             |  FROM l GROUP BY 1, 2)
+      Some(s"""WITH ${lcpBruteCtes("doc_id < 8",
+                 "NOT (a.doc_id = b.doc_id AND a.pos = b.pos)")}
              |SELECT doc_id, pos, lcp FROM best WHERE lcp >= 12
              |ORDER BY doc_id, pos""".stripMargin)),
 
@@ -1845,15 +1895,12 @@ object TextQueries {
     // tables — the matching-statistics argument, so recall is structural,
     // not sampled. Oracle: the q183 brute force restricted to cross-side
     // pairs, same 128-char cap (the oracle is O(n²·L); the operator isn't).
+    // The three finishes (q189/q191/q192) consume ONE materialized hits
+    // artifact (contamHits): whichever runs first pays the suffix-rank
+    // build, the others load parquet — the build-once/finish-many shape a
+    // standing pipeline actually runs (r11 verdict task 1).
     "q189_cross_corpus_contamination" -> Q(
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-          .select(col("doc_id"), substring(col("text"), 1, 128).as("t"))
-        graft.operators.SuffixRank.crossCorpusOverlap(s,
-          d.filter(col("doc_id") < 8),
-          d.filter(col("doc_id") >= 8 && col("doc_id") < 12),
-          "doc_id", "t", minLen = 12)
-      },
+      (s, dir) => contamHits(s, dir).orderBy("doc_id", "pos"),
       Some(s"""WITH $crossCorpusCtes
              |SELECT doc_id, pos, lcp FROM best WHERE lcp >= 12
              |ORDER BY doc_id, pos""".stripMargin)),
@@ -1865,14 +1912,7 @@ object TextQueries {
     // island starts; window partitions by document, so partition size is
     // bounded by DOCUMENT length, never corpus size.
     "q191_contamination_mask" -> Q(
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-          .select(col("doc_id"), substring(col("text"), 1, 128).as("t"))
-        graft.operators.SuffixRank.contaminationMask(s,
-          d.filter(col("doc_id") < 8),
-          d.filter(col("doc_id") >= 8 && col("doc_id") < 12),
-          "doc_id", "t", minLen = 12)
-      },
+      (s, dir) => graft.operators.SuffixRank.maskSpansFromHits(contamHits(s, dir)),
       Some(s"""WITH $crossCorpusCtes,
              |$maskSpanCtes
              |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
@@ -1885,34 +1925,47 @@ object TextQueries {
     // clean docs included with zero mass (left join), because a gate that
     // only lists offenders can't certify the rest.
     "q192_contamination_rate" -> Q(
+      (s, dir) => graft.operators.SuffixRank.rateFromHits(
+        contamHits(s, dir),
+        contamCorpus(s, dir).filter(col("doc_id") >= 8 && col("doc_id") < 12),
+        "doc_id", "t", maxFrac = 0.3),
+      Some(contamRateOracle)),
+
+    // INCREMENTAL maintenance of the contamination index (r11 verdict task
+    // 1's second half — the q181 maintenance-equals-rebuild algebra on the
+    // heaviest index in the repo): test batches arrive separately (docs
+    // 8-9, then 10-11), each is decontaminated against the STANDING train
+    // corpus and its hits APPENDED to the parquet-backed artifact; the
+    // rate report runs over the maintained union. The decomposition is
+    // exact, not approximate: a test suffix's nearest TRAIN neighbors in
+    // the generalized SA order depend only on that suffix and the train
+    // set (other test docs between them never change which train suffix
+    // is nearest), so overlap(train, A ∪ B) = overlap(train, A) ∪
+    // overlap(train, B) — and the oracle is q192's FULL-REBUILD brute
+    // force verbatim, which is what makes maintained ≡ rebuilt a checked
+    // hash, not a claim. Per-batch cost is O((|train|+|batch|) log L);
+    // batch appends are staged, atomic, and idempotent (skip-if-live),
+    // the reference's mtime short-circuit applied to a suffix index.
+    "q195_contamination_incremental" -> Q(
       (s, dir) => {
-        val d = Tables.documents(s, dir)
-          .select(col("doc_id"), substring(col("text"), 1, 128).as("t"))
-        graft.operators.SuffixRank.contaminationRate(s,
-          d.filter(col("doc_id") < 8),
+        import graft.pipeline.ArtifactStore
+        val d = contamCorpus(s, dir)
+        val train = d.filter(col("doc_id") < 8)
+        val root = ArtifactStore.rootFor(dir, "contam_hits_inc_tr8_c128_m12_v1")
+        def batch(id: Long, lo: Int, hi: Int): Unit =
+          ArtifactStore.appendBatchIfAbsent(s, root, id) {
+            graft.operators.SuffixRank.crossCorpusOverlap(s, train,
+              d.filter(col("doc_id") >= lo && col("doc_id") < hi),
+              "doc_id", "t", minLen = 12)
+          }
+        batch(0, 8, 10)
+        batch(1, 10, 12)
+        graft.operators.SuffixRank.rateFromHits(
+          ArtifactStore.readBatches(s, root),
           d.filter(col("doc_id") >= 8 && col("doc_id") < 12),
-          "doc_id", "t", minLen = 12, maxFrac = 0.3)
+          "doc_id", "t", maxFrac = 0.3)
       },
-      Some(s"""WITH $crossCorpusCtes,
-             |$maskSpanCtes,
-             |spans AS (
-             |  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-             |    CAST(max(e) - min(pos) AS BIGINT) AS span_len
-             |  FROM isl2 GROUP BY doc_id, island),
-             |mk AS (
-             |  SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS masked_chars,
-             |    CAST(count(*) AS BIGINT) AS n_spans
-             |  FROM spans GROUP BY doc_id),
-             |alldocs AS (
-             |  SELECT doc_id, CAST(length(substr(text, 1, 128)) AS BIGINT) AS doc_len
-             |  FROM documents WHERE doc_id >= 8 AND doc_id < 12)
-             |SELECT a.doc_id, a.doc_len,
-             |  coalesce(mk.masked_chars, 0) AS masked_chars,
-             |  coalesce(mk.n_spans, 0) AS n_spans,
-             |  ${frs("CAST(coalesce(mk.masked_chars, 0) AS DOUBLE) / CAST(a.doc_len AS DOUBLE)", 4)} AS frac,
-             |  CAST(${frs("CAST(coalesce(mk.masked_chars, 0) AS DOUBLE) / CAST(a.doc_len AS DOUBLE)", 4)} > CAST(0.3 AS DOUBLE) AS BIGINT) AS drop_doc
-             |FROM alldocs a LEFT JOIN mk ON mk.doc_id = a.doc_id
-             |ORDER BY a.doc_id""".stripMargin)),
+      Some(contamRateOracle)),
 
     // The NEAR-DUP leg of the decontamination matrix: test docs (doc_id %
     // 5 = 0) whose shingle-Jaccard against ANY train doc clears the q22b
@@ -2265,5 +2318,42 @@ object TextQueries {
         targetTokensPerDomain = 1000L),
       Some(graft.operators.Sampling.tokenBudgetMixSql(
         "documents", "source", "doc_id", "n_chars", targetTokensPerDomain = 1000L))),
+
+    // TEMPERATURE-weighted source mixing (r11 verdict task 7): per-source
+    // quotas ∝ n_s^α for a 1000-doc budget at α = 0.5 — the knob that
+    // up-samples tail sources without drowning the head (q131 fills a flat
+    // per-domain budget; this PICKS the budgets). Largest-remainder
+    // allocation makes the quotas exact integers summing to the budget;
+    // weights are integerized (⌊√n·10⁶⌋) so no float total can disagree
+    // between engines (see Sampling.temperatureMix). PropertySpec pins
+    // sum-to-budget and size-monotonicity across random size profiles.
+    "q199_temperature_mix" -> Q(
+      (s, dir) => graft.operators.Sampling.temperatureMix(
+        Tables.documents(s, dir).groupBy(col("source")).agg(count(lit(1)).as("n")),
+        "source", "n", alpha = 0.5, budget = 1000L),
+      Some("""WITH src AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY source),
+             |s2 AS (
+             |  SELECT source, n,
+             |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+             |  FROM src WHERE n > 0),
+             |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM s2),
+             |b AS (
+             |  SELECT source, n,
+             |    CAST(1000 * w AS DOUBLE) / CAST(tw AS DOUBLE) AS ideal
+             |  FROM s2 CROSS JOIN t),
+             |c AS (
+             |  SELECT source, n, CAST(floor(ideal) AS BIGINT) AS base,
+             |    ideal - floor(ideal) AS frac
+             |  FROM b),
+             |d AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS deficit FROM c),
+             |r AS (
+             |  SELECT source, n, base,
+             |    row_number() OVER (ORDER BY frac DESC, source) AS rk
+             |  FROM c)
+             |SELECT source, n,
+             |  CAST(base + (CASE WHEN rk <= deficit THEN 1 ELSE 0 END) AS BIGINT) AS quota
+             |FROM r CROSS JOIN d ORDER BY source""".stripMargin)),
   )
 }
