@@ -58,6 +58,26 @@ object SkewProbe {
       for ((sid, (ms, n)) <- top)
         println(f"[skew]   stage $sid%-4d maxTask $ms%6d ms over $n%4d tasks")
     }
+    // suffix-rank leg (r11 verdict task 4): an all-same-character corpus
+    // keys every position of every early doubling round to ONE (r, r2)
+    // pair — the re-rank join's hot key. Measure the max single task with
+    // and without the denseRank salt.
+    val degen = spark.range(16).select(col("id"),
+      concat(lit("a" * 400), md5(col("id").cast("string")).substr(1, 4)).as("t"))
+      .cache()
+    degen.count()
+    for (saltRank <- Seq(1, 8)) {
+      maxTaskMs.set(0); nTasks.set(0); perStage.clear()
+      val t0 = System.nanoTime()
+      graft.operators.SuffixRank.rankTables(degen, "id", "t", saltRank)
+        .last._2.write.mode("overwrite").format("noop").save()
+      org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[skew] suffixRank saltRank=$saltRank%-3d wall $dt%6.2f s  " +
+        f"maxTask ${maxTaskMs.get}%6d ms  tasks ${nTasks.get}%5d")
+      spark.catalog.clearCache()
+      degen.cache().count()
+    }
     spark.stop()
   }
 }

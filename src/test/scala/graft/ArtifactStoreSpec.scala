@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.SuffixRank
+import graft.pipeline.ArtifactStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ArtifactStore contract (r11 verdict task 1): build-once/load-after,
+  * idempotent batch appends, and the maintained-contamination-index ≡
+  * full-rebuild equivalence that q195 pins against the DuckDB oracle.
+  */
+class ArtifactStoreSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def freshRoot(name: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_artifact_spec")
+    s"$dir/$name"
+  }
+
+  test("loadOrBuild builds on miss, loads on hit (no rebuild)") {
+    val root = freshRoot("a1")
+    var builds = 0
+    def build = { builds += 1; Seq((1L, 2L), (3L, 4L)).toDF("k", "v") }
+    val first = ArtifactStore.loadOrBuild(spark, root)(build)
+    assert(first.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (3L, 4L)))
+    assert(builds == 1)
+    val second = ArtifactStore.loadOrBuild(spark, root)(build)
+    assert(second.count() == 2)
+    assert(builds == 1, "a live artifact must not be rebuilt")
+  }
+
+  test("loadOrBuild ignores a dead staging dir from a killed build") {
+    val root = freshRoot("a2")
+    // simulate a crash mid-build: staging exists, live does not
+    new java.io.File(root + ".tmp").mkdirs()
+    val df = ArtifactStore.loadOrBuild(spark, root)(Seq(1L).toDF("k"))
+    assert(df.count() == 1)
+  }
+
+  test("appendBatchIfAbsent is idempotent; readBatches unions live batches") {
+    val root = freshRoot("a3")
+    var builds = 0
+    ArtifactStore.appendBatchIfAbsent(spark, root, 0) { builds += 1; Seq(1L).toDF("k") }
+    ArtifactStore.appendBatchIfAbsent(spark, root, 1) { builds += 1; Seq(2L, 3L).toDF("k") }
+    ArtifactStore.appendBatchIfAbsent(spark, root, 0) { builds += 1; Seq(9L).toDF("k") }
+    assert(builds == 2, "re-appending a live batch must be a no-op")
+    val all = ArtifactStore.readBatches(spark, root).orderBy("k").as[Long].collect()
+    assert(all.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("readBatches fails loudly on an empty index") {
+    val root = freshRoot("a4")
+    assertThrows[IllegalArgumentException](ArtifactStore.readBatches(spark, root))
+    new java.io.File(root).mkdirs()
+    assertThrows[IllegalArgumentException](ArtifactStore.readBatches(spark, root))
+  }
+
+  test("maintained contamination hits ≡ full rebuild (per-batch decomposition)") {
+    // train corpus with a planted span; test arrives as two batches
+    val train = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "t")
+    val testA = Seq((10L, "xx the quick brown fox xx")).toDF("doc_id", "t")
+    val testB = Seq((11L, "yy five dozen liquor jugs")).toDF("doc_id", "t")
+    val root = freshRoot("a5")
+    ArtifactStore.appendBatchIfAbsent(spark, root, 0)(
+      SuffixRank.crossCorpusOverlap(spark, train, testA, "doc_id", "t", minLen = 8))
+    ArtifactStore.appendBatchIfAbsent(spark, root, 1)(
+      SuffixRank.crossCorpusOverlap(spark, train, testB, "doc_id", "t", minLen = 8))
+    val maintained = ArtifactStore.readBatches(spark, root)
+    val rebuilt = SuffixRank.crossCorpusOverlap(spark, train,
+      testA.unionByName(testB), "doc_id", "t", minLen = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows(maintained) == rows(rebuilt))
+    assert(rows(maintained).nonEmpty, "planted spans must surface")
+    // the decoupled finishes agree with the build-inline forms
+    val maskViaHits = SuffixRank.maskSpansFromHits(rebuilt).collect().toSeq
+    val maskInline = SuffixRank.contaminationMask(spark, train,
+      testA.unionByName(testB), "doc_id", "t", minLen = 8).collect().toSeq
+    assert(maskViaHits == maskInline)
+  }
+}

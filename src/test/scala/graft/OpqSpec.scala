@@ -165,4 +165,49 @@ class OpqSpec extends AnyFunSuite with SparkTestSession {
         s"vec $id assigned to ${d2.zipWithIndex.min._2}, planted ${(id % 32)}")
     }
   }
+
+  test("semanticDedup: every planted paraphrase pair loses exactly one member, " +
+    "no same-topic false drops (q196 recall/precision note)") {
+    val cf = graft.queries.VectorQueries.clusteredDf(spark, sfDir)
+    val cents = AnnIndex.kmeansCentroids(cf, "cvec", "vec_id", k = 32, iters = 1)
+      .map(_.toSeq).toSeq
+    val out = graft.operators.Dedup.semDeDup(
+      graft.queries.VectorQueries.paraphraseDf(spark, sfDir), "vec_id", "cvec",
+      cents, tau = 0.99999)
+      .select("vec_id", "is_dup").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val planted = out.keys.filter(_ >= 100000L).map(_ - 100000L).toSeq.sorted
+    assert(planted.nonEmpty && planted.forall(_ % 4 == 0))
+    for (k <- planted)
+      assert(out(k) + out(k + 100000L) == 1L,
+        s"pair ($k, ${k + 100000L}): flags ${out(k)}/${out(k + 100000L)}, want exactly one")
+    val falseDrops = out.collect {
+      case (id, 1L) if id < 100000L && (!out.contains(id + 100000L)) => id
+    }
+    assert(falseDrops.isEmpty, s"same-topic members flagged: $falseDrops")
+  }
+
+  test("q197 frontier: recall non-decreasing in nprobe, residual chains gain " +
+    "at 1→2, chain ordering raw < resid < resid_opq at every point") {
+    val rows = SparkEntry.queries("q197_ann_frontier")(spark, sfDir).collect()
+    assert(rows.length == 12)
+    val hit = rows.map(r => (r.getAs[String]("chain"), r.getAs[Long]("nprobe")) ->
+      r.getAs[Long]("n_hit")).toMap
+    val cand = rows.map(r => (r.getAs[String]("chain"), r.getAs[Long]("nprobe")) ->
+      r.getAs[Long]("n_cand")).toMap
+    val nps = Seq(1L, 2L, 4L, 8L)
+    for (ch <- Seq("raw", "resid", "resid_opq"); (a, b) <- nps.zip(nps.tail)) {
+      assert(hit((ch, a)) <= hit((ch, b)), s"$ch recall fell at nprobe $a -> $b")
+      assert(cand((ch, a)) < cand((ch, b)), s"$ch cost must grow with nprobe")
+    }
+    for (ch <- Seq("resid", "resid_opq"))
+      assert(hit((ch, 1L)) < hit((ch, 2L)), s"$ch must gain recall at nprobe 1 -> 2")
+    for (np <- nps) {
+      assert(hit(("raw", np)) < hit(("resid", np)), s"raw !< resid at nprobe $np")
+      assert(hit(("resid", np)) < hit(("resid_opq", np)), s"resid !< opq at nprobe $np")
+    }
+    // the cost axis is chain-independent: all chains probe the same cells
+    for (np <- nps)
+      assert(Seq("raw", "resid", "resid_opq").map(ch => cand((ch, np))).distinct.size == 1)
+  }
 }

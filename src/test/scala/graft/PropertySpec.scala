@@ -495,4 +495,27 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
       assert(n2 === n1)                                             // idempotent
     }
   }
+
+  test("property: temperatureMix quotas sum to the budget and respect size order") {
+    import graft.operators.Sampling
+    val profileGen = for {
+      k <- Gen.chooseNum(1, 12)
+      sizes <- Gen.listOfN(k, Gen.chooseNum(1L, 5000000L))
+      alpha <- Gen.oneOf(0.25, 0.5, 0.7, 1.0)
+      budget <- Gen.chooseNum(1L, 10000L)
+    } yield (sizes, alpha, budget)
+    for ((sizes, alpha, budget) <- sample(profileGen, 25, 41L)) {
+      val counts = sizes.zipWithIndex
+        .map { case (n, i) => (f"s$i%02d", n) }.toDF("source", "n")
+      val rows = Sampling.temperatureMix(counts, "source", "n", alpha, budget)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(rows.map(_._3).sum == budget,
+        s"quotas must sum to the budget (alpha=$alpha budget=$budget sizes=$sizes)")
+      assert(rows.forall(_._3 >= 0))
+      // size-monotone up to the ±1 largest-remainder unit: a strictly larger
+      // source can never receive a quota 2+ BELOW a smaller one
+      for ((sa, na, qa) <- rows; (_, nb, qb) <- rows if na > nb)
+        assert(qa >= qb - 1, s"larger source $sa under-allocated: $qa vs $qb")
+    }
+  }
 }

@@ -351,6 +351,28 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
         minRun = 2, maxHamming = 3, idCol = "id")))
   }
 
+  test("salted suffix-rank re-rank join: identical tables on a degenerate corpus " +
+    "(r11 verdict task 4)") {
+    import graft.operators.SuffixRank
+    // the EdgeCaseSpec shape at scale: one massively repeated character, so
+    // every early doubling round keys every position to the SAME (r, r2)
+    // pair — the hot key the salt splits. A small unique tail keeps the
+    // final ranks non-trivial.
+    val corpus = spark.range(12).select(col("id"),
+      concat(lit("a" * 60), md5(col("id").cast("string")).substr(1, 4)).as("t"))
+    def table(saltRank: Int) =
+      SuffixRank.rankTables(corpus, "id", "t", saltRank).last._2
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(table(4) === table(1), "salting must not change a single rank")
+    // and the finish built on the salted family matches the unsalted one
+    def dup(saltRank: Int) =
+      SuffixRank.longestDupPrefix(spark, corpus, "id", "t", minLen = 8,
+          saltRank = saltRank)
+        .collect().map(_.toSeq).toSet
+    assert(dup(4) === dup(1))
+    assert(dup(1).nonEmpty, "the repeated prefix must surface as duplicates")
+  }
+
   test("exact KS gate: no single-partition window anywhere in the plan") {
     import graft.operators.Validate
     // the whole point of Scan.cumSums is that the data-sized CDF never
