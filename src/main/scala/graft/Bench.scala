@@ -52,9 +52,10 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     /** One full suite pass with the noise sentinel around it. Returns the
       * per-query results, the sentinel's probe ratio (−1 when unavailable),
-      * and the formatted noise JSON fragment.
+      * the formatted noise JSON fragment, and the load triple (start, end,
+      * max-sampled-after-every-query) the mid-run gate reads.
       */
-    def runSuite(): (Map[String, Double], Double, String) = {
+    def runSuite(): (Map[String, Double], Double, String, (Double, Double, Double)) = {
       val sysLoadStart = osBean.getSystemLoadAverage
       // Environment-noise sentinel, part 1: time the probe (first) query
       // BEFORE the suite, post-warmup and outside the totals. Run it twice
@@ -102,28 +103,53 @@ object Bench {
         // mid-run contamination detector; r covers the endpoints.
         f""","noise":{"tw":$tWarm%.2f,"te":$tEnd%.2f,"r":$ratio%.2f,"ls":$sysLoadStart%.2f,"le":$sysLoadEnd%.2f,"lm":$loadMax%.2f}"""
       }).getOrElse("")
-      (results, probeRatio, noiseJson)
+      var sysLoadEndAll = osBean.getSystemLoadAverage
+      if (sysLoadEndAll > loadMax) loadMax = sysLoadEndAll
+      (results, probeRatio, noiseJson, (sysLoadStart, sysLoadEndAll, loadMax))
     }
     // Sentinel GATE (three straight rounds of judge-vs-driver number
-    // disagreement were all traced to contaminated driver runs): when the
-    // probe ratio says the box was loud (> 1.5), sleep out the transient
-    // and re-run the whole suite ONCE, then publish whichever attempt has
-    // the cleaner sentinel — same output format, plus "retry" so a gated
-    // run is visible in the record.
+    // disagreement were all traced to contaminated driver runs): re-run the
+    // whole suite ONCE when an attempt looks contaminated, then publish the
+    // cleaner attempt — same output format, plus "retry"/"rr" so a gated
+    // run and its trigger are visible in the record. Two triggers:
+    //  - "probe": probe ratio > 1.5 — endpoint contention the r10 gate
+    //    already caught;
+    //  - "load": BENCH_r11's escape — mid-run contention with QUIET probe
+    //    endpoints (lm 6.34 vs ratio 1.10, ~30% inflation invisible to the
+    //    probe). Fires when the per-query-sampled load max is > 2× the
+    //    quiet endpoint load (floored at 1.0 so an idle box's 0.0x noise
+    //    can't trip it) AND the suite actually ran slow (> 1.6 s/query vs
+    //    the 1.1–1.35 s/query quiet history) — both conditions, so a
+    //    legitimately heavier suite alone never burns the retry.
+    def dirtyReason(a: (Map[String, Double], Double, String, (Double, Double, Double))): Option[String] = {
+      val (results, ratio, _, (ls, le, lm)) = a
+      if (ratio > 1.5) Some("probe")
+      else {
+        val total = results.values.filter(_ >= 0).sum
+        val n = math.max(results.size, 1)
+        if (lm > 2.0 * math.max(math.max(ls, le), 1.0) && total / n > 1.6) Some("load")
+        else None
+      }
+    }
     val attempt1 = runSuite()
-    val dirtyAbove = 1.5
-    val (results, noiseJson, retried) =
-      if (attempt1._2 > dirtyAbove) {
-        System.err.println(f"[bench] sentinel dirty (probe ratio ${attempt1._2}%.2f > $dirtyAbove%.1f); " +
+    val reason1 = dirtyReason(attempt1)
+    val (results, noiseJson, retryTag) = reason1 match {
+      case None => (attempt1._1, attempt1._3, "")
+      case Some(why) =>
+        System.err.println(s"[bench] sentinel dirty ($why); " +
           "sleeping 60 s and re-running the suite once")
         Thread.sleep(60000)
         val attempt2 = runSuite()
-        val best = // prefer a clean ratio; -1 (unavailable) loses to any measurement
-          if (attempt2._2 > 0 && (attempt1._2 <= 0 || attempt2._2 <= attempt1._2)) attempt2
+        // prefer the attempt the gate calls clean; when both are dirty (or
+        // both clean) keep the lower total — contamination only adds time
+        def total(a: (Map[String, Double], Double, String, (Double, Double, Double))) =
+          a._1.values.filter(_ >= 0).sum
+        val best =
+          if (dirtyReason(attempt2).isEmpty) attempt2
+          else if (total(attempt2) < total(attempt1)) attempt2
           else attempt1
-        (best._1, best._3, 1)
-      } else (attempt1._1, attempt1._3, 0)
-    val retryTag = if (retried > 0) s""","retry":$retried""" else ""
+        (best._1, best._3, s""","retry":1,"rr":"$why"""")
+    }
     // a SPARK_GRAFT_ONLY-filtered profiling run must be distinguishable from
     // a full benchmark — mark it in the JSON
     val filteredTag = only.map { f =>
