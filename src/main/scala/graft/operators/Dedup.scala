@@ -244,26 +244,61 @@ object Dedup {
                               idCol: String, textCol: String,
                               shingleSize: Int, numHashes: Int, bands: Int,
                               threshold: Double): DataFrame = {
+    val (trainBands, trainSigs) =
+      trainNearDupIndex(train, idCol, textCol, shingleSize, numHashes, bands)
+    crossCorpusNearDupFromIndex(trainBands, trainSigs, test, idCol, textCol,
+      shingleSize, numHashes, bands, threshold)
+  }
+
+  /** The TRAIN side of [[crossCorpusNearDupPairs]] as a standalone INDEX:
+    * (band table (train_id, band, band_key), signature table (train_id,
+    * hs_b)) — the thing a 100 TB pipeline precomputes ONCE and persists
+    * ([[graft.pipeline.ArtifactStore]]); each incoming test batch then
+    * costs its own shingling + bands only, never a train rescan. q200
+    * turns that scaladoc claim into a checked hash.
+    */
+  def trainNearDupIndex(train: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int, numHashes: Int,
+                        bands: Int): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    def side(df: DataFrame) = withShinglesPoly(df, idCol, textCol, shingleSize)
+    val tr = withShinglesPoly(train, idCol, textCol, shingleSize)
       .withColumn("sig", minhashSignaturePoly(col("hs"), numHashes))
-      .cache() // band branch + verify branch below
-    val tr = side(train)
-    val te = side(test)
-    def bandsOf(s: DataFrame, out: String) = s
+      .cache() // cache-lifetime: band + signature outputs below (see Caching)
+    val b = tr
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("band_key", bandKey(col("sig"), col("band"), rows))
-      .select(col(idCol).as(out), col("band"), col("band_key"))
+      .select(col(idCol).as("train_id"), col("band"), col("band_key"))
+    (b, tr.select(col(idCol).as("train_id"), col("hs").as("hs_b")))
+  }
+
+  /** [[crossCorpusNearDupPairs]]' probe side against a PREBUILT train
+    * index (fresh from [[trainNearDupIndex]] or loaded from a materialized
+    * artifact). Per-test-document results depend only on that document and
+    * the train index, so per-batch probing composes exactly:
+    * pairs(train, A ∪ B) = pairs(train, A) ∪ pairs(train, B).
+    */
+  def crossCorpusNearDupFromIndex(trainBands: DataFrame, trainSigs: DataFrame,
+                                  test: DataFrame, idCol: String, textCol: String,
+                                  shingleSize: Int, numHashes: Int, bands: Int,
+                                  threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val te = withShinglesPoly(test, idCol, textCol, shingleSize)
+      .withColumn("sig", minhashSignaturePoly(col("hs"), numHashes))
+      .cache() // cache-lifetime: band branch + verify branch (see Caching)
     // slim (id, band, key) rows through the candidate shuffle; shingle-hash
     // arrays attach only after per-pair dedup (the minhashLshPairs rule)
-    val cand = bandsOf(te, "test_id")
-      .join(bandsOf(tr, "train_id"), Seq("band", "band_key"))
+    val cand = te
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("band_key", bandKey(col("sig"), col("band"), rows))
+      .select(col(idCol).as("test_id"), col("band"), col("band_key"))
+      .join(trainBands, Seq("band", "band_key"))
       .select("test_id", "train_id")
       .dropDuplicates("test_id", "train_id")
     cand
       .join(te.select(col(idCol).as("test_id"), col("hs").as("hs_a")), Seq("test_id"))
-      .join(tr.select(col(idCol).as("train_id"), col("hs").as("hs_b")), Seq("train_id"))
+      .join(trainSigs, Seq("train_id"))
       .withColumn("jac", floorRound(jaccardSorted(col("hs_a"), col("hs_b")), 4))
       .filter(col("jac") >= threshold)
       .select("test_id", "train_id", "jac")

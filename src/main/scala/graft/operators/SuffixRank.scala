@@ -186,21 +186,46 @@ object SuffixRank {
     pairs
   }
 
+  /** The SELF-corpus materialization boundary (backlog r12 item 1, the
+    * q189-family artifact pattern applied to the q183/q185 pair): the
+    * suffix array `(doc, pos, sa)` and the UNFILTERED adjacent-LCP pair
+    * table `(sa, doc_a, pos_a, doc_b, pos_b, lcp)` — everything the two
+    * finishes ([[longestDupPrefixFromLcp]], [[maximalRepeatsFromArrays]])
+    * need, and nothing the doubling build keeps private (the rank tables
+    * themselves stay session-internal: the finishes never touch them once
+    * the LCP walk has run). Both outputs are deterministic (range-sorted
+    * zipWithIndex), so they qualify for [[graft.pipeline.ArtifactStore]].
+    */
+  def suffixArrays(spark: SparkSession, df: DataFrame, idCol: String,
+                   textCol: String, saltRank: Int = 1): (DataFrame, DataFrame) = {
+    val tables = rankTables(df, idCol, textCol, saltRank)
+    val lens = df.select(col(idCol).cast("long").as("doc"),
+      length(col(textCol)).cast("long").as("len"))
+    val sa = cutLineage(suffixArray(spark, tables.last._2))
+    val pairs = adjacentLcp(sa, tables, lens)
+      .select("sa", "doc_a", "pos_a", "doc_b", "pos_b", "lcp")
+    (sa, pairs)
+  }
+
   /** `(doc_id, pos, lcp)` for every position whose longest duplicated
     * prefix is ≥ `minLen` — unbounded length, exact. 0-based positions.
     */
   def longestDupPrefix(spark: SparkSession, df: DataFrame, idCol: String,
                        textCol: String, minLen: Int,
-                       saltRank: Int = 1): DataFrame = {
+                       saltRank: Int = 1): DataFrame =
+    longestDupPrefixFromLcp(suffixArrays(spark, df, idCol, textCol, saltRank)._2,
+      minLen)
+
+  /** [[longestDupPrefix]]'s finish decoupled from the build: `lcpPairs` is
+    * the adjacent-LCP table from [[suffixArrays]] — fresh or loaded from a
+    * materialized artifact. Each neighbor pair bounds BOTH endpoints' best
+    * match; a position's longest match with any other suffix is its max
+    * over ≤ 2 neighbors.
+    */
+  def longestDupPrefixFromLcp(lcpPairs: DataFrame, minLen: Int): DataFrame = {
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
-    val tables = rankTables(df, idCol, textCol, saltRank)
-    val lens = df.select(col(idCol).cast("long").as("doc"),
-      length(col(textCol)).cast("long").as("len"))
-    val pairs = adjacentLcp(suffixArray(spark, tables.last._2), tables, lens)
-    // each neighbor pair bounds BOTH endpoints' best match; a position's
-    // longest match with any other suffix is its max over ≤ 2 neighbors
-    val contrib = pairs.select(col("doc_a").as("doc_id"), col("pos_a").as("pos"), col("lcp"))
-      .unionByName(pairs.select(col("doc_b").as("doc_id"), col("pos_b").as("pos"), col("lcp")))
+    val contrib = lcpPairs.select(col("doc_a").as("doc_id"), col("pos_a").as("pos"), col("lcp"))
+      .unionByName(lcpPairs.select(col("doc_b").as("doc_id"), col("pos_b").as("pos"), col("lcp")))
     contrib.groupBy("doc_id", "pos")
       .agg(max("lcp").as("lcp"))
       .filter(col("lcp") >= minLen)
@@ -245,17 +270,26 @@ object SuffixRank {
     */
   def maximalRepeats(spark: SparkSession, df: DataFrame, idCol: String,
                      textCol: String, minLen: Int): DataFrame = {
+    val (sa, pairs) = suffixArrays(spark, df, idCol, textCol)
+    maximalRepeatsFromArrays(df, idCol, textCol, sa, pairs, minLen)
+  }
+
+  /** [[maximalRepeats]]' construction decoupled from the doubling build:
+    * `sa` and `lcpPairs` come from [[suffixArrays]] — fresh or loaded from
+    * a materialized artifact. The min-table build, extent walks, and
+    * member joins COMPOSE ~4·log n joins on top of the two arrays, so both
+    * get the full lineage cut (tree truncation AND measured stats; see
+    * [[cutLineage]] for why each half matters — a parquet-loaded artifact
+    * arrives flat already, and the cut then just pins the multi-consumer
+    * cache).
+    */
+  def maximalRepeatsFromArrays(df: DataFrame, idCol: String, textCol: String,
+                               sa0: DataFrame, lcpPairs: DataFrame,
+                               minLen: Int): DataFrame = {
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
     val docs = df.select(col(idCol).cast("long").as("doc"), col(textCol).as("t"))
-    val tables = rankTables(df, idCol, textCol)
-    val lens = docs.select(col("doc"), length(col("t")).cast("long").as("len"))
-    // the SA and LCP arrays back the min-table build, the extent walks, and
-    // the member join below — the construction COMPOSES ~4·log n joins on
-    // top of them, so both need the full lineage cut (tree truncation AND
-    // measured stats; see cutLineage for why each half matters).
-    val sa = cutLineage(suffixArray(spark, tables.last._2))
-    val lcp = cutLineage(adjacentLcp(sa, tables, lens)
-      .select(col("sa").as("i"), col("lcp")))
+    val sa = cutLineage(sa0)
+    val lcp = cutLineage(lcpPairs.select(col("sa").as("i"), col("lcp")))
     val nSuffix = sa.count()
     // sparse-min tables: minTs head is the LARGEST window; inner self-joins
     // keep only FULL windows, so a missing row below means "out of range"

@@ -427,19 +427,22 @@ object Validate {
   }
 
   /** Shared KS finish over (cum_pn, cum_nn) running counts: totals, CDF
-    * gap, max, verdict. An EMPTY side (tp or tn = 0) would make cp/tp NaN,
-    * and `NaN > threshold` is true in Spark SQL — so the guard nulls both
-    * `ks` and `is_drift` when either side is empty (matching
+    * gap, max, verdict. An EMPTY side (tp or tn = 0) must not reach the
+    * division at all: under ANSI mode (Spark 4 default) 0-divide THROWS,
+    * and with ANSI off it yields NaN whose `NaN > threshold` is true —
+    * either way a silent-or-crashing wrong answer. The guard sits INSIDE
+    * the aggregate (the conditional short-circuits the division), so an
+    * empty side yields null `ks` and null `is_drift` (matching
     * [[groupedKsGate]]'s exclude-empty-sides contract); a vanishing source
     * is the count gate's job, not KS's.
     */
   private def ksFinish(cum: DataFrame, threshold: Double, roundTo: Int): DataFrame = {
     val totals = cum.agg(max("cum_pn").as("tp"), max("cum_nn").as("tn"))
     cum.crossJoin(broadcast(totals))
-      .agg(floorRound(max(abs(col("cum_pn").cast("double") / col("tp").cast("double") -
-        col("cum_nn").cast("double") / col("tn").cast("double"))), roundTo).as("__ks"),
+      .agg(floorRound(max(when(col("tp") > 0 && col("tn") > 0,
+        abs(col("cum_pn").cast("double") / col("tp").cast("double") -
+          col("cum_nn").cast("double") / col("tn").cast("double")))), roundTo).as("ks"),
         first("tp").as("n_prev"), first("tn").as("n_next"))
-      .withColumn("ks", when(col("n_prev") > 0 && col("n_next") > 0, col("__ks")))
       .withColumn("is_drift",
         when(col("ks").isNotNull, (col("ks") > threshold).cast("long")))
       .select("ks", "n_prev", "n_next", "is_drift")

@@ -48,25 +48,34 @@ object ArtifactStore {
     f.exists(new Path(root, "_SUCCESS"))
 
   /** Read the artifact at `root`, materializing `build` first if absent.
-    * The build is written to a staging dir and atomically promoted, so
-    * concurrent readers in other processes either see the full artifact or
-    * none (and then build their own — wasted work, never a torn read).
+    * The build is written to a PROCESS-UNIQUE staging dir and atomically
+    * promoted, so concurrent builders — in this JVM (serialized by the
+    * lock) or in another process — can never interleave part files in one
+    * staging dir; a racing loser finds the artifact live after its build
+    * and discards its own staging copy (content is deterministic, so
+    * last-promote-wins is value-neutral). Readers either see the full
+    * artifact or none — never a torn read. Crash debris (`.tmp-*` dirs)
+    * stays behind in the scratch tier; the next build neither reads nor
+    * trips over it.
     */
   def loadOrBuild(spark: SparkSession, root: String)(build: => DataFrame): DataFrame =
     synchronized {
       val f = fs(spark)
       if (!isLive(f, root)) {
-        val tmp = new Path(root + ".tmp")
-        if (f.exists(tmp) && !f.delete(tmp, true))
-          sys.error(s"ArtifactStore: could not clear stale staging dir $tmp")
-        // scalastyle:off println
-        println(s"[artifact] building $root")
-        // scalastyle:on println
-        build.write.mode("overwrite").parquet(tmp.toString)
-        StagedSwap.swap(f, tmp, new Path(root), new Path(root + ".old"))
+        buildAndPromote(f, root, build)
       }
       spark.read.parquet(root)
     }
+
+  private def buildAndPromote(f: FileSystem, live: String, build: => DataFrame): Unit = {
+    val tmp = new Path(live + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    // scalastyle:off println
+    println(s"[artifact] building $live")
+    // scalastyle:on println
+    build.write.mode("overwrite").parquet(tmp.toString)
+    if (isLive(f, live)) f.delete(tmp, true) // a concurrent builder won
+    else StagedSwap.swap(f, tmp, new Path(live), new Path(live + ".old"))
+  }
 
   /** Append-only BATCH layout for incrementally-maintained artifacts:
     * each batch is its own subdirectory `b<id>`, written staged + promoted,
@@ -80,14 +89,7 @@ object ArtifactStore {
     val f = fs(spark)
     val live = s"$root/b$batchId"
     if (!isLive(f, live)) {
-      val tmp = new Path(live + ".tmp")
-      if (f.exists(tmp) && !f.delete(tmp, true))
-        sys.error(s"ArtifactStore: could not clear stale staging dir $tmp")
-      // scalastyle:off println
-      println(s"[artifact] building batch $live")
-      // scalastyle:on println
-      build.write.mode("overwrite").parquet(tmp.toString)
-      StagedSwap.swap(f, tmp, new Path(live), new Path(live + ".old"))
+      buildAndPromote(f, live, build)
     }
   }
 

@@ -215,6 +215,21 @@ object TextQueries {
     Tables.documents(s, dir)
       .select(col("doc_id"), substring(col("text"), 1, 128).as("t"))
 
+  /** Materialized SELF-corpus suffix array + adjacent-LCP table shared by
+    * q183 and q185 (backlog r12 item 1): the doubling build runs once per
+    * input dir; both finishes consume the arrays. Same determinism/keying
+    * contract as [[contamHits]].
+    */
+  private def selfSuffixArrays(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import graft.pipeline.ArtifactStore
+    lazy val built = graft.operators.SuffixRank.suffixArrays(s,
+      contamCorpus(s, dir).filter(col("doc_id") < 8), "doc_id", "t")
+    (ArtifactStore.loadOrBuild(s,
+        ArtifactStore.rootFor(dir, "suffix_sa_d8_c128_v1"))(built._1),
+      ArtifactStore.loadOrBuild(s,
+        ArtifactStore.rootFor(dir, "suffix_lcp_d8_c128_v1"))(built._2))
+  }
+
   /** MATERIALIZED contamination hits — the generalized suffix-rank overlap
     * table (doc_id, pos, lcp over test ids) built ONCE per input dir and
     * consumed by all three finishes (q189 spans, q191 mask, q192 rate):
@@ -324,6 +339,25 @@ object TextQueries {
        |  SELECT id_a, id_b, ${frs(jacExpr, 4)} AS jac
        |  FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
        |            JOIN sh sb ON cand.id_b = sb.doc_id)""".stripMargin
+
+  /** q194/q200's shared full-rebuild oracle: cross-sided band-key candidate
+    * join + exact-Jaccard verify. q200's incrementally-maintained artifact
+    * path matching THIS two-sided rebuild is its maintenance ≡ rebuild
+    * check.
+    */
+  private lazy val crossNearDupOracle: String =
+    s"""$minhashBkCtes,
+       |cand AS (
+       |  SELECT x.doc_id AS test_id, y.doc_id AS train_id
+       |  FROM bk x JOIN bk y ON x.band = y.band AND x.band_key = y.band_key
+       |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT test_id, train_id, ${frs(jacExpr, 4)} AS jac
+       |  FROM cand JOIN sh sa ON cand.test_id = sa.doc_id
+       |            JOIN sh sb ON cand.train_id = sb.doc_id)
+       |SELECT test_id, train_id, jac FROM pairs
+       |WHERE jac >= $JaccardThreshold ORDER BY 1, 2""".stripMargin
 
   private val minhashLshOracle: String =
     s"""$minhashPairsCtes
@@ -1830,12 +1864,12 @@ object TextQueries {
     // (SuffixRank: O(n log L) slim shuffles, no suffix text moves); the
     // oracle brute-forces every position pair on the capped corpus, so the
     // exactness claim is hash-checked against the definition itself.
+    // q183/q185 share ONE materialized SA + adjacent-LCP artifact
+    // (selfSuffixArrays): whichever runs first pays the doubling build,
+    // the other loads parquet — the contamHits pattern on the self corpus.
     "q183_unbounded_dup_prefix" -> Q(
-      (s, dir) => {
-        val capped = Tables.documents(s, dir).filter(col("doc_id") < 8)
-          .select(col("doc_id"), substring(col("text"), 1, 128).as("t"))
-        graft.operators.SuffixRank.longestDupPrefix(s, capped, "doc_id", "t", minLen = 12)
-      },
+      (s, dir) => graft.operators.SuffixRank.longestDupPrefixFromLcp(
+        selfSuffixArrays(s, dir)._2, minLen = 12),
       Some(s"""WITH ${lcpBruteCtes("doc_id < 8",
                  "NOT (a.doc_id = b.doc_id AND a.pos = b.pos)")}
              |SELECT doc_id, pos, lcp FROM best WHERE lcp >= 12
@@ -1855,9 +1889,10 @@ object TextQueries {
     // Same 8×128 cap as q183: the oracle is O(n²·L), the operator is not.
     "q185_repeat_lexicon" -> Q(
       (s, dir) => {
-        val capped = Tables.documents(s, dir).filter(col("doc_id") < 8)
-          .select(col("doc_id"), substring(col("text"), 1, 128).as("t"))
-        graft.operators.SuffixRank.maximalRepeats(s, capped, "doc_id", "t", minLen = 6)
+        val (sa, lcpPairs) = selfSuffixArrays(s, dir)
+        graft.operators.SuffixRank.maximalRepeatsFromArrays(
+          contamCorpus(s, dir).filter(col("doc_id") < 8), "doc_id", "t",
+          sa, lcpPairs, minLen = 6)
       },
       Some("""WITH d AS (
              |  SELECT doc_id, substr(text, 1, 128) AS t FROM documents WHERE doc_id < 8),
@@ -1983,18 +2018,43 @@ object TextQueries {
           "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16,
           threshold = JaccardThreshold)
       },
-      Some(s"""$minhashBkCtes,
-             |cand AS (
-             |  SELECT x.doc_id AS test_id, y.doc_id AS train_id
-             |  FROM bk x JOIN bk y ON x.band = y.band AND x.band_key = y.band_key
-             |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0
-             |  GROUP BY 1, 2),
-             |pairs AS (
-             |  SELECT test_id, train_id, ${frs(jacExpr, 4)} AS jac
-             |  FROM cand JOIN sh sa ON cand.test_id = sa.doc_id
-             |            JOIN sh sb ON cand.train_id = sb.doc_id)
-             |SELECT test_id, train_id, jac FROM pairs
-             |WHERE jac >= $JaccardThreshold ORDER BY 1, 2""".stripMargin)),
+      Some(crossNearDupOracle)),
+
+    // The q194 claim made checkable (backlog item 2): "at 100 TB the train
+    // side is a precomputed index" — here the train band-key + signature
+    // tables are MATERIALIZED artifacts (built once per input dir, loaded
+    // thereafter), and the test side arrives as two batches (doc_id % 10 =
+    // 0, then = 5), each probing the standing index and appending its
+    // pairs. Per-test-doc results depend only on that doc and the train
+    // index, so batch probing composes exactly — and the oracle is q194's
+    // full two-sided rebuild VERBATIM, which is what makes maintained ≡
+    // rebuilt a hash, not a claim. Per-batch cost: the batch's own
+    // shingling + bands + candidate join; the train corpus is never
+    // rescanned after the first build.
+    "q200_neardup_index_incremental" -> Q(
+      (s, dir) => {
+        import graft.pipeline.ArtifactStore
+        val d = Tables.documents(s, dir)
+        lazy val idx = graft.operators.Dedup.trainNearDupIndex(
+          d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 16)
+        val trainBands = ArtifactStore.loadOrBuild(s,
+          ArtifactStore.rootFor(dir, "neardup_train_bands_s3_h32_b16_v1"))(idx._1)
+        val trainSigs = ArtifactStore.loadOrBuild(s,
+          ArtifactStore.rootFor(dir, "neardup_train_sigs_s3_h32_b16_v1"))(idx._2)
+        val resRoot = ArtifactStore.rootFor(dir, "neardup_hits_inc_s3_h32_b16_v1")
+        def batch(id: Long, m: Int): Unit =
+          ArtifactStore.appendBatchIfAbsent(s, resRoot, id) {
+            graft.operators.Dedup.crossCorpusNearDupFromIndex(
+              trainBands, trainSigs, d.filter(col("doc_id") % 10 === m),
+              "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16,
+              threshold = JaccardThreshold)
+          }
+        batch(0, 0)
+        batch(1, 5)
+        ArtifactStore.readBatches(s, resRoot).orderBy("test_id", "train_id")
+      },
+      Some(crossNearDupOracle)),
 
     "q149_exact_substr_spans" -> Q(
       (s, dir) => Dedup.exactSubstrSpans(

@@ -56,6 +56,24 @@ class ArtifactStoreSpec extends AnyFunSuite with SparkTestSession {
     assertThrows[IllegalArgumentException](ArtifactStore.readBatches(spark, root))
   }
 
+  test("suffix finishes over a parquet round-tripped SA/LCP artifact ≡ direct build") {
+    val corpus = Seq(
+      (0L, "abracadabra abracadabra"),
+      (1L, "the cat sat on the mat the cat"),
+      (2L, "abracadabra mat")).toDF("doc_id", "t")
+    val (sa, lcp) = SuffixRank.suffixArrays(spark, corpus, "doc_id", "t")
+    val saRoot = freshRoot("sa")
+    val lcpRoot = freshRoot("lcp")
+    val saA = ArtifactStore.loadOrBuild(spark, saRoot)(sa)
+    val lcpA = ArtifactStore.loadOrBuild(spark, lcpRoot)(lcp)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(SuffixRank.longestDupPrefixFromLcp(lcpA, minLen = 3))
+      === rows(SuffixRank.longestDupPrefix(spark, corpus, "doc_id", "t", minLen = 3)))
+    assert(rows(SuffixRank.maximalRepeatsFromArrays(corpus, "doc_id", "t", saA, lcpA, minLen = 3))
+      === rows(SuffixRank.maximalRepeats(spark, corpus, "doc_id", "t", minLen = 3)))
+    assert(SuffixRank.longestDupPrefixFromLcp(lcpA, minLen = 3).count() > 0)
+  }
+
   test("maintained contamination hits ≡ full rebuild (per-batch decomposition)") {
     // train corpus with a planted span; test arrives as two batches
     val train = Seq(

@@ -187,4 +187,46 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestSession {
     assert(Dedup.crossCorpusNearDupPairs(trDocs, emptyDocs, "doc_id", "text", 3, 32, 16, 0.5)
       .count() === 0)
   }
+
+  test("ksGate with an empty side reports null ks and null verdict, not drift") {
+    // the r11 advice trap: tp or tn = 0 makes cp/tp NaN, and NaN > threshold
+    // is TRUE in Spark SQL — an empty snapshot must not silently flag drift
+    import graft.operators.Validate
+    val prev = Seq(1.0, 2.0, 3.0).toDF("v")
+    val empty = Seq.empty[Double].toDF("v")
+    val r = Validate.ksGate(prev, empty, "v", threshold = 0.05, scanParts = 2)
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("ks")), "ks must be null on an empty side")
+    assert(r.isNullAt(r.fieldIndex("is_drift")), "verdict must be null, not drift")
+    val ok = Validate.ksGate(prev, prev, "v", threshold = 0.05, scanParts = 2)
+      .collect().head
+    assert(ok.getDouble(ok.fieldIndex("ks")) === 0.0)
+    assert(ok.getLong(ok.fieldIndex("is_drift")) === 0L)
+  }
+
+  test("temperatureMix edge shapes: single source takes the whole budget; " +
+    "zero-size sources are excluded") {
+    import graft.operators.Sampling
+    val one = Sampling.temperatureMix(Seq(("web", 1000L)).toDF("source", "n"),
+      "source", "n", alpha = 0.5, budget = 77L).collect()
+    assert(one.length === 1 && one.head.getLong(2) === 77L)
+    val withZero = Sampling.temperatureMix(
+      Seq(("web", 1000L), ("empty", 0L)).toDF("source", "n"),
+      "source", "n", alpha = 0.5, budget = 10L).collect()
+    assert(withZero.map(_.getString(0)).toSeq === Seq("web"))
+    assert(withZero.head.getLong(2) === 10L)
+  }
+
+  test("semDeDup on an all-identical cell keeps exactly one member") {
+    import graft.operators.Dedup
+    val v = Seq.fill(8)(1.0)
+    val df = (0L until 5L).map(i => (i, v)).toDF("vec_id", "vec")
+    val cents = Seq(Seq.fill(8)(1.0), Seq.fill(8)(-1.0))
+    val out = Dedup.semDeDup(df, "vec_id", "vec", cents, tau = 0.9999)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out.size === 5)
+    assert(out.values.count(_ == 0L) === 1, "exactly one survivor per ε-ball")
+    // identical vectors tie on cent_sim, so the lowest id survives
+    assert(out(0L) === 0L && (1L until 5L).forall(out(_) === 1L))
+  }
 }
