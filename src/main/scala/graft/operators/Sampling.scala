@@ -160,6 +160,12 @@ object Sampling {
       .select(col(sourceCol).as("source"), col(nCol).cast("long").as("n"))
       .filter(col("n") > 0)
       .withColumn("w", floor(wRaw * lit(1000000.0)).cast("long"))
+      // cache-lifetime: the weight total, the deficit, and the final
+      // allocation each re-read this relation — uncached, a caller passing
+      // `corpus.groupBy(source).count()` would scan the corpus once PER
+      // BRANCH (4 scans, plan-audited); cached it is one row per source,
+      // parameter-sized. Caller releases (see Caching).
+      .cache()
     val tot = scaled.agg(sum("w").as("tw"))
     val based = scaled.crossJoin(broadcast(tot))
       .withColumn("ideal",

@@ -318,6 +318,47 @@ object VectorQueries {
       expr(s"transform(sequence(0, 63), d -> $cvBody)").as("cvec"))
       .cache()
 
+  /** The trained ANN index PARAMETERS as materialized artifacts (the
+    * contamHits pattern applied to parameter math): the Lloyd-trained
+    * coarse centroids and each chain's PQ codebooks are deterministic
+    * functions of the corpus (floor-rounded means, lowest-id init), so
+    * they qualify for [[graft.pipeline.ArtifactStore]] — trained once per
+    * input dir, loaded (a parameter-sized collect: 32 rows / m·ksub rows)
+    * by every audit query thereafter. This is also how a deployment ships
+    * an IVF-PQ index: quantizer parameters are artifacts of a training
+    * run, not something each query session re-derives.
+    */
+  private def trainedCents(s: org.apache.spark.sql.SparkSession,
+                           dir: String): Array[Seq[Double]] = {
+    import graft.pipeline.ArtifactStore
+    val df = ArtifactStore.loadOrBuild(s,
+      ArtifactStore.rootFor(dir, "ivf_cents_cf_k32_i1_v1")) {
+      import s.implicits._
+      AnnIndex.kmeansCentroids(clusteredDf(s, dir), "cvec", "vec_id", k = 32, iters = 1)
+        .zipWithIndex.map { case (c, i) => (i, c) }.toSeq.toDF("ci", "cv")
+    }
+    df.orderBy("ci").collect().map(_.getSeq[Double](1)) // 32 rows — parameters
+  }
+
+  /** One PQ codebook set as an artifact: (j, code, vec) rows, rebuilt into
+    * the m×ksub array shape the AnnIndex APIs take. `train` runs only on a
+    * cache miss.
+    */
+  private def trainedCodebooks(s: org.apache.spark.sql.SparkSession, dir: String,
+                               name: String)(
+      train: => Array[Array[Seq[Double]]]): Array[Array[Seq[Double]]] = {
+    import graft.pipeline.ArtifactStore
+    val df = ArtifactStore.loadOrBuild(s, ArtifactStore.rootFor(dir, name)) {
+      import s.implicits._
+      train.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (v, code) => (j, code, v) }
+      }.toSeq.toDF("j", "code", "vec")
+    }
+    val rows = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val m = rows.map(_._1).max + 1
+    Array.tabulate(m)(j => rows.filter(_._1 == j).sortBy(_._2).map(_._3))
+  }
+
   /** PARAPHRASE-shaped augmentation of the clustered corpus (q196): every
     * vec_id % 4 == 0 member gains a planted near-duplicate at id+100000 —
     * the original vector plus integer noise in [−3, 3] per dim (hash-
@@ -1316,7 +1357,7 @@ object VectorQueries {
     "q177_clustered_ivf_kmeans" -> Q(
       (s, dir) => {
         val cf = clusteredDf(s, dir)
-        val cents = AnnIndex.kmeansCentroids(cf, "cvec", "vec_id", k = 32, iters = 1)
+        val cents = trainedCents(s, dir)
         val qs = cf.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("cvec").as("q_vec"))
         AnnIndex.ivfTopK(qs, "q_id", "q_vec",
@@ -1355,22 +1396,24 @@ object VectorQueries {
     "q178_opq_recall" -> Q(
       (s, dir) => {
         val cf = clusteredDf(s, dir)
-        val cents = AnnIndex.kmeansCentroids(cf, "cvec", "vec_id", k = 32, iters = 1)
-          .map(_.toSeq)
+        val cents = trainedCents(s, dir)
         val corpus = cf.select(col("vec_id").as("c_id"), col("cvec"))
         val queries = cf.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("cvec").as("q_vec"))
-        val rawCb = AnnIndex.pqTrainCodebooks(cf, "vec_id", "cvec",
-          m = PqM, ksub = PqKsub, dim = 64, iters = 1)
-        val residCorpus = AnnIndex.pqResidualCorpus(cf, "vec_id", "cvec",
-          nlist = 32, coarseCentroids = Some(cents)).cache() // 4 consumers
-        val resCb = AnnIndex.pqTrainCodebooks(residCorpus, "vec_id", "__resid",
-          m = PqM, ksub = PqKsub, dim = 64, iters = 1)
+        val rawCb = trainedCodebooks(s, dir, "pq_cb_raw_cf_v1")(
+          AnnIndex.pqTrainCodebooks(cf, "vec_id", "cvec",
+            m = PqM, ksub = PqKsub, dim = 64, iters = 1))
+        // lazy + cached: built only when a codebook artifact is missing
+        lazy val residCorpus = AnnIndex.pqResidualCorpus(cf, "vec_id", "cvec",
+          nlist = 32, coarseCentroids = Some(cents)).cache()
+        val resCb = trainedCodebooks(s, dir, "pq_cb_res_cf_v1")(
+          AnnIndex.pqTrainCodebooks(residCorpus, "vec_id", "__resid",
+            m = PqM, ksub = PqKsub, dim = 64, iters = 1))
         val rot = graft.operators.Opq.fixtureRotation
-        val rotCorpus = residCorpus.select(col("vec_id"),
-          matVec(col("__resid"), rot).as("__resid"))
-        val opqCb = AnnIndex.pqTrainCodebooks(rotCorpus, "vec_id", "__resid",
-          m = PqM, ksub = PqKsub, dim = 64, iters = 1)
+        val opqCb = trainedCodebooks(s, dir, "pq_cb_opq_cf_v1")(
+          AnnIndex.pqTrainCodebooks(residCorpus.select(col("vec_id"),
+            matVec(col("__resid"), rot).as("__resid")), "vec_id", "__resid",
+            m = PqM, ksub = PqKsub, dim = 64, iters = 1))
         def top3(f: => org.apache.spark.sql.DataFrame, hit: String) =
           f.select(col("q_id"), col("c_id"), lit(1).as(hit))
         val raw3 = top3(AnnIndex.pqTopK(queries, "q_id", "q_vec", corpus, "c_id", "cvec",
@@ -1468,26 +1511,27 @@ object VectorQueries {
     "q186_opq_np_recall" -> Q(
       (s, dir) => {
         val cf = clusteredDf(s, dir)
-        val cents = AnnIndex.kmeansCentroids(cf, "cvec", "vec_id", k = 32, iters = 1)
-          .map(_.toSeq)
+        val cents = trainedCents(s, dir)
         val corpus = cf.select(col("vec_id").as("c_id"), col("cvec"))
         val queries = cf.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("cvec").as("q_vec"))
-        val residCorpus = AnnIndex.pqResidualCorpus(cf, "vec_id", "cvec",
-          nlist = 32, coarseCentroids = Some(cents)).cache() // both chains rotate it
-        def chain(rot: Array[Array[Double]], hit: String) = {
-          val rotCorpus = residCorpus.select(col("vec_id"),
-            matVec(col("__resid"), rot).as("__resid"))
-          val cb = AnnIndex.pqTrainCodebooks(rotCorpus, "vec_id", "__resid",
-            m = PqM, ksub = PqKsub, dim = 64, iters = 1)
+        // lazy + cached: built only when a codebook artifact is missing;
+        // the parametric-OPQ codebooks are the SAME artifact q178 trains
+        lazy val residCorpus = AnnIndex.pqResidualCorpus(cf, "vec_id", "cvec",
+          nlist = 32, coarseCentroids = Some(cents)).cache()
+        def chain(rot: Array[Array[Double]], cbName: String, hit: String) = {
+          val cb = trainedCodebooks(s, dir, cbName)(
+            AnnIndex.pqTrainCodebooks(residCorpus.select(col("vec_id"),
+              matVec(col("__resid"), rot).as("__resid")), "vec_id", "__resid",
+              m = PqM, ksub = PqKsub, dim = 64, iters = 1))
           AnnIndex.pqResidualTopK(queries, "q_id", "q_vec", corpus, "c_id", "cvec",
             k = 10, m = PqM, ksub = PqKsub, dim = 64, nlist = 32, nprobe = 4,
             codebooks = Some(cb), coarseCentroids = Some(cents),
             rotation = Some(rot))
             .select(col("q_id"), col("c_id"), lit(1).as(hit))
         }
-        val par3 = chain(graft.operators.Opq.fixtureRotation, "__hit_opq")
-        val np3 = chain(graft.operators.Opq.fixtureRotationNP, "__hit_np")
+        val par3 = chain(graft.operators.Opq.fixtureRotation, "pq_cb_opq_cf_v1", "__hit_opq")
+        val np3 = chain(graft.operators.Opq.fixtureRotationNP, "pq_cb_opqnp_cf_v1", "__hit_np")
         val c = cf.select(col("vec_id").as("c_id"), asDouble(col("cvec")).as("cv"))
           .withColumn("__c2", l2NormSq(col("cv")))
         val q = queries.select(col("q_id"), asDouble(col("q_vec")).as("qv"))
@@ -1563,13 +1607,8 @@ object VectorQueries {
     // (exactly one member of each flagged), zero same-topic false drops —
     // the dup-recall note vs the shingle leg lives in docs/PERF_r12.md.
     "q196_semantic_dedup" -> Q(
-      (s, dir) => {
-        val cf = clusteredDf(s, dir)
-        val cents = AnnIndex.kmeansCentroids(cf, "cvec", "vec_id", k = 32, iters = 1)
-          .map(_.toSeq).toSeq
-        graft.operators.Dedup.semDeDup(paraphraseDf(s, dir), "vec_id", "cvec",
-          cents, tau = 0.99999)
-      },
+      (s, dir) => graft.operators.Dedup.semDeDup(paraphraseDf(s, dir), "vec_id", "cvec",
+        trainedCents(s, dir).toSeq, tau = 0.99999),
       Some {
         val cosxy = s"list_inner_product(x.v, y.v) / (sqrt(${sqSql("x.v")}) * sqrt(${sqSql("y.v")}))"
         val centSim = s"list_inner_product(a.v, c.cv) / (sqrt(${sqSql("a.v")}) * sqrt(${sqSql("c.cv")}))"
@@ -1627,25 +1666,29 @@ object VectorQueries {
     "q197_ann_frontier" -> Q(
       (s, dir) => {
         val cf = clusteredDf(s, dir)
-        val cents = AnnIndex.kmeansCentroids(cf, "cvec", "vec_id", k = 32, iters = 1)
-          .map(_.toSeq)
+        val cents = trainedCents(s, dir)
         val corpus = cf.select(col("vec_id").as("c_id"), col("cvec"))
         val queries = cf.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("cvec").as("va"))
           .join(cf.select((col("vec_id") - 1).as("q_id"), col("cvec").as("vb")), Seq("q_id"))
           .select(col("q_id"),
             zip_with(col("va"), col("vb"), (x, y) => (x + y) / lit(2.0)).as("q_vec"))
-        val rawCb = AnnIndex.pqTrainCodebooks(cf, "vec_id", "cvec",
-          m = PqM, ksub = PqKsub, dim = 64, iters = 1)
-        val residCorpus = AnnIndex.pqResidualCorpus(cf, "vec_id", "cvec",
-          nlist = 32, coarseCentroids = Some(cents)).cache() // 2 codebook trainings
-        val resCb = AnnIndex.pqTrainCodebooks(residCorpus, "vec_id", "__resid",
-          m = PqM, ksub = PqKsub, dim = 64, iters = 1)
+        // the three codebook sets are the SAME artifacts q178 trains —
+        // the frontier audits the deployed index's parameters, it does not
+        // train its own
+        val rawCb = trainedCodebooks(s, dir, "pq_cb_raw_cf_v1")(
+          AnnIndex.pqTrainCodebooks(cf, "vec_id", "cvec",
+            m = PqM, ksub = PqKsub, dim = 64, iters = 1))
+        lazy val residCorpus = AnnIndex.pqResidualCorpus(cf, "vec_id", "cvec",
+          nlist = 32, coarseCentroids = Some(cents)).cache()
+        val resCb = trainedCodebooks(s, dir, "pq_cb_res_cf_v1")(
+          AnnIndex.pqTrainCodebooks(residCorpus, "vec_id", "__resid",
+            m = PqM, ksub = PqKsub, dim = 64, iters = 1))
         val rot = graft.operators.Opq.fixtureRotation
-        val rotCorpus = residCorpus.select(col("vec_id"),
-          matVec(col("__resid"), rot).as("__resid"))
-        val opqCb = AnnIndex.pqTrainCodebooks(rotCorpus, "vec_id", "__resid",
-          m = PqM, ksub = PqKsub, dim = 64, iters = 1)
+        val opqCb = trainedCodebooks(s, dir, "pq_cb_opq_cf_v1")(
+          AnnIndex.pqTrainCodebooks(residCorpus.select(col("vec_id"),
+            matVec(col("__resid"), rot).as("__resid")), "vec_id", "__resid",
+            m = PqM, ksub = PqKsub, dim = 64, iters = 1))
         val maxNp = 8
         def tag(df: org.apache.spark.sql.DataFrame, name: String) =
           df.withColumn("chain", lit(name))
@@ -1738,6 +1781,44 @@ object VectorQueries {
            |  ${frs("CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(60.0 AS DOUBLE)", 4)} AS recall
            |FROM counts c LEFT JOIN hits h ON h.chain = c.chain AND h.nprobe = c.nprobe
            |ORDER BY c.chain, c.nprobe""".stripMargin
+      }),
+
+    // The STREAMING row of the semantic-dedup axis (q196 is the batch
+    // form): the planted paraphrase copies arrive as a stream of NEW
+    // embeddings, assign their IVF cell map-side (the q196 trained
+    // centroids as literals), probe the standing corpus's cell members
+    // stream-static, and τ-matches fold into per-item verdict state. The
+    // oracle computes the same gate as batch SQL — stream ≡ batch, and at
+    // sf0.01 every one of the 125 copies is flagged with exactly its
+    // original (n_matches = 1, best_sim ≈ 1). Completes the streaming
+    // ingest-gate family (exact-substring q157, media q168, near-dup
+    // bounded q143) on the semantic modality.
+    "q201_stream_semantic_gate" -> Q(
+      (s, dir) => graft.streaming.StreamingAnn.semanticIngestGate(
+        s, dir,
+        idExpr = "vec_id + 100000",
+        vecExpr = s"transform(sequence(0, 63), d -> ($cvBody) + ($paraNoiseBody))",
+        deltaFilter = "vec_id % 4 = 0",
+        corpus = clusteredDf(s, dir).select(col("vec_id").as("c_id"), col("cvec")),
+        cents = trainedCents(s, dir).toSeq, tau = 0.99999),
+      Some {
+        val cosDA = s"list_inner_product(d.v, a.v) / (sqrt(${sqSql("d.v")}) * sqrt(${sqSql("a.v")}))"
+        s"""WITH $cfCte,
+           |$cfKmeansCtes,
+           |$paraphraseCtes,
+           |dasg AS (
+           |  SELECT vec_id, v, cell FROM (
+           |    SELECT p.vec_id, p.v, c.ci AS cell,
+           |      row_number() OVER (PARTITION BY p.vec_id
+           |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(p.v, c.cv), c.ci) AS rn
+           |    FROM pcopy p CROSS JOIN cents c)
+           |  WHERE rn = 1),
+           |sims AS (
+           |  SELECT d.vec_id, ${frs(cosDA, 6)} AS sim
+           |  FROM dasg d JOIN asg a ON a.cell = d.cell)
+           |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_matches, max(sim) AS best_sim
+           |FROM sims WHERE sim >= CAST(0.99999 AS DOUBLE)
+           |GROUP BY vec_id ORDER BY vec_id""".stripMargin
       }),
   )
 }

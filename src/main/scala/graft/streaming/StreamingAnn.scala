@@ -59,4 +59,53 @@ object StreamingAnn {
       .select(col("q_id"), col("c_id"), col("score"), col("rn"))
       .orderBy(col("q_id"), col("rn"))
   }
+
+  /** Streaming SEMANTIC-dedup ingest gate — the streaming row of the
+    * semantic axis ([[graft.operators.Dedup.semDeDup]] is the batch form):
+    * NEW embeddings arrive as a stream, each assigns its IVF cell as a pure
+    * map-side expression (literal trained centroids — the same argmin
+    * convention as the batch dedup), probes the STANDING corpus's members
+    * of that cell via a stream-static equi-join, and every pair at cosine
+    * ≥ `tau` folds into per-new-item verdict state (complete-mode count +
+    * max — an additive/idempotent monoid, so batch boundaries are
+    * invisible). Output: one row per flagged new item (vec_id, n_matches,
+    * best_sim); items matching nothing pass the gate silently (the
+    * complement set), which is the ingest-gate contract — report what you
+    * would REJECT.
+    *
+    * Scale: the standing side is the cell-partitioned corpus index (at
+    * 100 TB: precomputed, cell-bucketed); each arriving batch costs its
+    * own cell assignment plus one equi-join into its own cells' members —
+    * never a corpus rescan, never all-pairs. State is bounded by flagged
+    * new items, not by the corpus.
+    */
+  def semanticIngestGate(spark: SparkSession, dir: String,
+                         idExpr: String, vecExpr: String, deltaFilter: String,
+                         corpus: DataFrame, cents: Seq[Seq[Double]], tau: Double,
+                         roundTo: Int = 6): DataFrame = {
+    import graft.functions.VectorFunctions.{asDouble, cosineFromNormSq, dotFused, l2NormSq}
+    def centLit(c: Seq[Double]) = array(c.map(lit): _*)
+    def cellOf(vec: org.apache.spark.sql.Column) =
+      array_min(array(cents.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * dotFused(vec, centLit(c))).as("d"), lit(i).as("i"))
+      }: _*)).getField("i").cast("long")
+    val stat = corpus
+      .select(col("c_id").cast("long").as("c_id"), asDouble(col("cvec")).as("cv"))
+      .withColumn("cell", cellOf(col("cv")))
+      .withColumn("c_nsq", l2NormSq(col("cv")))
+    val stream = StreamingAgg.streamTable(spark, dir, "embeddings.parquet")
+      .filter(expr(deltaFilter))
+      .select(expr(idExpr).cast("long").as("vec_id"), asDouble(expr(vecExpr)).as("dv"))
+      .withColumn("cell", cellOf(col("dv")))
+      .withColumn("d_nsq", l2NormSq(col("dv")))
+    val matched = stream.join(stat, Seq("cell"))
+      .withColumn("sim", floorRound(
+        cosineFromNormSq(col("dv"), col("cv"), col("d_nsq"), col("c_nsq")), roundTo))
+      .filter(col("sim") >= tau)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_matches"), max("sim").as("best_sim"))
+    StreamingAgg.drain(matched, "graft_stream_semgate", "complete")
+      .orderBy("vec_id")
+  }
 }
