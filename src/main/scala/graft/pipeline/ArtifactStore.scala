@@ -33,12 +33,27 @@ object ArtifactStore {
   /** Root directory for an artifact named `name` derived from inputs at
     * `dir` — the caller bakes every semantic parameter into `name` (and
     * bumps a version suffix when the builder's semantics change), so a
-    * stale artifact can never satisfy a new key.
+    * stale artifact can never satisfy a new key. The key also carries a
+    * FINGERPRINT of the input dir's parquet files (name, size, mtime —
+    * the reference pipeline's own staleness signal, `main.py:143-147`):
+    * if the fixtures are ever regenerated, every artifact key changes and
+    * the caches rebuild rather than silently serving results derived from
+    * vanished inputs. Regeneration with byte-identical content costs one
+    * spurious rebuild (mtime moved) — the safe direction.
     */
   def rootFor(dir: String, name: String): String = {
     val base = sys.env.getOrElse("GRAFT_ARTIFACT_DIR",
       sys.props("java.io.tmpdir") + "/graft-artifacts")
-    s"$base/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/$name"
+    s"$base/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}-${fingerprint(dir)}/$name"
+  }
+
+  private def fingerprint(dir: String): String = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val h = files.foldLeft(1125899906842597L) { (acc, f) =>
+      ((acc * 31 + f.getName.hashCode) * 31 + f.length) * 31 + f.lastModified
+    }
+    java.lang.Long.toHexString(h)
   }
 
   private def fs(spark: SparkSession): FileSystem =
