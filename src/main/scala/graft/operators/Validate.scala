@@ -522,6 +522,81 @@ object Validate {
        |GROUP BY cum.g ORDER BY cum.g""".stripMargin
   }
 
+  /** Per-GROUP EXACT KS — the last cell of the KS row on the exact axis
+    * (exact batch [[ksGate]] / exact stream q198 / grouped BINNED
+    * [[groupedKsGate]]): one bin-free D per group over that group's own
+    * distinct-value CDF pair. The running counts use a window PARTITIONED
+    * BY GROUP over the group's distinct values — per-partition size is
+    * bounded by the value DOMAIN within the group (the q198 state
+    * argument: ≤ 1.1M keys for a fixed-point currency column at ANY row
+    * count), never by rows; for truly continuous domains the grouped
+    * binned form stays the right trade. Groups with an empty side are
+    * excluded (the [[groupedKsGate]] contract — a vanishing source is the
+    * count gate's job), and the exclusion filter precedes the division, so
+    * ANSI mode never sees a zero divisor.
+    */
+  def groupedKsGateExact(prev: DataFrame, next: DataFrame, groupCol: String,
+                         valueCol: String, threshold: Double,
+                         roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("double")
+    def side(df: DataFrame, pn: Int, nn: Int) = df
+      .filter(v.isNotNull && !isnan(v))
+      .select(col(groupCol).as("g"), v.as("v"),
+        lit(pn.toLong).as("pn"), lit(nn.toLong).as("nn"))
+    val counts = side(prev, 1, 0).unionByName(side(next, 0, 1))
+      .groupBy("g", "v").agg(sum("pn").as("pn"), sum("nn").as("nn"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wg = Window.partitionBy("g")
+    counts
+      .withColumn("cum_pn", sum("pn").over(w))
+      .withColumn("cum_nn", sum("nn").over(w))
+      .withColumn("tp", max("cum_pn").over(wg))
+      .withColumn("tn", max("cum_nn").over(wg))
+      .filter(col("tp") > 0 && col("tn") > 0)
+      .groupBy("g")
+      .agg(floorRound(max(abs(
+          col("cum_pn").cast("double") / col("tp").cast("double") -
+          col("cum_nn").cast("double") / col("tn").cast("double"))), roundTo).as("ks"),
+        first("tp").as("n_prev"), first("tn").as("n_next"))
+      .withColumn("is_drift", (col("ks") > threshold).cast("long"))
+      .select(col("g").as(groupCol), col("ks"), col("n_prev"), col("n_next"),
+        col("is_drift"))
+      .orderBy(groupCol)
+  }
+
+  /** The oracle SQL mirror of [[groupedKsGateExact]]. */
+  def groupedKsGateExactSql(table: String, groupCol: String, valueCol: String,
+                            nextWhere: String, threshold: Double,
+                            roundTo: Int = 6): String = {
+    val frs = graft.functions.MathFunctions.floorRoundSql _
+    def sideCte(name: String, where: String, pn: Int, nn: Int) =
+      s"""$name AS (
+         |  SELECT $groupCol AS g, CAST($valueCol AS DOUBLE) AS v,
+         |    CAST($pn AS BIGINT) AS pn, CAST($nn AS BIGINT) AS nn
+         |  FROM $table
+         |  WHERE $valueCol IS NOT NULL AND NOT isnan(CAST($valueCol AS DOUBLE))$where)""".stripMargin
+    val d = "abs(CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE) - CAST(cn AS DOUBLE) / CAST(tn AS DOUBLE))"
+    s"""WITH ${sideCte("sp", "", 1, 0)},
+       |${sideCte("sn", s" AND ($nextWhere)", 0, 1)},
+       |c AS (
+       |  SELECT g, v, CAST(sum(pn) AS BIGINT) AS pn, CAST(sum(nn) AS BIGINT) AS nn
+       |  FROM (SELECT * FROM sp UNION ALL SELECT * FROM sn) GROUP BY g, v),
+       |cum AS (
+       |  SELECT g,
+       |    sum(pn) OVER (PARTITION BY g ORDER BY v) AS cp,
+       |    sum(nn) OVER (PARTITION BY g ORDER BY v) AS cn
+       |  FROM c),
+       |t AS (SELECT g, CAST(max(cp) AS BIGINT) AS tp, CAST(max(cn) AS BIGINT) AS tn
+       |      FROM cum GROUP BY g)
+       |SELECT cum.g AS $groupCol, ${frs(s"max($d)", roundTo)} AS ks,
+       |  CAST(min(tp) AS BIGINT) AS n_prev, CAST(min(tn) AS BIGINT) AS n_next,
+       |  CAST(${frs(s"max($d)", roundTo)} > CAST($threshold AS DOUBLE) AS BIGINT) AS is_drift
+       |FROM cum JOIN t ON t.g = cum.g WHERE tp > 0 AND tn > 0
+       |GROUP BY cum.g ORDER BY cum.g""".stripMargin
+  }
+
   /** The oracle SQL mirror of [[ksGate]] (exact, distinct-value CDFs). */
   def ksGateSql(prevSel: String, nextSel: String, valueCol: String,
                 threshold: Double, roundTo: Int = 6): String = {

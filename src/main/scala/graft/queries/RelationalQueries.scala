@@ -744,6 +744,29 @@ object RelationalQueries {
         nextWhere = "NOT (c_nationkey = 13 AND c_acctbal < 0)",
         lo = -1000.0, hi = 10000.0, bins = 20, threshold = 0.05))),
 
+    // The grouped EXACT KS — the last open cell of the KS row on the exact
+    // axis (exact batch q187 / exact stream q198 / grouped BINNED q193):
+    // one bin-free D per nation over that nation's own distinct-value CDF
+    // pair, running counts from a window PARTITIONED BY GROUP (partition
+    // size bounded by the value DOMAIN within the group — the q198 state
+    // argument — never by rows). Same scenario as q193 for a direct
+    // resolution comparison: exact D ≥ binned D always; on THIS shift the
+    // 20-bin grid already attains the sup (drop-negatives makes the CDF
+    // gap flat across the critical region), so both read nation 13 at
+    // D = 0.0896 at sf0.01 — the exact form's value is the guarantee the
+    // grid only sometimes earns. Only nation 13 flags on either axis.
+    "q202_grouped_ks_exact" -> Q(
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val next = c.filter(!(col("c_nationkey") === 13 && col("c_acctbal") < 0))
+        graft.operators.Validate.groupedKsGateExact(c, next, "c_nationkey",
+          "c_acctbal", threshold = 0.05)
+      },
+      Some(graft.operators.Validate.groupedKsGateExactSql(
+        "customer", "c_nationkey", "c_acctbal",
+        nextWhere = "NOT (c_nationkey = 13 AND c_acctbal < 0)",
+        threshold = 0.05))),
+
     "q150_drift_gate" -> Q(
       (s, dir) => {
         val c = Tables.customer(s, dir)

@@ -204,6 +204,19 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestSession {
     assert(ok.getLong(ok.fieldIndex("is_drift")) === 0L)
   }
 
+  test("grouped exact KS excludes empty-side groups; identical sides read zero") {
+    import graft.operators.Validate
+    val prev = Seq((1L, 1.0), (1L, 2.0), (2L, 5.0)).toDF("g", "v")
+    val next = Seq((1L, 1.0), (1L, 2.0)).toDF("g", "v") // group 2 vanished
+    val out = Validate.groupedKsGateExact(prev, next, "g", "v", threshold = 0.05)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L),
+      "a group with an empty side is the count gate's job, not KS's")
+    val r1 = out.head
+    assert(r1.getDouble(r1.fieldIndex("ks")) === 0.0)
+    assert(r1.getLong(r1.fieldIndex("is_drift")) === 0L)
+  }
+
   test("temperatureMix edge shapes: single source takes the whole budget; " +
     "zero-size sources are excluded") {
     import graft.operators.Sampling
