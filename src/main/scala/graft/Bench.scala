@@ -85,27 +85,29 @@ object Bench {
         name -> dt
       }
       // part 3: re-time the probe at the END. ratio = end/warm-baseline; a
-      // quiet box gives ≈ 1, end-of-run contention shows up directly.
+      // quiet box gives ≈ 1, end-of-run contention shows up directly. The
+      // final load sample and loadMax fold happen BEFORE the JSON fragment
+      // is formatted (ADVICE r12: formatting first could publish an "lm"
+      // smaller than the loadMax the dirty-gate actually decides on).
       var probeRatio = -1.0
-      val noiseJson = (for {
+      val probeEnd = for {
         (n0, fn0, tWarm) <- probeWarm
         if tWarm > 0 && results.get(n0).exists(_ > 0)
-      } yield {
-        val tEnd = timeQuery(n0, fn0)
+      } yield (n0, tWarm, timeQuery(n0, fn0))
+      val sysLoadEnd = osBean.getSystemLoadAverage
+      if (sysLoadEnd > loadMax) loadMax = sysLoadEnd
+      val noiseJson = probeEnd.map { case (n0, tWarm, tEnd) =>
         val ratio = if (tEnd > 0) tEnd / tWarm else -1.0
         probeRatio = ratio
-        val sysLoadEnd = osBean.getSystemLoadAverage
-        if (sysLoadEnd > loadMax) loadMax = sysLoadEnd
         System.err.println(f"[bench] noise sentinel: $n0 warm ${tWarm}%.2f s -> end $tEnd%.2f s " +
           f"(ratio ${ratio}%.2f), sys load start $sysLoadStart%.2f end $sysLoadEnd%.2f max $loadMax%.2f")
         // compact keys: tw=probe warm baseline, te=probe end re-time, r=ratio,
         // ls/le/lm=load start/end/max(sampled after every query). lm is the
-        // mid-run contamination detector; r covers the endpoints.
+        // mid-run contamination detector; r covers the endpoints — the
+        // recorded lm now equals the gate input exactly.
         f""","noise":{"tw":$tWarm%.2f,"te":$tEnd%.2f,"r":$ratio%.2f,"ls":$sysLoadStart%.2f,"le":$sysLoadEnd%.2f,"lm":$loadMax%.2f}"""
-      }).getOrElse("")
-      var sysLoadEndAll = osBean.getSystemLoadAverage
-      if (sysLoadEndAll > loadMax) loadMax = sysLoadEndAll
-      (results, probeRatio, noiseJson, (sysLoadStart, sysLoadEndAll, loadMax))
+      }.getOrElse("")
+      (results, probeRatio, noiseJson, (sysLoadStart, sysLoadEnd, loadMax))
     }
     // Sentinel GATE (three straight rounds of judge-vs-driver number
     // disagreement were all traced to contaminated driver runs): re-run the

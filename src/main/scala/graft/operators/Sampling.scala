@@ -166,6 +166,11 @@ object Sampling {
       // BRANCH (4 scans, plan-audited); cached it is one row per source,
       // parameter-sized. Caller releases (see Caching).
       .cache()
+    // fail loudly (ADVICE r12): with zero positive-size sources the
+    // quotas-sum-to-budget contract is unsatisfiable — an empty frame here
+    // would silently violate it (same fail-fast style as readBatches)
+    require(scaled.limit(1).count() > 0,
+      "temperatureMix: no source with n > 0 — cannot allocate a positive budget over an empty mix")
     val tot = scaled.agg(sum("w").as("tw"))
     val based = scaled.crossJoin(broadcast(tot))
       .withColumn("ideal",

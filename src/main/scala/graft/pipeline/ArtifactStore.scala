@@ -47,11 +47,41 @@ object ArtifactStore {
     s"$base/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}-${fingerprint(dir)}/$name"
   }
 
+  /** Input fingerprint via the SAME Hadoop FileSystem machinery the artifact
+    * load/build path uses (ADVICE r12: a driver-local java.io.File listing
+    * diverges on any non-local default FS), resolving the filesystem from
+    * the input path itself. Each top-level `*.parquet` entry is hashed by
+    * its RECURSIVE file listing (relative path, size, mtime of every part
+    * file), so replacing part files inside a directory-shaped parquet table
+    * changes the fingerprint even when the directory's own stats don't.
+    */
   private def fingerprint(dir: String): String = {
-    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    val h = files.foldLeft(1125899906842597L) { (acc, f) =>
-      ((acc * 31 + f.getName.hashCode) * 31 + f.length) * 31 + f.lastModified
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val dirPath = new Path(dir)
+    val f = dirPath.getFileSystem(conf)
+    val entries: Seq[(String, Long, Long)] =
+      if (!f.exists(dirPath)) Seq.empty
+      else f.listStatus(dirPath).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .flatMap { st =>
+          if (st.isFile) Seq((st.getPath.getName, st.getLen, st.getModificationTime))
+          else {
+            val base = st.getPath.toUri.getPath
+            val it = f.listFiles(st.getPath, true)
+            val buf = Seq.newBuilder[(String, Long, Long)]
+            while (it.hasNext) {
+              val p = it.next()
+              buf += ((p.getPath.toUri.getPath.stripPrefix(base),
+                p.getLen, p.getModificationTime))
+            }
+            buf.result().map { case (rel, len, mt) =>
+              (st.getPath.getName + "/" + rel, len, mt)
+            }
+          }
+        }
+    val h = entries.sortBy(_._1).foldLeft(1125899906842597L) {
+      case (acc, (name, len, mtime)) =>
+        ((acc * 31 + name.hashCode) * 31 + len) * 31 + mtime
     }
     java.lang.Long.toHexString(h)
   }
@@ -68,19 +98,62 @@ object ArtifactStore {
     * lock) or in another process — can never interleave part files in one
     * staging dir; a racing loser finds the artifact live after its build
     * and discards its own staging copy (content is deterministic, so
-    * last-promote-wins is value-neutral). Readers either see the full
-    * artifact or none — never a torn read. Crash debris (`.tmp-*` dirs)
-    * stays behind in the scratch tier; the next build neither reads nor
-    * trips over it.
+    * last-promote-wins is value-neutral). Readers IN THIS JVM either see
+    * the full artifact or none — never a torn read (the lock serializes
+    * them against promotion). Cross-process the guarantee is weaker
+    * (ADVICE r12): a reader in another process that resolved the live dir
+    * while a racing builder re-promotes can observe part files vanish
+    * mid-read — [[StagedSwap.swap]] retires live→old before promoting, so
+    * there is a window with no live dir. Acceptable for this scratch tier
+    * because content is deterministic per key (a re-read returns the same
+    * values) and keys change whenever inputs or parameters do, so
+    * re-promotion of a live key only ever happens when two processes race
+    * the FIRST build — [[graft.ArtifactStoreSpec]]'s cross-process leg
+    * pins that the survivor is complete and readable. Crash debris
+    * (`.tmp-*` dirs) stays behind in the scratch tier; the next build
+    * neither reads nor trips over it.
     */
   def loadOrBuild(spark: SparkSession, root: String)(build: => DataFrame): DataFrame =
     synchronized {
       val f = fs(spark)
       if (!isLive(f, root)) {
+        gcStaleGenerations(f, root)
         buildAndPromote(f, root, build)
       }
       spark.read.parquet(root)
     }
+
+  /** Best-effort retention sweep (round-12 backlog item 1): every fixture
+    * regeneration keys a NEW `<dir>-<fingerprint>` subtree, and the old
+    * generations — unreachable by construction (keys embed the live
+    * fingerprint) — would otherwise accumulate forever. Runs only on a
+    * build miss (the moment a new generation is first keyed), deletes
+    * sibling subtrees of the same input dir with a DIFFERENT fingerprint,
+    * and swallows failures: another process may legitimately still read an
+    * old generation mid-query — scratch-tier semantics, a deleted artifact
+    * rebuilds deterministically on next use. Retention bound: at most the
+    * current generation per input dir survives a build.
+    */
+  private def gcStaleGenerations(f: FileSystem, root: String): Unit =
+    try {
+      val gen = new Path(root).getParent          // <base>/<dirSan>-<fp>
+      val base = gen.getParent
+      val name = gen.getName
+      val cut = name.lastIndexOf('-')             // fp is hex: no '-' inside
+      if (cut > 0 && f.exists(base)) {
+        val prefix = name.substring(0, cut + 1)
+        f.listStatus(base).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n != name && n.startsWith(prefix) &&
+            !n.substring(prefix.length).contains('-')) {
+            // scalastyle:off println
+            println(s"[artifact] gc stale generation ${st.getPath}")
+            // scalastyle:on println
+            f.delete(st.getPath, true)
+          }
+        }
+      }
+    } catch { case _: Throwable => () } // best-effort only
 
   private def buildAndPromote(f: FileSystem, live: String, build: => DataFrame): Unit = {
     val tmp = new Path(live + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
@@ -104,6 +177,7 @@ object ArtifactStore {
     val f = fs(spark)
     val live = s"$root/b$batchId"
     if (!isLive(f, live)) {
+      gcStaleGenerations(f, root) // root = <base>/<gen>/<name>: same levels
       buildAndPromote(f, live, build)
     }
   }

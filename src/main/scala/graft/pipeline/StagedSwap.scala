@@ -9,6 +9,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * is never silently left empty. A hard crash between the two renames can
   * still leave the data at `path + ".old"` — recoverable by hand, never
   * deleted before the promotion succeeds.
+  *
+  * Visibility: between retiring `live` and promoting `tmp` there is a
+  * window with NO live dir, and a re-promotion deletes the retired copy a
+  * concurrent cross-process reader may still be scanning — swap is atomic
+  * per rename, not per transaction. In-process, callers serialize around
+  * it ([[ArtifactStore]]'s lock); cross-process it guarantees only that
+  * the FINAL state is a complete generation (never interleaved part
+  * files), which is the scratch-tier contract.
   */
 object StagedSwap {
 

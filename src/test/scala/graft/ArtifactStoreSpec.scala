@@ -56,6 +56,76 @@ class ArtifactStoreSpec extends AnyFunSuite with SparkTestSession {
     assertThrows[IllegalArgumentException](ArtifactStore.readBatches(spark, root))
   }
 
+  test("gc sweeps stale fingerprint generations of the SAME input dir on build") {
+    // mimic rootFor's layout: <base>/<dirSan>-<fp>/<name>
+    val base = java.nio.file.Files.createTempDirectory("graft_artifact_gc").toString
+    val oldGen = s"$base/testdata_sf001-aaaa11/idx_v1"
+    val curGen = s"$base/testdata_sf001-bbbb22/idx_v1"
+    val otherDir = s"$base/testdata_sf01-cccc33/idx_v1"
+    ArtifactStore.loadOrBuild(spark, oldGen)(Seq(1L).toDF("k"))
+    ArtifactStore.loadOrBuild(spark, otherDir)(Seq(2L).toDF("k"))
+    // a build under the NEW fingerprint of the same input dir sweeps the old
+    ArtifactStore.loadOrBuild(spark, curGen)(Seq(3L).toDF("k"))
+    assert(!new java.io.File(s"$base/testdata_sf001-aaaa11").exists(),
+      "stale generation of the same input dir must be swept")
+    assert(new java.io.File(otherDir).exists(),
+      "a different input dir's generation must survive")
+    assert(new java.io.File(curGen).exists())
+    // a pure cache hit must not sweep anything (no listing churn on loads)
+    ArtifactStore.loadOrBuild(spark, curGen)(Seq(4L).toDF("k"))
+    assert(new java.io.File(otherDir).exists())
+  }
+
+  test("cross-process swap race: final state is a complete generation") {
+    // Two SEPARATE JVMs hammer staged promotions at one live path — the
+    // in-process lock cannot serialize them, so this pins exactly what the
+    // softened StagedSwap contract promises: whatever generation survives
+    // is complete (one tag across all part files, never interleaved), and
+    // both processes make progress. A missing live dir afterwards is an
+    // allowed (documented) outcome; integrity is conditional on presence.
+    val dir = java.nio.file.Files.createTempDirectory("graft_swap_race").toString
+    val live = s"$dir/live"
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    def codeSource(c: Class[_]): String =
+      new java.io.File(c.getProtectionDomain.getCodeSource.getLocation.toURI).getPath
+    val cp = Seq(
+      codeSource(classOf[SwapRaceChild.type]),          // test classes
+      codeSource(graft.pipeline.StagedSwap.getClass),   // main classes
+      codeSource(classOf[scala.Option[_]]),             // scala-library
+      "/opt/spark/jars/*"                               // hadoop client
+    ).mkString(":")
+    val reports = Seq(s"$dir/rep_a", s"$dir/rep_b")
+    val procs = Seq("a", "b").zip(reports).map { case (id, rep) =>
+      new ProcessBuilder(javaBin, "-cp", cp, "graft.SwapRaceChild",
+        live, id, "6", rep).redirectErrorStream(true).start()
+    }
+    procs.foreach { p =>
+      assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS), "child hung")
+    }
+    val oks = reports.map { r =>
+      val s = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(r)), "UTF-8")
+      s.split('/').head.toInt
+    }
+    assert(oks.sum >= 2, s"both processes combined must promote (got $oks)")
+    val liveDir = new java.io.File(live)
+    if (liveDir.exists()) {
+      val files = liveDir.listFiles().filter(_.getName.startsWith("part-"))
+      assert(files.length == 6, s"complete generation expected, got ${files.length} parts")
+      val tags = files.map(f =>
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")).toSet
+      assert(tags.size == 1, s"interleaved generations: $tags")
+    }
+    // the path stays usable: a fresh in-process promotion must succeed
+    val fs2 = org.apache.hadoop.fs.FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration()).getRawFileSystem
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/final.tmp")
+    fs2.mkdirs(tmp)
+    fs2.create(new org.apache.hadoop.fs.Path(tmp, "part-0.txt"), true).close()
+    graft.pipeline.StagedSwap.swap(fs2, tmp,
+      new org.apache.hadoop.fs.Path(live), new org.apache.hadoop.fs.Path(live + ".old"))
+    assert(new java.io.File(s"$live/part-0.txt").exists())
+  }
+
   test("suffix finishes over a parquet round-tripped SA/LCP artifact ≡ direct build") {
     val corpus = Seq(
       (0L, "abracadabra abracadabra"),
