@@ -263,13 +263,28 @@ object Multimodal {
                                 minRun: Int, maxHamming: Int, maxDf: Option[Int] = None,
                                 idCol: String = "doc_id", mediaCol: String = "m",
                                 salts: Int = 1): DataFrame = {
+    // cache-lifetime: pinned by the returned plan — caller releases (see
+    // Caching); both sides of the band join read the hashed frame rows
+    val fh = frameHashes(spark, media, frameBytes, idCol, mediaCol).cache()
+    frameAlignSpansPerceptualFromHashes(fh, minRun, maxHamming, maxDf, salts)
+  }
+
+  /** [[frameAlignSpansPerceptual]] from a PRE-BUILT perceptual frame index
+    * `(doc_id, frame_id, ph)` — the artifact composition point (the
+    * [[frameAlignSpansFromFrames]] pattern on the perceptual axis): frame
+    * hashes are a pure function of the blob, so a materialized index
+    * ([[graft.pipeline.ArtifactStore]]) or a standing-index-plus-delta
+    * union feeds the same band join the inline build does. The stop-frame
+    * cap counts media per band BUCKET and must see global frequencies, so
+    * it stays with the consumer, not the index build.
+    */
+  def frameAlignSpansPerceptualFromHashes(fh: DataFrame, minRun: Int,
+                                          maxHamming: Int, maxDf: Option[Int] = None,
+                                          salts: Int = 1): DataFrame = {
     import graft.functions.TextFunctions.hamming64
     import graft.operators.Salting
     import org.apache.spark.sql.expressions.Window
     require(minRun >= 1, s"minRun must be >= 1, got $minRun")
-    // cache-lifetime: pinned by the returned plan — caller releases (see
-    // Caching); both sides of the band join read the hashed frame rows
-    val fh = frameHashes(spark, media, frameBytes, idCol, mediaCol).cache()
     val bk = banded(fh)
     val filtered = maxDf match {
       case Some(cap) =>

@@ -150,6 +150,26 @@ object MultimodalQueries {
       "rpad(md5(source || '#' || CAST(doc_id % 25 AS VARCHAR)), 126, " +
       "md5(source || '#' || CAST(doc_id % 25 AS VARCHAR))), 2)"
 
+  /** Slim frame rows of the trailer corpus, optionally filtered — the unit
+    * both frame-index artifacts materialize. */
+  private def trailerFrames(s: org.apache.spark.sql.SparkSession, dir: String,
+                            docFilter: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val media = Tables.documents(s, dir).filter(docFilter)
+      .select(col("doc_id"), expr(TrailerMediaSpark).as("m"))
+    Multimodal.sampleFrames(s, media, frameBytes = 128, idCol = "doc_id", textCol = "m")
+      .select(col("doc_id"), col("frame_id"), col("checksum"))
+  }
+
+  /** The FULL trailer-corpus frame index as a parquet artifact (r12 verdict
+    * task 1): deterministic in (dir, frameBytes, corpus formula) — the key
+    * bakes both parameters in, the store's fingerprint covers the fixture. */
+  private def trailerFrameIndex(s: org.apache.spark.sql.SparkSession,
+                                dir: String): org.apache.spark.sql.DataFrame =
+    graft.pipeline.ArtifactStore.loadOrBuild(s,
+      graft.pipeline.ArtifactStore.rootFor(dir, "frames_trailer_fb128_v1")) {
+      trailerFrames(s, dir, lit(true))
+    }
+
   def all: ListMap[String, Q] = ListMap(
     // Perceptual hashes of the raw media signal: both the gradient (dHash)
     // and average (aHash) 60-bit variants, hash-checked bit-for-bit.
@@ -235,13 +255,15 @@ object MultimodalQueries {
     // equi-join; the stop-frame filter (maxDf) drops degenerate frames
     // (here: the all-space padding frame short texts share) exactly like a
     // stopword list. Every same-group pair must report its 2-frame outro.
+    // The frame index is an ArtifactStore artifact (r12 verdict task 1 —
+    // the suffix-family materialize-once pattern on the media modality):
+    // frames are a pure function of (corpus, frameBytes), so whichever of
+    // q167/q181 runs first pays the framing pass and the other loads the
+    // parquet. The df-cap + align join stay live — they need GLOBAL frame
+    // frequencies and are the operator under audit.
     "q167_media_frame_align" -> Q(
-      (s, dir) => {
-        val media = Tables.documents(s, dir)
-          .select(col("doc_id"), expr(TrailerMediaSpark).as("m"))
-        Multimodal.frameAlignSpans(s, media, frameBytes = 128, minRun = 2,
-          maxDf = Some(60), idCol = "doc_id", mediaCol = "m")
-      },
+      (s, dir) => Multimodal.frameAlignSpansFromFrames(
+        trailerFrameIndex(s, dir), minRun = 2, maxDf = Some(60)),
       Some(frameAlignOracle)),
 
     // Incremental maintenance of the frame index (the q166 algebra on the
@@ -253,15 +275,18 @@ object MultimodalQueries {
     // algebra; the delta pass costs O(delta bytes / frameBytes). The
     // df-cap re-runs over the slim unioned index (it needs GLOBAL frame
     // frequencies — a stop-frame can become one only after the delta).
+    // The STANDING side is a materialized artifact (the deployment shape:
+    // the corpus index is built once and lives in the store); only the
+    // delta batch frames live, costing O(delta bytes / frameBytes). The
+    // union must still drive the align to the EXACT full-rebuild answer —
+    // q167's oracle verbatim, maintenance ≡ rebuild as a checked hash.
     "q181_frame_index_incremental" -> Q(
       (s, dir) => {
-        val media = Tables.documents(s, dir)
-          .select(col("doc_id"), expr(TrailerMediaSpark).as("m"))
-        def idx(part: org.apache.spark.sql.DataFrame) =
-          Multimodal.sampleFrames(s, part, frameBytes = 128, idCol = "doc_id", textCol = "m")
-            .select(col("doc_id"), col("frame_id"), col("checksum"))
-        val standing = idx(media.filter(col("doc_id") % 10 =!= 0))
-        val delta = idx(media.filter(col("doc_id") % 10 === 0))
+        val standing = graft.pipeline.ArtifactStore.loadOrBuild(s,
+          graft.pipeline.ArtifactStore.rootFor(dir, "frames_trailer_standing_fb128_v1")) {
+          trailerFrames(s, dir, col("doc_id") % 10 =!= 0)
+        }
+        val delta = trailerFrames(s, dir, col("doc_id") % 10 === 0)
         Multimodal.frameAlignSpansFromFrames(standing.unionByName(delta),
           minRun = 2, maxDf = Some(60))
       },
@@ -294,11 +319,18 @@ object MultimodalQueries {
     // carry a lightly "re-encoded" outro (two uppercased source chars), so
     // mixed-parity pairs in the same trailer group align ONLY through the
     // perceptual path. Stop-frames bound per band bucket.
+    // The perceptual frame-hash index is an artifact too (same contract:
+    // per-frame dHashes are a pure function of the corpus); the band join,
+    // stop-frame cap, and island walk — the audited semantics — stay live.
     "q169_media_frame_align_phash" -> Q(
       (s, dir) => {
-        val media = Tables.documents(s, dir)
-          .select(col("doc_id"), expr(NoisedTrailerSpark).as("m"))
-        Multimodal.frameAlignSpansPerceptual(s, media, frameBytes = 128,
+        val fh = graft.pipeline.ArtifactStore.loadOrBuild(s,
+          graft.pipeline.ArtifactStore.rootFor(dir, "framehash_noised_fb128_v1")) {
+          val media = Tables.documents(s, dir)
+            .select(col("doc_id"), expr(NoisedTrailerSpark).as("m"))
+          Multimodal.frameHashes(s, media, frameBytes = 128, idCol = "doc_id", mediaCol = "m")
+        }
+        Multimodal.frameAlignSpansPerceptualFromHashes(fh,
           minRun = 2, maxHamming = 3, maxDf = Some(60))
       },
       Some(s"""WITH med0 AS (
