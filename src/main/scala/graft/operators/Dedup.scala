@@ -416,6 +416,109 @@ object Dedup {
     keepFirst(df, idCol,
       minhashLshPairs(df, idCol, textCol, shingleSize, numHashes, bands, threshold))
 
+  /** MULTI-DETECTOR VERDICT FUSION (r12 verdict task 3) — the DECISION layer
+    * a curation run executes when its duplicate detectors disagree: one row
+    * per document with an evidence flag per axis and ONE final verdict under
+    * a documented precedence. The library has had the detectors for rounds
+    * (exact text hash, banded-MinHash Jaccard, Broder containment, SimHash);
+    * what a pipeline actually ships is their COMPOSITION — a doc flagged by
+    * any axis is dropped, and `reason` records the strongest axis that fired
+    * so the attrition report can attribute drops.
+    *
+    * Precedence (strongest evidence first, the order a reviewer would trust):
+    * `exact` (byte-identical text) > `containment` (verbatim embedding of
+    * the shorter doc) > `jaccard` (symmetric shingle resemblance) >
+    * `simhash` (bit-signature proximity — the weakest, collision-prone
+    * axis). Every axis applies keep-first policy: the flag marks the
+    * HIGHER-id member ([[keepFirst]]), so fusing axes can never drop both
+    * members of a pair that only one axis sees.
+    *
+    * Scale shape: ONE shingle/signature pass feeds BOTH set-similarity axes
+    * (the banded candidates are computed once and verified twice — Jaccard
+    * and containment differ only in the denominator), SimHash is its own
+    * map-only hash + band join, exact is one hash aggregate. All candidate
+    * generation is band equi-joins; the fusion itself is four slim
+    * (id, flag) left-joins onto the doc spine — nothing quadratic, nothing
+    * driver-side.
+    *
+    * Output: (id, f_exact, f_containment, f_jaccard, f_simhash, drop_doc,
+    * reason), one row per input document, ordered by id.
+    */
+  def verdictFusion(df: DataFrame, idCol: String, textCol: String,
+                    shingleSize: Int, numHashes: Int, bands: Int,
+                    jacThreshold: Double, containThreshold: Double,
+                    maxHamming: Int): DataFrame = {
+    // cache-lifetime: pinned by the returned plan — caller releases (see
+    // Caching); the doc spine and three detector subtrees re-read the slim
+    // (id, text) projection
+    val base = df.select(col(idCol), col(textCol)).cache()
+    // one candidate relation, two verifiers (Jaccard + containment)
+    val cand = lshCandidatesWithSets(base, idCol, textCol,
+      shingleSize, numHashes, bands)
+    import graft.functions.expressions.SortedIntersectionCount
+    import org.apache.spark.sql.{GraftSqlBridge => B}
+    val inter = B.column(SortedIntersectionCount(
+      B.expression(col("hs_a")), B.expression(col("hs_b")))).cast("double")
+    val scored = cand
+      .withColumn("jac", floorRound(jaccardSorted(col("hs_a"), col("hs_b")), 4))
+      .withColumn("containment", floorRound(
+        inter / least(size(col("hs_a")), size(col("hs_b"))).cast("double"), 4))
+      .select("id_a", "id_b", "jac", "containment")
+      .cache() // read by two loser branches below
+    def losers(flagged: DataFrame, flag: String): DataFrame =
+      flagged.select(col("id_b").as(idCol)).distinct().withColumn(flag, lit(1L))
+    val exactLosers = base
+      .join(exactDedup(base, idCol, textCol).select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol)).withColumn("f_exact", lit(1L))
+    val jacLosers = losers(scored.filter(col("jac") >= jacThreshold), "f_jaccard")
+    val conLosers = losers(scored.filter(col("containment") >= containThreshold), "f_containment")
+    val simLosers = losers(
+      simhashPairs(base, idCol, textCol, maxHamming), "f_simhash")
+    base.select(col(idCol))
+      .join(exactLosers, Seq(idCol), "left")
+      .join(conLosers, Seq(idCol), "left")
+      .join(jacLosers, Seq(idCol), "left")
+      .join(simLosers, Seq(idCol), "left")
+      .na.fill(0L, Seq("f_exact", "f_containment", "f_jaccard", "f_simhash"))
+      .withColumn("drop_doc",
+        when(col("f_exact") + col("f_containment") + col("f_jaccard") + col("f_simhash") > 0, 1L)
+          .otherwise(0L))
+      .withColumn("reason",
+        when(col("f_exact") === 1, "exact")
+          .when(col("f_containment") === 1, "containment")
+          .when(col("f_jaccard") === 1, "jaccard")
+          .when(col("f_simhash") === 1, "simhash")
+          .otherwise("keep"))
+      .select(col(idCol), col("f_exact"), col("f_containment"), col("f_jaccard"),
+        col("f_simhash"), col("drop_doc"), col("reason"))
+      .orderBy(idCol)
+  }
+
+  /** Per-detector attrition over a [[verdictFusion]] verdict relation — the
+    * funnel a curation run publishes: for each axis the flagged count, the
+    * ATTRIBUTED count (docs whose precedence-first reason is that axis —
+    * attributed counts sum to total drops, flagged counts overlap), and the
+    * running survivor count as axes apply in precedence order. Pure
+    * aggregation over the verdict rows; parameter-sized output.
+    */
+  def verdictFunnel(verdicts: DataFrame, idCol: String): DataFrame = {
+    val axes = Seq("exact", "containment", "jaccard", "simhash")
+    val total = verdicts.agg(count(lit(1)).as("__n"))
+    val perAxis = axes.zipWithIndex.map { case (axis, i) =>
+      verdicts.agg(
+        lit(i.toLong).as("axis_idx"), lit(axis).as("axis"),
+        sum(col(s"f_$axis")).cast("long").as("n_flagged"),
+        sum(when(col("reason") === axis, 1L).otherwise(0L)).cast("long").as("n_attributed"),
+        // survivors after axes 0..i applied in precedence order
+        sum(when(col("reason").isin(axes.take(i + 1): _*), 0L)
+          .otherwise(1L)).cast("long").as("n_surviving"))
+    }.reduce(_ unionByName _)
+    perAxis.crossJoin(broadcast(total))
+      .select(col("axis_idx"), col("axis"), col("n_flagged"), col("n_attributed"),
+        col("n_surviving"), col("__n").as("n_docs"))
+      .orderBy("axis_idx")
+  }
+
   /** Incremental near-dup dedup: which DELTA documents survive against an
     * existing corpus? A delta doc is dropped when it near-duplicates (MinHash
     * band collision + exact-Jaccard ≥ threshold) ANY corpus doc — the corpus

@@ -359,6 +359,64 @@ object TextQueries {
        |SELECT test_id, train_id, jac FROM pairs
        |WHERE jac >= $JaccardThreshold ORDER BY 1, 2""".stripMargin
 
+  /** Fusion CTE chain (q204/q205): [[minhashPairsCtes]] (tok → th → shl →
+    * sh/mh/bk → cand → pairs) extended with the containment verifier over
+    * the SAME candidates, the exact-hash losers, the SimHash chain reusing
+    * `th` (same per-token hashes; the extra `pos` column is inert), and the
+    * per-doc verdict `ver` under the documented precedence. Thresholds are
+    * q22b's Jaccard (0.5), q81's containment (0.6), q22c's hamming (8).
+    */
+  private lazy val fusionVerdictCtes: String =
+    s"""$minhashPairsCtes,
+       |cont AS (
+       |  SELECT id_a, id_b,
+       |    ${frs("CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / CAST(least(len(sa.s), len(sb.s)) AS DOUBLE)", 4)} AS containment
+       |  FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+       |            JOIN sh sb ON cand.id_b = sb.doc_id),
+       |exl AS (
+       |  SELECT d.doc_id FROM documents d
+       |  JOIN (SELECT md5(text) AS h, min(doc_id) AS keeper
+       |        FROM documents GROUP BY 1) k
+       |    ON md5(d.text) = k.h
+       |  WHERE d.doc_id > k.keeper),
+       |sv AS (
+       |  SELECT doc_id, j,
+       |    sum(CASE WHEN (${affineSql("h", "j")}) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM th, (SELECT unnest(generate_series(0, 59)) AS j)
+       |  GROUP BY 1, 2),
+       |ssim AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS sim
+       |  FROM sv GROUP BY 1),
+       |sbk AS (
+       |  SELECT doc_id, sim, b, (sim >> CAST(b * 15 AS INTEGER)) & 32767 AS chunk
+       |  FROM ssim, (SELECT unnest(generate_series(0, 3)) AS b)),
+       |scand AS (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       |    min(x.sim) AS sim_a, min(y.sim) AS sim_b
+       |  FROM sbk x JOIN sbk y
+       |    ON x.b = y.b AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |sp AS (
+       |  SELECT id_a, id_b FROM scand WHERE bit_count(xor(sim_a, sim_b)) <= 8),
+       |fl AS (
+       |  SELECT d.doc_id,
+       |    CAST(CASE WHEN d.doc_id IN (SELECT doc_id FROM exl) THEN 1 ELSE 0 END AS BIGINT) AS f_exact,
+       |    CAST(CASE WHEN d.doc_id IN (SELECT id_b FROM cont WHERE containment >= CAST(0.6 AS DOUBLE)) THEN 1 ELSE 0 END AS BIGINT) AS f_containment,
+       |    CAST(CASE WHEN d.doc_id IN (SELECT id_b FROM pairs WHERE jac >= $JaccardThreshold) THEN 1 ELSE 0 END AS BIGINT) AS f_jaccard,
+       |    CAST(CASE WHEN d.doc_id IN (SELECT id_b FROM sp) THEN 1 ELSE 0 END AS BIGINT) AS f_simhash
+       |  FROM documents d),
+       |ver AS (
+       |  SELECT doc_id, f_exact, f_containment, f_jaccard, f_simhash,
+       |    CAST(CASE WHEN f_exact + f_containment + f_jaccard + f_simhash > 0
+       |      THEN 1 ELSE 0 END AS BIGINT) AS drop_doc,
+       |    CASE WHEN f_exact = 1 THEN 'exact'
+       |         WHEN f_containment = 1 THEN 'containment'
+       |         WHEN f_jaccard = 1 THEN 'jaccard'
+       |         WHEN f_simhash = 1 THEN 'simhash'
+       |         ELSE 'keep' END AS reason
+       |  FROM fl)""".stripMargin
+
   private val minhashLshOracle: String =
     s"""$minhashPairsCtes
        |SELECT id_a, id_b, jac FROM pairs
@@ -2055,6 +2113,65 @@ object TextQueries {
         ArtifactStore.readBatches(s, resRoot).orderBy("test_id", "train_id")
       },
       Some(crossNearDupOracle)),
+
+    // q200's maintenance driven by the STREAMING ENGINE (r12 verdict task
+    // 2): test docs arrive as file-source micro-batches, foreachBatch
+    // probes each against the standing train artifacts and appends
+    // content-keyed batches to the hits artifact — stream-maintained ≡
+    // batch-maintained ≡ rebuilt, all three against q194's full two-sided
+    // oracle VERBATIM. The last cell of the maintenance matrix: who drives
+    // the append (driver calls in q195/q200, the streaming engine here).
+    "q203_neardup_stream_maintained" -> Q(
+      (s, dir) => graft.streaming.StreamingDedup.streamMaintainedNearDupHits(
+        s, dir, shingleSize = 3, numHashes = 32, bands = 16,
+        threshold = JaccardThreshold),
+      Some(crossNearDupOracle)),
+
+    // MULTI-DETECTOR VERDICT FUSION (r12 verdict task 3): the library's four
+    // text dup detectors composed into ONE per-doc decision relation —
+    // evidence flag per axis, drop/keep, and a precedence-attributed reason
+    // (exact > containment > jaccard > simhash, strongest evidence first).
+    // Thresholds are the detectors' own registered ones (q22b/q81/q22c), so
+    // the fusion oracle is left-joins of those queries' CTEs — the DECISION
+    // layer, not just the parts, is hash-checked.
+    "q204_dedup_verdict_fusion" -> Q(
+      (s, dir) => Dedup.verdictFusion(Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 16,
+        jacThreshold = JaccardThreshold, containThreshold = 0.6, maxHamming = 8),
+      Some(s"""$fusionVerdictCtes
+             |SELECT doc_id, f_exact, f_containment, f_jaccard, f_simhash,
+             |  drop_doc, reason
+             |FROM ver ORDER BY doc_id""".stripMargin)),
+
+    // The fusion ATTRITION FUNNEL: per axis the flagged count (overlapping),
+    // the precedence-ATTRIBUTED count (sums to total drops), and survivors
+    // as axes apply in order — what a curation run publishes so a detector
+    // suddenly attributing 40% of drops is visible, not buried.
+    "q205_dedup_verdict_funnel" -> Q(
+      (s, dir) => Dedup.verdictFunnel(
+        Dedup.verdictFusion(Tables.documents(s, dir), "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 16,
+          jacThreshold = JaccardThreshold, containThreshold = 0.6, maxHamming = 8),
+        "doc_id"),
+      Some(s"""$fusionVerdictCtes,
+             |ax AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'exact'),
+             |  (CAST(1 AS BIGINT), 'containment'), (CAST(2 AS BIGINT), 'jaccard'),
+             |  (CAST(3 AS BIGINT), 'simhash')) AS t(axis_idx, axis))
+             |SELECT a.axis_idx, a.axis,
+             |  CAST(sum(CASE a.axis WHEN 'exact' THEN v.f_exact
+             |    WHEN 'containment' THEN v.f_containment
+             |    WHEN 'jaccard' THEN v.f_jaccard
+             |    ELSE v.f_simhash END) AS BIGINT) AS n_flagged,
+             |  CAST(sum(CASE WHEN v.reason = a.axis THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+             |  CAST(sum(CASE a.axis_idx
+             |    WHEN 0 THEN CASE WHEN v.reason IN ('exact') THEN 0 ELSE 1 END
+             |    WHEN 1 THEN CASE WHEN v.reason IN ('exact', 'containment') THEN 0 ELSE 1 END
+             |    WHEN 2 THEN CASE WHEN v.reason IN ('exact', 'containment', 'jaccard') THEN 0 ELSE 1 END
+             |    ELSE CASE WHEN v.reason IN ('exact', 'containment', 'jaccard', 'simhash') THEN 0 ELSE 1 END
+             |  END) AS BIGINT) AS n_surviving,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM ver) AS n_docs
+             |FROM ax a CROSS JOIN ver v
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
 
     "q149_exact_substr_spans" -> Q(
       (s, dir) => Dedup.exactSubstrSpans(

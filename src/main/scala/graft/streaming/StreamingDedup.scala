@@ -62,4 +62,81 @@ object StreamingDedup {
     Dedup.keepFirst(deltaStatic, "doc_id", withinPairs)
       .join(droppedByCorpus.withColumnRenamed("id_b", "doc_id"), Seq("doc_id"), "left_anti")
   }
+
+  /** STREAM-MAINTAINED near-dup hits artifact (r12 verdict task 2): q200's
+    * incremental index maintenance driven by the streaming engine instead
+    * of explicit driver calls — test documents arrive as file-source
+    * micro-batches, `foreachBatch` probes each against the STANDING train
+    * band/signature artifacts and appends the batch's pairs to the hits
+    * artifact via [[graft.pipeline.ArtifactStore.appendBatchIfAbsent]].
+    * Stream-maintained ≡ batch-maintained ≡ rebuilt: per-test-doc results
+    * depend only on that doc and the train index, so the union over any
+    * micro-batching equals the full two-sided rebuild — the oracle is
+    * q194's SQL verbatim.
+    *
+    * Idempotence under at-least-once `foreachBatch`: artifact batches are
+    * keyed by CONTENT (the batch's min test id), not by the engine's
+    * batchId — a replayed micro-batch (or a whole replayed stream over a
+    * live artifact, StreamingSpec's replay leg) recomputes the same key,
+    * finds it live, and skips; engine batch numbering and file-listing
+    * order can never misalign the artifact. Seeds are written one file per
+    * planned batch + `maxFilesPerTrigger=1`, so micro-batch = planned
+    * batch.
+    *
+    * Scale: the train corpus is scanned once ever (artifact build); each
+    * micro-batch costs its own shingling + a band equi-join probe. The
+    * artifact grows append-only, one subdirectory per ingest batch — the
+    * reference pipeline's mtime short-circuit (`main.py:143-147`) applied
+    * to a streaming index.
+    */
+  def streamMaintainedNearDupHits(spark: SparkSession, dir: String,
+                                  shingleSize: Int = 3, numHashes: Int = 32,
+                                  bands: Int = 16, threshold: Double = 0.5,
+                                  hitsName: String = "neardup_hits_stream_s3_h32_b16_v1")
+      : DataFrame = {
+    import graft.pipeline.ArtifactStore
+    import org.apache.spark.sql.streaming.Trigger
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    // the standing train index — SHARED with q200 (one deployment index,
+    // two consumers: batch maintenance there, streaming maintenance here)
+    lazy val idx = Dedup.trainNearDupIndex(
+      d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+      shingleSize, numHashes, bands)
+    val trainBands = ArtifactStore.loadOrBuild(spark,
+      ArtifactStore.rootFor(dir, s"neardup_train_bands_s${shingleSize}_h${numHashes}_b${bands}_v1"))(idx._1)
+    val trainSigs = ArtifactStore.loadOrBuild(spark,
+      ArtifactStore.rootFor(dir, s"neardup_train_sigs_s${shingleSize}_h${numHashes}_b${bands}_v1"))(idx._2)
+    val hitsRoot = ArtifactStore.rootFor(dir, hitsName)
+
+    // seed the ingest: one single-part file per planned batch (test docs
+    // split doc_id % 10 = 0 / = 5 — q200's exact batches)
+    val seedRoot = java.nio.file.Files.createTempDirectory("graft_stream_neardup")
+    val seedDir = seedRoot.resolve("in").toString
+    Seq(0, 5).foreach { m =>
+      d.filter(col("doc_id") % 10 === m).coalesce(1)
+        .write.mode("overwrite").parquet(s"$seedDir/b$m")
+    }
+    val streamed = spark.readStream
+      .schema(d.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(seedDir)
+    val q = streamed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val contentKey = batch.agg(min(col("doc_id") % 10)).head.getLong(0)
+          ArtifactStore.appendBatchIfAbsent(spark, hitsRoot, contentKey) {
+            Dedup.crossCorpusNearDupFromIndex(trainBands, trainSigs, batch,
+              "doc_id", "text", shingleSize, numHashes, bands, threshold)
+          }
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    StreamingDrift.deleteTempDir(seedRoot)
+    ArtifactStore.readBatches(spark, hitsRoot).orderBy("test_id", "train_id")
+  }
 }

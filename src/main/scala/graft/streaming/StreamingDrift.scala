@@ -276,7 +276,11 @@ object StreamingDrift {
     out
   }
 
-  /** Best-effort recursive delete of a local temp directory. */
+  /** Best-effort recursive delete of a local temp directory (shared by the
+    * streaming functions that seed or hold state in temp roots). */
+  private[streaming] def deleteTempDir(root: java.nio.file.Path): Unit =
+    deleteRecursively(root)
+
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     if (Files.exists(root)) {

@@ -1597,4 +1597,43 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(got((10L, 3L)) === 17L) // "the_answer_is_42_" (train continues "obv", test "yy")
     assert(!got.contains((11L, 0L)) || got((11L, 0L)) < 15L)
   }
+
+  test("verdictFusion: per-axis flags, precedence-attributed reason, funnel sums") {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val docs = Seq(
+      0L -> base,
+      1L -> base,                                    // exact copy → reason 'exact'
+      2L -> base.replace("kilo", "zulu"),            // light edit → set-similarity axes
+      3L -> (base + " " + "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee " * 3), // contains doc 0 → containment
+      4L -> "completely different text with no shared vocabulary whatsoever anywhere at all thanks").toDF("doc_id", "text")
+    val v = graft.operators.Dedup.verdictFusion(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 16,
+      jacThreshold = 0.5, containThreshold = 0.6, maxHamming = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6))).toMap
+    // doc 0: keep-first protects the lowest id on every axis
+    assert(v(0L) === ((0L, 0L, 0L, 0L, 0L, "keep")))
+    // doc 1: exact copy — every axis flags it, precedence attributes 'exact'
+    assert(v(1L)._1 === 1L && v(1L)._6 === "exact" && v(1L)._5 === 1L)
+    // doc 2: not byte-identical; near-dup axes fire, 'containment' outranks
+    assert(v(2L)._1 === 0L && v(2L)._5 === 1L &&
+      (v(2L)._6 === "containment" || v(2L)._6 === "jaccard"))
+    // doc 3: doc 0 embedded in a longer doc — containment catches what
+    // symmetric Jaccard cannot
+    assert(v(3L)._2 === 1L && v(3L)._3 === 0L && v(3L)._6 === "containment")
+    // doc 4: unrelated — clean on every axis
+    assert(v(4L) === ((0L, 0L, 0L, 0L, 0L, "keep")))
+    // funnel: attributed counts sum to total drops; final survivors = keeps
+    val f = graft.operators.Dedup.verdictFunnel(
+      graft.operators.Dedup.verdictFusion(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 16,
+        jacThreshold = 0.5, containThreshold = 0.6, maxHamming = 8), "doc_id")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val drops = v.values.count(_._5 == 1L).toLong
+    assert(f.map(_._3).sum === drops, "attributed counts must sum to total drops")
+    assert(f.last._4 === v.size - drops, "final survivors must equal keeps")
+    assert(f.forall(_._5 === v.size.toLong))
+    assert(f.map(_._1) === Seq("exact", "containment", "jaccard", "simhash"))
+  }
 }

@@ -381,4 +381,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     graft.streaming.StreamingDrift.mergeCountDelta(spark, statePath, delta(9L -> 9L), 0L)
     assert(snapshot() === after)
   }
+
+  test("stream-maintained near-dup hits ≡ batch rebuild, idempotent under replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // planted corpus: train (id % 5 != 0) with two docs the test side near-
+    // duplicates, test (id % 5 == 0) split across the two planned batches
+    // (id % 10 = 0 and = 5) — both batches must contribute hits
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again tonight",
+      2L -> "pack my box with five dozen liquor jugs before the long journey home",
+      3L -> "completely unrelated training text about distributed query processing engines",
+      0L -> "the quick brown fox jumps over the lazy dog again and again today",
+      5L -> "pack my box with five dozen liquor jugs before the long journey away",
+      10L -> "nothing here resembles anything in the training corpus at all truly")
+    val docs = texts.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_fixture").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run() = graft.streaming.StreamingDedup
+      .streamMaintainedNearDupHits(spark, dir, shingleSize = 3, numHashes = 32,
+        bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val first = run()
+    val batch = graft.operators.Dedup.crossCorpusNearDupPairs(
+        docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(first === batch)
+    assert(first.map(_._1).toSet === Set(0L, 5L), "both ingest batches must land hits")
+    // a REPLAYED stream over the live artifact (fresh checkpoint, same
+    // content keys) must skip every append and read back the same index
+    val second = run()
+    assert(second === first)
+  }
 }
