@@ -146,6 +146,27 @@ object AnnIndex {
       array_min(cellScores(asDouble(col(vecCol)))).getField("i").cast("long").as("cell"))
   }
 
+  /** Per-cell OCCUPANCY histogram of `df` under TRAINED coarse centroids —
+    * the embedding-space distribution profile (r12 verdict task 4): cell
+    * assignment is the same argmin(|c|² − 2·v·c) map-side expression every
+    * IVF consumer uses (ties to the lower index), and the output is the
+    * `(bin, n)` shape [[Validate.psiGateFromCounts]] takes, so cell-
+    * occupancy drift between corpus snapshots rides the existing PSI
+    * machinery with the trained cells as the (categorical) binning. One
+    * map-side-combined count shuffle, ≤ nlist result rows — the corpus is
+    * never shuffled by anything wider than the cell id.
+    */
+  def cellOccupancyCounts(df: DataFrame, vecCol: String,
+                          cents: Seq[Seq[Double]]): DataFrame = {
+    import graft.functions.VectorFunctions.dotFused
+    def cellScores(vec: Column): Column = array(cents.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dotFused(vec, array(c.map(lit): _*))).as("d"), lit(i).as("i"))
+    }: _*)
+    df.select(array_min(cellScores(asDouble(col(vecCol)))).getField("i").cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+  }
+
   def ivfTopK(queries: DataFrame, qIdCol: String, qVecCol: String,
               corpus: DataFrame, cIdCol: String, cVecCol: String,
               k: Int, nlist: Int, nprobe: Int, roundTo: Int = 6,

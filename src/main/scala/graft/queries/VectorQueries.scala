@@ -1820,5 +1820,87 @@ object VectorQueries {
            |FROM sims WHERE sim >= CAST(0.99999 AS DOUBLE)
            |GROUP BY vec_id ORDER BY vec_id""".stripMargin
       }),
+
+    // EMBEDDING-SPACE drift gate (r12 verdict task 4): the drift matrix
+    // covered scalar columns; this is the embedding MODALITY — IVF
+    // cell-occupancy PSI between corpus snapshots, using parameters the
+    // deployment already ships (the trained centroid artifact). Two
+    // scenarios: 'cluster_shift' drops three derived clusters outright
+    // (their trained cells empty → PSI flags hard), 'uniform_half' keeps a
+    // hash-uniform half (occupancy proportions preserved → PSI reads
+    // sampling noise, no flag). The PSI arithmetic is psiGateFromCounts
+    // verbatim with cells as the categorical bins.
+    "q206_embedding_drift_gate" -> Q(
+      (s, dir) => {
+        val cents = trainedCents(s, dir).toSeq
+        val corpus = clusteredDf(s, dir)
+        val prev = graft.operators.AnnIndex.cellOccupancyCounts(corpus, "cvec", cents)
+        def gate(filter: org.apache.spark.sql.Column, scenario: String) =
+          graft.operators.Validate.psiGateFromCounts(prev,
+            graft.operators.AnnIndex.cellOccupancyCounts(corpus.filter(filter), "cvec", cents),
+            threshold = 0.25)
+            .withColumn("scenario", lit(scenario))
+        gate(!(col("vec_id") % 32).isin(5, 6, 7), "cluster_shift")
+          .unionByName(gate(
+            graft.operators.Sampling.hashShard(col("vec_id"), 2) === 0, "uniform_half"))
+          .select("scenario", "psi", "n_prev", "n_next", "is_drift")
+          .orderBy("scenario")
+      },
+      Some(s"""WITH $cfCte,
+             |$cfKmeansCtes,
+             |po AS (SELECT cell, CAST(count(*) AS BIGINT) AS pn FROM asg GROUP BY cell)
+             |SELECT * FROM (
+             |${cellPsiScenarioSql("cluster_shift", "vec_id % 32 NOT IN (5, 6, 7)")}
+             |UNION ALL
+             |${cellPsiScenarioSql("uniform_half",
+                 graft.operators.Sampling.hashShardSql("vec_id", 2) + " = 0")})
+             |ORDER BY scenario""".stripMargin)),
+
+    // The same gate MID-INGEST: the shifted snapshot's vectors stream in,
+    // cells assign map-side against the trained centroids, per-cell counts
+    // fold through complete-mode state (≤ nlist rows at any volume), and
+    // the PSI finish runs on drain — passing the batch scenario's oracle
+    // verbatim. The embedding row of the stream ≡ batch gate matrix.
+    "q207_stream_embedding_drift" -> Q(
+      (s, dir) => graft.streaming.StreamingDrift.embeddingCellDriftGate(
+        s, dir,
+        vecExpr = s"transform(sequence(0, 63), d -> $cvBody)",
+        nextFilter = "vec_id % 32 NOT IN (5, 6, 7)",
+        cents = trainedCents(s, dir).toSeq,
+        prevCounts = graft.operators.AnnIndex.cellOccupancyCounts(
+          clusteredDf(s, dir), "cvec", trainedCents(s, dir).toSeq),
+        threshold = 0.25),
+      Some(s"""WITH $cfCte,
+             |$cfKmeansCtes,
+             |po AS (SELECT cell, CAST(count(*) AS BIGINT) AS pn FROM asg GROUP BY cell)
+             |${cellPsiScenarioSql(null, "vec_id % 32 NOT IN (5, 6, 7)")}""".stripMargin)),
   )
+
+  /** One scenario of the cell-occupancy PSI finish over `po` (prev per-cell
+    * counts) and `asg` (trained-cell assignments) — mirrors
+    * [[graft.operators.Validate.psiGateFromCounts]] exactly (full-outer
+    * join, coalesce, global totals, minP = 1e-6 floor, floor-rounded sum).
+    * `scenario == null` omits the scenario column (the streaming row's
+    * single-scenario shape).
+    */
+  private def cellPsiScenarioSql(scenario: String, nextWhere: String): String = {
+    val scenSel = Option(scenario).map(sc => s"'$sc' AS scenario, ").getOrElse("")
+    val psi = frs("sum((p - q) * ln(p / q))", 6)
+    s"""SELECT $scenSel$psi AS psi,
+       |  CAST(min(tp) AS BIGINT) AS n_prev, CAST(min(tn) AS BIGINT) AS n_next,
+       |  CAST($psi > CAST(0.25 AS DOUBLE) AS BIGINT) AS is_drift
+       |FROM (
+       |  SELECT greatest(CAST(pn AS DOUBLE) / CAST(tp AS DOUBLE), CAST(1.0E-6 AS DOUBLE)) AS p,
+       |    greatest(CAST(nn AS DOUBLE) / CAST(tn AS DOUBLE), CAST(1.0E-6 AS DOUBLE)) AS q,
+       |    tp, tn
+       |  FROM (
+       |    SELECT pn, nn, CAST(sum(pn) OVER () AS BIGINT) AS tp,
+       |      CAST(sum(nn) OVER () AS BIGINT) AS tn
+       |    FROM (
+       |      SELECT coalesce(po.pn, 0) AS pn, coalesce(nx.nn, 0) AS nn
+       |      FROM po FULL OUTER JOIN (
+       |        SELECT cell, CAST(count(*) AS BIGINT) AS nn FROM asg
+       |        WHERE $nextWhere GROUP BY cell) nx
+       |      ON po.cell = nx.cell)))""".stripMargin
+  }
 }

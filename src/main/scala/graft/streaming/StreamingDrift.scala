@@ -233,6 +233,46 @@ object StreamingDrift {
     Validate.groupedPsiGateFromCounts(prevCounts, drained, groupCol, threshold)
   }
 
+  /** The EMBEDDING-SPACE drift gate MID-INGEST (r12 verdict task 4): the
+    * drift matrix has covered scalar columns (z/PSI/KS × batch/stream/
+    * grouped); this is the embedding MODALITY — the next corpus snapshot's
+    * vectors stream in, each assigns its TRAINED IVF cell as a pure
+    * map-side expression (the same argmin convention every IVF consumer
+    * uses), per-cell counts fold through complete-mode engine state
+    * (additive monoid, ≤ nlist rows — batch boundaries invisible), and PSI
+    * over the cell-occupancy histograms runs against the static baseline
+    * through [[Validate.psiGateFromCounts]] — identical arithmetic to the
+    * batch gate, so the stream query passes the batch oracle verbatim.
+    *
+    * This is the gate an embedding-backed ingest deploys: a new crawl
+    * snapshot whose topic mix shifted (cells emptying or swelling) flags
+    * BEFORE it lands in the index, using parameters the deployment already
+    * ships (the trained centroid artifact). State ≤ nlist regardless of
+    * volume.
+    */
+  def embeddingCellDriftGate(spark: SparkSession, dir: String,
+                             vecExpr: String, nextFilter: String,
+                             cents: Seq[Seq[Double]], prevCounts: DataFrame,
+                             threshold: Double = 0.25): DataFrame = {
+    import graft.functions.VectorFunctions.{asDouble, dotFused}
+    def cellOf(vec: org.apache.spark.sql.Column) =
+      array_min(array(cents.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * dotFused(vec, array(c.map(lit): _*))).as("d"),
+          lit(i).as("i"))
+      }: _*)).getField("i").cast("long")
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(s"$dir/embeddings.parquet").schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+      .filter(expr(nextFilter))
+    val nextCounts = streamed
+      .select(cellOf(asDouble(expr(vecExpr))).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val drained = StreamingAgg.drain(nextCounts, "graft_stream_celldrift", "complete")
+    Validate.psiGateFromCounts(prevCounts, drained, threshold)
+  }
+
   /** The UNBOUNDED-key form of the streaming gate: the group key is a wide
     * domain (here `c_custkey % buckets` standing in for per-domain / per-host
     * counts), so per-batch deltas MERGE into a key-partitioned parquet state
