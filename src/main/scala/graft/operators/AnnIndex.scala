@@ -423,6 +423,85 @@ object AnnIndex {
       .select(col(qIdCol), col(cIdCol), col("score"), col("__probe_rn").as("probe_rn"))
   }
 
+  /** Per-dimension SQ8 scalar-quantization parameters — the corpus min/max
+    * per component (public Faiss `ScalarQuantizer QT_8bit` practice): the
+    * trained-parameter relation a deployment materializes once
+    * ([[graft.pipeline.ArtifactStore]]). Output (pos, mn, mx), pos
+    * 0-based. One posexplode + a 64-key min/max aggregate — the cheapest
+    * training step in the quantizer family.
+    */
+  def sq8Train(corpus: DataFrame, vecCol: String): DataFrame =
+    corpus.select(posexplode(asDouble(col(vecCol))))
+      .groupBy(col("pos").cast("long").as("pos"))
+      .agg(min("col").as("mn"), max("col").as("mx"))
+      .orderBy("pos")
+
+  /** SQ8 candidates within the `nprobe` nearest cells — the CHEAP-MEMORY
+    * operating point of the quantizer frontier (r12 verdict task 5): each
+    * component quantizes independently to one byte,
+    * `code_i = clamp(⌊(x_i − mn_i)·255/(mx_i − mn_i)⌋, 0, 255)`, and the
+    * asymmetric distance scores the query against the RECONSTRUCTION
+    * `x̂_i = mn_i + code_i·(mx_i − mn_i)/255` as |q|² + |x̂|² − 2·q·x̂ —
+    * dim bytes/vector (64 here) vs PQ's m·log₂(ksub)/8 (8 here): 8× the
+    * memory, no codebook training, per-dim fidelity. Same probe plumbing
+    * and `probe_rn` tagging as [[pqCandidates]], so the frontier sweep
+    * slices it identically. Encode→reconstruct is map-only on the corpus;
+    * mn/mx arrive as trained literals (the [[sq8Train]] artifact).
+    *
+    * Determinism: the corpus components and the trained mn/mx are
+    * integer-valued doubles on the audit corpus, and every expression
+    * (subtract, ·255, divide, floor, clamp, reconstruct) is mirrored
+    * token-for-token in the oracle SQL — identical IEEE ops in identical
+    * order, so codes and distances agree bit-for-bit cross-engine.
+    */
+  def sq8Candidates(queries: DataFrame, qIdCol: String, qVecCol: String,
+                    corpus: DataFrame, cIdCol: String, cVecCol: String,
+                    nlist: Int, nprobe: Int,
+                    params: Array[(Double, Double)],
+                    coarseCentroids: Option[Array[Seq[Double]]] = None,
+                    roundTo: Int = 6, excludeSelf: Boolean = true): DataFrame = {
+    import graft.functions.VectorFunctions.dotFused
+    require(nprobe <= nlist, "nprobe must be <= nlist")
+    val cents: Array[(Int, Seq[Double])] = coarseCentroids
+      .map(_.zipWithIndex.map { case (c, i) => i -> c })
+      .getOrElse(corpus
+        .select(col(cIdCol), asDouble(col(cVecCol)).as("v"))
+        .orderBy(col(cIdCol)).limit(nlist)
+        .collect().zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) })
+    def cellScores(vec: Column): Column = array(cents.toSeq.map { case (i, c) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dotFused(vec, array(c.map(lit): _*))).as("d"), lit(i).as("i"))
+    }: _*)
+    val mnA = array(params.map(p => lit(p._1)): _*)
+    val rngA = array(params.map(p => lit(p._2 - p._1)): _*)
+    def xhatCol(vec: Column): Column = {
+      val dv = zip_with(vec, mnA, (x, mn) => x - mn)
+      val codes = zip_with(dv, rngA, (d, r) =>
+        when(r > lit(0.0),
+          least(greatest(floor(d * lit(255.0) / r).cast("double"), lit(0.0)), lit(255.0)))
+          .otherwise(lit(0.0)))
+      val rec = zip_with(codes, rngA, (c, r) => c * r / lit(255.0))
+      zip_with(rec, mnA, (a, b) => a + b)
+    }
+    val enc = corpus.select(col(cIdCol),
+      array_min(cellScores(asDouble(col(cVecCol)))).getField("i").as("__cell"),
+      xhatCol(asDouble(col(cVecCol))).as("__xhat"))
+      .withColumn("__x2", l2NormSq(col("__xhat")))
+    val qb = queries
+      .select(col(qIdCol), asDouble(col(qVecCol)).as("__qv"),
+        slice(sort_array(cellScores(asDouble(col(qVecCol)))), 1, nprobe).as("__probes"))
+      .withColumn("__q2", l2NormSq(col("__qv")))
+      .select(col(qIdCol), col("__qv"), col("__q2"), posexplode(col("__probes")))
+      .withColumn("__cell", col("col.i"))
+      .withColumn("__probe_rn", (col("pos") + 1).cast("long"))
+      .drop("pos", "col")
+    enc.join(broadcast(qb), Seq("__cell"))
+      .filter(lit(!excludeSelf) || col(qIdCol) =!= col(cIdCol))
+      .withColumn("score", floorRound(
+        col("__q2") + col("__x2") - lit(2.0) * dotFused(col("__qv"), col("__xhat")), roundTo))
+      .select(col(qIdCol), col(cIdCol), col("score"), col("__probe_rn").as("probe_rn"))
+  }
+
   /** RESIDUAL IVF-PQ (Jégou/Douze/Schmid, TPAMI 2011 §III — the IVFADC the
     * paper actually specifies): codes quantize the residual `v −
     * centroid(cell(v))` rather than the raw vector, so each codebook only

@@ -1689,6 +1689,11 @@ object VectorQueries {
           AnnIndex.pqTrainCodebooks(residCorpus.select(col("vec_id"),
             matVec(col("__resid"), rot).as("__resid")), "vec_id", "__resid",
             m = PqM, ksub = PqKsub, dim = 64, iters = 1))
+        // the SQ8 per-dim min/max are trained parameters too (64 rows)
+        val sqParams = graft.pipeline.ArtifactStore.loadOrBuild(s,
+            graft.pipeline.ArtifactStore.rootFor(dir, "sq8_params_cf_v1")) {
+            AnnIndex.sq8Train(cf, "cvec")
+          }.orderBy("pos").collect().map(r => (r.getDouble(1), r.getDouble(2)))
         val maxNp = 8
         def tag(df: org.apache.spark.sql.DataFrame, name: String) =
           df.withColumn("chain", lit(name))
@@ -1705,6 +1710,12 @@ object VectorQueries {
             nlist = 32, nprobe = maxNp,
             codebooks = Some(opqCb), coarseCentroids = Some(cents),
             rotation = Some(rot)), "resid_opq"))
+          // the MEMORY axis's cheap point (r12 verdict task 5): SQ8 at
+          // dim·8 bits/vector vs the PQ chains' m·log2(ksub) — no codebook,
+          // per-dim fidelity, same cells and probe budget
+          .unionByName(tag(AnnIndex.sq8Candidates(queries, "q_id", "q_vec",
+            corpus, "c_id", "cvec", nlist = 32, nprobe = maxNp,
+            params = sqParams, coarseCentroids = Some(cents)), "sq8"))
           .cache() // cache-lifetime: 8 slice consumers below (see Caching)
         val c = cf.select(col("vec_id").as("c_id"), asDouble(col("cvec")).as("cv"))
           .withColumn("__c2", l2NormSq(col("cv")))
@@ -1732,6 +1743,10 @@ object VectorQueries {
               coalesce(col("n_hit"), lit(0L)).as("n_hit"),
               fr(coalesce(col("n_hit"), lit(0L)).cast("double") / lit(60.0), 4).as("recall"))
         }.reduce(_ unionByName _)
+          // the second axis a 100-TB deployment weighs: index bytes per
+          // vector — PQ m·log2(ksub)/8 = 16·4/8 = 8 B, SQ8 dim·1 = 64 B
+          .withColumn("bytes_per_vec",
+            when(col("chain") === "sq8", lit(64L)).otherwise(lit(8L)))
           .orderBy("chain", "nprobe")
       },
       Some {
@@ -1749,6 +1764,35 @@ object VectorQueries {
            |${cfRawChain(maxNprobe = 8, withRn = true, qSrc = "qmid")},
            |${cfResidChain("r", rot = false, maxNprobe = 8, withRn = true, qSrc = "qmid")},
            |${cfResidChain("o", rot = true, maxNprobe = 8, withRn = true, qSrc = "qmid")},
+           |sqp AS (
+           |  SELECT pos, min(comp) AS mn, max(comp) AS mx FROM (
+           |    SELECT unnest(v) AS comp, generate_subscripts(v, 1) AS pos FROM cf)
+           |  GROUP BY pos),
+           |sqx AS (
+           |  SELECT vec_id, list(xh ORDER BY pos) AS xhat FROM (
+           |    SELECT f.vec_id, p.pos,
+           |      CASE WHEN p.mx - p.mn > 0 THEN
+           |        p.mn + least(greatest(floor((f.v[CAST(p.pos AS INTEGER)] - p.mn) * CAST(255.0 AS DOUBLE) / (p.mx - p.mn)),
+           |          CAST(0.0 AS DOUBLE)), CAST(255.0 AS DOUBLE)) * (p.mx - p.mn) / CAST(255.0 AS DOUBLE)
+           |      ELSE p.mn END AS xh
+           |    FROM cf f CROSS JOIN sqp p)
+           |  GROUP BY vec_id),
+           |sprobes AS (
+           |  SELECT vec_id AS q_id, cell, rn FROM (
+           |    SELECT f.vec_id, c.ci AS cell,
+           |      row_number() OVER (PARTITION BY f.vec_id
+           |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(f.v, c.cv), c.ci) AS rn
+           |    FROM qmid f CROSS JOIN cents c WHERE f.vec_id < 20)
+           |  WHERE rn <= 8),
+           |sadist AS (
+           |  SELECT p.q_id, a.vec_id AS c_id,
+           |    ${sqSql("q.v")} + ${sqSql("x.xhat")}
+           |      - CAST(2.0 AS DOUBLE) * list_inner_product(q.v, x.xhat) AS d,
+           |    CAST(p.rn AS BIGINT) AS probe_rn
+           |  FROM sprobes p
+           |  JOIN asg a ON p.cell = a.cell AND a.vec_id <> p.q_id
+           |  JOIN sqx x ON x.vec_id = a.vec_id
+           |  JOIN qmid q ON q.vec_id = p.q_id),
            |exact AS (
            |  SELECT q_id, c_id FROM (
            |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
@@ -1759,7 +1803,8 @@ object VectorQueries {
            |allc AS (
            |  SELECT 'raw' AS chain, q_id, c_id, d, probe_rn FROM padist
            |  UNION ALL SELECT 'resid' AS chain, q_id, c_id, d, probe_rn FROM radist
-           |  UNION ALL SELECT 'resid_opq' AS chain, q_id, c_id, d, probe_rn FROM oadist),
+           |  UNION ALL SELECT 'resid_opq' AS chain, q_id, c_id, d, probe_rn FROM oadist
+           |  UNION ALL SELECT 'sq8' AS chain, q_id, c_id, d, probe_rn FROM sadist),
            |pts AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
            |slc AS (
            |  SELECT a.chain, p.nprobe, a.q_id, a.c_id, a.d
@@ -1778,7 +1823,8 @@ object VectorQueries {
            |  GROUP BY 1, 2)
            |SELECT c.chain, CAST(c.nprobe AS BIGINT) AS nprobe, c.n_cand,
            |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
-           |  ${frs("CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(60.0 AS DOUBLE)", 4)} AS recall
+           |  ${frs("CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(60.0 AS DOUBLE)", 4)} AS recall,
+           |  CAST(CASE WHEN c.chain = 'sq8' THEN 64 ELSE 8 END AS BIGINT) AS bytes_per_vec
            |FROM counts c LEFT JOIN hits h ON h.chain = c.chain AND h.nprobe = c.nprobe
            |ORDER BY c.chain, c.nprobe""".stripMargin
       }),
