@@ -188,6 +188,40 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** CONSUME a [[temperatureMix]] allocation (r12 verdict task 7 — q199
+    * allocated quotas but nothing executed them): per source, keep the
+    * `quota` documents with the smallest deterministic hash priority
+    * ([[hashShard]] of the id — unbiased w.r.t. id/length structure, stable
+    * across runs), attaching each survivor's 1-based `sel_rank` and its
+    * source's `quota`. A source whose corpus is smaller than its quota
+    * under-fills — the honest outcome when α-flattening over-allocates a
+    * tiny source; the selection never invents documents.
+    *
+    * Scale shape: the variable per-key cap can't ride Catalyst's
+    * `InferWindowGroupLimit` directly (it needs a literal), so the rank is
+    * bounded in TWO stages: [[Curation.capPerKey]] with the LITERAL
+    * max-quota first (map-side WindowGroupLimit — each partition forwards
+    * ≤ max(quota) rows per source no matter how hot the source), then the
+    * exact per-source filter against the broadcast quota relation. Output
+    * ≡ a direct rank-≤-quota filter; shuffle bounded by max(quota)·parts
+    * per source.
+    */
+  def takeQuota(df: DataFrame, idCol: String, sourceCol: String,
+                quotas: DataFrame): DataFrame = {
+    require(!df.columns.contains("__pri"),
+      "takeQuota uses a '__pri' working column; rename the input's first")
+    // parameter fetch: the allocation is config-sized (one row per source)
+    val maxQ = quotas.agg(coalesce(max("quota"), lit(0L))).head.getLong(0)
+    require(maxQ > 0, s"takeQuota: allocation assigns no documents (max quota $maxQ)")
+    val capped = Curation.capPerKey(
+      df.withColumn("__pri", hashShard(col(idCol), 1000003)),
+      sourceCol, Seq(col("__pri"), col(idCol)), maxQ.toInt)
+    capped.join(broadcast(quotas.select(col(sourceCol), col("quota"))), Seq(sourceCol))
+      .filter(col("rank") <= col("quota"))
+      .drop("__pri")
+      .withColumnRenamed("rank", "sel_rank")
+  }
+
   /** Split-distribution drift audit: total-variation distance between the
     * unigram token distributions of each pair of [[assignSplit]] splits —
     * the check that a hash split didn't land train and test on measurably

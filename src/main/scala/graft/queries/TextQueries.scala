@@ -2532,5 +2532,63 @@ object TextQueries {
              |SELECT source, n,
              |  CAST(base + (CASE WHEN rk <= deficit THEN 1 ELSE 0 END) AS BIGINT) AS quota
              |FROM r CROSS JOIN d ORDER BY source""".stripMargin)),
+
+    // TEMPERATURE-INTEGRATED CURATION (r12 verdict task 7): q199 allocated
+    // quotas but nothing consumed them — this is the full executed chain:
+    // quality/repetition gates → exact dedup → decontamination (the q57
+    // stages) → per-source counts → temperatureMix(α=0.5) → takeQuota
+    // (per-source top-quota by deterministic hash priority, shuffle bounded
+    // by the literal max quota before the exact per-key filter). The WHOLE
+    // composition carries one oracle, q57-style — allocation and
+    // consumption verified together.
+    "q208_temperature_curate" -> Q(
+      (s, dir) => {
+        val docs   = Tables.documents(s, dir)
+        val bench  = docs.filter(col("doc_id") % 20 === 7)
+        val corpus = docs.filter(col("doc_id") % 20 =!= 7)
+        val clean = graft.operators.Curation.stages(
+          corpus, "doc_id", "text", bench, "text", "lang").clean
+        val quotas = graft.operators.Sampling.temperatureMix(
+          clean.groupBy(col("source")).agg(count(lit(1)).as("n")),
+          "source", "n", alpha = 0.5, budget = 100L)
+        graft.operators.Sampling.takeQuota(clean, "doc_id", "source", quotas)
+          .select("doc_id", "source", "sel_rank", "quota")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $curateCtes,
+             |clean AS (
+             |  SELECT doc_id, source FROM deduped
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+             |src AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM clean GROUP BY source),
+             |s2 AS (
+             |  SELECT source, n,
+             |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+             |  FROM src WHERE n > 0),
+             |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM s2),
+             |b2 AS (
+             |  SELECT source, n,
+             |    CAST(100 * w AS DOUBLE) / CAST(tw AS DOUBLE) AS ideal
+             |  FROM s2 CROSS JOIN t),
+             |c2 AS (
+             |  SELECT source, n, CAST(floor(ideal) AS BIGINT) AS base,
+             |    ideal - floor(ideal) AS frac
+             |  FROM b2),
+             |d2 AS (SELECT CAST(100 - sum(base) AS BIGINT) AS deficit FROM c2),
+             |r2 AS (
+             |  SELECT source, base,
+             |    row_number() OVER (ORDER BY frac DESC, source) AS rk
+             |  FROM c2),
+             |qta AS (
+             |  SELECT source,
+             |    CAST(base + (CASE WHEN rk <= deficit THEN 1 ELSE 0 END) AS BIGINT) AS quota
+             |  FROM r2 CROSS JOIN d2),
+             |rnk AS (
+             |  SELECT doc_id, source,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY ${graft.operators.Sampling.hashShardSql("doc_id", 1000003)}, doc_id) AS rk
+             |  FROM clean)
+             |SELECT rnk.doc_id, rnk.source, CAST(rnk.rk AS BIGINT) AS sel_rank, qta.quota
+             |FROM rnk JOIN qta USING (source) WHERE rnk.rk <= qta.quota
+             |ORDER BY rnk.doc_id""".stripMargin)),
   )
 }

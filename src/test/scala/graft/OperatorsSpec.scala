@@ -1598,6 +1598,31 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(!got.contains((11L, 0L)) || got((11L, 0L)) < 15L)
   }
 
+  test("takeQuota consumes a temperatureMix allocation; small source under-fills honestly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 60L).map(i => (i, if (i < 50) "big" else "small"))
+      .toDF("doc_id", "source")
+    // hand allocation: 'small' is over-allocated (quota 15 > its 10 docs)
+    val quotas = Seq(("big", 20L), ("small", 15L)).toDF("source", "quota")
+    val sel = graft.operators.Sampling.takeQuota(docs, "doc_id", "source", quotas)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val bySrc = sel.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(bySrc("big") === 20, "quota-sized selection from a large source")
+    assert(bySrc("small") === 10, "small source under-fills to its own size, never invents docs")
+    // deterministic: re-running selects the same ids in the same ranks
+    val again = graft.operators.Sampling.takeQuota(docs, "doc_id", "source", quotas)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(again.toSet === sel.toSet)
+    // ranks are 1..k per source with no gaps below the cut
+    assert(sel.filter(_._1 == "big").map(_._3).sorted === (1L to 20L))
+    // empty allocation fails loudly
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Sampling.takeQuota(docs, "doc_id", "source",
+        Seq.empty[(String, Long)].toDF("source", "quota")).collect()
+    }
+  }
+
   test("verdictFusion: per-axis flags, precedence-attributed reason, funnel sums") {
     import spark.implicits._
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
