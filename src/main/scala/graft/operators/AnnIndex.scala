@@ -304,10 +304,11 @@ object AnnIndex {
              nlist: Int, nprobe: Int, roundTo: Int = 6,
              excludeSelf: Boolean = true,
              codebooks: Option[Array[Array[Seq[Double]]]] = None,
-             coarseCentroids: Option[Array[Seq[Double]]] = None): DataFrame = {
+             coarseCentroids: Option[Array[Seq[Double]]] = None,
+             encoded: Option[DataFrame] = None): DataFrame = {
     val (enc, qbOf, adist) =
       pqParts(corpus, cIdCol, cVecCol, m, ksub, dim, nlist, nprobe, codebooks,
-        coarseCentroids)
+        coarseCentroids, encoded)
     val qb = qbOf(queries, qIdCol, qVecCol)
     val scored = enc.join(broadcast(qb), Seq("__cell"))
       .filter(lit(!excludeSelf) || col(qIdCol) =!= col(cIdCol))
@@ -330,7 +331,8 @@ object AnnIndex {
   private[graft] def pqParts(corpus: DataFrame, cIdCol: String, cVecCol: String,
       m: Int, ksub: Int, dim: Int, nlist: Int, nprobe: Int,
       codebooks: Option[Array[Array[Seq[Double]]]],
-      coarseCentroids: Option[Array[Seq[Double]]] = None)
+      coarseCentroids: Option[Array[Seq[Double]]] = None,
+      encoded: Option[DataFrame] = None)
       : (DataFrame, (DataFrame, String, String) => DataFrame, Column) = {
     import graft.functions.VectorFunctions.dotFused
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
@@ -363,9 +365,14 @@ object AnnIndex {
     def codesCol(vec: Column): Column = B.column(PqEncode(B.expression(vec), cbArr))
     def dtabCol(vec: Column): Column = B.column(PqAdcTable(B.expression(vec), cbArr))
 
-    val enc = corpus.select(col(cIdCol),
+    // `encoded`: a pre-materialized (cIdCol, __cell, __codes) index table —
+    // the DEPLOYMENT shape (r12 verdict task 8: the encoded corpus IS the
+    // artifact a real IVF-PQ index ships; scoring stays live). Content is
+    // a pure function of (corpus, codebooks, centroids), so load-vs-encode
+    // can never change a result.
+    val enc = encoded.getOrElse(corpus.select(col(cIdCol),
       array_min(cellScores(asDouble(col(cVecCol)))).getField("i").as("__cell"),
-      codesCol(asDouble(col(cVecCol))).as("__codes"))
+      codesCol(asDouble(col(cVecCol))).as("__codes")))
     def qbOf(queries: DataFrame, qIdCol: String, qVecCol: String): DataFrame = queries
       .select(col(qIdCol),
         slice(sort_array(cellScores(asDouble(col(qVecCol)))), 1, nprobe).as("__probes"),
@@ -396,10 +403,11 @@ object AnnIndex {
                    m: Int, ksub: Int, dim: Int, nlist: Int, nprobe: Int,
                    roundTo: Int = 6, excludeSelf: Boolean = true,
                    codebooks: Option[Array[Array[Seq[Double]]]] = None,
-                   coarseCentroids: Option[Array[Seq[Double]]] = None): DataFrame = {
+                   coarseCentroids: Option[Array[Seq[Double]]] = None,
+                   encoded: Option[DataFrame] = None): DataFrame = {
     val (enc, qbOf, adist) =
       pqParts(corpus, cIdCol, cVecCol, m, ksub, dim, nlist, nprobe, codebooks,
-        coarseCentroids)
+        coarseCentroids, encoded)
     enc.join(broadcast(qbOf(queries, qIdCol, qVecCol)), Seq("__cell"))
       .filter(lit(!excludeSelf) || col(qIdCol) =!= col(cIdCol))
       .withColumn("score", floorRound(adist, roundTo))
@@ -413,15 +421,41 @@ object AnnIndex {
                            roundTo: Int = 6, excludeSelf: Boolean = true,
                            codebooks: Option[Array[Array[Seq[Double]]]] = None,
                            coarseCentroids: Option[Array[Seq[Double]]] = None,
-                           rotation: Option[Array[Array[Double]]] = None): DataFrame = {
+                           rotation: Option[Array[Array[Double]]] = None,
+                           encoded: Option[DataFrame] = None): DataFrame = {
     val (enc, qbOf, adist) =
       pqResidualParts(corpus, cIdCol, cVecCol, m, ksub, dim, nlist, nprobe,
-        codebooks, coarseCentroids, rotation)
+        codebooks, coarseCentroids, rotation, encoded)
     enc.join(broadcast(qbOf(queries, qIdCol, qVecCol)), Seq("__cell"))
       .filter(lit(!excludeSelf) || col(qIdCol) =!= col(cIdCol))
       .withColumn("score", floorRound(adist, roundTo))
       .select(col(qIdCol), col(cIdCol), col("score"), col("__probe_rn").as("probe_rn"))
   }
+
+  /** The ENCODED corpus `(id, __cell, __codes)` as a standalone relation —
+    * what a deployed IVF-PQ index actually persists (r12 verdict task 8):
+    * cell assignment + PQ codes for every vector, a pure function of
+    * (corpus, codebooks, centroids), so it qualifies for
+    * [[graft.pipeline.ArtifactStore]]. Consumers pass the loaded table back
+    * through the `encoded` parameter of [[pqTopK]]/[[pqCandidates]];
+    * candidate SCORING stays live — an audit that loads its own prior
+    * scores would be weaker evidence than one that recomputes them.
+    */
+  def pqEncodedCorpus(corpus: DataFrame, cIdCol: String, cVecCol: String,
+                      m: Int, ksub: Int, dim: Int, nlist: Int,
+                      codebooks: Option[Array[Array[Seq[Double]]]] = None,
+                      coarseCentroids: Option[Array[Seq[Double]]] = None): DataFrame =
+    pqParts(corpus, cIdCol, cVecCol, m, ksub, dim, nlist, nprobe = 1,
+      codebooks, coarseCentroids)._1
+
+  /** [[pqEncodedCorpus]] for the residual (optionally OPQ-rotated) chain. */
+  def pqResidualEncodedCorpus(corpus: DataFrame, cIdCol: String, cVecCol: String,
+                              m: Int, ksub: Int, dim: Int, nlist: Int,
+                              codebooks: Option[Array[Array[Seq[Double]]]] = None,
+                              coarseCentroids: Option[Array[Seq[Double]]] = None,
+                              rotation: Option[Array[Array[Double]]] = None): DataFrame =
+    pqResidualParts(corpus, cIdCol, cVecCol, m, ksub, dim, nlist, nprobe = 1,
+      codebooks, coarseCentroids, rotation)._1
 
   /** Per-dimension SQ8 scalar-quantization parameters — the corpus min/max
     * per component (public Faiss `ScalarQuantizer QT_8bit` practice): the
@@ -524,10 +558,11 @@ object AnnIndex {
                      excludeSelf: Boolean = true,
                      codebooks: Option[Array[Array[Seq[Double]]]] = None,
                      coarseCentroids: Option[Array[Seq[Double]]] = None,
-                     rotation: Option[Array[Array[Double]]] = None): DataFrame = {
+                     rotation: Option[Array[Array[Double]]] = None,
+                     encoded: Option[DataFrame] = None): DataFrame = {
     val (enc, qbOf, adist) =
       pqResidualParts(corpus, cIdCol, cVecCol, m, ksub, dim, nlist, nprobe,
-        codebooks, coarseCentroids, rotation)
+        codebooks, coarseCentroids, rotation, encoded)
     val qb = qbOf(queries, qIdCol, qVecCol)
     val scored = enc.join(broadcast(qb), Seq("__cell"))
       .filter(lit(!excludeSelf) || col(qIdCol) =!= col(cIdCol))
@@ -571,7 +606,8 @@ object AnnIndex {
       m: Int, ksub: Int, dim: Int, nlist: Int, nprobe: Int,
       codebooks: Option[Array[Array[Seq[Double]]]],
       coarseCentroids: Option[Array[Seq[Double]]] = None,
-      rotation: Option[Array[Array[Double]]] = None)
+      rotation: Option[Array[Array[Double]]] = None,
+      encoded: Option[DataFrame] = None)
       : (DataFrame, (DataFrame, String, String) => DataFrame, Column) = {
     import graft.functions.VectorFunctions.{dotFused, matVec}
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
@@ -613,10 +649,11 @@ object AnnIndex {
     def codesCol(vec: Column): Column = B.column(PqEncode(B.expression(vec), cbArr))
     def dtabCol(vec: Column): Column = B.column(PqAdcTable(B.expression(vec), cbArr))
 
-    val enc = corpus
+    // see pqParts: `encoded` is the materialized deployment index table
+    val enc = encoded.getOrElse(corpus
       .withColumn("__cell", array_min(cellScores(asDouble(col(cVecCol)))).getField("i"))
       .select(col(cIdCol), col("__cell"),
-        codesCol(resid(asDouble(col(cVecCol)), col("__cell"))).as("__codes"))
+        codesCol(resid(asDouble(col(cVecCol)), col("__cell"))).as("__codes")))
     def qbOf(queries: DataFrame, qIdCol: String, qVecCol: String): DataFrame = queries
       .select(col(qIdCol),
         slice(sort_array(cellScores(asDouble(col(qVecCol)))), 1, nprobe).as("__probes"),
