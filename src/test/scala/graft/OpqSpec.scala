@@ -190,7 +190,7 @@ class OpqSpec extends AnyFunSuite with SparkTestSession {
   test("q197 frontier: recall non-decreasing in nprobe, residual chains gain " +
     "at 1→2, chain ordering raw < resid < resid_opq at every point") {
     val rows = SparkEntry.queries("q197_ann_frontier")(spark, sfDir).collect()
-    assert(rows.length == 12)
+    assert(rows.length == 16) // 4 chains × nprobe {1,2,4,8}
     val hit = rows.map(r => (r.getAs[String]("chain"), r.getAs[Long]("nprobe")) ->
       r.getAs[Long]("n_hit")).toMap
     val cand = rows.map(r => (r.getAs[String]("chain"), r.getAs[Long]("nprobe")) ->
@@ -208,6 +208,18 @@ class OpqSpec extends AnyFunSuite with SparkTestSession {
     }
     // the cost axis is chain-independent: all chains probe the same cells
     for (np <- nps)
-      assert(Seq("raw", "resid", "resid_opq").map(ch => cand((ch, np))).distinct.size == 1)
+      assert(Seq("raw", "resid", "resid_opq", "sq8").map(ch => cand((ch, np))).distinct.size == 1)
+    // the MEMORY axis: PQ chains at m·log2(ksub)/8 = 8 B/vec, SQ8 at 64 B
+    val bytes = rows.map(r => r.getAs[String]("chain") -> r.getAs[Long]("bytes_per_vec")).toMap
+    assert(bytes("sq8") == 64L && Seq("raw", "resid", "resid_opq").forall(bytes(_) == 8L))
+    // sq8 semantics, pinned as MEASURED (not assumed): per-dim fidelity
+    // beats whole-space raw PQ everywhere, buys recall between resid and
+    // resid_opq at nprobe=1, and recall is NOT monotone in nprobe (more
+    // candidates shift the reconstruction-distance top-3 — the documented
+    // anomaly a production deployment fixes with an exact re-rank stage)
+    for (np <- nps)
+      assert(hit(("raw", np)) < hit(("sq8", np)), s"raw !< sq8 at nprobe $np")
+    assert(hit(("resid", 1L)) < hit(("sq8", 1L)) && hit(("sq8", 1L)) < hit(("resid_opq", 1L)),
+      "sq8 must sit between resid and resid_opq at nprobe=1")
   }
 }
