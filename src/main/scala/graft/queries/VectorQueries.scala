@@ -1812,35 +1812,7 @@ object VectorQueries {
            |${cfRawChain(maxNprobe = 8, withRn = true, qSrc = "qmid")},
            |${cfResidChain("r", rot = false, maxNprobe = 8, withRn = true, qSrc = "qmid")},
            |${cfResidChain("o", rot = true, maxNprobe = 8, withRn = true, qSrc = "qmid")},
-           |sqp AS (
-           |  SELECT pos, min(comp) AS mn, max(comp) AS mx FROM (
-           |    SELECT unnest(v) AS comp, generate_subscripts(v, 1) AS pos FROM cf)
-           |  GROUP BY pos),
-           |sqx AS (
-           |  SELECT vec_id, list(xh ORDER BY pos) AS xhat FROM (
-           |    SELECT f.vec_id, p.pos,
-           |      CASE WHEN p.mx - p.mn > 0 THEN
-           |        p.mn + least(greatest(floor((f.v[CAST(p.pos AS INTEGER)] - p.mn) * CAST(255.0 AS DOUBLE) / (p.mx - p.mn)),
-           |          CAST(0.0 AS DOUBLE)), CAST(255.0 AS DOUBLE)) * (p.mx - p.mn) / CAST(255.0 AS DOUBLE)
-           |      ELSE p.mn END AS xh
-           |    FROM cf f CROSS JOIN sqp p)
-           |  GROUP BY vec_id),
-           |sprobes AS (
-           |  SELECT vec_id AS q_id, cell, rn FROM (
-           |    SELECT f.vec_id, c.ci AS cell,
-           |      row_number() OVER (PARTITION BY f.vec_id
-           |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(f.v, c.cv), c.ci) AS rn
-           |    FROM qmid f CROSS JOIN cents c WHERE f.vec_id < 20)
-           |  WHERE rn <= 8),
-           |sadist AS (
-           |  SELECT p.q_id, a.vec_id AS c_id,
-           |    ${sqSql("q.v")} + ${sqSql("x.xhat")}
-           |      - CAST(2.0 AS DOUBLE) * list_inner_product(q.v, x.xhat) AS d,
-           |    CAST(p.rn AS BIGINT) AS probe_rn
-           |  FROM sprobes p
-           |  JOIN asg a ON p.cell = a.cell AND a.vec_id <> p.q_id
-           |  JOIN sqx x ON x.vec_id = a.vec_id
-           |  JOIN qmid q ON q.vec_id = p.q_id),
+           |${sq8ChainCtes(maxNprobe = 8, qSrc = "qmid")},
            |exact AS (
            |  SELECT q_id, c_id FROM (
            |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
@@ -1968,7 +1940,161 @@ object VectorQueries {
              |$cfKmeansCtes,
              |po AS (SELECT cell, CAST(count(*) AS BIGINT) AS pn FROM asg GROUP BY cell)
              |${cellPsiScenarioSql(null, "vec_id % 32 NOT IN (5, 6, 7)")}""".stripMargin)),
+
+    // SQ8 + EXACT RE-RANK — the production fix for the frontier's measured
+    // sq8 anomaly (recall DROPS 46→41 hits from nprobe 1→2: extra
+    // candidates shift the reconstruction-distance top-3): score the cheap
+    // SQ8 shortlist, then re-rank its top-10 by EXACT distance (200 exact
+    // scores for 20 queries — the standard two-stage retrieval). Both
+    // methods are derived from the SAME nprobe=2 candidate relation, so
+    // the row pair isolates exactly what the re-rank buys.
+    "q209_sq8_rerank" -> Q(
+      (s, dir) => {
+        val cf = clusteredDf(s, dir)
+        val cents = trainedCents(s, dir)
+        val corpus = cf.select(col("vec_id").as("c_id"), col("cvec"))
+        val queries = cf.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("cvec").as("va"))
+          .join(cf.select((col("vec_id") - 1).as("q_id"), col("cvec").as("vb")), Seq("q_id"))
+          .select(col("q_id"),
+            zip_with(col("va"), col("vb"), (x, y) => (x + y) / lit(2.0)).as("q_vec"))
+        val sqParams = graft.pipeline.ArtifactStore.loadOrBuild(s,
+            graft.pipeline.ArtifactStore.rootFor(dir, "sq8_params_cf_v1")) {
+            AnnIndex.sq8Train(cf, "cvec")
+          }.orderBy("pos").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+        // cache-lifetime: pinned by the returned plan — caller releases
+        // (see Caching); direct top-3 and the re-rank shortlist both slice
+        // this one candidate relation
+        val cand = AnnIndex.sq8Candidates(queries, "q_id", "q_vec",
+          corpus, "c_id", "cvec", nlist = 32, nprobe = 2,
+          params = sqParams, coarseCentroids = Some(cents)).cache()
+        val wq = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("score"), col("c_id"))
+        val ranked = cand.withColumn("rn", row_number().over(wq))
+        val direct3 = ranked.filter(col("rn") <= 3).select("q_id", "c_id")
+        val short10 = ranked.filter(col("rn") <= 10).select("q_id", "c_id").cache()
+        val c = cf.select(col("vec_id").as("c_id"), asDouble(col("cvec")).as("cv"))
+          .withColumn("__c2", l2NormSq(col("cv")))
+        val q = queries.select(col("q_id"), asDouble(col("q_vec")).as("qv"))
+          .withColumn("__q2", l2NormSq(col("qv")))
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("d2"), col("c_id"))
+        val rr3 = short10.join(c, Seq("c_id")).join(broadcast(q), Seq("q_id"))
+          .withColumn("d2",
+            fr(col("__q2") + col("__c2") - lit(2.0) * dotFused(col("qv"), col("cv")), 6))
+          .withColumn("rn", row_number().over(wr))
+          .filter(col("rn") <= 3).select("q_id", "c_id")
+        val we = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("d2"), col("c_id"))
+        val exact = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+          .withColumn("d2",
+            fr(col("__q2") + col("__c2") - lit(2.0) * dotFused(col("qv"), col("cv")), 6))
+          .withColumn("rn", row_number().over(we))
+          .filter(col("rn") <= 3)
+          .select("q_id", "c_id")
+          .cache() // joined by both method rows
+        val directRow = direct3.join(exact, Seq("q_id", "c_id"))
+          .agg(count(lit(1)).as("n_hit"))
+          .select(lit("sq8_direct").as("method"), lit(0L).as("n_exact_scored"),
+            col("n_hit"), fr(col("n_hit").cast("double") / lit(60.0), 4).as("recall"))
+        val rerankRow = rr3.join(exact, Seq("q_id", "c_id"))
+          .agg(count(lit(1)).as("n_hit"))
+          .crossJoin(broadcast(short10.agg(count(lit(1)).as("n_exact_scored"))))
+          .select(lit("sq8_rerank").as("method"), col("n_exact_scored"),
+            col("n_hit"), fr(col("n_hit").cast("double") / lit(60.0), 4).as("recall"))
+        directRow.unionByName(rerankRow).orderBy("method")
+      },
+      Some {
+        val d2 = s"${sqSql("q.v")} + ${sqSql("c.v")}" +
+          " - CAST(2.0 AS DOUBLE) * list_inner_product(q.v, c.v)"
+        s"""WITH $cfCte,
+           |$cfKmeansCtes,
+           |qmid AS (
+           |  SELECT a.vec_id,
+           |    list_transform(generate_series(1, 64),
+           |      i -> (a.v[i] + b.v[i]) / CAST(2.0 AS DOUBLE)) AS v
+           |  FROM cf a JOIN cf b ON b.vec_id = a.vec_id + 1
+           |  WHERE a.vec_id < 20),
+           |${sq8ChainCtes(maxNprobe = 2, qSrc = "qmid")},
+           |exact AS (
+           |  SELECT q_id, c_id FROM (
+           |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${frs(d2, 6)}, c.vec_id) AS rn
+           |    FROM qmid q JOIN cf c ON c.vec_id <> q.vec_id)
+           |  WHERE rn <= 3),
+           |srk AS (
+           |  SELECT q_id, c_id,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY ${frs("d", 6)}, c_id) AS rn
+           |  FROM sadist),
+           |direct3 AS (SELECT q_id, c_id FROM srk WHERE rn <= 3),
+           |short10 AS (SELECT q_id, c_id FROM srk WHERE rn <= 10),
+           |rr3 AS (
+           |  SELECT q_id, c_id FROM (
+           |    SELECT s.q_id, s.c_id,
+           |      row_number() OVER (PARTITION BY s.q_id
+           |        ORDER BY ${frs(d2, 6)}, s.c_id) AS rn
+           |    FROM short10 s
+           |    JOIN cf c ON c.vec_id = s.c_id
+           |    JOIN qmid q ON q.vec_id = s.q_id)
+           |  WHERE rn <= 3),
+           |dh AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_hit
+           |  FROM direct3 d JOIN exact e ON e.q_id = d.q_id AND e.c_id = d.c_id),
+           |rh AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_hit
+           |  FROM rr3 r JOIN exact e ON e.q_id = r.q_id AND e.c_id = r.c_id),
+           |sn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM short10)
+           |SELECT * FROM (
+           |  SELECT 'sq8_direct' AS method, CAST(0 AS BIGINT) AS n_exact_scored,
+           |    n_hit, ${frs("CAST(n_hit AS DOUBLE) / CAST(60.0 AS DOUBLE)", 4)} AS recall
+           |  FROM dh
+           |  UNION ALL
+           |  SELECT 'sq8_rerank', sn.n, rh.n_hit,
+           |    ${frs("CAST(rh.n_hit AS DOUBLE) / CAST(60.0 AS DOUBLE)", 4)}
+           |  FROM rh CROSS JOIN sn)
+           |ORDER BY method""".stripMargin
+      }),
   )
+
+  /** SQ8 chain over `cf`/`cents`/`asg` (prefix `s`): per-dim min/max params
+    * (sqp), per-vector reconstruction (sqx — mirror of
+    * [[graft.operators.AnnIndex.sq8Candidates]] token-for-token: floor of
+    * (x−mn)·255/(mx−mn) clamped to [0,255], reconstructed at
+    * mn + code·(mx−mn)/255), probes to rank `maxNprobe` (sprobes), and the
+    * asymmetric distance relation sadist(q_id, c_id, d, probe_rn). Shared
+    * by the frontier (q197) and the re-rank audit (q209).
+    */
+  private def sq8ChainCtes(maxNprobe: Int, qSrc: String): String =
+    s"""sqp AS (
+       |  SELECT pos, min(comp) AS mn, max(comp) AS mx FROM (
+       |    SELECT unnest(v) AS comp, generate_subscripts(v, 1) AS pos FROM cf)
+       |  GROUP BY pos),
+       |sqx AS (
+       |  SELECT vec_id, list(xh ORDER BY pos) AS xhat FROM (
+       |    SELECT f.vec_id, p.pos,
+       |      CASE WHEN p.mx - p.mn > 0 THEN
+       |        p.mn + least(greatest(floor((f.v[CAST(p.pos AS INTEGER)] - p.mn) * CAST(255.0 AS DOUBLE) / (p.mx - p.mn)),
+       |          CAST(0.0 AS DOUBLE)), CAST(255.0 AS DOUBLE)) * (p.mx - p.mn) / CAST(255.0 AS DOUBLE)
+       |      ELSE p.mn END AS xh
+       |    FROM cf f CROSS JOIN sqp p)
+       |  GROUP BY vec_id),
+       |sprobes AS (
+       |  SELECT vec_id AS q_id, cell, rn FROM (
+       |    SELECT f.vec_id, c.ci AS cell,
+       |      row_number() OVER (PARTITION BY f.vec_id
+       |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(f.v, c.cv), c.ci) AS rn
+       |    FROM $qSrc f CROSS JOIN cents c WHERE f.vec_id < 20)
+       |  WHERE rn <= $maxNprobe),
+       |sadist AS (
+       |  SELECT p.q_id, a.vec_id AS c_id,
+       |    ${sqSql("q.v")} + ${sqSql("x.xhat")}
+       |      - CAST(2.0 AS DOUBLE) * list_inner_product(q.v, x.xhat) AS d,
+       |    CAST(p.rn AS BIGINT) AS probe_rn
+       |  FROM sprobes p
+       |  JOIN asg a ON p.cell = a.cell AND a.vec_id <> p.q_id
+       |  JOIN sqx x ON x.vec_id = a.vec_id
+       |  JOIN $qSrc q ON q.vec_id = p.q_id)""".stripMargin
 
   /** One scenario of the cell-occupancy PSI finish over `po` (prev per-cell
     * counts) and `asg` (trained-cell assignments) — mirrors

@@ -222,4 +222,18 @@ class OpqSpec extends AnyFunSuite with SparkTestSession {
     assert(hit(("resid", 1L)) < hit(("sq8", 1L)) && hit(("sq8", 1L)) < hit(("resid_opq", 1L)),
       "sq8 must sit between resid and resid_opq at nprobe=1")
   }
+
+  test("q209: exact re-rank of the SQ8 shortlist recovers recall (two-stage retrieval)") {
+    val rows = SparkEntry.queries("q209_sq8_rerank")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("method") ->
+        (r.getAs[Long]("n_exact_scored"), r.getAs[Long]("n_hit"))).toMap
+    val (directScored, directHit) = rows("sq8_direct")
+    val (rerankScored, rerankHit) = rows("sq8_rerank")
+    assert(directScored == 0L && rerankScored == 200L) // 20 queries × top-10
+    assert(rerankHit > directHit,
+      s"re-rank must beat direct SQ8 ranking ($rerankHit vs $directHit)")
+    // the fix works: near-exact recall from a 10-deep shortlist — the
+    // documented production remedy for the frontier's sq8 non-monotonicity
+    assert(rerankHit >= 55L, s"re-rank recall unexpectedly low: $rerankHit/60")
+  }
 }
