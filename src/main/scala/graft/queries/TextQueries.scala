@@ -2127,6 +2127,43 @@ object TextQueries {
         threshold = JaccardThreshold),
       Some(crossNearDupOracle)),
 
+    // The fusion × STREAMING matrix cell: delta docs stream in and probe
+    // the standing corpus on the exact-hash AND banded-Jaccard axes as two
+    // stateless branches of one streaming source; the drained evidence
+    // fuses into one verdict row per delta doc under the q204 precedence.
+    // Stream ≡ the batch two-axis probe the oracle computes — the ingest-
+    // time form of the verdict fusion decision layer.
+    "q210_stream_verdict_gate" -> Q(
+      (s, dir) => graft.streaming.StreamingDedup.streamVerdictGate(
+        s, dir, shingleSize = 3, numHashes = 32, bands = 16,
+        threshold = JaccardThreshold),
+      Some(s"""$minhashBkCtes,
+             |vex AS (
+             |  SELECT DISTINCT d.doc_id FROM documents d
+             |  JOIN documents c ON md5(c.text) = md5(d.text) AND c.doc_id % 10 <> 0
+             |  WHERE d.doc_id % 10 = 0),
+             |vcand AS (
+             |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+             |  FROM bk x JOIN bk y ON x.band = y.band AND x.band_key = y.band_key
+             |  WHERE y.doc_id % 10 = 0 AND x.doc_id % 10 <> 0
+             |  GROUP BY 1, 2),
+             |vpairs AS (
+             |  SELECT id_a, id_b, ${frs(jacExpr, 4)} AS jac
+             |  FROM vcand JOIN sh sa ON vcand.id_a = sa.doc_id
+             |             JOIN sh sb ON vcand.id_b = sb.doc_id),
+             |vjc AS (SELECT DISTINCT id_b FROM vpairs WHERE jac >= $JaccardThreshold),
+             |vfl AS (
+             |  SELECT d.doc_id,
+             |    CAST(CASE WHEN d.doc_id IN (SELECT doc_id FROM vex) THEN 1 ELSE 0 END AS BIGINT) AS f_exact,
+             |    CAST(CASE WHEN d.doc_id IN (SELECT id_b FROM vjc) THEN 1 ELSE 0 END AS BIGINT) AS f_jaccard
+             |  FROM documents d WHERE d.doc_id % 10 = 0)
+             |SELECT doc_id, f_exact, f_jaccard,
+             |  CAST(CASE WHEN f_exact + f_jaccard > 0 THEN 1 ELSE 0 END AS BIGINT) AS drop_doc,
+             |  CASE WHEN f_exact = 1 THEN 'exact'
+             |       WHEN f_jaccard = 1 THEN 'jaccard'
+             |       ELSE 'keep' END AS reason
+             |FROM vfl ORDER BY doc_id""".stripMargin)),
+
     // MULTI-DETECTOR VERDICT FUSION (r12 verdict task 3): the library's four
     // text dup detectors composed into ONE per-doc decision relation —
     // evidence flag per axis, drop/keep, and a precedence-attributed reason

@@ -89,6 +89,61 @@ object StreamingDedup {
     * reference pipeline's mtime short-circuit (`main.py:143-147`) applied
     * to a streaming index.
     */
+  /** STREAMED MULTI-AXIS INGEST VERDICT (the fusion × streaming matrix
+    * cell): delta documents arrive as a stream and probe the STANDING
+    * corpus on two axes at once — exact text-hash identity (stream-static
+    * equi-join on md5) and banded-MinHash resemblance (band-key probe +
+    * exact-Jaccard verify, [[deltaDedup]]'s shape) — both as stateless
+    * map/join branches of ONE streaming source, tagged and drained
+    * together. The batch-side reconciliation fuses the drained evidence
+    * into one verdict row per delta doc (flags, drop/keep, precedence
+    * `exact` > `jaccard`) — [[graft.operators.Dedup.verdictFusion]]'s
+    * decision shape at ingest time, certifying clean docs too.
+    *
+    * Scale: the standing sides are precomputable indexes (hash set, band
+    * keys); each arriving batch costs its own hashing/banding plus two
+    * equi-join probes — no streaming state at all, duplicates collapse in
+    * the post-drain distinct.
+    */
+  def streamVerdictGate(spark: SparkSession, dir: String,
+                        shingleSize: Int = 3, numHashes: Int = 32,
+                        bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val hashIdx = corpus.select(md5(col("text")).as("h")).distinct()
+    val bandIdx = Dedup.bandKeysFor(corpus, "doc_id", "text", shingleSize, numHashes, bands)
+      .select(col("hs").as("hs_a"), col("band"), col("band_key"))
+
+    val stream = StreamingAgg.streamTable(spark, dir, "documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+    val exactHits = stream
+      .select(col("doc_id").as("id_b"), md5(col("text")).as("h"))
+      .join(hashIdx, Seq("h"))
+      .select(col("id_b"), lit("exact").as("axis"))
+    val jacHits = Dedup.bandKeysFor(stream, "doc_id", "text", shingleSize, numHashes, bands)
+      .select(col("doc_id").as("id_b"), col("hs").as("hs_b"), col("band"), col("band_key"))
+      .join(bandIdx, Seq("band", "band_key"))
+      .withColumn("jac", floorRound(Dedup.jaccardOfSorted(col("hs_a"), col("hs_b")), 4))
+      .filter(col("jac") >= threshold)
+      .select(col("id_b"), lit("jaccard").as("axis"))
+    val drained = StreamingAgg.drain(exactHits.unionByName(jacHits),
+      "graft_stream_verdict", "append").distinct()
+
+    def flag(axis: String, name: String) = drained.filter(col("axis") === axis)
+      .select(col("id_b").as("doc_id")).distinct().withColumn(name, lit(1L))
+    docs.filter(col("doc_id") % 10 === 0).select("doc_id")
+      .join(flag("exact", "f_exact"), Seq("doc_id"), "left")
+      .join(flag("jaccard", "f_jaccard"), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("f_exact", "f_jaccard"))
+      .withColumn("drop_doc",
+        when(col("f_exact") + col("f_jaccard") > 0, 1L).otherwise(0L))
+      .withColumn("reason",
+        when(col("f_exact") === 1, "exact")
+          .when(col("f_jaccard") === 1, "jaccard")
+          .otherwise("keep"))
+      .orderBy("doc_id")
+  }
+
   def streamMaintainedNearDupHits(spark: SparkSession, dir: String,
                                   shingleSize: Int = 3, numHashes: Int = 32,
                                   bands: Int = 16, threshold: Double = 0.5,

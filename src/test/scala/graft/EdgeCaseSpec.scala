@@ -242,4 +242,28 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestSession {
     // identical vectors tie on cent_sim, so the lowest id survives
     assert(out(0L) === 0L && (1L until 5L).forall(out(_) === 1L))
   }
+
+  test("sq8Candidates: a constant dimension quantizes to its min without NaN; " +
+    "self candidate ranks first") {
+    import graft.operators.AnnIndex
+    // dim 2 is CONSTANT across the corpus (mx - mn = 0 -> code 0, recon mn)
+    val corpus = Seq(
+      (0L, Seq(0.0, 10.0, 7.0, 100.0)),
+      (1L, Seq(50.0, 20.0, 7.0, 0.0)),
+      (2L, Seq(100.0, 0.0, 7.0, 50.0))).toDF("c_id", "v")
+    val params = AnnIndex.sq8Train(corpus, "v").orderBy("pos")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(params(2) === ((7.0, 7.0)), "constant dim trains mn = mx")
+    val queries = corpus.filter($"c_id" === 0L)
+      .select($"c_id".as("q_id"), $"v".as("q_vec"))
+    val cand = AnnIndex.sq8Candidates(queries, "q_id", "q_vec", corpus, "c_id", "v",
+        nlist = 2, nprobe = 2, params = params, excludeSelf = false)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(cand.length === 3, "nprobe = nlist must reach the whole corpus")
+    assert(cand.forall { case (_, d) => !d.isNaN && d >= 0.0 },
+      "constant dim must not divide by zero")
+    // reconstruction error is bounded by the quantization step, so the
+    // query's own row scores strictly below any distinct vector
+    assert(cand.minBy(_._2)._1 === 0L)
+  }
 }

@@ -144,6 +144,29 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(capped === Set((1L, 2L))) // only the E≈noise(E) match; common frame filtered
   }
 
+  test("perceptual spans from a parquet round-tripped frame-hash index ≡ inline build") {
+    // the q169 artifact path: frame hashes survive a parquet round trip and
+    // drive the band join to the identical spans the inline build produces
+    def rnd(seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      Array.fill(128)((33 + r.nextInt(90)).toChar).mkString
+    }
+    val noise = (s: String) => "ZZ" + s.drop(2)
+    val (fA, fB) = (rnd(11), rnd(12))
+    val df = Seq((1L, fA + fB + rnd(13)), (2L, noise(fA) + noise(fB) + rnd(14)))
+      .toDF("doc_id", "m")
+    val inline = Multimodal.frameAlignSpansPerceptual(spark, df, frameBytes = 128,
+      minRun = 2, maxHamming = 3).collect().map(_.toSeq).toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fh_rt").toString
+    Multimodal.frameHashes(spark, df, frameBytes = 128, idCol = "doc_id", mediaCol = "m")
+      .write.mode("overwrite").parquet(tmp)
+    val roundTripped = Multimodal.frameAlignSpansPerceptualFromHashes(
+      spark.read.parquet(tmp), minRun = 2, maxHamming = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(roundTripped === inline)
+    assert(inline.nonEmpty)
+  }
+
   test("curateMedia: caption gate, frame gates, and perceptual dedup each drop their targets") {
     val body = Array.tabulate(600)(i => ('a' + (i * 11 % 26)).toChar).mkString
     val caption = "tok " * 30
