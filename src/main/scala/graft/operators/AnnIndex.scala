@@ -167,6 +167,25 @@ object AnnIndex {
       .groupBy("bin").agg(count(lit(1)).as("n"))
   }
 
+  /** Per-GROUP cell occupancy — [[cellOccupancyCounts]] keyed by a group
+    * column, the `(g, bin, n)` shape
+    * [[Validate.groupedPsiGateFromCounts]] takes: one histogram per
+    * source/label, so an embedding-distribution shift confined to ONE
+    * group flags exactly that group (the multi-source form of the
+    * embedding drift gate). State ≤ groups·nlist rows.
+    */
+  def cellOccupancyCountsByGroup(df: DataFrame, vecCol: String, groupCol: String,
+                                 cents: Seq[Seq[Double]]): DataFrame = {
+    import graft.functions.VectorFunctions.dotFused
+    def cellScores(vec: Column): Column = array(cents.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dotFused(vec, array(c.map(lit): _*))).as("d"), lit(i).as("i"))
+    }: _*)
+    df.select(col(groupCol).as("g"),
+        array_min(cellScores(asDouble(col(vecCol)))).getField("i").cast("long").as("bin"))
+      .groupBy("g", "bin").agg(count(lit(1)).as("n"))
+  }
+
   def ivfTopK(queries: DataFrame, qIdCol: String, qVecCol: String,
               corpus: DataFrame, cIdCol: String, cVecCol: String,
               k: Int, nlist: Int, nprobe: Int, roundTo: Int = 6,

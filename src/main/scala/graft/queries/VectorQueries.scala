@@ -1941,6 +1941,56 @@ object VectorQueries {
              |po AS (SELECT cell, CAST(count(*) AS BIGINT) AS pn FROM asg GROUP BY cell)
              |${cellPsiScenarioSql(null, "vec_id % 32 NOT IN (5, 6, 7)")}""".stripMargin)),
 
+    // The grouped row of the embedding-drift axis — q206's gate keyed by
+    // label (the multi-source ingest form): one cell-occupancy histogram
+    // per label, PSI per label, so a shift confined to ONE label (label 3
+    // loses its members of derived clusters 5–7) flags exactly that label
+    // while the other nine read psi 0. Completes the drift matrix's
+    // embedding modality on the grouped axis, mirroring q193's scalar form.
+    "q211_grouped_embedding_drift" -> Q(
+      (s, dir) => {
+        val cents = trainedCents(s, dir).toSeq
+        val corpus = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"),
+            expr(s"transform(sequence(0, 63), d -> $cvBody)").as("cvec"))
+          .cache() // prev + next occupancy branches below
+        def counts(df: org.apache.spark.sql.DataFrame) =
+          graft.operators.AnnIndex.cellOccupancyCountsByGroup(df, "cvec", "label", cents)
+        graft.operators.Validate.groupedPsiGateFromCounts(
+          counts(corpus),
+          counts(corpus.filter(
+            !(col("label") === 3 && (col("vec_id") % 32).isin(5, 6, 7)))),
+          "label", threshold = 0.25)
+          .orderBy("label")
+      },
+      Some(s"""WITH $cfCte,
+             |$cfKmeansCtes,
+             |lasg AS (
+             |  SELECT a.vec_id, e.label, a.cell FROM asg a
+             |  JOIN embeddings e ON e.vec_id = a.vec_id),
+             |gp AS (SELECT label AS g, cell, CAST(count(*) AS BIGINT) AS pn
+             |       FROM lasg GROUP BY 1, 2),
+             |gn AS (SELECT label AS g, cell, CAST(count(*) AS BIGINT) AS nn
+             |       FROM lasg
+             |       WHERE NOT (label = 3 AND vec_id % 32 IN (5, 6, 7))
+             |       GROUP BY 1, 2),
+             |gj AS (
+             |  SELECT coalesce(gp.g, gn.g) AS g, coalesce(gp.pn, 0) AS pn,
+             |    coalesce(gn.nn, 0) AS nn
+             |  FROM gp FULL OUTER JOIN gn ON gp.g = gn.g AND gp.cell = gn.cell),
+             |gt AS (SELECT g, CAST(sum(pn) AS BIGINT) AS tp,
+             |       CAST(sum(nn) AS BIGINT) AS tn FROM gj GROUP BY g),
+             |gpq AS (
+             |  SELECT j.g,
+             |    greatest(CAST(pn AS DOUBLE) / CAST(tp AS DOUBLE), CAST(1.0E-6 AS DOUBLE)) AS p,
+             |    greatest(CAST(nn AS DOUBLE) / CAST(tn AS DOUBLE), CAST(1.0E-6 AS DOUBLE)) AS q,
+             |    tp, tn
+             |  FROM gj j JOIN gt ON gt.g = j.g WHERE tp > 0 AND tn > 0)
+             |SELECT g AS label, ${frs("sum((p - q) * ln(p / q))", 6)} AS psi,
+             |  CAST(min(tp) AS BIGINT) AS n_prev, CAST(min(tn) AS BIGINT) AS n_next,
+             |  CAST(${frs("sum((p - q) * ln(p / q))", 6)} > CAST(0.25 AS DOUBLE) AS BIGINT) AS is_drift
+             |FROM gpq GROUP BY g ORDER BY g""".stripMargin)),
+
     // SQ8 + EXACT RE-RANK — the production fix for the frontier's measured
     // sq8 anomaly (recall DROPS 46→41 hits from nprobe 1→2: extra
     // candidates shift the reconstruction-distance top-3): score the cheap
