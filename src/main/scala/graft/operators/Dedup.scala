@@ -452,6 +452,20 @@ object Dedup {
     // Caching); the doc spine and three detector subtrees re-read the slim
     // (id, text) projection
     val base = df.select(col(idCol), col(textCol)).cache()
+    fuseVerdicts(base, idCol, textAxisLosers(base, idCol, textCol,
+      shingleSize, numHashes, bands, jacThreshold, containThreshold, maxHamming))
+  }
+
+  /** The four text-detector loser relations in precedence order — each a
+    * slim (id, f_axis=1) frame flagging the HIGHER-id member of every pair
+    * that axis sees ([[keepFirst]] policy). Shared by [[verdictFusion]],
+    * [[crossModalVerdict]] and the q217 full-stack composition so the text
+    * axes cannot drift between them.
+    */
+  private[graft] def textAxisLosers(base: DataFrame, idCol: String, textCol: String,
+                                    shingleSize: Int, numHashes: Int, bands: Int,
+                                    jacThreshold: Double, containThreshold: Double,
+                                    maxHamming: Int): Seq[(String, DataFrame)] = {
     // one candidate relation, two verifiers (Jaccard + containment)
     val cand = lshCandidatesWithSets(base, idCol, textCol,
       shingleSize, numHashes, bands)
@@ -464,34 +478,104 @@ object Dedup {
       .withColumn("containment", floorRound(
         inter / least(size(col("hs_a")), size(col("hs_b"))).cast("double"), 4))
       .select("id_a", "id_b", "jac", "containment")
-      .cache() // read by two loser branches below
-    def losers(flagged: DataFrame, flag: String): DataFrame =
-      flagged.select(col("id_b").as(idCol)).distinct().withColumn(flag, lit(1L))
+      .cache() // read by two loser branches below; released with the plan
     val exactLosers = base
       .join(exactDedup(base, idCol, textCol).select(col(idCol)), Seq(idCol), "left_anti")
       .select(col(idCol)).withColumn("f_exact", lit(1L))
-    val jacLosers = losers(scored.filter(col("jac") >= jacThreshold), "f_jaccard")
-    val conLosers = losers(scored.filter(col("containment") >= containThreshold), "f_containment")
-    val simLosers = losers(
-      simhashPairs(base, idCol, textCol, maxHamming), "f_simhash")
-    base.select(col(idCol))
-      .join(exactLosers, Seq(idCol), "left")
-      .join(conLosers, Seq(idCol), "left")
-      .join(jacLosers, Seq(idCol), "left")
-      .join(simLosers, Seq(idCol), "left")
-      .na.fill(0L, Seq("f_exact", "f_containment", "f_jaccard", "f_simhash"))
+    Seq(
+      "exact" -> exactLosers,
+      "containment" -> pairLosers(
+        scored.filter(col("containment") >= containThreshold), idCol, "f_containment"),
+      "jaccard" -> pairLosers(
+        scored.filter(col("jac") >= jacThreshold), idCol, "f_jaccard"),
+      "simhash" -> pairLosers(
+        simhashPairs(base, idCol, textCol, maxHamming), idCol, "f_simhash"))
+  }
+
+  /** Distinct higher-id members of an (id_a < id_b) pair relation, flagged. */
+  private[graft] def pairLosers(flagged: DataFrame, idCol: String, flag: String): DataFrame =
+    flagged.select(col("id_b").as(idCol)).distinct().withColumn(flag, lit(1L))
+
+  /** The fusion DECISION core: left-join each axis's loser flags onto the doc
+    * spine, one drop/keep verdict, `reason` = the first (strongest) axis that
+    * fired in the given precedence order. Axis flags join slim (id, 1L)
+    * relations — the fusion never shuffles anything wider than an id.
+    */
+  private[graft] def fuseVerdicts(base: DataFrame, idCol: String,
+                                  axes: Seq[(String, DataFrame)]): DataFrame = {
+    val flags = axes.map { case (a, _) => s"f_$a" }
+    val joined = axes.foldLeft(base.select(col(idCol))) {
+      case (acc, (_, losers)) => acc.join(losers, Seq(idCol), "left")
+    }.na.fill(0L, flags)
+    joined
       .withColumn("drop_doc",
-        when(col("f_exact") + col("f_containment") + col("f_jaccard") + col("f_simhash") > 0, 1L)
-          .otherwise(0L))
+        when(flags.map(col).reduce(_ + _) > 0, 1L).otherwise(0L))
       .withColumn("reason",
-        when(col("f_exact") === 1, "exact")
-          .when(col("f_containment") === 1, "containment")
-          .when(col("f_jaccard") === 1, "jaccard")
-          .when(col("f_simhash") === 1, "simhash")
-          .otherwise("keep"))
-      .select(col(idCol), col("f_exact"), col("f_containment"), col("f_jaccard"),
-        col("f_simhash"), col("drop_doc"), col("reason"))
+        axes.foldLeft(Option.empty[Column]) { case (acc, (a, _)) =>
+          Some(acc.fold(when(col(s"f_$a") === 1, a))(_.when(col(s"f_$a") === 1, a)))
+        }.get.otherwise("keep"))
+      .select((col(idCol) +: flags.map(col)) :+ col("drop_doc") :+ col("reason"): _*)
       .orderBy(idCol)
+  }
+
+  /** CROSS-MODALITY VERDICT FUSION (r12 verdict backlog: "fusion × modality")
+    * — [[verdictFusion]]'s four text axes plus a SEMANTIC axis computed in
+    * EMBEDDING space, on one shared id spine. The design question the
+    * backlog flagged was the id space: the embeddings fixture keys on
+    * vec_id, the documents on doc_id. Resolution: the semantic axis embeds
+    * the SAME document corpus with the deterministic [[graft.pipeline.HashingEmbedder]]
+    * (the library's pluggable embed step, q35) — every axis then keys on
+    * doc_id, and the whole five-axis verdict is one DuckDB-checkable
+    * relation. This is also the production shape: a curation run embeds its
+    * own corpus, it does not borrow vectors keyed to some other table.
+    *
+    * Semantic evidence = RAW bucket-count vectors (integer-valued, exact
+    * across engines) bucketed by sign-random-projection LSH
+    * ([[AnnIndex.cosineNearDupPairs]] — hamming ≤ 1 multiprobe candidates,
+    * exact-cosine verify ≥ `cosThreshold`), keep-first losers like every
+    * other axis. Precedence: exact > containment > jaccard > SEMANTIC >
+    * simhash — semantic cosine on a feature-hash embedding is bag-of-words
+    * evidence (insensitive to token order), weaker than shingle resemblance
+    * but measured tighter than the 60-bit SimHash proximity it outranks
+    * (τ = 0.95 on the fixture separates the near-dup band, max same-topic
+    * mass sits below 0.90).
+    *
+    * Scale shape: embedding + bucketing are map-side codegen'd kernels; the
+    * semantic candidates are bucket equi-joins on a slim (id, bucket)
+    * relation with vectors attached AFTER candidate generation (the
+    * slim-candidate pattern) — adding the fifth axis adds zero quadratic
+    * work and one slim (id, flag) join to the fusion.
+    *
+    * Output: (id, f_exact, f_containment, f_jaccard, f_semantic, f_simhash,
+    * drop_doc, reason), one row per document, ordered by id.
+    */
+  def crossModalVerdict(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int, numHashes: Int, bands: Int,
+                        jacThreshold: Double, containThreshold: Double,
+                        maxHamming: Int, embDim: Int, nbits: Int,
+                        cosThreshold: Double): DataFrame = {
+    // cache-lifetime: pinned by the returned plan — caller releases (see Caching)
+    val base = df.select(col(idCol), col(textCol)).cache()
+    val text = textAxisLosers(base, idCol, textCol,
+      shingleSize, numHashes, bands, jacThreshold, containThreshold, maxHamming)
+    val axes = text.take(3) ++
+      Seq(semanticAxisLosers(base, idCol, textCol, embDim, nbits, cosThreshold)) ++
+      text.drop(3)
+    fuseVerdicts(base, idCol, axes)
+  }
+
+  /** The SEMANTIC axis as a composable loser relation: embedRaw → SRP-LSH
+    * candidates → exact-cosine ≥ τ → keep-first flags (see
+    * [[crossModalVerdict]] for the full rationale).
+    */
+  private[graft] def semanticAxisLosers(base: DataFrame, idCol: String, textCol: String,
+                                        embDim: Int, nbits: Int,
+                                        cosThreshold: Double): (String, DataFrame) = {
+    val emb = graft.pipeline.HashingEmbedder(embDim)
+    val semPairs = AnnIndex.cosineNearDupPairs(
+      base.select(col(idCol), emb.embedRaw(col(textCol)).as("__v")),
+      idCol, "__v", threshold = cosThreshold, nbits = nbits, dim = embDim)
+    "semantic" -> pairLosers(semPairs, idCol, "f_semantic")
   }
 
   /** Per-detector attrition over a [[verdictFusion]] verdict relation — the
@@ -501,8 +585,8 @@ object Dedup {
     * running survivor count as axes apply in precedence order. Pure
     * aggregation over the verdict rows; parameter-sized output.
     */
-  def verdictFunnel(verdicts: DataFrame, idCol: String): DataFrame = {
-    val axes = Seq("exact", "containment", "jaccard", "simhash")
+  def verdictFunnel(verdicts: DataFrame, idCol: String,
+                    axes: Seq[String] = Seq("exact", "containment", "jaccard", "simhash")): DataFrame = {
     // cache-lifetime: pinned by the returned plan — caller releases (see
     // Caching); five aggregate branches read the verdict relation, and
     // uncached each would re-execute the FULL fusion chain upstream
@@ -522,6 +606,64 @@ object Dedup {
       .select(col("axis_idx"), col("axis"), col("n_flagged"), col("n_attributed"),
         col("n_surviving"), col("__n").as("n_docs"))
       .orderBy("axis_idx")
+  }
+
+  /** PAIRWISE DETECTOR AGREEMENT over a verdict relation — Cohen's kappa
+    * (Cohen 1960) between every pair of duplicate detectors, treating each
+    * axis's flag column as a binary rater over the document spine. The
+    * report a curation team reads next to the attrition funnel: a pair with
+    * kappa ≈ 1 is redundant (drop the expensive one), kappa ≈ 0 means the
+    * axes see genuinely different duplication phenomena (both earn their
+    * cost). Complements [[verdictFunnel]], which shows precedence-ordered
+    * attribution but not inter-detector structure.
+    *
+    * Numerics: all intermediate statistics stay INTEGER — with per-axis
+    * flag sums s_a, s_b, co-flag sum s_ab and doc count n,
+    * observed-agreement numerator po_num = n − s_a − s_b + 2·s_ab (over n)
+    * and chance-agreement numerator pe_num = s_a·s_b + (n−s_a)·(n−s_b)
+    * (over n²), so kappa = (po_num·n − pe_num) / (n² − pe_num) is ONE
+    * division of exact integers — bit-identical across engines, no float
+    * accumulation anywhere. Kappa is NULL when n² = pe_num (both raters
+    * constant — chance agreement is total and the statistic is undefined).
+    *
+    * Scale shape: one hash aggregate over the verdict relation produces
+    * every pairwise count map-side-combined; the pair report is built from
+    * that single broadcast row — parameter-sized, nothing re-scans the
+    * corpus.
+    */
+  def detectorAgreement(verdicts: DataFrame, axes: Seq[String],
+                        roundTo: Int = 4): DataFrame = {
+    require(axes.size >= 2, "detectorAgreement needs at least two axes")
+    val pairs = for {
+      i <- axes.indices; j <- (i + 1) until axes.size
+    } yield (axes(i), axes(j))
+    val aggs =
+      count(lit(1)).as("n") +:
+        (axes.map(a => sum(col(s"f_$a")).as(s"s_$a")) ++
+          pairs.map { case (a, b) =>
+            sum(col(s"f_$a") * col(s"f_$b")).as(s"s_${a}_$b") })
+    // cache-lifetime: pinned by the returned plan — caller releases (see
+    // Caching); one row, read once per pair branch
+    val tot = verdicts.agg(aggs.head, aggs.tail: _*).cache()
+    pairs.map { case (a, b) =>
+      tot.select(
+        lit(a).as("axis_a"), lit(b).as("axis_b"),
+        col(s"s_$a").as("n_a"), col(s"s_$b").as("n_b"),
+        col(s"s_${a}_$b").as("n_both"),
+        (col("n") - col(s"s_$a") - col(s"s_$b") + lit(2L) * col(s"s_${a}_$b")).as("__po_num"),
+        (col(s"s_$a") * col(s"s_$b") + (col("n") - col(s"s_$a")) * (col("n") - col(s"s_$b"))).as("__pe_num"),
+        col("n").as("__n"))
+    }.reduce(_ unionByName _)
+      .withColumn("po", floorRound(col("__po_num").cast("double") / col("__n").cast("double"), roundTo))
+      .withColumn("pe", floorRound(col("__pe_num").cast("double") /
+        (col("__n") * col("__n")).cast("double"), roundTo))
+      .withColumn("kappa",
+        when(col("__n") * col("__n") === col("__pe_num"), lit(null).cast("double"))
+          .otherwise(floorRound(
+            (col("__po_num") * col("__n") - col("__pe_num")).cast("double") /
+              (col("__n") * col("__n") - col("__pe_num")).cast("double"), roundTo)))
+      .select("axis_a", "axis_b", "n_a", "n_b", "n_both", "po", "pe", "kappa")
+      .orderBy("axis_a", "axis_b")
   }
 
   /** Incremental near-dup dedup: which DELTA documents survive against an

@@ -1,24 +1,37 @@
 package graft.operators
 
+import graft.functions.MathFunctions.floorRound
+import graft.functions.TextFunctions.tokenCount
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
 /** Sequence packing — the step after curation that fills fixed-capacity
   * training sequences (bins of `capacity` tokens) from variable-length
-  * documents. This is contiguous greedy packing: documents in a
-  * deterministic order fill bins front-to-back, and a document's bin is
-  * wherever its cumulative start offset lands (documents may straddle a
-  * boundary; the trainer's loader splits there — the standard
-  * concat-then-chunk packing used for LLM pre-training batches).
+  * documents ("concat and chunk", the packing used by GPT-3 — Brown et al.
+  * 2020 §2.2 — and T5 — Raffel et al. 2020 §2.2: documents cross sequence
+  * boundaries rather than leaving pad waste). The reference pipeline stops
+  * at upserting vectors (`vectrekker/main.py:185`); a training-data engine
+  * must also answer what the actual training sequences look like.
   *
-  * Scale design: packing is done PER SHARD (`shardCol`) — each shard's
-  * window cumsum is independent, so the plan is one hash shuffle on the
-  * shard key and never a global sort. (A single global packing order would
-  * serialize the whole corpus through one window partition; per-shard bins
-  * are what distributed pipelines ship anyway, one output file per shard.)
-  * Bin ids are (shard, bin_id) pairs; deterministic given (shardCol,
-  * orderCol) — re-running produces identical bins.
+  * Two scale shapes for the same semantics:
+  *
+  *  - [[packBins]] (q61): packing PER SHARD (`shardCol`) — each shard's
+  *    window cumsum is independent, so the plan is one hash shuffle on the
+  *    shard key and never a global sort. Per-shard bins are what
+  *    distributed pipelines ship anyway (one output file per shard).
+  *    Output: per-document bin assignment.
+  *  - [[packSequences]] (q215): ONE GLOBAL pack order (ascending id) when
+  *    the run wants corpus-wide sequence ids — the global token offset is
+  *    [[Scan.cumSums]], the two-pass Blelloch prefix scan (range-partition
+  *    + partition partials + broadcast offsets), never a single-partition
+  *    window over the corpus. Output: the per-SEQUENCE report (mix, doc
+  *    boundaries, fill).
+  *
+  * Both are deterministic given (order key): no greedy bin-packing
+  * heuristic (whose result depends on iteration order and doesn't
+  * distribute) — the concat-and-chunk form is what large runs actually use
+  * AND is exactly reproducible across engines.
   */
 object Packing {
 
@@ -35,5 +48,41 @@ object Packing {
       .withColumn("bin_id", floor(col("__start") / capacity).cast("long"))
       .withColumn("bin_offset", (col("__start") % capacity).cast("long"))
       .drop("__start")
+  }
+
+  /** Per-sequence packing report under ONE GLOBAL pack order (ascending
+    * `idCol`, tie-free by contract): (seq_id, n_docs, n_starts, n_tokens,
+    * fill) — documents overlapping the sequence, documents STARTING in it
+    * (boundary count), tokens it holds, and its fill ratio (1.0 everywhere
+    * but the tail by construction — asserting that is the point of
+    * publishing it).
+    *
+    * Each document explodes to its spanned sequence ids (⌈len/seqLen⌉ + 1
+    * rows at most — bounded by DOCUMENT length, not corpus size); the
+    * report is one slim hash aggregate on seq_id.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    seqLen: Int, parts: Int = 32, roundTo: Int = 4): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val tc = df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tok"))
+    val cum = Scan.cumSums(tc, Seq(idCol), Seq("n_tok"), parts)
+    val L = lit(seqLen.toLong)
+    val spans = cum
+      .withColumn("start_off", col("cum_n_tok") - col("n_tok"))
+      .withColumn("end_off", col("cum_n_tok") - lit(1L))
+      // non-negative offsets: integer division == floor division, matching
+      // the oracle's `//`
+      .withColumn("seq_id", explode(sequence(
+        (col("start_off") / L).cast("long"), (col("end_off") / L).cast("long"))))
+    spans
+      .groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("start_off") >= col("seq_id") * L, 1L).otherwise(0L)).as("n_starts"),
+        sum(least(col("end_off"), (col("seq_id") + 1) * L - 1) -
+          greatest(col("start_off"), col("seq_id") * L) + 1).as("n_tokens"))
+      .withColumn("fill", floorRound(col("n_tokens").cast("double") / L.cast("double"), roundTo))
+      .select("seq_id", "n_docs", "n_starts", "n_tokens", "fill")
+      .orderBy("seq_id")
   }
 }

@@ -29,7 +29,7 @@ object MultimodalQueries {
     * Dense 0..60 grid so `lead` always sees bucket k+1 even when a bucket is
     * empty (short blobs).
     */
-  private val dhashCtes: String =
+  private[queries] val dhashCtes: String =
     """pos AS (
       |  SELECT id, m, length(m) AS n, unnest(generate_series(0, length(m)-1)) AS p
       |  FROM media WHERE length(m) > 0),

@@ -126,6 +126,14 @@ object TextQueries {
 
   val JaccardThreshold = 0.5
 
+  /** Semantic-axis exact-cosine threshold (q212/q213): fixture-calibrated —
+    * raw bucket-count cosine of planted near-dup texts sits ≥ 0.95 while the
+    * same-topic (non-dup) mass stays below 0.90 (28 vs 267 candidate pairs
+    * at sf0.01), so 0.95 plays the role a 0.95-0.99 band plays on a real
+    * corpus embedded with a production model.
+    */
+  val SemCosThreshold = 0.95
+
   // ---- MinHash-LSH / SimHash oracle SQL (mirrors the PolyHash family) ----
   // Every hash in Dedup's LSH pipelines is modular arithmetic below 2⁶³
   // (graft.functions.expressions.PolyHash), so the WHOLE pipeline — token
@@ -366,7 +374,7 @@ object TextQueries {
     * per-doc verdict `ver` under the documented precedence. Thresholds are
     * q22b's Jaccard (0.5), q81's containment (0.6), q22c's hamming (8).
     */
-  private lazy val fusionVerdictCtes: String =
+  private lazy val fusionAxesCtes: String =
     s"""$minhashPairsCtes,
        |cont AS (
        |  SELECT id_a, id_b,
@@ -398,24 +406,116 @@ object TextQueries {
        |    ON x.b = y.b AND x.chunk = y.chunk AND x.doc_id < y.doc_id
        |  GROUP BY 1, 2),
        |sp AS (
-       |  SELECT id_a, id_b FROM scand WHERE bit_count(xor(sim_a, sim_b)) <= 8),
-       |fl AS (
+       |  SELECT id_a, id_b FROM scand WHERE bit_count(xor(sim_a, sim_b)) <= 8)""".stripMargin
+
+  /** The cross-modal SEMANTIC axis (q212/q213): per-doc raw bucket-count
+    * embeddings (q35's poly-hash buckets, reusing `th`'s token hashes),
+    * sign-random-projection buckets over the q27/q28 integer-hash
+    * hyperplanes (nbits = 16), hamming ≤ 1 candidates, exact-cosine verify.
+    * Mirrors AnnIndex.cosineNearDupPairs over HashingEmbedder.embedRaw.
+    */
+  private lazy val semEmbedCtes: String =
+    s"""scv AS (SELECT doc_id, h % 64 AS bucket, count(*) AS n FROM th GROUP BY 1, 2),
+       |sdense AS (
+       |  SELECT d.doc_id, g.i, CAST(coalesce(c.n, 0) AS DOUBLE) AS x
+       |  FROM (SELECT doc_id FROM documents) d
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+       |  LEFT JOIN scv c ON c.doc_id = d.doc_id AND c.bucket = g.i),
+       |semb AS (SELECT doc_id, list(x ORDER BY i) AS v FROM sdense GROUP BY doc_id),
+       |splanes AS (
+       |  SELECT list(list_transform(generate_series(0, 63), d ->
+       |      CAST(((j*64+d+1)*(j*64+d+1) * 2654435761 + 97*(j*64+d+1) + 12345) % 1000003
+       |        - 501001 AS DOUBLE)) ORDER BY j) AS ws
+       |  FROM (SELECT unnest(generate_series(0, 15)) AS j)),
+       |sebuck AS (
+       |  SELECT doc_id, v,
+       |    list_sum(list_transform(generate_series(1, 16),
+       |      j -> CASE WHEN list_inner_product(v, splanes.ws[j]) >= CAST(0.0 AS DOUBLE)
+       |           THEN (CAST(1 AS BIGINT) << (j-1)) ELSE CAST(0 AS BIGINT) END)) AS bucket
+       |  FROM semb, splanes)""".stripMargin
+
+  private lazy val semanticAxisCtes: String =
+    s"""$semEmbedCtes,
+       |sepairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    ${frs("list_cosine_similarity(a.v, b.v)", 6)} AS score
+       |  FROM sebuck a JOIN sebuck b
+       |    ON a.doc_id < b.doc_id AND bit_count(xor(a.bucket, b.bucket)) <= 1
+       |  WHERE list_sum(list_transform(a.v, x -> x*x)) > CAST(0.0 AS DOUBLE)
+       |    AND list_sum(list_transform(b.v, x -> x*x)) > CAST(0.0 AS DOUBLE)),
+       |sel AS (SELECT DISTINCT id_b FROM sepairs WHERE score >= CAST($SemCosThreshold AS DOUBLE))""".stripMargin
+
+  /** fl + ver tail of the fusion chain, generated for any ordered axis
+    * list — the SQL twin of Dedup.fuseVerdicts. Each axis name maps to its
+    * loser-membership predicate over the CTEs the caller assembled.
+    */
+  private def fusionVerdictTail(axes: Seq[String]): String = {
+    val flagSrc = Map(
+      "exact" -> "d.doc_id IN (SELECT doc_id FROM exl)",
+      "containment" -> "d.doc_id IN (SELECT id_b FROM cont WHERE containment >= CAST(0.6 AS DOUBLE))",
+      "jaccard" -> s"d.doc_id IN (SELECT id_b FROM pairs WHERE jac >= $JaccardThreshold)",
+      "semantic" -> "d.doc_id IN (SELECT id_b FROM sel)",
+      "perceptual" -> "d.doc_id IN (SELECT id_b FROM pel)",
+      "simhash" -> "d.doc_id IN (SELECT id_b FROM sp)")
+    val flagCols = axes.map(a =>
+      s"    CAST(CASE WHEN ${flagSrc(a)} THEN 1 ELSE 0 END AS BIGINT) AS f_$a")
+      .mkString(",\n|")
+    val flags = axes.map(a => s"f_$a")
+    val reasons = axes.map(a => s"         WHEN f_$a = 1 THEN '$a'").mkString("\n|")
+    s"""fl AS (
        |  SELECT d.doc_id,
-       |    CAST(CASE WHEN d.doc_id IN (SELECT doc_id FROM exl) THEN 1 ELSE 0 END AS BIGINT) AS f_exact,
-       |    CAST(CASE WHEN d.doc_id IN (SELECT id_b FROM cont WHERE containment >= CAST(0.6 AS DOUBLE)) THEN 1 ELSE 0 END AS BIGINT) AS f_containment,
-       |    CAST(CASE WHEN d.doc_id IN (SELECT id_b FROM pairs WHERE jac >= $JaccardThreshold) THEN 1 ELSE 0 END AS BIGINT) AS f_jaccard,
-       |    CAST(CASE WHEN d.doc_id IN (SELECT id_b FROM sp) THEN 1 ELSE 0 END AS BIGINT) AS f_simhash
+       |$flagCols
        |  FROM documents d),
        |ver AS (
-       |  SELECT doc_id, f_exact, f_containment, f_jaccard, f_simhash,
-       |    CAST(CASE WHEN f_exact + f_containment + f_jaccard + f_simhash > 0
+       |  SELECT doc_id, ${flags.mkString(", ")},
+       |    CAST(CASE WHEN ${flags.mkString(" + ")} > 0
        |      THEN 1 ELSE 0 END AS BIGINT) AS drop_doc,
-       |    CASE WHEN f_exact = 1 THEN 'exact'
-       |         WHEN f_containment = 1 THEN 'containment'
-       |         WHEN f_jaccard = 1 THEN 'jaccard'
-       |         WHEN f_simhash = 1 THEN 'simhash'
+       |    CASE
+       |$reasons
        |         ELSE 'keep' END AS reason
        |  FROM fl)""".stripMargin
+  }
+
+  private lazy val fusionVerdictCtes: String =
+    s"""$fusionAxesCtes,
+       |${fusionVerdictTail(Seq("exact", "containment", "jaccard", "simhash"))}""".stripMargin
+
+  private lazy val crossModalVerdictCtes: String =
+    s"""$fusionAxesCtes,
+       |$semanticAxisCtes,
+       |${fusionVerdictTail(Seq("exact", "containment", "jaccard", "semantic", "simhash"))}""".stripMargin
+
+  /** The PERCEPTUAL axis over per-doc media renditions (id = doc_id, m =
+    * simulated reused footage): group-keyed md5-hex fill — docs in the same
+    * (source, doc_id % 25) group share footage (the q169 PerceptualTrailer
+    * trick) — with 6 per-doc digit bytes, so BYTE-EXACT media dedup misses
+    * every pair while dHash sits at hamming 0 within a group and ≥ 9
+    * across (measured at sf0.01). The q159 dHash chain + 4×15-band
+    * candidates, keep-first losers within `maxHamming`.
+    */
+  // single line: a leading `||` on a continuation line would be eaten by
+  // the enclosing CTE string's stripMargin
+  private[queries] val perceptualMediaSql: String =
+    "substr(repeat(md5(source || '#' || CAST(doc_id % 25 AS VARCHAR)), 8), 1, 250) || lpad(CAST(doc_id % 100 AS VARCHAR), 6, '0')"
+  private def perceptualAxisCtes(maxHamming: Int): String =
+    s"""pmedia0 AS (SELECT doc_id AS id, $perceptualMediaSql AS m FROM documents),
+       |${MultimodalQueries.dhashCtes.replace("FROM media", "FROM pmedia0")},
+       |pbk AS (
+       |  SELECT id, dhash, b, (dhash >> CAST(b * 15 AS INTEGER)) & 32767 AS chunk
+       |  FROM dh, (SELECT unnest(generate_series(0, 3)) AS b)),
+       |pcand AS (
+       |  SELECT x.id AS id_a, y.id AS id_b, min(x.dhash) AS ha, min(y.dhash) AS hb
+       |  FROM pbk x JOIN pbk y ON x.b = y.b AND x.chunk = y.chunk AND x.id < y.id
+       |  GROUP BY 1, 2),
+       |pel AS (
+       |  SELECT DISTINCT id_b FROM pcand WHERE bit_count(xor(ha, hb)) <= $maxHamming)""".stripMargin
+
+  /** The full six-axis stack: text × embedding × byte-perceptual. */
+  private lazy val fullStackVerdictCtes: String =
+    s"""$fusionAxesCtes,
+       |$semanticAxisCtes,
+       |${perceptualAxisCtes(maxHamming = 3)},
+       |${fusionVerdictTail(Seq("exact", "containment", "jaccard", "semantic", "perceptual", "simhash"))}""".stripMargin
 
   private val minhashLshOracle: String =
     s"""$minhashPairsCtes
@@ -2164,6 +2264,55 @@ object TextQueries {
              |       ELSE 'keep' END AS reason
              |FROM vfl ORDER BY doc_id""".stripMargin)),
 
+    // q210 extended with the CROSS-MODAL axis (q212 × streaming): arriving
+    // docs also embed map-side and probe a standing SRP semantic index of
+    // the corpus — multiprobe expansion on the STATIC side, one bucket
+    // evaluation per stream row (see StreamingDedup.streamCrossModalGate).
+    // Stream ≡ the batch three-axis probe the oracle computes.
+    "q214_stream_cross_modal_gate" -> Q(
+      (s, dir) => graft.streaming.StreamingDedup.streamCrossModalGate(
+        s, dir, shingleSize = 3, numHashes = 32, bands = 16,
+        threshold = JaccardThreshold, embDim = 64, nbits = 16,
+        cosThreshold = SemCosThreshold),
+      Some(s"""$minhashBkCtes,
+             |vex AS (
+             |  SELECT DISTINCT d.doc_id FROM documents d
+             |  JOIN documents c ON md5(c.text) = md5(d.text) AND c.doc_id % 10 <> 0
+             |  WHERE d.doc_id % 10 = 0),
+             |vcand AS (
+             |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+             |  FROM bk x JOIN bk y ON x.band = y.band AND x.band_key = y.band_key
+             |  WHERE y.doc_id % 10 = 0 AND x.doc_id % 10 <> 0
+             |  GROUP BY 1, 2),
+             |vpairs AS (
+             |  SELECT id_a, id_b, ${frs(jacExpr, 4)} AS jac
+             |  FROM vcand JOIN sh sa ON vcand.id_a = sa.doc_id
+             |             JOIN sh sb ON vcand.id_b = sb.doc_id),
+             |vjc AS (SELECT DISTINCT id_b FROM vpairs WHERE jac >= $JaccardThreshold),
+             |$semEmbedCtes,
+             |xse AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    ${frs("list_cosine_similarity(a.v, b.v)", 6)} AS score
+             |  FROM sebuck a JOIN sebuck b
+             |    ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+             |      AND bit_count(xor(a.bucket, b.bucket)) <= 1
+             |  WHERE list_sum(list_transform(a.v, x -> x*x)) > CAST(0.0 AS DOUBLE)
+             |    AND list_sum(list_transform(b.v, x -> x*x)) > CAST(0.0 AS DOUBLE)),
+             |xsel AS (SELECT DISTINCT id_b FROM xse WHERE score >= CAST($SemCosThreshold AS DOUBLE)),
+             |vfl AS (
+             |  SELECT d.doc_id,
+             |    CAST(CASE WHEN d.doc_id IN (SELECT doc_id FROM vex) THEN 1 ELSE 0 END AS BIGINT) AS f_exact,
+             |    CAST(CASE WHEN d.doc_id IN (SELECT id_b FROM vjc) THEN 1 ELSE 0 END AS BIGINT) AS f_jaccard,
+             |    CAST(CASE WHEN d.doc_id IN (SELECT id_b FROM xsel) THEN 1 ELSE 0 END AS BIGINT) AS f_semantic
+             |  FROM documents d WHERE d.doc_id % 10 = 0)
+             |SELECT doc_id, f_exact, f_jaccard, f_semantic,
+             |  CAST(CASE WHEN f_exact + f_jaccard + f_semantic > 0 THEN 1 ELSE 0 END AS BIGINT) AS drop_doc,
+             |  CASE WHEN f_exact = 1 THEN 'exact'
+             |       WHEN f_jaccard = 1 THEN 'jaccard'
+             |       WHEN f_semantic = 1 THEN 'semantic'
+             |       ELSE 'keep' END AS reason
+             |FROM vfl ORDER BY doc_id""".stripMargin)),
+
     // MULTI-DETECTOR VERDICT FUSION (r12 verdict task 3): the library's four
     // text dup detectors composed into ONE per-doc decision relation —
     // evidence flag per axis, drop/keep, and a precedence-attributed reason
@@ -2209,6 +2358,185 @@ object TextQueries {
              |  (SELECT CAST(count(*) AS BIGINT) FROM ver) AS n_docs
              |FROM ax a CROSS JOIN ver v
              |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // CROSS-MODALITY VERDICT FUSION (r12 backlog: fusion × modality): the
+    // four text axes of q204 plus a SEMANTIC axis computed in embedding
+    // space — the corpus embedded by the deterministic HashingEmbedder
+    // (q35's pluggable embed step), SRP-LSH bucketed (q27/q28's integer
+    // hyperplanes), exact-cosine verified at the fixture-calibrated 0.95.
+    // The shared id space IS doc_id: a curation run embeds its own corpus,
+    // so every axis keys on the document spine and the five-axis decision
+    // is one hash-checked relation. Precedence: exact > containment >
+    // jaccard > semantic > simhash (see Dedup.crossModalVerdict).
+    "q212_cross_modal_verdict" -> Q(
+      (s, dir) => Dedup.crossModalVerdict(Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 16,
+        jacThreshold = JaccardThreshold, containThreshold = 0.6, maxHamming = 8,
+        embDim = 64, nbits = 16, cosThreshold = SemCosThreshold),
+      Some(s"""$crossModalVerdictCtes
+             |SELECT doc_id, f_exact, f_containment, f_jaccard, f_semantic,
+             |  f_simhash, drop_doc, reason
+             |FROM ver ORDER BY doc_id""".stripMargin)),
+
+    // q205's attrition funnel over the five-axis cross-modal verdict — the
+    // report that shows what the semantic axis catches that the four text
+    // axes miss (its n_attributed is exactly the docs ONLY embedding-space
+    // evidence flagged).
+    "q213_cross_modal_funnel" -> Q(
+      (s, dir) => Dedup.verdictFunnel(
+        Dedup.crossModalVerdict(Tables.documents(s, dir), "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 16,
+          jacThreshold = JaccardThreshold, containThreshold = 0.6, maxHamming = 8,
+          embDim = 64, nbits = 16, cosThreshold = SemCosThreshold),
+        "doc_id",
+        axes = Seq("exact", "containment", "jaccard", "semantic", "simhash")),
+      Some(s"""$crossModalVerdictCtes,
+             |ax AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'exact'),
+             |  (CAST(1 AS BIGINT), 'containment'), (CAST(2 AS BIGINT), 'jaccard'),
+             |  (CAST(3 AS BIGINT), 'semantic'), (CAST(4 AS BIGINT), 'simhash')) AS t(axis_idx, axis))
+             |SELECT a.axis_idx, a.axis,
+             |  CAST(sum(CASE a.axis WHEN 'exact' THEN v.f_exact
+             |    WHEN 'containment' THEN v.f_containment
+             |    WHEN 'jaccard' THEN v.f_jaccard
+             |    WHEN 'semantic' THEN v.f_semantic
+             |    ELSE v.f_simhash END) AS BIGINT) AS n_flagged,
+             |  CAST(sum(CASE WHEN v.reason = a.axis THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+             |  CAST(sum(CASE a.axis_idx
+             |    WHEN 0 THEN CASE WHEN v.reason IN ('exact') THEN 0 ELSE 1 END
+             |    WHEN 1 THEN CASE WHEN v.reason IN ('exact', 'containment') THEN 0 ELSE 1 END
+             |    WHEN 2 THEN CASE WHEN v.reason IN ('exact', 'containment', 'jaccard') THEN 0 ELSE 1 END
+             |    WHEN 3 THEN CASE WHEN v.reason IN ('exact', 'containment', 'jaccard', 'semantic') THEN 0 ELSE 1 END
+             |    ELSE CASE WHEN v.reason IN ('exact', 'containment', 'jaccard', 'semantic', 'simhash') THEN 0 ELSE 1 END
+             |  END) AS BIGINT) AS n_surviving,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM ver) AS n_docs
+             |FROM ax a CROSS JOIN ver v
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // THE FULL-STACK VERDICT (fusion × every modality the library detects
+    // in): six axes on one doc spine — the four text detectors, the
+    // embedding-space semantic axis (q212), and the PERCEPTUAL MEDIA axis
+    // (q159's dHash banding over each doc's media rendition — simulated
+    // reused footage keyed by (source, doc_id % 25) with per-doc byte
+    // noise, so byte-exact media dedup misses every pair the axis catches;
+    // id = doc_id, the spine is shared by construction). This is the
+    // multimodal dup phenomenon text detectors cannot see: same footage
+    // under different articles. Precedence: exact > containment > jaccard
+    // > semantic > perceptual > simhash (hamming ≤ 3 of 60 is tighter
+    // evidence than simhash's ≤ 8). Composed from the shared axis
+    // primitives — the same loser relations the smaller fusions use.
+    "q217_full_stack_verdict" -> Q(
+      (s, dir) => {
+        val media = concat(
+          substring(repeat(md5(concat(col("source"), lit("#"),
+            (col("doc_id") % 25).cast("string"))), 8), 1, 250),
+          lpad((col("doc_id") % 100).cast("string"), 6, "0"))
+        val base = Tables.documents(s, dir).select(col("doc_id"), col("text"), media.as("__m")).cache()
+        val text = Dedup.textAxisLosers(base, "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 16,
+          jacThreshold = JaccardThreshold, containThreshold = 0.6, maxHamming = 8)
+        val sem = Dedup.semanticAxisLosers(base, "doc_id", "text",
+          embDim = 64, nbits = 16, cosThreshold = SemCosThreshold)
+        val per = "perceptual" -> Dedup.pairLosers(
+          graft.multimodal.Multimodal.mediaDupPairs(
+            base.select(col("doc_id").as("id"), col("__m").as("m")),
+            "id", "m", maxHamming = 3),
+          "doc_id", "f_perceptual")
+        Dedup.fuseVerdicts(base, "doc_id", text.take(3) ++ Seq(sem, per) ++ text.drop(3))
+      },
+      Some(s"""$fullStackVerdictCtes
+             |SELECT doc_id, f_exact, f_containment, f_jaccard, f_semantic,
+             |  f_perceptual, f_simhash, drop_doc, reason
+             |FROM ver ORDER BY doc_id""".stripMargin)),
+
+    // PAIRWISE DETECTOR AGREEMENT (Cohen's kappa) over the five-axis
+    // cross-modal verdict: the inter-detector structure report next to the
+    // attrition funnel — kappa ≈ 1 flags a redundant detector, kappa ≈ 0
+    // means the axes catch different duplication phenomena. All statistics
+    // reduce to ONE integer-exact division (see Dedup.detectorAgreement),
+    // so the whole report is hash-checkable.
+    "q216_detector_agreement" -> Q(
+      (s, dir) => Dedup.detectorAgreement(
+        Dedup.crossModalVerdict(Tables.documents(s, dir), "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 16,
+          jacThreshold = JaccardThreshold, containThreshold = 0.6, maxHamming = 8,
+          embDim = 64, nbits = 16, cosThreshold = SemCosThreshold),
+        axes = Seq("exact", "containment", "jaccard", "semantic", "simhash")),
+      Some {
+        val axes = Seq("exact", "containment", "jaccard", "semantic", "simhash")
+        val pairs = for { i <- axes.indices; j <- (i + 1) until axes.size }
+          yield (axes(i), axes(j))
+        val sums = axes.map(a => s"CAST(sum(f_$a) AS BIGINT) AS s_$a").mkString(", ")
+        val co = pairs.map { case (a, b) =>
+          s"CAST(sum(f_$a * f_$b) AS BIGINT) AS s_${a}_$b" }.mkString(", ")
+        val rows = pairs.map { case (a, b) =>
+          s"SELECT '$a' AS axis_a, '$b' AS axis_b, s_$a AS n_a, s_$b AS n_b, s_${a}_$b AS n_both, n FROM tot"
+        }.mkString(" UNION ALL ")
+        val peNum = "n_a*n_b + (n - n_a)*(n - n_b)"
+        val poNum = "n - n_a - n_b + 2*n_both"
+        s"""$crossModalVerdictCtes,
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, $sums, $co FROM ver),
+           |pr AS ($rows)
+           |SELECT axis_a, axis_b, n_a, n_b, n_both,
+           |  ${frs(s"CAST($poNum AS DOUBLE) / CAST(n AS DOUBLE)", 4)} AS po,
+           |  ${frs(s"CAST($peNum AS DOUBLE) / CAST(n*n AS DOUBLE)", 4)} AS pe,
+           |  CASE WHEN n*n = $peNum THEN NULL
+           |       ELSE ${frs(s"CAST(($poNum)*n - ($peNum) AS DOUBLE) / CAST(n*n - ($peNum) AS DOUBLE)", 4)} END AS kappa
+           |FROM pr ORDER BY axis_a, axis_b""".stripMargin
+      }),
+
+    // SEQUENCE PACKING, the per-SEQUENCE view: q61 assigns docs to bins per
+    // source shard (windowed cumsum, one shuffle on the shard key); this is
+    // the complementary GLOBAL pack — the corpus cut into 128-token
+    // sequences in doc_id order, reporting per sequence the docs it mixes,
+    // the doc boundaries falling in it, and its fill (1.0 everywhere but
+    // the tail, asserted by the oracle hash). The global token offset is
+    // the two-pass Blelloch prefix scan (Scan.cumSums); the oracle's
+    // data-sized `sum() OVER (ORDER BY doc_id)` is exactly the
+    // single-partition window the Spark side must NOT use (q173's contrast).
+    "q215_sequence_packing" -> Q(
+      (s, dir) => graft.operators.Packing.packSequences(
+        Tables.documents(s, dir), "doc_id", "text", seqLen = 128),
+      Some(s"""WITH tc AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |cs AS (
+             |  SELECT doc_id, n_tok,
+             |    CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM tc),
+             |d AS (
+             |  SELECT doc_id, n_tok, cum - n_tok AS start_off, cum - 1 AS end_off FROM cs),
+             |spans AS (
+             |  SELECT doc_id, start_off, end_off,
+             |    unnest(generate_series(start_off // 128, end_off // 128)) AS seq_id
+             |  FROM d)
+             |SELECT seq_id,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN start_off >= seq_id * 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+             |  CAST(sum(least(end_off, (seq_id + 1) * 128 - 1)
+             |    - greatest(start_off, seq_id * 128) + 1) AS BIGINT) AS n_tokens,
+             |  ${frs("CAST(sum(least(end_off, (seq_id + 1) * 128 - 1) - greatest(start_off, seq_id * 128) + 1) AS DOUBLE) / CAST(128.0 AS DOUBLE)", 4)} AS fill
+             |FROM spans GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q215's packing MAINTAINED FROM A STREAM (packing × streaming): docs
+    // land as contiguous-range micro-batches; each batch appends its
+    // within-batch exclusive cumsum + batch total (content-keyed, replay-
+    // idempotent), and the read-side reconciliation sums lower-keyed batch
+    // totals — the Blelloch two-pass prefix scan at ingest granularity,
+    // independent of arrival order. Stream-maintained ≡ the batch global
+    // pack under the same window-cumsum oracle.
+    "q218_stream_packing" -> Q(
+      (s, dir) => graft.streaming.StreamingPacking.streamPackedOffsets(
+        s, dir, seqLen = 128),
+      Some("""WITH tc AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |cs AS (
+             |  SELECT doc_id, n_tok,
+             |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+             |  FROM tc)
+             |SELECT doc_id, n_tok, start_off,
+             |  start_off // 128 AS bin_id, start_off % 128 AS bin_offset
+             |FROM cs ORDER BY doc_id""".stripMargin)),
 
     "q149_exact_substr_spans" -> Q(
       (s, dir) => Dedup.exactSubstrSpans(

@@ -144,6 +144,91 @@ object StreamingDedup {
       .orderBy("doc_id")
   }
 
+  /** STREAMED CROSS-MODAL INGEST GATE (q214): [[streamVerdictGate]] with the
+    * q212 SEMANTIC axis as a third stateless branch — arriving docs embed
+    * map-side (the codegen'd [[graft.pipeline.HashingEmbedder]] raw-count
+    * kernel), compute ONE SRP bucket each, and equi-join a standing
+    * semantic index of the corpus. The hamming ≤ 1 multiprobe expansion
+    * lives on the STATIC side (each corpus row is indexed under its own
+    * bucket plus every 1-bit flip — the classic expand-the-index-or-the-
+    * query trade, resolved index-side so the stream row costs one bucket
+    * evaluation and one probe): symmetric hamming means stream-bucket ∈
+    * probes(corpus-bucket) ⟺ corpus-bucket ∈ probes(stream-bucket), so this
+    * is candidate-identical to q212's query-side multiprobe. Verification
+    * (exact cosine ≥ τ) is stateless per candidate row.
+    *
+    * Precedence at fuse time: exact > jaccard > semantic — the q212 order
+    * restricted to the axes this gate runs. No streaming state; duplicates
+    * collapse in the post-drain distinct.
+    */
+  def streamCrossModalGate(spark: SparkSession, dir: String,
+                           shingleSize: Int = 3, numHashes: Int = 32,
+                           bands: Int = 16, threshold: Double = 0.5,
+                           embDim: Int = 64, nbits: Int = 16,
+                           cosThreshold: Double = 0.95): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineFromNormSq, l2NormSq}
+    import graft.operators.AnnIndex
+    val emb = graft.pipeline.HashingEmbedder(embDim)
+    val planes = AnnIndex.hyperplanes(nbits, embDim)
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val hashIdx = corpus.select(md5(col("text")).as("h")).distinct()
+    val bandIdx = Dedup.bandKeysFor(corpus, "doc_id", "text", shingleSize, numHashes, bands)
+      .select(col("hs").as("hs_a"), col("band"), col("band_key"))
+    // standing semantic index: slim (id, bucket) computed once behind a
+    // cache barrier (the q28 collapse lesson), probes exploded index-side,
+    // vectors joined back on the id — all static, built before the stream
+    val corpusVec = corpus.select(col("doc_id").as("id_a"),
+      emb.embedRaw(col("text")).as("v_a"))
+    // cache-lifetime: pinned by the returned plan — caller releases (see Caching)
+    val slim = corpusVec.select(col("id_a"),
+      AnnIndex.bucketCol(col("v_a"), planes).as("__b0")).cache()
+    val semIdx = slim
+      .select(col("id_a"), explode(AnnIndex.probesCol(col("__b0"), nbits)).as("__bucket"))
+      .join(corpusVec.withColumn("__nsq_a", l2NormSq(col("v_a"))), Seq("id_a"))
+
+    val stream = StreamingAgg.streamTable(spark, dir, "documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+    val exactHits = stream
+      .select(col("doc_id").as("id_b"), md5(col("text")).as("h"))
+      .join(hashIdx, Seq("h"))
+      .select(col("id_b"), lit("exact").as("axis"))
+    val jacHits = Dedup.bandKeysFor(stream, "doc_id", "text", shingleSize, numHashes, bands)
+      .select(col("doc_id").as("id_b"), col("hs").as("hs_b"), col("band"), col("band_key"))
+      .join(bandIdx, Seq("band", "band_key"))
+      .withColumn("jac", floorRound(Dedup.jaccardOfSorted(col("hs_a"), col("hs_b")), 4))
+      .filter(col("jac") >= threshold)
+      .select(col("id_b"), lit("jaccard").as("axis"))
+    val semHits = stream
+      .select(col("doc_id").as("id_b"), emb.embedRaw(col("text")).as("v_b"))
+      .withColumn("__nsq_b", l2NormSq(col("v_b")))
+      .withColumn("__bucket", AnnIndex.bucketCol(col("v_b"), planes))
+      .join(semIdx, Seq("__bucket"))
+      .withColumn("score", floorRound(
+        cosineFromNormSq(col("v_a"), col("v_b"), col("__nsq_a"), col("__nsq_b")), 6))
+      .filter(col("score") >= cosThreshold)
+      .select(col("id_b"), lit("semantic").as("axis"))
+    val drained = StreamingAgg.drain(
+      exactHits.unionByName(jacHits).unionByName(semHits),
+      "graft_stream_xmodal", "append").distinct()
+
+    def flag(axis: String, name: String) = drained.filter(col("axis") === axis)
+      .select(col("id_b").as("doc_id")).distinct().withColumn(name, lit(1L))
+    docs.filter(col("doc_id") % 10 === 0).select("doc_id")
+      .join(flag("exact", "f_exact"), Seq("doc_id"), "left")
+      .join(flag("jaccard", "f_jaccard"), Seq("doc_id"), "left")
+      .join(flag("semantic", "f_semantic"), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("f_exact", "f_jaccard", "f_semantic"))
+      .withColumn("drop_doc",
+        when(col("f_exact") + col("f_jaccard") + col("f_semantic") > 0, 1L).otherwise(0L))
+      .withColumn("reason",
+        when(col("f_exact") === 1, "exact")
+          .when(col("f_jaccard") === 1, "jaccard")
+          .when(col("f_semantic") === 1, "semantic")
+          .otherwise("keep"))
+      .orderBy("doc_id")
+  }
+
   def streamMaintainedNearDupHits(spark: SparkSession, dir: String,
                                   shingleSize: Int = 3, numHashes: Int = 32,
                                   bands: Int = 16, threshold: Double = 0.5,

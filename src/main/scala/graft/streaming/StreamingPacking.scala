@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.Tables
+import graft.functions.TextFunctions.tokenCount
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** STREAM-MAINTAINED SEQUENCE PACKING — the packing × streaming matrix
+  * cell: documents land as micro-batches and receive their GLOBAL training-
+  * sequence position (token offset, bin id, in-bin offset) incrementally,
+  * without ever rescanning the standing corpus. This is [[graft.operators.Scan.cumSums]]'
+  * two-pass Blelloch prefix scan re-applied at INGEST granularity:
+  *
+  *  - pass 1 (per micro-batch, at arrival): an exclusive token cumsum
+  *    WITHIN the batch (micro-batch-sized window — the ingest analog of the
+  *    per-partition scan) plus the batch's token total, appended to an
+  *    artifact CONTENT-keyed by the batch's minimum doc id;
+  *  - pass 2 (at read): each batch's global offset is the sum of the
+  *    totals of lower-keyed batches — a parameter-sized window over the
+  *    batch-key relation, broadcast back onto the per-doc rows.
+  *
+  * Because batches carry contiguous id ranges and the reconciliation keys
+  * on content (min id), the result is independent of ARRIVAL order and
+  * idempotent under replay ([[graft.pipeline.ArtifactStore.appendBatchIfAbsent]]) —
+  * a replayed or reordered stream lands the same batch subdirectories and
+  * pass 2 recomputes the same offsets. Stream-maintained ≡ the batch global
+  * pack, checked against the same window-cumsum oracle.
+  */
+object StreamingPacking {
+
+  /** Per-document global packing assignment maintained from a stream:
+    * (doc_id, n_tok, start_off, bin_id, bin_offset), ordered by doc_id —
+    * row-identical to the batch global concat-and-chunk at `seqLen`.
+    */
+  def streamPackedOffsets(spark: SparkSession, dir: String, seqLen: Int,
+                          hitsName: String = "packing_offsets_stream_v1"): DataFrame = {
+    import graft.pipeline.ArtifactStore
+    import org.apache.spark.sql.streaming.Trigger
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val root = ArtifactStore.rootFor(dir, hitsName)
+
+    // seed the ingest: three contiguous doc_id ranges, one single-part file
+    // each (ordered ranges are what a real ingest's file naming gives; the
+    // content-keyed reconciliation below does NOT depend on arrival order)
+    val maxId = d.agg(max("doc_id")).head.getLong(0) // bounded parameter fetch
+    val cuts = Seq(0L, maxId / 3 + 1, 2 * maxId / 3 + 1, maxId + 1)
+    val seedRoot = java.nio.file.Files.createTempDirectory("graft_stream_packing")
+    val seedDir = seedRoot.resolve("in").toString
+    cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      d.filter(col("doc_id") >= lo && col("doc_id") < hi).coalesce(1)
+        .write.mode("overwrite").parquet(f"$seedDir/b$i%02d")
+    }
+    val streamed = spark.readStream
+      .schema(d.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(seedDir)
+    val q = streamed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val batchKey = batch.agg(min("doc_id")).head.getLong(0)
+          ArtifactStore.appendBatchIfAbsent(spark, root, batchKey) {
+            // pass 1: exclusive cumsum WITHIN the micro-batch (batch-sized
+            // window) + the batch total on every row
+            val tc = batch.select(col("doc_id"),
+              tokenCount(col("text")).cast("long").as("n_tok"))
+            val w = Window.orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, -1)
+            tc.withColumn("within_off", coalesce(sum("n_tok").over(w), lit(0L)))
+              .withColumn("batch_total", sum("n_tok").over(
+                Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+              // readBatches doesn't expose the subdirectory key — carry the
+              // content key on every row for the pass-2 reconciliation
+              .withColumn("__batch", lit(batchKey))
+          }
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    StreamingDrift.deleteTempDir(seedRoot)
+
+    // pass 2: cross-batch offsets from the parameter-sized batch relation
+    val rows = ArtifactStore.readBatches(spark, root)
+    val batchTotals = rows.select(col("__batch"), col("batch_total")).distinct()
+    val wb = Window.orderBy("__batch").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = batchTotals
+      .withColumn("batch_off", coalesce(sum("batch_total").over(wb), lit(0L)))
+      .select("__batch", "batch_off")
+    val L = lit(seqLen.toLong)
+    rows.join(broadcast(offsets), Seq("__batch"))
+      .withColumn("start_off", col("batch_off") + col("within_off"))
+      .withColumn("bin_id", (col("start_off") / L).cast("long"))
+      .withColumn("bin_offset", pmod(col("start_off"), L).cast("long"))
+      .select("doc_id", "n_tok", "start_off", "bin_id", "bin_offset")
+      .orderBy("doc_id")
+  }
+}

@@ -30,6 +30,25 @@ class ArtifactStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(builds == 1, "a live artifact must not be rebuilt")
   }
 
+  test("rotating artifact-vs-rebuild audit (r13 key: neardup train bands)") {
+    // The version-tag discipline is a CONVENTION (rootFor's scaladoc): a
+    // builder-semantics change must bump the artifact name's _vN suffix.
+    // This leg audits one deployed key per round (rotate it as new
+    // artifacts land): resolve the PRODUCTION root the queries use, load
+    // (or build) through the store, and assert row-set equality against a
+    // fresh DIRECT computation that bypasses the store. A forgotten bump
+    // on this key fails here before it burns a debugging session.
+    val d = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val fresh = graft.operators.Dedup.trainNearDupIndex(
+      d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 16)._1
+    val live = ArtifactStore.loadOrBuild(spark,
+      ArtifactStore.rootFor(sfDir, "neardup_train_bands_s3_h32_b16_v1"))(fresh)
+    assert(live.count() === fresh.count())
+    assert(live.except(fresh).isEmpty && fresh.except(live).isEmpty,
+      "deployed artifact must equal the current builder's output — bump the _vN suffix on builder changes")
+  }
+
   test("loadOrBuild ignores a dead staging dir from a killed build") {
     val root = freshRoot("a2")
     // simulate a crash mid-build: staging exists, live does not

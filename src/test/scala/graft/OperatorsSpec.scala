@@ -1661,4 +1661,108 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(f.forall(_._5 === v.size.toLong))
     assert(f.map(_._1) === Seq("exact", "containment", "jaccard", "simhash"))
   }
+
+  test("crossModalVerdict: semantic axis catches token reorder the shingle axes miss") {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val docs = Seq(
+      0L -> base,
+      1L -> base,                                      // exact copy → 'exact'
+      2L -> base.split(' ').reverse.mkString(" "),     // same bag of words, reversed
+      3L -> "completely different text with no shared vocabulary whatsoever anywhere at all thanks"
+    ).toDF("doc_id", "text")
+    val v = graft.operators.Dedup.crossModalVerdict(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 16,
+      jacThreshold = 0.5, containThreshold = 0.6, maxHamming = 8,
+      embDim = 64, nbits = 16, cosThreshold = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)),
+          r.getLong(6), r.getString(7))).toMap
+    // keep-first: the lowest id survives every axis
+    assert(v(0L) === (((0L, 0L, 0L, 0L, 0L), 0L, "keep")))
+    // exact copy: every axis that sees it defers to 'exact'
+    assert(v(1L)._1._1 === 1L && v(1L)._3 === "exact")
+    // reversed doc: identical bucket counts → cosine exactly 1.0 → semantic
+    // flags it; trigram shingles are order-sensitive → jaccard/containment
+    // do NOT (the axis adds evidence, not redundancy); SimHash (order-blind
+    // token votes) also fires but semantic outranks it in precedence
+    assert(v(2L)._1._4 === 1L, "semantic must flag the reordered doc")
+    assert(v(2L)._1._2 === 0L && v(2L)._1._3 === 0L,
+      "order-sensitive shingle axes must miss a pure reorder")
+    assert(v(2L)._3 === "semantic")
+    // unrelated doc: clean
+    assert(v(3L) === (((0L, 0L, 0L, 0L, 0L), 0L, "keep")))
+    // the semantic flags are exactly cosineNearDupPairs' keep-first losers
+    val emb = graft.pipeline.HashingEmbedder(64)
+    val direct = graft.operators.AnnIndex.cosineNearDupPairs(
+      docs.select(col("doc_id"), emb.embedRaw(col("text")).as("v")),
+      "doc_id", "v", threshold = 0.95, nbits = 16, dim = 64)
+      .select("id_b").distinct().as[Long].collect().toSet
+    assert(v.collect { case (id, ((_, _, _, 1L, _), _, _)) => id }.toSet === direct)
+    // five-axis funnel: ordered names, attribution sums to drops
+    val f = graft.operators.Dedup.verdictFunnel(
+      graft.operators.Dedup.crossModalVerdict(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 16,
+        jacThreshold = 0.5, containThreshold = 0.6, maxHamming = 8,
+        embDim = 64, nbits = 16, cosThreshold = 0.95),
+      "doc_id", axes = Seq("exact", "containment", "jaccard", "semantic", "simhash"))
+      .collect().map(r => (r.getString(1), r.getLong(3)))
+    assert(f.map(_._1) === Seq("exact", "containment", "jaccard", "semantic", "simhash"))
+    assert(f.map(_._2).sum === v.values.count(_._2 == 1L).toLong)
+  }
+
+  test("q217 full-stack verdict: the perceptual axis attributes drops no text axis sees") {
+    val v = graft.queries.Registry.all("q217_full_stack_verdict").fn(spark, sfDir)
+      .collect()
+    val perceptualOnly = v.filter(_.getString(8) == "perceptual")
+    assert(perceptualOnly.nonEmpty,
+      "reused-footage docs with distinct text must be attributed to the perceptual axis")
+    // precedence: a perceptual-attributed doc carries NO stronger-axis flag
+    assert(perceptualOnly.forall(r =>
+      r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L && r.getLong(4) == 0L))
+    // and the axis is not byte-exact in disguise: flags exceed what exact
+    // media hashing could see (every media blob has distinct bytes)
+    assert(v.map(_.getLong(5)).sum > 0)
+  }
+
+  test("packSequences: token conservation, full non-tail fill, boundary spans") {
+    import spark.implicits._
+    // 5 + 7 + 4 = 16 tokens at seqLen 6 → sequences 0..2; doc 2 (7 tokens,
+    // offsets 5..11) straddles the 0/1 boundary
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "f g h i j k l"), (3L, "m n o p")
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Packing.packSequences(docs, "doc_id", "text", seqLen = 6)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(r.keySet === Set(0L, 1L, 2L))
+    assert(r(0L) === ((2L, 2L, 6L, 1.0)), "seq 0: docs 1+2, both start here, full")
+    assert(r(1L) === ((1L, 0L, 6L, 1.0)), "seq 1: doc 2 alone fills it, no doc starts")
+    assert(r(2L)._3 === 4L && r(2L)._4 === 0.6667, "tail holds the remainder")
+    assert(r.values.map(_._3).sum === 16L, "tokens must be conserved")
+  }
+
+  test("detectorAgreement: hand-checked kappa, identical raters, undefined case") {
+    import spark.implicits._
+    // 4 docs: a and b agree on 3 of 4 (pa=pb=1/2 → pe=1/2, po=1/2... build
+    // explicit: flags a = (1,1,0,0), b = (1,0,0,1): po = 2/4, pe = 1/2 →
+    // kappa = 0; a vs a → kappa 1; z all-zero vs z2 all-zero → pe = 1 → null
+    val v = Seq(
+      (1L, 1L, 1L, 0L, 0L), (2L, 1L, 0L, 0L, 0L),
+      (3L, 0L, 0L, 0L, 0L), (4L, 0L, 1L, 0L, 0L)
+    ).toDF("doc_id", "f_a", "f_b", "f_z", "f_z2")
+    val r = graft.operators.Dedup.detectorAgreement(v, axes = Seq("a", "b", "z", "z2"))
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getDouble(5), x.getDouble(6), if (x.isNullAt(7)) None else Some(x.getDouble(7)))).toMap
+    assert(r(("a", "b")) === ((2L, 2L, 1L, 0.5, 0.5, Some(0.0))),
+      "independent-looking raters: po = pe → kappa 0")
+    assert(r(("z", "z2"))._6 === None, "two constant raters: kappa undefined")
+    assert(r(("a", "z")) === ((2L, 0L, 0L, 0.5, 0.5, Some(0.0))))
+    // kappa = 1 for a detector against itself (identical flag columns)
+    val same = v.withColumn("f_c", col("f_a"))
+    val k = graft.operators.Dedup.detectorAgreement(same, axes = Seq("a", "c"))
+      .collect().head
+    assert(k.getDouble(7) === 1.0)
+  }
 }

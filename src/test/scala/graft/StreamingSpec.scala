@@ -414,4 +414,59 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     val second = run()
     assert(second === first)
   }
+
+  test("streamPackedOffsets ≡ batch global pack, idempotent under replay") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> "a b c d e", 2L -> "f g h i j k l", 3L -> "m n o p",
+      4L -> "q r s", 5L -> "t u v w x y", 6L -> "z a b c")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_pack").toString
+    val staging = s"$dir/__stage"
+    texts.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    def run() = graft.streaming.StreamingPacking.streamPackedOffsets(spark, dir, seqLen = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val first = run()
+    // batch truth: global exclusive cumsum in doc order at seqLen 6
+    val lens = texts.map { case (id, t) => id -> t.split(' ').length.toLong }
+    val offs = lens.scanLeft(0L)(_ + _._2).init
+    val expected = lens.zip(offs).map { case ((id, n), off) =>
+      (id, n, off, off / 6, off % 6) }
+    assert(first === expected)
+    // replay over the live artifact: every append skips, same result
+    assert(run() === first)
+  }
+
+  test("streamCrossModalGate: semantic axis flags the bag-of-words dup the shingle probe misses") {
+    import spark.implicits._
+    // corpus (id % 10 != 0) vs streamed delta (id % 10 == 0): doc 20 is a
+    // token REORDER of corpus doc 1 — identical raw bucket counts (cosine
+    // exactly 1.0) but order-sensitive trigram shingles, so only the
+    // semantic branch can flag it; doc 10 is an exact copy (every branch
+    // sees it, 'exact' wins); doc 30 is clean
+    val base = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val texts = Seq(
+      1L -> base,
+      2L -> "pack my box with five dozen liquor jugs before the long journey home",
+      10L -> base,
+      20L -> base.split(' ').reverse.mkString(" "),
+      30L -> "nothing here resembles anything in the standing corpus at all truly")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_xmodal").toString
+    // streamTable globs the literal file name, so the fixture must be a
+    // single FILE like the driver-written tables, not a Spark directory
+    val staging = s"$dir/__stage"
+    texts.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val v = graft.streaming.StreamingDedup.streamCrossModalGate(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getLong(4), r.getString(5))).toMap
+    assert(v(10L)._1._1 === 1L && v(10L)._3 === "exact")
+    assert(v(20L)._1 === ((0L, 0L, 1L)) && v(20L)._3 === "semantic",
+      "pure reorder must be semantic-only evidence")
+    assert(v(30L) === (((0L, 0L, 0L), 0L, "keep")))
+  }
 }
