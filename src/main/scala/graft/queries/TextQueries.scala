@@ -517,6 +517,57 @@ object TextQueries {
        |${perceptualAxisCtes(maxHamming = 3)},
        |${fusionVerdictTail(Seq("exact", "containment", "jaccard", "semantic", "perceptual", "simhash"))}""".stripMargin
 
+  /** The q217 six-axis verdict as a reusable relation — four text axes +
+    * semantic (embedding space) + perceptual (each doc's media rendition,
+    * the [[perceptualMediaSql]] reused-footage simulation) fused on the
+    * doc_id spine. Shared by q217 and the q219 end-to-end chain so the
+    * capstone curates under exactly the verdict the fusion queries audit.
+    */
+  private[graft] def fullStackVerdictOf(s: SparkSession, dir: String): DataFrame = {
+    val media = concat(
+      substring(repeat(md5(concat(col("source"), lit("#"),
+        (col("doc_id") % 25).cast("string"))), 8), 1, 250),
+      lpad((col("doc_id") % 100).cast("string"), 6, "0"))
+    // cache-lifetime: pinned by the returned plan — caller releases (see Caching)
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"), media.as("__m")).cache()
+    val text = Dedup.textAxisLosers(base, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 16,
+      jacThreshold = JaccardThreshold, containThreshold = 0.6, maxHamming = 8)
+    val sem = Dedup.semanticAxisLosers(base, "doc_id", "text",
+      embDim = 64, nbits = 16, cosThreshold = SemCosThreshold)
+    val per = "perceptual" -> Dedup.pairLosers(
+      graft.multimodal.Multimodal.mediaDupPairs(
+        base.select(col("doc_id").as("id"), col("__m").as("m")),
+        "id", "m", maxHamming = 3),
+      "doc_id", "f_perceptual")
+    Dedup.fuseVerdicts(base, "doc_id", text.take(3) ++ Seq(sem, per) ++ text.drop(3))
+  }
+
+  /** SQL twin of [[Dedup.detectorAgreement]] for any axis list over a
+    * verdict CTE chain ending in relation `ver` — shared by q216 and the
+    * streamed-gate agreement q220 so the kappa arithmetic cannot drift.
+    */
+  private def kappaTailSql(axes: Seq[String], verName: String): String = {
+    val pairs = for { i <- axes.indices; j <- (i + 1) until axes.size }
+      yield (axes(i), axes(j))
+    val sums = axes.map(a => s"CAST(sum(f_$a) AS BIGINT) AS s_$a").mkString(", ")
+    val co = pairs.map { case (a, b) =>
+      s"CAST(sum(f_$a * f_$b) AS BIGINT) AS s_${a}_$b" }.mkString(", ")
+    val rows = pairs.map { case (a, b) =>
+      s"SELECT '$a' AS axis_a, '$b' AS axis_b, s_$a AS n_a, s_$b AS n_b, s_${a}_$b AS n_both, n FROM tot"
+    }.mkString(" UNION ALL ")
+    val peNum = "n_a*n_b + (n - n_a)*(n - n_b)"
+    val poNum = "n - n_a - n_b + 2*n_both"
+    s"""tot AS (SELECT CAST(count(*) AS BIGINT) AS n, $sums, $co FROM $verName),
+       |pr AS ($rows)
+       |SELECT axis_a, axis_b, n_a, n_b, n_both,
+       |  ${frs(s"CAST($poNum AS DOUBLE) / CAST(n AS DOUBLE)", 4)} AS po,
+       |  ${frs(s"CAST($peNum AS DOUBLE) / CAST(n*n AS DOUBLE)", 4)} AS pe,
+       |  CASE WHEN n*n = $peNum THEN NULL
+       |       ELSE ${frs(s"CAST(($poNum)*n - ($peNum) AS DOUBLE) / CAST(n*n - ($peNum) AS DOUBLE)", 4)} END AS kappa
+       |FROM pr ORDER BY axis_a, axis_b""".stripMargin
+  }
+
   private val minhashLshOracle: String =
     s"""$minhashPairsCtes
        |SELECT id_a, id_b, jac FROM pairs
@@ -2425,24 +2476,7 @@ object TextQueries {
     // evidence than simhash's ≤ 8). Composed from the shared axis
     // primitives — the same loser relations the smaller fusions use.
     "q217_full_stack_verdict" -> Q(
-      (s, dir) => {
-        val media = concat(
-          substring(repeat(md5(concat(col("source"), lit("#"),
-            (col("doc_id") % 25).cast("string"))), 8), 1, 250),
-          lpad((col("doc_id") % 100).cast("string"), 6, "0"))
-        val base = Tables.documents(s, dir).select(col("doc_id"), col("text"), media.as("__m")).cache()
-        val text = Dedup.textAxisLosers(base, "doc_id", "text",
-          shingleSize = 3, numHashes = 32, bands = 16,
-          jacThreshold = JaccardThreshold, containThreshold = 0.6, maxHamming = 8)
-        val sem = Dedup.semanticAxisLosers(base, "doc_id", "text",
-          embDim = 64, nbits = 16, cosThreshold = SemCosThreshold)
-        val per = "perceptual" -> Dedup.pairLosers(
-          graft.multimodal.Multimodal.mediaDupPairs(
-            base.select(col("doc_id").as("id"), col("__m").as("m")),
-            "id", "m", maxHamming = 3),
-          "doc_id", "f_perceptual")
-        Dedup.fuseVerdicts(base, "doc_id", text.take(3) ++ Seq(sem, per) ++ text.drop(3))
-      },
+      (s, dir) => fullStackVerdictOf(s, dir),
       Some(s"""$fullStackVerdictCtes
              |SELECT doc_id, f_exact, f_containment, f_jaccard, f_semantic,
              |  f_perceptual, f_simhash, drop_doc, reason
@@ -2461,28 +2495,9 @@ object TextQueries {
           jacThreshold = JaccardThreshold, containThreshold = 0.6, maxHamming = 8,
           embDim = 64, nbits = 16, cosThreshold = SemCosThreshold),
         axes = Seq("exact", "containment", "jaccard", "semantic", "simhash")),
-      Some {
-        val axes = Seq("exact", "containment", "jaccard", "semantic", "simhash")
-        val pairs = for { i <- axes.indices; j <- (i + 1) until axes.size }
-          yield (axes(i), axes(j))
-        val sums = axes.map(a => s"CAST(sum(f_$a) AS BIGINT) AS s_$a").mkString(", ")
-        val co = pairs.map { case (a, b) =>
-          s"CAST(sum(f_$a * f_$b) AS BIGINT) AS s_${a}_$b" }.mkString(", ")
-        val rows = pairs.map { case (a, b) =>
-          s"SELECT '$a' AS axis_a, '$b' AS axis_b, s_$a AS n_a, s_$b AS n_b, s_${a}_$b AS n_both, n FROM tot"
-        }.mkString(" UNION ALL ")
-        val peNum = "n_a*n_b + (n - n_a)*(n - n_b)"
-        val poNum = "n - n_a - n_b + 2*n_both"
+      Some(
         s"""$crossModalVerdictCtes,
-           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, $sums, $co FROM ver),
-           |pr AS ($rows)
-           |SELECT axis_a, axis_b, n_a, n_b, n_both,
-           |  ${frs(s"CAST($poNum AS DOUBLE) / CAST(n AS DOUBLE)", 4)} AS po,
-           |  ${frs(s"CAST($peNum AS DOUBLE) / CAST(n*n AS DOUBLE)", 4)} AS pe,
-           |  CASE WHEN n*n = $peNum THEN NULL
-           |       ELSE ${frs(s"CAST(($poNum)*n - ($peNum) AS DOUBLE) / CAST(n*n - ($peNum) AS DOUBLE)", 4)} END AS kappa
-           |FROM pr ORDER BY axis_a, axis_b""".stripMargin
-      }),
+           |${kappaTailSql(Seq("exact", "containment", "jaccard", "semantic", "simhash"), "ver")}""".stripMargin)),
 
     // SEQUENCE PACKING, the per-SEQUENCE view: q61 assigns docs to bins per
     // source shard (windowed cumsum, one shuffle on the shard key); this is
@@ -2537,6 +2552,201 @@ object TextQueries {
              |SELECT doc_id, n_tok, start_off,
              |  start_off // 128 AS bin_id, start_off % 128 AS bin_offset
              |FROM cs ORDER BY doc_id""".stripMargin)),
+
+    // THE END-TO-END CAPSTONE — curate → mix → pack in ONE declarative
+    // chain, the composition a training-data run actually executes:
+    //   1. the q217 SIX-axis verdict (text × embedding × perceptual media)
+    //      decides keeps;
+    //   2. temperatureMix(α=0.5, budget=100) allocates over the surviving
+    //      per-source counts (quotas react to what curation REMOVED — the
+    //      reason allocation must follow the verdict, not precede it);
+    //   3. takeQuota executes the allocation (hash-priority top-quota,
+    //      literal-capped window);
+    //   4. packSequences cuts the final sample into 128-token training
+    //      sequences (global two-pass prefix scan) and reports each
+    //      sequence's mix/boundaries/fill.
+    // The WHOLE chain carries one oracle (q57/q208-style): a wrong verdict
+    // flag, a misallocated quota, a mis-ranked selection, or an off-by-one
+    // pack boundary each lands in the final hash.
+    "q219_curate_mix_pack" -> Q(
+      (s, dir) => {
+        val keeps = Tables.documents(s, dir).select("doc_id", "source", "text")
+          .join(fullStackVerdictOf(s, dir).filter(col("drop_doc") === 0)
+            .select("doc_id"), Seq("doc_id"))
+        val quotas = graft.operators.Sampling.temperatureMix(
+          keeps.groupBy(col("source")).agg(count(lit(1)).as("n")),
+          "source", "n", alpha = 0.5, budget = 100L)
+        val sample = graft.operators.Sampling.takeQuota(
+          keeps, "doc_id", "source", quotas)
+        graft.operators.Packing.packSequences(
+          sample.select("doc_id", "text"), "doc_id", "text", seqLen = 128)
+      },
+      Some(s"""$fullStackVerdictCtes,
+             |keeps AS (
+             |  SELECT d.doc_id, d.source, d.text
+             |  FROM documents d JOIN ver v ON d.doc_id = v.doc_id
+             |  WHERE v.drop_doc = 0),
+             |ksrc AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM keeps GROUP BY source),
+             |ks2 AS (
+             |  SELECT source, n,
+             |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+             |  FROM ksrc WHERE n > 0),
+             |kt AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM ks2),
+             |kb AS (
+             |  SELECT source, n,
+             |    CAST(100 * w AS DOUBLE) / CAST(tw AS DOUBLE) AS ideal
+             |  FROM ks2 CROSS JOIN kt),
+             |kc AS (
+             |  SELECT source, n, CAST(floor(ideal) AS BIGINT) AS base,
+             |    ideal - floor(ideal) AS frac
+             |  FROM kb),
+             |kd AS (SELECT CAST(100 - sum(base) AS BIGINT) AS deficit FROM kc),
+             |kr AS (
+             |  SELECT source, base,
+             |    row_number() OVER (ORDER BY frac DESC, source) AS rk
+             |  FROM kc),
+             |kq AS (
+             |  SELECT source,
+             |    CAST(base + (CASE WHEN rk <= deficit THEN 1 ELSE 0 END) AS BIGINT) AS quota
+             |  FROM kr CROSS JOIN kd),
+             |krnk AS (
+             |  SELECT doc_id, text, source,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY ${graft.operators.Sampling.hashShardSql("doc_id", 1000003)}, doc_id) AS rk
+             |  FROM keeps),
+             |ksample AS (
+             |  SELECT krnk.doc_id, krnk.text
+             |  FROM krnk JOIN kq USING (source) WHERE krnk.rk <= kq.quota),
+             |ktc AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM ksample),
+             |kcs AS (
+             |  SELECT doc_id, n_tok,
+             |    CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM ktc),
+             |kdo AS (
+             |  SELECT doc_id, n_tok, cum - n_tok AS start_off, cum - 1 AS end_off FROM kcs),
+             |kspans AS (
+             |  SELECT doc_id, start_off, end_off,
+             |    unnest(generate_series(start_off // 128, end_off // 128)) AS seq_id
+             |  FROM kdo)
+             |SELECT seq_id,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN start_off >= seq_id * 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+             |  CAST(sum(least(end_off, (seq_id + 1) * 128 - 1)
+             |    - greatest(start_off, seq_id * 128) + 1) AS BIGINT) AS n_tokens,
+             |  ${frs("CAST(sum(least(end_off, (seq_id + 1) * 128 - 1) - greatest(start_off, seq_id * 128) + 1) AS DOUBLE) / CAST(128.0 AS DOUBLE)", 4)} AS fill
+             |FROM kspans GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // DETECTOR AGREEMENT × STREAMING: Cohen's kappa between the three axes
+    // of the streamed cross-modal ingest gate (q214) — the agreement
+    // structure of the DEPLOYED gate's detectors over arriving documents,
+    // not the batch corpus's. Composition: the gate's drained verdict
+    // relation feeds the same integer-exact kappa aggregate as q216; the
+    // report stays parameter-sized (one row per axis pair).
+    "q220_stream_agreement" -> Q(
+      (s, dir) => Dedup.detectorAgreement(
+        graft.streaming.StreamingDedup.streamCrossModalGate(
+          s, dir, shingleSize = 3, numHashes = 32, bands = 16,
+          threshold = JaccardThreshold, embDim = 64, nbits = 16,
+          cosThreshold = SemCosThreshold),
+        axes = Seq("exact", "jaccard", "semantic")),
+      Some(s"""$minhashBkCtes,
+             |vex AS (
+             |  SELECT DISTINCT d.doc_id FROM documents d
+             |  JOIN documents c ON md5(c.text) = md5(d.text) AND c.doc_id % 10 <> 0
+             |  WHERE d.doc_id % 10 = 0),
+             |vcand AS (
+             |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+             |  FROM bk x JOIN bk y ON x.band = y.band AND x.band_key = y.band_key
+             |  WHERE y.doc_id % 10 = 0 AND x.doc_id % 10 <> 0
+             |  GROUP BY 1, 2),
+             |vpairs AS (
+             |  SELECT id_a, id_b, ${frs(jacExpr, 4)} AS jac
+             |  FROM vcand JOIN sh sa ON vcand.id_a = sa.doc_id
+             |             JOIN sh sb ON vcand.id_b = sb.doc_id),
+             |vjc AS (SELECT DISTINCT id_b FROM vpairs WHERE jac >= $JaccardThreshold),
+             |$semEmbedCtes,
+             |xse AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    ${frs("list_cosine_similarity(a.v, b.v)", 6)} AS score
+             |  FROM sebuck a JOIN sebuck b
+             |    ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+             |      AND bit_count(xor(a.bucket, b.bucket)) <= 1
+             |  WHERE list_sum(list_transform(a.v, x -> x*x)) > CAST(0.0 AS DOUBLE)
+             |    AND list_sum(list_transform(b.v, x -> x*x)) > CAST(0.0 AS DOUBLE)),
+             |xsel AS (SELECT DISTINCT id_b FROM xse WHERE score >= CAST($SemCosThreshold AS DOUBLE)),
+             |vfl AS (
+             |  SELECT d.doc_id,
+             |    CAST(CASE WHEN d.doc_id IN (SELECT doc_id FROM vex) THEN 1 ELSE 0 END AS BIGINT) AS f_exact,
+             |    CAST(CASE WHEN d.doc_id IN (SELECT id_b FROM vjc) THEN 1 ELSE 0 END AS BIGINT) AS f_jaccard,
+             |    CAST(CASE WHEN d.doc_id IN (SELECT id_b FROM xsel) THEN 1 ELSE 0 END AS BIGINT) AS f_semantic
+             |  FROM documents d WHERE d.doc_id % 10 = 0),
+             |${kappaTailSql(Seq("exact", "jaccard", "semantic"), "vfl")}""".stripMargin)),
+
+    // EXPORT MANIFEST — the last mile: the corpus cut into ≈4096-token
+    // shards (whole documents, shard = floor(global_start_offset/budget)
+    // over the two-pass prefix scan; a shard overflows by at most one doc —
+    // file boundaries must never cut a document) with the per-shard
+    // manifest a training loader verifies: counts, token mass, id range,
+    // source breadth, and an ORDER-SENSITIVE checksum (md5 over per-doc
+    // md5(text) concatenated in doc_id order) — any reorder/drop/dup/
+    // mutation inside a shard names the shard. The oracle's string_agg
+    // ORDER BY is exactly the bounded-by-budget concatenation the Spark
+    // side builds via sort_array over the shard group.
+    "q221_export_manifest" -> Q(
+      (s, dir) => graft.operators.Export.shardManifest(
+        Tables.documents(s, dir), "doc_id", "text", "source",
+        shardTokenBudget = 4096L),
+      Some(s"""WITH tc AS (
+             |  SELECT doc_id, source, text,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |cs AS (
+             |  SELECT doc_id, source, text, n_tok,
+             |    CAST(sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT) AS start_off
+             |  FROM tc),
+             |sh2 AS (SELECT *, start_off // 4096 AS shard_id FROM cs)
+             |SELECT shard_id,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS checksum
+             |FROM sh2 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // The export ROUNDTRIP: writeShards physically lands one hive-style
+    // directory per shard, auditShards re-derives the manifest FROM the
+    // shipped files (the consumer's integrity check) — and that re-derived
+    // manifest must pass the SAME oracle as q221. Divergence anywhere in
+    // write → read → re-manifest (lost rows, split docs, mangled text,
+    // wrong shard membership) lands in a checksum mismatch.
+    "q222_export_roundtrip" -> Q(
+      (s, dir) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_export").toString
+        graft.operators.Export.writeShards(
+          Tables.documents(s, dir), "doc_id", "text", "source",
+          shardTokenBudget = 4096L, outDir = out)
+        val audited = graft.operators.Export.auditShards(
+          s, out, "doc_id", "text", "source", shardTokenBudget = 4096L)
+        // materialize before the scratch dir vanishes with the JVM's tmp
+        audited
+      },
+      Some(s"""WITH tc AS (
+             |  SELECT doc_id, source, text,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |cs AS (
+             |  SELECT doc_id, source, text, n_tok,
+             |    CAST(sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT) AS start_off
+             |  FROM tc),
+             |sh2 AS (SELECT *, start_off // 4096 AS shard_id FROM cs)
+             |SELECT shard_id,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS checksum
+             |FROM sh2 GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     "q149_exact_substr_spans" -> Q(
       (s, dir) => Dedup.exactSubstrSpans(

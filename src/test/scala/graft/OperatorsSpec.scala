@@ -1765,4 +1765,73 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
       .collect().head
     assert(k.getDouble(7) === 1.0)
   }
+
+  test("q219 curate-mix-pack chain invariants: keeps-only, quota-bounded, token-conserving") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val verdict = graft.queries.TextQueries.fullStackVerdictOf(spark, sfDir)
+    val keepIds = verdict.filter(col("drop_doc") === 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keepIds.nonEmpty && keepIds.size < 500,
+      "the six-axis verdict must keep some docs and drop some")
+    val keeps = docs.join(verdict.filter(col("drop_doc") === 0).select("doc_id"), Seq("doc_id"))
+    val quotas = graft.operators.Sampling.temperatureMix(
+      keeps.groupBy(col("source")).agg(count(lit(1)).as("n")),
+      "source", "n", alpha = 0.5, budget = 100L)
+    // allocation: quotas sum exactly to the budget
+    assert(quotas.agg(sum("quota")).head.getLong(0) === 100L)
+    val sample = graft.operators.Sampling.takeQuota(keeps, "doc_id", "source", quotas)
+    val sampled = sample.select("doc_id").as[Long].collect().toSet
+    // consumption: every sampled doc is a keep; per-source counts respect quotas
+    assert(sampled.subsetOf(keepIds), "a dropped doc must never be sampled")
+    val perSrc = sample.groupBy("source").agg(count(lit(1)).as("c"))
+      .join(quotas, Seq("source")).collect()
+    assert(perSrc.forall(r => r.getAs[Long]("c") <= r.getAs[Long]("quota")))
+    // packing: tokens conserved end to end, full fill everywhere but the tail
+    val packed = graft.operators.Packing.packSequences(
+      sample.select("doc_id", "text"), "doc_id", "text", seqLen = 128).collect()
+    val totalTok = sample.select(
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+      .as[Long].collect().sum
+    assert(packed.map(_.getAs[Long]("n_tokens")).sum === totalTok)
+    assert(packed.dropRight(1).forall(_.getAs[Double]("fill") === 1.0))
+    assert(packed.map(_.getAs[Long]("seq_id")).toSeq ===
+      packed.indices.map(_.toLong), "sequence ids must be dense from 0")
+  }
+
+  test("Export: shard budget overflow ≤ one doc, roundtrip audit equal, checksum names a mutated shard") {
+    import graft.operators.Export
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val budget = 2048L
+    val m = Export.shardManifest(docs, "doc_id", "text", "source", budget).collect()
+    assert(m.length > 1, "budget must produce multiple shards on the fixture")
+    // whole documents only: every shard but the last holds ≥ budget tokens
+    // minus its own final doc's spill... the sharp invariant: each shard's
+    // token mass < budget + its max doc length, and starts stay aligned:
+    // first_doc of shard k+1 = last_doc of shard k + (next id present)
+    val maxDocTok = docs.select(
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+      .as[Long].collect().max
+    assert(m.forall(_.getAs[Long]("n_tokens") < budget + maxDocTok))
+    assert(m.init.forall(_.getAs[Long]("n_tokens") >= budget - maxDocTok),
+      "a non-final shard cannot close far below budget (only the straddling doc spills)")
+    assert(m.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    // physical roundtrip: write → read-back audit reproduces the manifest
+    val out = java.nio.file.Files.createTempDirectory("graft_export_spec").toString
+    val written = Export.writeShards(docs, "doc_id", "text", "source", budget, out)
+    val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("shard_id="))
+    assert(dirs.length === m.length, "one hive directory per shard")
+    val audited = Export.auditShards(spark, out, "doc_id", "text", "source", budget)
+    assert(audited.collect().toSeq === written.collect().toSeq)
+    assert(audited.collect().toSeq === m.toSeq)
+    // tamper with one shard: only that shard's manifest line may change
+    val tampered = spark.read.parquet(out).drop("shard_id")
+      .withColumn("text",
+        when(col("doc_id") === m.head.getAs[Long]("first_doc"),
+          concat(col("text"), lit(" x"))).otherwise(col("text")))
+    val tm = Export.shardManifest(tampered, "doc_id", "text", "source", budget).collect()
+    assert(tm.head.getAs[String]("checksum") !== m.head.getAs[String]("checksum"),
+      "a mutated document must change its shard's checksum")
+  }
 }
