@@ -2570,9 +2570,15 @@ object TextQueries {
     // pack boundary each lands in the final hash.
     "q219_curate_mix_pack" -> Q(
       (s, dir) => {
+        // cache-lifetime: pinned by the returned plan — caller releases (see
+        // Caching). Downstream actions execute keeps repeatedly (the mix's
+        // per-source counts, takeQuota's max-quota fetch + data pass, the
+        // prefix scan's partials, the final write) — uncached, EACH re-runs
+        // the six-axis verdict subtree
         val keeps = Tables.documents(s, dir).select("doc_id", "source", "text")
           .join(fullStackVerdictOf(s, dir).filter(col("drop_doc") === 0)
             .select("doc_id"), Seq("doc_id"))
+          .cache()
         val quotas = graft.operators.Sampling.temperatureMix(
           keeps.groupBy(col("source")).agg(count(lit(1)).as("n")),
           "source", "n", alpha = 0.5, budget = 100L)
