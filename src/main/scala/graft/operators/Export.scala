@@ -59,8 +59,19 @@ object Export {
                     sourceCol: String, shardTokenBudget: Long,
                     parts: Int = 32): DataFrame = {
     val assigned = assignShards(df, idCol, textCol, shardTokenBudget, parts)
-    val rows = df.select(col(idCol), col(sourceCol), md5(col(textCol)).as("__h"))
-      .join(assigned, Seq(idCol))
+    manifestOf(
+      df.select(col(idCol), col(sourceCol), md5(col(textCol)).as("__h"))
+        .join(assigned, Seq(idCol)),
+      idCol, sourceCol)
+  }
+
+  /** The manifest aggregate over pre-assigned rows (idCol, sourceCol, __h,
+    * n_tok, shard_id) — shared by the batch path above and the
+    * stream-maintained path ([[graft.streaming.StreamingExport]]) so the
+    * two manifests agree by CONSTRUCTION, not by parallel implementations.
+    */
+  private[graft] def manifestOf(rows: DataFrame, idCol: String,
+                                sourceCol: String): DataFrame =
     rows
       .groupBy("shard_id")
       .agg(
@@ -77,7 +88,6 @@ object Export {
       .select("shard_id", "n_docs", "n_tokens", "first_doc", "last_doc",
         "n_sources", "checksum")
       .orderBy("shard_id")
-  }
 
   /** Physically write the corpus as one directory per shard
     * (`outDir/shard_id=K/`), shard assignment identical to
@@ -94,6 +104,76 @@ object Export {
       .repartition(col("shard_id"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
     shardManifest(df, idCol, textCol, sourceCol, shardTokenBudget, parts)
+  }
+
+  /** CONTENT-DEFINED shard assignment — the CDC (content-defined chunking)
+    * alternative to offset-based [[assignShards]]: a shard boundary falls
+    * BEFORE every document whose content hash is below a threshold
+    * (`substring(md5(text), 1, 2) < cutThresholdHex` — fixed-length
+    * lowercase hex compares lexicographically ⇔ numerically, so the
+    * predicate is bit-identical across engines), and a document's shard is
+    * the running count of boundary docs up to and including itself (the
+    * same two-pass prefix scan, summing the 0/1 cut indicator).
+    *
+    * Why: offset-based shards are token-exact but a mid-corpus edit shifts
+    * every later offset — q224 measures the ripple (every downstream shard
+    * re-ships). Content-defined boundaries depend only on the documents
+    * themselves, so an insert/delete/mutation touches ONLY the shard(s)
+    * containing it (unless the edited doc is itself a boundary). The cost
+    * is shard-size variance: boundary gaps are geometric with mean
+    * 256/threshold documents — the classic CDC trade (Muthitacharoen et
+    * al., LBFS 2001), the same trick the anchor-sampled substring path
+    * uses at character granularity.
+    */
+  def assignShardsCdc(df: DataFrame, idCol: String, textCol: String,
+                      cutThresholdHex: String, parts: Int = 32): DataFrame = {
+    require(cutThresholdHex.matches("[0-9a-f]{2}"),
+      s"cutThresholdHex must be two lowercase hex chars, got '$cutThresholdHex'")
+    val rows = df.select(col(idCol),
+      tokenCount(col(textCol)).cast("long").as("n_tok"),
+      when(substring(md5(col(textCol)), 1, 2) < lit(cutThresholdHex), 1L)
+        .otherwise(0L).as("cut"))
+    Scan.cumSums(rows, Seq(idCol), Seq("n_tok", "cut"), parts)
+      .withColumn("start_off", col("cum_n_tok") - col("n_tok"))
+      .withColumn("shard_id", col("cum_cut"))
+      .select(col(idCol), col("n_tok"), col("start_off"), col("cut"), col("shard_id"))
+  }
+
+  /** [[shardManifest]] over content-defined boundaries. */
+  def shardManifestCdc(df: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String, cutThresholdHex: String,
+                       parts: Int = 32): DataFrame = {
+    val assigned = assignShardsCdc(df, idCol, textCol, cutThresholdHex, parts)
+    manifestOf(
+      df.select(col(idCol), col(sourceCol), md5(col(textCol)).as("__h"))
+        .join(assigned, Seq(idCol)),
+      idCol, sourceCol)
+  }
+
+  /** Incremental re-export planning: compare two manifests and report per
+    * shard what a shipper must do — `added` (new corpus grew a shard),
+    * `changed` (checksum differs: re-ship), `removed` (gone), `unchanged`
+    * (skip). Under APPEND-ONLY growth (new documents get higher ids — the
+    * id-ordered shard assignment's contract) every already-full shard's
+    * offsets are untouched, so the delta is exactly the old TAIL shard
+    * (its partial window gained documents) plus the new shards — the
+    * incremental-export win this report quantifies. Manifest-sized
+    * (config-scale) join, never touches the corpus.
+    */
+  def manifestDelta(oldManifest: DataFrame, newManifest: DataFrame): DataFrame = {
+    val o = oldManifest.select(col("shard_id"), col("n_docs").as("n_docs_old"),
+      col("checksum").as("checksum_old"))
+    val n = newManifest.select(col("shard_id"), col("n_docs").as("n_docs_new"),
+      col("checksum").as("checksum_new"))
+    o.join(n, Seq("shard_id"), "full_outer")
+      .withColumn("status",
+        when(col("checksum_old").isNull, "added")
+          .when(col("checksum_new").isNull, "removed")
+          .when(col("checksum_old") === col("checksum_new"), "unchanged")
+          .otherwise("changed"))
+      .select("shard_id", "status", "n_docs_old", "n_docs_new",
+        "checksum_old", "checksum_new")
+      .orderBy("shard_id")
   }
 
   /** Re-derive the manifest FROM a shards directory written by

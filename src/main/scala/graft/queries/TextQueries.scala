@@ -2754,6 +2754,156 @@ object TextQueries {
              |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS checksum
              |FROM sh2 GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // q221's manifest MAINTAINED FROM A STREAM (export × streaming): each
+    // micro-batch appends its docs' (source, md5, n_tok) + within-batch
+    // cumsum to the content-keyed artifact (the q218 two-pass trick); the
+    // read side reconciles offsets, assigns shards, and finishes through
+    // the SAME manifest aggregate as the batch path — stream ≡ batch by
+    // construction, checked against q221's oracle verbatim.
+    "q223_stream_export_manifest" -> Q(
+      (s, dir) => graft.streaming.StreamingExport.streamShardManifest(
+        s, dir, shardTokenBudget = 4096L),
+      Some(s"""WITH tc AS (
+             |  SELECT doc_id, source, text,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |cs AS (
+             |  SELECT doc_id, source, text, n_tok,
+             |    CAST(sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT) AS start_off
+             |  FROM tc),
+             |sh2 AS (SELECT *, start_off // 4096 AS shard_id FROM cs)
+             |SELECT shard_id,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS checksum
+             |FROM sh2 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // INCREMENTAL RE-EXPORT PLANNING: the manifest delta between the corpus
+    // BEFORE append-only growth (doc_id < 80% of max — ids only grow, the
+    // shard assignment's contract) and after. Because offsets of
+    // already-full shards are untouched by appended ids, the delta is
+    // exactly the old TAIL shard (partial window gained docs) + the added
+    // shards — what a shipper re-ships vs skips, quantified per shard. The
+    // oracle computes both manifests and full-outer joins them; the
+    // unchanged-majority is the measured incremental-export win.
+    "q224_export_delta" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+        // bounded parameter fetch; integer math on the driver (Spark's `/`
+        // on columns is double division)
+        val cutoff = docs.agg(max("doc_id")).head.getLong(0) * 8 / 10
+        val oldM = graft.operators.Export.shardManifest(
+          docs.filter(col("doc_id") < cutoff), "doc_id", "text", "source", 4096L)
+        val newM = graft.operators.Export.shardManifest(
+          docs, "doc_id", "text", "source", 4096L)
+        graft.operators.Export.manifestDelta(oldM, newM)
+      },
+      Some(s"""WITH tc AS (
+             |  SELECT doc_id, source, text,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |cut AS (SELECT max(doc_id) * 8 // 10 AS c FROM documents),
+             |oldc AS (
+             |  SELECT doc_id, n_tok, text,
+             |    CAST(sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT) // 4096 AS shard_id
+             |  FROM tc, cut WHERE doc_id < c),
+             |oldm AS (
+             |  SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs_old,
+             |    md5(string_agg(md5(text), '' ORDER BY doc_id)) AS checksum_old
+             |  FROM oldc GROUP BY 1),
+             |newc AS (
+             |  SELECT doc_id, n_tok, text,
+             |    CAST(sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT) // 4096 AS shard_id
+             |  FROM tc),
+             |newm AS (
+             |  SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs_new,
+             |    md5(string_agg(md5(text), '' ORDER BY doc_id)) AS checksum_new
+             |  FROM newc GROUP BY 1)
+             |SELECT shard_id,
+             |  CASE WHEN checksum_old IS NULL THEN 'added'
+             |       WHEN checksum_new IS NULL THEN 'removed'
+             |       WHEN checksum_old = checksum_new THEN 'unchanged'
+             |       ELSE 'changed' END AS status,
+             |  n_docs_old, n_docs_new, checksum_old, checksum_new
+             |FROM oldm FULL OUTER JOIN newm USING (shard_id)
+             |ORDER BY 1""".stripMargin)),
+
+    // CONTENT-DEFINED shard boundaries (the CDC trade q224 motivates): a
+    // boundary falls before every doc whose md5 prefix is < '10' (prob
+    // 16/256 → geometric gaps, mean 16 docs), shard = running cut count
+    // over the prefix scan. Fixed-length lowercase hex compares
+    // lexicographically ⇔ numerically — the predicate is bit-identical
+    // across engines, so even the boundary DECISION is oracle-checked.
+    "q225_export_manifest_cdc" -> Q(
+      (s, dir) => graft.operators.Export.shardManifestCdc(
+        Tables.documents(s, dir), "doc_id", "text", "source",
+        cutThresholdHex = "10"),
+      Some(s"""WITH tc AS (
+             |  SELECT doc_id, source, text,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |    CASE WHEN substr(md5(text), 1, 2) < '10' THEN 1 ELSE 0 END AS cut
+             |  FROM documents),
+             |sh3 AS (
+             |  SELECT *, CAST(sum(cut) OVER (ORDER BY doc_id) AS BIGINT) AS shard_id
+             |  FROM tc)
+             |SELECT shard_id,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS checksum
+             |FROM sh3 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // The payoff measured: remove ONE mid-corpus (non-boundary) document
+    // and diff the CDC manifests — exactly one shard changes, nothing
+    // ripples (q224's offset-based delta changes every downstream shard on
+    // the same edit). The removed doc is picked deterministically in both
+    // engines: the smallest doc_id that is not a boundary doc.
+    "q226_export_delta_cdc" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+        val victim = docs
+          .filter(substring(md5(col("text")), 1, 2) >= lit("10"))
+          .agg(min("doc_id")).head.getLong(0) // bounded parameter fetch
+        val before = graft.operators.Export.shardManifestCdc(
+          docs, "doc_id", "text", "source", "10")
+        val after = graft.operators.Export.shardManifestCdc(
+          docs.filter(col("doc_id") =!= victim), "doc_id", "text", "source", "10")
+        graft.operators.Export.manifestDelta(before, after)
+      },
+      Some(s"""WITH vic AS (
+             |  SELECT min(doc_id) AS v FROM documents
+             |  WHERE substr(md5(text), 1, 2) >= '10'),
+             |tc0 AS (
+             |  SELECT doc_id, source, text,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |    CASE WHEN substr(md5(text), 1, 2) < '10' THEN 1 ELSE 0 END AS cut
+             |  FROM documents),
+             |bsh AS (
+             |  SELECT *, CAST(sum(cut) OVER (ORDER BY doc_id) AS BIGINT) AS shard_id
+             |  FROM tc0),
+             |bm AS (
+             |  SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs_old,
+             |    md5(string_agg(md5(text), '' ORDER BY doc_id)) AS checksum_old
+             |  FROM bsh GROUP BY 1),
+             |ash AS (
+             |  SELECT *, CAST(sum(cut) OVER (ORDER BY doc_id) AS BIGINT) AS shard_id
+             |  FROM tc0, vic WHERE doc_id <> v),
+             |am AS (
+             |  SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs_new,
+             |    md5(string_agg(md5(text), '' ORDER BY doc_id)) AS checksum_new
+             |  FROM ash GROUP BY 1)
+             |SELECT shard_id,
+             |  CASE WHEN checksum_old IS NULL THEN 'added'
+             |       WHEN checksum_new IS NULL THEN 'removed'
+             |       WHEN checksum_old = checksum_new THEN 'unchanged'
+             |       ELSE 'changed' END AS status,
+             |  n_docs_old, n_docs_new, checksum_old, checksum_new
+             |FROM bm FULL OUTER JOIN am USING (shard_id)
+             |ORDER BY 1""".stripMargin)),
+
     "q149_exact_substr_spans" -> Q(
       (s, dir) => Dedup.exactSubstrSpans(
         Tables.documents(s, dir).filter(col("doc_id") < ExactPairSample),

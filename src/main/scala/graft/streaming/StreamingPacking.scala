@@ -26,19 +26,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * a replayed or reordered stream lands the same batch subdirectories and
   * pass 2 recomputes the same offsets. Stream-maintained ≡ the batch global
   * pack, checked against the same window-cumsum oracle.
+  *
+  * The same offset machinery serves the stream-maintained EXPORT manifest
+  * ([[StreamingExport]]): [[streamGlobalOffsets]] is the shared two-pass
+  * core, parameterized by the per-batch projection (what each arriving
+  * document contributes beyond its token count).
   */
 object StreamingPacking {
 
-  /** Per-document global packing assignment maintained from a stream:
-    * (doc_id, n_tok, start_off, bin_id, bin_offset), ordered by doc_id —
-    * row-identical to the batch global concat-and-chunk at `seqLen`.
+  /** The shared ingest-granularity prefix scan: seed the documents table as
+    * three contiguous-range micro-batch files, stream them through
+    * `foreachBatch`, append each batch's `project`ed rows + within-batch
+    * exclusive token cumsum + batch total (content-keyed by min doc id),
+    * and reconcile global `start_off` at read from the parameter-sized
+    * batch-total relation. Returns the per-doc rows: project's columns plus
+    * (n_tok, start_off).
+    *
+    * `project` must emit (doc_id, n_tok, …extras) — extras ride the
+    * artifact unchanged (e.g. the manifest's source and content hash).
     */
-  def streamPackedOffsets(spark: SparkSession, dir: String, seqLen: Int,
-                          hitsName: String = "packing_offsets_stream_v1"): DataFrame = {
+  private[streaming] def streamGlobalOffsets(
+      spark: SparkSession, dir: String, hitsName: String,
+      project: DataFrame => DataFrame): DataFrame = {
     import graft.pipeline.ArtifactStore
     import org.apache.spark.sql.streaming.Trigger
-    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
-    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val d = Tables.documents(spark, dir)
     val root = ArtifactStore.rootFor(dir, hitsName)
 
     // seed the ingest: three contiguous doc_id ranges, one single-part file
@@ -65,8 +77,7 @@ object StreamingPacking {
           ArtifactStore.appendBatchIfAbsent(spark, root, batchKey) {
             // pass 1: exclusive cumsum WITHIN the micro-batch (batch-sized
             // window) + the batch total on every row
-            val tc = batch.select(col("doc_id"),
-              tokenCount(col("text")).cast("long").as("n_tok"))
+            val tc = project(batch)
             val w = Window.orderBy("doc_id")
               .rowsBetween(Window.unboundedPreceding, -1)
             tc.withColumn("within_off", coalesce(sum("n_tok").over(w), lit(0L)))
@@ -91,9 +102,21 @@ object StreamingPacking {
     val offsets = batchTotals
       .withColumn("batch_off", coalesce(sum("batch_total").over(wb), lit(0L)))
       .select("__batch", "batch_off")
-    val L = lit(seqLen.toLong)
     rows.join(broadcast(offsets), Seq("__batch"))
       .withColumn("start_off", col("batch_off") + col("within_off"))
+      .drop("__batch", "within_off", "batch_total", "batch_off")
+  }
+
+  /** Per-document global packing assignment maintained from a stream:
+    * (doc_id, n_tok, start_off, bin_id, bin_offset), ordered by doc_id —
+    * row-identical to the batch global concat-and-chunk at `seqLen`.
+    */
+  def streamPackedOffsets(spark: SparkSession, dir: String, seqLen: Int,
+                          hitsName: String = "packing_offsets_stream_v1"): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val L = lit(seqLen.toLong)
+    streamGlobalOffsets(spark, dir, hitsName,
+      b => b.select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok")))
       .withColumn("bin_id", (col("start_off") / L).cast("long"))
       .withColumn("bin_offset", pmod(col("start_off"), L).cast("long"))
       .select("doc_id", "n_tok", "start_off", "bin_id", "bin_offset")

@@ -1834,4 +1834,58 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(tm.head.getAs[String]("checksum") !== m.head.getAs[String]("checksum"),
       "a mutated document must change its shard's checksum")
   }
+
+  test("manifestDelta: append-only growth re-ships only the tail shard plus added shards") {
+    import graft.operators.Export
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val budget = 2048L
+    val cutoff = 300L // append-only: the 'old' corpus is a doc_id prefix
+    val oldM = Export.shardManifest(docs.filter(col("doc_id") < cutoff),
+      "doc_id", "text", "source", budget)
+    val newM = Export.shardManifest(docs, "doc_id", "text", "source", budget)
+    val d = Export.manifestDelta(oldM, newM).collect()
+    val byStatus = d.groupBy(_.getAs[String]("status")).view.mapValues(_.length).toMap
+    assert(byStatus.getOrElse("removed", 0) === 0, "append-only growth removes nothing")
+    assert(byStatus("changed") === 1,
+      "exactly the old tail shard changes (its partial window gained docs)")
+    assert(byStatus.getOrElse("unchanged", 0) === oldM.count().toInt - 1,
+      "every already-full old shard is untouched — the incremental-export win")
+    assert(d.filter(_.getAs[String]("status") == "changed")
+      .map(_.getAs[Long]("shard_id")).toSeq ===
+      Seq(d.filter(_.getAs[String]("status") != "added").map(_.getAs[Long]("shard_id")).max),
+      "the changed shard is the old tail")
+    // a genuine removal (drop a middle doc) shifts offsets: later shards change
+    val shrunk = Export.manifestDelta(
+      newM, Export.shardManifest(docs.filter(col("doc_id") =!= 100L),
+        "doc_id", "text", "source", budget)).collect()
+    assert(shrunk.count(_.getAs[String]("status") == "changed") > 1,
+      "a mid-corpus removal must ripple through downstream shards")
+  }
+
+  test("CDC shards localize a mid-corpus removal where offset shards ripple") {
+    import graft.operators.Export
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val thr = "10"
+    val base = Export.shardManifestCdc(docs, "doc_id", "text", "source", thr)
+    // non-boundary victim: removal changes EXACTLY its own shard
+    val victim = docs.filter(substring(md5(col("text")), 1, 2) >= lit(thr))
+      .agg(min("doc_id")).head.getLong(0)
+    val d = Export.manifestDelta(base,
+      Export.shardManifestCdc(docs.filter(col("doc_id") =!= victim),
+        "doc_id", "text", "source", thr)).collect()
+    assert(d.count(_.getAs[String]("status") == "changed") === 1)
+    assert(d.count(_.getAs[String]("status") == "unchanged") === d.length - 1,
+      "content-defined boundaries must not ripple on a non-boundary edit")
+    // boundary victim: its shard merges into the previous one — later shard
+    // ids shift, so the delta degrades to the offset-style ripple (the
+    // documented limitation, not a surprise)
+    val cutVictim = docs.filter(substring(md5(col("text")), 1, 2) < lit(thr))
+      .filter(col("doc_id") > 100)
+      .agg(min("doc_id")).head.getLong(0)
+    val d2 = Export.manifestDelta(base,
+      Export.shardManifestCdc(docs.filter(col("doc_id") =!= cutVictim),
+        "doc_id", "text", "source", thr)).collect()
+    assert(d2.count(r => r.getAs[String]("status") != "unchanged") > 1)
+  }
 }

@@ -439,6 +439,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(run() === first)
   }
 
+  test("streamShardManifest ≡ batch manifest, idempotent under replay") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "a b c d e", "web"), (2L, "f g h i j k l", "web"),
+      (3L, "m n o p", "book"), (4L, "q r s", "web"),
+      (5L, "t u v w x y", "book"), (6L, "z a b c", "web"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_manifest").toString
+    val staging = s"$dir/__stage"
+    texts.toDF("doc_id", "text", "source").coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    def run() = graft.streaming.StreamingExport.streamShardManifest(spark, dir, shardTokenBudget = 6L)
+      .collect().toSeq
+    val first = run()
+    // stream-maintained must equal the one-shot batch manifest row for row
+    val batch = graft.operators.Export.shardManifest(
+      Tables.documents(spark, dir), "doc_id", "text", "source",
+      shardTokenBudget = 6L).collect().toSeq
+    assert(first === batch)
+    assert(first.map(_.getAs[Long]("n_docs")).sum === texts.size.toLong)
+    // replay over the live artifact: every append skips, same manifest
+    assert(run() === first)
+  }
+
   test("streamCrossModalGate: semantic axis flags the bag-of-words dup the shingle probe misses") {
     import spark.implicits._
     // corpus (id % 10 != 0) vs streamed delta (id % 10 == 0): doc 20 is a
