@@ -139,6 +139,63 @@ object Export {
       .select(col(idCol), col("n_tok"), col("start_off"), col("cut"), col("shard_id"))
   }
 
+  /** TOKEN-AWARE content-defined boundaries — [[assignShardsCdc]] with the
+    * cut probability scaled by document LENGTH: P(boundary before doc) =
+    * min(1, n_tok / budget), so the boundary rate per TOKEN is constant
+    * (1/budget) and MEAN shard token mass equals the budget regardless of
+    * the document-length mix (the flat threshold's mean is docs-per-shard ×
+    * average length — it drifts with the corpus). Gap VARIANCE stays
+    * exponential (CV ≈ 1, measured 3867 ± 3586 at sf0.1/budget 4096 — the
+    * plain-CDC property; TTTD-style min/max gap bounds are the standard
+    * tightening if a deployment needs it). Documents of ≥ budget tokens
+    * always cut (they isolate).
+    *
+    * The decision stays bit-identical across engines: the doc's 16-bit
+    * content value hv = strpos-decoded first four md5 hex chars (pure
+    * integer arithmetic over the hex alphabet — no engine-specific hex
+    * parser), cut ⇔ hv · budget < n_tok · 65536, an exact integer
+    * comparison. Edit locality is inherited from [[assignShardsCdc]]:
+    * boundaries depend only on document content.
+    */
+  def assignShardsCdcTokenAware(df: DataFrame, idCol: String, textCol: String,
+                                shardTokenBudget: Long, parts: Int = 32): DataFrame = {
+    require(shardTokenBudget > 0,
+      s"shardTokenBudget must be positive, got $shardTokenBudget")
+    val rows = df.select(col(idCol),
+      tokenCount(col(textCol)).cast("long").as("n_tok"),
+      expr(hex4ValSql(s"md5($textCol)")).cast("long").as("__hv"))
+      .withColumn("cut",
+        when(col("__hv") * lit(shardTokenBudget) < col("n_tok") * lit(65536L), 1L)
+          .otherwise(0L))
+      .drop("__hv")
+    Scan.cumSums(rows, Seq(idCol), Seq("n_tok", "cut"), parts)
+      .withColumn("start_off", col("cum_n_tok") - col("n_tok"))
+      .withColumn("shard_id", col("cum_cut"))
+      .select(col(idCol), col("n_tok"), col("start_off"), col("cut"), col("shard_id"))
+  }
+
+  /** 16-bit integer from the first four hex chars of `hexExpr` via strpos
+    * arithmetic — one expression string, valid verbatim in Spark SQL AND
+    * DuckDB (both have 1-based instr/strpos semantics via `instr`), so the
+    * Spark side and the oracle share it token for token.
+    */
+  def hex4ValSql(hexExpr: String): String = {
+    def nib(i: Int, w: Long) =
+      s"(instr('0123456789abcdef', substr($hexExpr, $i, 1)) - 1) * $w"
+    s"(${nib(1, 4096L)} + ${nib(2, 256L)} + ${nib(3, 16L)} + ${nib(4, 1L)})"
+  }
+
+  /** [[shardManifest]] over token-aware content-defined boundaries. */
+  def shardManifestCdcTokenAware(df: DataFrame, idCol: String, textCol: String,
+                                 sourceCol: String, shardTokenBudget: Long,
+                                 parts: Int = 32): DataFrame = {
+    val assigned = assignShardsCdcTokenAware(df, idCol, textCol, shardTokenBudget, parts)
+    manifestOf(
+      df.select(col(idCol), col(sourceCol), md5(col(textCol)).as("__h"))
+        .join(assigned, Seq(idCol)),
+      idCol, sourceCol)
+  }
+
   /** [[shardManifest]] over content-defined boundaries. */
   def shardManifestCdc(df: DataFrame, idCol: String, textCol: String,
                        sourceCol: String, cutThresholdHex: String,

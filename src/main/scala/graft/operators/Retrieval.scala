@@ -208,4 +208,59 @@ object Retrieval {
       .map { case ((id, rel), i) => (i + 1L, id, rel) }
       .toDF("sel_rank", "vec_id", "rel")
   }
+
+  /** RANKING-QUALITY EVALUATION — the IR report card for any ranked
+    * retrieval relation against a binary-relevance truth set: per query,
+    * precision@k, MRR (reciprocal rank of the first relevant hit, 0 when
+    * none lands in the top k), and nDCG@k (binary gains: DCG =
+    * Σ_{relevant hits} 1/log₂(rank+1), IDCG over the ideal prefix).
+    * Complements the recall@k audits (q135/q177/q197 measure WHETHER the
+    * truth arrives; this measures WHERE it ranks).
+    *
+    * Float determinism: every DCG is a LEFT FOLD over an explicitly sorted
+    * rank list (`aggregate(sort_array(...))` here, DuckDB
+    * `list_reduce(list_prepend(...))` in the oracle — the q26 pattern), so
+    * the addition order is pinned and the doubles agree bit-for-bit across
+    * engines; MRR and precision are single divisions of exact integers.
+    *
+    * Scale shape: one equi-join of ranking against truth on (query, doc),
+    * one aggregate per query with state bounded by k — never by corpus or
+    * candidate count.
+    *
+    * Input contracts: `ranked` carries (qCol, dCol, rankCol) with ranks
+    * 1..k per query; `truth` carries (qCol, dCol) — every truth query
+    * appears in the output even when the ranking missed it entirely.
+    */
+  def rankingEval(ranked: DataFrame, truth: DataFrame, qCol: String,
+                  dCol: String, rankCol: String, k: Int,
+                  roundTo: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val hits = ranked
+      .select(col(qCol), col(dCol), col(rankCol).cast("long").as("__r"))
+      .filter(col("__r") <= k)
+      .join(truth.select(col(qCol), col(dCol)), Seq(qCol, dCol))
+    val nRel = truth.groupBy(col(qCol)).agg(count(lit(1)).as("n_rel"))
+    val perQ = hits.groupBy(col(qCol)).agg(
+      count(lit(1)).as("n_hits"),
+      min("__r").as("__minr"),
+      sort_array(collect_list(col("__r"))).as("__rs"))
+    def foldDcg(arr: org.apache.spark.sql.Column) =
+      aggregate(arr, lit(0.0),
+        (acc, r) => acc + lit(1.0) / log2(r.cast("double") + lit(1.0)))
+    nRel.join(perQ, Seq(qCol), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("__rs",
+        coalesce(col("__rs"), array().cast("array<long>")))
+      .withColumn("__dcg", foldDcg(col("__rs")))
+      .withColumn("__idcg",
+        foldDcg(sequence(lit(1L), least(lit(k.toLong), col("n_rel")))))
+      .select(col(qCol), col("n_rel"), col("n_hits"),
+        floorRound(col("n_hits").cast("double") / lit(k.toDouble), roundTo).as("p_at_k"),
+        floorRound(when(col("__minr").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("__minr").cast("double")), roundTo).as("mrr"),
+        floorRound(col("__dcg"), roundTo).as("dcg"),
+        floorRound(col("__idcg"), roundTo).as("idcg"),
+        floorRound(col("__dcg") / col("__idcg"), roundTo).as("ndcg"))
+      .orderBy(qCol)
+  }
 }

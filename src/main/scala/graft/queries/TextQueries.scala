@@ -2904,6 +2904,39 @@ object TextQueries {
              |FROM bm FULL OUTER JOIN am USING (shard_id)
              |ORDER BY 1""".stripMargin)),
 
+    // TOKEN-AWARE CDC boundaries (the q225 refinement): cut probability
+    // scales with doc length — P(boundary) = min(1, n_tok/4096) via the
+    // exact integer comparison hv·budget < n_tok·65536 (hv = strpos-decoded
+    // first four md5 hex chars; the SAME expression string runs in Spark
+    // and DuckDB), so the boundary rate per TOKEN is constant and MEAN
+    // shard mass equals the budget regardless of the doc-length mix (the
+    // flat threshold's mean drifts with average length). Gap variance
+    // stays exponential — plain CDC; see the operator scaladoc for the
+    // measured numbers and the TTTD tightening. Keeps q225's edit
+    // locality (content-only decision).
+    "q227_export_manifest_cdc_tok" -> Q(
+      (s, dir) => graft.operators.Export.shardManifestCdcTokenAware(
+        Tables.documents(s, dir), "doc_id", "text", "source",
+        shardTokenBudget = 4096L),
+      Some(s"""WITH tc AS (
+             |  SELECT doc_id, source, text,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |    CAST(${graft.operators.Export.hex4ValSql("md5(text)")} AS BIGINT) AS hv
+             |  FROM documents),
+             |tcc AS (
+             |  SELECT *, CASE WHEN hv * 4096 < n_tok * 65536 THEN 1 ELSE 0 END AS cut
+             |  FROM tc),
+             |sh4 AS (
+             |  SELECT *, CAST(sum(cut) OVER (ORDER BY doc_id) AS BIGINT) AS shard_id
+             |  FROM tcc)
+             |SELECT shard_id,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS checksum
+             |FROM sh4 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     "q149_exact_substr_spans" -> Q(
       (s, dir) => Dedup.exactSubstrSpans(
         Tables.documents(s, dir).filter(col("doc_id") < ExactPairSample),

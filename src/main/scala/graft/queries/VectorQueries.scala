@@ -680,6 +680,77 @@ object VectorQueries {
              |  FROM cand)
              |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin)),
 
+    // RANKING-QUALITY EVALUATION (IR metrics) of the deployed LSH ANN
+    // against exact-cosine truth: per query, precision@10, MRR, nDCG@10.
+    // The recall audits (q135/q177/q197) measure WHETHER the truth arrives
+    // in the candidate set; this measures WHERE the index RANKS it — the
+    // report a retrieval deployment actually publishes. Every DCG is a
+    // left fold over an explicitly sorted rank list (Spark aggregate ≡
+    // DuckDB list_reduce, the q26 pattern), so the float addition order is
+    // pinned and the metric values themselves are hash-checked.
+    "q228_retrieval_eval" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val nbits = AnnIndex.autoNbits(emb.count())
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val sys = AnnIndex.annTopK(queries, "q_id", "q_vec",
+          emb.select(col("vec_id").as("c_id"), col("embedding")), "c_id", "embedding",
+          k = 10, nbits = nbits, dim = 64)
+        val truth = TopK.knnJoin(queries, "q_id", "q_vec",
+          emb.withColumnRenamed("vec_id", "c_id"), "c_id", "embedding", k = 10)
+          .select("q_id", "c_id")
+        graft.operators.Retrieval.rankingEval(sys, truth, "q_id", "c_id", "rn", k = 10)
+      },
+      Some(s"""$annLshCtes,
+             |sysr AS (
+             |  SELECT q_id, c_id, rn FROM (
+             |    SELECT q_id, c_id,
+             |      row_number() OVER (PARTITION BY q_id
+             |        ORDER BY ${frs("list_cosine_similarity(qv, cv)", 6)} DESC, c_id) AS rn
+             |    FROM cand)
+             |  WHERE rn <= 10),
+             |tru AS (
+             |  SELECT q_id, c_id FROM (
+             |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY ${frs("list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])", 6)} DESC, c.vec_id) AS rn
+             |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             |    WHERE q.vec_id < 10
+             |      AND list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)) > 0
+             |      AND list_sum(list_transform(c.embedding::DOUBLE[], x -> x*x)) > 0)
+             |  WHERE rn <= 10),
+             |hit AS (
+             |  SELECT s.q_id, s.rn FROM sysr s
+             |  JOIN tru t ON s.q_id = t.q_id AND s.c_id = t.c_id),
+             |nrel AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel FROM tru GROUP BY 1),
+             |hq AS (
+             |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_hits, min(rn) AS minr,
+             |    list_sort(list(rn)) AS rs
+             |  FROM hit GROUP BY 1),
+             |jq AS (
+             |  SELECT nrel.q_id, n_rel,
+             |    coalesce(n_hits, CAST(0 AS BIGINT)) AS n_hits, minr,
+             |    coalesce(rs, []::BIGINT[]) AS rs
+             |  FROM nrel LEFT JOIN hq USING (q_id)),
+             |mq AS (
+             |  SELECT *,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(rs,
+             |      r -> CAST(1.0 AS DOUBLE) / log2(CAST(r AS DOUBLE) + CAST(1.0 AS DOUBLE)))),
+             |      (acc, x) -> acc + x) AS dcgr,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(
+             |      generate_series(1, least(10, n_rel)),
+             |      r -> CAST(1.0 AS DOUBLE) / log2(CAST(r AS DOUBLE) + CAST(1.0 AS DOUBLE)))),
+             |      (acc, x) -> acc + x) AS idcgr
+             |  FROM jq)
+             |SELECT q_id, n_rel, n_hits,
+             |  ${frs("CAST(n_hits AS DOUBLE) / CAST(10.0 AS DOUBLE)", 6)} AS p_at_k,
+             |  ${frs("CASE WHEN minr IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) / CAST(minr AS DOUBLE) END", 6)} AS mrr,
+             |  ${frs("dcgr", 6)} AS dcg,
+             |  ${frs("idcgr", 6)} AS idcg,
+             |  ${frs("dcgr / idcgr", 6)} AS ndcg
+             |FROM mq ORDER BY q_id""".stripMargin)),
+
     // Exact all-pairs cosine >= threshold on a fixed-size sample — the oracle
     // anchor for embedding-space near-dup (q28 is the LSH scale path).
     "q39_cosine_pairs_exact" -> Q(

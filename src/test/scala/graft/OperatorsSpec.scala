@@ -1888,4 +1888,54 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
         "doc_id", "text", "source", thr)).collect()
     assert(d2.count(r => r.getAs[String]("status") != "unchanged") > 1)
   }
+
+  test("token-aware CDC: mean shard mass tracks the budget, tokens conserved, giant docs isolate") {
+    import graft.operators.Export
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val budget = 2048L
+    val m = Export.shardManifestCdcTokenAware(docs, "doc_id", "text", "source", budget).collect()
+    val totalTok = docs.select(
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+      .as[Long].collect().sum
+    assert(m.map(_.getAs[Long]("n_tokens")).sum === totalTok, "tokens conserved")
+    // boundary rate per token = 1/budget ⇒ E[shards] ≈ total/budget; the
+    // fixture is deterministic, so pin the realized count to the 2× band
+    val nShards = m.length.toLong
+    assert(nShards >= totalTok / budget / 2 && nShards <= totalTok / budget * 2,
+      s"shard count $nShards must track total/budget = ${totalTok / budget}")
+    // a synthetic giant doc (≥ budget tokens) always cuts — it starts its
+    // own shard no matter its hash
+    val giant = docs.unionByName(Seq(
+      (999999L, "synthetic", Seq.fill(budget.toInt + 5)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text"))
+    val ga = Export.assignShardsCdcTokenAware(giant, "doc_id", "text", budget)
+      .filter(col("doc_id") === 999999L).collect().head
+    assert(ga.getAs[Long]("cut") === 1L, "a >= budget doc must be a boundary")
+  }
+
+  test("rankingEval: hand-checked MRR/nDCG, zero-hit query, perfect ranking") {
+    import spark.implicits._
+    // query A: system [1,3,5] vs truth {3,7} → p@3 = 1/3, mrr = 1/2,
+    //   dcg = 1/log2(3) ≈ 0.63093, idcg = 1 + 1/log2(3) ≈ 1.63093
+    // query B: nothing relevant retrieved → all-zero row, still present
+    // query C: perfect prefix → ndcg = 1
+    val ranked = Seq(
+      ("A", 1L, 1L), ("A", 3L, 2L), ("A", 5L, 3L),
+      ("B", 9L, 1L), ("B", 8L, 2L), ("B", 7L, 3L),
+      ("C", 1L, 1L), ("C", 2L, 2L), ("C", 3L, 3L)
+    ).toDF("q", "d", "rn")
+    val truth = Seq(
+      ("A", 3L), ("A", 7L),
+      ("B", 1L), ("B", 2L),
+      ("C", 1L), ("C", 2L), ("C", 3L)
+    ).toDF("q", "d")
+    val r = graft.operators.Retrieval.rankingEval(ranked, truth, "q", "d", "rn", k = 3)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4),
+          x.getDouble(5), x.getDouble(6), x.getDouble(7))).toMap
+    assert(r("A") === ((2L, 1L, 0.333333, 0.5, 0.63093, 1.63093, 0.386853)))
+    assert(r("B") === ((2L, 0L, 0.0, 0.0, 0.0, 1.63093, 0.0)))
+    assert(r("C") === ((3L, 3L, 1.0, 1.0, 2.13093, 2.13093, 1.0)))
+  }
 }
