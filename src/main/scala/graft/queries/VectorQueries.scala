@@ -44,6 +44,44 @@ object VectorQueries {
       |    AND list_sum(list_transform(q.v, x -> x*x)) > 0
       |    AND list_sum(list_transform(c.v, x -> x*x)) > 0)""".stripMargin
 
+  /** SQL twin of [[graft.operators.Retrieval.rankingEval]]'s metric tail —
+    * expects `sysr` (q_id, c_id, rn ≤ k) and `tru` (q_id, c_id) CTEs in
+    * scope. Shared by q228 (batch LSH vs cosine truth) and q229 (streamed
+    * PQ vs exact-L2 truth) so the metric arithmetic cannot drift. Every
+    * double sum is the left fold both engines share.
+    */
+  private def rankingEvalTailSql(k: Int): String =
+    s"""hit AS (
+       |  SELECT s.q_id, s.rn FROM sysr s
+       |  JOIN tru t ON s.q_id = t.q_id AND s.c_id = t.c_id),
+       |nrel AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel FROM tru GROUP BY 1),
+       |hq AS (
+       |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_hits, min(rn) AS minr,
+       |    list_sort(list(rn)) AS rs
+       |  FROM hit GROUP BY 1),
+       |jq AS (
+       |  SELECT nrel.q_id, n_rel,
+       |    coalesce(n_hits, CAST(0 AS BIGINT)) AS n_hits, minr,
+       |    coalesce(rs, []::BIGINT[]) AS rs
+       |  FROM nrel LEFT JOIN hq USING (q_id)),
+       |mq AS (
+       |  SELECT *,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(rs,
+       |      r -> CAST(1.0 AS DOUBLE) / log2(CAST(r AS DOUBLE) + CAST(1.0 AS DOUBLE)))),
+       |      (acc, x) -> acc + x) AS dcgr,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(
+       |      generate_series(1, least($k, n_rel)),
+       |      r -> CAST(1.0 AS DOUBLE) / log2(CAST(r AS DOUBLE) + CAST(1.0 AS DOUBLE)))),
+       |      (acc, x) -> acc + x) AS idcgr
+       |  FROM jq)
+       |SELECT q_id, n_rel, n_hits,
+       |  ${frs(s"CAST(n_hits AS DOUBLE) / CAST($k.0 AS DOUBLE)", 6)} AS p_at_k,
+       |  ${frs("CASE WHEN minr IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) / CAST(minr AS DOUBLE) END", 6)} AS mrr,
+       |  ${frs("dcgr", 6)} AS dcg,
+       |  ${frs("idcgr", 6)} AS idcg,
+       |  ${frs("dcgr / idcgr", 6)} AS ndcg
+       |FROM mq ORDER BY q_id""".stripMargin
+
   /** Shared oracle CTEs for IVF cell ASSIGNMENT (q40, q78, q83): 16 lowest-id
     * coarse centroids → nearest-cell assignment (argmin |c|²−2·v·c, tie by
     * cell id). Mirrors [[AnnIndex.ivfTopK]] / [[AnnIndex.semanticDedup]] with
@@ -720,36 +758,57 @@ object VectorQueries {
              |      AND list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)) > 0
              |      AND list_sum(list_transform(c.embedding::DOUBLE[], x -> x*x)) > 0)
              |  WHERE rn <= 10),
-             |hit AS (
-             |  SELECT s.q_id, s.rn FROM sysr s
-             |  JOIN tru t ON s.q_id = t.q_id AND s.c_id = t.c_id),
-             |nrel AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel FROM tru GROUP BY 1),
-             |hq AS (
-             |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_hits, min(rn) AS minr,
-             |    list_sort(list(rn)) AS rs
-             |  FROM hit GROUP BY 1),
-             |jq AS (
-             |  SELECT nrel.q_id, n_rel,
-             |    coalesce(n_hits, CAST(0 AS BIGINT)) AS n_hits, minr,
-             |    coalesce(rs, []::BIGINT[]) AS rs
-             |  FROM nrel LEFT JOIN hq USING (q_id)),
-             |mq AS (
-             |  SELECT *,
-             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(rs,
-             |      r -> CAST(1.0 AS DOUBLE) / log2(CAST(r AS DOUBLE) + CAST(1.0 AS DOUBLE)))),
-             |      (acc, x) -> acc + x) AS dcgr,
-             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(
-             |      generate_series(1, least(10, n_rel)),
-             |      r -> CAST(1.0 AS DOUBLE) / log2(CAST(r AS DOUBLE) + CAST(1.0 AS DOUBLE)))),
-             |      (acc, x) -> acc + x) AS idcgr
-             |  FROM jq)
-             |SELECT q_id, n_rel, n_hits,
-             |  ${frs("CAST(n_hits AS DOUBLE) / CAST(10.0 AS DOUBLE)", 6)} AS p_at_k,
-             |  ${frs("CASE WHEN minr IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) / CAST(minr AS DOUBLE) END", 6)} AS mrr,
-             |  ${frs("dcgr", 6)} AS dcg,
-             |  ${frs("idcgr", 6)} AS idcg,
-             |  ${frs("dcgr / idcgr", 6)} AS ndcg
-             |FROM mq ORDER BY q_id""".stripMargin)),
+             |${rankingEvalTailSql(10)}""".stripMargin)),
+
+    // The SAME report card for the STREAMED topology: q151's stream-static
+    // IVF-PQ probe ranked by ADC distance, evaluated against the EXACT
+    // squared-L2 top-3 (the metric PQ approximates — q136's truth). Fills
+    // the eval × streaming matrix cell: the metrics a deployment publishes
+    // about its INGEST-path index, not just the batch one. Shares the
+    // metric tail with q228 so the arithmetic cannot drift.
+    "q229_stream_retrieval_eval" -> Q(
+      (s, dir) => {
+        val sys = graft.streaming.StreamingAnn.pqProbeTopK(
+          s, dir, k = 3, m = PqM, ksub = PqKsub, dim = 64, nlist = 16, nprobe = 4,
+          codebooks = Some(pqTrainedCodebooks(s, dir)))
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val c = emb.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("cv"))
+          .withColumn("__c2", l2NormSq(col("cv")))
+        val q = queries.select(col("q_id"), asDouble(col("q_vec")).as("qv"))
+          .withColumn("__q2", l2NormSq(col("qv")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("d2"), col("c_id"))
+        val truth = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+          .withColumn("d2",
+            fr(col("__q2") + col("__c2") - lit(2.0) * dotFused(col("qv"), col("cv")), 6))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select("q_id", "c_id")
+        graft.operators.Retrieval.rankingEval(sys, truth, "q_id", "c_id", "rn", k = 3)
+      },
+      Some {
+        val sq = (v: String) =>
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($v, x -> x*x)), (a, x) -> a + x)"
+        val d2 = s"${sq("q.embedding::DOUBLE[]")} + ${sq("c.embedding::DOUBLE[]")}" +
+          " - CAST(2.0 AS DOUBLE) * list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
+        s"""$pqCtes,
+           |sysr AS (
+           |  SELECT q_id, c_id, rn FROM (
+           |    SELECT q_id, c_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY ${frs("d", 6)}, c_id) AS rn
+           |    FROM adist)
+           |  WHERE rn <= 3),
+           |tru AS (
+           |  SELECT q_id, c_id FROM (
+           |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${frs(d2, 6)}, c.vec_id) AS rn
+           |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+           |    WHERE q.vec_id < 10)
+           |  WHERE rn <= 3),
+           |${rankingEvalTailSql(3)}""".stripMargin
+      }),
 
     // Exact all-pairs cosine >= threshold on a fixed-size sample — the oracle
     // anchor for embedding-space near-dup (q28 is the LSH scale path).
