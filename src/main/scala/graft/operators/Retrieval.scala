@@ -263,4 +263,19 @@ object Retrieval {
         floorRound(col("__dcg") / col("__idcg"), roundTo).as("ndcg"))
       .orderBy(qCol)
   }
+
+  /** Macro summary of a [[rankingEval]] relation: the one-row dashboard
+    * number — query count and mean precision@k / MRR / nDCG. Each mean is
+    * an ordered fold over the VALUE-SORTED per-query list (same
+    * determinism rule as the per-query DCGs: pin the double addition
+    * order, and the average hash-matches across engines).
+    */
+  def rankingEvalSummary(perQuery: DataFrame, roundTo: Int = 6): DataFrame = {
+    def meanOrdered(c: String) = floorRound(
+      aggregate(sort_array(collect_list(col(c))), lit(0.0), (a, x) => a + x) /
+        count(lit(1)).cast("double"), roundTo).as(s"mean_$c")
+    perQuery.agg(
+      count(lit(1)).as("n_queries"),
+      meanOrdered("p_at_k"), meanOrdered("mrr"), meanOrdered("ndcg"))
+  }
 }

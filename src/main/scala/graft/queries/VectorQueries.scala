@@ -82,6 +82,47 @@ object VectorQueries {
        |  ${frs("dcgr / idcgr", 6)} AS ndcg
        |FROM mq ORDER BY q_id""".stripMargin
 
+  /** The q228 report card as a reusable relation — LSH ANN ranking (k=10)
+    * evaluated against exact-cosine truth. q230 summarizes it; sharing the
+    * construction keeps the two queries' inputs identical by definition.
+    */
+  private def lshRetrievalEval(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val nbits = AnnIndex.autoNbits(emb.count())
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val sys = AnnIndex.annTopK(queries, "q_id", "q_vec",
+      emb.select(col("vec_id").as("c_id"), col("embedding")), "c_id", "embedding",
+      k = 10, nbits = nbits, dim = 64)
+    val truth = TopK.knnJoin(queries, "q_id", "q_vec",
+      emb.withColumnRenamed("vec_id", "c_id"), "c_id", "embedding", k = 10)
+      .select("q_id", "c_id")
+    graft.operators.Retrieval.rankingEval(sys, truth, "q_id", "c_id", "rn", k = 10)
+  }
+
+  /** q228's full oracle — also wrapped as a CTE by q230's summary. */
+  private lazy val lshRetrievalEvalOracle: String =
+    s"""$annLshCtes,
+       |sysr AS (
+       |  SELECT q_id, c_id, rn FROM (
+       |    SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY ${frs("list_cosine_similarity(qv, cv)", 6)} DESC, c_id) AS rn
+       |    FROM cand)
+       |  WHERE rn <= 10),
+       |tru AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${frs("list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])", 6)} DESC, c.vec_id) AS rn
+       |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 10
+       |      AND list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)) > 0
+       |      AND list_sum(list_transform(c.embedding::DOUBLE[], x -> x*x)) > 0)
+       |  WHERE rn <= 10),
+       |${rankingEvalTailSql(10)}""".stripMargin
+
   /** Shared oracle CTEs for IVF cell ASSIGNMENT (q40, q78, q83): 16 lowest-id
     * coarse centroids → nearest-cell assignment (argmin |c|²−2·v·c, tie by
     * cell id). Mirrors [[AnnIndex.ivfTopK]] / [[AnnIndex.semanticDedup]] with
@@ -727,38 +768,30 @@ object VectorQueries {
     // DuckDB list_reduce, the q26 pattern), so the float addition order is
     // pinned and the metric values themselves are hash-checked.
     "q228_retrieval_eval" -> Q(
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        val nbits = AnnIndex.autoNbits(emb.count())
-        val queries = emb.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        val sys = AnnIndex.annTopK(queries, "q_id", "q_vec",
-          emb.select(col("vec_id").as("c_id"), col("embedding")), "c_id", "embedding",
-          k = 10, nbits = nbits, dim = 64)
-        val truth = TopK.knnJoin(queries, "q_id", "q_vec",
-          emb.withColumnRenamed("vec_id", "c_id"), "c_id", "embedding", k = 10)
-          .select("q_id", "c_id")
-        graft.operators.Retrieval.rankingEval(sys, truth, "q_id", "c_id", "rn", k = 10)
-      },
-      Some(s"""$annLshCtes,
-             |sysr AS (
-             |  SELECT q_id, c_id, rn FROM (
-             |    SELECT q_id, c_id,
-             |      row_number() OVER (PARTITION BY q_id
-             |        ORDER BY ${frs("list_cosine_similarity(qv, cv)", 6)} DESC, c_id) AS rn
-             |    FROM cand)
-             |  WHERE rn <= 10),
-             |tru AS (
-             |  SELECT q_id, c_id FROM (
-             |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-             |      row_number() OVER (PARTITION BY q.vec_id
-             |        ORDER BY ${frs("list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])", 6)} DESC, c.vec_id) AS rn
-             |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-             |    WHERE q.vec_id < 10
-             |      AND list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)) > 0
-             |      AND list_sum(list_transform(c.embedding::DOUBLE[], x -> x*x)) > 0)
-             |  WHERE rn <= 10),
-             |${rankingEvalTailSql(10)}""".stripMargin)),
+      (s, dir) => lshRetrievalEval(s, dir),
+      Some(lshRetrievalEvalOracle)),
+
+    // Macro summary of the q228 report card — the one-row number a
+    // deployment dashboard shows (mean precision@10 / MRR / nDCG@10 over
+    // the query set). The means are ordered folds over value-sorted lists
+    // (same determinism rule as the per-query DCGs), so even the averages
+    // hash-match.
+    "q230_retrieval_eval_summary" -> Q(
+      (s, dir) => graft.operators.Retrieval.rankingEvalSummary(
+        lshRetrievalEval(s, dir)),
+      Some {
+        def m(c: String) = frs(
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list($c))), (a, x) -> a + x)" +
+            " / CAST(count(*) AS DOUBLE)", 6)
+        s"""WITH ev AS (
+           |$lshRetrievalEvalOracle
+           |)
+           |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           |  ${m("p_at_k")} AS mean_p_at_k,
+           |  ${m("mrr")} AS mean_mrr,
+           |  ${m("ndcg")} AS mean_ndcg
+           |FROM ev""".stripMargin
+      }),
 
     // The SAME report card for the STREAMED topology: q151's stream-static
     // IVF-PQ probe ranked by ADC distance, evaluated against the EXACT

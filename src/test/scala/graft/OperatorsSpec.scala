@@ -1937,5 +1937,13 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(r("A") === ((2L, 1L, 0.333333, 0.5, 0.63093, 1.63093, 0.386853)))
     assert(r("B") === ((2L, 0L, 0.0, 0.0, 0.0, 1.63093, 0.0)))
     assert(r("C") === ((3L, 3L, 1.0, 1.0, 2.13093, 2.13093, 1.0)))
+    // macro summary: means over the per-query (rounded) values
+    val sm = graft.operators.Retrieval.rankingEvalSummary(
+      graft.operators.Retrieval.rankingEval(ranked, truth, "q", "d", "rn", k = 3))
+      .collect().head
+    assert(sm.getLong(0) === 3L)
+    assert(sm.getDouble(1) === 0.444444, "mean p@3 = (0 + 1/3 + 1)/3")
+    assert(sm.getDouble(2) === 0.5, "mean mrr = (0 + 0.5 + 1)/3")
+    assert(sm.getDouble(3) === 0.462284, "mean ndcg = (0 + 0.386853 + 1)/3")
   }
 }
