@@ -20,6 +20,14 @@ object MathFunctions {
     floor(c * lit(p) + lit(0.5)).cast("double") / lit(p)
   }
 
+  /** Integral division on longs (`div` → Catalyst `IntegralDivide`) — exact
+    * for any long operands, unlike `(a / b).cast("long")` whose DOUBLE
+    * intermediate silently loses integer precision past 2^53 (ADVICE r13
+    * item 2: shard/sequence ids must mirror the oracle's BIGINT `//` at
+    * 100 TB token offsets, not just below 9 PB of whitespace tokens).
+    */
+  def longDiv(a: Column, b: Column): Column = call_function("div", a, b)
+
   /** The DuckDB mirror of [[floorRound]] for oracle SQL generation. Literals
     * are cast to DOUBLE — bare decimal literals are DECIMAL-typed in DuckDB
     * and would change the arithmetic.

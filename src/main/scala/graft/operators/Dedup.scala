@@ -586,7 +586,24 @@ object Dedup {
     * aggregation over the verdict rows; parameter-sized output.
     */
   def verdictFunnel(verdicts: DataFrame, idCol: String,
-                    axes: Seq[String] = Seq("exact", "containment", "jaccard", "simhash")): DataFrame = {
+                    axes: Seq[String] = Seq.empty): DataFrame = {
+    // Axes default to the relation's OWN f_* columns in schema order (the
+    // fusion functions emit them in precedence order), so a funnel over a
+    // cross-modal or full-stack verdict can never silently drop an axis
+    // (ADVICE r13 item 4). An explicit list must cover every f_* column —
+    // a partial funnel's survivor counts would be wrong, not approximate.
+    val present = verdicts.schema.fieldNames.toSeq
+      .filter(_.startsWith("f_")).map(_.stripPrefix("f_"))
+    val resolved = if (axes.isEmpty) present else axes
+    require(resolved.nonEmpty, "verdictFunnel: no f_* axis columns in the verdict relation")
+    require(resolved.toSet == present.toSet,
+      s"verdictFunnel: axes ${resolved.mkString(",")} must cover exactly the " +
+        s"relation's flag columns ${present.mkString(",")}")
+    verdictFunnelOf(verdicts, idCol, resolved)
+  }
+
+  private def verdictFunnelOf(verdicts: DataFrame, idCol: String,
+                              axes: Seq[String]): DataFrame = {
     // cache-lifetime: pinned by the returned plan — caller releases (see
     // Caching); five aggregate branches read the verdict relation, and
     // uncached each would re-execute the FULL fusion chain upstream
@@ -623,7 +640,10 @@ object Dedup {
     * and chance-agreement numerator pe_num = s_a·s_b + (n−s_a)·(n−s_b)
     * (over n²), so kappa = (po_num·n − pe_num) / (n² − pe_num) is ONE
     * division of exact integers — bit-identical across engines, no float
-    * accumulation anywhere. Kappa is NULL when n² = pe_num (both raters
+    * accumulation anywhere. Products (s_a·s_b, n², po_num·n) are carried as
+    * DecimalType(38,0) — still exact integers, but safe for any long n where
+    * a 64-bit long would wrap past n ≈ 3.0e9 docs. Kappa is NULL when
+    * n² = pe_num (both raters
     * constant — chance agreement is total and the statistic is undefined).
     *
     * Scale shape: one hash aggregate over the verdict relation produces
@@ -645,23 +665,30 @@ object Dedup {
     // cache-lifetime: pinned by the returned plan — caller releases (see
     // Caching); one row, read once per pair branch
     val tot = verdicts.agg(aggs.head, aggs.tail: _*).cache()
+    // products go through DecimalType(38,0): s_a·s_b and n² silently WRAP in
+    // long arithmetic past n ≈ 3.0e9 docs (ADVICE r13 item 3) — exactly the
+    // scale this report advertises. Every term here is ≤ n² < 8.5e37 for any
+    // long n (po_num = #neither + #both ≤ n), so (38,0) is lossless and the
+    // "integer-exact, no overflow" contract in the Scaladoc holds verbatim.
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     pairs.map { case (a, b) =>
       tot.select(
         lit(a).as("axis_a"), lit(b).as("axis_b"),
         col(s"s_$a").as("n_a"), col(s"s_$b").as("n_b"),
         col(s"s_${a}_$b").as("n_both"),
         (col("n") - col(s"s_$a") - col(s"s_$b") + lit(2L) * col(s"s_${a}_$b")).as("__po_num"),
-        (col(s"s_$a") * col(s"s_$b") + (col("n") - col(s"s_$a")) * (col("n") - col(s"s_$b"))).as("__pe_num"),
+        (col(s"s_$a").cast(dec) * col(s"s_$b") +
+          (col("n") - col(s"s_$a")).cast(dec) * (col("n") - col(s"s_$b"))).as("__pe_num"),
         col("n").as("__n"))
     }.reduce(_ unionByName _)
+      .withColumn("__n2", col("__n").cast(dec) * col("__n"))
       .withColumn("po", floorRound(col("__po_num").cast("double") / col("__n").cast("double"), roundTo))
-      .withColumn("pe", floorRound(col("__pe_num").cast("double") /
-        (col("__n") * col("__n")).cast("double"), roundTo))
+      .withColumn("pe", floorRound(col("__pe_num").cast("double") / col("__n2").cast("double"), roundTo))
       .withColumn("kappa",
-        when(col("__n") * col("__n") === col("__pe_num"), lit(null).cast("double"))
+        when(col("__n2") === col("__pe_num"), lit(null).cast("double"))
           .otherwise(floorRound(
-            (col("__po_num") * col("__n") - col("__pe_num")).cast("double") /
-              (col("__n") * col("__n") - col("__pe_num")).cast("double"), roundTo)))
+            (col("__po_num").cast(dec) * col("__n") - col("__pe_num")).cast("double") /
+              (col("__n2") - col("__pe_num")).cast("double"), roundTo)))
       .select("axis_a", "axis_b", "n_a", "n_b", "n_both", "po", "pe", "kappa")
       .orderBy("axis_a", "axis_b")
   }

@@ -31,16 +31,26 @@ object Export {
   /** Per-document shard assignment: (idCol, n_tok, start_off, shard_id).
     * One range-partitioned prefix scan; no global sort, no data-plane
     * collect.
+    *
+    * `countTokens` picks the token model the budget is denominated in —
+    * whitespace [[tokenCount]] by default, or the vendored byte-level BPE
+    * ([[graft.functions.TextFunctions.bpeTokenCount]]) when shards must be
+    * sized in the unit a real training loader budgets (the reference's own
+    * guard is tiktoken-based, `vectrekker/main.py:170,175`). Both are
+    * codegen'd Catalyst expressions; the plan shape is identical.
     */
   def assignShards(df: DataFrame, idCol: String, textCol: String,
-                   shardTokenBudget: Long, parts: Int = 32): DataFrame = {
+                   shardTokenBudget: Long, parts: Int = 32,
+                   countTokens: org.apache.spark.sql.Column => org.apache.spark.sql.Column = tokenCount): DataFrame = {
     require(shardTokenBudget > 0,
       s"shardTokenBudget must be positive, got $shardTokenBudget")
-    val tc = df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tok"))
+    val tc = df.select(col(idCol), countTokens(col(textCol)).cast("long").as("n_tok"))
     Scan.cumSums(tc, Seq(idCol), Seq("n_tok"), parts)
       .withColumn("start_off", col("cum_n_tok") - col("n_tok"))
-      // non-negative offsets: integer division == floor division
-      .withColumn("shard_id", (col("start_off") / lit(shardTokenBudget)).cast("long"))
+      // non-negative offsets: integral `div` == the oracle's floor `//`,
+      // exact at any offset magnitude (no double intermediate)
+      .withColumn("shard_id",
+        graft.functions.MathFunctions.longDiv(col("start_off"), lit(shardTokenBudget)))
       .select(col(idCol), col("n_tok"), col("start_off"), col("shard_id"))
   }
 
@@ -57,8 +67,9 @@ object Export {
     */
   def shardManifest(df: DataFrame, idCol: String, textCol: String,
                     sourceCol: String, shardTokenBudget: Long,
-                    parts: Int = 32): DataFrame = {
-    val assigned = assignShards(df, idCol, textCol, shardTokenBudget, parts)
+                    parts: Int = 32,
+                    countTokens: org.apache.spark.sql.Column => org.apache.spark.sql.Column = tokenCount): DataFrame = {
+    val assigned = assignShards(df, idCol, textCol, shardTokenBudget, parts, countTokens)
     manifestOf(
       df.select(col(idCol), col(sourceCol), md5(col(textCol)).as("__h"))
         .join(assigned, Seq(idCol)),

@@ -62,18 +62,20 @@ object Packing {
     * report is one slim hash aggregate on seq_id.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-                    seqLen: Int, parts: Int = 32, roundTo: Int = 4): DataFrame = {
+                    seqLen: Int, parts: Int = 32, roundTo: Int = 4,
+                    countTokens: org.apache.spark.sql.Column => org.apache.spark.sql.Column = tokenCount): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
-    val tc = df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tok"))
+    val tc = df.select(col(idCol), countTokens(col(textCol)).cast("long").as("n_tok"))
     val cum = Scan.cumSums(tc, Seq(idCol), Seq("n_tok"), parts)
     val L = lit(seqLen.toLong)
     val spans = cum
       .withColumn("start_off", col("cum_n_tok") - col("n_tok"))
       .withColumn("end_off", col("cum_n_tok") - lit(1L))
-      // non-negative offsets: integer division == floor division, matching
-      // the oracle's `//`
+      // non-negative offsets: integral `div` == the oracle's floor `//`,
+      // exact at any offset magnitude (no double intermediate)
       .withColumn("seq_id", explode(sequence(
-        (col("start_off") / L).cast("long"), (col("end_off") / L).cast("long"))))
+        graft.functions.MathFunctions.longDiv(col("start_off"), L),
+        graft.functions.MathFunctions.longDiv(col("end_off"), L))))
     spans
       .groupBy("seq_id")
       .agg(

@@ -153,7 +153,19 @@ object ArtifactStore {
           }
         }
       }
-    } catch { case _: Throwable => () } // best-effort only
+    } catch {
+      // best-effort only — but never swallow fatal errors (OOM, linkage) or
+      // an interrupt: re-set the flag so the caller's cancellation works
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt()
+        // scalastyle:off println
+        println(s"[artifact] gc interrupted: ${e.getMessage}")
+        // scalastyle:on println
+      case scala.util.control.NonFatal(e) =>
+        // scalastyle:off println
+        println(s"[artifact] gc sweep skipped: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        // scalastyle:on println
+    }
 
   private def buildAndPromote(f: FileSystem, live: String, build: => DataFrame): Unit = {
     val tmp = new Path(live + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))

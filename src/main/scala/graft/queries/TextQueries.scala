@@ -64,7 +64,14 @@ object TextQueries {
     * count-invariant bijection, so the SQL works on raw characters with the
     * merge keys decoded to raw form ("Ġthe" -> " the").
     */
-  private lazy val bpeOracle: String = {
+  /** The recursive merge-loop CTE chain, ending at `bpetc` (doc_id, n_tok =
+    * BPE token count; docs whose pre-tokenization yields nothing — none in
+    * the fixtures — would be absent, so consumers LEFT JOIN + coalesce 0).
+    * Shared by q18b and the BPE-budgeted packing/export oracles
+    * (q215b/q221b), so every BPE-denominated budget is checked against the
+    * same single source of truth.
+    */
+  private lazy val bpeCountCtes: String = {
     import graft.functions.bpe.BpeTokenizer
     val keys = BpeTokenizer.default.merges
       .map { case (a, b) =>
@@ -86,8 +93,8 @@ object TextQueries {
        |  UNION ALL
        |  SELECT doc_id,
        |    CASE WHEN best IS NULL THEN syms
-       |         ELSE list_slice(syms, 1, best.i - 1) || [syms[best.i] || syms[best.i+1]]
-       |              || list_slice(syms, best.i + 2, len(syms)) END AS syms,
+       |         ELSE list_slice(syms, 1, best.i - 1) || [syms[best.i] || syms[best.i+1]] ||
+       |              list_slice(syms, best.i + 2, len(syms)) END AS syms,
        |    best IS NULL AS done
        |  FROM (
        |    SELECT doc_id, syms,
@@ -95,10 +102,24 @@ object TextQueries {
        |        list_transform(range(1, len(syms)),
        |          i -> {'r': list_position(keys, syms[i] || chr(31) || syms[i+1]), 'i': i}),
        |        x -> x.r IS NOT NULL AND x.r > 0))[1] AS best
-       |    FROM bpe, mk WHERE NOT done))
-       |SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_bpe_tokens
-       |FROM bpe WHERE done GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |    FROM bpe, mk WHERE NOT done)),
+       |bpetc AS (
+       |  SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_tok
+       |  FROM bpe WHERE done GROUP BY doc_id)""".stripMargin
   }
+
+  private lazy val bpeOracle: String =
+    s"""$bpeCountCtes
+       |SELECT doc_id, n_tok AS n_bpe_tokens FROM bpetc ORDER BY doc_id""".stripMargin
+
+  /** `documents` with BPE token counts — the `tc` head the q221/q215 oracle
+    * tails expect, here denominated in the unit a training loader budgets.
+    */
+  private lazy val bpeTcCtes: String =
+    s"""$bpeCountCtes,
+       |tc AS (
+       |  SELECT d.doc_id, d.source, d.text, coalesce(b.n_tok, 0) AS n_tok
+       |  FROM documents d LEFT JOIN bpetc b USING (doc_id))""".stripMargin
 
   /** SQL mirror of TextFunctions.qualityScore — shared by q20 and the q57
     * curation chain. */
@@ -2531,6 +2552,37 @@ object TextQueries {
              |  ${frs("CAST(sum(least(end_off, (seq_id + 1) * 128 - 1) - greatest(start_off, seq_id * 128) + 1) AS DOUBLE) / CAST(128.0 AS DOUBLE)", 4)} AS fill
              |FROM spans GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // q215 DENOMINATED IN BPE TOKENS (r13 verdict task 2): the sequence
+    // capacity a real training loader fills is counted by its tokenizer,
+    // not by whitespace — the reference's own length guard is tiktoken-
+    // based (vectrekker/main.py:170,175). Same two-pass Blelloch prefix
+    // scan, same per-sequence report; the only change is the token model
+    // (the vendored byte-level BPE, q18b's engine), and the oracle derives
+    // its counts from the SAME recursive-CTE merge loop as q18b — so a
+    // drift anywhere between the Scala tokenizer and the merge table lands
+    // in this hash too.
+    "q215b_sequence_packing_bpe" -> Q(
+      (s, dir) => graft.operators.Packing.packSequences(
+        Tables.documents(s, dir), "doc_id", "text", seqLen = 128,
+        countTokens = bpeTokenCount),
+      Some(s"""$bpeTcCtes,
+             |cs AS (
+             |  SELECT doc_id, n_tok,
+             |    CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM tc),
+             |d AS (
+             |  SELECT doc_id, n_tok, cum - n_tok AS start_off, cum - 1 AS end_off FROM cs),
+             |spans AS (
+             |  SELECT doc_id, start_off, end_off,
+             |    unnest(generate_series(start_off // 128, end_off // 128)) AS seq_id
+             |  FROM d)
+             |SELECT seq_id,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN start_off >= seq_id * 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+             |  CAST(sum(least(end_off, (seq_id + 1) * 128 - 1)
+             |    - greatest(start_off, seq_id * 128) + 1) AS BIGINT) AS n_tokens,
+             |  ${frs("CAST(sum(least(end_off, (seq_id + 1) * 128 - 1) - greatest(start_off, seq_id * 128) + 1) AS DOUBLE) / CAST(128.0 AS DOUBLE)", 4)} AS fill
+             |FROM spans GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // q215's packing MAINTAINED FROM A STREAM (packing × streaming): docs
     // land as contiguous-range micro-batches; each batch appends its
     // within-batch exclusive cumsum + batch total (content-keyed, replay-
@@ -2720,6 +2772,30 @@ object TextQueries {
              |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS checksum
              |FROM sh2 GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // q221 BUDGETED IN BPE TOKENS (r13 verdict task 2): the shard mass a
+    // training loader verifies is denominated by its tokenizer — whitespace
+    // budgets drift from the real cost by the corpus's words-per-token mix.
+    // Identical manifest pipeline (prefix scan → shard_id → order-sensitive
+    // checksum); the token model is the vendored byte-level BPE, and the
+    // oracle's counts come from the SAME recursive-CTE merge loop as q18b.
+    "q221b_export_manifest_bpe" -> Q(
+      (s, dir) => graft.operators.Export.shardManifest(
+        Tables.documents(s, dir), "doc_id", "text", "source",
+        shardTokenBudget = 4096L, countTokens = bpeTokenCount),
+      Some(s"""$bpeTcCtes,
+             |cs AS (
+             |  SELECT doc_id, source, text, n_tok,
+             |    CAST(sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT) AS start_off
+             |  FROM tc),
+             |sh2 AS (SELECT *, start_off // 4096 AS shard_id FROM cs)
+             |SELECT shard_id,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS checksum
+             |FROM sh2 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // The export ROUNDTRIP: writeShards physically lands one hive-style
     // directory per shard, auditShards re-derives the manifest FROM the
     // shipped files (the consumer's integrity check) — and that re-derived
@@ -2734,8 +2810,15 @@ object TextQueries {
           shardTokenBudget = 4096L, outDir = out)
         val audited = graft.operators.Export.auditShards(
           s, out, "doc_id", "text", "source", shardTokenBudget = 4096L)
-        // materialize before the scratch dir vanishes with the JVM's tmp
-        audited
+        // the audited manifest is parameter-sized (one row per shard, shard
+        // count = corpus_tokens / budget) — materialize it on the driver,
+        // then DELETE the corpus-sized scratch shard dir instead of leaking
+        // one per harness run (ADVICE r13 item 5)
+        import scala.jdk.CollectionConverters._
+        val manifest = s.createDataFrame(
+          audited.collect().toSeq.asJava, audited.schema)
+        graft.streaming.StreamingDrift.deleteTempDir(java.nio.file.Paths.get(out))
+        manifest
       },
       Some(s"""WITH tc AS (
              |  SELECT doc_id, source, text,

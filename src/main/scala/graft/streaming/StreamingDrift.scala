@@ -317,8 +317,9 @@ object StreamingDrift {
   }
 
   /** Best-effort recursive delete of a local temp directory (shared by the
-    * streaming functions that seed or hold state in temp roots). */
-  private[streaming] def deleteTempDir(root: java.nio.file.Path): Unit =
+    * streaming functions that seed or hold state in temp roots, and by the
+    * q222 export-roundtrip harness query for its scratch shard dir). */
+  private[graft] def deleteTempDir(root: java.nio.file.Path): Unit =
     deleteRecursively(root)
 
   private def deleteRecursively(root: java.nio.file.Path): Unit = {

@@ -40,7 +40,7 @@ object StreamingExport {
         tokenCount(col("text")).cast("long").as("n_tok"),
         col("source"), md5(col("text")).as("__h")))
       .withColumn("shard_id",
-        (col("start_off") / lit(shardTokenBudget)).cast("long"))
+        graft.functions.MathFunctions.longDiv(col("start_off"), lit(shardTokenBudget)))
     Export.manifestOf(rows, "doc_id", "source")
   }
 }

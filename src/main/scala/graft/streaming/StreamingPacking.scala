@@ -117,7 +117,7 @@ object StreamingPacking {
     val L = lit(seqLen.toLong)
     streamGlobalOffsets(spark, dir, hitsName,
       b => b.select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok")))
-      .withColumn("bin_id", (col("start_off") / L).cast("long"))
+      .withColumn("bin_id", graft.functions.MathFunctions.longDiv(col("start_off"), L))
       .withColumn("bin_offset", pmod(col("start_off"), L).cast("long"))
       .select("doc_id", "n_tok", "start_off", "bin_id", "bin_offset")
       .orderBy("doc_id")
