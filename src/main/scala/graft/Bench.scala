@@ -152,6 +152,25 @@ object Bench {
           else attempt1
         (best._1, best._3, s""","retry":1,"rr":"$why"""")
     }
+    // Per-query LOAD-SPIKE correction (r14's escape: four phantom 2-3x
+    // per-query regressions were published for byte-identical code because a
+    // uniformly loaded box dodges BOTH retry triggers — lm was never > 2x the
+    // equally-loaded endpoints AND 308.78s/234 = 1.32 s/query sat under the
+    // 1.6 s/query floor). The suite TOTAL survives that contention fine; the
+    // individual spikes don't. So after the attempt is chosen, re-time the K
+    // slowest queries once each and publish min(first, retime): contention is
+    // strictly additive noise, min is the better point estimate, and K bounds
+    // the extra wall time to roughly the slow tail itself. "rtn" in the
+    // parsed line records how many entries went through the min.
+    val retimeK = sys.env.get("SPARK_GRAFT_RETIME").map(_.toInt).getOrElse(6)
+    val retimed = results.toSeq.filter(_._2 > 0).sortBy(-_._2).take(retimeK)
+      .map { case (name, t1) =>
+        val t2 = timeQuery(name, selected(name))
+        System.err.println(f"[bench] retime $name%-28s first $t1%5.2f s -> re $t2%5.2f s")
+        name -> (if (t2 > 0) math.min(t1, t2) else t1)
+      }.toMap
+    val finalResults = results ++ retimed
+    val retimeTag = if (retimed.isEmpty) "" else s""","rtn":${retimed.size}"""
     // a SPARK_GRAFT_ONLY-filtered profiling run must be distinguishable from
     // a full benchmark — mark it in the JSON
     val filteredTag = only.map { f =>
@@ -164,8 +183,8 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName // basename: tail-window bytes matter
     // per-query line first (sacrificial under tail clipping), parsed
     // metric line LAST so the driver's 2000-byte tail always holds it whole
-    println(perQueryLine(results, sfName))
-    println(metricLine(results, sfName, noiseJson + retryTag, filteredTag))
+    println(perQueryLine(finalResults, sfName))
+    println(metricLine(finalResults, sfName, noiseJson + retryTag + retimeTag, filteredTag))
     spark.stop()
   }
 

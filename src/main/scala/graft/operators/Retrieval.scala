@@ -264,6 +264,154 @@ object Retrieval {
       .orderBy(qCol)
   }
 
+  /** GRADED-relevance variant of [[rankingEval]] — nDCG with graded gains
+    * (Järvelin & Kekäläinen, TOIS 2002; gain = 2^grade − 1, the "Burges"
+    * exponential gain of LambdaRank/MSLR), which is what published
+    * embedding-search evals report: a system that ranks a grade-3 document
+    * at position 1 must beat one that leads with a grade-1 document, which
+    * binary nDCG cannot see. `truth` carries (qCol, dCol, gradeCol) with
+    * small positive integer grades.
+    *
+    * Float determinism (the same ordered-fold rule as [[rankingEval]]):
+    * per-hit contributions are materialized as an array in EXPLICIT rank
+    * order (ideal side: grade-descending order) and summed by a left fold —
+    * the DuckDB mirror builds the identical lists with `list(x ORDER BY y)`
+    * + `list_transform(generate_series(...))`, so the doubles agree
+    * bit-for-bit. gains 2^g − 1 are exact doubles for any small int g.
+    *
+    * Scale shape: identical to [[rankingEval]] — one equi-join on
+    * (query, doc), one aggregate per query with state bounded by k.
+    */
+  def rankingEvalGraded(ranked: DataFrame, truth: DataFrame, qCol: String,
+                        dCol: String, rankCol: String, gradeCol: String,
+                        k: Int, roundTo: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    def gain(g: org.apache.spark.sql.Column) =
+      pow(lit(2.0), g.cast("double")) - lit(1.0)
+    def foldSum(arr: org.apache.spark.sql.Column) =
+      aggregate(arr, lit(0.0), (acc, x) => acc + x)
+    val hits = ranked
+      .select(col(qCol), col(dCol), col(rankCol).cast("long").as("__r"))
+      .filter(col("__r") <= k)
+      .join(truth.select(col(qCol), col(dCol),
+        col(gradeCol).cast("long").as("__g")), Seq(qCol, dCol))
+    val nRel = truth.groupBy(col(qCol)).agg(
+      count(lit(1)).as("n_rel"),
+      // ideal gain order: grade DESC — sort_array asc on struct(-g) then
+      // project back, so the ideal prefix is deterministic
+      transform(sort_array(collect_list(struct(
+        (-col(gradeCol).cast("long")).as("__ng")))), x => -x.getField("__ng"))
+        .as("__ideal"))
+    val perQ = hits.groupBy(col(qCol)).agg(
+      count(lit(1)).as("n_hits"),
+      // rank-ascending (rank is unique per query) contribution order
+      transform(sort_array(collect_list(struct(col("__r"), col("__g")))),
+        x => gain(x.getField("__g")) /
+          log2(x.getField("__r").cast("double") + lit(1.0))).as("__contrib"))
+    nRel.join(perQ, Seq(qCol), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("__contrib",
+        coalesce(col("__contrib"), array().cast("array<double>")))
+      .withColumn("__dcg", foldSum(col("__contrib")))
+      .withColumn("__icontrib",
+        zip_with(slice(col("__ideal"), 1, k),
+          sequence(lit(1L), least(lit(k.toLong), size(col("__ideal")).cast("long"))),
+          (g, r) => gain(g) / log2(r.cast("double") + lit(1.0))))
+      .withColumn("__idcg", foldSum(col("__icontrib")))
+      .select(col(qCol), col("n_rel"), col("n_hits"),
+        floorRound(col("__dcg"), roundTo).as("dcg"),
+        floorRound(col("__idcg"), roundTo).as("idcg"),
+        floorRound(col("__dcg") / col("__idcg"), roundTo).as("ndcg"))
+      .orderBy(qCol)
+  }
+
+  /** SQL twin of [[rankingEval]]'s metric tail — expects CTEs `sysr`
+    * ($qCol, $dCol, rn ≤ k) and `tru` ($qCol, $dCol) in scope. Shared by
+    * q228/q229 (vector evals, q_id/c_id) and q231 (hybrid legs,
+    * leg/doc_id) so the metric arithmetic cannot drift between reports.
+    * Every double sum is the left fold both engines share.
+    */
+  def rankingEvalTailSql(k: Int, qCol: String = "q_id",
+                         dCol: String = "c_id"): String = {
+    import graft.functions.MathFunctions.{floorRoundSql => frs}
+    s"""hit AS (
+       |  SELECT s.$qCol, s.rn FROM sysr s
+       |  JOIN tru t ON s.$qCol = t.$qCol AND s.$dCol = t.$dCol),
+       |nrel AS (SELECT $qCol, CAST(count(*) AS BIGINT) AS n_rel FROM tru GROUP BY 1),
+       |hq AS (
+       |  SELECT $qCol, CAST(count(*) AS BIGINT) AS n_hits, min(rn) AS minr,
+       |    list_sort(list(rn)) AS rs
+       |  FROM hit GROUP BY 1),
+       |jq AS (
+       |  SELECT nrel.$qCol, n_rel,
+       |    coalesce(n_hits, CAST(0 AS BIGINT)) AS n_hits, minr,
+       |    coalesce(rs, []::BIGINT[]) AS rs
+       |  FROM nrel LEFT JOIN hq USING ($qCol)),
+       |mq AS (
+       |  SELECT *,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(rs,
+       |      r -> CAST(1.0 AS DOUBLE) / log2(CAST(r AS DOUBLE) + CAST(1.0 AS DOUBLE)))),
+       |      (acc, x) -> acc + x) AS dcgr,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(
+       |      generate_series(1, least($k, n_rel)),
+       |      r -> CAST(1.0 AS DOUBLE) / log2(CAST(r AS DOUBLE) + CAST(1.0 AS DOUBLE)))),
+       |      (acc, x) -> acc + x) AS idcgr
+       |  FROM jq)
+       |SELECT $qCol, n_rel, n_hits,
+       |  ${frs(s"CAST(n_hits AS DOUBLE) / CAST($k.0 AS DOUBLE)", 6)} AS p_at_k,
+       |  ${frs("CASE WHEN minr IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) / CAST(minr AS DOUBLE) END", 6)} AS mrr,
+       |  ${frs("dcgr", 6)} AS dcg,
+       |  ${frs("idcgr", 6)} AS idcg,
+       |  ${frs("dcgr / idcgr", 6)} AS ndcg
+       |FROM mq ORDER BY $qCol""".stripMargin
+  }
+
+  /** SQL twin of [[rankingEvalGraded]]'s metric tail — expects CTEs `sysr`
+    * ($qCol, $dCol, rn ≤ k) and `tru` ($qCol, $dCol, grade) in scope. The
+    * hit contributions fold in rank order (`list(... ORDER BY rn)`), the
+    * ideal prefix in grade-descending order — the exact lists the Spark
+    * side builds, so the graded DCGs hash-match.
+    */
+  def rankingEvalGradedTailSql(k: Int, qCol: String = "q_id",
+                               dCol: String = "c_id"): String = {
+    import graft.functions.MathFunctions.{floorRoundSql => frs}
+    val gainOf = (g: String) =>
+      s"(pow(CAST(2.0 AS DOUBLE), CAST($g AS DOUBLE)) - CAST(1.0 AS DOUBLE))"
+    s"""hit AS (
+       |  SELECT s.$qCol, s.rn, t.grade FROM sysr s
+       |  JOIN tru t ON s.$qCol = t.$qCol AND s.$dCol = t.$dCol),
+       |nrel AS (
+       |  SELECT $qCol, CAST(count(*) AS BIGINT) AS n_rel,
+       |    list(grade ORDER BY grade DESC) AS ideal
+       |  FROM tru GROUP BY 1),
+       |hq AS (
+       |  SELECT $qCol, CAST(count(*) AS BIGINT) AS n_hits,
+       |    list(rn ORDER BY rn) AS rs, list(grade ORDER BY rn) AS gs
+       |  FROM hit GROUP BY 1),
+       |jq AS (
+       |  SELECT nrel.$qCol, n_rel,
+       |    coalesce(n_hits, CAST(0 AS BIGINT)) AS n_hits,
+       |    coalesce(rs, []::BIGINT[]) AS rs, coalesce(gs, []::BIGINT[]) AS gs,
+       |    list_slice(ideal, 1, $k) AS idk
+       |  FROM nrel LEFT JOIN hq USING ($qCol)),
+       |mq AS (
+       |  SELECT *,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(rs)),
+       |        i -> ${gainOf("gs[i]")} / log2(CAST(rs[i] AS DOUBLE) + CAST(1.0 AS DOUBLE)))),
+       |      (acc, x) -> acc + x) AS dcgr,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(idk)),
+       |        i -> ${gainOf("idk[i]")} / log2(CAST(i AS DOUBLE) + CAST(1.0 AS DOUBLE)))),
+       |      (acc, x) -> acc + x) AS idcgr
+       |  FROM jq)
+       |SELECT $qCol, n_rel, n_hits,
+       |  ${frs("dcgr", 6)} AS dcg,
+       |  ${frs("idcgr", 6)} AS idcg,
+       |  ${frs("dcgr / idcgr", 6)} AS ndcg
+       |FROM mq ORDER BY $qCol""".stripMargin
+  }
+
   /** Macro summary of a [[rankingEval]] relation: the one-row dashboard
     * number — query count and mean precision@k / MRR / nDCG. Each mean is
     * an ordered fold over the VALUE-SORTED per-query list (same

@@ -121,6 +121,51 @@ object TextQueries {
        |  SELECT d.doc_id, d.source, d.text, coalesce(b.n_tok, 0) AS n_tok
        |  FROM documents d LEFT JOIN bpetc b USING (doc_id))""".stripMargin
 
+  /** One RRF term: 1/(60 + rank), 0 when the leg missed the doc. */
+  private val rrfTermSql = (r: String) =>
+    s"coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST($r AS DOUBLE)), CAST(0.0 AS DOUBLE))"
+
+  /** Shared CTE chain of the hybrid-retrieval family (q112/q231): `lex`
+    * (doc_id, r_lex — BM25 top-20 ranking), the v_* hashing-embedder cosine
+    * chain, `vec` (doc_id, r_vec — vector top-20 for query doc 0), and
+    * their full-outer rank join `f` (doc_id, r_lex, r_vec).
+    */
+  private lazy val hybridLegCtes: String = {
+    val bmSql = graft.operators.Retrieval.bm25Sql(
+      "documents", "doc_id", "text", Seq("dup", "vector", "query"), topK = 20)
+    s"""WITH lex AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_lex
+       |  FROM ($bmSql)),
+       |v_tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+       |v_b AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, length(w)),
+       |        i -> CAST(ascii(substr(w, CAST(i AS INTEGER), 1)) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) % 64 AS bucket
+       |  FROM v_tok),
+       |v_c AS (SELECT doc_id, bucket, count(*) AS n FROM v_b GROUP BY 1, 2),
+       |v_norms AS (SELECT doc_id, sqrt(CAST(sum(n * n) AS DOUBLE)) AS nrm FROM v_c GROUP BY 1),
+       |v_q AS (SELECT bucket, n FROM v_c WHERE doc_id = 0),
+       |v_qn AS (SELECT nrm AS qnrm FROM v_norms WHERE doc_id = 0),
+       |v_dots AS (
+       |  SELECT c.doc_id, CAST(sum(c.n * q.n) AS DOUBLE) AS dot
+       |  FROM v_c c JOIN v_q q USING (bucket) WHERE c.doc_id <> 0 GROUP BY 1),
+       |v_sc AS (
+       |  SELECT n.doc_id,
+       |    ${frs("coalesce(d.dot, CAST(0 AS DOUBLE)) / (n.nrm * v_qn.qnrm)", 6)} AS score
+       |  FROM v_norms n LEFT JOIN v_dots d ON n.doc_id = d.doc_id, v_qn
+       |  WHERE n.doc_id <> 0 AND n.nrm > 0),
+       |vec AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_vec
+       |  FROM (SELECT * FROM v_sc ORDER BY score DESC, doc_id LIMIT 20)),
+       |f AS (
+       |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.r_lex, v.r_vec
+       |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)""".stripMargin
+  }
+
   /** SQL mirror of TextFunctions.qualityScore — shared by q20 and the q57
     * curation chain. */
   private val qualityExprSql: String = {
@@ -1884,46 +1929,70 @@ object TextQueries {
         graft.operators.Retrieval.rrfFuse(
           Seq("lex" -> lex, "vec" -> vec), "doc_id", kRrf = 60, topK = 10)
       },
-      Some {
-        val bmSql = graft.operators.Retrieval.bm25Sql(
-          "documents", "doc_id", "text", Seq("dup", "vector", "query"), topK = 20)
-        val rrfTerm = (r: String) =>
-          s"coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST($r AS DOUBLE)), CAST(0.0 AS DOUBLE))"
-        s"""WITH lex AS (
-           |  SELECT doc_id,
-           |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_lex
-           |  FROM ($bmSql)),
-           |v_tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
-           |v_b AS (
-           |  SELECT doc_id,
-           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |      list_transform(generate_series(1, length(w)),
-           |        i -> CAST(ascii(substr(w, CAST(i AS INTEGER), 1)) AS BIGINT))),
-           |      (acc, x) -> (acc * 31 + x) % 1000000007) % 64 AS bucket
-           |  FROM v_tok),
-           |v_c AS (SELECT doc_id, bucket, count(*) AS n FROM v_b GROUP BY 1, 2),
-           |v_norms AS (SELECT doc_id, sqrt(CAST(sum(n * n) AS DOUBLE)) AS nrm FROM v_c GROUP BY 1),
-           |v_q AS (SELECT bucket, n FROM v_c WHERE doc_id = 0),
-           |v_qn AS (SELECT nrm AS qnrm FROM v_norms WHERE doc_id = 0),
-           |v_dots AS (
-           |  SELECT c.doc_id, CAST(sum(c.n * q.n) AS DOUBLE) AS dot
-           |  FROM v_c c JOIN v_q q USING (bucket) WHERE c.doc_id <> 0 GROUP BY 1),
-           |v_sc AS (
-           |  SELECT n.doc_id,
-           |    ${frs("coalesce(d.dot, CAST(0 AS DOUBLE)) / (n.nrm * v_qn.qnrm)", 6)} AS score
-           |  FROM v_norms n LEFT JOIN v_dots d ON n.doc_id = d.doc_id, v_qn
-           |  WHERE n.doc_id <> 0 AND n.nrm > 0),
-           |vec AS (
-           |  SELECT doc_id,
-           |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_vec
-           |  FROM (SELECT * FROM v_sc ORDER BY score DESC, doc_id LIMIT 20)),
-           |f AS (
-           |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.r_lex, v.r_vec
-           |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
-           |SELECT doc_id, r_lex, r_vec,
-           |  ${frs(rrfTerm("r_lex") + " + " + rrfTerm("r_vec"), 6)} AS rrf
-           |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
-      }),
+      Some(s"""$hybridLegCtes
+             |SELECT doc_id, r_lex, r_vec,
+             |  ${frs(rrfTermSql("r_lex") + " + " + rrfTermSql("r_vec"), 6)} AS rrf
+             |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // THE HYBRID REPORT CARD (r13 verdict task 4): q228 evaluates the
+    // vector index and q229 the streamed one, but the hybrid RRF ranking
+    // (q112) and its BM25 lexical leg (q96) had no eval row. Here all three
+    // legs — lexical, vector, fused — are scored by the SAME rankingEval
+    // against exact-cosine truth (the semantic top-10 for query doc 0), so
+    // the published row answers the deployment question directly: what does
+    // the lexical leg alone miss, and how much of it does fusion recover?
+    // The vector leg IS the truth ranking by construction (its row is the
+    // sanity anchor: p@10 = mrr = ndcg = 1); the leg name plays the query
+    // key, so one relation carries the lexical-vs-vector-vs-hybrid
+    // comparison. Shares q112's leg CTEs and q228's metric tail verbatim.
+    "q231_hybrid_retrieval_eval" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val lex = graft.operators.Retrieval.bm25(
+            docs, "doc_id", "text", Seq("dup", "vector", "query"), topK = 20)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(desc("bm25"), col("doc_id"))))
+          .select("doc_id", "rank")
+        val emb = graft.pipeline.HashingEmbedder(64)
+        val dv = docs.select(col("doc_id"), emb.embedRaw(col("text")).as("vec"))
+        val qv = dv.filter(col("doc_id") === 0).select(col("vec")).head().getSeq[Double](0)
+        val vec = graft.operators.TopK.topK(
+            dv.filter(col("doc_id") =!= 0), "vec", "doc_id", qv, k = 20)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
+          .select("doc_id", "rank")
+        val hyb = graft.operators.Retrieval.rrfFuse(
+            Seq("lex" -> lex, "vec" -> vec), "doc_id", kRrf = 60, topK = 10)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(desc("rrf"), col("doc_id"))))
+          .select("doc_id", "rank")
+        val ranked = lex.select(lit("lex").as("leg"), col("doc_id"), col("rank"))
+          .unionByName(vec.select(lit("vec").as("leg"), col("doc_id"), col("rank")))
+          .unionByName(hyb.select(lit("hybrid").as("leg"), col("doc_id"), col("rank")))
+        val truth = Seq("hybrid", "lex", "vec").toDF("leg")
+          .crossJoin(vec.filter(col("rank") <= 10).select("doc_id"))
+        graft.operators.Retrieval.rankingEval(
+          ranked, truth, "leg", "doc_id", "rank", k = 10)
+      },
+      Some(s"""$hybridLegCtes,
+             |hyb AS (
+             |  SELECT doc_id,
+             |    CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+             |  FROM (
+             |    SELECT doc_id,
+             |      ${frs(rrfTermSql("r_lex") + " + " + rrfTermSql("r_vec"), 6)} AS rrf
+             |    FROM f ORDER BY rrf DESC, doc_id LIMIT 10)),
+             |sysr AS (
+             |  SELECT 'lex' AS leg, doc_id, r_lex AS rn FROM lex WHERE r_lex <= 10
+             |  UNION ALL SELECT 'vec', doc_id, r_vec FROM vec WHERE r_vec <= 10
+             |  UNION ALL SELECT 'hybrid', doc_id, rank FROM hyb),
+             |tru AS (
+             |  SELECT l.leg, v.doc_id
+             |  FROM (SELECT unnest(['hybrid', 'lex', 'vec']) AS leg) l
+             |  CROSS JOIN (SELECT doc_id FROM vec WHERE r_vec <= 10) v),
+             |${graft.operators.Retrieval.rankingEvalTailSql(10, "leg", "doc_id")}""".stripMargin)),
 
     // PMI collocation mining — adjacent-pair pointwise mutual information
     // against the positional marginals, the phrase-detection pass of
@@ -3001,6 +3070,35 @@ object TextQueries {
       (s, dir) => graft.operators.Export.shardManifestCdcTokenAware(
         Tables.documents(s, dir), "doc_id", "text", "source",
         shardTokenBudget = 4096L),
+      Some(s"""WITH tc AS (
+             |  SELECT doc_id, source, text,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |    CAST(${graft.operators.Export.hex4ValSql("md5(text)")} AS BIGINT) AS hv
+             |  FROM documents),
+             |tcc AS (
+             |  SELECT *, CASE WHEN hv * 4096 < n_tok * 65536 THEN 1 ELSE 0 END AS cut
+             |  FROM tc),
+             |sh4 AS (
+             |  SELECT *, CAST(sum(cut) OVER (ORDER BY doc_id) AS BIGINT) AS shard_id
+             |  FROM tcc)
+             |SELECT shard_id,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS checksum
+             |FROM sh4 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q227's token-aware CDC manifest MAINTAINED FROM A STREAM (the CDC ×
+    // streaming matrix cell, r13 verdict task 6): the cut decision is pure
+    // per-document content — an arriving batch needs NO cross-batch offset
+    // state; only the cumulative cut count (the shard id) reconciles at
+    // read, riding the same content-keyed two-pass prefix scan as q223's
+    // offsets but summing the 0/1 cut indicator. Checked against q227's
+    // BATCH oracle verbatim — streamed ≡ batch by construction.
+    "q233_stream_export_cdc_tok" -> Q(
+      (s, dir) => graft.streaming.StreamingExport.streamShardManifestCdcTokenAware(
+        s, dir, shardTokenBudget = 4096L),
       Some(s"""WITH tc AS (
              |  SELECT doc_id, source, text,
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

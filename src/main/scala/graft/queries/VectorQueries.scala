@@ -45,42 +45,13 @@ object VectorQueries {
       |    AND list_sum(list_transform(c.v, x -> x*x)) > 0)""".stripMargin
 
   /** SQL twin of [[graft.operators.Retrieval.rankingEval]]'s metric tail —
-    * expects `sysr` (q_id, c_id, rn ≤ k) and `tru` (q_id, c_id) CTEs in
-    * scope. Shared by q228 (batch LSH vs cosine truth) and q229 (streamed
-    * PQ vs exact-L2 truth) so the metric arithmetic cannot drift. Every
-    * double sum is the left fold both engines share.
+    * the shared [[graft.operators.Retrieval.rankingEvalTailSql]] with this
+    * file's (q_id, c_id) column names. Shared by q228 (batch LSH vs cosine
+    * truth) and q229 (streamed PQ vs exact-L2 truth) so the metric
+    * arithmetic cannot drift.
     */
   private def rankingEvalTailSql(k: Int): String =
-    s"""hit AS (
-       |  SELECT s.q_id, s.rn FROM sysr s
-       |  JOIN tru t ON s.q_id = t.q_id AND s.c_id = t.c_id),
-       |nrel AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel FROM tru GROUP BY 1),
-       |hq AS (
-       |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_hits, min(rn) AS minr,
-       |    list_sort(list(rn)) AS rs
-       |  FROM hit GROUP BY 1),
-       |jq AS (
-       |  SELECT nrel.q_id, n_rel,
-       |    coalesce(n_hits, CAST(0 AS BIGINT)) AS n_hits, minr,
-       |    coalesce(rs, []::BIGINT[]) AS rs
-       |  FROM nrel LEFT JOIN hq USING (q_id)),
-       |mq AS (
-       |  SELECT *,
-       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(rs,
-       |      r -> CAST(1.0 AS DOUBLE) / log2(CAST(r AS DOUBLE) + CAST(1.0 AS DOUBLE)))),
-       |      (acc, x) -> acc + x) AS dcgr,
-       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(
-       |      generate_series(1, least($k, n_rel)),
-       |      r -> CAST(1.0 AS DOUBLE) / log2(CAST(r AS DOUBLE) + CAST(1.0 AS DOUBLE)))),
-       |      (acc, x) -> acc + x) AS idcgr
-       |  FROM jq)
-       |SELECT q_id, n_rel, n_hits,
-       |  ${frs(s"CAST(n_hits AS DOUBLE) / CAST($k.0 AS DOUBLE)", 6)} AS p_at_k,
-       |  ${frs("CASE WHEN minr IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) / CAST(minr AS DOUBLE) END", 6)} AS mrr,
-       |  ${frs("dcgr", 6)} AS dcg,
-       |  ${frs("idcgr", 6)} AS idcg,
-       |  ${frs("dcgr / idcgr", 6)} AS ndcg
-       |FROM mq ORDER BY q_id""".stripMargin
+    graft.operators.Retrieval.rankingEvalTailSql(k, "q_id", "c_id")
 
   /** The q228 report card as a reusable relation — LSH ANN ranking (k=10)
     * evaluated against exact-cosine truth. q230 summarizes it; sharing the
@@ -101,25 +72,37 @@ object VectorQueries {
     graft.operators.Retrieval.rankingEval(sys, truth, "q_id", "c_id", "rn", k = 10)
   }
 
-  /** q228's full oracle — also wrapped as a CTE by q230's summary. */
-  private lazy val lshRetrievalEvalOracle: String =
-    s"""$annLshCtes,
-       |sysr AS (
+  /** The LSH system ranking CTE (q228/q230/q232): ANN candidates ranked by
+    * floor-rounded cosine with id tiebreak, top-10 per query.
+    */
+  private lazy val lshSysrCte: String =
+    s"""sysr AS (
        |  SELECT q_id, c_id, rn FROM (
        |    SELECT q_id, c_id,
        |      row_number() OVER (PARTITION BY q_id
        |        ORDER BY ${frs("list_cosine_similarity(qv, cv)", 6)} DESC, c_id) AS rn
        |    FROM cand)
-       |  WHERE rn <= 10),
-       |tru AS (
-       |  SELECT q_id, c_id FROM (
-       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |  WHERE rn <= 10)""".stripMargin
+
+  /** The exact-cosine ranked sub-select (q_id, c_id, rn) the truth CTEs cut
+    * their top-10 from — binary (q228/q230) and graded (q232) share it.
+    */
+  private lazy val lshTruRankedSql: String =
+    s"""SELECT q.vec_id AS q_id, c.vec_id AS c_id,
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY ${frs("list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])", 6)} DESC, c.vec_id) AS rn
        |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
        |    WHERE q.vec_id < 10
        |      AND list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)) > 0
-       |      AND list_sum(list_transform(c.embedding::DOUBLE[], x -> x*x)) > 0)
+       |      AND list_sum(list_transform(c.embedding::DOUBLE[], x -> x*x)) > 0""".stripMargin
+
+  /** q228's full oracle — also wrapped as a CTE by q230's summary. */
+  private lazy val lshRetrievalEvalOracle: String =
+    s"""$annLshCtes,
+       |$lshSysrCte,
+       |tru AS (
+       |  SELECT q_id, c_id FROM (
+       |    $lshTruRankedSql)
        |  WHERE rn <= 10),
        |${rankingEvalTailSql(10)}""".stripMargin
 
@@ -770,6 +753,42 @@ object VectorQueries {
     "q228_retrieval_eval" -> Q(
       (s, dir) => lshRetrievalEval(s, dir),
       Some(lshRetrievalEvalOracle)),
+
+    // GRADED-relevance nDCG for the same deployed index (r13 verdict task
+    // 7): binary gains say only whether a truth doc arrived; graded gains
+    // (2^g − 1, Järvelin & Kekäläinen nDCG with the LambdaRank gain) weight
+    // WHICH truth docs the index surfaces — grade 3 for the exact-cosine
+    // top-2, 2 for ranks 3–5, 1 for 6–10 (integer CASE on the exact rank,
+    // bit-identical across engines). An index that finds only the tail of
+    // the truth set scores visibly lower than one that keeps the head.
+    // Contributions fold in pinned order on both sides (rank order for DCG,
+    // grade-descending for IDCG), so the graded metrics hash-match.
+    "q232_retrieval_eval_graded" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val nbits = AnnIndex.autoNbits(emb.count())
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val sys = AnnIndex.annTopK(queries, "q_id", "q_vec",
+          emb.select(col("vec_id").as("c_id"), col("embedding")), "c_id", "embedding",
+          k = 10, nbits = nbits, dim = 64)
+        val truth = TopK.knnJoin(queries, "q_id", "q_vec",
+            emb.withColumnRenamed("vec_id", "c_id"), "c_id", "embedding", k = 10)
+          .select(col("q_id"), col("c_id"),
+            when(col("rn") <= 2, 3L).when(col("rn") <= 5, 2L)
+              .otherwise(1L).as("grade"))
+        graft.operators.Retrieval.rankingEvalGraded(
+          sys, truth, "q_id", "c_id", "rn", "grade", k = 10)
+      },
+      Some(s"""$annLshCtes,
+             |$lshSysrCte,
+             |tru AS (
+             |  SELECT q_id, c_id,
+             |    CASE WHEN rn <= 2 THEN 3 WHEN rn <= 5 THEN 2 ELSE 1 END AS grade
+             |  FROM (
+             |    $lshTruRankedSql)
+             |  WHERE rn <= 10),
+             |${graft.operators.Retrieval.rankingEvalGradedTailSql(10, "q_id", "c_id")}""".stripMargin)),
 
     // Macro summary of the q228 report card — the one-row number a
     // deployment dashboard shows (mean precision@10 / MRR / nDCG@10 over

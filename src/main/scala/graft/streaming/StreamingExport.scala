@@ -32,7 +32,7 @@ object StreamingExport {
     */
   def streamShardManifest(spark: SparkSession, dir: String,
                           shardTokenBudget: Long,
-                          hitsName: String = "export_manifest_stream_v1"): DataFrame = {
+                          hitsName: String = "export_manifest_stream_v2"): DataFrame = {
     require(shardTokenBudget > 0,
       s"shardTokenBudget must be positive, got $shardTokenBudget")
     val rows = StreamingPacking.streamGlobalOffsets(spark, dir, hitsName,
@@ -41,6 +41,36 @@ object StreamingExport {
         col("source"), md5(col("text")).as("__h")))
       .withColumn("shard_id",
         graft.functions.MathFunctions.longDiv(col("start_off"), lit(shardTokenBudget)))
+    Export.manifestOf(rows, "doc_id", "source")
+  }
+
+  /** The TOKEN-AWARE CDC manifest ([[Export.shardManifestCdcTokenAware]])
+    * maintained from a stream — the CDC × streaming matrix cell. The cut
+    * decision depends ONLY on the arriving document's own content (the
+    * exact integer comparison hv·budget < n_tok·65536), so pass 1 needs no
+    * cross-batch state at all; the only thing reconciled at read is the
+    * cumulative CUT COUNT (the shard id), which rides the same two-pass
+    * prefix scan as the token offsets — [[StreamingPacking.streamGlobalCumsums]]
+    * summing the 0/1 cut indicator instead of n_tok. Stream-maintained ≡
+    * the batch CDC manifest by construction; q233 checks it against q227's
+    * batch oracle verbatim.
+    */
+  def streamShardManifestCdcTokenAware(spark: SparkSession, dir: String,
+                                       shardTokenBudget: Long,
+                                       hitsName: String = "export_manifest_cdc_stream_v1"): DataFrame = {
+    require(shardTokenBudget > 0,
+      s"shardTokenBudget must be positive, got $shardTokenBudget")
+    val rows = StreamingPacking.streamGlobalCumsums(spark, dir, hitsName,
+      b => b.select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tok"),
+          expr(Export.hex4ValSql("md5(text)")).cast("long").as("__hv"),
+          col("source"), md5(col("text")).as("__h"))
+        .withColumn("cut",
+          when(col("__hv") * lit(shardTokenBudget) < col("n_tok") * lit(65536L), 1L)
+            .otherwise(0L))
+        .drop("__hv"),
+      sumCols = Seq("cut"))
+      .withColumn("shard_id", col("cum_cut"))
     Export.manifestOf(rows, "doc_id", "source")
   }
 }

@@ -34,22 +34,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StreamingPacking {
 
-  /** The shared ingest-granularity prefix scan: seed the documents table as
-    * three contiguous-range micro-batch files, stream them through
-    * `foreachBatch`, append each batch's `project`ed rows + within-batch
-    * exclusive token cumsum + batch total (content-keyed by min doc id),
-    * and reconcile global `start_off` at read from the parameter-sized
-    * batch-total relation. Returns the per-doc rows: project's columns plus
-    * (n_tok, start_off).
+  /** The shared ingest-granularity prefix scan, generalized to ANY set of
+    * summed columns (the streaming twin of [[graft.operators.Scan.cumSums]]):
+    * seed the documents table as three contiguous-range micro-batch files,
+    * stream them through `foreachBatch`, append each batch's `project`ed
+    * rows + within-batch exclusive cumsums + batch totals (content-keyed by
+    * min doc id), and reconcile global INCLUSIVE cumsums `cum_<col>` at
+    * read from the parameter-sized batch-total relation. Returns project's
+    * columns plus one `cum_<col>` per entry of `sumCols`.
     *
-    * `project` must emit (doc_id, n_tok, …extras) — extras ride the
-    * artifact unchanged (e.g. the manifest's source and content hash).
+    * `project` must emit (doc_id, …) including every `sumCols` column —
+    * extras ride the artifact unchanged (e.g. the manifest's source and
+    * content hash). Offset-based consumers sum token counts; the CDC
+    * manifest sums the 0/1 cut indicator — same pass, different column.
     */
-  private[streaming] def streamGlobalOffsets(
+  private[streaming] def streamGlobalCumsums(
       spark: SparkSession, dir: String, hitsName: String,
-      project: DataFrame => DataFrame): DataFrame = {
+      project: DataFrame => DataFrame,
+      sumCols: Seq[String]): DataFrame = {
     import graft.pipeline.ArtifactStore
     import org.apache.spark.sql.streaming.Trigger
+    require(sumCols.nonEmpty, "streamGlobalCumsums needs at least one summed column")
     val d = Tables.documents(spark, dir)
     val root = ArtifactStore.rootFor(dir, hitsName)
 
@@ -75,14 +80,16 @@ object StreamingPacking {
         if (!batch.isEmpty) {
           val batchKey = batch.agg(min("doc_id")).head.getLong(0)
           ArtifactStore.appendBatchIfAbsent(spark, root, batchKey) {
-            // pass 1: exclusive cumsum WITHIN the micro-batch (batch-sized
-            // window) + the batch total on every row
-            val tc = project(batch)
+            // pass 1: exclusive cumsums WITHIN the micro-batch (batch-sized
+            // window) + the batch totals on every row
             val w = Window.orderBy("doc_id")
               .rowsBetween(Window.unboundedPreceding, -1)
-            tc.withColumn("within_off", coalesce(sum("n_tok").over(w), lit(0L)))
-              .withColumn("batch_total", sum("n_tok").over(
-                Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+            val full = Window.rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)
+            sumCols.foldLeft(project(batch)) { (acc, c) =>
+              acc.withColumn(s"__within_$c", coalesce(sum(c).over(w), lit(0L)))
+                .withColumn(s"__btot_$c", sum(c).over(full))
+            }
               // readBatches doesn't expose the subdirectory key — carry the
               // content key on every row for the pass-2 reconciliation
               .withColumn("__batch", lit(batchKey))
@@ -97,22 +104,37 @@ object StreamingPacking {
 
     // pass 2: cross-batch offsets from the parameter-sized batch relation
     val rows = ArtifactStore.readBatches(spark, root)
-    val batchTotals = rows.select(col("__batch"), col("batch_total")).distinct()
+    val batchTotals = rows
+      .select(col("__batch") +: sumCols.map(c => col(s"__btot_$c")): _*)
+      .distinct()
     val wb = Window.orderBy("__batch").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = batchTotals
-      .withColumn("batch_off", coalesce(sum("batch_total").over(wb), lit(0L)))
-      .select("__batch", "batch_off")
-    rows.join(broadcast(offsets), Seq("__batch"))
-      .withColumn("start_off", col("batch_off") + col("within_off"))
-      .drop("__batch", "within_off", "batch_total", "batch_off")
+    val offsets = sumCols.foldLeft(batchTotals) { (acc, c) =>
+      acc.withColumn(s"__boff_$c", coalesce(sum(s"__btot_$c").over(wb), lit(0L)))
+    }.select(col("__batch") +: sumCols.map(c => col(s"__boff_$c")): _*)
+    val joined = rows.join(broadcast(offsets), Seq("__batch"))
+    sumCols.foldLeft(joined) { (acc, c) =>
+      acc.withColumn(s"cum_$c", col(s"__boff_$c") + col(s"__within_$c") + col(c))
+    }.drop("__batch" +:
+      sumCols.flatMap(c => Seq(s"__within_$c", s"__btot_$c", s"__boff_$c")): _*)
   }
+
+  /** [[streamGlobalCumsums]] specialized to the token-offset consumers
+    * (packing, offset-based export): per-doc rows with the global EXCLUSIVE
+    * token offset `start_off`. `project` must emit (doc_id, n_tok, …extras).
+    */
+  private[streaming] def streamGlobalOffsets(
+      spark: SparkSession, dir: String, hitsName: String,
+      project: DataFrame => DataFrame): DataFrame =
+    streamGlobalCumsums(spark, dir, hitsName, project, Seq("n_tok"))
+      .withColumn("start_off", col("cum_n_tok") - col("n_tok"))
+      .drop("cum_n_tok")
 
   /** Per-document global packing assignment maintained from a stream:
     * (doc_id, n_tok, start_off, bin_id, bin_offset), ordered by doc_id —
     * row-identical to the batch global concat-and-chunk at `seqLen`.
     */
   def streamPackedOffsets(spark: SparkSession, dir: String, seqLen: Int,
-                          hitsName: String = "packing_offsets_stream_v1"): DataFrame = {
+                          hitsName: String = "packing_offsets_stream_v2"): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val L = lit(seqLen.toLong)
     streamGlobalOffsets(spark, dir, hitsName,
