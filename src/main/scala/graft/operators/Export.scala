@@ -185,6 +185,90 @@ object Export {
       .select(col(idCol), col("n_tok"), col("start_off"), col("cut"), col("shard_id"))
   }
 
+  /** [[assignShardsCdcTokenAware]] with the MIN-threshold half of Eshghi &
+    * Tang's TTTD tightening (the Two-Threshold Two-Divisor chunker,
+    * HPL-2005-30): a cut CANDIDATE is suppressed when its token gap from
+    * the PREVIOUS CANDIDATE (corpus start counts as a boundary) is below
+    * `minGapTokens`. Because every surviving cut's previous candidate lies
+    * at or after the previous surviving cut, this guarantees every
+    * surviving cut-to-cut gap ≥ minGapTokens — a hard floor on shard mass
+    * that kills the short-gap mass of the geometric distribution (the CV
+    * reduction q235/PERF_r15 measure), while the decision stays a
+    * function of candidate CONTENT + one lag — NOT of the previous
+    * SURVIVING cut, so suppression never cascades and edit locality
+    * survives: downstream gaps are offset DIFFERENCES (an upstream edit
+    * shifts both ends equally), so only the first candidate gap spanning
+    * the edit re-decides.
+    *
+    * The MAX-threshold half (force a cut at Tmax via a backup divisor) is
+    * NOT implemented: its forced cuts are positioned relative to the last
+    * SURVIVING cut — inherently sequential state that no fixed number of
+    * window passes expresses; Eshghi & Tang run it as a linear scan. At
+    * document granularity the residual risk is a long run of large docs
+    * with no candidate — bounded in expectation by the geometric gap, and
+    * recorded honestly here rather than approximated silently.
+    *
+    * Scale shape: one corpus prefix scan ([[Scan.cumSums]] over n_tok +
+    * candidate flag), then everything else lives on the CANDIDATE relation
+    * (corpus_tokens / budget rows — 1/4096th of the corpus): an
+    * adjacent-rank self-join for the lag, a second (candidate-sized)
+    * prefix scan for surviving-cut ranks, and one equi-join back to the
+    * corpus rows on the inclusive candidate index. No single-partition
+    * window touches a data-sized relation.
+    */
+  def assignShardsCdcTokenAwareMinGap(df: DataFrame, idCol: String,
+                                      textCol: String, shardTokenBudget: Long,
+                                      minGapTokens: Long,
+                                      parts: Int = 32): DataFrame = {
+    require(shardTokenBudget > 0,
+      s"shardTokenBudget must be positive, got $shardTokenBudget")
+    require(minGapTokens >= 0 && minGapTokens < shardTokenBudget * 16,
+      s"minGapTokens must be in [0, 16*budget), got $minGapTokens")
+    val rows = df.select(col(idCol),
+      tokenCount(col(textCol)).cast("long").as("n_tok"),
+      expr(hex4ValSql(s"md5($textCol)")).cast("long").as("__hv"))
+      .withColumn("cand",
+        when(col("__hv") * lit(shardTokenBudget) < col("n_tok") * lit(65536L), 1L)
+          .otherwise(0L))
+      .drop("__hv")
+    val cum = Scan.cumSums(rows, Seq(idCol), Seq("n_tok", "cand"), parts)
+      .withColumn("start_off", col("cum_n_tok") - col("n_tok"))
+    // the candidate relation: inclusive candidate index + cut offset
+    val cands = cum.filter(col("cand") === 1L)
+      .select(col("cum_cand").as("__ci"), col("start_off").as("__coff"))
+    // lag by adjacent-rank self-join (no single-partition window); corpus
+    // start is a boundary, so the first candidate lags offset 0
+    val lagged = cands.join(
+        cands.select((col("__ci") + 1L).as("__ci"), col("__coff").as("__poff")),
+        Seq("__ci"), "left")
+      .withColumn("survive",
+        when(col("__coff") - coalesce(col("__poff"), lit(0L)) >= lit(minGapTokens), 1L)
+          .otherwise(0L))
+    // surviving-cut rank per candidate (candidate-sized prefix scan), then
+    // every doc reads the rank of the last candidate at-or-before it
+    val ranked = Scan.cumSums(lagged.select(col("__ci"), col("survive")),
+      Seq("__ci"), Seq("survive"), parts)
+      .select(col("__ci"), col("cum_survive").as("__sr"))
+    cum.join(ranked, cum("cum_cand") === ranked("__ci"), "left")
+      .withColumn("shard_id", coalesce(col("__sr"), lit(0L)))
+      .select(col(idCol), col("n_tok"), col("start_off"), col("cand"),
+        col("shard_id"))
+  }
+
+  /** [[shardManifest]] over min-gap-bounded token-aware CDC boundaries. */
+  def shardManifestCdcTokenAwareMinGap(df: DataFrame, idCol: String,
+                                       textCol: String, sourceCol: String,
+                                       shardTokenBudget: Long,
+                                       minGapTokens: Long,
+                                       parts: Int = 32): DataFrame = {
+    val assigned = assignShardsCdcTokenAwareMinGap(
+      df, idCol, textCol, shardTokenBudget, minGapTokens, parts)
+    manifestOf(
+      df.select(col(idCol), col(sourceCol), md5(col(textCol)).as("__h"))
+        .join(assigned, Seq(idCol)),
+      idCol, sourceCol)
+  }
+
   /** 16-bit integer from the first four hex chars of `hexExpr` via strpos
     * arithmetic — one expression string, valid verbatim in Spark SQL AND
     * DuckDB (both have 1-based instr/strpos semantics via `instr`), so the
@@ -242,6 +326,40 @@ object Export {
       .select("shard_id", "status", "n_docs_old", "n_docs_new",
         "checksum_old", "checksum_new")
       .orderBy("shard_id")
+  }
+
+  /** CONTENT-ADDRESSED manifest delta — the comparison a deduplicating
+    * shipper actually runs: a shard is re-shipped iff its CHECKSUM is
+    * absent from the old manifest, dropped iff its checksum no longer
+    * appears in the new one, and skipped when present in both — membership
+    * by content, not by ordinal shard id. This is what makes CDC boundaries
+    * pay off under DELETION: removing a document renumbers every later
+    * ordinal shard id (so [[manifestDelta]]'s id-keyed join reports them
+    * all "changed"), but their BYTES are identical — the content-keyed
+    * delta re-ships only the shard(s) that actually contained the deleted
+    * document (plus the merge when the deleted doc was itself a boundary).
+    * Offset-based shards, by contrast, genuinely change content from the
+    * first deletion onward — this report quantifies that ripple honestly.
+    *
+    * Checksums are grouped (count per side) so coincidental duplicate shard
+    * contents stay exact rather than multiplying through the join.
+    * Manifest-sized (config-scale) aggregate + join, never touches the
+    * corpus.
+    */
+  def manifestDeltaByContent(oldManifest: DataFrame,
+                             newManifest: DataFrame): DataFrame = {
+    val o = oldManifest.groupBy("checksum").agg(
+      count(lit(1)).as("n_shards_old"), min("first_doc").as("first_doc_old"))
+    val n = newManifest.groupBy("checksum").agg(
+      count(lit(1)).as("n_shards_new"), min("first_doc").as("first_doc_new"))
+    o.join(n, Seq("checksum"), "full_outer")
+      .withColumn("status",
+        when(col("n_shards_old").isNull, "reship")
+          .when(col("n_shards_new").isNull, "drop")
+          .otherwise("keep"))
+      .select("checksum", "status", "n_shards_old", "n_shards_new",
+        "first_doc_old", "first_doc_new")
+      .orderBy("checksum")
   }
 
   /** Re-derive the manifest FROM a shards directory written by

@@ -3089,6 +3089,124 @@ object TextQueries {
              |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS checksum
              |FROM sh4 GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // TTTD MIN-GAP BOUND over the token-aware CDC boundaries (r13 verdict
+    // task 5): q227's cuts give exponential gaps (CV ≈ 1 — the plain-CDC
+    // trade); Eshghi & Tang's min threshold suppresses any cut candidate
+    // closer than 2048 tokens to its previous candidate, hard-flooring
+    // every surviving shard at 2048 tokens and cutting the short-gap mass
+    // out of the variance. Suppression keys on the previous CANDIDATE (not
+    // the previous surviving cut), so it never cascades — that is what
+    // makes it one lag + two prefix scans instead of a sequential walk,
+    // and what the oracle mirrors as a lag window over the candidates.
+    // The max-side TTTD bound stays unimplemented (sequential state by
+    // construction — see the operator scaladoc for the honest residual).
+    "q235_export_manifest_cdc_tttd" -> Q(
+      (s, dir) => graft.operators.Export.shardManifestCdcTokenAwareMinGap(
+        Tables.documents(s, dir), "doc_id", "text", "source",
+        shardTokenBudget = 4096L, minGapTokens = 2048L),
+      Some(s"""WITH tc AS (
+             |  SELECT doc_id, source, text,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |    CAST(${graft.operators.Export.hex4ValSql("md5(text)")} AS BIGINT) AS hv
+             |  FROM documents),
+             |cs AS (
+             |  SELECT *,
+             |    CASE WHEN hv * 4096 < n_tok * 65536 THEN 1 ELSE 0 END AS cand,
+             |    CAST(sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT) AS start_off
+             |  FROM tc),
+             |ci AS (
+             |  SELECT *, CAST(sum(cand) OVER (ORDER BY doc_id) AS BIGINT) AS cidx
+             |  FROM cs),
+             |cands AS (SELECT cidx, start_off AS coff FROM ci WHERE cand = 1),
+             |surv AS (
+             |  SELECT cidx,
+             |    CASE WHEN coff - coalesce(lag(coff) OVER (ORDER BY cidx), 0) >= 2048
+             |         THEN 1 ELSE 0 END AS sv
+             |  FROM cands),
+             |srank AS (
+             |  SELECT cidx, CAST(sum(sv) OVER (ORDER BY cidx) AS BIGINT) AS sr
+             |  FROM surv),
+             |sh5 AS (
+             |  SELECT ci.*, coalesce(srank.sr, 0) AS shard_id
+             |  FROM ci LEFT JOIN srank ON ci.cidx = srank.cidx)
+             |SELECT shard_id,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS checksum
+             |FROM sh5 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // DELETION PROPAGATION through the export delta (r13 verdict task 8) —
+    // the whole chain a GDPR-style removal actually executes: the q43
+    // tombstone anti-join (Delta.deleted) names the vanished documents, the
+    // surviving corpus is re-manifested under BOTH boundary schemes, and
+    // the CONTENT-addressed delta (checksum membership, what a
+    // deduplicating shipper compares) quantifies the re-ship mass. The row
+    // counts make the CDC claim hash-checked: offset shards change from
+    // the first deletion onward (every later offset shifts), token-aware
+    // CDC boundaries re-ship only the shards that actually contained a
+    // deleted doc — ordinal ids renumber, bytes don't.
+    "q234_export_delta_deletions" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+        // the ingest's new scan: docs with id ≡ 255 (mod 500) vanished — a
+        // SPARSE removal set (1 doc at sf0.01, 10 at sf0.1), because the
+        // localization claim is only measurable when deletions are rarer
+        // than shards: a dense set touches every shard under any scheme
+        val scan = docs.filter(col("doc_id") % 500 =!= 255).select(col("doc_id").as("key"))
+        val cache = docs.select(col("doc_id").as("key"))
+        val tomb = graft.pipeline.Delta.deleted(scan, cache, keyCol = "key")
+          .select(col("key").as("doc_id"))
+        val surviving = docs.join(tomb, Seq("doc_id"), "left_anti")
+        import graft.operators.Export
+        def byScheme(scheme: String,
+                     m: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+          Export.manifestDeltaByContent(m(docs), m(surviving))
+            .select(lit(scheme).as("scheme"), col("*"))
+        byScheme("cdc_tok",
+            d => Export.shardManifestCdcTokenAware(d, "doc_id", "text", "source", 4096L))
+          .unionByName(byScheme("offset",
+            d => Export.shardManifest(d, "doc_id", "text", "source", 4096L)))
+          .orderBy("scheme", "checksum")
+      },
+      Some {
+        val mOff = (src: String) =>
+          s"""SELECT shard_id, min(doc_id) AS first_doc,
+             |      md5(string_agg(md5(text), '' ORDER BY doc_id)) AS checksum
+             |    FROM (SELECT doc_id, text,
+             |        CAST(sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT) // 4096 AS shard_id
+             |      FROM $src) GROUP BY 1""".stripMargin
+        val mCdc = (src: String) =>
+          s"""SELECT shard_id, min(doc_id) AS first_doc,
+             |      md5(string_agg(md5(text), '' ORDER BY doc_id)) AS checksum
+             |    FROM (SELECT doc_id, text,
+             |        CAST(sum(CASE WHEN hv * 4096 < n_tok * 65536 THEN 1 ELSE 0 END)
+             |          OVER (ORDER BY doc_id) AS BIGINT) AS shard_id
+             |      FROM $src) GROUP BY 1""".stripMargin
+        val delta = (scheme: String, oldSql: String, newSql: String) =>
+          s"""SELECT '$scheme' AS scheme, coalesce(o.checksum, n.checksum) AS checksum,
+             |  CASE WHEN o.checksum IS NULL THEN 'reship'
+             |       WHEN n.checksum IS NULL THEN 'drop' ELSE 'keep' END AS status,
+             |  o.n_shards_old, n.n_shards_new, o.first_doc_old, n.first_doc_new
+             |FROM (SELECT checksum, CAST(count(*) AS BIGINT) AS n_shards_old,
+             |        min(first_doc) AS first_doc_old FROM ($oldSql) GROUP BY 1) o
+             |FULL OUTER JOIN (SELECT checksum, CAST(count(*) AS BIGINT) AS n_shards_new,
+             |        min(first_doc) AS first_doc_new FROM ($newSql) GROUP BY 1) n
+             |ON o.checksum = n.checksum""".stripMargin
+        s"""WITH tc AS (
+           |  SELECT doc_id, source, text,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           |    CAST(${graft.operators.Export.hex4ValSql("md5(text)")} AS BIGINT) AS hv
+           |  FROM documents),
+           |surv AS (SELECT * FROM tc WHERE doc_id % 500 <> 255)
+           |SELECT * FROM (
+           |  ${delta("cdc_tok", mCdc("tc"), mCdc("surv"))}
+           |  UNION ALL
+           |  ${delta("offset", mOff("tc"), mOff("surv"))})
+           |ORDER BY scheme, checksum""".stripMargin
+      }),
+
     // q227's token-aware CDC manifest MAINTAINED FROM A STREAM (the CDC ×
     // streaming matrix cell, r13 verdict task 6): the cut decision is pure
     // per-document content — an arriving batch needs NO cross-batch offset
