@@ -116,6 +116,42 @@ object Multimodal {
       .orderBy("id_a", "id_b")
   }
 
+  /** Keep-first PERCEPTUAL LOSERS at scale — the verdict-axis sibling of
+    * [[mediaDupPairs]] that never materializes within-group pairs. Reused
+    * footage makes identical-hash groups grow WITH the corpus (the
+    * ScaleStress 10× replication grew q217's pair shuffle 23× — quadratic
+    * in the reuse-group size), but the verdict never needs those pairs:
+    * keep-first only asks, per document, whether ANY smaller-id document
+    * sits within `maxHamming`. So identical hashes collapse to one
+    * representative (min id) BEFORE the band join — the join is then
+    * quadratic only in DISTINCT hashes per band bucket — and a document
+    * loses iff min over its hash's hamming neighborhood (the hash itself
+    * included, via the self-pair every band bucket produces) of the
+    * representative ids is smaller than its own id. Equivalent to
+    * `pairLosers(mediaDupPairs(...))` by definition of keep-first;
+    * pinned by test against it on the fixture.
+    */
+  def mediaDupLosers(df: DataFrame, idCol: String, bytesCol: String,
+                     maxHamming: Int, flag: String): DataFrame = {
+    import graft.functions.TextFunctions.hamming64
+    // cache-lifetime: pinned by the returned plan — caller releases (see
+    // Caching); the hashed rows feed both the group collapse and the final
+    // loser filter
+    val hashed = df.select(col(idCol),
+      dHash(col(bytesCol).cast("binary")).as("ph")).cache()
+    val groups = hashed.groupBy("ph").agg(min(col(idCol)).as("rep_id"))
+    val bk = banded(groups)
+    val l = bk.select(col("ph").as("ph_a"), col("band"), col("chunk"))
+    val r = bk.select(col("ph").as("ph_b"), col("rep_id").as("rep_b"),
+      col("band"), col("chunk"))
+    val neigh = l.join(r, Seq("band", "chunk"))
+      .filter(hamming64(col("ph_a"), col("ph_b")) <= maxHamming)
+      .groupBy("ph_a").agg(min("rep_b").as("__nmin"))
+    hashed.join(neigh, hashed("ph") === neigh("ph_a"))
+      .filter(col(idCol) > col("__nmin"))
+      .select(col(idCol)).withColumn(flag, lit(1L))
+  }
+
   /** Caption↔frame (text↔media) join: per-document media-side frame stats
     * (frame count, media bytes, duplicate-frame ratio from exact checksum
     * collisions) joined with caption-side token counts — the per-record

@@ -601,11 +601,13 @@ object TextQueries {
       jacThreshold = JaccardThreshold, containThreshold = 0.6, maxHamming = 8)
     val sem = Dedup.semanticAxisLosers(base, "doc_id", "text",
       embDim = 64, nbits = 16, cosThreshold = SemCosThreshold)
-    val per = "perceptual" -> Dedup.pairLosers(
-      graft.multimodal.Multimodal.mediaDupPairs(
-        base.select(col("doc_id").as("id"), col("__m").as("m")),
-        "id", "m", maxHamming = 3),
-      "doc_id", "f_perceptual")
+    // mediaDupLosers, not pairLosers(mediaDupPairs(...)): identical-footage
+    // groups grow with the corpus, and the pair materialization is
+    // quadratic in group size (ScaleStress r15: 23× shuffle at 10× docs);
+    // the hash-collapsed loser set is keep-first-identical and linear
+    val per = "perceptual" -> graft.multimodal.Multimodal.mediaDupLosers(
+      base.select(col("doc_id"), col("__m").as("m")),
+      "doc_id", "m", maxHamming = 3, flag = "f_perceptual")
     Dedup.fuseVerdicts(base, "doc_id", text.take(3) ++ Seq(sem, per) ++ text.drop(3))
   }
 

@@ -1,0 +1,121 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.util.concurrent.atomic.AtomicLong
+
+/** Scratch measurement harness (not part of the product surface): SELF-
+  * GENERATED scale-stress evidence for the top query chains (r13 verdict
+  * task 3). The 100 TB claims rest on plan SHAPES (bucketed candidate
+  * generation, prefix scans, broadcast parameters); this makes them
+  * MEASURED: replicate documents/embeddings at 1×/3×/10× with id offsets,
+  * run each chain on each factor, and report wall time, max single-task
+  * time, and shuffle bytes — the scaling curve PERF_r15 records. Near-
+  * linear wall/shuffle growth with bounded max-task = the plan distributes;
+  * super-linear cells name the next fix.
+  *
+  * Replication preserves the corpus CHARACTER instead of exploding it:
+  * replica k prefixes every token with "r<k>" (no shared shingles across
+  * replicas — otherwise every replica of a doc near-duplicates every other
+  * and candidate pairs grow quadratically, measuring data-character change
+  * rather than scale) and rotates embedding vectors by k positions (norm
+  * structure kept, bucket layout shifted). doc/vec ids offset by
+  * (max_id + 1) per replica.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.ScaleStress [factors]
+  *        [qPrefixes...]   — defaults: factors 1,3,10; q197 q215 q217 q219 q221
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factors = args.headOption.map(_.split(',').toSeq.map(_.toInt))
+      .getOrElse(Seq(1, 3, 10))
+    val prefixes =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("q197", "q215", "q217", "q219", "q221")
+
+    // --- listeners: max single-task wall + total shuffle write ---
+    val maxTaskMs = new AtomicLong(0)
+    val shuffleBytes = new AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val ms = te.taskInfo.duration
+        var cur = maxTaskMs.get()
+        while (ms > cur && !maxTaskMs.compareAndSet(cur, ms)) cur = maxTaskMs.get()
+      }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
+    def replicate(factor: Int, outDir: String): Unit = {
+      val d = spark.read.parquet(s"$srcDir/documents.parquet")
+      val e = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      val maxDoc = d.agg(max("doc_id")).head.getLong(0) + 1
+      val maxVec = e.agg(max("vec_id")).head.getLong(0) + 1
+      val dim = e.select(size(col("embedding"))).head.getInt(0)
+      val docs = (0 until factor).map { k =>
+        if (k == 0) d
+        else d.select(
+          (col("doc_id") + lit(k * maxDoc)).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            w => concat(lit(s"r$k"), w))).as("text"),
+          col("lang"), col("source"),
+          length(concat_ws(" ", transform(split(col("text"), " "),
+            w => concat(lit(s"r$k"), w)))).cast("long").as("n_chars"))
+      }.reduce(_ unionByName _)
+      val embs = (0 until factor).map { k =>
+        if (k == 0) e
+        else e.select(
+          (col("vec_id") + lit(k * maxVec)).as("vec_id"),
+          concat(slice(col("embedding"), k + 1, dim - k),
+            slice(col("embedding"), 1, k)).as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+      docs.repartition(32).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      embs.repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      // the probed chains read only documents/embeddings; remaining tables
+      // are byte-copied so any Tables.* loader still resolves
+      val names = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events")
+      names.foreach { n =>
+        val from = java.nio.file.Paths.get(s"$srcDir/$n.parquet")
+        val to = java.nio.file.Paths.get(s"$outDir/$n.parquet")
+        java.nio.file.Files.createDirectories(to.getParent)
+        java.nio.file.Files.copy(from, to,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+
+    val scratch = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    println(s"[scale] source $srcDir scratch $scratch factors ${factors.mkString(",")}")
+    for (f <- factors) {
+      val dir = s"$scratch/f$f"
+      val t0 = System.nanoTime()
+      replicate(f, dir)
+      println(f"[scale] f=$f%-3d replicated in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      for (p <- prefixes; (name, fn) <- graft.SparkEntry.queries if name.startsWith(p)) {
+        spark.catalog.clearCache()
+        maxTaskMs.set(0); shuffleBytes.set(0)
+        val tq = System.nanoTime()
+        val res = try {
+          fn(spark, dir).write.mode("overwrite").format("noop").save(); "ok"
+        } catch { case e: Throwable => s"FAIL ${e.getMessage.take(80)}" }
+        org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
+        val dt = (System.nanoTime() - tq) / 1e9
+        println(f"[scale] f=$f%-3d $name%-28s wall $dt%8.2f s  maxTask ${maxTaskMs.get}%6d ms  " +
+          f"shuffle ${shuffleBytes.get / 1048576.0}%9.2f MiB  $res")
+      }
+    }
+    graft.streaming.StreamingDrift.deleteTempDir(java.nio.file.Paths.get(scratch))
+    spark.stop()
+  }
+}

@@ -183,4 +183,21 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       .select("id").as[Long].collect().toSet
     assert(kept === Set(1L))
   }
+
+  test("mediaDupLosers == pairLosers(mediaDupPairs) — hash collapse changes cost, not the verdict") {
+    // the q217 media simulation: heavy footage reuse (reel keyed on id%5),
+    // small per-doc tail — exactly the shape whose identical-hash groups
+    // grow with the corpus
+    val docs = spark.range(200).select(col("id"),
+      concat(
+        substring(repeat(md5((col("id") % 5).cast("string")), 8), 1, 250),
+        lpad((col("id") % 40).cast("string"), 6, "0")).as("m"))
+    for (h <- Seq(0, 3, 8)) {
+      val viaPairs = Multimodal.mediaDupPairs(docs, "id", "m", maxHamming = h)
+        .select("id_b").distinct().as[Long].collect().toSet
+      val direct = Multimodal.mediaDupLosers(docs, "id", "m", maxHamming = h,
+        flag = "f").select("id").as[Long].collect().toSet
+      assert(direct === viaPairs, s"loser sets must agree at maxHamming=$h")
+    }
+  }
 }

@@ -1946,4 +1946,114 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(sm.getDouble(2) === 0.5, "mean mrr = (0 + 0.5 + 1)/3")
     assert(sm.getDouble(3) === 0.462284, "mean ndcg = (0 + 0.386853 + 1)/3")
   }
+
+  test("rankingEvalGraded: hand-checked graded DCG, zero-hit query, perfect prefix") {
+    import spark.implicits._
+    // gains 2^g − 1; hand-derived:
+    //  A: hits d1@1 (g=2), d3@2 (g=3) → dcg = 3/log2(2) + 7/log2(3) =
+    //     7.416508; ideal grades [3,2,1] → idcg = 7 + 3/log2(3) + 1/2 =
+    //     9.392789; ndcg = 0.789596
+    //  B: zero hits, truth grades [2,1] → idcg = 3 + 1/log2(3) = 3.63093
+    //  C: perfect grade-descending prefix → ndcg = 1
+    val ranked = Seq(
+      ("A", 1L, 1L), ("A", 3L, 2L), ("A", 5L, 3L),
+      ("B", 9L, 1L), ("B", 8L, 2L),
+      ("C", 1L, 1L), ("C", 2L, 2L), ("C", 3L, 3L)
+    ).toDF("q", "d", "rn")
+    val truth = Seq(
+      ("A", 3L, 3L), ("A", 7L, 1L), ("A", 1L, 2L),
+      ("B", 1L, 2L), ("B", 2L, 1L),
+      ("C", 1L, 3L), ("C", 2L, 2L), ("C", 3L, 1L)
+    ).toDF("q", "d", "grade")
+    val r = graft.operators.Retrieval.rankingEvalGraded(
+        ranked, truth, "q", "d", "rn", "grade", k = 3)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4), x.getDouble(5)))
+      .toMap
+    assert(r("A") === ((3L, 2L, 7.416508, 9.392789, 0.789596)))
+    assert(r("B") === ((2L, 0L, 0.0, 3.63093, 0.0)))
+    assert(r("C") === ((3L, 3L, 9.392789, 9.392789, 1.0)))
+    // the ideal prefix is capped at k: a 4th truth entry beyond k must not
+    // inflate idcg for a query whose n_rel > k
+    val truth4 = truth.unionByName(Seq(("A", 9L, 1L)).toDF("q", "d", "grade"))
+    val r4 = graft.operators.Retrieval.rankingEvalGraded(
+        ranked, truth4, "q", "d", "rn", "grade", k = 3)
+      .filter(col("q") === "A").head
+    assert(r4.getAs[Double]("idcg") === 9.392789,
+      "ideal prefix must slice to k entries")
+  }
+
+  test("verdictFunnel: axes derive from the relation's flag columns; partial lists refuse") {
+    import spark.implicits._
+    val docs = Seq(
+      0L -> "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+      1L -> "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+      2L -> "unrelated text with completely different vocabulary here now thanks"
+    ).toDF("doc_id", "text")
+    val v5 = graft.operators.Dedup.crossModalVerdict(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 16,
+      jacThreshold = 0.5, containThreshold = 0.6, maxHamming = 8,
+      embDim = 64, nbits = 16, cosThreshold = 0.95)
+    // default derives all five axes IN precedence (schema) order — the r13
+    // ADVICE fix: a cross-modal funnel can no longer silently drop an axis
+    val f = graft.operators.Dedup.verdictFunnel(v5, "doc_id")
+      .collect().map(_.getString(1))
+    assert(f === Seq("exact", "containment", "jaccard", "semantic", "simhash"))
+    // an explicit list that misses a flag column is an error, not a wrong
+    // funnel
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.verdictFunnel(v5, "doc_id",
+        axes = Seq("exact", "containment", "jaccard", "simhash")).collect()
+    }
+    assert(e.getMessage.contains("must cover exactly"))
+  }
+
+  test("manifestDeltaByContent: checksum membership, not ordinal shard ids") {
+    import graft.operators.Export
+    import spark.implicits._
+    val oldM = Seq((0L, 10L, "ck_a"), (1L, 20L, "ck_b"), (2L, 30L, "ck_c"))
+      .toDF("shard_id", "first_doc", "checksum")
+    // shard ck_b vanished: ck_c RENUMBERS to shard 1 but its bytes are
+    // identical — content delta keeps it; a new shard ck_d appears
+    val newM = Seq((0L, 10L, "ck_a"), (1L, 30L, "ck_c"), (2L, 40L, "ck_d"))
+      .toDF("shard_id", "first_doc", "checksum")
+    val d = Export.manifestDeltaByContent(oldM, newM)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d === Map("ck_a" -> "keep", "ck_b" -> "drop",
+      "ck_c" -> "keep", "ck_d" -> "reship"))
+  }
+
+  test("TTTD min gap: every shard but the tail holds >= minGap tokens; cuts only thin") {
+    import graft.operators.Export
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val (budget, minGap) = (2048L, 1024L)
+    val plain = Export.shardManifestCdcTokenAware(
+      docs, "doc_id", "text", "source", budget).collect()
+    val bounded = Export.shardManifestCdcTokenAwareMinGap(
+      docs, "doc_id", "text", "source", budget, minGap).collect()
+    assert(bounded.map(_.getAs[Long]("n_tokens")).sum ===
+      plain.map(_.getAs[Long]("n_tokens")).sum, "tokens conserved")
+    val masses = bounded.sortBy(_.getAs[Long]("shard_id")).map(_.getAs[Long]("n_tokens"))
+    assert(masses.dropRight(1).forall(_ >= minGap),
+      s"every non-tail shard must hold >= $minGap tokens, got ${masses.mkString(",")}")
+    assert(bounded.length <= plain.length,
+      "suppression can only merge shards, never split them")
+    // minGap = 0 suppresses nothing — identical to the plain token-aware CDC
+    val degenerate = Export.shardManifestCdcTokenAwareMinGap(
+      docs, "doc_id", "text", "source", budget, minGapTokens = 0L).collect()
+    assert(degenerate.map(r => (r.getAs[Long]("shard_id"), r.getAs[String]("checksum"))).toSeq
+      === plain.map(r => (r.getAs[Long]("shard_id"), r.getAs[String]("checksum"))).toSeq)
+  }
+
+  test("longDiv: integral division stays exact past 2^53 where the double path rounds") {
+    import spark.implicits._
+    val big = (1L << 53) + 1L
+    val df = Seq((big, 1L), ((1L << 53) + 3L, 2L), (0L, 7L)).toDF("a", "b")
+    val got = df.select(graft.functions.MathFunctions.longDiv(col("a"), col("b")))
+      .as[Long].collect().toSeq
+    assert(got === Seq(big, (1L << 52) + 1L, 0L))
+    // the old pattern loses the low bit: (2^53+1)/1 rounds to 2^53 in DOUBLE
+    val lossy = df.select((col("a") / col("b")).cast("long")).as[Long].collect().head
+    assert(lossy === (1L << 53), "double division must demonstrate the loss longDiv fixes")
+  }
 }
