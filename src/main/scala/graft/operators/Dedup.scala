@@ -466,8 +466,41 @@ object Dedup {
                                     shingleSize: Int, numHashes: Int, bands: Int,
                                     jacThreshold: Double, containThreshold: Double,
                                     maxHamming: Int): Seq[(String, DataFrame)] = {
-    // one candidate relation, two verifiers (Jaccard + containment)
-    val cand = lshCandidatesWithSets(base, idCol, textCol,
+    // EXACT-GROUP COLLAPSE (the 100 TB dedup posture, same lesson as
+    // Multimodal.mediaDupLosers): candidate generation runs over ONE min-id
+    // representative per distinct text. Identical texts share every band
+    // key, so inside an exact-dup group the banded self-joins materialize
+    // O(k²) pairs that keep-first then throws away — and dup-group size
+    // GROWS with a crawl corpus, making every pair-materializing axis
+    // quadratic exactly where the engine claims scale. Collapse is
+    // output-identical: a non-rep exact dup is ALWAYS a near-dup loser to
+    // its own rep (identical signature ⇒ guaranteed banded candidate;
+    // similarity 1.0 / hamming 0 passes any valid threshold), except where
+    // the axis's own domain filter excludes the text entirely (an empty
+    // shingle set never enters the LSH banding) — the dup union below
+    // mirrors those filters verbatim. Rep flags are unchanged: any non-rep
+    // y < r that would flag r has a rep r' ≤ y with the same signature, so
+    // the rep-only candidate (r', r) fires identically. Pinned by property
+    // test incl. empty-text/degenerate docs.
+    val reps = exactDedup(base, idCol, textCol)
+    // cache-lifetime: pinned by the returned plan — caller releases (see
+    // Caching); three dup-union branches re-read the non-rep (id, text) rows
+    val dupRows = base
+      .join(reps.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), col(textCol))
+      .cache()
+    val exactLosers = dupRows.select(col(idCol)).withColumn("f_exact", lit(1L))
+    // non-empty shingle set — the exact filter withShinglesPoly applies
+    val dupShingled = dupRows
+      .filter(size(shingleHashesPoly(col(textCol), shingleSize)) > 0)
+      .select(col(idCol))
+    val dupAll = dupRows.select(col(idCol))
+    def plusDups(pairs: DataFrame, dups: DataFrame, flag: String): DataFrame =
+      pairs.select(col("id_b").as(idCol))
+        .unionByName(dups).distinct().withColumn(flag, lit(1L))
+    // one candidate relation over the reps, two verifiers (Jaccard +
+    // containment)
+    val cand = lshCandidatesWithSets(reps, idCol, textCol,
       shingleSize, numHashes, bands)
     import graft.functions.expressions.SortedIntersectionCount
     import org.apache.spark.sql.{GraftSqlBridge => B}
@@ -479,17 +512,14 @@ object Dedup {
         inter / least(size(col("hs_a")), size(col("hs_b"))).cast("double"), 4))
       .select("id_a", "id_b", "jac", "containment")
       .cache() // read by two loser branches below; released with the plan
-    val exactLosers = base
-      .join(exactDedup(base, idCol, textCol).select(col(idCol)), Seq(idCol), "left_anti")
-      .select(col(idCol)).withColumn("f_exact", lit(1L))
     Seq(
       "exact" -> exactLosers,
-      "containment" -> pairLosers(
-        scored.filter(col("containment") >= containThreshold), idCol, "f_containment"),
-      "jaccard" -> pairLosers(
-        scored.filter(col("jac") >= jacThreshold), idCol, "f_jaccard"),
-      "simhash" -> pairLosers(
-        simhashPairs(base, idCol, textCol, maxHamming), idCol, "f_simhash"))
+      "containment" -> plusDups(
+        scored.filter(col("containment") >= containThreshold), dupShingled, "f_containment"),
+      "jaccard" -> plusDups(
+        scored.filter(col("jac") >= jacThreshold), dupShingled, "f_jaccard"),
+      "simhash" -> plusDups(
+        simhashPairs(reps, idCol, textCol, maxHamming), dupAll, "f_simhash"))
   }
 
   /** Distinct higher-id members of an (id_a < id_b) pair relation, flagged. */
@@ -571,11 +601,24 @@ object Dedup {
   private[graft] def semanticAxisLosers(base: DataFrame, idCol: String, textCol: String,
                                         embDim: Int, nbits: Int,
                                         cosThreshold: Double): (String, DataFrame) = {
+    import graft.functions.VectorFunctions.l2NormSq
     val emb = graft.pipeline.HashingEmbedder(embDim)
+    // exact-group collapse (see textAxisLosers): embed only one min-id rep
+    // per distinct text; a non-rep exact dup shares its rep's vector — SRP
+    // bucket identical, cosine exactly 1.0 after rounding — so it is a
+    // semantic loser by construction UNLESS the vector is zero-norm (the
+    // cosine is NaN there and cosineNearDupPairs never flags it — mirrored
+    // by the norm filter on the dup union)
+    val reps = exactDedup(base, idCol, textCol)
+    val dupNonzero = base
+      .join(reps.select(col(idCol)), Seq(idCol), "left_anti")
+      .filter(l2NormSq(emb.embedRaw(col(textCol))) > 0.0)
+      .select(col(idCol))
     val semPairs = AnnIndex.cosineNearDupPairs(
-      base.select(col(idCol), emb.embedRaw(col(textCol)).as("__v")),
+      reps.select(col(idCol), emb.embedRaw(col(textCol)).as("__v")),
       idCol, "__v", threshold = cosThreshold, nbits = nbits, dim = embDim)
-    "semantic" -> pairLosers(semPairs, idCol, "f_semantic")
+    "semantic" -> semPairs.select(col("id_b").as(idCol))
+      .unionByName(dupNonzero).distinct().withColumn("f_semantic", lit(1L))
   }
 
   /** Per-detector attrition over a [[verdictFusion]] verdict relation — the

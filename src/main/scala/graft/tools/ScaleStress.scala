@@ -56,6 +56,12 @@ object ScaleStress {
         shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
     })
 
+    // SPARK_GRAFT_SCALE_IDENTICAL=1: replicas keep IDENTICAL text — the
+    // dup-growth regime (every duplicate group's size scales with the
+    // corpus), which is what exercises the exact-group collapse in the
+    // dedup axes; the default token-remap regime grows the corpus while
+    // holding group sizes constant.
+    val identical = sys.env.get("SPARK_GRAFT_SCALE_IDENTICAL").contains("1")
     def replicate(factor: Int, outDir: String): Unit = {
       val d = spark.read.parquet(s"$srcDir/documents.parquet")
       val e = spark.read.parquet(s"$srcDir/embeddings.parquet")
@@ -64,6 +70,9 @@ object ScaleStress {
       val dim = e.select(size(col("embedding"))).head.getInt(0)
       val docs = (0 until factor).map { k =>
         if (k == 0) d
+        else if (identical) d.select(
+          (col("doc_id") + lit(k * maxDoc)).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
         else d.select(
           (col("doc_id") + lit(k * maxDoc)).as("doc_id"),
           concat_ws(" ", transform(split(col("text"), " "),

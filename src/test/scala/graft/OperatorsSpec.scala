@@ -2045,6 +2045,48 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
       === plain.map(r => (r.getAs[Long]("shard_id"), r.getAs[String]("checksum"))).toSeq)
   }
 
+  test("exact-group collapse: dup members inherit near-dup flags except where the axis's domain excludes them") {
+    import spark.implicits._
+    val long = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val rows =
+      (0L until 30L).map(i => (i, long)) ++                 // exact group, shingled
+        Seq((100L, "unique text one with plenty of distinct vocabulary in this sentence"),
+          (101L, "another unrelated document whose words overlap nothing else at all")) ++
+        (200L until 205L).map(i => (i, "")) ++              // empty-text group
+        (300L until 304L).map(i => (i, "two tokens"))       // < shingleSize tokens
+    val v = graft.operators.Dedup.crossModalVerdict(rows.toDF("doc_id", "text"),
+        "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16,
+        jacThreshold = 0.5, containThreshold = 0.6, maxHamming = 8,
+        embDim = 64, nbits = 16, cosThreshold = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getString(7))).toMap
+    // shingled dup group: every non-rep carries EVERY axis flag (identical
+    // signature ⇒ guaranteed candidate, similarity 1.0 passes thresholds),
+    // attributed 'exact' by precedence; the rep is clean
+    assert(v(0L) === ((0L, 0L, 0L, 0L, 0L, "keep")))
+    (1L until 30L).foreach { i =>
+      assert(v(i) === ((1L, 1L, 1L, 1L, 1L, "exact")), s"doc $i: ${v(i)}")
+    }
+    // empty-text dups: exact + simhash fire (simhash of identical bytes is
+    // identical) and so does semantic — the hashing embedder hashes the
+    // empty token, so the vector is NONZERO and identical vectors sit at
+    // cosine 1.0 — but the shingle axes exclude empty shingle sets, and
+    // collapse must NOT invent those flags
+    assert(v(200L)._6 === "keep")
+    (201L until 205L).foreach { i =>
+      assert(v(i) === ((1L, 0L, 0L, 1L, 1L, "exact")), s"empty doc $i: ${v(i)}")
+    }
+    // two-token dups: no trigram shingles, but the hashing embedder sees
+    // tokens — semantic + simhash + exact fire, shingle axes stay silent
+    assert(v(300L)._6 === "keep")
+    (301L until 304L).foreach { i =>
+      assert(v(i) === ((1L, 0L, 0L, 1L, 1L, "exact")), s"short doc $i: ${v(i)}")
+    }
+    // uniques stay clean
+    assert(v(100L)._6 === "keep" && v(101L)._6 === "keep")
+  }
+
   test("longDiv: integral division stays exact past 2^53 where the double path rounds") {
     import spark.implicits._
     val big = (1L << 53) + 1L
