@@ -752,9 +752,27 @@ object Dedup {
     val rows = numHashes / bands
     val tagged = corpus.select(col(idCol), col(textCol)).withColumn("__is_delta", lit(false))
       .unionByName(delta.select(col(idCol), col(textCol)).withColumn("__is_delta", lit(true)))
-    val sig = tagged
+    // EXACT-GROUP COLLAPSE at shingle-SET granularity (see textAxisLosers):
+    // docs with the same sorted shingle-hash set are mutual Jaccard-1.0
+    // matches, so banding runs over ONE representative per distinct set —
+    // chosen corpus-first then min id (corpus always outranks delta in the
+    // drop rule), via a lexicographic struct min. A non-rep DELTA doc drops
+    // unconditionally: its rep precedes it in drop priority at Jaccard 1.0.
+    // Docs with EMPTY shingle sets never enter banding (unchanged): they
+    // are never dropped. Identical-set groups grow with a crawl corpus;
+    // the rep relation does not.
+    val allSets = tagged
       .select(col(idCol), col("__is_delta"), shingleHashesPoly(col(textCol), shingleSize).as("hs"))
       .filter(size(col("hs")) > 0)
+    val reps = allSets
+      .groupBy("hs").agg(min(struct(col("__is_delta"), col(idCol))).as("__rep"))
+      .select(col("hs"), col("__rep.__is_delta").as("__is_delta"),
+        col(s"__rep.$idCol").as(idCol))
+    val droppedNonRep = allSets.filter(col("__is_delta"))
+      .join(reps.select(col("hs"), col(idCol).as("__rep_id")), Seq("hs"))
+      .filter(col(idCol) =!= col("__rep_id"))
+      .select(col(idCol))
+    val sig = reps
       .withColumn("sig", minhashSignaturePoly(col("hs"), numHashes))
       .cache() // banded twice (probe + index side) and re-joined for verify
     val banded = sig
@@ -776,6 +794,7 @@ object Dedup {
       .withColumn("jac", floorRound(jaccardSorted(col("hs_a"), col("hs_b")), 4))
       .filter(col("jac") >= threshold)
       .select(col("id_b").as(idCol))
+      .unionByName(droppedNonRep)
       .distinct()
     delta.join(dropped, Seq(idCol), "left_anti")
   }

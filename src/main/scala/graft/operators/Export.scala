@@ -169,11 +169,12 @@ object Export {
     * boundaries depend only on document content.
     */
   def assignShardsCdcTokenAware(df: DataFrame, idCol: String, textCol: String,
-                                shardTokenBudget: Long, parts: Int = 32): DataFrame = {
+                                shardTokenBudget: Long, parts: Int = 32,
+                                countTokens: org.apache.spark.sql.Column => org.apache.spark.sql.Column = tokenCount): DataFrame = {
     require(shardTokenBudget > 0,
       s"shardTokenBudget must be positive, got $shardTokenBudget")
     val rows = df.select(col(idCol),
-      tokenCount(col(textCol)).cast("long").as("n_tok"),
+      countTokens(col(textCol)).cast("long").as("n_tok"),
       expr(hex4ValSql(s"md5($textCol)")).cast("long").as("__hv"))
       .withColumn("cut",
         when(col("__hv") * lit(shardTokenBudget) < col("n_tok") * lit(65536L), 1L)
@@ -283,8 +284,9 @@ object Export {
   /** [[shardManifest]] over token-aware content-defined boundaries. */
   def shardManifestCdcTokenAware(df: DataFrame, idCol: String, textCol: String,
                                  sourceCol: String, shardTokenBudget: Long,
-                                 parts: Int = 32): DataFrame = {
-    val assigned = assignShardsCdcTokenAware(df, idCol, textCol, shardTokenBudget, parts)
+                                 parts: Int = 32,
+                                 countTokens: org.apache.spark.sql.Column => org.apache.spark.sql.Column = tokenCount): DataFrame = {
+    val assigned = assignShardsCdcTokenAware(df, idCol, textCol, shardTokenBudget, parts, countTokens)
     manifestOf(
       df.select(col(idCol), col(sourceCol), md5(col(textCol)).as("__h"))
         .join(assigned, Seq(idCol)),

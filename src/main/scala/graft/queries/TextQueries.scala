@@ -3209,6 +3209,36 @@ object TextQueries {
            |ORDER BY scheme, checksum""".stripMargin
       }),
 
+    // q227 BUDGETED IN BPE TOKENS (the CDC × token-model matrix cell): the
+    // cut probability min(1, n_tok/budget) and the per-shard token mass are
+    // both denominated by the vendored byte-level BPE — the unit a real
+    // loader budgets — while the boundary hash value stays content-only
+    // (md5 of the raw text). Every budget-denominated operator now accepts
+    // the token model; the oracle derives BPE counts from q18b's shared
+    // recursive-CTE merge loop, so the cut DECISION itself is hash-checked
+    // in the BPE unit.
+    "q236_export_manifest_cdc_bpe" -> Q(
+      (s, dir) => graft.operators.Export.shardManifestCdcTokenAware(
+        Tables.documents(s, dir), "doc_id", "text", "source",
+        shardTokenBudget = 4096L, countTokens = bpeTokenCount),
+      Some(s"""$bpeTcCtes,
+             |tch AS (
+             |  SELECT tc.*, CAST(${graft.operators.Export.hex4ValSql("md5(text)")} AS BIGINT) AS hv
+             |  FROM tc),
+             |tcc AS (
+             |  SELECT *, CASE WHEN hv * 4096 < n_tok * 65536 THEN 1 ELSE 0 END AS cut
+             |  FROM tch),
+             |sh4 AS (
+             |  SELECT *, CAST(sum(cut) OVER (ORDER BY doc_id) AS BIGINT) AS shard_id
+             |  FROM tcc)
+             |SELECT shard_id,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS checksum
+             |FROM sh4 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // q227's token-aware CDC manifest MAINTAINED FROM A STREAM (the CDC ×
     // streaming matrix cell, r13 verdict task 6): the cut decision is pure
     // per-document content — an arriving batch needs NO cross-batch offset

@@ -2087,6 +2087,26 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(v(100L)._6 === "keep" && v(101L)._6 === "keep")
   }
 
+  test("delta dedup collapse: corpus wins regardless of id, identical deltas keep-first, empty-set docs survive") {
+    import spark.implicits._
+    val a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val b = "completely different words that overlap nothing from the other corpus text here"
+    val corpus = Seq((10L, a)).toDF("doc_id", "text")
+    val delta = Seq(
+      1L -> a,      // identical to corpus — drops even though its id is lower
+      2L -> b,      // first of an identical delta pair — survives
+      3L -> b,      // second — drops to 2 (keep-first)
+      4L -> "a b",  // < shingleSize tokens: never enters banding — survives
+      5L -> "a b",  // its identical twin ALSO survives (empty-set domain)
+      6L -> "one more unique document with its own vocabulary entirely thanks"
+    ).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.dedupDeltaAgainstCorpus(
+        corpus, delta, "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L, 5L, 6L))
+  }
+
   test("longDiv: integral division stays exact past 2^53 where the double path rounds") {
     import spark.implicits._
     val big = (1L << 53) + 1L
