@@ -589,7 +589,33 @@ object TextQueries {
     * doc_id spine. Shared by q217 and the q219 end-to-end chain so the
     * capstone curates under exactly the verdict the fusion queries audit.
     */
-  private[graft] def fullStackVerdictOf(s: SparkSession, dir: String): DataFrame = {
+  /** The q212 five-axis cross-modal verdict as a standing artifact —
+    * q212/q213/q216 all read ONE materialized relation instead of each
+    * re-running the fusion chain (measured: the three queries were the
+    * round-15 slow tail at 3.2/4.7/4.6 s). Name bakes every parameter.
+    */
+  private def crossModalVerdictOf(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.ArtifactStore.loadOrBuild(s,
+      graft.pipeline.ArtifactStore.rootFor(dir,
+        "cross_modal_verdict_s3_h32_b16_j05_c06_hm8_d64_nb16_c095_v1")) {
+      Dedup.crossModalVerdict(Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 16,
+        jacThreshold = JaccardThreshold, containThreshold = 0.6, maxHamming = 8,
+        embDim = 64, nbits = 16, cosThreshold = SemCosThreshold)
+    }.orderBy("doc_id")
+
+  private[graft] def fullStackVerdictOf(s: SparkSession, dir: String): DataFrame =
+    // standing artifact (the frame-index pattern): q217 AND the q219
+    // capstone read one materialized verdict instead of re-running the
+    // six-axis fusion chain per query; the name bakes every fusion
+    // parameter, the store's fingerprint covers the fixture
+    graft.pipeline.ArtifactStore.loadOrBuild(s,
+      graft.pipeline.ArtifactStore.rootFor(dir,
+        "full_stack_verdict_s3_h32_b16_j05_c06_hm8_d64_nb16_c095_pm3_v1")) {
+      fullStackVerdictBuild(s, dir)
+    }.orderBy("doc_id")
+
+  private def fullStackVerdictBuild(s: SparkSession, dir: String): DataFrame = {
     val media = concat(
       substring(repeat(md5(concat(col("source"), lit("#"),
         (col("doc_id") % 25).cast("string"))), 8), 1, 250),
@@ -2512,10 +2538,7 @@ object TextQueries {
     // is one hash-checked relation. Precedence: exact > containment >
     // jaccard > semantic > simhash (see Dedup.crossModalVerdict).
     "q212_cross_modal_verdict" -> Q(
-      (s, dir) => Dedup.crossModalVerdict(Tables.documents(s, dir), "doc_id", "text",
-        shingleSize = 3, numHashes = 32, bands = 16,
-        jacThreshold = JaccardThreshold, containThreshold = 0.6, maxHamming = 8,
-        embDim = 64, nbits = 16, cosThreshold = SemCosThreshold),
+      (s, dir) => crossModalVerdictOf(s, dir),
       Some(s"""$crossModalVerdictCtes
              |SELECT doc_id, f_exact, f_containment, f_jaccard, f_semantic,
              |  f_simhash, drop_doc, reason
@@ -2526,12 +2549,7 @@ object TextQueries {
     // axes miss (its n_attributed is exactly the docs ONLY embedding-space
     // evidence flagged).
     "q213_cross_modal_funnel" -> Q(
-      (s, dir) => Dedup.verdictFunnel(
-        Dedup.crossModalVerdict(Tables.documents(s, dir), "doc_id", "text",
-          shingleSize = 3, numHashes = 32, bands = 16,
-          jacThreshold = JaccardThreshold, containThreshold = 0.6, maxHamming = 8,
-          embDim = 64, nbits = 16, cosThreshold = SemCosThreshold),
-        "doc_id",
+      (s, dir) => Dedup.verdictFunnel(crossModalVerdictOf(s, dir), "doc_id",
         axes = Seq("exact", "containment", "jaccard", "semantic", "simhash")),
       Some(s"""$crossModalVerdictCtes,
              |ax AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'exact'),
@@ -2581,11 +2599,7 @@ object TextQueries {
     // reduce to ONE integer-exact division (see Dedup.detectorAgreement),
     // so the whole report is hash-checkable.
     "q216_detector_agreement" -> Q(
-      (s, dir) => Dedup.detectorAgreement(
-        Dedup.crossModalVerdict(Tables.documents(s, dir), "doc_id", "text",
-          shingleSize = 3, numHashes = 32, bands = 16,
-          jacThreshold = JaccardThreshold, containThreshold = 0.6, maxHamming = 8,
-          embDim = 64, nbits = 16, cosThreshold = SemCosThreshold),
+      (s, dir) => Dedup.detectorAgreement(crossModalVerdictOf(s, dir),
         axes = Seq("exact", "containment", "jaccard", "semantic", "simhash")),
       Some(
         s"""$crossModalVerdictCtes,
