@@ -419,11 +419,25 @@ object Retrieval {
     * order, and the average hash-matches across engines).
     */
   def rankingEvalSummary(perQuery: DataFrame, roundTo: Int = 6): DataFrame = {
-    def meanOrdered(c: String) = floorRound(
-      aggregate(sort_array(collect_list(col(c))), lit(0.0), (a, x) => a + x) /
-        count(lit(1)).cast("double"), roundTo).as(s"mean_$c")
     perQuery.agg(
       count(lit(1)).as("n_queries"),
-      meanOrdered("p_at_k"), meanOrdered("mrr"), meanOrdered("ndcg"))
+      meanOrdered("p_at_k", roundTo), meanOrdered("mrr", roundTo),
+      meanOrdered("ndcg", roundTo))
   }
+
+  /** [[rankingEvalSummary]] GROUPED by a key column (e.g. the retrieval leg
+    * in a lexical-vs-vector-vs-hybrid comparison): one dashboard row per
+    * group, same ordered-fold determinism per group.
+    */
+  def rankingEvalSummaryBy(perQuery: DataFrame, byCol: String,
+                           roundTo: Int = 6): DataFrame =
+    perQuery.groupBy(col(byCol)).agg(
+      count(lit(1)).as("n_queries"),
+      meanOrdered("p_at_k", roundTo), meanOrdered("mrr", roundTo),
+      meanOrdered("ndcg", roundTo))
+      .orderBy(byCol)
+
+  private def meanOrdered(c: String, roundTo: Int) = floorRound(
+    aggregate(sort_array(collect_list(col(c))), lit(0.0), (a, x) => a + x) /
+      count(lit(1)).cast("double"), roundTo).as(s"mean_$c")
 }

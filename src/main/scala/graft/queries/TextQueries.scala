@@ -125,45 +125,148 @@ object TextQueries {
   private val rrfTermSql = (r: String) =>
     s"coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST($r AS DOUBLE)), CAST(0.0 AS DOUBLE))"
 
-  /** Shared CTE chain of the hybrid-retrieval family (q112/q231): `lex`
-    * (doc_id, r_lex — BM25 top-20 ranking), the v_* hashing-embedder cosine
-    * chain, `vec` (doc_id, r_vec — vector top-20 for query doc 0), and
-    * their full-outer rank join `f` (doc_id, r_lex, r_vec).
+  /** Query-independent corpus CTEs of the hybrid family: the
+    * hashing-embedder bucket-count vectors + norms every vector leg shares.
     */
-  private lazy val hybridLegCtes: String = {
+  private lazy val hybridCorpusCtes: String =
+    """v_tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+      |v_b AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, length(w)),
+      |        i -> CAST(ascii(substr(w, CAST(i AS INTEGER), 1)) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) % 64 AS bucket
+      |  FROM v_tok),
+      |v_c AS (SELECT doc_id, bucket, count(*) AS n FROM v_b GROUP BY 1, 2),
+      |v_norms AS (SELECT doc_id, sqrt(CAST(sum(n * n) AS DOUBLE)) AS nrm FROM v_c GROUP BY 1)""".stripMargin
+
+  /** Per-query-doc hybrid leg CTEs, suffixed `sfx`: `lex$sfx` (doc_id,
+    * r_lex — BM25 top-20 for `terms`), `vec$sfx` (doc_id, r_vec — cosine
+    * top-20 for query doc `qid`), and their full-outer rank join `f$sfx`.
+    */
+  private def hybridQueryCtes(qid: Long, terms: Seq[String], sfx: String): String = {
     val bmSql = graft.operators.Retrieval.bm25Sql(
-      "documents", "doc_id", "text", Seq("dup", "vector", "query"), topK = 20)
-    s"""WITH lex AS (
+      "documents", "doc_id", "text", terms, topK = 20)
+    s"""lex$sfx AS (
        |  SELECT doc_id,
        |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_lex
        |  FROM ($bmSql)),
-       |v_tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
-       |v_b AS (
-       |  SELECT doc_id,
-       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(generate_series(1, length(w)),
-       |        i -> CAST(ascii(substr(w, CAST(i AS INTEGER), 1)) AS BIGINT))),
-       |      (acc, x) -> (acc * 31 + x) % 1000000007) % 64 AS bucket
-       |  FROM v_tok),
-       |v_c AS (SELECT doc_id, bucket, count(*) AS n FROM v_b GROUP BY 1, 2),
-       |v_norms AS (SELECT doc_id, sqrt(CAST(sum(n * n) AS DOUBLE)) AS nrm FROM v_c GROUP BY 1),
-       |v_q AS (SELECT bucket, n FROM v_c WHERE doc_id = 0),
-       |v_qn AS (SELECT nrm AS qnrm FROM v_norms WHERE doc_id = 0),
-       |v_dots AS (
+       |v_q$sfx AS (SELECT bucket, n FROM v_c WHERE doc_id = $qid),
+       |v_qn$sfx AS (SELECT nrm AS qnrm FROM v_norms WHERE doc_id = $qid),
+       |v_dots$sfx AS (
        |  SELECT c.doc_id, CAST(sum(c.n * q.n) AS DOUBLE) AS dot
-       |  FROM v_c c JOIN v_q q USING (bucket) WHERE c.doc_id <> 0 GROUP BY 1),
-       |v_sc AS (
+       |  FROM v_c c JOIN v_q$sfx q USING (bucket) WHERE c.doc_id <> $qid GROUP BY 1),
+       |v_sc$sfx AS (
        |  SELECT n.doc_id,
-       |    ${frs("coalesce(d.dot, CAST(0 AS DOUBLE)) / (n.nrm * v_qn.qnrm)", 6)} AS score
-       |  FROM v_norms n LEFT JOIN v_dots d ON n.doc_id = d.doc_id, v_qn
-       |  WHERE n.doc_id <> 0 AND n.nrm > 0),
-       |vec AS (
+       |    ${frs(s"coalesce(d.dot, CAST(0 AS DOUBLE)) / (n.nrm * v_qn$sfx.qnrm)", 6)} AS score
+       |  FROM v_norms n LEFT JOIN v_dots$sfx d ON n.doc_id = d.doc_id, v_qn$sfx
+       |  WHERE n.doc_id <> $qid AND n.nrm > 0),
+       |vec$sfx AS (
        |  SELECT doc_id,
        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_vec
-       |  FROM (SELECT * FROM v_sc ORDER BY score DESC, doc_id LIMIT 20)),
-       |f AS (
+       |  FROM (SELECT * FROM v_sc$sfx ORDER BY score DESC, doc_id LIMIT 20)),
+       |f$sfx AS (
        |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.r_lex, v.r_vec
-       |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)""".stripMargin
+       |  FROM lex$sfx l FULL OUTER JOIN vec$sfx v ON l.doc_id = v.doc_id)""".stripMargin
+  }
+
+  /** Shared CTE chain of the single-query hybrid family (q112/q231):
+    * query doc 0, q96's terms, unsuffixed CTE names.
+    */
+  private lazy val hybridLegCtes: String =
+    s"""WITH $hybridCorpusCtes,
+       |${hybridQueryCtes(0L, Seq("dup", "vector", "query"), "")}""".stripMargin
+
+  /** The multi-query hybrid eval's query set (q237/q238): five query docs,
+    * each with a FIXED lexical term triple — literals, so the oracle bakes
+    * them into its per-query BM25 CTEs; all terms are fixture vocabulary.
+    */
+  private val hybridQueryDefs: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("dup", "vector", "query"),
+    1L -> Seq("scan", "filter", "sort"),
+    2L -> Seq("table", "window", "key"),
+    3L -> Seq("merge", "stream", "group"),
+    4L -> Seq("order", "part", "value"))
+
+  /** q231's leg-vs-truth eval for EVERY query in [[hybridQueryDefs]], one
+    * relation keyed `leg#qid`. Shared by q237 (per-row report) and q238
+    * (per-leg macro) so the two queries read identical inputs.
+    */
+  private def hybridEvalMulti(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val emb = graft.pipeline.HashingEmbedder(64)
+    // cache-lifetime: pinned by the returned plan — caller releases (see
+    // Caching); every query's vector leg reads the same embedded corpus
+    val dv = docs.select(col("doc_id"), emb.embedRaw(col("text")).as("vec")).cache()
+    val perQ = hybridQueryDefs.map { case (qid, terms) =>
+      val lex = graft.operators.Retrieval.bm25(docs, "doc_id", "text", terms, topK = 20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("bm25"), col("doc_id"))))
+        .select("doc_id", "rank")
+      val qv = dv.filter(col("doc_id") === qid).select(col("vec")).head().getSeq[Double](0)
+      val vec = graft.operators.TopK.topK(
+          dv.filter(col("doc_id") =!= qid), "vec", "doc_id", qv, k = 20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
+        .select("doc_id", "rank")
+      val hyb = graft.operators.Retrieval.rrfFuse(
+          Seq("lex" -> lex, "vec" -> vec), "doc_id", kRrf = 60, topK = 10)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("rrf"), col("doc_id"))))
+        .select("doc_id", "rank")
+      def keyed(leg: String, r: org.apache.spark.sql.DataFrame) =
+        r.select(concat_ws("#", lit(leg), lit(qid.toString)).as("qkey"),
+          col("doc_id"), col("rank"))
+      val ranked = keyed("lex", lex).unionByName(keyed("vec", vec))
+        .unionByName(keyed("hybrid", hyb))
+      val truth = Seq("hybrid", "lex", "vec").toDF("leg")
+        .crossJoin(vec.filter(col("rank") <= 10).select("doc_id"))
+        .select(concat_ws("#", col("leg"), lit(qid.toString)).as("qkey"), col("doc_id"))
+      (ranked, truth)
+    }
+    graft.operators.Retrieval.rankingEval(
+      perQ.map(_._1).reduce(_ unionByName _),
+      perQ.map(_._2).reduce(_ unionByName _),
+      "qkey", "doc_id", "rank", k = 10)
+  }
+
+  /** q237's oracle: the shared corpus CTEs once, per-query leg CTEs
+    * suffixed `_q<id>`, the 15 system rankings and 15 truth blocks unioned
+    * under the `leg#qid` key, and q228's metric tail verbatim.
+    */
+  private lazy val hybridEvalMultiOracle: String = {
+    val legCtes = hybridQueryDefs.map { case (qid, terms) =>
+      hybridQueryCtes(qid, terms, s"_q$qid")
+    }.mkString(",\n")
+    val hybCtes = hybridQueryDefs.map { case (qid, _) =>
+      s"""hyb_q$qid AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+         |  FROM (
+         |    SELECT doc_id,
+         |      ${frs(rrfTermSql("r_lex") + " + " + rrfTermSql("r_vec"), 6)} AS rrf
+         |    FROM f_q$qid ORDER BY rrf DESC, doc_id LIMIT 10))""".stripMargin
+    }.mkString(",\n")
+    val sysr = hybridQueryDefs.map { case (qid, _) =>
+      s"""  SELECT 'lex#$qid' AS qkey, doc_id, r_lex AS rn FROM lex_q$qid WHERE r_lex <= 10
+         |  UNION ALL SELECT 'vec#$qid', doc_id, r_vec FROM vec_q$qid WHERE r_vec <= 10
+         |  UNION ALL SELECT 'hybrid#$qid', doc_id, rank FROM hyb_q$qid""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val tru = hybridQueryDefs.map { case (qid, _) =>
+      s"""  SELECT l.leg || '#$qid' AS qkey, v.doc_id
+         |  FROM (SELECT unnest(['hybrid', 'lex', 'vec']) AS leg) l
+         |  CROSS JOIN (SELECT doc_id FROM vec_q$qid WHERE r_vec <= 10) v""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $hybridCorpusCtes,
+       |$legCtes,
+       |$hybCtes,
+       |sysr AS (
+       |$sysr),
+       |tru AS (
+       |$tru),
+       |${graft.operators.Retrieval.rankingEvalTailSql(10, "qkey", "doc_id")}""".stripMargin
   }
 
   /** SQL mirror of TextFunctions.qualityScore — shared by q20 and the q57
@@ -2021,6 +2124,40 @@ object TextQueries {
              |  FROM (SELECT unnest(['hybrid', 'lex', 'vec']) AS leg) l
              |  CROSS JOIN (SELECT doc_id FROM vec WHERE r_vec <= 10) v),
              |${graft.operators.Retrieval.rankingEvalTailSql(10, "leg", "doc_id")}""".stripMargin)),
+
+    // q231 ACROSS A QUERY SET: five query docs, each with its own fixed
+    // lexical term triple (literals, drawn from the fixture vocabulary) and
+    // its own exact-cosine truth; the eval key is leg#query, so one
+    // relation carries all 15 report rows. Corpus-side vector CTEs are
+    // shared across queries (the per-query legs differ only in the probe).
+    "q237_hybrid_eval_multi" -> Q(
+      (s, dir) => hybridEvalMulti(s, dir),
+      Some(hybridEvalMultiOracle)),
+
+    // The per-LEG macro dashboard over q237 (the q230 pattern grouped by
+    // leg): mean p@10 / MRR / nDCG per retrieval strategy across the query
+    // set — the one table a deployment reads to pick lexical vs vector vs
+    // hybrid. Means are ordered folds per group, so even the averages
+    // hash-match.
+    "q238_hybrid_eval_by_leg" -> Q(
+      (s, dir) => graft.operators.Retrieval.rankingEvalSummaryBy(
+        hybridEvalMulti(s, dir)
+          .withColumn("leg", element_at(split(col("qkey"), "#"), 1)),
+        "leg"),
+      Some {
+        def m(c: String) = frs(
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list($c))), (a, x) -> a + x)" +
+            " / CAST(count(*) AS DOUBLE)", 6)
+        s"""WITH ev AS (
+           |$hybridEvalMultiOracle
+           |)
+           |SELECT split_part(qkey, '#', 1) AS leg,
+           |  CAST(count(*) AS BIGINT) AS n_queries,
+           |  ${m("p_at_k")} AS mean_p_at_k,
+           |  ${m("mrr")} AS mean_mrr,
+           |  ${m("ndcg")} AS mean_ndcg
+           |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
 
     // PMI collocation mining — adjacent-pair pointwise mutual information
     // against the positional marginals, the phrase-detection pass of
