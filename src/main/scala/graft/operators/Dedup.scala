@@ -482,6 +482,10 @@ object Dedup {
     // y < r that would flag r has a rep r' ≤ y with the same signature, so
     // the rep-only candidate (r', r) fires identically. Pinned by property
     // test incl. empty-text/degenerate docs.
+    require(jacThreshold > 0 && jacThreshold <= 1.0 &&
+      containThreshold > 0 && containThreshold <= 1.0 && maxHamming >= 0,
+      s"thresholds must be in (0, 1] and maxHamming >= 0 for the dup-inheritance " +
+        s"rule, got jac=$jacThreshold contain=$containThreshold hamming=$maxHamming")
     val reps = exactDedup(base, idCol, textCol)
     // cache-lifetime: pinned by the returned plan — caller releases (see
     // Caching); three dup-union branches re-read the non-rep (id, text) rows
@@ -602,6 +606,8 @@ object Dedup {
                                         embDim: Int, nbits: Int,
                                         cosThreshold: Double): (String, DataFrame) = {
     import graft.functions.VectorFunctions.l2NormSq
+    require(cosThreshold > 0 && cosThreshold <= 1.0,
+      s"cosThreshold must be in (0, 1] for the dup-inheritance rule, got $cosThreshold")
     val emb = graft.pipeline.HashingEmbedder(embDim)
     // exact-group collapse (see textAxisLosers): embed only one min-id rep
     // per distinct text; a non-rep exact dup shares its rep's vector — SRP
@@ -749,6 +755,10 @@ object Dedup {
                               textCol: String, shingleSize: Int, numHashes: Int,
                               bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    // the exact-group collapse below relies on identical sets passing the
+    // verify (jac 1.0 ≥ threshold) — enforce the sane domain explicitly
+    require(threshold > 0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
     val rows = numHashes / bands
     val tagged = corpus.select(col(idCol), col(textCol)).withColumn("__is_delta", lit(false))
       .unionByName(delta.select(col(idCol), col(textCol)).withColumn("__is_delta", lit(true)))
