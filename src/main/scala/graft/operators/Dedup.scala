@@ -645,6 +645,8 @@ object Dedup {
       .filter(_.startsWith("f_")).map(_.stripPrefix("f_"))
     val resolved = if (axes.isEmpty) present else axes
     require(resolved.nonEmpty, "verdictFunnel: no f_* axis columns in the verdict relation")
+    require(resolved.distinct == resolved,
+      s"verdictFunnel: axes must be distinct, got ${resolved.mkString(",")}")
     require(resolved.toSet == present.toSet,
       s"verdictFunnel: axes ${resolved.mkString(",")} must cover exactly the " +
         s"relation's flag columns ${present.mkString(",")}")

@@ -220,13 +220,14 @@ object Export {
   def assignShardsCdcTokenAwareMinGap(df: DataFrame, idCol: String,
                                       textCol: String, shardTokenBudget: Long,
                                       minGapTokens: Long,
-                                      parts: Int = 32): DataFrame = {
+                                      parts: Int = 32,
+                                      countTokens: org.apache.spark.sql.Column => org.apache.spark.sql.Column = tokenCount): DataFrame = {
     require(shardTokenBudget > 0,
       s"shardTokenBudget must be positive, got $shardTokenBudget")
     require(minGapTokens >= 0 && minGapTokens < shardTokenBudget * 16,
       s"minGapTokens must be in [0, 16*budget), got $minGapTokens")
     val rows = df.select(col(idCol),
-      tokenCount(col(textCol)).cast("long").as("n_tok"),
+      countTokens(col(textCol)).cast("long").as("n_tok"),
       expr(hex4ValSql(s"md5($textCol)")).cast("long").as("__hv"))
       .withColumn("cand",
         when(col("__hv") * lit(shardTokenBudget) < col("n_tok") * lit(65536L), 1L)
@@ -261,9 +262,10 @@ object Export {
                                        textCol: String, sourceCol: String,
                                        shardTokenBudget: Long,
                                        minGapTokens: Long,
-                                       parts: Int = 32): DataFrame = {
+                                       parts: Int = 32,
+                                       countTokens: org.apache.spark.sql.Column => org.apache.spark.sql.Column = tokenCount): DataFrame = {
     val assigned = assignShardsCdcTokenAwareMinGap(
-      df, idCol, textCol, shardTokenBudget, minGapTokens, parts)
+      df, idCol, textCol, shardTokenBudget, minGapTokens, parts, countTokens)
     manifestOf(
       df.select(col(idCol), col(sourceCol), md5(col(textCol)).as("__h"))
         .join(assigned, Seq(idCol)),

@@ -69,6 +69,12 @@ object Packing {
     val cum = Scan.cumSums(tc, Seq(idCol), Seq("n_tok"), parts)
     val L = lit(seqLen.toLong)
     val spans = cum
+      // a 0-token doc (reachable under a BPE countTokens on degenerate
+      // text; whitespace counting is always >= 1) occupies no tokens and
+      // must emit NO spans — without the filter end_off = start_off - 1
+      // and Spark's sequence() would yield a DESCENDING phantom range
+      // where the oracle's generate_series is empty
+      .filter(col("n_tok") > 0)
       .withColumn("start_off", col("cum_n_tok") - col("n_tok"))
       .withColumn("end_off", col("cum_n_tok") - lit(1L))
       // non-negative offsets: integral `div` == the oracle's floor `//`,

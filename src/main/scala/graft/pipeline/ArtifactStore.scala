@@ -146,9 +146,7 @@ object ArtifactStore {
           val n = st.getPath.getName
           if (st.isDirectory && n != name && n.startsWith(prefix) &&
             !n.substring(prefix.length).contains('-')) {
-            // scalastyle:off println
-            println(s"[artifact] gc stale generation ${st.getPath}")
-            // scalastyle:on println
+            System.err.println(s"[artifact] gc stale generation ${st.getPath}")
             f.delete(st.getPath, true)
           }
         }
@@ -156,22 +154,19 @@ object ArtifactStore {
     } catch {
       // best-effort only — but never swallow fatal errors (OOM, linkage) or
       // an interrupt: re-set the flag so the caller's cancellation works
+      // stderr, not stdout: stdout is Bench's PARSED output channel (the
+      // driver reads its 2000-byte tail) — diagnostics must never crowd it
       case e: InterruptedException =>
         Thread.currentThread().interrupt()
-        // scalastyle:off println
-        println(s"[artifact] gc interrupted: ${e.getMessage}")
-        // scalastyle:on println
+        System.err.println(s"[artifact] gc interrupted: ${e.getMessage}")
       case scala.util.control.NonFatal(e) =>
-        // scalastyle:off println
-        println(s"[artifact] gc sweep skipped: ${e.getClass.getSimpleName}: ${e.getMessage}")
-        // scalastyle:on println
+        System.err.println(
+          s"[artifact] gc sweep skipped: ${e.getClass.getSimpleName}: ${e.getMessage}")
     }
 
   private def buildAndPromote(f: FileSystem, live: String, build: => DataFrame): Unit = {
     val tmp = new Path(live + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
-    // scalastyle:off println
-    println(s"[artifact] building $live")
-    // scalastyle:on println
+    System.err.println(s"[artifact] building $live") // stdout is Bench's parsed channel
     build.write.mode("overwrite").parquet(tmp.toString)
     if (isLive(f, live)) f.delete(tmp, true) // a concurrent builder won
     else StagedSwap.swap(f, tmp, new Path(live), new Path(live + ".old"))

@@ -195,12 +195,20 @@ object TextQueries {
   private def hybridEvalMulti(s: SparkSession, dir: String): DataFrame =
     // standing artifact (the verdict pattern): q237 and the q238 macro read
     // one materialized eval relation instead of re-running 5 BM25 passes +
-    // 5 top-k scans each; name bakes the query-def list
+    // 5 top-k scans each; the name bakes a digest of the FULL query-def
+    // list (ids AND term triples), so editing any term invalidates the key
     graft.pipeline.ArtifactStore.loadOrBuild(s,
       graft.pipeline.ArtifactStore.rootFor(dir,
-        "hybrid_eval_multi_q01234_k10_t20_rrf60_v1")) {
+        s"hybrid_eval_multi_$hybridQueryDefsDigest-k10_t20_rrf60_v1")) {
       hybridEvalMultiBuild(s, dir)
     }.orderBy("qkey")
+
+  /** Content digest of [[hybridQueryDefs]] for the artifact key. */
+  private lazy val hybridQueryDefsDigest: String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(hybridQueryDefs.map { case (q, ts) => s"$q:${ts.mkString(",")}" }
+        .mkString(";").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
 
   private def hybridEvalMultiBuild(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

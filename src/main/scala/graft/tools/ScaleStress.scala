@@ -111,7 +111,10 @@ object ScaleStress {
       val t0 = System.nanoTime()
       replicate(f, dir)
       println(f"[scale] f=$f%-3d replicated in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      for (p <- prefixes; (name, fn) <- graft.SparkEntry.queries if name.startsWith(p)) {
+      // exact id match ("q215" must not sweep in "q215b"): a prefix selects
+      // only itself or its own underscore-delimited name
+      for (p <- prefixes; (name, fn) <- graft.SparkEntry.queries
+           if name == p || name.startsWith(p + "_")) {
         spark.catalog.clearCache()
         maxTaskMs.set(0); shuffleBytes.set(0)
         val tq = System.nanoTime()
