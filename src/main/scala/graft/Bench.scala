@@ -166,18 +166,32 @@ object Bench {
     // whose FIRST timing paid a one-time artifact build, the retime reads
     // the live artifact and min() publishes the warm read time — the same
     // warm-number semantics the retry gate's full second pass (and a
-    // judge's quiet re-run) already produce. Both raw values stay on
-    // stderr for anyone auditing build costs.
+    // judge's quiet re-run) already produce. The raw [first, retime] pairs
+    // are published on the per-query line ("rt"), and the build costs
+    // themselves ride the same line ("builds", from ArtifactStore's drain)
+    // plus compact totals ("bt"/"bn") on the parsed line.
     val retimeK = sys.env.get("SPARK_GRAFT_RETIME")
       .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(6)
-    val retimed = results.toSeq.filter(_._2 > 0).sortBy(-_._2).take(retimeK)
+    val retimedRaw = results.toSeq.filter(_._2 > 0).sortBy(-_._2).take(retimeK)
       .map { case (name, t1) =>
         val t2 = timeQuery(name, selected(name))
         System.err.println(f"[bench] retime $name%-28s first $t1%5.2f s -> re $t2%5.2f s")
-        name -> (if (t2 > 0) math.min(t1, t2) else t1)
-      }.toMap
+        (name, t1, t2)
+      }
+    val retimed = retimedRaw.map { case (name, t1, t2) =>
+      name -> (if (t2 > 0) math.min(t1, t2) else t1)
+    }.toMap
     val finalResults = results ++ retimed
     val retimeTag = if (retimed.isEmpty) "" else s""","rtn":${retimed.size}"""
+    // One-time artifact-build costs paid during this run (ArtifactStore
+    // drain, r15 verdict task 3): per-artifact seconds go on the per-query
+    // line; the parsed metric line carries only the compact total/count so
+    // a run that paid builds is visible even in the clipped tail. Published
+    // with the raw retime pairs so per-query numbers are auditable against
+    // earlier rounds despite the min(first, retime) protocol (ADVICE r15).
+    val builds = graft.pipeline.ArtifactStore.drainBuildTimes()
+    val buildTag = if (builds.isEmpty) ""
+      else f""","bt":${builds.map(_._2).sum}%.2f,"bn":${builds.size}"""
     // a SPARK_GRAFT_ONLY-filtered profiling run must be distinguishable from
     // a full benchmark — mark it in the JSON
     val filteredTag = only.map { f =>
@@ -190,8 +204,9 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName // basename: tail-window bytes matter
     // per-query line first (sacrificial under tail clipping), parsed
     // metric line LAST so the driver's 2000-byte tail always holds it whole
-    println(perQueryLine(finalResults, sfName))
-    println(metricLine(finalResults, sfName, noiseJson + retryTag + retimeTag, filteredTag))
+    println(perQueryLine(finalResults, sfName, retimedRaw, builds))
+    println(metricLine(finalResults, sfName,
+      noiseJson + retryTag + retimeTag + buildTag, filteredTag))
     spark.stop()
   }
 
@@ -229,12 +244,24 @@ object Bench {
     * many queries exist. Full names and sub-second precision stay on
     * stderr for humans.
     */
-  private[graft] def perQueryLine(results: Map[String, Double], sfName: String): String = {
+  private[graft] def perQueryLine(results: Map[String, Double], sfName: String,
+                                  retimedRaw: Seq[(String, Double, Double)] = Seq.empty,
+                                  builds: Seq[(String, Double)] = Seq.empty): String = {
     val shortKey = shortKeys(results.keys)
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    s"""{"perQuery":$qs,"sf":"$sfName"}"""
+    // "rt": the retime protocol's RAW pairs [first, retime] per min-retimed
+    // query; "builds": one-time artifact build seconds by artifact name.
+    // Both ride this line (sacrificial under tail clipping), keeping the
+    // parsed metric line's byte budget intact.
+    val rt = if (retimedRaw.isEmpty) "" else retimedRaw
+      .map { case (k, t1, t2) => "\"" + shortKey(k) + "\":[" + fmt(t1) + "," + fmt(t2) + "]" }
+      .mkString(""","rt":{""", ",", "}")
+    val bd = if (builds.isEmpty) "" else builds
+      .map { case (n, s) => "\"" + n + "\":" + fmt(s) }
+      .mkString(""","builds":{""", ",", "}")
+    s"""{"perQuery":$qs$rt$bd,"sf":"$sfName"}"""
   }
 
   private[graft] def metricLine(results: Map[String, Double], sfName: String,

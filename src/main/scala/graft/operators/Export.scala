@@ -349,6 +349,14 @@ object Export {
     * contents stay exact rather than multiplying through the join.
     * Manifest-sized (config-scale) aggregate + join, never touches the
     * corpus.
+    *
+    * Status contract (ADVICE r15): "keep" means the CONTENT is present on
+    * both sides — it deliberately does NOT imply n_shards_old ==
+    * n_shards_new. The model is a content-addressed store where one stored
+    * copy serves any number of manifest references; a consumer that
+    * instead stores one physical file per shard must ALSO compare the
+    * n_shards_old/n_shards_new columns (emitted for exactly this purpose)
+    * to detect reference-count changes of identical-content shards.
     */
   def manifestDeltaByContent(oldManifest: DataFrame,
                              newManifest: DataFrame): DataFrame = {

@@ -37,10 +37,16 @@ object ScaleStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val factors = args.headOption.map(_.split(',').toSeq.map(_.toInt))
-      .getOrElse(Seq(1, 3, 10))
+    // the first arg is a factor list only when it LOOKS like one — a bare
+    // query-prefix invocation (`runMain ... q217`) must select queries at
+    // the default factors, not die in Integer.parseInt (ADVICE r15)
+    val factorsGiven = args.headOption.exists(_.matches("[0-9]+(,[0-9]+)*"))
+    val factors =
+      if (factorsGiven) args.head.split(',').toSeq.map(_.toInt)
+      else Seq(1, 3, 10)
+    val prefixArgs = if (factorsGiven) args.drop(1).toSeq else args.toSeq
     val prefixes =
-      if (args.length > 1) args.drop(1).toSeq
+      if (prefixArgs.nonEmpty) prefixArgs
       else Seq("q197", "q215", "q217", "q219", "q221")
 
     // --- listeners: max single-task wall + total shuffle write ---
@@ -120,7 +126,7 @@ object ScaleStress {
         val tq = System.nanoTime()
         val res = try {
           fn(spark, dir).write.mode("overwrite").format("noop").save(); "ok"
-        } catch { case e: Throwable => s"FAIL ${e.getMessage.take(80)}" }
+        } catch { case e: Throwable => s"FAIL ${String.valueOf(e.getMessage).take(80)}" }
         org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
         val dt = (System.nanoTime() - tq) / 1e9
         println(f"[scale] f=$f%-3d $name%-28s wall $dt%8.2f s  maxTask ${maxTaskMs.get}%6d ms  " +

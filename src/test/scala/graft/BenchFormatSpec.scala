@@ -50,6 +50,23 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.length <= 16 * names.size + 64)
   }
 
+  test("rt/builds ride the per-query line; metric line carries only bt/bn") {
+    val names = SparkEntry.queries.keys.toSeq
+    val rt = Seq(("q212_cross_modal_verdict", 3.21, 0.31), ("q219_curate_mix_pack", 9.0, 1.5))
+    val builds = Seq("cross_modal_verdict_s3_v2" -> 12.34, "frame_index_v1" -> 1.0)
+    val line = Bench.perQueryLine(names.map(_ -> 1.0).toMap, "sf0.1", rt, builds)
+    assert(line.contains(""""rt":{"q212":[3.21,0.31],"q219":[9.00,1.50]}"""))
+    // fmt's tier-after-rounding applies to build values too: 12.34 → "12.3"
+    assert(line.contains(""""builds":{"cross_modal_verdict_s3_v2":12.3,"frame_index_v1":1.00}"""))
+    // the parsed line's budget is unchanged: builds appear only as bt/bn
+    val metric = Bench.metricLine(names.map(_ -> 1.0).toMap, "sf0.1",
+      worstNoise + ""","bt":13.34,"bn":2""", "")
+    assert(metric.length <= 500)
+    // empty retime/builds add zero bytes (the pre-r16 shape)
+    assert(Bench.perQueryLine(names.map(_ -> 1.0).toMap, "sf0.1") ==
+      Bench.perQueryLine(names.map(_ -> 1.0).toMap, "sf0.1", Seq.empty, Seq.empty))
+  }
+
   test("prefix-compressed query keys stay unique") {
     val keys = Bench.shortKeys(SparkEntry.queries.keys)
     assert(keys.values.toSeq.distinct.size === keys.size)
