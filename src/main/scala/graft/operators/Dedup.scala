@@ -588,6 +588,7 @@ object Dedup {
                         jacThreshold: Double, containThreshold: Double,
                         maxHamming: Int, embDim: Int, nbits: Int,
                         cosThreshold: Double): DataFrame = {
+    // nbits <= 0 = corpus-derived SRP width (see semanticAxisLosers)
     // cache-lifetime: pinned by the returned plan — caller releases (see Caching)
     val base = df.select(col(idCol), col(textCol)).cache()
     val text = textAxisLosers(base, idCol, textCol,
@@ -601,6 +602,19 @@ object Dedup {
   /** The SEMANTIC axis as a composable loser relation: embedRaw → SRP-LSH
     * candidates → exact-cosine ≥ τ → keep-first flags (see
     * [[crossModalVerdict]] for the full rationale).
+    *
+    * `nbits <= 0` derives the SRP width from the corpus —
+    * [[AnnIndex.autoNbits]] over the DISTINCT-text representative count,
+    * the relation actually bucketed (r15 verdict task 1: a fixed nbits=16
+    * leaves chance-collision candidate mass growing n²/2¹⁶ past ~10⁶
+    * distinct docs; corpus-derived bits keep expected bucket size at the
+    * 128-row target, so candidates stay ~linear at any corpus). The one
+    * count() is a parameter fetch, same as q27's. Threshold recalibration
+    * under auto-nbits (r16, measured at sf0.1 over ALL distinct pairs):
+    * pair density drops ~47× crossing τ=0.95 ([0.92,0.95)≈20.8k pairs vs
+    * [0.95,0.99)≈582), so 0.95 sits in a real density gap and wider
+    * candidate coverage only ADDS genuinely-≥τ pairs the 16-bit buckets
+    * happened to miss.
     */
   private[graft] def semanticAxisLosers(base: DataFrame, idCol: String, textCol: String,
                                         embDim: Int, nbits: Int,
@@ -616,13 +630,14 @@ object Dedup {
     // cosine is NaN there and cosineNearDupPairs never flags it — mirrored
     // by the norm filter on the dup union)
     val reps = exactDedup(base, idCol, textCol)
+    val effNbits = if (nbits > 0) nbits else AnnIndex.autoNbits(reps.count())
     val dupNonzero = base
       .join(reps.select(col(idCol)), Seq(idCol), "left_anti")
       .filter(l2NormSq(emb.embedRaw(col(textCol))) > 0.0)
       .select(col(idCol))
     val semPairs = AnnIndex.cosineNearDupPairs(
       reps.select(col(idCol), emb.embedRaw(col(textCol)).as("__v")),
-      idCol, "__v", threshold = cosThreshold, nbits = nbits, dim = embDim)
+      idCol, "__v", threshold = cosThreshold, nbits = effNbits, dim = embDim)
     "semantic" -> semPairs.select(col("id_b").as(idCol))
       .unionByName(dupNonzero).distinct().withColumn("f_semantic", lit(1L))
   }

@@ -598,11 +598,21 @@ object TextQueries {
   /** The cross-modal SEMANTIC axis (q212/q213): per-doc raw bucket-count
     * embeddings (q35's poly-hash buckets, reusing `th`'s token hashes),
     * sign-random-projection buckets over the q27/q28 integer-hash
-    * hyperplanes (nbits = 16), hamming ≤ 1 candidates, exact-cosine verify.
-    * Mirrors AnnIndex.cosineNearDupPairs over HashingEmbedder.embedRaw.
+    * hyperplanes, hamming ≤ 1 candidates, exact-cosine verify. Mirrors
+    * AnnIndex.cosineNearDupPairs over HashingEmbedder.embedRaw.
+    *
+    * The SRP width is CORPUS-DERIVED (q27's autoNbits pattern, r15 verdict
+    * task 1): `nScopeSql` must count exactly the relation the Scala side
+    * buckets — distinct-text representatives for the batch fusion family,
+    * the standing static corpus for the streamed gate — and the `sparams`
+    * CTE mirrors AnnIndex.autoNbits's pure-integer-shift derivation.
     */
-  private lazy val semEmbedCtes: String =
-    s"""scv AS (SELECT doc_id, h % 64 AS bucket, count(*) AS n FROM th GROUP BY 1, 2),
+  private def semEmbedCtes(nScopeSql: String): String =
+    s"""sparams AS (
+       |  SELECT greatest(4, coalesce((
+       |    SELECT min(b) FROM (SELECT unnest(generate_series(0, 20)) AS b) bs
+       |    WHERE (CAST(128 AS BIGINT) << CAST(b AS INTEGER)) >= ($nScopeSql)), 20)) AS snbits),
+       |scv AS (SELECT doc_id, h % 64 AS bucket, count(*) AS n FROM th GROUP BY 1, 2),
        |sdense AS (
        |  SELECT d.doc_id, g.i, CAST(coalesce(c.n, 0) AS DOUBLE) AS x
        |  FROM (SELECT doc_id FROM documents) d
@@ -613,16 +623,23 @@ object TextQueries {
        |  SELECT list(list_transform(generate_series(0, 63), d ->
        |      CAST(((j*64+d+1)*(j*64+d+1) * 2654435761 + 97*(j*64+d+1) + 12345) % 1000003
        |        - 501001 AS DOUBLE)) ORDER BY j) AS ws
-       |  FROM (SELECT unnest(generate_series(0, 15)) AS j)),
+       |  FROM (SELECT unnest(generate_series(0, (SELECT snbits FROM sparams) - 1)) AS j)),
        |sebuck AS (
        |  SELECT doc_id, v,
-       |    list_sum(list_transform(generate_series(1, 16),
+       |    list_sum(list_transform(generate_series(1, sparams.snbits),
        |      j -> CASE WHEN list_inner_product(v, splanes.ws[j]) >= CAST(0.0 AS DOUBLE)
        |           THEN (CAST(1 AS BIGINT) << (j-1)) ELSE CAST(0 AS BIGINT) END)) AS bucket
-       |  FROM semb, splanes)""".stripMargin
+       |  FROM semb, splanes, sparams)""".stripMargin
+
+  /** Batch fusion family's SRP-width scope: the distinct-text representative
+    * count — exactly `Dedup.exactDedup(...).count()` on the Scala side. */
+  private val semNScopeBatch = "SELECT count(DISTINCT md5(text)) FROM documents"
+
+  /** Streamed gate's scope: the standing static corpus the index buckets. */
+  private val semNScopeStream = "SELECT count(*) FROM documents WHERE doc_id % 10 <> 0"
 
   private lazy val semanticAxisCtes: String =
-    s"""$semEmbedCtes,
+    s"""${semEmbedCtes(semNScopeBatch)},
        |sepairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |    ${frs("list_cosine_similarity(a.v, b.v)", 6)} AS score
@@ -718,11 +735,11 @@ object TextQueries {
   private def crossModalVerdictOf(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.ArtifactStore.loadOrBuild(s,
       graft.pipeline.ArtifactStore.rootFor(dir,
-        "cross_modal_verdict_s3_h32_b16_j05_c06_hm8_d64_nb16_c095_v1")) {
+        "cross_modal_verdict_s3_h32_b16_j05_c06_hm8_d64_nbauto_c095_v2")) {
       Dedup.crossModalVerdict(Tables.documents(s, dir), "doc_id", "text",
         shingleSize = 3, numHashes = 32, bands = 16,
         jacThreshold = JaccardThreshold, containThreshold = 0.6, maxHamming = 8,
-        embDim = 64, nbits = 16, cosThreshold = SemCosThreshold)
+        embDim = 64, nbits = 0, cosThreshold = SemCosThreshold)
     }.orderBy("doc_id")
 
   private[graft] def fullStackVerdictOf(s: SparkSession, dir: String): DataFrame =
@@ -732,7 +749,7 @@ object TextQueries {
     // parameter, the store's fingerprint covers the fixture
     graft.pipeline.ArtifactStore.loadOrBuild(s,
       graft.pipeline.ArtifactStore.rootFor(dir,
-        "full_stack_verdict_s3_h32_b16_j05_c06_hm8_d64_nb16_c095_pm3_v1")) {
+        "full_stack_verdict_s3_h32_b16_j05_c06_hm8_d64_nbauto_c095_pm3_v2")) {
       fullStackVerdictBuild(s, dir)
     }.orderBy("doc_id")
 
@@ -747,7 +764,7 @@ object TextQueries {
       shingleSize = 3, numHashes = 32, bands = 16,
       jacThreshold = JaccardThreshold, containThreshold = 0.6, maxHamming = 8)
     val sem = Dedup.semanticAxisLosers(base, "doc_id", "text",
-      embDim = 64, nbits = 16, cosThreshold = SemCosThreshold)
+      embDim = 64, nbits = 0, cosThreshold = SemCosThreshold)
     // mediaDupLosers, not pairLosers(mediaDupPairs(...)): identical-footage
     // groups grow with the corpus, and the pair materialization is
     // quadratic in group size (ScaleStress r15: 23× shuffle at 10× docs);
@@ -2596,7 +2613,7 @@ object TextQueries {
     "q214_stream_cross_modal_gate" -> Q(
       (s, dir) => graft.streaming.StreamingDedup.streamCrossModalGate(
         s, dir, shingleSize = 3, numHashes = 32, bands = 16,
-        threshold = JaccardThreshold, embDim = 64, nbits = 16,
+        threshold = JaccardThreshold, embDim = 64, nbits = 0,
         cosThreshold = SemCosThreshold),
       Some(s"""$minhashBkCtes,
              |vex AS (
@@ -2613,7 +2630,7 @@ object TextQueries {
              |  FROM vcand JOIN sh sa ON vcand.id_a = sa.doc_id
              |             JOIN sh sb ON vcand.id_b = sb.doc_id),
              |vjc AS (SELECT DISTINCT id_b FROM vpairs WHERE jac >= $JaccardThreshold),
-             |$semEmbedCtes,
+             |${semEmbedCtes(semNScopeStream)},
              |xse AS (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |    ${frs("list_cosine_similarity(a.v, b.v)", 6)} AS score
@@ -2945,7 +2962,7 @@ object TextQueries {
       (s, dir) => Dedup.detectorAgreement(
         graft.streaming.StreamingDedup.streamCrossModalGate(
           s, dir, shingleSize = 3, numHashes = 32, bands = 16,
-          threshold = JaccardThreshold, embDim = 64, nbits = 16,
+          threshold = JaccardThreshold, embDim = 64, nbits = 0,
           cosThreshold = SemCosThreshold),
         axes = Seq("exact", "jaccard", "semantic")),
       Some(s"""$minhashBkCtes,
@@ -2963,7 +2980,7 @@ object TextQueries {
              |  FROM vcand JOIN sh sa ON vcand.id_a = sa.doc_id
              |             JOIN sh sb ON vcand.id_b = sb.doc_id),
              |vjc AS (SELECT DISTINCT id_b FROM vpairs WHERE jac >= $JaccardThreshold),
-             |$semEmbedCtes,
+             |${semEmbedCtes(semNScopeStream)},
              |xse AS (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |    ${frs("list_cosine_similarity(a.v, b.v)", 6)} AS score

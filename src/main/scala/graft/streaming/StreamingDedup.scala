@@ -164,14 +164,19 @@ object StreamingDedup {
   def streamCrossModalGate(spark: SparkSession, dir: String,
                            shingleSize: Int = 3, numHashes: Int = 32,
                            bands: Int = 16, threshold: Double = 0.5,
-                           embDim: Int = 64, nbits: Int = 16,
+                           embDim: Int = 64, nbits: Int = 0,
                            cosThreshold: Double = 0.95): DataFrame = {
     import graft.functions.VectorFunctions.{cosineFromNormSq, l2NormSq}
     import graft.operators.AnnIndex
     val emb = graft.pipeline.HashingEmbedder(embDim)
-    val planes = AnnIndex.hyperplanes(nbits, embDim)
     val docs = Tables.documents(spark, dir)
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    // nbits <= 0 = derive the SRP width from the STANDING side's row count
+    // (the relation the index buckets — stream rows only probe), the same
+    // corpus-scaled policy as Dedup.semanticAxisLosers; count() is a
+    // parameter fetch paid once at gate construction
+    val effNbits = if (nbits > 0) nbits else AnnIndex.autoNbits(corpus.count())
+    val planes = AnnIndex.hyperplanes(effNbits, embDim)
     val hashIdx = corpus.select(md5(col("text")).as("h")).distinct()
     val bandIdx = Dedup.bandKeysFor(corpus, "doc_id", "text", shingleSize, numHashes, bands)
       .select(col("hs").as("hs_a"), col("band"), col("band_key"))
@@ -184,7 +189,7 @@ object StreamingDedup {
     val slim = corpusVec.select(col("id_a"),
       AnnIndex.bucketCol(col("v_a"), planes).as("__b0")).cache()
     val semIdx = slim
-      .select(col("id_a"), explode(AnnIndex.probesCol(col("__b0"), nbits)).as("__bucket"))
+      .select(col("id_a"), explode(AnnIndex.probesCol(col("__b0"), effNbits)).as("__bucket"))
       .join(corpusVec.withColumn("__nsq_a", l2NormSq(col("v_a"))), Seq("id_a"))
 
     val stream = StreamingAgg.streamTable(spark, dir, "documents.parquet")

@@ -1711,6 +1711,31 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(f.map(_._2).sum === v.values.count(_._2 == 1L).toLong)
   }
 
+  test("crossModalVerdict: nbits <= 0 derives the SRP width from the distinct-text count") {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val docs = Seq(
+      0L -> base,
+      1L -> base,
+      2L -> base.split(' ').reverse.mkString(" "),
+      3L -> "completely different text with no shared vocabulary whatsoever anywhere at all thanks"
+    ).toDF("doc_id", "text")
+    // 3 distinct texts → autoNbits floors at the 4-bit minimum; nbits = 0
+    // must be verdict-identical to passing that derived width explicitly
+    val derived = graft.operators.AnnIndex.autoNbits(3L)
+    assert(derived === 4)
+    def verdict(nb: Int) = graft.operators.Dedup.crossModalVerdict(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 16,
+      jacThreshold = 0.5, containThreshold = 0.6, maxHamming = 8,
+      embDim = 64, nbits = nb, cosThreshold = 0.95)
+      .collect().map(_.toSeq).toSeq
+    assert(verdict(0) === verdict(derived))
+    // and the derivation itself scales: bucket-count target holds as n grows
+    assert(graft.operators.AnnIndex.autoNbits(128L) === 4)
+    assert(graft.operators.AnnIndex.autoNbits(1L << 20) === 13)
+    assert(graft.operators.AnnIndex.autoNbits(1L << 30) === 20, "capped at maxBits")
+  }
+
   test("q217 full-stack verdict: the perceptual axis attributes drops no text axis sees") {
     val v = graft.queries.Registry.all("q217_full_stack_verdict").fn(spark, sfDir)
       .collect()
