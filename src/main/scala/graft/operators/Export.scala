@@ -235,6 +235,20 @@ object Export {
       .drop("__hv")
     val cum = Scan.cumSums(rows, Seq(idCol), Seq("n_tok", "cand"), parts)
       .withColumn("start_off", col("cum_n_tok") - col("n_tok"))
+    minGapSurvivorShardIds(cum, idCol, minGapTokens, parts)
+  }
+
+  /** The min-gap SURVIVOR-CUT finish, decoupled from how the global
+    * cumulative sums were produced: `cum` carries per-doc (idCol, n_tok,
+    * start_off, cand, cum_cand) — from the batch prefix scan above or from
+    * the stream-maintained artifact ([[graft.streaming.StreamingExport]]'s
+    * min-gap twin), so streamed ≡ batch is true by shared construction,
+    * not by parallel reimplementation. All work below lives on the
+    * CANDIDATE relation (corpus_tokens/budget rows).
+    */
+  private[graft] def minGapSurvivorShardIds(cum: DataFrame, idCol: String,
+                                            minGapTokens: Long,
+                                            parts: Int): DataFrame = {
     // the candidate relation: inclusive candidate index + cut offset
     val cands = cum.filter(col("cand") === 1L)
       .select(col("cum_cand").as("__ci"), col("start_off").as("__coff"))

@@ -427,15 +427,19 @@ object Retrieval {
 
   /** [[rankingEvalSummary]] GROUPED by a key column (e.g. the retrieval leg
     * in a lexical-vs-vector-vs-hybrid comparison): one dashboard row per
-    * group, same ordered-fold determinism per group.
+    * group, same ordered-fold determinism per group. `metrics` names the
+    * per-query columns to macro-average — the default matches
+    * [[rankingEval]]'s outputs; a [[rankingEvalGraded]] relation passes
+    * `Seq("ndcg")` (graded rows carry no p@k/MRR).
     */
   def rankingEvalSummaryBy(perQuery: DataFrame, byCol: String,
-                           roundTo: Int = 6): DataFrame =
-    perQuery.groupBy(col(byCol)).agg(
-      count(lit(1)).as("n_queries"),
-      meanOrdered("p_at_k", roundTo), meanOrdered("mrr", roundTo),
-      meanOrdered("ndcg", roundTo))
+                           roundTo: Int = 6,
+                           metrics: Seq[String] = Seq("p_at_k", "mrr", "ndcg")): DataFrame = {
+    require(metrics.nonEmpty, "rankingEvalSummaryBy needs at least one metric column")
+    val aggs = count(lit(1)).as("n_queries") +: metrics.map(meanOrdered(_, roundTo))
+    perQuery.groupBy(col(byCol)).agg(aggs.head, aggs.tail: _*)
       .orderBy(byCol)
+  }
 
   private def meanOrdered(c: String, roundTo: Int) = floorRound(
     aggregate(sort_array(collect_list(col(c))), lit(0.0), (a, x) => a + x) /

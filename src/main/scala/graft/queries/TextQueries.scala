@@ -210,7 +210,12 @@ object TextQueries {
         .mkString(";").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
 
-  private def hybridEvalMultiBuild(s: SparkSession, dir: String): DataFrame = {
+  /** The shared leg construction of the multi-query hybrid family: system
+    * rankings for all legs × queries under the `leg#qid` key, plus the
+    * exact-cosine truth carrying its own rank (`vrank`) so graded consumers
+    * can band gains from it — binary consumers drop the column.
+    */
+  private def hybridLegsRanked(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val docs = Tables.documents(s, dir)
@@ -240,21 +245,43 @@ object TextQueries {
       val ranked = keyed("lex", lex).unionByName(keyed("vec", vec))
         .unionByName(keyed("hybrid", hyb))
       val truth = Seq("hybrid", "lex", "vec").toDF("leg")
-        .crossJoin(vec.filter(col("rank") <= 10).select("doc_id"))
-        .select(concat_ws("#", col("leg"), lit(qid.toString)).as("qkey"), col("doc_id"))
+        .crossJoin(vec.filter(col("rank") <= 10).select(col("doc_id"), col("rank").as("vrank")))
+        .select(concat_ws("#", col("leg"), lit(qid.toString)).as("qkey"),
+          col("doc_id"), col("vrank"))
       (ranked, truth)
     }
-    graft.operators.Retrieval.rankingEval(
-      perQ.map(_._1).reduce(_ unionByName _),
-      perQ.map(_._2).reduce(_ unionByName _),
-      "qkey", "doc_id", "rank", k = 10)
+    (perQ.map(_._1).reduce(_ unionByName _), perQ.map(_._2).reduce(_ unionByName _))
   }
+
+  private def hybridEvalMultiBuild(s: SparkSession, dir: String): DataFrame = {
+    val (ranked, truth) = hybridLegsRanked(s, dir)
+    graft.operators.Retrieval.rankingEval(
+      ranked, truth.drop("vrank"), "qkey", "doc_id", "rank", k = 10)
+  }
+
+  /** GRADED multi-query hybrid eval (r15 verdict task 5 — q232 × q237):
+    * the same 15 leg×query rankings, gains banded from the exact-cosine
+    * truth rank (3 for the top-2, 2 for 3–5, 1 for 6–10 — q232's integer
+    * CASE, bit-identical across engines). One standing artifact, read by
+    * the q240 per-leg macro.
+    */
+  private def hybridEvalMultiGraded(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.ArtifactStore.loadOrBuild(s,
+      graft.pipeline.ArtifactStore.rootFor(dir,
+        s"hybrid_eval_multi_graded_$hybridQueryDefsDigest-k10_t20_rrf60_v1")) {
+      val (ranked, truth) = hybridLegsRanked(s, dir)
+      graft.operators.Retrieval.rankingEvalGraded(
+        ranked,
+        truth.withColumn("grade",
+          when(col("vrank") <= 2, 3L).when(col("vrank") <= 5, 2L).otherwise(1L)),
+        "qkey", "doc_id", "rank", "grade", k = 10)
+    }.orderBy("qkey")
 
   /** q237's oracle: the shared corpus CTEs once, per-query leg CTEs
     * suffixed `_q<id>`, the 15 system rankings and 15 truth blocks unioned
     * under the `leg#qid` key, and q228's metric tail verbatim.
     */
-  private lazy val hybridEvalMultiOracle: String = {
+  private def hybridEvalMultiOracleBody(graded: Boolean): String = {
     val legCtes = hybridQueryDefs.map { case (qid, terms) =>
       hybridQueryCtes(qid, terms, s"_q$qid")
     }.mkString(",\n")
@@ -272,11 +299,19 @@ object TextQueries {
          |  UNION ALL SELECT 'vec#$qid', doc_id, r_vec FROM vec_q$qid WHERE r_vec <= 10
          |  UNION ALL SELECT 'hybrid#$qid', doc_id, rank FROM hyb_q$qid""".stripMargin
     }.mkString("\n  UNION ALL\n")
+    // graded truth bands gains from the exact-cosine rank (q232's CASE)
+    val gradeSel = if (graded)
+      ",\n    CASE WHEN v.r_vec <= 2 THEN 3 WHEN v.r_vec <= 5 THEN 2 ELSE 1 END AS grade"
+    else ""
+    val vCols = if (graded) "doc_id, r_vec" else "doc_id"
     val tru = hybridQueryDefs.map { case (qid, _) =>
-      s"""  SELECT l.leg || '#$qid' AS qkey, v.doc_id
+      s"""  SELECT l.leg || '#$qid' AS qkey, v.doc_id$gradeSel
          |  FROM (SELECT unnest(['hybrid', 'lex', 'vec']) AS leg) l
-         |  CROSS JOIN (SELECT doc_id FROM vec_q$qid WHERE r_vec <= 10) v""".stripMargin
+         |  CROSS JOIN (SELECT $vCols FROM vec_q$qid WHERE r_vec <= 10) v""".stripMargin
     }.mkString("\n  UNION ALL\n")
+    val tail =
+      if (graded) graft.operators.Retrieval.rankingEvalGradedTailSql(10, "qkey", "doc_id")
+      else graft.operators.Retrieval.rankingEvalTailSql(10, "qkey", "doc_id")
     s"""WITH $hybridCorpusCtes,
        |$legCtes,
        |$hybCtes,
@@ -284,8 +319,11 @@ object TextQueries {
        |$sysr),
        |tru AS (
        |$tru),
-       |${graft.operators.Retrieval.rankingEvalTailSql(10, "qkey", "doc_id")}""".stripMargin
+       |$tail""".stripMargin
   }
+
+  private lazy val hybridEvalMultiOracle: String = hybridEvalMultiOracleBody(graded = false)
+  private lazy val hybridEvalMultiGradedOracle: String = hybridEvalMultiOracleBody(graded = true)
 
   /** SQL mirror of TextFunctions.qualityScore — shared by q20 and the q57
     * curation chain. */
@@ -2194,6 +2232,31 @@ object TextQueries {
            |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
+    // q238 WITH GRADED GAINS (r15 verdict task 5 — the q232 × q237
+    // consolidation): the same 15 leg×query rankings scored by graded nDCG
+    // (gain 2^g − 1, grades banded from the exact-cosine truth rank), then
+    // macro-averaged per leg. This is the dashboard that separates "finds
+    // the truth set" from "finds the HEAD of the truth set": a leg that
+    // surfaces only tail-grade truth docs scores visibly below one that
+    // keeps the top-2. Means are ordered folds per group (q230's rule).
+    "q240_hybrid_eval_graded_by_leg" -> Q(
+      (s, dir) => graft.operators.Retrieval.rankingEvalSummaryBy(
+        hybridEvalMultiGraded(s, dir)
+          .withColumn("leg", element_at(split(col("qkey"), "#"), 1)),
+        "leg", metrics = Seq("ndcg")),
+      Some {
+        def m(c: String) = frs(
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list($c))), (a, x) -> a + x)" +
+            " / CAST(count(*) AS DOUBLE)", 6)
+        s"""WITH ev AS (
+           |$hybridEvalMultiGradedOracle
+           |)
+           |SELECT split_part(qkey, '#', 1) AS leg,
+           |  CAST(count(*) AS BIGINT) AS n_queries,
+           |  ${m("ndcg")} AS mean_ndcg
+           |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // PMI collocation mining — adjacent-pair pointwise mutual information
     // against the positional marginals, the phrase-detection pass of
     // tokenizer/vocabulary construction. Counts stay exact BIGINTs; the only
@@ -3453,6 +3516,49 @@ object TextQueries {
              |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
              |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS checksum
              |FROM sh4 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q235's TTTD MIN-GAP manifest MAINTAINED FROM A STREAM (r15 verdict
+    // task 4): pass 1 streams the same content-pure candidate flag as q233
+    // (plus the token cumsum); the survivor cut lives entirely on the
+    // candidate relation, so the read side calls the BATCH operator's own
+    // minGapSurvivorShardIds tail over the stream-maintained rows —
+    // streamed ≡ batch by shared construction, checked against q235's
+    // batch oracle verbatim.
+    "q239_stream_export_cdc_tttd" -> Q(
+      (s, dir) => graft.streaming.StreamingExport.streamShardManifestCdcTokenAwareMinGap(
+        s, dir, shardTokenBudget = 4096L, minGapTokens = 2048L),
+      Some(s"""WITH tc AS (
+             |  SELECT doc_id, source, text,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |    CAST(${graft.operators.Export.hex4ValSql("md5(text)")} AS BIGINT) AS hv
+             |  FROM documents),
+             |cs AS (
+             |  SELECT *,
+             |    CASE WHEN hv * 4096 < n_tok * 65536 THEN 1 ELSE 0 END AS cand,
+             |    CAST(sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT) AS start_off
+             |  FROM tc),
+             |ci AS (
+             |  SELECT *, CAST(sum(cand) OVER (ORDER BY doc_id) AS BIGINT) AS cidx
+             |  FROM cs),
+             |cands AS (SELECT cidx, start_off AS coff FROM ci WHERE cand = 1),
+             |surv AS (
+             |  SELECT cidx,
+             |    CASE WHEN coff - coalesce(lag(coff) OVER (ORDER BY cidx), 0) >= 2048
+             |         THEN 1 ELSE 0 END AS sv
+             |  FROM cands),
+             |srank AS (
+             |  SELECT cidx, CAST(sum(sv) OVER (ORDER BY cidx) AS BIGINT) AS sr
+             |  FROM surv),
+             |sh5 AS (
+             |  SELECT ci.*, coalesce(srank.sr, 0) AS shard_id
+             |  FROM ci LEFT JOIN srank ON ci.cidx = srank.cidx)
+             |SELECT shard_id,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS checksum
+             |FROM sh5 GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     "q149_exact_substr_spans" -> Q(
       (s, dir) => Dedup.exactSubstrSpans(

@@ -73,4 +73,40 @@ object StreamingExport {
       .withColumn("shard_id", col("cum_cut"))
     Export.manifestOf(rows, "doc_id", "source")
   }
+
+  /** The TTTD MIN-GAP manifest ([[Export.shardManifestCdcTokenAwareMinGap]])
+    * maintained from a stream (r15 verdict task 4). Pass 1 is the same
+    * content-pure projection as the plain CDC twin above — candidate flag
+    * from the document's own hash, cumulative (n_tok, cand) riding the
+    * content-keyed two-pass prefix scan. The min-gap survivor cut is a
+    * function of the CANDIDATE relation only (one lag + one candidate-sized
+    * prefix scan), so the read-side finish calls the BATCH operator's own
+    * tail ([[Export.minGapSurvivorShardIds]]) on the stream-maintained
+    * rows: streamed ≡ batch by shared construction, and q239 checks it
+    * against q235's batch oracle verbatim.
+    */
+  def streamShardManifestCdcTokenAwareMinGap(spark: SparkSession, dir: String,
+                                             shardTokenBudget: Long,
+                                             minGapTokens: Long,
+                                             hitsName: String = "export_manifest_cdc_mingap_stream_v1"): DataFrame = {
+    require(shardTokenBudget > 0,
+      s"shardTokenBudget must be positive, got $shardTokenBudget")
+    require(minGapTokens >= 0 && minGapTokens < shardTokenBudget * 16,
+      s"minGapTokens must be in [0, 16*budget), got $minGapTokens")
+    val rows = StreamingPacking.streamGlobalCumsums(spark, dir, hitsName,
+      b => b.select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tok"),
+          expr(Export.hex4ValSql("md5(text)")).cast("long").as("__hv"),
+          col("source"), md5(col("text")).as("__h"))
+        .withColumn("cand",
+          when(col("__hv") * lit(shardTokenBudget) < col("n_tok") * lit(65536L), 1L)
+            .otherwise(0L))
+        .drop("__hv"),
+      sumCols = Seq("n_tok", "cand"))
+      .withColumn("start_off", col("cum_n_tok") - col("n_tok"))
+    val assigned = Export.minGapSurvivorShardIds(rows, "doc_id", minGapTokens, 32)
+    Export.manifestOf(
+      rows.select("doc_id", "source", "__h").join(assigned, Seq("doc_id")),
+      "doc_id", "source")
+  }
 }

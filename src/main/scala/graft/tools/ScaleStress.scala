@@ -110,6 +110,39 @@ object ScaleStress {
       }
     }
 
+    // SUFFIX-RANK chains (r15 verdict task 2): the registered q183/q185/
+    // q189 queries run on an oracle-capped corpus (doc_id < 8, 128 chars —
+    // the brute-force DuckDB twin is O(n²·L)), so prefixing them here
+    // measures a constant-size fixture. These synthetic chains run the SAME
+    // operators over the FULL replicated corpus (char-capped at 256/doc so
+    // 10× at sf0.1 stays a ~12.8M-position build) — the curve that actually
+    // tests the O(n log L) claim. Fresh builds each time (no ArtifactStore):
+    // the build IS the thing measured.
+    def srCorpus(s: SparkSession, dir: String): DataFrame =
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), substring(col("text"), 1, 256).as("t"))
+    val extraChains: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "sr183_dup_prefix_full" -> ((s, dir) =>
+        graft.operators.SuffixRank.longestDupPrefix(s, srCorpus(s, dir),
+          "doc_id", "t", minLen = 12)),
+      "sr185_repeat_lexicon_full" -> ((s, dir) =>
+        graft.operators.SuffixRank.maximalRepeats(s, srCorpus(s, dir),
+          "doc_id", "t", minLen = 12)),
+      "sr189_contamination_full" -> ((s, dir) => {
+        val d = srCorpus(s, dir)
+        graft.operators.SuffixRank.crossCorpusOverlap(s,
+          d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+          "doc_id", "t", minLen = 12)
+      }),
+      // the SEMANTIC axis alone (attribution probe for the q212 family's
+      // distinct-growth curve): corpus-derived SRP width, exact-cosine
+      // verify at the fusion threshold
+      "semaxis_losers" -> ((s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+        graft.operators.Dedup.semanticAxisLosers(docs.cache(), "doc_id", "text",
+          embDim = 64, nbits = 0, cosThreshold = 0.95)._2
+      }))
+
     val scratch = java.nio.file.Files.createTempDirectory("graft_scale").toString
     println(s"[scale] source $srcDir scratch $scratch factors ${factors.mkString(",")}")
     for (f <- factors) {
@@ -119,7 +152,7 @@ object ScaleStress {
       println(f"[scale] f=$f%-3d replicated in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       // exact id match ("q215" must not sweep in "q215b"): a prefix selects
       // only itself or its own underscore-delimited name
-      for (p <- prefixes; (name, fn) <- graft.SparkEntry.queries
+      for (p <- prefixes; (name, fn) <- graft.SparkEntry.queries ++ extraChains
            if name == p || name.startsWith(p + "_")) {
         spark.catalog.clearCache()
         maxTaskMs.set(0); shuffleBytes.set(0)
