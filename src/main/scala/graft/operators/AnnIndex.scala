@@ -42,6 +42,25 @@ object AnnIndex {
     math.max(minBits, b)
   }
 
+  /** Per-band SRP width for [[cosineNearDupPairsBandedCentered]]: the least
+    * r with `targetBucket · 2^r ≥ n` (same integer-shift derivation as
+    * [[autoNbits]], mirrored verbatim in the oracles' params CTE). With
+    * corpus-mean-centered vectors the unrelated-pair sign-agreement rate is
+    * ≈ 1/2, so a band's chance-collision probability is 2^−r ≈
+    * targetBucket/n and expected chance candidates stay ≈
+    * bands·targetBucket·n/2 — LINEAR in the corpus at any scale, the
+    * property the single-table hamming-1 probe loses on correlated
+    * embeddings (measured r16: 2.2 GiB shuffle at 10× sf0.1 distinct-growth
+    * — the positive-orthant baseline cosine ≈ 0.6 made every pair a
+    * near-candidate).
+    */
+  def autoBandBits(n: Long, targetBucket: Int = 16,
+                   minBits: Int = 4, maxBits: Int = 30): Int = {
+    var b = 0
+    while (b < maxBits && (targetBucket.toLong << b) < n) b += 1
+    math.max(minBits, b)
+  }
+
   /** Deterministic hyperplanes: component d of plane j is the centered
     * integer hash `((k²·2654435761 + 97k + 12345) mod 1000003) − 501001` with
     * `k = j·dim + d + 1`. The quadratic term breaks the affine structure a
@@ -850,6 +869,90 @@ object AnnIndex {
     val cand = l.join(r, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
+    val v = df.select(col(idCol).as("__vid"), col(vecCol).as("__vec"))
+      .withColumn("__nsq", l2NormSq(col("__vec")))
+    cand
+      .join(v.select(col("__vid"), col("__vec").as("vec_a"), col("__nsq").as("__nsq_a")),
+            col("id_a") === col("__vid")).drop("__vid")
+      .join(v.select(col("__vid"), col("__vec").as("vec_b"), col("__nsq").as("__nsq_b")),
+            col("id_b") === col("__vid")).drop("__vid")
+      .withColumn("score", floorRound(
+        cosineFromNormSq(col("vec_a"), col("vec_b"), col("__nsq_a"), col("__nsq_b")), roundTo))
+      .filter(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The per-dim FLOORED corpus mean of an integer-valued vector column —
+    * the centering parameter of [[cosineNearDupPairsBandedCentered]]: one
+    * aggregate job returning `dim` longs (`⌊Σx_i / n⌋`, exact integer
+    * arithmetic on both engines; the floor costs < 1 count per dim, noise
+    * against token-count magnitudes). Centering by the CORPUS mean — not
+    * the per-vector mean — is what decorrelates unrelated documents:
+    * bucket-count embeddings share the corpus token profile (common-word
+    * buckets are hot in every doc), so raw vectors of unrelated docs sit at
+    * cosine ≈ 0.6 and ANY sign-projection family sees them as neighbors;
+    * residuals around the corpus mean sit at cosine ≈ 0 (measured r16 at
+    * sf0.1: unrelated mean 0.089 centered vs 0.611 raw, while true ≥0.95
+    * near-dups keep centered cosine ≥ 0.78).
+    */
+  def flooredMeanVec(df: DataFrame, vecCol: String, dim: Int): Seq[Long] = {
+    val aggs = count(lit(1)).as("__n") +:
+      (0 until dim).map(i =>
+        sum(element_at(col(vecCol), i + 1).cast("long")).as(s"__s$i"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    require(n > 0, "flooredMeanVec needs a non-empty relation")
+    (0 until dim).map(i => Math.floorDiv(row.getLong(i + 1), n))
+  }
+
+  /** The array of `bands` band buckets of a (corpus-mean-centered) vector:
+    * band b's bucket packs the signs of planes [b·rbits, (b+1)·rbits) —
+    * shared by [[cosineNearDupPairsBandedCentered]] and the streamed
+    * semantic gate (index and probe sides MUST center by the same `m`).
+    */
+  def bandBucketsCol(vec: Column, planes: Seq[Seq[Double]], rbits: Int,
+                     bands: Int, m: Seq[Long]): Column = {
+    val mLit = array(m.map(x => lit(x.toDouble)): _*)
+    val centered = zip_with(asDouble(vec), mLit, (x, mu) => x - mu)
+    array((0 until bands).map { b =>
+      bucketCol(centered, planes.slice(b * rbits, (b + 1) * rbits))
+    }: _*)
+  }
+
+  /** Near-duplicate pairs by RAW-vector cosine ≥ threshold, with candidates
+    * from BANDED sign-random-projection over corpus-mean-CENTERED vectors —
+    * the scale path for correlated (e.g. nonnegative bag-of-words)
+    * embeddings where [[cosineNearDupPairs]]' single-table hamming-1 probe
+    * degenerates (see [[flooredMeanVec]] for the geometry and
+    * [[autoBandBits]] for the linear-candidates argument). AND-OR
+    * amplification (Leskovec–Rajaraman–Ullman §3.6.3 / the
+    * [[Dedup.minhashLshPairs]] banding): `bands` independent r-bit SRP
+    * tables, a pair is a candidate when ANY band agrees on all r signs,
+    * verification is exact cosine on the RAW vectors — so the centering
+    * changes RECALL only, never which verified pairs qualify.
+    *
+    * Scale shape: slim (id, band, bucket) relation cached behind the q28
+    * barrier, band-keyed equi-join, pair dedup (a pair can match several
+    * bands), vectors attached AFTER candidate generation.
+    */
+  def cosineNearDupPairsBandedCentered(df: DataFrame, idCol: String, vecCol: String,
+                                       threshold: Double, rbits: Int, bands: Int,
+                                       dim: Int, roundTo: Int = 6): DataFrame = {
+    require(rbits > 0 && rbits <= 62, s"rbits must be in (0, 62], got $rbits")
+    require(bands > 0, s"bands must be positive, got $bands")
+    val planes = hyperplanes(bands * rbits, dim)
+    val m = flooredMeanVec(df, vecCol, dim)
+    // slim-candidate pattern + cache barrier (see cosineNearDupPairs)
+    val slim = df.select(col(idCol).as("__id"),
+        posexplode(bandBucketsCol(col(vecCol), planes, rbits, bands, m))
+          .as(Seq("__band", "__bucket")))
+      .cache() // cache-lifetime: pinned by the returned plan — caller releases (see Caching)
+    val cand = slim.select(col("__id").as("id_a"), col("__band"), col("__bucket"))
+      .join(slim.select(col("__id").as("id_b"), col("__band"), col("__bucket")),
+        Seq("__band", "__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
     val v = df.select(col(idCol).as("__vid"), col(vecCol).as("__vec"))
       .withColumn("__nsq", l2NormSq(col("__vec")))
     cand

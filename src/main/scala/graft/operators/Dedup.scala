@@ -603,18 +603,22 @@ object Dedup {
     * candidates → exact-cosine ≥ τ → keep-first flags (see
     * [[crossModalVerdict]] for the full rationale).
     *
-    * `nbits <= 0` derives the SRP width from the corpus —
-    * [[AnnIndex.autoNbits]] over the DISTINCT-text representative count,
-    * the relation actually bucketed (r15 verdict task 1: a fixed nbits=16
-    * leaves chance-collision candidate mass growing n²/2¹⁶ past ~10⁶
-    * distinct docs; corpus-derived bits keep expected bucket size at the
-    * 128-row target, so candidates stay ~linear at any corpus). The one
-    * count() is a parameter fetch, same as q27's. Threshold recalibration
-    * under auto-nbits (r16, measured at sf0.1 over ALL distinct pairs):
-    * pair density drops ~47× crossing τ=0.95 ([0.92,0.95)≈20.8k pairs vs
-    * [0.95,0.99)≈582), so 0.95 sits in a real density gap and wider
-    * candidate coverage only ADDS genuinely-≥τ pairs the 16-bit buckets
-    * happened to miss.
+    * `nbits <= 0` selects the SCALE path: corpus-mean-centered BANDED SRP
+    * ([[AnnIndex.cosineNearDupPairsBandedCentered]], 16 bands × an
+    * [[AnnIndex.autoBandBits]]-derived width over the DISTINCT-text
+    * representative count — the relation actually bucketed). The r15 fixed
+    * nbits=16 single-table probe had two scale defects, both measured this
+    * round: chance-collision mass n²/2¹⁶ past ~10⁶ distinct docs (the r15
+    * residual), and — worse — bucket-count embeddings share the corpus
+    * token profile, putting UNRELATED docs at raw cosine ≈ 0.6 where a
+    * sign-projection table passes ~20% of all pairs regardless of width
+    * (2.2 GiB shuffle at 10× sf0.1 distinct-growth). Centering moves the
+    * unrelated mass to cosine ≈ 0.09 while true ≥ τ pairs keep ≥ 0.78, and
+    * banding makes chance candidates ≈ bands·16·n/2 — linear. The exact
+    * RAW-cosine ≥ τ verify is unchanged, so centering shifts recall, never
+    * the qualifying predicate; τ = 0.95 still sits in the measured density
+    * gap (pair density drops ~47× crossing it at sf0.1). `nbits > 0` pins
+    * the legacy single-table probe (unit-test/back-compat path).
     */
   private[graft] def semanticAxisLosers(base: DataFrame, idCol: String, textCol: String,
                                         embDim: Int, nbits: Int,
@@ -627,20 +631,31 @@ object Dedup {
     // per distinct text; a non-rep exact dup shares its rep's vector — SRP
     // bucket identical, cosine exactly 1.0 after rounding — so it is a
     // semantic loser by construction UNLESS the vector is zero-norm (the
-    // cosine is NaN there and cosineNearDupPairs never flags it — mirrored
+    // cosine is NaN there and the pair generators never flag it — mirrored
     // by the norm filter on the dup union)
     val reps = exactDedup(base, idCol, textCol)
-    val effNbits = if (nbits > 0) nbits else AnnIndex.autoNbits(reps.count())
+    val repVecs = reps.select(col(idCol), emb.embedRaw(col(textCol)).as("__v"))
+    val semPairs =
+      if (nbits > 0)
+        AnnIndex.cosineNearDupPairs(repVecs, idCol, "__v",
+          threshold = cosThreshold, nbits = nbits, dim = embDim)
+      else
+        AnnIndex.cosineNearDupPairsBandedCentered(repVecs, idCol, "__v",
+          threshold = cosThreshold,
+          rbits = AnnIndex.autoBandBits(reps.count()), bands = SemBands,
+          dim = embDim)
     val dupNonzero = base
       .join(reps.select(col(idCol)), Seq(idCol), "left_anti")
       .filter(l2NormSq(emb.embedRaw(col(textCol))) > 0.0)
       .select(col(idCol))
-    val semPairs = AnnIndex.cosineNearDupPairs(
-      reps.select(col(idCol), emb.embedRaw(col(textCol)).as("__v")),
-      idCol, "__v", threshold = cosThreshold, nbits = effNbits, dim = embDim)
     "semantic" -> semPairs.select(col("id_b").as(idCol))
       .unionByName(dupNonzero).distinct().withColumn("f_semantic", lit(1L))
   }
+
+  /** Band count of the semantic axis's banded-SRP scale path (OR-side of
+    * the AND-OR amplification; the AND-side width is corpus-derived).
+    */
+  val SemBands = 16
 
   /** Per-detector attrition over a [[verdictFusion]] verdict relation — the
     * funnel a curation run publishes: for each axis the flagged count, the

@@ -265,10 +265,80 @@ object Export {
     val ranked = Scan.cumSums(lagged.select(col("__ci"), col("survive")),
       Seq("__ci"), Seq("survive"), parts)
       .select(col("__ci"), col("cum_survive").as("__sr"))
+    // shard START offsets ride along (param-sized: one row per surviving
+    // cut + the implicit corpus-start shard 0) so downstream bounds can
+    // position within the shard without a corpus-wide window
+    val starts = lagged.filter(col("survive") === 1L)
+      .join(ranked, Seq("__ci"))
+      .select(col("__sr").as("shard_id"), col("__coff").as("shard_start"))
     cum.join(ranked, cum("cum_cand") === ranked("__ci"), "left")
       .withColumn("shard_id", coalesce(col("__sr"), lit(0L)))
+      .join(starts, Seq("shard_id"), "left")
+      .withColumn("shard_start", coalesce(col("shard_start"), lit(0L)))
       .select(col(idCol), col("n_tok"), col("start_off"), col("cand"),
-        col("shard_id"))
+        col("shard_id"), col("shard_start"))
+  }
+
+  /** BOTH-SIDED shard-size bounds (the TTTD max-side decision, r15 verdict
+    * task 8 — built, not wontfixed, but as a COMPOSITION rather than
+    * Eshghi & Tang's backup divisor): [[assignShardsCdcTokenAwareMinGap]]
+    * floors every content-defined shard at `minGapTokens`; this splits any
+    * shard that still exceeds `maxShardTokens` at FIXED OFFSETS relative to
+    * its own (content-defined) start — `sub_id = (start_off − shard_start)
+    * / maxShardTokens`. The piece (shard_id, sub_id) then holds docs whose
+    * starts lie in one maxShardTokens window, so piece mass <
+    * maxShardTokens + one document — a HARD upper bound.
+    *
+    * Honesty note vs the paper: E&T's backup divisor places the forced cut
+    * at a content position chosen by a second hash threshold, measured from
+    * the last surviving cut — sequential state no fixed number of window
+    * passes expresses (the r15 residual). This composition instead forces
+    * offset cuts WITHIN an already-decided shard, so sub-boundaries are
+    * content-defined only at their shard's head. The properties that
+    * matter at 100 TB survive: both bounds hard, everything declarative
+    * (two prefix scans + param-sized joins), and edit/deletion locality
+    * holds at shard granularity — sub-cuts are shard-local, so an edit
+    * re-derives sub-boundaries only inside the shards it already changed.
+    */
+  def assignShardsCdcTokenAwareBounded(df: DataFrame, idCol: String,
+                                       textCol: String, shardTokenBudget: Long,
+                                       minGapTokens: Long, maxShardTokens: Long,
+                                       parts: Int = 32,
+                                       countTokens: org.apache.spark.sql.Column => org.apache.spark.sql.Column = tokenCount): DataFrame = {
+    require(maxShardTokens >= shardTokenBudget,
+      s"maxShardTokens must be >= budget, got $maxShardTokens < $shardTokenBudget")
+    assignShardsCdcTokenAwareMinGap(df, idCol, textCol, shardTokenBudget,
+      minGapTokens, parts, countTokens)
+      .withColumn("sub_id", graft.functions.MathFunctions.longDiv(
+        col("start_off") - col("shard_start"), lit(maxShardTokens)))
+  }
+
+  /** [[shardManifest]] over the both-sided-bounded boundaries — the manifest
+    * keyed (shard_id, sub_id); consumers treat the pair as the shard key.
+    */
+  def shardManifestCdcTokenAwareBounded(df: DataFrame, idCol: String,
+                                        textCol: String, sourceCol: String,
+                                        shardTokenBudget: Long,
+                                        minGapTokens: Long, maxShardTokens: Long,
+                                        parts: Int = 32,
+                                        countTokens: org.apache.spark.sql.Column => org.apache.spark.sql.Column = tokenCount): DataFrame = {
+    val assigned = assignShardsCdcTokenAwareBounded(df, idCol, textCol,
+      shardTokenBudget, minGapTokens, maxShardTokens, parts, countTokens)
+    df.select(col(idCol), col(sourceCol), md5(col(textCol)).as("__h"))
+      .join(assigned, Seq(idCol))
+      .groupBy("shard_id", "sub_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"),
+        countDistinct(col(sourceCol)).as("n_sources"),
+        md5(concat_ws("", transform(
+          sort_array(collect_list(struct(col(idCol), col("__h")))),
+          x => x.getField("__h")))).as("checksum"))
+      .select("shard_id", "sub_id", "n_docs", "n_tokens", "first_doc",
+        "last_doc", "n_sources", "checksum")
+      .orderBy("shard_id", "sub_id")
   }
 
   /** [[shardManifest]] over min-gap-bounded token-aware CDC boundaries. */

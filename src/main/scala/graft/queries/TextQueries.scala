@@ -635,54 +635,69 @@ object TextQueries {
 
   /** The cross-modal SEMANTIC axis (q212/q213): per-doc raw bucket-count
     * embeddings (q35's poly-hash buckets, reusing `th`'s token hashes),
-    * sign-random-projection buckets over the q27/q28 integer-hash
-    * hyperplanes, hamming ≤ 1 candidates, exact-cosine verify. Mirrors
-    * AnnIndex.cosineNearDupPairs over HashingEmbedder.embedRaw.
+    * corpus-mean-CENTERED banded sign-random-projection over the q27/q28
+    * integer-hash hyperplanes (16 bands × corpus-derived width — exact-
+    * match band candidates, the AND-OR amplification), exact RAW-cosine
+    * verify. Mirrors [[graft.operators.AnnIndex.cosineNearDupPairsBandedCentered]]
+    * over HashingEmbedder.embedRaw; see that scaladoc for why centering +
+    * banding is the 100 TB shape (the raw positive-orthant baseline makes
+    * every pair a near-candidate of any single sign table).
     *
-    * The SRP width is CORPUS-DERIVED (q27's autoNbits pattern, r15 verdict
-    * task 1): `nScopeSql` must count exactly the relation the Scala side
-    * buckets — distinct-text representatives for the batch fusion family,
-    * the standing static corpus for the streamed gate — and the `sparams`
-    * CTE mirrors AnnIndex.autoNbits's pure-integer-shift derivation.
+    * Scopes must mirror the Scala side exactly: `nScopeSql` counts the
+    * bucketed relation (distinct-text reps for the batch family, the
+    * standing static corpus for the streamed gate) for the per-band width;
+    * `muWhereSql` restricts the floored-mean centering to the SAME
+    * relation. Mean arithmetic is all-BIGINT (sum // count), so both
+    * engines center identically.
     */
-  private def semEmbedCtes(nScopeSql: String): String =
+  private def semEmbedCtes(nScopeSql: String, muWhereSql: String): String =
     s"""sparams AS (
        |  SELECT greatest(4, coalesce((
-       |    SELECT min(b) FROM (SELECT unnest(generate_series(0, 20)) AS b) bs
-       |    WHERE (CAST(128 AS BIGINT) << CAST(b AS INTEGER)) >= ($nScopeSql)), 20)) AS snbits),
+       |    SELECT min(b) FROM (SELECT unnest(generate_series(0, 30)) AS b) bs
+       |    WHERE (CAST(16 AS BIGINT) << CAST(b AS INTEGER)) >= ($nScopeSql)), 30)) AS srb),
        |scv AS (SELECT doc_id, h % 64 AS bucket, count(*) AS n FROM th GROUP BY 1, 2),
        |sdense AS (
-       |  SELECT d.doc_id, g.i, CAST(coalesce(c.n, 0) AS DOUBLE) AS x
+       |  SELECT d.doc_id, g.i, CAST(coalesce(c.n, 0) AS BIGINT) AS x
        |  FROM (SELECT doc_id FROM documents) d
        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
        |  LEFT JOIN scv c ON c.doc_id = d.doc_id AND c.bucket = g.i),
-       |semb AS (SELECT doc_id, list(x ORDER BY i) AS v FROM sdense GROUP BY doc_id),
+       |smu AS (
+       |  SELECT i, CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+       |  FROM sdense $muWhereSql GROUP BY i),
+       |semb AS (
+       |  SELECT doc_id, list(CAST(x AS DOUBLE) ORDER BY sdense.i) AS v,
+       |    list(CAST(x - m AS DOUBLE) ORDER BY sdense.i) AS vc
+       |  FROM sdense JOIN smu ON smu.i = sdense.i GROUP BY doc_id),
        |splanes AS (
        |  SELECT list(list_transform(generate_series(0, 63), d ->
        |      CAST(((j*64+d+1)*(j*64+d+1) * 2654435761 + 97*(j*64+d+1) + 12345) % 1000003
        |        - 501001 AS DOUBLE)) ORDER BY j) AS ws
-       |  FROM (SELECT unnest(generate_series(0, (SELECT snbits FROM sparams) - 1)) AS j)),
+       |  FROM (SELECT unnest(generate_series(0, 16 * (SELECT srb FROM sparams) - 1)) AS j)),
        |sebuck AS (
-       |  SELECT doc_id, v,
-       |    list_sum(list_transform(generate_series(1, sparams.snbits),
-       |      j -> CASE WHEN list_inner_product(v, splanes.ws[j]) >= CAST(0.0 AS DOUBLE)
+       |  SELECT doc_id, v, bb.b AS band,
+       |    list_sum(list_transform(generate_series(1, sparams.srb),
+       |      j -> CASE WHEN list_inner_product(vc, splanes.ws[bb.b * sparams.srb + j]) >= CAST(0.0 AS DOUBLE)
        |           THEN (CAST(1 AS BIGINT) << (j-1)) ELSE CAST(0 AS BIGINT) END)) AS bucket
-       |  FROM semb, splanes, sparams)""".stripMargin
+       |  FROM semb, splanes, sparams, (SELECT unnest(generate_series(0, 15)) AS b) bb)""".stripMargin
 
-  /** Batch fusion family's SRP-width scope: the distinct-text representative
-    * count — exactly `Dedup.exactDedup(...).count()` on the Scala side. */
+  /** Batch fusion family's scopes: the distinct-text representatives —
+    * exactly `Dedup.exactDedup(...)` on the Scala side (count for the band
+    * width, membership for the centering mean). */
   private val semNScopeBatch = "SELECT count(DISTINCT md5(text)) FROM documents"
+  private val semMuWhereBatch =
+    "WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))"
 
-  /** Streamed gate's scope: the standing static corpus the index buckets. */
+  /** Streamed gate's scopes: the standing static corpus the index buckets. */
   private val semNScopeStream = "SELECT count(*) FROM documents WHERE doc_id % 10 <> 0"
+  private val semMuWhereStream = "WHERE doc_id % 10 <> 0"
 
   private lazy val semanticAxisCtes: String =
-    s"""${semEmbedCtes(semNScopeBatch)},
+    s"""${semEmbedCtes(semNScopeBatch, semMuWhereBatch)},
        |sepairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |    ${frs("list_cosine_similarity(a.v, b.v)", 6)} AS score
        |  FROM sebuck a JOIN sebuck b
-       |    ON a.doc_id < b.doc_id AND bit_count(xor(a.bucket, b.bucket)) <= 1
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
        |  WHERE list_sum(list_transform(a.v, x -> x*x)) > CAST(0.0 AS DOUBLE)
        |    AND list_sum(list_transform(b.v, x -> x*x)) > CAST(0.0 AS DOUBLE)),
        |sel AS (SELECT DISTINCT id_b FROM sepairs WHERE score >= CAST($SemCosThreshold AS DOUBLE))""".stripMargin
@@ -773,7 +788,7 @@ object TextQueries {
   private def crossModalVerdictOf(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.ArtifactStore.loadOrBuild(s,
       graft.pipeline.ArtifactStore.rootFor(dir,
-        "cross_modal_verdict_s3_h32_b16_j05_c06_hm8_d64_nbauto_c095_v2")) {
+        "cross_modal_verdict_s3_h32_b16_j05_c06_hm8_d64_bsrp16_c095_v3")) {
       Dedup.crossModalVerdict(Tables.documents(s, dir), "doc_id", "text",
         shingleSize = 3, numHashes = 32, bands = 16,
         jacThreshold = JaccardThreshold, containThreshold = 0.6, maxHamming = 8,
@@ -787,7 +802,7 @@ object TextQueries {
     // parameter, the store's fingerprint covers the fixture
     graft.pipeline.ArtifactStore.loadOrBuild(s,
       graft.pipeline.ArtifactStore.rootFor(dir,
-        "full_stack_verdict_s3_h32_b16_j05_c06_hm8_d64_nbauto_c095_pm3_v2")) {
+        "full_stack_verdict_s3_h32_b16_j05_c06_hm8_d64_bsrp16_c095_pm3_v3")) {
       fullStackVerdictBuild(s, dir)
     }.orderBy("doc_id")
 
@@ -2693,13 +2708,13 @@ object TextQueries {
              |  FROM vcand JOIN sh sa ON vcand.id_a = sa.doc_id
              |             JOIN sh sb ON vcand.id_b = sb.doc_id),
              |vjc AS (SELECT DISTINCT id_b FROM vpairs WHERE jac >= $JaccardThreshold),
-             |${semEmbedCtes(semNScopeStream)},
+             |${semEmbedCtes(semNScopeStream, semMuWhereStream)},
              |xse AS (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |    ${frs("list_cosine_similarity(a.v, b.v)", 6)} AS score
              |  FROM sebuck a JOIN sebuck b
-             |    ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
-             |      AND bit_count(xor(a.bucket, b.bucket)) <= 1
+             |    ON a.band = b.band AND a.bucket = b.bucket
+             |      AND a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
              |  WHERE list_sum(list_transform(a.v, x -> x*x)) > CAST(0.0 AS DOUBLE)
              |    AND list_sum(list_transform(b.v, x -> x*x)) > CAST(0.0 AS DOUBLE)),
              |xsel AS (SELECT DISTINCT id_b FROM xse WHERE score >= CAST($SemCosThreshold AS DOUBLE)),
@@ -3043,13 +3058,13 @@ object TextQueries {
              |  FROM vcand JOIN sh sa ON vcand.id_a = sa.doc_id
              |             JOIN sh sb ON vcand.id_b = sb.doc_id),
              |vjc AS (SELECT DISTINCT id_b FROM vpairs WHERE jac >= $JaccardThreshold),
-             |${semEmbedCtes(semNScopeStream)},
+             |${semEmbedCtes(semNScopeStream, semMuWhereStream)},
              |xse AS (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |    ${frs("list_cosine_similarity(a.v, b.v)", 6)} AS score
              |  FROM sebuck a JOIN sebuck b
-             |    ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
-             |      AND bit_count(xor(a.bucket, b.bucket)) <= 1
+             |    ON a.band = b.band AND a.bucket = b.bucket
+             |      AND a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
              |  WHERE list_sum(list_transform(a.v, x -> x*x)) > CAST(0.0 AS DOUBLE)
              |    AND list_sum(list_transform(b.v, x -> x*x)) > CAST(0.0 AS DOUBLE)),
              |xsel AS (SELECT DISTINCT id_b FROM xse WHERE score >= CAST($SemCosThreshold AS DOUBLE)),
@@ -3388,6 +3403,58 @@ object TextQueries {
              |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS checksum
              |FROM sh5 GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // BOTH-SIDED TTTD BOUNDS (r15 verdict task 8 — the max-side DECISION,
+    // resolved by building the declarative composition instead of a
+    // wontfix): q235's min-gap floor plus fixed-offset sub-splitting WITHIN
+    // each content-defined shard (sub_id from the shard-local offset), so a
+    // (shard_id, sub_id) piece is HARD-bounded above by 8192 tokens + one
+    // document while boundaries stay content-defined at shard heads and
+    // deletion locality survives (sub-cuts are shard-local by
+    // construction). Differs from Eshghi & Tang's backup divisor honestly:
+    // their forced cut is content-positioned relative to the last surviving
+    // cut (sequential state); this is the bound a declarative engine can
+    // give — see the operator scaladoc.
+    "q242_export_manifest_cdc_bounded" -> Q(
+      (s, dir) => graft.operators.Export.shardManifestCdcTokenAwareBounded(
+        Tables.documents(s, dir), "doc_id", "text", "source",
+        shardTokenBudget = 4096L, minGapTokens = 2048L, maxShardTokens = 8192L),
+      Some(s"""WITH tc AS (
+             |  SELECT doc_id, source, text,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |    CAST(${graft.operators.Export.hex4ValSql("md5(text)")} AS BIGINT) AS hv
+             |  FROM documents),
+             |cs AS (
+             |  SELECT *,
+             |    CASE WHEN hv * 4096 < n_tok * 65536 THEN 1 ELSE 0 END AS cand,
+             |    CAST(sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT) AS start_off
+             |  FROM tc),
+             |ci AS (
+             |  SELECT *, CAST(sum(cand) OVER (ORDER BY doc_id) AS BIGINT) AS cidx
+             |  FROM cs),
+             |cands AS (SELECT cidx, start_off AS coff FROM ci WHERE cand = 1),
+             |surv AS (
+             |  SELECT cidx,
+             |    CASE WHEN coff - coalesce(lag(coff) OVER (ORDER BY cidx), 0) >= 2048
+             |         THEN 1 ELSE 0 END AS sv
+             |  FROM cands),
+             |srank AS (
+             |  SELECT cidx, CAST(sum(sv) OVER (ORDER BY cidx) AS BIGINT) AS sr
+             |  FROM surv),
+             |sh5 AS (
+             |  SELECT ci.*, coalesce(srank.sr, 0) AS shard_id
+             |  FROM ci LEFT JOIN srank ON ci.cidx = srank.cidx),
+             |sh6 AS (
+             |  SELECT *,
+             |    (start_off - min(start_off) OVER (PARTITION BY shard_id)) // 8192 AS sub_id
+             |  FROM sh5)
+             |SELECT shard_id, CAST(sub_id AS BIGINT) AS sub_id,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS checksum
+             |FROM sh6 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // DELETION PROPAGATION through the export delta (r13 verdict task 8) —
     // the whole chain a GDPR-style removal actually executes: the q43
     // tombstone anti-join (Delta.deleted) names the vanished documents, the
@@ -3559,6 +3626,100 @@ object TextQueries {
              |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
              |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS checksum
              |FROM sh5 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ERASURE PROPAGATION THROUGH PACKING (r15 verdict task 6): q234 traces
+    // a GDPR removal through EXPORT shards; the packed-sequence artifact
+    // (q215/q218) had no deletion story — an erased doc's tokens sit inside
+    // fixed-length training sequences. The whole chain: the q43 tombstone
+    // anti-join names the erased docs, both packing layouts fingerprint
+    // every sequence's composition pre/post erasure, and the delta counts
+    // sequences by (status, physically-contained-erased-tokens). The rows
+    // make the layout argument measured: global concat-and-chunk marks
+    // everything downstream of the first erasure `changed` while only an
+    // erasure-sized handful `contains_erased`; packing WITHIN token-aware
+    // CDC shards (content-stable first-doc shard keys) collapses `changed`
+    // to the affected shards — the erasure-friendly layout a 100 TB
+    // training pipeline should ship.
+    "q241_erasure_packed_delta" -> Q(
+      (s, dir) => {
+        import graft.operators.Packing
+        val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+        val scan = docs.filter(col("doc_id") % 500 =!= 255).select(col("doc_id").as("key"))
+        val cache = docs.select(col("doc_id").as("key"))
+        val tomb = graft.pipeline.Delta.deleted(scan, cache, keyCol = "key")
+          .select(col("key").as("doc_id"))
+        val surviving = docs.join(tomb, Seq("doc_id"), "left_anti")
+        def scheme(name: String, budget: Long) =
+          Packing.packedErasureDelta(
+            Packing.packedSeqSpans(docs, "doc_id", "text", seqLen = 128,
+              shardTokenBudget = budget),
+            Packing.packedSeqSpans(surviving, "doc_id", "text", seqLen = 128,
+              shardTokenBudget = budget),
+            tomb, "doc_id")
+            .select(lit(name).as("scheme"), col("*"))
+        scheme("global", 0L).unionByName(scheme("shard_local", 4096L))
+          .orderBy("scheme", "status", "contains_erased")
+      },
+      Some(s"""WITH tc AS (
+             |  SELECT doc_id, text,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |    CAST(${graft.operators.Export.hex4ValSql("md5(text)")} AS BIGINT) AS hv,
+             |    CASE WHEN doc_id % 500 = 255 THEN 1 ELSE 0 END AS erased
+             |  FROM documents),
+             |base AS (
+             |  SELECT *, CASE WHEN hv * 4096 < n_tok * 65536 THEN 1 ELSE 0 END AS cand
+             |  FROM tc WHERE n_tok > 0),
+             |go AS (
+             |  SELECT doc_id, erased, n_tok, CAST(0 AS BIGINT) AS shard_key,
+             |    CAST(sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT) AS off
+             |  FROM base),
+             |gn AS (
+             |  SELECT doc_id, n_tok, CAST(0 AS BIGINT) AS shard_key,
+             |    CAST(sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT) AS off
+             |  FROM base WHERE erased = 0),
+             |so AS (
+             |  SELECT doc_id, erased, n_tok,
+             |    min(doc_id) OVER (PARTITION BY shard_ord) AS shard_key,
+             |    CAST(sum(n_tok) OVER (PARTITION BY shard_ord ORDER BY doc_id) - n_tok AS BIGINT) AS off
+             |  FROM (SELECT *, CAST(sum(cand) OVER (ORDER BY doc_id) AS BIGINT) AS shard_ord FROM base)),
+             |sn AS (
+             |  SELECT doc_id, n_tok,
+             |    min(doc_id) OVER (PARTITION BY shard_ord) AS shard_key,
+             |    CAST(sum(n_tok) OVER (PARTITION BY shard_ord ORDER BY doc_id) - n_tok AS BIGINT) AS off
+             |  FROM (SELECT *, CAST(sum(cand) OVER (ORDER BY doc_id) AS BIGINT) AS shard_ord
+             |        FROM base WHERE erased = 0)),
+             |sp AS (
+             |  SELECT 'global' AS scheme, 'old' AS side, doc_id, erased, shard_key, off, n_tok FROM go
+             |  UNION ALL SELECT 'global', 'new', doc_id, 0, shard_key, off, n_tok FROM gn
+             |  UNION ALL SELECT 'shard_local', 'old', doc_id, erased, shard_key, off, n_tok FROM so
+             |  UNION ALL SELECT 'shard_local', 'new', doc_id, 0, shard_key, off, n_tok FROM sn),
+             |spans AS (
+             |  SELECT scheme, side, doc_id, erased, shard_key,
+             |    unnest(generate_series(off // 128, (off + n_tok - 1) // 128)) AS seq_id,
+             |    off, n_tok
+             |  FROM sp),
+             |sq AS (
+             |  SELECT scheme, side, doc_id, erased, shard_key, seq_id,
+             |    greatest(off, seq_id * 128) - seq_id * 128 AS s,
+             |    least(off + n_tok - 1, (seq_id + 1) * 128 - 1) - seq_id * 128 AS e
+             |  FROM spans),
+             |fp AS (
+             |  SELECT scheme, side, shard_key, seq_id,
+             |    md5(string_agg(doc_id || ':' || s || ':' || e, ',' ORDER BY doc_id)) AS fp,
+             |    max(erased) AS any_erased
+             |  FROM sq GROUP BY 1, 2, 3, 4),
+             |dl AS (
+             |  SELECT coalesce(o.scheme, n.scheme) AS scheme,
+             |    CASE WHEN o.fp IS NULL THEN 'added'
+             |         WHEN n.fp IS NULL THEN 'removed'
+             |         WHEN o.fp = n.fp THEN 'kept' ELSE 'changed' END AS status,
+             |    CAST(coalesce(o.any_erased, 0) AS BIGINT) AS contains_erased
+             |  FROM (SELECT * FROM fp WHERE side = 'old') o
+             |  FULL OUTER JOIN (SELECT * FROM fp WHERE side = 'new') n
+             |    ON o.scheme = n.scheme AND o.shard_key = n.shard_key AND o.seq_id = n.seq_id)
+             |SELECT scheme, status, contains_erased,
+             |  CAST(count(*) AS BIGINT) AS n_seqs
+             |FROM dl GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
 
     "q149_exact_substr_spans" -> Q(
       (s, dir) => Dedup.exactSubstrSpans(

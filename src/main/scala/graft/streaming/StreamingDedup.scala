@@ -171,26 +171,40 @@ object StreamingDedup {
     val emb = graft.pipeline.HashingEmbedder(embDim)
     val docs = Tables.documents(spark, dir)
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-    // nbits <= 0 = derive the SRP width from the STANDING side's row count
-    // (the relation the index buckets — stream rows only probe), the same
-    // corpus-scaled policy as Dedup.semanticAxisLosers; count() is a
-    // parameter fetch paid once at gate construction
-    val effNbits = if (nbits > 0) nbits else AnnIndex.autoNbits(corpus.count())
-    val planes = AnnIndex.hyperplanes(effNbits, embDim)
     val hashIdx = corpus.select(md5(col("text")).as("h")).distinct()
     val bandIdx = Dedup.bandKeysFor(corpus, "doc_id", "text", shingleSize, numHashes, bands)
       .select(col("hs").as("hs_a"), col("band"), col("band_key"))
-    // standing semantic index: slim (id, bucket) computed once behind a
-    // cache barrier (the q28 collapse lesson), probes exploded index-side,
-    // vectors joined back on the id — all static, built before the stream
+    // standing semantic index: slim (id, band, bucket) computed once behind
+    // a cache barrier (the q28 collapse lesson), vectors joined back on the
+    // id — all static, built before the stream. nbits <= 0 = the banded
+    // corpus-mean-centered scale path (Dedup.semanticAxisLosers' policy):
+    // band width from the STANDING side's row count, centering mean from
+    // the standing vectors — stream rows center by the INDEX's mean, the
+    // only choice that keeps probe and index in one geometry. nbits > 0
+    // pins the legacy single-table hamming-1 probe.
     val corpusVec = corpus.select(col("doc_id").as("id_a"),
       emb.embedRaw(col("text")).as("v_a"))
+    val bandedParams: Option[(Seq[Seq[Double]], Int, Seq[Long])] =
+      if (nbits > 0) None
+      else {
+        val rb = AnnIndex.autoBandBits(corpus.count())
+        Some((AnnIndex.hyperplanes(graft.operators.Dedup.SemBands * rb, embDim),
+          rb, AnnIndex.flooredMeanVec(corpusVec, "v_a", embDim)))
+      }
+    def buckets(v: org.apache.spark.sql.Column) = bandedParams match {
+      case Some((planes, rb, m)) =>
+        AnnIndex.bandBucketsCol(v, planes, rb, graft.operators.Dedup.SemBands, m)
+      case None =>
+        array(AnnIndex.bucketCol(v, AnnIndex.hyperplanes(nbits, embDim)))
+    }
     // cache-lifetime: pinned by the returned plan — caller releases (see Caching)
     val slim = corpusVec.select(col("id_a"),
-      AnnIndex.bucketCol(col("v_a"), planes).as("__b0")).cache()
-    val semIdx = slim
-      .select(col("id_a"), explode(AnnIndex.probesCol(col("__b0"), effNbits)).as("__bucket"))
-      .join(corpusVec.withColumn("__nsq_a", l2NormSq(col("v_a"))), Seq("id_a"))
+      posexplode(buckets(col("v_a"))).as(Seq("__band", "__b0"))).cache()
+    val semIdx = (bandedParams match {
+      case Some(_) => slim.select(col("id_a"), col("__band"), col("__b0").as("__bucket"))
+      case None => slim.select(col("id_a"), col("__band"),
+        explode(AnnIndex.probesCol(col("__b0"), nbits)).as("__bucket"))
+    }).join(corpusVec.withColumn("__nsq_a", l2NormSq(col("v_a"))), Seq("id_a"))
 
     val stream = StreamingAgg.streamTable(spark, dir, "documents.parquet")
       .filter(col("doc_id") % 10 === 0)
@@ -207,8 +221,11 @@ object StreamingDedup {
     val semHits = stream
       .select(col("doc_id").as("id_b"), emb.embedRaw(col("text")).as("v_b"))
       .withColumn("__nsq_b", l2NormSq(col("v_b")))
-      .withColumn("__bucket", AnnIndex.bucketCol(col("v_b"), planes))
-      .join(semIdx, Seq("__bucket"))
+      // a pair matching in several bands scores identically each time; the
+      // drained distinct() collapses the (id_b, axis) duplicates
+      .select(col("id_b"), col("v_b"), col("__nsq_b"),
+        posexplode(buckets(col("v_b"))).as(Seq("__band", "__bucket")))
+      .join(semIdx, Seq("__band", "__bucket"))
       .withColumn("score", floorRound(
         cosineFromNormSq(col("v_a"), col("v_b"), col("__nsq_a"), col("__nsq_b")), 6))
       .filter(col("score") >= cosThreshold)

@@ -1711,29 +1711,66 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(f.map(_._2).sum === v.values.count(_._2 == 1L).toLong)
   }
 
-  test("crossModalVerdict: nbits <= 0 derives the SRP width from the distinct-text count") {
+  test("crossModalVerdict: nbits <= 0 takes the banded-centered corpus-derived scale path") {
     import spark.implicits._
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
     val docs = Seq(
       0L -> base,
-      1L -> base,
-      2L -> base.split(' ').reverse.mkString(" "),
+      1L -> base,                                  // exact copy
+      2L -> base.split(' ').reverse.mkString(" "), // same bag of words → cosine 1
       3L -> "completely different text with no shared vocabulary whatsoever anywhere at all thanks"
     ).toDF("doc_id", "text")
-    // 3 distinct texts → autoNbits floors at the 4-bit minimum; nbits = 0
-    // must be verdict-identical to passing that derived width explicitly
-    val derived = graft.operators.AnnIndex.autoNbits(3L)
-    assert(derived === 4)
-    def verdict(nb: Int) = graft.operators.Dedup.crossModalVerdict(docs, "doc_id", "text",
+    // the auto path must reproduce the fixture's semantic verdicts: the
+    // exact copy defers to 'exact', the reorder is caught by the semantic
+    // axis (identical bucket counts → raw cosine exactly 1.0 survives any
+    // candidate policy: reps share centered vectors → every band agrees)
+    val v = graft.operators.Dedup.crossModalVerdict(docs, "doc_id", "text",
       shingleSize = 3, numHashes = 32, bands = 16,
       jacThreshold = 0.5, containThreshold = 0.6, maxHamming = 8,
-      embDim = 64, nbits = nb, cosThreshold = 0.95)
-      .collect().map(_.toSeq).toSeq
-    assert(verdict(0) === verdict(derived))
-    // and the derivation itself scales: bucket-count target holds as n grows
+      embDim = 64, nbits = 0, cosThreshold = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getString(7))).toMap
+    assert(v(0L) === ((0L, "keep")))
+    assert(v(1L)._2 === "exact")
+    assert(v(2L) === ((1L, "semantic")), "reorder must be a semantic loser under auto")
+    assert(v(3L) === ((0L, "keep")))
+    // width derivations: per-band bits scale with the corpus, integer shifts
     assert(graft.operators.AnnIndex.autoNbits(128L) === 4)
     assert(graft.operators.AnnIndex.autoNbits(1L << 20) === 13)
     assert(graft.operators.AnnIndex.autoNbits(1L << 30) === 20, "capped at maxBits")
+    assert(graft.operators.AnnIndex.autoBandBits(500L) === 5)
+    assert(graft.operators.AnnIndex.autoBandBits(5000L) === 9)
+    assert(graft.operators.AnnIndex.autoBandBits(50000L) === 12)
+    assert(graft.operators.AnnIndex.autoBandBits(3L) === 4, "floored at minBits")
+  }
+
+  test("cosineNearDupPairsBandedCentered: verified pairs ⊆ brute force, exact dups always recalled") {
+    import spark.implicits._
+    // 20 integer vectors in 8 dims: 3 planted near-dup groups + noise
+    val rnd = new scala.util.Random(7)
+    val baseVecs = Seq.tabulate(3)(_ => Seq.fill(8)(rnd.nextInt(50).toDouble))
+    val vecs = (0 until 20).map { i =>
+      val v =
+        if (i < 6) baseVecs(i % 3).map(_ + (if (i < 3) 0.0 else 1.0)) // 3 near-dup pairs
+        else Seq.fill(8)(rnd.nextInt(50).toDouble)
+      (i.toLong, v)
+    }
+    val df = vecs.toDF("id", "v")
+    val got = graft.operators.AnnIndex.cosineNearDupPairsBandedCentered(
+      df, "id", "v", threshold = 0.99, rbits = 4, bands = 16, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force ≥ 0.99 on the same floor-rounded score
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      math.floor(d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum) * 1e6) / 1e6
+    }
+    val brute = (for {
+      (i, vi) <- vecs; (j, vj) <- vecs if i < j && cos(vi, vj) >= 0.99
+    } yield (i, j)).toSet
+    assert(got.subsetOf(brute), "the exact verify must keep candidates ⊆ brute force")
+    // the planted pairs (i, i+3) have cosine ≈ 1 → centered vectors nearly
+    // identical → recalled with near-certainty at 16 bands
+    val planted = Set((0L, 3L), (1L, 4L), (2L, 5L)).filter(brute)
+    assert(planted.subsetOf(got), s"planted near-dups must be recalled: got $got")
   }
 
   test("q217 full-stack verdict: the perceptual axis attributes drops no text axis sees") {
@@ -1765,6 +1802,61 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(r(1L) === ((1L, 0L, 6L, 1.0)), "seq 1: doc 2 alone fills it, no doc starts")
     assert(r(2L)._3 === 4L && r(2L)._4 === 0.6667, "tail holds the remainder")
     assert(r.values.map(_._3).sum === 16L, "tokens must be conserved")
+  }
+
+  test("packedSeqSpans/packedErasureDelta: global ripple vs shard-local containment") {
+    import spark.implicits._
+    // 6 docs × 4 tokens at seqLen 4: global layout = one doc per sequence.
+    // Erase doc 2 → global: seq 1 removed-equivalent shift (docs 3..6 all
+    // move one sequence earlier → every downstream sequence changes);
+    // shard-local with a huge budget (no cuts → one shard) behaves like
+    // global, so use the GLOBAL scheme for ripple and hand-build the
+    // shard-local claim via q241 on the fixture instead.
+    val docs = (1L to 6L).map(i => (i, s"w$i a$i b$i c$i")).toDF("doc_id", "text")
+    val tomb = Seq(2L).toDF("doc_id")
+    val surv = docs.filter(col("doc_id") =!= 2L)
+    val spansOld = graft.operators.Packing.packedSeqSpans(docs, "doc_id", "text", seqLen = 4)
+    val spansNew = graft.operators.Packing.packedSeqSpans(surv, "doc_id", "text", seqLen = 4)
+    // span shape: doc i occupies exactly seq i-1 fully ([0,3])
+    val sp = spansOld.collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(sp.toSet === (1L to 6L).map(i => (i - 1, i, 0L, 3L)).toSet)
+    val d = graft.operators.Packing.packedErasureDelta(spansOld, spansNew, tomb, "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // seq 0 (doc 1) kept; seq 1 contained the erased doc and changes (doc 3
+    // slides in); seqs 2..4 change (docs 4..6 slide); seq 5 removed
+    assert(d(("kept", 0L)) === 1L)
+    assert(d(("changed", 1L)) === 1L, "the erased doc's sequence changes")
+    assert(d(("changed", 0L)) === 3L, "global layout: every downstream sequence changes")
+    assert(d(("removed", 0L)) === 1L)
+    assert(!d.contains(("added", 0L)) && !d.contains(("added", 1L)))
+  }
+
+  test("bounded CDC manifest: every (shard,sub) piece under max + one doc") {
+    val docs = Tables.documents(spark, sfDir)
+    val m = graft.operators.Export.shardManifestCdcTokenAwareBounded(
+      docs, "doc_id", "text", "source",
+      shardTokenBudget = 512L, minGapTokens = 256L, maxShardTokens = 1024L)
+      .collect()
+    assert(m.nonEmpty)
+    // hard bound: piece token mass < maxShardTokens + the longest doc
+    val maxDoc = docs.select(max(
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long")))
+      .head.getLong(0)
+    val masses = m.map(r => r.getLong(3))
+    assert(masses.forall(_ < 1024L + maxDoc),
+      s"piece mass must be < max + one doc (maxDoc $maxDoc): ${masses.max}")
+    // pieces tile each shard contiguously from sub 0
+    val byShard = m.groupBy(_.getLong(0))
+    byShard.foreach { case (sid, rows) =>
+      val subs = rows.map(_.getLong(1)).sorted
+      assert(subs.head === 0L, s"shard $sid must start at sub 0")
+    }
+    // token conservation vs the unbounded min-gap manifest
+    val base = graft.operators.Export.shardManifestCdcTokenAwareMinGap(
+      docs, "doc_id", "text", "source",
+      shardTokenBudget = 512L, minGapTokens = 256L)
+      .agg(sum("n_tokens")).head.getLong(0)
+    assert(masses.sum === base)
   }
 
   test("detectorAgreement: hand-checked kappa, identical raters, undefined case") {
