@@ -62,23 +62,46 @@ object ScaleStress {
         shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
     })
 
-    // SPARK_GRAFT_SCALE_IDENTICAL=1: replicas keep IDENTICAL text — the
-    // dup-growth regime (every duplicate group's size scales with the
-    // corpus), which is what exercises the exact-group collapse in the
-    // dedup axes; the default token-remap regime grows the corpus while
-    // holding group sizes constant.
-    val identical = sys.env.get("SPARK_GRAFT_SCALE_IDENTICAL").contains("1")
+    // Replication REGIMES (SPARK_GRAFT_SCALE_MODE, default "remap"):
+    //  - "identical" (or SPARK_GRAFT_SCALE_IDENTICAL=1): replicas keep
+    //    IDENTICAL text — dup-growth; every duplicate group's size scales
+    //    with the corpus (exercises exact-group collapse).
+    //  - "remap": replica k prefixes every token with r<k> — DOMAIN-growth;
+    //    holds dup-group sizes constant but creates k disjoint vocabulary
+    //    domains, the adversarial case for embedding-space candidates
+    //    (each domain's token profile survives global-mean centering).
+    //  - "remix": replica docs are fresh word-mixtures drawn from the SAME
+    //    base vocabulary (deterministic hash per (k, doc, pos)) — same-
+    //    DISTRIBUTION growth, the common crawl-growth model: corpus token
+    //    profile preserved, no new domains, residuals decorrelated.
+    val mode = sys.env.get("SPARK_GRAFT_SCALE_MODE").getOrElse(
+      if (sys.env.get("SPARK_GRAFT_SCALE_IDENTICAL").contains("1")) "identical"
+      else "remap")
+    val identical = mode == "identical"
     def replicate(factor: Int, outDir: String): Unit = {
       val d = spark.read.parquet(s"$srcDir/documents.parquet")
       val e = spark.read.parquet(s"$srcDir/embeddings.parquet")
       val maxDoc = d.agg(max("doc_id")).head.getLong(0) + 1
       val maxVec = e.agg(max("vec_id")).head.getLong(0) + 1
       val dim = e.select(size(col("embedding"))).head.getInt(0)
+      // the base vocabulary, for the remix regime (parameter-sized: the
+      // fixture's synthetic vocab is tiny; a measurement tool may collect)
+      lazy val vocab = d.select(explode(split(col("text"), " ")).as("w"))
+        .distinct().orderBy("w").collect().map(_.getString(0))
+      lazy val vocabLit = array(vocab.map(lit): _*)
+      def remixText(k: Int) = concat_ws(" ", transform(split(col("text"), " "),
+        (_, i) => element_at(vocabLit,
+          (pmod(xxhash64(lit(k), col("doc_id"), i), lit(vocab.length.toLong)) + 1L)
+            .cast("int"))))
       val docs = (0 until factor).map { k =>
         if (k == 0) d
         else if (identical) d.select(
           (col("doc_id") + lit(k * maxDoc)).as("doc_id"),
           col("text"), col("lang"), col("source"), col("n_chars"))
+        else if (mode == "remix") d.select(
+          (col("doc_id") + lit(k * maxDoc)).as("doc_id"),
+          remixText(k).as("text"), col("lang"), col("source"),
+          length(remixText(k)).cast("long").as("n_chars"))
         else d.select(
           (col("doc_id") + lit(k * maxDoc)).as("doc_id"),
           concat_ws(" ", transform(split(col("text"), " "),
