@@ -133,3 +133,99 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorP
 
   override def prettyName: String = "graft_cosine"
 }
+
+/** All band buckets of the corpus-mean-centered banded-SRP family
+  * ([[graft.operators.AnnIndex.cosineNearDupPairsBandedCentered]]) in ONE
+  * allocation-light kernel: input vector x and centering mean m (both
+  * array<double>), output array<long> of `bands` buckets, where band b's
+  * bit j-1 is sign(Σ_d (x_d − m_d) · w(b·rbits+j−1, d)) and the hyperplane
+  * value w(p, d) = ((k²·2654435761 + 97k + 12345) mod 1000003) − 501001
+  * with k = p·dim + d + 1 — EXACTLY [[graft.operators.AnnIndex.hyperplanes]]'
+  * integer formula, computed arithmetically instead of materialized as
+  * plan literals. The literal form put bands·rbits·dim ≈ 10⁵ double
+  * literals into the expression tree, and the streamed gate re-plans that
+  * tree EVERY micro-batch — q214 went 1.9 s → 5.9 s on planning/codegen
+  * alone (r16, shuffle 0.04 MiB). Arithmetic order per plane is the same
+  * left-to-right (x−m)·w fold as the zip_with + DotProduct form, so the
+  * buckets are bit-identical to the literal path and to the oracles'
+  * list_inner_product mirror.
+  */
+case class SrpBandBuckets(left: Expression, right: Expression,
+                          rbits: Int, bands: Int) extends BinaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<double> inputs, " +
+          s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val m = b.asInstanceOf[ArrayData]
+    val dim = x.numElements()
+    if (dim != m.numElements()) return null
+    var d = 0
+    while (d < dim) {
+      if (x.isNullAt(d) || m.isNullAt(d)) return null
+      d += 1
+    }
+    val out = new Array[Long](bands)
+    var p = 0
+    while (p < bands * rbits) {
+      var dot = 0.0
+      var i = 0
+      while (i < dim) {
+        val k = p.toLong * dim + i + 1
+        val w = ((k * k * 2654435761L + 97L * k + 12345L) % 1000003L - 501001L).toDouble
+        dot += (x.getDouble(i) - m.getDouble(i)) * w
+        i += 1
+      }
+      if (dot >= 0.0) out(p / rbits) |= 1L << (p % rbits)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val dim = ctx.freshName("dim")
+      val d   = ctx.freshName("d")
+      val p   = ctx.freshName("p")
+      val i   = ctx.freshName("i")
+      val k   = ctx.freshName("k")
+      val w   = ctx.freshName("w")
+      val dot = ctx.freshName("dot")
+      val out = ctx.freshName("out")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $dim = $a.numElements();
+         |boolean $bad = ($dim != $b.numElements());
+         |for (int $d = 0; !$bad && $d < $dim; $d++) {
+         |  if ($a.isNullAt($d) || $b.isNullAt($d)) $bad = true;
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else {
+         |  long[] $out = new long[$bands];
+         |  for (int $p = 0; $p < ${bands * rbits}; $p++) {
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      long $k = (long) $p * $dim + $i + 1;
+         |      double $w = (double) (($k * $k * 2654435761L + 97L * $k + 12345L) % 1000003L - 501001L);
+         |      $dot += ($a.getDouble($i) - $b.getDouble($i)) * $w;
+         |    }
+         |    if ($dot >= 0.0) $out[$p / $rbits] |= 1L << ($p % $rbits);
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): SrpBandBuckets =
+    copy(left = newLeft, right = newRight)
+}

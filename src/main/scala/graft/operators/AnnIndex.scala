@@ -910,14 +910,16 @@ object AnnIndex {
     * band b's bucket packs the signs of planes [b·rbits, (b+1)·rbits) —
     * shared by [[cosineNearDupPairsBandedCentered]] and the streamed
     * semantic gate (index and probe sides MUST center by the same `m`).
+    * One codegen'd kernel ([[graft.functions.expressions.SrpBandBuckets]])
+    * computing the [[hyperplanes]] values arithmetically — the literal-array
+    * form put bands·rbits·dim ≈ 10⁵ doubles into the plan and the streamed
+    * gate re-planned that tree every micro-batch (see the kernel scaladoc).
     */
-  def bandBucketsCol(vec: Column, planes: Seq[Seq[Double]], rbits: Int,
-                     bands: Int, m: Seq[Long]): Column = {
+  def bandBucketsCol(vec: Column, rbits: Int, bands: Int, m: Seq[Long]): Column = {
+    import org.apache.spark.sql.{GraftSqlBridge => B}
     val mLit = array(m.map(x => lit(x.toDouble)): _*)
-    val centered = zip_with(asDouble(vec), mLit, (x, mu) => x - mu)
-    array((0 until bands).map { b =>
-      bucketCol(centered, planes.slice(b * rbits, (b + 1) * rbits))
-    }: _*)
+    B.column(graft.functions.expressions.SrpBandBuckets(
+      B.expression(asDouble(vec)), B.expression(mLit), rbits, bands))
   }
 
   /** Near-duplicate pairs by RAW-vector cosine ≥ threshold, with candidates
@@ -941,11 +943,10 @@ object AnnIndex {
                                        dim: Int, roundTo: Int = 6): DataFrame = {
     require(rbits > 0 && rbits <= 62, s"rbits must be in (0, 62], got $rbits")
     require(bands > 0, s"bands must be positive, got $bands")
-    val planes = hyperplanes(bands * rbits, dim)
     val m = flooredMeanVec(df, vecCol, dim)
     // slim-candidate pattern + cache barrier (see cosineNearDupPairs)
     val slim = df.select(col(idCol).as("__id"),
-        posexplode(bandBucketsCol(col(vecCol), planes, rbits, bands, m))
+        posexplode(bandBucketsCol(col(vecCol), rbits, bands, m))
           .as(Seq("__band", "__bucket")))
       .cache() // cache-lifetime: pinned by the returned plan — caller releases (see Caching)
     val cand = slim.select(col("__id").as("id_a"), col("__band"), col("__bucket"))

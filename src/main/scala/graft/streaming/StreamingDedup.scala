@@ -182,18 +182,21 @@ object StreamingDedup {
     // the standing vectors — stream rows center by the INDEX's mean, the
     // only choice that keeps probe and index in one geometry. nbits > 0
     // pins the legacy single-table hamming-1 probe.
+    // cache-lifetime: pinned by the returned plan — caller releases (see
+    // Caching). The embedded static corpus is read by FOUR consumers (the
+    // band-width count, the centering mean, the slim index build, and the
+    // per-micro-batch vector attach) — uncached, each re-runs the full
+    // embed kernel (measured r16: the banded gate went 1.9 s → 5.9 s at
+    // sf0.1 before this barrier)
     val corpusVec = corpus.select(col("doc_id").as("id_a"),
-      emb.embedRaw(col("text")).as("v_a"))
-    val bandedParams: Option[(Seq[Seq[Double]], Int, Seq[Long])] =
+      emb.embedRaw(col("text")).as("v_a")).cache()
+    val bandedParams: Option[(Int, Seq[Long])] =
       if (nbits > 0) None
-      else {
-        val rb = AnnIndex.autoBandBits(corpus.count())
-        Some((AnnIndex.hyperplanes(graft.operators.Dedup.SemBands * rb, embDim),
-          rb, AnnIndex.flooredMeanVec(corpusVec, "v_a", embDim)))
-      }
+      else Some((AnnIndex.autoBandBits(corpusVec.count()),
+        AnnIndex.flooredMeanVec(corpusVec, "v_a", embDim)))
     def buckets(v: org.apache.spark.sql.Column) = bandedParams match {
-      case Some((planes, rb, m)) =>
-        AnnIndex.bandBucketsCol(v, planes, rb, graft.operators.Dedup.SemBands, m)
+      case Some((rb, m)) =>
+        AnnIndex.bandBucketsCol(v, rb, graft.operators.Dedup.SemBands, m)
       case None =>
         array(AnnIndex.bucketCol(v, AnnIndex.hyperplanes(nbits, embDim)))
     }
