@@ -657,6 +657,59 @@ object Dedup {
     */
   val SemBands = 16
 
+  /** CELL-SCOPED semantic near-dup flags — the MULTI-DOMAIN scale path
+    * (SemDeDup's cluster-then-compare composition over this engine's
+    * banded-SRP machinery; see
+    * [[AnnIndex.cosineNearDupPairsCellBanded]] for the geometry and the
+    * measured fixture evidence). Shape: distinct-text reps → Lloyd-trained
+    * cells (k lowest-id init, one step — [[AnnIndex.kmeansCentroids]]) →
+    * per-CELL floored-mean centering → banded candidates within cell →
+    * exact RAW-cosine ≥ τ verify → keep-first losers, with non-rep exact
+    * dups inheriting the flag (the [[semanticAxisLosers]] rule). Output:
+    * one row per doc, (idCol, f_semantic), ordered.
+    *
+    * Scale: training collects k×dim parameters; assignment is k fused dot
+    * products per rep, map-side; cell means are one GROUP BY relation
+    * (never a literal); candidates are a (cell, band, bucket) equi-join.
+    * At 100 TB, k scales with the corpus's domain count, not its rows.
+    */
+  def semanticCellDedupFlags(base: DataFrame, idCol: String, textCol: String,
+                             embDim: Int, k: Int,
+                             cosThreshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.{dotFused, l2NormSq}
+    require(k > 0, s"k must be positive, got $k")
+    require(cosThreshold > 0 && cosThreshold <= 1.0,
+      s"cosThreshold must be in (0, 1], got $cosThreshold")
+    val emb = graft.pipeline.HashingEmbedder(embDim)
+    val reps = exactDedup(base, idCol, textCol)
+    // cache-lifetime: pinned by the returned plan — caller releases (see
+    // Caching); kmeans training, the width count, assignment, and the pair
+    // verify all read the embedded reps
+    val repVecs = reps.select(col(idCol), emb.embedRaw(col(textCol)).as("__v")).cache()
+    val cents = AnnIndex.kmeansCentroids(repVecs, "__v", idCol, k, iters = 1)
+    // argmin(|c|² − 2·v·c), tie → lower index — the semDeDup/ivfTopK convention
+    def cellScores(vec: Column) = array(cents.toSeq.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dotFused(vec, array(c.map(lit): _*))).as("d"),
+        lit(i).as("i"))
+    }: _*)
+    val assigned = repVecs.withColumn("__cell",
+      array_min(cellScores(col("__v"))).getField("i").cast("long"))
+    val rbits = AnnIndex.autoBandBits(repVecs.count())
+    val pairs = AnnIndex.cosineNearDupPairsCellBanded(assigned, idCol, "__v",
+      "__cell", threshold = cosThreshold, rbits = rbits, bands = SemBands)
+    val dupNonzero = base
+      .join(reps.select(col(idCol)), Seq(idCol), "left_anti")
+      .filter(l2NormSq(emb.embedRaw(col(textCol))) > 0.0)
+      .select(col(idCol))
+    val losers = pairs.select(col("id_b").as(idCol))
+      .unionByName(dupNonzero).distinct().withColumn("__f", lit(1L))
+    base.select(col(idCol))
+      .join(losers, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__f"), lit(0L)).as("f_semantic"))
+      .orderBy(idCol)
+  }
+
   /** Per-detector attrition over a [[verdictFusion]] verdict relation — the
     * funnel a curation run publishes: for each axis the flagged count, the
     * ATTRIBUTED count (docs whose precedence-first reason is that axis —

@@ -164,6 +164,12 @@ object ScaleStress {
         val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
         graft.operators.Dedup.semanticAxisLosers(docs.cache(), "doc_id", "text",
           embDim = 64, nbits = 0, cosThreshold = 0.95)._2
+      }),
+      // the CELL-SCOPED multi-domain path (q243) — the remap-regime answer
+      "semcell_flags" -> ((s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+        graft.operators.Dedup.semanticCellDedupFlags(docs, "doc_id", "text",
+          embDim = 64, k = 16, cosThreshold = 0.95)
       }))
 
     val scratch = java.nio.file.Files.createTempDirectory("graft_scale").toString

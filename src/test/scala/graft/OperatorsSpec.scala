@@ -1859,6 +1859,27 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(masses.sum === base)
   }
 
+  test("cosineNearDupPairsCellBanded: within-cell pairs verified, cross-cell pairs never candidates") {
+    import spark.implicits._
+    // two well-separated cells; a near-identical pair inside cell 0, an
+    // equally-similar pair SPLIT across cells (SemDeDup's documented trade:
+    // cross-cluster pairs are not compared)
+    val rows = Seq(
+      (0L, Seq.fill(8)(100.0), 0L),
+      (1L, Seq.fill(8)(100.0).updated(0, 101.0), 0L),
+      (2L, Seq.tabulate(8)(i => if (i < 4) 200.0 else 5.0), 0L),
+      (3L, Seq.tabulate(8)(i => if (i < 4) 200.0 else 5.0), 1L), // identical to 2 but other cell
+      (4L, Seq.tabulate(8)(i => if (i < 4) 5.0 else 200.0), 1L)
+    ).toDF("id", "v", "cell")
+    val got = graft.operators.AnnIndex.cosineNearDupPairsCellBanded(
+      rows, "id", "v", "cell", threshold = 0.99, rbits = 4, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)), "near-identical same-cell pair must verify")
+    assert(!got.contains((2L, 3L)),
+      "identical vectors in DIFFERENT cells are never candidates — the SemDeDup trade")
+    assert(!got.exists { case (a, b) => Set(a, b) == Set(3L, 4L) })
+  }
+
   test("detectorAgreement: hand-checked kappa, identical raters, undefined case") {
     import spark.implicits._
     // 4 docs: a and b agree on 3 of 4 (pa=pb=1/2 → pe=1/2, po=1/2... build
