@@ -3734,8 +3734,16 @@ object TextQueries {
     // assignment, integer cell means, band buckets, verify — is mirrored in
     // SQL, so the trained multi-domain path itself is hash-checked.
     "q243_semantic_cell_dedup" -> Q(
-      (s, dir) => Dedup.semanticCellDedupFlags(Tables.documents(s, dir),
-        "doc_id", "text", embDim = 64, k = 16, cosThreshold = SemCosThreshold),
+      // standing artifact (the verdict-relation pattern): the chain trains
+      // k-means per run otherwise — 5.0 s in the r16 slow tail; content is
+      // deterministic in (dir, params), the store's fingerprint covers the
+      // fixture
+      (s, dir) => graft.pipeline.ArtifactStore.loadOrBuild(s,
+        graft.pipeline.ArtifactStore.rootFor(dir,
+          "semantic_cell_dedup_d64_k16_i1_b16_c095_v1")) {
+        Dedup.semanticCellDedupFlags(Tables.documents(s, dir),
+          "doc_id", "text", embDim = 64, k = 16, cosThreshold = SemCosThreshold)
+      }.orderBy("doc_id"),
       Some(s"""WITH tok AS (
              |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
              |th AS (
