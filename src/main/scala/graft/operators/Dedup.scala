@@ -673,6 +673,49 @@ object Dedup {
     * (never a literal); candidates are a (cell, band, bucket) equi-join.
     * At 100 TB, k scales with the corpus's domain count, not its rows.
     */
+  /** PARTITION-SCOPED semantic near-dup flags — [[semanticCellDedupFlags]]
+    * with the cells given by a DATA column (language, source, crawl
+    * segment) instead of trained: the shape production curation actually
+    * runs ("dedup within language"), and the strongest multi-domain
+    * decorrelation available because the partition IS the domain — the
+    * per-partition floored mean removes each domain's profile exactly.
+    * Candidates never cross partitions by construction (the deliberate,
+    * documented contract: cross-language near-dups are a different
+    * operator's job). The partition rides the exact-dup collapse too: reps
+    * are per (partition, text) — the same text in two partitions is two
+    * reps, each judged within its own domain.
+    */
+  def semanticPartitionDedupFlags(base: DataFrame, idCol: String, textCol: String,
+                                  partCol: String, embDim: Int,
+                                  cosThreshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.l2NormSq
+    require(cosThreshold > 0 && cosThreshold <= 1.0,
+      s"cosThreshold must be in (0, 1], got $cosThreshold")
+    val emb = graft.pipeline.HashingEmbedder(embDim)
+    // collapse per (partition, text): min-id rep within its partition
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol), md5(col(textCol))).orderBy(col(idCol))
+    val reps = base.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    // cache-lifetime: pinned by the returned plan — caller releases (see
+    // Caching); the width count and the pair verify read the embedded reps
+    val assigned = reps.select(col(idCol), col(partCol).as("__cell"),
+      emb.embedRaw(col(textCol)).as("__v")).cache()
+    val rbits = AnnIndex.autoBandBits(assigned.count())
+    val pairs = AnnIndex.cosineNearDupPairsCellBanded(assigned, idCol, "__v",
+      "__cell", threshold = cosThreshold, rbits = rbits, bands = SemBands)
+    val dupNonzero = base
+      .join(reps.select(col(idCol)), Seq(idCol), "left_anti")
+      .filter(l2NormSq(emb.embedRaw(col(textCol))) > 0.0)
+      .select(col(idCol))
+    val losers = pairs.select(col("id_b").as(idCol))
+      .unionByName(dupNonzero).distinct().withColumn("__f", lit(1L))
+    base.select(col(idCol))
+      .join(losers, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__f"), lit(0L)).as("f_semantic"))
+      .orderBy(idCol)
+  }
+
   def semanticCellDedupFlags(base: DataFrame, idCol: String, textCol: String,
                              embDim: Int, k: Int,
                              cosThreshold: Double): DataFrame = {

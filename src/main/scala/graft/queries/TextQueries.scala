@@ -3839,6 +3839,86 @@ object TextQueries {
              |         OR d.doc_id IN (SELECT doc_id FROM dupz) THEN 1 ELSE 0 END AS BIGINT) AS f_semantic
              |FROM documents d ORDER BY doc_id""".stripMargin)),
 
+    // PARTITION-SCOPED semantic dedup — q243's production twin (the shape
+    // curation pipelines actually run: "semantic dedup WITHIN source/
+    // language"): cells come from the `source` column, so the per-cell
+    // floored mean removes each domain's profile EXACTLY (no training),
+    // and candidates never cross partitions by contract. Collapse is per
+    // (source, text): the same text in two sources is two reps, each
+    // judged in its own domain.
+    "q244_semantic_source_dedup" -> Q(
+      (s, dir) => graft.pipeline.ArtifactStore.loadOrBuild(s,
+        graft.pipeline.ArtifactStore.rootFor(dir,
+          "semantic_source_dedup_d64_b16_c095_v1")) {
+        Dedup.semanticPartitionDedupFlags(Tables.documents(s, dir),
+          "doc_id", "text", "source", embDim = 64, cosThreshold = SemCosThreshold)
+      }.orderBy("doc_id"),
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+             |th AS (
+             |  SELECT doc_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(generate_series(1, length(w)),
+             |        i -> CAST(ascii(substr(w, CAST(i AS INTEGER), 1)) AS BIGINT))),
+             |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+             |  FROM tok),
+             |scv AS (SELECT doc_id, h % 64 AS bucket, count(*) AS n FROM th GROUP BY 1, 2),
+             |sdense AS (
+             |  SELECT d.doc_id, g.i, CAST(coalesce(c.n, 0) AS BIGINT) AS x
+             |  FROM (SELECT doc_id FROM documents) d
+             |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+             |  LEFT JOIN scv c ON c.doc_id = d.doc_id AND c.bucket = g.i),
+             |semb AS (SELECT doc_id, list(CAST(x AS DOUBLE) ORDER BY i) AS v
+             |         FROM sdense GROUP BY doc_id),
+             |qreps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY source, md5(text)),
+             |asg AS (SELECT r.doc_id, d.source AS cell
+             |        FROM qreps r JOIN documents d USING (doc_id)),
+             |rv AS (SELECT s.doc_id, s.v FROM semb s JOIN qreps USING (doc_id)),
+             |cmu AS (
+             |  SELECT a.cell, s.i,
+             |    CAST(sum(s.x) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+             |  FROM sdense s JOIN asg a USING (doc_id) GROUP BY 1, 2),
+             |sparams AS (
+             |  SELECT greatest(4, coalesce((
+             |    SELECT min(b) FROM (SELECT unnest(generate_series(0, 30)) AS b) bs
+             |    WHERE (CAST(16 AS BIGINT) << CAST(b AS INTEGER)) >= (SELECT count(*) FROM qreps)), 30)) AS srb),
+             |splanes AS (
+             |  SELECT list(list_transform(generate_series(0, 63), d ->
+             |      CAST(((j*64+d+1)*(j*64+d+1) * 2654435761 + 97*(j*64+d+1) + 12345) % 1000003
+             |        - 501001 AS DOUBLE)) ORDER BY j) AS ws
+             |  FROM (SELECT unnest(generate_series(0, 16 * (SELECT srb FROM sparams) - 1)) AS j)),
+             |cvec AS (
+             |  SELECT s.doc_id, a.cell, list(CAST(s.x - c.m AS DOUBLE) ORDER BY s.i) AS vc
+             |  FROM sdense s JOIN asg a USING (doc_id)
+             |    JOIN cmu c ON c.cell = a.cell AND c.i = s.i
+             |  GROUP BY s.doc_id, a.cell),
+             |sbuck AS (
+             |  SELECT doc_id, cell, bb.b AS band,
+             |    list_sum(list_transform(generate_series(1, sparams.srb),
+             |      j -> CASE WHEN list_inner_product(vc, splanes.ws[bb.b * sparams.srb + j]) >= CAST(0.0 AS DOUBLE)
+             |           THEN (CAST(1 AS BIGINT) << (j-1)) ELSE CAST(0 AS BIGINT) END)) AS bucket
+             |  FROM cvec, splanes, sparams, (SELECT unnest(generate_series(0, 15)) AS b) bb),
+             |cpair AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sbuck a JOIN sbuck b
+             |    ON a.cell = b.cell AND a.band = b.band AND a.bucket = b.bucket
+             |      AND a.doc_id < b.doc_id),
+             |cscore AS (
+             |  SELECT p.id_a, p.id_b,
+             |    ${frs("list_cosine_similarity(x.v, y.v)", 6)} AS score
+             |  FROM cpair p JOIN rv x ON x.doc_id = p.id_a JOIN rv y ON y.doc_id = p.id_b
+             |  WHERE list_sum(list_transform(x.v, e -> e*e)) > CAST(0.0 AS DOUBLE)
+             |    AND list_sum(list_transform(y.v, e -> e*e)) > CAST(0.0 AS DOUBLE)),
+             |csel AS (SELECT DISTINCT id_b FROM cscore WHERE score >= CAST($SemCosThreshold AS DOUBLE)),
+             |dupz AS (
+             |  SELECT s.doc_id FROM semb s
+             |  WHERE s.doc_id NOT IN (SELECT doc_id FROM qreps)
+             |    AND list_sum(list_transform(s.v, e -> e*e)) > CAST(0.0 AS DOUBLE))
+             |SELECT d.doc_id,
+             |  CAST(CASE WHEN d.doc_id IN (SELECT id_b FROM csel)
+             |         OR d.doc_id IN (SELECT doc_id FROM dupz) THEN 1 ELSE 0 END AS BIGINT) AS f_semantic
+             |FROM documents d ORDER BY doc_id""".stripMargin)),
+
     "q149_exact_substr_spans" -> Q(
       (s, dir) => Dedup.exactSubstrSpans(
         Tables.documents(s, dir).filter(col("doc_id") < ExactPairSample),
