@@ -313,17 +313,86 @@ object Export {
         col("start_off") - col("shard_start"), lit(maxShardTokens)))
   }
 
-  /** [[shardManifest]] over the both-sided-bounded boundaries — the manifest
-    * keyed (shard_id, sub_id); consumers treat the pair as the shard key.
+  /** CONTENT-DEFINED sub-cuts — the TTTD backup-divisor refinement of
+    * [[assignShardsCdcTokenAwareBounded]] (round-17 backlog item built
+    * early): instead of splitting an oversized shard at fixed offsets,
+    * split at BACKUP CUT CANDIDATES — docs passing Eshghi & Tang's weaker
+    * second divisor (here: cut probability DOUBLED, `hv·budget <
+    * n_tok·2·65536`; every main candidate is also a backup candidate, the
+    * paper's divisor-nesting property). Window approximation, stated
+    * plainly: the shard's local offset range is tiled into fixed
+    * `maxShardTokens` windows; every non-tail window contributes one
+    * boundary — the LAST backup candidate starting in it, or the window's
+    * end as the content-blind fallback — and a doc's piece is the count of
+    * boundaries at-or-before its local offset. E&T scan from the last
+    * SURVIVING cut (sequential state); fixed windows trade that for
+    * declarative shape at the cost of a 2× bound: consecutive boundaries
+    * land in consecutive windows, so every (shard, sub) piece holds doc
+    * starts spanning < 2·maxShardTokens — piece mass < 2·maxShardTokens +
+    * one document, content-aligned wherever a backup candidate exists.
+    *
+    * Scale shape: the boundary relation is corpus_tokens/maxShardTokens
+    * rows (window count), built by one GROUP BY; piece assignment is a
+    * shard-keyed join against each shard's own few boundaries + one
+    * per-doc aggregate. Edit locality: boundaries are shard-local, so an
+    * edit re-derives sub-boundaries only inside shards the min-gap CDC
+    * already re-decided.
     */
-  def shardManifestCdcTokenAwareBounded(df: DataFrame, idCol: String,
-                                        textCol: String, sourceCol: String,
-                                        shardTokenBudget: Long,
-                                        minGapTokens: Long, maxShardTokens: Long,
-                                        parts: Int = 32,
-                                        countTokens: org.apache.spark.sql.Column => org.apache.spark.sql.Column = tokenCount): DataFrame = {
-    val assigned = assignShardsCdcTokenAwareBounded(df, idCol, textCol,
-      shardTokenBudget, minGapTokens, maxShardTokens, parts, countTokens)
+  def assignShardsCdcTokenAwareTttd(df: DataFrame, idCol: String,
+                                    textCol: String, shardTokenBudget: Long,
+                                    minGapTokens: Long, maxShardTokens: Long,
+                                    parts: Int = 32,
+                                    countTokens: org.apache.spark.sql.Column => org.apache.spark.sql.Column = tokenCount): DataFrame = {
+    require(maxShardTokens >= shardTokenBudget,
+      s"maxShardTokens must be >= budget, got $maxShardTokens < $shardTokenBudget")
+    val D = graft.functions.MathFunctions.longDiv _
+    val assigned = assignShardsCdcTokenAwareMinGap(df, idCol, textCol,
+      shardTokenBudget, minGapTokens, parts, countTokens)
+    val backup = df.select(col(idCol),
+        countTokens(col(textCol)).cast("long").as("__nt2"),
+        expr(hex4ValSql(s"md5($textCol)")).cast("long").as("__hv"))
+      .withColumn("__bkp",
+        when(col("__hv") * lit(shardTokenBudget) < col("__nt2") * lit(2L * 65536L), 1L)
+          .otherwise(0L))
+      .select(col(idCol), col("__bkp"))
+    val docs2 = assigned.join(backup, Seq(idCol))
+      .withColumn("__loff", col("start_off") - col("shard_start"))
+      .withColumn("__win", D(col("__loff"), lit(maxShardTokens)))
+    val maxWin = docs2.groupBy("shard_id").agg(max("__win").as("__mw"))
+    // one boundary per NON-TAIL window: last backup candidate starting in
+    // it, else the window end (the fixed-offset fallback)
+    val bkpBnd = docs2.filter(col("__bkp") === 1L)
+      .groupBy("shard_id", "__win").agg(max("__loff").as("__bpos"))
+    val allBnd = maxWin.filter(col("__mw") > 0L)
+      .select(col("shard_id"), explode(sequence(lit(0L), col("__mw") - 1L)).as("__win"))
+      .join(bkpBnd, Seq("shard_id", "__win"), "left")
+      .withColumn("__bpos",
+        coalesce(col("__bpos"), (col("__win") + 1L) * lit(maxShardTokens)))
+      .select("shard_id", "__bpos")
+    docs2.join(allBnd, Seq("shard_id"), "left")
+      .withColumn("__le",
+        when(col("__bpos").isNotNull && col("__bpos") <= col("__loff"), 1L).otherwise(0L))
+      .groupBy(col(idCol), col("n_tok"), col("start_off"), col("cand"),
+        col("shard_id"), col("shard_start"))
+      .agg(sum("__le").as("sub_id"))
+      .select(col(idCol), col("n_tok"), col("start_off"), col("cand"),
+        col("shard_id"), col("sub_id"))
+  }
+
+  /** [[shardManifest]] over the TTTD backup-divisor boundaries. */
+  def shardManifestCdcTokenAwareTttd(df: DataFrame, idCol: String,
+                                     textCol: String, sourceCol: String,
+                                     shardTokenBudget: Long,
+                                     minGapTokens: Long, maxShardTokens: Long,
+                                     parts: Int = 32,
+                                     countTokens: org.apache.spark.sql.Column => org.apache.spark.sql.Column = tokenCount): DataFrame =
+    manifestBySub(
+      assignShardsCdcTokenAwareTttd(df, idCol, textCol, shardTokenBudget,
+        minGapTokens, maxShardTokens, parts, countTokens),
+      df, idCol, textCol, sourceCol)
+
+  private def manifestBySub(assigned: DataFrame, df: DataFrame, idCol: String,
+                            textCol: String, sourceCol: String): DataFrame =
     df.select(col(idCol), col(sourceCol), md5(col(textCol)).as("__h"))
       .join(assigned, Seq(idCol))
       .groupBy("shard_id", "sub_id")
@@ -339,7 +408,20 @@ object Export {
       .select("shard_id", "sub_id", "n_docs", "n_tokens", "first_doc",
         "last_doc", "n_sources", "checksum")
       .orderBy("shard_id", "sub_id")
-  }
+
+  /** [[shardManifest]] over the both-sided-bounded boundaries — the manifest
+    * keyed (shard_id, sub_id); consumers treat the pair as the shard key.
+    */
+  def shardManifestCdcTokenAwareBounded(df: DataFrame, idCol: String,
+                                        textCol: String, sourceCol: String,
+                                        shardTokenBudget: Long,
+                                        minGapTokens: Long, maxShardTokens: Long,
+                                        parts: Int = 32,
+                                        countTokens: org.apache.spark.sql.Column => org.apache.spark.sql.Column = tokenCount): DataFrame =
+    manifestBySub(
+      assignShardsCdcTokenAwareBounded(df, idCol, textCol, shardTokenBudget,
+        minGapTokens, maxShardTokens, parts, countTokens),
+      df, idCol, textCol, sourceCol)
 
   /** [[shardManifest]] over min-gap-bounded token-aware CDC boundaries. */
   def shardManifestCdcTokenAwareMinGap(df: DataFrame, idCol: String,

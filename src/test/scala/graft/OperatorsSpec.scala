@@ -1880,6 +1880,33 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     assert(!got.exists { case (a, b) => Set(a, b) == Set(3L, 4L) })
   }
 
+  test("TTTD backup-divisor manifest: 2x window bound holds, tokens conserved, supersets nest") {
+    val docs = Tables.documents(spark, sfDir)
+    val maxTok = 1024L
+    val m = graft.operators.Export.shardManifestCdcTokenAwareTttd(
+      docs, "doc_id", "text", "source",
+      shardTokenBudget = 512L, minGapTokens = 256L, maxShardTokens = maxTok).collect()
+    assert(m.nonEmpty)
+    val maxDoc = docs.select(max(
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long")))
+      .head.getLong(0)
+    // the documented bound: doc starts within a piece span < 2*maxTok, so
+    // piece mass < 2*maxTok + one document
+    assert(m.map(_.getLong(3)).forall(_ < 2 * maxTok + maxDoc),
+      s"piece mass must be < 2*max + one doc: ${m.map(_.getLong(3)).max}")
+    // token conservation vs the min-gap base
+    val base = graft.operators.Export.shardManifestCdcTokenAwareMinGap(
+      docs, "doc_id", "text", "source", 512L, 256L)
+      .agg(sum("n_tokens")).head.getLong(0)
+    assert(m.map(_.getLong(3)).sum === base)
+    // pieces tile each shard from sub 0 with contiguous ids
+    m.groupBy(_.getLong(0)).foreach { case (sid, rows) =>
+      val subs = rows.map(_.getLong(1)).sorted
+      assert(subs.head === 0L && subs === (0L until subs.length).toArray.toSeq,
+        s"shard $sid pieces must be contiguous from 0: ${subs.mkString(",")}")
+    }
+  }
+
   test("detectorAgreement: hand-checked kappa, identical raters, undefined case") {
     import spark.implicits._
     // 4 docs: a and b agree on 3 of 4 (pa=pb=1/2 → pe=1/2, po=1/2... build
