@@ -345,7 +345,6 @@ object Export {
                                     countTokens: org.apache.spark.sql.Column => org.apache.spark.sql.Column = tokenCount): DataFrame = {
     require(maxShardTokens >= shardTokenBudget,
       s"maxShardTokens must be >= budget, got $maxShardTokens < $shardTokenBudget")
-    val D = graft.functions.MathFunctions.longDiv _
     val assigned = assignShardsCdcTokenAwareMinGap(df, idCol, textCol,
       shardTokenBudget, minGapTokens, parts, countTokens)
     val backup = df.select(col(idCol),
@@ -355,7 +354,20 @@ object Export {
         when(col("__hv") * lit(shardTokenBudget) < col("__nt2") * lit(2L * 65536L), 1L)
           .otherwise(0L))
       .select(col(idCol), col("__bkp"))
-    val docs2 = assigned.join(backup, Seq(idCol))
+    tttdPieceIds(assigned.join(backup, Seq(idCol)), idCol, maxShardTokens)
+  }
+
+  /** The backup-divisor PIECE finish decoupled from how the min-gap shard
+    * assignment was produced (the [[minGapSurvivorShardIds]] factoring
+    * pattern): `withBkp` carries (idCol, n_tok, start_off, cand, shard_id,
+    * shard_start, __bkp) — batch-assigned or stream-maintained — so the
+    * streamed twin calls this SAME tail and streamed ≡ batch by shared
+    * construction.
+    */
+  private[graft] def tttdPieceIds(withBkp: DataFrame, idCol: String,
+                                  maxShardTokens: Long): DataFrame = {
+    val D = graft.functions.MathFunctions.longDiv _
+    val docs2 = withBkp
       .withColumn("__loff", col("start_off") - col("shard_start"))
       .withColumn("__win", D(col("__loff"), lit(maxShardTokens)))
     val maxWin = docs2.groupBy("shard_id").agg(max("__win").as("__mw"))
@@ -393,9 +405,18 @@ object Export {
 
   private def manifestBySub(assigned: DataFrame, df: DataFrame, idCol: String,
                             textCol: String, sourceCol: String): DataFrame =
-    df.select(col(idCol), col(sourceCol), md5(col(textCol)).as("__h"))
-      .join(assigned, Seq(idCol))
-      .groupBy("shard_id", "sub_id")
+    manifestBySubOf(
+      df.select(col(idCol), col(sourceCol), md5(col(textCol)).as("__h"))
+        .join(assigned, Seq(idCol)),
+      idCol, sourceCol)
+
+  /** [[manifestOf]] keyed (shard_id, sub_id) — `rows` already carry the
+    * id, source, content hash `__h`, n_tok and both keys (batch join or
+    * stream-maintained).
+    */
+  private[graft] def manifestBySubOf(rows: DataFrame, idCol: String,
+                                     sourceCol: String): DataFrame =
+    rows.groupBy("shard_id", "sub_id")
       .agg(
         count(lit(1)).as("n_docs"),
         sum("n_tok").as("n_tokens"),

@@ -3526,6 +3526,70 @@ object TextQueries {
              |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS checksum
              |FROM d3 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // q246's FULL TTTD manifest MAINTAINED FROM A STREAM: pass 1 adds the
+    // content-pure backup flag to the min-gap twin's projection; the read
+    // side runs the BATCH operator's own survivor-cut and piece tails over
+    // the stream-maintained rows (the q239 shared-tail pattern) — streamed
+    // ≡ batch by construction, checked against q246's oracle verbatim.
+    "q247_stream_export_cdc_tttd_backup" -> Q(
+      (s, dir) => graft.streaming.StreamingExport.streamShardManifestCdcTokenAwareTttd(
+        s, dir, shardTokenBudget = 4096L, minGapTokens = 2048L,
+        maxShardTokens = 8192L),
+      Some(s"""WITH tc AS (
+             |  SELECT doc_id, source, text,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |    CAST(${graft.operators.Export.hex4ValSql("md5(text)")} AS BIGINT) AS hv
+             |  FROM documents),
+             |cs AS (
+             |  SELECT *,
+             |    CASE WHEN hv * 4096 < n_tok * 65536 THEN 1 ELSE 0 END AS cand,
+             |    CAST(sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT) AS start_off
+             |  FROM tc),
+             |ci AS (
+             |  SELECT *, CAST(sum(cand) OVER (ORDER BY doc_id) AS BIGINT) AS cidx
+             |  FROM cs),
+             |cands AS (SELECT cidx, start_off AS coff FROM ci WHERE cand = 1),
+             |surv AS (
+             |  SELECT cidx,
+             |    CASE WHEN coff - coalesce(lag(coff) OVER (ORDER BY cidx), 0) >= 2048
+             |         THEN 1 ELSE 0 END AS sv
+             |  FROM cands),
+             |srank AS (
+             |  SELECT cidx, CAST(sum(sv) OVER (ORDER BY cidx) AS BIGINT) AS sr
+             |  FROM surv),
+             |sh5 AS (
+             |  SELECT ci.*, coalesce(srank.sr, 0) AS shard_id
+             |  FROM ci LEFT JOIN srank ON ci.cidx = srank.cidx),
+             |shst AS (SELECT shard_id, min(start_off) AS sstart FROM sh5 GROUP BY 1),
+             |d2 AS (
+             |  SELECT sh5.*, start_off - sstart AS loff,
+             |    (start_off - sstart) // 8192 AS win,
+             |    CASE WHEN hv * 4096 < n_tok * 131072 THEN 1 ELSE 0 END AS bkp
+             |  FROM sh5 JOIN shst USING (shard_id)),
+             |mw AS (SELECT shard_id, max(win) AS mwin FROM d2 GROUP BY 1),
+             |wins AS (
+             |  SELECT shard_id, unnest(generate_series(0, mwin - 1)) AS win
+             |  FROM mw WHERE mwin > 0),
+             |bb AS (
+             |  SELECT shard_id, win, max(loff) AS bpos
+             |  FROM d2 WHERE bkp = 1 GROUP BY 1, 2),
+             |ab AS (
+             |  SELECT w.shard_id, coalesce(bb.bpos, (w.win + 1) * 8192) AS bpos
+             |  FROM wins w LEFT JOIN bb ON bb.shard_id = w.shard_id AND bb.win = w.win),
+             |d3 AS (
+             |  SELECT d2.doc_id, d2.n_tok, d2.source, d2.text, d2.shard_id,
+             |    CAST(sum(CASE WHEN ab.bpos IS NOT NULL AND ab.bpos <= d2.loff
+             |                  THEN 1 ELSE 0 END) AS BIGINT) AS sub_id
+             |  FROM d2 LEFT JOIN ab ON ab.shard_id = d2.shard_id
+             |  GROUP BY 1, 2, 3, 4, 5)
+             |SELECT shard_id, sub_id,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS checksum
+             |FROM d3 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // DELETION PROPAGATION through the export delta (r13 verdict task 8) —
     // the whole chain a GDPR-style removal actually executes: the q43
     // tombstone anti-join (Delta.deleted) names the vanished documents, the

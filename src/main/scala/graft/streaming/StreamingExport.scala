@@ -109,4 +109,44 @@ object StreamingExport {
       rows.select("doc_id", "source", "__h").join(assigned, Seq("doc_id")),
       "doc_id", "source")
   }
+
+  /** The full TTTD manifest (min-gap floor + backup-divisor sub-cuts,
+    * [[Export.shardManifestCdcTokenAwareTttd]]) maintained from a stream:
+    * pass 1 adds the content-pure BACKUP flag to the min-gap twin's
+    * projection; the read side runs the batch operator's own survivor-cut
+    * AND piece tails ([[Export.minGapSurvivorShardIds]] →
+    * [[Export.tttdPieceIds]]) over the stream-maintained rows — streamed ≡
+    * batch by shared construction, checked against q246's oracle verbatim.
+    */
+  def streamShardManifestCdcTokenAwareTttd(spark: SparkSession, dir: String,
+                                           shardTokenBudget: Long,
+                                           minGapTokens: Long,
+                                           maxShardTokens: Long,
+                                           hitsName: String = "export_manifest_cdc_tttd_stream_v1"): DataFrame = {
+    require(shardTokenBudget > 0,
+      s"shardTokenBudget must be positive, got $shardTokenBudget")
+    require(maxShardTokens >= shardTokenBudget,
+      s"maxShardTokens must be >= budget, got $maxShardTokens < $shardTokenBudget")
+    val rows = StreamingPacking.streamGlobalCumsums(spark, dir, hitsName,
+      b => b.select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tok"),
+          expr(Export.hex4ValSql("md5(text)")).cast("long").as("__hv"),
+          col("source"), md5(col("text")).as("__h"))
+        .withColumn("cand",
+          when(col("__hv") * lit(shardTokenBudget) < col("n_tok") * lit(65536L), 1L)
+            .otherwise(0L))
+        .withColumn("__bkp",
+          when(col("__hv") * lit(shardTokenBudget) < col("n_tok") * lit(2L * 65536L), 1L)
+            .otherwise(0L))
+        .drop("__hv"),
+      sumCols = Seq("n_tok", "cand"))
+      .withColumn("start_off", col("cum_n_tok") - col("n_tok"))
+    val assigned = Export.tttdPieceIds(
+      Export.minGapSurvivorShardIds(rows, "doc_id", minGapTokens, 32)
+        .join(rows.select("doc_id", "__bkp"), Seq("doc_id")),
+      "doc_id", maxShardTokens)
+    Export.manifestBySubOf(
+      rows.select("doc_id", "source", "__h").join(assigned, Seq("doc_id")),
+      "doc_id", "source")
+  }
 }
