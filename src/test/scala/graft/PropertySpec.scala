@@ -518,4 +518,45 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
         assert(qa >= qb - 1, s"larger source $sa under-allocated: $qa vs $qb")
     }
   }
+  test("property: TTTD chain invariants on generated corpora (bounds, conservation, nesting)") {
+    // random word-soup corpora with a heavy length tail so some shards
+    // exceed maxShardTokens and the backup sub-cuts actually fire
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "query", "scan",
+      "sort", "merge", "the", "and", "x")
+    val docGen = Gen.chooseNum(1, 120).flatMap(n => Gen.listOfN(n, wordGen))
+      .map(_.mkString(" "))
+    val budget = 64L; val minGap = 32L; val maxTok = 128L
+    for (seed <- Seq(7L, 23L)) {
+      val texts = sample(docGen, 250, seed)
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, s"s${i % 3}") }
+        .toDF("doc_id", "text", "source")
+      val total = docs.select(sum(tokenCount(col("text")).cast("long")))
+        .head.getLong(0)
+      val maxDoc = docs.select(max(tokenCount(col("text")).cast("long")))
+        .head.getLong(0)
+      val mg = graft.operators.Export.shardManifestCdcTokenAwareMinGap(
+        docs, "doc_id", "text", "source", budget, minGap).collect()
+      // min-gap floor: every shard except possibly the tail holds >= minGap
+      // tokens (a surviving cut's gap from the previous cut is >= minGap,
+      // and shard mass >= its cut-to-cut gap)
+      assert(mg.dropRight(1).forall(_.getLong(2) >= minGap),
+        s"seed $seed: min-gap floor violated")
+      assert(mg.map(_.getLong(2)).sum === total, s"seed $seed: min-gap conservation")
+      val tttd = graft.operators.Export.shardManifestCdcTokenAwareTttd(
+        docs, "doc_id", "text", "source", budget, minGap, maxTok).collect()
+      assert(tttd.map(_.getLong(3)).sum === total, s"seed $seed: tttd conservation")
+      // 2x window bound + one doc
+      assert(tttd.forall(_.getLong(3) < 2 * maxTok + maxDoc),
+        s"seed $seed: piece bound violated: ${tttd.map(_.getLong(3)).max}")
+      // NESTING: every tttd piece lives inside exactly one min-gap shard,
+      // and the per-shard piece masses sum to the shard mass
+      val shardMass = mg.map(r => r.getLong(0) -> r.getLong(2)).toMap
+      tttd.groupBy(_.getLong(0)).foreach { case (sid, rows) =>
+        assert(rows.map(_.getLong(3)).sum === shardMass(sid),
+          s"seed $seed: shard $sid pieces do not tile the shard")
+      }
+    }
+  }
+
 }
