@@ -372,8 +372,11 @@ object Export {
       .withColumn("__win", D(col("__loff"), lit(maxShardTokens)))
     val maxWin = docs2.groupBy("shard_id").agg(max("__win").as("__mw"))
     // one boundary per NON-TAIL window: last backup candidate starting in
-    // it, else the window end (the fixed-offset fallback)
-    val bkpBnd = docs2.filter(col("__bkp") === 1L)
+    // it, else the window end (the fixed-offset fallback). Strictly inside
+    // the shard (__loff > 0): the shard's FIRST doc is itself a backup
+    // candidate by divisor nesting, and a "cut" at the shard start is a
+    // no-op that would only shift piece labels and leave piece 0 empty
+    val bkpBnd = docs2.filter(col("__bkp") === 1L && col("__loff") > 0L)
       .groupBy("shard_id", "__win").agg(max("__loff").as("__bpos"))
     val allBnd = maxWin.filter(col("__mw") > 0L)
       .select(col("shard_id"), explode(sequence(lit(0L), col("__mw") - 1L)).as("__win"))

@@ -3508,7 +3508,7 @@ object TextQueries {
              |  FROM mw WHERE mwin > 0),
              |bb AS (
              |  SELECT shard_id, win, max(loff) AS bpos
-             |  FROM d2 WHERE bkp = 1 GROUP BY 1, 2),
+             |  FROM d2 WHERE bkp = 1 AND loff > 0 GROUP BY 1, 2),
              |ab AS (
              |  SELECT w.shard_id, coalesce(bb.bpos, (w.win + 1) * 8192) AS bpos
              |  FROM wins w LEFT JOIN bb ON bb.shard_id = w.shard_id AND bb.win = w.win),
@@ -3572,7 +3572,7 @@ object TextQueries {
              |  FROM mw WHERE mwin > 0),
              |bb AS (
              |  SELECT shard_id, win, max(loff) AS bpos
-             |  FROM d2 WHERE bkp = 1 GROUP BY 1, 2),
+             |  FROM d2 WHERE bkp = 1 AND loff > 0 GROUP BY 1, 2),
              |ab AS (
              |  SELECT w.shard_id, coalesce(bb.bpos, (w.win + 1) * 8192) AS bpos
              |  FROM wins w LEFT JOIN bb ON bb.shard_id = w.shard_id AND bb.win = w.win),
