@@ -110,9 +110,14 @@ object Packing {
     *
     * Output: (shard_key, seq_id, idCol, s, e) — within-sequence inclusive
     * token range [s, e] of the doc's overlap. Scale: one corpus prefix
-    * scan (global) or one bounded-partition window per CDC shard (local;
-    * shard mass ≤ ~budget by construction) + the span explode, bounded by
-    * ⌈len/seqLen⌉ + 1 rows per document.
+    * scan (global) or one window per CDC shard (local) + the span explode,
+    * bounded by ⌈len/seqLen⌉ + 1 rows per document. Honesty note on the
+    * shard-local window: shard mass is EXPECTED-bounded (cut gaps are
+    * geometric with mean ≈ budget), not hard-bounded — a degenerate
+    * no-candidate corpus funnels one shard through one window partition,
+    * the same residual the TTTD max-side bounds (q242/q246) exist to cap;
+    * compose with [[Export.assignShardsCdcTokenAwareBounded]] keys when
+    * that matters.
     */
   def packedSeqSpans(df: DataFrame, idCol: String, textCol: String,
                      seqLen: Int, shardTokenBudget: Long = 0L,
