@@ -66,7 +66,7 @@ def main(sf_dir, out_dir):
     # rows-only queries (no oracle entry): report row counts
     import os
     for name in sorted(os.listdir(out_dir)):
-        if name == "oracle_sql.json" or name in oracle:
+        if name in ("oracle_sql.json", "builds.json") or name in oracle:
             continue
         try:
             n = con.sql(f"SELECT count(*) FROM '{out_dir}/{name}/*.parquet'").fetchone()[0]

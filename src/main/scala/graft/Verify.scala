@@ -54,6 +54,18 @@ object Verify {
       .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // One-time artifact-build costs paid during THIS verify pass (r16
+    // verdict item 3: builds paid in Verify were invisible — Bench's later
+    // drain found an already-warm store and published an empty builds map).
+    // Same drain Bench uses; written next to oracle_sql.json AND printed as
+    // one JSON line so a cold-store verify's true cost is auditable from
+    // either the dump dir or the captured log.
+    val builds = graft.pipeline.ArtifactStore.drainBuildTimes()
+    val buildsJson = builds
+      .map { case (n, sec) => s"${q(n)}: ${f"$sec%.2f"}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/builds.json"), buildsJson)
+    if (builds.nonEmpty)
+      println(s"""{"verifyBuilds":$buildsJson,"bt":${f"${builds.map(_._2).sum}%.2f"},"bn":${builds.size}}""")
     spark.stop()
   }
 }

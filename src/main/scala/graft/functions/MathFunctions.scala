@@ -28,6 +28,17 @@ object MathFunctions {
     */
   def longDiv(a: Column, b: Column): Column = call_function("div", a, b)
 
+  /** FLOOR division on longs for positive `b` — `⌊a/b⌋` à la
+    * `Math.floorDiv`, unlike [[longDiv]]/DuckDB `//` which truncate toward
+    * zero (they differ exactly when `a < 0` and `b ∤ a`). `a − pmod(a, b)`
+    * is exactly divisible, so the quotient stays in pure long arithmetic
+    * (ADVICE r16: the per-cell centering mean documented as FLOORED must
+    * floor for negative component sums, not just the nonnegative
+    * bucket-count fixtures).
+    */
+  def floorLongDiv(a: Column, b: Column): Column =
+    call_function("div", a - pmod(a, b), b)
+
   /** The DuckDB mirror of [[floorRound]] for oracle SQL generation. Literals
     * are cast to DOUBLE — bare decimal literals are DECIMAL-typed in DuckDB
     * and would change the arithmetic.

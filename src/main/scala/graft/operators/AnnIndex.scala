@@ -165,6 +165,24 @@ object AnnIndex {
       array_min(cellScores(asDouble(col(vecCol)))).getField("i").cast("long").as("cell"))
   }
 
+  /** Cell assignments (id, cell) of `df` under TRAINED coarse centroids —
+    * [[ivfAssign]]'s map-side argmin with the centroid array handed in
+    * directly (the [[kmeansCentroids]] artifact). The erasure-repair
+    * entry point ([[graft.pipeline.IndexErasure]]): naming the cells a
+    * tombstone set touches is one map pass over the TOMBSTONED rows —
+    * O(tombstones · nlist), never an index or corpus scan.
+    */
+  def ivfAssignTrained(df: DataFrame, idCol: String, vecCol: String,
+                       cents: Seq[Seq[Double]]): DataFrame = {
+    import graft.functions.VectorFunctions.dotFused
+    def cellScores(vec: Column): Column = array(cents.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dotFused(vec, array(c.map(lit): _*))).as("d"), lit(i).as("i"))
+    }: _*)
+    df.select(col(idCol),
+      array_min(cellScores(asDouble(col(vecCol)))).getField("i").cast("long").as("cell"))
+  }
+
   /** Per-cell OCCUPANCY histogram of `df` under TRAINED coarse centroids —
     * the embedding-space distribution profile (r12 verdict task 4): cell
     * assignment is the same argmin(|c|² − 2·v·c) map-side expression every
@@ -960,11 +978,14 @@ object AnnIndex {
                                    roundTo: Int = 6): DataFrame = {
     require(rbits > 0 && rbits <= 62, s"rbits must be in (0, 62], got $rbits")
     require(bands > 0, s"bands must be positive, got $bands")
-    // per-cell floored integer mean (exact both engines: long sums, floor div)
+    // per-cell FLOORED integer mean — Math.floorDiv semantics, matching
+    // [[flooredMeanVec]] (the q243/q244 oracles' BIGINT `//` truncates, but
+    // their bucket-count components are nonnegative so floor ≡ truncate
+    // there; the operator contract floors for any integer-valued input)
     val mu = assigned
       .select(col(cellCol), posexplode(asDouble(col(vecCol))).as(Seq("__i", "__x")))
       .groupBy(col(cellCol), col("__i"))
-      .agg(graft.functions.MathFunctions.longDiv(
+      .agg(graft.functions.MathFunctions.floorLongDiv(
         sum(col("__x").cast("long")), count(lit(1))).as("__m"))
       .groupBy(col(cellCol))
       .agg(transform(sort_array(collect_list(struct(col("__i"), col("__m")))),

@@ -730,14 +730,26 @@ object Dedup {
     // verify all read the embedded reps
     val repVecs = reps.select(col(idCol), emb.embedRaw(col(textCol)).as("__v")).cache()
     val cents = AnnIndex.kmeansCentroids(repVecs, "__v", idCol, k, iters = 1)
-    // argmin(|c|² − 2·v·c), tie → lower index — the semDeDup/ivfTopK convention
-    def cellScores(vec: Column) = array(cents.toSeq.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * dotFused(vec, array(c.map(lit): _*))).as("d"),
-        lit(i).as("i"))
-    }: _*)
-    val assigned = repVecs.withColumn("__cell",
-      array_min(cellScores(col("__v"))).getField("i").cast("long"))
+    // argmin(|c|² − 2·v·c), tie → lower index — the semDeDup/ivfTopK
+    // convention. Centroids arrive as a BROADCAST RELATION, not k×dim plan
+    // literals (r16 verdict item 2: at dim=1536 the literal form recreates
+    // the plan-size defect SrpBandBuckets fixed) — min(struct(d, i)) over
+    // the k joined rows is the same lexicographic argmin as array_min over
+    // a struct array, and dotFused on the joined centroid column runs the
+    // identical fused kernel on the identical doubles, so assignments (and
+    // the q243 hash) are unchanged.
+    val sess = repVecs.sparkSession
+    import sess.implicits._
+    val centRel = broadcast(cents.toSeq.zipWithIndex
+      .map { case (c, i) => (i.toLong, c, c.map(x => x * x).sum) }
+      .toDF("__ci", "__cv", "__c2"))
+    val assignedIds = repVecs.crossJoin(centRel)
+      .select(col(idCol), struct(
+        (col("__c2") - lit(2.0) * dotFused(col("__v"), col("__cv"))).as("d"),
+        col("__ci").as("i")).as("__s"))
+      .groupBy(col(idCol)).agg(min(col("__s")).as("__m"))
+      .select(col(idCol), col("__m.i").as("__cell"))
+    val assigned = repVecs.join(assignedIds, Seq(idCol))
     val rbits = AnnIndex.autoBandBits(repVecs.count())
     val pairs = AnnIndex.cosineNearDupPairsCellBanded(assigned, idCol, "__v",
       "__cell", threshold = cosThreshold, rbits = rbits, bands = SemBands)

@@ -378,12 +378,16 @@ object Export {
     // no-op that would only shift piece labels and leave piece 0 empty
     val bkpBnd = docs2.filter(col("__bkp") === 1L && col("__loff") > 0L)
       .groupBy("shard_id", "__win").agg(max("__loff").as("__bpos"))
+    // distinct: window w's content-blind fallback at (w+1)·maxShardTokens
+    // coincides with window w+1's last backup candidate when that candidate
+    // starts exactly at the window boundary — counting the position twice
+    // would skip a sub_id and leave an empty piece (ADVICE r16)
     val allBnd = maxWin.filter(col("__mw") > 0L)
       .select(col("shard_id"), explode(sequence(lit(0L), col("__mw") - 1L)).as("__win"))
       .join(bkpBnd, Seq("shard_id", "__win"), "left")
       .withColumn("__bpos",
         coalesce(col("__bpos"), (col("__win") + 1L) * lit(maxShardTokens)))
-      .select("shard_id", "__bpos")
+      .select("shard_id", "__bpos").distinct()
     docs2.join(allBnd, Seq("shard_id"), "left")
       .withColumn("__le",
         when(col("__bpos").isNotNull && col("__bpos") <= col("__loff"), 1L).otherwise(0L))

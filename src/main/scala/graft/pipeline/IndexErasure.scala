@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** ERASURE PROPAGATION through deployed index artifacts (round-16 verdict
+  * task 1): the GDPR story covered export shards (q234) and packed
+  * sequences (q241), but a deletion left the DEPLOYED ANN index artifacts —
+  * encoded corpora, IVF assignments — still holding the erased vectors'
+  * rows. This module is the repair path: the index artifact is laid out
+  * PARTITIONED BY its coarse key (the IVF cell — one directory per cell,
+  * exactly how a cluster deployment shards an inverted file), a tombstone
+  * set names the cells requiring repair via a map-side assignment of the
+  * tombstoned vectors (O(tombstones · nlist), never an index scan), and the
+  * repair rewrites ONLY the touched cell directories in one distributed
+  * dynamic-partition-overwrite job. Untouched cells' files are never read,
+  * never rewritten — repair cost is proportional to the tombstone-touched
+  * cell mass, not the corpus.
+  *
+  * Semantics contract (the public Faiss `remove_ids` practice): erasure
+  * removes the erased vectors' ROWS — codes, cell assignments — from the
+  * index; the trained quantizer PARAMETERS (coarse centroids, PQ
+  * codebooks) are corpus-level aggregates and stand. "Repaired ≡ rebuilt"
+  * therefore means: the repaired index equals a from-scratch re-encode of
+  * the surviving corpus under the STANDING quantizer — which is exactly
+  * what the q248 oracle computes in DuckDB (two-sided: Spark repairs
+  * incrementally, the oracle rebuilds), so the equivalence is a hash, not
+  * a claim.
+  *
+  * Layout notes: staging/retired directories carry a `_` prefix (Hadoop
+  * partition discovery ignores `_`/`.` entries), so a crashed repair never
+  * pollutes partition inference. A cell whose every row is tombstoned
+  * can't ride dynamic overwrite (no rows → no partition written) — its
+  * directory is deleted explicitly. All mutation is `synchronized` against
+  * this object, same contract as [[ArtifactStore]].
+  */
+object IndexErasure {
+
+  private def fs(spark: SparkSession): FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  private def isLive(f: FileSystem, root: String): Boolean =
+    f.exists(new Path(root, "_SUCCESS"))
+
+  /** Materialize `build` at `root` PARTITIONED BY `partCol` if absent —
+    * the deployment layout of [[ArtifactStore.loadOrBuild]]: one
+    * subdirectory per coarse-key value, staged and atomically promoted.
+    */
+  def ensurePartitioned(spark: SparkSession, root: String, partCol: String)(
+      build: => DataFrame): Unit = synchronized {
+    val f = fs(spark)
+    if (!isLive(f, root)) {
+      val tmp = new Path(root + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+      System.err.println(s"[index-erasure] building partitioned $root")
+      build.write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+      if (isLive(f, root)) f.delete(tmp, true) // a concurrent builder won
+      else StagedSwap.swap(f, tmp, new Path(root), new Path(root + ".old"))
+    }
+  }
+
+  /** The live partitioned index as one relation (partition column restored
+    * by directory discovery, cast to long — inference would make it int).
+    */
+  def readPartitioned(spark: SparkSession, root: String, partCol: String): DataFrame =
+    spark.read.parquet(root).withColumn(partCol, col(partCol).cast("long"))
+
+  /** Incremental erasure repair: drop every row whose `idCol` appears in
+    * `tombstones` from the partitions named by `touched`, leaving every
+    * other partition's files untouched. Returns the repair manifest —
+    * one row per touched live partition: (partCol, n_before, n_removed,
+    * n_after) — the record a deletion run publishes.
+    *
+    * `touched` comes from the caller's map-side assignment of the
+    * tombstoned vectors (cell = argmin distance to the standing coarse
+    * centroids — O(tombstones · nlist)); partitions absent on disk (e.g. a
+    * previous repair already emptied and dropped them) are skipped, which
+    * is what makes a re-run of the same deletion plan a no-op — the same
+    * idempotence contract as [[ArtifactStore.appendBatchIfAbsent]].
+    *
+    * Scale shape: ONE distributed job reads only the touched directories
+    * (partition pruning by path), anti-joins the broadcast tombstone set,
+    * and dynamic-partition-overwrite rewrites only the partitions present
+    * in its output. At 1000 executors this is a handful of tasks over the
+    * touched cells while the rest of a 100 TB index never moves.
+    */
+  def repairErased(spark: SparkSession, root: String, partCol: String,
+                   touched: Seq[Long], idCol: String,
+                   tombstones: DataFrame): DataFrame = synchronized {
+    import spark.implicits._
+    val f = fs(spark)
+    require(isLive(f, root), s"IndexErasure: no live index at $root")
+    val livePaths = touched.sorted.map(v => s"$root/$partCol=$v")
+      .filter(p => f.exists(new Path(p)))
+    if (livePaths.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF(partCol, "n_before", "n_removed", "n_after")
+    val touchedDf = spark.read.option("basePath", root)
+      .parquet(livePaths: _*)
+      .withColumn(partCol, col(partCol).cast("long"))
+    val tombIds = broadcast(tombstones.select(col(idCol)).distinct())
+    // manifest BEFORE the rewrite (reads only the touched partitions)
+    val manifest = touchedDf
+      .join(tombIds.withColumn("__t", lit(1L)), Seq(idCol), "left")
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_before"),
+        sum(coalesce(col("__t"), lit(0L))).as("n_removed"))
+      .withColumn("n_after", col("n_before") - col("n_removed"))
+      .orderBy(col(partCol))
+      .collect() // bounded: one row per touched partition
+    val survivors = touchedDf.join(tombIds, Seq(idCol), "left_anti")
+    survivors.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(root)
+    // fully-erased partitions produce no output rows — dynamic overwrite
+    // leaves their old directory standing; drop it explicitly
+    manifest.filter(_.getAs[Long]("n_after") == 0L).foreach { r =>
+      val p = new Path(s"$root/$partCol=${r.getAs[Long](partCol)}")
+      if (f.exists(p)) f.delete(p, true)
+    }
+    manifest.map(r => (r.getAs[Long](partCol), r.getAs[Long]("n_before"),
+      r.getAs[Long]("n_removed"), r.getAs[Long]("n_after")))
+      .toSeq.toDF(partCol, "n_before", "n_removed", "n_after")
+  }
+}

@@ -3510,7 +3510,7 @@ object TextQueries {
              |  SELECT shard_id, win, max(loff) AS bpos
              |  FROM d2 WHERE bkp = 1 AND loff > 0 GROUP BY 1, 2),
              |ab AS (
-             |  SELECT w.shard_id, coalesce(bb.bpos, (w.win + 1) * 8192) AS bpos
+             |  SELECT DISTINCT w.shard_id, coalesce(bb.bpos, (w.win + 1) * 8192) AS bpos
              |  FROM wins w LEFT JOIN bb ON bb.shard_id = w.shard_id AND bb.win = w.win),
              |d3 AS (
              |  SELECT d2.doc_id, d2.n_tok, d2.source, d2.text, d2.shard_id,
@@ -3574,7 +3574,7 @@ object TextQueries {
              |  SELECT shard_id, win, max(loff) AS bpos
              |  FROM d2 WHERE bkp = 1 AND loff > 0 GROUP BY 1, 2),
              |ab AS (
-             |  SELECT w.shard_id, coalesce(bb.bpos, (w.win + 1) * 8192) AS bpos
+             |  SELECT DISTINCT w.shard_id, coalesce(bb.bpos, (w.win + 1) * 8192) AS bpos
              |  FROM wins w LEFT JOIN bb ON bb.shard_id = w.shard_id AND bb.win = w.win),
              |d3 AS (
              |  SELECT d2.doc_id, d2.n_tok, d2.source, d2.text, d2.shard_id,

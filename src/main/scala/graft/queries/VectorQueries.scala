@@ -501,12 +501,13 @@ object VectorQueries {
     * the whole corpus, probes/ADC for queries vec_id < 20 — the [[pqCtes]]
     * shape re-rooted on the clustered corpus.
     */
-  private def cfRawChain(maxNprobe: Int = 4, withRn: Boolean = false,
-                         qSrc: String = "cf"): String = {
+  /** The TRAINED raw-PQ quantizer + whole-corpus encode prefix of
+    * [[cfRawChain]] (pcbv → pcodes), factored out so the erasure-repair
+    * oracle (q248) can rebuild the encoded SURVIVORS under the standing
+    * quantizer without dragging in the probe/ADC tail.
+    */
+  private val cfRawEncodeCtes: String = {
     val sl = (v: String, j: String) => s"list_slice($v, $j*$PqDsub+1, $j*$PqDsub+$PqDsub)"
-    val prnSel = if (withRn) ", rn AS prn" else ""
-    val prnCand = if (withRn) ", p.prn" else ""
-    val prnAgg = if (withRn) ", CAST(min(ca.prn) AS BIGINT) AS probe_rn" else ""
     s"""pcbv AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pci, v AS pcv
        |  FROM cf ORDER BY vec_id LIMIT $PqKsub),
@@ -537,7 +538,16 @@ object VectorQueries {
        |        ORDER BY su.c2 - CAST(2.0 AS DOUBLE)
        |          * list_inner_product(${sl("a.v", "su.j")}, su.s), su.pci) AS rn
        |    FROM cf a CROSS JOIN psubs su)
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  private def cfRawChain(maxNprobe: Int = 4, withRn: Boolean = false,
+                         qSrc: String = "cf"): String = {
+    val sl = (v: String, j: String) => s"list_slice($v, $j*$PqDsub+1, $j*$PqDsub+$PqDsub)"
+    val prnSel = if (withRn) ", rn AS prn" else ""
+    val prnCand = if (withRn) ", p.prn" else ""
+    val prnAgg = if (withRn) ", CAST(min(ca.prn) AS BIGINT) AS probe_rn" else ""
+    s"""$cfRawEncodeCtes,
        |pprobes AS (
        |  SELECT vec_id AS q_id, cell$prnSel FROM (
        |    SELECT f.vec_id, c.ci AS cell,
@@ -2287,6 +2297,86 @@ object VectorQueries {
            |  FROM rh CROSS JOIN sn)
            |ORDER BY method""".stripMargin
       }),
+
+    // ERASURE PROPAGATION through the DEPLOYED ANN index artifact (r16
+    // verdict task 1): the trained raw-PQ encoded corpus is materialized
+    // CELL-PARTITIONED (one directory per IVF cell — the deployment layout
+    // of an inverted file), a tombstone set (one cluster's "user": vec_id ≡
+    // 5 mod 32, every third row) names its touched cells by a MAP-SIDE
+    // assignment of the tombstoned vectors (O(tombstones·nlist), no index
+    // scan), and IndexErasure.repairErased rewrites ONLY those cell
+    // directories in one dynamic-partition-overwrite job. The oracle is the
+    // OTHER side: DuckDB re-encodes the SURVIVING corpus from scratch under
+    // the standing quantizer (trained on the full corpus — the Faiss
+    // remove_ids contract: parameters are aggregates and stand, rows go).
+    // Hash equality = repaired ≡ rebuilt, the q194-style two-sided proof.
+    "q248_index_erasure_repair" -> Q(
+      (s, dir) => {
+        val cf = clusteredDf(s, dir)
+        val cents = trainedCents(s, dir)
+        val rawCb = trainedCodebooks(s, dir, "pq_cb_raw_cf_v1")(
+          AnnIndex.pqTrainCodebooks(cf, "vec_id", "cvec",
+            m = PqM, ksub = PqKsub, dim = 64, iters = 1))
+        val root = graft.pipeline.ArtifactStore.rootFor(dir, "pq_enc_raw_cf_part_v1")
+        graft.pipeline.IndexErasure.ensurePartitioned(s, root, "cell") {
+          AnnIndex.pqEncodedCorpus(cf.select(col("vec_id").as("c_id"), col("cvec")),
+            "c_id", "cvec", PqM, PqKsub, 64, 32, Some(rawCb), Some(cents))
+            .select(col("c_id"), col("__cell").cast("long").as("cell"), col("__codes"))
+        }
+        val tomb = cf.filter(col("vec_id") % 32 === 5 && col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("c_id"), col("cvec"))
+        val touched = AnnIndex.ivfAssignTrained(tomb, "c_id", "cvec", cents.toSeq)
+          .select("cell").distinct().collect().map(_.getLong(0)).toSeq // ≤ nlist rows
+        graft.pipeline.IndexErasure.repairErased(s, root, "cell", touched, "c_id", tomb)
+        graft.pipeline.IndexErasure.readPartitioned(s, root, "cell")
+          .select(col("c_id").as("vec_id"), col("cell"),
+            posexplode(col("__codes")).as(Seq("j", "code")))
+          .select(col("vec_id"), col("cell"), col("j").cast("long").as("j"),
+            col("code").cast("long").as("code"))
+          .orderBy("vec_id", "j")
+      },
+      Some(s"""WITH $cfCte,
+             |$cfKmeansCtes,
+             |$cfRawEncodeCtes
+             |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+             |  CAST(co.j AS BIGINT) AS j, CAST(co.code AS BIGINT) AS code
+             |FROM asg a JOIN pcodes co ON co.vec_id = a.vec_id
+             |WHERE NOT (a.vec_id % 32 = 5 AND a.vec_id % 3 = 0)
+             |ORDER BY 1, 3""".stripMargin)),
+
+    // The erasure-repair MANIFEST — "name the cells/codes requiring
+    // repair": one row per touched cell with its standing row count, rows
+    // to remove, and rows surviving. Computed as a pure function of the
+    // corpus + tombstone predicate under the standing quantizer (stable
+    // across repair re-runs — the applied-repair record on a virgin index
+    // equals this plan, pinned in IndexErasureSpec); the cost statement is
+    // the row itself: repair rewrites Σ n_before over THESE cells, not the
+    // corpus.
+    "q249_erasure_repair_manifest" -> Q(
+      (s, dir) => {
+        val cf = clusteredDf(s, dir)
+        val cents = trainedCents(s, dir)
+        val tombFlag = when(col("vec_id") % 32 === 5 && col("vec_id") % 3 === 0, 1L)
+          .otherwise(0L)
+        AnnIndex.ivfAssignTrained(cf, "vec_id", "cvec", cents.toSeq)
+          .join(cf.select(col("vec_id"), tombFlag.as("__t")), Seq("vec_id"))
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_before"), sum(col("__t")).as("n_removed"))
+          .filter(col("n_removed") > 0L)
+          .select(col("cell"), col("n_before"), col("n_removed"),
+            (col("n_before") - col("n_removed")).as("n_after"))
+          .orderBy("cell")
+      },
+      Some(s"""WITH $cfCte,
+             |$cfKmeansCtes
+             |SELECT CAST(cell AS BIGINT) AS cell,
+             |  CAST(count(*) AS BIGINT) AS n_before,
+             |  CAST(sum(CASE WHEN vec_id % 32 = 5 AND vec_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             |  CAST(count(*) - sum(CASE WHEN vec_id % 32 = 5 AND vec_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+             |FROM asg
+             |GROUP BY cell
+             |HAVING sum(CASE WHEN vec_id % 32 = 5 AND vec_id % 3 = 0 THEN 1 ELSE 0 END) > 0
+             |ORDER BY cell""".stripMargin)),
   )
 
   /** SQ8 chain over `cf`/`cents`/`asg` (prefix `s`): per-dim min/max params

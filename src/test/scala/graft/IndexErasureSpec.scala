@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.pipeline.IndexErasure]]: the partitioned index layout and the
+  * incremental erasure repair — repaired ≡ rebuilt, untouched partitions'
+  * files never rewritten, fully-erased partitions dropped, re-runs no-ops.
+  */
+class IndexErasureSpec extends AnyFunSuite with SparkTestSession {
+  import graft.pipeline.IndexErasure
+
+  private def freshRoot(): String =
+    s"/tmp/graft-test-erasure/${java.util.UUID.randomUUID().toString.take(8)}/idx"
+
+  private def buildFixture(root: String): Unit = {
+    import spark.implicits._
+    // 3 cells × 4 rows; payload stands in for PQ codes
+    val rows = (0L until 12L).map(i => (i, i % 3, s"code-$i")).toDF("id", "cell", "payload")
+    IndexErasure.ensurePartitioned(spark, root, "cell")(rows)
+  }
+
+  private def partFiles(root: String, cell: Long): Map[String, Long] = {
+    val d = new java.io.File(s"$root/cell=$cell")
+    if (!d.exists()) Map.empty
+    else d.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+  }
+
+  test("repairErased: tombstoned rows gone, untouched partition files untouched, manifest exact") {
+    import spark.implicits._
+    val root = freshRoot()
+    buildFixture(root)
+    val before0 = partFiles(root, 0L)
+    assert(before0.nonEmpty, "fixture must have a cell=0 partition")
+    // erase ids 1 and 4 — both live in cell 1 only
+    val tomb = Seq(1L, 4L).toDF("id")
+    val manifest = IndexErasure.repairErased(spark, root, "cell",
+      touched = Seq(1L), idCol = "id", tombstones = tomb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(manifest.toSeq === Seq((1L, 4L, 2L, 2L)))
+    val got = IndexErasure.readPartitioned(spark, root, "cell")
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq === (0L until 12L).filterNot(Set(1L, 4L)))
+    // the rebuilt-equivalence contract at unit scale: repaired == the
+    // partitioned write of the surviving rows (same rows, same cells)
+    val cells = IndexErasure.readPartitioned(spark, root, "cell")
+      .select("id", "cell").as[(Long, Long)].collect().toSet
+    assert(cells === (0L until 12L).filterNot(Set(1L, 4L)).map(i => (i, i % 3)).toSet)
+    // untouched partition: identical files, identical mtimes — never rewritten
+    assert(partFiles(root, 0L) === before0, "cell=0 files must not be rewritten")
+  }
+
+  test("repairErased: fully-erased partition directory is dropped; re-run is a no-op") {
+    import spark.implicits._
+    val root = freshRoot()
+    buildFixture(root)
+    // erase ALL of cell 2 (ids 2, 5, 8, 11)
+    val tomb = Seq(2L, 5L, 8L, 11L).toDF("id")
+    val m1 = IndexErasure.repairErased(spark, root, "cell", Seq(2L), "id", tomb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(m1.toSeq === Seq((2L, 4L, 4L, 0L)))
+    assert(!new java.io.File(s"$root/cell=2").exists(),
+      "a fully-erased partition must be dropped, not left as stale files")
+    val got = IndexErasure.readPartitioned(spark, root, "cell")
+      .select("cell").distinct().as[Long].collect().sorted
+    assert(got.toSeq === Seq(0L, 1L))
+    // idempotence: the same deletion plan again — touched dir is gone, so
+    // the repair reports nothing and changes nothing
+    val m2 = IndexErasure.repairErased(spark, root, "cell", Seq(2L), "id", tomb).collect()
+    assert(m2.isEmpty)
+    assert(IndexErasure.readPartitioned(spark, root, "cell").count() === 8L)
+  }
+
+  test("repairErased: re-running a partial deletion plan is content-neutral") {
+    import spark.implicits._
+    val root = freshRoot()
+    buildFixture(root)
+    val tomb = Seq(3L).toDF("id") // cell 0
+    IndexErasure.repairErased(spark, root, "cell", Seq(0L), "id", tomb)
+    val after1 = IndexErasure.readPartitioned(spark, root, "cell")
+      .select("id").as[Long].collect().sorted.toSeq
+    val m2 = IndexErasure.repairErased(spark, root, "cell", Seq(0L), "id", tomb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(m2.toSeq === Seq((0L, 3L, 0L, 3L)), "second pass finds nothing to remove")
+    val after2 = IndexErasure.readPartitioned(spark, root, "cell")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(after2 === after1)
+  }
+}

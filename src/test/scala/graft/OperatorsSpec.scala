@@ -1907,6 +1907,37 @@ class OperatorsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("tttdPieceIds: coincident fallback/backup boundaries count once (ADVICE r16)") {
+    import spark.implicits._
+    // maxShardTokens = 100. Window 0 has no interior backup candidate → the
+    // content-blind fallback lands at local offset 100; window 1's LAST
+    // backup candidate starts EXACTLY at 100. Before the distinct() those
+    // were two boundaries at one position — docs past 100 counted both,
+    // skipped sub 1, and piece 1 came out empty.
+    val withBkp = Seq(
+      (1L, 100L, 0L, 1L, 0L, 0L, 1L),   // first doc: bkp but __loff = 0, excluded
+      (2L, 50L, 100L, 0L, 0L, 0L, 1L),  // backup candidate AT the window boundary
+      (3L, 100L, 150L, 0L, 0L, 0L, 0L),
+      (4L, 60L, 250L, 0L, 0L, 0L, 0L)   // win 2 → windows 0 and 1 emit boundaries
+    ).toDF("doc_id", "n_tok", "start_off", "cand", "shard_id", "shard_start", "__bkp")
+    val got = graft.operators.Export.tttdPieceIds(withBkp, "doc_id", 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L),
+      s"coincident boundaries must dedup to one cut: $got")
+    val subs = got.values.toSeq.distinct.sorted
+    assert(subs === (0L until subs.length).toSeq, "pieces contiguous from 0")
+  }
+
+  test("floorLongDiv: Math.floorDiv semantics on negative sums (ADVICE r16)") {
+    import spark.implicits._
+    val rows = Seq((-7L, 2L), (7L, 2L), (-8L, 2L), (0L, 3L), (-1L, 3L))
+      .toDF("a", "b")
+    val got = rows.select(col("a"), col("b"),
+      graft.functions.MathFunctions.floorLongDiv(col("a"), col("b")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got.foreach { case ((a, b), q) => assert(q === Math.floorDiv(a, b), s"$a/$b") }
+  }
+
   test("detectorAgreement: hand-checked kappa, identical raters, undefined case") {
     import spark.implicits._
     // 4 docs: a and b agree on 3 of 4 (pa=pb=1/2 → pe=1/2, po=1/2... build
