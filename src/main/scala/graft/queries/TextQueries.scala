@@ -359,6 +359,12 @@ object TextQueries {
     */
   val SemCosThreshold = 0.95
 
+  /** Probe-sample size of the sampled semantic recall audit (q245b): the
+    * truth side costs SemSampleProbes × corpus exact cosines — fixed, so
+    * the audit stays linear at any corpus scale.
+    */
+  val SemSampleProbes = 128
+
   // ---- MinHash-LSH / SimHash oracle SQL (mirrors the PolyHash family) ----
   // Every hash in Dedup's LSH pipelines is modular arithmetic below 2⁶³
   // (graft.functions.expressions.PolyHash), so the WHOLE pipeline — token
@@ -1100,6 +1106,63 @@ object TextQueries {
        |  SELECT w.doc_id, w.pos FROM ${p}w w JOIN ${p}dup USING (win)),
        |$spanTail""".stripMargin
   }
+
+  /** Shared oracle CTE prefix of the semantic recall audits (q245/q245b):
+    * distinct-text reps → bucket-count embeddings → corpus-floored-mean
+    * centering → banded SRP buckets → candidate pairs → exact-cosine
+    * verified losers (`bsel`). The audits differ only in their TRUTH side
+    * (all-pairs vs sampled probes) and the report row.
+    */
+  private lazy val semRecallCtePrefix: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+       |th AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, length(w)),
+       |        i -> CAST(ascii(substr(w, CAST(i AS INTEGER), 1)) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+       |  FROM tok),
+       |scv AS (SELECT doc_id, h % 64 AS bucket, count(*) AS n FROM th GROUP BY 1, 2),
+       |qreps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |sdense AS (
+       |  SELECT d.doc_id, g.i, CAST(coalesce(c.n, 0) AS BIGINT) AS x
+       |  FROM qreps d
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+       |  LEFT JOIN scv c ON c.doc_id = d.doc_id AND c.bucket = g.i),
+       |rmu AS (
+       |  SELECT i, CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+       |  FROM sdense GROUP BY i),
+       |rv AS (
+       |  SELECT s.doc_id, list(CAST(x AS DOUBLE) ORDER BY s.i) AS v,
+       |    list(CAST(x - m AS DOUBLE) ORDER BY s.i) AS vc
+       |  FROM sdense s JOIN rmu ON rmu.i = s.i GROUP BY s.doc_id),
+       |sparams AS (
+       |  SELECT greatest(4, coalesce((
+       |    SELECT min(b) FROM (SELECT unnest(generate_series(0, 30)) AS b) bs
+       |    WHERE (CAST(16 AS BIGINT) << CAST(b AS INTEGER)) >= (SELECT count(*) FROM qreps)), 30)) AS srb),
+       |splanes AS (
+       |  SELECT list(list_transform(generate_series(0, 63), d ->
+       |      CAST(((j*64+d+1)*(j*64+d+1) * 2654435761 + 97*(j*64+d+1) + 12345) % 1000003
+       |        - 501001 AS DOUBLE)) ORDER BY j) AS ws
+       |  FROM (SELECT unnest(generate_series(0, 16 * (SELECT srb FROM sparams) - 1)) AS j)),
+       |sbuck AS (
+       |  SELECT doc_id, v, bb.b AS band,
+       |    list_sum(list_transform(generate_series(1, sparams.srb),
+       |      j -> CASE WHEN list_inner_product(vc, splanes.ws[bb.b * sparams.srb + j]) >= CAST(0.0 AS DOUBLE)
+       |           THEN (CAST(1 AS BIGINT) << (j-1)) ELSE CAST(0 AS BIGINT) END)) AS bucket
+       |  FROM rv, splanes, sparams, (SELECT unnest(generate_series(0, 15)) AS b) bb),
+       |cpair AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sbuck a JOIN sbuck b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |bsel AS (
+       |  SELECT DISTINCT p.id_b FROM cpair p
+       |  JOIN rv x ON x.doc_id = p.id_a JOIN rv y ON y.doc_id = p.id_b
+       |  WHERE list_sum(list_transform(x.v, e -> e*e)) > CAST(0.0 AS DOUBLE)
+       |    AND list_sum(list_transform(y.v, e -> e*e)) > CAST(0.0 AS DOUBLE)
+       |    AND ${frs("list_cosine_similarity(x.v, y.v)", 6)} >= CAST($SemCosThreshold AS DOUBLE))""".stripMargin
+
 
   def all: ListMap[String, Q] = ListMap(
     "q16_doc_stats" -> Q(
@@ -4054,16 +4117,16 @@ object TextQueries {
              |         OR d.doc_id IN (SELECT doc_id FROM dupz) THEN 1 ELSE 0 END AS BIGINT) AS f_semantic
              |FROM documents d ORDER BY doc_id""".stripMargin)),
 
-    // SEMANTIC-AXIS RECALL AUDIT — the approximation quality of the
-    // banded-centered candidate policy as a STANDING hash-checked metric
-    // (this round's 29/29 sf0.01 / 560/570 sf0.1 session measurements,
-    // promoted to a query): banded-verified losers vs the BRUTE-FORCE
-    // truth (all-pairs exact cosine ≥ τ over distinct-text reps). Found ⊆
-    // true by construction (verification is exact cosine on candidates),
-    // so the one-row report is (n_true, n_found, recall). Ground truth is
-    // quadratic BY DEFINITION — this is the audit you run on a sample or a
-    // fixture, exactly like the q135/q197 recall audits; the deployed
-    // candidates stay the linear banded path.
+    // SEMANTIC-AXIS RECALL AUDIT, FIXTURE-ONLY — the approximation quality
+    // of the banded-centered candidate policy as a standing hash-checked
+    // metric: banded-verified losers vs the BRUTE-FORCE truth (all-pairs
+    // exact cosine ≥ τ over distinct-text reps). Found ⊆ true by
+    // construction (verification is exact cosine on candidates), so the
+    // one-row report is (n_true, n_found, recall). Ground truth here is
+    // all-pairs — QUADRATIC BY DEFINITION — so this exact form is for
+    // fixtures and samples only (r16 verdict item 1); the variant that
+    // stands at any scale is q245b below: hash-stratified fixed-size probe
+    // sample, truth = probes × corpus (linear), Wilson-bounded recall.
     "q245_semantic_recall_audit" -> Q(
       (s, dir) => {
         import graft.functions.VectorFunctions.{cosineFromNormSq, l2NormSq}
@@ -4093,54 +4156,7 @@ object TextQueries {
             fr(col("n_found").cast("double") / col("n_true").cast("double"), 6)
               .as("recall"))
       },
-      Some(s"""WITH tok AS (
-             |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
-             |th AS (
-             |  SELECT doc_id,
-             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |      list_transform(generate_series(1, length(w)),
-             |        i -> CAST(ascii(substr(w, CAST(i AS INTEGER), 1)) AS BIGINT))),
-             |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
-             |  FROM tok),
-             |scv AS (SELECT doc_id, h % 64 AS bucket, count(*) AS n FROM th GROUP BY 1, 2),
-             |qreps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-             |sdense AS (
-             |  SELECT d.doc_id, g.i, CAST(coalesce(c.n, 0) AS BIGINT) AS x
-             |  FROM qreps d
-             |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
-             |  LEFT JOIN scv c ON c.doc_id = d.doc_id AND c.bucket = g.i),
-             |rmu AS (
-             |  SELECT i, CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
-             |  FROM sdense GROUP BY i),
-             |rv AS (
-             |  SELECT s.doc_id, list(CAST(x AS DOUBLE) ORDER BY s.i) AS v,
-             |    list(CAST(x - m AS DOUBLE) ORDER BY s.i) AS vc
-             |  FROM sdense s JOIN rmu ON rmu.i = s.i GROUP BY s.doc_id),
-             |sparams AS (
-             |  SELECT greatest(4, coalesce((
-             |    SELECT min(b) FROM (SELECT unnest(generate_series(0, 30)) AS b) bs
-             |    WHERE (CAST(16 AS BIGINT) << CAST(b AS INTEGER)) >= (SELECT count(*) FROM qreps)), 30)) AS srb),
-             |splanes AS (
-             |  SELECT list(list_transform(generate_series(0, 63), d ->
-             |      CAST(((j*64+d+1)*(j*64+d+1) * 2654435761 + 97*(j*64+d+1) + 12345) % 1000003
-             |        - 501001 AS DOUBLE)) ORDER BY j) AS ws
-             |  FROM (SELECT unnest(generate_series(0, 16 * (SELECT srb FROM sparams) - 1)) AS j)),
-             |sbuck AS (
-             |  SELECT doc_id, v, bb.b AS band,
-             |    list_sum(list_transform(generate_series(1, sparams.srb),
-             |      j -> CASE WHEN list_inner_product(vc, splanes.ws[bb.b * sparams.srb + j]) >= CAST(0.0 AS DOUBLE)
-             |           THEN (CAST(1 AS BIGINT) << (j-1)) ELSE CAST(0 AS BIGINT) END)) AS bucket
-             |  FROM rv, splanes, sparams, (SELECT unnest(generate_series(0, 15)) AS b) bb),
-             |cpair AS (
-             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM sbuck a JOIN sbuck b
-             |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-             |bsel AS (
-             |  SELECT DISTINCT p.id_b FROM cpair p
-             |  JOIN rv x ON x.doc_id = p.id_a JOIN rv y ON y.doc_id = p.id_b
-             |  WHERE list_sum(list_transform(x.v, e -> e*e)) > CAST(0.0 AS DOUBLE)
-             |    AND list_sum(list_transform(y.v, e -> e*e)) > CAST(0.0 AS DOUBLE)
-             |    AND ${frs("list_cosine_similarity(x.v, y.v)", 6)} >= CAST($SemCosThreshold AS DOUBLE)),
+      Some(s"""$semRecallCtePrefix,
              |btrue AS (
              |  SELECT DISTINCT b.doc_id AS id_b
              |  FROM rv a JOIN rv b ON a.doc_id < b.doc_id
@@ -4151,6 +4167,96 @@ object TextQueries {
              |  CAST(sum(CASE WHEN t.id_b IN (SELECT id_b FROM bsel) THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
              |  ${frs("CAST(sum(CASE WHEN t.id_b IN (SELECT id_b FROM bsel) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS recall
              |FROM btrue t""".stripMargin)),
+
+    // SAMPLED SEMANTIC RECALL AUDIT — the q245 audit at ANY scale (r16
+    // verdict task 2): q245's all-pairs truth is quadratic by definition,
+    // so the standing form restricts the truth to a HASH-STRATIFIED
+    // FIXED-SIZE probe sample — the SemSampleProbes lowest reps by
+    // hex4(md5(text)) (content-uniform, id-order-free) — making the truth
+    // join |sample| × corpus, LINEAR. Found ⊆ true still holds (the found
+    // side is the unchanged banded path, intersected with the sample), and
+    // the one-row report adds a two-sigma WILSON LOWER BOUND on the recall
+    // estimate (Wilson 1927, z = 2 — exactly representable, so the bound
+    // mirrors bit-for-bit in DuckDB): at sample size n_true with point
+    // estimate p̂, recall ≥ wilson_lo with ~97.7% one-sided confidence.
+    "q245b_semantic_recall_sampled" -> Q(
+      (s, dir) => {
+        import graft.functions.VectorFunctions.{cosineFromNormSq, l2NormSq}
+        import graft.operators.AnnIndex
+        val emb = graft.pipeline.HashingEmbedder(64)
+        val reps = Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
+        // cache-lifetime: pinned by the returned plan — caller releases
+        // (see Caching); width count, probe sample, banded path, and truth
+        // all read the embedded reps
+        val rv = reps.select(col("doc_id"), emb.embedRaw(col("text")).as("v"),
+          expr(graft.operators.Export.hex4ValSql("md5(text)")).cast("long").as("__h"))
+          .cache()
+        val found = AnnIndex.cosineNearDupPairsBandedCentered(
+            rv.select("doc_id", "v"), "doc_id", "v",
+            threshold = SemCosThreshold,
+            rbits = AnnIndex.autoBandBits(rv.count()), bands = Dedup.SemBands,
+            dim = 64)
+          .select(col("id_b")).distinct()
+        val probes = rv.orderBy(col("__h"), col("doc_id")).limit(SemSampleProbes)
+          .select(col("doc_id").as("ib"), col("v").as("vb"))
+        val a = rv.select(col("doc_id").as("ia"), col("v").as("va"))
+          .withColumn("na", l2NormSq(col("va"))).filter(col("na") > 0.0)
+        val b = probes.withColumn("nb", l2NormSq(col("vb"))).filter(col("nb") > 0.0)
+        val truth = a.join(b, col("ia") < col("ib"))
+          .filter(fr(cosineFromNormSq(col("va"), col("vb"), col("na"), col("nb")), 6)
+            >= SemCosThreshold)
+          .select(col("ib").as("id_b")).distinct()
+        val nProbes = probes.agg(count(lit(1)).as("n_probes"))
+        val agg = truth.withColumn("__t", lit(1L))
+          .join(found.withColumn("__f", lit(1L)), Seq("id_b"), "left")
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("__f"), lit(0L))).as("n_found"))
+        // Wilson score interval lower bound, z = 2 (all literals exactly
+        // representable; op order mirrored token-for-token in the oracle)
+        val z = lit(2.0)
+        val nT = col("n_true").cast("double")
+        val ph = col("n_found").cast("double") / nT
+        val den = lit(1.0) + z * z / nT
+        val ctr = ph + z * z / (lit(2.0) * nT)
+        val rad = z * sqrt(ph * (lit(1.0) - ph) / nT + z * z / (lit(4.0) * nT * nT))
+        agg.crossJoin(nProbes)
+          .select(col("n_probes"), col("n_true"), col("n_found"),
+            when(col("n_true") > 0, fr(ph, 6))
+              .otherwise(lit(null).cast("double")).as("recall"),
+            when(col("n_true") > 0, fr((ctr - rad) / den, 6))
+              .otherwise(lit(null).cast("double")).as("wilson_lo"))
+      },
+      Some {
+        val phS = "(CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE))"
+        val ntS = "CAST(n_true AS DOUBLE)"
+        val zS = "CAST(2.0 AS DOUBLE)"
+        val wilsonSql =
+          s"(($phS + (($zS * $zS) / (CAST(2.0 AS DOUBLE) * $ntS)))" +
+          s" - ($zS * sqrt((($phS * (CAST(1.0 AS DOUBLE) - $phS)) / $ntS)" +
+          s" + (($zS * $zS) / ((CAST(4.0 AS DOUBLE) * $ntS) * $ntS)))))" +
+          s" / (CAST(1.0 AS DOUBLE) + (($zS * $zS) / $ntS))"
+        s"""$semRecallCtePrefix,
+           |hh AS (
+           |  SELECT r.doc_id, CAST(${graft.operators.Export.hex4ValSql("md5(d.text)")} AS BIGINT) AS h
+           |  FROM qreps r JOIN documents d USING (doc_id)),
+           |probes AS (SELECT doc_id FROM hh ORDER BY h, doc_id LIMIT $SemSampleProbes),
+           |btrue AS (
+           |  SELECT DISTINCT b.doc_id AS id_b
+           |  FROM rv a JOIN rv b ON a.doc_id < b.doc_id
+           |  JOIN probes p ON p.doc_id = b.doc_id
+           |  WHERE list_sum(list_transform(a.v, e -> e*e)) > CAST(0.0 AS DOUBLE)
+           |    AND list_sum(list_transform(b.v, e -> e*e)) > CAST(0.0 AS DOUBLE)
+           |    AND ${frs("list_cosine_similarity(a.v, b.v)", 6)} >= CAST($SemCosThreshold AS DOUBLE)),
+           |rep AS (
+           |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM probes) AS n_probes,
+           |    CAST(count(*) AS BIGINT) AS n_true,
+           |    CAST(sum(CASE WHEN t.id_b IN (SELECT id_b FROM bsel) THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+           |  FROM btrue t)
+           |SELECT n_probes, n_true, n_found,
+           |  CASE WHEN n_true > 0 THEN ${frs(phS, 6)} ELSE NULL END AS recall,
+           |  CASE WHEN n_true > 0 THEN ${frs(wilsonSql, 6)} ELSE NULL END AS wilson_lo
+           |FROM rep""".stripMargin
+      }),
 
     "q149_exact_substr_spans" -> Q(
       (s, dir) => Dedup.exactSubstrSpans(
