@@ -972,17 +972,18 @@ object AnnIndex {
     * are a GROUP BY relation joined back — parameter-free plans at any
     * cell count.
     */
-  def cosineNearDupPairsCellBanded(assigned: DataFrame, idCol: String,
-                                   vecCol: String, cellCol: String,
-                                   threshold: Double, rbits: Int, bands: Int,
-                                   roundTo: Int = 6): DataFrame = {
-    require(rbits > 0 && rbits <= 62, s"rbits must be in (0, 62], got $rbits")
-    require(bands > 0, s"bands must be positive, got $bands")
-    // per-cell FLOORED integer mean — Math.floorDiv semantics, matching
-    // [[flooredMeanVec]] (the q243/q244 oracles' BIGINT `//` truncates, but
-    // their bucket-count components are nonnegative so floor ≡ truncate
-    // there; the operator contract floors for any integer-valued input)
-    val mu = assigned
+  /** Per-cell FLOORED integer mean of `assigned` (idCol, vecCol, cellCol) —
+    * Math.floorDiv semantics, matching [[flooredMeanVec]] (the q243/q244
+    * oracles' BIGINT `//` truncates, but their bucket-count components are
+    * nonnegative so floor ≡ truncate there; the operator contract floors
+    * for any integer-valued input). Output: one row per cell,
+    * (cellCol, __mu array<double>) — the centering-parameter relation the
+    * batch pair path ([[cosineNearDupPairsCellBanded]]) and the streamed
+    * cell gate ([[graft.streaming.StreamingDedup]]) both join.
+    */
+  def perCellFlooredMeans(assigned: DataFrame, vecCol: String,
+                          cellCol: String): DataFrame =
+    assigned
       .select(col(cellCol), posexplode(asDouble(col(vecCol))).as(Seq("__i", "__x")))
       .groupBy(col(cellCol), col("__i"))
       .agg(graft.functions.MathFunctions.floorLongDiv(
@@ -990,10 +991,30 @@ object AnnIndex {
       .groupBy(col(cellCol))
       .agg(transform(sort_array(collect_list(struct(col("__i"), col("__m")))),
         x => x.getField("__m").cast("double")).as("__mu"))
-    val slim = assigned.join(mu, Seq(cellCol))
-      .select(col(idCol).as("__id"), col(cellCol).as("__cell"),
+
+  /** The cell-scoped banded-SRP index rows of `assigned`: one (idCol,
+    * cellCol, __band, __bucket) row per band, buckets over the PER-CELL
+    * floored-mean-centered vector — the slim relation the within-cell
+    * candidate join runs on, shared verbatim between the batch self-join
+    * and the streamed probe (index side static, arriving rows computed by
+    * the same kernel).
+    */
+  def cellBandBuckets(assigned: DataFrame, idCol: String, vecCol: String,
+                      cellCol: String, rbits: Int, bands: Int): DataFrame =
+    assigned.join(perCellFlooredMeans(assigned, vecCol, cellCol), Seq(cellCol))
+      .select(col(idCol), col(cellCol),
         posexplode(bandBucketsColOf(col(vecCol), col("__mu"), rbits, bands))
           .as(Seq("__band", "__bucket")))
+
+  def cosineNearDupPairsCellBanded(assigned: DataFrame, idCol: String,
+                                   vecCol: String, cellCol: String,
+                                   threshold: Double, rbits: Int, bands: Int,
+                                   roundTo: Int = 6): DataFrame = {
+    require(rbits > 0 && rbits <= 62, s"rbits must be in (0, 62], got $rbits")
+    require(bands > 0, s"bands must be positive, got $bands")
+    val slim = cellBandBuckets(assigned, idCol, vecCol, cellCol, rbits, bands)
+      .select(col(idCol).as("__id"), col(cellCol).as("__cell"),
+        col("__band"), col("__bucket"))
       .cache() // cache-lifetime: pinned by the returned plan — caller releases (see Caching)
     val cand = slim.select(col("__id").as("id_a"), col("__cell"), col("__band"), col("__bucket"))
       .join(slim.select(col("__id").as("id_b"), col("__cell"), col("__band"), col("__bucket")),

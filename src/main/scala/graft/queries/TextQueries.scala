@@ -1164,6 +1164,107 @@ object TextQueries {
        |    AND ${frs("list_cosine_similarity(x.v, y.v)", 6)} >= CAST($SemCosThreshold AS DOUBLE))""".stripMargin
 
 
+  /** q243's full oracle — the trained-cell semantic dedup chain mirrored
+    * in SQL (training, assignment, integer cell means, band buckets,
+    * verify). Shared VERBATIM by the batch entry (q243) and its streamed
+    * twin (q250): one truth, two execution topologies.
+    */
+  private lazy val semCellDedupOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+       |th AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, length(w)),
+       |        i -> CAST(ascii(substr(w, CAST(i AS INTEGER), 1)) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+       |  FROM tok),
+       |scv AS (SELECT doc_id, h % 64 AS bucket, count(*) AS n FROM th GROUP BY 1, 2),
+       |sdense AS (
+       |  SELECT d.doc_id, g.i, CAST(coalesce(c.n, 0) AS BIGINT) AS x
+       |  FROM (SELECT doc_id FROM documents) d
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+       |  LEFT JOIN scv c ON c.doc_id = d.doc_id AND c.bucket = g.i),
+       |semb AS (SELECT doc_id, list(CAST(x AS DOUBLE) ORDER BY i) AS v
+       |         FROM sdense GROUP BY doc_id),
+       |qreps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |rv AS (SELECT s.doc_id, s.v FROM semb s JOIN qreps USING (doc_id)),
+       |kinit AS (
+       |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS ci, v AS cv
+       |  FROM rv ORDER BY doc_id LIMIT 16),
+       |ka AS (
+       |  SELECT doc_id, v, cell FROM (
+       |    SELECT r.doc_id, r.v, k.ci AS cell,
+       |      row_number() OVER (PARTITION BY r.doc_id
+       |        ORDER BY k.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(r.v, k.cv), k.ci) AS rn
+       |    FROM rv r CROSS JOIN (
+       |      SELECT ci, cv,
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(cv, x -> x*x)), (a, x) -> a + x) AS c2
+       |      FROM kinit) k)
+       |  WHERE rn = 1),
+       |km AS (
+       |  SELECT cell, pos, ${frs("avg(comp)", 9)} AS mc
+       |  FROM (SELECT cell, unnest(v) AS comp, generate_subscripts(v, 1) AS pos FROM ka)
+       |  GROUP BY cell, pos),
+       |cents AS (
+       |  SELECT i.ci, coalesce(m.ms, i.cv) AS cv,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(coalesce(m.ms, i.cv), x -> x*x)), (a, x) -> a + x) AS c2
+       |  FROM kinit i LEFT JOIN (
+       |    SELECT cell, list(mc ORDER BY pos) AS ms FROM km GROUP BY cell) m
+       |  ON m.cell = i.ci),
+       |asg AS (
+       |  SELECT doc_id, cell FROM (
+       |    SELECT r.doc_id, c.ci AS cell,
+       |      row_number() OVER (PARTITION BY r.doc_id
+       |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(r.v, c.cv), c.ci) AS rn
+       |    FROM rv r CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |cmu AS (
+       |  SELECT a.cell, s.i,
+       |    CAST(sum(s.x) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+       |  FROM sdense s JOIN asg a USING (doc_id) GROUP BY 1, 2),
+       |sparams AS (
+       |  SELECT greatest(4, coalesce((
+       |    SELECT min(b) FROM (SELECT unnest(generate_series(0, 30)) AS b) bs
+       |    WHERE (CAST(16 AS BIGINT) << CAST(b AS INTEGER)) >= (SELECT count(*) FROM qreps)), 30)) AS srb),
+       |splanes AS (
+       |  SELECT list(list_transform(generate_series(0, 63), d ->
+       |      CAST(((j*64+d+1)*(j*64+d+1) * 2654435761 + 97*(j*64+d+1) + 12345) % 1000003
+       |        - 501001 AS DOUBLE)) ORDER BY j) AS ws
+       |  FROM (SELECT unnest(generate_series(0, 16 * (SELECT srb FROM sparams) - 1)) AS j)),
+       |cvec AS (
+       |  SELECT s.doc_id, a.cell, list(CAST(s.x - c.m AS DOUBLE) ORDER BY s.i) AS vc
+       |  FROM sdense s JOIN asg a USING (doc_id)
+       |    JOIN cmu c ON c.cell = a.cell AND c.i = s.i
+       |  GROUP BY s.doc_id, a.cell),
+       |sbuck AS (
+       |  SELECT doc_id, cell, bb.b AS band,
+       |    list_sum(list_transform(generate_series(1, sparams.srb),
+       |      j -> CASE WHEN list_inner_product(vc, splanes.ws[bb.b * sparams.srb + j]) >= CAST(0.0 AS DOUBLE)
+       |           THEN (CAST(1 AS BIGINT) << (j-1)) ELSE CAST(0 AS BIGINT) END)) AS bucket
+       |  FROM cvec, splanes, sparams, (SELECT unnest(generate_series(0, 15)) AS b) bb),
+       |cpair AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sbuck a JOIN sbuck b
+       |    ON a.cell = b.cell AND a.band = b.band AND a.bucket = b.bucket
+       |      AND a.doc_id < b.doc_id),
+       |cscore AS (
+       |  SELECT p.id_a, p.id_b,
+       |    ${frs("list_cosine_similarity(x.v, y.v)", 6)} AS score
+       |  FROM cpair p JOIN rv x ON x.doc_id = p.id_a JOIN rv y ON y.doc_id = p.id_b
+       |  WHERE list_sum(list_transform(x.v, e -> e*e)) > CAST(0.0 AS DOUBLE)
+       |    AND list_sum(list_transform(y.v, e -> e*e)) > CAST(0.0 AS DOUBLE)),
+       |csel AS (SELECT DISTINCT id_b FROM cscore WHERE score >= CAST($SemCosThreshold AS DOUBLE)),
+       |dupz AS (
+       |  SELECT s.doc_id FROM semb s
+       |  WHERE s.doc_id NOT IN (SELECT doc_id FROM qreps)
+       |    AND list_sum(list_transform(s.v, e -> e*e)) > CAST(0.0 AS DOUBLE))
+       |SELECT d.doc_id,
+       |  CAST(CASE WHEN d.doc_id IN (SELECT id_b FROM csel)
+       |         OR d.doc_id IN (SELECT doc_id FROM dupz) THEN 1 ELSE 0 END AS BIGINT) AS f_semantic
+       |FROM documents d ORDER BY doc_id""".stripMargin
+
   def all: ListMap[String, Q] = ListMap(
     "q16_doc_stats" -> Q(
       (s, dir) => {
@@ -3942,100 +4043,20 @@ object TextQueries {
         Dedup.semanticCellDedupFlags(Tables.documents(s, dir),
           "doc_id", "text", embDim = 64, k = 16, cosThreshold = SemCosThreshold)
       }.orderBy("doc_id"),
-      Some(s"""WITH tok AS (
-             |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
-             |th AS (
-             |  SELECT doc_id,
-             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |      list_transform(generate_series(1, length(w)),
-             |        i -> CAST(ascii(substr(w, CAST(i AS INTEGER), 1)) AS BIGINT))),
-             |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
-             |  FROM tok),
-             |scv AS (SELECT doc_id, h % 64 AS bucket, count(*) AS n FROM th GROUP BY 1, 2),
-             |sdense AS (
-             |  SELECT d.doc_id, g.i, CAST(coalesce(c.n, 0) AS BIGINT) AS x
-             |  FROM (SELECT doc_id FROM documents) d
-             |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
-             |  LEFT JOIN scv c ON c.doc_id = d.doc_id AND c.bucket = g.i),
-             |semb AS (SELECT doc_id, list(CAST(x AS DOUBLE) ORDER BY i) AS v
-             |         FROM sdense GROUP BY doc_id),
-             |qreps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-             |rv AS (SELECT s.doc_id, s.v FROM semb s JOIN qreps USING (doc_id)),
-             |kinit AS (
-             |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS ci, v AS cv
-             |  FROM rv ORDER BY doc_id LIMIT 16),
-             |ka AS (
-             |  SELECT doc_id, v, cell FROM (
-             |    SELECT r.doc_id, r.v, k.ci AS cell,
-             |      row_number() OVER (PARTITION BY r.doc_id
-             |        ORDER BY k.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(r.v, k.cv), k.ci) AS rn
-             |    FROM rv r CROSS JOIN (
-             |      SELECT ci, cv,
-             |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(cv, x -> x*x)), (a, x) -> a + x) AS c2
-             |      FROM kinit) k)
-             |  WHERE rn = 1),
-             |km AS (
-             |  SELECT cell, pos, ${frs("avg(comp)", 9)} AS mc
-             |  FROM (SELECT cell, unnest(v) AS comp, generate_subscripts(v, 1) AS pos FROM ka)
-             |  GROUP BY cell, pos),
-             |cents AS (
-             |  SELECT i.ci, coalesce(m.ms, i.cv) AS cv,
-             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             |      list_transform(coalesce(m.ms, i.cv), x -> x*x)), (a, x) -> a + x) AS c2
-             |  FROM kinit i LEFT JOIN (
-             |    SELECT cell, list(mc ORDER BY pos) AS ms FROM km GROUP BY cell) m
-             |  ON m.cell = i.ci),
-             |asg AS (
-             |  SELECT doc_id, cell FROM (
-             |    SELECT r.doc_id, c.ci AS cell,
-             |      row_number() OVER (PARTITION BY r.doc_id
-             |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(r.v, c.cv), c.ci) AS rn
-             |    FROM rv r CROSS JOIN cents c)
-             |  WHERE rn = 1),
-             |cmu AS (
-             |  SELECT a.cell, s.i,
-             |    CAST(sum(s.x) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
-             |  FROM sdense s JOIN asg a USING (doc_id) GROUP BY 1, 2),
-             |sparams AS (
-             |  SELECT greatest(4, coalesce((
-             |    SELECT min(b) FROM (SELECT unnest(generate_series(0, 30)) AS b) bs
-             |    WHERE (CAST(16 AS BIGINT) << CAST(b AS INTEGER)) >= (SELECT count(*) FROM qreps)), 30)) AS srb),
-             |splanes AS (
-             |  SELECT list(list_transform(generate_series(0, 63), d ->
-             |      CAST(((j*64+d+1)*(j*64+d+1) * 2654435761 + 97*(j*64+d+1) + 12345) % 1000003
-             |        - 501001 AS DOUBLE)) ORDER BY j) AS ws
-             |  FROM (SELECT unnest(generate_series(0, 16 * (SELECT srb FROM sparams) - 1)) AS j)),
-             |cvec AS (
-             |  SELECT s.doc_id, a.cell, list(CAST(s.x - c.m AS DOUBLE) ORDER BY s.i) AS vc
-             |  FROM sdense s JOIN asg a USING (doc_id)
-             |    JOIN cmu c ON c.cell = a.cell AND c.i = s.i
-             |  GROUP BY s.doc_id, a.cell),
-             |sbuck AS (
-             |  SELECT doc_id, cell, bb.b AS band,
-             |    list_sum(list_transform(generate_series(1, sparams.srb),
-             |      j -> CASE WHEN list_inner_product(vc, splanes.ws[bb.b * sparams.srb + j]) >= CAST(0.0 AS DOUBLE)
-             |           THEN (CAST(1 AS BIGINT) << (j-1)) ELSE CAST(0 AS BIGINT) END)) AS bucket
-             |  FROM cvec, splanes, sparams, (SELECT unnest(generate_series(0, 15)) AS b) bb),
-             |cpair AS (
-             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM sbuck a JOIN sbuck b
-             |    ON a.cell = b.cell AND a.band = b.band AND a.bucket = b.bucket
-             |      AND a.doc_id < b.doc_id),
-             |cscore AS (
-             |  SELECT p.id_a, p.id_b,
-             |    ${frs("list_cosine_similarity(x.v, y.v)", 6)} AS score
-             |  FROM cpair p JOIN rv x ON x.doc_id = p.id_a JOIN rv y ON y.doc_id = p.id_b
-             |  WHERE list_sum(list_transform(x.v, e -> e*e)) > CAST(0.0 AS DOUBLE)
-             |    AND list_sum(list_transform(y.v, e -> e*e)) > CAST(0.0 AS DOUBLE)),
-             |csel AS (SELECT DISTINCT id_b FROM cscore WHERE score >= CAST($SemCosThreshold AS DOUBLE)),
-             |dupz AS (
-             |  SELECT s.doc_id FROM semb s
-             |  WHERE s.doc_id NOT IN (SELECT doc_id FROM qreps)
-             |    AND list_sum(list_transform(s.v, e -> e*e)) > CAST(0.0 AS DOUBLE))
-             |SELECT d.doc_id,
-             |  CAST(CASE WHEN d.doc_id IN (SELECT id_b FROM csel)
-             |         OR d.doc_id IN (SELECT doc_id FROM dupz) THEN 1 ELSE 0 END AS BIGINT) AS f_semantic
-             |FROM documents d ORDER BY doc_id""".stripMargin)),
+      Some(semCellDedupOracle)),
+
+    // q243 DRIVEN BY THE STREAMING ENGINE (r16 verdict task 3): the trained
+    // geometry — centroids, per-cell means, the cell-scoped banded rep
+    // index — stands as content-keyed artifacts; documents arrive as
+    // micro-batches and probe it statelessly with id_a < id_b (keep-first
+    // as an arrival-order-free predicate); hits append to a content-keyed
+    // artifact (the q203 idempotence contract). Per-doc results depend only
+    // on (doc, standing artifacts), so streamed ≡ batch — checked against
+    // q243's oracle VERBATIM.
+    "q250_stream_semantic_cell_dedup" -> Q(
+      (s, dir) => graft.streaming.StreamingDedup.streamSemanticCellDedup(
+        s, dir, embDim = 64, k = 16, cosThreshold = SemCosThreshold),
+      Some(semCellDedupOracle)),
 
     // PARTITION-SCOPED semantic dedup — q243's production twin (the shape
     // curation pipelines actually run: "semantic dedup WITHIN source/
