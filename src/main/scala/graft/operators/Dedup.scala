@@ -688,6 +688,23 @@ object Dedup {
   def semanticPartitionDedupFlags(base: DataFrame, idCol: String, textCol: String,
                                   partCol: String, embDim: Int,
                                   cosThreshold: Double): DataFrame = {
+    val (_, losers) = semanticPartitionAxisLosers(base, idCol, textCol, partCol,
+      embDim, cosThreshold)
+    base.select(col(idCol))
+      .join(losers, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("f_semantic"), lit(0L)).as("f_semantic"))
+      .orderBy(idCol)
+  }
+
+  /** The partition-scoped semantic axis as a composable LOSER relation —
+    * [[semanticPartitionDedupFlags]]' core, factored so the multi-domain
+    * verdict stack ([[crossModalVerdictPartitioned]]) and the standalone
+    * flag query (q244) share one construction by reference.
+    */
+  private[graft] def semanticPartitionAxisLosers(base: DataFrame, idCol: String,
+                                                 textCol: String, partCol: String,
+                                                 embDim: Int,
+                                                 cosThreshold: Double): (String, DataFrame) = {
     import graft.functions.VectorFunctions.l2NormSq
     require(cosThreshold > 0 && cosThreshold <= 1.0,
       s"cosThreshold must be in (0, 1], got $cosThreshold")
@@ -708,12 +725,37 @@ object Dedup {
       .join(reps.select(col(idCol)), Seq(idCol), "left_anti")
       .filter(l2NormSq(emb.embedRaw(col(textCol))) > 0.0)
       .select(col(idCol))
-    val losers = pairs.select(col("id_b").as(idCol))
-      .unionByName(dupNonzero).distinct().withColumn("__f", lit(1L))
-    base.select(col(idCol))
-      .join(losers, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("__f"), lit(0L)).as("f_semantic"))
-      .orderBy(idCol)
+    "semantic" -> pairs.select(col("id_b").as(idCol))
+      .unionByName(dupNonzero).distinct().withColumn("f_semantic", lit(1L))
+  }
+
+  /** MULTI-DOMAIN cross-modal verdict — [[crossModalVerdict]] with the
+    * semantic axis PARTITION-SCOPED (r16 verdict task 4): the global
+    * corpus-mean centering that axis uses is exactly what q243/q244 proved
+    * insufficient on disjoint-vocabulary domains (each domain keeps its
+    * token profile after global centering, so within-domain candidates
+    * grow super-linearly), so here the axis runs [[semanticPartitionAxisLosers]]
+    * — per-(partition, text) rep collapse, per-PARTITION floored-mean
+    * centering, banded candidates within the partition. The four text axes
+    * stay GLOBAL (an exact/shingle duplicate across domains is still a
+    * duplicate — only the embedding geometry is domain-relative), and the
+    * precedence is [[crossModalVerdict]]'s: exact > containment > jaccard >
+    * semantic > simhash.
+    */
+  def crossModalVerdictPartitioned(df: DataFrame, idCol: String, textCol: String,
+                                   partCol: String, shingleSize: Int,
+                                   numHashes: Int, bands: Int,
+                                   jacThreshold: Double, containThreshold: Double,
+                                   maxHamming: Int, embDim: Int,
+                                   cosThreshold: Double): DataFrame = {
+    // cache-lifetime: pinned by the returned plan — caller releases (see Caching)
+    val base = df.select(col(idCol), col(textCol), col(partCol)).cache()
+    val text = textAxisLosers(base, idCol, textCol,
+      shingleSize, numHashes, bands, jacThreshold, containThreshold, maxHamming)
+    val axes = text.take(3) ++
+      Seq(semanticPartitionAxisLosers(base, idCol, textCol, partCol, embDim, cosThreshold)) ++
+      text.drop(3)
+    fuseVerdicts(base, idCol, axes)
   }
 
   def semanticCellDedupFlags(base: DataFrame, idCol: String, textCol: String,

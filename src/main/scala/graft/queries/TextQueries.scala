@@ -791,6 +791,21 @@ object TextQueries {
     * re-running the fusion chain (measured: the three queries were the
     * round-15 slow tail at 3.2/4.7/4.6 s). Name bakes every parameter.
     */
+  /** The q251 multi-domain five-axis verdict as a standing artifact —
+    * the partitioned capstone (q252) reads the same materialized relation
+    * (the crossModalVerdictOf pattern; name bakes every parameter incl.
+    * the partition column).
+    */
+  private def multiDomainVerdictOf(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.ArtifactStore.loadOrBuild(s,
+      graft.pipeline.ArtifactStore.rootFor(dir,
+        "multi_domain_verdict_s3_h32_b16_j05_c06_hm8_d64_bsrp16_c095_psource_v1")) {
+      Dedup.crossModalVerdictPartitioned(Tables.documents(s, dir), "doc_id", "text",
+        "source", shingleSize = 3, numHashes = 32, bands = 16,
+        jacThreshold = JaccardThreshold, containThreshold = 0.6, maxHamming = 8,
+        embDim = 64, cosThreshold = SemCosThreshold)
+    }.orderBy("doc_id")
+
   private def crossModalVerdictOf(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.ArtifactStore.loadOrBuild(s,
       graft.pipeline.ArtifactStore.rootFor(dir,
@@ -1264,6 +1279,131 @@ object TextQueries {
        |  CAST(CASE WHEN d.doc_id IN (SELECT id_b FROM csel)
        |         OR d.doc_id IN (SELECT doc_id FROM dupz) THEN 1 ELSE 0 END AS BIGINT) AS f_semantic
        |FROM documents d ORDER BY doc_id""".stripMargin
+
+  /** The PARTITION-SCOPED semantic axis CTEs (q244's machinery): reps per
+    * (source, text), per-SOURCE floored-mean centering, banded candidates
+    * within the source, exact RAW-cosine verify; `sel` = verified losers ∪
+    * nonzero non-reps (the dup-inheritance rule). Requires `tok`/`th`
+    * upstream (q244 supplies its own; the multi-domain verdict reuses
+    * fusionAxesCtes'). Shared verbatim by q244, q251 and q252.
+    */
+  private lazy val semPartitionAxisCtes: String =
+    s"""scv AS (SELECT doc_id, h % 64 AS bucket, count(*) AS n FROM th GROUP BY 1, 2),
+       |sdense AS (
+       |  SELECT d.doc_id, g.i, CAST(coalesce(c.n, 0) AS BIGINT) AS x
+       |  FROM (SELECT doc_id FROM documents) d
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+       |  LEFT JOIN scv c ON c.doc_id = d.doc_id AND c.bucket = g.i),
+       |semb AS (SELECT doc_id, list(CAST(x AS DOUBLE) ORDER BY i) AS v
+       |         FROM sdense GROUP BY doc_id),
+       |qreps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY source, md5(text)),
+       |asg AS (SELECT r.doc_id, d.source AS cell
+       |        FROM qreps r JOIN documents d USING (doc_id)),
+       |rv AS (SELECT s.doc_id, s.v FROM semb s JOIN qreps USING (doc_id)),
+       |cmu AS (
+       |  SELECT a.cell, s.i,
+       |    CAST(sum(s.x) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+       |  FROM sdense s JOIN asg a USING (doc_id) GROUP BY 1, 2),
+       |sparams AS (
+       |  SELECT greatest(4, coalesce((
+       |    SELECT min(b) FROM (SELECT unnest(generate_series(0, 30)) AS b) bs
+       |    WHERE (CAST(16 AS BIGINT) << CAST(b AS INTEGER)) >= (SELECT count(*) FROM qreps)), 30)) AS srb),
+       |splanes AS (
+       |  SELECT list(list_transform(generate_series(0, 63), d ->
+       |      CAST(((j*64+d+1)*(j*64+d+1) * 2654435761 + 97*(j*64+d+1) + 12345) % 1000003
+       |        - 501001 AS DOUBLE)) ORDER BY j) AS ws
+       |  FROM (SELECT unnest(generate_series(0, 16 * (SELECT srb FROM sparams) - 1)) AS j)),
+       |cvec AS (
+       |  SELECT s.doc_id, a.cell, list(CAST(s.x - c.m AS DOUBLE) ORDER BY s.i) AS vc
+       |  FROM sdense s JOIN asg a USING (doc_id)
+       |    JOIN cmu c ON c.cell = a.cell AND c.i = s.i
+       |  GROUP BY s.doc_id, a.cell),
+       |sbuck AS (
+       |  SELECT doc_id, cell, bb.b AS band,
+       |    list_sum(list_transform(generate_series(1, sparams.srb),
+       |      j -> CASE WHEN list_inner_product(vc, splanes.ws[bb.b * sparams.srb + j]) >= CAST(0.0 AS DOUBLE)
+       |           THEN (CAST(1 AS BIGINT) << (j-1)) ELSE CAST(0 AS BIGINT) END)) AS bucket
+       |  FROM cvec, splanes, sparams, (SELECT unnest(generate_series(0, 15)) AS b) bb),
+       |cpair AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sbuck a JOIN sbuck b
+       |    ON a.cell = b.cell AND a.band = b.band AND a.bucket = b.bucket
+       |      AND a.doc_id < b.doc_id),
+       |cscore AS (
+       |  SELECT p.id_a, p.id_b,
+       |    ${frs("list_cosine_similarity(x.v, y.v)", 6)} AS score
+       |  FROM cpair p JOIN rv x ON x.doc_id = p.id_a JOIN rv y ON y.doc_id = p.id_b
+       |  WHERE list_sum(list_transform(x.v, e -> e*e)) > CAST(0.0 AS DOUBLE)
+       |    AND list_sum(list_transform(y.v, e -> e*e)) > CAST(0.0 AS DOUBLE)),
+       |csel AS (SELECT DISTINCT id_b FROM cscore WHERE score >= CAST($SemCosThreshold AS DOUBLE)),
+       |dupz AS (
+       |  SELECT s.doc_id FROM semb s
+       |  WHERE s.doc_id NOT IN (SELECT doc_id FROM qreps)
+       |    AND list_sum(list_transform(s.v, e -> e*e)) > CAST(0.0 AS DOUBLE)),
+       |sel AS (SELECT id_b FROM csel UNION SELECT doc_id AS id_b FROM dupz)""".stripMargin
+
+
+  /** The q219 curate→mix→pack chain tail in SQL — keeps of `ver` →
+    * temperature-mix quotas → hash-ranked takeQuota → 128-token packing
+    * manifest. Generated once; q219 (six-axis verdict) and q252 (the
+    * multi-domain partitioned verdict) splice their own verdict CTEs in
+    * front, so the chain arithmetic cannot drift between capstones.
+    */
+  private lazy val curateMixPackTailSql: String =
+    s"""keeps AS (
+       |  SELECT d.doc_id, d.source, d.text
+       |  FROM documents d JOIN ver v ON d.doc_id = v.doc_id
+       |  WHERE v.drop_doc = 0),
+       |ksrc AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM keeps GROUP BY source),
+       |ks2 AS (
+       |  SELECT source, n,
+       |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+       |  FROM ksrc WHERE n > 0),
+       |kt AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM ks2),
+       |kb AS (
+       |  SELECT source, n,
+       |    CAST(100 * w AS DOUBLE) / CAST(tw AS DOUBLE) AS ideal
+       |  FROM ks2 CROSS JOIN kt),
+       |kc AS (
+       |  SELECT source, n, CAST(floor(ideal) AS BIGINT) AS base,
+       |    ideal - floor(ideal) AS frac
+       |  FROM kb),
+       |kd AS (SELECT CAST(100 - sum(base) AS BIGINT) AS deficit FROM kc),
+       |kr AS (
+       |  SELECT source, base,
+       |    row_number() OVER (ORDER BY frac DESC, source) AS rk
+       |  FROM kc),
+       |kq AS (
+       |  SELECT source,
+       |    CAST(base + (CASE WHEN rk <= deficit THEN 1 ELSE 0 END) AS BIGINT) AS quota
+       |  FROM kr CROSS JOIN kd),
+       |krnk AS (
+       |  SELECT doc_id, text, source,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ${graft.operators.Sampling.hashShardSql("doc_id", 1000003)}, doc_id) AS rk
+       |  FROM keeps),
+       |ksample AS (
+       |  SELECT krnk.doc_id, krnk.text
+       |  FROM krnk JOIN kq USING (source) WHERE krnk.rk <= kq.quota),
+       |ktc AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM ksample),
+       |kcs AS (
+       |  SELECT doc_id, n_tok,
+       |    CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM ktc),
+       |kdo AS (
+       |  SELECT doc_id, n_tok, cum - n_tok AS start_off, cum - 1 AS end_off FROM kcs),
+       |kspans AS (
+       |  SELECT doc_id, start_off, end_off,
+       |    unnest(generate_series(start_off // 128, end_off // 128)) AS seq_id
+       |  FROM kdo)
+       |SELECT seq_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN start_off >= seq_id * 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+       |  CAST(sum(least(end_off, (seq_id + 1) * 128 - 1)
+       |    - greatest(start_off, seq_id * 128) + 1) AS BIGINT) AS n_tokens,
+       |  ${frs("CAST(sum(least(end_off, (seq_id + 1) * 128 - 1) - greatest(start_off, seq_id * 128) + 1) AS DOUBLE) / CAST(128.0 AS DOUBLE)", 4)} AS fill
+       |FROM kspans GROUP BY 1 ORDER BY 1""".stripMargin
 
   def all: ListMap[String, Q] = ListMap(
     "q16_doc_stats" -> Q(
@@ -3139,60 +3279,7 @@ object TextQueries {
           sample.select("doc_id", "text"), "doc_id", "text", seqLen = 128)
       },
       Some(s"""$fullStackVerdictCtes,
-             |keeps AS (
-             |  SELECT d.doc_id, d.source, d.text
-             |  FROM documents d JOIN ver v ON d.doc_id = v.doc_id
-             |  WHERE v.drop_doc = 0),
-             |ksrc AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM keeps GROUP BY source),
-             |ks2 AS (
-             |  SELECT source, n,
-             |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
-             |  FROM ksrc WHERE n > 0),
-             |kt AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM ks2),
-             |kb AS (
-             |  SELECT source, n,
-             |    CAST(100 * w AS DOUBLE) / CAST(tw AS DOUBLE) AS ideal
-             |  FROM ks2 CROSS JOIN kt),
-             |kc AS (
-             |  SELECT source, n, CAST(floor(ideal) AS BIGINT) AS base,
-             |    ideal - floor(ideal) AS frac
-             |  FROM kb),
-             |kd AS (SELECT CAST(100 - sum(base) AS BIGINT) AS deficit FROM kc),
-             |kr AS (
-             |  SELECT source, base,
-             |    row_number() OVER (ORDER BY frac DESC, source) AS rk
-             |  FROM kc),
-             |kq AS (
-             |  SELECT source,
-             |    CAST(base + (CASE WHEN rk <= deficit THEN 1 ELSE 0 END) AS BIGINT) AS quota
-             |  FROM kr CROSS JOIN kd),
-             |krnk AS (
-             |  SELECT doc_id, text, source,
-             |    row_number() OVER (PARTITION BY source
-             |      ORDER BY ${graft.operators.Sampling.hashShardSql("doc_id", 1000003)}, doc_id) AS rk
-             |  FROM keeps),
-             |ksample AS (
-             |  SELECT krnk.doc_id, krnk.text
-             |  FROM krnk JOIN kq USING (source) WHERE krnk.rk <= kq.quota),
-             |ktc AS (
-             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-             |  FROM ksample),
-             |kcs AS (
-             |  SELECT doc_id, n_tok,
-             |    CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM ktc),
-             |kdo AS (
-             |  SELECT doc_id, n_tok, cum - n_tok AS start_off, cum - 1 AS end_off FROM kcs),
-             |kspans AS (
-             |  SELECT doc_id, start_off, end_off,
-             |    unnest(generate_series(start_off // 128, end_off // 128)) AS seq_id
-             |  FROM kdo)
-             |SELECT seq_id,
-             |  CAST(count(*) AS BIGINT) AS n_docs,
-             |  CAST(sum(CASE WHEN start_off >= seq_id * 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
-             |  CAST(sum(least(end_off, (seq_id + 1) * 128 - 1)
-             |    - greatest(start_off, seq_id * 128) + 1) AS BIGINT) AS n_tokens,
-             |  ${frs("CAST(sum(least(end_off, (seq_id + 1) * 128 - 1) - greatest(start_off, seq_id * 128) + 1) AS DOUBLE) / CAST(128.0 AS DOUBLE)", 4)} AS fill
-             |FROM kspans GROUP BY 1 ORDER BY 1""".stripMargin)),
+             |$curateMixPackTailSql""".stripMargin)),
 
     // DETECTOR AGREEMENT × STREAMING: Cohen's kappa between the three axes
     // of the streamed cross-modal ingest gate (q214) — the agreement
@@ -4058,6 +4145,51 @@ object TextQueries {
         s, dir, embDim = 64, k = 16, cosThreshold = SemCosThreshold),
       Some(semCellDedupOracle)),
 
+    // MULTI-DOMAIN VERDICT (r16 verdict task 4): the five-axis cross-modal
+    // stack with the SEMANTIC axis partition-scoped by `source` — global
+    // centering is exactly what q243/q244 proved insufficient on
+    // disjoint-vocabulary domains, so the embedding axis runs q244's
+    // machinery (per-(source, text) reps, per-source floored-mean
+    // centering, within-source banded candidates) while the four text axes
+    // stay global. One whole-stack oracle: fusionAxesCtes + the shared
+    // partition-axis CTEs + the fuseVerdicts tail.
+    "q251_multi_domain_verdict" -> Q(
+      (s, dir) => multiDomainVerdictOf(s, dir),
+      Some(s"""$fusionAxesCtes,
+             |$semPartitionAxisCtes,
+             |${fusionVerdictTail(Seq("exact", "containment", "jaccard", "semantic", "simhash"))}
+             |SELECT doc_id, f_exact, f_containment, f_jaccard, f_semantic,
+             |  f_simhash, drop_doc, reason
+             |FROM ver ORDER BY doc_id""".stripMargin)),
+
+    // The q219 capstone ON THE MULTI-DOMAIN VERDICT: keeps of the
+    // partitioned five-axis verdict → temperature-mix quotas by source →
+    // hash-ranked takeQuota → 128-token packed-sequence manifest, under ONE
+    // whole-chain oracle (the shared curateMixPackTailSql spliced onto the
+    // q251 verdict CTEs) — the end-to-end multi-domain curation run,
+    // hash-checked from verdict to packing.
+    "q252_multi_domain_curate_chain" -> Q(
+      (s, dir) => {
+        // cache-lifetime: pinned by the returned plan — caller releases
+        // (see Caching); the mix's counts, takeQuota's passes, the prefix
+        // scan and the final write all re-read keeps
+        val keeps = Tables.documents(s, dir).select("doc_id", "source", "text")
+          .join(multiDomainVerdictOf(s, dir).filter(col("drop_doc") === 0)
+            .select("doc_id"), Seq("doc_id"))
+          .cache()
+        val quotas = graft.operators.Sampling.temperatureMix(
+          keeps.groupBy(col("source")).agg(count(lit(1)).as("n")),
+          "source", "n", alpha = 0.5, budget = 100L)
+        val sample = graft.operators.Sampling.takeQuota(
+          keeps, "doc_id", "source", quotas)
+        graft.operators.Packing.packSequences(
+          sample.select("doc_id", "text"), "doc_id", "text", seqLen = 128)
+      },
+      Some(s"""$fusionAxesCtes,
+             |$semPartitionAxisCtes,
+             |${fusionVerdictTail(Seq("exact", "containment", "jaccard", "semantic", "simhash"))},
+             |$curateMixPackTailSql""".stripMargin)),
+
     // PARTITION-SCOPED semantic dedup — q243's production twin (the shape
     // curation pipelines actually run: "semantic dedup WITHIN source/
     // language"): cells come from the `source` column, so the per-cell
@@ -4081,61 +4213,9 @@ object TextQueries {
              |        i -> CAST(ascii(substr(w, CAST(i AS INTEGER), 1)) AS BIGINT))),
              |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
              |  FROM tok),
-             |scv AS (SELECT doc_id, h % 64 AS bucket, count(*) AS n FROM th GROUP BY 1, 2),
-             |sdense AS (
-             |  SELECT d.doc_id, g.i, CAST(coalesce(c.n, 0) AS BIGINT) AS x
-             |  FROM (SELECT doc_id FROM documents) d
-             |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
-             |  LEFT JOIN scv c ON c.doc_id = d.doc_id AND c.bucket = g.i),
-             |semb AS (SELECT doc_id, list(CAST(x AS DOUBLE) ORDER BY i) AS v
-             |         FROM sdense GROUP BY doc_id),
-             |qreps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY source, md5(text)),
-             |asg AS (SELECT r.doc_id, d.source AS cell
-             |        FROM qreps r JOIN documents d USING (doc_id)),
-             |rv AS (SELECT s.doc_id, s.v FROM semb s JOIN qreps USING (doc_id)),
-             |cmu AS (
-             |  SELECT a.cell, s.i,
-             |    CAST(sum(s.x) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
-             |  FROM sdense s JOIN asg a USING (doc_id) GROUP BY 1, 2),
-             |sparams AS (
-             |  SELECT greatest(4, coalesce((
-             |    SELECT min(b) FROM (SELECT unnest(generate_series(0, 30)) AS b) bs
-             |    WHERE (CAST(16 AS BIGINT) << CAST(b AS INTEGER)) >= (SELECT count(*) FROM qreps)), 30)) AS srb),
-             |splanes AS (
-             |  SELECT list(list_transform(generate_series(0, 63), d ->
-             |      CAST(((j*64+d+1)*(j*64+d+1) * 2654435761 + 97*(j*64+d+1) + 12345) % 1000003
-             |        - 501001 AS DOUBLE)) ORDER BY j) AS ws
-             |  FROM (SELECT unnest(generate_series(0, 16 * (SELECT srb FROM sparams) - 1)) AS j)),
-             |cvec AS (
-             |  SELECT s.doc_id, a.cell, list(CAST(s.x - c.m AS DOUBLE) ORDER BY s.i) AS vc
-             |  FROM sdense s JOIN asg a USING (doc_id)
-             |    JOIN cmu c ON c.cell = a.cell AND c.i = s.i
-             |  GROUP BY s.doc_id, a.cell),
-             |sbuck AS (
-             |  SELECT doc_id, cell, bb.b AS band,
-             |    list_sum(list_transform(generate_series(1, sparams.srb),
-             |      j -> CASE WHEN list_inner_product(vc, splanes.ws[bb.b * sparams.srb + j]) >= CAST(0.0 AS DOUBLE)
-             |           THEN (CAST(1 AS BIGINT) << (j-1)) ELSE CAST(0 AS BIGINT) END)) AS bucket
-             |  FROM cvec, splanes, sparams, (SELECT unnest(generate_series(0, 15)) AS b) bb),
-             |cpair AS (
-             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM sbuck a JOIN sbuck b
-             |    ON a.cell = b.cell AND a.band = b.band AND a.bucket = b.bucket
-             |      AND a.doc_id < b.doc_id),
-             |cscore AS (
-             |  SELECT p.id_a, p.id_b,
-             |    ${frs("list_cosine_similarity(x.v, y.v)", 6)} AS score
-             |  FROM cpair p JOIN rv x ON x.doc_id = p.id_a JOIN rv y ON y.doc_id = p.id_b
-             |  WHERE list_sum(list_transform(x.v, e -> e*e)) > CAST(0.0 AS DOUBLE)
-             |    AND list_sum(list_transform(y.v, e -> e*e)) > CAST(0.0 AS DOUBLE)),
-             |csel AS (SELECT DISTINCT id_b FROM cscore WHERE score >= CAST($SemCosThreshold AS DOUBLE)),
-             |dupz AS (
-             |  SELECT s.doc_id FROM semb s
-             |  WHERE s.doc_id NOT IN (SELECT doc_id FROM qreps)
-             |    AND list_sum(list_transform(s.v, e -> e*e)) > CAST(0.0 AS DOUBLE))
+             |$semPartitionAxisCtes
              |SELECT d.doc_id,
-             |  CAST(CASE WHEN d.doc_id IN (SELECT id_b FROM csel)
-             |         OR d.doc_id IN (SELECT doc_id FROM dupz) THEN 1 ELSE 0 END AS BIGINT) AS f_semantic
+             |  CAST(CASE WHEN d.doc_id IN (SELECT id_b FROM sel) THEN 1 ELSE 0 END AS BIGINT) AS f_semantic
              |FROM documents d ORDER BY doc_id""".stripMargin)),
 
     // SEMANTIC-AXIS RECALL AUDIT, FIXTURE-ONLY — the approximation quality
