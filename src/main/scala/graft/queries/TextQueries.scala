@@ -1184,7 +1184,12 @@ object TextQueries {
     * verify). Shared VERBATIM by the batch entry (q243) and its streamed
     * twin (q250): one truth, two execution topologies.
     */
-  private lazy val semCellDedupOracle: String =
+  /** WITH-prefix of the q243 trained-cell chain (tokens → embeddings →
+    * k-means training → assignment → per-cell floored means → cell-scoped
+    * band buckets `sbuck`) — shared by the dedup oracle (q243/q250) and
+    * the band-index erasure-repair rebuild (q253).
+    */
+  private lazy val semCellChainCtes: String =
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
        |th AS (
@@ -1258,7 +1263,10 @@ object TextQueries {
        |    list_sum(list_transform(generate_series(1, sparams.srb),
        |      j -> CASE WHEN list_inner_product(vc, splanes.ws[bb.b * sparams.srb + j]) >= CAST(0.0 AS DOUBLE)
        |           THEN (CAST(1 AS BIGINT) << (j-1)) ELSE CAST(0 AS BIGINT) END)) AS bucket
-       |  FROM cvec, splanes, sparams, (SELECT unnest(generate_series(0, 15)) AS b) bb),
+       |  FROM cvec, splanes, sparams, (SELECT unnest(generate_series(0, 15)) AS b) bb)""".stripMargin
+
+  private lazy val semCellDedupOracle: String =
+    s"""$semCellChainCtes,
        |cpair AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM sbuck a JOIN sbuck b
@@ -4189,6 +4197,44 @@ object TextQueries {
              |$semPartitionAxisCtes,
              |${fusionVerdictTail(Seq("exact", "containment", "jaccard", "semantic", "simhash"))},
              |$curateMixPackTailSql""".stripMargin)),
+
+    // ERASURE through the SRP BAND-TABLE artifact — the "bands" limb of the
+    // index-erasure story (q248/q249 covered cells+codes): the cell-scoped
+    // banded rep index (q250's standing artifact construction, shared via
+    // semCellStanding) is laid out cell-PARTITIONED, a tombstone set names
+    // its touched cells map-side, and IndexErasure rewrites only those
+    // directories. The oracle REBUILDS the surviving reps' band rows from
+    // scratch under the standing geometry (trained centroids, per-cell
+    // means — the parameters-stand contract), so repaired ≡ rebuilt is a
+    // hash here too.
+    "q253_band_index_erasure" -> Q(
+      (s, dir) => {
+        import graft.operators.AnnIndex
+        import graft.pipeline.{ArtifactStore, IndexErasure}
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val reps = Dedup.exactDedup(d, "doc_id", "text")
+        val (repVecs, rbits, cents, _, _, bandIdx) =
+          graft.streaming.StreamingDedup.semCellStanding(s, dir, reps, embDim = 64, k = 16)
+        val root = ArtifactStore.rootFor(dir,
+          s"semcell_bands_part_d64_k16_b16_r${rbits}_v1")
+        IndexErasure.ensurePartitioned(s, root, "cell") {
+          bandIdx.select(col("doc_id"), col("cell"),
+            col("__band").as("band"), col("__bucket").as("bucket"))
+        }
+        val tomb = repVecs.filter(col("doc_id") % 20 === 7)
+        val touched = AnnIndex.ivfAssignTrained(tomb, "doc_id", "v", cents)
+          .select("cell").distinct().collect().map(_.getLong(0)).toSeq // ≤ k rows
+        IndexErasure.repairErased(s, root, "cell", touched, "doc_id", tomb)
+        IndexErasure.readPartitioned(s, root, "cell")
+          .select(col("doc_id"), col("cell"), col("band"), col("bucket"))
+          .orderBy("doc_id", "band")
+      },
+      Some(s"""$semCellChainCtes
+             |SELECT doc_id, CAST(cell AS BIGINT) AS cell,
+             |  CAST(band AS BIGINT) AS band, CAST(bucket AS BIGINT) AS bucket
+             |FROM sbuck
+             |WHERE NOT (doc_id % 20 = 7)
+             |ORDER BY doc_id, band""".stripMargin)),
 
     // PARTITION-SCOPED semantic dedup — q243's production twin (the shape
     // curation pipelines actually run: "semantic dedup WITHIN source/

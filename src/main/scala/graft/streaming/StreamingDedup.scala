@@ -281,21 +281,22 @@ object StreamingDedup {
     * probes. No streaming state; duplicates collapse in the post-drain
     * distinct.
     */
-  def streamSemanticCellDedup(spark: SparkSession, dir: String,
-                              embDim: Int = 64, k: Int = 16,
-                              cosThreshold: Double = 0.95,
-                              hitsName: String = "semcell_hits_stream_d64_k16_b16_c095_v1")
-      : DataFrame = {
-    import graft.functions.VectorFunctions.{cosineFromNormSq, dotFused, l2NormSq}
+  /** The q243 trained geometry as STANDING content-keyed artifacts —
+    * embedded reps (cached), band width, trained centroids, rep cell
+    * assignments, per-cell floored means, and the cell-scoped banded rep
+    * index — built once per input dir and shared by the streamed dedup
+    * twin (q250) and the band-index erasure repair (q253).
+    * Returns (repVecs, rbits, cents, asg, mu, bandIdx).
+    */
+  private[graft] def semCellStanding(spark: SparkSession, dir: String,
+                                     reps: DataFrame, embDim: Int, k: Int)
+      : (DataFrame, Int, Seq[Seq[Double]], DataFrame, DataFrame, DataFrame) = {
     import graft.operators.AnnIndex
     import graft.pipeline.ArtifactStore
-    import org.apache.spark.sql.streaming.Trigger
     val emb = graft.pipeline.HashingEmbedder(embDim)
-    val d = Tables.documents(spark, dir).select("doc_id", "text")
-    val reps = Dedup.exactDedup(d, "doc_id", "text")
-    // cache-lifetime: pinned by the returned plan — caller releases (see
+    // cache-lifetime: pinned by the returned plans — caller releases (see
     // Caching); kmeans training, width count, assignment, the banded-index
-    // build, and the per-micro-batch verify all read the embedded reps
+    // build, and every consumer's verify read the embedded reps
     val repVecs = reps.select(col("doc_id"), emb.embedRaw(col("text")).as("v")).cache()
     val rbits = AnnIndex.autoBandBits(repVecs.count())
     // standing artifact 1: trained centroids (q243's exact trainer)
@@ -323,6 +324,23 @@ object StreamingDedup {
       AnnIndex.cellBandBuckets(repVecs.join(asg, Seq("doc_id")),
         "doc_id", "v", "cell", rbits, Dedup.SemBands)
     }
+    (repVecs, rbits, cents, asg, mu, bandIdx)
+  }
+
+  def streamSemanticCellDedup(spark: SparkSession, dir: String,
+                              embDim: Int = 64, k: Int = 16,
+                              cosThreshold: Double = 0.95,
+                              hitsName: String = "semcell_hits_stream_d64_k16_b16_c095_v1")
+      : DataFrame = {
+    import graft.functions.VectorFunctions.{cosineFromNormSq, dotFused, l2NormSq}
+    import graft.operators.AnnIndex
+    import graft.pipeline.ArtifactStore
+    import org.apache.spark.sql.streaming.Trigger
+    val emb = graft.pipeline.HashingEmbedder(embDim)
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val reps = Dedup.exactDedup(d, "doc_id", "text")
+    val (repVecs, rbits, cents, asg, mu, bandIdx) =
+      semCellStanding(spark, dir, reps, embDim, k)
     val idxSide = bandIdx
       .select(col("doc_id").as("id_a"), col("cell"), col("__band"), col("__bucket"))
       .join(repVecs.select(col("doc_id").as("id_a"), col("v").as("v_a"))

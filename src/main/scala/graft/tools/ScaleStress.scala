@@ -29,8 +29,12 @@ import java.util.concurrent.atomic.AtomicLong
   */
 object ScaleStress {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // SPARK_GRAFT_CPUS: the memory-pressure cell (r16 verdict task 5) runs
+    // the shuffle-heavy chains at local[4] under the default 8g driver heap
+    // (SPARK_DRIVER_MEM) — fewer, fatter partitions, the harness-bar shape
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -49,17 +53,22 @@ object ScaleStress {
       if (prefixArgs.nonEmpty) prefixArgs
       else Seq("q197", "q215", "q217", "q219", "q221")
 
-    // --- listeners: max single-task wall + total shuffle write ---
+    // --- listeners: max single-task wall + total shuffle write + SPILL ---
     val maxTaskMs = new AtomicLong(0)
     val shuffleBytes = new AtomicLong(0)
+    val memSpill = new AtomicLong(0)
+    val diskSpill = new AtomicLong(0)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
         val ms = te.taskInfo.duration
         var cur = maxTaskMs.get()
         while (ms > cur && !maxTaskMs.compareAndSet(cur, ms)) cur = maxTaskMs.get()
       }
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        memSpill.addAndGet(sc.stageInfo.taskMetrics.memoryBytesSpilled)
+        diskSpill.addAndGet(sc.stageInfo.taskMetrics.diskBytesSpilled)
+      }
     })
 
     // Replication REGIMES (SPARK_GRAFT_SCALE_MODE, default "remap"):
@@ -106,7 +115,14 @@ object ScaleStress {
           (col("doc_id") + lit(k * maxDoc)).as("doc_id"),
           concat_ws(" ", transform(split(col("text"), " "),
             w => concat(lit(s"r$k"), w))).as("text"),
-          col("lang"), col("source"),
+          col("lang"),
+          // SPARK_GRAFT_SCALE_TAG_SOURCE=1: remap replicas tag their source
+          // per replica — the partition column then IDENTIFIES the vocab
+          // domain (domain = crawl segment = source, the q244/q251
+          // production shape). Off by default so the historical remap
+          // curves of the untagged chains stay comparable.
+          (if (sys.env.get("SPARK_GRAFT_SCALE_TAG_SOURCE").contains("1"))
+            concat(lit(s"r${k}_"), col("source")) else col("source")).as("source"),
           length(concat_ws(" ", transform(split(col("text"), " "),
             w => concat(lit(s"r$k"), w)))).cast("long").as("n_chars"))
       }.reduce(_ unionByName _)
@@ -170,6 +186,52 @@ object ScaleStress {
         val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
         graft.operators.Dedup.semanticCellDedupFlags(docs, "doc_id", "text",
           embDim = 64, k = 16, cosThreshold = 0.95)
+      }),
+      // the FULL MULTI-DOMAIN VERDICT (q251) — the remap cell re-measured
+      // through the whole five-axis stack (r16 verdict task 4's perf leg).
+      // Meaningful with SPARK_GRAFT_SCALE_TAG_SOURCE=1 so the partition
+      // column identifies the replica domain (domain = crawl segment =
+      // source, the production shape)
+      "mdverdict_flags" -> ((s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text", "source")
+        graft.operators.Dedup.crossModalVerdictPartitioned(docs, "doc_id", "text",
+          "source", shingleSize = 3, numHashes = 32, bands = 16,
+          jacThreshold = 0.5, containThreshold = 0.6, maxHamming = 8,
+          embDim = 64, cosThreshold = 0.95)
+      }),
+      // ERASURE REPAIR at FIXED tombstone mass (r16 verdict task 1's perf
+      // leg): the cell-partitioned encoded corpus grows with the factor,
+      // the tombstone set stays the BASE corpus's — repair wall/rewritten
+      // rows must stay ~flat while the build (printed separately) grows
+      // linearly. The harness wall for this chain includes the build; read
+      // the [scale-erz] lines for the attribution.
+      "erz_repair_fixed" -> ((s, dir) => {
+        import graft.operators.AnnIndex
+        import graft.pipeline.{ArtifactStore, IndexErasure}
+        val e = s.read.parquet(s"$dir/embeddings.parquet")
+        val corpus = e.select(col("vec_id").as("c_id"), col("embedding"))
+        val baseMax = s.read.parquet(s"$srcDir/embeddings.parquet")
+          .agg(max("vec_id")).head.getLong(0)
+        val root = ArtifactStore.rootFor(dir, "erz_scale_enc_part_v1")
+        val tb = System.nanoTime()
+        IndexErasure.ensurePartitioned(s, root, "cell") {
+          AnnIndex.pqEncodedCorpus(corpus, "c_id", "embedding",
+            m = 16, ksub = 16, dim = 64, nlist = 32)
+            .select(col("c_id"), col("__cell").cast("long").as("cell"), col("__codes"))
+        }
+        println(f"[scale-erz] build ${(System.nanoTime() - tb) / 1e9}%.2f s")
+        val tomb = corpus.filter(col("c_id") % 32 === 5 && col("c_id") % 3 === 0
+          && col("c_id") <= baseMax)
+        val touched = AnnIndex.ivfAssign(tomb, corpus, "c_id", "embedding", nlist = 32)
+          .select("cell").distinct().collect().map(_.getLong(0)).toSeq
+        val tr = System.nanoTime()
+        val manifest = IndexErasure.repairErased(s, root, "cell", touched, "c_id", tomb)
+        val rows = manifest.agg(sum("n_before"), sum("n_removed")).head()
+        println(f"[scale-erz] repair ${(System.nanoTime() - tr) / 1e9}%.2f s  " +
+          f"touched ${touched.size}%d cells  rewrote ${rows.getLong(0)}%d rows  " +
+          f"removed ${rows.getLong(1)}%d")
+        manifest
       }))
 
     val scratch = java.nio.file.Files.createTempDirectory("graft_scale").toString
@@ -184,7 +246,7 @@ object ScaleStress {
       for (p <- prefixes; (name, fn) <- graft.SparkEntry.queries ++ extraChains
            if name == p || name.startsWith(p + "_")) {
         spark.catalog.clearCache()
-        maxTaskMs.set(0); shuffleBytes.set(0)
+        maxTaskMs.set(0); shuffleBytes.set(0); memSpill.set(0); diskSpill.set(0)
         val tq = System.nanoTime()
         val res = try {
           fn(spark, dir).write.mode("overwrite").format("noop").save(); "ok"
@@ -192,7 +254,8 @@ object ScaleStress {
         org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
         val dt = (System.nanoTime() - tq) / 1e9
         println(f"[scale] f=$f%-3d $name%-28s wall $dt%8.2f s  maxTask ${maxTaskMs.get}%6d ms  " +
-          f"shuffle ${shuffleBytes.get / 1048576.0}%9.2f MiB  $res")
+          f"shuffle ${shuffleBytes.get / 1048576.0}%9.2f MiB  " +
+          f"spill ${memSpill.get / 1048576.0}%8.1f/${diskSpill.get / 1048576.0}%8.1f MiB  $res")
       }
     }
     graft.streaming.StreamingDrift.deleteTempDir(java.nio.file.Paths.get(scratch))
