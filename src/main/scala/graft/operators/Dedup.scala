@@ -672,6 +672,17 @@ object Dedup {
     * products per rep, map-side; cell means are one GROUP BY relation
     * (never a literal); candidates are a (cell, band, bucket) equi-join.
     * At 100 TB, k scales with the corpus's domain count, not its rows.
+    *
+    * Init sensitivity (measured, PERF_r17 §2): the lowest-id Lloyd init
+    * seeds every centroid from the id-range head — if new domains arrive
+    * at HIGHER ids (a growing crawl), one step cannot redistribute, unseen
+    * domains collapse into few cells, and within-cell candidates inflate
+    * (8.7 GiB spill at 10 disjoint domains on the remap fixture). When
+    * the domain is a DATA COLUMN, prefer [[semanticPartitionDedupFlags]] /
+    * [[crossModalVerdictPartitioned]] (exact per-domain centering, no
+    * training — near-linear, zero spill on the same fixture); otherwise
+    * scale k with the expected domain count and stratify the init across
+    * the id range.
     */
   /** PARTITION-SCOPED semantic near-dup flags — [[semanticCellDedupFlags]]
     * with the cells given by a DATA column (language, source, crawl
