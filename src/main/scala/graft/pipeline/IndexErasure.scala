@@ -65,6 +65,41 @@ object IndexErasure {
   def readPartitioned(spark: SparkSession, root: String, partCol: String): DataFrame =
     spark.read.parquet(root).withColumn(partCol, col(partCol).cast("long"))
 
+  /** Incremental APPEND — the insert half of the index-maintenance algebra
+    * (erase is [[repairErased]]): add `rows` (encoded under the STANDING
+    * quantizer — same parameters-stand contract) to their partitions,
+    * rewriting only the partitions present in `rows`. Rows whose `idCol`
+    * already exists in a touched partition are skipped (anti-join), so a
+    * replayed append is a no-op — the [[ArtifactStore.appendBatchIfAbsent]]
+    * idempotence contract without batch bookkeeping. A partition value new
+    * to the index simply gains a directory (dynamic overwrite writes what
+    * the output contains).
+    *
+    * Scale shape: one distributed job over the touched partitions plus the
+    * delta — never the standing index.
+    */
+  def appendRows(spark: SparkSession, root: String, partCol: String,
+                 idCol: String, rows: DataFrame): Unit = synchronized {
+    val f = fs(spark)
+    require(isLive(f, root), s"IndexErasure: no live index at $root")
+    val touched = rows.select(col(partCol)).distinct()
+      .collect().map(_.getLong(0)).toSeq // bounded: one row per touched partition
+    val livePaths = touched.sorted.map(v => s"$root/$partCol=$v")
+      .filter(p => f.exists(new Path(p)))
+    val existing =
+      if (livePaths.isEmpty) None
+      else Some(spark.read.option("basePath", root).parquet(livePaths: _*)
+        .withColumn(partCol, col(partCol).cast("long")))
+    val fresh = existing.fold(rows)(ex =>
+      rows.join(ex.select(col(idCol)), Seq(idCol), "left_anti"))
+    val merged = existing.fold(fresh)(ex =>
+      ex.select(rows.columns.map(col): _*).unionByName(fresh))
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(root)
+  }
+
   /** Incremental erasure repair: drop every row whose `idCol` appears in
     * `tombstones` from the partitions named by `touched`, leaving every
     * other partition's files untouched. Returns the repair manifest —

@@ -656,6 +656,53 @@ object VectorQueries {
        |  GROUP BY ca.q_id, ca.c_id)""".stripMargin
   }
 
+  /** Build-if-absent of a CELL-PARTITIONED trained raw-PQ encoded corpus
+    * at artifact `name` — the deployed-index layout the erasure-repair
+    * family mutates (q248 one-shot, q254 streamed, q255 append+erase
+    * algebra). Returns (root, trained cents, trained codebooks).
+    */
+  private def pqEncPartitioned(s: org.apache.spark.sql.SparkSession, dir: String,
+                               name: String): (String, Array[Seq[Double]]) = {
+    val cf = clusteredDf(s, dir)
+    val cents = trainedCents(s, dir)
+    val rawCb = trainedCodebooks(s, dir, "pq_cb_raw_cf_v1")(
+      AnnIndex.pqTrainCodebooks(cf, "vec_id", "cvec",
+        m = PqM, ksub = PqKsub, dim = 64, iters = 1))
+    val root = graft.pipeline.ArtifactStore.rootFor(dir, name)
+    graft.pipeline.IndexErasure.ensurePartitioned(s, root, "cell") {
+      AnnIndex.pqEncodedCorpus(cf.select(col("vec_id").as("c_id"), col("cvec")),
+        "c_id", "cvec", PqM, PqKsub, 64, 32, Some(rawCb), Some(cents))
+        .select(col("c_id"), col("__cell").cast("long").as("cell"), col("__codes"))
+    }
+    (root, cents)
+  }
+
+  /** Encode `rows` (vec_id, cvec) under the STANDING trained quantizer —
+    * the delta-insert encoder of the maintenance algebra (no training:
+    * codebooks and centroids arrive as parameters).
+    */
+  private def pqEncOf(s: org.apache.spark.sql.SparkSession, dir: String,
+                      rows: org.apache.spark.sql.DataFrame,
+                      cents: Array[Seq[Double]]): org.apache.spark.sql.DataFrame = {
+    val cf = clusteredDf(s, dir)
+    val rawCb = trainedCodebooks(s, dir, "pq_cb_raw_cf_v1")(
+      AnnIndex.pqTrainCodebooks(cf, "vec_id", "cvec",
+        m = PqM, ksub = PqKsub, dim = 64, iters = 1))
+    AnnIndex.pqEncodedCorpus(rows.select(col("vec_id").as("c_id"), col("cvec")),
+      "c_id", "cvec", PqM, PqKsub, 64, 32, Some(rawCb), Some(cents))
+      .select(col("c_id"), col("__cell").cast("long").as("cell"), col("__codes"))
+  }
+
+  /** The repaired partitioned index as hash-comparable scalar rows. */
+  private def readEncExploded(s: org.apache.spark.sql.SparkSession,
+                              root: String): org.apache.spark.sql.DataFrame =
+    graft.pipeline.IndexErasure.readPartitioned(s, root, "cell")
+      .select(col("c_id").as("vec_id"), col("cell"),
+        posexplode(col("__codes")).as(Seq("j", "code")))
+      .select(col("vec_id"), col("cell"), col("j").cast("long").as("j"),
+        col("code").cast("long").as("code"))
+      .orderBy("vec_id", "j")
+
   def all: ListMap[String, Q] = ListMap(
     "q23_centroids" -> Q(
       (s, dir) => {
@@ -2313,27 +2360,13 @@ object VectorQueries {
     "q248_index_erasure_repair" -> Q(
       (s, dir) => {
         val cf = clusteredDf(s, dir)
-        val cents = trainedCents(s, dir)
-        val rawCb = trainedCodebooks(s, dir, "pq_cb_raw_cf_v1")(
-          AnnIndex.pqTrainCodebooks(cf, "vec_id", "cvec",
-            m = PqM, ksub = PqKsub, dim = 64, iters = 1))
-        val root = graft.pipeline.ArtifactStore.rootFor(dir, "pq_enc_raw_cf_part_v1")
-        graft.pipeline.IndexErasure.ensurePartitioned(s, root, "cell") {
-          AnnIndex.pqEncodedCorpus(cf.select(col("vec_id").as("c_id"), col("cvec")),
-            "c_id", "cvec", PqM, PqKsub, 64, 32, Some(rawCb), Some(cents))
-            .select(col("c_id"), col("__cell").cast("long").as("cell"), col("__codes"))
-        }
+        val (root, cents) = pqEncPartitioned(s, dir, "pq_enc_raw_cf_part_v1")
         val tomb = cf.filter(col("vec_id") % 32 === 5 && col("vec_id") % 3 === 0)
           .select(col("vec_id").as("c_id"), col("cvec"))
         val touched = AnnIndex.ivfAssignTrained(tomb, "c_id", "cvec", cents.toSeq)
           .select("cell").distinct().collect().map(_.getLong(0)).toSeq // ≤ nlist rows
         graft.pipeline.IndexErasure.repairErased(s, root, "cell", touched, "c_id", tomb)
-        graft.pipeline.IndexErasure.readPartitioned(s, root, "cell")
-          .select(col("c_id").as("vec_id"), col("cell"),
-            posexplode(col("__codes")).as(Seq("j", "code")))
-          .select(col("vec_id"), col("cell"), col("j").cast("long").as("j"),
-            col("code").cast("long").as("code"))
-          .orderBy("vec_id", "j")
+        readEncExploded(s, root)
       },
       Some(s"""WITH $cfCte,
              |$cfKmeansCtes,
@@ -2377,6 +2410,88 @@ object VectorQueries {
              |GROUP BY cell
              |HAVING sum(CASE WHEN vec_id % 32 = 5 AND vec_id % 3 = 0 THEN 1 ELSE 0 END) > 0
              |ORDER BY cell""".stripMargin)),
+
+    // STREAM-DRIVEN erasure repair (the ingest form of q248): deletion
+    // requests arrive as tombstone micro-batches — here one whole cluster
+    // (vec_id ≡ 9 mod 32) split across two batches — and each batch
+    // repairs the standing cell-partitioned index in foreachBatch. Repair
+    // is content-idempotent (a replayed batch removes nothing and rewrites
+    // identical content), so the final index depends only on the tombstone
+    // SET: streamed ≡ one-shot ≡ rebuilt, checked against the from-scratch
+    // survivor re-encode. Erasing a whole cluster also exercises the
+    // empty-partition drop at query level (its cell directory vanishes).
+    "q254_stream_erasure_repair" -> Q(
+      (s, dir) => {
+        val cf = clusteredDf(s, dir)
+        val (root, cents) = pqEncPartitioned(s, dir, "pq_enc_raw_cf_part_erz2_v1")
+        val tomb = cf.filter(col("vec_id") % 32 === 9)
+          .select(col("vec_id").as("c_id"), col("cvec"))
+        graft.streaming.StreamingErasure.streamRepair(s, root, "cell", "c_id",
+          tomb, nBatches = 2,
+          b => AnnIndex.ivfAssignTrained(b, "c_id", "cvec", cents.toSeq)
+            .select("cell").distinct().collect().map(_.getLong(0)).toSeq)
+        readEncExploded(s, root)
+      },
+      Some(s"""WITH $cfCte,
+             |$cfKmeansCtes,
+             |$cfRawEncodeCtes
+             |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+             |  CAST(co.j AS BIGINT) AS j, CAST(co.code AS BIGINT) AS code
+             |FROM asg a JOIN pcodes co ON co.vec_id = a.vec_id
+             |WHERE NOT (a.vec_id % 32 = 9)
+             |ORDER BY 1, 3""".stripMargin)),
+
+    // The FULL INDEX-MAINTENANCE ALGEBRA on one artifact: APPEND the
+    // paraphrase delta (q196's planted near-dups, ids +100000) encoded
+    // under the STANDING quantizer, then ERASE a tombstone set — and the
+    // result must equal the from-scratch encode of (corpus ∪ delta) −
+    // tombstones under that same quantizer. Append skips already-present
+    // ids (anti-join) and erase is content-idempotent, so any replay or
+    // interleaving of the two operations converges to the same index —
+    // insert (q156's delta-assign ≡ rebuild) and erase (q248) now compose
+    // on the deployed artifact itself.
+    "q255_index_maintenance_algebra" -> Q(
+      (s, dir) => {
+        val (root, cents) = pqEncPartitioned(s, dir, "pq_enc_raw_cf_part_erz3_v1")
+        // insert: the paraphrase copies (vec_id >= 100000), encoded under
+        // the standing trained quantizer — no retraining on maintenance
+        val delta = paraphraseDf(s, dir).filter(col("vec_id") >= 100000L)
+        graft.pipeline.IndexErasure.appendRows(s, root, "cell", "c_id",
+          pqEncOf(s, dir, delta, cents))
+        // erase: the q248 tombstone set (applies to copies too — the
+        // predicate is on the INDEX id, mirrored verbatim in the oracle)
+        val all = paraphraseDf(s, dir)
+        val tomb = all.filter(col("vec_id") % 32 === 5 && col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("c_id"), col("cvec"))
+        val touched = AnnIndex.ivfAssignTrained(tomb, "c_id", "cvec", cents.toSeq)
+          .select("cell").distinct().collect().map(_.getLong(0)).toSeq
+        graft.pipeline.IndexErasure.repairErased(s, root, "cell", touched, "c_id", tomb)
+        readEncExploded(s, root)
+      },
+      Some(s"""WITH $cfCte,
+             |$paraphraseCtes,
+             |$cfKmeansCtes,
+             |$cfRawEncodeCtes,
+             |pfasg AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT f.vec_id, c.ci AS cell,
+             |      row_number() OVER (PARTITION BY f.vec_id
+             |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(f.v, c.cv), c.ci) AS rn
+             |    FROM pf f CROSS JOIN cents c)
+             |  WHERE rn = 1),
+             |pfcodes AS (
+             |  SELECT vec_id, j, pci AS code FROM (
+             |    SELECT a.vec_id, su.j, su.pci,
+             |      row_number() OVER (PARTITION BY a.vec_id, su.j
+             |        ORDER BY su.c2 - CAST(2.0 AS DOUBLE)
+             |          * list_inner_product(list_slice(a.v, su.j*$PqDsub+1, su.j*$PqDsub+$PqDsub), su.s), su.pci) AS rn
+             |    FROM pf a CROSS JOIN psubs su)
+             |  WHERE rn = 1)
+             |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+             |  CAST(co.j AS BIGINT) AS j, CAST(co.code AS BIGINT) AS code
+             |FROM pfasg a JOIN pfcodes co ON co.vec_id = a.vec_id
+             |WHERE NOT (a.vec_id % 32 = 5 AND a.vec_id % 3 = 0)
+             |ORDER BY 1, 3""".stripMargin)),
   )
 
   /** SQ8 chain over `cf`/`cents`/`asg` (prefix `s`): per-dim min/max params

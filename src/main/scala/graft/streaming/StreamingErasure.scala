@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** STREAM-DRIVEN index erasure — the ingest topology of
+  * [[graft.pipeline.IndexErasure.repairErased]]: GDPR deletion requests
+  * arrive continuously in production, so the repair is driven by the
+  * streaming engine — tombstone micro-batches name their touched
+  * partitions map-side (the caller's assignment closure, O(batch·nlist))
+  * and repair the standing partitioned index in `foreachBatch`.
+  *
+  * Replay safety without batch bookkeeping: repair is content-idempotent —
+  * a replayed micro-batch finds its ids already gone, removes nothing, and
+  * rewrites the touched partitions with identical content (pinned in
+  * IndexErasureSpec's re-run leg) — so at-least-once `foreachBatch`
+  * delivery needs no content keys here. The final index therefore depends
+  * only on (standing index, tombstone SET), not on the micro-batching:
+  * streamed repair ≡ one-shot repair ≡ rebuild of the survivors, which is
+  * what lets q254 run against q248's oracle shape.
+  */
+object StreamingErasure {
+
+  /** Seed `tomb` as `nBatches` single-file batches (split by
+    * `pmod(idCol, nBatches)`), stream them with `maxFilesPerTrigger = 1`,
+    * and repair the partitioned index at `root` once per micro-batch.
+    * `touchedOf` maps a tombstone batch to its touched partition values
+    * (map-side assignment against the standing quantizer).
+    */
+  def streamRepair(spark: SparkSession, root: String, partCol: String,
+                   idCol: String, tomb: DataFrame, nBatches: Int,
+                   touchedOf: DataFrame => Seq[Long]): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val seedRoot = java.nio.file.Files.createTempDirectory("graft_stream_erasure")
+    val seedDir = seedRoot.resolve("in").toString
+    (0 until nBatches).foreach { m =>
+      tomb.filter(pmod(col(idCol), lit(nBatches.toLong)) === m).coalesce(1)
+        .write.mode("overwrite").parquet(s"$seedDir/b$m")
+    }
+    val streamed = spark.readStream
+      .schema(tomb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(seedDir)
+    val q = streamed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.pipeline.IndexErasure.repairErased(
+            spark, root, partCol, touchedOf(batch), idCol, batch)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    StreamingDrift.deleteTempDir(seedRoot)
+  }
+}

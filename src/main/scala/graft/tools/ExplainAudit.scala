@@ -22,18 +22,30 @@ object ExplainAudit {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     def docs = graft.Tables.documents(spark, dir)
     val chains: Seq[(String, () => DataFrame)] = Seq(
-      "q239_stream_export_cdc_tttd" -> (() =>
-        graft.SparkEntry.queries("q239_stream_export_cdc_tttd")(spark, dir)),
-      "q241_erasure_packed_delta" -> (() =>
-        graft.SparkEntry.queries("q241_erasure_packed_delta")(spark, dir)),
-      "q242_export_manifest_cdc_bounded" -> (() =>
-        graft.SparkEntry.queries("q242_export_manifest_cdc_bounded")(spark, dir)),
+      // round-16 chains kept for drift checks
       "q243_build (semanticCellDedupFlags)" -> (() =>
         graft.operators.Dedup.semanticCellDedupFlags(docs, "doc_id", "text",
           embDim = 64, k = 16, cosThreshold = 0.95)),
       "q244_build (semanticPartitionDedupFlags)" -> (() =>
         graft.operators.Dedup.semanticPartitionDedupFlags(docs, "doc_id", "text",
-          "source", embDim = 64, cosThreshold = 0.95)))
+          "source", embDim = 64, cosThreshold = 0.95)),
+      // round-17 chains
+      "q245b_sampled_recall" -> (() =>
+        graft.SparkEntry.queries("q245b_semantic_recall_sampled")(spark, dir)),
+      "q248_build (pqEncodedCorpus, trained)" -> (() => {
+        val e = graft.Tables.embeddings(spark, dir)
+          .select(org.apache.spark.sql.functions.col("vec_id").as("c_id"),
+            org.apache.spark.sql.functions.col("embedding"))
+        graft.operators.AnnIndex.pqEncodedCorpus(e, "c_id", "embedding",
+          m = 16, ksub = 16, dim = 64, nlist = 32)
+      }),
+      "q249_manifest" -> (() =>
+        graft.SparkEntry.queries("q249_erasure_repair_manifest")(spark, dir)),
+      "q251_build (crossModalVerdictPartitioned)" -> (() =>
+        graft.operators.Dedup.crossModalVerdictPartitioned(docs, "doc_id", "text",
+          "source", shingleSize = 3, numHashes = 32, bands = 16,
+          jacThreshold = 0.5, containThreshold = 0.6, maxHamming = 8,
+          embDim = 64, cosThreshold = 0.95)))
     for ((name, fn) <- chains) {
       println(s"===== $name =====")
       try {
