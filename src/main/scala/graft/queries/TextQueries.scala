@@ -4236,6 +4236,92 @@ object TextQueries {
              |WHERE NOT (doc_id % 20 = 7)
              |ORDER BY doc_id, band""".stripMargin)),
 
+    // GDPR CAPSTONE — one erasure request traced through EVERY deployed
+    // artifact family in one report: given the tombstone set (doc_id ≡ 7
+    // mod 20, q253's), name the units each family must rewrite to
+    // physically purge — export SHARDS containing a tombstoned doc
+    // (min-gap CDC manifest, the re-ship set), packed training SEQUENCES
+    // spanned by a tombstoned doc's tokens (shard-local layout — the
+    // q241-measured erasure-friendly one), and the banded ANN index CELLS
+    // holding a tombstoned rep (the q253 repair set). Each family's repair
+    // mechanics are separately hash-checked (q234/q241/q248/q253/q254);
+    // this row set is what the deletion run PUBLISHES: the blast radius,
+    // per artifact, before any rewrite runs.
+    "q256_gdpr_capstone" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+        val tombP = col("doc_id") % 20 === 7
+        def report(name: String, units: org.apache.spark.sql.DataFrame,
+                   unit: org.apache.spark.sql.Column) =
+          units.agg(
+            countDistinct(unit).as("n_units"),
+            countDistinct(when(tombP, unit)).as("n_affected"))
+            .select(lit(name).as("family"), col("n_units"), col("n_affected"))
+        val shards = graft.operators.Export.assignShardsCdcTokenAwareMinGap(
+          docs, "doc_id", "text", shardTokenBudget = 4096L, minGapTokens = 2048L)
+        val spans = graft.operators.Packing.packedSeqSpans(docs, "doc_id", "text",
+          seqLen = 128, shardTokenBudget = 4096L)
+        val reps = Dedup.exactDedup(docs, "doc_id", "text")
+        val (_, _, _, _, _, bandIdx) =
+          graft.streaming.StreamingDedup.semCellStanding(s, dir, reps, embDim = 64, k = 16)
+        report("ann_index_cells", bandIdx, col("cell"))
+          .unionByName(report("export_shards", shards, col("shard_id")))
+          .unionByName(report("packed_sequences", spans,
+            struct(col("shard_key"), col("seq_id"))))
+          .orderBy("family")
+      },
+      Some(s"""$semCellChainCtes,
+             |etc AS (
+             |  SELECT doc_id, text,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |    CAST(${graft.operators.Export.hex4ValSql("md5(text)")} AS BIGINT) AS hv
+             |  FROM documents),
+             |ecs AS (
+             |  SELECT *,
+             |    CASE WHEN hv * 4096 < n_tok * 65536 THEN 1 ELSE 0 END AS cand,
+             |    CAST(sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT) AS start_off
+             |  FROM etc),
+             |eci AS (
+             |  SELECT *, CAST(sum(cand) OVER (ORDER BY doc_id) AS BIGINT) AS cidx
+             |  FROM ecs),
+             |ecands AS (SELECT cidx, start_off AS coff FROM eci WHERE cand = 1),
+             |esurv AS (
+             |  SELECT cidx,
+             |    CASE WHEN coff - coalesce(lag(coff) OVER (ORDER BY cidx), 0) >= 2048
+             |         THEN 1 ELSE 0 END AS sv
+             |  FROM ecands),
+             |esrank AS (
+             |  SELECT cidx, CAST(sum(sv) OVER (ORDER BY cidx) AS BIGINT) AS sr
+             |  FROM esurv),
+             |esh AS (
+             |  SELECT eci.doc_id, coalesce(esrank.sr, 0) AS shard_id
+             |  FROM eci LEFT JOIN esrank ON eci.cidx = esrank.cidx),
+             |pbase AS (
+             |  SELECT *, CASE WHEN hv * 4096 < n_tok * 65536 THEN 1 ELSE 0 END AS cand
+             |  FROM etc WHERE n_tok > 0),
+             |pso AS (
+             |  SELECT doc_id, n_tok,
+             |    min(doc_id) OVER (PARTITION BY shard_ord) AS shard_key,
+             |    CAST(sum(n_tok) OVER (PARTITION BY shard_ord ORDER BY doc_id) - n_tok AS BIGINT) AS off
+             |  FROM (SELECT *, CAST(sum(cand) OVER (ORDER BY doc_id) AS BIGINT) AS shard_ord FROM pbase)),
+             |pspans AS (
+             |  SELECT doc_id, shard_key,
+             |    unnest(generate_series(off // 128, (off + n_tok - 1) // 128)) AS seq_id
+             |  FROM pso)
+             |SELECT * FROM (
+             |  SELECT 'ann_index_cells' AS family,
+             |    (SELECT CAST(count(DISTINCT cell) AS BIGINT) FROM sbuck) AS n_units,
+             |    (SELECT CAST(count(DISTINCT cell) AS BIGINT) FROM sbuck WHERE doc_id % 20 = 7) AS n_affected
+             |  UNION ALL
+             |  SELECT 'export_shards',
+             |    (SELECT CAST(count(DISTINCT shard_id) AS BIGINT) FROM esh),
+             |    (SELECT CAST(count(DISTINCT shard_id) AS BIGINT) FROM esh WHERE doc_id % 20 = 7)
+             |  UNION ALL
+             |  SELECT 'packed_sequences',
+             |    (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT shard_key, seq_id FROM pspans)),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT shard_key, seq_id FROM pspans WHERE doc_id % 20 = 7)))
+             |ORDER BY family""".stripMargin)),
+
     // PARTITION-SCOPED semantic dedup — q243's production twin (the shape
     // curation pipelines actually run: "semantic dedup WITHIN source/
     // language"): cells come from the `source` column, so the per-cell

@@ -72,6 +72,32 @@ class IndexErasureSpec extends AnyFunSuite with SparkTestSession {
     assert(IndexErasure.readPartitioned(spark, root, "cell").count() === 8L)
   }
 
+  test("appendRows: inserts into touched partitions only, creates new ones, replays are no-ops") {
+    import spark.implicits._
+    val root = freshRoot()
+    buildFixture(root)
+    val before0 = partFiles(root, 0L)
+    // delta: one new row in cell 1, one whole NEW cell 3, plus a row whose
+    // id already exists (id 4 in cell 1 — must be skipped, not duplicated)
+    val delta = Seq((20L, 1L, "code-20"), (21L, 3L, "code-21"), (4L, 1L, "dup"))
+      .toDF("id", "cell", "payload")
+    graft.pipeline.IndexErasure.appendRows(spark, root, "cell", "id", delta)
+    val got = graft.pipeline.IndexErasure.readPartitioned(spark, root, "cell")
+      .select("id", "cell").as[(Long, Long)].collect().toSet
+    val base = (0L until 12L).map(i => (i, i % 3)).toSet
+    assert(got === base + ((20L, 1L)) + ((21L, 3L)),
+      "delta rows land in their cells; the existing id is skipped")
+    // id 4's payload must be the ORIGINAL (the dup row was dropped)
+    val p4 = graft.pipeline.IndexErasure.readPartitioned(spark, root, "cell")
+      .filter(col("id") === 4L).select("payload").as[String].head()
+    assert(p4 === "code-4")
+    // untouched partition files never rewritten
+    assert(partFiles(root, 0L) === before0, "cell=0 files must not be rewritten")
+    // replay: the same delta again is a no-op
+    graft.pipeline.IndexErasure.appendRows(spark, root, "cell", "id", delta)
+    assert(graft.pipeline.IndexErasure.readPartitioned(spark, root, "cell").count() === 14L)
+  }
+
   test("repairErased: re-running a partial deletion plan is content-neutral") {
     import spark.implicits._
     val root = freshRoot()
