@@ -518,6 +518,46 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
         assert(qa >= qb - 1, s"larger source $sa under-allocated: $qa vs $qb")
     }
   }
+  test("property: IndexErasure repair+append converge to rebuild on random plans") {
+    import graft.pipeline.IndexErasure
+    // random partitioned indexes, random tombstone/delta sets — after any
+    // repair/append sequence the index must equal the set-algebra rebuild
+    // (base − tombstones) ∪ delta, with erased-empty partitions gone
+    val caseGen = for {
+      n <- Gen.chooseNum(1, 40)
+      nCells <- Gen.chooseNum(1, 6)
+      tombFrac <- Gen.chooseNum(0, 10)
+      nDelta <- Gen.chooseNum(0, 8)
+    } yield (n, nCells, tombFrac, nDelta)
+    sample(caseGen, 6, 23L).zipWithIndex.foreach { case ((n, nCells, tombFrac, nDelta), ci) =>
+      val root = s"/tmp/graft-test-erasure/prop$ci/idx"
+      val rows = (0L until n.toLong).map(i => (i, i % nCells, s"p$i"))
+      IndexErasure.ensurePartitioned(spark, root, "cell")(
+        rows.toDF("id", "cell", "payload"))
+      val tombIds = rows.map(_._1).filter(i => tombFrac > 0 && i % 10 < tombFrac)
+      val deltaRows = (0 until nDelta).map(j => (1000L + j, j.toLong % (nCells + 1), s"d$j"))
+      // erase, then append (order exercised the other way in the unit spec)
+      if (tombIds.nonEmpty) {
+        val touched = tombIds.map(_ % nCells).distinct
+        IndexErasure.repairErased(spark, root, "cell", touched, "id",
+          tombIds.toDF("id"))
+      }
+      if (deltaRows.nonEmpty)
+        IndexErasure.appendRows(spark, root, "cell", "id",
+          deltaRows.toDF("id", "cell", "payload"))
+      val got = IndexErasure.readPartitioned(spark, root, "cell")
+        .select("id", "cell", "payload").as[(Long, Long, String)].collect().toSet
+      val want = (rows.filterNot(r => tombIds.contains(r._1)) ++ deltaRows).toSet
+      assert(got === want, s"case $ci: n=$n cells=$nCells tomb=$tombFrac delta=$nDelta")
+      // fully-erased partitions leave no directory behind
+      (0L until nCells.toLong).foreach { c =>
+        val live = want.exists(_._2 == c)
+        val dir = new java.io.File(s"$root/cell=$c")
+        if (!live) assert(!dir.exists(), s"case $ci: empty cell=$c must be dropped")
+      }
+    }
+  }
+
   test("property: TTTD chain invariants on generated corpora (bounds, conservation, nesting)") {
     // random word-soup corpora with a heavy length tail so some shards
     // exceed maxShardTokens and the backup sub-cuts actually fire
