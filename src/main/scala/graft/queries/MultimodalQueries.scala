@@ -540,6 +540,39 @@ object MultimodalQueries {
              |WHERE x.id % 2 = 0 AND y.id % 2 = 1
              |  AND bit_count(xor(y.dhash, x.dhash)) <= 3
              |ORDER BY doc_id, match_id""".stripMargin)),
+
+    // FRAME-INDEX ERASURE — the media limb of the artifact-erasure family
+    // (q248 cells+codes, q253 bands, here the frame checksum index): the
+    // trailer frame index is laid out ID-SHARDED (shard = doc_id div 64 —
+    // a frame index has no coarse quantizer, so the deployment shards by
+    // id range and a deletion's touched shards are PURE ARITHMETIC on the
+    // tombstone ids, no assignment pass at all). IndexErasure rewrites
+    // only the touched shard directories; the oracle re-frames the
+    // SURVIVING corpus from scratch — repaired ≡ rebuilt as a hash.
+    "q257_frame_index_erasure" -> Q(
+      (s, dir) => {
+        import graft.pipeline.{ArtifactStore, IndexErasure}
+        val D = graft.functions.MathFunctions.longDiv _
+        val root = ArtifactStore.rootFor(dir, "frames_trailer_part_fb128_s64_v1")
+        IndexErasure.ensurePartitioned(s, root, "shard") {
+          trailerFrames(s, dir, lit(true))
+            .withColumn("shard", D(col("doc_id"), lit(64L)))
+        }
+        val tomb = Tables.documents(s, dir).filter(col("doc_id") % 20 === 7)
+          .select(col("doc_id"))
+        val touched = tomb.select(D(col("doc_id"), lit(64L)).as("shard"))
+          .distinct().collect().map(_.getLong(0)).toSeq // ≤ corpus/64 rows
+        IndexErasure.repairErased(s, root, "shard", touched, "doc_id", tomb)
+        IndexErasure.readPartitioned(s, root, "shard")
+          .select(col("doc_id"), col("frame_id"), col("checksum"), col("shard"))
+          .orderBy("doc_id", "frame_id")
+      },
+      Some(s"""WITH media AS (
+             |  SELECT doc_id AS id, $TrailerMediaSql AS m FROM documents
+             |  WHERE NOT (doc_id % 20 = 7)),
+             |${frameCtes(128)}
+             |SELECT id AS doc_id, frame_id, checksum, id // 64 AS shard
+             |FROM fr ORDER BY 1, 2""".stripMargin)),
   )
 
   /** One full-rebuild oracle for q167 (batch) and q181 (incrementally
