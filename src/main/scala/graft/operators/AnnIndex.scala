@@ -786,11 +786,26 @@ object AnnIndex {
     */
   def kmeansCentroids(corpus: DataFrame, vecCol: String, idCol: String,
                       k: Int, iters: Int): Array[Seq[Double]] = {
-    import graft.functions.VectorFunctions.dotFused
-    var cents: Array[Seq[Double]] = corpus
+    val init: Array[Seq[Double]] = corpus
       .select(col(idCol), asDouble(col(vecCol)).as("v"))
       .orderBy(col(idCol)).limit(k)
       .collect().map(_.getSeq[Double](1))
+    kmeansIterate(corpus, vecCol, init, iters)
+  }
+
+  /** Lloyd iterations from an EXPLICIT initial centroid set — the init
+    * policy factored out of [[kmeansCentroids]] so callers can stratify it
+    * (lowest-id init seeds every centroid from the id-range head, which
+    * collapses domains that arrive at higher ids — the PERF_r17 §2
+    * pathology; a content-hash-ordered init spreads the seeds uniformly
+    * over the corpus regardless of arrival order). Same arithmetic per
+    * iteration: argmin assignment, per-(cell,pos) floor-rounded mean,
+    * empty cells keep their entry.
+    */
+  def kmeansIterate(corpus: DataFrame, vecCol: String,
+                    init: Array[Seq[Double]], iters: Int): Array[Seq[Double]] = {
+    import graft.functions.VectorFunctions.dotFused
+    var cents: Array[Seq[Double]] = init
     for (_ <- 1 to iters) {
       def scores(vec: Column): Column = array(cents.toSeq.zipWithIndex.map { case (c, i) =>
         val c2 = c.map(x => x * x).sum

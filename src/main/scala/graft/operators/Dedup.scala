@@ -771,8 +771,9 @@ object Dedup {
 
   def semanticCellDedupFlags(base: DataFrame, idCol: String, textCol: String,
                              embDim: Int, k: Int,
-                             cosThreshold: Double): DataFrame = {
-    import graft.functions.VectorFunctions.{dotFused, l2NormSq}
+                             cosThreshold: Double,
+                             stratifiedInit: Boolean = false): DataFrame = {
+    import graft.functions.VectorFunctions.{asDouble, dotFused, l2NormSq}
     require(k > 0, s"k must be positive, got $k")
     require(cosThreshold > 0 && cosThreshold <= 1.0,
       s"cosThreshold must be in (0, 1], got $cosThreshold")
@@ -782,7 +783,24 @@ object Dedup {
     // Caching); kmeans training, the width count, assignment, and the pair
     // verify all read the embedded reps
     val repVecs = reps.select(col(idCol), emb.embedRaw(col(textCol)).as("__v")).cache()
-    val cents = AnnIndex.kmeansCentroids(repVecs, "__v", idCol, k, iters = 1)
+    // stratifiedInit: seed the Lloyd init by CONTENT-HASH order instead of
+    // the id-range head — lowest-id init collapses domains that arrive at
+    // higher ids (a growing crawl's new languages/sources): every seed
+    // lands in the oldest domain and one step cannot redistribute
+    // (PERF_r17 §2: 8.7 GiB spill at 10 unseen domains). Hash order is
+    // arrival-order-free, so the k seeds spread uniformly over the corpus
+    // content no matter when each domain arrived.
+    val cents =
+      if (!stratifiedInit) AnnIndex.kmeansCentroids(repVecs, "__v", idCol, k, iters = 1)
+      else {
+        val init = reps.select(emb.embedRaw(col(textCol)).as("__v"),
+            expr(graft.operators.Export.hex4ValSql(s"md5($textCol)")).cast("long").as("__h"),
+            col(idCol))
+          .orderBy(col("__h"), col(idCol)).limit(k)
+          .select(asDouble(col("__v")))
+          .collect().map(_.getSeq[Double](0)) // k rows — parameters
+        AnnIndex.kmeansIterate(repVecs, "__v", init, iters = 1)
+      }
     // argmin(|c|² − 2·v·c), tie → lower index — the semDeDup/ivfTopK
     // convention. Centroids arrive as a BROADCAST RELATION, not k×dim plan
     // literals (r16 verdict item 2: at dim=1536 the literal form recreates

@@ -1189,7 +1189,20 @@ object TextQueries {
     * band buckets `sbuck`) — shared by the dedup oracle (q243/q250) and
     * the band-index erasure-repair rebuild (q253).
     */
-  private lazy val semCellChainCtes: String =
+  private def semCellChainCtes(stratifiedInit: Boolean = false): String = {
+    val kinit =
+      if (!stratifiedInit)
+        s"""kinit AS (
+           |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS ci, v AS cv
+           |  FROM rv ORDER BY doc_id LIMIT 16)""".stripMargin
+      else
+        s"""khash AS (
+           |  SELECT r.doc_id, CAST(${graft.operators.Export.hex4ValSql("md5(d.text)")} AS BIGINT) AS hh
+           |  FROM qreps r JOIN documents d USING (doc_id)),
+           |kinit AS (
+           |  SELECT row_number() OVER (ORDER BY kh.hh, rv.doc_id) - 1 AS ci, rv.v AS cv
+           |  FROM rv JOIN khash kh ON kh.doc_id = rv.doc_id
+           |  ORDER BY kh.hh, rv.doc_id LIMIT 16)""".stripMargin
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
        |th AS (
@@ -1209,9 +1222,7 @@ object TextQueries {
        |         FROM sdense GROUP BY doc_id),
        |qreps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
        |rv AS (SELECT s.doc_id, s.v FROM semb s JOIN qreps USING (doc_id)),
-       |kinit AS (
-       |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS ci, v AS cv
-       |  FROM rv ORDER BY doc_id LIMIT 16),
+       |$kinit,
        |ka AS (
        |  SELECT doc_id, v, cell FROM (
        |    SELECT r.doc_id, r.v, k.ci AS cell,
@@ -1264,9 +1275,10 @@ object TextQueries {
        |      j -> CASE WHEN list_inner_product(vc, splanes.ws[bb.b * sparams.srb + j]) >= CAST(0.0 AS DOUBLE)
        |           THEN (CAST(1 AS BIGINT) << (j-1)) ELSE CAST(0 AS BIGINT) END)) AS bucket
        |  FROM cvec, splanes, sparams, (SELECT unnest(generate_series(0, 15)) AS b) bb)""".stripMargin
+  }
 
-  private lazy val semCellDedupOracle: String =
-    s"""$semCellChainCtes,
+  private def semCellDedupOracleOf(stratifiedInit: Boolean): String =
+    s"""${semCellChainCtes(stratifiedInit)},
        |cpair AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM sbuck a JOIN sbuck b
@@ -1287,6 +1299,8 @@ object TextQueries {
        |  CAST(CASE WHEN d.doc_id IN (SELECT id_b FROM csel)
        |         OR d.doc_id IN (SELECT doc_id FROM dupz) THEN 1 ELSE 0 END AS BIGINT) AS f_semantic
        |FROM documents d ORDER BY doc_id""".stripMargin
+
+  private lazy val semCellDedupOracle: String = semCellDedupOracleOf(false)
 
   /** The PARTITION-SCOPED semantic axis CTEs (q244's machinery): reps per
     * (source, text), per-SOURCE floored-mean centering, banded candidates
@@ -4153,6 +4167,25 @@ object TextQueries {
         s, dir, embDim = 64, k = 16, cosThreshold = SemCosThreshold),
       Some(semCellDedupOracle)),
 
+    // q243 with HASH-STRATIFIED Lloyd init — the measured fix for the
+    // trained-cell domain-collapse residual (PERF_r17 §2): lowest-id init
+    // seeds every centroid from the id-range head, so domains arriving at
+    // HIGHER ids (a growing crawl's new languages) collapse into few cells
+    // and within-cell candidates inflate. Seeding by hex4(md5(text)) order
+    // is arrival-order-free — the k init reps spread uniformly over the
+    // corpus content no matter when each domain arrived. Same trainer,
+    // same one Lloyd step, same banded tail; only kinit's ORDER BY moves,
+    // mirrored in SQL.
+    "q258_semantic_cell_stratified" -> Q(
+      (s, dir) => graft.pipeline.ArtifactStore.loadOrBuild(s,
+        graft.pipeline.ArtifactStore.rootFor(dir,
+          "semantic_cell_dedup_strat_d64_k16_i1_b16_c095_v1")) {
+        Dedup.semanticCellDedupFlags(Tables.documents(s, dir),
+          "doc_id", "text", embDim = 64, k = 16, cosThreshold = SemCosThreshold,
+          stratifiedInit = true)
+      }.orderBy("doc_id"),
+      Some(s"""${semCellDedupOracleOf(true)}""".stripMargin)),
+
     // MULTI-DOMAIN VERDICT (r16 verdict task 4): the five-axis cross-modal
     // stack with the SEMANTIC axis partition-scoped by `source` — global
     // centering is exactly what q243/q244 proved insufficient on
@@ -4229,7 +4262,7 @@ object TextQueries {
           .select(col("doc_id"), col("cell"), col("band"), col("bucket"))
           .orderBy("doc_id", "band")
       },
-      Some(s"""$semCellChainCtes
+      Some(s"""${semCellChainCtes()}
              |SELECT doc_id, CAST(cell AS BIGINT) AS cell,
              |  CAST(band AS BIGINT) AS band, CAST(bucket AS BIGINT) AS bucket
              |FROM sbuck
@@ -4270,7 +4303,7 @@ object TextQueries {
             struct(col("shard_key"), col("seq_id"))))
           .orderBy("family")
       },
-      Some(s"""$semCellChainCtes,
+      Some(s"""${semCellChainCtes()},
              |etc AS (
              |  SELECT doc_id, text,
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

@@ -187,6 +187,22 @@ object ScaleStress {
         graft.operators.Dedup.semanticCellDedupFlags(docs, "doc_id", "text",
           embDim = 64, k = 16, cosThreshold = 0.95)
       }),
+      // q258's HASH-STRATIFIED init variant — head-to-head vs semcell_flags
+      // on the remap regime (does arrival-order-free seeding fix the
+      // domain-collapse spill?)
+      "semstrat_flags" -> ((s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+        graft.operators.Dedup.semanticCellDedupFlags(docs, "doc_id", "text",
+          embDim = 64, k = 16, cosThreshold = 0.95, stratifiedInit = true)
+      }),
+      // the k-scaling knob on the same fixture (k = 32 ≥ 10 domains,
+      // stratified init): does giving the trainer one cell per domain
+      // (with headroom) clear the residual?
+      "semstrat32_flags" -> ((s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+        graft.operators.Dedup.semanticCellDedupFlags(docs, "doc_id", "text",
+          embDim = 64, k = 32, cosThreshold = 0.95, stratifiedInit = true)
+      }),
       // the FULL MULTI-DOMAIN VERDICT (q251) — the remap cell re-measured
       // through the whole five-axis stack (r16 verdict task 4's perf leg).
       // Meaningful with SPARK_GRAFT_SCALE_TAG_SOURCE=1 so the partition
