@@ -542,7 +542,7 @@ object VectorQueries {
   }
 
   private def cfRawChain(maxNprobe: Int = 4, withRn: Boolean = false,
-                         qSrc: String = "cf"): String = {
+                         qSrc: String = "cf", candWhere: String = ""): String = {
     val sl = (v: String, j: String) => s"list_slice($v, $j*$PqDsub+1, $j*$PqDsub+$PqDsub)"
     val prnSel = if (withRn) ", rn AS prn" else ""
     val prnCand = if (withRn) ", p.prn" else ""
@@ -566,7 +566,7 @@ object VectorQueries {
        |  FROM (
        |    SELECT p.q_id, a.vec_id AS c_id$prnCand
        |    FROM pprobes p JOIN asg a ON p.cell = a.cell
-       |    WHERE p.q_id <> a.vec_id) ca
+       |    WHERE p.q_id <> a.vec_id$candWhere) ca
        |  JOIN pcodes co ON co.vec_id = ca.c_id
        |  JOIN pterms t ON t.q_id = ca.q_id AND t.j = co.j AND t.pci = co.code
        |  GROUP BY ca.q_id, ca.c_id)""".stripMargin
@@ -2492,6 +2492,48 @@ object VectorQueries {
              |FROM pfasg a JOIN pfcodes co ON co.vec_id = a.vec_id
              |WHERE NOT (a.vec_id % 32 = 5 AND a.vec_id % 3 = 0)
              |ORDER BY 1, 3""".stripMargin)),
+
+    // ERASURE IS QUERY-VISIBLE — the user-facing guarantee behind q248's
+    // artifact repair: an ANN top-k served FROM the repaired index must
+    // never surface an erased vector, and must rank exactly as an index
+    // rebuilt from the survivors would. The Spark side serves pqTopK with
+    // `encoded` = the repaired partitioned artifact (re-applying the
+    // idempotent repair first, so the query is self-contained in a fresh
+    // session); the oracle runs the trained raw-PQ probe chain with the
+    // tombstoned ids excluded from the CANDIDATE relation — the
+    // survivor-rebuilt ranking. Hash equality = no erased id can be
+    // retrieved, at any rank, for any probe.
+    "q259_erasure_query_visibility" -> Q(
+      (s, dir) => {
+        val cf = clusteredDf(s, dir)
+        val (root, cents) = pqEncPartitioned(s, dir, "pq_enc_raw_cf_part_v1")
+        val tomb = cf.filter(col("vec_id") % 32 === 5 && col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("c_id"), col("cvec"))
+        val touched = AnnIndex.ivfAssignTrained(tomb, "c_id", "cvec", cents.toSeq)
+          .select("cell").distinct().collect().map(_.getLong(0)).toSeq
+        graft.pipeline.IndexErasure.repairErased(s, root, "cell", touched, "c_id", tomb)
+        val rawCb = trainedCodebooks(s, dir, "pq_cb_raw_cf_v1")(
+          AnnIndex.pqTrainCodebooks(cf, "vec_id", "cvec",
+            m = PqM, ksub = PqKsub, dim = 64, iters = 1))
+        val enc = graft.pipeline.IndexErasure.readPartitioned(s, root, "cell")
+          .select(col("c_id"), col("cell").cast("int").as("__cell"), col("__codes"))
+        val queries = cf.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("cvec").as("q_vec"))
+        AnnIndex.pqTopK(queries, "q_id", "q_vec",
+          cf.select(col("vec_id").as("c_id"), col("cvec")), "c_id", "cvec",
+          k = 3, m = PqM, ksub = PqKsub, dim = 64, nlist = 32, nprobe = 4,
+          codebooks = Some(rawCb), coarseCentroids = Some(cents),
+          encoded = Some(enc))
+      },
+      Some(s"""WITH $cfCte,
+             |$cfKmeansCtes,
+             |${cfRawChain(candWhere = " AND NOT (a.vec_id % 32 = 5 AND a.vec_id % 3 = 0)")}
+             |SELECT q_id, c_id, ${frs("d", 6)} AS score, CAST(rn AS BIGINT) AS rn
+             |FROM (
+             |  SELECT q_id, c_id, d,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY ${frs("d", 6)}, c_id) AS rn
+             |  FROM padist)
+             |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin)),
   )
 
   /** SQ8 chain over `cf`/`cents`/`asg` (prefix `s`): per-dim min/max params
