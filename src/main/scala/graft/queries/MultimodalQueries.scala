@@ -573,6 +573,44 @@ object MultimodalQueries {
              |${frameCtes(128)}
              |SELECT id AS doc_id, frame_id, checksum, id // 64 AS shard
              |FROM fr ORDER BY 1, 2""".stripMargin)),
+
+    // ... and the PERCEPTUAL frame-hash index gets the identical treatment
+    // (q257's pattern on q169's artifact): per-frame dHashes of the noised
+    // trailer corpus, id-sharded, touched shards pure arithmetic on the
+    // tombstone ids; the oracle re-derives the surviving docs' frame
+    // hashes from scratch in the byte domain.
+    "q260_framehash_index_erasure" -> Q(
+      (s, dir) => {
+        import graft.pipeline.{ArtifactStore, IndexErasure}
+        val D = graft.functions.MathFunctions.longDiv _
+        val root = ArtifactStore.rootFor(dir, "framehash_noised_part_fb128_s64_v1")
+        IndexErasure.ensurePartitioned(s, root, "shard") {
+          val media = Tables.documents(s, dir)
+            .select(col("doc_id"), expr(NoisedTrailerSpark).as("m"))
+          Multimodal.frameHashes(s, media, frameBytes = 128, idCol = "doc_id", mediaCol = "m")
+            .withColumn("shard", D(col("doc_id"), lit(64L)))
+        }
+        val tomb = Tables.documents(s, dir).filter(col("doc_id") % 20 === 7)
+          .select(col("doc_id"))
+        val touched = tomb.select(D(col("doc_id"), lit(64L)).as("shard"))
+          .distinct().collect().map(_.getLong(0)).toSeq // ≤ corpus/64 rows
+        IndexErasure.repairErased(s, root, "shard", touched, "doc_id", tomb)
+        IndexErasure.readPartitioned(s, root, "shard")
+          .select(col("doc_id"), col("frame_id"), col("ph"), col("shard"))
+          .orderBy("doc_id", "frame_id")
+      },
+      Some(s"""WITH med0 AS (
+             |  SELECT doc_id AS mid, $NoisedTrailerSql AS mm FROM documents
+             |  WHERE NOT (doc_id % 20 = 7)),
+             |fmedia AS (
+             |  SELECT mid * 1024 + f AS id,
+             |    substr(mm, CAST(f*128+1 AS INTEGER), 128) AS m
+             |  FROM med0, UNNEST(range(0,
+             |    CAST(floor((length(mm)-1) / CAST(128 AS DOUBLE)) AS BIGINT) + 1)) AS t(f)),
+             |${dhashCtes.replace("FROM media WHERE", "FROM fmedia WHERE")}
+             |SELECT id // 1024 AS doc_id, id % 1024 AS frame_id,
+             |  dhash AS ph, (id // 1024) // 64 AS shard
+             |FROM dh ORDER BY 1, 2""".stripMargin)),
   )
 
   /** One full-rebuild oracle for q167 (batch) and q181 (incrementally
