@@ -65,6 +65,41 @@ object IndexErasure {
   def readPartitioned(spark: SparkSession, root: String, partCol: String): DataFrame =
     spark.read.parquet(root).withColumn(partCol, col(partCol).cast("long"))
 
+  /** Erasure for ID-REFERENCE artifacts in the [[ArtifactStore
+    * .appendBatchIfAbsent]] batch layout (hits tables, pair relations):
+    * content artifacts partition by a coarse key, but a REFERENCE artifact
+    * scatters an id across arbitrary rows, so the purge visits every live
+    * batch — one parallel filter pass per batch, each rewritten staged +
+    * swapped (retired/staging names never match the `b\\d+` batch pattern,
+    * so a concurrent [[ArtifactStore.readBatches]] cannot pick up debris).
+    * Rows are dropped when ANY of `refCols` matches a tombstoned id.
+    * Purge ≡ rebuild-on-survivors whenever each row depends only on its
+    * referenced rows (the hits-table contract) — q261 pins the hash.
+    * Idempotent: a re-run removes nothing and rewrites identical content.
+    */
+  def purgeBatches(spark: SparkSession, root: String, refCols: Seq[String],
+                   tombstones: DataFrame, idCol: String): Unit = synchronized {
+    require(refCols.nonEmpty, "purgeBatches needs at least one reference column")
+    val f = fs(spark)
+    val rootPath = new Path(root)
+    require(f.exists(rootPath), s"IndexErasure: no artifact at $root")
+    val tombIds = broadcast(tombstones.select(col(idCol).as("__tomb")).distinct())
+    val batches = f.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("b\\d+") &&
+        isLive(f, s.getPath.toString))
+    batches.foreach { st =>
+      val live = st.getPath
+      val df = spark.read.parquet(live.toString)
+      val purged = refCols.foldLeft(df) { (acc, c) =>
+        acc.join(tombIds, acc(c) === col("__tomb"), "left_anti")
+      }
+      val tmp = new Path(live.toString + ".tmp-" +
+        java.util.UUID.randomUUID().toString.take(8))
+      purged.write.mode("overwrite").parquet(tmp.toString)
+      StagedSwap.swap(f, tmp, live, new Path(live.toString + ".old"))
+    }
+  }
+
   /** Incremental APPEND — the insert half of the index-maintenance algebra
     * (erase is [[repairErased]]): add `rows` (encoded under the STANDING
     * quantizer — same parameters-stand contract) to their partitions,

@@ -584,7 +584,7 @@ object TextQueries {
     * path matching THIS two-sided rebuild is its maintenance ≡ rebuild
     * check.
     */
-  private lazy val crossNearDupOracle: String =
+  private lazy val crossNearDupCtes: String =
     s"""$minhashBkCtes,
        |cand AS (
        |  SELECT x.doc_id AS test_id, y.doc_id AS train_id
@@ -594,7 +594,10 @@ object TextQueries {
        |pairs AS (
        |  SELECT test_id, train_id, ${frs(jacExpr, 4)} AS jac
        |  FROM cand JOIN sh sa ON cand.test_id = sa.doc_id
-       |            JOIN sh sb ON cand.train_id = sb.doc_id)
+       |            JOIN sh sb ON cand.train_id = sb.doc_id)""".stripMargin
+
+  private lazy val crossNearDupOracle: String =
+    s"""$crossNearDupCtes
        |SELECT test_id, train_id, jac FROM pairs
        |WHERE jac >= $JaccardThreshold ORDER BY 1, 2""".stripMargin
 
@@ -4354,6 +4357,46 @@ object TextQueries {
              |    (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT shard_key, seq_id FROM pspans)),
              |    (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT shard_key, seq_id FROM pspans WHERE doc_id % 20 = 7)))
              |ORDER BY family""".stripMargin)),
+
+    // Erasure for ID-REFERENCE artifacts — the hits tables: a content
+    // artifact partitions by a coarse key, but the stream/batch-maintained
+    // near-dup HITS artifact scatters a doc id across arbitrary pair rows,
+    // so the purge visits every live batch (IndexErasure.purgeBatches —
+    // one parallel filter pass per batch, staged + swapped). Each hit row
+    // depends only on its two referenced docs, so purge ≡ rebuild on the
+    // survivors — the oracle is the q194 two-sided rebuild with the
+    // tombstoned ids excluded from BOTH sides, hash-checked.
+    "q261_hits_artifact_purge" -> Q(
+      (s, dir) => {
+        import graft.pipeline.ArtifactStore
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        lazy val idx = graft.operators.Dedup.trainNearDupIndex(
+          d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 16)
+        val trainBands = ArtifactStore.loadOrBuild(s,
+          ArtifactStore.rootFor(dir, "neardup_train_bands_s3_h32_b16_v1"))(idx._1)
+        val trainSigs = ArtifactStore.loadOrBuild(s,
+          ArtifactStore.rootFor(dir, "neardup_train_sigs_s3_h32_b16_v1"))(idx._2)
+        val root = ArtifactStore.rootFor(dir, "neardup_hits_erz_s3_h32_b16_v1")
+        def batch(id: Long, m: Int): Unit =
+          ArtifactStore.appendBatchIfAbsent(s, root, id) {
+            graft.operators.Dedup.crossCorpusNearDupFromIndex(
+              trainBands, trainSigs, d.filter(col("doc_id") % 10 === m),
+              "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16,
+              threshold = JaccardThreshold)
+          }
+        batch(0, 0)
+        batch(1, 5)
+        val tomb = d.filter(col("doc_id") % 7 === 1).select("doc_id")
+        graft.pipeline.IndexErasure.purgeBatches(s, root,
+          refCols = Seq("test_id", "train_id"), tombstones = tomb, idCol = "doc_id")
+        ArtifactStore.readBatches(s, root).orderBy("test_id", "train_id")
+      },
+      Some(s"""$crossNearDupCtes
+             |SELECT test_id, train_id, jac FROM pairs
+             |WHERE jac >= $JaccardThreshold
+             |  AND test_id % 7 <> 1 AND train_id % 7 <> 1
+             |ORDER BY 1, 2""".stripMargin)),
 
     // PARTITION-SCOPED semantic dedup — q243's production twin (the shape
     // curation pipelines actually run: "semantic dedup WITHIN source/
