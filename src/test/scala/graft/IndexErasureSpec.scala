@@ -98,6 +98,27 @@ class IndexErasureSpec extends AnyFunSuite with SparkTestSession {
     assert(graft.pipeline.IndexErasure.readPartitioned(spark, root, "cell").count() === 14L)
   }
 
+  test("purgeBatches: multi-ref purge, fully-emptied batch stays readable, re-run is a no-op") {
+    import spark.implicits._
+    import graft.pipeline.{ArtifactStore, IndexErasure}
+    val root = s"/tmp/graft-test-erasure/${java.util.UUID.randomUUID().toString.take(8)}/hits"
+    ArtifactStore.appendBatchIfAbsent(spark, root, 0L)(
+      Seq((1L, 10L), (2L, 11L), (3L, 10L)).toDF("test_id", "train_id"))
+    ArtifactStore.appendBatchIfAbsent(spark, root, 1L)(
+      Seq((4L, 10L), (4L, 12L)).toDF("test_id", "train_id"))
+    // erasing id 4 and 11 wipes batch 1 ENTIRELY and one row of batch 0 —
+    // an emptied batch must stay a readable (schema-bearing) parquet dir
+    val tomb = Seq(4L, 11L).toDF("doc_id")
+    IndexErasure.purgeBatches(spark, root, Seq("test_id", "train_id"), tomb, "doc_id")
+    val got = ArtifactStore.readBatches(spark, root)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L), (3L, 10L)),
+      "rows referencing a tombstone on EITHER side must go")
+    // re-run: nothing left to remove, content unchanged
+    IndexErasure.purgeBatches(spark, root, Seq("test_id", "train_id"), tomb, "doc_id")
+    assert(ArtifactStore.readBatches(spark, root).count() === 2L)
+  }
+
   test("repairErased: re-running a partial deletion plan is content-neutral") {
     import spark.implicits._
     val root = freshRoot()
