@@ -25,6 +25,29 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object AnnIndex {
 
+  import graft.functions.expressions.{CentroidArgmin, CentroidLookup, CentroidProbes}
+  import org.apache.spark.sql.{GraftSqlBridge => B}
+
+  /** The IVF cell argmin / probe-ranking / centroid-lookup columns as ONE
+    * codegen kernel node each ([[graft.functions.expressions
+    * .CentroidArgmin]] family): the unrolled Column form baked nlist·dim
+    * centroid literals into the plan — invisible at fixture parameters
+    * (nlist=32·dim=64 → 2 k nodes), an analysis/codegen explosion at
+    * production IVF (nlist 4096 · dim 1536 → 6.3 M nodes) and a per-micro-
+    * batch re-plan on the streaming paths (the q214/[[bandBucketsCol]]
+    * pathology class — r17 verdict task 1). Same arithmetic, same
+    * tie-breaks, bit-identical cells/probes (pinned in OperatorsSpec and by
+    * every IVF-family oracle hash).
+    */
+  private[graft] def argminCell(vec: Column, cents: Array[Array[Double]]): Column =
+    B.column(CentroidArgmin(B.expression(asDouble(vec)), cents))
+  private[graft] def probeCells(vec: Column, cents: Array[Array[Double]], nprobe: Int): Column =
+    B.column(CentroidProbes(B.expression(asDouble(vec)), cents, nprobe))
+  private[graft] def centroidOf(cell: Column, cents: Array[Array[Double]]): Column =
+    B.column(CentroidLookup(B.expression(cell), cents))
+  private[graft] def centMat(cents: Seq[Seq[Double]]): Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+
   /** Bucket-count policy: smallest b with targetBucket·2ᵇ ≥ n (i.e.
     * ceil(log2(n/targetBucket))) clamped to [minBits, maxBits] — expected
     * bucket size tracks `targetBucket` instead of the fixed 2⁴ = 16 buckets
@@ -152,17 +175,11 @@ object AnnIndex {
     */
   def ivfAssign(df: DataFrame, centroidSource: DataFrame,
                 idCol: String, vecCol: String, nlist: Int): DataFrame = {
-    import graft.functions.VectorFunctions.dotFused
-    val cents: Array[(Int, Seq[Double])] = centroidSource
+    val cents: Array[Array[Double]] = centroidSource
       .select(col(idCol), asDouble(col(vecCol)).as("v"))
       .orderBy(col(idCol)).limit(nlist)
-      .collect().zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) }
-    def cellScores(vec: Column): Column = array(cents.toSeq.map { case (i, c) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * dotFused(vec, array(c.map(lit): _*))).as("d"), lit(i).as("i"))
-    }: _*)
-    df.select(col(idCol),
-      array_min(cellScores(asDouble(col(vecCol)))).getField("i").cast("long").as("cell"))
+      .collect().map(_.getSeq[Double](1).toArray)
+    df.select(col(idCol), argminCell(col(vecCol), cents).cast("long").as("cell"))
   }
 
   /** Cell assignments (id, cell) of `df` under TRAINED coarse centroids —
@@ -173,15 +190,9 @@ object AnnIndex {
     * O(tombstones · nlist), never an index or corpus scan.
     */
   def ivfAssignTrained(df: DataFrame, idCol: String, vecCol: String,
-                       cents: Seq[Seq[Double]]): DataFrame = {
-    import graft.functions.VectorFunctions.dotFused
-    def cellScores(vec: Column): Column = array(cents.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * dotFused(vec, array(c.map(lit): _*))).as("d"), lit(i).as("i"))
-    }: _*)
+                       cents: Seq[Seq[Double]]): DataFrame =
     df.select(col(idCol),
-      array_min(cellScores(asDouble(col(vecCol)))).getField("i").cast("long").as("cell"))
-  }
+      argminCell(col(vecCol), centMat(cents)).cast("long").as("cell"))
 
   /** Per-cell OCCUPANCY histogram of `df` under TRAINED coarse centroids —
     * the embedding-space distribution profile (r12 verdict task 4): cell
@@ -194,15 +205,9 @@ object AnnIndex {
     * never shuffled by anything wider than the cell id.
     */
   def cellOccupancyCounts(df: DataFrame, vecCol: String,
-                          cents: Seq[Seq[Double]]): DataFrame = {
-    import graft.functions.VectorFunctions.dotFused
-    def cellScores(vec: Column): Column = array(cents.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * dotFused(vec, array(c.map(lit): _*))).as("d"), lit(i).as("i"))
-    }: _*)
-    df.select(array_min(cellScores(asDouble(col(vecCol)))).getField("i").cast("long").as("bin"))
+                          cents: Seq[Seq[Double]]): DataFrame =
+    df.select(argminCell(col(vecCol), centMat(cents)).cast("long").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
-  }
 
   /** Per-GROUP cell occupancy — [[cellOccupancyCounts]] keyed by a group
     * column, the `(g, bin, n)` shape
@@ -212,48 +217,32 @@ object AnnIndex {
     * embedding drift gate). State ≤ groups·nlist rows.
     */
   def cellOccupancyCountsByGroup(df: DataFrame, vecCol: String, groupCol: String,
-                                 cents: Seq[Seq[Double]]): DataFrame = {
-    import graft.functions.VectorFunctions.dotFused
-    def cellScores(vec: Column): Column = array(cents.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * dotFused(vec, array(c.map(lit): _*))).as("d"), lit(i).as("i"))
-    }: _*)
+                                 cents: Seq[Seq[Double]]): DataFrame =
     df.select(col(groupCol).as("g"),
-        array_min(cellScores(asDouble(col(vecCol)))).getField("i").cast("long").as("bin"))
+        argminCell(col(vecCol), centMat(cents)).cast("long").as("bin"))
       .groupBy("g", "bin").agg(count(lit(1)).as("n"))
-  }
 
   def ivfTopK(queries: DataFrame, qIdCol: String, qVecCol: String,
               corpus: DataFrame, cIdCol: String, cVecCol: String,
               k: Int, nlist: Int, nprobe: Int, roundTo: Int = 6,
               excludeSelf: Boolean = true,
               coarseCentroids: Option[Array[Seq[Double]]] = None): DataFrame = {
-    import graft.functions.VectorFunctions.dotFused
     require(nprobe <= nlist, "nprobe must be <= nlist")
     // coarseCentroids: trained cells (e.g. [[kmeansCentroids]]) — the
     // lowest-id default keeps q40/q78-era oracles byte-stable.
-    val cents: Array[(Int, Seq[Double])] = coarseCentroids
-      .map(_.zipWithIndex.map { case (c, i) => i -> c })
+    val cents: Array[Array[Double]] = coarseCentroids
+      .map(_.map(_.toArray).toArray)
       .getOrElse(corpus
         .select(col(cIdCol), asDouble(col(cVecCol)).as("v"))
         .orderBy(col(cIdCol)).limit(nlist)
-        .collect().zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) })
-
-    def centLit(c: Seq[Double]): Column = array(c.map(lit): _*)
-    def cellScores(vec: Column): Column = array(cents.toSeq.map { case (i, c) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * dotFused(vec, centLit(c))).as("d"), lit(i).as("i"))
-    }: _*)
-    def cellOf(vec: Column): Column = array_min(cellScores(vec)).getField("i")
+        .collect().map(_.getSeq[Double](1).toArray))
 
     val cb = corpus
-      .withColumn("__cell", cellOf(col(cVecCol)))
+      .withColumn("__cell", argminCell(col(cVecCol), cents))
       .withColumn("__nsq_c", l2NormSq(col(cVecCol)))
     val qb = queries
-      .withColumn("__probe", explode(slice(sort_array(cellScores(col(qVecCol))), 1, nprobe)))
-      .withColumn("__cell", col("__probe.i"))
+      .withColumn("__cell", explode(probeCells(col(qVecCol), cents, nprobe)))
       .withColumn("__nsq_q", l2NormSq(col(qVecCol)))
-      .drop("__probe")
     val scored = cb.join(broadcast(qb), Seq("__cell"))
       .filter(lit(!excludeSelf) || col(qIdCol) =!= col(cIdCol))
       .withColumn("score", floorRound(
@@ -390,7 +379,6 @@ object AnnIndex {
       coarseCentroids: Option[Array[Seq[Double]]] = None,
       encoded: Option[DataFrame] = None)
       : (DataFrame, (DataFrame, String, String) => DataFrame, Column) = {
-    import graft.functions.VectorFunctions.dotFused
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     require(nprobe <= nlist, "nprobe must be <= nlist")
     val dsub = dim / m
@@ -399,16 +387,12 @@ object AnnIndex {
       s"codebooks must be m=$m groups of ksub=$ksub $dsub-dim entries (ADC offsets assume it)")
 
     // coarse IVF cells — lowest-id default as ivfTopK, or trained centroids
-    val cents: Array[(Int, Seq[Double])] = coarseCentroids
-      .map(_.zipWithIndex.map { case (c, i) => i -> c })
+    val cents: Array[Array[Double]] = coarseCentroids
+      .map(_.map(_.toArray).toArray)
       .getOrElse(corpus
         .select(col(cIdCol), asDouble(col(cVecCol)).as("v"))
         .orderBy(col(cIdCol)).limit(nlist)
-        .collect().zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) })
-    def cellScores(vec: Column): Column = array(cents.toSeq.map { case (i, c) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * dotFused(vec, array(c.map(lit): _*))).as("d"), lit(i).as("i"))
-    }: _*)
+        .collect().map(_.getSeq[Double](1).toArray))
 
     // Encoding and ADC table as native kernel expressions
     // (functions.expressions.PqExpressions): the unrolled Column formulation
@@ -427,17 +411,17 @@ object AnnIndex {
     // a pure function of (corpus, codebooks, centroids), so load-vs-encode
     // can never change a result.
     val enc = encoded.getOrElse(corpus.select(col(cIdCol),
-      array_min(cellScores(asDouble(col(cVecCol)))).getField("i").as("__cell"),
+      argminCell(col(cVecCol), cents).as("__cell"),
       codesCol(asDouble(col(cVecCol))).as("__codes")))
     def qbOf(queries: DataFrame, qIdCol: String, qVecCol: String): DataFrame = queries
       .select(col(qIdCol),
-        slice(sort_array(cellScores(asDouble(col(qVecCol)))), 1, nprobe).as("__probes"),
+        probeCells(col(qVecCol), cents, nprobe).as("__probes"),
         dtabCol(asDouble(col(qVecCol))).as("__dtab"))
       // posexplode, not explode: the probe's 0-based position is the cell's
       // rank in the query's probe order — `__probe_rn` = pos + 1, the knob
       // the nprobe frontier sweep (q197) slices on
       .select(col(qIdCol), col("__dtab"), posexplode(col("__probes")))
-      .withColumn("__cell", col("col.i"))
+      .withColumn("__cell", col("col"))
       .withColumn("__probe_rn", (col("pos") + 1).cast("long"))
       .drop("pos", "col")
     // ADC scan: m lookups + adds per candidate — no vector arithmetic
@@ -552,16 +536,12 @@ object AnnIndex {
                     roundTo: Int = 6, excludeSelf: Boolean = true): DataFrame = {
     import graft.functions.VectorFunctions.dotFused
     require(nprobe <= nlist, "nprobe must be <= nlist")
-    val cents: Array[(Int, Seq[Double])] = coarseCentroids
-      .map(_.zipWithIndex.map { case (c, i) => i -> c })
+    val cents: Array[Array[Double]] = coarseCentroids
+      .map(_.map(_.toArray).toArray)
       .getOrElse(corpus
         .select(col(cIdCol), asDouble(col(cVecCol)).as("v"))
         .orderBy(col(cIdCol)).limit(nlist)
-        .collect().zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) })
-    def cellScores(vec: Column): Column = array(cents.toSeq.map { case (i, c) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * dotFused(vec, array(c.map(lit): _*))).as("d"), lit(i).as("i"))
-    }: _*)
+        .collect().map(_.getSeq[Double](1).toArray))
     val mnA = array(params.map(p => lit(p._1)): _*)
     val rngA = array(params.map(p => lit(p._2 - p._1)): _*)
     def xhatCol(vec: Column): Column = {
@@ -574,15 +554,15 @@ object AnnIndex {
       zip_with(rec, mnA, (a, b) => a + b)
     }
     val enc = corpus.select(col(cIdCol),
-      array_min(cellScores(asDouble(col(cVecCol)))).getField("i").as("__cell"),
+      argminCell(col(cVecCol), cents).as("__cell"),
       xhatCol(asDouble(col(cVecCol))).as("__xhat"))
       .withColumn("__x2", l2NormSq(col("__xhat")))
     val qb = queries
       .select(col(qIdCol), asDouble(col(qVecCol)).as("__qv"),
-        slice(sort_array(cellScores(asDouble(col(qVecCol)))), 1, nprobe).as("__probes"))
+        probeCells(col(qVecCol), cents, nprobe).as("__probes"))
       .withColumn("__q2", l2NormSq(col("__qv")))
       .select(col(qIdCol), col("__qv"), col("__q2"), posexplode(col("__probes")))
-      .withColumn("__cell", col("col.i"))
+      .withColumn("__cell", col("col"))
       .withColumn("__probe_rn", (col("pos") + 1).cast("long"))
       .drop("pos", "col")
     enc.join(broadcast(qb), Seq("__cell"))
@@ -637,21 +617,15 @@ object AnnIndex {
   def pqResidualCorpus(corpus: DataFrame, idCol: String, vecCol: String,
                        nlist: Int,
                        coarseCentroids: Option[Array[Seq[Double]]] = None): DataFrame = {
-    import graft.functions.VectorFunctions.dotFused
-    val cents: Array[(Int, Seq[Double])] = coarseCentroids
-      .map(_.zipWithIndex.map { case (c, i) => i -> c })
+    val cents: Array[Array[Double]] = coarseCentroids
+      .map(_.map(_.toArray).toArray)
       .getOrElse(corpus
         .select(col(idCol), asDouble(col(vecCol)).as("v"))
         .orderBy(col(idCol)).limit(nlist)
-        .collect().zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) })
-    val centArr = array(cents.map { case (_, c) => array(c.map(lit): _*) }.toSeq: _*)
-    def cellScores(vec: Column): Column = array(cents.toSeq.map { case (i, c) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * dotFused(vec, array(c.map(lit): _*))).as("d"), lit(i).as("i"))
-    }: _*)
+        .collect().map(_.getSeq[Double](1).toArray))
     val v = asDouble(col(vecCol))
     corpus.select(col(idCol),
-      zip_with(v, element_at(centArr, array_min(cellScores(v)).getField("i") + 1),
+      zip_with(v, centroidOf(argminCell(v, cents), cents),
         (a, b) => a - b).as("__resid"))
   }
 
@@ -679,23 +653,18 @@ object AnnIndex {
     }
     require(cbs.length == m && cbs.forall(cb => cb.length == ksub && cb.forall(_.length == dsub)),
       s"codebooks must be m=$m groups of ksub=$ksub $dsub-dim entries (ADC offsets assume it)")
-    val cents: Array[(Int, Seq[Double])] = coarseCentroids
-      .map(_.zipWithIndex.map { case (c, i) => i -> c })
+    val cents: Array[Array[Double]] = coarseCentroids
+      .map(_.map(_.toArray).toArray)
       .getOrElse(corpus
         .select(col(cIdCol), asDouble(col(cVecCol)).as("v"))
         .orderBy(col(cIdCol)).limit(nlist)
-        .collect().zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) })
-    val centArr = array(cents.map { case (_, c) => array(c.map(lit): _*) }.toSeq: _*)
-    def cellScores(vec: Column): Column = array(cents.toSeq.map { case (i, c) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * dotFused(vec, array(c.map(lit): _*))).as("d"), lit(i).as("i"))
-    }: _*)
+        .collect().map(_.getSeq[Double](1).toArray))
     // OPQ composition point ([[Opq]]): the learned orthogonal rotation is
     // applied to the RESIDUAL on both sides of the join — distances are
     // rotation-invariant, so the ADC arithmetic downstream is untouched;
     // only the space the codebooks quantize becomes variance-balanced.
     def resid(vec: Column, cell: Column): Column = {
-      val r0 = zip_with(vec, element_at(centArr, cell + 1), (a, b) => a - b)
+      val r0 = zip_with(vec, centroidOf(cell, cents), (a, b) => a - b)
       rotation.fold(r0)(rm => matVec(r0, rm))
     }
 
@@ -707,16 +676,16 @@ object AnnIndex {
 
     // see pqParts: `encoded` is the materialized deployment index table
     val enc = encoded.getOrElse(corpus
-      .withColumn("__cell", array_min(cellScores(asDouble(col(cVecCol)))).getField("i"))
+      .withColumn("__cell", argminCell(col(cVecCol), cents))
       .select(col(cIdCol), col("__cell"),
         codesCol(resid(asDouble(col(cVecCol)), col("__cell"))).as("__codes")))
     def qbOf(queries: DataFrame, qIdCol: String, qVecCol: String): DataFrame = queries
       .select(col(qIdCol),
-        slice(sort_array(cellScores(asDouble(col(qVecCol)))), 1, nprobe).as("__probes"),
+        probeCells(col(qVecCol), cents, nprobe).as("__probes"),
         asDouble(col(qVecCol)).as("__qv"))
       // posexplode for the probe-rank column — see pqParts.qbOf
       .select(col(qIdCol), col("__qv"), posexplode(col("__probes")))
-      .withColumn("__cell", col("col.i"))
+      .withColumn("__cell", col("col"))
       .withColumn("__probe_rn", (col("pos") + 1).cast("long"))
       .withColumn("__dtab", dtabCol(resid(col("__qv"), col("__cell"))))
       .drop("pos", "col", "__qv")
@@ -743,20 +712,15 @@ object AnnIndex {
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, nlist: Int, roundTo: Int = 6): DataFrame = {
-    import graft.functions.VectorFunctions.dotFused
-    val cents: Array[(Int, Seq[Double])] = df
+    val cents: Array[Array[Double]] = df
       .select(col(idCol), asDouble(col(vecCol)).as("v"))
       .orderBy(col(idCol)).limit(nlist)
-      .collect().zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) }
-    def cellScores(vec: Column): Column = array(cents.toSeq.map { case (i, c) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * dotFused(vec, array(c.map(lit): _*))).as("d"), lit(i).as("i"))
-    }: _*)
+      .collect().map(_.getSeq[Double](1).toArray)
     // slim (id, cell) relation cached once — the cell expression is nlist
     // fused dot products, so letting Catalyst substitute it into both sides
     // of the self-join would double the assignment work (the q28 lesson)
     val slim = df.select(col(idCol).as("__id"),
-        array_min(cellScores(asDouble(col(vecCol)))).getField("i").cast("long").as("cell"))
+        argminCell(col(vecCol), cents).cast("long").as("cell"))
       .cache() // cache-lifetime: pinned by the returned plan — caller releases (see Caching)
     val cand = slim.select(col("__id").as("id_a"), col("cell"))
       .join(slim.select(col("__id").as("id_b"), col("cell")), Seq("cell"))
@@ -804,16 +768,11 @@ object AnnIndex {
     */
   def kmeansIterate(corpus: DataFrame, vecCol: String,
                     init: Array[Seq[Double]], iters: Int): Array[Seq[Double]] = {
-    import graft.functions.VectorFunctions.dotFused
     var cents: Array[Seq[Double]] = init
     for (_ <- 1 to iters) {
-      def scores(vec: Column): Column = array(cents.toSeq.zipWithIndex.map { case (c, i) =>
-        val c2 = c.map(x => x * x).sum
-        struct((lit(c2) - lit(2.0) * dotFused(vec, array(c.map(lit): _*))).as("d"), lit(i).as("i"))
-      }: _*)
       val assigned = corpus
         .select(asDouble(col(vecCol)).as("v"))
-        .withColumn("__cell", array_min(scores(col("v"))).getField("i"))
+        .withColumn("__cell", argminCell(col("v"), centMat(cents.toSeq)))
       val means = assigned
         .select(col("__cell"), posexplode(col("v")))
         .groupBy("__cell", "pos")

@@ -1400,21 +1400,18 @@ object Dedup {
   def semDeDup(df: DataFrame, idCol: String, vecCol: String,
                centroids: Seq[Seq[Double]], tau: Double,
                roundTo: Int = 6): DataFrame = {
-    import graft.functions.VectorFunctions.{asDouble, cosineFromNormSq, cosineFused, dotFused, l2NormSq}
-    def centLit(c: Seq[Double]): Column = array(c.map(lit): _*)
-    val centsArr = array(centroids.map(centLit): _*)
-    def cellScores(vec: Column): Column = array(centroids.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * dotFused(vec, centLit(c))).as("d"), lit(i).as("i"))
-    }: _*)
+    import graft.functions.VectorFunctions.{asDouble, cosineFromNormSq, cosineFused, l2NormSq}
+    // cell argmin + centroid lookup as kernel nodes, not nlist·dim literals
+    // (see AnnIndex.argminCell — the r17 plan-size fix)
+    val mat = AnnIndex.centMat(centroids)
     // norms once per ROW, not per pair (cosineFromNormSq is bit-identical
     // to cosineFused, so the saving never moves a decision boundary)
     val assigned = df
       .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("cell", array_min(cellScores(col("v"))).getField("i").cast("long"))
+      .withColumn("cell", AnnIndex.argminCell(col("v"), mat).cast("long"))
       .withColumn("nsq", l2NormSq(col("v")))
       .withColumn("cent_sim", floorRound(
-        cosineFused(col("v"), element_at(centsArr, (col("cell") + 1).cast("int"))), roundTo))
+        cosineFused(col("v"), AnnIndex.centroidOf(col("cell").cast("int"), mat)), roundTo))
       .cache() // cache-lifetime: both pair sides + the final left join read
                // the k-way argmin assignment; see Caching
     val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"),

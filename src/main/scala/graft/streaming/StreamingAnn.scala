@@ -83,13 +83,13 @@ object StreamingAnn {
                          idExpr: String, vecExpr: String, deltaFilter: String,
                          corpus: DataFrame, cents: Seq[Seq[Double]], tau: Double,
                          roundTo: Int = 6): DataFrame = {
-    import graft.functions.VectorFunctions.{asDouble, cosineFromNormSq, dotFused, l2NormSq}
-    def centLit(c: Seq[Double]) = array(c.map(lit): _*)
+    import graft.functions.VectorFunctions.{asDouble, cosineFromNormSq, l2NormSq}
+    // one codegen kernel node instead of nlist·dim centroid literals — on
+    // this STREAMING path the literal tree re-planned every micro-batch
+    // (the q214 pathology class; see AnnIndex.argminCell)
+    val mat = graft.operators.AnnIndex.centMat(cents)
     def cellOf(vec: org.apache.spark.sql.Column) =
-      array_min(array(cents.zipWithIndex.map { case (c, i) =>
-        val c2 = c.map(x => x * x).sum
-        struct((lit(c2) - lit(2.0) * dotFused(vec, centLit(c))).as("d"), lit(i).as("i"))
-      }: _*)).getField("i").cast("long")
+      graft.operators.AnnIndex.argminCell(vec, mat).cast("long")
     val stat = corpus
       .select(col("c_id").cast("long").as("c_id"), asDouble(col("cvec")).as("cv"))
       .withColumn("cell", cellOf(col("cv")))

@@ -49,12 +49,26 @@ object ExplainAudit {
     for ((name, fn) <- chains) {
       println(s"===== $name =====")
       try {
-        val lines = fn().queryExecution.executedPlan.toString.split('\n')
+        // planning-cost probe (r17 verdict task 8): literal-bake regressions
+        // (the CentroidArgmin pathology class) surface as expression-node
+        // blowups and planning-wall growth long before they hurt execution —
+        // these two columns make the check mechanical every round.
+        val t0 = System.nanoTime()
+        val df = fn()
+        val tBuilt = System.nanoTime()
+        val plan = df.queryExecution.executedPlan
+        val tPlanned = System.nanoTime()
+        val lines = plan.toString.split('\n')
+        val exprNodes = plan.collect { case p => p }
+          .flatMap(_.expressions).map(e => e.collect { case x => x }.size).sum
         println(s"  Exchanges (shuffles):    ${lines.count(_.contains("Exchange"))}")
         println(s"  BroadcastHashJoin:       ${lines.count(_.contains("BroadcastHashJoin"))}")
         println(s"  SortMergeJoin:           ${lines.count(_.contains("SortMergeJoin"))}")
         println(s"  CartesianProduct:        ${lines.count(_.contains("CartesianProduct"))}")
         println(s"  single-partition window: ${lines.count(l => l.contains("Window") && l.contains("SinglePartition"))}")
+        println(s"  plan expr nodes:         $exprNodes")
+        println(f"  build ms (driver prep):  ${(tBuilt - t0) / 1e6}%.0f")
+        println(f"  planning ms:             ${(tPlanned - tBuilt) / 1e6}%.0f")
       } catch { case e: Throwable => println(s"  SKIP: ${String.valueOf(e.getMessage).take(100)}") }
     }
     spark.stop()
