@@ -24,7 +24,8 @@ final class Sync(
     pathRegex: String = ".*\\.md$",
     maxTokens: Int = 8191) {
 
-  case class Report(scanned: Long, changed: Long, skippedTooLong: Long, indexed: Long, dryRun: Boolean)
+  case class Report(scanned: Long, changed: Long, skippedTooLong: Long,
+                    indexed: Long, deleted: Long, dryRun: Boolean)
 
   def run(spark: SparkSession, dryRun: Boolean = false): Report = {
     import graft.functions.TextFunctions
@@ -38,32 +39,49 @@ final class Sync(
     // silently losing that edit on the next run
     val scanMeta = scan.select("path", "mtime").cache()
     val scanned  = scanMeta.count() // materializes the snapshot
-    val delta = Delta.changed(scan, state.read(spark)).cache() // two consumers
+    val stateDf  = state.read(spark)
+    val delta = Delta.changed(scan, stateDf).cache() // two consumers
+    // deletion propagation — the hole the reference never closes (its walk
+    // yields only existing files, main.py:62-68, so a deleted file's vector
+    // lives in Pinecone forever; SURVEY §2.7 names the anti-join fix):
+    // cache entries whose file vanished tombstone BOTH stores.
+    val gone    = Delta.deleted(scanMeta, stateDf).cache() // count + delete read it
     val guarded = delta.withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
     val ok      = guarded.filter(col("n_tokens") < maxTokens)
     val changed = delta.count()
     val okCount = ok.count()
     val tooLong = changed - okCount
+    val goneN   = gone.count()
 
-    if (changed == 0 || dryRun) { // empty-delta early exit (main.py:149-151)
-      delta.unpersist(); scanMeta.unpersist()
-      return Report(scanned, changed, tooLong, 0, dryRun)
+    if ((changed == 0 && goneN == 0) || dryRun) { // empty-delta early exit (main.py:149-151)
+      delta.unpersist(); scanMeta.unpersist(); gone.unpersist()
+      return Report(scanned, changed, tooLong, 0, 0, dryRun)
     }
 
-    val vectors = ok.select(
-      col("path").as("id"),
-      embedder.embed(col("text")).as("embedding"),
-      map().cast("map<string,string>").as("metadata"), // reference metadata is always {}
-      col("mtime").as("version"))
-    index.upsert(vectors)                   // action 1: index first …
-    // … action 2: cache snapshot after — from the cached scan snapshot, minus
+    // actions 1..2: INDEX mutations first (upsert, then erase) …
+    if (changed > 0) {
+      val vectors = ok.select(
+        col("path").as("id"),
+        embedder.embed(col("text")).as("embedding"),
+        map().cast("map<string,string>").as("metadata"), // reference metadata is always {}
+        col("mtime").as("version"))
+      index.upsert(vectors)
+    }
+    if (goneN > 0) index.delete(gone.select(col("path").as("id")))
+    // … action 3: cache snapshot after — from the cached scan snapshot, minus
     // too-long documents, so skipped docs resurface (and are re-reported) on
-    // every run instead of being silently dropped forever
+    // every run instead of being silently dropped forever. Deleted paths drop
+    // out automatically (the snapshot holds only existing files), and the
+    // index-before-cache order keeps the crash contract: a crash between the
+    // index mutations and this write re-derives the same delta AND the same
+    // tombstones next run — upsert and delete are both idempotent
+    // (at-least-once, the main.py:185-188 commit-order contract extended to
+    // erasure).
     val tooLongPaths = guarded.filter(col("n_tokens") >= maxTokens).select("path")
     state.write(
       scanMeta.join(tooLongPaths, Seq("path"), "left_anti")
         .select(col("path"), col("mtime").as("last_edit_time")))
-    delta.unpersist(); scanMeta.unpersist()
-    Report(scanned, changed, tooLong, okCount, dryRun)
+    delta.unpersist(); scanMeta.unpersist(); gone.unpersist()
+    Report(scanned, changed, tooLong, okCount, goneN, dryRun)
   }
 }

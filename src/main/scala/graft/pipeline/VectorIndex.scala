@@ -71,9 +71,31 @@ final class VectorIndex(path: String, val dim: Int, embedderId: Option[String] =
     val valid  = vectors.filter(size(col("embedding")) === dim)
     val merged = Upsert.merge(read(spark), valid.select("id", "embedding", "metadata", "version"),
       Seq("id"), "version")
+    writeSwapped(spark, fs, p, merged)
+  }
+
+  /** Delete rows by key — the erase half the reference lacks entirely
+    * (`main.py:62-68` walks only existing files, so a deleted file's vector
+    * lives in Pinecone forever; SURVEY §2.7 flags the anti-join fix as the
+    * intended extension, landed here). One broadcast-able anti-join + the
+    * same staged swap as [[upsert]]; idempotent — re-deleting removes
+    * nothing and rewrites identical content, which is what makes the sync
+    * crash-replay (at-least-once) safe.
+    */
+  def delete(ids: DataFrame): Unit = {
+    val spark = ids.sparkSession
+    val p     = new Path(path)
+    val fs    = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return // nothing indexed — nothing to erase
+    val remaining = read(spark).join(ids.select("id"), Seq("id"), "left_anti")
+    writeSwapped(spark, fs, p, remaining)
+  }
+
+  private def writeSwapped(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                           p: Path, content: DataFrame): Unit = {
     val tmp = new Path(path + ".staging")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    merged.write.mode("overwrite").parquet(tmp.toString)
+    content.write.mode("overwrite").parquet(tmp.toString)
     // write the new marker — or CARRY the existing one when this writer is
     // unstamped, so a legacy caller can't silently strip the protection off
     // a previously stamped index (the swap replaces the whole directory)

@@ -38,6 +38,63 @@ object PipelineQueries {
              |    FROM customer WHERE c_custkey % 10 = 0))
              |WHERE rn = 1 ORDER BY c_custkey""".stripMargin)),
 
+    // The FULL sync maintenance algebra relationally (r17 verdict task 2's
+    // oracle face): a standing index + state cache, one new scan where some
+    // files changed (%10=0: newer mtime, new content) and some vanished
+    // (%7=0) — changed rows UPSERT (J1+P2 delta → C1 merge), vanished rows
+    // DELETE (Delta.deleted anti-join), exactly the operator composition
+    // Sync.run performs against the vector index. The oracle recomputes the
+    // surviving merged state from scratch; hash equality = incremental
+    // upsert+delete ≡ rebuild.
+    "q262_sync_delete_propagation" -> Q(
+      (s, dir) => {
+        val o  = Tables.orders(s, dir)
+        val mt = unix_timestamp(col("o_orderdate"))
+        // yesterday: every order indexed at version = epoch(o_orderdate)
+        val index0 = o.select(col("o_orderkey").as("key"),
+          col("o_totalprice").as("val"), mt.as("version"))
+        val cache = o.select(col("o_orderkey").as("key"), mt.as("last_edit_time"))
+        // today's scan: %7=0 deleted; %10=0 edited (+10 s, value +100)
+        val scan = o.filter(col("o_orderkey") % 7 =!= 0)
+          .select(col("o_orderkey").as("key"),
+            (mt + when(col("o_orderkey") % 10 === 0, 10L).otherwise(0L)).as("mtime"),
+            (col("o_totalprice") +
+              when(col("o_orderkey") % 10 === 0, 100.0).otherwise(0.0)).as("val"))
+        val changed = Delta.changed(scan, cache, keyCol = "key", mtimeCol = "mtime")
+        val merged = Upsert.merge(index0,
+          changed.select(col("key"), col("val"), col("mtime").as("version")),
+          Seq("key"), "version")
+        val gone = Delta.deleted(scan, cache, keyCol = "key")
+        merged.join(gone.select("key"), Seq("key"), "left_anti")
+          .select("key", "val", "version")
+          .orderBy("key")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS key, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS mt,
+             |    o_totalprice AS val
+             |  FROM orders),
+             |scan AS (
+             |  SELECT key,
+             |    mt + CASE WHEN key % 10 = 0 THEN 10 ELSE 0 END AS mtime,
+             |    val + CASE WHEN key % 10 = 0 THEN CAST(100.0 AS DOUBLE)
+             |              ELSE CAST(0.0 AS DOUBLE) END AS val
+             |  FROM o WHERE key % 7 <> 0),
+             |merged AS (
+             |  SELECT key, val, version FROM (
+             |    SELECT key, val, version,
+             |      row_number() OVER (PARTITION BY key ORDER BY version DESC, src DESC) AS rn
+             |    FROM (
+             |      SELECT key, val, mt AS version, 0 AS src FROM o
+             |      UNION ALL
+             |      SELECT s.key, s.val, s.mtime AS version, 1 AS src
+             |      FROM scan s JOIN o c ON s.key = c.key
+             |      WHERE s.mtime > c.mt))
+             |  WHERE rn = 1)
+             |SELECT m.key, m.val, m.version FROM merged m
+             |WHERE m.key NOT IN (
+             |  SELECT c.key FROM o c WHERE c.key NOT IN (SELECT key FROM scan))
+             |ORDER BY m.key""".stripMargin)),
+
     "q30_incremental_delta" -> Q(
       (s, dir) => {
         // orders as the "scan": key = o_orderkey, mtime = epoch(o_orderdate).

@@ -38,8 +38,9 @@ object Cli {
     try {
       val r = sync.run(spark, dryRun)
       println(s"[graft] scanned=${r.scanned} changed=${r.changed} " +
-        s"skippedTooLong=${r.skippedTooLong} indexed=${r.indexed} dryRun=${r.dryRun}")
-      if (r.changed == 0) println("[graft] No files have changed, exiting")
+        s"skippedTooLong=${r.skippedTooLong} indexed=${r.indexed} " +
+        s"deleted=${r.deleted} dryRun=${r.dryRun}")
+      if (r.changed == 0 && r.deleted == 0) println("[graft] No files have changed, exiting")
       else if (dryRun) println("[graft] Dry run complete, exiting (no writes performed)")
     } finally spark.stop()
   }

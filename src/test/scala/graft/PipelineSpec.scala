@@ -171,6 +171,53 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(r5.changed === 1 && r5.indexed === 1) // dry run left it stale
   }
 
+  test("Sync: deletion propagates to index AND cache; re-create re-indexes; replay converges") {
+    val root  = mkCorpus()
+    val state = Files.createTempDirectory("graft_sd").resolve("state").toString
+    val index = Files.createTempDirectory("graft_id").resolve("index").toString
+    Seq("a.md", "sub/b.md", "sub/nested/c.md").foreach(f => touch(root.resolve(f), 1000000L))
+    val sync = new Sync(root.toString, state, index, HashingEmbedder(8))
+    assert(sync.run(spark).indexed === 3)
+
+    // delete a file → dry run REPORTS nothing performed, real run erases
+    // the vector and the cache row (the reference's forever-stale hole)
+    Files.delete(root.resolve("sub/b.md"))
+    val dry = sync.run(spark, dryRun = true)
+    assert(dry.deleted === 0 && dry.indexed === 0)
+    assert(new VectorIndex(index, 8).read(spark).count() === 3) // untouched
+    val r1 = sync.run(spark)
+    assert(r1.changed === 0 && r1.deleted === 1)
+    val idx = new VectorIndex(index, 8)
+    assert(idx.read(spark).count() === 2)
+    assert(idx.read(spark).filter($"id".endsWith("b.md")).count() === 0)
+    assert(new StateStore(state).read(spark).filter($"path".endsWith("b.md")).count() === 0)
+
+    // nothing changed, nothing deleted → empty-run early exit
+    val r2 = sync.run(spark)
+    assert(r2.changed === 0 && r2.deleted === 0 && r2.indexed === 0)
+
+    // re-create the file → missing-cache ⇒ mtime 0 ⇒ re-indexed
+    Files.writeString(root.resolve("sub/b.md"), "delta epsilon zeta again")
+    touch(root.resolve("sub/b.md"), 1000050L)
+    val r3 = sync.run(spark)
+    assert(r3.changed === 1 && r3.indexed === 1 && r3.deleted === 0)
+    assert(idx.read(spark).count() === 3)
+
+    // crash replay: simulate a crash AFTER the index delete but BEFORE the
+    // cache write — the cache still holds the tombstone, so the next run
+    // re-derives it and the idempotent delete converges
+    val aId = idx.read(spark).filter($"id".endsWith("a.md")).head.getString(0)
+    Files.delete(root.resolve("a.md"))
+    idx.delete(Seq(aId).toDF("id")) // "crashed" half-run (index mutated, cache stale)
+    assert(idx.read(spark).count() === 2)
+    val r4 = sync.run(spark) // replay: full run from the stale cache
+    assert(r4.deleted === 1)
+    assert(idx.read(spark).count() === 2)
+    assert(new StateStore(state).read(spark).count() === 2)
+    val r5 = sync.run(spark)
+    assert(r5.changed === 0 && r5.deleted === 0) // converged
+  }
+
   test("Sync: over-long documents are filtered, not crashed (P3)") {
     val root  = Files.createTempDirectory("graft_long")
     Files.writeString(root.resolve("long.md"), Seq.fill(9000)("w").mkString(" "))
