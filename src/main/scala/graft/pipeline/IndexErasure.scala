@@ -28,12 +28,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * incrementally, the oracle rebuilds), so the equivalence is a hash, not
   * a claim.
   *
-  * Layout notes: staging/retired directories carry a `_` prefix (Hadoop
-  * partition discovery ignores `_`/`.` entries), so a crashed repair never
-  * pollutes partition inference. A cell whose every row is tombstoned
-  * can't ride dynamic overwrite (no rows → no partition written) — its
-  * directory is deleted explicitly. All mutation is `synchronized` against
-  * this object, same contract as [[ArtifactStore]].
+  * Layout notes: staging/retired directories are SIBLINGS of the live
+  * root (`<root>.tmp-*` / `<root>.old` / `<root>.tombstones`), so
+  * partition discovery under the root never sees them; batch-layout
+  * staging (`bN.tmp-*` inside the root) is ignored because readers
+  * full-match the `b\\d+` batch pattern; and Spark's own job staging is
+  * dot-prefixed (`.spark-staging-*`), which Hadoop listing skips. A cell
+  * whose every row is tombstoned can't ride dynamic overwrite (no rows →
+  * no partition written) — its directory is deleted explicitly. All
+  * mutation is `synchronized` against this object, same contract as
+  * [[ArtifactStore]].
+  *
+  * ERASE WINS under replay: every repair appends its tombstoned ids to a
+  * persisted log (`<root>.tombstones`, single `__erased_id` column),
+  * written BEFORE the index rewrite, and [[appendRows]] anti-joins its
+  * delta against the log — so an at-least-once append pipeline that
+  * replays an old append AFTER an erasure cannot resurrect erased rows,
+  * regardless of interleaving. Re-adding an erased id is an explicit
+  * administrative act (clear its log entry), never an accident of replay.
   */
 object IndexErasure {
 
@@ -42,6 +54,33 @@ object IndexErasure {
 
   private def isLive(f: FileSystem, root: String): Boolean =
     f.exists(new Path(root, "_SUCCESS"))
+
+  /** Sibling tombstone log for the index at `root` — the persisted erased
+    * set consulted by [[appendRows]]. A sibling (not a child) so partition
+    * discovery under the root can never pick it up.
+    */
+  private def tombLog(root: String): String = root + ".tombstones"
+
+  /** Append `tombstones`' ids to the persisted log. Called by every repair
+    * BEFORE the index rewrite: a crash after the log write but before the
+    * rewrite leaves a replayable (idempotent) repair whose erase already
+    * binds future appends — the safe order. Duplicate ids across calls are
+    * fine; [[erasedIds]] dedups on read.
+    */
+  private def logTombstones(root: String, idCol: String,
+                            tombstones: DataFrame): Unit =
+    tombstones.select(col(idCol).as("__erased_id")).distinct()
+      .coalesce(1).write.mode("append").parquet(tombLog(root))
+
+  /** The persisted erased-id set for `root` (one `__erased_id` column),
+    * or None when no erasure has ever run against it.
+    */
+  def erasedIds(spark: SparkSession, root: String): Option[DataFrame] = {
+    val f = fs(spark)
+    if (f.exists(new Path(tombLog(root))))
+      Some(spark.read.parquet(tombLog(root)).select(col("__erased_id")).distinct())
+    else None
+  }
 
   /** Materialize `build` at `root` PARTITIONED BY `partCol` if absent —
     * the deployment layout of [[ArtifactStore.loadOrBuild]]: one
@@ -106,17 +145,24 @@ object IndexErasure {
     * rewriting only the partitions present in `rows`. Rows whose `idCol`
     * already exists in a touched partition are skipped (anti-join), so a
     * replayed append is a no-op — the [[ArtifactStore.appendBatchIfAbsent]]
-    * idempotence contract without batch bookkeeping. A partition value new
+    * idempotence contract without batch bookkeeping. Rows whose id appears
+    * in the persisted tombstone log ([[erasedIds]]) are also skipped, so a
+    * replayed append delivered AFTER an erasure of some of its ids cannot
+    * resurrect them: append and erase converge to the same index under ANY
+    * replay order or interleaving — erase wins. A partition value new
     * to the index simply gains a directory (dynamic overwrite writes what
     * the output contains).
     *
     * Scale shape: one distributed job over the touched partitions plus the
-    * delta — never the standing index.
+    * delta — never the standing index. The tombstone log joins broadcast
+    * (erased ids, not corpus-sized).
     */
   def appendRows(spark: SparkSession, root: String, partCol: String,
-                 idCol: String, rows: DataFrame): Unit = synchronized {
+                 idCol: String, rows0: DataFrame): Unit = synchronized {
     val f = fs(spark)
     require(isLive(f, root), s"IndexErasure: no live index at $root")
+    val rows = erasedIds(spark, root).fold(rows0)(t =>
+      rows0.join(broadcast(t), rows0(idCol) === t("__erased_id"), "left_anti"))
     val touched = rows.select(col(partCol)).distinct()
       .collect().map(_.getLong(0)).toSeq // bounded: one row per touched partition
     val livePaths = touched.sorted.map(v => s"$root/$partCol=$v")
@@ -148,6 +194,19 @@ object IndexErasure {
     * is what makes a re-run of the same deletion plan a no-op — the same
     * idempotence contract as [[ArtifactStore.appendBatchIfAbsent]].
     *
+    * COMPLETENESS PRECONDITION: `touched` must name every partition that
+    * can hold a tombstoned row under the index's standing assignment — a
+    * tombstoned id sitting in an un-named partition silently survives
+    * while the manifest reads clean. For an IVF index that means assigning
+    * the tombstoned VECTORS with the same standing centroids the index was
+    * encoded under (drifted/retrained centroids break the precondition);
+    * rows appended under a different assignment are outside the contract.
+    * When `partCol` is a pure function of `idCol` (id-sharded layouts),
+    * use [[repairErasedByKey]], which derives `touched` from the
+    * tombstones and cannot under-name. Tests verify completeness with a
+    * full anti-join (IndexErasureSpec); production relies on the
+    * precondition, which is why it is stated here and not only at callers.
+    *
     * Scale shape: ONE distributed job reads only the touched directories
     * (partition pruning by path), anti-joins the broadcast tombstone set,
     * and dynamic-partition-overwrite rewrites only the partitions present
@@ -160,6 +219,9 @@ object IndexErasure {
     import spark.implicits._
     val f = fs(spark)
     require(isLive(f, root), s"IndexErasure: no live index at $root")
+    // log first: a crash between the log write and the rewrite leaves a
+    // replayable repair whose erasure already binds future appendRows
+    logTombstones(root, idCol, tombstones)
     val livePaths = touched.sorted.map(v => s"$root/$partCol=$v")
       .filter(p => f.exists(new Path(p)))
     if (livePaths.isEmpty)
@@ -192,5 +254,20 @@ object IndexErasure {
     manifest.map(r => (r.getAs[Long](partCol), r.getAs[Long]("n_before"),
       r.getAs[Long]("n_removed"), r.getAs[Long]("n_after")))
       .toSeq.toDF(partCol, "n_before", "n_removed", "n_after")
+  }
+
+  /** [[repairErased]] for ID-SHARDED layouts, where the partition value is
+    * a PURE FUNCTION of the id (`partOf`, e.g. `id div 64` for the frame
+    * indexes): the touched set is derived HERE from the tombstones, so the
+    * completeness precondition holds by construction — a caller cannot
+    * under-name the touched partitions. One bounded collect (≤ one row per
+    * touched partition), then the same single pruned-read repair job.
+    */
+  def repairErasedByKey(spark: SparkSession, root: String, partCol: String,
+                        idCol: String, tombstones: DataFrame)(
+      partOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val touched = tombstones.select(partOf(col(idCol)).as(partCol)).distinct()
+      .collect().map(_.getLong(0)).toSeq // bounded: one row per touched partition
+    repairErased(spark, root, partCol, touched, idCol, tombstones)
   }
 }

@@ -560,9 +560,10 @@ object MultimodalQueries {
         }
         val tomb = Tables.documents(s, dir).filter(col("doc_id") % 20 === 7)
           .select(col("doc_id"))
-        val touched = tomb.select(D(col("doc_id"), lit(64L)).as("shard"))
-          .distinct().collect().map(_.getLong(0)).toSeq // ≤ corpus/64 rows
-        IndexErasure.repairErased(s, root, "shard", touched, "doc_id", tomb)
+        // id-sharded layout: touched derived from the tombstones inside
+        // repairErasedByKey — completeness by construction (ADVICE r17)
+        IndexErasure.repairErasedByKey(s, root, "shard", "doc_id", tomb)(
+          id => D(id, lit(64L)))
         IndexErasure.readPartitioned(s, root, "shard")
           .select(col("doc_id"), col("frame_id"), col("checksum"), col("shard"))
           .orderBy("doc_id", "frame_id")
@@ -592,9 +593,9 @@ object MultimodalQueries {
         }
         val tomb = Tables.documents(s, dir).filter(col("doc_id") % 20 === 7)
           .select(col("doc_id"))
-        val touched = tomb.select(D(col("doc_id"), lit(64L)).as("shard"))
-          .distinct().collect().map(_.getLong(0)).toSeq // ≤ corpus/64 rows
-        IndexErasure.repairErased(s, root, "shard", touched, "doc_id", tomb)
+        // id-sharded layout: touched derived inside repairErasedByKey
+        IndexErasure.repairErasedByKey(s, root, "shard", "doc_id", tomb)(
+          id => D(id, lit(64L)))
         IndexErasure.readPartitioned(s, root, "shard")
           .select(col("doc_id"), col("frame_id"), col("ph"), col("shard"))
           .orderBy("doc_id", "frame_id")

@@ -4334,7 +4334,7 @@ object TextQueries {
              |  FROM eci LEFT JOIN esrank ON eci.cidx = esrank.cidx),
              |pbase AS (
              |  SELECT *, CASE WHEN hv * 4096 < n_tok * 65536 THEN 1 ELSE 0 END AS cand
-             |  FROM etc WHERE n_tok > 0),
+             |  FROM etc),
              |pso AS (
              |  SELECT doc_id, n_tok,
              |    min(doc_id) OVER (PARTITION BY shard_ord) AS shard_key,
@@ -4343,7 +4343,7 @@ object TextQueries {
              |pspans AS (
              |  SELECT doc_id, shard_key,
              |    unnest(generate_series(off // 128, (off + n_tok - 1) // 128)) AS seq_id
-             |  FROM pso)
+             |  FROM pso WHERE n_tok > 0)
              |SELECT * FROM (
              |  SELECT 'ann_index_cells' AS family,
              |    (SELECT CAST(count(DISTINCT cell) AS BIGINT) FROM sbuck) AS n_units,

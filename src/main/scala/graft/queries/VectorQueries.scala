@@ -693,6 +693,38 @@ object VectorQueries {
       .select(col("c_id"), col("__cell").cast("long").as("cell"), col("__codes"))
   }
 
+  /** Shared oracle for the maintenance-algebra family (q255 and its
+    * replay-order twin q263): from-scratch trained raw-PQ encode of
+    * (corpus ∪ paraphrase delta) − tombstones under the standing
+    * quantizer. Both queries must converge to exactly this relation —
+    * q255 runs append→erase, q263 runs append→erase→REPLAYED append.
+    */
+  private lazy val maintenanceAlgebraOracleSql: String =
+    s"""WITH $cfCte,
+       |$paraphraseCtes,
+       |$cfKmeansCtes,
+       |$cfRawEncodeCtes,
+       |pfasg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT f.vec_id, c.ci AS cell,
+       |      row_number() OVER (PARTITION BY f.vec_id
+       |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(f.v, c.cv), c.ci) AS rn
+       |    FROM pf f CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |pfcodes AS (
+       |  SELECT vec_id, j, pci AS code FROM (
+       |    SELECT a.vec_id, su.j, su.pci,
+       |      row_number() OVER (PARTITION BY a.vec_id, su.j
+       |        ORDER BY su.c2 - CAST(2.0 AS DOUBLE)
+       |          * list_inner_product(list_slice(a.v, su.j*$PqDsub+1, su.j*$PqDsub+$PqDsub), su.s), su.pci) AS rn
+       |    FROM pf a CROSS JOIN psubs su)
+       |  WHERE rn = 1)
+       |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+       |  CAST(co.j AS BIGINT) AS j, CAST(co.code AS BIGINT) AS code
+       |FROM pfasg a JOIN pfcodes co ON co.vec_id = a.vec_id
+       |WHERE NOT (a.vec_id % 32 = 5 AND a.vec_id % 3 = 0)
+       |ORDER BY 1, 3""".stripMargin
+
   /** The repaired partitioned index as hash-comparable scalar rows. */
   private def readEncExploded(s: org.apache.spark.sql.SparkSession,
                               root: String): org.apache.spark.sql.DataFrame =
@@ -2446,10 +2478,14 @@ object VectorQueries {
     // under the STANDING quantizer, then ERASE a tombstone set — and the
     // result must equal the from-scratch encode of (corpus ∪ delta) −
     // tombstones under that same quantizer. Append skips already-present
-    // ids (anti-join) and erase is content-idempotent, so any replay or
-    // interleaving of the two operations converges to the same index —
-    // insert (q156's delta-assign ≡ rebuild) and erase (q248) now compose
-    // on the deployed artifact itself.
+    // ids AND ids in the persisted tombstone log (`<root>.tombstones`,
+    // written by every repair BEFORE its rewrite), and erase is
+    // content-idempotent — so any replay or interleaving of the two
+    // operations converges to the same index, erase winning: a replayed
+    // append delivered AFTER the erasure cannot resurrect erased rows
+    // (ADVICE r17 medium; q263 pins exactly that adversarial order).
+    // Insert (q156's delta-assign ≡ rebuild) and erase (q248) compose on
+    // the deployed artifact itself.
     "q255_index_maintenance_algebra" -> Q(
       (s, dir) => {
         val (root, cents) = pqEncPartitioned(s, dir, "pq_enc_raw_cf_part_erz3_v1")
@@ -2468,30 +2504,34 @@ object VectorQueries {
         graft.pipeline.IndexErasure.repairErased(s, root, "cell", touched, "c_id", tomb)
         readEncExploded(s, root)
       },
-      Some(s"""WITH $cfCte,
-             |$paraphraseCtes,
-             |$cfKmeansCtes,
-             |$cfRawEncodeCtes,
-             |pfasg AS (
-             |  SELECT vec_id, cell FROM (
-             |    SELECT f.vec_id, c.ci AS cell,
-             |      row_number() OVER (PARTITION BY f.vec_id
-             |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(f.v, c.cv), c.ci) AS rn
-             |    FROM pf f CROSS JOIN cents c)
-             |  WHERE rn = 1),
-             |pfcodes AS (
-             |  SELECT vec_id, j, pci AS code FROM (
-             |    SELECT a.vec_id, su.j, su.pci,
-             |      row_number() OVER (PARTITION BY a.vec_id, su.j
-             |        ORDER BY su.c2 - CAST(2.0 AS DOUBLE)
-             |          * list_inner_product(list_slice(a.v, su.j*$PqDsub+1, su.j*$PqDsub+$PqDsub), su.s), su.pci) AS rn
-             |    FROM pf a CROSS JOIN psubs su)
-             |  WHERE rn = 1)
-             |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
-             |  CAST(co.j AS BIGINT) AS j, CAST(co.code AS BIGINT) AS code
-             |FROM pfasg a JOIN pfcodes co ON co.vec_id = a.vec_id
-             |WHERE NOT (a.vec_id % 32 = 5 AND a.vec_id % 3 = 0)
-             |ORDER BY 1, 3""".stripMargin)),
+      Some(maintenanceAlgebraOracleSql)),
+
+    // ERASE WINS UNDER REPLAY — the adversarial delivery order ADVICE r17
+    // (medium) proved q255 alone doesn't pin: an at-least-once append
+    // pipeline re-delivers the delta AFTER the erasure removed some of its
+    // ids. Without the persisted tombstone log the replay's anti-join
+    // against the (already-purged) index would re-insert erased rows —
+    // GDPR resurrection. With it, appendRows drops logged ids first, so
+    // append → erase → REPLAYED append converges to the same survivor
+    // relation as q255's append → erase: identical oracle, identical hash.
+    "q263_erase_wins_replay" -> Q(
+      (s, dir) => {
+        val (root, cents) = pqEncPartitioned(s, dir, "pq_enc_raw_cf_part_erz4_v1")
+        val delta = paraphraseDf(s, dir).filter(col("vec_id") >= 100000L)
+        val encDelta = pqEncOf(s, dir, delta, cents)
+        graft.pipeline.IndexErasure.appendRows(s, root, "cell", "c_id", encDelta)
+        val all = paraphraseDf(s, dir)
+        val tomb = all.filter(col("vec_id") % 32 === 5 && col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("c_id"), col("cvec"))
+        val touched = AnnIndex.ivfAssignTrained(tomb, "c_id", "cvec", cents.toSeq)
+          .select("cell").distinct().collect().map(_.getLong(0)).toSeq
+        graft.pipeline.IndexErasure.repairErased(s, root, "cell", touched, "c_id", tomb)
+        // the adversarial replay: the SAME append, delivered again after
+        // the erasure — the tombstone log must keep erased ids out
+        graft.pipeline.IndexErasure.appendRows(s, root, "cell", "c_id", encDelta)
+        readEncExploded(s, root)
+      },
+      Some(maintenanceAlgebraOracleSql)),
 
     // ERASURE IS QUERY-VISIBLE — the user-facing guarantee behind q248's
     // artifact repair: an ANN top-k served FROM the repaired index must

@@ -119,6 +119,52 @@ class IndexErasureSpec extends AnyFunSuite with SparkTestSession {
     assert(ArtifactStore.readBatches(spark, root).count() === 2L)
   }
 
+  test("appendRows after erasure: the persisted tombstone log keeps erased ids out") {
+    import spark.implicits._
+    val root = freshRoot()
+    buildFixture(root)
+    // append a delta, then erase one delta id (20) and one base id (1)
+    val delta = Seq((20L, 1L, "code-20"), (21L, 0L, "code-21"))
+      .toDF("id", "cell", "payload")
+    IndexErasure.appendRows(spark, root, "cell", "id", delta)
+    val tomb = Seq(20L, 1L).toDF("id")
+    IndexErasure.repairErased(spark, root, "cell", Seq(0L, 1L), "id", tomb)
+    // ADVERSARIAL REPLAY (ADVICE r17 medium): the same append delivered
+    // again AFTER the erasure — at-least-once semantics. Without the log
+    // the anti-join against the purged index would resurrect id 20.
+    IndexErasure.appendRows(spark, root, "cell", "id", delta)
+    val got = IndexErasure.readPartitioned(spark, root, "cell")
+      .select("id").as[Long].collect().toSet
+    assert(!got.contains(20L), "replayed append must not resurrect an erased delta id")
+    assert(!got.contains(1L), "erased base id stays gone")
+    assert(got.contains(21L), "non-erased delta id survives the replay unchanged")
+    // a FRESH append that happens to carry an erased id is also bound
+    IndexErasure.appendRows(spark, root, "cell", "id",
+      Seq((1L, 1L, "zombie")).toDF("id", "cell", "payload"))
+    assert(!IndexErasure.readPartitioned(spark, root, "cell")
+      .select("id").as[Long].collect().contains(1L),
+      "erase wins over ANY later append, not just replays")
+    // full-scan completeness check: no tombstoned id anywhere in the index
+    assert(IndexErasure.erasedIds(spark, root).get
+      .join(IndexErasure.readPartitioned(spark, root, "cell"),
+        col("__erased_id") === col("id"), "inner").count() === 0L)
+  }
+
+  test("repairErasedByKey: touched derived from the tombstones — complete by construction") {
+    import spark.implicits._
+    val root = freshRoot()
+    buildFixture(root) // cell = id % 3
+    val tomb = Seq(1L, 5L, 9L).toDF("id") // cells 1, 2, 0 — all three touched
+    val manifest = IndexErasure.repairErasedByKey(spark, root, "cell", "id", tomb)(
+      id => pmod(id, lit(3L)))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(manifest.keySet === Set(0L, 1L, 2L), "every holding cell named")
+    assert(manifest.values.sum === 3L, "all three tombstoned rows removed")
+    val got = IndexErasure.readPartitioned(spark, root, "cell")
+      .select("id").as[Long].collect().toSet
+    assert(got === (0L until 12L).toSet -- Set(1L, 5L, 9L))
+  }
+
   test("repairErased: re-running a partial deletion plan is content-neutral") {
     import spark.implicits._
     val root = freshRoot()
