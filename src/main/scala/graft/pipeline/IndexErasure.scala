@@ -107,36 +107,104 @@ object IndexErasure {
   /** Erasure for ID-REFERENCE artifacts in the [[ArtifactStore
     * .appendBatchIfAbsent]] batch layout (hits tables, pair relations):
     * content artifacts partition by a coarse key, but a REFERENCE artifact
-    * scatters an id across arbitrary rows, so the purge visits every live
-    * batch — one parallel filter pass per batch, each rewritten staged +
-    * swapped (retired/staging names never match the `b\\d+` batch pattern,
-    * so a concurrent [[ArtifactStore.readBatches]] cannot pick up debris).
-    * Rows are dropped when ANY of `refCols` matches a tombstoned id.
-    * Purge ≡ rebuild-on-survivors whenever each row depends only on its
-    * referenced rows (the hits-table contract) — q261 pins the hash.
-    * Idempotent: a re-run removes nothing and rewrites identical content.
+    * scatters an id across arbitrary rows, so the purge reads EVERY live
+    * batch — but as ONE distributed pass, not one Spark job per batch
+    * (r17 verdict item 3: the per-batch driver loop was hundreds of
+    * sequential job submissions at a real batch count): a tagged
+    * union-read of all live batches, one broadcast-tombstone flagging, a
+    * bounded per-batch manifest collect, then one `partitionBy(batch)`
+    * staged write of the survivors. Rows are dropped when ANY of `refCols`
+    * matches a tombstoned id. Only batches that LOSE rows are rewritten —
+    * untouched batches' files (and mtimes) never move, so purge cost is
+    * proportional to the affected batch mass. Rewrites are staged under a
+    * sibling dir and promoted per-batch ([[StagedSwap]]); retired/staging
+    * names never full-match the `b\\d+` batch pattern, so a concurrent
+    * [[ArtifactStore.readBatches]] cannot pick up debris. A fully-emptied
+    * batch is swapped to a schema-bearing empty parquet dir — still
+    * readable, still live.
+    *
+    * Returns the purge MANIFEST — one row per live batch: (batch,
+    * n_before, n_removed, n_after) — the record a deletion run publishes
+    * (the q249 shape, on the batch axis). Purge ≡ rebuild-on-survivors
+    * whenever each row depends only on its referenced rows (the hits-table
+    * contract) — q261 pins the hash. Idempotent: a re-run removes nothing,
+    * rewrites nothing, and reports n_removed = 0 everywhere.
     */
   def purgeBatches(spark: SparkSession, root: String, refCols: Seq[String],
-                   tombstones: DataFrame, idCol: String): Unit = synchronized {
+                   tombstones: DataFrame, idCol: String): DataFrame = synchronized {
+    import spark.implicits._
     require(refCols.nonEmpty, "purgeBatches needs at least one reference column")
     val f = fs(spark)
     val rootPath = new Path(root)
     require(f.exists(rootPath), s"IndexErasure: no artifact at $root")
-    val tombIds = broadcast(tombstones.select(col(idCol).as("__tomb")).distinct())
     val batches = f.listStatus(rootPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.matches("b\\d+") &&
         isLive(f, s.getPath.toString))
-    batches.foreach { st =>
-      val live = st.getPath
-      val df = spark.read.parquet(live.toString)
-      val purged = refCols.foldLeft(df) { (acc, c) =>
-        acc.join(tombIds, acc(c) === col("__tomb"), "left_anti")
-      }
-      val tmp = new Path(live.toString + ".tmp-" +
-        java.util.UUID.randomUUID().toString.take(8))
-      purged.write.mode("overwrite").parquet(tmp.toString)
-      StagedSwap.swap(f, tmp, live, new Path(live.toString + ".old"))
+      .sortBy(_.getPath.getName.drop(1).toLong)
+    if (batches.isEmpty)
+      return Seq.empty[(String, Long, Long, Long)]
+        .toDF("batch", "n_before", "n_removed", "n_after")
+    // ONE tagged union-read of every live batch; all downstream actions
+    // are single distributed jobs over it
+    val tagged = batches.map { st =>
+      spark.read.parquet(st.getPath.toString)
+        .withColumn("__batch", lit(st.getPath.getName))
+    }.reduce(_ unionByName _)
+    val dataCols = tagged.columns.filterNot(_ == "__batch")
+    // flag rows referencing ANY tombstoned id: one broadcast left join per
+    // reference column (ids are distinct, so joins cannot multiply rows)
+    val flagged = refCols.zipWithIndex.foldLeft(tagged) { case (acc, (c, i)) =>
+      acc.join(broadcast(tombstones.select(col(idCol).as(s"__t$i")).distinct()),
+        acc(c) === col(s"__t$i"), "left")
+    }.withColumn("__hit",
+      when(refCols.indices.map(i => col(s"__t$i").isNotNull).reduce(_ || _), 1L)
+        .otherwise(0L))
+    // manifest BEFORE the rewrite (bounded collect: one row per batch)
+    val manifest = flagged.groupBy(col("__batch"))
+      .agg(count(lit(1)).as("n_before"), sum(col("__hit")).as("n_removed"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    val perBatch = batches.map { st =>
+      val name = st.getPath.getName
+      // an already-empty batch contributes no union rows: (0, 0)
+      val (nb, nr) = manifest.getOrElse(name, (0L, 0L))
+      (name, nb, nr, nb - nr)
     }
+    val touched = perBatch.filter(_._3 > 0L)
+    if (touched.nonEmpty) {
+      // one staged partitioned write of the surviving rows of the touched
+      // batches; untouched batches are neither read again nor rewritten
+      val touchedNames = touched.map(_._1)
+      val staging = new Path(root + ".purge-tmp-" +
+        java.util.UUID.randomUUID().toString.take(8))
+      val survivors = flagged.filter(col("__hit") === 0L &&
+        col("__batch").isin(touchedNames: _*))
+        .select(col("__batch") +: dataCols.map(col): _*)
+      survivors.write.mode("overwrite").partitionBy("__batch")
+        .parquet(staging.toString)
+      touched.foreach { case (name, _, _, nAfter) =>
+        val live = new Path(root, name)
+        val part = new Path(staging, s"__batch=$name")
+        if (nAfter > 0L) {
+          StagedSwap.swap(f, part, live, new Path(live.toString + ".old"))
+        } else {
+          // fully-emptied batch: no partition in the staged output — swap
+          // in a schema-bearing empty dir so the batch stays readable
+          val tmp = new Path(live.toString + ".tmp-" +
+            java.util.UUID.randomUUID().toString.take(8))
+          tagged.filter(lit(false)).select(dataCols.map(col): _*)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          StagedSwap.swap(f, tmp, live, new Path(live.toString + ".old"))
+        }
+        // partitioned staging writes no per-partition _SUCCESS; readBatches
+        // requires one as the liveness marker
+        if (!f.exists(new Path(live, "_SUCCESS")))
+          f.create(new Path(live, "_SUCCESS")).close()
+      }
+      f.delete(staging, true) // drop the (now partly-renamed) staging root
+    }
+    perBatch.toDF("batch", "n_before", "n_removed", "n_after")
   }
 
   /** Incremental APPEND — the insert half of the index-maintenance algebra

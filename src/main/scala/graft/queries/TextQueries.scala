@@ -4361,8 +4361,9 @@ object TextQueries {
     // Erasure for ID-REFERENCE artifacts — the hits tables: a content
     // artifact partitions by a coarse key, but the stream/batch-maintained
     // near-dup HITS artifact scatters a doc id across arbitrary pair rows,
-    // so the purge visits every live batch (IndexErasure.purgeBatches —
-    // one parallel filter pass per batch, staged + swapped). Each hit row
+    // so the purge reads every live batch (IndexErasure.purgeBatches —
+    // ONE tagged union-read + broadcast flag + one staged partitioned
+    // write of the touched batches' survivors). Each hit row
     // depends only on its two referenced docs, so purge ≡ rebuild on the
     // survivors — the oracle is the q194 two-sided rebuild with the
     // tombstoned ids excluded from BOTH sides, hash-checked.
@@ -4397,6 +4398,49 @@ object TextQueries {
              |WHERE jac >= $JaccardThreshold
              |  AND test_id % 7 <> 1 AND train_id % 7 <> 1
              |ORDER BY 1, 2""".stripMargin)),
+
+    // The hits-purge MANIFEST — q249's shape on the BATCH axis: one row
+    // per batch of q261's hits artifact with (n_before, n_removed,
+    // n_after) under the q261 tombstone set. Like q249 this is the PLAN,
+    // a pure function of corpus + tombstone predicate (stable across
+    // purge re-runs — the applied record purgeBatches returns on a virgin
+    // artifact equals this plan, pinned in IndexErasureSpec); each batch's
+    // content is re-derived from the standing train index, never read from
+    // the (possibly already-purged) artifact. The row set is what the
+    // deletion run PUBLISHES: which batches rewrite, and how much.
+    "q264_hits_purge_manifest" -> Q(
+      (s, dir) => {
+        import graft.pipeline.ArtifactStore
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        lazy val idx = graft.operators.Dedup.trainNearDupIndex(
+          d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 16)
+        val trainBands = ArtifactStore.loadOrBuild(s,
+          ArtifactStore.rootFor(dir, "neardup_train_bands_s3_h32_b16_v1"))(idx._1)
+        val trainSigs = ArtifactStore.loadOrBuild(s,
+          ArtifactStore.rootFor(dir, "neardup_train_sigs_s3_h32_b16_v1"))(idx._2)
+        def batchDf(name: String, m: Int) =
+          graft.operators.Dedup.crossCorpusNearDupFromIndex(
+            trainBands, trainSigs, d.filter(col("doc_id") % 10 === m),
+            "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16,
+            threshold = JaccardThreshold)
+            .withColumn("batch", lit(name))
+        batchDf("b0", 0).unionByName(batchDf("b1", 5))
+          .withColumn("__hit",
+            when(col("test_id") % 7 === 1 || col("train_id") % 7 === 1, 1L)
+              .otherwise(0L))
+          .groupBy(col("batch"))
+          .agg(count(lit(1)).as("n_before"), sum(col("__hit")).as("n_removed"))
+          .withColumn("n_after", col("n_before") - col("n_removed"))
+          .orderBy("batch")
+      },
+      Some(s"""$crossNearDupCtes
+             |SELECT CASE WHEN test_id % 10 = 0 THEN 'b0' ELSE 'b1' END AS batch,
+             |  CAST(count(*) AS BIGINT) AS n_before,
+             |  CAST(sum(CASE WHEN test_id % 7 = 1 OR train_id % 7 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             |  CAST(count(*) - sum(CASE WHEN test_id % 7 = 1 OR train_id % 7 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+             |FROM pairs WHERE jac >= $JaccardThreshold
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // PARTITION-SCOPED semantic dedup — q243's production twin (the shape
     // curation pipelines actually run: "semantic dedup WITHIN source/

@@ -109,13 +109,43 @@ class IndexErasureSpec extends AnyFunSuite with SparkTestSession {
     // erasing id 4 and 11 wipes batch 1 ENTIRELY and one row of batch 0 —
     // an emptied batch must stay a readable (schema-bearing) parquet dir
     val tomb = Seq(4L, 11L).toDF("doc_id")
-    IndexErasure.purgeBatches(spark, root, Seq("test_id", "train_id"), tomb, "doc_id")
+    val m1 = IndexErasure.purgeBatches(spark, root,
+      Seq("test_id", "train_id"), tomb, "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(m1.toSeq === Seq(("b0", 3L, 1L, 2L), ("b1", 2L, 2L, 0L)),
+      "manifest reports per-batch before/removed/after exactly")
     val got = ArtifactStore.readBatches(spark, root)
       .as[(Long, Long)].collect().toSet
     assert(got === Set((1L, 10L), (3L, 10L)),
       "rows referencing a tombstone on EITHER side must go")
-    // re-run: nothing left to remove, content unchanged
-    IndexErasure.purgeBatches(spark, root, Seq("test_id", "train_id"), tomb, "doc_id")
+    // re-run: nothing left to remove, content unchanged, manifest all-zero
+    val m2 = IndexErasure.purgeBatches(spark, root,
+      Seq("test_id", "train_id"), tomb, "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(m2.toSeq === Seq(("b0", 2L, 0L, 2L), ("b1", 0L, 0L, 0L)))
+    assert(ArtifactStore.readBatches(spark, root).count() === 2L)
+  }
+
+  test("purgeBatches: untouched batches' files are never rewritten") {
+    import spark.implicits._
+    import graft.pipeline.{ArtifactStore, IndexErasure}
+    val root = s"/tmp/graft-test-erasure/${java.util.UUID.randomUUID().toString.take(8)}/hits"
+    ArtifactStore.appendBatchIfAbsent(spark, root, 0L)(
+      Seq((1L, 10L), (2L, 11L)).toDF("test_id", "train_id"))
+    ArtifactStore.appendBatchIfAbsent(spark, root, 1L)(
+      Seq((3L, 12L)).toDF("test_id", "train_id"))
+    def files(b: String): Map[String, Long] = {
+      val d = new java.io.File(s"$root/$b")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before1 = files("b1")
+    // tombstone hits only batch 0 — batch 1 must keep its exact files
+    val m = IndexErasure.purgeBatches(spark, root, Seq("test_id", "train_id"),
+      Seq(11L).toDF("doc_id"), "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(m === Map("b0" -> 1L, "b1" -> 0L))
+    assert(files("b1") === before1, "untouched batch rewritten — purge must be touched-only")
     assert(ArtifactStore.readBatches(spark, root).count() === 2L)
   }
 
