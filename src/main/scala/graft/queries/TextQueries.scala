@@ -426,8 +426,8 @@ object TextQueries {
     * maintained path matching THIS rebuild oracle is the maintenance ≡
     * rebuild check.
     */
-  private lazy val contamRateOracle: String =
-    s"""WITH $crossCorpusCtes,
+  private def contamRateOracleFor(docFilter: String, testWhere: String): String =
+    s"""WITH ${lcpBruteCtes(docFilter, "a.doc_id >= 8 AND b.doc_id < 8")},
        |$maskSpanCtes,
        |spans AS (
        |  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
@@ -439,7 +439,7 @@ object TextQueries {
        |  FROM spans GROUP BY doc_id),
        |alldocs AS (
        |  SELECT doc_id, CAST(length(substr(text, 1, 128)) AS BIGINT) AS doc_len
-       |  FROM documents WHERE doc_id >= 8 AND doc_id < 12)
+       |  FROM documents WHERE $testWhere)
        |SELECT a.doc_id, a.doc_len,
        |  coalesce(mk.masked_chars, 0) AS masked_chars,
        |  coalesce(mk.n_spans, 0) AS n_spans,
@@ -447,6 +447,9 @@ object TextQueries {
        |  CAST(${frs("CAST(coalesce(mk.masked_chars, 0) AS DOUBLE) / CAST(a.doc_len AS DOUBLE)", 4)} > CAST(0.3 AS DOUBLE) AS BIGINT) AS drop_doc
        |FROM alldocs a LEFT JOIN mk ON mk.doc_id = a.doc_id
        |ORDER BY a.doc_id""".stripMargin
+
+  private lazy val contamRateOracle: String =
+    contamRateOracleFor("doc_id < 12", "doc_id >= 8 AND doc_id < 12")
 
   /** The 128-char capped corpus split every contamination query shares:
     * train = doc_id < 8, test = 8..11. */
@@ -600,6 +603,18 @@ object TextQueries {
     s"""$crossNearDupCtes
        |SELECT test_id, train_id, jac FROM pairs
        |WHERE jac >= $JaccardThreshold ORDER BY 1, 2""".stripMargin
+
+  /** q261/q266's shared purge oracle: the q194 two-sided rebuild with the
+    * tombstoned ids (doc_id ≡ 1 mod 7) excluded from BOTH sides — the
+    * rebuild-on-survivors both the one-shot and the streamed purge must
+    * hash-equal.
+    */
+  private lazy val hitsPurgeOracle: String =
+    s"""$crossNearDupCtes
+       |SELECT test_id, train_id, jac FROM pairs
+       |WHERE jac >= $JaccardThreshold
+       |  AND test_id % 7 <> 1 AND train_id % 7 <> 1
+       |ORDER BY 1, 2""".stripMargin
 
   /** Fusion CTE chain (q204/q205): [[minhashPairsCtes]] (tok → th → shl →
     * sh/mh/bk → cand → pairs) extended with the containment verifier over
@@ -2908,6 +2923,44 @@ object TextQueries {
       },
       Some(contamRateOracle)),
 
+    // ERASURE through the contamination-spans artifact (r17 verdict item
+    // 4 — the one id-referencing artifact family without a purge query):
+    // q195's incrementally-maintained hits table references TEST doc ids,
+    // so a GDPR deletion of test docs purges their hit rows from every
+    // live batch (IndexErasure.purgeBatches; tombstones {9, 10} touch BOTH
+    // batches — 9 lives in b0, 10 in b1). Each hit row depends only on
+    // (its test doc, the standing train corpus) — the same decomposition
+    // that makes q195's appends exact — so purge ≡ rebuild-on-survivors,
+    // and the oracle is q192's full brute-force rebuild with the
+    // tombstoned docs excluded: the q195 oracle shape on the survivor set.
+    "q265_contamination_hits_purge" -> Q(
+      (s, dir) => {
+        import graft.pipeline.ArtifactStore
+        val d = contamCorpus(s, dir)
+        val train = d.filter(col("doc_id") < 8)
+        val root = ArtifactStore.rootFor(dir, "contam_hits_erz_tr8_c128_m12_v1")
+        def batch(id: Long, lo: Int, hi: Int): Unit =
+          ArtifactStore.appendBatchIfAbsent(s, root, id) {
+            graft.operators.SuffixRank.crossCorpusOverlap(s, train,
+              d.filter(col("doc_id") >= lo && col("doc_id") < hi),
+              "doc_id", "t", minLen = 12)
+          }
+        batch(0, 8, 10)
+        batch(1, 10, 12)
+        val tomb = d.filter(col("doc_id") === 9 || col("doc_id") === 10)
+          .select("doc_id")
+        graft.pipeline.IndexErasure.purgeBatches(s, root,
+          refCols = Seq("doc_id"), tombstones = tomb, idCol = "doc_id")
+        graft.operators.SuffixRank.rateFromHits(
+          ArtifactStore.readBatches(s, root),
+          d.filter(col("doc_id") >= 8 && col("doc_id") < 12 &&
+            col("doc_id") =!= 9 && col("doc_id") =!= 10),
+          "doc_id", "t", maxFrac = 0.3)
+      },
+      Some(contamRateOracleFor(
+        "doc_id < 12 AND doc_id NOT IN (9, 10)",
+        "doc_id >= 8 AND doc_id < 12 AND doc_id NOT IN (9, 10)"))),
+
     // The NEAR-DUP leg of the decontamination matrix: test docs (doc_id %
     // 5 = 0) whose shingle-Jaccard against ANY train doc clears the q22b
     // threshold — catches contamination that was lightly EDITED on the way
@@ -4393,11 +4446,7 @@ object TextQueries {
           refCols = Seq("test_id", "train_id"), tombstones = tomb, idCol = "doc_id")
         ArtifactStore.readBatches(s, root).orderBy("test_id", "train_id")
       },
-      Some(s"""$crossNearDupCtes
-             |SELECT test_id, train_id, jac FROM pairs
-             |WHERE jac >= $JaccardThreshold
-             |  AND test_id % 7 <> 1 AND train_id % 7 <> 1
-             |ORDER BY 1, 2""".stripMargin)),
+      Some(hitsPurgeOracle)),
 
     // The hits-purge MANIFEST — q249's shape on the BATCH axis: one row
     // per batch of q261's hits artifact with (n_before, n_removed,
@@ -4441,6 +4490,44 @@ object TextQueries {
              |  CAST(count(*) - sum(CASE WHEN test_id % 7 = 1 OR train_id % 7 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_after
              |FROM pairs WHERE jac >= $JaccardThreshold
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // STREAM-DRIVEN hits purge — q254's ingest topology on the
+    // id-reference artifact family (r17 verdict item 7): GDPR deletion
+    // requests arrive as tombstone micro-batches (the q261 tombstone set
+    // split in two), each driving IndexErasure.purgeBatches over the
+    // standing hits artifact in foreachBatch. Purge is content-idempotent
+    // and each micro-batch removes exactly the rows referencing its ids,
+    // so the final artifact depends only on the tombstone SET: streamed ≡
+    // one-shot (q261) ≡ rebuild-on-survivors — the same oracle, the same
+    // hash.
+    "q266_stream_hits_purge" -> Q(
+      (s, dir) => {
+        import graft.pipeline.ArtifactStore
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        lazy val idx = graft.operators.Dedup.trainNearDupIndex(
+          d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 16)
+        val trainBands = ArtifactStore.loadOrBuild(s,
+          ArtifactStore.rootFor(dir, "neardup_train_bands_s3_h32_b16_v1"))(idx._1)
+        val trainSigs = ArtifactStore.loadOrBuild(s,
+          ArtifactStore.rootFor(dir, "neardup_train_sigs_s3_h32_b16_v1"))(idx._2)
+        val root = ArtifactStore.rootFor(dir, "neardup_hits_erzs_s3_h32_b16_v1")
+        def batch(id: Long, m: Int): Unit =
+          ArtifactStore.appendBatchIfAbsent(s, root, id) {
+            graft.operators.Dedup.crossCorpusNearDupFromIndex(
+              trainBands, trainSigs, d.filter(col("doc_id") % 10 === m),
+              "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16,
+              threshold = JaccardThreshold)
+          }
+        batch(0, 0)
+        batch(1, 5)
+        val tomb = d.filter(col("doc_id") % 7 === 1).select("doc_id")
+        graft.streaming.StreamingErasure.streamPurge(s, root,
+          refCols = Seq("test_id", "train_id"), idCol = "doc_id",
+          tomb = tomb, nBatches = 2)
+        ArtifactStore.readBatches(s, root).orderBy("test_id", "train_id")
+      },
+      Some(hitsPurgeOracle)),
 
     // PARTITION-SCOPED semantic dedup — q243's production twin (the shape
     // curation pipelines actually run: "semantic dedup WITHIN source/

@@ -56,4 +56,42 @@ object StreamingErasure {
     q.awaitTermination()
     StreamingDrift.deleteTempDir(seedRoot)
   }
+
+  /** Stream-driven purge of a BATCH-LAYOUT id-reference artifact —
+    * [[graft.pipeline.IndexErasure.purgeBatches]] driven by tombstone
+    * micro-batches in `foreachBatch` (the [[streamRepair]] topology on the
+    * hits-table family). Each micro-batch removes exactly the rows
+    * referencing its ids; purge is content-idempotent (a replayed batch
+    * finds its rows already gone and rewrites nothing — n_removed = 0), so
+    * the final artifact depends only on the tombstone SET, not the
+    * micro-batching: streamed ≡ one-shot ≡ rebuild-on-survivors.
+    */
+  def streamPurge(spark: SparkSession, root: String, refCols: Seq[String],
+                  idCol: String, tomb: DataFrame, nBatches: Int): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val seedRoot = java.nio.file.Files.createTempDirectory("graft_stream_purge")
+    val seedDir = seedRoot.resolve("in").toString
+    (0 until nBatches).foreach { m =>
+      tomb.filter(pmod(col(idCol), lit(nBatches.toLong)) === m).coalesce(1)
+        .write.mode("overwrite").parquet(s"$seedDir/b$m")
+    }
+    val streamed = spark.readStream
+      .schema(tomb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(seedDir)
+    val q = streamed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.pipeline.IndexErasure.purgeBatches(
+            spark, root, refCols, batch, idCol)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    StreamingDrift.deleteTempDir(seedRoot)
+  }
 }

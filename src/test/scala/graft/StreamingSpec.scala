@@ -464,6 +464,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(run() === first)
   }
 
+  test("streamPurge: micro-batched tombstones ≡ one-shot purge, idempotent under replay") {
+    import spark.implicits._
+    import graft.pipeline.{ArtifactStore, IndexErasure}
+    // two identical hits artifacts: one purged by the stream, one one-shot
+    def seed(): String = {
+      val root = s"/tmp/graft-test-erasure/${java.util.UUID.randomUUID().toString.take(8)}/hits"
+      ArtifactStore.appendBatchIfAbsent(spark, root, 0L)(
+        Seq((1L, 10L), (2L, 11L), (3L, 10L)).toDF("test_id", "train_id"))
+      ArtifactStore.appendBatchIfAbsent(spark, root, 1L)(
+        Seq((4L, 10L), (4L, 12L), (5L, 13L)).toDF("test_id", "train_id"))
+      root
+    }
+    // tombstones {4, 11} split across TWO micro-batches by id parity
+    val tomb = Seq(4L, 11L).toDF("doc_id")
+    val streamedRoot = seed()
+    graft.streaming.StreamingErasure.streamPurge(spark, streamedRoot,
+      Seq("test_id", "train_id"), "doc_id", tomb, nBatches = 2)
+    val oneShotRoot = seed()
+    IndexErasure.purgeBatches(spark, oneShotRoot,
+      Seq("test_id", "train_id"), tomb, "doc_id")
+    def content(root: String) = ArtifactStore.readBatches(spark, root)
+      .as[(Long, Long)].collect().toSet
+    assert(content(streamedRoot) === Set((1L, 10L), (3L, 10L), (5L, 13L)))
+    assert(content(streamedRoot) === content(oneShotRoot),
+      "streamed purge must equal the one-shot purge")
+    // replayed stream (fresh checkpoint, same tombstones): removes nothing
+    graft.streaming.StreamingErasure.streamPurge(spark, streamedRoot,
+      Seq("test_id", "train_id"), "doc_id", tomb, nBatches = 2)
+    assert(content(streamedRoot) === Set((1L, 10L), (3L, 10L), (5L, 13L)))
+  }
+
   test("streamCrossModalGate: semantic axis flags the bag-of-words dup the shingle probe misses") {
     import spark.implicits._
     // corpus (id % 10 != 0) vs streamed delta (id % 10 == 0): doc 20 is a
