@@ -769,6 +769,25 @@ object Dedup {
     fuseVerdicts(base, idCol, axes)
   }
 
+  /** k AUTO-SCALING for [[semanticCellDedupFlags]] (r17 verdict item 5 —
+    * q258's stated remaining knob): the trained-cell pathology PERF_r16
+    * quantified is k under-provisioned relative to the corpus's DOMAIN
+    * count (10 disjoint domains into k=16 global cells → one cell holds a
+    * whole domain → quadratic within-cell candidates). Rather than
+    * hand-picking k per corpus, size it from the data: k = 2 × the domain
+    * count, estimated from a domain-proxy column (source, language, crawl
+    * segment). The 2× headroom covers domains that split internally; the
+    * estimate is one `count(DISTINCT domainCol)` — map-side partial
+    * aggregation, shuffling only the distinct values, cheap at any corpus
+    * size (for an unbounded-cardinality proxy swap in the KMV estimator,
+    * [[Sketches]]). Deterministic, so the DuckDB oracle computes the same
+    * k from the same column and the hash check stays exact.
+    */
+  def autoCellK(base: DataFrame, domainCol: String): Int = {
+    val n = base.agg(countDistinct(col(domainCol))).head().getLong(0)
+    math.max(1L, 2L * n).toInt
+  }
+
   def semanticCellDedupFlags(base: DataFrame, idCol: String, textCol: String,
                              embDim: Int, k: Int,
                              cosThreshold: Double,

@@ -1207,12 +1207,13 @@ object TextQueries {
     * band buckets `sbuck`) — shared by the dedup oracle (q243/q250) and
     * the band-index erasure-repair rebuild (q253).
     */
-  private def semCellChainCtes(stratifiedInit: Boolean = false): String = {
+  private def semCellChainCtes(stratifiedInit: Boolean = false,
+                               kSql: String = "16"): String = {
     val kinit =
       if (!stratifiedInit)
         s"""kinit AS (
            |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS ci, v AS cv
-           |  FROM rv ORDER BY doc_id LIMIT 16)""".stripMargin
+           |  FROM rv ORDER BY doc_id LIMIT $kSql)""".stripMargin
       else
         s"""khash AS (
            |  SELECT r.doc_id, CAST(${graft.operators.Export.hex4ValSql("md5(d.text)")} AS BIGINT) AS hh
@@ -1220,7 +1221,7 @@ object TextQueries {
            |kinit AS (
            |  SELECT row_number() OVER (ORDER BY kh.hh, rv.doc_id) - 1 AS ci, rv.v AS cv
            |  FROM rv JOIN khash kh ON kh.doc_id = rv.doc_id
-           |  ORDER BY kh.hh, rv.doc_id LIMIT 16)""".stripMargin
+           |  ORDER BY kh.hh, rv.doc_id LIMIT $kSql)""".stripMargin
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
        |th AS (
@@ -1295,8 +1296,9 @@ object TextQueries {
        |  FROM cvec, splanes, sparams, (SELECT unnest(generate_series(0, 15)) AS b) bb)""".stripMargin
   }
 
-  private def semCellDedupOracleOf(stratifiedInit: Boolean): String =
-    s"""${semCellChainCtes(stratifiedInit)},
+  private def semCellDedupOracleOf(stratifiedInit: Boolean,
+                                   kSql: String = "16"): String =
+    s"""${semCellChainCtes(stratifiedInit, kSql)},
        |cpair AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM sbuck a JOIN sbuck b
@@ -4241,6 +4243,27 @@ object TextQueries {
           stratifiedInit = true)
       }.orderBy("doc_id"),
       Some(s"""${semCellDedupOracleOf(true)}""".stripMargin)),
+
+    // k AUTO-SCALING for the trained-cell dedup (r17 verdict item 5 —
+    // q258's stated remaining knob): instead of hand-picking k, size it
+    // from the data — k = 2 × count(DISTINCT source), the domain-proxy
+    // cardinality (2× headroom for domains that split internally; one
+    // partial-aggregate distinct, cheap at any corpus size). Everything
+    // downstream is q258's machinery verbatim — stratified hash-order
+    // init, one Lloyd step, banded within-cell candidates — and the oracle
+    // computes the SAME k from the same column (a scalar-subquery LIMIT),
+    // so the auto-k path is hash-checked end to end, not just plumbed.
+    "q267_semantic_cell_autok" -> Q(
+      (s, dir) => graft.pipeline.ArtifactStore.loadOrBuild(s,
+        graft.pipeline.ArtifactStore.rootFor(dir,
+          "semantic_cell_dedup_autok_d64_i1_b16_c095_v1")) {
+        val docs = Tables.documents(s, dir)
+        Dedup.semanticCellDedupFlags(docs, "doc_id", "text", embDim = 64,
+          k = Dedup.autoCellK(docs, "source"),
+          cosThreshold = SemCosThreshold, stratifiedInit = true)
+      }.orderBy("doc_id"),
+      Some(semCellDedupOracleOf(true,
+        kSql = "(SELECT 2 * count(DISTINCT source) FROM documents)"))),
 
     // MULTI-DOMAIN VERDICT (r16 verdict task 4): the five-axis cross-modal
     // stack with the SEMANTIC axis partition-scoped by `source` — global
