@@ -45,7 +45,16 @@ object ExplainAudit {
         graft.operators.Dedup.crossModalVerdictPartitioned(docs, "doc_id", "text",
           "source", shingleSize = 3, numHashes = 32, bands = 16,
           jacThreshold = 0.5, containThreshold = 0.6, maxHamming = 8,
-          embDim = 64, cosThreshold = 0.95)))
+          embDim = 64, cosThreshold = 0.95)),
+      // round-18 chains
+      "q262_sync_delete" -> (() =>
+        graft.SparkEntry.queries("q262_sync_delete_propagation")(spark, dir)),
+      "q264_purge_manifest" -> (() =>
+        graft.SparkEntry.queries("q264_hits_purge_manifest")(spark, dir)),
+      "q267_build (auto-k semanticCellDedupFlags)" -> (() =>
+        graft.operators.Dedup.semanticCellDedupFlags(docs, "doc_id", "text",
+          embDim = 64, k = graft.operators.Dedup.autoCellK(docs, "source"),
+          cosThreshold = 0.95, stratifiedInit = true)))
     for ((name, fn) <- chains) {
       println(s"===== $name =====")
       try {

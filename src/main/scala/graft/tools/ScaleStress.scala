@@ -203,6 +203,19 @@ object ScaleStress {
         graft.operators.Dedup.semanticCellDedupFlags(docs, "doc_id", "text",
           embDim = 64, k = 32, cosThreshold = 0.95, stratifiedInit = true)
       }),
+      // the r17-verdict-item-5 knob: k from the DATA (2× the source
+      // cardinality, q267's autoCellK) instead of hand-picked — with
+      // SPARK_GRAFT_SCALE_TAG_SOURCE=1 the remap replicas' sources
+      // identify crawl segments, so the estimator sees the domain growth
+      // and k scales with it (the 0-spill-without-hand-picking check)
+      "semautok_flags" -> ((s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text", "source")
+        val k = graft.operators.Dedup.autoCellK(docs, "source")
+        println(s"[scale-autok] k = $k")
+        graft.operators.Dedup.semanticCellDedupFlags(docs, "doc_id", "text",
+          embDim = 64, k = k, cosThreshold = 0.95, stratifiedInit = true)
+      }),
       // the FULL MULTI-DOMAIN VERDICT (q251) — the remap cell re-measured
       // through the whole five-axis stack (r16 verdict task 4's perf leg).
       // Meaningful with SPARK_GRAFT_SCALE_TAG_SOURCE=1 so the partition
