@@ -612,6 +612,130 @@ object MultimodalQueries {
              |SELECT id // 1024 AS doc_id, id % 1024 AS frame_id,
              |  dhash AS ph, (id // 1024) // 64 AS shard
              |FROM dh ORDER BY 1, 2""".stripMargin)),
+
+    // BLAST RADIUS for the round-17/18 artifact families q256 doesn't
+    // cover — both frame indexes (id-sharded at div 64) and the near-dup
+    // hits batches — under q256's tombstone predicate (doc_id ≡ 7 mod 20):
+    // per family, the erasure units standing / touched and the rows
+    // standing / to-remove. Like q256 this is the PLAN a deletion run
+    // publishes before any rewrite: every relation is re-derived live from
+    // fixtures + the standing train index, never read from a (possibly
+    // already-repaired) artifact, so the report is re-run stable. The two
+    // frame families report identical numbers on THIS corpus by
+    // construction (trailer and noised media pad to the same 768 bytes —
+    // same frame grid, same shards); the hits family's units are its
+    // batches, where only the TRAIN side can hold a ≡7 (mod 20) id (test
+    // ids are ≡ 0 mod 5).
+    "q268_frame_blast_radius" -> Q(
+      (s, dir) => {
+        import graft.pipeline.ArtifactStore
+        val D = graft.functions.MathFunctions.longDiv _
+        val tombP = col("doc_id") % 20 === 7
+        def report(name: String, units: org.apache.spark.sql.DataFrame,
+                   unit: org.apache.spark.sql.Column, removedP: org.apache.spark.sql.Column) =
+          units.agg(
+            countDistinct(unit).as("n_units"),
+            countDistinct(when(removedP, unit)).as("n_affected"),
+            count(lit(1)).as("n_rows"),
+            sum(when(removedP, 1L).otherwise(0L)).as("n_rows_removed"))
+            .select(lit(name).as("family"), col("n_units"), col("n_affected"),
+              col("n_rows"), col("n_rows_removed"))
+        val checks = trailerFrames(s, dir, lit(true))
+        val noised = Tables.documents(s, dir)
+          .select(col("doc_id"), expr(NoisedTrailerSpark).as("m"))
+        val phashes = Multimodal.frameHashes(s, noised, frameBytes = 128,
+          idCol = "doc_id", mediaCol = "m")
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        lazy val idx = graft.operators.Dedup.trainNearDupIndex(
+          d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 16)
+        val trainBands = ArtifactStore.loadOrBuild(s,
+          ArtifactStore.rootFor(dir, "neardup_train_bands_s3_h32_b16_v1"))(idx._1)
+        val trainSigs = ArtifactStore.loadOrBuild(s,
+          ArtifactStore.rootFor(dir, "neardup_train_sigs_s3_h32_b16_v1"))(idx._2)
+        def batchDf(name: String, m: Int) =
+          graft.operators.Dedup.crossCorpusNearDupFromIndex(
+            trainBands, trainSigs, d.filter(col("doc_id") % 10 === m),
+            "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16,
+            threshold = TextQueries.JaccardThreshold)
+            .withColumn("batch", lit(name))
+        val hits = batchDf("b0", 0).unionByName(batchDf("b1", 5))
+        report("frame_checksums", checks, D(col("doc_id"), lit(64L)), tombP)
+          .unionByName(report("frame_phashes", phashes, D(col("doc_id"), lit(64L)), tombP))
+          .unionByName(report("neardup_hits", hits, col("batch"),
+            col("test_id") % 20 === 7 || col("train_id") % 20 === 7))
+          .orderBy("family")
+      },
+      Some(s"""${TextQueries.crossNearDupCtes},
+             |media AS (
+             |  SELECT doc_id AS id, $TrailerMediaSql AS m FROM documents),
+             |${frameCtes(128)},
+             |nmed AS (SELECT doc_id, $NoisedTrailerSql AS mm FROM documents),
+             |nfr AS (
+             |  SELECT doc_id, unnest(generate_series(0,
+             |    CAST(floor((length(mm)-1) / CAST(128 AS DOUBLE)) AS BIGINT))) AS f
+             |  FROM nmed),
+             |hb AS (
+             |  SELECT CASE WHEN test_id % 10 = 0 THEN 'b0' ELSE 'b1' END AS batch,
+             |    CASE WHEN test_id % 20 = 7 OR train_id % 20 = 7 THEN 1 ELSE 0 END AS rm
+             |  FROM pairs WHERE jac >= ${TextQueries.JaccardThreshold})
+             |SELECT * FROM (
+             |  SELECT 'frame_checksums' AS family,
+             |    (SELECT CAST(count(DISTINCT id // 64) AS BIGINT) FROM fr) AS n_units,
+             |    (SELECT CAST(count(DISTINCT id // 64) AS BIGINT) FROM fr WHERE id % 20 = 7) AS n_affected,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM fr) AS n_rows,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM fr WHERE id % 20 = 7) AS n_rows_removed
+             |  UNION ALL
+             |  SELECT 'frame_phashes',
+             |    (SELECT CAST(count(DISTINCT doc_id // 64) AS BIGINT) FROM nfr),
+             |    (SELECT CAST(count(DISTINCT doc_id // 64) AS BIGINT) FROM nfr WHERE doc_id % 20 = 7),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM nfr),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM nfr WHERE doc_id % 20 = 7)
+             |  UNION ALL
+             |  SELECT 'neardup_hits',
+             |    (SELECT CAST(count(DISTINCT batch) AS BIGINT) FROM hb),
+             |    (SELECT CAST(count(DISTINCT CASE WHEN rm = 1 THEN batch END) AS BIGINT) FROM hb),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM hb),
+             |    (SELECT CAST(sum(rm) AS BIGINT) FROM hb))
+             |ORDER BY family""".stripMargin)),
+
+    // ERASURE COMPLETENESS as a standing hash-checked gate (ADVICE r17:
+    // repairErased's completeness is a precondition whose violation is
+    // invisible in its own manifest): after the q257 frame-index repair —
+    // touched shards derived INSIDE repairErasedByKey, so the precondition
+    // holds by construction — scan the ENTIRE repaired index and count
+    // tombstoned rows that survived anywhere. The oracle pins that count
+    // to literal zero (and the index mass to the survivor rebuild's), so
+    // an under-named touched set can never again read clean: it would
+    // hash-mismatch here. Full-scan by design — this is the audit, not
+    // the repair; at 100 TB run it at audit cadence, not per deletion.
+    "q269_erasure_completeness_audit" -> Q(
+      (s, dir) => {
+        import graft.pipeline.{ArtifactStore, IndexErasure}
+        val D = graft.functions.MathFunctions.longDiv _
+        val root = ArtifactStore.rootFor(dir, "frames_trailer_part_fb128_s64_v1")
+        IndexErasure.ensurePartitioned(s, root, "shard") {
+          trailerFrames(s, dir, lit(true))
+            .withColumn("shard", D(col("doc_id"), lit(64L)))
+        }
+        val tomb = Tables.documents(s, dir).filter(col("doc_id") % 20 === 7)
+          .select(col("doc_id"))
+        IndexErasure.repairErasedByKey(s, root, "shard", "doc_id", tomb)(
+          id => D(id, lit(64L)))
+        val idx = IndexErasure.readPartitioned(s, root, "shard")
+        tomb.agg(countDistinct(col("doc_id")).as("n_tombstoned_docs"))
+          .crossJoin(idx.join(tomb, Seq("doc_id"), "left_semi")
+            .agg(count(lit(1)).as("n_tombstoned_rows_surviving")))
+          .crossJoin(idx.agg(count(lit(1)).as("n_index_rows")))
+      },
+      Some(s"""WITH media AS (
+             |  SELECT doc_id AS id, $TrailerMediaSql AS m FROM documents
+             |  WHERE NOT (doc_id % 20 = 7)),
+             |${frameCtes(128)}
+             |SELECT
+             |  (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 20 = 7) AS n_tombstoned_docs,
+             |  CAST(0 AS BIGINT) AS n_tombstoned_rows_surviving,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM fr) AS n_index_rows""".stripMargin)),
   )
 
   /** One full-rebuild oracle for q167 (batch) and q181 (incrementally

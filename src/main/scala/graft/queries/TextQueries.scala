@@ -593,7 +593,7 @@ object TextQueries {
     * path matching THIS two-sided rebuild is its maintenance ≡ rebuild
     * check.
     */
-  private lazy val crossNearDupCtes: String =
+  private[queries] lazy val crossNearDupCtes: String =
     s"""$minhashBkCtes,
        |cand AS (
        |  SELECT x.doc_id AS test_id, y.doc_id AS train_id
