@@ -2969,6 +2969,51 @@ object TextQueries {
         "doc_id < 12 AND doc_id NOT IN (9, 10)",
         "doc_id >= 8 AND doc_id < 12 AND doc_id NOT IN (9, 10)"))),
 
+    // TRAIN-SIDE erasure of the contamination artifact — the DERIVED-
+    // artifact case of the GDPR taxonomy: hit rows reference only TEST
+    // ids, so erasing a TRAIN doc cannot purge rows (nothing references
+    // it) — yet the recorded lcp values were computed AGAINST it, so the
+    // correct repair is RE-DERIVATION against the surviving train set, not
+    // a row filter. This query publishes the per-test-doc IMPACT delta:
+    // contamination mass/spans/verdict before (the standing artifact) vs
+    // after (rebuilt on train − {3, 7}) — which test docs' drop verdicts
+    // flip when a train doc is forgotten. Taxonomy now complete and
+    // hash-checked: id-reference artifacts purge rows (q261/q265),
+    // content artifacts rewrite touched partitions (q248/q257), derived
+    // artifacts recompute (here).
+    "q270_contamination_train_erasure" -> Q(
+      (s, dir) => {
+        import graft.pipeline.ArtifactStore
+        val d = contamCorpus(s, dir)
+        val test = d.filter(col("doc_id") >= 8 && col("doc_id") < 12)
+        val before = contamHits(s, dir)
+        val after = ArtifactStore.loadOrBuild(s,
+          ArtifactStore.rootFor(dir, "contam_hits_tr8x37_c128_m12_v1")) {
+          graft.operators.SuffixRank.crossCorpusOverlap(s,
+            d.filter(col("doc_id") < 8 && col("doc_id") =!= 3 && col("doc_id") =!= 7),
+            test, "doc_id", "t", minLen = 12)
+        }
+        def rate(h: org.apache.spark.sql.DataFrame, suffix: String) =
+          graft.operators.SuffixRank.rateFromHits(h, test, "doc_id", "t", maxFrac = 0.3)
+            .select(col("doc_id"),
+              col("masked_chars").as(s"masked_$suffix"),
+              col("n_spans").as(s"n_spans_$suffix"),
+              col("drop_doc").as(s"drop_$suffix"))
+        rate(before, "before").join(rate(after, "after"), Seq("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT b.doc_id,
+             |  b.masked_chars AS masked_before, b.n_spans AS n_spans_before,
+             |  b.drop_doc AS drop_before,
+             |  a.masked_chars AS masked_after, a.n_spans AS n_spans_after,
+             |  a.drop_doc AS drop_after
+             |FROM (${contamRateOracleFor("doc_id < 12",
+                      "doc_id >= 8 AND doc_id < 12")}) b
+             |JOIN (${contamRateOracleFor("doc_id < 12 AND doc_id NOT IN (3, 7)",
+                      "doc_id >= 8 AND doc_id < 12")}) a
+             |  ON a.doc_id = b.doc_id
+             |ORDER BY b.doc_id""".stripMargin)),
+
     // The NEAR-DUP leg of the decontamination matrix: test docs (doc_id %
     // 5 = 0) whose shingle-Jaccard against ANY train doc clears the q22b
     // threshold — catches contamination that was lightly EDITED on the way
