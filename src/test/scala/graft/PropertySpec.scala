@@ -599,4 +599,104 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("property: erase wins under ANY random append/erase interleaving") {
+    import graft.pipeline.IndexErasure
+    // base index + a delta whose ids OVERLAP the tombstone set, applied as
+    // a random multiset of append/erase operations (replays included, both
+    // orders). Whatever the interleaving, the tombstone log guarantees the
+    // fixed point: (base ∪ delta) − tombstones, with erased-empty
+    // partitions gone — the set-algebra semantics q255/q263 pin on the
+    // real artifact, here generatively.
+    val caseGen = for {
+      n <- Gen.chooseNum(3, 30)
+      nCells <- Gen.chooseNum(1, 5)
+      nDelta <- Gen.chooseNum(1, 8)
+      tombFrac <- Gen.chooseNum(1, 10)
+      ops <- Gen.listOfN(4, Gen.oneOf("append", "erase")) // plus one of each, below
+    } yield (n, nCells, nDelta, tombFrac, ops)
+    sample(caseGen, 5, 61L).zipWithIndex.foreach {
+      case ((n, nCells, nDelta, tombFrac, ops0), ci) =>
+        val root = s"/tmp/graft-test-erasure/propew-${java.util.UUID.randomUUID().toString.take(8)}/idx"
+        val base = (0L until n.toLong).map(i => (i, i % nCells, s"p$i"))
+        // delta ids extend the base range CONTIGUOUSLY so tombstones drawn
+        // from the whole range overlap both base and delta
+        val delta = (n.toLong until (n + nDelta).toLong).map(i => (i, i % nCells, s"d$i"))
+        val allIds = (base ++ delta).map(_._1)
+        val tombIds = allIds.filter(_ % 10 < tombFrac)
+        IndexErasure.ensurePartitioned(spark, root, "cell")(
+          base.toDF("id", "cell", "payload"))
+        // at least one append and one erase, then the random tail
+        val ops = "append" +: "erase" +: ops0
+        ops.foreach {
+          case "append" =>
+            IndexErasure.appendRows(spark, root, "cell", "id",
+              delta.toDF("id", "cell", "payload"))
+          case _ if tombIds.nonEmpty =>
+            IndexErasure.repairErased(spark, root, "cell",
+              tombIds.map(_ % nCells).distinct, "id", tombIds.toDF("id"))
+          case _ => ()
+        }
+        val want = (base ++ delta).filterNot(r => tombIds.contains(r._1))
+          .map(r => (r._1, r._2)).toSet
+        if (want.isEmpty) {
+          // a FULLY-erased index holds no partition dirs at all (every
+          // cell dropped); there is nothing left to read
+          val dirs = Option(new java.io.File(root).listFiles()).toSeq.flatten
+            .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+          assert(dirs.isEmpty, s"case $ci: fully-erased index must hold no partitions")
+        } else {
+          val got = IndexErasure.readPartitioned(spark, root, "cell")
+            .select("id", "cell").as[(Long, Long)].collect().toSet
+          assert(got === want,
+            s"case $ci: ops=${ops.mkString(",")} n=$n cells=$nCells tomb=${tombIds.size}")
+        }
+        // erased ids can never resurface: the log covers exactly tombIds
+        val logged = IndexErasure.erasedIds(spark, root).map(
+          _.as[Long].collect().toSet).getOrElse(Set.empty)
+        assert(tombIds.toSet.subsetOf(logged), s"case $ci: log must cover the erasure")
+    }
+  }
+
+  test("property: purgeBatches ≡ rebuild-on-survivors with an exact manifest") {
+    import graft.pipeline.{ArtifactStore, IndexErasure}
+    val caseGen = for {
+      nBatches <- Gen.chooseNum(1, 4)
+      sizes <- Gen.listOfN(nBatches, Gen.chooseNum(1, 10))
+      pool <- Gen.chooseNum(4, 12)
+      tombFrac <- Gen.chooseNum(0, 6)
+    } yield (sizes, pool, tombFrac)
+    sample(caseGen, 5, 91L).zipWithIndex.foreach { case ((sizes, pool, tombFrac), ci) =>
+      val root = s"/tmp/graft-test-erasure/proppb-${java.util.UUID.randomUUID().toString.take(8)}/hits"
+      // deterministic pseudo-random refs from a small id pool so tombstones
+      // genuinely intersect both columns
+      val rows = sizes.zipWithIndex.map { case (sz, b) =>
+        (0 until sz).map { i =>
+          ((b * 31L + i * 7L) % pool, (b * 17L + i * 13L + 1L) % pool)
+        }
+      }
+      rows.zipWithIndex.foreach { case (rs, b) =>
+        ArtifactStore.appendBatchIfAbsent(spark, root, b.toLong)(
+          rs.toDF("test_id", "train_id"))
+      }
+      val tombIds = (0L until pool.toLong).filter(_ % 7 < tombFrac)
+      val manifest = IndexErasure.purgeBatches(spark, root,
+        Seq("test_id", "train_id"), tombIds.toDF("doc_id"), "doc_id")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val tomb = tombIds.toSet
+      val survivors = rows.flatten
+        .filterNot(r => tomb.contains(r._1) || tomb.contains(r._2))
+      val got = ArtifactStore.readBatches(spark, root)
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(got === survivors.sorted, s"case $ci: purge must equal survivor rebuild")
+      // manifest: exact per-batch accounting (n_before includes dups rows)
+      rows.zipWithIndex.foreach { case (rs, b) =>
+        val (nb, nr, na) = manifest(s"b$b")
+        val rm = rs.count(r => tomb.contains(r._1) || tomb.contains(r._2))
+        assert((nb, nr, na) === ((rs.size.toLong, rm.toLong, (rs.size - rm).toLong)),
+          s"case $ci batch $b: manifest mismatch")
+      }
+    }
+  }
+
 }
