@@ -736,6 +736,103 @@ object MultimodalQueries {
              |  (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 20 = 7) AS n_tombstoned_docs,
              |  CAST(0 AS BIGINT) AS n_tombstoned_rows_surviving,
              |  (SELECT CAST(count(*) AS BIGINT) FROM fr) AS n_index_rows""".stripMargin)),
+
+    // THE DELETION RUN, end to end — q268 plans it, this EXECUTES it: one
+    // tombstone set (doc_id ≡ 7 mod 20) driven through every deployed
+    // artifact family in one query — both id-sharded frame indexes
+    // (repairErasedByKey, touched derived from the tombstones) and the
+    // batch-layout hits table (single-pass purgeBatches) — then the
+    // post-repair AUDIT: per family, the planned removal mass (recomputed
+    // from fixtures, the q268 plan column), the surviving index mass, and
+    // the full-scan count of tombstone-referencing rows still present,
+    // which the oracle pins to literal ZERO. Every artifact root is this
+    // query's own (capstone-suffixed), repairs are idempotent, and the
+    // report reads only plan-stable quantities — so the run is re-run
+    // stable while still having REALLY executed the rewrites.
+    "q271_gdpr_deletion_run" -> Q(
+      (s, dir) => {
+        import graft.pipeline.{ArtifactStore, IndexErasure}
+        val D = graft.functions.MathFunctions.longDiv _
+        val tomb = Tables.documents(s, dir).filter(col("doc_id") % 20 === 7)
+          .select(col("doc_id"))
+        def frameFam(name: String, root: String,
+                     build: => org.apache.spark.sql.DataFrame) = {
+          IndexErasure.ensurePartitioned(s, root, "shard")(
+            build.withColumn("shard", D(col("doc_id"), lit(64L))))
+          IndexErasure.repairErasedByKey(s, root, "shard", "doc_id", tomb)(
+            id => D(id, lit(64L)))
+          val idx = IndexErasure.readPartitioned(s, root, "shard")
+          idx.agg(count(lit(1)).as("n_index_rows"))
+            .crossJoin(idx.join(tomb, Seq("doc_id"), "left_semi")
+              .agg(count(lit(1)).as("n_tombstoned_surviving")))
+            .select(lit(name).as("family"), col("n_index_rows"),
+              col("n_tombstoned_surviving"))
+        }
+        val frames = frameFam("frame_checksums",
+          ArtifactStore.rootFor(dir, "frames_trailer_part_fb128_s64_cap_v1"),
+          trailerFrames(s, dir, lit(true)))
+        val phashes = frameFam("frame_phashes",
+          ArtifactStore.rootFor(dir, "framehash_noised_part_fb128_s64_cap_v1"),
+          Multimodal.frameHashes(s,
+            Tables.documents(s, dir)
+              .select(col("doc_id"), expr(NoisedTrailerSpark).as("m")),
+            frameBytes = 128, idCol = "doc_id", mediaCol = "m"))
+        // hits family: build this capstone's own batches, purge them
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        lazy val idx2 = graft.operators.Dedup.trainNearDupIndex(
+          d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 16)
+        val trainBands = ArtifactStore.loadOrBuild(s,
+          ArtifactStore.rootFor(dir, "neardup_train_bands_s3_h32_b16_v1"))(idx2._1)
+        val trainSigs = ArtifactStore.loadOrBuild(s,
+          ArtifactStore.rootFor(dir, "neardup_train_sigs_s3_h32_b16_v1"))(idx2._2)
+        val hitsRoot = ArtifactStore.rootFor(dir, "neardup_hits_cap_s3_h32_b16_v1")
+        Seq((0L, 0), (1L, 5)).foreach { case (id, m) =>
+          ArtifactStore.appendBatchIfAbsent(s, hitsRoot, id) {
+            graft.operators.Dedup.crossCorpusNearDupFromIndex(
+              trainBands, trainSigs, d.filter(col("doc_id") % 10 === m),
+              "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16,
+              threshold = TextQueries.JaccardThreshold)
+          }
+        }
+        IndexErasure.purgeBatches(s, hitsRoot,
+          refCols = Seq("test_id", "train_id"), tombstones = tomb, idCol = "doc_id")
+        val hitsIdx = ArtifactStore.readBatches(s, hitsRoot)
+        val hits = hitsIdx.agg(count(lit(1)).as("n_index_rows"))
+          .crossJoin(hitsIdx
+            .join(tomb, hitsIdx("test_id") === tomb("doc_id") ||
+              hitsIdx("train_id") === tomb("doc_id"), "left_semi")
+            .agg(count(lit(1)).as("n_tombstoned_surviving")))
+          .select(lit("neardup_hits").as("family"), col("n_index_rows"),
+            col("n_tombstoned_surviving"))
+        frames.unionByName(phashes).unionByName(hits).orderBy("family")
+      },
+      Some(s"""${TextQueries.crossNearDupCtes},
+             |media AS (
+             |  SELECT doc_id AS id, $TrailerMediaSql AS m FROM documents
+             |  WHERE NOT (doc_id % 20 = 7)),
+             |${frameCtes(128)},
+             |nmed AS (
+             |  SELECT doc_id, $NoisedTrailerSql AS mm FROM documents
+             |  WHERE NOT (doc_id % 20 = 7)),
+             |nfr AS (
+             |  SELECT doc_id, unnest(generate_series(0,
+             |    CAST(floor((length(mm)-1) / CAST(128 AS DOUBLE)) AS BIGINT))) AS f
+             |  FROM nmed)
+             |SELECT * FROM (
+             |  SELECT 'frame_checksums' AS family,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM fr) AS n_index_rows,
+             |    CAST(0 AS BIGINT) AS n_tombstoned_surviving
+             |  UNION ALL
+             |  SELECT 'frame_phashes',
+             |    (SELECT CAST(count(*) AS BIGINT) FROM nfr), CAST(0 AS BIGINT)
+             |  UNION ALL
+             |  SELECT 'neardup_hits',
+             |    (SELECT CAST(count(*) AS BIGINT) FROM pairs
+             |     WHERE jac >= ${TextQueries.JaccardThreshold}
+             |       AND test_id % 20 <> 7 AND train_id % 20 <> 7),
+             |    CAST(0 AS BIGINT))
+             |ORDER BY family""".stripMargin)),
   )
 
   /** One full-rebuild oracle for q167 (batch) and q181 (incrementally
