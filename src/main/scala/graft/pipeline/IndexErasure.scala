@@ -65,12 +65,45 @@ object IndexErasure {
     * BEFORE the index rewrite: a crash after the log write but before the
     * rewrite leaves a replayable (idempotent) repair whose erase already
     * binds future appends — the safe order. Duplicate ids across calls are
-    * fine; [[erasedIds]] dedups on read.
+    * fine; [[erasedIds]] dedups on read. The log self-compacts past a
+    * file-count threshold so a long deletion history never makes the
+    * appendRows anti-join read expensive.
     */
   private def logTombstones(root: String, idCol: String,
-                            tombstones: DataFrame): Unit =
+                            tombstones: DataFrame): Unit = {
     tombstones.select(col(idCol).as("__erased_id")).distinct()
       .coalesce(1).write.mode("append").parquet(tombLog(root))
+    if (logParts(fs(tombstones.sparkSession), root).length > TombLogCompactFiles)
+      compactTombstoneLog(tombstones.sparkSession, root)
+  }
+
+  private val TombLogCompactFiles = 32
+
+  private def logParts(f: FileSystem, root: String) = {
+    val dir = new Path(tombLog(root))
+    if (!f.exists(dir)) Array.empty[Path]
+    else f.listStatus(dir).filter(s => s.isFile &&
+      s.getPath.getName.endsWith(".parquet")).map(_.getPath)
+  }
+
+  /** Compact the tombstone log to one distinct file. CRASH-SAFE BY
+    * SUPERSET, never by swap: the compacted file is APPENDED into the live
+    * log dir first (from that moment any read covers everything), and only
+    * then are the superseded files dropped — there is no instant at which
+    * the log under-covers the erased set, which a retire-then-promote swap
+    * cannot promise (its no-live-dir window would make [[erasedIds]] read
+    * None and let a concurrent append resurrect erased rows). A crash
+    * mid-delete leaves duplicates, which the distinct-on-read absorbs.
+    * Idempotent; also runs automatically past [[TombLogCompactFiles]].
+    */
+  def compactTombstoneLog(spark: SparkSession, root: String): Unit = synchronized {
+    val f = fs(spark)
+    val old = logParts(f, root)
+    if (old.length <= 1) return
+    spark.read.parquet(tombLog(root)).select(col("__erased_id")).distinct()
+      .coalesce(1).write.mode("append").parquet(tombLog(root))
+    old.foreach(p => f.delete(p, false))
+  }
 
   /** The persisted erased-id set for `root` (one `__erased_id` column),
     * or None when no erasure has ever run against it.

@@ -180,6 +180,33 @@ class IndexErasureSpec extends AnyFunSuite with SparkTestSession {
         col("__erased_id") === col("id"), "inner").count() === 0L)
   }
 
+  test("compactTombstoneLog: one file, same erased set, append still blocked") {
+    import spark.implicits._
+    val root = freshRoot()
+    buildFixture(root)
+    // three separate repairs — three log files
+    Seq(Seq(1L), Seq(4L), Seq(7L)).foreach { ids =>
+      IndexErasure.repairErased(spark, root, "cell", Seq(1L), "id", ids.toDF("id"))
+    }
+    def logFiles() = new java.io.File(s"$root.tombstones").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(logFiles() === 3)
+    val before = IndexErasure.erasedIds(spark, root).get.as[Long].collect().toSet
+    IndexErasure.compactTombstoneLog(spark, root)
+    assert(logFiles() === 1, "compaction must leave one file")
+    assert(IndexErasure.erasedIds(spark, root).get.as[Long].collect().toSet === before,
+      "compaction must not change the erased set")
+    assert(before === Set(1L, 4L, 7L))
+    // the erase-wins contract survives compaction
+    IndexErasure.appendRows(spark, root, "cell", "id",
+      Seq((4L, 1L, "zombie")).toDF("id", "cell", "payload"))
+    assert(!IndexErasure.readPartitioned(spark, root, "cell")
+      .select("id").as[Long].collect().contains(4L))
+    // idempotent: compacting a compacted log is a no-op
+    IndexErasure.compactTombstoneLog(spark, root)
+    assert(logFiles() === 1)
+  }
+
   test("repairErasedByKey: touched derived from the tombstones — complete by construction") {
     import spark.implicits._
     val root = freshRoot()
