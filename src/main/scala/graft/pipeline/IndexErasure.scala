@@ -218,22 +218,25 @@ object IndexErasure {
         .parquet(staging.toString)
       touched.foreach { case (name, _, _, nAfter) =>
         val live = new Path(root, name)
-        val part = new Path(staging, s"__batch=$name")
         if (nAfter > 0L) {
+          val part = new Path(staging, s"__batch=$name")
+          // the partitioned write leaves no per-partition _SUCCESS, and
+          // readBatches requires one as the liveness marker — create it in
+          // the STAGING dir so promotion is atomic w.r.t. liveness (a
+          // crash between rename and a later marker write would leave the
+          // batch silently invisible, its content stranded at .old)
+          f.create(new Path(part, "_SUCCESS")).close()
           StagedSwap.swap(f, part, live, new Path(live.toString + ".old"))
         } else {
           // fully-emptied batch: no partition in the staged output — swap
-          // in a schema-bearing empty dir so the batch stays readable
+          // in a schema-bearing empty dir (its own write includes the
+          // _SUCCESS marker) so the batch stays readable
           val tmp = new Path(live.toString + ".tmp-" +
             java.util.UUID.randomUUID().toString.take(8))
           tagged.filter(lit(false)).select(dataCols.map(col): _*)
             .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
           StagedSwap.swap(f, tmp, live, new Path(live.toString + ".old"))
         }
-        // partitioned staging writes no per-partition _SUCCESS; readBatches
-        // requires one as the liveness marker
-        if (!f.exists(new Path(live, "_SUCCESS")))
-          f.create(new Path(live, "_SUCCESS")).close()
       }
       f.delete(staging, true) // drop the (now partly-renamed) staging root
     }
