@@ -44,7 +44,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * written BEFORE the index rewrite, and [[appendRows]] anti-joins its
   * delta against the log — so an at-least-once append pipeline that
   * replays an old append AFTER an erasure cannot resurrect erased rows,
-  * regardless of interleaving. Re-adding an erased id is an explicit
+  * regardless of interleaving. The batch layout gets the same contract:
+  * [[purgeBatches]] logs its tombstones the same way and
+  * [[appendBatchPurged]] filters every late-arriving batch against the
+  * log on all reference columns. Re-adding an erased id is an explicit
   * administrative act (clear its log entry), never an accident of replay.
   */
 object IndexErasure {
@@ -170,6 +173,10 @@ object IndexErasure {
     val f = fs(spark)
     val rootPath = new Path(root)
     require(f.exists(rootPath), s"IndexErasure: no artifact at $root")
+    // log first (same erase-wins order as repairErased): a late batch
+    // appended through appendBatchPurged can then never re-introduce
+    // references to these ids, whatever the delivery order
+    logTombstones(root, idCol, tombstones)
     val batches = f.listStatus(rootPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.matches("b\\d+") &&
         isLive(f, s.getPath.toString))
@@ -241,6 +248,32 @@ object IndexErasure {
       f.delete(staging, true) // drop the (now partly-renamed) staging root
     }
     perBatch.toDF("batch", "n_before", "n_removed", "n_after")
+  }
+
+  /** [[ArtifactStore.appendBatchIfAbsent]] for a batch-layout artifact
+    * that has seen purges — the batch-layout half of the ERASE-WINS
+    * contract (the other half is [[appendRows]] on partitioned indexes):
+    * the batch content is anti-joined against the persisted tombstone log
+    * on every reference column BEFORE it lands, so a late-arriving batch
+    * whose content was computed before an erasure — an at-least-once
+    * pipeline re-delivering under a fresh batch id — cannot re-introduce
+    * purged references. Without this, `appendBatchIfAbsent`'s
+    * skip-if-present idempotence only protects REPLAYS of the same batch
+    * id; a re-keyed delivery would resurrect erased data. q272 pins the
+    * adversarial order (append, purge, late batch) against the
+    * rebuild-on-survivors oracle.
+    */
+  def appendBatchPurged(spark: SparkSession, root: String, batchId: Long,
+                        refCols: Seq[String])(build: => DataFrame): Unit = {
+    require(refCols.nonEmpty, "appendBatchPurged needs at least one reference column")
+    ArtifactStore.appendBatchIfAbsent(spark, root, batchId) {
+      erasedIds(spark, root).fold(build) { log =>
+        refCols.zipWithIndex.foldLeft(build) { case (acc, (c, i)) =>
+          acc.join(broadcast(log.select(col("__erased_id").as(s"__t$i"))),
+            acc(c) === col(s"__t$i"), "left_anti")
+        }
+      }
+    }
   }
 
   /** Incremental APPEND — the insert half of the index-maintenance algebra

@@ -4603,6 +4603,48 @@ object TextQueries {
       },
       Some(hitsPurgeOracle)),
 
+    // ERASE WINS for the BATCH LAYOUT — the q263 adversarial order on the
+    // hits artifact: appendBatchIfAbsent's skip-if-present idempotence
+    // protects only replays of the SAME batch id; an at-least-once
+    // pipeline re-delivering under a FRESH id — or a probe batch computed
+    // BEFORE the purge and landing after — would resurrect purged
+    // references. Here the test side arrives as three batches (test_id ≡
+    // 0/5/10 mod 15): two land, the purge runs, then the THIRD arrives
+    // late through appendBatchPurged, which anti-joins its content against
+    // the persisted tombstone log — so its pairs referencing purged train
+    // docs never land, and the final artifact hash-equals the
+    // rebuild-on-survivors over the WHOLE test side (q261's oracle shape).
+    "q272_hits_erase_wins_late_batch" -> Q(
+      (s, dir) => {
+        import graft.pipeline.ArtifactStore
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        lazy val idx = graft.operators.Dedup.trainNearDupIndex(
+          d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 16)
+        val trainBands = ArtifactStore.loadOrBuild(s,
+          ArtifactStore.rootFor(dir, "neardup_train_bands_s3_h32_b16_v1"))(idx._1)
+        val trainSigs = ArtifactStore.loadOrBuild(s,
+          ArtifactStore.rootFor(dir, "neardup_train_sigs_s3_h32_b16_v1"))(idx._2)
+        val root = ArtifactStore.rootFor(dir, "neardup_hits_erzl_s3_h32_b16_v1")
+        def probe(m: Int) =
+          graft.operators.Dedup.crossCorpusNearDupFromIndex(
+            trainBands, trainSigs, d.filter(col("doc_id") % 15 === m),
+            "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16,
+            threshold = JaccardThreshold)
+        ArtifactStore.appendBatchIfAbsent(s, root, 0L)(probe(0))
+        ArtifactStore.appendBatchIfAbsent(s, root, 1L)(probe(5))
+        val tomb = d.filter(col("doc_id") % 7 === 1).select("doc_id")
+        graft.pipeline.IndexErasure.purgeBatches(s, root,
+          refCols = Seq("test_id", "train_id"), tombstones = tomb, idCol = "doc_id")
+        // the LATE batch: computed against the standing train index
+        // (including purged docs), delivered under a fresh id AFTER the
+        // purge — the log must keep its purged references out
+        graft.pipeline.IndexErasure.appendBatchPurged(s, root, 2L,
+          refCols = Seq("test_id", "train_id"))(probe(10))
+        ArtifactStore.readBatches(s, root).orderBy("test_id", "train_id")
+      },
+      Some(hitsPurgeOracle)),
+
     // PARTITION-SCOPED semantic dedup — q243's production twin (the shape
     // curation pipelines actually run: "semantic dedup WITHIN source/
     // language"): cells come from the `source` column, so the per-cell

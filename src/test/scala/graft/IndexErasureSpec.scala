@@ -180,6 +180,28 @@ class IndexErasureSpec extends AnyFunSuite with SparkTestSession {
         col("__erased_id") === col("id"), "inner").count() === 0L)
   }
 
+  test("appendBatchPurged: a late batch cannot re-introduce purged references") {
+    import spark.implicits._
+    import graft.pipeline.{ArtifactStore, IndexErasure}
+    val root = s"/tmp/graft-test-erasure/${java.util.UUID.randomUUID().toString.take(8)}/hits"
+    ArtifactStore.appendBatchIfAbsent(spark, root, 0L)(
+      Seq((1L, 10L), (2L, 11L)).toDF("test_id", "train_id"))
+    IndexErasure.purgeBatches(spark, root, Seq("test_id", "train_id"),
+      Seq(11L).toDF("doc_id"), "doc_id")
+    // the late batch was computed before the purge: it still carries a
+    // reference to the purged id 11 — the log must keep that row out
+    IndexErasure.appendBatchPurged(spark, root, 1L, Seq("test_id", "train_id"))(
+      Seq((3L, 11L), (4L, 12L)).toDF("test_id", "train_id"))
+    val got = ArtifactStore.readBatches(spark, root).as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L), (4L, 12L)),
+      "late batch lands only its survivor rows")
+    // re-keyed re-delivery of the same content: batch id fresh again —
+    // content dedup is not this method's job, but purged refs stay out
+    IndexErasure.appendBatchPurged(spark, root, 1L, Seq("test_id", "train_id"))(
+      Seq((3L, 11L), (4L, 12L)).toDF("test_id", "train_id"))
+    assert(ArtifactStore.readBatches(spark, root).count() === 2L, "replay skips")
+  }
+
   test("compactTombstoneLog: one file, same erased set, append still blocked") {
     import spark.implicits._
     val root = freshRoot()
