@@ -67,7 +67,16 @@ final class Sync(
         col("mtime").as("version"))
       index.upsert(vectors)
     }
-    if (goneN > 0) index.delete(gone.select(col("path").as("id")))
+    // erase vanished files AND files whose current content is over-long:
+    // "filtered, not crashed" applies to the INDEX too — an edit that
+    // pushes a previously indexed doc over the token guard supersedes its
+    // old content, so the stale pre-edit vector must not stay retrievable
+    // (it would otherwise live forever: the doc resurfaces in every delta,
+    // is skipped every run, and nothing ever removes the old embedding)
+    val tooLongPaths = guarded.filter(col("n_tokens") >= maxTokens).select("path")
+    if (goneN > 0 || tooLong > 0)
+      index.delete(gone.select(col("path").as("id"))
+        .unionByName(tooLongPaths.select(col("path").as("id"))))
     // … action 3: cache snapshot after — from the cached scan snapshot, minus
     // too-long documents, so skipped docs resurface (and are re-reported) on
     // every run instead of being silently dropped forever. Deleted paths drop
@@ -77,7 +86,6 @@ final class Sync(
     // tombstones next run — upsert and delete are both idempotent
     // (at-least-once, the main.py:185-188 commit-order contract extended to
     // erasure).
-    val tooLongPaths = guarded.filter(col("n_tokens") >= maxTokens).select("path")
     state.write(
       scanMeta.join(tooLongPaths, Seq("path"), "left_anti")
         .select(col("path"), col("mtime").as("last_edit_time")))

@@ -232,4 +232,26 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     val r2 = sync.run(spark)
     assert(r2.changed === 1 && r2.skippedTooLong === 1 && r2.indexed === 0)
   }
+
+  test("Sync: an edit that makes a doc over-long erases its stale vector") {
+    val root  = Files.createTempDirectory("graft_grow")
+    val doc   = root.resolve("doc.md")
+    Files.writeString(doc, "short enough to index")
+    val state = Files.createTempDirectory("graft_s3").resolve("state").toString
+    val index = Files.createTempDirectory("graft_i3").resolve("index").toString
+    val sync = new Sync(root.toString, state, index, HashingEmbedder(8))
+    assert(sync.run(spark).indexed === 1)
+    def indexedIds() = spark.read.parquet(index).select("id")
+      .collect().map(_.getString(0)).toSeq
+    assert(indexedIds().nonEmpty, "the short version must be indexed")
+    // the edit pushes the doc over the token guard: "filtered, not
+    // crashed" must apply to the INDEX too — the superseded pre-edit
+    // embedding cannot stay retrievable
+    Files.writeString(doc, Seq.fill(9000)("w").mkString(" "))
+    java.nio.file.Files.setLastModifiedTime(doc,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+    val r = sync.run(spark)
+    assert(r.skippedTooLong === 1 && r.indexed === 0)
+    assert(indexedIds().isEmpty, "stale pre-edit vector must be erased")
+  }
 }
