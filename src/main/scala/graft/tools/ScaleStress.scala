@@ -235,6 +235,45 @@ object ScaleStress {
       // rows must stay ~flat while the build (printed separately) grows
       // linearly. The harness wall for this chain includes the build; read
       // the [scale-erz] lines for the attribution.
+      // SINGLE-PASS batch purge at FIXED tombstone mass (r18: purgeBatches
+      // is one tagged union-read + touched-only staged rewrites): an
+      // 8-batch range-partitioned hits-like artifact grows with the
+      // factor, the tombstone set stays the BASE corpus's — so at f=1 the
+      // base ids scatter over all 8 batches (all touched) while at f=10
+      // they concentrate in the low-range batch (1 touched of 8): purge
+      // write cost follows TOUCHED mass while the read stays one pass.
+      "erz_purge_fixed" -> ((s, dir) => {
+        import graft.pipeline.{ArtifactStore, IndexErasure}
+        val D = graft.functions.MathFunctions.longDiv _
+        val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+        val baseMax = s.read.parquet(s"$srcDir/documents.parquet")
+          .agg(max("doc_id")).head.getLong(0)
+        val maxId = d.agg(max("doc_id")).head.getLong(0)
+        val span = (maxId + 8L) / 8L
+        val root = ArtifactStore.rootFor(dir, "erz_purge_hits_b8_v2")
+        val tb = System.nanoTime()
+        (0L until 8L).foreach { b =>
+          ArtifactStore.appendBatchIfAbsent(s, root, b)(
+            d.filter(D(col("doc_id"), lit(span)) === b)
+              .select(col("doc_id").as("test_id"),
+                // train ids offset OUT of the doc-id domain so the fixed
+                // tombstone set matches only the test side — the batch
+                // range-locality under test stays visible
+                (pmod(col("doc_id") * 31L, lit(997L)) + 10000000L).as("train_id")))
+        }
+        println(f"[scale-purge] build ${(System.nanoTime() - tb) / 1e9}%.2f s")
+        val tomb = d.filter(col("doc_id") % 97 === 3 && col("doc_id") <= baseMax)
+          .select("doc_id")
+        val tp = System.nanoTime()
+        val manifest = IndexErasure.purgeBatches(s, root,
+          Seq("test_id", "train_id"), tomb, "doc_id")
+        val m = manifest.agg(sum("n_before"), sum("n_removed"),
+          sum(when(col("n_removed") > 0L, 1L).otherwise(0L))).head()
+        println(f"[scale-purge] purge ${(System.nanoTime() - tp) / 1e9}%.2f s  " +
+          f"rows ${m.getLong(0)}%d  removed ${m.getLong(1)}%d  " +
+          f"touched ${m.getLong(2)}%d/8 batches")
+        manifest
+      }),
       "erz_repair_fixed" -> ((s, dir) => {
         import graft.operators.AnnIndex
         import graft.pipeline.{ArtifactStore, IndexErasure}
