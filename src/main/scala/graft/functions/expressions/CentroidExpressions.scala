@@ -28,9 +28,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * to the LOWER index (the struct-ordering tie rule), and the probe order is
   * ascending (distance, index) — exactly `sort_array` over struct(d, i).
   *
-  * Null semantics: null input, a null element, or a vector/centroid length
-  * mismatch ⇒ null (the literal form's dotFused-null propagation, folded to
-  * the whole result).
+  * Null semantics — the ONE deliberate divergence from the literal form:
+  * null input, a null element, or a vector/centroid length mismatch ⇒
+  * NULL. The literal `array_min(array(struct(…)))` formulation silently
+  * assigned such rows to CELL 0 (every per-centroid distance folded to a
+  * null struct field, and null-first struct ordering made array_min pick
+  * index 0) — a malformed embedding quietly joining a real cell's
+  * candidate set. NULL drops the row from every cell join instead, which
+  * is the honest behavior; no fixture or artifact contains such a row
+  * (embedders never emit them), which is why every oracle hash is
+  * unchanged. If a pre-existing artifact ever did, incremental-vs-rebuild
+  * checks would surface the difference loudly rather than inherit cell 0.
   */
 object CentroidKernels {
 

@@ -190,11 +190,15 @@ object IndexErasure {
       spark.read.parquet(st.getPath.toString)
         .withColumn("__batch", lit(st.getPath.getName))
     }.reduce(_ unionByName _)
+    requireNoReservedCols(spark.read.parquet(batches.head.getPath.toString), refCols)
     val dataCols = tagged.columns.filterNot(_ == "__batch")
     // flag rows referencing ANY tombstoned id: one broadcast left join per
-    // reference column (ids are distinct, so joins cannot multiply rows)
+    // reference column (ids are distinct, so joins cannot multiply rows).
+    // ONE distinct tombstone relation, aliased per join — not recomputed
+    // per reference column
+    val tombIds = tombstones.select(col(idCol).as("__t")).distinct()
     val flagged = refCols.zipWithIndex.foldLeft(tagged) { case (acc, (c, i)) =>
-      acc.join(broadcast(tombstones.select(col(idCol).as(s"__t$i")).distinct()),
+      acc.join(broadcast(tombIds.select(col("__t").as(s"__t$i"))),
         acc(c) === col(s"__t$i"), "left")
     }.withColumn("__hit",
       when(refCols.indices.map(i => col(s"__t$i").isNotNull).reduce(_ || _), 1L)
@@ -264,16 +268,37 @@ object IndexErasure {
     * rebuild-on-survivors oracle.
     */
   def appendBatchPurged(spark: SparkSession, root: String, batchId: Long,
-                        refCols: Seq[String])(build: => DataFrame): Unit = {
-    require(refCols.nonEmpty, "appendBatchPurged needs at least one reference column")
-    ArtifactStore.appendBatchIfAbsent(spark, root, batchId) {
-      erasedIds(spark, root).fold(build) { log =>
-        refCols.zipWithIndex.foldLeft(build) { case (acc, (c, i)) =>
-          acc.join(broadcast(log.select(col("__erased_id").as(s"__t$i"))),
-            acc(c) === col(s"__t$i"), "left_anti")
+                        refCols: Seq[String])(build: => DataFrame): Unit =
+    // synchronized on THIS object (the purge lock, not only ArtifactStore's):
+    // an unsynchronized append racing a concurrent purgeBatches could read
+    // the log before the purge writes it AND promote a batch the purge's
+    // batch listing never saw — erased references resurrected through the
+    // gap. Lock order is always IndexErasure → ArtifactStore (never the
+    // reverse), so the nesting cannot deadlock.
+    synchronized {
+      require(refCols.nonEmpty, "appendBatchPurged needs at least one reference column")
+      ArtifactStore.appendBatchIfAbsent(spark, root, batchId) {
+        val b = build
+        requireNoReservedCols(b, refCols)
+        erasedIds(spark, root).fold(b) { log =>
+          refCols.zipWithIndex.foldLeft(b) { case (acc, (c, i)) =>
+            acc.join(broadcast(log.select(col("__erased_id").as(s"__t$i"))),
+              acc(c) === col(s"__t$i"), "left_anti")
+          }
         }
       }
     }
+
+  /** The purge machinery's working column names: a data column named like
+    * one of these would be silently REPLACED by withColumn, not rejected —
+    * fail loudly instead (ADVICE-class silent-corruption guard).
+    */
+  private def requireNoReservedCols(df: DataFrame, refCols: Seq[String]): Unit = {
+    val reserved = df.columns.filter(c =>
+      c == "__batch" || c == "__hit" || c == "__erased_id" ||
+        refCols.indices.exists(i => c == s"__t$i"))
+    require(reserved.isEmpty,
+      s"purge machinery reserves column names ${reserved.mkString(", ")} — rename them")
   }
 
   /** Incremental APPEND — the insert half of the index-maintenance algebra

@@ -55,11 +55,18 @@ final class Sync(
 
     if ((changed == 0 && goneN == 0) || dryRun) { // empty-delta early exit (main.py:149-151)
       delta.unpersist(); scanMeta.unpersist(); gone.unpersist()
-      return Report(scanned, changed, tooLong, 0, 0, dryRun)
+      // a dry run REPORTS pending deletions like it reports pending
+      // changes — returning deleted=0 here would make `--dry-run` print
+      // "no changes" while the next real run erases vectors
+      return Report(scanned, changed, tooLong, 0, goneN, dryRun)
     }
 
-    // actions 1..2: INDEX mutations first (upsert, then erase) …
-    if (changed > 0) {
+    // actions 1..2: INDEX mutations first (upsert, then erase) — each a
+    // full staged rewrite, so both are SKIPPED when they would rewrite
+    // identical content (a permanently over-long doc keeps changed > 0
+    // forever; rewriting the whole index for its zero surviving vectors
+    // every run would be two no-op I/O passes per sync)
+    if (okCount > 0) {
       val vectors = ok.select(
         col("path").as("id"),
         embedder.embed(col("text")).as("embedding"),

@@ -21,15 +21,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StreamingErasure {
 
-  /** Seed `tomb` as `nBatches` single-file batches (split by
-    * `pmod(idCol, nBatches)`), stream them with `maxFilesPerTrigger = 1`,
-    * and repair the partitioned index at `root` once per micro-batch.
-    * `touchedOf` maps a tombstone batch to its touched partition values
-    * (map-side assignment against the standing quantizer).
+  /** The shared tombstone-micro-batch driver: seed `tomb` as `nBatches`
+    * single-file batches (split by `pmod(idCol, nBatches)`), stream them
+    * with `maxFilesPerTrigger = 1`, and run `onBatch` once per non-empty
+    * micro-batch under `Trigger.AvailableNow`. Both erasure topologies —
+    * partitioned-index repair and batch-layout purge — are this driver
+    * with a different per-batch action.
     */
-  def streamRepair(spark: SparkSession, root: String, partCol: String,
-                   idCol: String, tomb: DataFrame, nBatches: Int,
-                   touchedOf: DataFrame => Seq[Long]): Unit = {
+  private def driveTombstones(spark: SparkSession, idCol: String,
+                              tomb: DataFrame, nBatches: Int)(
+      onBatch: DataFrame => Unit): Unit = {
     import org.apache.spark.sql.streaming.Trigger
     val seedRoot = java.nio.file.Files.createTempDirectory("graft_stream_erasure")
     val seedDir = seedRoot.resolve("in").toString
@@ -45,10 +46,7 @@ object StreamingErasure {
       .parquet(seedDir)
     val q = streamed.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          graft.pipeline.IndexErasure.repairErased(
-            spark, root, partCol, touchedOf(batch), idCol, batch)
-        }
+        if (!batch.isEmpty) onBatch(batch)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -56,6 +54,19 @@ object StreamingErasure {
     q.awaitTermination()
     StreamingDrift.deleteTempDir(seedRoot)
   }
+
+  /** Repair the partitioned index at `root` once per tombstone
+    * micro-batch. `touchedOf` maps a batch to its touched partition values
+    * (map-side assignment against the standing quantizer).
+    */
+  def streamRepair(spark: SparkSession, root: String, partCol: String,
+                   idCol: String, tomb: DataFrame, nBatches: Int,
+                   touchedOf: DataFrame => Seq[Long]): Unit =
+    driveTombstones(spark, idCol, tomb, nBatches) { batch =>
+      graft.pipeline.IndexErasure.repairErased(
+        spark, root, partCol, touchedOf(batch), idCol, batch)
+      ()
+    }
 
   /** Stream-driven purge of a BATCH-LAYOUT id-reference artifact —
     * [[graft.pipeline.IndexErasure.purgeBatches]] driven by tombstone
@@ -67,31 +78,9 @@ object StreamingErasure {
     * micro-batching: streamed ≡ one-shot ≡ rebuild-on-survivors.
     */
   def streamPurge(spark: SparkSession, root: String, refCols: Seq[String],
-                  idCol: String, tomb: DataFrame, nBatches: Int): Unit = {
-    import org.apache.spark.sql.streaming.Trigger
-    val seedRoot = java.nio.file.Files.createTempDirectory("graft_stream_purge")
-    val seedDir = seedRoot.resolve("in").toString
-    (0 until nBatches).foreach { m =>
-      tomb.filter(pmod(col(idCol), lit(nBatches.toLong)) === m).coalesce(1)
-        .write.mode("overwrite").parquet(s"$seedDir/b$m")
+                  idCol: String, tomb: DataFrame, nBatches: Int): Unit =
+    driveTombstones(spark, idCol, tomb, nBatches) { batch =>
+      graft.pipeline.IndexErasure.purgeBatches(spark, root, refCols, batch, idCol)
+      ()
     }
-    val streamed = spark.readStream
-      .schema(tomb.schema)
-      .option("maxFilesPerTrigger", 1)
-      .option("recursiveFileLookup", "true")
-      .option("pathGlobFilter", "*.parquet")
-      .parquet(seedDir)
-    val q = streamed.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          graft.pipeline.IndexErasure.purgeBatches(
-            spark, root, refCols, batch, idCol)
-        }
-        ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    StreamingDrift.deleteTempDir(seedRoot)
-  }
 }

@@ -179,11 +179,14 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     val sync = new Sync(root.toString, state, index, HashingEmbedder(8))
     assert(sync.run(spark).indexed === 3)
 
-    // delete a file → dry run REPORTS nothing performed, real run erases
-    // the vector and the cache row (the reference's forever-stale hole)
+    // delete a file → dry run REPORTS the pending deletion (like it
+    // reports pending changes) while performing nothing; the real run
+    // erases the vector and the cache row (the reference's forever-stale
+    // hole)
     Files.delete(root.resolve("sub/b.md"))
     val dry = sync.run(spark, dryRun = true)
-    assert(dry.deleted === 0 && dry.indexed === 0)
+    assert(dry.deleted === 1 && dry.indexed === 0,
+      "dry run must surface the pending deletion, not hide it")
     assert(new VectorIndex(index, 8).read(spark).count() === 3) // untouched
     val r1 = sync.run(spark)
     assert(r1.changed === 0 && r1.deleted === 1)
