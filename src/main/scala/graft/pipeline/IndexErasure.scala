@@ -48,7 +48,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[purgeBatches]] logs its tombstones the same way and
   * [[appendBatchPurged]] filters every late-arriving batch against the
   * log on all reference columns. Re-adding an erased id is an explicit
-  * administrative act (clear its log entry), never an accident of replay.
+  * administrative act — [[clearTombstones]] — never an accident of replay.
   */
 object IndexErasure {
 
@@ -103,8 +103,25 @@ object IndexErasure {
     val f = fs(spark)
     val old = logParts(f, root)
     if (old.length <= 1) return
-    spark.read.parquet(tombLog(root)).select(col("__erased_id")).distinct()
-      .coalesce(1).write.mode("append").parquet(tombLog(root))
+    // read the EXPLICIT file list and write the compacted output to a
+    // SIBLING temp dir, then rename it into the log dir (ADVICE r18: an
+    // append into the directory being read within one action leaned on
+    // Spark's eager listing — a re-resolved scan could pick up the
+    // in-flight output or double-count)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(tombLog(root) + ".compact-" + tag)
+    spark.read.parquet(old.map(_.toString): _*).select(col("__erased_id")).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    // move the compacted part file(s) into the live log dir — from that
+    // moment any read covers the full erased set — and only then drop the
+    // superseded files (superset at every instant; a crash in between
+    // leaves duplicates, absorbed by distinct-on-read)
+    f.listStatus(tmp).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .foreach { s =>
+        val dst = new Path(tombLog(root), s"compact-$tag-${s.getPath.getName}")
+        require(f.rename(s.getPath, dst), s"tombstone-log compaction rename failed: $dst")
+      }
+    f.delete(tmp, true)
     old.foreach(p => f.delete(p, false))
   }
 
@@ -112,10 +129,62 @@ object IndexErasure {
     * or None when no erasure has ever run against it.
     */
   def erasedIds(spark: SparkSession, root: String): Option[DataFrame] = {
+    // gate on the PART FILES, not directory existence, and read the listed
+    // files explicitly (ADVICE r18: a crash after mkdir but before any
+    // parquet commit leaves an empty dir, and a directory read then throws
+    // 'Unable to infer schema' — wedging every subsequent append until
+    // manual cleanup)
+    val parts = logParts(fs(spark), root)
+    if (parts.isEmpty) None
+    else Some(spark.read.parquet(parts.map(_.toString): _*)
+      .select(col("__erased_id")).distinct())
+  }
+
+  /** TOMBSTONE RE-ADMISSION (r18 verdict item 5): remove `ids` from the
+    * persisted tombstone log so they may be indexed again. The header
+    * contract says re-adding an erased id is "an explicit administrative
+    * act" — this is that act as an API; without it an operator would
+    * hand-edit parquet. Returns the number of ids actually cleared.
+    *
+    * Crash direction is the SAFE one at every instant: the remaining
+    * (still-erased) set is renamed into the live log dir BEFORE any old
+    * file drops, so non-cleared ids never lose coverage; a crash before
+    * the old files drop leaves the cleared ids still blocked — the clear
+    * simply hasn't completed, and a re-run converges (idempotent). The
+    * failure mode is "re-admission delayed", never "erasure undone by
+    * accident".
+    *
+    * Clearing does NOT restore rows: it only re-opens the door for a
+    * future [[appendRows]]/[[appendBatchPurged]]/[[IndexMigration.migrate]]
+    * delivery of that id. A replayed append AFTER the clear lands
+    * normally (the re-admission + replay convergence leg in
+    * IndexErasureSpec).
+    */
+  def clearTombstones(spark: SparkSession, root: String, ids: DataFrame,
+                      idCol: String): Long = synchronized {
     val f = fs(spark)
-    if (f.exists(new Path(tombLog(root))))
-      Some(spark.read.parquet(tombLog(root)).select(col("__erased_id")).distinct())
-    else None
+    val old = logParts(f, root)
+    if (old.isEmpty) return 0L
+    val log = spark.read.parquet(old.map(_.toString): _*)
+      .select(col("__erased_id")).distinct().cache()
+    val nBefore = log.count()
+    val remaining = log.join(
+      broadcast(ids.select(col(idCol).as("__erased_id")).distinct()),
+      Seq("__erased_id"), "left_anti")
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(tombLog(root) + ".clear-" + tag)
+    remaining.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val nAfter = spark.read.parquet(tmp.toString).count()
+    log.unpersist()
+    if (nAfter == nBefore) { f.delete(tmp, true); return 0L }
+    f.listStatus(tmp).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .foreach { s =>
+        val dst = new Path(tombLog(root), s"clear-$tag-${s.getPath.getName}")
+        require(f.rename(s.getPath, dst), s"tombstone clear rename failed: $dst")
+      }
+    f.delete(tmp, true)
+    old.foreach(p => f.delete(p, false))
+    nBefore - nAfter
   }
 
   /** Materialize `build` at `root` PARTITIONED BY `partCol` if absent —
@@ -173,24 +242,32 @@ object IndexErasure {
     val f = fs(spark)
     val rootPath = new Path(root)
     require(f.exists(rootPath), s"IndexErasure: no artifact at $root")
-    // log first (same erase-wins order as repairErased): a late batch
-    // appended through appendBatchPurged can then never re-introduce
-    // references to these ids, whatever the delivery order
-    logTombstones(root, idCol, tombstones)
     val batches = f.listStatus(rootPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.matches("b\\d+") &&
         isLive(f, s.getPath.toString))
       .sortBy(_.getPath.getName.drop(1).toLong)
-    if (batches.isEmpty)
+    if (batches.isEmpty) {
+      // nothing to validate and nothing to rewrite, but the erase must
+      // still bind future appends (erase-wins): log, return empty manifest
+      logTombstones(root, idCol, tombstones)
       return Seq.empty[(String, Long, Long, Long)]
         .toDF("batch", "n_before", "n_removed", "n_after")
+    }
     // ONE tagged union-read of every live batch; all downstream actions
-    // are single distributed jobs over it
+    // are single distributed jobs over it. Constructed BEFORE the log
+    // mutates: schema reads happen here, so a corrupt batch aborts a purge
+    // that has no durable side effects yet.
     val tagged = batches.map { st =>
       spark.read.parquet(st.getPath.toString)
         .withColumn("__batch", lit(st.getPath.getName))
     }.reduce(_ unionByName _)
     requireNoReservedCols(spark.read.parquet(batches.head.getPath.toString), refCols)
+    // log only after everything that can abort the purge has passed, but
+    // still BEFORE the rewrite — the erase-wins order (ADVICE r18: logging
+    // first meant a purge rejected for reserved columns still permanently
+    // logged its tombstones, and appendBatchPurged would then silently
+    // filter ids whose purge never ran against the standing batches)
+    logTombstones(root, idCol, tombstones)
     val dataCols = tagged.columns.filterNot(_ == "__batch")
     // flag rows referencing ANY tombstoned id: one broadcast left join per
     // reference column (ids are distinct, so joins cannot multiply rows).

@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import graft.operators.AnnIndex
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** QUANTIZER RETRAIN & INDEX-VERSION MIGRATION (r18 verdict task 1) — the
+  * production lifecycle step the erasure family deliberately pins shut:
+  * [[IndexErasure]]'s Faiss `remove_ids` contract holds the trained
+  * parameters fixed (correct for erasure — rows go, aggregates stand), so
+  * when the embedding distribution DRIFTS (the q206/q207 cell-occupancy
+  * PSI gate fires) nothing repairs the quantizer and the deployment keeps
+  * serving from degraded cells forever. The reference has the same hole
+  * one level up: its index is created once and never re-dimensioned
+  * (`vectrekker/main.py:162-167`).
+  *
+  * [[migrate]] is that repair: retrain the coarse centroids and PQ
+  * codebooks on the CURRENT corpus, re-encode it in ONE distributed pass
+  * under the new quantizer, build the new cell-partitioned index in a
+  * staging sibling, and atomically promote it over the live root
+  * ([[StagedSwap]] — readers see old-complete or new-complete, never a
+  * mix). The version marker (`_graft_index_version`, underscore-prefixed
+  * so parquet discovery skips it) travels INSIDE the index directory, so
+  * promotion and version bump are one rename.
+  *
+  * ERASE WINS ACROSS VERSIONS: the persisted tombstone log
+  * (`<root>.tombstones`) is a SIBLING of the root, so the swap carries it
+  * untouched — and migrate anti-joins the caller's corpus against it
+  * before training AND encoding, so a migration fed a corpus snapshot
+  * that still contains erased ids cannot resurrect them (the same
+  * contract [[IndexErasure.appendRows]] gives appends). Re-admission
+  * stays an explicit administrative act ([[IndexErasure.clearTombstones]]).
+  *
+  * After a migration the OLD quantizer's parameters no longer satisfy
+  * [[IndexErasure.repairErased]]'s completeness precondition (touched
+  * cells must be named under the index's standing assignment) — callers
+  * must repair with [[Migrated.cents]]. The version marker is the
+  * mechanical tripwire: [[version]] lets a deployment detect that its
+  * cached parameters are stale before it mutates.
+  *
+  * Scale shape: training is the [[AnnIndex.kmeansIterate]] /
+  * [[AnnIndex.pqTrainCodebooks]] machinery (map-side argmin kernels,
+  * parameter-sized collects of k·dim / m·ksub·dsub values); the re-encode
+  * is one map pass over the corpus (PqEncode/CentroidArgmin codegen
+  * kernels, no shuffle wider than the partitioned write); the swap is two
+  * renames. Migration wall is proportional to one corpus pass — measured
+  * in docs/PERF_r19.md.
+  */
+object IndexMigration {
+
+  /** The migration record: versions, row mass, and the NEW quantizer
+    * parameters every subsequent repair/append/probe must use.
+    */
+  final case class Migrated(
+      versionBefore: Long, versionAfter: Long,
+      nCorpus: Long, nErasedExcluded: Long, nCells: Long,
+      cents: Array[Seq[Double]], codebooks: Array[Array[Seq[Double]]])
+
+  private def fs(spark: SparkSession): FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  private def markerIn(dir: Path) = new Path(dir, "_graft_index_version")
+
+  /** The index's quantizer version: 1 for a never-migrated index (the
+    * [[IndexErasure.ensurePartitioned]] build writes no marker), else the
+    * marker's value.
+    */
+  def version(spark: SparkSession, root: String): Long = {
+    val f = fs(spark)
+    val m = markerIn(new Path(root))
+    if (!f.exists(m)) 1L
+    else {
+      val in = f.open(m)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Retrain → re-encode → staged swap. `corpus` is the CURRENT raw
+    * corpus (`idCol`, `vecCol`); ids in the root's tombstone log are
+    * excluded from training and encoding. `iters` Lloyd steps refine both
+    * the coarse centroids (lowest-id init — [[AnnIndex.kmeansCentroids]],
+    * deterministic and oracle-mirrorable) and the PQ codebooks.
+    */
+  def migrate(spark: SparkSession, root: String, corpus: DataFrame,
+              idCol: String, vecCol: String,
+              nlist: Int, m: Int, ksub: Int, dim: Int,
+              iters: Int = 1): Migrated = synchronized {
+    val f = fs(spark)
+    require(f.exists(new Path(root, "_SUCCESS")),
+      s"IndexMigration: no live index at $root")
+    val vBefore = version(spark, root)
+    val nRaw = corpus.count()
+    // erase-wins across versions: anti-join the tombstone log BEFORE
+    // training — an erased id must shape neither the new parameters nor
+    // the new index content
+    val survivors = IndexErasure.erasedIds(spark, root).fold(corpus)(t =>
+      corpus.join(broadcast(t), corpus(idCol) === t("__erased_id"), "left_anti"))
+      .cache() // three consumers: centroid train, codebook train, encode
+    val nSurv = survivors.count() // materializes the cache
+    require(nSurv > 0, s"IndexMigration: surviving corpus for $root is empty")
+    val cents = AnnIndex.kmeansCentroids(survivors, vecCol, idCol, nlist, iters)
+    val cbs = AnnIndex.pqTrainCodebooks(survivors, idCol, vecCol, m, ksub, dim, iters)
+    // ONE distributed encode pass under the new quantizer, written
+    // cell-partitioned into a staging sibling (never into the live root)
+    val enc = AnnIndex.pqEncodedCorpus(survivors, idCol, vecCol,
+      m, ksub, dim, nlist, Some(cbs), Some(cents))
+      .select(col(idCol), col("__cell").cast("long").as("cell"), col("__codes"))
+    val tmp = new Path(root + ".tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    enc.write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    val nCells = f.listStatus(tmp).count(s =>
+      s.isDirectory && s.getPath.getName.startsWith("cell="))
+    // stamp the new version INSIDE the staging dir so the marker and the
+    // content promote in the same rename
+    val out = f.create(markerIn(tmp), true)
+    try out.write((vBefore + 1).toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    StagedSwap.swap(f, tmp, new Path(root), new Path(root + ".old"))
+    survivors.unpersist()
+    Migrated(vBefore, vBefore + 1, nSurv, nRaw - nSurv, nCells.toLong, cents, cbs)
+  }
+}

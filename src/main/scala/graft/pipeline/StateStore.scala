@@ -16,9 +16,18 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   */
 final class StateStore(path: String) {
 
+  /** `too_long` is a documented divergence from the reference's two-column
+    * SQLite DDL (`main.py:97-101`): recording that a path's CURRENT content
+    * sits past the token guard lets the next sync's delta skip it (its
+    * mtime is cached like any other file) instead of resurfacing it every
+    * run — which previously forced a no-op full index rewrite per sync for
+    * a permanently over-long doc (ADVICE r18). Nullable so states written
+    * before the column existed read as null (treated as false).
+    */
   val schema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
-    StructField("last_edit_time", LongType, nullable = false)))
+    StructField("last_edit_time", LongType, nullable = false),
+    StructField("too_long", BooleanType, nullable = true)))
 
   def read(spark: SparkSession): DataFrame = {
     val p  = new Path(path)
@@ -36,7 +45,11 @@ final class StateStore(path: String) {
     val tmp   = new Path(path + ".staging")
     val fs    = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    df.select("path", "last_edit_time").write.mode("overwrite").parquet(tmp.toString)
+    val withFlag =
+      if (df.columns.contains("too_long")) df
+      else df.withColumn("too_long", org.apache.spark.sql.functions.lit(false))
+    withFlag.select("path", "last_edit_time", "too_long")
+      .write.mode("overwrite").parquet(tmp.toString)
     StagedSwap.swap(fs, tmp, p, new Path(path + ".old"))
   }
 }

@@ -63,9 +63,7 @@ final class Sync(
 
     // actions 1..2: INDEX mutations first (upsert, then erase) — each a
     // full staged rewrite, so both are SKIPPED when they would rewrite
-    // identical content (a permanently over-long doc keeps changed > 0
-    // forever; rewriting the whole index for its zero surviving vectors
-    // every run would be two no-op I/O passes per sync)
+    // identical content
     if (okCount > 0) {
       val vectors = ok.select(
         col("path").as("id"),
@@ -74,29 +72,45 @@ final class Sync(
         col("mtime").as("version"))
       index.upsert(vectors)
     }
-    // erase vanished files AND files whose current content is over-long:
+    // erase vanished files AND files that NEWLY crossed the token guard:
     // "filtered, not crashed" applies to the INDEX too — an edit that
-    // pushes a previously indexed doc over the token guard supersedes its
-    // old content, so the stale pre-edit vector must not stay retrievable
-    // (it would otherwise live forever: the doc resurfaces in every delta,
-    // is skipped every run, and nothing ever removes the old embedding)
-    val tooLongPaths = guarded.filter(col("n_tokens") >= maxTokens).select("path")
-    if (goneN > 0 || tooLong > 0)
+    // pushes a previously indexed doc over the guard supersedes its old
+    // content, so the stale pre-edit vector must not stay retrievable.
+    // NEWLY is load-bearing (ADVICE r18): a path already recorded too_long
+    // in state holds no vector, so deleting it again would be a no-op full
+    // index rewrite — and since too-long paths are cached with their mtime
+    // (flagged, below), they no longer resurface in the delta at all, so a
+    // permanently over-long doc costs nothing after its first sync.
+    val tooLongPaths = guarded.filter(col("n_tokens") >= maxTokens)
+      .select("path").cache() // three consumers: delete set, state flags, count
+    val newlyTooLong = tooLongPaths.join(
+      stateDf.filter(!coalesce(col("too_long"), lit(false))).select("path"),
+      Seq("path"), "left_semi")
+    val newlyTooLongN = newlyTooLong.count()
+    if (goneN > 0 || newlyTooLongN > 0)
       index.delete(gone.select(col("path").as("id"))
-        .unionByName(tooLongPaths.select(col("path").as("id"))))
-    // … action 3: cache snapshot after — from the cached scan snapshot, minus
-    // too-long documents, so skipped docs resurface (and are re-reported) on
-    // every run instead of being silently dropped forever. Deleted paths drop
-    // out automatically (the snapshot holds only existing files), and the
-    // index-before-cache order keeps the crash contract: a crash between the
-    // index mutations and this write re-derives the same delta AND the same
-    // tombstones next run — upsert and delete are both idempotent
-    // (at-least-once, the main.py:185-188 commit-order contract extended to
-    // erasure).
+        .unionByName(newlyTooLong.select(col("path").as("id"))))
+    // … action 3: cache snapshot after — from the cached scan snapshot.
+    // Too-long documents are recorded WITH their mtime and a too_long flag
+    // (not excluded): the flag is what lets the next run's delta skip them
+    // and what distinguishes "newly crossed the guard" (erase the stale
+    // vector) from "known over-long" (nothing to erase). Unchanged paths
+    // carry their previous flag. Deleted paths drop out automatically (the
+    // snapshot holds only existing files), and the index-before-cache order
+    // keeps the crash contract: a crash between the index mutations and
+    // this write re-derives the same delta AND the same tombstones next run
+    // — upsert and delete are both idempotent (at-least-once, the
+    // main.py:185-188 commit-order contract extended to erasure).
     state.write(
-      scanMeta.join(tooLongPaths, Seq("path"), "left_anti")
-        .select(col("path"), col("mtime").as("last_edit_time")))
-    delta.unpersist(); scanMeta.unpersist(); gone.unpersist()
+      scanMeta
+        .join(tooLongPaths.withColumn("__tl", lit(true)), Seq("path"), "left")
+        .join(ok.select(col("path"), lit(true).as("__ok")), Seq("path"), "left")
+        .join(stateDf.select(col("path"), col("too_long").as("__prev")),
+          Seq("path"), "left")
+        .select(col("path"), col("mtime").as("last_edit_time"),
+          coalesce(col("__tl"), when(col("__ok"), lit(false)), col("__prev"),
+            lit(false)).as("too_long")))
+    delta.unpersist(); scanMeta.unpersist(); gone.unpersist(); tooLongPaths.unpersist()
     Report(scanned, changed, tooLong, okCount, goneN, dryRun)
   }
 }

@@ -369,6 +369,16 @@ object VectorQueries {
   }
   private val cfCte: String =
     s"cf AS (SELECT vec_id, list_transform(generate_series(0, 63), d -> $cvBody) AS v FROM embeddings)"
+  /** [[cfCte]] with `cf` REDEFINED as a filtered subset — every downstream
+    * training CTE ([[cfKmeansCtes]], [[cfRawEncodeCtes]]) is rooted on
+    * `cf`, so re-rooting it makes the WHOLE standing quantizer-training
+    * oracle retrain on the subset verbatim. This is what lets the
+    * migration oracle (q273) express "from-scratch build under the NEW
+    * quantizer" as the unchanged training SQL over the drifted corpus.
+    */
+  private def cfFilteredCte(pred: String): String =
+    s"""cfall AS (SELECT vec_id, list_transform(generate_series(0, 63), d -> $cvBody) AS v FROM embeddings),
+       |cf AS (SELECT vec_id, v FROM cfall WHERE $pred)""".stripMargin
   // cache-lifetime: the OPQ/IVF audit chains (q177/q178/q186) read this
   // corpus from ~10 sequential training/probe/ground-truth consumers, and
   // the 64-expression hash synthesis is the single hottest subtree of both
@@ -2574,6 +2584,49 @@ object VectorQueries {
              |    row_number() OVER (PARTITION BY q_id ORDER BY ${frs("d", 6)}, c_id) AS rn
              |  FROM padist)
              |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin)),
+
+    // QUANTIZER RETRAIN & INDEX-VERSION MIGRATION (r18 verdict task 1) —
+    // the lifecycle step the erasure family pins shut: the drift gate
+    // (q206, cluster_shift) DETECTS a drifted corpus but nothing REPAIRS
+    // the quantizer. Here the deployed v1 index first absorbs a deletion
+    // (tombstones logged), then the corpus drifts (q206's shifted-scenario
+    // fixture: clusters 5–7 vanish), and IndexMigration.migrate retrains
+    // centroids + codebooks on the CURRENT corpus, re-encodes it in one
+    // pass, and staged-swaps the cell-partitioned root — carrying the
+    // tombstone log across versions, so a migration fed a pre-deletion
+    // corpus snapshot cannot resurrect erased ids. The oracle is the
+    // two-sided q248 shape: DuckDB retrains FROM SCRATCH on the drifted
+    // survivor set (the standing training SQL re-rooted on the filtered
+    // corpus — cfFilteredCte) and encodes it; hash equality = migrated ≡
+    // rebuilt under the NEW quantizer.
+    "q273_index_migration" -> Q(
+      (s, dir) => {
+        val cf = clusteredDf(s, dir)
+        val (root, cents) = pqEncPartitioned(s, dir, "pq_enc_raw_cf_part_mig_v1")
+        // a deletion runs against the deployed v1 index first — its ids
+        // must stay gone THROUGH the migration
+        val tomb = cf.filter(col("vec_id") % 32 === 17 && col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("c_id"), col("cvec"))
+        val touched = AnnIndex.ivfAssignTrained(tomb, "c_id", "cvec", cents.toSeq)
+          .select("cell").distinct().collect().map(_.getLong(0)).toSeq // ≤ nlist rows
+        graft.pipeline.IndexErasure.repairErased(s, root, "cell", touched, "c_id", tomb)
+        // the drift: the CURRENT corpus lost clusters 5–7; note the
+        // snapshot still CONTAINS the erased ids (exported pre-deletion —
+        // the at-least-once world) — migrate anti-joins the carried log
+        val current = cf.filter(!(col("vec_id") % 32).isin(5, 6, 7))
+          .select(col("vec_id").as("c_id"), col("cvec"))
+        graft.pipeline.IndexMigration.migrate(s, root, current, "c_id", "cvec",
+          nlist = 32, m = PqM, ksub = PqKsub, dim = 64)
+        readEncExploded(s, root)
+      },
+      Some(s"""WITH ${cfFilteredCte(
+               "vec_id % 32 NOT IN (5, 6, 7) AND NOT (vec_id % 32 = 17 AND vec_id % 3 = 0)")},
+             |$cfKmeansCtes,
+             |$cfRawEncodeCtes
+             |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+             |  CAST(co.j AS BIGINT) AS j, CAST(co.code AS BIGINT) AS code
+             |FROM asg a JOIN pcodes co ON co.vec_id = a.vec_id
+             |ORDER BY 1, 3""".stripMargin)),
   )
 
   /** SQ8 chain over `cf`/`cents`/`asg` (prefix `s`): per-dim min/max params

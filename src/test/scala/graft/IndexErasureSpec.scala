@@ -244,6 +244,41 @@ class IndexErasureSpec extends AnyFunSuite with SparkTestSession {
     assert(got === (0L until 12L).toSet -- Set(1L, 5L, 9L))
   }
 
+  test("erasedIds: an empty tombstone-log dir (crash debris) reads as no erasure") {
+    import spark.implicits._
+    val root = freshRoot()
+    buildFixture(root)
+    // simulate a crash after the log dir's creation but before any parquet
+    // commit (ADVICE r18): dir exists, zero part files — a directory-level
+    // read would throw 'Unable to infer schema' and wedge every append
+    assert(new java.io.File(s"$root.tombstones").mkdirs())
+    assert(IndexErasure.erasedIds(spark, root).isEmpty,
+      "an empty log dir must read as 'no erasure has ever run'")
+    // and appendRows through the same gate must succeed, not throw
+    IndexErasure.appendRows(spark, root, "cell", "id",
+      Seq((100L, 1L, "code-100")).toDF("id", "cell", "payload"))
+    assert(IndexErasure.readPartitioned(spark, root, "cell")
+      .filter(col("id") === 100L).count() === 1L)
+  }
+
+  test("purgeBatches: a purge rejected for reserved columns leaves no tombstone log") {
+    import spark.implicits._
+    import graft.pipeline.{ArtifactStore, IndexErasure}
+    val root = s"/tmp/graft-test-erasure/${java.util.UUID.randomUUID().toString.take(8)}/hits"
+    // data column collides with the purge machinery's working name
+    ArtifactStore.appendBatchIfAbsent(spark, root, 0L)(
+      Seq((1L, 10L)).toDF("test_id", "__hit"))
+    val tomb = Seq(1L).toDF("doc_id")
+    intercept[IllegalArgumentException] {
+      IndexErasure.purgeBatches(spark, root, Seq("test_id"), tomb, "doc_id")
+    }
+    // ADVICE r18: the rejected purge must leave NO durable side effects —
+    // a logged tombstone whose purge never ran would make appendBatchPurged
+    // silently filter ids that still have live references
+    assert(IndexErasure.erasedIds(spark, root).isEmpty,
+      "a purge that aborted before touching any batch must not log tombstones")
+  }
+
   test("repairErased: re-running a partial deletion plan is content-neutral") {
     import spark.implicits._
     val root = freshRoot()

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.pipeline.IndexMigration]]: quantizer retrain → one-pass
+  * re-encode → staged swap, with the tombstone log carried across versions
+  * (erase wins through a migration), the version marker bumping
+  * atomically with the content, and [[graft.pipeline.IndexErasure
+  * .clearTombstones]] as the explicit re-admission act.
+  */
+class IndexMigrationSpec extends AnyFunSuite with SparkTestSession {
+  import graft.operators.AnnIndex
+  import graft.pipeline.{IndexErasure, IndexMigration}
+
+  private def freshRoot(): String =
+    s"/tmp/graft-test-migration/${java.util.UUID.randomUUID().toString.take(8)}/idx"
+
+  /** Deterministic 8-dim integer-valued corpus: 4 well-separated clusters
+    * (vec_id % 4) at centers scaled by 1000, plus small per-id jitter.
+    */
+  private def corpusDf(n: Int) = {
+    import spark.implicits._
+    (0L until n.toLong).map { i =>
+      val c = (i % 4).toDouble
+      val v = (0 until 8).map(d => c * 1000.0 + ((i * 31 + d * 7) % 11).toDouble - 5.0)
+      (i, v)
+    }.toDF("id", "vec")
+  }
+
+  private val (nlist, m, ksub, dim) = (4, 2, 4, 8)
+
+  private def buildIndex(root: String, corpus: org.apache.spark.sql.DataFrame)
+  : Array[Seq[Double]] = {
+    val cents = AnnIndex.kmeansCentroids(corpus, "vec", "id", nlist, 1)
+    val cbs = AnnIndex.pqTrainCodebooks(corpus, "id", "vec", m, ksub, dim, 1)
+    IndexErasure.ensurePartitioned(spark, root, "cell") {
+      AnnIndex.pqEncodedCorpus(corpus, "id", "vec", m, ksub, dim, nlist,
+        Some(cbs), Some(cents))
+        .select(col("id"), col("__cell").cast("long").as("cell"), col("__codes"))
+    }
+    cents
+  }
+
+  private def readIndex(root: String) =
+    IndexErasure.readPartitioned(spark, root, "cell")
+      .select(col("id"), col("cell"),
+        col("__codes").cast("array<long>").as("codes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      .sortBy(_._1).toSeq
+
+  test("migrate: retrained index equals a from-scratch build under the new quantizer") {
+    val root = freshRoot()
+    buildIndex(root, corpusDf(40))
+    assert(IndexMigration.version(spark, root) === 1L)
+    // drift: cluster 3 vanishes, the corpus shrinks — the standing
+    // quantizer (trained on all 4 clusters) is stale
+    val current = corpusDf(40).filter(col("id") % 4 =!= 3)
+    val mig = IndexMigration.migrate(spark, root, current, "id", "vec",
+      nlist, m, ksub, dim)
+    assert(mig.versionBefore === 1L && mig.versionAfter === 2L)
+    assert(IndexMigration.version(spark, root) === 2L)
+    assert(mig.nCorpus === 30L && mig.nErasedExcluded === 0L)
+    // two-sided check: a from-scratch build on a VIRGIN root from the
+    // same current corpus must be content-identical
+    val fresh = freshRoot()
+    buildIndex(fresh, current)
+    assert(readIndex(root) === readIndex(fresh),
+      "migrated index must equal the from-scratch build under the new quantizer")
+  }
+
+  test("migrate: tombstone log carried across versions — erase wins through migration") {
+    import spark.implicits._
+    val root = freshRoot()
+    val corpus = corpusDf(40)
+    val cents = buildIndex(root, corpus)
+    // erase ids 5 and 13 through the deployed index (logs tombstones)
+    val tomb = corpus.filter(col("id").isin(5L, 13L))
+      .select(col("id"), col("vec"))
+    val touched = AnnIndex.ivfAssignTrained(tomb, "id", "vec", cents.toSeq)
+      .select("cell").distinct().collect().map(_.getLong(0)).toSeq
+    IndexErasure.repairErased(spark, root, "cell", touched, "id", tomb)
+    // the migration's corpus snapshot STILL CONTAINS the erased ids (an
+    // at-least-once world: the raw corpus table was exported pre-deletion)
+    val mig = IndexMigration.migrate(spark, root, corpus, "id", "vec",
+      nlist, m, ksub, dim)
+    assert(mig.nErasedExcluded === 2L, "both erased ids excluded from the rebuild")
+    val ids = readIndex(root).map(_._1).toSet
+    assert(!ids.contains(5L) && !ids.contains(13L),
+      "migration must not resurrect erased ids")
+    assert(ids.size === 38)
+    // the log survived the swap: a post-migration append is still bound
+    IndexErasure.appendRows(spark, root, "cell", "id",
+      AnnIndex.pqEncodedCorpus(tomb, "id", "vec", m, ksub, dim, nlist,
+        Some(mig.codebooks), Some(mig.cents))
+        .select(col("id"), col("__cell").cast("long").as("cell"), col("__codes")))
+    assert(!IndexErasure.readPartitioned(spark, root, "cell")
+      .select("id").as[Long].collect().contains(5L),
+      "erase wins over appends after the migration too")
+    // and the migrated assignment is the NEW quantizer's: every id sits in
+    // the cell the new centroids assign (the repairErased completeness
+    // precondition for future deletions)
+    val want = AnnIndex.ivfAssignTrained(
+      corpus.filter(!col("id").isin(5L, 13L)), "id", "vec", mig.cents.toSeq)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    readIndex(root).foreach { case (id, cell, _) =>
+      assert(want(id) === cell, s"id $id must sit in its new-quantizer cell")
+    }
+  }
+
+  test("clearTombstones: re-admission requires the explicit clear; clear + replay converges") {
+    import spark.implicits._
+    val root = freshRoot()
+    val corpus = corpusDf(24)
+    val cents = buildIndex(root, corpus)
+    val tomb = corpus.filter(col("id") === 7L).select(col("id"), col("vec"))
+    val touched = AnnIndex.ivfAssignTrained(tomb, "id", "vec", cents.toSeq)
+      .select("cell").distinct().collect().map(_.getLong(0)).toSeq
+    IndexErasure.repairErased(spark, root, "cell", touched, "id", tomb)
+    val cbs = AnnIndex.pqTrainCodebooks(corpus, "id", "vec", m, ksub, dim, 1)
+    def encoded7() = AnnIndex.pqEncodedCorpus(tomb, "id", "vec", m, ksub, dim,
+      nlist, Some(cbs), Some(cents))
+      .select(col("id"), col("__cell").cast("long").as("cell"), col("__codes"))
+    def liveIds() = IndexErasure.readPartitioned(spark, root, "cell")
+      .select("id").as[Long].collect().toSet
+    // WITHOUT the clear: the append no-ops — re-admission is never an
+    // accident of replay
+    IndexErasure.appendRows(spark, root, "cell", "id", encoded7())
+    assert(!liveIds().contains(7L), "append before the clear must be blocked")
+    // clearing an id not in the log is a no-op and reports 0
+    assert(IndexErasure.clearTombstones(spark, root,
+      Seq(999L).toDF("id"), "id") === 0L)
+    // the explicit administrative act
+    assert(IndexErasure.clearTombstones(spark, root,
+      Seq(7L).toDF("id"), "id") === 1L)
+    // now the same (replayed) append lands
+    IndexErasure.appendRows(spark, root, "cell", "id", encoded7())
+    assert(liveIds().contains(7L), "after the clear the replayed append lands")
+    // and replaying it again still converges (append idempotence)
+    IndexErasure.appendRows(spark, root, "cell", "id", encoded7())
+    assert(IndexErasure.readPartitioned(spark, root, "cell")
+      .filter(col("id") === 7L).count() === 1L, "clear + replay converges")
+  }
+
+  test("clearTombstones: only the named ids clear — others keep their coverage") {
+    import spark.implicits._
+    val root = freshRoot()
+    val corpus = corpusDf(24)
+    val cents = buildIndex(root, corpus)
+    val tomb = corpus.filter(col("id").isin(3L, 7L, 11L)).select(col("id"), col("vec"))
+    val touched = AnnIndex.ivfAssignTrained(tomb, "id", "vec", cents.toSeq)
+      .select("cell").distinct().collect().map(_.getLong(0)).toSeq
+    IndexErasure.repairErased(spark, root, "cell", touched, "id", tomb)
+    assert(IndexErasure.clearTombstones(spark, root, Seq(7L).toDF("id"), "id") === 1L)
+    val remaining = IndexErasure.erasedIds(spark, root).get
+      .collect().map(_.getLong(0)).toSet
+    assert(remaining === Set(3L, 11L), "non-cleared ids keep their log entries")
+  }
+}

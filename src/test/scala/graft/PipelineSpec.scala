@@ -230,10 +230,27 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     val sync = new Sync(root.toString, state, index, HashingEmbedder(8))
     val r = sync.run(spark)
     assert(r.changed === 2 && r.skippedTooLong === 1 && r.indexed === 1)
-    // skipped docs are excluded from the state snapshot, so they resurface
-    // (and are re-reported) on every run rather than vanishing silently
+    // skipped docs are recorded in state with a too_long flag (ADVICE r18):
+    // they no longer resurface in the delta every run — which previously
+    // forced a no-op full index rewrite per sync — so an unchanged corpus
+    // now takes the empty-delta early exit and the index files never move
+    val idxDir  = java.nio.file.Paths.get(index)
+    val before  = java.nio.file.Files.getLastModifiedTime(idxDir)
     val r2 = sync.run(spark)
-    assert(r2.changed === 1 && r2.skippedTooLong === 1 && r2.indexed === 0)
+    assert(r2.changed === 0 && r2.skippedTooLong === 0 && r2.indexed === 0)
+    assert(java.nio.file.Files.getLastModifiedTime(idxDir) === before,
+      "an unchanged corpus with a known over-long doc must not rewrite the index")
+    assert(new StateStore(state).read(spark)
+      .filter(org.apache.spark.sql.functions.col("too_long")).count() === 1)
+    // an over-long doc EDITED back under the guard re-enters the delta
+    // (its cached mtime is real, so strict-> fires) and gets indexed
+    Files.writeString(root.resolve("long.md"), "now short")
+    java.nio.file.Files.setLastModifiedTime(root.resolve("long.md"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+    val r3 = sync.run(spark)
+    assert(r3.changed === 1 && r3.skippedTooLong === 0 && r3.indexed === 1)
+    assert(new StateStore(state).read(spark)
+      .filter(org.apache.spark.sql.functions.col("too_long")).count() === 0)
   }
 
   test("Sync: an edit that makes a doc over-long erases its stale vector") {
