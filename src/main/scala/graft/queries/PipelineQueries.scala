@@ -17,6 +17,82 @@ import scala.collection.immutable.ListMap
   */
 object PipelineQueries {
 
+  private def frs(e: String, n: Int): String =
+    graft.functions.MathFunctions.floorRoundSql(e, n)
+
+  /** The q62 poly-hash bucket (HashingEmbedder's SQL mirror) of token `w`
+    * at dim 64.
+    */
+  private def polyBucket(w: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, length($w)),
+       |        i -> CAST(ascii(substr($w, CAST(i AS INTEGER), 1)) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) % 64""".stripMargin
+
+  /** Shared CTEs of the chunk-retrieval family (q274/q275/q276): 25 LONG
+    * documents (deterministic concat of the fixture docs by doc_id % 25 —
+    * ~1k tokens each at sf0.01, ~11k at sf0.1, past the reference's 8191
+    * guard), 5 snippet queries (32 tokens from DEEP inside their source
+    * doc, past the first chunk window), the 64/48 chunk decomposition
+    * (q38's oracle), per-chunk and per-query hashing-embedder bucket
+    * counts (q62's oracle), and the exact (query, doc, chunk) cosine
+    * relation `sims`. Integer bucket counts → exact dots; shared-norm
+    * division floor-rounds identically in both engines.
+    */
+  private val chunkRetrievalCtes: String =
+    s"""ld AS (
+       |  SELECT doc_id % 25 AS doc_id, string_agg(text, ' ' ORDER BY doc_id) AS text
+       |  FROM documents GROUP BY 1),
+       |qs AS (
+       |  SELECT doc_id AS q_id,
+       |    array_to_string((string_split(text, ' '))[257:288], ' ') AS q_text
+       |  FROM ld WHERE doc_id % 5 = 2),
+       |ct AS (
+       |  SELECT doc_id, toks, unnest(generate_series(0,
+       |    CAST(floor((greatest(0, len(toks)-64) + 47) / CAST(48 AS DOUBLE)) AS BIGINT))) AS chunk_id
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM ld)),
+       |cc AS (
+       |  SELECT doc_id, chunk_id, bucket, count(*) AS n FROM (
+       |    SELECT doc_id, chunk_id, ${polyBucket("w")} AS bucket FROM (
+       |      SELECT doc_id, chunk_id, unnest(toks[chunk_id*48+1 : chunk_id*48+64]) AS w FROM ct))
+       |  GROUP BY 1, 2, 3),
+       |cn AS (SELECT doc_id, chunk_id, sqrt(CAST(sum(n*n) AS DOUBLE)) AS nrm
+       |  FROM cc GROUP BY 1, 2),
+       |qc AS (
+       |  SELECT q_id, bucket, count(*) AS n FROM (
+       |    SELECT q_id, ${polyBucket("w")} AS bucket FROM (
+       |      SELECT q_id, unnest(string_split(q_text, ' ')) AS w FROM qs))
+       |  GROUP BY 1, 2),
+       |qn AS (SELECT q_id, sqrt(CAST(sum(n*n) AS DOUBLE)) AS nrm FROM qc GROUP BY 1),
+       |cdots AS (
+       |  SELECT qc.q_id, cc.doc_id, cc.chunk_id, CAST(sum(cc.n * qc.n) AS DOUBLE) AS dot
+       |  FROM cc JOIN qc USING (bucket) GROUP BY 1, 2, 3),
+       |sims AS (
+       |  SELECT n.q_id, c.doc_id, c.chunk_id,
+       |    ${frs("coalesce(d.dot, CAST(0 AS DOUBLE)) / (c.nrm * n.nrm)", 6)} AS sim
+       |  FROM cn c CROSS JOIN qn n
+       |  LEFT JOIN cdots d ON d.q_id = n.q_id AND d.doc_id = c.doc_id AND d.chunk_id = c.chunk_id
+       |  WHERE c.nrm > 0 AND n.nrm > 0)""".stripMargin
+
+  /** The long-doc corpus + snippet queries, Spark side — shared by the
+    * chunk-retrieval family. Concat order is pinned by array_sort over
+    * (doc_id, text) structs, mirroring string_agg(... ORDER BY doc_id).
+    */
+  private def longDocsAndQueries(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val grouped = Tables.documents(s, dir)
+      .select(pmod(col("doc_id"), lit(25L)).as("g"),
+        struct(col("doc_id"), col("text")).as("st"))
+    val ldocs = grouped.groupBy("g")
+      .agg(array_join(
+        transform(array_sort(collect_list(col("st"))), x => x.getField("text")),
+        " ").as("text"))
+      .select(col("g").as("doc_id"), col("text"))
+    val qs = ldocs.filter(pmod(col("doc_id"), lit(5L)) === 2L)
+      .select(col("doc_id").as("q_id"),
+        array_join(slice(split(col("text"), " "), 257, 32), " ").as("q_text"))
+    (ldocs, qs)
+  }
+
   def all: ListMap[String, Q] = ListMap(
     "q29_upsert_merge" -> Q(
       (s, dir) => {
@@ -300,5 +376,196 @@ object PipelineQueries {
              |  ${graft.functions.MathFunctions.floorRoundSql("nrm", 6)} AS raw_norm,
              |  ${graft.functions.MathFunctions.floorRoundSql("mx / nrm", 6)} AS max_component
              |FROM st ORDER BY doc_id""".stripMargin)),
+
+    // CHUNK-GRANULAR RETRIEVAL (r18 verdict task 2) — the splitting TODO
+    // (main.py:177) completed END TO END: q38 chunks, this retrieves BY
+    // chunk. 25 synthetic long documents (concat of fixture docs — past
+    // the reference's 8191-token guard at sf0.1, so the whole-doc pipeline
+    // cannot index them at all); 5 queries are 32-token snippets from DEEP
+    // inside their source doc (past the first chunk window). Chunk → embed
+    // → cosine → DOC-level top-3 by max-over-chunk-scores with the winning
+    // window named. The oracle mirrors every stage: q38's chunk windows,
+    // q62's poly-hash embedding, window max, rank — hash-checked.
+    "q274_chunk_retrieval" -> Q(
+      (s, dir) => {
+        val (ldocs, qs) = longDocsAndQueries(s, dir)
+        graft.operators.ChunkRetrieval.chunkDocTopK(qs, "q_id", "q_text",
+          ldocs, "doc_id", "text", chunkTokens = 64, overlap = 16,
+          embDim = 64, k = 3)
+      },
+      Some(s"""WITH $chunkRetrievalCtes,
+             |best AS (
+             |  SELECT q_id, doc_id, chunk_id, sim,
+             |    row_number() OVER (PARTITION BY q_id, doc_id
+             |      ORDER BY sim DESC, chunk_id) AS cr
+             |  FROM sims)
+             |SELECT q_id, doc_id, CAST(best_chunk AS BIGINT) AS best_chunk,
+             |  score, CAST(rn AS BIGINT) AS rn
+             |FROM (
+             |  SELECT q_id, doc_id, chunk_id AS best_chunk, sim AS score,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS rn
+             |  FROM best WHERE cr = 1)
+             |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin)),
+
+    // The chunk-vs-whole-doc EVAL (q228-style): per method and query, the
+    // RANK the method gives the snippet's true source doc, and the score
+    // it assigns it (0/0 = unreachable). Three methods: chunk_max (q274's
+    // retrieval), whole_doc (one embedding of the full long doc — legal
+    // but DILUTED: a 32-token snippet against an 11k-token bag), and
+    // whole_doc_guarded (the reference's actual pipeline: docs past the
+    // 8191-token guard are never indexed — at sf0.1 every long doc is
+    // guarded out and the truth is UNREACHABLE, rank 0). The row the
+    // verdict asked for: chunk retrieval beats whole-doc embedding for
+    // docs past the token guard.
+    "q275_chunk_vs_wholedoc_eval" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val (ldocs, qs) = longDocsAndQueries(s, dir)
+        def rankOfTruth(rel: org.apache.spark.sql.DataFrame, method: String) = {
+          val w = Window.partitionBy(col("q_id")).orderBy(desc("score"), col("doc_id"))
+          val ranked = rel.withColumn("rn", row_number().over(w).cast("long"))
+          qs.select("q_id")
+            .join(ranked.filter(col("doc_id") === col("q_id")), Seq("q_id"), "left")
+            .select(lit(method).as("method"), col("q_id"),
+              coalesce(col("rn"), lit(0L)).as("rank_of_truth"),
+              coalesce(col("score"), lit(0.0)).as("truth_score"))
+        }
+        def docScores(docs: org.apache.spark.sql.DataFrame, chunkTokens: Int) =
+          graft.operators.ChunkRetrieval.chunkScores(qs, "q_id", "q_text",
+            docs, "doc_id", "text", chunkTokens, overlap = 0, embDim = 64,
+            roundTo = 6)
+            .groupBy("q_id", "doc_id").agg(max(col("__sim")).as("score"))
+        // chunk retrieval uses the q274 windows; whole-doc is the
+        // degenerate one-chunk-per-doc case of the same scorer
+        val chunkRel = graft.operators.ChunkRetrieval.chunkScores(qs, "q_id", "q_text",
+          ldocs, "doc_id", "text", chunkTokens = 64, overlap = 16,
+          embDim = 64, roundTo = 6)
+          .groupBy("q_id", "doc_id").agg(max(col("__sim")).as("score"))
+        val wholeRel = docScores(ldocs, chunkTokens = 1000000)
+        val guardedRel = docScores(
+          ldocs.filter(size(split(col("text"), " ")) < 8191), chunkTokens = 1000000)
+        rankOfTruth(chunkRel, "chunk_max")
+          .unionByName(rankOfTruth(wholeRel, "whole_doc"))
+          .unionByName(rankOfTruth(guardedRel, "whole_doc_guarded"))
+          .orderBy("method", "q_id")
+      },
+      Some(s"""WITH $chunkRetrievalCtes,
+             |cmax AS (SELECT q_id, doc_id, max(sim) AS score FROM sims GROUP BY 1, 2),
+             |crank AS (SELECT q_id, doc_id, score,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn
+             |  FROM cmax),
+             |dtok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM ld),
+             |dc AS (
+             |  SELECT doc_id, bucket, count(*) AS n FROM (
+             |    SELECT doc_id, ${polyBucket("w")} AS bucket FROM (
+             |      SELECT doc_id, unnest(toks) AS w FROM dtok))
+             |  GROUP BY 1, 2),
+             |dn AS (SELECT doc_id, sqrt(CAST(sum(n*n) AS DOUBLE)) AS nrm FROM dc GROUP BY 1),
+             |wdots AS (
+             |  SELECT qc.q_id, dc.doc_id, CAST(sum(dc.n * qc.n) AS DOUBLE) AS dot
+             |  FROM dc JOIN qc USING (bucket) GROUP BY 1, 2),
+             |wsims AS (
+             |  SELECT n.q_id, d.doc_id,
+             |    ${frs("coalesce(w.dot, CAST(0 AS DOUBLE)) / (d.nrm * n.nrm)", 6)} AS score
+             |  FROM dn d CROSS JOIN qn n
+             |  LEFT JOIN wdots w ON w.q_id = n.q_id AND w.doc_id = d.doc_id
+             |  WHERE d.nrm > 0 AND n.nrm > 0),
+             |wrank AS (SELECT q_id, doc_id, score,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn
+             |  FROM wsims),
+             |grank AS (SELECT q_id, doc_id, score,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn
+             |  FROM wsims WHERE doc_id IN (SELECT doc_id FROM dtok WHERE len(toks) < 8191))
+             |SELECT method, q_id, rank_of_truth, truth_score FROM (
+             |  SELECT 'chunk_max' AS method, q.q_id,
+             |    CAST(coalesce(r.rn, 0) AS BIGINT) AS rank_of_truth,
+             |    coalesce(r.score, CAST(0 AS DOUBLE)) AS truth_score
+             |  FROM qs q LEFT JOIN crank r ON r.q_id = q.q_id AND r.doc_id = q.q_id
+             |  UNION ALL
+             |  SELECT 'whole_doc', q.q_id, CAST(coalesce(r.rn, 0) AS BIGINT),
+             |    coalesce(r.score, CAST(0 AS DOUBLE))
+             |  FROM qs q LEFT JOIN wrank r ON r.q_id = q.q_id AND r.doc_id = q.q_id
+             |  UNION ALL
+             |  SELECT 'whole_doc_guarded', q.q_id, CAST(coalesce(r.rn, 0) AS BIGINT),
+             |    coalesce(r.score, CAST(0 AS DOUBLE))
+             |  FROM qs q LEFT JOIN grank r ON r.q_id = q.q_id AND r.doc_id = q.q_id)
+             |ORDER BY method, q_id""".stripMargin)),
+
+    // ANN OVER CHUNKS — the scale path of q274: chunk candidates from the
+    // sign-hyperplane LSH buckets (query bucket + hamming-1 multiprobe,
+    // q27's machinery over the CHUNK relation) instead of the exact
+    // cross-score; a 50-chunk shortlist per query competes in the same
+    // doc-max finish. The oracle mirrors the bucket assignment (10 planes,
+    // the integer-hash components), the hamming-≤1 candidate join, the
+    // shortlist rank (chunk-key tiebreak), and the doc-level windows.
+    "q276_chunk_retrieval_ann" -> Q(
+      (s, dir) => {
+        val (ldocs, qs) = longDocsAndQueries(s, dir)
+        graft.operators.ChunkRetrieval.chunkDocTopKLsh(qs, "q_id", "q_text",
+          ldocs, "doc_id", "text", chunkTokens = 64, overlap = 16,
+          embDim = 64, k = 3, nbits = 10, chunkShortlist = 50)
+      },
+      Some(s"""WITH $chunkRetrievalCtes,
+             |ckeys AS (SELECT DISTINCT doc_id, chunk_id FROM cc),
+             |cv AS (
+             |  SELECT doc_id, chunk_id, list(CAST(coalesce(n, 0) AS DOUBLE) ORDER BY b) AS v
+             |  FROM (
+             |    SELECT k.doc_id, k.chunk_id, b.b, c2.n
+             |    FROM ckeys k
+             |    CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+             |    LEFT JOIN cc c2 ON c2.doc_id = k.doc_id AND c2.chunk_id = k.chunk_id
+             |      AND c2.bucket = b.b)
+             |  GROUP BY 1, 2),
+             |qv AS (
+             |  SELECT q_id, list(CAST(coalesce(n, 0) AS DOUBLE) ORDER BY b) AS v
+             |  FROM (
+             |    SELECT k.q_id, b.b, q2.n
+             |    FROM (SELECT DISTINCT q_id FROM qc) k
+             |    CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+             |    LEFT JOIN qc q2 ON q2.q_id = k.q_id AND q2.bucket = b.b)
+             |  GROUP BY 1),
+             |planes AS (
+             |  SELECT list(list_transform(generate_series(0, 63), d ->
+             |      CAST(((j*64+d+1)*(j*64+d+1) * 2654435761 + 97*(j*64+d+1) + 12345) % 1000003
+             |        - 501001 AS DOUBLE)) ORDER BY j) AS ws
+             |  FROM (SELECT unnest(generate_series(0, 9)) AS j)),
+             |cbk AS (
+             |  SELECT doc_id, chunk_id, v,
+             |    list_sum(list_transform(generate_series(1, 10),
+             |      j -> CASE WHEN list_inner_product(v, planes.ws[j]) >= CAST(0.0 AS DOUBLE)
+             |           THEN (CAST(1 AS BIGINT) << (j-1)) ELSE CAST(0 AS BIGINT) END)) AS bucket
+             |  FROM cv, planes),
+             |qbk AS (
+             |  SELECT q_id, v,
+             |    list_sum(list_transform(generate_series(1, 10),
+             |      j -> CASE WHEN list_inner_product(v, planes.ws[j]) >= CAST(0.0 AS DOUBLE)
+             |           THEN (CAST(1 AS BIGINT) << (j-1)) ELSE CAST(0 AS BIGINT) END)) AS bucket
+             |  FROM qv, planes),
+             |cand AS (
+             |  SELECT q.q_id, c.doc_id, c.chunk_id, q.v AS qvv, c.v AS cvv
+             |  FROM qbk q JOIN cbk c ON bit_count(xor(q.bucket, c.bucket)) <= 1
+             |  WHERE list_sum(list_transform(q.v, x -> x*x)) > 0
+             |    AND list_sum(list_transform(c.v, x -> x*x)) > 0),
+             |shortl AS (
+             |  SELECT q_id, doc_id, chunk_id, sim FROM (
+             |    SELECT q_id, doc_id, chunk_id,
+             |      ${frs("list_cosine_similarity(qvv, cvv)", 6)} AS sim,
+             |      row_number() OVER (PARTITION BY q_id
+             |        ORDER BY ${frs("list_cosine_similarity(qvv, cvv)", 6)} DESC,
+             |          doc_id * 1000000 + chunk_id) AS srn
+             |    FROM cand)
+             |  WHERE srn <= 50),
+             |best AS (
+             |  SELECT q_id, doc_id, chunk_id, sim,
+             |    row_number() OVER (PARTITION BY q_id, doc_id
+             |      ORDER BY sim DESC, chunk_id) AS cr
+             |  FROM shortl)
+             |SELECT q_id, doc_id, CAST(best_chunk AS BIGINT) AS best_chunk,
+             |  score, CAST(rn AS BIGINT) AS rn
+             |FROM (
+             |  SELECT q_id, doc_id, chunk_id AS best_chunk, sim AS score,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS rn
+             |  FROM best WHERE cr = 1)
+             |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin)),
   )
 }
