@@ -25,8 +25,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * atomically promoted ([[StagedSwap]]); presence of the directory with its
   * `_SUCCESS` marker is the only validity test, so a killed build leaves a
   * `.tmp` that the next build clears, never a half-readable live dir.
-  * All mutation is `synchronized` — sbt runs test suites concurrently in
-  * one JVM and two suites may race to build the same key.
+  * All mutation is `synchronized` (sbt runs test suites concurrently in
+  * one JVM and two suites may race to build the same key) AND serialized
+  * cross-process by the root's [[FsLock]] lock file — two PROCESSES
+  * mutating one root take turns; a dead holder's lock goes stale and is
+  * broken by rename arbitration.
   */
 object ArtifactStore {
 
@@ -133,14 +136,14 @@ object ArtifactStore {
     * neither reads nor trips over it.
     */
   def loadOrBuild(spark: SparkSession, root: String)(build: => DataFrame): DataFrame =
-    synchronized {
+    FsLock.withLock(fs(spark), root)(synchronized {
       val f = fs(spark)
       if (!isLive(f, root)) {
         gcStaleGenerations(f, root)
         buildAndPromote(f, root, build)
       }
       spark.read.parquet(root)
-    }
+    })
 
   /** Best-effort retention sweep (round-12 backlog item 1): every fixture
     * regeneration keys a NEW `<dir>-<fingerprint>` subtree, and the old
@@ -201,14 +204,19 @@ object ArtifactStore {
     * short-circuit).
     */
   def appendBatchIfAbsent(spark: SparkSession, root: String, batchId: Long)(
-      build: => DataFrame): Unit = synchronized {
-    val f = fs(spark)
-    val live = s"$root/b$batchId"
-    if (!isLive(f, live)) {
-      gcStaleGenerations(f, root) // root = <base>/<gen>/<name>: same levels
-      buildAndPromote(f, live, build)
-    }
-  }
+      build: => DataFrame): Unit =
+    // FsLock on the artifact ROOT (not the batch dir): a concurrent
+    // purgeBatches lists and rewrites batches under the same root, and the
+    // erase-wins contract needs append and purge to serialize as wholes —
+    // cross-process too, not only in this JVM (r18 verdict task 4)
+    FsLock.withLock(fs(spark), root)(synchronized {
+      val f = fs(spark)
+      val live = s"$root/b$batchId"
+      if (!isLive(f, live)) {
+        gcStaleGenerations(f, root) // root = <base>/<gen>/<name>: same levels
+        buildAndPromote(f, live, build)
+      }
+    })
 
   /** Union of every live batch under `root`, in batch-id order (order is
     * cosmetic — consumers aggregate). Fails loudly on zero batches: an

@@ -36,7 +36,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * dot-prefixed (`.spark-staging-*`), which Hadoop listing skips. A cell
   * whose every row is tombstoned can't ride dynamic overwrite (no rows →
   * no partition written) — its directory is deleted explicitly. All
-  * mutation is `synchronized` against this object, same contract as
+  * mutation is `synchronized` against this object AND serialized
+  * cross-process by the root's [[FsLock]] lock file, same contract as
   * [[ArtifactStore]].
   *
   * ERASE WINS under replay: every repair appends its tombstoned ids to a
@@ -57,6 +58,16 @@ object IndexErasure {
 
   private def isLive(f: FileSystem, root: String): Boolean =
     f.exists(new Path(root, "_SUCCESS"))
+
+  /** FsLock (cross-process) OUTSIDE, JVM monitor inside — the global lock
+    * order (FsLock → monitor) that makes the nested
+    * [[appendBatchPurged]] → [[ArtifactStore.appendBatchIfAbsent]] path
+    * deadlock-free: a thread spinning on the file lock never holds a
+    * monitor the lock holder needs, and a thread that already holds the
+    * root's file lock re-enters it (per-thread re-entrancy in [[FsLock]]).
+    */
+  private def locked[T](spark: SparkSession, root: String)(body: => T): T =
+    FsLock.withLock(fs(spark), root)(synchronized(body))
 
   /** Sibling tombstone log for the index at `root` — the persisted erased
     * set consulted by [[appendRows]]. A sibling (not a child) so partition
@@ -99,7 +110,7 @@ object IndexErasure {
     * mid-delete leaves duplicates, which the distinct-on-read absorbs.
     * Idempotent; also runs automatically past [[TombLogCompactFiles]].
     */
-  def compactTombstoneLog(spark: SparkSession, root: String): Unit = synchronized {
+  def compactTombstoneLog(spark: SparkSession, root: String): Unit = locked(spark, root) {
     val f = fs(spark)
     val old = logParts(f, root)
     if (old.length <= 1) return
@@ -161,7 +172,7 @@ object IndexErasure {
     * IndexErasureSpec).
     */
   def clearTombstones(spark: SparkSession, root: String, ids: DataFrame,
-                      idCol: String): Long = synchronized {
+                      idCol: String): Long = locked(spark, root) {
     val f = fs(spark)
     val old = logParts(f, root)
     if (old.isEmpty) return 0L
@@ -192,7 +203,7 @@ object IndexErasure {
     * subdirectory per coarse-key value, staged and atomically promoted.
     */
   def ensurePartitioned(spark: SparkSession, root: String, partCol: String)(
-      build: => DataFrame): Unit = synchronized {
+      build: => DataFrame): Unit = locked(spark, root) {
     val f = fs(spark)
     if (!isLive(f, root)) {
       val tmp = new Path(root + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
@@ -236,7 +247,7 @@ object IndexErasure {
     * rewrites nothing, and reports n_removed = 0 everywhere.
     */
   def purgeBatches(spark: SparkSession, root: String, refCols: Seq[String],
-                   tombstones: DataFrame, idCol: String): DataFrame = synchronized {
+                   tombstones: DataFrame, idCol: String): DataFrame = locked(spark, root) {
     import spark.implicits._
     require(refCols.nonEmpty, "purgeBatches needs at least one reference column")
     val f = fs(spark)
@@ -346,13 +357,15 @@ object IndexErasure {
     */
   def appendBatchPurged(spark: SparkSession, root: String, batchId: Long,
                         refCols: Seq[String])(build: => DataFrame): Unit =
-    // synchronized on THIS object (the purge lock, not only ArtifactStore's):
-    // an unsynchronized append racing a concurrent purgeBatches could read
-    // the log before the purge writes it AND promote a batch the purge's
-    // batch listing never saw — erased references resurrected through the
-    // gap. Lock order is always IndexErasure → ArtifactStore (never the
-    // reverse), so the nesting cannot deadlock.
-    synchronized {
+    // locked on THIS object + the root's FsLock (the purge lock, not only
+    // ArtifactStore's): an unsynchronized append racing a concurrent
+    // purgeBatches — in this JVM or another PROCESS — could read the log
+    // before the purge writes it AND promote a batch the purge's batch
+    // listing never saw — erased references resurrected through the gap.
+    // Lock order is always FsLock → IndexErasure → ArtifactStore (never
+    // the reverse), so the nesting cannot deadlock; the nested
+    // appendBatchIfAbsent re-enters the same thread's held FsLock.
+    locked(spark, root) {
       require(refCols.nonEmpty, "appendBatchPurged needs at least one reference column")
       ArtifactStore.appendBatchIfAbsent(spark, root, batchId) {
         val b = build
@@ -397,7 +410,7 @@ object IndexErasure {
     * (erased ids, not corpus-sized).
     */
   def appendRows(spark: SparkSession, root: String, partCol: String,
-                 idCol: String, rows0: DataFrame): Unit = synchronized {
+                 idCol: String, rows0: DataFrame): Unit = locked(spark, root) {
     val f = fs(spark)
     require(isLive(f, root), s"IndexErasure: no live index at $root")
     val rows = erasedIds(spark, root).fold(rows0)(t =>
@@ -454,7 +467,7 @@ object IndexErasure {
     */
   def repairErased(spark: SparkSession, root: String, partCol: String,
                    touched: Seq[Long], idCol: String,
-                   tombstones: DataFrame): DataFrame = synchronized {
+                   tombstones: DataFrame): DataFrame = locked(spark, root) {
     import spark.implicits._
     val f = fs(spark)
     require(isLive(f, root), s"IndexErasure: no live index at $root")

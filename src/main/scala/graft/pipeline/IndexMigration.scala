@@ -87,7 +87,7 @@ object IndexMigration {
   def migrate(spark: SparkSession, root: String, corpus: DataFrame,
               idCol: String, vecCol: String,
               nlist: Int, m: Int, ksub: Int, dim: Int,
-              iters: Int = 1): Migrated = synchronized {
+              iters: Int = 1): Migrated = FsLock.withLock(fs(spark), root)(synchronized {
     val f = fs(spark)
     require(f.exists(new Path(root, "_SUCCESS")),
       s"IndexMigration: no live index at $root")
@@ -122,5 +122,5 @@ object IndexMigration {
     StagedSwap.swap(f, tmp, new Path(root), new Path(root + ".old"))
     survivors.unpersist()
     Migrated(vBefore, vBefore + 1, nSurv, nRaw - nSurv, nCells.toLong, cents, cbs)
-  }
+  })
 }

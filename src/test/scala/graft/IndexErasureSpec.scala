@@ -279,6 +279,60 @@ class IndexErasureSpec extends AnyFunSuite with SparkTestSession {
       "a purge that aborted before touching any batch must not log tombstones")
   }
 
+  test("cross-process purge/append race: a racing append cannot resurrect purged refs") {
+    import spark.implicits._
+    import graft.pipeline.{ArtifactStore, IndexErasure}
+    // r18 verdict task 4: the in-JVM `synchronized` cannot serialize two
+    // PROCESSES — without the FsLock protocol a child-JVM append could
+    // read the empty tombstone log AND promote its batch after the purge's
+    // listing, resurrecting the purged id through the gap. The schedule
+    // below is exactly that adversarial window: ONE mid-stream purge, NO
+    // post-child purge — any surviving 42-reference is a lock failure.
+    val dir = java.nio.file.Files.createTempDirectory("graft_purge_race").toString
+    val root = s"$dir/hits"
+    ArtifactStore.appendBatchIfAbsent(spark, root, 0L)(
+      Seq((42L, 7L), (50L, 9L)).toDF("test_id", "train_id"))
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    def codeSource(c: Class[_]): String =
+      new java.io.File(c.getProtectionDomain.getCodeSource.getLocation.toURI).getPath
+    val cp = Seq(
+      codeSource(classOf[PurgeRaceChild.type]),
+      codeSource(graft.pipeline.IndexErasure.getClass),
+      codeSource(classOf[scala.Option[_]]),
+      "/opt/spark/jars/*").mkString(":")
+    val rep = s"$dir/rep"
+    val nBatches = 10
+    val proc = new ProcessBuilder(javaBin, "-Xmx2g", "-cp", cp,
+      "graft.PurgeRaceChild", root, nBatches.toString, rep)
+      .redirectErrorStream(true).redirectOutput(new java.io.File(s"$dir/child.log"))
+      .start()
+    // wait until the child has demonstrably started appending, then purge
+    // ONCE, mid-stream
+    def liveBatches() = new java.io.File(root).listFiles() match {
+      case null => 0
+      case fsx => fsx.count(f => f.isDirectory && f.getName.matches("b\\d+") &&
+        new java.io.File(f, "_SUCCESS").exists())
+    }
+    val t0 = System.currentTimeMillis()
+    while (liveBatches() < 3 && proc.isAlive &&
+      System.currentTimeMillis() - t0 < 120000) Thread.sleep(100)
+    assert(liveBatches() >= 1, "child never appended — race not exercised")
+    IndexErasure.purgeBatches(spark, root, Seq("test_id", "train_id"),
+      Seq(42L).toDF("doc_id"), "doc_id")
+    assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS), "child hung")
+    val okChild = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(rep)), "UTF-8").split('/').head.toInt
+    assert(okChild === nBatches, s"child must append all batches (got $okChild)")
+    val rows = ArtifactStore.readBatches(spark, root).as[(Long, Long)].collect()
+    assert(!rows.exists(_._1 == 42L),
+      "NO 42-reference may survive: every append was either listed by the " +
+        "purge (before) or filtered by the log (after) — the FsLock contract")
+    // every child batch's unique row landed (the purge didn't eat appends)
+    assert(rows.count(_._2 == 8L) === nBatches,
+      "all child safe rows must survive")
+    assert(rows.exists(r => r._1 == 50L && r._2 == 9L), "base safe row survives")
+  }
+
   test("repairErased: re-running a partial deletion plan is content-neutral") {
     import spark.implicits._
     val root = freshRoot()
