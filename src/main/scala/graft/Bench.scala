@@ -52,10 +52,11 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     /** One full suite pass with the noise sentinel around it. Returns the
       * per-query results, the sentinel's probe ratio (−1 when unavailable),
-      * the formatted noise JSON fragment, and the load triple (start, end,
+      * the probe's WARM ABSOLUTE time (−1 when unavailable), the formatted
+      * noise JSON fragment, and the load triple (start, end,
       * max-sampled-after-every-query) the mid-run gate reads.
       */
-    def runSuite(): (Map[String, Double], Double, String, (Double, Double, Double)) = {
+    def runSuite(): (Map[String, Double], Double, Double, String, (Double, Double, Double)) = {
       val sysLoadStart = osBean.getSystemLoadAverage
       // Environment-noise sentinel, part 1: time the probe (first) query
       // BEFORE the suite, post-warmup and outside the totals. Run it twice
@@ -107,7 +108,8 @@ object Bench {
         // recorded lm now equals the gate input exactly.
         f""","noise":{"tw":$tWarm%.2f,"te":$tEnd%.2f,"r":$ratio%.2f,"ls":$sysLoadStart%.2f,"le":$sysLoadEnd%.2f,"lm":$loadMax%.2f}"""
       }.getOrElse("")
-      (results, probeRatio, noiseJson, (sysLoadStart, sysLoadEnd, loadMax))
+      val probeWarmT = probeWarm.map(_._3).getOrElse(-1.0)
+      (results, probeRatio, probeWarmT, noiseJson, (sysLoadStart, sysLoadEnd, loadMax))
     }
     // Sentinel GATE (three straight rounds of judge-vs-driver number
     // disagreement were all traced to contaminated driver runs): re-run the
@@ -123,9 +125,23 @@ object Bench {
     //    can't trip it) AND the suite actually ran slow (> 1.6 s/query vs
     //    the 1.1–1.35 s/query quiet history) — both conditions, so a
     //    legitimately heavier suite alone never burns the retry.
-    def dirtyReason(a: (Map[String, Double], Double, String, (Double, Double, Double))): Option[String] = {
-      val (results, ratio, _, (ls, le, lm)) = a
+    //  - "probe_abs" (new r19 — BENCH_r18's escape): UNIFORM contamination.
+    //    A box loaded evenly for the whole run gives ratio ≈ 1 (both probe
+    //    timings equally inflated) and lm ≈ ls ≈ le (endpoints as loaded as
+    //    the middle) — both relative triggers blind. The warm probe is an
+    //    ABSOLUTE reference: the same first query on this fixture timed
+    //    0.42–0.70 s across every quiet run on record (PERF_r17/r18), so a
+    //    warm probe past SPARK_GRAFT_PROBE_MAX (default 1.4 s = 2× the
+    //    worst quiet reading; r18's contaminated run read 1.08 s) means
+    //    the box is provably slower than quiet history before the suite
+    //    even starts. Full-suite-only (a SPARK_GRAFT_ONLY run may probe a
+    //    different first query with a different quiet time).
+    val probeAbsMax = sys.env.get("SPARK_GRAFT_PROBE_MAX")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(1.4)
+    def dirtyReason(a: (Map[String, Double], Double, Double, String, (Double, Double, Double))): Option[String] = {
+      val (results, ratio, warm, _, (ls, le, lm)) = a
       if (ratio > 1.5) Some("probe")
+      else if (only.isEmpty && warm > probeAbsMax) Some("probe_abs")
       else {
         val total = results.values.filter(_ >= 0).sum
         val n = math.max(results.size, 1)
@@ -136,7 +152,7 @@ object Bench {
     val attempt1 = runSuite()
     val reason1 = dirtyReason(attempt1)
     val (results, noiseJson, retryTag) = reason1 match {
-      case None => (attempt1._1, attempt1._3, "")
+      case None => (attempt1._1, attempt1._4, "")
       case Some(why) =>
         System.err.println(s"[bench] sentinel dirty ($why); " +
           "sleeping 60 s and re-running the suite once")
@@ -144,13 +160,20 @@ object Bench {
         val attempt2 = runSuite()
         // prefer the attempt the gate calls clean; when both are dirty (or
         // both clean) keep the lower total — contamination only adds time
-        def total(a: (Map[String, Double], Double, String, (Double, Double, Double))) =
+        def total(a: (Map[String, Double], Double, Double, String, (Double, Double, Double))) =
           a._1.values.filter(_ >= 0).sum
         val best =
           if (dirtyReason(attempt2).isEmpty) attempt2
           else if (total(attempt2) < total(attempt1)) attempt2
           else attempt1
-        (best._1, best._3, s""","retry":1,"rr":"$why"""")
+        // SELF-FLAGGING record (r18 verdict task 3: the official artifact
+        // was contaminated and only the judge's own re-run caught it): when
+        // the published attempt STILL fails the gate, say so in the parsed
+        // line — "dirty" names the surviving trigger, so a reader never has
+        // to reverse-engineer contamination from the noise block
+        val dirtyTag = dirtyReason(best)
+          .map(w => s""","dirty":"$w"""").getOrElse("")
+        (best._1, best._4, s""","retry":1,"rr":"$why"$dirtyTag""")
     }
     // Per-query LOAD-SPIKE correction (r14's escape: four phantom 2-3x
     // per-query regressions were published for byte-identical code because a
