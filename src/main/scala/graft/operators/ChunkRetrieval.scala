@@ -104,8 +104,8 @@ object ChunkRetrieval {
     * passes, both partitioned by the query — TakeOrderedAndProject-class
     * work, never a corpus-wide sort.
     */
-  private def docMaxTopK(scored: DataFrame, qIdCol: String, dIdCol: String,
-                         k: Int): DataFrame = {
+  private[graft] def docMaxTopK(scored: DataFrame, qIdCol: String, dIdCol: String,
+                                k: Int): DataFrame = {
     val wChunk = Window.partitionBy(col(qIdCol), col(dIdCol))
       .orderBy(desc("__sim"), col("chunk_id"))
     val wDoc = Window.partitionBy(col(qIdCol))

@@ -93,6 +93,40 @@ object PipelineQueries {
     (ldocs, qs)
   }
 
+  /** Doc ids erased from the chunk index by q277/q278 — 7 is a QUERY's own
+    * source doc, so the query-visibility leg shows the erased content
+    * vanishing from its best-matching query's results.
+    */
+  private val ChunkTomb = Seq(7L, 13L, 21L)
+
+  /** Build-if-absent the doc-sharded CHUNK INDEX artifact over the long-doc
+    * corpus — (doc_id, chunk_id, vec, n_tokens) partitioned by
+    * dshard = doc_id div 4 (an id-sharded layout: the partition is a pure
+    * function of the erasure key, so [[graft.pipeline.IndexErasure
+    * .repairErasedByKey]] derives the touched shards from the tombstones) —
+    * then apply the ChunkTomb erasure (idempotent, so each caller is
+    * self-contained in a fresh session). Returns the root.
+    */
+  private def chunkIndexRepaired(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): String = {
+    import s.implicits._
+    val (ldocs, _) = longDocsAndQueries(s, dir)
+    val emb = graft.pipeline.HashingEmbedder(64)
+    val root = graft.pipeline.ArtifactStore.rootFor(dir, "chunk_index_ld_v1")
+    graft.pipeline.IndexErasure.ensurePartitioned(s, root, "dshard") {
+      graft.operators.Chunker.chunk(ldocs, "doc_id", "text",
+        chunkTokens = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_id"),
+          emb.embedRaw(col("chunk_text")).as("vec"), col("n_tokens"))
+        .withColumn("dshard",
+          graft.functions.MathFunctions.longDiv(col("doc_id"), lit(4L)))
+    }
+    graft.pipeline.IndexErasure.repairErasedByKey(s, root, "dshard", "doc_id",
+      ChunkTomb.toDF("doc_id"))(
+      id => graft.functions.MathFunctions.longDiv(id, lit(4L)))
+    root
+  }
+
   def all: ListMap[String, Q] = ListMap(
     "q29_upsert_merge" -> Q(
       (s, dir) => {
@@ -560,6 +594,72 @@ object PipelineQueries {
              |    row_number() OVER (PARTITION BY q_id, doc_id
              |      ORDER BY sim DESC, chunk_id) AS cr
              |  FROM shortl)
+             |SELECT q_id, doc_id, CAST(best_chunk AS BIGINT) AS best_chunk,
+             |  score, CAST(rn AS BIGINT) AS rn
+             |FROM (
+             |  SELECT q_id, doc_id, chunk_id AS best_chunk, sim AS score,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS rn
+             |  FROM best WHERE cr = 1)
+             |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin)),
+
+    // CHUNK-INDEX ERASURE — the GDPR closure extended to the artifact
+    // family this round introduced: the chunk index is (doc_id, chunk_id,
+    // vec, n_tokens) sharded by doc_id div 4 (partition = pure function of
+    // the erasure key, so repairErasedByKey derives the touched shards
+    // from the tombstones — complete by construction), and erasing a doc
+    // removes EVERY chunk row of it while untouched shards' files never
+    // move. The oracle rebuilds the surviving docs' chunk relation from
+    // scratch (q38's windows + q62's embedding norms): repaired ≡ rebuilt.
+    "q277_chunk_index_erasure" -> Q(
+      (s, dir) => {
+        import graft.functions.MathFunctions.floorRound
+        import graft.functions.VectorFunctions.l2Norm
+        val root = chunkIndexRepaired(s, dir)
+        graft.pipeline.IndexErasure.readPartitioned(s, root, "dshard")
+          .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+            floorRound(l2Norm(col("vec")), 6).as("raw_norm"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some(s"""WITH $chunkRetrievalCtes
+             |SELECT ct.doc_id, ct.chunk_id,
+             |  CAST(len(ct.toks[ct.chunk_id*48+1 : ct.chunk_id*48+64]) AS BIGINT) AS n_tokens,
+             |  ${frs("cn.nrm", 6)} AS raw_norm
+             |FROM ct JOIN cn ON cn.doc_id = ct.doc_id AND cn.chunk_id = ct.chunk_id
+             |WHERE ct.doc_id NOT IN (${ChunkTomb.mkString(", ")})
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Chunk erasure is QUERY-VISIBLE (the q259 shape on the chunk family):
+    // retrieval SERVED FROM the repaired chunk index must never surface an
+    // erased doc, at any rank — including for the query whose own source
+    // doc (7) was erased, which now ranks its next-best matches instead.
+    // Scoring runs live against the stored chunk vectors; the oracle is
+    // q274's ranking with the tombstoned docs excluded from the candidate
+    // relation — the survivor-rebuilt ranking, hash-equal.
+    "q278_chunk_erasure_query_visibility" -> Q(
+      (s, dir) => {
+        import graft.functions.MathFunctions.floorRound
+        import graft.functions.VectorFunctions.{cosineFromNormSq, l2NormSq}
+        val (_, qs) = longDocsAndQueries(s, dir)
+        val root = chunkIndexRepaired(s, dir)
+        val emb = graft.pipeline.HashingEmbedder(64)
+        val idx = graft.pipeline.IndexErasure.readPartitioned(s, root, "dshard")
+          .withColumn("__nsq_c", l2NormSq(col("vec")))
+        val qv = qs.select(col("q_id"), emb.embedRaw(col("q_text")).as("__qvec"))
+          .withColumn("__nsq_q", l2NormSq(col("__qvec")))
+        val scored = idx.crossJoin(broadcast(qv))
+          .withColumn("__sim", floorRound(
+            cosineFromNormSq(col("__qvec"), col("vec"),
+              col("__nsq_q"), col("__nsq_c")), 6))
+          .filter(col("__sim").isNotNull)
+          .select(col("q_id"), col("doc_id"), col("chunk_id"), col("__sim"))
+        graft.operators.ChunkRetrieval.docMaxTopK(scored, "q_id", "doc_id", k = 3)
+      },
+      Some(s"""WITH $chunkRetrievalCtes,
+             |best AS (
+             |  SELECT q_id, doc_id, chunk_id, sim,
+             |    row_number() OVER (PARTITION BY q_id, doc_id
+             |      ORDER BY sim DESC, chunk_id) AS cr
+             |  FROM sims WHERE doc_id NOT IN (${ChunkTomb.mkString(", ")}))
              |SELECT q_id, doc_id, CAST(best_chunk AS BIGINT) AS best_chunk,
              |  score, CAST(rn AS BIGINT) AS rn
              |FROM (

@@ -77,8 +77,13 @@ object StreamingPacking {
       .parquet(seedDir)
     val q = streamed.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val batchKey = batch.agg(min("doc_id")).head.getLong(0)
+        // ONE job decides emptiness AND the content key (r18 verdict item 7,
+        // per-batch fixed cost: a separate isEmpty() probe was a whole extra
+        // Spark job per micro-batch — min(doc_id) is null exactly when the
+        // batch is empty)
+        val keyRow = batch.agg(min("doc_id")).head
+        if (!keyRow.isNullAt(0)) {
+          val batchKey = keyRow.getLong(0)
           ArtifactStore.appendBatchIfAbsent(spark, root, batchKey) {
             // pass 1: exclusive cumsums WITHIN the micro-batch (batch-sized
             // window) + the batch totals on every row

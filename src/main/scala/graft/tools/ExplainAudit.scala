@@ -68,7 +68,10 @@ object ExplainAudit {
         val plan = df.queryExecution.executedPlan
         val tPlanned = System.nanoTime()
         val lines = plan.toString.split('\n')
-        val exprNodes = plan.collect { case p => p }
+        // count on the ANALYZED plan: under AQE the executed plan is an
+        // AdaptiveSparkPlan shell whose children materialize lazily, so its
+        // expression list reads 0 and the literal-bake tripwire goes blind
+        val exprNodes = df.queryExecution.analyzed.collect { case p => p }
           .flatMap(_.expressions).map(e => e.collect { case x => x }.size).sum
         println(s"  Exchanges (shuffles):    ${lines.count(_.contains("Exchange"))}")
         println(s"  BroadcastHashJoin:       ${lines.count(_.contains("BroadcastHashJoin"))}")
@@ -79,6 +82,105 @@ object ExplainAudit {
         println(f"  build ms (driver prep):  ${(tBuilt - t0) / 1e6}%.0f")
         println(f"  planning ms:             ${(tPlanned - tBuilt) / 1e6}%.0f")
       } catch { case e: Throwable => println(s"  SKIP: ${String.valueOf(e.getMessage).take(100)}") }
+    }
+
+    // ---- WRITE-LEG audits (r18 verdict task 8). The staged-write jobs of
+    // the erasure/migration family run INSIDE their methods (repairErased's
+    // dynamic-partition overwrite, purgeBatches' partitioned staged write,
+    // migrate's full re-encode), so the query-chain audit above never sees
+    // their shape. Audit them by EXECUTING each on a scratch copy under a
+    // metrics listener: jobs/stages/tasks/shuffle-bytes plus the
+    // rewritten-vs-standing directory ratio — the mechanical tripwire for
+    // a regression that loses touched-only rewrites (ratio jumps to 1) or
+    // grows a shuffle into the write path (bytes jump).
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+    import org.apache.spark.sql.functions._
+    import java.util.concurrent.atomic.AtomicLong
+    def latestMtime(d: java.io.File): Long =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .map(f => if (f.isDirectory) latestMtime(f) else f.lastModified())
+        .foldLeft(d.lastModified())(math.max)
+    def auditWrite(name: String, root: String)(mutate: => Any): Unit = {
+      println(s"===== $name =====")
+      try {
+        val rootDir = new java.io.File(root)
+        def liveDirs() = Option(rootDir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && !f.getName.startsWith("."))
+        val before = liveDirs().map(d => d.getName -> latestMtime(d)).toMap
+        val jobs = new AtomicLong; val stages = new AtomicLong
+        val tasks = new AtomicLong; val shuffleB = new AtomicLong
+        val listener = new SparkListener {
+          override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+          override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+            stages.incrementAndGet()
+            tasks.addAndGet(sc.stageInfo.numTasks)
+            shuffleB.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        mutate
+        org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
+        spark.sparkContext.removeSparkListener(listener)
+        val after = liveDirs().map(d => d.getName -> latestMtime(d)).toMap
+        val rewritten = after.count { case (n, m) => before.get(n).forall(_ != m) }
+        val dropped = before.keySet.diff(after.keySet).size
+        println(f"  wall ms:                 ${(System.nanoTime() - t0) / 1e6}%.0f")
+        println(s"  spark jobs/stages/tasks: ${jobs.get}/${stages.get}/${tasks.get}")
+        println(f"  shuffle write:           ${shuffleB.get / 1024.0}%.1f KiB")
+        println(s"  dirs rewritten/standing: $rewritten/${before.size} (+${after.size - before.size + dropped} new, -$dropped dropped)")
+      } catch { case e: Throwable => println(s"  SKIP: ${String.valueOf(e.getMessage).take(120)}") }
+    }
+    val scratchBase = java.nio.file.Files.createTempDirectory("graft_waudit").toString
+    val embs = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("c_id"), col("embedding"))
+    // q248 write leg: cell-partitioned repair — touched-only dynamic overwrite
+    locally {
+      val root = s"$scratchBase/enc"
+      graft.pipeline.IndexErasure.ensurePartitioned(spark, root, "cell") {
+        graft.operators.AnnIndex.pqEncodedCorpus(embs, "c_id", "embedding",
+          m = 16, ksub = 16, dim = 64, nlist = 32)
+          .select(col("c_id"), col("__cell").cast("long").as("cell"), col("__codes"))
+      }
+      val tomb = embs.filter(col("c_id") % 32 === 5 && col("c_id") % 3 === 0)
+      val touched = graft.operators.AnnIndex.ivfAssign(tomb, embs, "c_id", "embedding", 32)
+        .select("cell").distinct().collect().map(_.getLong(0)).toSeq
+      auditWrite("q248_write (repairErased, dynamic-partition overwrite)", root) {
+        graft.pipeline.IndexErasure.repairErased(spark, root, "cell", touched,
+          "c_id", tomb)
+      }
+    }
+    // q264 write leg: batch purge — touched-only staged batch rewrites
+    locally {
+      val root = s"$scratchBase/hits"
+      import spark.implicits._
+      val d = graft.Tables.documents(spark, dir).select(col("doc_id"))
+      (0L until 8L).foreach { b =>
+        graft.pipeline.ArtifactStore.appendBatchIfAbsent(spark, root, b)(
+          d.filter(col("doc_id") % 8 === b)
+            .select(col("doc_id").as("test_id"),
+              (col("doc_id") * 31 % 997 + 10000000L).as("train_id")))
+      }
+      auditWrite("q264_write (purgeBatches, staged batch rewrite)", root) {
+        graft.pipeline.IndexErasure.purgeBatches(spark, root,
+          Seq("test_id", "train_id"), Seq(3L, 11L, 19L).toDF("doc_id"), "doc_id")
+      }
+    }
+    // q273 write leg: migration — one full re-encode pass + swap (expected
+    // to rewrite EVERY cell dir: ratio 1 is correct here; the counters to
+    // watch are stages/shuffle staying flat per corpus pass)
+    locally {
+      val root = s"$scratchBase/mig"
+      graft.pipeline.IndexErasure.ensurePartitioned(spark, root, "cell") {
+        graft.operators.AnnIndex.pqEncodedCorpus(embs, "c_id", "embedding",
+          m = 16, ksub = 16, dim = 64, nlist = 32)
+          .select(col("c_id"), col("__cell").cast("long").as("cell"), col("__codes"))
+      }
+      auditWrite("q273_write (IndexMigration.migrate, full re-encode + swap)", root) {
+        graft.pipeline.IndexMigration.migrate(spark, root,
+          embs.filter(col("c_id") % 32 =!= 7), "c_id", "embedding",
+          nlist = 32, m = 16, ksub = 16, dim = 64)
+      }
     }
     spark.stop()
   }
