@@ -87,7 +87,44 @@ object IndexMigration {
   def migrate(spark: SparkSession, root: String, corpus: DataFrame,
               idCol: String, vecCol: String,
               nlist: Int, m: Int, ksub: Int, dim: Int,
-              iters: Int = 1): Migrated = FsLock.withLock(fs(spark), root)(synchronized {
+              iters: Int = 1): Migrated =
+    migrateImpl(spark, root, corpus, idCol, vecCol, nlist, iters) {
+      (survivors, cents) =>
+        val cbs = AnnIndex.pqTrainCodebooks(survivors, idCol, vecCol,
+          m, ksub, dim, iters)
+        (cbs, AnnIndex.pqEncodedCorpus(survivors, idCol, vecCol,
+          m, ksub, dim, nlist, Some(cbs), Some(cents)))
+    }
+
+  /** [[migrate]] for the RESIDUAL-PQ chain (codes quantize v − centroid
+    * under the new coarse cells): retrains the residual codebooks from
+    * the new residuals and re-encodes through
+    * [[AnnIndex.pqResidualEncodedCorpus]]. Same versioning, tombstone
+    * carry, and swap machinery — only the train+encode pair differs.
+    */
+  def migrateResidual(spark: SparkSession, root: String, corpus: DataFrame,
+                      idCol: String, vecCol: String,
+                      nlist: Int, m: Int, ksub: Int, dim: Int,
+                      iters: Int = 1): Migrated =
+    migrateImpl(spark, root, corpus, idCol, vecCol, nlist, iters) {
+      (survivors, cents) =>
+        val resid = AnnIndex.pqResidualCorpus(survivors, idCol, vecCol,
+          nlist, Some(cents))
+        val cbs = AnnIndex.pqTrainCodebooks(resid, idCol, "__resid",
+          m, ksub, dim, iters)
+        (cbs, AnnIndex.pqResidualEncodedCorpus(survivors, idCol, vecCol,
+          m, ksub, dim, nlist, Some(cbs), Some(cents)))
+    }
+
+  /** The chain-agnostic core: survivors (tombstone log anti-joined) →
+    * new coarse centroids → chain-specific codebooks + encode (the
+    * `trainEncode` pair, fed the survivors and the new centroids) →
+    * staged cell-partitioned build → version marker → swap.
+    */
+  private def migrateImpl(spark: SparkSession, root: String, corpus: DataFrame,
+                          idCol: String, vecCol: String, nlist: Int, iters: Int)(
+      trainEncode: (DataFrame, Array[Seq[Double]]) => (Array[Array[Seq[Double]]], DataFrame))
+  : Migrated = FsLock.withLock(fs(spark), root)(synchronized {
     val f = fs(spark)
     require(f.exists(new Path(root, "_SUCCESS")),
       s"IndexMigration: no live index at $root")
@@ -102,11 +139,10 @@ object IndexMigration {
     val nSurv = survivors.count() // materializes the cache
     require(nSurv > 0, s"IndexMigration: surviving corpus for $root is empty")
     val cents = AnnIndex.kmeansCentroids(survivors, vecCol, idCol, nlist, iters)
-    val cbs = AnnIndex.pqTrainCodebooks(survivors, idCol, vecCol, m, ksub, dim, iters)
     // ONE distributed encode pass under the new quantizer, written
     // cell-partitioned into a staging sibling (never into the live root)
-    val enc = AnnIndex.pqEncodedCorpus(survivors, idCol, vecCol,
-      m, ksub, dim, nlist, Some(cbs), Some(cents))
+    val (cbs, encoded) = trainEncode(survivors, cents)
+    val enc = encoded
       .select(col(idCol), col("__cell").cast("long").as("cell"), col("__codes"))
     val tmp = new Path(root + ".tmp-" +
       java.util.UUID.randomUUID().toString.take(8))

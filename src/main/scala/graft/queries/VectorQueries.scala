@@ -687,6 +687,28 @@ object VectorQueries {
     (root, cents)
   }
 
+  /** [[pqEncPartitioned]] for the RESIDUAL chain: build-if-absent the
+    * cell-partitioned residual-encoded corpus under the v1 trained
+    * quantizer (shared coarse cents + the `pq_cb_res_cf_v1` residual
+    * codebooks). The q279 residual-migration fixture.
+    */
+  private def pqResidEncPartitioned(s: org.apache.spark.sql.SparkSession, dir: String,
+                                    name: String): (String, Array[Seq[Double]]) = {
+    val cf = clusteredDf(s, dir)
+    val cents = trainedCents(s, dir)
+    val resCb = trainedCodebooks(s, dir, "pq_cb_res_cf_v1")(
+      AnnIndex.pqTrainCodebooks(
+        AnnIndex.pqResidualCorpus(cf, "vec_id", "cvec", nlist = 32, Some(cents)),
+        "vec_id", "__resid", m = PqM, ksub = PqKsub, dim = 64, iters = 1))
+    val root = graft.pipeline.ArtifactStore.rootFor(dir, name)
+    graft.pipeline.IndexErasure.ensurePartitioned(s, root, "cell") {
+      AnnIndex.pqResidualEncodedCorpus(cf.select(col("vec_id").as("c_id"), col("cvec")),
+        "c_id", "cvec", PqM, PqKsub, 64, 32, Some(resCb), Some(cents))
+        .select(col("c_id"), col("__cell").cast("long").as("cell"), col("__codes"))
+    }
+    (root, cents)
+  }
+
   /** Encode `rows` (vec_id, cvec) under the STANDING trained quantizer —
     * the delta-insert encoder of the maintenance algebra (no training:
     * codebooks and centroids arrive as parameters).
@@ -2626,6 +2648,39 @@ object VectorQueries {
              |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
              |  CAST(co.j AS BIGINT) AS j, CAST(co.code AS BIGINT) AS code
              |FROM asg a JOIN pcodes co ON co.vec_id = a.vec_id
+             |ORDER BY 1, 3""".stripMargin)),
+
+    // Migration is CHAIN-AGNOSTIC — the residual-PQ deployment migrates
+    // too (q273 covered raw-PQ): same deletion-then-drift scenario on the
+    // residual-encoded cell-partitioned artifact, repaired, then
+    // IndexMigration.migrateResidual retrains coarse cells + RESIDUAL
+    // codebooks (quantizing v − centroid under the NEW cells) and
+    // re-encodes in one pass. The oracle retrains the whole residual
+    // chain from scratch on the drifted survivor set (the standing
+    // cfResidChain CTEs re-rooted on the filtered corpus): migrated ≡
+    // rebuilt under the new residual quantizer, hash-checked.
+    "q279_index_migration_residual" -> Q(
+      (s, dir) => {
+        val cf = clusteredDf(s, dir)
+        val (root, cents) = pqResidEncPartitioned(s, dir, "pq_enc_res_cf_part_mig_v1")
+        val tomb = cf.filter(col("vec_id") % 32 === 21 && col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("c_id"), col("cvec"))
+        val touched = AnnIndex.ivfAssignTrained(tomb, "c_id", "cvec", cents.toSeq)
+          .select("cell").distinct().collect().map(_.getLong(0)).toSeq // ≤ nlist rows
+        graft.pipeline.IndexErasure.repairErased(s, root, "cell", touched, "c_id", tomb)
+        val current = cf.filter(!(col("vec_id") % 32).isin(5, 6, 7))
+          .select(col("vec_id").as("c_id"), col("cvec"))
+        graft.pipeline.IndexMigration.migrateResidual(s, root, current, "c_id", "cvec",
+          nlist = 32, m = PqM, ksub = PqKsub, dim = 64)
+        readEncExploded(s, root)
+      },
+      Some(s"""WITH ${cfFilteredCte(
+               "vec_id % 32 NOT IN (5, 6, 7) AND NOT (vec_id % 32 = 21 AND vec_id % 3 = 0)")},
+             |$cfKmeansCtes,
+             |${cfResidChain("mg", rot = false)}
+             |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+             |  CAST(co.j AS BIGINT) AS j, CAST(co.code AS BIGINT) AS code
+             |FROM asg a JOIN mgcodes co ON co.vec_id = a.vec_id
              |ORDER BY 1, 3""".stripMargin)),
   )
 
