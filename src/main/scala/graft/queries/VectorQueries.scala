@@ -478,33 +478,41 @@ object VectorQueries {
     * corpus against the REFINED centroids. Means are exact cross-engine
     * because cf components are integer-valued (sum < 2^53 — order-free).
     */
-  private val cfKmeansCtes: String =
-    s"""kinit AS (
+  /** [[cfKmeansCtes]] parameterized on the SOURCE relation and a CTE-name
+    * prefix — the q280 A/B gate trains one quantizer per corpus snapshot
+    * (stale on `cf`, migrated on the drifted `cfd`) inside one query.
+    * `kmeansCtesOn("cf", "")` is byte-identical to the historical
+    * cfKmeansCtes, so every standing oracle is unchanged.
+    */
+  private def kmeansCtesOn(src: String, px: String): String =
+    s"""${px}kinit AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv
-       |  FROM cf ORDER BY vec_id LIMIT 32),
-       |ka AS (
+       |  FROM $src ORDER BY vec_id LIMIT 32),
+       |${px}ka AS (
        |  SELECT vec_id, v, cell FROM (
        |    SELECT f.vec_id, f.v, k.ci AS cell,
        |      row_number() OVER (PARTITION BY f.vec_id
        |        ORDER BY k.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(f.v, k.cv), k.ci) AS rn
-       |    FROM cf f CROSS JOIN (SELECT ci, cv, ${sqSql("cv")} AS c2 FROM kinit) k)
+       |    FROM $src f CROSS JOIN (SELECT ci, cv, ${sqSql("cv")} AS c2 FROM ${px}kinit) k)
        |  WHERE rn = 1),
-       |km AS (
+       |${px}km AS (
        |  SELECT cell, pos, ${frs("avg(comp)", 9)} AS mc
-       |  FROM (SELECT cell, unnest(v) AS comp, generate_subscripts(v, 1) AS pos FROM ka)
+       |  FROM (SELECT cell, unnest(v) AS comp, generate_subscripts(v, 1) AS pos FROM ${px}ka)
        |  GROUP BY cell, pos),
-       |cents AS (
+       |${px}cents AS (
        |  SELECT i.ci, coalesce(m.ms, i.cv) AS cv, ${sqSql("coalesce(m.ms, i.cv)")} AS c2
-       |  FROM kinit i LEFT JOIN (
-       |    SELECT cell, list(mc ORDER BY pos) AS ms FROM km GROUP BY cell) m
+       |  FROM ${px}kinit i LEFT JOIN (
+       |    SELECT cell, list(mc ORDER BY pos) AS ms FROM ${px}km GROUP BY cell) m
        |  ON m.cell = i.ci),
-       |asg AS (
+       |${px}asg AS (
        |  SELECT vec_id, v, cell FROM (
        |    SELECT f.vec_id, f.v, c.ci AS cell,
        |      row_number() OVER (PARTITION BY f.vec_id
        |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(f.v, c.cv), c.ci) AS rn
-       |    FROM cf f CROSS JOIN cents c)
+       |    FROM $src f CROSS JOIN ${px}cents c)
        |  WHERE rn = 1)""".stripMargin
+
+  private val cfKmeansCtes: String = kmeansCtesOn("cf", "")
 
   /** Raw-PQ chain over `cf` with the trained `cents` (prefix `p`): codebooks
     * init from the 16 lowest-id vectors' slices + one Lloyd step, codes for
@@ -2682,6 +2690,140 @@ object VectorQueries {
              |  CAST(co.j AS BIGINT) AS j, CAST(co.code AS BIGINT) AS code
              |FROM asg a JOIN mgcodes co ON co.vec_id = a.vec_id
              |ORDER BY 1, 3""".stripMargin)),
+
+    // The CANARY CUTOVER GATE — migration's serve-side decision, and the
+    // hash-checked form of PERF_r19 §1's recall-restoration claim: the
+    // corpus drifts into a new value regime (÷100 + shift — clusters
+    // preserved, absolute scale moved), the v1 index is migrated, and BOTH
+    // quantizers are evaluated side by side on the drifted corpus at the
+    // provisioned candidate budget (2·n/nlist members per probed cell,
+    // nprobe=1). Under the stale quantizer the corpus collapses into few
+    // cells and budgeted recall craters; the migrated cells restore it.
+    // promote_v2 (integer hit comparison) is the cutover decision a
+    // deployment executes. The oracle trains BOTH quantizers from scratch
+    // (the standing kmeans CTEs, once on cf and once re-rooted on the
+    // drifted corpus) and mirrors budget capping, probing, and recall.
+    "q280_migration_ab_recall_gate" -> Q(
+      (s, dir) => {
+        import graft.functions.MathFunctions.floorRound
+        import graft.functions.VectorFunctions.{dotFused, l2NormSq}
+        import org.apache.spark.sql.expressions.Window
+        val cf = clusteredDf(s, dir)
+        val (root, staleCents) = pqEncPartitioned(s, dir, "pq_enc_raw_cf_part_ab_v1")
+        val drifted = cf.select(col("vec_id"),
+          expr("transform(cvec, x -> floor(x / 100.0D) + 7000.0D)").as("cvec"))
+          .cache()
+        val mig = graft.pipeline.IndexMigration.migrate(s, root,
+          drifted.select(col("vec_id").as("c_id"), col("cvec")), "c_id", "cvec",
+          nlist = 32, m = PqM, ksub = PqKsub, dim = 64)
+        val n = drifted.count()
+        val budget = (2L * n / 32L).toInt
+        val queries = drifted.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("cvec").as("qv"))
+        // exact truth: top-10 by squared L2 — drifted components are
+        // integer-valued doubles, so distances are exact in both engines
+        val truth = queries.crossJoin(drifted)
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("__d", l2NormSq(col("qv")) + l2NormSq(col("cvec"))
+            - lit(2.0) * dotFused(col("qv"), col("cvec")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("__d"), col("vec_id"))))
+          .filter(col("rn") <= 10)
+          .select(col("q_id"), col("vec_id").as("c_id")).cache()
+        val tn = truth.count()
+        def phase(cents: Array[Seq[Double]]): (Long, Long, Long) = {
+          val asg = AnnIndex.ivfAssignTrained(drifted, "vec_id", "cvec", cents.toSeq)
+          val occupied = asg.select("cell").distinct().count()
+          val members = asg.withColumn("mrn", row_number().over(
+            Window.partitionBy("cell").orderBy("vec_id")))
+            .filter(col("mrn") <= budget)
+          val qcell = AnnIndex.ivfAssignTrained(
+            queries.select(col("q_id").as("vec_id"), col("qv").as("cvec")),
+            "vec_id", "cvec", cents.toSeq)
+            .select(col("vec_id").as("q_id"), col("cell"))
+          val cand = qcell.join(members, "cell")
+            .filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id").as("c_id")).cache()
+          val nCand = cand.count()
+          val hits = cand.join(truth, Seq("q_id", "c_id")).count()
+          cand.unpersist()
+          (occupied, nCand, hits)
+        }
+        val (mOc, mNc, mH) = phase(mig.cents)
+        val (sOc, sNc, sH) = phase(staleCents)
+        val promote = if (mH > sH) 1L else 0L
+        import s.implicits._
+        val out = Seq(
+          ("migrated", mOc, mNc, mH, mH.toDouble / tn, promote),
+          ("stale", sOc, sNc, sH, sH.toDouble / tn, promote))
+          .toDF("phase", "cells_occupied", "n_cand", "n_hits", "recall", "promote_v2")
+        drifted.unpersist(); truth.unpersist()
+        out.withColumn("recall", floorRound(col("recall"), 6))
+          .orderBy("phase")
+      },
+      Some(s"""WITH $cfCte,
+             |cfd AS (
+             |  SELECT vec_id, list_transform(v,
+             |    x -> floor(x / CAST(100.0 AS DOUBLE)) + CAST(7000.0 AS DOUBLE)) AS v
+             |  FROM cf),
+             |$cfKmeansCtes,
+             |${kmeansCtesOn("cfd", "n")},
+             |bud AS (SELECT CAST(2 * count(*) / 32 AS BIGINT) AS b FROM cfd),
+             |qd AS (SELECT vec_id AS q_id, v FROM cfd WHERE vec_id < 5),
+             |tr AS (
+             |  SELECT q_id, c_id FROM (
+             |    SELECT q.q_id, c.vec_id AS c_id,
+             |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+             |        ${sqSql("q.v")} + ${sqSql("c.v")}
+             |          - CAST(2.0 AS DOUBLE) * list_inner_product(q.v, c.v), c.vec_id) AS rn
+             |    FROM qd q JOIN cfd c ON c.vec_id <> q.q_id)
+             |  WHERE rn <= 10),
+             |tcnt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tr),
+             |sasg AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT f.vec_id, c.ci AS cell,
+             |      row_number() OVER (PARTITION BY f.vec_id
+             |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(f.v, c.cv), c.ci) AS rn
+             |    FROM cfd f CROSS JOIN cents c)
+             |  WHERE rn = 1),
+             |smem AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT vec_id, cell,
+             |      row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS mrn
+             |    FROM sasg) x, bud WHERE x.mrn <= bud.b),
+             |scand AS (
+             |  SELECT s.q_id, m.vec_id AS c_id
+             |  FROM (SELECT a.vec_id AS q_id, a.cell FROM sasg a JOIN qd ON qd.q_id = a.vec_id) s
+             |  JOIN smem m ON m.cell = s.cell AND m.vec_id <> s.q_id),
+             |nmem AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT vec_id, cell,
+             |      row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS mrn
+             |    FROM nasg) x, bud WHERE x.mrn <= bud.b),
+             |ncand AS (
+             |  SELECT s.q_id, m.vec_id AS c_id
+             |  FROM (SELECT a.vec_id AS q_id, a.cell FROM nasg a JOIN qd ON qd.q_id = a.vec_id) s
+             |  JOIN nmem m ON m.cell = s.cell AND m.vec_id <> s.q_id),
+             |sstat AS (SELECT
+             |  (SELECT CAST(count(DISTINCT cell) AS BIGINT) FROM sasg) AS oc,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM scand) AS nc,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM scand JOIN tr USING (q_id, c_id)) AS h),
+             |nstat AS (SELECT
+             |  (SELECT CAST(count(DISTINCT cell) AS BIGINT) FROM nasg) AS oc,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM ncand) AS nc,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM ncand JOIN tr USING (q_id, c_id)) AS h)
+             |SELECT phase, cells_occupied, n_cand, n_hits, recall, promote_v2 FROM (
+             |  SELECT 'migrated' AS phase, nn.oc AS cells_occupied, nn.nc AS n_cand,
+             |    nn.h AS n_hits,
+             |    ${frs("CAST(nn.h AS DOUBLE) / CAST(t.t AS DOUBLE)", 6)} AS recall,
+             |    CAST(nn.h > ss.h AS BIGINT) AS promote_v2
+             |  FROM nstat nn, sstat ss, tcnt t
+             |  UNION ALL
+             |  SELECT 'stale', ss.oc, ss.nc, ss.h,
+             |    ${frs("CAST(ss.h AS DOUBLE) / CAST(t.t AS DOUBLE)", 6)},
+             |    CAST(nn.h > ss.h AS BIGINT)
+             |  FROM nstat nn, sstat ss, tcnt t)
+             |ORDER BY phase""".stripMargin)),
   )
 
   /** SQ8 chain over `cf`/`cents`/`asg` (prefix `s`): per-dim min/max params
