@@ -74,6 +74,30 @@ object PipelineQueries {
        |  LEFT JOIN cdots d ON d.q_id = n.q_id AND d.doc_id = c.doc_id AND d.chunk_id = c.chunk_id
        |  WHERE c.nrm > 0 AND n.nrm > 0)""".stripMargin
 
+  /** DENSE 64-component chunk/query vectors from the sparse bucket counts
+    * of [[chunkRetrievalCtes]] — the (key, vec) relation the ANN chains
+    * consume in SQL (q276's LSH buckets, q281's trained IVF cells).
+    */
+  private val chunkDenseVecCtes: String =
+    s"""ckeys AS (SELECT DISTINCT doc_id, chunk_id FROM cc),
+       |cv AS (
+       |  SELECT doc_id, chunk_id, list(CAST(coalesce(n, 0) AS DOUBLE) ORDER BY b) AS v
+       |  FROM (
+       |    SELECT k.doc_id, k.chunk_id, b.b, c2.n
+       |    FROM ckeys k
+       |    CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+       |    LEFT JOIN cc c2 ON c2.doc_id = k.doc_id AND c2.chunk_id = k.chunk_id
+       |      AND c2.bucket = b.b)
+       |  GROUP BY 1, 2),
+       |qv AS (
+       |  SELECT q_id, list(CAST(coalesce(n, 0) AS DOUBLE) ORDER BY b) AS v
+       |  FROM (
+       |    SELECT k.q_id, b.b, q2.n
+       |    FROM (SELECT DISTINCT q_id FROM qc) k
+       |    CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+       |    LEFT JOIN qc q2 ON q2.q_id = k.q_id AND q2.bucket = b.b)
+       |  GROUP BY 1)""".stripMargin
+
   /** The long-doc corpus + snippet queries, Spark side — shared by the
     * chunk-retrieval family. Concat order is pinned by array_sort over
     * (doc_id, text) structs, mirroring string_agg(... ORDER BY doc_id).
@@ -540,24 +564,7 @@ object PipelineQueries {
           embDim = 64, k = 3, nbits = 10, chunkShortlist = 50)
       },
       Some(s"""WITH $chunkRetrievalCtes,
-             |ckeys AS (SELECT DISTINCT doc_id, chunk_id FROM cc),
-             |cv AS (
-             |  SELECT doc_id, chunk_id, list(CAST(coalesce(n, 0) AS DOUBLE) ORDER BY b) AS v
-             |  FROM (
-             |    SELECT k.doc_id, k.chunk_id, b.b, c2.n
-             |    FROM ckeys k
-             |    CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
-             |    LEFT JOIN cc c2 ON c2.doc_id = k.doc_id AND c2.chunk_id = k.chunk_id
-             |      AND c2.bucket = b.b)
-             |  GROUP BY 1, 2),
-             |qv AS (
-             |  SELECT q_id, list(CAST(coalesce(n, 0) AS DOUBLE) ORDER BY b) AS v
-             |  FROM (
-             |    SELECT k.q_id, b.b, q2.n
-             |    FROM (SELECT DISTINCT q_id FROM qc) k
-             |    CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
-             |    LEFT JOIN qc q2 ON q2.q_id = k.q_id AND q2.bucket = b.b)
-             |  GROUP BY 1),
+             |$chunkDenseVecCtes,
              |planes AS (
              |  SELECT list(list_transform(generate_series(0, 63), d ->
              |      CAST(((j*64+d+1)*(j*64+d+1) * 2654435761 + 97*(j*64+d+1) + 12345) % 1000003
@@ -660,6 +667,67 @@ object PipelineQueries {
              |    row_number() OVER (PARTITION BY q_id, doc_id
              |      ORDER BY sim DESC, chunk_id) AS cr
              |  FROM sims WHERE doc_id NOT IN (${ChunkTomb.mkString(", ")}))
+             |SELECT q_id, doc_id, CAST(best_chunk AS BIGINT) AS best_chunk,
+             |  score, CAST(rn AS BIGINT) AS rn
+             |FROM (
+             |  SELECT q_id, doc_id, chunk_id AS best_chunk, sim AS score,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS rn
+             |  FROM best WHERE cr = 1)
+             |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin)),
+
+    // The chunk × TRAINED-INDEX matrix cell: q276 draws chunk candidates
+    // from LSH sign buckets; here the chunk relation gets the trained IVF
+    // treatment — Lloyd coarse cells over the chunk vectors (k=32,
+    // lowest-key init), queries probe their nprobe=2 nearest cells, and
+    // only those cells' members are cosine-scored before the same doc-max
+    // finish. The oracle retrains the cells from scratch (the standing
+    // kmeans CTEs re-rooted on the keyed chunk-vector relation) and
+    // mirrors probing, scoring, and the doc-level windows.
+    "q281_chunk_retrieval_ivf" -> Q(
+      (s, dir) => {
+        import graft.functions.MathFunctions.longDiv
+        import graft.operators.AnnIndex
+        val (ldocs, qs) = longDocsAndQueries(s, dir)
+        val emb = graft.pipeline.HashingEmbedder(64)
+        val chunks = graft.operators.Chunker.chunk(ldocs, "doc_id", "text",
+          chunkTokens = 64, overlap = 16)
+          .select((col("doc_id") * 1000000L + col("chunk_id")).as("c_id"),
+            emb.embedRaw(col("chunk_text")).as("cvec"))
+          .cache() // trainer + candidate join both read it
+        val cents = AnnIndex.kmeansCentroids(chunks, "cvec", "c_id", k = 32, iters = 1)
+        val qv = qs.select(col("q_id"), emb.embedRaw(col("q_text")).as("qvec"))
+        val cand = AnnIndex.ivfTopK(qv, "q_id", "qvec",
+          chunks, "c_id", "cvec", k = 1 << 20, nlist = 32, nprobe = 2,
+          excludeSelf = false, coarseCentroids = Some(cents))
+        val scored = cand.select(col("q_id"),
+          longDiv(col("c_id"), lit(1000000L)).as("doc_id"),
+          pmod(col("c_id"), lit(1000000L)).as("chunk_id"),
+          col("score").as("__sim"))
+        graft.operators.ChunkRetrieval.docMaxTopK(scored, "q_id", "doc_id", k = 3)
+      },
+      Some(s"""WITH $chunkRetrievalCtes,
+             |$chunkDenseVecCtes,
+             |cvk AS (
+             |  SELECT doc_id * 1000000 + chunk_id AS vec_id, v FROM cv),
+             |${VectorQueries.kmeansCtesOn("cvk", "c")},
+             |qprobe AS (
+             |  SELECT q_id, cell FROM (
+             |    SELECT q.q_id, c.ci AS cell,
+             |      row_number() OVER (PARTITION BY q.q_id
+             |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(q.v, c.cv), c.ci) AS rn
+             |    FROM qv q CROSS JOIN ccents c)
+             |  WHERE rn <= 2),
+             |csims AS (
+             |  SELECT p.q_id, a.vec_id // 1000000 AS doc_id, a.vec_id % 1000000 AS chunk_id,
+             |    ${frs("list_cosine_similarity(q.v, a.v)", 6)} AS sim
+             |  FROM qprobe p
+             |  JOIN casg a ON a.cell = p.cell
+             |  JOIN qv q ON q.q_id = p.q_id),
+             |best AS (
+             |  SELECT q_id, doc_id, chunk_id, sim,
+             |    row_number() OVER (PARTITION BY q_id, doc_id
+             |      ORDER BY sim DESC, chunk_id) AS cr
+             |  FROM csims)
              |SELECT q_id, doc_id, CAST(best_chunk AS BIGINT) AS best_chunk,
              |  score, CAST(rn AS BIGINT) AS rn
              |FROM (

@@ -484,7 +484,7 @@ object VectorQueries {
     * `kmeansCtesOn("cf", "")` is byte-identical to the historical
     * cfKmeansCtes, so every standing oracle is unchanged.
     */
-  private def kmeansCtesOn(src: String, px: String): String =
+  private[queries] def kmeansCtesOn(src: String, px: String): String =
     s"""${px}kinit AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv
        |  FROM $src ORDER BY vec_id LIMIT 32),
