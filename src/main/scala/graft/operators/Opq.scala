@@ -189,6 +189,32 @@ object Opq {
     }.toArray
   }
 
+  /** [[residSample]] restricted to the `n` lowest ids satisfying `keep` —
+    * the rotation-RETRAINING sample of a drifted/filtered corpus (q282's
+    * OPQ migration). A pure function of the id predicate (clusteredVector
+    * is id-synthetic), so the Spark side and the oracle literal derive the
+    * SAME matrix; residualized against per-cluster sample means over the
+    * filtered sample, the same proxy policy as [[residSample]].
+    */
+  def residSampleFiltered(keep: Long => Boolean, n: Int = 256): Array[Array[Double]] = {
+    val ids = Iterator.from(0).map(_.toLong).filter(keep).take(n).toArray
+    val xs = ids.map(clusteredVector)
+    val means = Array.ofDim[Double](NClust, Dim)
+    val counts = Array.fill(NClust)(0)
+    for (k <- ids.indices) {
+      val c = (ids(k) % NClust).toInt
+      counts(c) += 1
+      var d = 0
+      while (d < Dim) { means(c)(d) += xs(k)(d); d += 1 }
+    }
+    for (c <- 0 until NClust; d <- 0 until Dim)
+      if (counts(c) > 0) means(c)(d) /= counts(c)
+    ids.indices.map { k =>
+      val c = (ids(k) % NClust).toInt
+      Array.tabulate(Dim)(d => xs(k)(d) - means(c)(d))
+    }.toArray
+  }
+
   /** DuckDB list-of-lists literal for a rotation matrix — `Double.toString`
     * is the shortest round-trip form, so the oracle parses back the exact
     * same doubles the Spark literals hold.

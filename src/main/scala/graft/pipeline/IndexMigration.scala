@@ -116,6 +116,29 @@ object IndexMigration {
           m, ksub, dim, nlist, Some(cbs), Some(cents)))
     }
 
+  /** [[migrate]] for the OPQ chain (residual-PQ with a learned rotation):
+    * the caller supplies the RETRAINED rotation — a trained parameter like
+    * the codebooks, derived from the current corpus (e.g.
+    * [[graft.operators.Opq.trainRotation]] over a survivor sample) — and
+    * the residual codebooks retrain in the rotated space before the
+    * one-pass rotated-residual re-encode.
+    */
+  def migrateOpq(spark: SparkSession, root: String, corpus: DataFrame,
+                 idCol: String, vecCol: String,
+                 nlist: Int, m: Int, ksub: Int, dim: Int,
+                 rotation: Array[Array[Double]], iters: Int = 1): Migrated =
+    migrateImpl(spark, root, corpus, idCol, vecCol, nlist, iters) {
+      (survivors, cents) =>
+        val resid = AnnIndex.pqResidualCorpus(survivors, idCol, vecCol,
+          nlist, Some(cents))
+        val rotated = resid.select(col(idCol),
+          graft.functions.VectorFunctions.matVec(col("__resid"), rotation).as("__resid"))
+        val cbs = AnnIndex.pqTrainCodebooks(rotated, idCol, "__resid",
+          m, ksub, dim, iters)
+        (cbs, AnnIndex.pqResidualEncodedCorpus(survivors, idCol, vecCol,
+          m, ksub, dim, nlist, Some(cbs), Some(cents), Some(rotation)))
+    }
+
   /** The chain-agnostic core: survivors (tombstone log anti-joined) →
     * new coarse centroids → chain-specific codebooks + encode (the
     * `trainEncode` pair, fed the survivors and the new centroids) →

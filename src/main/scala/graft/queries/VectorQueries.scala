@@ -514,6 +514,19 @@ object VectorQueries {
 
   private val cfKmeansCtes: String = kmeansCtesOn("cf", "")
 
+  /** The RETRAINED OPQ rotation of the q282 migration: the drifted
+    * survivors' 256-lowest-id residual sample (pure function of the drift
+    * predicate), through the same trainer as the v1 fixture rotation —
+    * computed once, used as BOTH the Spark-side migrateOpq parameter and
+    * the oracle's rmat literal.
+    */
+  private lazy val migOpqRotation: Array[Array[Double]] = {
+    val keep: Long => Boolean =
+      i => (i % 32) != 5 && (i % 32) != 6 && (i % 32) != 7
+    graft.operators.Opq.trainRotation(
+      graft.operators.Opq.residSampleFiltered(keep), m = 16, dsub = 4)
+  }
+
   /** Raw-PQ chain over `cf` with the trained `cents` (prefix `p`): codebooks
     * init from the 16 lowest-id vectors' slices + one Lloyd step, codes for
     * the whole corpus, probes/ADC for queries vec_id < 20 — the [[pqCtes]]
@@ -2686,6 +2699,60 @@ object VectorQueries {
                "vec_id % 32 NOT IN (5, 6, 7) AND NOT (vec_id % 32 = 21 AND vec_id % 3 = 0)")},
              |$cfKmeansCtes,
              |${cfResidChain("mg", rot = false)}
+             |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+             |  CAST(co.j AS BIGINT) AS j, CAST(co.code AS BIGINT) AS code
+             |FROM asg a JOIN mgcodes co ON co.vec_id = a.vec_id
+             |ORDER BY 1, 3""".stripMargin)),
+
+    // The OPQ chain migrates too — and unlike raw/residual, OPQ carries a
+    // THIRD trained parameter: the rotation. A drifted corpus needs it
+    // RETRAINED (Ge et al.'s R is fit to the residual covariance, which
+    // drift moves); here the new rotation is trained on the 256 lowest
+    // SURVIVOR ids' residual sample (a pure function of the drift
+    // predicate — Opq.residSampleFiltered — so the Spark parameter and
+    // the oracle literal derive the same matrix, the q177 fixture-rotation
+    // policy applied to the drifted corpus), the residual codebooks
+    // retrain in the rotated space, and the one-pass re-encode rotates
+    // before coding. Oracle: the standing rotated-residual training SQL
+    // re-rooted on the drifted survivors with the retrained matrix as its
+    // rmat literal — migrated ≡ rebuilt under the NEW rotation + cells +
+    // codebooks.
+    "q282_index_migration_opq" -> Q(
+      (s, dir) => {
+        val cf = clusteredDf(s, dir)
+        val cents = trainedCents(s, dir)
+        // v1 deployment: OPQ-encoded cell-partitioned artifact under the
+        // v1 quantizer and the v1 (full-sample) fixture rotation
+        val residCorpus = AnnIndex.pqResidualCorpus(cf, "vec_id", "cvec",
+          nlist = 32, Some(cents))
+        val rotV1 = graft.operators.Opq.fixtureRotation
+        val opqCb = trainedCodebooks(s, dir, "pq_cb_opq_cf_v1")(
+          AnnIndex.pqTrainCodebooks(residCorpus.select(col("vec_id"),
+            matVec(col("__resid"), rotV1).as("__resid")), "vec_id", "__resid",
+            m = PqM, ksub = PqKsub, dim = 64, iters = 1))
+        val root = graft.pipeline.ArtifactStore.rootFor(dir, "pq_enc_opq_cf_part_mig_v1")
+        graft.pipeline.IndexErasure.ensurePartitioned(s, root, "cell") {
+          AnnIndex.pqResidualEncodedCorpus(
+            cf.select(col("vec_id").as("c_id"), col("cvec")), "c_id", "cvec",
+            PqM, PqKsub, 64, 32, Some(opqCb), Some(cents), Some(rotV1))
+            .select(col("c_id"), col("__cell").cast("long").as("cell"), col("__codes"))
+        }
+        val tomb = cf.filter(col("vec_id") % 32 === 13 && col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("c_id"), col("cvec"))
+        val touched = AnnIndex.ivfAssignTrained(tomb, "c_id", "cvec", cents.toSeq)
+          .select("cell").distinct().collect().map(_.getLong(0)).toSeq // ≤ nlist rows
+        graft.pipeline.IndexErasure.repairErased(s, root, "cell", touched, "c_id", tomb)
+        val current = cf.filter(!(col("vec_id") % 32).isin(5, 6, 7))
+          .select(col("vec_id").as("c_id"), col("cvec"))
+        graft.pipeline.IndexMigration.migrateOpq(s, root, current, "c_id", "cvec",
+          nlist = 32, m = PqM, ksub = PqKsub, dim = 64, rotation = migOpqRotation)
+        readEncExploded(s, root)
+      },
+      Some(s"""WITH ${cfFilteredCte(
+               "vec_id % 32 NOT IN (5, 6, 7) AND NOT (vec_id % 32 = 13 AND vec_id % 3 = 0)")},
+             |$cfKmeansCtes,
+             |rmat AS (SELECT CAST(${graft.operators.Opq.sqlMatrixLiteral(migOpqRotation)} AS DOUBLE[][]) AS m),
+             |${cfResidChain("mg", rot = true)}
              |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
              |  CAST(co.j AS BIGINT) AS j, CAST(co.code AS BIGINT) AS code
              |FROM asg a JOIN mgcodes co ON co.vec_id = a.vec_id
