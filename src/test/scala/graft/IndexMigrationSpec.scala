@@ -108,6 +108,56 @@ class IndexMigrationSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("migrateResidual / migrateOpq: chain-specific retrain equals the from-scratch build") {
+    // residual chain: migrated root vs virgin root built from the same
+    // current corpus with the same residual train+encode
+    val current = corpusDf(40).filter(col("id") % 4 =!= 3)
+    def buildResidual(root: String): Unit = {
+      val cents = AnnIndex.kmeansCentroids(current, "vec", "id", nlist, 1)
+      val cbs = AnnIndex.pqTrainCodebooks(
+        AnnIndex.pqResidualCorpus(current, "id", "vec", nlist, Some(cents)),
+        "id", "__resid", m, ksub, dim, 1)
+      IndexErasure.ensurePartitioned(spark, root, "cell") {
+        AnnIndex.pqResidualEncodedCorpus(current, "id", "vec", m, ksub, dim,
+          nlist, Some(cbs), Some(cents))
+          .select(col("id"), col("__cell").cast("long").as("cell"), col("__codes"))
+      }
+    }
+    val rootR = freshRoot()
+    buildIndex(rootR, corpusDf(40)) // v1 = raw chain; the MIGRATION re-chains it
+    val migR = IndexMigration.migrateResidual(spark, rootR, current, "id", "vec",
+      nlist, m, ksub, dim)
+    assert(migR.versionAfter === 2L)
+    val freshR = freshRoot(); buildResidual(freshR)
+    assert(readIndex(rootR) === readIndex(freshR),
+      "residual migration must equal the from-scratch residual build")
+    // OPQ chain: rotation is a supplied trained parameter — identical on
+    // both sides, so migrated ≡ fresh rotated-residual build
+    // any orthonormal matrix works — the leg pins migrated ≡ fresh GIVEN
+    // the same supplied rotation (rotation QUALITY is q282's concern);
+    // a cyclic permutation is deterministic and trivially orthonormal
+    val rot = Array.tabulate(dim, dim)((i, j) => if (i == (j + 1) % dim) 1.0 else 0.0)
+    def buildOpq(root: String): Unit = {
+      val cents = AnnIndex.kmeansCentroids(current, "vec", "id", nlist, 1)
+      val resid = AnnIndex.pqResidualCorpus(current, "id", "vec", nlist, Some(cents))
+      val cbs = AnnIndex.pqTrainCodebooks(resid.select(col("id"),
+        graft.functions.VectorFunctions.matVec(col("__resid"), rot).as("__resid")),
+        "id", "__resid", m, ksub, dim, 1)
+      IndexErasure.ensurePartitioned(spark, root, "cell") {
+        AnnIndex.pqResidualEncodedCorpus(current, "id", "vec", m, ksub, dim,
+          nlist, Some(cbs), Some(cents), Some(rot))
+          .select(col("id"), col("__cell").cast("long").as("cell"), col("__codes"))
+      }
+    }
+    val rootO = freshRoot()
+    buildIndex(rootO, corpusDf(40))
+    IndexMigration.migrateOpq(spark, rootO, current, "id", "vec",
+      nlist, m, ksub, dim, rotation = rot)
+    val freshO = freshRoot(); buildOpq(freshO)
+    assert(readIndex(rootO) === readIndex(freshO),
+      "OPQ migration must equal the from-scratch rotated-residual build")
+  }
+
   test("clearTombstones: re-admission requires the explicit clear; clear + replay converges") {
     import spark.implicits._
     val root = freshRoot()
