@@ -171,23 +171,8 @@ object Opq {
     * share: ids 0..255 of [[clusteredVector]] minus their per-cluster
     * sample mean — the quantity residual-PQ actually encodes.
     */
-  private[graft] lazy val residSample: Array[Array[Double]] = {
-    val ids = 0 until (NClust * 8)
-    val xs = ids.map(i => clusteredVector(i.toLong)).toArray
-    val means = Array.ofDim[Double](NClust, Dim)
-    val counts = Array.fill(NClust)(0)
-    for (i <- ids) {
-      val c = i % NClust
-      counts(c) += 1
-      var d = 0
-      while (d < Dim) { means(c)(d) += xs(i)(d); d += 1 }
-    }
-    for (c <- 0 until NClust; d <- 0 until Dim) means(c)(d) /= counts(c)
-    ids.map { i =>
-      val c = i % NClust
-      Array.tabulate(Dim)(d => xs(i)(d) - means(c)(d))
-    }.toArray
-  }
+  private[graft] lazy val residSample: Array[Array[Double]] =
+    residSampleFiltered(_ => true) // ids 0..255, identical accumulation order
 
   /** [[residSample]] restricted to the `n` lowest ids satisfying `keep` —
     * the rotation-RETRAINING sample of a drifted/filtered corpus (q282's

@@ -135,15 +135,23 @@ object ArtifactStore {
     * (`.tmp-*` dirs) stays behind in the scratch tier; the next build
     * neither reads nor trips over it.
     */
-  def loadOrBuild(spark: SparkSession, root: String)(build: => DataFrame): DataFrame =
-    FsLock.withLock(fs(spark), root)(synchronized {
-      val f = fs(spark)
-      if (!isLive(f, root)) {
-        gcStaleGenerations(f, root)
-        buildAndPromote(f, root, build)
-      }
-      spark.read.parquet(root)
-    })
+  def loadOrBuild(spark: SparkSession, root: String)(build: => DataFrame): DataFrame = {
+    val f = fs(spark)
+    // LOCK-FREE read fast path (review r19): a live generation under this
+    // API is immutable (build-if-absent only — the mutated index roots go
+    // through IndexErasure, not here), so a reader of a built artifact
+    // must pay neither lock syscalls nor serialization behind another
+    // key's long build. Only the build path locks, and re-checks liveness
+    // under the lock (the racing loser loads instead of rebuilding).
+    if (!isLive(f, root))
+      FsLock.withLock(f, root)(synchronized {
+        if (!isLive(f, root)) {
+          gcStaleGenerations(f, root)
+          buildAndPromote(f, root, build)
+        }
+      })
+    spark.read.parquet(root)
+  }
 
   /** Best-effort retention sweep (round-12 backlog item 1): every fixture
     * regeneration keys a NEW `<dir>-<fingerprint>` subtree, and the old
@@ -209,14 +217,20 @@ object ArtifactStore {
     // purgeBatches lists and rewrites batches under the same root, and the
     // erase-wins contract needs append and purge to serialize as wholes —
     // cross-process too, not only in this JVM (r18 verdict task 4)
-    FsLock.withLock(fs(spark), root)(synchronized {
-      val f = fs(spark)
-      val live = s"$root/b$batchId"
-      if (!isLive(f, live)) {
-        gcStaleGenerations(f, root) // root = <base>/<gen>/<name>: same levels
-        buildAndPromote(f, live, build)
-      }
-    })
+  {
+    val f = fs(spark)
+    val live = s"$root/b$batchId"
+    // replay fast path: an already-live batch is skipped without the lock
+    // (no mutation happens — safe against any concurrent purge, whose own
+    // rewrite of this batch is invisible to a no-op)
+    if (!isLive(f, live))
+      FsLock.withLock(f, root)(synchronized {
+        if (!isLive(f, live)) {
+          gcStaleGenerations(f, root) // root = <base>/<gen>/<name>: same levels
+          buildAndPromote(f, live, build)
+        }
+      })
+  }
 
   /** Union of every live batch under `root`, in batch-id order (order is
     * cosmetic — consumers aggregate). Fails loudly on zero batches: an

@@ -159,6 +159,7 @@ object IndexMigration {
     val survivors = IndexErasure.erasedIds(spark, root).fold(corpus)(t =>
       corpus.join(broadcast(t), corpus(idCol) === t("__erased_id"), "left_anti"))
       .cache() // three consumers: centroid train, codebook train, encode
+    try {
     val nSurv = survivors.count() // materializes the cache
     require(nSurv > 0, s"IndexMigration: surviving corpus for $root is empty")
     val cents = AnnIndex.kmeansCentroids(survivors, vecCol, idCol, nlist, iters)
@@ -179,7 +180,9 @@ object IndexMigration {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     StagedSwap.swap(f, tmp, new Path(root), new Path(root + ".old"))
-    survivors.unpersist()
     Migrated(vBefore, vBefore + 1, nSurv, nRaw - nSurv, nCells.toLong, cents, cbs)
+    // unpersist in finally (review r19): a failed migration must not pin a
+    // corpus-sized cached relation in executor memory for the session
+    } finally survivors.unpersist()
   })
 }

@@ -119,9 +119,13 @@ object ExplainAudit {
         }
         spark.sparkContext.addSparkListener(listener)
         val t0 = System.nanoTime()
-        mutate
-        org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
-        spark.sparkContext.removeSparkListener(listener)
+        try mutate
+        finally {
+          // remove + drain even when the mutate body throws (review r19):
+          // a leaked listener keeps counting every later audit's events
+          org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
+          spark.sparkContext.removeSparkListener(listener)
+        }
         val after = liveDirs().map(d => d.getName -> latestMtime(d)).toMap
         val rewritten = after.count { case (n, m) => before.get(n).forall(_ != m) }
         val dropped = before.keySet.diff(after.keySet).size

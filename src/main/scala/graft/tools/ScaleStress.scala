@@ -314,7 +314,10 @@ object ScaleStress {
         // the drift: same neighborhoods, new absolute regime
         val drifted = corpus.select(col("c_id"),
           expr("transform(v, x -> floor(x / 100.0) + 7000.0)").as("v")).cache()
-        val queries = drifted.filter(col("c_id") % 100 === 0).limit(20)
+        // pure id predicate, not limit() (review r19): an unordered limit
+        // recomputed after cache eviction could select DIFFERENT rows for
+        // the truth and candidate consumers — phantom recall regressions
+        val queries = drifted.filter(col("c_id") % 100 === 0 && col("c_id") < 2000)
           .select(col("c_id").as("q_id"), col("v").as("qv")).cache()
         // exact truth: top-10 by exact L2 over the drifted corpus
         val truth = queries.crossJoin(drifted.filter(col("c_id") % 100 =!= 0))

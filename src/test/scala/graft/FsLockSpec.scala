@@ -52,22 +52,42 @@ class FsLockSpec extends AnyFunSuite {
     assert(FsLock.withLock(fs, root) { 1 } === 1)
   }
 
-  test("withLock: a stale lock (dead holder) is broken, a fresh one is respected") {
+  test("withLock: a dead holder's lock is broken; a live holder's is respected at ANY age") {
     val root = freshRoot()
     val lock = java.nio.file.Paths.get(root + ".fslock")
     java.nio.file.Files.createDirectories(lock.getParent)
-    java.nio.file.Files.writeString(lock, "pid=0 acquired=0") // orphaned
+    // a DEAD holder (pid 999999999 cannot exist) breaks regardless of age
+    java.nio.file.Files.writeString(lock, "pid=999999999 token=x acquired=0")
+    assert(FsLock.withLock(fs, root, timeoutMs = 10000, staleMs = 600000) { 9 } === 9)
+    // a LIVE holder (this very process) is respected until timeout — even
+    // with an hour-old mtime: age alone never breaks a live holder
+    // (review r19: a migration can legitimately hold for longer than any
+    // staleness bound)
+    java.nio.file.Files.writeString(lock,
+      s"pid=${ProcessHandle.current().pid()} token=foreign acquired=0")
     java.nio.file.Files.setLastModifiedTime(lock,
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600000))
-    // an hour-old lock breaks within the acquisition spin
-    assert(FsLock.withLock(fs, root, timeoutMs = 10000, staleMs = 600000) { 9 } === 9)
-    // a FRESH foreign lock is respected until timeout
-    java.nio.file.Files.writeString(lock, "pid=0 acquired=now")
     val t0 = System.currentTimeMillis()
     val e = intercept[RuntimeException] {
-      FsLock.withLock(fs, root, timeoutMs = 700, staleMs = 600000) { 0 }
+      FsLock.withLock(fs, root, timeoutMs = 700, staleMs = 100) { 0 }
     }
     assert(e.getMessage.contains("timed out"))
     assert(System.currentTimeMillis() - t0 >= 700)
+    assert(java.nio.file.Files.readString(lock).contains("token=foreign"),
+      "the live holder's lock must survive the waiter's timeout untouched")
+  }
+
+  test("withLock: a broken holder cannot delete the next holder's lock on release") {
+    val root = freshRoot()
+    val lock = java.nio.file.Paths.get(root + ".fslock")
+    // simulate: we acquire, someone (wrongly) breaks us and re-acquires —
+    // our release must leave THEIR lock standing (ownership check)
+    FsLock.withLock(fs, root) {
+      java.nio.file.Files.delete(lock) // the "breaker" removed our lock
+      java.nio.file.Files.writeString(lock, "pid=1 token=theirs acquired=1")
+      1
+    }
+    assert(java.nio.file.Files.readString(lock).contains("token=theirs"),
+      "release must be ownership-checked, never an unconditional delete")
   }
 }
