@@ -62,7 +62,7 @@ object ChunkRetrieval {
     val chunks = Chunker.chunk(docs, dIdCol, textCol, chunkTokens, overlap)
       .select(col(dIdCol),
         // one retrieval key per chunk; dIdCol recovered by integer division
-        (col(dIdCol) * 1000000L + col("chunk_id")).as("__chunk_key"),
+        packedChunkKey(col(dIdCol), col("chunk_id")).as("__chunk_key"),
         emb.embedRaw(col("chunk_text")).as("__cvec"))
     val qs = queries.select(col(qIdCol), emb.embedRaw(col(qTextCol)).as("__qvec"))
     val cand = AnnIndex.annTopK(qs, qIdCol, "__qvec",
@@ -74,6 +74,24 @@ object ChunkRetrieval {
       pmod(col("__chunk_key"), lit(1000000L)).as("chunk_id"),
       col("score").as("__sim"))
     docMaxTopK(scored, qIdCol, dIdCol, k)
+  }
+
+  /** One packed retrieval key per chunk — `doc_id·10⁶ + chunk_id` (doc
+    * recovered by integer division), GUARDED (r19 ADVICE): the arithmetic
+    * silently collides when a doc reaches 10⁶ chunks (~48 M tokens),
+    * overflows past doc_id ≈ 9.2·10¹², and mis-decodes for negative ids —
+    * each of which would attribute candidate chunks to the WRONG document.
+    * Out-of-range inputs raise instead. The bounds stay inside the codegen
+    * path (one branch per row).
+    */
+  def packedChunkKey(docId: org.apache.spark.sql.Column,
+                     chunkId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val d = docId.cast("long")
+    val c = chunkId.cast("long")
+    when(d < 0L || d > 9000000000000L || c < 0L || c >= 1000000L,
+      raise_error(concat(lit("packedChunkKey out of range: doc_id="), d.cast("string"),
+        lit(", chunk_id="), c.cast("string"))).cast("long"))
+      .otherwise(d * 1000000L + c)
   }
 
   /** Every (query, doc, chunk) cosine — the exact scored relation both the

@@ -182,7 +182,16 @@ object Opq {
     * filtered sample, the same proxy policy as [[residSample]].
     */
   def residSampleFiltered(keep: Long => Boolean, n: Int = 256): Array[Array[Double]] = {
-    val ids = Iterator.from(0).map(_.toLong).filter(keep).take(n).toArray
+    // bounded scan (r19 ADVICE): an unbounded Iterator.from(0) spins forever
+    // when the predicate admits < n ids, and wraps Int negative past 2³¹ —
+    // fail fast instead (real predicates are mod-k filters; n ids always
+    // land within a few·n of 0, so the bound is generous, never limiting)
+    val maxScan = math.max(1L << 20, n.toLong * 1024L)
+    val ids = Iterator.iterate(0L)(_ + 1L).takeWhile(_ < maxScan)
+      .filter(keep).take(n).toArray
+    require(ids.length == n,
+      s"residSampleFiltered: predicate yielded only ${ids.length} of $n sample ids " +
+        s"within the first $maxScan candidates")
     val xs = ids.map(clusteredVector)
     val means = Array.ofDim[Double](NClust, Dim)
     val counts = Array.fill(NClust)(0)

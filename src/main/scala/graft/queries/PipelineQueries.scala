@@ -691,7 +691,8 @@ object PipelineQueries {
         val emb = graft.pipeline.HashingEmbedder(64)
         val chunks = graft.operators.Chunker.chunk(ldocs, "doc_id", "text",
           chunkTokens = 64, overlap = 16)
-          .select((col("doc_id") * 1000000L + col("chunk_id")).as("c_id"),
+          .select(graft.operators.ChunkRetrieval.packedChunkKey(
+            col("doc_id"), col("chunk_id")).as("c_id"),
             emb.embedRaw(col("chunk_text")).as("cvec"))
           .cache() // trainer + candidate join both read it
         val cents = AnnIndex.kmeansCentroids(chunks, "cvec", "c_id", k = 32, iters = 1)

@@ -77,6 +77,60 @@ class FsLockSpec extends AnyFunSuite {
       "the live holder's lock must survive the waiter's timeout untouched")
   }
 
+  test("tryBreakObserved: verify-or-undo — a lock that changed since observation is restored") {
+    import org.apache.hadoop.fs.Path
+    val root = freshRoot()
+    val lockPath = new Path(root + ".fslock")
+    val lock = java.nio.file.Paths.get(root + ".fslock")
+    java.nio.file.Files.createDirectories(lock.getParent)
+    // (a) observation still true: a dead-pid lock breaks and the file goes
+    java.nio.file.Files.writeString(lock, "pid=999999999 token=dead acquired=0")
+    val observed = "pid=999999999 token=dead acquired=0"
+    assert(FsLock.tryBreakObserved(fs, lockPath, observed, staleMs = 600000))
+    assert(!java.nio.file.Files.exists(lock))
+    // (b) the TOCTOU race (r19 ADVICE): between observing the dead lock and
+    // renaming it, another breaker broke it and a NEW LIVE holder created a
+    // fresh lock — the rename claims the live holder's file, the verify sees
+    // a different payload, and the undo puts it back untouched
+    java.nio.file.Files.writeString(lock,
+      s"pid=${ProcessHandle.current().pid()} token=freshlive acquired=1")
+    assert(!FsLock.tryBreakObserved(fs, lockPath, observed, staleMs = 600000))
+    assert(java.nio.file.Files.readString(lock).contains("token=freshlive"),
+      "a live holder's lock claimed by a stale observation must be restored")
+    assert(java.nio.file.Files.list(lock.getParent).count() === 1,
+      "no break debris may remain after the undo")
+  }
+
+  test("mtime mode: heartbeat keeps a live long holder unbroken past staleMs") {
+    val root = freshRoot()
+    val lock = java.nio.file.Paths.get(root + ".fslock")
+    FsLock.forceMtimeMode = true
+    try {
+      // holder holds for 1.5 s with staleMs = 400 ms: WITHOUT the heartbeat
+      // the waiter would break at ~400 ms and both would enter; with it the
+      // waiter must time out while the holder is alive
+      val holderIn = new java.util.concurrent.CountDownLatch(1)
+      val holder = new Thread(() => FsLock.withLock(fs, root, staleMs = 400) {
+        holderIn.countDown(); Thread.sleep(1500)
+      })
+      holder.start()
+      assert(holderIn.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      Thread.sleep(600) // well past staleMs — heartbeat must have refreshed
+      val e = intercept[RuntimeException] {
+        FsLock.withLock(fs, root, timeoutMs = 500, staleMs = 400) { 0 }
+      }
+      assert(e.getMessage.contains("timed out"),
+        "a heartbeating live holder must never be broken by mtime staleness")
+      holder.join(30000)
+      assert(!java.nio.file.Files.exists(lock), "holder released cleanly")
+      // and a crashed holder (no heartbeat) IS breakable: plant a stale lock
+      java.nio.file.Files.writeString(lock, "pid=999999999 token=crashed acquired=0")
+      java.nio.file.Files.setLastModifiedTime(lock,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 5000))
+      assert(FsLock.withLock(fs, root, timeoutMs = 10000, staleMs = 400) { 5 } === 5)
+    } finally FsLock.forceMtimeMode = false
+  }
+
   test("withLock: a broken holder cannot delete the next holder's lock on release") {
     val root = freshRoot()
     val lock = java.nio.file.Paths.get(root + ".fslock")
