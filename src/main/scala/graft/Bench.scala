@@ -1,6 +1,124 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Everything one suite pass measured — the input the contamination gate
+    * and the retime selection decide on (r19 verdict task 1: the gate
+    * logic must be a PURE function of a recorded profile so BenchFormatSpec
+    * can replay synthetic contaminated profiles against it).
+    *
+    * `perQueryLoad` is the system load average sampled right AFTER each
+    * query finished — the mid-run contamination record the r19 gate threw
+    * away (it kept only the max, whose threshold then self-raised).
+    */
+  private[graft] final case class SuiteProfile(
+      results: Map[String, Double],
+      probeRatio: Double,  // probe end/warm; -1 when unavailable
+      probeWarm: Double,   // probe warm absolute seconds; -1 when unavailable
+      loadStart: Double, loadEnd: Double, loadMax: Double,
+      perQueryLoad: Map[String, Double],
+      cpus: Int,
+      filtered: Boolean)
+
+  /** The load a QUIET run cannot exceed: our own local[cpus] work
+    * contributes at most ~cpus runnable threads, and the endpoint samples
+    * measure the box's ambient load — anything above
+    * max(endpoints, cpus) + slack during the suite is FOREIGN load. This
+    * bound is ABSOLUTE in the foreign component (r19's escape: the old
+    * trigger compared lm against 2×endpoints, so endpoint load 3.97
+    * self-raised the threshold to 7.94 and lm 7.86 slid under — here the
+    * same profile bounds at max(3.97, 4) + 2 = 5.97 and 7.86 is hot).
+    */
+  private[graft] def loadBound(p: SuiteProfile, slack: Double = 2.0): Double =
+    math.max(math.max(p.loadStart, p.loadEnd), p.cpus.toDouble) + slack
+
+  /** Queries whose post-query load sample exceeded the bound — each one's
+    * timing is suspect and gets retimed individually. Failed queries (-1)
+    * are excluded (nothing to retime).
+    */
+  private[graft] def hotQueries(p: SuiteProfile, slack: Double = 2.0): Set[String] =
+    p.perQueryLoad.collect {
+      case (n, l) if l > loadBound(p, slack) && p.results.getOrElse(n, -1.0) > 0 => n
+    }.toSet
+
+  /** The full-suite-retry gate. Triggers, in order:
+    *  - "probe": probe end/warm ratio > 1.5 — endpoint contention (r10).
+    *  - "probe_abs": warm probe beyond `probeAbsMax` — UNIFORM
+    *    contamination (r18's escape: a box loaded evenly start-to-finish
+    *    gives ratio ≈ 1 and lm ≈ endpoints; the warm probe is the one
+    *    absolute reference). Full-suite runs only.
+    *  - "load_abs" (new r20 — r19's escape): SUSTAINED mid-run foreign
+    *    load. Absolute bound (see [[loadBound]]), but a run is dirty only
+    *    when a sustained FRACTION of per-query samples are hot: quiet
+    *    history shows single transient spikes (r17 published lm 9.76 from
+    *    one blip with clean totals), and those are repaired by the
+    *    per-query retime, not a full re-run.
+    *  - "load": the r11 relative rule, kept as a backstop.
+    */
+  private[graft] def dirtyReason(p: SuiteProfile, probeAbsMax: Double): Option[String] = {
+    val n = math.max(p.results.size, 1)
+    if (p.probeRatio > 1.5) Some("probe")
+    else if (!p.filtered && p.probeWarm > probeAbsMax) Some("probe_abs")
+    else if (hotQueries(p).size >= math.max(6, n / 12)) Some("load_abs")
+    else {
+      val total = p.results.values.filter(_ >= 0).sum
+      if (p.loadMax > 2.0 * math.max(math.max(p.loadStart, p.loadEnd), 1.0)
+        && total / n > 1.6) Some("load")
+      else None
+    }
+  }
+
+  /** Which queries the min(first, retime) protocol re-times: EVERY query
+    * whose load sample was hot (r19's fixed top-K=6 published the 7th
+    * spike — q270, 60.7 s vs 1.61 s real — un-retimed; load-sample-driven
+    * selection has no such rank cliff) plus the `k` slowest as the
+    * baseline sweep, capped at `cap` (slowest first) so a fully-hot run
+    * cannot more than ~double its wall.
+    */
+  private[graft] def retimeSelection(p: SuiteProfile, k: Int, cap: Int): Seq[String] = {
+    val ok = p.results.filter(_._2 > 0)
+    val slowest = ok.toSeq.sortBy(-_._2).take(k).map(_._1)
+    (hotQueries(p) ++ slowest).toSeq
+      .sortBy(n => -ok.getOrElse(n, 0.0))
+      .take(cap)
+  }
+
+  /** probe_abs threshold: 2× the median of the host's recorded QUIET warm
+    * probes (floored at 1.0 s so sub-second jitter can't flag), falling
+    * back to this box's calibrated 1.4 s constant when no history exists
+    * yet (r19 ADVICE: a fixed constant permanently dirties slower hosts —
+    * history self-calibrates after the first accepted run; see the
+    * probe_cal path in main for how a historyless slow host bootstraps).
+    */
+  private[graft] def probeAbsDefault(history: Seq[Double]): Double =
+    if (history.isEmpty) 1.4
+    else {
+      // 1.75× the quiet median (not 2×): the r18 uniform-contamination
+      // run's warm probe read 1.08 s against a 0.42–0.73 s quiet band —
+      // 2× the median would still have let it through
+      val s = history.sorted
+      math.max(1.0, 1.75 * s(s.size / 2))
+    }
+
+  private val HistoryFile = ".bench-probe-history"
+
+  private def readHistory(): Seq[Double] =
+    try {
+      val p = java.nio.file.Paths.get(HistoryFile)
+      if (!java.nio.file.Files.exists(p)) Seq.empty
+      else scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(p)).asScala.toSeq
+        .flatMap(l => scala.util.Try(l.trim.toDouble).toOption)
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  private def appendHistory(v: Double): Unit =
+    try {
+      val keep = (readHistory() :+ v).takeRight(20)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(HistoryFile),
+        keep.map(x => f"$x%.3f").mkString("", "\n", "\n"))
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -50,13 +168,10 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
     }
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    /** One full suite pass with the noise sentinel around it. Returns the
-      * per-query results, the sentinel's probe ratio (−1 when unavailable),
-      * the probe's WARM ABSOLUTE time (−1 when unavailable), the formatted
-      * noise JSON fragment, and the load triple (start, end,
-      * max-sampled-after-every-query) the mid-run gate reads.
+    /** One full suite pass with the noise sentinel around it: returns the
+      * measured [[SuiteProfile]] plus the formatted noise JSON fragment.
       */
-    def runSuite(): (Map[String, Double], Double, Double, String, (Double, Double, Double)) = {
+    def runSuite(): (SuiteProfile, String) = {
       val sysLoadStart = osBean.getSystemLoadAverage
       // Environment-noise sentinel, part 1: time the probe (first) query
       // BEFORE the suite, post-warmup and outside the totals. Run it twice
@@ -69,19 +184,20 @@ object Bench {
         timeQuery(n0, fn0); (n0, fn0, timeQuery(n0, fn0))
       }
       // part 2: a monotonic start-offset per query plus a load-average
-      // sample AFTER EVERY QUERY (max reported) — a mid-run contention
-      // window (the actual r07 pattern: q54–q130 inflated, endpoints quiet)
-      // is invisible to start/end readings but cannot dodge per-query
-      // sampling. Offsets go to stderr (the driver's parsed tail has ~80
-      // bytes of headroom — see below); the max load + ratio go in the
-      // parsed JSON.
+      // sample AFTER EVERY QUERY — a mid-run contention window (the actual
+      // r07 pattern: q54–q130 inflated, endpoints quiet) is invisible to
+      // start/end readings but cannot dodge per-query sampling. The samples
+      // feed both the load_abs gate and the retime selection. Offsets go to
+      // stderr; the max load + ratio go in the parsed JSON.
       val runT0 = System.nanoTime()
       var loadMax = sysLoadStart
+      val perQueryLoad = scala.collection.mutable.Map.empty[String, Double]
       val results = selected.map { case (name, fn) =>
         val off = (System.nanoTime() - runT0) / 1e9
         val dt = timeQuery(name, fn)
         val load = osBean.getSystemLoadAverage
         if (load > loadMax) loadMax = load
+        perQueryLoad(name) = load
         System.err.println(f"[bench] $name%-28s $dt%8.2f s  (t+$off%7.1f s, load $load%.2f)")
         name -> dt
       }
@@ -105,54 +221,31 @@ object Bench {
         // compact keys: tw=probe warm baseline, te=probe end re-time, r=ratio,
         // ls/le/lm=load start/end/max(sampled after every query). lm is the
         // mid-run contamination detector; r covers the endpoints — the
-        // recorded lm now equals the gate input exactly.
+        // recorded lm equals the gate input exactly.
         f""","noise":{"tw":$tWarm%.2f,"te":$tEnd%.2f,"r":$ratio%.2f,"ls":$sysLoadStart%.2f,"le":$sysLoadEnd%.2f,"lm":$loadMax%.2f}"""
       }.getOrElse("")
-      val probeWarmT = probeWarm.map(_._3).getOrElse(-1.0)
-      (results, probeRatio, probeWarmT, noiseJson, (sysLoadStart, sysLoadEnd, loadMax))
+      val profile = SuiteProfile(results, probeRatio,
+        probeWarm.map(_._3).getOrElse(-1.0),
+        sysLoadStart, sysLoadEnd, loadMax, perQueryLoad.toMap,
+        cpus.toInt, only.nonEmpty)
+      (profile, noiseJson)
     }
     // Sentinel GATE (three straight rounds of judge-vs-driver number
     // disagreement were all traced to contaminated driver runs): re-run the
     // whole suite ONCE when an attempt looks contaminated, then publish the
     // cleaner attempt — same output format, plus "retry"/"rr" so a gated
-    // run and its trigger are visible in the record. Two triggers:
-    //  - "probe": probe ratio > 1.5 — endpoint contention the r10 gate
-    //    already caught;
-    //  - "load": BENCH_r11's escape — mid-run contention with QUIET probe
-    //    endpoints (lm 6.34 vs ratio 1.10, ~30% inflation invisible to the
-    //    probe). Fires when the per-query-sampled load max is > 2× the
-    //    quiet endpoint load (floored at 1.0 so an idle box's 0.0x noise
-    //    can't trip it) AND the suite actually ran slow (> 1.6 s/query vs
-    //    the 1.1–1.35 s/query quiet history) — both conditions, so a
-    //    legitimately heavier suite alone never burns the retry.
-    //  - "probe_abs" (new r19 — BENCH_r18's escape): UNIFORM contamination.
-    //    A box loaded evenly for the whole run gives ratio ≈ 1 (both probe
-    //    timings equally inflated) and lm ≈ ls ≈ le (endpoints as loaded as
-    //    the middle) — both relative triggers blind. The warm probe is an
-    //    ABSOLUTE reference: the same first query on this fixture timed
-    //    0.42–0.70 s across every quiet run on record (PERF_r17/r18), so a
-    //    warm probe past SPARK_GRAFT_PROBE_MAX (default 1.4 s = 2× the
-    //    worst quiet reading; r18's contaminated run read 1.08 s) means
-    //    the box is provably slower than quiet history before the suite
-    //    even starts. Full-suite-only (a SPARK_GRAFT_ONLY run may probe a
-    //    different first query with a different quiet time).
+    // run and its trigger are visible in the record. Trigger inventory and
+    // thresholds live in [[dirtyReason]] (pure, unit-tested on synthetic
+    // contaminated profiles in BenchFormatSpec).
+    val history = readHistory()
     val probeAbsMax = sys.env.get("SPARK_GRAFT_PROBE_MAX")
-      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(1.4)
-    def dirtyReason(a: (Map[String, Double], Double, Double, String, (Double, Double, Double))): Option[String] = {
-      val (results, ratio, warm, _, (ls, le, lm)) = a
-      if (ratio > 1.5) Some("probe")
-      else if (only.isEmpty && warm > probeAbsMax) Some("probe_abs")
-      else {
-        val total = results.values.filter(_ >= 0).sum
-        val n = math.max(results.size, 1)
-        if (lm > 2.0 * math.max(math.max(ls, le), 1.0) && total / n > 1.6) Some("load")
-        else None
-      }
-    }
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .getOrElse(probeAbsDefault(history))
     val attempt1 = runSuite()
-    val reason1 = dirtyReason(attempt1)
-    val (results, noiseJson, retryTag) = reason1 match {
-      case None => (attempt1._1, attempt1._4, "")
+    val reason1 = dirtyReason(attempt1._1, probeAbsMax)
+    var calTag = ""
+    val (profile, noiseJson, retryTag) = reason1 match {
+      case None => (attempt1._1, attempt1._2, "")
       case Some(why) =>
         System.err.println(s"[bench] sentinel dirty ($why); " +
           "sleeping 60 s and re-running the suite once")
@@ -160,31 +253,44 @@ object Bench {
         val attempt2 = runSuite()
         // prefer the attempt the gate calls clean; when both are dirty (or
         // both clean) keep the lower total — contamination only adds time
-        def total(a: (Map[String, Double], Double, Double, String, (Double, Double, Double))) =
-          a._1.values.filter(_ >= 0).sum
+        def total(a: (SuiteProfile, String)) =
+          a._1.results.values.filter(_ >= 0).sum
         val best =
-          if (dirtyReason(attempt2).isEmpty) attempt2
+          if (dirtyReason(attempt2._1, probeAbsMax).isEmpty) attempt2
           else if (total(attempt2) < total(attempt1)) attempt2
           else attempt1
-        // SELF-FLAGGING record (r18 verdict task 3: the official artifact
-        // was contaminated and only the judge's own re-run caught it): when
-        // the published attempt STILL fails the gate, say so in the parsed
-        // line — "dirty" names the surviving trigger, so a reader never has
-        // to reverse-engineer contamination from the noise block
-        val dirtyTag = dirtyReason(best)
-          .map(w => s""","dirty":"$w"""").getOrElse("")
-        (best._1, best._4, s""","retry":1,"rr":"$why"$dirtyTag""")
+        // SELF-FLAGGING record (r18 verdict task 3): when the published
+        // attempt STILL fails the gate, say so in the parsed line — "dirty"
+        // names the surviving trigger, so a reader never has to
+        // reverse-engineer contamination from the noise block.
+        var dirtyBest = dirtyReason(best._1, probeAbsMax)
+        // probe_abs AUTO-CALIBRATION (r19 ADVICE: the fixed 1.4 s constant
+        // permanently dirties a slower host): with NO recorded history, two
+        // attempts that agree on the warm probe within 25% aren't noise —
+        // they're the hardware. Accept the run, tag "cal", and record
+        // history so the threshold self-corrects for every later run.
+        if (dirtyBest.contains("probe_abs") && history.isEmpty &&
+          attempt1._1.probeWarm > 0 && attempt2._1.probeWarm > 0 &&
+          math.abs(attempt2._1.probeWarm / attempt1._1.probeWarm - 1.0) <= 0.25) {
+          dirtyBest = None
+          calTag = ""","cal":1"""
+        }
+        val dirtyTag = dirtyBest.map(w => s""","dirty":"$w"""").getOrElse("")
+        (best._1, best._2, s""","retry":1,"rr":"$why"$dirtyTag$calTag""")
     }
+    val results = profile.results
     // Per-query LOAD-SPIKE correction (r14's escape: four phantom 2-3x
     // per-query regressions were published for byte-identical code because a
-    // uniformly loaded box dodges BOTH retry triggers — lm was never > 2x the
-    // equally-loaded endpoints AND 308.78s/234 = 1.32 s/query sat under the
-    // 1.6 s/query floor). The suite TOTAL survives that contention fine; the
-    // individual spikes don't. So after the attempt is chosen, re-time the K
-    // slowest queries once each and publish min(first, retime): contention is
-    // strictly additive noise, min is the better point estimate, and K bounds
-    // the extra wall time to roughly the slow tail itself. "rtn" in the
-    // parsed line records how many entries went through the min.
+    // uniformly loaded box dodges BOTH retry triggers). The suite TOTAL
+    // survives transient contention fine; the individual spikes don't. So
+    // after the attempt is chosen, re-time (a) EVERY query whose post-query
+    // load sample exceeded the absolute bound — load-sample-driven selection
+    // (r19 verdict task 1b: fixed K=6 let the 7th spike through) — plus (b)
+    // the K slowest as the baseline sweep, capped; publish min(first,
+    // retime): contention is strictly additive noise, min is the better
+    // point estimate. "rtn" in the parsed line records how many entries
+    // went through the min; "lh" records the hot-sample count the
+    // selection saw.
     // Known trade, accepted deliberately: for ArtifactStore-backed queries
     // whose FIRST timing paid a one-time artifact build, the retime reads
     // the live artifact and min() publishes the warm read time — the same
@@ -195,8 +301,11 @@ object Bench {
     // plus compact totals ("bt"/"bn") on the parsed line.
     val retimeK = sys.env.get("SPARK_GRAFT_RETIME")
       .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(6)
-    val retimedRaw = results.toSeq.filter(_._2 > 0).sortBy(-_._2).take(retimeK)
-      .map { case (name, t1) =>
+    val retimeCap = sys.env.get("SPARK_GRAFT_RETIME_MAX")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(64)
+    val retimedRaw = retimeSelection(profile, retimeK, retimeCap)
+      .map { name =>
+        val t1 = results(name)
         val t2 = timeQuery(name, selected(name))
         System.err.println(f"[bench] retime $name%-28s first $t1%5.2f s -> re $t2%5.2f s")
         (name, t1, t2)
@@ -205,6 +314,10 @@ object Bench {
       name -> (if (t2 > 0) math.min(t1, t2) else t1)
     }.toMap
     val finalResults = results ++ retimed
+    val hotTag = {
+      val h = hotQueries(profile).size
+      if (h == 0) "" else s""","lh":$h"""
+    }
     val retimeTag = if (retimed.isEmpty) "" else s""","rtn":${retimed.size}"""
     // One-time artifact-build costs paid during this run (ArtifactStore
     // drain, r15 verdict task 3): per-artifact seconds go on the per-query
@@ -224,12 +337,18 @@ object Bench {
       }
       s""","filtered":true,"filter":"$esc""""
     }.getOrElse("")
+    // record quiet history: a clean, unfiltered, successfully-probed run's
+    // warm probe becomes part of the host's probe_abs calibration
+    val publishedDirty = dirtyReason(profile, probeAbsMax)
+    if (only.isEmpty && profile.probeWarm > 0 &&
+      (publishedDirty.isEmpty || calTag.nonEmpty))
+      appendHistory(profile.probeWarm)
     val sfName = new java.io.File(sfDir).getName // basename: tail-window bytes matter
     // per-query line first (sacrificial under tail clipping), parsed
     // metric line LAST so the driver's 2000-byte tail always holds it whole
     println(perQueryLine(finalResults, sfName, retimedRaw, builds))
     println(metricLine(finalResults, sfName,
-      noiseJson + retryTag + retimeTag + buildTag, filteredTag))
+      noiseJson + retryTag + retimeTag + hotTag + buildTag, filteredTag))
     spark.stop()
   }
 

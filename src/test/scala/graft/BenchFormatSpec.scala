@@ -71,4 +71,93 @@ class BenchFormatSpec extends AnyFunSuite {
     val keys = Bench.shortKeys(SparkEntry.queries.keys)
     assert(keys.values.toSeq.distinct.size === keys.size)
   }
+
+  // ---- contamination-gate replay on synthetic profiles (r19 verdict
+  // task 1c: the gate decisions must be unit-testable, and the historical
+  // escapes must be pinned as failing inputs) ----
+
+  /** A synthetic n-query profile: `hot` of the queries carry a load sample
+    * of `hotLoad`, the rest sit at the quiet endpoint load.
+    */
+  private def profile(n: Int, hot: Int, hotLoad: Double,
+                      ls: Double, le: Double, lm: Double,
+                      ratio: Double, warm: Double, cpus: Int = 4,
+                      secPerQuery: Double = 1.2): Bench.SuiteProfile = {
+    val names = (1 to n).map(i => f"q$i%03d_x")
+    val loads = names.zipWithIndex.map { case (nm, i) =>
+      nm -> (if (i < hot) hotLoad else math.min(ls, le))
+    }.toMap
+    Bench.SuiteProfile(names.map(_ -> secPerQuery).toMap, ratio, warm,
+      ls, le, lm, loads, cpus, filtered = false)
+  }
+
+  test("gate: BENCH_r19's mid-run contamination is dirty under the absolute load bound") {
+    // the published r19 profile: probe quiet (tw .73, r .76), endpoints
+    // 3.05/3.97, lm 7.86 — the old relative trigger self-raised its
+    // threshold to 2×3.97 = 7.94 and MISSED by 1%. The absolute bound is
+    // max(3.97, 4 cpus) + 2 = 6.0: sustained samples at 7.86 are hot.
+    val r19 = profile(n = 289, hot = 40, hotLoad = 7.86,
+      ls = 3.05, le = 3.97, lm = 7.86, ratio = 0.76, warm = 0.73,
+      secPerQuery = 833.0 / 289)
+    assert(Bench.loadBound(r19) === 6.0)
+    assert(Bench.dirtyReason(r19, probeAbsMax = 1.4) === Some("load_abs"))
+  }
+
+  test("gate: a single transient spike is NOT dirty but IS retimed (quiet r17 shape)") {
+    // r17 published lm 9.76 on a clean run — one cron blip. A full-suite
+    // retry would burn 5 minutes for nothing; the per-query retime repairs
+    // exactly the spiked queries.
+    val r17 = profile(n = 289, hot = 2, hotLoad = 9.76,
+      ls = 4.01, le = 3.48, lm = 9.76, ratio = 1.32, warm = 0.42,
+      secPerQuery = 282.9 / 289)
+    assert(Bench.dirtyReason(r17, probeAbsMax = 1.4) === None)
+    val sel = Bench.retimeSelection(r17, k = 6, cap = 64)
+    assert(sel.toSet.intersect(Bench.hotQueries(r17)).size === 2,
+      "both hot-sample queries must be selected for retime")
+  }
+
+  test("gate: load-sample-driven retime has no rank cliff (the q270 escape)") {
+    // r19 published the 7th-worst query (q270, 60.7 s vs 1.61 s real)
+    // un-retimed because selection was the fixed top-6. With 10 hot
+    // samples, ALL 10 must be selected regardless of K.
+    val p = profile(n = 289, hot = 10, hotLoad = 8.5,
+      ls = 3.0, le = 3.5, lm = 8.5, ratio = 1.0, warm = 0.6)
+    val sel = Bench.retimeSelection(p, k = 6, cap = 64)
+    assert(Bench.hotQueries(p).subsetOf(sel.toSet),
+      "every hot-sample query must be retimed, not just the top K")
+    // and the cap bounds a fully-hot run's extra wall
+    val allHot = profile(n = 289, hot = 289, hotLoad = 9.0,
+      ls = 3.0, le = 3.5, lm = 9.0, ratio = 1.0, warm = 0.6)
+    assert(Bench.retimeSelection(allHot, k = 6, cap = 64).size === 64)
+  }
+
+  test("gate: quiet profiles stay clean (r13/r14 shapes)") {
+    val r13 = profile(n = 270, hot = 0, hotLoad = 0,
+      ls = 3.61, le = 4.82, lm = 5.40, ratio = 0.77, warm = 0.64)
+    assert(Bench.dirtyReason(r13, probeAbsMax = 1.4) === None)
+    // endpoints themselves elevated but flat (our own warmup tail): bound
+    // tracks the endpoints, so lm = le is never hot
+    val r14 = profile(n = 270, hot = 0, hotLoad = 0,
+      ls = 5.25, le = 6.55, lm = 6.55, ratio = 1.19, warm = 0.56)
+    assert(Bench.dirtyReason(r14, probeAbsMax = 1.4) === None)
+  }
+
+  test("gate: uniform contamination (r18) is caught by the history-derived probe_abs") {
+    // uniform load defeats every load trigger by construction (endpoints
+    // as hot as the middle, all samples equal): the warm probe is the one
+    // absolute reference. r18's contaminated run read tw = 1.08 s against
+    // a 0.42–0.73 quiet band; the old fixed 1.4 default MISSED it, and so
+    // would 2× the median. 1.75× median catches it without flagging the
+    // quiet band.
+    val history = Seq(0.54, 0.64, 0.56, 0.42, 0.73)
+    val thr = Bench.probeAbsDefault(history)
+    assert(thr < 1.08, f"threshold $thr%.3f must catch r18's 1.08 s warm probe")
+    assert(thr >= 1.0, "sub-second jitter must never flag")
+    val r18 = profile(n = 270, hot = 0, hotLoad = 0,
+      ls = 8.0, le = 8.2, lm = 8.3, ratio = 0.95, warm = 1.08,
+      secPerQuery = 726.9 / 270)
+    assert(Bench.dirtyReason(r18, thr) === Some("probe_abs"))
+    // no history -> the calibrated constant stands (this box's band)
+    assert(Bench.probeAbsDefault(Seq.empty) === 1.4)
+  }
 }
