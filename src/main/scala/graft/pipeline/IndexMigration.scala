@@ -50,7 +50,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object IndexMigration {
 
   /** The migration record: versions, row mass, and the NEW quantizer
-    * parameters every subsequent repair/append/probe must use.
+    * parameters every subsequent repair/append/probe must use. For the
+    * SQ8 chain ([[migrateSq8]]) `codebooks` carries the refit per-dim
+    * params as two single-entry groups: `codebooks(0)(0)` = mins,
+    * `codebooks(1)(0)` = maxes.
     */
   final case class Migrated(
       versionBefore: Long, versionAfter: Long,
@@ -83,14 +86,21 @@ object IndexMigration {
     * excluded from training and encoding. `iters` Lloyd steps refine both
     * the coarse centroids (lowest-id init — [[AnnIndex.kmeansCentroids]],
     * deterministic and oracle-mirrorable) and the PQ codebooks.
+    *
+    * `trainSampleN` (r19 verdict task 3 — the 100 TB shape): when set,
+    * centroids AND codebooks train on a deterministic hash-priority
+    * sample of the survivors ([[trainSample]]) while the ENCODE still
+    * covers the full corpus — training cost stays flat as the corpus
+    * grows; only the one-pass re-encode scales with it. Default None =
+    * train on everything (the fixture-exact historical behavior).
     */
   def migrate(spark: SparkSession, root: String, corpus: DataFrame,
               idCol: String, vecCol: String,
               nlist: Int, m: Int, ksub: Int, dim: Int,
-              iters: Int = 1): Migrated =
-    migrateImpl(spark, root, corpus, idCol, vecCol, nlist, iters) {
-      (survivors, cents) =>
-        val cbs = AnnIndex.pqTrainCodebooks(survivors, idCol, vecCol,
+              iters: Int = 1, trainSampleN: Option[Int] = None): Migrated =
+    migrateImpl(spark, root, corpus, idCol, vecCol, nlist, iters, trainSampleN) {
+      (train, survivors, cents) =>
+        val cbs = AnnIndex.pqTrainCodebooks(train, idCol, vecCol,
           m, ksub, dim, iters)
         (cbs, AnnIndex.pqEncodedCorpus(survivors, idCol, vecCol,
           m, ksub, dim, nlist, Some(cbs), Some(cents)))
@@ -105,10 +115,10 @@ object IndexMigration {
   def migrateResidual(spark: SparkSession, root: String, corpus: DataFrame,
                       idCol: String, vecCol: String,
                       nlist: Int, m: Int, ksub: Int, dim: Int,
-                      iters: Int = 1): Migrated =
-    migrateImpl(spark, root, corpus, idCol, vecCol, nlist, iters) {
-      (survivors, cents) =>
-        val resid = AnnIndex.pqResidualCorpus(survivors, idCol, vecCol,
+                      iters: Int = 1, trainSampleN: Option[Int] = None): Migrated =
+    migrateImpl(spark, root, corpus, idCol, vecCol, nlist, iters, trainSampleN) {
+      (train, survivors, cents) =>
+        val resid = AnnIndex.pqResidualCorpus(train, idCol, vecCol,
           nlist, Some(cents))
         val cbs = AnnIndex.pqTrainCodebooks(resid, idCol, "__resid",
           m, ksub, dim, iters)
@@ -126,10 +136,11 @@ object IndexMigration {
   def migrateOpq(spark: SparkSession, root: String, corpus: DataFrame,
                  idCol: String, vecCol: String,
                  nlist: Int, m: Int, ksub: Int, dim: Int,
-                 rotation: Array[Array[Double]], iters: Int = 1): Migrated =
-    migrateImpl(spark, root, corpus, idCol, vecCol, nlist, iters) {
-      (survivors, cents) =>
-        val resid = AnnIndex.pqResidualCorpus(survivors, idCol, vecCol,
+                 rotation: Array[Array[Double]], iters: Int = 1,
+                 trainSampleN: Option[Int] = None): Migrated =
+    migrateImpl(spark, root, corpus, idCol, vecCol, nlist, iters, trainSampleN) {
+      (train, survivors, cents) =>
+        val resid = AnnIndex.pqResidualCorpus(train, idCol, vecCol,
           nlist, Some(cents))
         val rotated = resid.select(col(idCol),
           graft.functions.VectorFunctions.matVec(col("__resid"), rotation).as("__resid"))
@@ -139,14 +150,51 @@ object IndexMigration {
           m, ksub, dim, nlist, Some(cbs), Some(cents), Some(rotation)))
     }
 
+  /** [[migrate]] for the SQ8 chain (r19 verdict task 2 — the last
+    * quantizer without lifecycle parity): "codebook" retraining is a
+    * re-fit of the per-dim min/max on the survivors ([[AnnIndex
+    * .sq8Train]] — a 64-row parameter aggregate), and the one-pass
+    * re-encode writes byte codes ([[AnnIndex.sq8EncodedCorpus]]). The
+    * refit params ride [[Migrated.codebooks]] as `[[mins], [maxes]]`.
+    */
+  def migrateSq8(spark: SparkSession, root: String, corpus: DataFrame,
+                 idCol: String, vecCol: String, nlist: Int,
+                 iters: Int = 1, trainSampleN: Option[Int] = None): Migrated =
+    migrateImpl(spark, root, corpus, idCol, vecCol, nlist, iters, trainSampleN) {
+      (train, survivors, cents) =>
+        val rows = AnnIndex.sq8Train(train, vecCol).collect() // ≤ dim rows — parameters
+        val params = rows.sortBy(_.getLong(0))
+          .map(r => (r.getDouble(1), r.getDouble(2)))
+        val enc = AnnIndex.sq8EncodedCorpus(survivors, idCol, vecCol,
+          nlist, params, Some(cents))
+        (Array(Array(params.map(_._1).toSeq), Array(params.map(_._2).toSeq)), enc)
+    }
+
+  /** The deterministic fixed-size training sample: the `n` survivors with
+    * the lowest (hash-priority, id) — [[graft.operators.Sampling
+    * .hashShard]]'s mixing hash, the same priority the token-budget mixer
+    * uses, so the oracle derives the SAME sample with
+    * [[graft.operators.Sampling.hashShardSql]] mirrored token-for-token.
+    * Plan shape: map-only priority + TakeOrderedAndProject — no shuffle
+    * of the corpus, N rows to the driver side of nothing (the limit stays
+    * distributed until the train aggregates collect parameters).
+    */
+  private[graft] def trainSample(survivors: DataFrame, idCol: String, n: Int): DataFrame =
+    survivors
+      .orderBy(graft.operators.Sampling.hashShard(col(idCol), 1000003), col(idCol))
+      .limit(n)
+
   /** The chain-agnostic core: survivors (tombstone log anti-joined) →
-    * new coarse centroids → chain-specific codebooks + encode (the
-    * `trainEncode` pair, fed the survivors and the new centroids) →
-    * staged cell-partitioned build → version marker → swap.
+    * training set (all survivors, or the fixed-size hash sample) → new
+    * coarse centroids → chain-specific codebooks + encode (the
+    * `trainEncode` triple, fed the training set, the survivors, and the
+    * new centroids) → staged cell-partitioned build → version marker →
+    * swap.
     */
   private def migrateImpl(spark: SparkSession, root: String, corpus: DataFrame,
-                          idCol: String, vecCol: String, nlist: Int, iters: Int)(
-      trainEncode: (DataFrame, Array[Seq[Double]]) => (Array[Array[Seq[Double]]], DataFrame))
+                          idCol: String, vecCol: String, nlist: Int, iters: Int,
+                          trainSampleN: Option[Int] = None)(
+      trainEncode: (DataFrame, DataFrame, Array[Seq[Double]]) => (Array[Array[Seq[Double]]], DataFrame))
   : Migrated = FsLock.withLock(fs(spark), root)(synchronized {
     val f = fs(spark)
     require(f.exists(new Path(root, "_SUCCESS")),
@@ -162,10 +210,15 @@ object IndexMigration {
     try {
     val nSurv = survivors.count() // materializes the cache
     require(nSurv > 0, s"IndexMigration: surviving corpus for $root is empty")
-    val cents = AnnIndex.kmeansCentroids(survivors, vecCol, idCol, nlist, iters)
+    // the training relation: everything, or the deterministic fixed-size
+    // sample (cached — the Lloyd iterations re-read it per step)
+    val train = trainSampleN.fold(survivors)(n =>
+      trainSample(survivors, idCol, n).cache())
+    try {
+    val cents = AnnIndex.kmeansCentroids(train, vecCol, idCol, nlist, iters)
     // ONE distributed encode pass under the new quantizer, written
     // cell-partitioned into a staging sibling (never into the live root)
-    val (cbs, encoded) = trainEncode(survivors, cents)
+    val (cbs, encoded) = trainEncode(train, survivors, cents)
     val enc = encoded
       .select(col(idCol), col("__cell").cast("long").as("cell"), col("__codes"))
     val tmp = new Path(root + ".tmp-" +
@@ -181,6 +234,7 @@ object IndexMigration {
     finally out.close()
     StagedSwap.swap(f, tmp, new Path(root), new Path(root + ".old"))
     Migrated(vBefore, vBefore + 1, nSurv, nRaw - nSurv, nCells.toLong, cents, cbs)
+    } finally { if (trainSampleN.isDefined) train.unpersist() }
     // unpersist in finally (review r19): a failed migration must not pin a
     // corpus-sized cached relation in executor memory for the session
     } finally survivors.unpersist()

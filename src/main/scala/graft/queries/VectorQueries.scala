@@ -730,6 +730,57 @@ object VectorQueries {
     (root, cents)
   }
 
+  /** The trained SQ8 per-dim min/max over `cf` as the parameter pair array
+    * the AnnIndex SQ8 APIs take — loaded from the shared
+    * `sq8_params_cf_v1` artifact (64 rows — parameters, the q197/q209
+    * fixture).
+    */
+  private def sq8ParamsOf(s: org.apache.spark.sql.SparkSession,
+                          dir: String): Array[(Double, Double)] =
+    graft.pipeline.ArtifactStore.loadOrBuild(s,
+      graft.pipeline.ArtifactStore.rootFor(dir, "sq8_params_cf_v1")) {
+      AnnIndex.sq8Train(clusteredDf(s, dir), "cvec")
+    }.orderBy("pos").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+
+  /** [[pqEncPartitioned]] for the SQ8 chain (r19 verdict task 2): the
+    * cell-partitioned byte-code index under the v1 trained quantizer
+    * (shared coarse cents + the standing per-dim min/max params).
+    */
+  private def sq8EncPartitioned(s: org.apache.spark.sql.SparkSession, dir: String,
+                                name: String): (String, Array[Seq[Double]]) = {
+    val cf = clusteredDf(s, dir)
+    val cents = trainedCents(s, dir)
+    val params = sq8ParamsOf(s, dir)
+    val root = graft.pipeline.ArtifactStore.rootFor(dir, name)
+    graft.pipeline.IndexErasure.ensurePartitioned(s, root, "cell") {
+      AnnIndex.sq8EncodedCorpus(cf.select(col("vec_id").as("c_id"), col("cvec")),
+        "c_id", "cvec", nlist = 32, params, Some(cents))
+        .select(col("c_id"), col("__cell").cast("long").as("cell"), col("__codes"))
+    }
+    (root, cents)
+  }
+
+  /** SQ8 ENCODE chain rooted on `cf` (sqp = per-dim min/max, scodes =
+    * per-(vec, dim) byte code) — mirrors [[AnnIndex.sq8EncodedCorpus]]
+    * token-for-token: `clamp(⌊(x−mn)·255/(mx−mn)⌋, 0, 255)`, 0 on a
+    * degenerate range. Rooted on `cf` so [[cfFilteredCte]] re-roots the
+    * whole refit for the migration oracle (q284), exactly like the PQ
+    * encode CTEs. DuckDB's generate_subscripts is 1-based; the exploded
+    * output casts pos−1 to match Spark's 0-based posexplode.
+    */
+  private val sq8EncodeCtes: String =
+    s"""sqp AS (
+       |  SELECT pos, min(comp) AS mn, max(comp) AS mx FROM (
+       |    SELECT unnest(v) AS comp, generate_subscripts(v, 1) AS pos FROM cf)
+       |  GROUP BY pos),
+       |scodes AS (
+       |  SELECT f.vec_id, p.pos,
+       |    CASE WHEN p.mx - p.mn > 0 THEN
+       |      CAST(least(greatest(floor((f.v[CAST(p.pos AS INTEGER)] - p.mn) * CAST(255.0 AS DOUBLE) / (p.mx - p.mn)),
+       |        CAST(0.0 AS DOUBLE)), CAST(255.0 AS DOUBLE)) AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS code
+       |  FROM cf f CROSS JOIN sqp p)""".stripMargin
+
   /** Encode `rows` (vec_id, cvec) under the STANDING trained quantizer —
     * the delta-insert encoder of the maintenance algebra (no training:
     * codebooks and centroids arrive as parameters).
@@ -2891,6 +2942,76 @@ object VectorQueries {
              |    CAST(nn.h > ss.h AS BIGINT)
              |  FROM nstat nn, sstat ss, tcnt t)
              |ORDER BY phase""".stripMargin)),
+
+    // SQ8 DEPLOYMENT PARITY, erasure leg (r19 verdict task 2): raw/
+    // residual/OPQ all had cell-partitioned deployed artifacts with
+    // erasure; SQ8 — the chain a deployment picks for per-dim fidelity at
+    // 64 B/vec — had neither, so the one quantizer with the best recall
+    // short of exact couldn't be GDPR-repaired. Here the byte-code index
+    // is materialized cell-partitioned under the v1 quantizer (trained
+    // cents + standing per-dim min/max), a tombstone set names its
+    // touched cells map-side, and repairErased rewrites only those
+    // directories. Oracle: DuckDB re-encodes the SURVIVORS from scratch
+    // under the STANDING params (min/max trained on the FULL corpus —
+    // the Faiss remove_ids contract: parameters are aggregates and
+    // stand, rows go). Hash equality = repaired ≡ rebuilt.
+    "q283_sq8_index_erasure" -> Q(
+      (s, dir) => {
+        val cf = clusteredDf(s, dir)
+        val (root, cents) = sq8EncPartitioned(s, dir, "sq8_enc_cf_part_v1")
+        val tomb = cf.filter(col("vec_id") % 32 === 9 && col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("c_id"), col("cvec"))
+        val touched = AnnIndex.ivfAssignTrained(tomb, "c_id", "cvec", cents.toSeq)
+          .select("cell").distinct().collect().map(_.getLong(0)).toSeq // ≤ nlist rows
+        graft.pipeline.IndexErasure.repairErased(s, root, "cell", touched, "c_id", tomb)
+        readEncExploded(s, root)
+      },
+      Some(s"""WITH $cfCte,
+             |$cfKmeansCtes,
+             |$sq8EncodeCtes
+             |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+             |  CAST(c.pos - 1 AS BIGINT) AS j, c.code
+             |FROM asg a JOIN scodes c ON c.vec_id = a.vec_id
+             |WHERE NOT (a.vec_id % 32 = 9 AND a.vec_id % 3 = 0)
+             |ORDER BY 1, 3""".stripMargin)),
+
+    // SQ8 migration — the fourth and last chain of the erasure+migration
+    // matrix (q273 raw, q279 residual, q282 OPQ): same deletion-then-
+    // drift scenario; IndexMigration.migrateSq8 re-fits the per-dim
+    // min/max on the drifted SURVIVORS (sq8Train is the whole "codebook"
+    // retrain — a 64-row aggregate), retrains the coarse cells, and
+    // re-encodes in one pass through the chain-agnostic swap/versioning
+    // core. The oracle re-roots the standing kmeans + SQ8 encode SQL on
+    // the drifted survivor set (cfFilteredCte): migrated ≡ from-scratch
+    // rebuild under the NEW quantizer, hash-checked — and because the
+    // tombstone log carries across versions, a migration fed the
+    // pre-deletion snapshot cannot resurrect the erased ids.
+    "q284_sq8_index_migration" -> Q(
+      (s, dir) => {
+        val cf = clusteredDf(s, dir)
+        val (root, cents) = sq8EncPartitioned(s, dir, "sq8_enc_cf_part_mig_v1")
+        val tomb = cf.filter(col("vec_id") % 32 === 25 && col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("c_id"), col("cvec"))
+        val touched = AnnIndex.ivfAssignTrained(tomb, "c_id", "cvec", cents.toSeq)
+          .select("cell").distinct().collect().map(_.getLong(0)).toSeq // ≤ nlist rows
+        graft.pipeline.IndexErasure.repairErased(s, root, "cell", touched, "c_id", tomb)
+        // the drifted current corpus still CONTAINS the erased ids (a
+        // pre-deletion export — the at-least-once world); the carried
+        // tombstone log must keep them out of the refit and the re-encode
+        val current = cf.filter(!(col("vec_id") % 32).isin(5, 6, 7))
+          .select(col("vec_id").as("c_id"), col("cvec"))
+        graft.pipeline.IndexMigration.migrateSq8(s, root, current, "c_id", "cvec",
+          nlist = 32)
+        readEncExploded(s, root)
+      },
+      Some(s"""WITH ${cfFilteredCte(
+               "vec_id % 32 NOT IN (5, 6, 7) AND NOT (vec_id % 32 = 25 AND vec_id % 3 = 0)")},
+             |$cfKmeansCtes,
+             |$sq8EncodeCtes
+             |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+             |  CAST(c.pos - 1 AS BIGINT) AS j, c.code
+             |FROM asg a JOIN scodes c ON c.vec_id = a.vec_id
+             |ORDER BY 1, 3""".stripMargin)),
   )
 
   /** SQ8 chain over `cf`/`cents`/`asg` (prefix `s`): per-dim min/max params

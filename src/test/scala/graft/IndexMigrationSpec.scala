@@ -158,6 +158,64 @@ class IndexMigrationSpec extends AnyFunSuite with SparkTestSession {
       "OPQ migration must equal the from-scratch rotated-residual build")
   }
 
+  test("migrateSq8: per-dim min/max refit on survivors equals the from-scratch SQ8 build") {
+    val root = freshRoot()
+    val corpus = corpusDf(40)
+    // v1 deployment: SQ8 byte-code index under the full-corpus params
+    val cents = AnnIndex.kmeansCentroids(corpus, "vec", "id", nlist, 1)
+    val params = AnnIndex.sq8Train(corpus, "vec").collect()
+      .sortBy(_.getLong(0)).map(r => (r.getDouble(1), r.getDouble(2)))
+    IndexErasure.ensurePartitioned(spark, root, "cell") {
+      AnnIndex.sq8EncodedCorpus(corpus, "id", "vec", nlist, params, Some(cents))
+        .select(col("id"), col("__cell").cast("long").as("cell"), col("__codes"))
+    }
+    // drift shrinks the value range (cluster 3 — the max-value cluster —
+    // vanishes): the stale min/max waste half the byte range
+    val current = corpusDf(40).filter(col("id") % 4 =!= 3)
+    val mig = IndexMigration.migrateSq8(spark, root, current, "id", "vec", nlist)
+    assert(mig.versionAfter === 2L)
+    // the refit params ride Migrated.codebooks as [[mins], [maxes]]
+    assert(mig.codebooks.length === 2 && mig.codebooks(0)(0).length === dim)
+    // two-sided: a from-scratch SQ8 build on a virgin root from the same
+    // current corpus must be content-identical
+    val fresh = freshRoot()
+    val fCents = AnnIndex.kmeansCentroids(current, "vec", "id", nlist, 1)
+    val fParams = AnnIndex.sq8Train(current, "vec").collect()
+      .sortBy(_.getLong(0)).map(r => (r.getDouble(1), r.getDouble(2)))
+    IndexErasure.ensurePartitioned(spark, fresh, "cell") {
+      AnnIndex.sq8EncodedCorpus(current, "id", "vec", nlist, fParams, Some(fCents))
+        .select(col("id"), col("__cell").cast("long").as("cell"), col("__codes"))
+    }
+    assert(readIndex(root) === readIndex(fresh),
+      "migrated SQ8 index must equal the from-scratch build under the refit params")
+  }
+
+  test("sampled training: fixed-size hash sample — migrated equals from-scratch sample-trained build") {
+    val root = freshRoot()
+    buildIndex(root, corpusDf(60))
+    val current = corpusDf(60).filter(col("id") % 4 =!= 3)
+    val mig = IndexMigration.migrate(spark, root, current, "id", "vec",
+      nlist, m, ksub, dim, trainSampleN = Some(16))
+    assert(mig.nCorpus === 45L)
+    // the oracle-side contract: the sample is a pure function of
+    // (survivor ids, n) — train on THE SAME sample from scratch, encode
+    // the full current corpus, compare
+    val sample = IndexMigration.trainSample(current, "id", 16)
+    assert(sample.count() === 16L)
+    val fCents = AnnIndex.kmeansCentroids(sample, "vec", "id", nlist, 1)
+    val fCbs = AnnIndex.pqTrainCodebooks(sample, "id", "vec", m, ksub, dim, 1)
+    val fresh = freshRoot()
+    IndexErasure.ensurePartitioned(spark, fresh, "cell") {
+      AnnIndex.pqEncodedCorpus(current, "id", "vec", m, ksub, dim, nlist,
+        Some(fCbs), Some(fCents))
+        .select(col("id"), col("__cell").cast("long").as("cell"), col("__codes"))
+    }
+    assert(readIndex(root) === readIndex(fresh),
+      "sample-trained migration must equal the from-scratch sample-trained build")
+    // and the ENCODE covers the full corpus, not just the sample
+    assert(readIndex(root).size === 45)
+  }
+
   test("clearTombstones: re-admission requires the explicit clear; clear + replay converges") {
     import spark.implicits._
     val root = freshRoot()
