@@ -482,9 +482,14 @@ object VectorQueries {
     * prefix — the q280 A/B gate trains one quantizer per corpus snapshot
     * (stale on `cf`, migrated on the drifted `cfd`) inside one query.
     * `kmeansCtesOn("cf", "")` is byte-identical to the historical
-    * cfKmeansCtes, so every standing oracle is unchanged.
+    * cfKmeansCtes, so every standing oracle is unchanged. `asgSrc` (q285)
+    * separates the TRAINING relation from the relation the final `asg`
+    * assigns — the sampled-training shape: Lloyd runs on the sample, the
+    * full corpus is assigned under the refined centroids.
     */
-  private[queries] def kmeansCtesOn(src: String, px: String): String =
+  private[queries] def kmeansCtesOn(src: String, px: String,
+                                    asgSrc: String = null): String = {
+    val aSrc = Option(asgSrc).getOrElse(src)
     s"""${px}kinit AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv
        |  FROM $src ORDER BY vec_id LIMIT 32),
@@ -509,8 +514,9 @@ object VectorQueries {
        |    SELECT f.vec_id, f.v, c.ci AS cell,
        |      row_number() OVER (PARTITION BY f.vec_id
        |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(f.v, c.cv), c.ci) AS rn
-       |    FROM $src f CROSS JOIN ${px}cents c)
+       |    FROM $aSrc f CROSS JOIN ${px}cents c)
        |  WHERE rn = 1)""".stripMargin
+  }
 
   private val cfKmeansCtes: String = kmeansCtesOn("cf", "")
 
@@ -537,11 +543,18 @@ object VectorQueries {
     * oracle (q248) can rebuild the encoded SURVIVORS under the standing
     * quantizer without dragging in the probe/ADC tail.
     */
-  private val cfRawEncodeCtes: String = {
+  /** `cfRawEncodeCtes` parameterized on the TRAINING relation (codebook
+    * init + Lloyd assignment) and the ENCODE relation (pcodes) — the
+    * sampled-training shape (q285): codebooks train on the fixed-size
+    * hash sample, the full corpus encodes under them.
+    * `rawEncodeCtesOn()` is byte-identical to the historical value, so
+    * every standing oracle is unchanged.
+    */
+  private def rawEncodeCtesOn(trainSrc: String = "cf", encSrc: String = "cf"): String = {
     val sl = (v: String, j: String) => s"list_slice($v, $j*$PqDsub+1, $j*$PqDsub+$PqDsub)"
     s"""pcbv AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pci, v AS pcv
-       |  FROM cf ORDER BY vec_id LIMIT $PqKsub),
+       |  FROM $trainSrc ORDER BY vec_id LIMIT $PqKsub),
        |psubs0 AS (
        |  SELECT j, pci, ${sl("pcv", "j")} AS s, ${sqSql(sl("pcv", "j"))} AS c2
        |  FROM pcbv CROSS JOIN (SELECT unnest(generate_series(0, ${PqM - 1})) AS j) js),
@@ -551,7 +564,7 @@ object VectorQueries {
        |      row_number() OVER (PARTITION BY a.vec_id, su.j
        |        ORDER BY su.c2 - CAST(2.0 AS DOUBLE)
        |          * list_inner_product(${sl("a.v", "su.j")}, su.s), su.pci) AS rn
-       |    FROM cf a CROSS JOIN psubs0 su)
+       |    FROM $trainSrc a CROSS JOIN psubs0 su)
        |  WHERE rn = 1),
        |pm1 AS (
        |  SELECT j, code, pos, ${frs("avg(comp)", 9)} AS mc
@@ -568,9 +581,11 @@ object VectorQueries {
        |      row_number() OVER (PARTITION BY a.vec_id, su.j
        |        ORDER BY su.c2 - CAST(2.0 AS DOUBLE)
        |          * list_inner_product(${sl("a.v", "su.j")}, su.s), su.pci) AS rn
-       |    FROM cf a CROSS JOIN psubs su)
+       |    FROM $encSrc a CROSS JOIN psubs su)
        |  WHERE rn = 1)""".stripMargin
   }
+
+  private val cfRawEncodeCtes: String = rawEncodeCtesOn()
 
   private def cfRawChain(maxNprobe: Int = 4, withRn: Boolean = false,
                          qSrc: String = "cf", candWhere: String = ""): String = {
@@ -3011,6 +3026,48 @@ object VectorQueries {
              |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
              |  CAST(c.pos - 1 AS BIGINT) AS j, c.code
              |FROM asg a JOIN scodes c ON c.vec_id = a.vec_id
+             |ORDER BY 1, 3""".stripMargin)),
+
+    // SAMPLED-TRAINING migration (r19 verdict task 3 — the 100 TB shape):
+    // PERF_r19 §1 measured migration wall dominated by the training
+    // collects, which run Lloyd over EVERY survivor per iteration — linear
+    // in the corpus. The standard fix is train-on-sample/encode-full:
+    // centroids and codebooks train on a FIXED-SIZE deterministic sample
+    // (the 256 survivors with the lowest (hashShard priority, id) — the
+    // same mixing hash the token-budget mixer uses, mirrored
+    // token-for-token in SQL), and only the one-pass re-encode scales
+    // with the corpus. The oracle derives the SAME sample (ORDER BY
+    // hash-priority LIMIT 256), trains the whole quantizer on it from
+    // scratch, and encodes the full drifted survivor corpus: sampled-
+    // trained migrated ≡ oracle's sampled-trained rebuild, hash-checked.
+    // ScaleStress (PERF_r20) carries the wall-flatness measurement.
+    "q285_sampled_training_migration" -> Q(
+      (s, dir) => {
+        val cf = clusteredDf(s, dir)
+        val (root, cents) = pqEncPartitioned(s, dir, "pq_enc_raw_cf_part_smig_v1")
+        val tomb = cf.filter(col("vec_id") % 32 === 11 && col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("c_id"), col("cvec"))
+        val touched = AnnIndex.ivfAssignTrained(tomb, "c_id", "cvec", cents.toSeq)
+          .select("cell").distinct().collect().map(_.getLong(0)).toSeq // ≤ nlist rows
+        graft.pipeline.IndexErasure.repairErased(s, root, "cell", touched, "c_id", tomb)
+        val current = cf.filter(!(col("vec_id") % 32).isin(5, 6, 7))
+          .select(col("vec_id").as("c_id"), col("cvec"))
+        graft.pipeline.IndexMigration.migrate(s, root, current, "c_id", "cvec",
+          nlist = 32, m = PqM, ksub = PqKsub, dim = 64,
+          trainSampleN = Some(256))
+        readEncExploded(s, root)
+      },
+      Some(s"""WITH ${cfFilteredCte(
+               "vec_id % 32 NOT IN (5, 6, 7) AND NOT (vec_id % 32 = 11 AND vec_id % 3 = 0)")},
+             |smp AS (
+             |  SELECT vec_id, v FROM cf
+             |  ORDER BY ${graft.operators.Sampling.hashShardSql("vec_id", 1000003)}, vec_id
+             |  LIMIT 256),
+             |${kmeansCtesOn("smp", "", asgSrc = "cf")},
+             |${rawEncodeCtesOn(trainSrc = "smp", encSrc = "cf")}
+             |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+             |  CAST(co.j AS BIGINT) AS j, CAST(co.code AS BIGINT) AS code
+             |FROM asg a JOIN pcodes co ON co.vec_id = a.vec_id
              |ORDER BY 1, 3""".stripMargin)),
   )
 

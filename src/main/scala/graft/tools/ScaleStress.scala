@@ -160,6 +160,89 @@ object ScaleStress {
     def srCorpus(s: SparkSession, dir: String): DataFrame =
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), substring(col("text"), 1, 256).as("t"))
+
+    /** The drift-migration measurement body, shared by mig_drift (full
+      * training) and mig_sampled (fixed-size sampled training): v1 index,
+      * regime drift, budgeted recall before/after, migrate wall.
+      */
+    def migDriftCell(sampleN: Option[Int], artifact: String, tag: String)
+    : (SparkSession, String) => DataFrame = (s, dir) => {
+      import graft.operators.AnnIndex
+      import graft.pipeline.{ArtifactStore, IndexErasure, IndexMigration}
+      import org.apache.spark.sql.expressions.Window
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        // synthetic 32-cluster corpus keyed by vec_id (the q40-family
+        // shape): true neighborhoods = clusters, so recall is a clean
+        // signal — the raw fixture embeddings' 10-NN straddle any 32-cell
+        // Voronoi partition and would cap recall at ~0.2 for EVERY
+        // quantizer, masking the restoration this chain measures
+        val corpus = e.select(col("vec_id").as("c_id"))
+          .withColumn("v", expr(
+            "transform(sequence(0, 63), d -> CAST((c_id % 32) * 100000 " +
+              "+ pmod(hash(c_id * 64 + d), 200) AS DOUBLE))"))
+          .cache()
+        val n = corpus.count()
+        val nlist = 32
+        val budget = (2L * n / nlist).max(10L).toInt
+        val root = ArtifactStore.rootFor(dir, artifact)
+        val cents1 = AnnIndex.kmeansCentroids(corpus, "v", "c_id", nlist, 1)
+        IndexErasure.ensurePartitioned(s, root, "cell") {
+          AnnIndex.pqEncodedCorpus(corpus, "c_id", "v", 16, 16, 64, nlist,
+            None, Some(cents1))
+            .select(col("c_id"), col("__cell").cast("long").as("cell"), col("__codes"))
+        }
+        // the drift: same neighborhoods, new absolute regime
+        val drifted = corpus.select(col("c_id"),
+          expr("transform(v, x -> floor(x / 100.0) + 7000.0)").as("v")).cache()
+        // pure id predicate, not limit() (review r19): an unordered limit
+        // recomputed after cache eviction could select DIFFERENT rows for
+        // the truth and candidate consumers — phantom recall regressions
+        val queries = drifted.filter(col("c_id") % 100 === 0 && col("c_id") < 2000)
+          .select(col("c_id").as("q_id"), col("v").as("qv")).cache()
+        // exact truth: top-10 by exact L2 over the drifted corpus
+        val truth = queries.crossJoin(drifted.filter(col("c_id") % 100 =!= 0))
+          .withColumn("d", aggregate(
+            zip_with(col("qv"), col("v"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, z) => acc + z))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("d"), col("c_id"))))
+          .filter(col("rn") <= 10).select("q_id", "c_id").cache()
+        val nTruth = truth.count()
+        def budgetedRecall(cents: Array[Seq[Double]]): (Long, Double, Double) = {
+          val asg = AnnIndex.ivfAssignTrained(drifted, "c_id", "v", cents.toSeq)
+            .join(drifted, "c_id")
+          val occupied = asg.select("cell").distinct().count()
+          // candidate budget per query: first `budget` members of the
+          // probed cell by id (the fixed provisioning a deployment sizes
+          // its latency around)
+          val members = asg.withColumn("mrn", row_number().over(
+            Window.partitionBy("cell").orderBy("c_id")))
+            .filter(col("mrn") <= budget)
+          val qcells = AnnIndex.ivfAssignTrained(
+            queries.select(col("q_id").as("c_id"), col("qv").as("v")),
+            "c_id", "v", cents.toSeq)
+            .select(col("c_id").as("q_id"), col("cell"))
+          val cand = qcells.join(queries, "q_id").join(members, "cell")
+            .filter(col("c_id") =!= col("q_id"))
+          val hits = cand.select("q_id", "c_id").join(truth, Seq("q_id", "c_id"))
+            .count()
+          val meanCand = cand.count().toDouble / math.max(queries.count(), 1)
+          (occupied, hits.toDouble / math.max(nTruth, 1), meanCand)
+        }
+        val (occB, recB, candB) = budgetedRecall(cents1)
+        val tm = System.nanoTime()
+        val mig = IndexMigration.migrate(s, root, drifted, "c_id", "v",
+          nlist, 16, 16, 64, trainSampleN = sampleN)
+        val wall = (System.nanoTime() - tm) / 1e9
+        val (occA, recA, candA) = budgetedRecall(mig.cents)
+        println(f"[$tag] n $n%d budget $budget%d | stale: cells $occB%d/32 " +
+          f"recall@10 $recB%.3f cand/q $candB%.0f | migrate $wall%.2f s " +
+          f"(v${mig.versionBefore}->v${mig.versionAfter}) | migrated: cells $occA%d/32 " +
+          f"recall@10 $recA%.3f cand/q $candA%.0f")
+        corpus.unpersist(); drifted.unpersist(); truth.unpersist(); queries.unpersist()
+        IndexErasure.readPartitioned(s, root, "cell").groupBy("cell").count()
+    }
+
     val extraChains: Map[String, (SparkSession, String) => DataFrame] = Map(
       "sr183_dup_prefix_full" -> ((s, dir) =>
         graft.operators.SuffixRank.longestDupPrefix(s, srCorpus(s, dir),
@@ -286,82 +369,14 @@ object ScaleStress {
       // the same budgeted probe on the migrated index restores recall.
       // Printed: cells occupied + budgeted recall before/after, migration
       // wall (∝ one corpus pass — compare across factors).
-      "mig_drift" -> ((s, dir) => {
-        import graft.operators.AnnIndex
-        import graft.pipeline.{ArtifactStore, IndexErasure, IndexMigration}
-        import org.apache.spark.sql.expressions.Window
-        val e = s.read.parquet(s"$dir/embeddings.parquet")
-        // synthetic 32-cluster corpus keyed by vec_id (the q40-family
-        // shape): true neighborhoods = clusters, so recall is a clean
-        // signal — the raw fixture embeddings' 10-NN straddle any 32-cell
-        // Voronoi partition and would cap recall at ~0.2 for EVERY
-        // quantizer, masking the restoration this chain measures
-        val corpus = e.select(col("vec_id").as("c_id"))
-          .withColumn("v", expr(
-            "transform(sequence(0, 63), d -> CAST((c_id % 32) * 100000 " +
-              "+ pmod(hash(c_id * 64 + d), 200) AS DOUBLE))"))
-          .cache()
-        val n = corpus.count()
-        val nlist = 32
-        val budget = (2L * n / nlist).max(10L).toInt
-        val root = ArtifactStore.rootFor(dir, "mig_drift_enc_v1")
-        val cents1 = AnnIndex.kmeansCentroids(corpus, "v", "c_id", nlist, 1)
-        IndexErasure.ensurePartitioned(s, root, "cell") {
-          AnnIndex.pqEncodedCorpus(corpus, "c_id", "v", 16, 16, 64, nlist,
-            None, Some(cents1))
-            .select(col("c_id"), col("__cell").cast("long").as("cell"), col("__codes"))
-        }
-        // the drift: same neighborhoods, new absolute regime
-        val drifted = corpus.select(col("c_id"),
-          expr("transform(v, x -> floor(x / 100.0) + 7000.0)").as("v")).cache()
-        // pure id predicate, not limit() (review r19): an unordered limit
-        // recomputed after cache eviction could select DIFFERENT rows for
-        // the truth and candidate consumers — phantom recall regressions
-        val queries = drifted.filter(col("c_id") % 100 === 0 && col("c_id") < 2000)
-          .select(col("c_id").as("q_id"), col("v").as("qv")).cache()
-        // exact truth: top-10 by exact L2 over the drifted corpus
-        val truth = queries.crossJoin(drifted.filter(col("c_id") % 100 =!= 0))
-          .withColumn("d", aggregate(
-            zip_with(col("qv"), col("v"), (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, z) => acc + z))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("q_id").orderBy(col("d"), col("c_id"))))
-          .filter(col("rn") <= 10).select("q_id", "c_id").cache()
-        val nTruth = truth.count()
-        def budgetedRecall(cents: Array[Seq[Double]]): (Long, Double, Double) = {
-          val asg = AnnIndex.ivfAssignTrained(drifted, "c_id", "v", cents.toSeq)
-            .join(drifted, "c_id")
-          val occupied = asg.select("cell").distinct().count()
-          // candidate budget per query: first `budget` members of the
-          // probed cell by id (the fixed provisioning a deployment sizes
-          // its latency around)
-          val members = asg.withColumn("mrn", row_number().over(
-            Window.partitionBy("cell").orderBy("c_id")))
-            .filter(col("mrn") <= budget)
-          val qcells = AnnIndex.ivfAssignTrained(
-            queries.select(col("q_id").as("c_id"), col("qv").as("v")),
-            "c_id", "v", cents.toSeq)
-            .select(col("c_id").as("q_id"), col("cell"))
-          val cand = qcells.join(queries, "q_id").join(members, "cell")
-            .filter(col("c_id") =!= col("q_id"))
-          val hits = cand.select("q_id", "c_id").join(truth, Seq("q_id", "c_id"))
-            .count()
-          val meanCand = cand.count().toDouble / math.max(queries.count(), 1)
-          (occupied, hits.toDouble / math.max(nTruth, 1), meanCand)
-        }
-        val (occB, recB, candB) = budgetedRecall(cents1)
-        val tm = System.nanoTime()
-        val mig = IndexMigration.migrate(s, root, drifted, "c_id", "v",
-          nlist, 16, 16, 64)
-        val wall = (System.nanoTime() - tm) / 1e9
-        val (occA, recA, candA) = budgetedRecall(mig.cents)
-        println(f"[scale-mig] n $n%d budget $budget%d | stale: cells $occB%d/32 " +
-          f"recall@10 $recB%.3f cand/q $candB%.0f | migrate $wall%.2f s " +
-          f"(v${mig.versionBefore}->v${mig.versionAfter}) | migrated: cells $occA%d/32 " +
-          f"recall@10 $recA%.3f cand/q $candA%.0f")
-        corpus.unpersist(); drifted.unpersist(); truth.unpersist(); queries.unpersist()
-        IndexErasure.readPartitioned(s, root, "cell").groupBy("cell").count()
-      }),
+      "mig_drift" -> migDriftCell(None, "mig_drift_enc_v1", "scale-mig"),
+      // SAMPLED-TRAINING migration (r19 verdict task 3's perf leg): the
+      // same drift scenario with trainSampleN = 1024 — training runs on a
+      // fixed-size hash sample at EVERY factor, so migrate wall tracks
+      // only the one-pass re-encode (compare against mig_drift's
+      // full-corpus Lloyd growth at the same factors), while the budgeted
+      // recall restoration must hold.
+      "mig_sampled" -> migDriftCell(Some(1024), "mig_sampled_enc_v1", "scale-mig-sampled"),
       "erz_repair_fixed" -> ((s, dir) => {
         import graft.operators.AnnIndex
         import graft.pipeline.{ArtifactStore, IndexErasure}
