@@ -137,4 +137,25 @@ object ChunkRetrieval {
         col("__sim").as("score"), col("rn"))
       .orderBy(col(qIdCol), col("rn"))
   }
+
+  /** [[docMaxTopK]] for DISTANCE scores (smaller = closer — the PQ-ADC
+    * chunk finish, q286): per (query, doc) keep the nearest chunk (min
+    * `__sim`, lowest chunk_id on ties), then the k nearest docs per query
+    * ascending, doc_id tiebreak. Same two query-partitioned window passes.
+    */
+  private[graft] def docMinTopK(scored: DataFrame, qIdCol: String, dIdCol: String,
+                                k: Int): DataFrame = {
+    val wChunk = Window.partitionBy(col(qIdCol), col(dIdCol))
+      .orderBy(col("__sim"), col("chunk_id"))
+    val wDoc = Window.partitionBy(col(qIdCol))
+      .orderBy(col("__sim"), col(dIdCol))
+    scored
+      .withColumn("__cr", row_number().over(wChunk))
+      .filter(col("__cr") === 1)
+      .withColumn("rn", row_number().over(wDoc).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(qIdCol), col(dIdCol), col("chunk_id").as("best_chunk"),
+        col("__sim").as("score"), col("rn"))
+      .orderBy(col(qIdCol), col("rn"))
+  }
 }

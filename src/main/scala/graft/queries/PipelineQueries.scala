@@ -736,5 +736,94 @@ object PipelineQueries {
              |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS rn
              |  FROM best WHERE cr = 1)
              |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin)),
+
+    // CHUNK-INDEX PQ (r19 verdict task 4 — the chunk memory knob): q281's
+    // trained chunk index stores RAW 64-d vectors — 512 B/chunk, and chunk
+    // counts run ~20× doc counts at 100 TB. Here the chunk vectors are
+    // PQ-ENCODED (the same chain-agnostic machinery every doc-level index
+    // uses: Lloyd cells + per-subspace trained codebooks over the chunk
+    // relation), queries probe nprobe=2 cells and score candidates by ADC
+    // over the 8-byte codes, and the doc-max finish is unchanged (min-
+    // distance form). bytes_per_chunk/bytes_raw make the 64× memory win a
+    // measured column (the q197 frontier convention: PQ m·log2(ksub)/8 =
+    // 8 B vs raw 64·8 = 512 B). Oracle: the standing kmeans + raw-PQ
+    // train/encode SQL re-rooted on the keyed chunk-vector relation, ADC
+    // terms per (query, subspace, code), same doc windows.
+    "q286_chunk_retrieval_ivfpq" -> Q(
+      (s, dir) => {
+        import graft.functions.MathFunctions.longDiv
+        import graft.operators.AnnIndex
+        val (ldocs, qs) = longDocsAndQueries(s, dir)
+        val emb = graft.pipeline.HashingEmbedder(64)
+        val chunks = graft.operators.Chunker.chunk(ldocs, "doc_id", "text",
+          chunkTokens = 64, overlap = 16)
+          .select(graft.operators.ChunkRetrieval.packedChunkKey(
+            col("doc_id"), col("chunk_id")).as("c_id"),
+            emb.embedRaw(col("chunk_text")).as("cvec"))
+          .cache() // cell trainer, codebook trainer, and encode all read it
+        val cents = AnnIndex.kmeansCentroids(chunks, "cvec", "c_id", k = 32, iters = 1)
+        val cbs = AnnIndex.pqTrainCodebooks(chunks, "c_id", "cvec",
+          m = 16, ksub = 16, dim = 64, iters = 1)
+        val qv = qs.select(col("q_id"), emb.embedRaw(col("q_text")).as("qvec"))
+        val cand = AnnIndex.pqCandidates(qv, "q_id", "qvec",
+          chunks, "c_id", "cvec", m = 16, ksub = 16, dim = 64,
+          nlist = 32, nprobe = 2, excludeSelf = false,
+          codebooks = Some(cbs), coarseCentroids = Some(cents))
+        val scored = cand.select(col("q_id"),
+          longDiv(col("c_id"), lit(1000000L)).as("doc_id"),
+          pmod(col("c_id"), lit(1000000L)).as("chunk_id"),
+          col("score").as("__sim"))
+        graft.operators.ChunkRetrieval.docMinTopK(scored, "q_id", "doc_id", k = 3)
+          .withColumn("bytes_per_chunk", lit(8L))
+          .withColumn("bytes_raw", lit(512L))
+      },
+      Some {
+        val sl = (v: String, j: String) =>
+          s"list_slice($v, $j*${VectorQueries.PqDsub}+1, $j*${VectorQueries.PqDsub}+${VectorQueries.PqDsub})"
+        val sq = VectorQueries.sqSql _
+        s"""WITH $chunkRetrievalCtes,
+           |$chunkDenseVecCtes,
+           |cvk AS (
+           |  SELECT doc_id * 1000000 + chunk_id AS vec_id, v FROM cv),
+           |${VectorQueries.kmeansCtesOn("cvk", "c")},
+           |${VectorQueries.rawEncodeCtesOn(trainSrc = "cvk", encSrc = "cvk")},
+           |cprobes AS (
+           |  SELECT q_id, cell FROM (
+           |    SELECT q.q_id, c.ci AS cell,
+           |      row_number() OVER (PARTITION BY q.q_id
+           |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(q.v, c.cv), c.ci) AS rn
+           |    FROM qv q CROSS JOIN ccents c)
+           |  WHERE rn <= 2),
+           |cterms AS (
+           |  SELECT q.q_id, su.j, su.pci,
+           |    ${sq(sl("q.v", "su.j"))} + su.c2
+           |      - CAST(2.0 AS DOUBLE) * list_inner_product(${sl("q.v", "su.j")}, su.s) AS t
+           |  FROM qv q CROSS JOIN psubs su),
+           |cadist AS (
+           |  SELECT ca.q_id, ca.c_id,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t.t ORDER BY t.j)), (a, x) -> a + x) AS d
+           |  FROM (
+           |    SELECT p.q_id, a.vec_id AS c_id
+           |    FROM cprobes p JOIN casg a ON p.cell = a.cell) ca
+           |  JOIN pcodes co ON co.vec_id = ca.c_id
+           |  JOIN cterms t ON t.q_id = ca.q_id AND t.j = co.j AND t.pci = co.code
+           |  GROUP BY 1, 2),
+           |cdist AS (
+           |  SELECT q_id, c_id // 1000000 AS doc_id, c_id % 1000000 AS chunk_id,
+           |    ${frs("d", 6)} AS d
+           |  FROM cadist),
+           |best AS (
+           |  SELECT q_id, doc_id, chunk_id, d,
+           |    row_number() OVER (PARTITION BY q_id, doc_id ORDER BY d, chunk_id) AS cr
+           |  FROM cdist)
+           |SELECT q_id, doc_id, CAST(best_chunk AS BIGINT) AS best_chunk,
+           |  score, CAST(rn AS BIGINT) AS rn,
+           |  CAST(8 AS BIGINT) AS bytes_per_chunk, CAST(512 AS BIGINT) AS bytes_raw
+           |FROM (
+           |  SELECT q_id, doc_id, chunk_id AS best_chunk, d AS score,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY d, doc_id) AS rn
+           |  FROM best WHERE cr = 1)
+           |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+      }),
   )
 }

@@ -144,9 +144,9 @@ object VectorQueries {
       |  WHERE list_sum(list_transform(p.qv, x -> x*x)) > 0
       |    AND list_sum(list_transform(a.v, x -> x*x)) > 0)""".stripMargin
 
-  private val PqM = 16    // subspaces (one small code each per vector)
-  private val PqDsub = 4  // dims per subspace (64 / PqM)
-  private val PqKsub = 16 // codebook entries per subspace (4-bit codes)
+  private[queries] val PqM = 16    // subspaces (one small code each per vector)
+  private[queries] val PqDsub = 4  // dims per subspace (64 / PqM)
+  private[queries] val PqKsub = 16 // codebook entries per subspace (4-bit codes)
 
   /** Trained PQ codebooks for q135/q136: per subspace j (of [[PqM]]), one
     * Lloyd iteration of k-means over the corpus' subvector slices
@@ -341,7 +341,7 @@ object VectorQueries {
   /** Sequential-fold sum of squares — the shared accumulation order of
     * [[graft.functions.VectorFunctions.l2NormSq]] / Scala `Seq.sum`.
     */
-  private def sqSql(v: String): String =
+  private[queries] def sqSql(v: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($v, x -> x*x)), (a, x) -> a + x)"
 
   /** The clustered-embedding corpus (round-10 verdict top task): 32 widely
@@ -550,7 +550,7 @@ object VectorQueries {
     * `rawEncodeCtesOn()` is byte-identical to the historical value, so
     * every standing oracle is unchanged.
     */
-  private def rawEncodeCtesOn(trainSrc: String = "cf", encSrc: String = "cf"): String = {
+  private[queries] def rawEncodeCtesOn(trainSrc: String = "cf", encSrc: String = "cf"): String = {
     val sl = (v: String, j: String) => s"list_slice($v, $j*$PqDsub+1, $j*$PqDsub+$PqDsub)"
     s"""pcbv AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pci, v AS pcv
