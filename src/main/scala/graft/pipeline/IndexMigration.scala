@@ -97,8 +97,10 @@ object IndexMigration {
   def migrate(spark: SparkSession, root: String, corpus: DataFrame,
               idCol: String, vecCol: String,
               nlist: Int, m: Int, ksub: Int, dim: Int,
-              iters: Int = 1, trainSampleN: Option[Int] = None): Migrated =
-    migrateImpl(spark, root, corpus, idCol, vecCol, nlist, iters, trainSampleN) {
+              iters: Int = 1, trainSampleN: Option[Int] = None,
+              keepOld: Boolean = false): Migrated =
+    migrateImpl(spark, root, corpus, idCol, vecCol, nlist, iters, trainSampleN,
+      keepOld) {
       (train, survivors, cents) =>
         val cbs = AnnIndex.pqTrainCodebooks(train, idCol, vecCol,
           m, ksub, dim, iters)
@@ -115,8 +117,10 @@ object IndexMigration {
   def migrateResidual(spark: SparkSession, root: String, corpus: DataFrame,
                       idCol: String, vecCol: String,
                       nlist: Int, m: Int, ksub: Int, dim: Int,
-                      iters: Int = 1, trainSampleN: Option[Int] = None): Migrated =
-    migrateImpl(spark, root, corpus, idCol, vecCol, nlist, iters, trainSampleN) {
+                      iters: Int = 1, trainSampleN: Option[Int] = None,
+                      keepOld: Boolean = false): Migrated =
+    migrateImpl(spark, root, corpus, idCol, vecCol, nlist, iters, trainSampleN,
+      keepOld) {
       (train, survivors, cents) =>
         val resid = AnnIndex.pqResidualCorpus(train, idCol, vecCol,
           nlist, Some(cents))
@@ -137,8 +141,10 @@ object IndexMigration {
                  idCol: String, vecCol: String,
                  nlist: Int, m: Int, ksub: Int, dim: Int,
                  rotation: Array[Array[Double]], iters: Int = 1,
-                 trainSampleN: Option[Int] = None): Migrated =
-    migrateImpl(spark, root, corpus, idCol, vecCol, nlist, iters, trainSampleN) {
+                 trainSampleN: Option[Int] = None,
+                 keepOld: Boolean = false): Migrated =
+    migrateImpl(spark, root, corpus, idCol, vecCol, nlist, iters, trainSampleN,
+      keepOld) {
       (train, survivors, cents) =>
         val resid = AnnIndex.pqResidualCorpus(train, idCol, vecCol,
           nlist, Some(cents))
@@ -159,8 +165,10 @@ object IndexMigration {
     */
   def migrateSq8(spark: SparkSession, root: String, corpus: DataFrame,
                  idCol: String, vecCol: String, nlist: Int,
-                 iters: Int = 1, trainSampleN: Option[Int] = None): Migrated =
-    migrateImpl(spark, root, corpus, idCol, vecCol, nlist, iters, trainSampleN) {
+                 iters: Int = 1, trainSampleN: Option[Int] = None,
+                 keepOld: Boolean = false): Migrated =
+    migrateImpl(spark, root, corpus, idCol, vecCol, nlist, iters, trainSampleN,
+      keepOld) {
       (train, survivors, cents) =>
         val rows = AnnIndex.sq8Train(train, vecCol).collect() // ≤ dim rows — parameters
         val params = rows.sortBy(_.getLong(0))
@@ -169,6 +177,57 @@ object IndexMigration {
           nlist, params, Some(cents))
         (Array(Array(params.map(_._1).toSeq), Array(params.map(_._2).toSeq)), enc)
     }
+
+  /** The versioned sibling a keepOld migration retires the generation to. */
+  private[graft] def retiredName(root: String, v: Long): String =
+    s"$root.retired-v$v"
+
+  /** ROLLBACK of a keepOld migration (r19 verdict missing #4 — a canary
+    * that decides AGAINST the new quantizer after the swap previously had
+    * nothing to roll back to): re-promote the retained previous
+    * generation over the live root. The demoted generation is itself
+    * retained at its versioned sibling, so roll-FORWARD stays possible.
+    * The version marker travels inside each generation directory, so the
+    * restored version is whatever the restored generation carries.
+    *
+    * ERASE WINS THROUGH A ROLLBACK: the sibling tombstone log is
+    * version-free and unaffected by the swap — but the restored
+    * generation PREDATES any erasure executed while the newer one was
+    * live, so rollback replays the log against the restored content: one
+    * scan of the restored index names the partitions holding logged ids
+    * (bounded collect, ≤ one row per partition), then the standard
+    * touched-only [[IndexErasure.repairErased]] runs. A rollback is a
+    * rare administrative act; the one index scan is the honest price of
+    * not knowing the restored generation's cell assignment parameters.
+    *
+    * Returns the restored version. Idempotent given idempotent inputs:
+    * rolling back twice fails fast on the version guard rather than
+    * ping-ponging generations.
+    */
+  def rollback(spark: SparkSession, root: String,
+               partCol: String, idCol: String): Long =
+    FsLock.withLock(fs(spark), root)(synchronized {
+      val f = fs(spark)
+      val vCur = version(spark, root)
+      require(vCur > 1,
+        s"IndexMigration.rollback: $root is at version $vCur — nothing to roll back to")
+      val retired = new Path(retiredName(root, vCur - 1))
+      require(f.exists(new Path(retired, "_SUCCESS")),
+        s"IndexMigration.rollback: no retained generation at $retired " +
+          "(was the migration run with keepOld = true?)")
+      StagedSwap.swap(f, retired, new Path(root),
+        new Path(retiredName(root, vCur)), keepOld = true)
+      IndexErasure.erasedIds(spark, root).foreach { log =>
+        val idx = IndexErasure.readPartitioned(spark, root, partCol)
+        val touched = idx.join(broadcast(log), idx(idCol) === log("__erased_id"))
+          .select(col(partCol)).distinct()
+          .collect().map(_.getLong(0)).toSeq // bounded: ≤ one row per live partition
+        if (touched.nonEmpty)
+          IndexErasure.repairErased(spark, root, partCol, touched, idCol,
+            log.select(col("__erased_id").as(idCol)))
+      }
+      version(spark, root)
+    })
 
   /** The deterministic fixed-size training sample: the `n` survivors with
     * the lowest (hash-priority, id) — [[graft.operators.Sampling
@@ -193,7 +252,8 @@ object IndexMigration {
     */
   private def migrateImpl(spark: SparkSession, root: String, corpus: DataFrame,
                           idCol: String, vecCol: String, nlist: Int, iters: Int,
-                          trainSampleN: Option[Int] = None)(
+                          trainSampleN: Option[Int] = None,
+                          keepOld: Boolean = false)(
       trainEncode: (DataFrame, DataFrame, Array[Seq[Double]]) => (Array[Array[Seq[Double]]], DataFrame))
   : Migrated = FsLock.withLock(fs(spark), root)(synchronized {
     val f = fs(spark)
@@ -232,7 +292,14 @@ object IndexMigration {
     try out.write((vBefore + 1).toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    StagedSwap.swap(f, tmp, new Path(root), new Path(root + ".old"))
+    // keepOld (r19 verdict missing #4): retain the retired generation at
+    // a VERSIONED sibling so a canary that decides against the new
+    // quantizer has something to roll back to ([[rollback]])
+    if (keepOld)
+      StagedSwap.swap(f, tmp, new Path(root),
+        new Path(retiredName(root, vBefore)), keepOld = true)
+    else
+      StagedSwap.swap(f, tmp, new Path(root), new Path(root + ".old"))
     Migrated(vBefore, vBefore + 1, nSurv, nRaw - nSurv, nCells.toLong, cents, cbs)
     } finally { if (trainSampleN.isDefined) train.unpersist() }
     // unpersist in finally (review r19): a failed migration must not pin a

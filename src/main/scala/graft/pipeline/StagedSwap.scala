@@ -20,7 +20,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object StagedSwap {
 
-  def swap(fs: FileSystem, tmp: Path, live: Path, old: Path): Unit = {
+  /** `keepOld = true` RETAINS the retired generation at `old` after a
+    * successful promotion (rollback support, [[IndexMigration.rollback]]) —
+    * same checked renames, no final delete.
+    */
+  def swap(fs: FileSystem, tmp: Path, live: Path, old: Path,
+           keepOld: Boolean = false): Unit = {
     if (fs.exists(old) && !fs.delete(old, true))
       sys.error(s"StagedSwap: could not clear $old")
     val hadLive = fs.exists(live)
@@ -31,6 +36,6 @@ object StagedSwap {
       if (hadLive) fs.rename(old, live)
       sys.error(s"StagedSwap: could not promote $tmp to $live")
     }
-    if (fs.exists(old)) fs.delete(old, true) // best-effort cleanup
+    if (!keepOld && fs.exists(old)) fs.delete(old, true) // best-effort cleanup
   }
 }

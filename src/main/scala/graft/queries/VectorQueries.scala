@@ -3069,6 +3069,56 @@ object VectorQueries {
              |  CAST(co.j AS BIGINT) AS j, CAST(co.code AS BIGINT) AS code
              |FROM asg a JOIN pcodes co ON co.vec_id = a.vec_id
              |ORDER BY 1, 3""".stripMargin)),
+
+    // MIGRATION ROLLBACK (r19 verdict missing #4): q280's canary gate
+    // makes the promote/demote DECISION, but a keepOld-less migration
+    // deletes the old root — a canary deciding AGAINST v2 after the swap
+    // had nothing to restore. Here the full lifecycle runs: erase on v1
+    // (logged), migrate with keepOld=true on a drifted snapshot, erase
+    // MORE ids against the live v2, then roll back. The restored index
+    // must be the V1-QUANTIZER encode with EVERY erasure still applied —
+    // the pre-migration one (v1 was repaired in place) and the
+    // post-migration one (rollback replays the version-free tombstone
+    // log against the restored generation). Oracle: the standing
+    // full-corpus v1 training + encode SQL with both tombstone
+    // predicates excluded. Erasure survives the round trip; the v2
+    // content is retained at its versioned sibling for roll-forward.
+    "q287_migration_rollback" -> Q(
+      (s, dir) => {
+        val cf = clusteredDf(s, dir)
+        val (root, cents) = pqEncPartitioned(s, dir, "pq_enc_raw_cf_part_rb_v1")
+        // pre-migration erasure, repaired against the live v1
+        val tomb1 = cf.filter(col("vec_id") % 32 === 29 && col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("c_id"), col("cvec"))
+        val touched1 = AnnIndex.ivfAssignTrained(tomb1, "c_id", "cvec", cents.toSeq)
+          .select("cell").distinct().collect().map(_.getLong(0)).toSeq // ≤ nlist rows
+        graft.pipeline.IndexErasure.repairErased(s, root, "cell", touched1, "c_id", tomb1)
+        // keepOld migration on the drifted corpus
+        val current = cf.filter(!(col("vec_id") % 32).isin(5, 6, 7))
+          .select(col("vec_id").as("c_id"), col("cvec"))
+        val mig = graft.pipeline.IndexMigration.migrate(s, root, current,
+          "c_id", "cvec", nlist = 32, m = PqM, ksub = PqKsub, dim = 64,
+          keepOld = true)
+        // post-migration erasure, repaired against the live v2 under the
+        // NEW quantizer's assignment (the completeness contract)
+        val tomb2 = cf.filter(col("vec_id") % 32 === 3 && col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("c_id"), col("cvec"))
+        val touched2 = AnnIndex.ivfAssignTrained(tomb2, "c_id", "cvec", mig.cents.toSeq)
+          .select("cell").distinct().collect().map(_.getLong(0)).toSeq // ≤ nlist rows
+        graft.pipeline.IndexErasure.repairErased(s, root, "cell", touched2, "c_id", tomb2)
+        // the canary decides against v2: restore v1, erasures intact
+        graft.pipeline.IndexMigration.rollback(s, root, "cell", "c_id")
+        readEncExploded(s, root)
+      },
+      Some(s"""WITH $cfCte,
+             |$cfKmeansCtes,
+             |$cfRawEncodeCtes
+             |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+             |  CAST(co.j AS BIGINT) AS j, CAST(co.code AS BIGINT) AS code
+             |FROM asg a JOIN pcodes co ON co.vec_id = a.vec_id
+             |WHERE NOT (a.vec_id % 32 = 29 AND a.vec_id % 3 = 0)
+             |  AND NOT (a.vec_id % 32 = 3 AND a.vec_id % 3 = 0)
+             |ORDER BY 1, 3""".stripMargin)),
   )
 
   /** SQ8 chain over `cf`/`cents`/`asg` (prefix `s`): per-dim min/max params

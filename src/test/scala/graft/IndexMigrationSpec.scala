@@ -216,6 +216,64 @@ class IndexMigrationSpec extends AnyFunSuite with SparkTestSession {
     assert(readIndex(root).size === 45)
   }
 
+  test("rollback: migrate(keepOld) then rollback restores the original generation") {
+    val root = freshRoot()
+    val corpus = corpusDf(40)
+    buildIndex(root, corpus)
+    val before = readIndex(root)
+    val current = corpusDf(40).filter(col("id") % 4 =!= 3)
+    IndexMigration.migrate(spark, root, current, "id", "vec",
+      nlist, m, ksub, dim, keepOld = true)
+    assert(IndexMigration.version(spark, root) === 2L)
+    assert(readIndex(root) !== before, "migration must actually change content")
+    val restored = IndexMigration.rollback(spark, root, "cell", "id")
+    assert(restored === 1L && IndexMigration.version(spark, root) === 1L)
+    assert(readIndex(root) === before,
+      "rollback must restore the retained generation bit-for-bit")
+    // the demoted v2 is retained at its versioned sibling — roll-forward
+    // stays possible
+    import org.apache.hadoop.fs.Path
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(f.exists(new Path(IndexMigration.retiredName(root, 2L), "_SUCCESS")))
+    // rolling back again fails fast on the version guard
+    val e = intercept[IllegalArgumentException] {
+      IndexMigration.rollback(spark, root, "cell", "id")
+    }
+    assert(e.getMessage.contains("nothing to roll back"))
+  }
+
+  test("rollback: an erasure executed against v2 survives the rollback (log replay)") {
+    val root = freshRoot()
+    val corpus = corpusDf(40)
+    buildIndex(root, corpus)
+    val current = corpusDf(40).filter(col("id") % 4 =!= 3)
+    val mig = IndexMigration.migrate(spark, root, current, "id", "vec",
+      nlist, m, ksub, dim, keepOld = true)
+    // erase ids 8 and 16 against the LIVE v2 (assignment under mig.cents);
+    // the retired v1 generation still physically holds their rows
+    val tomb = corpus.filter(col("id").isin(8L, 16L)).select(col("id"), col("vec"))
+    val touched = AnnIndex.ivfAssignTrained(tomb, "id", "vec", mig.cents.toSeq)
+      .select("cell").distinct().collect().map(_.getLong(0)).toSeq
+    IndexErasure.repairErased(spark, root, "cell", touched, "id", tomb)
+    IndexMigration.rollback(spark, root, "cell", "id")
+    val ids = readIndex(root).map(_._1).toSet
+    assert(!ids.contains(8L) && !ids.contains(16L),
+      "rollback must replay the tombstone log against the restored generation")
+    // and the content equals the v1 build minus the erased ids
+    val fresh = freshRoot()
+    buildIndex(fresh, corpus)
+    assert(readIndex(root) === readIndex(fresh).filterNot(r => Set(8L, 16L)(r._1)))
+    // erase-wins still binds future appends after the rollback
+    val enc = AnnIndex.pqEncodedCorpus(corpus.filter(col("id") === 8L),
+      "id", "vec", m, ksub, dim, nlist,
+      Some(AnnIndex.pqTrainCodebooks(corpus, "id", "vec", m, ksub, dim, 1)),
+      Some(AnnIndex.kmeansCentroids(corpus, "vec", "id", nlist, 1)))
+      .select(col("id"), col("__cell").cast("long").as("cell"), col("__codes"))
+    IndexErasure.appendRows(spark, root, "cell", "id", enc)
+    assert(!readIndex(root).map(_._1).contains(8L),
+      "a replayed append after rollback must not resurrect an erased id")
+  }
+
   test("clearTombstones: re-admission requires the explicit clear; clear + replay converges") {
     import spark.implicits._
     val root = freshRoot()
