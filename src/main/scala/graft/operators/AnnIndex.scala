@@ -553,6 +553,56 @@ object AnnIndex {
       sq8CodesCol(asDouble(col(cVecCol)), params).as("__codes"))
   }
 
+  /** SQ8 top-k served FROM a deployed byte-code artifact (`encoded`:
+    * `(cIdCol, cell, __codes)` — [[sq8EncodedCorpus]]'s cell-partitioned
+    * relation as [[graft.pipeline.IndexErasure.readPartitioned]] returns
+    * it): candidates from the query's `nprobe` nearest cells, each scored
+    * against the RECONSTRUCTION decoded from its stored codes
+    * (`x̂_i = mn_i + code_i·(mx_i−mn_i)/255` — the same IEEE ops, in the
+    * same order, as [[sq8Candidates]]' encode-then-reconstruct, with the
+    * clamp already baked into the stored code), so serving from the
+    * artifact is bit-identical to encoding live. The q288
+    * erasure-query-visibility leg serves a REPAIRED artifact through
+    * this: hash-equality with the survivor-rebuilt ranking proves no
+    * erased id is retrievable at any rank, for any probe.
+    */
+  def sq8TopKEncoded(queries: DataFrame, qIdCol: String, qVecCol: String,
+                     encoded: DataFrame, cIdCol: String,
+                     k: Int, nlist: Int, nprobe: Int,
+                     params: Array[(Double, Double)],
+                     coarseCentroids: Array[Seq[Double]],
+                     roundTo: Int = 6, excludeSelf: Boolean = true): DataFrame = {
+    import graft.functions.VectorFunctions.dotFused
+    require(nprobe <= nlist, "nprobe must be <= nlist")
+    val cents = coarseCentroids.map(_.toArray)
+    val mnA = array(params.map(p => lit(p._1)): _*)
+    val rngA = array(params.map(p => lit(p._2 - p._1)): _*)
+    val xhat = {
+      val rec = zip_with(col("__codes").cast("array<double>"), rngA,
+        (c, r) => c * r / lit(255.0))
+      zip_with(rec, mnA, (a, b) => a + b)
+    }
+    val enc = encoded.select(col(cIdCol), col("cell").cast("long").as("__cell"),
+        xhat.as("__xhat"))
+      .withColumn("__x2", l2NormSq(col("__xhat")))
+    val qb = queries
+      .select(col(qIdCol), asDouble(col(qVecCol)).as("__qv"),
+        probeCells(col(qVecCol), cents, nprobe).as("__probes"))
+      .withColumn("__q2", l2NormSq(col("__qv")))
+      .select(col(qIdCol), col("__qv"), col("__q2"), explode(col("__probes")).as("__cellp"))
+      .withColumn("__cell", col("__cellp").cast("long"))
+      .drop("__cellp")
+    val scored = enc.join(broadcast(qb), Seq("__cell"))
+      .filter(lit(!excludeSelf) || col(qIdCol) =!= col(cIdCol))
+      .withColumn("score", floorRound(
+        col("__q2") + col("__x2") - lit(2.0) * dotFused(col("__qv"), col("__xhat")), roundTo))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("score"), col(cIdCol))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(qIdCol), col(cIdCol), col("score"), col("rn"))
+      .orderBy(col(qIdCol), col("rn"))
+  }
+
   /** SQ8 candidates within the `nprobe` nearest cells — the CHEAP-MEMORY
     * operating point of the quantizer frontier (r12 verdict task 5): each
     * component quantizes independently to one byte,

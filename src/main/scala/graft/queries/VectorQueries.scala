@@ -3119,6 +3119,40 @@ object VectorQueries {
              |WHERE NOT (a.vec_id % 32 = 29 AND a.vec_id % 3 = 0)
              |  AND NOT (a.vec_id % 32 = 3 AND a.vec_id % 3 = 0)
              |ORDER BY 1, 3""".stripMargin)),
+
+    // SQ8 erasure is QUERY-VISIBLE (the q259 guarantee on the fourth
+    // chain): a top-k SERVED from the repaired SQ8 artifact — candidates
+    // decoded from the stored byte codes, reconstruction arithmetic
+    // identical to encoding live — must rank exactly as an index rebuilt
+    // from the survivors, i.e. no erased id retrievable at any rank, for
+    // any probe. The oracle reruns the trained SQ8 probe chain with the
+    // tombstoned ids excluded from the CANDIDATE relation.
+    "q288_sq8_erasure_query_visibility" -> Q(
+      (s, dir) => {
+        val cf = clusteredDf(s, dir)
+        val (root, cents) = sq8EncPartitioned(s, dir, "sq8_enc_cf_part_v1")
+        val tomb = cf.filter(col("vec_id") % 32 === 9 && col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("c_id"), col("cvec"))
+        val touched = AnnIndex.ivfAssignTrained(tomb, "c_id", "cvec", cents.toSeq)
+          .select("cell").distinct().collect().map(_.getLong(0)).toSeq // ≤ nlist rows
+        graft.pipeline.IndexErasure.repairErased(s, root, "cell", touched, "c_id", tomb)
+        val enc = graft.pipeline.IndexErasure.readPartitioned(s, root, "cell")
+        val queries = cf.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("cvec").as("q_vec"))
+        AnnIndex.sq8TopKEncoded(queries, "q_id", "q_vec", enc, "c_id",
+          k = 3, nlist = 32, nprobe = 4,
+          params = sq8ParamsOf(s, dir), coarseCentroids = cents)
+      },
+      Some(s"""WITH $cfCte,
+             |$cfKmeansCtes,
+             |${sq8ChainCtes(maxNprobe = 4, qSrc = "cf",
+                 candWhere = " AND NOT (a.vec_id % 32 = 9 AND a.vec_id % 3 = 0)")}
+             |SELECT q_id, c_id, ${frs("d", 6)} AS score, CAST(rn AS BIGINT) AS rn
+             |FROM (
+             |  SELECT q_id, c_id, d,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY ${frs("d", 6)}, c_id) AS rn
+             |  FROM sadist)
+             |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin)),
   )
 
   /** SQ8 chain over `cf`/`cents`/`asg` (prefix `s`): per-dim min/max params
@@ -3129,7 +3163,8 @@ object VectorQueries {
     * asymmetric distance relation sadist(q_id, c_id, d, probe_rn). Shared
     * by the frontier (q197) and the re-rank audit (q209).
     */
-  private def sq8ChainCtes(maxNprobe: Int, qSrc: String): String =
+  private def sq8ChainCtes(maxNprobe: Int, qSrc: String,
+                           candWhere: String = ""): String =
     s"""sqp AS (
        |  SELECT pos, min(comp) AS mn, max(comp) AS mx FROM (
        |    SELECT unnest(v) AS comp, generate_subscripts(v, 1) AS pos FROM cf)
@@ -3156,7 +3191,7 @@ object VectorQueries {
        |      - CAST(2.0 AS DOUBLE) * list_inner_product(q.v, x.xhat) AS d,
        |    CAST(p.rn AS BIGINT) AS probe_rn
        |  FROM sprobes p
-       |  JOIN asg a ON p.cell = a.cell AND a.vec_id <> p.q_id
+       |  JOIN asg a ON p.cell = a.cell AND a.vec_id <> p.q_id$candWhere
        |  JOIN sqx x ON x.vec_id = a.vec_id
        |  JOIN $qSrc q ON q.vec_id = p.q_id)""".stripMargin
 
