@@ -825,5 +825,69 @@ object PipelineQueries {
            |  FROM best WHERE cr = 1)
            |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
       }),
+
+    // The chunk-PQ index as a DEPLOYED, ERASABLE artifact: q286
+    // trains/encodes live; here the chunk codes are materialized
+    // CELL-PARTITIONED (the same inverted-file layout every doc-level
+    // chain deploys) and a doc-deletion request erases ALL of a doc's
+    // chunks through it — tombstoned chunk keys name their touched cells
+    // map-side (O(chunks-of-tombstoned-docs · nlist), never an index
+    // scan) and repairErased rewrites only those cell directories. The
+    // oracle re-trains and re-encodes the chunk PQ chain from scratch and
+    // drops the tombstoned docs' chunks from the output: repaired ≡
+    // rebuilt under the standing quantizer, per-(chunk, subspace) code
+    // hash. Erased docs: the q277/q278 ChunkTomb set, so the SAME
+    // deletion request is now proven against BOTH chunk-index layouts
+    // (doc-sharded raw vectors there, cell-partitioned PQ codes here).
+    "q289_chunk_pq_index_erasure" -> Q(
+      (s, dir) => {
+        import graft.functions.MathFunctions.longDiv
+        import graft.operators.AnnIndex
+        val (ldocs, _) = longDocsAndQueries(s, dir)
+        val emb = graft.pipeline.HashingEmbedder(64)
+        val chunks = graft.operators.Chunker.chunk(ldocs, "doc_id", "text",
+          chunkTokens = 64, overlap = 16)
+          .select(graft.operators.ChunkRetrieval.packedChunkKey(
+            col("doc_id"), col("chunk_id")).as("c_id"),
+            emb.embedRaw(col("chunk_text")).as("cvec"))
+          .cache() // trainers, encode, and tombstone derivation read it
+        val cents = AnnIndex.kmeansCentroids(chunks, "cvec", "c_id", k = 32, iters = 1)
+        val cbs = AnnIndex.pqTrainCodebooks(chunks, "c_id", "cvec",
+          m = 16, ksub = 16, dim = 64, iters = 1)
+        val root = graft.pipeline.ArtifactStore.rootFor(dir, "chunk_pq_enc_ld_v1")
+        graft.pipeline.IndexErasure.ensurePartitioned(s, root, "cell") {
+          AnnIndex.pqEncodedCorpus(chunks, "c_id", "cvec",
+            m = 16, ksub = 16, dim = 64, nlist = 32, Some(cbs), Some(cents))
+            .select(col("c_id"), col("__cell").cast("long").as("cell"), col("__codes"))
+        }
+        // the deletion request names DOCS; the tombstone set is every
+        // chunk key of those docs (derived from the corpus — the
+        // at-least-once world still holds the content)
+        val tombChunks = chunks
+          .filter(longDiv(col("c_id"), lit(1000000L)).isin(ChunkTomb: _*))
+        val touched = AnnIndex.ivfAssignTrained(tombChunks, "c_id", "cvec", cents.toSeq)
+          .select("cell").distinct().collect().map(_.getLong(0)).toSeq // ≤ nlist rows
+        graft.pipeline.IndexErasure.repairErased(s, root, "cell", touched,
+          "c_id", tombChunks)
+        graft.pipeline.IndexErasure.readPartitioned(s, root, "cell")
+          .select(longDiv(col("c_id"), lit(1000000L)).as("doc_id"),
+            pmod(col("c_id"), lit(1000000L)).as("chunk_id"), col("cell"),
+            posexplode(col("__codes")).as(Seq("j", "code")))
+          .select(col("doc_id"), col("chunk_id"), col("cell"),
+            col("j").cast("long").as("j"), col("code").cast("long").as("code"))
+          .orderBy("doc_id", "chunk_id", "j")
+      },
+      Some(s"""WITH $chunkRetrievalCtes,
+             |$chunkDenseVecCtes,
+             |cvk AS (
+             |  SELECT doc_id * 1000000 + chunk_id AS vec_id, v FROM cv),
+             |${VectorQueries.kmeansCtesOn("cvk", "c")},
+             |${VectorQueries.rawEncodeCtesOn(trainSrc = "cvk", encSrc = "cvk")}
+             |SELECT a.vec_id // 1000000 AS doc_id, a.vec_id % 1000000 AS chunk_id,
+             |  CAST(a.cell AS BIGINT) AS cell,
+             |  CAST(co.j AS BIGINT) AS j, CAST(co.code AS BIGINT) AS code
+             |FROM casg a JOIN pcodes co ON co.vec_id = a.vec_id
+             |WHERE a.vec_id // 1000000 NOT IN (${ChunkTomb.mkString(", ")})
+             |ORDER BY 1, 2, 4""".stripMargin)),
   )
 }
