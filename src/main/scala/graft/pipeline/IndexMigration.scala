@@ -206,15 +206,32 @@ object IndexMigration {
     */
   def rollback(spark: SparkSession, root: String,
                partCol: String, idCol: String): Long =
+    promoteRetired(spark, root, partCol, idCol, back = true)
+
+  /** The inverse of [[rollback]]: re-promote the generation a rollback
+    * demoted (`<root>.retired-v<current+1>`). Same swap symmetry (the
+    * demoted generation is retained at its versioned sibling) and the
+    * same tombstone-log replay, so erasures executed while the OLDER
+    * generation was live are applied to the restored newer one.
+    */
+  def rollForward(spark: SparkSession, root: String,
+                  partCol: String, idCol: String): Long =
+    promoteRetired(spark, root, partCol, idCol, back = false)
+
+  private def promoteRetired(spark: SparkSession, root: String,
+                             partCol: String, idCol: String, back: Boolean): Long =
     FsLock.withLock(fs(spark), root)(synchronized {
       val f = fs(spark)
+      val op = if (back) "rollback" else "rollForward"
       val vCur = version(spark, root)
-      require(vCur > 1,
+      require(!back || vCur > 1,
         s"IndexMigration.rollback: $root is at version $vCur — nothing to roll back to")
-      val retired = new Path(retiredName(root, vCur - 1))
+      val target = if (back) vCur - 1 else vCur + 1
+      val retired = new Path(retiredName(root, target))
       require(f.exists(new Path(retired, "_SUCCESS")),
-        s"IndexMigration.rollback: no retained generation at $retired " +
-          "(was the migration run with keepOld = true?)")
+        s"IndexMigration.$op: no retained generation at $retired " +
+          (if (back) "(was the migration run with keepOld = true?)"
+           else "(nothing was rolled back past this version)"))
       StagedSwap.swap(f, retired, new Path(root),
         new Path(retiredName(root, vCur)), keepOld = true)
       IndexErasure.erasedIds(spark, root).foreach { log =>

@@ -274,6 +274,39 @@ class IndexMigrationSpec extends AnyFunSuite with SparkTestSession {
       "a replayed append after rollback must not resurrect an erased id")
   }
 
+  test("rollForward: re-promotes the demoted generation, with erasure replay") {
+    val root = freshRoot()
+    val corpus = corpusDf(40)
+    buildIndex(root, corpus)
+    val current = corpusDf(40).filter(col("id") % 4 =!= 3)
+    IndexMigration.migrate(spark, root, current, "id", "vec",
+      nlist, m, ksub, dim, keepOld = true)
+    val v2Content = readIndex(root)
+    IndexMigration.rollback(spark, root, "cell", "id")
+    // with nothing retained AHEAD, rollForward from the newest version
+    // fails fast
+    IndexMigration.rollForward(spark, root, "cell", "id")
+    assert(IndexMigration.version(spark, root) === 2L)
+    assert(readIndex(root) === v2Content,
+      "rollback + rollForward must round-trip the newer generation")
+    val e = intercept[IllegalArgumentException] {
+      IndexMigration.rollForward(spark, root, "cell", "id")
+    }
+    assert(e.getMessage.contains("no retained generation"))
+    // erasure executed while the OLDER generation was live binds the
+    // restored newer one: rollback, erase id 20 against v1, roll forward
+    IndexMigration.rollback(spark, root, "cell", "id")
+    val v1Cents = AnnIndex.kmeansCentroids(corpus, "vec", "id", nlist, 1)
+    val tomb = corpus.filter(col("id") === 20L).select(col("id"), col("vec"))
+    val touched = AnnIndex.ivfAssignTrained(tomb, "id", "vec", v1Cents.toSeq)
+      .select("cell").distinct().collect().map(_.getLong(0)).toSeq
+    IndexErasure.repairErased(spark, root, "cell", touched, "id", tomb)
+    IndexMigration.rollForward(spark, root, "cell", "id")
+    assert(!readIndex(root).map(_._1).contains(20L),
+      "rollForward must replay erasures executed against the older generation")
+    assert(readIndex(root) === v2Content.filterNot(_._1 == 20L))
+  }
+
   test("clearTombstones: re-admission requires the explicit clear; clear + replay converges") {
     import spark.implicits._
     val root = freshRoot()
