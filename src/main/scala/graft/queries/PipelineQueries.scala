@@ -123,6 +123,62 @@ object PipelineQueries {
     */
   private val ChunkTomb = Seq(7L, 13L, 21L)
 
+  /** The chunk-PQ retrieval oracle (q286, and q290 with the tombstoned
+    * docs excluded from the candidate relation): kmeans + raw-PQ
+    * train/encode re-rooted on the keyed chunk vectors, per-(query,
+    * subspace, code) ADC terms, min-distance doc windows. `candWhere`
+    * restricts the candidate relation (the survivor-rebuilt ranking);
+    * `extraCols` appends literal output columns (q286's byte columns).
+    */
+  private def chunkPqRetrievalSql(extraCols: String = "",
+                                  candWhere: String = ""): String = {
+    val sl = (v: String, j: String) =>
+      s"list_slice($v, $j*${VectorQueries.PqDsub}+1, $j*${VectorQueries.PqDsub}+${VectorQueries.PqDsub})"
+    val sq = VectorQueries.sqSql _
+    s"""WITH $chunkRetrievalCtes,
+       |$chunkDenseVecCtes,
+       |cvk AS (
+       |  SELECT doc_id * 1000000 + chunk_id AS vec_id, v FROM cv),
+       |${VectorQueries.kmeansCtesOn("cvk", "c")},
+       |${VectorQueries.rawEncodeCtesOn(trainSrc = "cvk", encSrc = "cvk")},
+       |cprobes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.q_id, c.ci AS cell,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(q.v, c.cv), c.ci) AS rn
+       |    FROM qv q CROSS JOIN ccents c)
+       |  WHERE rn <= 2),
+       |cterms AS (
+       |  SELECT q.q_id, su.j, su.pci,
+       |    ${sq(sl("q.v", "su.j"))} + su.c2
+       |      - CAST(2.0 AS DOUBLE) * list_inner_product(${sl("q.v", "su.j")}, su.s) AS t
+       |  FROM qv q CROSS JOIN psubs su),
+       |cadist AS (
+       |  SELECT ca.q_id, ca.c_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t.t ORDER BY t.j)), (a, x) -> a + x) AS d
+       |  FROM (
+       |    SELECT p.q_id, a.vec_id AS c_id
+       |    FROM cprobes p JOIN casg a ON p.cell = a.cell$candWhere) ca
+       |  JOIN pcodes co ON co.vec_id = ca.c_id
+       |  JOIN cterms t ON t.q_id = ca.q_id AND t.j = co.j AND t.pci = co.code
+       |  GROUP BY 1, 2),
+       |cdist AS (
+       |  SELECT q_id, c_id // 1000000 AS doc_id, c_id % 1000000 AS chunk_id,
+       |    ${frs("d", 6)} AS d
+       |  FROM cadist),
+       |best AS (
+       |  SELECT q_id, doc_id, chunk_id, d,
+       |    row_number() OVER (PARTITION BY q_id, doc_id ORDER BY d, chunk_id) AS cr
+       |  FROM cdist)
+       |SELECT q_id, doc_id, CAST(best_chunk AS BIGINT) AS best_chunk,
+       |  score, CAST(rn AS BIGINT) AS rn$extraCols
+       |FROM (
+       |  SELECT q_id, doc_id, chunk_id AS best_chunk, d AS score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d, doc_id) AS rn
+       |  FROM best WHERE cr = 1)
+       |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+  }
+
   /** Build-if-absent the doc-sharded CHUNK INDEX artifact over the long-doc
     * corpus — (doc_id, chunk_id, vec, n_tokens) partitioned by
     * dshard = doc_id div 4 (an id-sharded layout: the partition is a pure
@@ -777,54 +833,9 @@ object PipelineQueries {
           .withColumn("bytes_per_chunk", lit(8L))
           .withColumn("bytes_raw", lit(512L))
       },
-      Some {
-        val sl = (v: String, j: String) =>
-          s"list_slice($v, $j*${VectorQueries.PqDsub}+1, $j*${VectorQueries.PqDsub}+${VectorQueries.PqDsub})"
-        val sq = VectorQueries.sqSql _
-        s"""WITH $chunkRetrievalCtes,
-           |$chunkDenseVecCtes,
-           |cvk AS (
-           |  SELECT doc_id * 1000000 + chunk_id AS vec_id, v FROM cv),
-           |${VectorQueries.kmeansCtesOn("cvk", "c")},
-           |${VectorQueries.rawEncodeCtesOn(trainSrc = "cvk", encSrc = "cvk")},
-           |cprobes AS (
-           |  SELECT q_id, cell FROM (
-           |    SELECT q.q_id, c.ci AS cell,
-           |      row_number() OVER (PARTITION BY q.q_id
-           |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(q.v, c.cv), c.ci) AS rn
-           |    FROM qv q CROSS JOIN ccents c)
-           |  WHERE rn <= 2),
-           |cterms AS (
-           |  SELECT q.q_id, su.j, su.pci,
-           |    ${sq(sl("q.v", "su.j"))} + su.c2
-           |      - CAST(2.0 AS DOUBLE) * list_inner_product(${sl("q.v", "su.j")}, su.s) AS t
-           |  FROM qv q CROSS JOIN psubs su),
-           |cadist AS (
-           |  SELECT ca.q_id, ca.c_id,
-           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t.t ORDER BY t.j)), (a, x) -> a + x) AS d
-           |  FROM (
-           |    SELECT p.q_id, a.vec_id AS c_id
-           |    FROM cprobes p JOIN casg a ON p.cell = a.cell) ca
-           |  JOIN pcodes co ON co.vec_id = ca.c_id
-           |  JOIN cterms t ON t.q_id = ca.q_id AND t.j = co.j AND t.pci = co.code
-           |  GROUP BY 1, 2),
-           |cdist AS (
-           |  SELECT q_id, c_id // 1000000 AS doc_id, c_id % 1000000 AS chunk_id,
-           |    ${frs("d", 6)} AS d
-           |  FROM cadist),
-           |best AS (
-           |  SELECT q_id, doc_id, chunk_id, d,
-           |    row_number() OVER (PARTITION BY q_id, doc_id ORDER BY d, chunk_id) AS cr
-           |  FROM cdist)
-           |SELECT q_id, doc_id, CAST(best_chunk AS BIGINT) AS best_chunk,
-           |  score, CAST(rn AS BIGINT) AS rn,
-           |  CAST(8 AS BIGINT) AS bytes_per_chunk, CAST(512 AS BIGINT) AS bytes_raw
-           |FROM (
-           |  SELECT q_id, doc_id, chunk_id AS best_chunk, d AS score,
-           |    row_number() OVER (PARTITION BY q_id ORDER BY d, doc_id) AS rn
-           |  FROM best WHERE cr = 1)
-           |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
-      }),
+      Some(chunkPqRetrievalSql(
+        """,
+          |  CAST(8 AS BIGINT) AS bytes_per_chunk, CAST(512 AS BIGINT) AS bytes_raw""".stripMargin))),
 
     // The chunk-PQ index as a DEPLOYED, ERASABLE artifact: q286
     // trains/encodes live; here the chunk codes are materialized
@@ -889,5 +900,57 @@ object PipelineQueries {
              |FROM casg a JOIN pcodes co ON co.vec_id = a.vec_id
              |WHERE a.vec_id // 1000000 NOT IN (${ChunkTomb.mkString(", ")})
              |ORDER BY 1, 2, 4""".stripMargin)),
+
+    // Chunk-PQ erasure is QUERY-VISIBLE: q286's retrieval served FROM the
+    // q289-repaired artifact (ADC over the stored codes; scoring live,
+    // index loaded) must rank exactly as the survivor-rebuilt chunk index
+    // — no chunk of an erased doc competing in any doc-max, at any rank.
+    // Doc 7 is a query's own source (the best-possible match), so the
+    // erasure visibly changes that query's winner. Completes the chunk-PQ
+    // lifecycle at the retrieval surface, mirroring q278 (raw doc-sharded
+    // layout) and q259/q288 (doc-level chains).
+    "q290_chunk_pq_erasure_query_visibility" -> Q(
+      (s, dir) => {
+        import graft.functions.MathFunctions.longDiv
+        import graft.operators.AnnIndex
+        val (ldocs, qs) = longDocsAndQueries(s, dir)
+        val emb = graft.pipeline.HashingEmbedder(64)
+        val chunks = graft.operators.Chunker.chunk(ldocs, "doc_id", "text",
+          chunkTokens = 64, overlap = 16)
+          .select(graft.operators.ChunkRetrieval.packedChunkKey(
+            col("doc_id"), col("chunk_id")).as("c_id"),
+            emb.embedRaw(col("chunk_text")).as("cvec"))
+          .cache()
+        val cents = AnnIndex.kmeansCentroids(chunks, "cvec", "c_id", k = 32, iters = 1)
+        val cbs = AnnIndex.pqTrainCodebooks(chunks, "c_id", "cvec",
+          m = 16, ksub = 16, dim = 64, iters = 1)
+        val root = graft.pipeline.ArtifactStore.rootFor(dir, "chunk_pq_enc_ld_v1")
+        graft.pipeline.IndexErasure.ensurePartitioned(s, root, "cell") {
+          AnnIndex.pqEncodedCorpus(chunks, "c_id", "cvec",
+            m = 16, ksub = 16, dim = 64, nlist = 32, Some(cbs), Some(cents))
+            .select(col("c_id"), col("__cell").cast("long").as("cell"), col("__codes"))
+        }
+        val tombChunks = chunks
+          .filter(longDiv(col("c_id"), lit(1000000L)).isin(ChunkTomb: _*))
+        val touched = AnnIndex.ivfAssignTrained(tombChunks, "c_id", "cvec", cents.toSeq)
+          .select("cell").distinct().collect().map(_.getLong(0)).toSeq // ≤ nlist rows
+        graft.pipeline.IndexErasure.repairErased(s, root, "cell", touched,
+          "c_id", tombChunks)
+        val enc = graft.pipeline.IndexErasure.readPartitioned(s, root, "cell")
+          .select(col("c_id"), col("cell").cast("int").as("__cell"), col("__codes"))
+        val qv = qs.select(col("q_id"), emb.embedRaw(col("q_text")).as("qvec"))
+        val cand = AnnIndex.pqCandidates(qv, "q_id", "qvec",
+          chunks, "c_id", "cvec", m = 16, ksub = 16, dim = 64,
+          nlist = 32, nprobe = 2, excludeSelf = false,
+          codebooks = Some(cbs), coarseCentroids = Some(cents),
+          encoded = Some(enc))
+        val scored = cand.select(col("q_id"),
+          longDiv(col("c_id"), lit(1000000L)).as("doc_id"),
+          pmod(col("c_id"), lit(1000000L)).as("chunk_id"),
+          col("score").as("__sim"))
+        graft.operators.ChunkRetrieval.docMinTopK(scored, "q_id", "doc_id", k = 3)
+      },
+      Some(chunkPqRetrievalSql(candWhere =
+        s" AND a.vec_id // 1000000 NOT IN (${ChunkTomb.mkString(", ")})"))),
   )
 }

@@ -186,6 +186,64 @@ object ExplainAudit {
           nlist = 32, m = 16, ksub = 16, dim = 64)
       }
     }
+    // q285 write leg: SAMPLED-training migration — same one-pass re-encode
+    // (ratio 1 is the contract), but the training jobs aggregate a fixed
+    // 512-row sample instead of the corpus: compare jobs/shuffle against
+    // q273_write above — the delta is the training term sampling removes
+    locally {
+      val root = s"$scratchBase/migs"
+      graft.pipeline.IndexErasure.ensurePartitioned(spark, root, "cell") {
+        graft.operators.AnnIndex.pqEncodedCorpus(embs, "c_id", "embedding",
+          m = 16, ksub = 16, dim = 64, nlist = 32)
+          .select(col("c_id"), col("__cell").cast("long").as("cell"), col("__codes"))
+      }
+      auditWrite("q285_write (migrate trainSampleN=512, sampled train + full encode)", root) {
+        graft.pipeline.IndexMigration.migrate(spark, root,
+          embs.filter(col("c_id") % 32 =!= 7), "c_id", "embedding",
+          nlist = 32, m = 16, ksub = 16, dim = 64, trainSampleN = Some(512))
+      }
+    }
+    // q284 write leg: SQ8 migration — min/max refit (one posexplode
+    // aggregate) + byte-code re-encode; the cheapest train step in the
+    // family, visible as fewer jobs than the PQ migrations above
+    locally {
+      val root = s"$scratchBase/migq"
+      val params0 = graft.operators.AnnIndex.sq8Train(embs, "embedding").collect()
+        .sortBy(_.getLong(0)).map(r => (r.getDouble(1), r.getDouble(2)))
+      graft.pipeline.IndexErasure.ensurePartitioned(spark, root, "cell") {
+        graft.operators.AnnIndex.sq8EncodedCorpus(embs, "c_id", "embedding",
+          nlist = 32, params0)
+          .select(col("c_id"), col("__cell").cast("long").as("cell"), col("__codes"))
+      }
+      auditWrite("q284_write (IndexMigration.migrateSq8, refit + re-encode + swap)", root) {
+        graft.pipeline.IndexMigration.migrateSq8(spark, root,
+          embs.filter(col("c_id") % 32 =!= 7), "c_id", "embedding", nlist = 32)
+      }
+    }
+    // q287 write legs: keepOld migration + rollback — the rollback's cost
+    // statement is the point: two renames plus ONE restored-index scan to
+    // name the tombstone-replay partitions, then a touched-only repair
+    locally {
+      val root = s"$scratchBase/migr"
+      graft.pipeline.IndexErasure.ensurePartitioned(spark, root, "cell") {
+        graft.operators.AnnIndex.pqEncodedCorpus(embs, "c_id", "embedding",
+          m = 16, ksub = 16, dim = 64, nlist = 32)
+          .select(col("c_id"), col("__cell").cast("long").as("cell"), col("__codes"))
+      }
+      // an erasure BEFORE the migration seeds the tombstone log the
+      // rollback must replay
+      val tomb = embs.filter(col("c_id") % 32 === 5 && col("c_id") % 9 === 0)
+      val touched = graft.operators.AnnIndex.ivfAssign(tomb, embs, "c_id", "embedding", 32)
+        .select("cell").distinct().collect().map(_.getLong(0)).toSeq
+      graft.pipeline.IndexErasure.repairErased(spark, root, "cell", touched,
+        "c_id", tomb)
+      graft.pipeline.IndexMigration.migrate(spark, root,
+        embs.filter(col("c_id") % 32 =!= 7), "c_id", "embedding",
+        nlist = 32, m = 16, ksub = 16, dim = 64, keepOld = true)
+      auditWrite("q287_write (IndexMigration.rollback, swap + log replay)", root) {
+        graft.pipeline.IndexMigration.rollback(spark, root, "cell", "c_id")
+      }
+    }
     spark.stop()
   }
 }
