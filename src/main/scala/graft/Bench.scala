@@ -112,9 +112,22 @@ object Bench {
         .flatMap(l => scala.util.Try(l.trim.toDouble).toOption)
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
 
+  /** Should this clean run's warm probe join the calibration history?
+    * Guard against THRESHOLD DRIFT by sub-gate contamination (observed:
+    * three gate-clean same-tree runs read 0.93/1.01/1.37 as the box
+    * degraded through an evening — appending all three would loosen the
+    * uniform-contamination bar by 40%): contention only ADDS time, so the
+    * history MIN is the cleanest hardware observation, and only runs
+    * within 1.25× of it calibrate. An empty history seeds unconditionally.
+    */
+  private[graft] def historyAdmits(history: Seq[Double], v: Double): Boolean =
+    history.isEmpty || v <= 1.25 * history.min
+
   private def appendHistory(v: Double): Unit =
     try {
-      val keep = (readHistory() :+ v).takeRight(20)
+      val h = readHistory()
+      if (!historyAdmits(h, v)) return
+      val keep = (h :+ v).takeRight(20)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(HistoryFile),
         keep.map(x => f"$x%.3f").mkString("", "\n", "\n"))
     } catch { case scala.util.control.NonFatal(_) => () }

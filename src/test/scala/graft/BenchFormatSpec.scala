@@ -160,4 +160,21 @@ class BenchFormatSpec extends AnyFunSuite {
     // no history -> the calibrated constant stands (this box's band)
     assert(Bench.probeAbsDefault(Seq.empty) === 1.4)
   }
+
+  test("gate: history admits only near-min observations (threshold-drift guard)") {
+    // observed failure mode: three gate-clean same-tree runs read
+    // 0.93/1.01/1.37 as the box degraded — appending all three would
+    // loosen the probe_abs bar by 40%. Min-anchored admission keeps the
+    // calibration set honest: contention only adds time.
+    assert(Bench.historyAdmits(Seq.empty, 0.93), "empty history seeds")
+    assert(Bench.historyAdmits(Seq(0.93), 1.01), "near-min observations calibrate")
+    assert(!Bench.historyAdmits(Seq(0.93, 1.01), 1.37),
+      "a degraded-window observation must not loosen the threshold")
+    // and the quiet historical band itself survives the guard
+    val band = Seq(0.54, 0.64, 0.56, 0.42, 0.73)
+    assert(band.tail.forall(v => Bench.historyAdmits(Seq(band.head), v) ||
+      v > 1.25 * band.head),
+      "guard semantics are purely min-anchored")
+    assert(Bench.historyAdmits(Seq(0.54, 0.42), 0.52))
+  }
 }
