@@ -553,6 +553,24 @@ object AnnIndex {
       sq8CodesCol(asDouble(col(cVecCol)), params).as("__codes"))
   }
 
+  /** The SQ8 reconstruction x̂ of `vec` under `params` — encode + decode
+    * in one expression (`x̂_i = mn_i + clamp(⌊(x_i−mn_i)·255/rng_i⌋)·
+    * rng_i/255`), the quantity every SQ8 scorer ranks against. Exposed
+    * for the fidelity evals (q291's A/B gate reconstructs the SAME
+    * corpus under stale and refit params side by side).
+    */
+  def sq8Reconstruct(vec: Column, params: Array[(Double, Double)]): Column = {
+    val mnA = array(params.map(p => lit(p._1)): _*)
+    val rngA = array(params.map(p => lit(p._2 - p._1)): _*)
+    val dv = zip_with(vec, mnA, (x, mn) => x - mn)
+    val codes = zip_with(dv, rngA, (d, r) =>
+      when(r > lit(0.0),
+        least(greatest(floor(d * lit(255.0) / r).cast("double"), lit(0.0)), lit(255.0)))
+        .otherwise(lit(0.0)))
+    val rec = zip_with(codes, rngA, (c, r) => c * r / lit(255.0))
+    zip_with(rec, mnA, (a, b) => a + b)
+  }
+
   /** SQ8 top-k served FROM a deployed byte-code artifact (`encoded`:
     * `(cIdCol, cell, __codes)` — [[sq8EncodedCorpus]]'s cell-partitioned
     * relation as [[graft.pipeline.IndexErasure.readPartitioned]] returns
@@ -635,20 +653,9 @@ object AnnIndex {
         .select(col(cIdCol), asDouble(col(cVecCol)).as("v"))
         .orderBy(col(cIdCol)).limit(nlist)
         .collect().map(_.getSeq[Double](1).toArray))
-    val mnA = array(params.map(p => lit(p._1)): _*)
-    val rngA = array(params.map(p => lit(p._2 - p._1)): _*)
-    def xhatCol(vec: Column): Column = {
-      val dv = zip_with(vec, mnA, (x, mn) => x - mn)
-      val codes = zip_with(dv, rngA, (d, r) =>
-        when(r > lit(0.0),
-          least(greatest(floor(d * lit(255.0) / r).cast("double"), lit(0.0)), lit(255.0)))
-          .otherwise(lit(0.0)))
-      val rec = zip_with(codes, rngA, (c, r) => c * r / lit(255.0))
-      zip_with(rec, mnA, (a, b) => a + b)
-    }
     val enc = corpus.select(col(cIdCol),
       argminCell(col(cVecCol), cents).as("__cell"),
-      xhatCol(asDouble(col(cVecCol))).as("__xhat"))
+      sq8Reconstruct(asDouble(col(cVecCol)), params).as("__xhat"))
       .withColumn("__x2", l2NormSq(col("__xhat")))
     val qb = queries
       .select(col(qIdCol), asDouble(col(qVecCol)).as("__qv"),

@@ -3153,6 +3153,179 @@ object VectorQueries {
              |    row_number() OVER (PARTITION BY q_id ORDER BY ${frs("d", 6)}, c_id) AS rn
              |  FROM sadist)
              |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin)),
+
+    // The SQ8 A/B CUTOVER GATE — q280's canary decision for the scalar
+    // chain, measuring the axis q280 cannot see: CODE fidelity. q280
+    // counts budgeted-candidate hits (a pure cell-assignment signal);
+    // here the budgeted candidates are RANKED by SQ8 asymmetric distance
+    // and only the top-10 count, so the gate prices the quantizer's
+    // reconstruction too. Under the stale per-dim min/max (trained on the
+    // pre-drift value regime, span ~±5·10⁵) the drifted corpus
+    // (÷100 + 7000, span ~10⁴) compresses into 2–3 byte codes per
+    // dimension — reconstructions collapse, ADC ranking degenerates to
+    // the id tiebreak; migrateSq8's refit restores 255-code resolution.
+    // Oracle: both quantizers derived from scratch (stale sqp on cf,
+    // refit on cfd; stale cells on cf, refit on cfd), both rankings
+    // re-ranked in SQL, integer promote decision — all hash-checked.
+    "q291_sq8_migration_ab_gate" -> Q(
+      (s, dir) => {
+        import graft.functions.MathFunctions.floorRound
+        import graft.functions.VectorFunctions.{dotFused, l2NormSq}
+        import org.apache.spark.sql.expressions.Window
+        val cf = clusteredDf(s, dir)
+        val (root, staleCents) = sq8EncPartitioned(s, dir, "sq8_enc_cf_part_ab_v1")
+        val staleParams = sq8ParamsOf(s, dir)
+        val drifted = cf.select(col("vec_id"),
+          expr("transform(cvec, x -> floor(x / 100.0D) + 7000.0D)").as("cvec"))
+          .cache()
+        val mig = graft.pipeline.IndexMigration.migrateSq8(s, root,
+          drifted.select(col("vec_id").as("c_id"), col("cvec")), "c_id", "cvec",
+          nlist = 32)
+        val refitParams = mig.codebooks(0)(0).zip(mig.codebooks(1)(0)).toArray
+        val n = drifted.count()
+        val budget = (2L * n / 32L).toInt
+        val queries = drifted.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("cvec").as("qv"))
+        val truth = queries.crossJoin(drifted)
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("__d", l2NormSq(col("qv")) + l2NormSq(col("cvec"))
+            - lit(2.0) * dotFused(col("qv"), col("cvec")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("__d"), col("vec_id"))))
+          .filter(col("rn") <= 10)
+          .select(col("q_id"), col("vec_id").as("c_id")).cache()
+        val tn = truth.count()
+        def phase(cents: Array[Seq[Double]],
+                  params: Array[(Double, Double)]): (Long, Long) = {
+          val members = AnnIndex.ivfAssignTrained(drifted, "vec_id", "cvec", cents.toSeq)
+            .join(drifted, "vec_id")
+            .withColumn("mrn", row_number().over(
+              Window.partitionBy("cell").orderBy("vec_id")))
+            .filter(col("mrn") <= budget)
+            .withColumn("__xh", AnnIndex.sq8Reconstruct(asDouble(col("cvec")), params))
+            .withColumn("__x2", l2NormSq(col("__xh")))
+          val qcell = AnnIndex.ivfAssignTrained(
+            queries.select(col("q_id").as("vec_id"), col("qv").as("cvec")),
+            "vec_id", "cvec", cents.toSeq)
+            .select(col("vec_id").as("q_id"), col("cell"))
+          val qvn = queries.withColumn("__qv", asDouble(col("qv")))
+            .withColumn("__q2", l2NormSq(col("__qv")))
+            .select("q_id", "__qv", "__q2")
+          val top10 = qcell.join(members, "cell")
+            .filter(col("vec_id") =!= col("q_id"))
+            .join(qvn, "q_id")
+            .withColumn("__dist", floorRound(
+              col("__q2") + col("__x2") - lit(2.0) * dotFused(col("__qv"), col("__xh")), 6))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy("q_id").orderBy(col("__dist"), col("vec_id"))))
+            .filter(col("rn") <= 10)
+            .select(col("q_id"), col("vec_id").as("c_id")).cache()
+          val nr = top10.count()
+          val hits = top10.join(truth, Seq("q_id", "c_id")).count()
+          top10.unpersist()
+          (nr, hits)
+        }
+        val (mNr, mH) = phase(mig.cents, refitParams)
+        val (sNr, sH) = phase(staleCents, staleParams)
+        val promote = if (mH > sH) 1L else 0L
+        import s.implicits._
+        val out = Seq(
+          ("migrated", mNr, mH, mH.toDouble / tn, promote),
+          ("stale", sNr, sH, sH.toDouble / tn, promote))
+          .toDF("phase", "n_ranked", "n_hits", "recall", "promote_v2")
+        drifted.unpersist(); truth.unpersist()
+        out.withColumn("recall", floorRound(col("recall"), 6))
+          .orderBy("phase")
+      },
+      Some {
+        val dist = (xh: String) =>
+          s"${sqSql("q.v")} + ${sqSql(xh)} - CAST(2.0 AS DOUBLE) * list_inner_product(q.v, $xh)"
+        def xhCte(name: String, sqp: String) =
+          s"""$name AS (
+             |  SELECT vec_id, list(xh ORDER BY pos) AS xhat FROM (
+             |    SELECT f.vec_id, p.pos,
+             |      CASE WHEN p.mx - p.mn > 0 THEN
+             |        p.mn + least(greatest(floor((f.v[CAST(p.pos AS INTEGER)] - p.mn) * CAST(255.0 AS DOUBLE) / (p.mx - p.mn)),
+             |          CAST(0.0 AS DOUBLE)), CAST(255.0 AS DOUBLE)) * (p.mx - p.mn) / CAST(255.0 AS DOUBLE)
+             |      ELSE p.mn END AS xh
+             |    FROM cfd f CROSS JOIN $sqp p)
+             |  GROUP BY vec_id)""".stripMargin
+        def top10Cte(name: String, asg: String, mem: String, xh: String) =
+          s"""$name AS (
+             |  SELECT q_id, c_id FROM (
+             |    SELECT s.q_id, m.vec_id AS c_id,
+             |      row_number() OVER (PARTITION BY s.q_id
+             |        ORDER BY ${frs(dist("x.xhat"), 6)}, m.vec_id) AS rn
+             |    FROM (SELECT a.vec_id AS q_id, a.cell FROM $asg a JOIN qd ON qd.q_id = a.vec_id) s
+             |    JOIN $mem m ON m.cell = s.cell AND m.vec_id <> s.q_id
+             |    JOIN $xh x ON x.vec_id = m.vec_id
+             |    JOIN qd q ON q.q_id = s.q_id)
+             |  WHERE rn <= 10)""".stripMargin
+        s"""WITH $cfCte,
+           |cfd AS (
+           |  SELECT vec_id, list_transform(v,
+           |    x -> floor(x / CAST(100.0 AS DOUBLE)) + CAST(7000.0 AS DOUBLE)) AS v
+           |  FROM cf),
+           |$cfKmeansCtes,
+           |${kmeansCtesOn("cfd", "n")},
+           |bud AS (SELECT CAST(2 * count(*) / 32 AS BIGINT) AS b FROM cfd),
+           |qd AS (SELECT vec_id AS q_id, v FROM cfd WHERE vec_id < 5),
+           |tr AS (
+           |  SELECT q_id, c_id FROM (
+           |    SELECT q.q_id, c.vec_id AS c_id,
+           |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+           |        ${sqSql("q.v")} + ${sqSql("c.v")}
+           |          - CAST(2.0 AS DOUBLE) * list_inner_product(q.v, c.v), c.vec_id) AS rn
+           |    FROM qd q JOIN cfd c ON c.vec_id <> q.q_id)
+           |  WHERE rn <= 10),
+           |tcnt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tr),
+           |sasg AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT f.vec_id, c.ci AS cell,
+           |      row_number() OVER (PARTITION BY f.vec_id
+           |        ORDER BY c.c2 - CAST(2.0 AS DOUBLE) * list_inner_product(f.v, c.cv), c.ci) AS rn
+           |    FROM cfd f CROSS JOIN cents c)
+           |  WHERE rn = 1),
+           |ssqp AS (
+           |  SELECT pos, min(comp) AS mn, max(comp) AS mx FROM (
+           |    SELECT unnest(v) AS comp, generate_subscripts(v, 1) AS pos FROM cf)
+           |  GROUP BY pos),
+           |nsqp AS (
+           |  SELECT pos, min(comp) AS mn, max(comp) AS mx FROM (
+           |    SELECT unnest(v) AS comp, generate_subscripts(v, 1) AS pos FROM cfd)
+           |  GROUP BY pos),
+           |${xhCte("sxh", "ssqp")},
+           |${xhCte("nxh", "nsqp")},
+           |smem AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT vec_id, cell,
+           |      row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS mrn
+           |    FROM sasg) x, bud WHERE x.mrn <= bud.b),
+           |nmem AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT vec_id, cell,
+           |      row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS mrn
+           |    FROM nasg) x, bud WHERE x.mrn <= bud.b),
+           |${top10Cte("s10", "sasg", "smem", "sxh")},
+           |${top10Cte("n10", "nasg", "nmem", "nxh")},
+           |sstat AS (SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM s10) AS nr,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM s10 JOIN tr USING (q_id, c_id)) AS h),
+           |nstat AS (SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM n10) AS nr,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM n10 JOIN tr USING (q_id, c_id)) AS h)
+           |SELECT phase, n_ranked, n_hits, recall, promote_v2 FROM (
+           |  SELECT 'migrated' AS phase, nn.nr AS n_ranked, nn.h AS n_hits,
+           |    ${frs("CAST(nn.h AS DOUBLE) / CAST(t.t AS DOUBLE)", 6)} AS recall,
+           |    CAST(nn.h > ss.h AS BIGINT) AS promote_v2
+           |  FROM nstat nn, sstat ss, tcnt t
+           |  UNION ALL
+           |  SELECT 'stale', ss.nr, ss.h,
+           |    ${frs("CAST(ss.h AS DOUBLE) / CAST(t.t AS DOUBLE)", 6)},
+           |    CAST(nn.h > ss.h AS BIGINT)
+           |  FROM nstat nn, sstat ss, tcnt t)
+           |ORDER BY phase""".stripMargin
+      }),
   )
 
   /** SQ8 chain over `cf`/`cents`/`asg` (prefix `s`): per-dim min/max params
