@@ -952,5 +952,64 @@ object PipelineQueries {
       },
       Some(chunkPqRetrievalSql(candWhere =
         s" AND a.vec_id // 1000000 NOT IN (${ChunkTomb.mkString(", ")})"))),
+
+    // The chunk-PQ index MIGRATES like every other artifact family: when
+    // the long-doc corpus drifts (here docs ≡ 4 mod 5 leave — a fifth of
+    // the corpus, shifting the chunk distribution the v1 quantizer was
+    // trained on), IndexMigration.migrate retrains cells + codebooks on
+    // the surviving chunk relation and re-encodes it in one pass through
+    // the chain-agnostic swap/versioning core — the SAME API the
+    // doc-level chains use, applied to the chunk root unchanged. The
+    // oracle re-roots the chunk-PQ training SQL on the filtered chunk
+    // relation (the cfFilteredCte trick at the chunk level): migrated ≡
+    // from-scratch rebuild under the NEW quantizer, per-(chunk, subspace)
+    // code hash. With q289 (erasure) and q290 (query visibility) this
+    // completes the chunk chain's lifecycle.
+    "q292_chunk_pq_index_migration" -> Q(
+      (s, dir) => {
+        import graft.functions.MathFunctions.longDiv
+        import graft.operators.AnnIndex
+        val (ldocs, _) = longDocsAndQueries(s, dir)
+        val emb = graft.pipeline.HashingEmbedder(64)
+        val chunks = graft.operators.Chunker.chunk(ldocs, "doc_id", "text",
+          chunkTokens = 64, overlap = 16)
+          .select(graft.operators.ChunkRetrieval.packedChunkKey(
+            col("doc_id"), col("chunk_id")).as("c_id"),
+            emb.embedRaw(col("chunk_text")).as("cvec"))
+          .cache()
+        val cents = AnnIndex.kmeansCentroids(chunks, "cvec", "c_id", k = 32, iters = 1)
+        val cbs = AnnIndex.pqTrainCodebooks(chunks, "c_id", "cvec",
+          m = 16, ksub = 16, dim = 64, iters = 1)
+        val root = graft.pipeline.ArtifactStore.rootFor(dir, "chunk_pq_enc_ld_mig_v1")
+        graft.pipeline.IndexErasure.ensurePartitioned(s, root, "cell") {
+          AnnIndex.pqEncodedCorpus(chunks, "c_id", "cvec",
+            m = 16, ksub = 16, dim = 64, nlist = 32, Some(cbs), Some(cents))
+            .select(col("c_id"), col("__cell").cast("long").as("cell"), col("__codes"))
+        }
+        val current = chunks.filter(
+          pmod(longDiv(col("c_id"), lit(1000000L)), lit(5L)) =!= 4L)
+        graft.pipeline.IndexMigration.migrate(s, root, current, "c_id", "cvec",
+          nlist = 32, m = 16, ksub = 16, dim = 64)
+        graft.pipeline.IndexErasure.readPartitioned(s, root, "cell")
+          .select(longDiv(col("c_id"), lit(1000000L)).as("doc_id"),
+            pmod(col("c_id"), lit(1000000L)).as("chunk_id"), col("cell"),
+            posexplode(col("__codes")).as(Seq("j", "code")))
+          .select(col("doc_id"), col("chunk_id"), col("cell"),
+            col("j").cast("long").as("j"), col("code").cast("long").as("code"))
+          .orderBy("doc_id", "chunk_id", "j")
+      },
+      Some(s"""WITH $chunkRetrievalCtes,
+             |$chunkDenseVecCtes,
+             |cvka AS (
+             |  SELECT doc_id * 1000000 + chunk_id AS vec_id, v FROM cv),
+             |cvk AS (
+             |  SELECT vec_id, v FROM cvka WHERE (vec_id // 1000000) % 5 <> 4),
+             |${VectorQueries.kmeansCtesOn("cvk", "c")},
+             |${VectorQueries.rawEncodeCtesOn(trainSrc = "cvk", encSrc = "cvk")}
+             |SELECT a.vec_id // 1000000 AS doc_id, a.vec_id % 1000000 AS chunk_id,
+             |  CAST(a.cell AS BIGINT) AS cell,
+             |  CAST(co.j AS BIGINT) AS j, CAST(co.code AS BIGINT) AS code
+             |FROM casg a JOIN pcodes co ON co.vec_id = a.vec_id
+             |ORDER BY 1, 2, 4""".stripMargin)),
   )
 }
