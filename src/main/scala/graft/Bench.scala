@@ -101,11 +101,17 @@ object Bench {
       math.max(1.0, 1.75 * s(s.size / 2))
     }
 
-  private val HistoryFile = ".bench-probe-history"
+  /** Keyed by the SF fixture's basename (ADVICE r20): the warm-probe time
+    * scales with the fixture, and historyAdmits is min-anchored — one
+    * shared file seeded on a fast fixture would permanently reject
+    * calibration from a slower one and derive a too-low probe_abs bound
+    * for it, dirty-tagging every clean run there.
+    */
+  private def historyFile(sfName: String) = s".bench-probe-history-$sfName"
 
-  private def readHistory(): Seq[Double] =
+  private def readHistory(sfName: String): Seq[Double] =
     try {
-      val p = java.nio.file.Paths.get(HistoryFile)
+      val p = java.nio.file.Paths.get(historyFile(sfName))
       if (!java.nio.file.Files.exists(p)) Seq.empty
       else scala.jdk.CollectionConverters.ListHasAsScala(
         java.nio.file.Files.readAllLines(p)).asScala.toSeq
@@ -123,12 +129,12 @@ object Bench {
   private[graft] def historyAdmits(history: Seq[Double], v: Double): Boolean =
     history.isEmpty || v <= 1.25 * history.min
 
-  private def appendHistory(v: Double): Unit =
+  private def appendHistory(sfName: String, v: Double): Unit =
     try {
-      val h = readHistory()
+      val h = readHistory(sfName)
       if (!historyAdmits(h, v)) return
       val keep = (h :+ v).takeRight(20)
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(HistoryFile),
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(historyFile(sfName)),
         keep.map(x => f"$x%.3f").mkString("", "\n", "\n"))
     } catch { case scala.util.control.NonFatal(_) => () }
 
@@ -250,7 +256,8 @@ object Bench {
     // run and its trigger are visible in the record. Trigger inventory and
     // thresholds live in [[dirtyReason]] (pure, unit-tested on synthetic
     // contaminated profiles in BenchFormatSpec).
-    val history = readHistory()
+    val sfName = new java.io.File(sfDir).getName // basename: tail-window bytes matter
+    val history = readHistory(sfName)
     val probeAbsMax = sys.env.get("SPARK_GRAFT_PROBE_MAX")
       .flatMap(s => scala.util.Try(s.toDouble).toOption)
       .getOrElse(probeAbsDefault(history))
@@ -355,8 +362,7 @@ object Bench {
     val publishedDirty = dirtyReason(profile, probeAbsMax)
     if (only.isEmpty && profile.probeWarm > 0 &&
       (publishedDirty.isEmpty || calTag.nonEmpty))
-      appendHistory(profile.probeWarm)
-    val sfName = new java.io.File(sfDir).getName // basename: tail-window bytes matter
+      appendHistory(sfName, profile.probeWarm)
     // per-query line first (sacrificial under tail clipping), parsed
     // metric line LAST so the driver's 2000-byte tail always holds it whole
     println(perQueryLine(finalResults, sfName, retimedRaw, builds))

@@ -121,6 +121,23 @@ object FsLock {
       finally in.close()
     } catch { case _: java.io.IOException => None }
 
+  /** [[readPayload]] that distinguishes a CONFIRMED state from a transient
+    * read failure (ADVICE r20: the heartbeat must not die on one flaky
+    * read): Right(Some(payload)) = read OK, Right(None) = file confirmed
+    * absent, Left(e) = the read failed and absence could not be confirmed.
+    */
+  private def readPayloadChecked(fs: FileSystem, p: Path): Either[Throwable, Option[String]] =
+    try {
+      val in = fs.open(p)
+      try Right(Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)))
+      finally in.close()
+    } catch {
+      case _: java.io.FileNotFoundException => Right(None)
+      case e: java.io.IOException =>
+        try { if (fs.exists(p)) Left(e) else Right(None) }
+        catch { case e2: java.io.IOException => Left(e2) }
+    }
+
   /** One atomic create attempt. */
   private def tryCreate(fs: FileSystem, p: Path, token: String): Boolean = {
     val payload = token.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -230,10 +247,21 @@ object FsLock {
         var mine = true
         while (mine && !Thread.interrupted()) {
           Thread.sleep(interval)
-          mine = readPayload(fs, lockPath).contains(token)
-          if (mine)
-            try fs.setTimes(lockPath, System.currentTimeMillis(), -1)
-            catch { case _: java.io.IOException => () }
+          // only a CONFIRMED foreign/absent payload stops the beat; a
+          // transient read error (plausible on HDFS, the deployment this
+          // heartbeat exists for) logs and retries next interval — exiting
+          // on it would silently re-open the lost-exclusion window for a
+          // live multi-hour holder (ADVICE r20)
+          readPayloadChecked(fs, lockPath) match {
+            case Right(pl) =>
+              mine = pl.contains(token)
+              if (mine)
+                try fs.setTimes(lockPath, System.currentTimeMillis(), -1)
+                catch { case _: java.io.IOException => () }
+            case Left(e) =>
+              System.err.println(s"[fslock] heartbeat read of $lockPath failed " +
+                s"(${e.getClass.getSimpleName}: ${e.getMessage}); retrying next beat")
+          }
         }
       } catch { case _: InterruptedException => () }
     }, s"fslock-heartbeat-${lockPath.getName}")

@@ -60,6 +60,25 @@ object Janitor {
     }
   }
 
+  private def hasSuccess(f: FileSystem, p: Path): Boolean =
+    f.exists(new Path(p, "_SUCCESS"))
+
+  /** A directory-valued debris entry (`.old` / `.tmp-*` / batch staging)
+    * that carries a `_SUCCESS` marker while its owning live root does NOT
+    * is the sole complete copy of the data: a [[StagedSwap]] crashed
+    * between retiring live→old and promoting tmp→live. StagedSwap's doc
+    * calls that state "recoverable by hand, never deleted" — deleting it
+    * here would be irreversible data loss (the module's invariant is
+    * crash-safe by leaving debris, never by losing data). Such survivors
+    * are skipped; they become deletable the moment the root is promoted
+    * (live `_SUCCESS` reappears).
+    */
+  private[graft] def crashedSwapSurvivor(f: FileSystem, liveRoot: Path,
+                                         debris: Path, kind: String): Boolean =
+    (kind == "staging" || kind == "purge-staging" || kind == "retired-old" ||
+      kind == "batch-staging") &&
+      f.isDirectory(debris) && hasSuccess(f, debris) && !hasSuccess(f, liveRoot)
+
   /** Remove crash/retire debris among the children of `base` (an artifact
     * directory — e.g. one [[ArtifactStore.rootFor]] bucket — or any
     * directory holding staged-swap roots), plus batch-level debris
@@ -88,8 +107,10 @@ object Janitor {
       scala.util.Try(FsLock.withLock(f, root, timeoutMs = lockTimeoutMs) {
         entries.foreach { case (_, p, kind) =>
           // re-check under the lock: the owner's mutation may have already
-          // consumed (renamed away) the debris while we waited
-          if (f.exists(p) && f.delete(p, true)) removed += ((p.toString, kind))
+          // consumed (renamed away) the debris while we waited — and never
+          // delete the only surviving copy of a crashed swap
+          if (f.exists(p) && !crashedSwapSurvivor(f, new Path(basePath, owner), p, kind)
+            && f.delete(p, true)) removed += ((p.toString, kind))
         }
       })
     }
@@ -109,7 +130,11 @@ object Janitor {
         if (inner.nonEmpty)
           scala.util.Try(FsLock.withLock(f, rootPath.toString, timeoutMs = lockTimeoutMs) {
             inner.foreach { q =>
-              if (f.exists(q) && f.delete(q, true))
+              val liveBatch = new Path(rootPath,
+                q.getName.replaceAll("\\.(tmp-[0-9a-f]{8}|old)$", ""))
+              if (f.exists(q)
+                && !crashedSwapSurvivor(f, liveBatch, q, "batch-staging")
+                && f.delete(q, true))
                 removed += ((q.toString, "batch-staging"))
             }
           })

@@ -81,6 +81,35 @@ class JanitorSpec extends AnyFunSuite with SparkTestSession {
     assert(exists(base, "idx/_SUCCESS"))
   }
 
+  test("crashed-swap survivor: a complete .old/.tmp with no live root is kept") {
+    // ADVICE r20 (medium): hard crash between StagedSwap's two renames —
+    // live→old done, tmp→live not — leaves `.old` as the ONLY copy of the
+    // data (_SUCCESS present in the debris, absent at the live path). The
+    // janitor must not destroy it; same for a promoted-complete `.tmp-*`
+    // and for batch-level `bN.old` with no live `bN`.
+    val base = freshBase()
+    mkDir(base, "idx.old", withSuccess = true)         // sole complete copy
+    mkDir(base, "idx2.tmp-0123abcd", withSuccess = true) // staged, unpromoted
+    mkDir(base, "hits", withSuccess = true, withData = false)
+    mkDir(base, "hits/b0.old", withSuccess = true)     // no live hits/b0
+    // contrast: debris WITHOUT a success marker, or with a live root, goes
+    mkDir(base, "idx3", withSuccess = true)
+    mkDir(base, "idx3.old", withSuccess = true)        // live root exists
+    mkDir(base, "idx4.old")                            // incomplete debris
+    val removed = Janitor.cleanupScratch(spark, base.toString)
+    assert(exists(base, "idx.old/_SUCCESS"), "sole surviving copy must be kept")
+    assert(exists(base, "idx2.tmp-0123abcd/_SUCCESS"))
+    assert(exists(base, "hits/b0.old/_SUCCESS"))
+    assert(!exists(base, "idx3.old"), "retired copy of a LIVE root is debris")
+    assert(!exists(base, "idx4.old"), "incomplete debris is debris")
+    assert(removed.map(_._2).sorted === Seq("retired-old", "retired-old"))
+    // after manual promotion (the recovery StagedSwap documents), the
+    // survivor becomes ordinary debris and the next sweep removes it
+    mkDir(base, "idx", withSuccess = true)
+    val removed2 = Janitor.cleanupScratch(spark, base.toString)
+    assert(removed2.map(_._1).exists(_.endsWith("idx.old")))
+  }
+
   test("a busy root's debris is skipped, not stolen — and picked up next pass") {
     val base = freshBase()
     mkDir(base, "busy", withSuccess = true)
