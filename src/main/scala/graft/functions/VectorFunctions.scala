@@ -33,17 +33,20 @@ object VectorFunctions {
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(asDouble(a)), ExpressionUtils.expression(asDouble(b))))
 
-  /** Matrix × vector with a LITERAL row matrix (e.g. an OPQ rotation,
+  /** Matrix × vector with a constant row matrix (e.g. an OPQ rotation,
     * [[graft.operators.Opq]]): output j = mat(j)·v, each row product the
     * fused sequential dot — the identical accumulation DuckDB's
     * `list_inner_product` performs, so a rotated chain stays oracle-exact.
-    * The matrix rides the plan as one nested array literal (parameter-sized:
-    * 64×64 doubles), broadcast with the closure — never a join.
+    * The matrix rides the plan as ONE reference object
+    * ([[graft.functions.expressions.MatVecMul]], the CentroidKernels
+    * convention) — the previous nested-array-literal form put 64×64 ≈ 4k
+    * literal nodes in every rotated plan (and would put 2.4 M in a
+    * production 1536-dim rotation), charging every analysis/optimizer pass
+    * for parameter data.
     */
-  def matVec(v: Column, mat: Array[Array[Double]]): Column = {
-    val rows = array(mat.map(r => array(r.map(lit): _*)): _*)
-    transform(sequence(lit(1), lit(mat.length)), j => dotFused(v, element_at(rows, j)))
-  }
+  def matVec(v: Column, mat: Array[Array[Double]]): Column =
+    ExpressionUtils.column(graft.functions.expressions.MatVecMul(
+      ExpressionUtils.expression(asDouble(v)), mat))
 
   /** Fused single-pass cosine (native codegen Expression). Bit-identical to
     * [[cosine]] — same accumulation order, `dot/(sqrt(na)*sqrt(nb))`.

@@ -208,7 +208,8 @@ object IndexErasure {
     if (!isLive(f, root)) {
       val tmp = new Path(root + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
       System.err.println(s"[index-erasure] building partitioned $root")
-      build.write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+      WriteLayout.clusterBy(build, partCol)
+        .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
       if (isLive(f, root)) f.delete(tmp, true) // a concurrent builder won
       else StagedSwap.swap(f, tmp, new Path(root), new Path(root + ".old"))
     }
@@ -313,7 +314,8 @@ object IndexErasure {
       val survivors = flagged.filter(col("__hit") === 0L &&
         col("__batch").isin(touchedNames: _*))
         .select(col("__batch") +: dataCols.map(col): _*)
-      survivors.write.mode("overwrite").partitionBy("__batch")
+      WriteLayout.clusterBy(survivors, "__batch")
+        .write.mode("overwrite").partitionBy("__batch")
         .parquet(staging.toString)
       touched.foreach { case (name, _, _, nAfter) =>
         val live = new Path(root, name)
@@ -427,7 +429,7 @@ object IndexErasure {
       rows.join(ex.select(col(idCol)), Seq(idCol), "left_anti"))
     val merged = existing.fold(fresh)(ex =>
       ex.select(rows.columns.map(col): _*).unionByName(fresh))
-    merged.write.mode("overwrite")
+    WriteLayout.clusterBy(merged, partCol).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol)
       .parquet(root)
@@ -493,7 +495,7 @@ object IndexErasure {
       .orderBy(col(partCol))
       .collect() // bounded: one row per touched partition
     val survivors = touchedDf.join(tombIds, Seq(idCol), "left_anti")
-    survivors.write.mode("overwrite")
+    WriteLayout.clusterBy(survivors, partCol).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol)
       .parquet(root)

@@ -277,15 +277,31 @@ object IndexMigration {
     require(f.exists(new Path(root, "_SUCCESS")),
       s"IndexMigration: no live index at $root")
     val vBefore = version(spark, root)
-    val nRaw = corpus.count()
     // erase-wins across versions: anti-join the tombstone log BEFORE
     // training — an erased id must shape neither the new parameters nor
     // the new index content
-    val survivors = IndexErasure.erasedIds(spark, root).fold(corpus)(t =>
+    val log = IndexErasure.erasedIds(spark, root)
+    val survivors = log.fold(corpus)(t =>
       corpus.join(broadcast(t), corpus(idCol) === t("__erased_id"), "left_anti"))
       .cache() // three consumers: centroid train, codebook train, encode
     try {
-    val nSurv = survivors.count() // materializes the cache
+    // raw and surviving mass in ONE corpus pass (two sequential counts were
+    // two full scans for two scalars); without a log the counts coincide.
+    // survivors.count() doubles as the cache materializer in that branch;
+    // with a log, the first training action materializes it instead.
+    val (nRaw, nSurv) = log match {
+      case None =>
+        val n = survivors.count() // materializes the cache
+        (n, n)
+      case Some(t) =>
+        val r = corpus
+          .join(broadcast(t.select(col("__erased_id"), lit(1L).as("__e"))),
+            corpus(idCol) === col("__erased_id"), "left")
+          .agg(count(lit(1L)).as("nr"),
+            sum(when(col("__e").isNull, 1L).otherwise(0L)).as("ns"))
+          .head()
+        (r.getLong(0), r.getLong(1))
+    }
     require(nSurv > 0, s"IndexMigration: surviving corpus for $root is empty")
     // the training relation: everything, or the deterministic fixed-size
     // sample (cached — the Lloyd iterations re-read it per step)
@@ -300,7 +316,8 @@ object IndexMigration {
       .select(col(idCol), col("__cell").cast("long").as("cell"), col("__codes"))
     val tmp = new Path(root + ".tmp-" +
       java.util.UUID.randomUUID().toString.take(8))
-    enc.write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    WriteLayout.clusterBy(enc, "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
     val nCells = f.listStatus(tmp).count(s =>
       s.isDirectory && s.getPath.getName.startsWith("cell="))
     // stamp the new version INSIDE the staging dir so the marker and the

@@ -11,7 +11,10 @@ object PartitionedSink {
 
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
                        mode: String = "overwrite"): Unit =
-    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+    // cluster rows by the partition columns first (AQE rebalance) so each
+    // value's rows land in few files instead of one file per (task, value)
+    graft.pipeline.WriteLayout.clusterBy(df, partitionCols: _*)
+      .write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 
   /** True when the plan prunes by partition (a `PartitionFilters` entry that
     * actually references a column, not just `[]`).

@@ -27,6 +27,25 @@ class IndexErasureSpec extends AnyFunSuite with SparkTestSession {
       .map(f => f.getName -> f.lastModified()).toMap
   }
 
+  test("ensurePartitioned clusters output: one file per cell, not one per (task, cell)") {
+    import spark.implicits._
+    val root = freshRoot()
+    // 8 input partitions × 3 cells would write up to 24 part files without
+    // the WriteLayout.clusterBy rebalance; clustered, each cell's rows land
+    // together — at this size, exactly one file per cell
+    val rows = spark.range(0, 120, 1, 8)
+      .select(col("id"), (col("id") % 3).as("cell"), concat(lit("c-"), col("id")).as("payload"))
+    IndexErasure.ensurePartitioned(spark, root, "cell")(rows)
+    (0L until 3L).foreach { c =>
+      assert(partFiles(root, c).size === 1,
+        s"cell=$c must hold one clustered part file")
+    }
+    // content unaffected by placement
+    val got = IndexErasure.readPartitioned(spark, root, "cell")
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq === (0L until 120L))
+  }
+
   test("repairErased: tombstoned rows gone, untouched partition files untouched, manifest exact") {
     import spark.implicits._
     val root = freshRoot()

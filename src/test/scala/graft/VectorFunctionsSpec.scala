@@ -62,6 +62,27 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTestSession {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("matVec kernel is bit-identical to the HOF literal-matrix form") {
+    val rnd = new scala.util.Random(29)
+    val mat = Array.fill(16)(Array.fill(16)(rnd.nextGaussian()))
+    // the historical HOF formulation the kernel replaced — the equivalence
+    // contract that keeps every rotated-chain oracle hash-stable
+    def matVecHof(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val rows = array(mat.map(r => array(r.map(lit): _*)): _*)
+      transform(sequence(lit(1), lit(mat.length)), j => dotFused(v, element_at(rows, j)))
+    }
+    val d = Seq.fill(50)(Array.fill(16)(rnd.nextGaussian())).toDF("v")
+    val cmp = d.select(matVec($"v", mat).as("k"), matVecHof($"v").as("h")).collect()
+    cmp.foreach { r =>
+      assert(r.getSeq[Double](0) === r.getSeq[Double](1)) // exact, not approx
+    }
+    // null semantics: length mismatch ⇒ null elements; null vector ⇒ null
+    val e = Seq(Tuple1(Array(1.0, 2.0))).toDF("v")
+      .select(matVec($"v", mat).as("k"),
+        matVec(lit(null).cast("array<double>"), mat).as("n")).head
+    assert(e.getSeq[Any](0).forall(_ == null) && e.isNullAt(1))
+  }
+
   test("VectorSumAggregator: typed UDAF mean vector per group") {
     import graft.functions.VectorSumAggregator
     import org.apache.spark.sql.functions.udaf
