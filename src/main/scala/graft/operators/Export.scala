@@ -110,11 +110,17 @@ object Export {
   def writeShards(df: DataFrame, idCol: String, textCol: String,
                   sourceCol: String, shardTokenBudget: Long,
                   outDir: String, parts: Int = 32): DataFrame = {
-    val assigned = assignShards(df, idCol, textCol, shardTokenBudget, parts)
+    // cached: the physical write and the manifest both consume the
+    // assignment — without the cache the whole prefix-scan pipeline
+    // (range shuffle + two passes) runs twice per export
+    val assigned = assignShards(df, idCol, textCol, shardTokenBudget, parts).cache()
     df.join(assigned.select(col(idCol), col("shard_id")), Seq(idCol))
       .repartition(col("shard_id"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
-    shardManifest(df, idCol, textCol, sourceCol, shardTokenBudget, parts)
+    manifestOf(
+      df.select(col(idCol), col(sourceCol), md5(col(textCol)).as("__h"))
+        .join(assigned, Seq(idCol)),
+      idCol, sourceCol)
   }
 
   /** CONTENT-DEFINED shard assignment — the CDC (content-defined chunking)

@@ -314,8 +314,10 @@ object IndexErasure {
       val survivors = flagged.filter(col("__hit") === 0L &&
         col("__batch").isin(touchedNames: _*))
         .select(col("__batch") +: dataCols.map(col): _*)
-      WriteLayout.clusterBy(survivors, "__batch")
-        .write.mode("overwrite").partitionBy("__batch")
+      // input is the tagged union-read of the touched batch dirs — rows
+      // arrive batch-aligned per task, so no write-clustering (see
+      // repairErased)
+      survivors.write.mode("overwrite").partitionBy("__batch")
         .parquet(staging.toString)
       touched.foreach { case (name, _, _, nAfter) =>
         val live = new Path(root, name)
@@ -429,7 +431,10 @@ object IndexErasure {
       rows.join(ex.select(col(idCol)), Seq(idCol), "left_anti"))
     val merged = existing.fold(fresh)(ex =>
       ex.select(rows.columns.map(col): _*).unionByName(fresh))
-    WriteLayout.clusterBy(merged, partCol).write.mode("overwrite")
+    // existing rows arrive partition-aligned (touched-dir read); only the
+    // delta's few tasks are unaligned — not worth a shuffle stage (see
+    // repairErased)
+    merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol)
       .parquet(root)
@@ -494,8 +499,14 @@ object IndexErasure {
       .withColumn("n_after", col("n_before") - col("n_removed"))
       .orderBy(col(partCol))
       .collect() // bounded: one row per touched partition
+    // no write-clustering here (unlike the corpus-shaped build/migration
+    // writes): the input is the touched partition DIRECTORIES themselves,
+    // so every scan task already holds rows of one partition value — the
+    // write emits ~one file per touched dir as-is, and a REBALANCE would
+    // only add a shuffle stage per repair (measured +0.3–0.5 s per write
+    // on the id-sharded frame-index repairs, q257/q260/q271)
     val survivors = touchedDf.join(tombIds, Seq(idCol), "left_anti")
-    WriteLayout.clusterBy(survivors, partCol).write.mode("overwrite")
+    survivors.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol)
       .parquet(root)

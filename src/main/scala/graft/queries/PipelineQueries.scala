@@ -123,6 +123,59 @@ object PipelineQueries {
     */
   private val ChunkTomb = Seq(7L, 13L, 21L)
 
+  /** The keyed chunk-vector relation (c_id = packed (doc, chunk) key,
+    * cvec = hashing-embedded chunk) — the corpus side of the chunk-PQ
+    * DEPLOYED-index family (q289/q290/q292). Cached: tombstone
+    * derivation, encode-on-build-miss, and migration input all read it.
+    */
+  private def chunkVecs(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame = {
+    val (ldocs, _) = longDocsAndQueries(s, dir)
+    val emb = graft.pipeline.HashingEmbedder(64)
+    graft.operators.Chunker.chunk(ldocs, "doc_id", "text",
+      chunkTokens = 64, overlap = 16)
+      .select(graft.operators.ChunkRetrieval.packedChunkKey(
+        col("doc_id"), col("chunk_id")).as("c_id"),
+        emb.embedRaw(col("chunk_text")).as("cvec"))
+      .cache()
+  }
+
+  /** The chunk index's TRAINED v1 quantizer parameters as artifacts —
+    * the `trainedCents`/`trainedCodebooks` convention the doc-level
+    * chains established (r12 verdict: quantizer parameters are artifacts
+    * of a training run, not something each query session re-derives; a
+    * deployment ships them with the index). Deterministic functions of
+    * the chunk corpus (floor-rounded means, lowest-key init), so a load
+    * is byte-equal to a retrain — the DEPLOYED-index queries
+    * (q289/q290/q292) previously retrained both per run, paying the full
+    * Lloyd + codebook passes on every execution. q286/q281 keep training
+    * live by their stated live-train/encode contract.
+    */
+  private def chunkPqParams(s: org.apache.spark.sql.SparkSession, dir: String,
+                            chunks: org.apache.spark.sql.DataFrame)
+      : (Array[Seq[Double]], Array[Array[Seq[Double]]]) = {
+    import graft.pipeline.ArtifactStore
+    import s.implicits._
+    val centsDf = ArtifactStore.loadOrBuild(s,
+      ArtifactStore.rootFor(dir, "chunk_ivf_cents_ld_k32_i1_v1")) {
+      graft.operators.AnnIndex.kmeansCentroids(chunks, "cvec", "c_id",
+        k = 32, iters = 1)
+        .zipWithIndex.map { case (c, i) => (i, c) }.toSeq.toDF("ci", "cv")
+    }
+    val cents = centsDf.orderBy("ci").collect().map(_.getSeq[Double](1))
+    val cbsDf = ArtifactStore.loadOrBuild(s,
+      ArtifactStore.rootFor(dir, "chunk_pq_cb_ld_m16_k16_i1_v1")) {
+      graft.operators.AnnIndex.pqTrainCodebooks(chunks, "c_id", "cvec",
+        m = 16, ksub = 16, dim = 64, iters = 1)
+        .zipWithIndex.flatMap { case (cb, j) =>
+          cb.zipWithIndex.map { case (v, code) => (j, code, v) }
+        }.toSeq.toDF("j", "code", "vec")
+    }
+    val rows = cbsDf.collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val m = rows.map(_._1).max + 1
+    (cents, Array.tabulate(m)(j => rows.filter(_._1 == j).sortBy(_._2).map(_._3)))
+  }
+
   /** The chunk-PQ retrieval oracle (q286, and q290 with the tombstoned
     * docs excluded from the candidate relation): kmeans + raw-PQ
     * train/encode re-rooted on the keyed chunk vectors, per-(query,
@@ -854,17 +907,8 @@ object PipelineQueries {
       (s, dir) => {
         import graft.functions.MathFunctions.longDiv
         import graft.operators.AnnIndex
-        val (ldocs, _) = longDocsAndQueries(s, dir)
-        val emb = graft.pipeline.HashingEmbedder(64)
-        val chunks = graft.operators.Chunker.chunk(ldocs, "doc_id", "text",
-          chunkTokens = 64, overlap = 16)
-          .select(graft.operators.ChunkRetrieval.packedChunkKey(
-            col("doc_id"), col("chunk_id")).as("c_id"),
-            emb.embedRaw(col("chunk_text")).as("cvec"))
-          .cache() // trainers, encode, and tombstone derivation read it
-        val cents = AnnIndex.kmeansCentroids(chunks, "cvec", "c_id", k = 32, iters = 1)
-        val cbs = AnnIndex.pqTrainCodebooks(chunks, "c_id", "cvec",
-          m = 16, ksub = 16, dim = 64, iters = 1)
+        val chunks = chunkVecs(s, dir)
+        val (cents, cbs) = chunkPqParams(s, dir, chunks)
         val root = graft.pipeline.ArtifactStore.rootFor(dir, "chunk_pq_enc_ld_v1")
         graft.pipeline.IndexErasure.ensurePartitioned(s, root, "cell") {
           AnnIndex.pqEncodedCorpus(chunks, "c_id", "cvec",
@@ -913,17 +957,10 @@ object PipelineQueries {
       (s, dir) => {
         import graft.functions.MathFunctions.longDiv
         import graft.operators.AnnIndex
-        val (ldocs, qs) = longDocsAndQueries(s, dir)
+        val (_, qs) = longDocsAndQueries(s, dir)
         val emb = graft.pipeline.HashingEmbedder(64)
-        val chunks = graft.operators.Chunker.chunk(ldocs, "doc_id", "text",
-          chunkTokens = 64, overlap = 16)
-          .select(graft.operators.ChunkRetrieval.packedChunkKey(
-            col("doc_id"), col("chunk_id")).as("c_id"),
-            emb.embedRaw(col("chunk_text")).as("cvec"))
-          .cache()
-        val cents = AnnIndex.kmeansCentroids(chunks, "cvec", "c_id", k = 32, iters = 1)
-        val cbs = AnnIndex.pqTrainCodebooks(chunks, "c_id", "cvec",
-          m = 16, ksub = 16, dim = 64, iters = 1)
+        val chunks = chunkVecs(s, dir)
+        val (cents, cbs) = chunkPqParams(s, dir, chunks)
         val root = graft.pipeline.ArtifactStore.rootFor(dir, "chunk_pq_enc_ld_v1")
         graft.pipeline.IndexErasure.ensurePartitioned(s, root, "cell") {
           AnnIndex.pqEncodedCorpus(chunks, "c_id", "cvec",
@@ -969,17 +1006,8 @@ object PipelineQueries {
       (s, dir) => {
         import graft.functions.MathFunctions.longDiv
         import graft.operators.AnnIndex
-        val (ldocs, _) = longDocsAndQueries(s, dir)
-        val emb = graft.pipeline.HashingEmbedder(64)
-        val chunks = graft.operators.Chunker.chunk(ldocs, "doc_id", "text",
-          chunkTokens = 64, overlap = 16)
-          .select(graft.operators.ChunkRetrieval.packedChunkKey(
-            col("doc_id"), col("chunk_id")).as("c_id"),
-            emb.embedRaw(col("chunk_text")).as("cvec"))
-          .cache()
-        val cents = AnnIndex.kmeansCentroids(chunks, "cvec", "c_id", k = 32, iters = 1)
-        val cbs = AnnIndex.pqTrainCodebooks(chunks, "c_id", "cvec",
-          m = 16, ksub = 16, dim = 64, iters = 1)
+        val chunks = chunkVecs(s, dir)
+        val (cents, cbs) = chunkPqParams(s, dir, chunks)
         val root = graft.pipeline.ArtifactStore.rootFor(dir, "chunk_pq_enc_ld_mig_v1")
         graft.pipeline.IndexErasure.ensurePartitioned(s, root, "cell") {
           AnnIndex.pqEncodedCorpus(chunks, "c_id", "cvec",
