@@ -2154,7 +2154,6 @@ object VectorQueries {
           .unionByName(tag(AnnIndex.sq8Candidates(queries, "q_id", "q_vec",
             corpus, "c_id", "cvec", nlist = 32, nprobe = maxNp,
             params = sqParams, coarseCentroids = Some(cents)), "sq8"))
-          .cache() // cache-lifetime: 8 slice consumers below (see Caching)
         val c = cf.select(col("vec_id").as("c_id"), asDouble(col("cvec")).as("cv"))
           .withColumn("__c2", l2NormSq(col("cv")))
         val q = queries.select(col("q_id"), asDouble(col("q_vec")).as("qv"))
@@ -2167,20 +2166,29 @@ object VectorQueries {
           .withColumn("rn", row_number().over(we))
           .filter(col("rn") <= 3)
           .select("q_id", "c_id")
-          .cache() // cache-lifetime: joined per operating point (see Caching)
-        Seq(1, 2, 4, 8).map { np =>
-          val sl = cands.filter(col("probe_rn") <= np)
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy("chain", "q_id").orderBy(col("score"), col("c_id"))
-          val hits = sl.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-            .join(exact, Seq("q_id", "c_id"))
-            .groupBy("chain").agg(count(lit(1)).as("n_hit"))
-          sl.groupBy("chain").agg(count(lit(1)).as("n_cand"))
-            .join(hits, Seq("chain"), "left")
-            .select(col("chain"), lit(np.toLong).as("nprobe"), col("n_cand"),
-              coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-              fr(coalesce(col("n_hit"), lit(0L)).cast("double") / lit(60.0), 4).as("recall"))
-        }.reduce(_ unionByName _)
+        // ALL 16 operating points in ONE windowed aggregation pass: explode
+        // the nprobe grid onto the candidate stream, rank within (chain,
+        // nprobe, q_id) — identical to ranking each probe_rn<=np slice
+        // separately — and fold candidate mass + exact-truth hits in one
+        // groupBy (the ≤3-per-query exact set joins left, cannot multiply
+        // rows). Previously each point ran its own count + hits-join jobs:
+        // 8+ aggregation jobs and two corpus-wide caches for what one pass
+        // computes.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("chain", "np", "q_id").orderBy(col("score"), col("c_id"))
+        cands
+          .select(col("*"), explode(array(Seq(1, 2, 4, 8).map(lit): _*)).as("np"))
+          .filter(col("probe_rn") <= col("np"))
+          .withColumn("rn", row_number().over(w))
+          .join(broadcast(exact.withColumn("__e", lit(1L))),
+            Seq("q_id", "c_id"), "left")
+          .groupBy("chain", "np")
+          .agg(count(lit(1)).as("n_cand"),
+            sum(when(col("rn") <= 3 && col("__e").isNotNull, 1L).otherwise(0L))
+              .as("n_hit"))
+          .select(col("chain"), col("np").cast("long").as("nprobe"),
+            col("n_cand"), col("n_hit"),
+            fr(col("n_hit").cast("double") / lit(60.0), 4).as("recall"))
           // the second axis a 100-TB deployment weighs: index bytes per
           // vector — PQ m·log2(ksub)/8 = 16·4/8 = 8 B, SQ8 dim·1 = 64 B
           .withColumn("bytes_per_vec",
@@ -2849,8 +2857,9 @@ object VectorQueries {
         val mig = graft.pipeline.IndexMigration.migrate(s, root,
           drifted.select(col("vec_id").as("c_id"), col("cvec")), "c_id", "cvec",
           nlist = 32, m = PqM, ksub = PqKsub, dim = 64)
-        val n = drifted.count()
-        val budget = (2L * n / 32L).toInt
+        // the migration already counted this corpus (no tombstone log on
+        // the A/B root, so nCorpus == drifted.count()) — no second scan
+        val budget = (2L * mig.nCorpus / 32L).toInt
         val queries = drifted.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("cvec").as("qv"))
         // exact truth: top-10 by squared L2 — drifted components are
@@ -2874,13 +2883,17 @@ object VectorQueries {
             queries.select(col("q_id").as("vec_id"), col("qv").as("cvec")),
             "vec_id", "cvec", cents.toSeq)
             .select(col("vec_id").as("q_id"), col("cell"))
-          val cand = qcell.join(members, "cell")
+          // candidate mass and truth hits in ONE pass (a left join against
+          // the distinct truth pairs cannot multiply rows) — previously a
+          // cached count + a second join job
+          val r = qcell.join(members, "cell")
             .filter(col("vec_id") =!= col("q_id"))
-            .select(col("q_id"), col("vec_id").as("c_id")).cache()
-          val nCand = cand.count()
-          val hits = cand.join(truth, Seq("q_id", "c_id")).count()
-          cand.unpersist()
-          (occupied, nCand, hits)
+            .select(col("q_id"), col("vec_id").as("c_id"))
+            .join(truth.withColumn("__t", lit(1L)), Seq("q_id", "c_id"), "left")
+            .agg(count(lit(1L)).as("nc"),
+              sum(coalesce(col("__t"), lit(0L))).as("h"))
+            .head()
+          (occupied, r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
         }
         val (mOc, mNc, mH) = phase(mig.cents)
         val (sOc, sNc, sH) = phase(staleCents)
@@ -3182,8 +3195,8 @@ object VectorQueries {
           drifted.select(col("vec_id").as("c_id"), col("cvec")), "c_id", "cvec",
           nlist = 32)
         val refitParams = mig.codebooks(0)(0).zip(mig.codebooks(1)(0)).toArray
-        val n = drifted.count()
-        val budget = (2L * n / 32L).toInt
+        // nCorpus == drifted.count() (no tombstone log on the A/B root)
+        val budget = (2L * mig.nCorpus / 32L).toInt
         val queries = drifted.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("cvec").as("qv"))
         val truth = queries.crossJoin(drifted)
@@ -3211,7 +3224,10 @@ object VectorQueries {
           val qvn = queries.withColumn("__qv", asDouble(col("qv")))
             .withColumn("__q2", l2NormSq(col("__qv")))
             .select("q_id", "__qv", "__q2")
-          val top10 = qcell.join(members, "cell")
+          // ranked size and truth hits in ONE pass (left join against the
+          // distinct truth pairs cannot multiply rows) — previously a
+          // cached count + a second join job
+          val r = qcell.join(members, "cell")
             .filter(col("vec_id") =!= col("q_id"))
             .join(qvn, "q_id")
             .withColumn("__dist", floorRound(
@@ -3219,11 +3235,12 @@ object VectorQueries {
             .withColumn("rn", row_number().over(
               Window.partitionBy("q_id").orderBy(col("__dist"), col("vec_id"))))
             .filter(col("rn") <= 10)
-            .select(col("q_id"), col("vec_id").as("c_id")).cache()
-          val nr = top10.count()
-          val hits = top10.join(truth, Seq("q_id", "c_id")).count()
-          top10.unpersist()
-          (nr, hits)
+            .select(col("q_id"), col("vec_id").as("c_id"))
+            .join(truth.withColumn("__t", lit(1L)), Seq("q_id", "c_id"), "left")
+            .agg(count(lit(1L)).as("nr"),
+              sum(coalesce(col("__t"), lit(0L))).as("h"))
+            .head()
+          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
         }
         val (mNr, mH) = phase(mig.cents, refitParams)
         val (sNr, sH) = phase(staleCents, staleParams)
