@@ -474,13 +474,34 @@ object IndexErasure {
     */
   def repairErased(spark: SparkSession, root: String, partCol: String,
                    touched: Seq[Long], idCol: String,
-                   tombstones: DataFrame): DataFrame = locked(spark, root) {
+                   tombstones: DataFrame): DataFrame =
+    repairErasedImpl(spark, root, partCol, touched, idCol, tombstones,
+      alreadyLogged = false)
+
+  /** [[repairErased]] whose `tombstones` ARE the persisted log (the
+    * rollback/rollForward replay, [[IndexMigration.promoteRetired]]) —
+    * re-appending the full log to itself every replay only grew the log
+    * dir toward its compaction bound and cost a write job per rollback;
+    * the crash-safety argument ("log first") is vacuous here because the
+    * ids are already durably logged.
+    */
+  private[pipeline] def repairErasedLogged(spark: SparkSession, root: String,
+                                           partCol: String, touched: Seq[Long],
+                                           idCol: String,
+                                           tombstones: DataFrame): DataFrame =
+    repairErasedImpl(spark, root, partCol, touched, idCol, tombstones,
+      alreadyLogged = true)
+
+  private def repairErasedImpl(spark: SparkSession, root: String, partCol: String,
+                               touched: Seq[Long], idCol: String,
+                               tombstones: DataFrame,
+                               alreadyLogged: Boolean): DataFrame = locked(spark, root) {
     import spark.implicits._
     val f = fs(spark)
     require(isLive(f, root), s"IndexErasure: no live index at $root")
     // log first: a crash between the log write and the rewrite leaves a
     // replayable repair whose erasure already binds future appendRows
-    logTombstones(root, idCol, tombstones)
+    if (!alreadyLogged) logTombstones(root, idCol, tombstones)
     val livePaths = touched.sorted.map(v => s"$root/$partCol=$v")
       .filter(p => f.exists(new Path(p)))
     if (livePaths.isEmpty)

@@ -240,7 +240,8 @@ object IndexMigration {
           .select(col(partCol)).distinct()
           .collect().map(_.getLong(0)).toSeq // bounded: ≤ one row per live partition
         if (touched.nonEmpty)
-          IndexErasure.repairErased(spark, root, partCol, touched, idCol,
+          // the replay's tombstones ARE the persisted log — skip re-logging
+          IndexErasure.repairErasedLogged(spark, root, partCol, touched, idCol,
             log.select(col("__erased_id").as(idCol)))
       }
       version(spark, root)
